@@ -1,0 +1,182 @@
+"""Engine — the embedded-engine API surface (SURVEY §3 E1/E2/E3).
+
+The reference's embedded API is ``DuckDB db; Connection con(db);
+con.Query(sql)`` (/root/reference/duckdb:11-15): open a database with a
+config, get a connection, execute SQL strings, all entry points funnelling
+into one parse→bind→optimize→execute pipeline (/root/reference/duckdb:101).
+
+Spark-first equivalent: ``Engine`` owns (or adopts) a SparkSession; SQL
+strings go straight into ``spark.sql`` (Catalyst is the whole pipeline);
+DataFrame verbs enter the same pipeline. The extension mechanism the notes
+trace in detail (INSTALL/LOAD → dlopen → entry symbol → FinishLoad,
+/root/reference/duckdb:23-55) maps to a Python plugin registry: a module
+exposing ``register(engine)`` that adds UDFs / named operators, gated by an
+allowlist that mirrors safe mode (/root/reference/duckdb:122-125).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .conf import BUILD_CONFS, RUNTIME_CONFS, apply_runtime_confs
+from . import catalog
+from .dialect import to_spark_sql
+
+
+class Engine:
+    """A session-scoped analytical SQL engine over file-resident data."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        master: str = "local[*]",
+        extensions_allowed: bool = True,
+    ) -> None:
+        if spark is None:
+            builder = SparkSession.builder.master(master).appName("duckdb_read_spark")
+            for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+                builder = builder.config(k, v)
+            spark = builder.getOrCreate()
+        apply_runtime_confs(spark)
+        self.spark = spark
+        self._extensions_allowed = extensions_allowed
+        self._functions: dict[str, Callable] = {}
+        self._extensions: dict[str, object] = {}
+
+    # -- sources (binder name resolution analog, /root/reference/duckdb:34-37)
+
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        """Register a parquet file/glob as ``name``; ns-timestamp shim applied."""
+        df = self.spark.read.parquet(path)
+        df = catalog.apply_schema_shims(df, path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_csv(self, name: str, path: str, schema=None, header: bool = True) -> DataFrame:
+        reader = self.spark.read.option("header", str(header).lower())
+        df = reader.csv(path, schema=schema) if schema is not None else reader.option(
+            "inferSchema", "true").csv(path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_json(self, name: str, path: str, schema=None) -> DataFrame:
+        df = self.spark.read.json(path, schema=schema)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def register_fixture_dir(self, sf_dir: str) -> None:
+        """Register the standard fixture tables from a testdata directory."""
+        catalog.register_tables(self.spark, sf_dir)
+
+    # -- query execution (Connection::Query analog) ------------------------
+
+    def sql(self, query: str, dialect: str = "spark") -> DataFrame:
+        """Execute one SQL statement.
+
+        ``dialect='duckdb'`` first rewrites DuckDB-flavored SQL to Spark SQL
+        (function renames, arg flips, 1-based indexing — SURVEY §2.4).
+        """
+        if dialect == "duckdb":
+            query = to_spark_sql(query)
+        return self.spark.sql(query)
+
+    def execute(self, script: str, dialect: str = "spark") -> list[DataFrame]:
+        """Execute a multi-statement script (the CLI path, shell.cpp analog:
+        /root/reference/duckdb:18 ExtractStatements → per-statement Query)."""
+        return [self.sql(stmt, dialect=dialect) for stmt in split_statements(script)]
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def explain(self, query: str, dialect: str = "spark", mode: str = "formatted") -> str:
+        """EXPLAIN analog (/root/reference/duckdb:101 pipeline inspection)."""
+        df = self.sql(query, dialect=dialect)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(jmode)
+
+    # -- extension registry (INSTALL/LOAD analog, /root/reference/duckdb:23-55)
+
+    def install(self, module_name: str) -> None:
+        """INSTALL analog: make an extension module available (import check).
+
+        Mirrors ExtensionHelper::InstallExtension recording the artifact
+        (/root/reference/duckdb:38-45) — here the artifact is an importable
+        Python module.
+        """
+        if not self._extensions_allowed:
+            raise PermissionError("extensions disabled (safe mode)")
+        self._extensions[module_name] = importlib.import_module(module_name)
+
+    def load(self, module_name: str) -> None:
+        """LOAD analog: call the module's ``register(engine)`` entry symbol
+        (≈ find entry symbol + FinishLoad, /root/reference/duckdb:46-55).
+        Auto-installs on first load, like autoinstall_known_extensions
+        (/root/reference/duckdb:51-52)."""
+        if module_name not in self._extensions:
+            self.install(module_name)
+        mod = self._extensions[module_name]
+        entry = getattr(mod, "register", None)
+        if entry is None:
+            raise ValueError(f"extension {module_name!r} has no register(engine) entry point")
+        entry(self)
+
+    def register_function(self, name: str, fn: Callable, return_type=None) -> None:
+        """Register a Python function as a SQL-callable UDF."""
+        self._functions[name] = fn
+        self.spark.udf.register(name, fn, return_type)
+
+    @property
+    def functions(self) -> dict[str, Callable]:
+        return dict(self._functions)
+
+    def stop(self) -> None:
+        self.spark.stop()
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement SQL script on top-level semicolons
+    (quote- and comment-aware)."""
+    stmts, buf, i, n = [], [], 0, len(script)
+    in_s = in_d = in_line_comment = False
+    while i < n:
+        ch = script[i]
+        if in_line_comment:
+            if ch == "\n":
+                in_line_comment = False
+            buf.append(ch)
+        elif in_s:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_s = False
+        elif in_d:
+            buf.append(ch)
+            if ch == '"':
+                in_d = False
+        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+            in_line_comment = True
+            buf.append(ch)
+        elif ch == "'":
+            in_s = True
+            buf.append(ch)
+        elif ch == '"':
+            in_d = True
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                stmts.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
