@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Bench harness — mirrors BASELINE.md (B1-B10 shapes at sf0.1).
+
+Runs the headline queries warm (median of N runs after a discarded cold
+run) on local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR, and prints ONE
+JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q05_pricing_summary": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# The bench set = BASELINE.md B1-B9 (declared oracle queries) + B10 (full
+# sort shape, bench-only).
+BENCH_QUERIES = [
+    "q05_pricing_summary",   # B1 scan+agg
+    "q14_multiway_star",     # B2 5-way join
+    "q29_topk_per_group",    # B3 window top-k
+    "q06_count_distinct",    # B4 2x count-distinct
+    "q45_tumbling_window",   # B5 tumbling agg
+    "q46_sessionize",        # B6 sessionize
+    "q47_exact_dedup",       # B7 md5 dedup
+    "q48_cosine_topk",       # B8 brute-force kNN
+    "q50_asof_join",         # B9 as-of join
+]
+
+_B10_FULL_SORT = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC NULLS LAST, o_orderkey"
+)
+
+
+def _time_query(spark, sql: str, runs: int = 3) -> float:
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        # Force execution with a count-style wrapper — method parity with
+        # how BASELINE.md's numbers were taken (its B10 "full sort" at
+        # 108 ms vs DuckDB's 306 ms is only possible with Catalyst's
+        # EliminateSorts dropping the top-level sort, i.e. count-style
+        # forcing; noop-sink and collect() both measure 1.5-3x higher
+        # across the board and would make the 2x-of-baseline comparison
+        # apples-to-oranges).
+        spark.sql(sql).agg(F.count(F.lit(1))).collect()
+        return time.perf_counter() - t0
+
+    once()  # cold run (codegen/JIT) — excluded, matching BASELINE.md method
+    return statistics.median(once() for _ in range(runs))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    from duckdb_read_spark.catalog import register_tables
+    from duckdb_read_spark.conf import RUNTIME_CONFS
+    from duckdb_read_spark.queries import QUERIES
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("duckdb_read_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    register_tables(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(_time_query(spark, QUERIES[name].spark), 4)
+    timings["b10_full_sort"] = round(_time_query(spark, _B10_FULL_SORT), 4)
+
+    sf = None
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    result = {
+        "metric": "bench_total_warm_median",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
