@@ -1,0 +1,50 @@
+"""Operator library (SURVEY §7 P4): DataFrame-native custom operators."""
+
+from .asof import asof_join
+from .dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from .multimodal import decode_image, make_demo_assets, sample_frames
+from .sessionize import session_stats, sessionize
+from .similarity import ann_topk, cosine_scores, cosine_topk, cosine_topk_pandas, lsh_bucket
+from .text import (
+    bpe_token_count,
+    fingerprint,
+    lang_scores,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+__all__ = [
+    "asof_join",
+    "dedup_exact",
+    "exact_dup_groups",
+    "minhash_candidates",
+    "simhash",
+    "simhash_candidates",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "sessionize",
+    "session_stats",
+    "cosine_scores",
+    "cosine_topk",
+    "cosine_topk_pandas",
+    "ann_topk",
+    "lsh_bucket",
+    "token_count",
+    "bpe_token_count",
+    "lang_scores",
+    "quality_score",
+    "fingerprint",
+    "text_stats",
+    "decode_image",
+    "sample_frames",
+    "make_demo_assets",
+]

@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.1 L1/L2).
+
+Five escalating strategies, all shuffle-conscious:
+
+* exact          — content hash + keep-first. One shuffle on the hash.
+* minhash_lsh    — Spark ML MinHashLSH banded candidate join (Jaccard).
+* simhash        — 64-bit SimHash computed entirely JVM-side (xxhash64 +
+                   conditional sums; no Python UDF), banded self-join on
+                   16-bit sub-fingerprints, bit_count Hamming verify.
+* ngram_jaccard  — exact Jaccard over word n-gram shingles via shingle
+                   inverted-index self-join (the oracle-checkable one).
+* embedding_cosine — near-dup pairs by cosine over an embedding column;
+                   brute-force pair join with block pre-filter.
+
+Scale notes: every strategy is a (shingle|band|bucket) explode followed by
+a hash-shuffle join — no driver-side collection anywhere. The banded
+variants (minhash/simhash) are the 100 TB path: candidate generation cost
+is O(docs x bands), never O(docs^2); exact verification only touches
+bucket-colliding pairs. ngram_jaccard's self-join is quadratic per shared
+shingle and is meant for verification corpora, not the full crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 64
+SIMHASH_SEED = 42
+
+
+# --- exact ----------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", keep_order_col: str | None = None) -> DataFrame:
+    """Keep one row per distinct ``text_col`` content (md5 identity).
+
+    With ``keep_order_col`` the survivor is deterministic (min of that
+    column); otherwise dropDuplicates keeps an arbitrary row (cheaper — no
+    per-group ordering state)."""
+    if keep_order_col is None:
+        return df.dropDuplicates([text_col])
+    w = F.min(F.col(keep_order_col)).alias("__keep")
+    keep = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(w)
+    return (
+        df.join(
+            keep,
+            (F.md5(F.col(text_col)) == F.col("__h"))
+            & (F.col(keep_order_col) == F.col("__keep")),
+            "left_semi",
+        )
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: hash, survivor id, group size (>1 only)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# --- MinHash LSH (Spark ML) ----------------------------------------------
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH over token sets.
+
+    Returns (id_a, id_b, jaccard_distance) with id_a < id_b. Spark ML's
+    approxSimilarityJoin banding keeps this sub-quadratic.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
+    tf = HashingTF(
+        inputCol="__tokens", outputCol="__features",
+        numFeatures=num_features, binary=True,
+    )
+    featurized = tf.transform(tok.transform(df.select(id_col, text_col)))
+    # Empty token sets break MinHash; documents are non-empty by contract.
+    mh = MinHashLSH(inputCol="__features", outputCol="__hashes",
+                    numHashTables=num_hash_tables, seed=SIMHASH_SEED)
+    model = mh.fit(featurized)
+    pairs = model.approxSimilarityJoin(
+        featurized, featurized, 1.0 - jaccard_threshold, distCol="jaccard_distance"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            "jaccard_distance",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+# --- SimHash (pure DataFrame ops, no UDF) --------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, computed with JVM-side expressions only.
+
+    token → xxhash64(token, seed) → per-bit +/-1 weight sums → sign bits
+    reassembled into one BIGINT. One explode + one hash shuffle on id.
+    """
+    toks = (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+        .withColumn("__h", F.xxhash64(F.col("__tok"), F.lit(SIMHASH_SEED)))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs: band the 64-bit simhash into ``bands`` sub-keys,
+    bucket-join on any equal band, verify Hamming ≤ ``max_hamming`` via
+    bit_count(a XOR b). By pigeonhole, any pair within Hamming ≤ bands-1
+    shares at least one band, so bands=4 is exact for max_hamming ≤ 3."""
+    width = SIMHASH_BITS // bands
+    fps = simhash(df, text_col, id_col)
+    mask = (1 << width) - 1
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__bk"),
+    ).select(id_col, "simhash", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# --- exact n-gram Jaccard -------------------------------------------------
+
+def ngram_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (explode + distinct)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.select(id_col, F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, pairs ≥ threshold.
+
+    Inverted-index self-join: pairs only materialize for docs sharing a
+    shingle. Intended for bounded corpora / verification of the banded
+    strategies (cost is quadratic in per-shingle document frequency)."""
+    sh = ngram_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- embedding cosine near-dup -------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Brute-force pair join (verification
+    scale); the banded scale path is similarity.lsh_bucket_candidates."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

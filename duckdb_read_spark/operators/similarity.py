@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY §2.1 L3).
+
+Three tiers:
+
+* cosine_topk          — brute-force exact top-k, pure JVM expressions
+                         (zip_with/aggregate HOFs). Baseline + oracle path.
+* cosine_topk_pandas   — same semantics, Arrow-batched numpy matmul via
+                         mapInPandas: the per-row HOF evaluation becomes one
+                         BLAS call per batch. The hot path once vectors are
+                         wide or probes are many.
+* lsh_bucket_candidates / ann_topk — random-hyperplane LSH: deterministic
+                         signed projections bucket vectors; search only the
+                         probe's bucket (plus optional multi-probe flips).
+                         Sub-linear candidate generation — the 100 TB path
+                         (bucket table can be precomputed and partitioned by
+                         bucket id, so a probe touches one partition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ANN_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_scores(df: DataFrame, probe: list[float], vec_col: str = "embedding") -> DataFrame:
+    """Attach exact cosine similarity to ``probe`` as column ``sim``."""
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    sim = _dot(F.col(vec_col), p) / (_norm(F.col(vec_col)) * _norm(p))
+    return df.withColumn("sim", sim)
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (ORDER BY sim DESC LIMIT k compiles
+    to TakeOrderedAndProject — per-partition heaps, no global sort)."""
+    return (
+        cosine_scores(df, probe, vec_col)
+        .select(id_col, "sim")
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy: per batch, one matrix-vector
+    product + partial top-k; global top-k by the same TakeOrdered."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, True),
+        StructField("sim", DoubleType(), True),
+    ])
+    p = np.asarray(probe, dtype=np.float64)
+    p = p / np.linalg.norm(p)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (m @ p) / norms
+            top = np.argsort(-sims)[: min(k, len(sims))]
+            yield pdf.iloc[top][[id_col]].assign(sim=sims[top])
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+# --- LSH (random hyperplanes) --------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(ANN_SEED)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embedding") -> DataFrame:
+    """Attach an LSH ``bucket`` id: sign bits of ``n_planes`` fixed random
+    projections. Deterministic (seeded planes, literal arrays — the same
+    planes on every executor without a broadcast variable)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = None
+    for i, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        bucket = term if bucket is None else bucket.bitwiseXOR(term)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is the probe's
+    bucket or differs by ≤ ``multiprobe_bits`` plane signs (multi-probe
+    recovers near-boundary neighbors)."""
+    dim = len(probe)
+    planes = _hyperplanes(dim, n_planes)
+    p = np.asarray(probe, dtype=np.float64)
+    pbucket = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ p) > 0:
+            pbucket |= 1 << i
+    buckets = {pbucket}
+    if multiprobe_bits >= 1:
+        for i in range(n_planes):
+            buckets.add(pbucket ^ (1 << i))
+    bucketed = lsh_bucket(df, dim, n_planes, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    return cosine_topk(cand, probe, k, vec_col, id_col)

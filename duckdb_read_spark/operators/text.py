@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.1 L4).
+
+All pure JVM-side expressions (no Python UDFs in any hot path): language-ID
+scoring, quality scoring, token counting (whitespace + BPE-ish regex), and
+rolling-hash document fingerprinting. Each has an oracle-checkable SQL twin
+in queries.py (EXTRA_* entries) so the semantics are pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic. The
+# fixture corpus is synthetic; the *mechanism* (marker-hit-ratio argmax) is
+# what the operator pins down, the lists are swappable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "los", "las", "que", "de", "es", "con"),
+    "fr": ("le", "la", "les", "et", "est", "que", "des", "une"),
+    "zh": ("de", "shi", "le", "bu", "zai", "you", "wo", "ta"),
+}
+
+# BPE-ish word/number/punctuation splitter: runs of letters, runs of
+# digits, or a single non-space symbol — a common pre-tokenization regex.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(F.col(text_col))))
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Token count under the BPE-ish pre-tokenization regex."""
+    return df.withColumn(out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE))))
+
+
+def marker_ratio(text: Column, markers: tuple[str, ...]) -> Column:
+    """Fraction of whitespace tokens that are in the marker list."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-hit ratio columns ``score_<lang>`` plus argmax
+    ``lang_pred``. One projection, no shuffle."""
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{lang}", marker_ratio(F.col(text_col), markers))
+    # argmax via greatest + chained when (stable: first max wins in dict order)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + word-shape + punctuation
+    density + stopword presence (the usual crawl-filter features)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    avg_word_len = n_chars / n_toks
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"))) / F.greatest(n_chars, F.lit(1))
+    stop = marker_ratio(text, LANG_MARKERS["en"])
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
+    word_ok = F.when((avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0).otherwise(0.25)
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stop >= 0.01, 1.0).otherwise(0.5)
+    score = (len_ok * 0.3 + word_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2)
+    return df.withColumn(out, F.round(score, 6))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Polynomial rolling hash over characters, mod a 1e9-scale prime —
+    overflow-safe under ANSI mode and expressible in portable SQL (the
+    oracle twin uses the same fold in DuckDB's list_reduce)."""
+    chars = F.split(F.col(text_col), "")
+    fold = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+    return df.withColumn(out, fold)
+
+
+def text_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-group corpus stats (the Q49 oracle shape)."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .orderBy(group_col)
+    )

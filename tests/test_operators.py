@@ -1,0 +1,309 @@
+"""Operator-library tests (SURVEY §5.3): each custom operator against its
+oracle query or a planted-ground-truth check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_read_spark.oracle import normalize_rows, spark_rows
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(engine):
+    return engine.table("events")
+
+
+@pytest.fixture(scope="module")
+def documents(engine):
+    return engine.table("documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(engine):
+    return engine.table("embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(documents):
+    """documents plus 20 planted exact duplicates (doc_id offset +100000) —
+    the fixture corpus only plants duplicates at sf0.1, so tests carry
+    their own ground truth."""
+    dups = (
+        documents.filter(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return documents.unionByName(dups)
+
+
+# --- asof ----------------------------------------------------------------
+
+@pytest.mark.parametrize("strategy", ["join", "union"])
+def test_asof_join_matches_q50_oracle(engine, events, strategy):
+    from duckdb_read_spark.operators import asof_join
+    from duckdb_read_spark.queries import QUERIES
+
+    purchases = events.filter(F.col("event_type") == "purchase")
+    signups = events.filter(F.col("event_type") == "signup")
+    got = (
+        asof_join(purchases, signups, on="ts", by="user_id",
+                  right_cols=["event_id"], strategy=strategy)
+        .select("event_id", F.col("event_id_right").alias("signup_event"))
+        .orderBy("event_id")
+    )
+    want = engine.sql(QUERIES["q50_asof_join"].spark)
+    assert spark_rows(got) == spark_rows(want)
+
+
+def test_asof_join_equal_ts_is_inclusive(spark):
+    from duckdb_read_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L")], "k int, t int, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, "same-ts"), (1, 9, "earlier"), (1, 11, "later")],
+        "k int, t int, rv string",
+    )
+    for strategy in ("join", "union"):
+        row = asof_join(left, right, on="t", by="k", right_cols=["rv"],
+                        strategy=strategy).collect()[0]
+        assert row["rv"] == "same-ts", strategy
+
+
+def test_asof_join_no_match_yields_null(spark):
+    from duckdb_read_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 5, "L")], "k int, t int, lv string")
+    right = spark.createDataFrame([(1, 9, "later")], "k int, t int, rv string")
+    for strategy in ("join", "union"):
+        row = asof_join(left, right, on="t", by="k", right_cols=["rv"],
+                        strategy=strategy).collect()[0]
+        assert row["rv"] is None, strategy
+
+
+# --- sessionize ----------------------------------------------------------
+
+def test_session_stats_matches_q46_oracle(engine, events):
+    from duckdb_read_spark.operators import session_stats
+    from duckdb_read_spark.queries import QUERIES
+
+    got = session_stats(events)
+    want = engine.sql(QUERIES["q46_sessionize"].spark)
+    assert spark_rows(got) == spark_rows(want)
+
+
+# --- dedup ---------------------------------------------------------------
+
+def test_dedup_exact_counts(engine, docs_with_dups):
+    from duckdb_read_spark.operators import dedup_exact
+
+    total = docs_with_dups.count()
+    uniq = docs_with_dups.select(F.md5("text")).distinct().count()
+    assert uniq < total
+    assert dedup_exact(docs_with_dups).count() == uniq
+    kept = dedup_exact(docs_with_dups, keep_order_col="doc_id")
+    assert kept.count() == uniq
+    # survivor is the min doc_id of its content group
+    dup_groups = docs_with_dups.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep")
+    )
+    assert kept.join(dup_groups, kept["doc_id"] == dup_groups["keep"], "left_anti").count() == 0
+
+
+def test_exact_dup_groups_only_real_groups(docs_with_dups):
+    from duckdb_read_spark.operators import exact_dup_groups
+
+    g = exact_dup_groups(docs_with_dups).collect()
+    assert all(r["n"] > 1 for r in g)
+    assert len(g) > 0
+
+
+def test_simhash_deterministic_and_dup_invariant(docs_with_dups):
+    from duckdb_read_spark.operators import simhash
+
+    fp1 = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups.limit(200)).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups.limit(200)).collect()}
+    assert fp1 == fp2, "simhash must be deterministic"
+    # exact duplicates must collide
+    dups = (
+        docs_with_dups.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1).limit(5).collect()
+    )
+    all_fp = {r["doc_id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
+    for row in dups:
+        fps = {all_fp[i] for i in row["ids"]}
+        assert len(fps) == 1, "identical texts must have identical simhash"
+
+
+def test_simhash_candidates_find_exact_dups(docs_with_dups):
+    from duckdb_read_spark.operators import simhash_candidates
+
+    dup_pair = (
+        docs_with_dups.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1).limit(1).collect()
+    )[0]["ids"][:2]
+    a, b = sorted(dup_pair)
+    cands = simhash_candidates(docs_with_dups, max_hamming=0)
+    hit = cands.filter((F.col("id_a") == a) & (F.col("id_b") == b)).count()
+    assert hit == 1
+
+
+def test_minhash_candidates_recall_on_exact_dups(docs_with_dups):
+    from duckdb_read_spark.operators import minhash_candidates
+
+    sub = docs_with_dups.filter((F.col("doc_id") < 300) | (F.col("doc_id") >= 100000))
+    pairs = minhash_candidates(sub, jaccard_threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    dup_groups = (
+        sub.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1).collect()
+    )
+    planted = set()
+    for row in dup_groups:
+        ids = sorted(row["ids"])
+        planted.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+    assert planted, "need planted dups in the slice"
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_ngram_jaccard_exact_dups_score_one(docs_with_dups):
+    from duckdb_read_spark.operators import ngram_jaccard_pairs
+
+    sub = docs_with_dups.filter((F.col("doc_id") < 200) | (F.col("doc_id") >= 100000))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(sub, threshold=0.999).collect()}
+    dup_groups = (
+        sub.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1).collect()
+    )
+    for row in dup_groups:
+        ids = sorted(row["ids"])
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert pairs.get((a, b)) == pytest.approx(1.0), (a, b)
+
+
+def test_embedding_neardup_symmetric_self(embeddings):
+    from duckdb_read_spark.operators import embedding_neardup_pairs
+
+    sub = embeddings.filter(F.col("vec_id") < 100)
+    pairs = embedding_neardup_pairs(sub, threshold=-1.1)
+    n = sub.count()
+    assert pairs.count() == n * (n - 1) // 2  # all ordered pairs, once each
+
+
+# --- similarity ----------------------------------------------------------
+
+def _probe(embeddings):
+    return embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+
+def test_cosine_topk_matches_q48_oracle(engine, embeddings):
+    from duckdb_read_spark.operators import cosine_topk
+    from duckdb_read_spark.queries import QUERIES
+
+    probe = _probe(embeddings)
+    got = cosine_topk(embeddings.filter(F.col("vec_id") != 0), probe, k=5)
+    want = engine.sql(QUERIES["q48_cosine_topk"].spark)
+    got_n = [(r["vec_id"], round(r["sim"], 6)) for r in got.collect()]
+    want_n = [(r["vec_id"], float(r["sim"])) for r in want.collect()]
+    assert got_n == want_n
+
+
+def test_cosine_topk_pandas_matches_expression_path(embeddings):
+    from duckdb_read_spark.operators import cosine_topk, cosine_topk_pandas
+
+    probe = _probe(embeddings)
+    rest = embeddings.filter(F.col("vec_id") != 0)
+    a = [(r["vec_id"], round(r["sim"], 6)) for r in cosine_topk(rest, probe, k=10).collect()]
+    b = [(r["vec_id"], round(r["sim"], 6)) for r in cosine_topk_pandas(rest, probe, k=10).collect()]
+    assert a == b
+
+
+def test_ann_topk_finds_planted_neighbor(spark):
+    """LSH preserves actual neighborhoods, not rankings over structureless
+    random data — so the test plants a true near-duplicate of the probe and
+    asserts the bucketed search recovers it."""
+    import numpy as np
+
+    from duckdb_read_spark.operators import ann_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((200, 64))
+    probe = rng.standard_normal(64)
+    planted = probe + 0.01 * rng.standard_normal(64)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((999, [float(x) for x in planted]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = ann_topk(df, [float(x) for x in probe], k=1, n_planes=8).collect()
+    assert top and top[0]["vec_id"] == 999
+
+
+# --- text ----------------------------------------------------------------
+
+def test_token_count_matches_q34(engine, documents):
+    from duckdb_read_spark.operators import token_count
+    from duckdb_read_spark.queries import QUERIES
+
+    got = (
+        token_count(documents.filter(F.col("doc_id") < 50))
+        .select("doc_id", F.col("n_tokens"))
+        .orderBy("doc_id")
+    )
+    want = engine.sql(QUERIES["q34_string_split"].spark)
+    assert spark_rows(got) == spark_rows(want)
+
+
+def test_lang_scores_and_quality_are_deterministic_projections(documents):
+    from duckdb_read_spark.operators import lang_scores, quality_score
+
+    sub = documents.limit(100)
+    a = normalize_rows(tuple(r) for r in lang_scores(sub).select("doc_id", "lang_pred").collect())
+    b = normalize_rows(tuple(r) for r in lang_scores(sub).select("doc_id", "lang_pred").collect())
+    assert a == b
+    q = quality_score(sub).select("quality").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+
+
+def test_fingerprint_collides_only_for_equal_text(documents):
+    from duckdb_read_spark.operators import fingerprint
+
+    sub = documents.filter(F.col("doc_id") < 300)
+    rows = fingerprint(sub).select("doc_id", "text", "fp").collect()
+    by_text: dict[str, set[int]] = {}
+    for r in rows:
+        by_text.setdefault(r["text"], set()).add(r["fp"])
+    for fps in by_text.values():
+        assert len(fps) == 1  # equal text → equal fp
+
+
+# --- multimodal ----------------------------------------------------------
+
+def test_decode_image_plumbing(spark):
+    from duckdb_read_spark.operators import decode_image, make_demo_assets
+
+    assets = make_demo_assets(spark, n=32)
+    feats = decode_image(assets, embed_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    # deterministic across runs
+    again = {r["asset_id"]: r["embedding"] for r in decode_image(assets, embed_dim=8).collect()}
+    assert all(again[r["asset_id"]] == r["embedding"] for r in rows)
+
+
+def test_decode_image_strict_raises(spark):
+    from duckdb_read_spark.operators import decode_image, make_demo_assets
+
+    assets = make_demo_assets(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|pillow"):
+        decode_image(assets, strict=True).collect()
+
+
+def test_sample_frames(spark):
+    from duckdb_read_spark.operators import sample_frames
+
+    df = spark.createDataFrame([(1, 25)], "asset_id long, n_frames int")
+    idx = [r["frame_idx"] for r in sample_frames(df, every_n=10).collect()]
+    assert idx == [0, 10, 20]
