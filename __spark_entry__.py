@@ -18,6 +18,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from duckdb_read_spark import op_queries  # noqa: E402
 from duckdb_read_spark.catalog import register_tables  # noqa: E402
 from duckdb_read_spark.queries import QUERIES  # noqa: E402
 
@@ -40,10 +41,16 @@ def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _runner(name) for name in QUERIES}
+    """One entry per implemented operator from SURVEY.md §2: the 50 declared
+    SQL queries plus the operator-library-backed q51+ entries."""
+    out = {name: _runner(name) for name in QUERIES}
+    out.update(op_queries.runners())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-dialect equivalents; driver cross-checks at sf0.01."""
-    return {name: spec.duckdb_sql for name, spec in QUERIES.items()}
+    """DuckDB-dialect equivalents; driver cross-checks at sf0.01. Entries
+    absent here (hash/approximate operators) get the rows-only check."""
+    out = {name: spec.duckdb_sql for name, spec in QUERIES.items()}
+    out.update(op_queries.oracle_map())
+    return out

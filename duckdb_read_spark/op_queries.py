@@ -1,0 +1,336 @@
+"""Operator-backed declared queries (SURVEY §2.1 J10/T2/L1–L4, §4.3).
+
+The 50 SQL queries in queries.py pin the SQL surface; the entries here pin
+the *operator library* — each runner drives a DataFrame-native operator from
+``duckdb_read_spark.operators`` and (where the semantics are expressible in
+ANSI/DuckDB SQL) carries a DuckDB oracle twin, so the driver's differential
+harness covers the operators as first-class citizens.
+
+Entries without an oracle (``duckdb_sql=None``) are hash/approximate
+operators whose exact outputs are engine-specific by design (SimHash bit
+order, Spark-ML MinHash family, LSH bucketing, fake image decode); those get
+the driver's rows-only check, and their *quality* is asserted by the planted
+near-duplicate tests in tests/test_operators.py instead.
+
+Determinism rules are the same as SURVEY §2.0: total ORDER BY, no raw float
+aggregation (doubles that cross the engine boundary are rounded/cast), and
+thresholds chosen away from representability boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import operators as ops
+from .catalog import load_table, register_tables
+from .queries import QUERIES
+
+# English marker list shared with operators/text.py (quality + lang-id).
+_EN = "'the','and','of','to','in','is','that','with'"
+_MARKER_SQL = {
+    "en": _EN,
+    "de": "'der','die','das','und','ist','nicht','mit','ein'",
+    "es": "'el','la','los','las','que','de','es','con'",
+    "fr": "'le','la','les','et','est','que','des','une'",
+    "zh": "'de','shi','le','bu','zai','you','wo','ta'",
+}
+
+
+@dataclass(frozen=True)
+class OpQuerySpec:
+    name: str
+    runner: Callable[[SparkSession, str], DataFrame]
+    duckdb_sql: str | None  # None → driver does a rows-only check
+    note: str = ""
+
+
+OP_QUERIES: dict[str, OpQuerySpec] = {}
+
+
+def _op(name: str, duckdb_sql: str | None, note: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        OP_QUERIES[name] = OpQuerySpec(name, fn, duckdb_sql, note)
+        return fn
+
+    return deco
+
+
+def _events_split(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    s = ev.filter(F.col("event_type") == "signup")
+    return p, s
+
+
+# --- AS-OF join: both strategies against DuckDB's native ASOF JOIN --------
+
+@_op("q51_asof_union_op", QUERIES["q50_asof_join"].duckdb_sql,
+     note="asof_join(strategy='union') — scalable union+carry-forward path")
+def _q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s = _events_split(spark, sf_dir)
+    joined = ops.asof_join(
+        p, s.select("user_id", "ts", "event_id"), on="ts", by="user_id",
+        right_cols=["event_id"], strategy="union",
+    )
+    return joined.select(
+        "event_id", F.col("event_id_right").alias("signup_event")
+    ).orderBy("event_id")
+
+
+@_op("q52_asof_range_op", QUERIES["q50_asof_join"].duckdb_sql,
+     note="asof_join(strategy='join') — range-join+max_by path")
+def _q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s = _events_split(spark, sf_dir)
+    joined = ops.asof_join(
+        p, s.select("user_id", "ts", "event_id"), on="ts", by="user_id",
+        right_cols=["event_id"], strategy="join",
+    )
+    return joined.select(
+        "event_id", F.col("event_id_right").alias("signup_event")
+    ).orderBy("event_id")
+
+
+# --- Sessionize operator vs the Q46 window formulation --------------------
+
+@_op("q53_sessionize_op", QUERIES["q46_sessionize"].duckdb_sql,
+     note="session_stats operator == lag/sum-over-window SQL (SURVEY T2)")
+def _q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ops.session_stats(ev, key="user_id", ts="ts", gap_seconds=1800)
+
+
+# --- Dedup family ---------------------------------------------------------
+
+@_op("q54_exact_dup_groups", """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY h
+""", note="exact dedup groups (L1): hash + survivor id + group size")
+def _q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.exact_dup_groups(docs).orderBy("h")
+
+
+@_op("q55_ngram_jaccard", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-1)) AS i FROM toks)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       CAST(i * 1.0 / (sa.sz + sb.sz - i) AS DECIMAL(10,6)) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+ORDER BY id_a, id_b
+""", note="exact word-trigram Jaccard near-dup pairs (L2 verification tier)")
+def _q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# --- Text analysis family -------------------------------------------------
+
+_LANG_SCORE_SQL = ",\n    ".join(
+    f"len(list_filter(string_split(text,' '), x -> x IN ({m}))) * 1.0"
+    f" / greatest(len(string_split(text,' ')), 1) AS score_{lang}"
+    for lang, m in _MARKER_SQL.items()
+)
+
+@_op("q56_lang_id", f"""
+WITH s AS (SELECT doc_id,
+    {_LANG_SCORE_SQL}
+  FROM documents),
+g AS (SELECT *, greatest(score_en, score_de, score_es, score_fr, score_zh) AS gmax FROM s)
+SELECT doc_id,
+       CASE WHEN score_en = gmax THEN 'en' WHEN score_de = gmax THEN 'de'
+            WHEN score_es = gmax THEN 'es' WHEN score_fr = gmax THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       CAST(score_en AS DECIMAL(10,6)) AS score_en
+FROM g ORDER BY doc_id
+""", note="marker-ratio language ID (L4); argmax tie order pinned en,de,es,fr,zh")
+def _q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ops.lang_scores(docs)
+    return scored.select(
+        "doc_id", "lang_pred",
+        F.col("score_en").cast("decimal(10,6)").alias("score_en"),
+    ).orderBy("doc_id")
+
+
+@_op("q57_quality_score", f"""
+SELECT doc_id, CAST(round(
+  (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.25 END) * 0.3 +
+  (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text,' ')), 1)
+            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.3 +
+  (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+             / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2 +
+  (CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) * 1.0
+             / greatest(len(string_split(text,' ')), 1) >= 0.01
+        THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS DOUBLE) AS quality
+FROM documents ORDER BY doc_id
+""", note="crawl-filter quality heuristic (L4)")
+def _q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.quality_score(docs).select("doc_id", "quality").orderBy("doc_id")
+
+
+@_op("q58_fingerprint", """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+FROM documents ORDER BY doc_id
+""", note="polynomial rolling-hash document fingerprint (L4)")
+def _q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+@_op("q59_bpe_token_count", r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""", note="BPE-ish pre-tokenization count (L4)")
+def _q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.bpe_token_count(docs).select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+
+
+@_op("q60_token_count_op", """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id
+""", note="whitespace token count (L4) via operator API")
+def _q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.token_count(docs).select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+# Q49's decimal normal form, driven through groupBy/agg (the text_stats
+# operator shape with the SURVEY §2.0 float-determinism casts applied).
+@_op("q61_text_stats_op", QUERIES["q49_text_stats"].duckdb_sql,
+     note="per-language corpus stats via operator API (Q49 shape)")
+def _q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg(F.col("n_chars").cast("decimal(18,4)")).cast("decimal(38,6)").alias("avg_chars"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Similarity family ----------------------------------------------------
+
+def _probe_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+@_op("q62_cosine_topk_op", QUERIES["q48_cosine_topk"].duckdb_sql,
+     note="brute-force cosine top-k via HOF expressions (L3 baseline)")
+def _q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    top = ops.cosine_topk(emb.filter(F.col("vec_id") != 0), probe, k=5)
+    return top.select("vec_id", F.col("sim").cast("decimal(12,6)").alias("sim"))
+
+
+@_op("q63_cosine_topk_pandas", QUERIES["q48_cosine_topk"].duckdb_sql,
+     note="same top-k via Arrow-batched numpy mapInPandas (L3 hot path)")
+def _q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    top = ops.cosine_topk_pandas(emb.filter(F.col("vec_id") != 0), probe, k=5)
+    return top.select("vec_id", F.col("sim").cast("decimal(12,6)").alias("sim"))
+
+
+@_op("q64_embedding_neardup", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(12,6)) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY id_a, id_b
+""", note="embedding-cosine near-dup pairs (L2 embedding tier)")
+def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ops.embedding_neardup_pairs(emb, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.col("cosine").cast("decimal(12,6)").alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+# --- Hash/approximate operators: rows-only (no cross-engine oracle) -------
+
+@_op("q65_simhash", None,
+     note="64-bit SimHash fingerprints — bit layout is engine-specific "
+          "(xxhash64); quality pinned by planted-near-dup tests")
+def _q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash(docs).orderBy("doc_id")
+
+
+@_op("q66_simhash_neardup", None,
+     note="banded SimHash candidates + Hamming verify (L2 scale tier)")
+def _q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash_candidates(docs, max_hamming=3, bands=4).orderBy("id_a", "id_b")
+
+
+@_op("q67_minhash_neardup", None,
+     note="Spark-ML MinHashLSH candidates (L2); hash family is Spark's own")
+def _q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.minhash_candidates(docs, jaccard_threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard_distance"), 6).alias("jd")
+    ).orderBy("id_a", "id_b")
+
+
+@_op("q68_ann_topk", None,
+     note="random-hyperplane LSH ANN top-k (L3 scale tier); approximate")
+def _q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vector(spark, sf_dir)
+    top = ops.ann_topk(emb.filter(F.col("vec_id") != 0), probe, k=5)
+    return top.select("vec_id", F.round(F.col("sim"), 6).alias("sim"))
+
+
+@_op("q69_decode_image", None,
+     note="multimodal decode plumbing over synthetic binary assets; "
+          "deterministic fake decoder (codec libs absent, SURVEY north-star)")
+def _q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = ops.make_demo_assets(spark, n=64)
+    feats = ops.decode_image(assets)
+    return feats.select("asset_id", "width", "height", "channels").orderBy("asset_id")
+
+
+def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
+
+    def wrap(spec: OpQuerySpec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_tables(spark, sf_dir)
+            return spec.runner(spark, sf_dir)
+
+        run.__name__ = f"run_{spec.name}"
+        return run
+
+    return {name: wrap(spec) for name, spec in OP_QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {n: s.duckdb_sql for n, s in OP_QUERIES.items() if s.duckdb_sql is not None}

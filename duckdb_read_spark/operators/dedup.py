@@ -182,7 +182,11 @@ def simhash_candidates(
 def ngram_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (explode + distinct)."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    # Guard: sequence(0, negative) would generate a DESCENDING range for
+    # docs shorter than n tokens — emit no shingles for those instead.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return (
         df.select(id_col, F.explode(shingles).alias("shingle"))

@@ -40,7 +40,10 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
 
 def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
     """Token count under the BPE-ish pre-tokenization regex."""
-    return df.withColumn(out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE))))
+    # idx=0 → whole match (Spark defaults to capture group 1, DuckDB to 0).
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0)))
+    )
 
 
 def marker_ratio(text: Column, markers: tuple[str, ...]) -> Column:
@@ -73,7 +76,9 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
     toks = tokens(text)
     n_toks = F.greatest(F.size(toks), F.lit(1))
     avg_word_len = n_chars / n_toks
-    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"))) / F.greatest(n_chars, F.lit(1))
+    punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))
+    ) / F.greatest(n_chars, F.lit(1))
     stop = marker_ratio(text, LANG_MARKERS["en"])
     len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
     word_ok = F.when((avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0).otherwise(0.25)
