@@ -1,0 +1,63 @@
+"""Streaming sources: replay the events parquet as a file stream.
+
+A parquet file stream needs an explicit schema (streaming readers never
+infer), and the fixture ``events.ts`` is INT64 TIMESTAMP(NANOS) — the same
+ns→µs shim used for batch registration (catalog.apply_schema_shims) is
+applied on the streaming DataFrame, so batch and stream pipelines see the
+identical schema. That batch/stream schema equality is what makes the
+equivalence tests (tests/test_streaming.py) meaningful.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..conf import apply_runtime_confs
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over an events parquet file/directory.
+
+    ``path`` may be a single file, a directory, or a glob. ``ts`` arrives as
+    LongType nanoseconds (nanosAsLong) and is rebuilt as a µs timestamp.
+    """
+    apply_runtime_confs(spark)
+    # Streaming sources need the schema up front; take it from a batch read.
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory (its basePath must be one);
+        # expose a single file through a symlink in a scratch directory.
+        path = _file_as_dir(path)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    if dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def fixture_events_stream(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    return events_stream(spark, os.path.join(sf_dir, "events.parquet"), **kw)
+
+
+_FILE_DIRS: dict[str, str] = {}
+
+
+def _file_as_dir(path: str) -> str:
+    """Scratch directory containing a symlink to ``path`` (cached per file)."""
+    import tempfile
+
+    real = os.path.realpath(path)
+    if real not in _FILE_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(real, os.path.join(d, os.path.basename(real)))
+        _FILE_DIRS[real] = d
+    return _FILE_DIRS[real]

@@ -1,0 +1,93 @@
+"""Streaming window operators (SURVEY §2.1 T1/T2/T3).
+
+Each operator works on BOTH a batch and a streaming DataFrame — the same
+declarative plan, Catalyst picks the stateful physical operators when the
+input is a stream. The batch-mode outputs are the Q45/Q46 oracle shapes,
+which is how the equivalence tests pin the semantics.
+
+Scale: streaming state is partitioned by the grouping key across executors
+(state store per shuffle partition); the watermark bounds state size — no
+watermark means unbounded state at 100 TB. ``tumbling_counts`` state per
+key is O(1); ``session_aggs`` holds one open session per (user, gap window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    ts: str = "ts",
+    extra_key: str | None = "event_type",
+    value_col: str | None = "value",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums (T1; batch twin = Q45).
+
+    Epoch-aligned tumbling windows: ``window.start`` equals
+    ``date_trunc('hour', ts)`` for the 1-hour default, which is exactly the
+    Q45 batch formulation.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts, watermark)
+    keys = [F.window(F.col(ts), size).alias("win")]
+    if extra_key:
+        keys.append(F.col(extra_key))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("decimal(38,4)").alias("sv")
+        )
+    out = df.groupBy(*keys).agg(*aggs)
+    cols = [F.col("win.start").alias("w")] + ([F.col(extra_key)] if extra_key else []) + [
+        F.col("n")
+    ] + ([F.col("sv")] if value_col else [])
+    return out.select(*cols)
+
+
+def session_aggs(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts: str = "ts",
+    key: str = "user_id",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Gap-based session aggregates via ``session_window`` (T2).
+
+    Batch twin = operators.sessionize.session_stats / oracle Q46, compared
+    on the session *content* (key, n, t0, t1) — session ids differ (ordinal
+    vs window bounds) but the partition of events into sessions is the same
+    whenever no two consecutive events are exactly ``gap`` apart (the open
+    interval vs closed interval edge; see tests).
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts).alias("t0"),
+            F.max(ts).alias("t1"),
+        )
+        .select(F.col(key), F.col("n"), F.col("t0"), F.col("t1"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a stream into an in-memory table with availableNow semantics
+    (process everything currently in the source, then stop). Returns the
+    query after awaiting termination; results at ``SELECT * FROM <name>``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

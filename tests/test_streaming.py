@@ -1,0 +1,123 @@
+"""Batch↔stream equivalence (SURVEY §5.4) + watermark late-data policy.
+
+The same declarative window plans run once over the events parquet as a
+batch DataFrame and once replayed as a file stream; outputs must be equal.
+This is the T3 check from SURVEY §2.3 — streaming timing is nondeterministic
+so the *stream* is never hash-oracled directly; equality with the batch
+result (which IS oracled, Q45/Q46) transfers correctness.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_read_spark.catalog import load_table
+from duckdb_read_spark.oracle import normalize_rows
+from duckdb_read_spark.streaming.source import events_stream
+from duckdb_read_spark.streaming.windows import run_to_memory, session_aggs, tumbling_counts
+from tests.conftest import SF_SMOKE
+
+EVENTS = os.path.join(SF_SMOKE, "events.parquet")
+
+
+def _rows(df):
+    return normalize_rows(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_tumbling_batch_stream_equivalence(spark, batch_events):
+    batch = _rows(tumbling_counts(batch_events))
+    stream = events_stream(spark, EVENTS)
+    run_to_memory(tumbling_counts(stream), "t_tumbling", output_mode="complete")
+    got = _rows(spark.table("t_tumbling"))
+    assert got == batch
+
+
+def test_tumbling_matches_q45_shape(spark, batch_events):
+    """window('1 hour').start == date_trunc('hour', ts) — the Q45 oracle."""
+    batch_events.createOrReplaceTempView("events")
+    q45 = _rows(
+        spark.sql(
+            """
+            SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv
+            FROM events GROUP BY 1, 2
+            """
+        )
+    )
+    assert _rows(tumbling_counts(batch_events)) == q45
+
+
+def test_session_batch_stream_equivalence(spark, batch_events):
+    batch = _rows(session_aggs(batch_events))
+    stream = events_stream(spark, EVENTS)
+    run_to_memory(session_aggs(stream), "t_sessions", output_mode="complete")
+    got = _rows(spark.table("t_sessions"))
+    assert got == batch
+
+
+def test_session_matches_operator_sessionize(spark, batch_events):
+    """session_window partitions events identically to the Q46 lag/sum
+    formulation (compared on session content, not ids)."""
+    from duckdb_read_spark.operators import session_stats
+
+    q46 = _rows(session_stats(batch_events).select("user_id", "n", "t0", "t1"))
+    sw = _rows(session_aggs(batch_events))
+    assert sw == q46
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Three-file replay: file 1 sets the frontier, file 2 advances it, and
+    file 3's too-late row is dropped (the last_record_lsn frontier analog,
+    /root/reference/neon:55). Three files because Spark applies the
+    late-event filter with the watermark of the *previous* batch — the drop
+    takes effect one micro-batch after the frontier passes the event."""
+    import time
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+
+    def write(sub, rows):
+        spark.createDataFrame(rows, "id LONG, ts_s STRING, k STRING").selectExpr(
+            "id", "CAST(ts_s AS TIMESTAMP) AS ts", "k"
+        ).coalesce(1).write.parquet(os.path.join(d, sub))
+
+    write("batch=0", [(1, "2024-01-01 10:00:00", "a"), (2, "2024-01-01 12:00:00", "a")])
+    write("batch=1", [(3, "2024-01-01 13:00:00", "a")])
+    write("batch=2", [(4, "2024-01-01 10:05:00", "a"), (5, "2024-01-01 12:55:00", "a")])
+    # FileStreamSource orders files by modification time; pin the order.
+    now = time.time()
+    for i, sub in enumerate(("batch=0", "batch=1", "batch=2")):
+        for f in os.listdir(os.path.join(d, sub)):
+            os.utime(os.path.join(d, sub, f), (now - 60 + 30 * i,) * 2)
+
+    schema = spark.read.parquet(os.path.join(d, "batch=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "batch=*"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_watermark")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r[0]["start"].hour, r[1]) for r in spark.table("t_watermark").collect()}
+    # Frontier after file 1 = 11:50, after file 2 = 12:50. File 3's 10:05 row
+    # is far below the frontier → dropped; its window already closed with
+    # exactly the one on-time 10:00 row. The 12:55 row is accepted but its
+    # window never closes (final frontier 12:50 < 13:00), so append emits
+    # nothing for it.
+    assert rows == {(10, 1)}
