@@ -1,0 +1,155 @@
+"""Engine-surface tests: CLI (E1), sinks/roundtrips (S3-S5), UDFs (X1-X4),
+extension registry + safe mode (D1/D3), EXPLAIN (D2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_read_spark.oracle import normalize_rows
+from duckdb_read_spark.sources import write_csv, write_json, write_parquet
+
+
+def _rows(df):
+    return normalize_rows(tuple(r) for r in df.collect())
+
+
+# --- sinks: write → read roundtrip (S4) -----------------------------------
+
+def test_parquet_roundtrip(engine, tmp_path):
+    src = engine.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders")
+    p = str(tmp_path / "orders_out")
+    write_parquet(src, p, partition_by=["o_orderstatus"])
+    back = engine.spark.read.parquet(p).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    assert _rows(back) == _rows(src)
+
+
+def test_csv_roundtrip(engine, tmp_path):
+    src = engine.sql("SELECT n_nationkey, n_name FROM nation")
+    p = str(tmp_path / "nation_csv")
+    write_csv(src, p)
+    back = engine.spark.read.option("header", "true").csv(p, schema="n_nationkey INT, n_name STRING")
+    assert _rows(back) == _rows(src)
+
+
+def test_json_roundtrip(engine, tmp_path):
+    src = engine.sql("SELECT r_regionkey, r_name FROM region")
+    p = str(tmp_path / "region_json")
+    write_json(src, p)
+    back = engine.spark.read.json(p, schema="r_regionkey BIGINT, r_name STRING")
+    assert _rows(back) == _rows(src)
+
+
+# --- glob / multi-file scan (S5) ------------------------------------------
+
+def test_glob_scan(engine, tmp_path):
+    src = engine.sql("SELECT n_nationkey FROM nation")
+    write_parquet(src.filter(F.col("n_nationkey") < 10), str(tmp_path / "part_a"))
+    write_parquet(src.filter(F.col("n_nationkey") >= 10), str(tmp_path / "part_b"))
+    merged = engine.register_parquet("nation_glob", str(tmp_path / "part_*"))
+    assert merged.count() == src.count()
+
+
+# --- CSV/JSON sources (S3) ------------------------------------------------
+
+def test_csv_source_registration(engine, tmp_path):
+    src = engine.sql("SELECT s_suppkey, s_name FROM supplier")
+    p = str(tmp_path / "supplier_csv")
+    write_csv(src, p)
+    engine.register_csv("supplier_csv", p, schema="s_suppkey BIGINT, s_name STRING")
+    assert _rows(engine.sql("SELECT * FROM supplier_csv")) == _rows(src)
+
+
+# --- UDF surface vs native twins (X1/X3/X4, SURVEY §2.3) ------------------
+
+@pytest.fixture(scope="module")
+def udf_engine(engine):
+    engine.load("duckdb_read_spark.extensions.vector_ext")
+    return engine
+
+
+def test_vec_l2norm_matches_native(udf_engine):
+    got = udf_engine.sql(
+        "SELECT vec_id, vec_l2norm(embedding) AS n FROM embeddings ORDER BY vec_id LIMIT 50"
+    )
+    want = udf_engine.sql(
+        """SELECT vec_id, sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+           (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n
+           FROM embeddings ORDER BY vec_id LIMIT 50"""
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_vec_cosine_matches_native(udf_engine):
+    got = udf_engine.sql(
+        """SELECT a.vec_id, vec_cosine(a.embedding, b.embedding) AS c
+           FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+           WHERE a.vec_id < 20 ORDER BY a.vec_id"""
+    )
+    want = udf_engine.sql(
+        """SELECT a.vec_id,
+             aggregate(zip_with(a.embedding, b.embedding,
+                       (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+                       CAST(0 AS DOUBLE), (acc,v) -> acc+v)
+             / (sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE), (acc,x) -> acc+CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+              * sqrt(aggregate(b.embedding, CAST(0 AS DOUBLE), (acc,x) -> acc+CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS c
+           FROM embeddings a JOIN embeddings b ON b.vec_id = 0
+           WHERE a.vec_id < 20 ORDER BY a.vec_id"""
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_trimmed_mean_grouped_agg(udf_engine):
+    got = udf_engine.sql(
+        """SELECT c_nationkey, round(trimmed_mean(c_acctbal), 4) AS tm
+           FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+    )
+    rows = got.collect()
+    assert len(rows) > 0 and all(r["tm"] is not None for r in rows)
+
+
+def test_udtf_split_words(udf_engine):
+    rows = udf_engine.sql("SELECT * FROM split_words('a b c') ORDER BY pos").collect()
+    assert [(r["pos"], r["tok"]) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+# --- extension registry + safe mode (D1/D3) -------------------------------
+
+def test_extension_requires_register_symbol(engine):
+    with pytest.raises(ValueError, match="register"):
+        engine.load("duckdb_read_spark.oracle")  # a module with no register()
+
+
+def test_safe_mode_blocks_extensions(spark):
+    from duckdb_read_spark import Engine
+
+    safe = Engine(spark=spark, extensions_allowed=False)
+    with pytest.raises(PermissionError):
+        safe.install("duckdb_read_spark.extensions.vector_ext")
+
+
+# --- EXPLAIN (D2) + CLI (E1) ----------------------------------------------
+
+def test_explain_shows_pushdown(engine):
+    txt = engine.explain("SELECT l_orderkey FROM lineitem WHERE l_orderkey < 10")
+    assert "PushedFilters" in txt and "LessThan(l_orderkey,10)" in txt
+
+
+def test_cli_statement_dispatch(engine, capsys):
+    from duckdb_read_spark.cli import run_statement
+
+    run_statement(engine, "SELECT 1 AS one", "spark", 10)
+    run_statement(engine, ".tables", "spark", 10)
+    out = capsys.readouterr().out
+    assert "one" in out and "lineitem" in out
+
+
+def test_cli_duckdb_dialect(engine, capsys):
+    from duckdb_read_spark.cli import run_statement
+
+    run_statement(
+        engine, "SELECT len(string_split('a b c', ' ')) AS n", "duckdb", 10
+    )
+    assert "3" in capsys.readouterr().out
