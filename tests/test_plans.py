@@ -1,0 +1,105 @@
+"""Plan-quality gates (SURVEY §4, §7 P6): the plans, not just the answers.
+
+Each test pins a scale property: pushdown reaches the parquet scan,
+dimension joins broadcast, top-k avoids a global sort, the asof union
+strategy costs exactly one shuffle per side, no silent cartesian products.
+At sf0.001 these run in seconds; the properties are scale-invariant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_read_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    exchange_count,
+    has_cartesian,
+    has_pushed_filter,
+    physical_plan,
+)
+from duckdb_read_spark.queries import QUERIES
+
+
+def test_q05_pushdown_and_partial_agg(engine):
+    df = engine.sql(QUERIES["q05_pricing_summary"].spark)
+    assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    plan = physical_plan(df, "simple")
+    # partial+final HashAggregate pair → map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert codegen_stage_count(df) >= 1
+
+
+def test_q05_column_pruning(engine):
+    df = engine.sql(QUERIES["q05_pricing_summary"].spark)
+    plan = physical_plan(df)
+    # the lineitem scan must read only the 6 needed columns, not all 16
+    scan = next(s for s in plan.split("\n") if "ReadSchema" in s)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_q14_star_join_broadcasts_dimensions(engine):
+    df = engine.sql(QUERIES["q14_multiway_star"].spark)
+    # customer, nation, region (and at this sf, orders) broadcast — the
+    # fact table must never be the build side
+    assert broadcast_join_count(df) >= 3
+    assert not has_cartesian(df)
+
+
+def test_q29_topk_single_window_shuffle(engine):
+    df = engine.sql(QUERIES["q29_topk_per_group"].spark)
+    assert exchange_count(df) <= 2  # window partition + final order
+
+
+def test_q48_topk_no_global_sort(engine):
+    df = engine.sql(QUERIES["q48_cosine_topk"].spark)
+    assert "TakeOrderedAndProject" in physical_plan(df, "simple")
+
+
+def test_asof_union_strategy_one_shuffle(engine):
+    from duckdb_read_spark.operators import asof_join
+
+    ev = engine.table("events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    s = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    out = asof_join(p, s, on="ts", by="user_id", right_cols=["event_id"], strategy="union")
+    # union + window = ONE hash shuffle on user_id; the range-join strategy
+    # would add a join shuffle AND a re-aggregation shuffle
+    assert exchange_count(out, executed=False) == 1
+    assert not has_cartesian(out)
+
+
+def test_salted_collect_matches_plain(engine):
+    from duckdb_read_spark.operators.skew import salted_collect
+
+    ev = engine.table("events")
+    salted = salted_collect(ev, ["user_id"], "event_id", salt_buckets=8)
+    plain = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_id")).alias("values"))
+    )
+    got = {tuple(r) for r in salted.select("user_id", F.col("values").cast("string")).collect()}
+    want = {tuple(r) for r in plain.select("user_id", F.col("values").cast("string")).collect()}
+    assert got == want
+
+
+def test_broadcast_small_guard(engine):
+    from duckdb_read_spark.operators.skew import broadcast_small
+
+    import pytest
+
+    broadcast_small(engine.table("region"))  # 5 rows — fine
+    with pytest.raises(ValueError):
+        broadcast_small(engine.table("lineitem"), max_rows=10)
+
+
+def test_repartition_for_join_no_extra_shuffle(engine):
+    from duckdb_read_spark.operators.skew import repartition_for_join
+
+    c, o = repartition_for_join(
+        engine.table("customer"), engine.table("orders").withColumnRenamed("o_custkey", "c_custkey"),
+        on=["c_custkey"], partitions=8,
+    )
+    joined = c.join(o, "c_custkey")
+    plan = physical_plan(joined, "simple")
+    # exactly the two explicit repartition exchanges; the join itself adds none
+    assert plan.count("Exchange hashpartitioning") == 2
