@@ -343,10 +343,29 @@ def _rewrite_keywords(sql: str) -> str:
     return detokenize(toks)
 
 
+def _rewrite_array_types(sql: str) -> str:
+    """DuckDB array-type syntax ``T[]`` → Spark ``ARRAY<T>`` (in casts)."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    for pos in range(len(sig) - 2, -1, -1):
+        a, b, c = sig[pos], sig[pos + 1], sig[pos + 2] if pos + 2 < len(sig) else sig[-1]
+        if (
+            toks[a].kind == "ident"
+            and pos + 2 < len(sig)
+            and toks[b].text == "["
+            and toks[c].text == "]"
+        ):
+            toks[a] = Tok("ident", f"ARRAY<{toks[a].text}>")
+            toks[b] = Tok("ws", "")
+            toks[c] = Tok("ws", "")
+    return detokenize(toks)
+
+
 def to_spark_sql(sql: str) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL."""
     sql = _rewrite_window_clause(sql)
     sql = _rewrite_json_arrow(sql)
+    sql = _rewrite_array_types(sql)
     sql = _rewrite_calls(sql)
     sql = _rewrite_index_base(sql)
     sql = _rewrite_keywords(sql)
