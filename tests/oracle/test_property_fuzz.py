@@ -1,0 +1,179 @@
+"""Property-based differential fuzzing (SURVEY §5.5, sqllogictest spirit).
+
+A seeded generator emits random queries in the *common dialect subset*
+(identical text valid in DuckDB and Spark), obeying the SURVEY §2.0
+determinism conventions by construction:
+
+- every double aggregate is decimal-wrapped,
+- every query ends with ORDER BY over all output columns, NULLS FIRST,
+- only operators/functions spelled identically in both engines are drawn
+  (comparisons, IN, BETWEEN, LIKE, CASE, COALESCE, arithmetic, COUNT/MIN/
+  MAX/SUM, HAVING, LIMIT).
+
+Each seed is one test case; failures reproduce exactly by seed. 60 seeds ×
+(projection | aggregation | join) shapes. This catches divergence classes
+the 50 hand-declared queries don't enumerate (operator interaction, literal
+edge values, grouping on expressions).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from duckdb_read_spark.oracle import diff_summary, duckdb_rows, spark_rows
+
+# column metadata: (numeric_double, numeric_int, string, key) per table —
+# from FIXTURES.md (driver fixture footers).
+TABLES = {
+    "lineitem": {
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "str": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "num": ["o_totalprice"],
+        "int": ["o_orderkey", "o_custkey"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "num": ["c_acctbal"],
+        "int": ["c_custkey", "c_nationkey"],
+        "str": ["c_mktsegment", "c_name"],
+    },
+    "part": {
+        "num": ["p_retailprice"],
+        "int": ["p_partkey", "p_size"],
+        "str": ["p_brand", "p_type", "p_name"],
+    },
+    "supplier": {
+        "num": ["s_acctbal"],
+        "int": ["s_suppkey", "s_nationkey"],
+        "str": ["s_name"],
+    },
+}
+
+# literal pools drawn from the fixture domains (FIXTURES.md)
+STR_LITERALS = {
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'F'", "'O'"],
+    "o_orderstatus": ["'F'", "'O'", "'P'"],
+    "o_orderpriority": ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'"],
+    "c_mktsegment": ["'BUILDING'", "'AUTOMOBILE'", "'MACHINERY'"],
+    "p_brand": ["'Brand#10'", "'Brand#23'"],
+}
+
+
+def _pred(rng: random.Random, t: dict) -> str:
+    kind = rng.choice(["num_cmp", "int_cmp", "str_eq", "in_list", "between", "like", "null"])
+    if kind == "num_cmp":
+        c = rng.choice(t["num"])
+        return f"{c} {rng.choice(['<', '>', '<=', '>='])} {rng.choice([0.05, 10, 500, 4.2, 100000])}"
+    if kind == "int_cmp":
+        c = rng.choice(t["int"])
+        if rng.random() < 0.3:
+            return f"MOD({c}, {rng.choice([3, 7])}) = 0"
+        return f"{c} {rng.choice(['<', '>', '='])} {rng.choice([3, 7, 100, 999])}"
+    if kind == "str_eq":
+        c = rng.choice(t["str"])
+        lit = rng.choice(STR_LITERALS.get(c, ["'zzz'"]))
+        return f"{c} {rng.choice(['=', '<>', '>='])} {lit}"
+    if kind == "in_list":
+        c = rng.choice(t["int"])
+        vals = ", ".join(str(rng.randrange(0, 50)) for _ in range(3))
+        return f"{c} IN ({vals})"
+    if kind == "between":
+        c = rng.choice(t["int"])
+        lo = rng.randrange(0, 100)
+        return f"{c} BETWEEN {lo} AND {lo + rng.randrange(1, 500)}"
+    if kind == "like":
+        c = rng.choice(t["str"])
+        return f"{c} LIKE '%{rng.choice('aeinor')}%'"
+    c = rng.choice(t["str"])
+    return f"{c} IS NOT NULL"
+
+
+def _where(rng: random.Random, t: dict) -> str:
+    n = rng.randrange(0, 3)
+    if n == 0:
+        return ""
+    preds = [_pred(rng, t) for _ in range(n)]
+    return " WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(f"({p})" for p in preds)
+
+
+def _num_expr(rng: random.Random, t: dict) -> str:
+    # Bounded-magnitude expressions only: a product of two ~1e5 columns
+    # overflows double precision relative to a DECIMAL(18,4) quantum, making
+    # the final rounding engine-dependent (found by seed 15 — the §2.0
+    # float-determinism rule extends to expression magnitude).
+    a, b = rng.choice(t["num"]), rng.choice(t["num"])
+    return rng.choice([
+        f"{a} + {b}", f"{a} * 0.1", f"ABS({a} - {b})",
+        f"COALESCE(NULLIF({a}, 0), -1)",
+        f"CASE WHEN {a} > {b} THEN {a} ELSE {b} END",
+    ])
+
+
+def gen_projection(rng: random.Random) -> str:
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    cols = [
+        f"{rng.choice(t['int'])} AS k1",
+        f"CAST({_num_expr(rng, t)} AS DECIMAL(18,4)) AS v1",
+        f"{rng.choice(t['str'])} AS s1",
+    ]
+    order = "ORDER BY k1 NULLS FIRST, v1 NULLS FIRST, s1 NULLS FIRST"
+    return f"SELECT {', '.join(cols)} FROM {name}{_where(rng, t)} {order} LIMIT 500"
+
+
+def gen_aggregation(rng: random.Random) -> str:
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    g = rng.choice(t["str"])
+    aggs = [
+        "COUNT(*) AS cnt",
+        f"CAST(SUM(CAST({rng.choice(t['num'])} AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s",
+        f"MIN({rng.choice(t['int'])}) AS mn",
+        f"MAX({rng.choice(t['num'])}) AS mx",
+    ]
+    having = " HAVING COUNT(*) > 1" if rng.random() < 0.4 else ""
+    return (
+        f"SELECT {g} AS g, {', '.join(aggs)} FROM {name}{_where(rng, t)} "
+        f"GROUP BY {g}{having} ORDER BY g NULLS FIRST"
+    )
+
+
+_JOINS = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+]
+
+
+def gen_join(rng: random.Random) -> str:
+    lt, rt, cond = rng.choice(_JOINS)
+    l, r = TABLES[lt], TABLES[rt]
+    jt = rng.choice(["JOIN", "LEFT JOIN"])
+    g = rng.choice(r["str"] if jt == "JOIN" else l["str"])
+    return (
+        f"SELECT {g} AS g, COUNT(*) AS cnt, "
+        f"CAST(SUM(CAST({rng.choice(l['num'])} AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s "
+        f"FROM {lt} {jt} {rt} ON {cond}{_where(rng, l)} "
+        f"GROUP BY {g} ORDER BY g NULLS FIRST"
+    )
+
+
+def generate(seed: int) -> str:
+    rng = random.Random(seed)
+    shape = [gen_projection, gen_aggregation, gen_join][seed % 3]
+    return shape(rng)
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_fuzzed_query_matches_oracle(seed, engine, duck):
+    sql = generate(seed)
+    got = spark_rows(engine.sql(sql))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
