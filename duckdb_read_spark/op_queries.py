@@ -318,6 +318,46 @@ def _q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "width", "height", "channels").orderBy("asset_id")
 
 
+# --- Hypertable rollups ---------------------------------------------------
+
+_DUCK_BUCKET_15M = (
+    "CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS TIMESTAMP)"
+)
+_DUCK_BUCKET_1H = (
+    "CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP)"
+)
+_DUCK_EVENTS_SHIM = (
+    "WITH events AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM main.events)"
+)
+
+
+@_op("q70_time_bucket", f"""
+{_DUCK_EVENTS_SHIM}
+SELECT {_DUCK_BUCKET_15M} AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv,
+       MIN(value) AS mn, MAX(value) AS mx
+FROM events GROUP BY 1 ORDER BY bucket
+""", note="epoch-aligned 15-min time buckets (hypertable finest level)")
+def _q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ops.bucket_agg(ev, ts="ts", width_seconds=900).orderBy("bucket")
+
+
+@_op("q71_rollup_reaggregate", f"""
+{_DUCK_EVENTS_SHIM}
+SELECT {_DUCK_BUCKET_1H} AS bucket, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv,
+       MIN(value) AS mn, MAX(value) AS mx
+FROM events GROUP BY 1 ORDER BY bucket
+""", note="1h level re-aggregated FROM the 15-min partials (no raw rescan) "
+          "— must equal a direct 1h aggregation of the raw events")
+def _q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ladder = ops.rollup_ladder(ev, ts="ts", widths_seconds=(900, 3600))
+    return ladder[3600].orderBy("bucket")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

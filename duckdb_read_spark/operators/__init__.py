@@ -11,6 +11,7 @@ from .dedup import (
     simhash_candidates,
 )
 from .multimodal import decode_image, make_demo_assets, sample_frames
+from .rollup import bucket_agg, reaggregate, rollup_ladder, time_bucket
 from .sessionize import session_stats, sessionize
 from .similarity import ann_topk, cosine_scores, cosine_topk, cosine_topk_pandas, lsh_bucket
 from .text import (
@@ -47,4 +48,8 @@ __all__ = [
     "decode_image",
     "sample_frames",
     "make_demo_assets",
+    "time_bucket",
+    "bucket_agg",
+    "reaggregate",
+    "rollup_ladder",
 ]

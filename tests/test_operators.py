@@ -307,3 +307,26 @@ def test_sample_frames(spark):
     df = spark.createDataFrame([(1, 25)], "asset_id long, n_frames int")
     idx = [r["frame_idx"] for r in sample_frames(df, every_n=10).collect()]
     assert idx == [0, 10, 20]
+
+
+# --- hypertable rollups ---------------------------------------------------
+
+def test_rollup_ladder_nesting_validation(spark):
+    import pytest as _pytest
+
+    from duckdb_read_spark.operators import rollup_ladder
+
+    df = spark.range(1).selectExpr("CAST('2024-01-01' AS TIMESTAMP) AS ts", "1.0 AS value")
+    with _pytest.raises(ValueError, match="nest"):
+        rollup_ladder(df, widths_seconds=(900, 1000))
+
+
+def test_rollup_daily_from_hourly_matches_direct(engine):
+    from duckdb_read_spark.operators import bucket_agg, rollup_ladder
+
+    ev = engine.table("events")
+    ladder = rollup_ladder(ev, widths_seconds=(900, 3600, 86400))
+    direct = bucket_agg(ev, width_seconds=86400)
+    got = {tuple(map(str, r)) for r in ladder[86400].collect()}
+    want = {tuple(map(str, r)) for r in direct.collect()}
+    assert got == want
