@@ -358,6 +358,49 @@ def _q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ladder[3600].orderBy("bucket")
 
 
+# --- Pivot + grouped-map --------------------------------------------------
+
+@_op("q72_pivot", f"""
+{_DUCK_EVENTS_SHIM}
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+FROM events GROUP BY user_id ORDER BY user_id
+""", note="pivot (wide counts by event_type) via DataFrame groupBy().pivot; "
+          "oracle = portable conditional aggregation")
+def _q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types
+    ]
+    return out.select(*cols).orderBy("user_id")
+
+
+@_op("q73_zscore_groupmap", """
+SELECT doc_id,
+       CAST(CASE WHEN sd > 0 THEN (n_chars - m) / sd ELSE 0.0 END AS DECIMAL(18,6)) AS z
+FROM (SELECT doc_id, n_chars,
+             AVG(n_chars) OVER (PARTITION BY lang) AS m,
+             stddev_samp(n_chars) OVER (PARTITION BY lang) AS sd
+      FROM documents) t
+ORDER BY doc_id
+""", note="X2 grouped-map applyInPandas z-score == window formulation")
+def _q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    z = ops.zscore_normalize_pandas(docs, "lang", "n_chars")
+    return z.select(
+        "doc_id", F.col("z").cast("decimal(18,6)").alias("z")
+    ).orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -10,6 +10,7 @@ from .dedup import (
     simhash,
     simhash_candidates,
 )
+from .groupmap import zscore_normalize_pandas, zscore_normalize_window
 from .multimodal import decode_image, make_demo_assets, sample_frames
 from .rollup import bucket_agg, reaggregate, rollup_ladder, time_bucket
 from .sessionize import session_stats, sessionize
@@ -52,4 +53,6 @@ __all__ = [
     "bucket_agg",
     "reaggregate",
     "rollup_ladder",
+    "zscore_normalize_pandas",
+    "zscore_normalize_window",
 ]
