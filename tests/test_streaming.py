@@ -121,3 +121,47 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # window never closes (final frontier 12:50 < 13:00), so append emits
     # nothing for it.
     assert rows == {(10, 1)}
+
+
+def test_session_merges_across_micro_batches(spark, tmp_path):
+    """SURVEY §7 hard part (c): a session whose events arrive in different
+    micro-batches must come out as ONE merged session."""
+    import time
+
+    d = str(tmp_path / "sess_in")
+    os.makedirs(d)
+
+    def write(sub, rows):
+        spark.createDataFrame(rows, "user_id LONG, ts_s STRING").selectExpr(
+            "user_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(os.path.join(d, sub))
+
+    # user 1: 10:00 (batch 0) and 10:10 (batch 1) — within the 30-min gap.
+    write("f0", [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 09:00:00")])
+    write("f1", [(1, "2024-01-01 10:10:00")])
+    now = time.time()
+    for i, sub in enumerate(("f0", "f1")):
+        for f in os.listdir(os.path.join(d, sub)):
+            os.utime(os.path.join(d, sub, f), (now - 30 + 30 * i,) * 2)
+
+    schema = spark.read.parquet(os.path.join(d, "f0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "f*"))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .select("user_id", "count")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sess_merge")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["user_id"], r["count"]) for r in spark.table("t_sess_merge").collect()}
+    assert rows == {(1, 2), (2, 1)}
