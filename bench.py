@@ -88,6 +88,36 @@ def main() -> None:
         timings[name] = round(_time_query(spark, QUERIES[name].spark), 4)
     timings["b10_full_sort"] = round(_time_query(spark, _B10_FULL_SORT), 4)
 
+    # Operator-library benches (informational; NOT part of the B1-B10 total
+    # that BASELINE.md's 2x gate compares against).
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from duckdb_read_spark.op_queries import OP_QUERIES
+
+    def _time_op(name: str, runs: int = 3) -> float:
+        spec = OP_QUERIES[name]
+
+        def once() -> float:
+            t0 = _t.perf_counter()
+            spec.runner(spark, sf_dir).agg(F.count(F.lit(1))).collect()
+            return _t.perf_counter() - t0
+
+        once()
+        return _st.median(once() for _ in range(runs))
+
+    extra: dict[str, float] = {}
+    for name in (
+        "q51_asof_union_op",
+        "q55_ngram_jaccard",
+        "q63_cosine_topk_pandas",
+        "q66_simhash_neardup",
+        "q71_rollup_reaggregate",
+    ):
+        extra[name] = round(_time_op(name), 4)
+
     sf = None
     tail = os.path.basename(os.path.normpath(sf_dir))
     if tail.startswith("sf"):
@@ -101,6 +131,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "operator_queries": extra,
         "sf": sf,
     }
     print(json.dumps(result))

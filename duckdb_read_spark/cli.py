@@ -44,6 +44,8 @@ def run_statement(engine, stmt: str, dialect: str, limit: int) -> None:
             with open(parts[1]) as fh:
                 for sub in _split(engine, fh.read()):
                     run_statement(engine, sub, dialect, limit)
+        elif parts[0] == ".explain" and len(parts) > 1:
+            print(engine.explain(s.split(None, 1)[1], dialect=dialect))
         else:
             print(f"unknown meta-command: {parts[0]}", file=sys.stderr)
         return

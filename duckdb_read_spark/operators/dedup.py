@@ -112,16 +112,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
         .withColumn("__h", F.xxhash64(F.col("__tok"), F.lit(SIMHASH_SEED)))
     )
+    # Per bit i the signed weight sum is 2*ones_i - n, so it suffices to sum
+    # the raw bit (cheaper than a CASE per token) plus one shared count.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{i}")
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
     fp = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        # bit set ⟺ ones_i > n/2 ⟺ 2*ones_i - n > 0 (ties → 0, as before)
+        bit = F.when(F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return agg.select(id_col, fp.alias("simhash"))
