@@ -17,6 +17,7 @@ allowlist that mirrors safe mode (/root/reference/duckdb:122-125).
 from __future__ import annotations
 
 import importlib
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from .conf import BUILD_CONFS, RUNTIME_CONFS, apply_runtime_confs
 from . import catalog
 from .dialect import to_spark_sql
+
+
+# INSTALL/FORCE INSTALL/LOAD statement shapes (LoadInfo.load_type analog,
+# /root/reference/duckdb:30-33).
+_INSTALL_LOAD_RE = re.compile(
+    r"^\s*(?:FORCE\s+)?(INSTALL|LOAD)\s+([A-Za-z_][\w.]*|'[^']+'|\"[^\"]+\")\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# Short extension names → module paths (the extension repository analog,
+# /root/reference/duckdb:38-45: install resolves a name to an artifact).
+EXTENSION_ALIASES: dict[str, str] = {
+    "vector": "duckdb_read_spark.extensions.vector_ext",
+}
 
 
 class Engine:
@@ -78,7 +93,19 @@ class Engine:
 
         ``dialect='duckdb'`` first rewrites DuckDB-flavored SQL to Spark SQL
         (function renames, arg flips, 1-based indexing — SURVEY §2.4).
+
+        ``INSTALL name`` / ``LOAD name`` statements are intercepted and
+        routed to the extension registry — the reference's worked example
+        traced end-to-end (LoadStatement{INSTALL|LOAD} → PhysicalLoad,
+        /root/reference/duckdb:18-55). Returns an empty DataFrame, like a
+        DDL statement.
         """
+        m = _INSTALL_LOAD_RE.match(query)
+        if m:
+            verb, name = m.group(1).upper(), m.group(2).strip().strip("'\"")
+            module = EXTENSION_ALIASES.get(name, name)
+            self.install(module) if verb == "INSTALL" else self.load(module)
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         if dialect == "duckdb":
             query = to_spark_sql(query)
         return self.spark.sql(query)

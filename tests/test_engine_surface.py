@@ -153,3 +153,15 @@ def test_cli_duckdb_dialect(engine, capsys):
         engine, "SELECT len(string_split('a b c', ' ')) AS n", "duckdb", 10
     )
     assert "3" in capsys.readouterr().out
+
+
+def test_install_load_sql_statements(spark):
+    """E3 worked example as SQL: INSTALL/LOAD route to the registry
+    (/root/reference/duckdb:18-55)."""
+    from duckdb_read_spark import Engine
+
+    e = Engine(spark=spark)
+    assert e.sql("INSTALL vector").count() == 0
+    assert "duckdb_read_spark.extensions.vector_ext" in e._extensions
+    e.sql("LOAD vector;")
+    assert e.sql("SELECT vec_l2norm(array(3.0D, 4.0D)) AS n").first()["n"] == 5.0
