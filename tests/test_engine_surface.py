@@ -165,3 +165,29 @@ def test_install_load_sql_statements(spark):
     assert "duckdb_read_spark.extensions.vector_ext" in e._extensions
     e.sql("LOAD vector;")
     assert e.sql("SELECT vec_l2norm(array(3.0D, 4.0D)) AS n").first()["n"] == 5.0
+
+
+def test_switch_scale_factor_mid_session(spark):
+    """register_tables must re-point views when the sf dir changes in one
+    session (the driver switches sf0.001 → sf0.01 this way)."""
+    from duckdb_read_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001", force=True)
+    n_small = spark.table("lineitem").count()
+    register_tables(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("lineitem").count()
+    register_tables(spark, "/root/testdata/sf0.001")
+    n_small2 = spark.table("lineitem").count()
+    assert n_small == n_small2 == 6000 and n_big == 60000
+
+
+def test_ansi_mode_errors_like_reference(engine):
+    """D3/§2.4.10: ANSI on — div-by-zero and bad casts raise, matching the
+    reference engine's error-not-null behavior."""
+    import pytest as _pytest
+    from pyspark.errors import ArithmeticException, NumberFormatException
+
+    with _pytest.raises(ArithmeticException):
+        engine.sql("SELECT 1 DIV 0").collect()
+    with _pytest.raises(NumberFormatException):
+        engine.sql("SELECT CAST('abc' AS INT)").collect()
