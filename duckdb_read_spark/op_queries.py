@@ -401,6 +401,47 @@ def _q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- Composed cleaning pipeline (north-star) ------------------------------
+
+_QUALITY_SQL = f"""CAST(round(
+  (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.25 END) * 0.3 +
+  (CASE WHEN length(text) * 1.0 / greatest(len(string_split(text,' ')), 1)
+            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.3 +
+  (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+             / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2 +
+  (CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ({_EN}))) * 1.0
+             / greatest(len(string_split(text,' ')), 1) >= 0.01
+        THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS DOUBLE)"""
+
+
+@_op("q74_clean_corpus", f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT d.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents d) t
+  WHERE doc_id = keep_id),
+q AS (SELECT *, {_QUALITY_SQL} AS quality FROM dedup),
+f AS (SELECT * FROM q WHERE quality >= 0.8),
+s AS (SELECT *,
+    {_LANG_SCORE_SQL}
+  FROM f),
+g AS (SELECT *, greatest(score_en, score_de, score_es, score_fr, score_zh) AS gmax FROM s),
+p AS (SELECT *, CASE WHEN score_en = gmax THEN 'en' WHEN score_de = gmax THEN 'de'
+                     WHEN score_es = gmax THEN 'es' WHEN score_fr = gmax THEN 'fr'
+                     ELSE 'zh' END AS lang_pred FROM g)
+SELECT lang_pred, COUNT(*) AS docs,
+       SUM(len(string_split(text, ' '))) AS tokens,
+       CAST(AVG(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS avg_quality
+FROM p GROUP BY lang_pred ORDER BY lang_pred
+""", note="composed cleaning pipeline: exact dedup → quality filter → "
+          "lang-id → per-language report; every stage individually oracled "
+          "(q54/q56/q57), this checks the composition")
+def _q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = ops.clean_corpus(docs, min_quality=0.8)
+    return ops.corpus_report(cleaned)
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

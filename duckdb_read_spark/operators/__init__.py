@@ -11,6 +11,7 @@ from .dedup import (
     simhash_candidates,
 )
 from .groupmap import zscore_normalize_pandas, zscore_normalize_window
+from .pipeline import clean_corpus, corpus_report
 from .multimodal import decode_image, make_demo_assets, sample_frames
 from .rollup import bucket_agg, reaggregate, rollup_ladder, time_bucket
 from .sessionize import session_stats, sessionize
@@ -55,4 +56,6 @@ __all__ = [
     "rollup_ladder",
     "zscore_normalize_pandas",
     "zscore_normalize_window",
+    "clean_corpus",
+    "corpus_report",
 ]

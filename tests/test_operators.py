@@ -330,3 +330,23 @@ def test_rollup_daily_from_hourly_matches_direct(engine):
     got = {tuple(map(str, r)) for r in ladder[86400].collect()}
     want = {tuple(map(str, r)) for r in direct.collect()}
     assert got == want
+
+
+def test_clean_corpus_near_dup_removal(spark):
+    from duckdb_read_spark.operators import clean_corpus
+
+    # Repeated base makes the per-bit sums decisive: the one-token change
+    # lands at Hamming ≤ 3, inside the 4-band pigeonhole guarantee.
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    rows = [
+        (1, base + "today", "en"),
+        (2, base + "today", "en"),  # exact dup
+        (3, base + "now", "en"),    # near dup
+        (4, "completely different content about database engines and query planning systems", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    cleaned = clean_corpus(df, min_quality=0.0, drop_near_dups=True, near_dup_hamming=3)
+    ids = {r["doc_id"] for r in cleaned.collect()}
+    assert 2 not in ids          # exact dup gone (min-id survivor kept)
+    assert 1 in ids and 4 in ids
+    assert 3 not in ids          # near dup of 1 dropped (higher id loses)
