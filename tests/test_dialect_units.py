@@ -1,0 +1,98 @@
+"""Pure-function unit tests: dialect rewrites and statement splitting.
+
+No SparkSession needed — these document each §2.4 rewrite in isolation;
+tests/oracle/test_dialect_roundtrip.py proves them against both engines.
+"""
+
+from __future__ import annotations
+
+from duckdb_read_spark.dialect import convert_strftime_format, to_spark_sql
+from duckdb_read_spark.engine import split_statements
+
+
+def test_function_renames():
+    assert to_spark_sql("SELECT len(string_split(x, ' ')) FROM t") == \
+        "SELECT size(split(x, ' ')) FROM t"
+
+
+def test_unnest_to_explode():
+    assert "explode(split(" in to_spark_sql("SELECT UNNEST(string_split(x,' ')) FROM t")
+
+
+def test_index_base_shift():
+    assert to_spark_sql("SELECT arr[1] FROM t") == "SELECT arr[0] FROM t"
+
+
+def test_index_base_ignores_array_literal():
+    # [1] not preceded by an identifier is untouched
+    assert "[1" in to_spark_sql("SELECT [1, 2] AS a")
+
+
+def test_json_arrow():
+    assert to_spark_sql("SELECT props->>'$.k' FROM e") == \
+        "SELECT get_json_object(props, '$.k') FROM e"
+
+
+def test_json_arrow_dotted_lhs():
+    assert "get_json_object(e.props, '$.k')" in to_spark_sql(
+        "SELECT e.props->>'$.k' FROM e")
+
+
+def test_regexp_replace_g_flag_dropped():
+    out = to_spark_sql("SELECT regexp_replace(x, '[ae]', '_', 'g') FROM t")
+    assert out == "SELECT regexp_replace(x, '[ae]', '_') FROM t"
+
+
+def test_strftime_format_conversion():
+    assert convert_strftime_format("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert "date_format(ts, 'yyyy-MM')" in to_spark_sql("SELECT strftime(ts, '%Y-%m')")
+
+
+def test_date_diff_arg_flip():
+    out = to_spark_sql("SELECT date_diff('day', a, b)")
+    assert "datediff(b, a)" in out and "BIGINT" in out
+
+
+def test_varchar_to_string():
+    assert to_spark_sql("SELECT CAST(x AS VARCHAR)") == "SELECT CAST(x AS STRING)"
+
+
+def test_array_type_cast():
+    assert "ARRAY<DOUBLE>" in to_spark_sql("SELECT CAST(v AS DOUBLE[])")
+
+
+def test_window_clause_inlined():
+    out = to_spark_sql(
+        "SELECT LAG(x) OVER w FROM t WINDOW w AS (PARTITION BY k ORDER BY ts)"
+    )
+    assert "OVER (PARTITION BY k ORDER BY ts)" in out and "WINDOW" not in out
+
+
+def test_string_literal_untouched():
+    # rewrites must never reach inside string literals
+    out = to_spark_sql("SELECT 'len(string_split) ->> [1]' AS s")
+    assert "'len(string_split) ->> [1]'" in out
+
+
+def test_list_aggregate_sum():
+    out = to_spark_sql("SELECT list_aggregate(v, 'sum')")
+    assert out.startswith("SELECT aggregate(v, CAST(0 AS DOUBLE)")
+
+
+def test_split_statements_basic():
+    assert split_statements("SELECT 1; SELECT 2;") == ["SELECT 1", "SELECT 2"]
+
+
+def test_split_statements_quoted_semicolon():
+    stmts = split_statements("SELECT 'a;b' AS x; SELECT 2")
+    assert stmts == ["SELECT 'a;b' AS x", "SELECT 2"]
+
+
+def test_split_statements_comment():
+    stmts = split_statements("SELECT 1 -- trailing; not a split\n; SELECT 2")
+    assert len(stmts) == 2 and stmts[1] == "SELECT 2"
+
+
+def test_split_statements_escaped_quote():
+    stmts = split_statements("SELECT 'it''s; fine'; SELECT 2")
+    assert stmts[0] == "SELECT 'it''s; fine'"
