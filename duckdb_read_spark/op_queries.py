@@ -401,6 +401,69 @@ def _q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- AS-OF variants: forward direction, tolerance -------------------------
+
+@_op("q75_asof_forward", f"""
+{_DUCK_EVENTS_SHIM},
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+s AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT p.event_id, min_by(s.event_id, s.ts) AS next_signup
+FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.ts >= p.ts
+GROUP BY p.event_id ORDER BY p.event_id
+""", note="forward as-of: earliest signup at-or-after each purchase")
+def _q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s = _events_split(spark, sf_dir)
+    joined = ops.asof_join(
+        p, s.select("user_id", "ts", "event_id"), on="ts", by="user_id",
+        right_cols=["event_id"], strategy="union", direction="forward",
+    )
+    return joined.select(
+        "event_id", F.col("event_id_right").alias("next_signup")
+    ).orderBy("event_id")
+
+
+@_op("q76_asof_tolerance", f"""
+{_DUCK_EVENTS_SHIM},
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+s AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT p.event_id, max_by(s.event_id, s.ts) AS signup_event
+FROM p LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+  AND epoch(p.ts) - epoch(s.ts) <= 86400
+GROUP BY p.event_id ORDER BY p.event_id
+""", note="backward as-of with 1-day tolerance (pandas merge_asof semantics)")
+def _q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s = _events_split(spark, sf_dir)
+    joined = ops.asof_join(
+        p, s.select("user_id", "ts", "event_id"), on="ts", by="user_id",
+        right_cols=["event_id"], strategy="union", tolerance_seconds=86400,
+    )
+    return joined.select(
+        "event_id", F.col("event_id_right").alias("signup_event")
+    ).orderBy("event_id")
+
+
+# --- Top-k per group + vocabulary stats -----------------------------------
+
+@_op("q77_topk_per_group_op", QUERIES["q29_topk_per_group"].duckdb_sql,
+     note="Q29 window pattern as an operator (row_number + filter)")
+def _q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    top = ops.topk_per_group(
+        cust, "c_nationkey", "c_acctbal", k=3, tiebreak="c_custkey"
+    )
+    return top.select("c_nationkey", "c_custkey", "rn").orderBy("c_nationkey", "rn")
+
+
+@_op("q78_term_frequencies", """
+SELECT tok AS term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS docs
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok ORDER BY n DESC, term ASC LIMIT 50
+""", note="corpus vocabulary stats: term + collection/document frequency")
+def _q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.term_frequencies(docs, top_n=50, id_col="doc_id")
+
+
 # --- Composed cleaning pipeline (north-star) ------------------------------
 
 _QUALITY_SQL = f"""CAST(round(

@@ -59,3 +59,7 @@ __all__ = [
     "clean_corpus",
     "corpus_report",
 ]
+
+from .topk import term_frequencies, topk_per_group  # noqa: E402
+
+__all__ += ["topk_per_group", "term_frequencies"]

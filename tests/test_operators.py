@@ -350,3 +350,33 @@ def test_clean_corpus_near_dup_removal(spark):
     assert 2 not in ids          # exact dup gone (min-id survivor kept)
     assert 1 in ids and 4 in ids
     assert 3 not in ids          # near dup of 1 dropped (higher id loses)
+
+
+def test_asof_direction_and_tolerance_strategies_agree(engine):
+    from duckdb_read_spark.operators import asof_join
+
+    ev = engine.table("events")
+    p = ev.filter("event_type = 'purchase'")
+    s = ev.filter("event_type = 'signup'").select("user_id", "ts", "event_id")
+    for kw in (
+        {"direction": "forward"},
+        {"tolerance_seconds": 86400},
+        {"direction": "forward", "tolerance_seconds": 3600},
+    ):
+        a = asof_join(p, s, on="ts", by="user_id", right_cols=["event_id"],
+                      strategy="union", **kw)
+        b = asof_join(p, s, on="ts", by="user_id", right_cols=["event_id"],
+                      strategy="join", **kw)
+        ga = sorted((r["event_id"], r["event_id_right"]) for r in a.collect())
+        gb = sorted((r["event_id"], r["event_id_right"]) for r in b.collect())
+        assert ga == gb, kw
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    from duckdb_read_spark.operators import asof_join
+
+    df = spark.range(1).selectExpr("CAST('2024-01-01' AS TIMESTAMP) AS ts", "id AS k")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="ts", by="k", direction="sideways")
