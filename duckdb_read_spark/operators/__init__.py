@@ -15,7 +15,15 @@ from .pipeline import clean_corpus, corpus_report
 from .multimodal import decode_image, make_demo_assets, sample_frames
 from .rollup import bucket_agg, reaggregate, rollup_ladder, time_bucket
 from .sessionize import session_stats, sessionize
-from .similarity import ann_topk, cosine_scores, cosine_topk, cosine_topk_pandas, lsh_bucket
+from .similarity import (
+    ann_topk,
+    cosine_scores,
+    cosine_topk,
+    cosine_topk_pandas,
+    ivf_assign,
+    ivf_topk,
+    lsh_bucket,
+)
 from .text import (
     bpe_token_count,
     fingerprint,
@@ -62,4 +70,4 @@ __all__ = [
 
 from .topk import term_frequencies, topk_per_group  # noqa: E402
 
-__all__ += ["topk_per_group", "term_frequencies"]
+__all__ += ["topk_per_group", "term_frequencies", "ivf_assign", "ivf_topk"]

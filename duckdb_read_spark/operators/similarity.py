@@ -116,6 +116,67 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embe
     return df.withColumn("bucket", bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach the index of the nearest centroid (by dot product over
+    normalized centroids ⇒ cosine argmax). Centroids are literal arrays —
+    identical on every executor with no broadcast variable; the centroid
+    count is bounded (≤ a few hundred), the data side never moves."""
+    import numpy as _np
+
+    sims = []
+    for c in centroids:
+        arr = _np.asarray(c, dtype=_np.float64)
+        n = _np.linalg.norm(arr)
+        arr = arr / n if n else arr
+        sims.append(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in arr])))
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    cell = None
+    for i, s in enumerate(sims):
+        cell = F.when(s == best, i) if cell is None else cell.when(s == best, i)
+    return df.withColumn(cell_col, cell)
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition vectors into ``n_cells``
+    centroid cells, scan only the ``n_probe`` cells nearest the probe.
+
+    Centroid choice here is deterministic (the first ``n_cells`` vectors by
+    id — an IVF skeleton, not a tuned quantizer); at 100 TB the assignment
+    is precomputed once, the table is written partitioned by cell, and a
+    probe becomes a partition-pruned scan of n_probe/n_cells of the data.
+    """
+    import numpy as _np
+
+    cents = [
+        list(r[vec_col])
+        for r in df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    ]
+    p = _np.asarray(probe, dtype=_np.float64)
+    pn = p / (_np.linalg.norm(p) or 1.0)
+    scores = []
+    for i, c in enumerate(cents):
+        arr = _np.asarray(c, dtype=_np.float64)
+        n = _np.linalg.norm(arr)
+        scores.append((float(pn @ (arr / n if n else arr)), i))
+    probe_cells = [i for _, i in sorted(scores, reverse=True)[:n_probe]]
+    assigned = ivf_assign(df, cents, vec_col)
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    return cosine_topk(cand, probe, k, vec_col, id_col)
+
+
 def ann_topk(
     df: DataFrame,
     probe: list[float],

@@ -6,6 +6,6 @@ helpers. All writers go through Spark's native committers — at scale these
 are the only safe way to produce atomic multi-file outputs.
 """
 
-from .sinks import write_csv, write_json, write_parquet
+from .sinks import write_csv, write_json, write_parquet, write_sorted_parquet
 
-__all__ = ["write_parquet", "write_csv", "write_json"]
+__all__ = ["write_parquet", "write_csv", "write_json", "write_sorted_parquet"]

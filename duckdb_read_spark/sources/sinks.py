@@ -28,6 +28,34 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "error",
+    partitions: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Range-partition + sort within partitions before writing.
+
+    Produces files whose row groups are clustered on ``sort_cols`` — parquet
+    min/max stats then prune row groups for range predicates on those
+    columns (the zonemap effect; SURVEY §4.1). The write itself costs one
+    range-exchange; reads of the sorted column range skip most files.
+    """
+    parts = (
+        df.repartitionByRange(partitions, *sort_cols)
+        if partitions
+        else df.repartitionByRange(*sort_cols)
+    )
+    (
+        parts.sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -191,3 +191,26 @@ def test_ansi_mode_errors_like_reference(engine):
         engine.sql("SELECT 1 DIV 0").collect()
     with _pytest.raises(NumberFormatException):
         engine.sql("SELECT CAST('abc' AS INT)").collect()
+
+
+def test_write_sorted_parquet_roundtrip_and_clustering(engine, tmp_path):
+    from duckdb_read_spark.sources import write_sorted_parquet
+
+    src = engine.sql("SELECT o_orderkey, o_totalprice FROM orders")
+    p = str(tmp_path / "orders_sorted")
+    write_sorted_parquet(src, p, ["o_orderkey"], partitions=4)
+    back = engine.spark.read.parquet(p)
+    assert _rows(back) == _rows(src)
+    # clustering: each file's key range must not overlap others (range
+    # partitioning guarantee — the property that makes min/max stats prune)
+    import pyarrow.parquet as pq
+    import glob
+
+    ranges = []
+    for f in glob.glob(p + "/*.parquet"):
+        t = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        if t:
+            ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo

@@ -380,3 +380,33 @@ def test_asof_rejects_bad_direction(spark):
     df = spark.range(1).selectExpr("CAST('2024-01-01' AS TIMESTAMP) AS ts", "id AS k")
     with _pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="ts", by="k", direction="sideways")
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    import numpy as np
+
+    from duckdb_read_spark.operators import ivf_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((300, 32))
+    probe = rng.standard_normal(32)
+    base[250] = probe + 0.01 * rng.standard_normal(32)  # planted near-neighbor
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    top = ivf_topk(df, [float(x) for x in probe], k=3, n_cells=8, n_probe=3)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert 250 in ids
+
+
+def test_ivf_assign_deterministic_partition(spark):
+    import numpy as np
+
+    from duckdb_read_spark.operators import ivf_assign
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(16)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [r["embedding"] for r in df.orderBy("vec_id").limit(4).collect()]
+    a = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    b = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
+    assert a == b and set(a.values()) <= {0, 1, 2, 3}

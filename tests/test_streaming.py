@@ -165,3 +165,32 @@ def test_session_merges_across_micro_batches(spark, tmp_path):
     q.awaitTermination()
     rows = {(r["user_id"], r["count"]) for r in spark.table("t_sess_merge").collect()}
     assert rows == {(1, 2), (2, 1)}
+
+
+def test_streaming_rollup_continuous_aggregate(spark, batch_events):
+    """Continuous-aggregate path: 15-min bucket partials computed over the
+    STREAM, then re-aggregated (batch) to 1h — equals the 1h rollup computed
+    directly from batch raw events."""
+    from duckdb_read_spark.operators import bucket_agg, reaggregate, time_bucket
+
+    stream = events_stream(spark, EVENTS)
+    fine_stream = (
+        stream.groupBy(time_bucket("ts", 900).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    q = (
+        fine_stream.writeStream.format("memory")
+        .queryName("t_rollup_fine")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    coarse_from_stream = reaggregate(spark.table("t_rollup_fine"), 3600)
+    direct = bucket_agg(batch_events, width_seconds=3600)
+    assert _rows(coarse_from_stream) == _rows(direct)
