@@ -115,6 +115,8 @@ def main() -> None:
         "q63_cosine_topk_pandas",
         "q66_simhash_neardup",
         "q71_rollup_reaggregate",
+        "q74_clean_corpus",
+        "q78_term_frequencies",
     ):
         extra[name] = round(_time_op(name), 4)
 
