@@ -48,7 +48,16 @@ def apply_schema_shims(df: DataFrame, parquet_path: str | None = None) -> DataFr
         import pyarrow.parquet as pq
 
         candidates = sorted(_glob.glob(parquet_path)) or [parquet_path]
-        arrow_schema = pq.read_schema(candidates[0])
+        target = candidates[0]
+        if os.path.isdir(target):
+            # Spark-written dataset directory: read the footer of any part
+            # file (all parts share one schema) — pq.read_schema on the
+            # directory itself raises and would silently skip the shim.
+            parts = sorted(_glob.glob(os.path.join(target, "*.parquet")))
+            if not parts:
+                return df
+            target = parts[0]
+        arrow_schema = pq.read_schema(target)
     except Exception:
         return df
     spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}

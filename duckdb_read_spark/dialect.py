@@ -115,19 +115,24 @@ def _arg_text(toks: list[Tok], span: tuple[int, int]) -> str:
 
 # --- strftime → date_format format strings --------------------------------
 
-_STRFTIME_MAP = [
-    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
-    ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"), ("%j", "DDD"),
-    ("%y", "yy"), ("%p", "a"), ("%A", "EEEE"), ("%a", "EEE"),
-    ("%B", "MMMM"), ("%b", "MMM"), ("%%", "%"),
-]
+# Column names known to be array-typed, for the len()→size()/length() split
+# (the rewriter has no type information; extend for your schema). The
+# fixture schema's one array column is pre-registered.
+ARRAY_COLUMN_HINTS: set[str] = {"embedding"}
+
+_STRFTIME_MAP = {
+    "%%": "%",
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
+    "%y": "yy", "%p": "a", "%A": "EEEE", "%a": "EEE",
+    "%B": "MMMM", "%b": "MMM",
+}
 
 
 def convert_strftime_format(fmt: str) -> str:
-    out = fmt
-    for src, dst in _STRFTIME_MAP:
-        out = out.replace(src, dst)
-    return out
+    """Single left-to-right pass so escapes compose ('%%Y' → literal '%Y',
+    never 'yyyy'); sequential str.replace would re-match its own output."""
+    return re.sub("%.", lambda m: _STRFTIME_MAP.get(m.group(), m.group()), fmt)
 
 
 # --- call-rewrite helpers -------------------------------------------------
@@ -161,7 +166,19 @@ def _rewrite_calls(sql: str) -> str:
             changed = True
             continue
         if name == "len" and parts:
-            out.append("size")
+            # DuckDB len() covers BOTH list length and string length; Spark
+            # splits these into size() and length(). Textual heuristic: the
+            # argument is list-shaped if it contains a list-producing call
+            # or a subscript — else assume string. (Types aren't known at
+            # rewrite time; this covers the dominant idioms.)
+            _, close, spans = parts
+            arg = detokenize(toks[parts[0] + 1:close]).lower()
+            listish = any(
+                k in arg
+                for k in ("split(", "array", "collect_list", "collect_set",
+                          "sequence(", "transform(", "[")
+            ) or any(h in arg for h in ARRAY_COLUMN_HINTS)
+            out.append("size" if listish else "length")
             i += 1
             changed = True
             continue
@@ -201,12 +218,24 @@ def _rewrite_calls(sql: str) -> str:
             unit = _arg_text(toks, spans[0]).strip("'").lower()
             a = _arg_text(toks, spans[1])
             b = _arg_text(toks, spans[2])
+            # DuckDB date_diff counts PART BOUNDARIES CROSSED, not elapsed
+            # units: diff('month', Jan 31, Feb 1) = 1, diff('hour', 01:59,
+            # 02:01) = 1. Truncate both sides to the part first.
             body = {
                 "day": f"CAST(datediff({b}, {a}) AS BIGINT)",
-                "month": f"CAST(months_between({b}, {a}) AS BIGINT)",
+                "month": (
+                    f"CAST((year({b}) * 12 + month({b}))"
+                    f" - (year({a}) * 12 + month({a})) AS BIGINT)"
+                ),
                 "year": f"CAST(year({b}) - year({a}) AS BIGINT)",
-                "hour": f"CAST((unix_timestamp({b}) - unix_timestamp({a})) DIV 3600 AS BIGINT)",
-                "minute": f"CAST((unix_timestamp({b}) - unix_timestamp({a})) DIV 60 AS BIGINT)",
+                "hour": (
+                    f"CAST((unix_timestamp(date_trunc('hour', {b}))"
+                    f" - unix_timestamp(date_trunc('hour', {a}))) DIV 3600 AS BIGINT)"
+                ),
+                "minute": (
+                    f"CAST((unix_timestamp(date_trunc('minute', {b}))"
+                    f" - unix_timestamp(date_trunc('minute', {a}))) DIV 60 AS BIGINT)"
+                ),
                 "second": f"CAST(unix_timestamp({b}) - unix_timestamp({a}) AS BIGINT)",
             }.get(unit)
             if body is not None:
@@ -312,27 +341,42 @@ def _rewrite_index_base(sql: str) -> str:
 
 def _rewrite_window_clause(sql: str) -> str:
     """Inline named WINDOW clauses: ``OVER w`` → ``OVER (...)``, drop the
-    ``WINDOW w AS (...)`` definition."""
+    ``WINDOW w1 AS (...), w2 AS (...)`` definition list entirely."""
     m = re.search(r"\bWINDOW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql, re.IGNORECASE)
     if not m:
         return sql
+
+    def close_of(open_pos: int) -> int:
+        depth = 0
+        for i in range(open_pos, len(sql)):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        raise ValueError("unbalanced parentheses in WINDOW clause")
+
+    # Collect every comma-separated `name AS (spec)` in the clause.
+    specs: dict[str, str] = {}
     name = m.group(1)
     open_pos = m.end() - 1
-    depth = 0
-    close_pos = open_pos
-    for i in range(open_pos, len(sql)):
-        if sql[i] == "(":
-            depth += 1
-        elif sql[i] == ")":
-            depth -= 1
-            if depth == 0:
-                close_pos = i
-                break
-    spec = sql[open_pos:close_pos + 1]
-    without = sql[:m.start()] + sql[close_pos + 1:]
-    inlined = re.sub(rf"\bOVER\s+{re.escape(name)}\b", f"OVER {spec}", without,
-                     flags=re.IGNORECASE)
-    return _rewrite_window_clause(inlined)
+    end_pos = open_pos
+    while True:
+        close_pos = close_of(open_pos)
+        specs[name] = sql[open_pos:close_pos + 1]
+        end_pos = close_pos
+        nxt = re.match(r"\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(",
+                       sql[close_pos + 1:], re.IGNORECASE)
+        if not nxt:
+            break
+        name = nxt.group(1)
+        open_pos = close_pos + 1 + nxt.end() - 1
+    without = sql[:m.start()] + sql[end_pos + 1:]
+    for nm, spec in specs.items():
+        without = re.sub(rf"\bOVER\s+{re.escape(nm)}\b", f"OVER {spec}", without,
+                         flags=re.IGNORECASE)
+    return _rewrite_window_clause(without)
 
 
 def _rewrite_keywords(sql: str) -> str:

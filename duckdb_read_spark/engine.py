@@ -167,10 +167,16 @@ def split_statements(script: str) -> list[str]:
     """Split a multi-statement SQL script on top-level semicolons
     (quote- and comment-aware)."""
     stmts, buf, i, n = [], [], 0, len(script)
-    in_s = in_d = in_line_comment = False
+    in_s = in_d = in_line_comment = in_block_comment = False
     while i < n:
         ch = script[i]
-        if in_line_comment:
+        if in_block_comment:
+            buf.append(ch)
+            if ch == "*" and i + 1 < n and script[i + 1] == "/":
+                buf.append("/")
+                i += 1
+                in_block_comment = False
+        elif in_line_comment:
             if ch == "\n":
                 in_line_comment = False
             buf.append(ch)
@@ -186,6 +192,9 @@ def split_statements(script: str) -> list[str]:
             buf.append(ch)
             if ch == '"':
                 in_d = False
+        elif ch == "/" and i + 1 < n and script[i + 1] == "*":
+            in_block_comment = True
+            buf.append(ch)
         elif ch == "-" and i + 1 < n and script[i + 1] == "-":
             in_line_comment = True
             buf.append(ch)

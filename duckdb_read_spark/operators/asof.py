@@ -68,30 +68,38 @@ def _carried_name(left: DataFrame, c: str, suffix: str) -> str:
 def _asof_via_range_join(
     left, right, on, by, right_cols, suffix, direction="backward", tolerance=None
 ) -> DataFrame:
+    # Group by a synthetic unique row id, not the left columns: grouping on
+    # left columns would merge duplicate left rows (as-of must preserve left
+    # cardinality) and fails outright for non-groupable types (map columns).
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
     r = right.select(
         *[F.col(b).alias(f"__r_{b}") for b in by],
         F.col(on).alias("__r_on"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
-    cond = [left[b] == r[f"__r_{b}"] for b in by]
+    cond = [lid[b] == r[f"__r_{b}"] for b in by]
     gap = (
-        left[on].cast("double") - r["__r_on"].cast("double")
+        lid[on].cast("double") - r["__r_on"].cast("double")
         if direction == "backward"
-        else r["__r_on"].cast("double") - left[on].cast("double")
+        else r["__r_on"].cast("double") - lid[on].cast("double")
     )
     cond.append(gap >= 0)
     if tolerance is not None:
         cond.append(gap <= float(tolerance))
-    joined = left.join(r, cond, "left")
+    joined = lid.join(r, cond, "left")
     # min/max_by over the struct keeps all carried columns from the same row.
     pick = F.max_by if direction == "backward" else F.min_by
     carried = pick(
         F.struct(*[F.col(f"__r_{c}").alias(c) for c in right_cols]), F.col("__r_on")
     ).alias("__best")
-    out = joined.groupBy(*[left[c] for c in left.columns]).agg(carried)
-    for c in right_cols:
-        out = out.withColumn(_carried_name(left, c, suffix), F.col(f"__best.{c}"))
-    return out.drop("__best")
+    lrow = F.first(
+        F.struct(*[lid[c].alias(c) for c in left.columns]), ignorenulls=False
+    ).alias("__lrow")
+    out = joined.groupBy(F.col("__lid")).agg(lrow, carried)
+    proj = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__best.{c}").alias(_carried_name(left, c, suffix)) for c in right_cols
+    ]
+    return out.select(*proj)
 
 
 def _asof_via_union(

@@ -32,22 +32,24 @@ SIMHASH_SEED = 42
 # --- exact ----------------------------------------------------------------
 
 def dedup_exact(df: DataFrame, text_col: str = "text", keep_order_col: str | None = None) -> DataFrame:
-    """Keep one row per distinct ``text_col`` content (md5 identity).
+    """Keep exactly one row per distinct ``text_col`` content (md5 identity).
 
-    With ``keep_order_col`` the survivor is deterministic (min of that
-    column); otherwise dropDuplicates keeps an arbitrary row (cheaper — no
+    With ``keep_order_col`` the survivor is the group minimum of that column
+    (deterministic when the column is unique per row, e.g. a doc id); NULLs
+    order last so a group never vanishes, and ties keep a single row.
+    Without it, dropDuplicates keeps an arbitrary row (cheaper — no
     per-group ordering state)."""
+    from pyspark.sql import Window
+
     if keep_order_col is None:
         return df.dropDuplicates([text_col])
-    w = F.min(F.col(keep_order_col)).alias("__keep")
-    keep = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(w)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.asc_nulls_last(keep_order_col)
+    )
     return (
-        df.join(
-            keep,
-            (F.md5(F.col(text_col)) == F.col("__h"))
-            & (F.col(keep_order_col) == F.col("__keep")),
-            "left_semi",
-        )
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
@@ -232,16 +234,7 @@ def ngram_jaccard_pairs(
 
 # --- embedding cosine near-dup -------------------------------------------
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+from .similarity import _dot, _norm  # noqa: E402  (shared HOF kernels)
 
 
 def embedding_neardup_pairs(

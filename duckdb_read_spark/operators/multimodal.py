@@ -104,7 +104,12 @@ def sample_frames(
     """Frame-sampling plan for video assets: explode frame indices 0, n,
     2n, ... per asset — pure JVM (sequence + explode), the decode of each
     sampled frame is then a decode_image-style kernel."""
-    idx = F.sequence(F.lit(0), F.col(frame_count_col) - 1, F.lit(every_n))
+    # Zero-frame assets (empty/corrupt video) must yield no rows, not a
+    # descending-sequence runtime error (same guard as ngram_shingles).
+    idx = F.when(
+        F.col(frame_count_col) > 0,
+        F.sequence(F.lit(0), F.col(frame_count_col) - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("frame_idx", F.explode(idx))
 
 

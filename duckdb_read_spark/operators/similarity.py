@@ -128,6 +128,8 @@ def ivf_assign(
     count is bounded (≤ a few hundred), the data side never moves."""
     import numpy as _np
 
+    if not centroids:
+        raise ValueError("ivf_assign needs at least one centroid")
     sims = []
     for c in centroids:
         arr = _np.asarray(c, dtype=_np.float64)
@@ -196,10 +198,17 @@ def ann_topk(
     for i, plane in enumerate(planes):
         if float(plane @ p) > 0:
             pbucket |= 1 << i
+    # All bucket ids within Hamming distance <= multiprobe_bits of the
+    # probe's bucket (C(n_planes, b) combinations per level).
+    from itertools import combinations
+
     buckets = {pbucket}
-    if multiprobe_bits >= 1:
-        for i in range(n_planes):
-            buckets.add(pbucket ^ (1 << i))
+    for b in range(1, multiprobe_bits + 1):
+        for flips in combinations(range(n_planes), b):
+            mask = 0
+            for i in flips:
+                mask |= 1 << i
+            buckets.add(pbucket ^ mask)
     bucketed = lsh_bucket(df, dim, n_planes, vec_col)
     cand = bucketed.filter(F.col("bucket").isin([int(b) for b in buckets]))
     return cosine_topk(cand, probe, k, vec_col, id_col)

@@ -53,8 +53,9 @@ def duckdb_rows(con, sql: str) -> list[tuple]:
 
 
 def diff_summary(a: list[tuple], b: list[tuple], limit: int = 5) -> str:
-    only_a = [r for r in a if r not in set(b)][:limit]
-    only_b = [r for r in b if r not in set(a)][:limit]
+    set_a, set_b = set(a), set(b)
+    only_a = [r for r in a if r not in set_b][:limit]
+    only_b = [r for r in b if r not in set_a][:limit]
     return (
         f"rows: spark={len(a)} oracle={len(b)}\n"
         f"only in spark (≤{limit}): {only_a}\n"

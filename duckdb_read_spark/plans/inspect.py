@@ -20,9 +20,20 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def executed_plan(df: DataFrame) -> str:
-    """Execute (count-style) then render the AQE-final plan."""
-    df.count() if "AdaptiveSparkPlan" in physical_plan(df, "simple") else df.collect()
-    return physical_plan(df, "simple")
+    """Execute THIS DataFrame then render its AQE-final plan.
+
+    Must collect ``df`` itself: a derived action like ``df.count()`` builds
+    its own QueryExecution and would leave ``df``'s AdaptiveSparkPlan
+    unfinalized (isFinalPlan=false). Use on test-scale data.
+    """
+    plan = physical_plan(df, "simple")
+    if "isFinalPlan=false" in plan:
+        df.collect()
+        plan = physical_plan(df, "simple")
+    # A finalized adaptive plan prints BOTH '== Final Plan ==' and
+    # '== Initial Plan ==' — keep only the final section, else every
+    # operator is counted twice.
+    return plan.split("== Initial Plan ==")[0]
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:

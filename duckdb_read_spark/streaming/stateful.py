@@ -53,10 +53,14 @@ def stream_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Exactly-once ingestion filter: drop rows whose ``id_cols`` were seen
-    within the watermark horizon. Thin wrapper over the built-in streaming
-    dropDuplicates — state is bounded by the watermark, which is the only
-    safe configuration at scale (unbounded dedup state grows forever)."""
+    within the watermark horizon.
+
+    Streaming mode uses ``dropDuplicatesWithinWatermark`` — plain streaming
+    ``dropDuplicates`` only evicts state when the event-time column is part
+    of the key set, so with pure-id keys its state grows forever; the
+    WithinWatermark variant evicts every key older than the horizon, which
+    is the only state-bounded configuration at scale."""
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts, watermark)
+        return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(id_cols)
     return df.dropDuplicates(id_cols)

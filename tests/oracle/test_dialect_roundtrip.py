@@ -33,3 +33,17 @@ def test_duckdb_text_roundtrips_through_rewriter(name, engine, duck):
     got = spark_rows(engine.sql(duck_text, dialect="duckdb"))
     want = duckdb_rows(duck, spec.duckdb_sql)
     assert got == want, diff_summary(got, want)
+
+
+@pytest.mark.parametrize("expr,unit", [
+    ("date_diff('month', DATE '2020-01-31', DATE '2020-02-01')", "month-boundary"),
+    ("date_diff('month', DATE '2020-01-01', DATE '2020-03-31')", "month-span"),
+    ("date_diff('hour', TIMESTAMP '2020-01-01 01:59:00', TIMESTAMP '2020-01-01 02:01:00')", "hour-boundary"),
+    ("date_diff('minute', TIMESTAMP '2020-01-01 01:00:59', TIMESTAMP '2020-01-01 01:01:01')", "minute-boundary"),
+    ("date_diff('year', DATE '2019-12-31', DATE '2020-01-01')", "year-boundary"),
+    ("date_diff('day', TIMESTAMP '2020-01-01 23:59:00', TIMESTAMP '2020-01-02 00:01:00')", "day-boundary"),
+])
+def test_date_diff_boundary_semantics_match_duckdb(expr, unit, engine, duck):
+    got = engine.sql(f"SELECT {expr} AS d", dialect="duckdb").first()["d"]
+    want = duck.execute(f"SELECT {expr} AS d").fetchone()[0]
+    assert got == want, unit

@@ -96,3 +96,38 @@ def test_split_statements_comment():
 def test_split_statements_escaped_quote():
     stmts = split_statements("SELECT 'it''s; fine'; SELECT 2")
     assert stmts[0] == "SELECT 'it''s; fine'"
+
+
+def test_multi_window_clause():
+    out = to_spark_sql(
+        "SELECT sum(x) OVER w1, avg(x) OVER w2 FROM t "
+        "WINDOW w1 AS (PARTITION BY k), w2 AS (ORDER BY ts)"
+    )
+    assert "OVER (PARTITION BY k)" in out and "OVER (ORDER BY ts)" in out
+    assert "WINDOW" not in out and "w2 AS" not in out
+
+
+def test_strftime_escaped_percent():
+    assert convert_strftime_format("%%Y") == "%Y"   # literal %Y, not yyyy
+    assert convert_strftime_format("%Y%%") == "yyyy%"
+
+
+def test_len_string_vs_array():
+    assert to_spark_sql("SELECT len(p_name) FROM part") == \
+        "SELECT length(p_name) FROM part"
+    assert to_spark_sql("SELECT len(string_split(x,' '))") == \
+        "SELECT size(split(x,' '))"
+    assert to_spark_sql("SELECT len(embedding) FROM embeddings") == \
+        "SELECT size(embedding) FROM embeddings"
+
+
+def test_date_diff_boundary_rewrites():
+    out = to_spark_sql("SELECT date_diff('month', a, b)")
+    assert "year(b) * 12 + month(b)" in out
+    out = to_spark_sql("SELECT date_diff('hour', a, b)")
+    assert "date_trunc('hour', b)" in out
+
+
+def test_split_statements_block_comment():
+    stmts = split_statements("SELECT 1 /* not; a split */; SELECT 2")
+    assert len(stmts) == 2 and "not; a split" in stmts[0]

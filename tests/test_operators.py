@@ -410,3 +410,33 @@ def test_ivf_assign_deterministic_partition(spark):
     a = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
     b = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents).collect()}
     assert a == b and set(a.values()) <= {0, 1, 2, 3}
+
+
+def test_asof_range_join_preserves_duplicate_left_rows(spark):
+    from duckdb_read_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L"), (1, 10, "L")], "k int, t int, lv string")
+    right = spark.createDataFrame([(1, 9, "r")], "k int, t int, rv string")
+    for strategy in ("join", "union"):
+        out = asof_join(left, right, on="t", by="k", right_cols=["rv"], strategy=strategy)
+        assert out.count() == 2, strategy
+
+
+def test_dedup_exact_ties_and_null_keep_col(spark):
+    from duckdb_read_spark.operators import dedup_exact
+
+    df = spark.createDataFrame(
+        [("dup text", 5), ("dup text", 5), ("null group", None), ("null group", None)],
+        "text STRING, ord INT",
+    )
+    out = dedup_exact(df, keep_order_col="ord")
+    counts = {r["text"]: 1 for r in out.collect()}
+    assert out.count() == 2 and set(counts) == {"dup text", "null group"}
+
+
+def test_sample_frames_zero_frames(spark):
+    from duckdb_read_spark.operators import sample_frames
+
+    df = spark.createDataFrame([(1, 25), (2, 0)], "asset_id LONG, n_frames INT")
+    rows = sample_frames(df).collect()
+    assert all(r["asset_id"] == 1 for r in rows) and len(rows) == 3

@@ -64,3 +64,37 @@ def test_stream_dedup_batch_semantics(spark, two_batch_dir):
     dup = df.union(df)
     out = stream_dedup(dup, ["user_id", "ts"])
     assert out.count() == df.count()
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, two_batch_dir):
+    """Streaming path uses dropDuplicatesWithinWatermark: duplicates across
+    micro-batches inside the horizon are dropped, and state is evictable."""
+    import os as _os
+
+    schema = spark.read.parquet(_os.path.join(two_batch_dir, "f0")).schema
+    # duplicate file f0 as f2 so the same (user_id, ts) rows arrive twice
+    import shutil, time as _time
+
+    f2 = _os.path.join(two_batch_dir, "f2")
+    shutil.copytree(_os.path.join(two_batch_dir, "f0"), f2)
+    now = _time.time()
+    for f in _os.listdir(f2):
+        _os.utime(_os.path.join(f2, f), (now + 30,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_os.path.join(two_batch_dir, "f*"))
+    )
+    out = stream_dedup(stream, ["user_id", "ts"], watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sdedup").collect()
+    keys = [(r["user_id"], r["ts"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 4  # f0 ∪ f1, f2's repeats dropped
