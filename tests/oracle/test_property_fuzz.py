@@ -165,13 +165,42 @@ def gen_join(rng: random.Random) -> str:
     )
 
 
+def gen_window(rng: random.Random) -> str:
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    part = rng.choice(t["str"])
+    order_val = rng.choice(t["num"] + t["int"])
+    uid = t["int"][0]  # unique-ish tiebreak column (first int col is a key)
+    fn = rng.choice([
+        "ROW_NUMBER()",
+        "RANK()",
+        "DENSE_RANK()",
+        f"CAST(SUM(CAST({order_val} AS DECIMAL(18,4))) OVER "
+        f"(PARTITION BY {part} ORDER BY {order_val}, {uid} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))",
+        f"LAG({uid}) OVER (PARTITION BY {part} ORDER BY {order_val}, {uid})",
+    ])
+    over = (
+        ""
+        if "OVER" in fn
+        else f" OVER (PARTITION BY {part} ORDER BY {order_val}, {uid})"
+    )
+    return (
+        f"SELECT {uid} AS k, {part} AS p, {fn}{over} AS w "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY k NULLS FIRST, p NULLS FIRST, w NULLS FIRST LIMIT 500"
+    )
+
+
 def generate(seed: int) -> str:
     rng = random.Random(seed)
+    if seed >= 60:
+        return gen_window(rng)
     shape = [gen_projection, gen_aggregation, gen_join][seed % 3]
     return shape(rng)
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", range(90))
 def test_fuzzed_query_matches_oracle(seed, engine, duck):
     sql = generate(seed)
     got = spark_rows(engine.sql(sql))
