@@ -192,15 +192,36 @@ def gen_window(rng: random.Random) -> str:
     )
 
 
+_SETOP_SIDES = [
+    ("customer", "c_nationkey"),
+    ("supplier", "s_nationkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_suppkey"),
+]
+
+
+def gen_setop(rng: random.Random) -> str:
+    (lt, lc), (rt, rc) = rng.sample(_SETOP_SIDES, 2)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    lw = _where(rng, TABLES[lt])
+    rw = _where(rng, TABLES[rt])
+    return (
+        f"SELECT {lc} AS x FROM {lt}{lw} {op} "
+        f"SELECT {rc} FROM {rt}{rw} ORDER BY x NULLS FIRST"
+    )
+
+
 def generate(seed: int) -> str:
     rng = random.Random(seed)
+    if seed >= 90:
+        return gen_setop(rng)
     if seed >= 60:
         return gen_window(rng)
     shape = [gen_projection, gen_aggregation, gen_join][seed % 3]
     return shape(rng)
 
 
-@pytest.mark.parametrize("seed", range(90))
+@pytest.mark.parametrize("seed", range(110))
 def test_fuzzed_query_matches_oracle(seed, engine, duck):
     sql = generate(seed)
     got = spark_rows(engine.sql(sql))
