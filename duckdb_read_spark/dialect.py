@@ -187,6 +187,11 @@ def _rewrite_calls(sql: str) -> str:
             i += 1
             changed = True
             continue
+        if name == "array_to_string" and parts:
+            out.append("array_join")
+            i += 1
+            changed = True
+            continue
         if name == "list_aggregate" and parts and len(parts[2]) == 2:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])

@@ -123,7 +123,7 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
-       CAST(i * 1.0 / (sa.sz + sb.sz - i) AS DECIMAL(10,6)) AS jaccard
+       CAST(CAST(i * 1.0 / (sa.sz + sb.sz - i) AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 ORDER BY id_a, id_b
@@ -132,7 +132,8 @@ def _q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return pairs.select(
-        "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
+        "id_a", "id_b",
+        F.col("jaccard").cast("decimal(10,6)").cast("double").alias("jaccard"),
     ).orderBy("id_a", "id_b")
 
 
@@ -153,7 +154,7 @@ SELECT doc_id,
        CASE WHEN score_en = gmax THEN 'en' WHEN score_de = gmax THEN 'de'
             WHEN score_es = gmax THEN 'es' WHEN score_fr = gmax THEN 'fr'
             ELSE 'zh' END AS lang_pred,
-       CAST(score_en AS DECIMAL(10,6)) AS score_en
+       CAST(CAST(score_en AS DECIMAL(10,6)) AS DOUBLE) AS score_en
 FROM g ORDER BY doc_id
 """, note="marker-ratio language ID (L4); argmax tie order pinned en,de,es,fr,zh")
 def _q56(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +162,7 @@ def _q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ops.lang_scores(docs)
     return scored.select(
         "doc_id", "lang_pred",
-        F.col("score_en").cast("decimal(10,6)").alias("score_en"),
+        F.col("score_en").cast("decimal(10,6)").cast("double").alias("score_en"),
     ).orderBy("doc_id")
 
 
@@ -224,7 +225,8 @@ def _q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.avg(F.col("n_chars").cast("decimal(18,4)")).cast("decimal(38,6)").alias("avg_chars"),
+            F.avg(F.col("n_chars").cast("decimal(18,4)"))
+            .cast("decimal(38,6)").cast("double").alias("avg_chars"),
             F.min("n_chars").alias("mn"),
             F.max("n_chars").alias("mx"),
         )
@@ -245,7 +247,9 @@ def _q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = _probe_vector(spark, sf_dir)
     top = ops.cosine_topk(emb.filter(F.col("vec_id") != 0), probe, k=5)
-    return top.select("vec_id", F.col("sim").cast("decimal(12,6)").alias("sim"))
+    return top.select(
+        "vec_id", F.col("sim").cast("decimal(12,6)").cast("double").alias("sim")
+    )
 
 
 @_op("q63_cosine_topk_pandas", QUERIES["q48_cosine_topk"].duckdb_sql,
@@ -254,13 +258,15 @@ def _q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = _probe_vector(spark, sf_dir)
     top = ops.cosine_topk_pandas(emb.filter(F.col("vec_id") != 0), probe, k=5)
-    return top.select("vec_id", F.col("sim").cast("decimal(12,6)").alias("sim"))
+    return top.select(
+        "vec_id", F.col("sim").cast("decimal(12,6)").cast("double").alias("sim")
+    )
 
 
 @_op("q64_embedding_neardup", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(12,6)) AS cosine
+       CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(12,6)) AS DOUBLE) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 ORDER BY id_a, id_b
@@ -269,7 +275,8 @@ def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = ops.embedding_neardup_pairs(emb, threshold=0.4)
     return pairs.select(
-        "id_a", "id_b", F.col("cosine").cast("decimal(12,6)").alias("cosine")
+        "id_a", "id_b",
+        F.col("cosine").cast("decimal(12,6)").cast("double").alias("cosine"),
     ).orderBy("id_a", "id_b")
 
 
@@ -332,22 +339,29 @@ _DUCK_EVENTS_SHIM = (
 )
 
 
+def _rollup_out(level: DataFrame) -> DataFrame:
+    """Driver output contract: decimal partial sum goes out as DOUBLE."""
+    return level.select(
+        "bucket", "n", F.col("sv").cast("double").alias("sv"), "mn", "mx"
+    ).orderBy("bucket")
+
+
 @_op("q70_time_bucket", f"""
 {_DUCK_EVENTS_SHIM}
 SELECT {_DUCK_BUCKET_15M} AS bucket, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
        MIN(value) AS mn, MAX(value) AS mx
 FROM events GROUP BY 1 ORDER BY bucket
 """, note="epoch-aligned 15-min time buckets (hypertable finest level)")
 def _q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ops.bucket_agg(ev, ts="ts", width_seconds=900).orderBy("bucket")
+    return _rollup_out(ops.bucket_agg(ev, ts="ts", width_seconds=900))
 
 
 @_op("q71_rollup_reaggregate", f"""
 {_DUCK_EVENTS_SHIM}
 SELECT {_DUCK_BUCKET_1H} AS bucket, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
        MIN(value) AS mn, MAX(value) AS mx
 FROM events GROUP BY 1 ORDER BY bucket
 """, note="1h level re-aggregated FROM the 15-min partials (no raw rescan) "
@@ -355,7 +369,7 @@ FROM events GROUP BY 1 ORDER BY bucket
 def _q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ladder = ops.rollup_ladder(ev, ts="ts", widths_seconds=(900, 3600))
-    return ladder[3600].orderBy("bucket")
+    return _rollup_out(ladder[3600])
 
 
 # --- Pivot + grouped-map --------------------------------------------------
@@ -386,7 +400,7 @@ def _q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_op("q73_zscore_groupmap", """
 SELECT doc_id,
-       CAST(CASE WHEN sd > 0 THEN (n_chars - m) / sd ELSE 0.0 END AS DECIMAL(18,6)) AS z
+       CAST(CAST(CASE WHEN sd > 0 THEN (n_chars - m) / sd ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS z
 FROM (SELECT doc_id, n_chars,
              AVG(n_chars) OVER (PARTITION BY lang) AS m,
              stddev_samp(n_chars) OVER (PARTITION BY lang) AS sd
@@ -397,7 +411,7 @@ def _q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     z = ops.zscore_normalize_pandas(docs, "lang", "n_chars")
     return z.select(
-        "doc_id", F.col("z").cast("decimal(18,6)").alias("z")
+        "doc_id", F.col("z").cast("decimal(18,6)").cast("double").alias("z")
     ).orderBy("doc_id")
 
 
@@ -493,8 +507,8 @@ p AS (SELECT *, CASE WHEN score_en = gmax THEN 'en' WHEN score_de = gmax THEN 'd
                      WHEN score_es = gmax THEN 'es' WHEN score_fr = gmax THEN 'fr'
                      ELSE 'zh' END AS lang_pred FROM g)
 SELECT lang_pred, COUNT(*) AS docs,
-       SUM(len(string_split(text, ' '))) AS tokens,
-       CAST(AVG(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS avg_quality
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+       CAST(CAST(AVG(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS avg_quality
 FROM p GROUP BY lang_pred ORDER BY lang_pred
 """, note="composed cleaning pipeline: exact dedup → quality filter → "
           "lang-id → per-language report; every stage individually oracled "
@@ -502,7 +516,11 @@ FROM p GROUP BY lang_pred ORDER BY lang_pred
 def _q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cleaned = ops.clean_corpus(docs, min_quality=0.8)
-    return ops.corpus_report(cleaned)
+    report = ops.corpus_report(cleaned)
+    return report.select(
+        "lang_pred", "docs", "tokens",
+        F.col("avg_quality").cast("double").alias("avg_quality"),
+    )
 
 
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -63,9 +63,9 @@ _q("q01_scan_count", "SELECT COUNT(*) AS n FROM lineitem")
 
 _q("q02_projection_expr", """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_quantity * (1 - l_discount) AS DECIMAL(18,4)) AS eff_qty
+       CAST(CAST(l_quantity * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS eff_qty
 FROM lineitem WHERE l_orderkey < 20 ORDER BY l_orderkey, l_linenumber
-""")
+""", note="decimal math internal, DOUBLE out (driver stringify contract)")
 
 _q("q03_filter_compound", """
 SELECT o_orderkey FROM orders
@@ -84,9 +84,9 @@ WHERE p_name LIKE '%ste%' AND p_brand IS NOT NULL ORDER BY p_partkey
 
 _q("q05_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
        COUNT(*) AS cnt
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -122,13 +122,13 @@ ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
 
 _q("q11_maxby_median_stats", """
 SELECT c_nationkey, max_by(c_name, c_acctbal) AS richest,
-       CAST(median(c_acctbal) AS DECIMAL(18,4)) AS med,
-       CAST(stddev_samp(c_acctbal) AS DECIMAL(18,4)) AS sd
+       CAST(CAST(median(c_acctbal) AS DECIMAL(18,4)) AS DOUBLE) AS med,
+       CAST(CAST(stddev_samp(c_acctbal) AS DECIMAL(18,4)) AS DOUBLE) AS sd
 FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 2 ORDER BY c_nationkey
 """)
 
 _q("q12_corr", """
-SELECT CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(10,6)) AS c FROM lineitem
+SELECT CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(10,6)) AS DOUBLE) AS c FROM lineitem
 """)
 
 # --- Joins ----------------------------------------------------------------
@@ -140,7 +140,7 @@ GROUP BY n_name ORDER BY n_name
 
 _q("q14_multiway_star", """
 SELECT r_name, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -226,22 +226,22 @@ _q("q25_frame_running", """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS run
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
 FROM orders ORDER BY o_custkey, o_orderkey LIMIT 300
 """)
 
 _q("q26_frame_sliding_avg", """
 SELECT event_id,
-       CAST(AVG(CAST(value AS DECIMAL(18,4))) OVER
+       CAST(CAST(AVG(CAST(value AS DECIMAL(18,4))) OVER
             (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS mavg
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS mavg
 FROM events ORDER BY event_id LIMIT 300
 """, needs_events_shim=True)
 
 _q("q27_percent_cume", """
 SELECT c_custkey,
-       CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DECIMAL(10,6)) AS pr,
-       CAST(CUME_DIST()   OVER (ORDER BY c_acctbal, c_custkey) AS DECIMAL(10,6)) AS cd
+       CAST(CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS DECIMAL(10,6)) AS DOUBLE) AS pr,
+       CAST(CAST(CUME_DIST()   OVER (ORDER BY c_acctbal, c_custkey) AS DECIMAL(10,6)) AS DOUBLE) AS cd
 FROM customer ORDER BY c_custkey
 """)
 
@@ -326,8 +326,8 @@ _q("q37_strftime",
 _q("q38_math", """
 SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS a,
        CAST(CEIL(l_quantity) AS BIGINT) AS c, CAST(FLOOR(l_quantity) AS BIGINT) AS f,
-       ROUND(l_extendedprice, 1) AS r, CAST(SQRT(l_quantity) AS DECIMAL(18,6)) AS sq,
-       CAST(POWER(l_tax + 1, 2) AS DECIMAL(18,6)) AS pw, MOD(l_orderkey, 7) AS md,
+       ROUND(l_extendedprice, 1) AS r, CAST(CAST(SQRT(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS sq,
+       CAST(CAST(POWER(l_tax + 1, 2) AS DECIMAL(18,6)) AS DOUBLE) AS pw, MOD(l_orderkey, 7) AS md,
        GREATEST(l_tax, l_discount) AS g, LEAST(l_tax, l_discount) AS l,
        CAST(SIGN(l_discount - 0.04) AS INTEGER) AS sg
 FROM lineitem WHERE l_orderkey < 15 ORDER BY l_orderkey, l_linenumber
@@ -345,12 +345,12 @@ FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey
 # --- Array / map / JSON ---------------------------------------------------
 
 _q("q40_array_ops", """
-SELECT vec_id, size(embedding) AS dim, CAST(embedding[0] AS DECIMAL(12,6)) AS e0,
-       CAST(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6)) AS s
+SELECT vec_id, size(embedding) AS dim, CAST(CAST(embedding[0] AS DECIMAL(12,6)) AS DOUBLE) AS e0,
+       CAST(CAST(aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS DECIMAL(18,6)) AS DOUBLE) AS s
 FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
 """, duckdb="""
-SELECT vec_id, len(embedding) AS dim, CAST(embedding[1] AS DECIMAL(12,6)) AS e0,
-       CAST(list_aggregate(embedding, 'sum') AS DECIMAL(18,6)) AS s
+SELECT vec_id, len(embedding) AS dim, CAST(CAST(embedding[1] AS DECIMAL(12,6)) AS DOUBLE) AS e0,
+       CAST(CAST(list_aggregate(embedding, 'sum') AS DECIMAL(18,6)) AS DOUBLE) AS s
 FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
 """, note="0-based vs 1-based indexing (SURVEY §2.4.8)")
 
@@ -364,9 +364,21 @@ SELECT doc_id, tok, COUNT(*) AS n FROM
 GROUP BY doc_id, tok ORDER BY doc_id, tok
 """)
 
+# The driver's pandas canonicalizer cannot sort raw array cells (round-1
+# q42 err), so the declared output is the '|'-joined string; the true
+# array-valued op keeps a lenient pytest oracle (ARRAY_Q42 below).
 _q("q42_array_agg_sorted",
-   "SELECT n_regionkey, sort_array(collect_list(n_name)) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
-   duckdb="SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+   "SELECT n_regionkey, array_join(sort_array(collect_list(n_name)), '|') AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+   duckdb="SELECT n_regionkey, array_to_string(array_agg(n_name ORDER BY n_name), '|') AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+   note="A12 array_agg ordered; '|' join distinguishes from q44's ',' string_agg")
+
+# True array output (A12) — compared by the value-normalized pytest oracle
+# only (tests/oracle/test_array_outputs.py); never sent through the driver.
+ARRAY_Q42 = QuerySpec(
+    "array_q42",
+    "SELECT n_regionkey, sort_array(collect_list(n_name)) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    duckdb="SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+)
 
 _q("q43_json_extract",
    "SELECT event_id, CAST(get_json_object(props,'$.k') AS INT) AS k FROM events WHERE event_id<50 ORDER BY event_id",
@@ -380,7 +392,7 @@ _q("q44_string_agg",
 
 _q("q45_tumbling_window", """
 SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
 FROM events GROUP BY 1, 2 ORDER BY w, event_type
 """, needs_events_shim=True)
 
@@ -398,12 +410,14 @@ WITH g AS (SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
      s AS (SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM g)
 SELECT user_id, sess, COUNT(*) AS n, MIN(ts) AS t0, MAX(ts) AS t1
 FROM s GROUP BY user_id, sess ORDER BY user_id, sess
 """, needs_events_shim=True,
-    note="Spark ts-ts yields DayTimeInterval; epoch-seconds form is portable (SURVEY §2.4.7)")
+    note="Spark ts-ts yields DayTimeInterval; epoch-seconds form is portable "
+         "(SURVEY §2.4.7). DuckDB SUM(int) is HUGEINT (fetchdf float64, "
+         "'3.0' != Spark '3') — sess CAST to BIGINT on the DuckDB side.")
 
 # --- LLM-pipeline ---------------------------------------------------------
 
@@ -413,23 +427,24 @@ _q("q47_exact_dedup",
 _q("q48_cosine_topk", """
 WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       CAST(aggregate(zip_with(e.embedding, probe.p, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+       CAST(CAST(aggregate(zip_with(e.embedding, probe.p, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
                       CAST(0 AS DOUBLE), (a,v) -> a+v)
             / (sqrt(aggregate(e.embedding, CAST(0 AS DOUBLE), (a,x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
              * sqrt(aggregate(probe.p,     CAST(0 AS DOUBLE), (a,x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-            AS DECIMAL(12,6)) AS sim
+            AS DECIMAL(12,6)) AS DOUBLE) AS sim
 FROM embeddings e CROSS JOIN probe WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5
 """, duckdb="""
 WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(probe.p AS DOUBLE[]))
-            AS DECIMAL(12,6)) AS sim
+       CAST(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(probe.p AS DOUBLE[]))
+            AS DECIMAL(12,6)) AS DOUBLE) AS sim
 FROM embeddings e, probe WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 5
-""", note="float32 math diverges in 6th decimal — DOUBLE-cast first (SURVEY §2.4.5)")
+""", note="float32 math diverges in 6th decimal — DOUBLE-cast first, "
+          "6-d.p. decimal snap, DOUBLE out (SURVEY §2.4.5 + §2.0 adds)")
 
 _q("q49_text_stats", """
 SELECT lang, COUNT(*) AS docs,
-       CAST(AVG(CAST(n_chars AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS avg_chars,
+       CAST(CAST(AVG(CAST(n_chars AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS avg_chars,
        MIN(n_chars) AS mn, MAX(n_chars) AS mx
 FROM documents GROUP BY lang ORDER BY lang
 """)
