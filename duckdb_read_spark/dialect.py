@@ -178,6 +178,18 @@ def _rewrite_calls(sql: str) -> str:
                 for k in ("split(", "array", "collect_list", "collect_set",
                           "sequence(", "transform(", "[")
             ) or any(h in arg for h in ARRAY_COLUMN_HINTS)
+            arg_toks = [t for t in toks[parts[0] + 1:close]
+                        if t.kind not in ("ws", "comment")]
+            if len(arg_toks) == 1 and arg_toks[0].kind == "ident" and not listish:
+                # Bare column with unknown type: the string assumption is a
+                # guess — fail loudly enough to be diagnosable (ADVICE r1).
+                import warnings
+
+                warnings.warn(
+                    f"dialect: len({arg}) rewritten to length() by heuristic; "
+                    "if the column is array-typed add it to ARRAY_COLUMN_HINTS",
+                    stacklevel=2,
+                )
             out.append("size" if listish else "length")
             i += 1
             changed = True

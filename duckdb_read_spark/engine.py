@@ -49,6 +49,7 @@ class Engine:
         spark: SparkSession | None = None,
         master: str = "local[*]",
         extensions_allowed: bool = True,
+        allow_arbitrary_extensions: bool = False,
     ) -> None:
         if spark is None:
             builder = SparkSession.builder.master(master).appName("duckdb_read_spark")
@@ -58,6 +59,7 @@ class Engine:
         apply_runtime_confs(spark)
         self.spark = spark
         self._extensions_allowed = extensions_allowed
+        self._allow_arbitrary_extensions = allow_arbitrary_extensions
         self._functions: dict[str, Callable] = {}
         self._extensions: dict[str, object] = {}
 
@@ -135,7 +137,17 @@ class Engine:
         """
         if not self._extensions_allowed:
             raise PermissionError("extensions disabled (safe mode)")
-        self._extensions[module_name] = importlib.import_module(module_name)
+        known = module_name in EXTENSION_ALIASES or module_name in EXTENSION_ALIASES.values()
+        if not known and not self._allow_arbitrary_extensions:
+            # SQL text must not be able to import arbitrary Python modules:
+            # the reference's unsigned-extension load likewise requires an
+            # explicit opt-in flag (/root/reference/duckdb:122-125).
+            raise PermissionError(
+                f"unknown extension {module_name!r}: not in EXTENSION_ALIASES; "
+                "pass allow_arbitrary_extensions=True to load arbitrary modules"
+            )
+        self._extensions[module_name] = importlib.import_module(
+            EXTENSION_ALIASES.get(module_name, module_name))
 
     def load(self, module_name: str) -> None:
         """LOAD analog: call the module's ``register(engine)`` entry symbol

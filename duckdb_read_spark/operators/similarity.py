@@ -38,9 +38,16 @@ def _norm(a):
 
 
 def cosine_scores(df: DataFrame, probe: list[float], vec_col: str = "embedding") -> DataFrame:
-    """Attach exact cosine similarity to ``probe`` as column ``sim``."""
+    """Attach exact cosine similarity to ``probe`` as column ``sim``.
+
+    A zero-norm vector (either side) gets sim=0.0, NOT NaN: Spark sorts NaN
+    greater than any double, so an unguarded 0/0 would rank zero vectors
+    first in ORDER BY sim DESC — and the pandas path maps the same case to
+    0.0, so both exact tiers must agree.
+    """
     p = F.array(*[F.lit(float(x)) for x in probe])
-    sim = _dot(F.col(vec_col), p) / (_norm(F.col(vec_col)) * _norm(p))
+    denom = _norm(F.col(vec_col)) * _norm(p)
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(F.col(vec_col), p) / denom)
     return df.withColumn("sim", sim)
 
 
@@ -78,7 +85,8 @@ def cosine_topk_pandas(
         StructField("sim", DoubleType(), True),
     ])
     p = np.asarray(probe, dtype=np.float64)
-    p = p / np.linalg.norm(p)
+    pn = np.linalg.norm(p)
+    p = p / pn if pn else p  # zero probe → all sims 0.0, matching cosine_scores
 
     def score(batches):
         for pdf in batches:

@@ -30,7 +30,8 @@ def running_totals(
     """
     import pandas as pd
 
-    out_schema = f"{key} LONG, n LONG, total DOUBLE"
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n LONG, total DOUBLE"
     state_schema = "n LONG, total DOUBLE"
 
     def fn(kt, pdf_iter, state: GroupState):

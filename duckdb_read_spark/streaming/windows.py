@@ -78,10 +78,17 @@ def session_aggs(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str | None = None):
     """Drain a stream into an in-memory table with availableNow semantics
     (process everything currently in the source, then stop). Returns the
-    query after awaiting termination; results at ``SELECT * FROM <name>``."""
+    query after awaiting termination; results at ``SELECT * FROM <name>``.
+
+    ``output_mode=None`` picks a mode the memory sink accepts: ``complete``
+    for aggregated plans, ``append`` otherwise (the memory sink rejects
+    complete for non-aggregated streams, e.g. stream_dedup output)."""
+    if output_mode is None:
+        analyzed = stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in analyzed else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

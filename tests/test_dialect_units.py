@@ -6,6 +6,8 @@ tests/oracle/test_dialect_roundtrip.py proves them against both engines.
 
 from __future__ import annotations
 
+import pytest
+
 from duckdb_read_spark.dialect import convert_strftime_format, to_spark_sql
 from duckdb_read_spark.engine import split_statements
 
@@ -113,12 +115,19 @@ def test_strftime_escaped_percent():
 
 
 def test_len_string_vs_array():
-    assert to_spark_sql("SELECT len(p_name) FROM part") == \
-        "SELECT length(p_name) FROM part"
-    assert to_spark_sql("SELECT len(string_split(x,' '))") == \
-        "SELECT size(split(x,' '))"
-    assert to_spark_sql("SELECT len(embedding) FROM embeddings") == \
-        "SELECT size(embedding) FROM embeddings"
+    import warnings
+
+    # bare column of unknown type: heuristic picks length() and warns
+    with pytest.warns(UserWarning, match="ARRAY_COLUMN_HINTS"):
+        assert to_spark_sql("SELECT len(p_name) FROM part") == \
+            "SELECT length(p_name) FROM part"
+    # list-shaped args and hinted columns resolve silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert to_spark_sql("SELECT len(string_split(x,' '))") == \
+            "SELECT size(split(x,' '))"
+        assert to_spark_sql("SELECT len(embedding) FROM embeddings") == \
+            "SELECT size(embedding) FROM embeddings"
 
 
 def test_date_diff_boundary_rewrites():

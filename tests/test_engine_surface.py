@@ -117,9 +117,12 @@ def test_udtf_split_words(udf_engine):
 
 # --- extension registry + safe mode (D1/D3) -------------------------------
 
-def test_extension_requires_register_symbol(engine):
+def test_extension_requires_register_symbol(spark):
+    from duckdb_read_spark import Engine
+
+    permissive = Engine(spark=spark, allow_arbitrary_extensions=True)
     with pytest.raises(ValueError, match="register"):
-        engine.load("duckdb_read_spark.oracle")  # a module with no register()
+        permissive.load("duckdb_read_spark.oracle")  # a module with no register()
 
 
 def test_safe_mode_blocks_extensions(spark):
@@ -128,6 +131,23 @@ def test_safe_mode_blocks_extensions(spark):
     safe = Engine(spark=spark, extensions_allowed=False)
     with pytest.raises(PermissionError):
         safe.install("duckdb_read_spark.extensions.vector_ext")
+
+
+def test_unknown_extension_blocked_by_default(spark):
+    """SQL text must not be able to import arbitrary Python modules: INSTALL
+    of a non-allowlisted dotted path needs an explicit opt-in (ADVICE r1)."""
+    from duckdb_read_spark import Engine
+
+    e = Engine(spark=spark)
+    with pytest.raises(PermissionError, match="EXTENSION_ALIASES"):
+        e.sql("INSTALL os.path")
+    with pytest.raises(PermissionError, match="EXTENSION_ALIASES"):
+        e.install("subprocess")
+    # aliased name still works via SQL, and the opt-in flag restores the
+    # arbitrary-module path for programmatic use
+    assert e.sql("INSTALL vector").count() == 0
+    opt_in = Engine(spark=spark, allow_arbitrary_extensions=True)
+    opt_in.install("duckdb_read_spark.extensions.vector_ext")
 
 
 # --- EXPLAIN (D2) + CLI (E1) ----------------------------------------------

@@ -221,6 +221,29 @@ def test_cosine_topk_pandas_matches_expression_path(embeddings):
     assert a == b
 
 
+def test_zero_norm_vectors_rank_last_in_both_exact_paths(spark):
+    """A zero vector must score sim=0.0 (not NaN) in BOTH exact tiers:
+    Spark sorts NaN above every double, so an unguarded 0/0 would rank zero
+    vectors FIRST in ORDER BY sim DESC (ADVICE r1)."""
+    import math
+
+    from duckdb_read_spark.operators import cosine_topk, cosine_topk_pandas
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = [1.0, 0.0]
+    for fn in (cosine_topk, cosine_topk_pandas):
+        got = fn(df, probe, k=3).collect()
+        sims = {r["vec_id"]: r["sim"] for r in got}
+        assert not any(math.isnan(s) for s in sims.values())
+        assert sims[2] == 0.0
+        assert [r["vec_id"] for r in got] == [1, 3, 2]
+    # zero PROBE: every sim is 0.0, never NaN, in both paths
+    for fn in (cosine_topk, cosine_topk_pandas):
+        got = fn(df, [0.0, 0.0], k=3).collect()
+        assert [r["sim"] for r in got] == [0.0, 0.0, 0.0]
+
+
 def test_ann_topk_finds_planted_neighbor(spark):
     """LSH preserves actual neighborhoods, not rankings over structureless
     random data — so the test plants a true near-duplicate of the probe and

@@ -98,3 +98,41 @@ def test_stream_dedup_within_watermark_bounded_state(spark, two_batch_dir):
     rows = spark.table("t_sdedup").collect()
     keys = [(r["user_id"], r["ts"]) for r in rows]
     assert len(keys) == len(set(keys)) == 4  # f0 ∪ f1, f2's repeats dropped
+
+
+def test_running_totals_string_key(spark, tmp_path):
+    """Key schema is derived from the input, not hardcoded LONG — a string
+    user id must stream through without a state-schema mismatch (ADVICE r1)."""
+    import pandas as pd
+
+    d = str(tmp_path / "skey")
+    os.makedirs(d)
+    pd.DataFrame({
+        "user_id": ["alice", "alice", "bob"],
+        "value": [1.0, 2.0, 5.0],
+    }).to_parquet(os.path.join(d, "part.parquet"))
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_running_str")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = {r["user_id"]: (r["n"], r["total"])
+              for r in spark.table("t_running_str").collect()}
+    assert latest == {"alice": (2, 3.0), "bob": (1, 5.0)}
+
+
+def test_run_to_memory_default_mode_for_non_aggregated_stream(spark, two_batch_dir):
+    """run_to_memory with no explicit mode must not crash on a
+    non-aggregated plan (memory sink rejects complete there; ADVICE r1)."""
+    from duckdb_read_spark.streaming.windows import run_to_memory
+
+    schema = spark.read.parquet(os.path.join(two_batch_dir, "f0")).schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(two_batch_dir, "f*"))
+    run_to_memory(stream_dedup(stream, ["user_id", "ts"]), "t_default_mode")
+    assert spark.table("t_default_mode").count() == 4
