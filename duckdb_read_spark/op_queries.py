@@ -317,11 +317,11 @@ def _q68(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_op("q69_decode_image", None,
-     note="multimodal decode plumbing over synthetic binary assets; "
-          "deterministic fake decoder (codec libs absent, SURVEY north-star)")
+     note="multimodal decode over real planted P6 bitmaps: strict mode, "
+          "true dimensions from the self-contained parser (SURVEY north-star)")
 def _q69(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = ops.make_demo_assets(spark, n=64)
-    feats = ops.decode_image(assets)
+    assets = ops.make_demo_assets(spark, n=64)  # real decodable PPM bytes
+    feats = ops.decode_image(assets, strict=True)
     return feats.select("asset_id", "width", "height", "channels").orderBy("asset_id")
 
 

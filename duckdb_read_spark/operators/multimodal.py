@@ -7,11 +7,14 @@ URI for large assets). Decode/feature kernels are Arrow-batched
 partitioning) is real and tested even where the actual codec library is
 absent from this environment.
 
-Codec status: pillow/librosa/av are NOT installed here. ``decode_image``
-therefore runs a clearly-marked deterministic FAKE decoder (shape metadata
-from a seeded hash of the bytes) unless ``strict=True``, in which case it
-raises NotImplementedError at evaluation time. The surrounding plumbing —
-schemas, batching, partition sizing — is the deliverable and is tested.
+Codec status: pillow/librosa/av are NOT installed here, but ``decode_image``
+has a REAL self-contained path for the formats a header/raster parse can
+handle without any library: full pixel decode for PPM/PGM (P6/P5) and
+uncompressed 24/32-bit BMP (numpy over the raw raster), dimensions-only for
+PNG (IHDR) and GIF (logical screen descriptor). Unrecognized bytes fall
+back to a clearly-marked deterministic FAKE (shape metadata from a seeded
+hash) unless ``strict=True``, in which case they raise NotImplementedError
+at evaluation time.
 """
 
 from __future__ import annotations
@@ -51,6 +54,103 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
+def _parse_pnm(content: bytes):
+    """P6 (RGB) / P5 (gray) binary netpbm: ASCII header, raw raster."""
+    import re as _re
+
+    import numpy as np
+
+    m = _re.match(
+        rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+        rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s", content)
+    if not m:
+        return None
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval > 255:
+        return None  # 2-byte samples: out of scope
+    ch = 3 if magic == b"P6" else 1
+    raster = content[m.end():m.end() + w * h * ch]
+    if len(raster) < w * h * ch:
+        return w, h, ch, None  # truncated raster: dims still trustworthy
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    return w, h, ch, px
+
+
+def _parse_bmp(content: bytes):
+    """Uncompressed (BI_RGB) 24/32-bit BMP; rows 4-byte padded, bottom-up."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_off, = struct.unpack_from("<I", content, 10)
+    w, h_signed = struct.unpack_from("<ii", content, 18)
+    bpp, = struct.unpack_from("<H", content, 28)
+    compression, = struct.unpack_from("<I", content, 30)
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        return None
+    ch = bpp // 8
+    if compression != 0 or ch not in (3, 4):
+        return w, h, max(ch, 1), None  # dims from header; raster not handled
+    stride = (w * ch + 3) & ~3
+    raster = content[data_off:data_off + stride * h]
+    if len(raster) < stride * h:
+        return w, h, ch, None
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : w * ch]
+    px = rows.reshape(h, w, ch)
+    if h_signed > 0:
+        px = px[::-1]  # bottom-up storage → top-down
+    return w, h, ch, np.ascontiguousarray(px[..., ::-1])  # BGR(A) → RGB(A)
+
+
+def _parse_png_header(content: bytes):
+    import struct
+
+    if len(content) < 26 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w, h = struct.unpack_from(">II", content, 16)
+    color_type = content[25]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if ch is None or w == 0 or h == 0:
+        return None
+    return w, h, ch, None  # raster needs zlib+unfilter: dims-only tier
+
+
+def _parse_gif_header(content: bytes):
+    import struct
+
+    if len(content) < 10 or content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", content, 6)
+    if w == 0 or h == 0:
+        return None
+    return w, h, 3, None
+
+
+def _real_decode(content: bytes):
+    """Try each self-contained parser; (w, h, channels, pixels|None) or None."""
+    if not content:
+        return None
+    for parser in (_parse_pnm, _parse_bmp, _parse_png_header, _parse_gif_header):
+        out = parser(content)
+        if out is not None:
+            return out
+    return None
+
+
+def _pixel_embedding(px, embed_dim: int) -> list[float]:
+    """Deterministic content embedding from decoded pixels: an L1-normalized
+    luma histogram with ``embed_dim`` bins (executor-order independent)."""
+    import numpy as np
+
+    luma = px.astype(np.float64).mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
+    hist, _ = np.histogram(luma, bins=embed_dim, range=(0.0, 255.0))
+    total = hist.sum()
+    return [float(x) / total for x in hist] if total else [0.0] * embed_dim
+
+
 def _fake_decode(content: bytes, embed_dim: int) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real decoder: derives shape + a unit
     'embedding' from a hash of the bytes. Same bytes → same output on every
@@ -72,22 +172,32 @@ def decode_image(
 ) -> DataFrame:
     """Decode image bytes → (shape, embedding) via Arrow-batched mapInPandas.
 
-    ``strict=True`` raises NotImplementedError (no codec library in this
-    environment); default uses the deterministic fake so the pipeline shape
-    is exercisable end-to-end.
+    Real self-contained decode for PPM/PGM and uncompressed BMP (true
+    dimensions AND a pixel-content embedding), dimensions-only for PNG/GIF
+    headers (embedding NULL). Bytes none of those parsers recognize (JPEG,
+    compressed PNG rasters, …) raise NotImplementedError under
+    ``strict=True``; otherwise they go through the deterministic fake so the
+    pipeline shape stays exercisable end-to-end.
     """
     import pandas as pd
 
     def kernel(batches):
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires pillow; not available in this environment"
-                )
-            rows = [
-                (int(i), *_fake_decode(c, embed_dim))
-                for i, c in zip(pdf[id_col], pdf[content_col])
-            ]
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c) if c is not None else b""
+                real = _real_decode(c)
+                if real is not None:
+                    w, h, ch, px = real
+                    emb = _pixel_embedding(px, embed_dim) if px is not None else None
+                    rows.append((int(i), w, h, ch, emb))
+                elif strict:
+                    raise NotImplementedError(
+                        "no self-contained codec for these bytes (JPEG/compressed "
+                        "rasters need pillow, which is not in this environment)"
+                    )
+                else:
+                    rows.append((int(i), *_fake_decode(c, embed_dim)))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "channels", "embedding"]
             )
@@ -113,10 +223,34 @@ def sample_frames(
     return df.withColumn("frame_idx", F.explode(idx))
 
 
-def make_demo_assets(spark, n: int = 64) -> DataFrame:
-    """Synthesize deterministic binary assets for tests (seeded bytes)."""
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """A real, decodable P6 image: deterministic per-pixel gradient."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    raster = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            o = (y * width + x) * 3
+            raster[o] = (x * 7 + seed) % 256
+            raster[o + 1] = (y * 11 + seed * 3) % 256
+            raster[o + 2] = (x + y + seed * 5) % 256
+    return header + bytes(raster)
+
+
+def make_demo_assets(spark, n: int = 64, fmt: str = "ppm") -> DataFrame:
+    """Synthesize deterministic binary assets for tests.
+
+    ``fmt='ppm'`` (default) emits REAL P6 images with per-asset dimensions,
+    so decode_image(strict=True) exercises the genuine parse path;
+    ``fmt='raw'`` emits unparseable seeded bytes for the fake/strict-error
+    paths."""
     rows = []
     for i in range(n):
-        content = hashlib.sha256(f"asset-{i}".encode()).digest() * 4
-        rows.append((i, "image", bytearray(content), None, "image/fake"))
+        if fmt == "ppm":
+            w, h = 8 + (i % 5) * 4, 6 + (i % 7) * 3
+            content = make_ppm(w, h, seed=i)
+            rows.append((i, "image", bytearray(content), None,
+                         "image/x-portable-pixmap"))
+        else:
+            content = hashlib.sha256(f"asset-{i}".encode()).digest() * 4
+            rows.append((i, "image", bytearray(content), None, "image/fake"))
     return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -316,12 +316,53 @@ def test_decode_image_plumbing(spark):
     assert all(again[r["asset_id"]] == r["embedding"] for r in rows)
 
 
-def test_decode_image_strict_raises(spark):
+def test_decode_image_strict_raises_on_unparseable_bytes(spark):
     from duckdb_read_spark.operators import decode_image, make_demo_assets
 
-    assets = make_demo_assets(spark, n=4)
+    assets = make_demo_assets(spark, n=4, fmt="raw")
     with pytest.raises(Exception, match="NotImplementedError|pillow"):
         decode_image(assets, strict=True).collect()
+
+
+def test_decode_image_real_formats_true_dimensions(spark):
+    """Planted PPM / BMP / PNG / GIF bytes decode to their TRUE dimensions
+    under strict=True (self-contained parsers, no codec library)."""
+    import struct
+    import zlib
+
+    from duckdb_read_spark.operators import decode_image
+    from duckdb_read_spark.operators.multimodal import ASSET_SCHEMA, make_ppm
+
+    # 24-bit bottom-up BMP, 5x3, all-red pixels
+    w, h, ch = 5, 3, 3
+    stride = (w * ch + 3) & ~3
+    raster = b"".join(
+        (b"\x00\x00\xff" * w).ljust(stride, b"\x00") for _ in range(h))
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                         2835, 2835, 0, 0) + raster)
+    # Minimal PNG: signature + IHDR (7x9 RGBA); raster chunks irrelevant for dims
+    ihdr = struct.pack(">II", 7, 9) + bytes([8, 6, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    gif = b"GIF89a" + struct.pack("<HH", 11, 4) + b"\x00" * 6
+    rows = [
+        (1, "image", bytearray(make_ppm(10, 6, seed=2)), None, "image/x-portable-pixmap"),
+        (2, "image", bytearray(bmp), None, "image/bmp"),
+        (3, "image", bytearray(png), None, "image/png"),
+        (4, "image", bytearray(gif), None, "image/gif"),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in decode_image(df, strict=True, embed_dim=4).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (10, 6, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (5, 3, 3)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"]) == (7, 9, 4)
+    assert (got[4]["width"], got[4]["height"], got[4]["channels"]) == (11, 4, 3)
+    # pixel tiers carry a content embedding; header-only tiers are NULL
+    assert got[1]["embedding"] is not None and abs(sum(got[1]["embedding"]) - 1.0) < 1e-9
+    # all-red BMP: every luma value 85 → single hist bin gets everything
+    assert got[2]["embedding"] == [0.0, 1.0, 0.0, 0.0]
+    assert got[3]["embedding"] is None and got[4]["embedding"] is None
 
 
 def test_sample_frames(spark):
