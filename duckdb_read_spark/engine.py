@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .conf import BUILD_CONFS, RUNTIME_CONFS, apply_runtime_confs
-from . import catalog
+from . import catalog, snapshots
 from .dialect import to_spark_sql
 
 
@@ -62,6 +62,7 @@ class Engine:
         self._allow_arbitrary_extensions = allow_arbitrary_extensions
         self._functions: dict[str, Callable] = {}
         self._extensions: dict[str, object] = {}
+        self._versioned: dict[str, str] = {}  # view name -> table_dir
 
     # -- sources (binder name resolution analog, /root/reference/duckdb:34-37)
 
@@ -83,6 +84,73 @@ class Engine:
         df = self.spark.read.json(path, schema=schema)
         df.createOrReplaceTempView(name)
         return df
+
+    # -- versioned tables (table-format/metadata-log theme,
+    #    /root/reference/metadata:1-17; snapshots.py holds the log protocol)
+
+    def write_versioned(self, df: DataFrame, table_dir: str,
+                        mode: str = "overwrite"):
+        """Commit ``df`` as the next snapshot of a versioned table."""
+        return snapshots.write_table(df, table_dir, mode=mode)
+
+    def register_versioned(
+        self,
+        name: str,
+        table_dir: str,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        """Register a snapshot of a versioned table as view ``name``.
+
+        Default = latest snapshot; ``version=`` / ``as_of_ms=`` time-travel.
+        The name also becomes addressable in SQL as
+        ``name VERSION AS OF <n>`` / ``name TIMESTAMP AS OF '<ts>'``.
+        """
+        df = snapshots.read_table(self.spark, table_dir, version, as_of_ms)
+        df.createOrReplaceTempView(name)
+        self._versioned[name] = table_dir
+        return df
+
+    def table_history(self, name_or_dir: str) -> list[dict]:
+        """Commit history (DESCRIBE HISTORY analog) by view name or path."""
+        return snapshots.history(self._versioned.get(name_or_dir, name_or_dir))
+
+    def _resolve_time_travel(self, query: str) -> str:
+        """Rewrite ``<name> [FOR] VERSION AS OF <n>`` and ``<name> [FOR]
+        TIMESTAMP AS OF '<ts>'`` over registered versioned tables into
+        snapshot-pinned temp views (Delta/Iceberg SQL surface analog)."""
+        if not self._versioned or " AS OF " not in query.upper():
+            return query
+
+        def sub(m: re.Match) -> str:
+            name = m.group("name")
+            table_dir = self._versioned.get(name)
+            if table_dir is None:
+                return m.group(0)
+            if m.group("kind").upper() == "VERSION":
+                version = int(m.group("lit").strip("'\""))
+                view = f"{name}__asof_v{version}"
+                df = snapshots.read_table(self.spark, table_dir, version=version)
+            else:
+                from datetime import datetime, timezone
+
+                txt = m.group("lit").strip("'\"")
+                dt = datetime.fromisoformat(txt)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                as_of_ms = int(dt.timestamp() * 1000)
+                resolved, _ = snapshots.resolve_snapshot(table_dir, as_of_ms=as_of_ms)
+                view = f"{name}__asof_v{resolved}"
+                df = snapshots.read_table(self.spark, table_dir, version=resolved)
+            df.createOrReplaceTempView(view)
+            return view
+
+        pat = re.compile(
+            r"(?P<name>[A-Za-z_]\w*)\s+(?:FOR\s+)?(?P<kind>VERSION|TIMESTAMP)"
+            r"\s+AS\s+OF\s+(?P<lit>'[^']*'|\d+)",
+            re.IGNORECASE,
+        )
+        return pat.sub(sub, query)
 
     def register_fixture_dir(self, sf_dir: str) -> None:
         """Register the standard fixture tables from a testdata directory."""
@@ -110,6 +178,7 @@ class Engine:
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         if dialect == "duckdb":
             query = to_spark_sql(query)
+        query = self._resolve_time_travel(query)
         return self.spark.sql(query)
 
     def execute(self, script: str, dialect: str = "spark") -> list[DataFrame]:
