@@ -120,6 +120,24 @@ def main() -> None:
     ):
         extra[name] = round(_time_op(name), 4)
 
+    # Scale-honesty counters (VERDICT r1 item 9): the dedup benches are
+    # only meaningful relative to how many candidate pairs the banding
+    # emitted — a candidate explosion shows up here as a number even when
+    # wall-time still looks fine at small SF.
+    from duckdb_read_spark import operators as ops
+    from duckdb_read_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counters = {
+        "documents_rows": docs.count(),
+        # all pairs sharing >=1 shingle (threshold=0 keeps everything)
+        "q55_candidate_pairs": ops.ngram_jaccard_pairs(docs, n=3, threshold=0.0).count(),
+        "q55_pairs_emitted": ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count(),
+        # all band-bucket collisions (max_hamming=64 disables the verify cut)
+        "q66_candidate_pairs": ops.simhash_candidates(docs, max_hamming=64, bands=4).count(),
+        "q66_pairs_emitted": ops.simhash_candidates(docs, max_hamming=3, bands=4).count(),
+    }
+
     sf = None
     tail = os.path.basename(os.path.normpath(sf_dir))
     if tail.startswith("sf"):
@@ -134,6 +152,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "operator_queries": extra,
+        "scale_counters": counters,
         "sf": sf,
     }
     print(json.dumps(result))

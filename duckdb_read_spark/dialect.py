@@ -23,7 +23,8 @@ Handled (SURVEY §2.4 item numbers):
      list_cosine_similarity→HOF expression, named WINDOW clause inlining.
 
 Not handled textually (use the operator API instead): ASOF JOIN
-(operators.asof.asof_join), INTERVAL comparison of timestamp differences.
+(operators.asof.asof_join). Timestamp-difference INTERVAL comparison
+needs no rewrite: Spark's ANSI DayTimeInterval comparison matches DuckDB.
 """
 
 from __future__ import annotations

@@ -7,12 +7,13 @@ hand-written per-dialect texts): it proves the rewriter alone closes the
 mechanical §2.4 divergences.
 
 Exclusions (semantic, not mechanical — documented in dialect.py):
-- q36_date_arith: result-TYPE divergence (date+interval, datediff width)
-  needs context-dependent cast injection, which the hand-written Spark text
-  carries (§2.4.2/3).
-- q46_sessionize: timestamp-minus-timestamp INTERVAL comparison (§2.4.7).
 - q50_asof_join: ASOF JOIN is an operator-API feature (operators.asof),
   not a textual rewrite.
+
+q36 (date+interval, date_diff width) round-trips since the rewriter casts
+date_diff to BIGINT and the normalizer equates DATE with midnight
+TIMESTAMP; q46 (ts - ts > INTERVAL) round-trips because Spark's ANSI
+DayTimeInterval comparison matches DuckDB's interval comparison.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from duckdb_read_spark.dialect import to_spark_sql
 from duckdb_read_spark.oracle import diff_summary, duckdb_rows, spark_rows
 from duckdb_read_spark.queries import QUERIES
 
-_EXCLUDED = {"q36_date_arith", "q46_sessionize", "q50_asof_join"}
+_EXCLUDED = {"q50_asof_join"}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - _EXCLUDED))

@@ -92,6 +92,69 @@ def test_session_stats_matches_q46_oracle(engine, events):
     assert spark_rows(got) == spark_rows(want)
 
 
+def test_sessionize_presplit_equivalent_on_fixture(engine, events):
+    """SCALE.md §3.1 mitigation: (key, day-bucket) windows + stitch must
+    reproduce the single-window session index exactly (q46 oracle shape)."""
+    from duckdb_read_spark.operators import session_stats
+    from duckdb_read_spark.queries import QUERIES
+
+    got = session_stats(events, presplit="1 day")
+    want = engine.sql(QUERIES["q46_sessionize"].spark)
+    assert spark_rows(got) == spark_rows(want)
+
+
+def test_sessionize_presplit_boundary_cases(spark):
+    """Sessions that span a bucket boundary, gaps that span one, and empty
+    buckets in between must all stitch to the unbounded-window answer."""
+    from duckdb_read_spark.operators import sessionize
+
+    day = 86400
+    rows = [
+        # key 1: session crosses midnight (gap 600s < 1800s)
+        (1, day - 300, 0), (1, day + 300, 1),
+        # then a >gap break inside day 2
+        (1, day + 3000, 2),
+        # then two empty days, then a new session (boundary gap >> 1800)
+        (1, 3 * day + 50, 3),
+        # key 2: break exactly at a boundary with gap > 1800
+        (2, day - 1000, 0), (2, day + 1000, 1),
+        # key 2: equal-gap edge (exactly 1800 is NOT a break)
+        (2, day + 2800, 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, tsd long, event_id int").withColumn(
+        "ts", F.col("tsd").cast("timestamp")
+    )
+    base = {
+        (r["user_id"], r["event_id"]): r["sess"]
+        for r in sessionize(df).collect()
+    }
+    split = {
+        (r["user_id"], r["event_id"]): r["sess"]
+        for r in sessionize(df, presplit="1 day").collect()
+    }
+    assert split == base
+    # and the hand-checked expectation, so both paths can't be wrong together
+    assert base[(1, 0)] == base[(1, 1)] != base[(1, 2)] != base[(1, 3)]
+    assert base[(2, 0)] != base[(2, 1)] == base[(2, 2)]
+
+
+def test_sessionize_presplit_requires_bucket_gt_gap(spark):
+    from duckdb_read_spark.operators import sessionize
+
+    df = spark.createDataFrame([(1, 0, 0)], "user_id int, ts int, event_id int")
+    with pytest.raises(ValueError, match="must exceed"):
+        sessionize(df, gap_seconds=3600, presplit="1 hour")
+
+
+def test_sessionize_presplit_plan_partitions_on_bucket(spark, events):
+    """The big window's exchange must hash on (key, bucket), not key alone."""
+    from duckdb_read_spark.operators import sessionize
+    from duckdb_read_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(sessionize(events, presplit="1 day"))
+    assert "__bkt" in plan, plan[:2000]
+
+
 # --- dedup ---------------------------------------------------------------
 
 def test_dedup_exact_counts(engine, docs_with_dups):
