@@ -523,6 +523,80 @@ def _q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_op("q79_sessionize_presplit", QUERIES["q46_sessionize"].duckdb_sql,
+     note="sessionize(presplit='1 day') — the SCALE.md §3.1 hot-key "
+          "mitigation must reproduce the single-window q46 answer exactly")
+def _q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ops.session_stats(ev, key="user_id", ts="ts", gap_seconds=1800,
+                             presplit="1 day")
+
+
+@_op("q80_dup_clusters", """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-1)) AS i FROM toks)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a AS node, a AS r FROM edges
+          UNION
+          SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.node)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
+""", note="connected components over q55's near-dup pairs: iterative "
+          "min-label propagation on Spark vs WITH RECURSIVE transitive "
+          "closure on DuckDB — the pairs→clusters step of a dedup pipeline")
+def _q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return ops.duplicate_clusters(pairs).orderBy("doc_id")
+
+
+_S81 = ops.hash_threshold(0.2)
+
+
+@_op("q81_hash_sample", f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_S81}'
+ORDER BY doc_id
+""", note="deterministic md5-prefix sampling (reproducible across "
+          "partitioning/retries/engines, unlike DataFrame.sample)")
+def _q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.sample_by_hash(docs, 0.2, key_col="doc_id").select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+_S82 = {lang: ops.hash_threshold(f)
+        for lang, f in (("en", 0.1), ("de", 0.5), ("zh", 0.0))}
+
+
+@_op("q82_stratified_sample", f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's'), 1, 8) <
+      CASE lang WHEN 'en' THEN '{_S82["en"]}' WHEN 'de' THEN '{_S82["de"]}'
+                WHEN 'zh' THEN '{_S82["zh"]}'
+                ELSE '{ops.hash_threshold(1.0)}' END
+ORDER BY doc_id
+""", note="per-stratum deterministic sampling: downsample dominant en, "
+          "drop zh, keep rare strata whole — the corpus-mix primitive")
+def _q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.stratified_sample_by_hash(
+        docs, key_col="doc_id", strata_col="lang",
+        fractions={"en": 0.1, "de": 0.5, "zh": 0.0}, default_fraction=1.0,
+        salt="s",
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

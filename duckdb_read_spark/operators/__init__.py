@@ -2,13 +2,21 @@
 
 from .asof import asof_join
 from .dedup import (
+    attach_clusters,
     dedup_exact,
+    duplicate_clusters,
     embedding_neardup_pairs,
     exact_dup_groups,
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidates,
+)
+from .sampling import (
+    hash_split,
+    hash_threshold,
+    sample_by_hash,
+    stratified_sample_by_hash,
 )
 from .groupmap import zscore_normalize_pandas, zscore_normalize_window
 from .pipeline import clean_corpus, corpus_report
@@ -42,6 +50,12 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "duplicate_clusters",
+    "attach_clusters",
+    "sample_by_hash",
+    "stratified_sample_by_hash",
+    "hash_split",
+    "hash_threshold",
     "sessionize",
     "session_stats",
     "cosine_scores",

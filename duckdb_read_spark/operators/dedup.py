@@ -252,3 +252,82 @@ def embedding_neardup_pairs(
     return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# --- duplicate clustering (connected components) --------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every node in
+    ``pairs`` gets ``cluster_col`` = the minimum id reachable from it, so a
+    chain a-b, b-c collapses to one cluster labeled a (the pairs→clusters
+    step of a dedup pipeline — pair emitters alone over-keep: keep-min on
+    a-b and b-c would keep both a and b even though a~c transitively).
+
+    Min-label propagation, one round per graph-diameter hop: each iteration
+    is (edges ⋈ labels) → groupBy min → (labels ⋈ update), all hash
+    shuffles on the node id — no driver-side graph. Near-dup clusters are
+    stars/cliques around a template (diameter ≤ ~4), so this converges in
+    a handful of rounds; ``localCheckpoint`` truncates the join lineage so
+    plan size stays constant across rounds (at cluster scale, prefer a
+    reliable ``checkpoint`` dir over executor-local blocks).
+    """
+    fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
+    edges = fwd.union(
+        fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("__src").alias("__node")).distinct()
+        .withColumn("__label", F.col("__node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["__dst"] == labels["__node"])
+            .groupBy("__src").agg(F.min("__label").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["__node"] == nbr_min["__src"], "left")
+            .select(
+                F.col("__node"),
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))
+                ).alias("__label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "__node")
+            .filter(F.col("n.__label") != F.col("o.__label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__node").alias(out_id), F.col("__label").alias(cluster_col)
+    )
+
+
+def attach_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Join cluster labels back onto the corpus: docs in no pair become
+    singleton clusters of themselves; ``df.filter(col(id_col) ==
+    col(cluster_col))`` is then the deduplicated corpus (one survivor per
+    cluster, the minimum id)."""
+    labels = duplicate_clusters(pairs, id_a, id_b, out_id=id_col, cluster_col=cluster_col)
+    return df.join(labels, on=id_col, how="left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )

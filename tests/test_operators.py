@@ -567,3 +567,124 @@ def test_sample_frames_zero_frames(spark):
     df = spark.createDataFrame([(1, 25), (2, 0)], "asset_id LONG, n_frames INT")
     rows = sample_frames(df).collect()
     assert all(r["asset_id"] == 1 for r in rows) and len(rows) == 3
+
+
+# --- duplicate clustering -------------------------------------------------
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """a-b, b-c, and separately d-e: clusters must close transitively
+    (keep-min on raw pairs would wrongly keep both a and b)."""
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Random graph vs a plain union-find ground truth."""
+    import random
+
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+    # union-find roots are not guaranteed minimal; normalize per component
+    comp: dict[int, list[int]] = {}
+    for n, r in want.items():
+        comp.setdefault(r, []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_attach_clusters_survivors(spark, docs_with_dups):
+    """attach_clusters gives every doc a cluster (singletons = self) and
+    filtering doc_id == cluster_id yields exactly one survivor per
+    content group."""
+    from duckdb_read_spark.operators import attach_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5)
+    labeled = attach_clusters(docs_with_dups, pairs)
+    assert labeled.count() == docs_with_dups.count()
+    assert labeled.filter(F.col("cluster_id").isNull()).count() == 0
+    survivors = labeled.filter(F.col("doc_id") == F.col("cluster_id"))
+    # exact dups (jaccard 1.0) are in some pair, so each planted dup's
+    # cluster keeps only the original (min id)
+    assert survivors.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+# --- deterministic sampling -----------------------------------------------
+
+def test_sample_by_hash_deterministic_and_stable(documents):
+    from duckdb_read_spark.operators import sample_by_hash
+
+    s1 = sorted(r["doc_id"] for r in sample_by_hash(documents, 0.2, "doc_id").collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in sample_by_hash(documents.repartition(13), 0.2, "doc_id").collect()
+    )
+    assert s1 == s2, "sample must not depend on physical partitioning"
+    n = documents.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+    # independent salt → different (but same-sized-ish) sample
+    s3 = sorted(r["doc_id"] for r in sample_by_hash(documents, 0.2, "doc_id", salt="x").collect())
+    assert s3 != s1
+
+
+def test_sample_by_hash_edge_fractions(documents):
+    from duckdb_read_spark.operators import sample_by_hash
+
+    assert sample_by_hash(documents, 0.0, "doc_id").count() == 0
+    assert sample_by_hash(documents, 1.0, "doc_id").count() == documents.count()
+
+
+def test_stratified_sample_fractions(documents):
+    from duckdb_read_spark.operators import stratified_sample_by_hash
+
+    got = stratified_sample_by_hash(
+        documents, key_col="doc_id", strata_col="lang",
+        fractions={"en": 0.0, "de": 1.0}, default_fraction=0.5,
+    )
+    by_lang = {r["lang"]: r["n"] for r in
+               got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "en" not in by_lang
+    assert by_lang["de"] == base["de"]
+    for lang in set(base) - {"en", "de"}:
+        assert 0 < by_lang.get(lang, 0) < base[lang]
+
+
+def test_hash_split_partitions_everything(documents):
+    from duckdb_read_spark.operators import hash_split
+
+    tagged = hash_split(documents, "doc_id", eval_fraction=0.1)
+    counts = {r["split"]: r["n"] for r in
+              tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == documents.count()
+    assert set(counts) == {"train", "eval"}
+    # same key always lands on the same side
+    again = hash_split(documents.repartition(7), "doc_id", eval_fraction=0.1)
+    a = {r["doc_id"]: r["split"] for r in tagged.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in again.select("doc_id", "split").collect()}
+    assert a == b
