@@ -20,7 +20,10 @@ Handled (SURVEY §2.4 item numbers):
      VARCHAR→STRING, UNNEST→explode, array_agg(x ORDER BY x)→
      sort_array(collect_list(x)), string_agg(x,sep ORDER BY x)→
      array_join(sort_array(collect_list(x)),sep),
-     list_cosine_similarity→HOF expression, named WINDOW clause inlining.
+     list_cosine_similarity→HOF expression, named WINDOW clause inlining,
+     QUALIFY→wrapped WHERE on a hidden post-window column,
+     USING SAMPLE n% → TABLESAMPLE (n PERCENT) (syntax map; membership is
+     engine-RNG-specific — deterministic path is operators.sampling).
 
 Not handled textually (use the operator API instead): ASOF JOIN
 (operators.asof.asof_join). Timestamp-difference INTERVAL comparison
@@ -423,8 +426,134 @@ def _rewrite_array_types(sql: str) -> str:
     return detokenize(toks)
 
 
+def _depths(toks: list[Tok]) -> list[int]:
+    """Paren depth at each token (depth of the token itself; '(' counts at
+    its outer depth, ')' at its inner)."""
+    out, d = [], 0
+    for t in toks:
+        if t.text == "(":
+            out.append(d)
+            d += 1
+        elif t.text == ")":
+            d -= 1
+            out.append(d)
+        else:
+            out.append(d)
+    return out
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB ``QUALIFY pred`` (filter on window results; Spark has no such
+    clause) → append ``(pred) AS __qualify`` to the select list, wrap, and
+    ``SELECT * EXCEPT (__qualify) … WHERE __qualify``. Works whether the
+    predicate references a select-list alias or an inline window function
+    (both become post-window expressions in the inner block). ORDER
+    BY/LIMIT after QUALIFY stay outside the wrap, where the projected
+    aliases remain visible. SELECT DISTINCT + QUALIFY is not rewritten
+    (appending a column would change the distinct key) — raises."""
+    while True:
+        toks = tokenize(sql)
+        depths = _depths(toks)
+        qpos = next(
+            (i for i, t in enumerate(toks)
+             if t.kind == "ident" and t.text.upper() == "QUALIFY"),
+            None,
+        )
+        if qpos is None:
+            return sql
+        qdepth = depths[qpos]
+        # owning SELECT: nearest preceding SELECT at the same depth
+        sel = next(
+            i for i in range(qpos - 1, -1, -1)
+            if toks[i].kind == "ident" and toks[i].text.upper() == "SELECT"
+            and depths[i] == qdepth
+        )
+        sig_after_sel = next(
+            i for i in range(sel + 1, len(toks)) if toks[i].kind not in ("ws", "comment")
+        )
+        if toks[sig_after_sel].text.upper() == "DISTINCT":
+            raise ValueError("QUALIFY with SELECT DISTINCT is not rewritable")
+        from_i = next(
+            i for i in range(sel + 1, qpos)
+            if toks[i].kind == "ident" and toks[i].text.upper() == "FROM"
+            and depths[i] == qdepth
+        )
+        # predicate ends at the next same-depth ORDER/LIMIT/OFFSET, a ')'
+        # closing this block, or end of text
+        pend = len(toks)
+        for i in range(qpos + 1, len(toks)):
+            if depths[i] < qdepth or (
+                depths[i] == qdepth
+                and toks[i].kind == "ident"
+                and toks[i].text.upper() in ("ORDER", "LIMIT", "OFFSET")
+            ):
+                pend = i
+                break
+        prefix = detokenize(toks[:sel])
+        sel_list = detokenize(toks[sel + 1:from_i]).strip()
+        body = detokenize(toks[from_i:qpos]).strip()
+        pred = detokenize(toks[qpos + 1:pend]).strip()
+        tail = detokenize(toks[pend:])
+        sql = (
+            f"{prefix}SELECT * EXCEPT (__qualify) FROM "
+            f"(SELECT {sel_list}, ({pred}) AS __qualify {body}) "
+            f"WHERE __qualify {tail}"
+        )
+
+
+def _rewrite_using_sample(sql: str) -> str:
+    """DuckDB sampling syntax → Spark TABLESAMPLE:
+    ``USING SAMPLE 10%`` / ``USING SAMPLE 10 PERCENT`` →
+    ``TABLESAMPLE (10 PERCENT)``; ``USING SAMPLE 50`` / ``50 ROWS`` →
+    ``TABLESAMPLE (50 ROWS)``; a trailing ``(bernoulli)``-style method is
+    dropped. Syntax compatibility only — which rows land in the sample is
+    engine-RNG-specific by nature (SURVEY §2.3); the deterministic path is
+    operators.sampling.sample_by_hash."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    out: list[Tok] = []
+    consumed = 0
+    for pos, i in enumerate(sig):
+        if i < consumed:
+            continue
+        out.extend(toks[consumed:i])
+        consumed = i
+        t = toks[i]
+        is_using = t.kind == "ident" and t.text.upper() == "USING"
+        nxt = toks[sig[pos + 1]] if pos + 1 < len(sig) else None
+        if not (is_using and nxt and nxt.kind == "ident"
+                and nxt.text.upper() == "SAMPLE" and pos + 2 < len(sig)):
+            out.append(t)
+            consumed = i + 1
+            continue
+        nums = sig[pos + 2]
+        if toks[nums].kind != "num":
+            out.append(t)
+            consumed = i + 1
+            continue
+        n = toks[nums].text
+        end = nums + 1
+        unit = "ROWS"
+        j = pos + 3
+        if j < len(sig) and toks[sig[j]].text == "%":
+            unit, end = "PERCENT", sig[j] + 1
+            j += 1
+        elif j < len(sig) and toks[sig[j]].kind == "ident" \
+                and toks[sig[j]].text.upper() in ("PERCENT", "ROWS"):
+            unit, end = toks[sig[j]].text.upper(), sig[j] + 1
+            j += 1
+        if j < len(sig) and toks[sig[j]].text == "(":
+            end = _find_close(toks, sig[j]) + 1  # drop (bernoulli) etc.
+        out.append(Tok("ident", f"TABLESAMPLE ({n} {unit})"))
+        consumed = end
+    out.extend(toks[consumed:])
+    return detokenize(out)
+
+
 def to_spark_sql(sql: str) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL."""
+    sql = _rewrite_qualify(sql)
+    sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)

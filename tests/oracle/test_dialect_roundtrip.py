@@ -48,3 +48,30 @@ def test_date_diff_boundary_semantics_match_duckdb(expr, unit, engine, duck):
     got = engine.sql(f"SELECT {expr} AS d", dialect="duckdb").first()["d"]
     want = duck.execute(f"SELECT {expr} AS d").fetchone()[0]
     assert got == want, unit
+
+
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def test_qualify_roundtrips_vs_duckdb(engine, duck):
+    """DuckDB QUALIFY (top-2 orders per customer) through the rewriter must
+    match DuckDB running the same text natively."""
+    got = spark_rows(engine.sql(_QUALIFY_SQL, dialect="duckdb"))
+    want = duckdb_rows(duck, _QUALIFY_SQL)
+    assert got == want, diff_summary(got, want)
+
+
+def test_using_sample_runs_on_spark(engine):
+    """USING SAMPLE is syntax-mapped to TABLESAMPLE; membership is
+    engine-RNG-specific (SURVEY §2.3), so only the bound is checked."""
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM orders USING SAMPLE 10%)",
+        dialect="duckdb",
+    ).first()["n"]
+    total = engine.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
+    assert 0 <= n < total

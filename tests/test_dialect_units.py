@@ -140,3 +140,43 @@ def test_date_diff_boundary_rewrites():
 def test_split_statements_block_comment():
     stmts = split_statements("SELECT 1 /* not; a split */; SELECT 2")
     assert len(stmts) == 2 and "not; a split" in stmts[0]
+
+
+def test_qualify_rewrite_alias_and_inline():
+    out = to_spark_sql(
+        "SELECT id, g, row_number() OVER (PARTITION BY g ORDER BY id) AS rn "
+        "FROM t QUALIFY rn <= 2 ORDER BY id"
+    )
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
+    assert "EXCEPT (__qualify)" in out and out.rstrip().endswith("ORDER BY id")
+    out = to_spark_sql(
+        "SELECT id FROM t QUALIFY row_number() OVER (ORDER BY id) <= 3"
+    )
+    assert "AS __qualify" in out and "WHERE __qualify" in out
+
+
+def test_qualify_rewrite_in_subquery():
+    out = to_spark_sql(
+        "SELECT * FROM (SELECT id, g FROM t "
+        "QUALIFY rank() OVER (PARTITION BY g ORDER BY id) = 1) ORDER BY id"
+    )
+    assert "QUALIFY " not in out
+    # the wrap stays inside the subquery parens
+    assert out.rstrip().endswith("ORDER BY id")
+
+
+def test_qualify_distinct_raises():
+    with pytest.raises(ValueError, match="DISTINCT"):
+        to_spark_sql("SELECT DISTINCT g FROM t QUALIFY row_number() OVER (ORDER BY g) = 1")
+
+
+def test_using_sample_rewrites():
+    assert to_spark_sql("SELECT * FROM t USING SAMPLE 10%") == \
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    assert to_spark_sql("SELECT * FROM t USING SAMPLE 10 PERCENT (bernoulli)") == \
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    assert to_spark_sql("SELECT * FROM t USING SAMPLE 50") == \
+        "SELECT * FROM t TABLESAMPLE (50 ROWS)"
+    # join USING is untouched
+    assert to_spark_sql("SELECT * FROM a JOIN b USING (k)") == \
+        "SELECT * FROM a JOIN b USING (k)"
