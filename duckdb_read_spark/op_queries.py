@@ -597,6 +597,28 @@ def _q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang").orderBy("doc_id")
 
 
+@_op("q83_pack_sequences", """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS tok
+  FROM documents),
+packed AS (
+  SELECT doc_id, shard, tok,
+         CAST(shard * 1000000000 +
+              (SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - tok) // 2048
+              AS BIGINT) AS pack_id
+  FROM toks)
+SELECT shard, pack_id, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
+FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
+""", note="sequence packing (offset-bucket tier): docs → 2048-token "
+          "training packs via running-sum window; greedy exact tier is "
+          "pytest-pinned (not SQL-expressible without recursion)")
+def _q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    packed = ops.pack_by_offset(docs, budget=2048, n_shards=8)
+    return ops.pack_stats(packed)
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -12,6 +12,7 @@ from .dedup import (
     simhash,
     simhash_candidates,
 )
+from .packing import pack_by_offset, pack_greedy, pack_stats
 from .sampling import (
     hash_split,
     hash_threshold,
@@ -56,6 +57,9 @@ __all__ = [
     "stratified_sample_by_hash",
     "hash_split",
     "hash_threshold",
+    "pack_by_offset",
+    "pack_greedy",
+    "pack_stats",
     "sessionize",
     "session_stats",
     "cosine_scores",

@@ -688,3 +688,56 @@ def test_hash_split_partitions_everything(documents):
     a = {r["doc_id"]: r["split"] for r in tagged.select("doc_id", "split").collect()}
     b = {r["doc_id"]: r["split"] for r in again.select("doc_id", "split").collect()}
     assert a == b
+
+
+# --- sequence packing -----------------------------------------------------
+
+def test_pack_greedy_respects_budget(documents):
+    from duckdb_read_spark.operators import pack_greedy, pack_stats
+
+    packed = pack_greedy(documents, budget=512, n_shards=4)
+    assert packed.count() == documents.count()
+    stats = pack_stats(packed).collect()
+    max_doc = documents.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).first()["m"]
+    for r in stats:
+        assert r["tokens"] <= 512 or r["n_docs"] == 1, r
+        assert r["tokens"] <= max(512, max_doc)
+
+
+def test_pack_greedy_deterministic_under_repartition(documents):
+    from duckdb_read_spark.operators import pack_greedy
+
+    a = {r["doc_id"]: r["pack_id"]
+         for r in pack_greedy(documents, budget=512, n_shards=4).collect()}
+    b = {r["doc_id"]: r["pack_id"]
+         for r in pack_greedy(documents.repartition(11), budget=512, n_shards=4).collect()}
+    assert a == b
+
+
+def test_pack_by_offset_bounded_overflow(documents):
+    from duckdb_read_spark.operators import pack_by_offset, pack_stats
+
+    packed = pack_by_offset(documents, budget=512, n_shards=4)
+    assert packed.count() == documents.count()
+    max_doc = documents.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).first()["m"]
+    for r in pack_stats(packed).collect():
+        # a pack holds the docs *starting* inside its range: overflow is
+        # bounded by one straddling document
+        assert r["tokens"] < 512 + max_doc, r
+
+
+def test_pack_ids_partition_docs(documents):
+    """Every doc gets exactly one pack; packs are contiguous id ranges
+    within a shard (packing never reorders)."""
+    from duckdb_read_spark.operators import pack_greedy
+
+    packed = pack_greedy(documents, budget=512, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for shard, pids in by_shard.items():
+        assert pids == sorted(pids), f"pack ids must be monotone in shard {shard}"
