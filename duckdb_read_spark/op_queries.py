@@ -619,6 +619,41 @@ def _q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pack_stats(packed)
 
 
+@_op("q84_scrub_text", r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS scrubbed
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""", note="PII/noise scrub: URL→EMAIL→PHONE placeholder chain, RE2-safe "
+          "patterns shared verbatim with the DuckDB oracle")
+def _q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ops.scrub_text(docs.filter(F.col("doc_id") < 200), out="scrubbed")
+        .select("doc_id", "scrubbed").orderBy("doc_id")
+    )
+
+
+@_op("q85_repetition_stats", """
+WITH tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       round(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS rep_ratio,
+       round(MAX(c) * 1.0 / SUM(c), 6) AS top_share
+FROM tc GROUP BY doc_id ORDER BY doc_id
+""", note="per-doc repetition/boilerplate signals: distinct-token ratio "
+          "and top-token share (linear explode+agg, not per-doc HOF)")
+def _q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.repetition_stats(docs).orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

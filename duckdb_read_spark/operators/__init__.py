@@ -38,6 +38,8 @@ from .text import (
     fingerprint,
     lang_scores,
     quality_score,
+    repetition_stats,
+    scrub_text,
     text_stats,
     token_count,
 )
@@ -73,6 +75,8 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "text_stats",
+    "scrub_text",
+    "repetition_stats",
     "decode_image",
     "sample_frames",
     "make_demo_assets",

@@ -113,3 +113,60 @@ def text_stats(df: DataFrame, group_col: str = "lang") -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+# --- scrubbing (URL / email / phone → placeholder tokens) ------------------
+
+# RE2-compatible (no lookaround) so the DuckDB oracle can run the SAME
+# patterns; replacement order matters (URLs first — they can contain '@').
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    patterns: tuple[tuple[str, str], ...] = SCRUB_PATTERNS,
+) -> DataFrame:
+    """Replace URLs / emails / phone-number shapes with placeholder tokens
+    (the PII/noise-scrub stage of a corpus pipeline). Pure JVM
+    regexp_replace chain — no shuffle, no UDF."""
+    col = F.col(text_col)
+    for pat, repl in patterns:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out or text_col, col)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals: token count, distinct-token count,
+    repetition ratio (1 - distinct/total), and the most-frequent token's
+    share — boilerplate/spam detectors that pure length checks miss.
+
+    Explode → (doc, token) counts → per-doc re-agg: linear in tokens (a
+    per-doc HOF count would be quadratic in document length), partial
+    aggregation bounds both shuffles by distinct-token volume."""
+    tok_counts = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n = F.sum("__c")
+    nd = F.count(F.lit(1))
+    top = F.max("__c")
+    return (
+        tok_counts.groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            nd.cast("long").alias("n_distinct"),
+            F.round(F.lit(1.0) - nd / n, 6).alias("rep_ratio"),
+            F.round(top / n, 6).alias("top_share"),
+        )
+    )

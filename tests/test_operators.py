@@ -741,3 +741,42 @@ def test_pack_ids_partition_docs(documents):
         by_shard.setdefault(r["shard"], []).append(r["pack_id"])
     for shard, pids in by_shard.items():
         assert pids == sorted(pids), f"pack ids must be monotone in shard {shard}"
+
+
+# --- scrubbing / repetition ----------------------------------------------
+
+def test_scrub_text_replaces_pii(spark):
+    from duckdb_read_spark.operators import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.io/a?b=1 or mail a.b+c@ex-ample.co.uk or call +1 555-123 4567 now")],
+        "doc_id int, text string",
+    )
+    out = scrub_text(df).first()["text"]
+    assert "<URL>" in out and "<EMAIL>" in out and "<PHONE>" in out
+    assert "x.io" not in out and "@" not in out and "555" not in out
+
+
+def test_scrub_text_preserves_clean_text(documents):
+    from duckdb_read_spark.operators import scrub_text
+
+    clean = documents.filter(
+        ~F.col("text").rlike(r"https?://|@|\d{7}")
+    ).limit(50)
+    joined = clean.select("doc_id", F.col("text").alias("before")).join(
+        scrub_text(clean).select("doc_id", F.col("text").alias("after")), "doc_id"
+    )
+    assert joined.filter(F.col("before") != F.col("after")).count() == 0
+
+
+def test_repetition_stats_planted(spark):
+    from duckdb_read_spark.operators import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 1
+    assert got[1]["rep_ratio"] == 0.75 and got[1]["top_share"] == 1.0
+    assert got[2]["rep_ratio"] == 0.0 and got[2]["top_share"] == 0.25
