@@ -23,7 +23,10 @@ Handled (SURVEY §2.4 item numbers):
      list_cosine_similarity→HOF expression, named WINDOW clause inlining,
      QUALIFY→wrapped WHERE on a hidden post-window column,
      USING SAMPLE n% → TABLESAMPLE (n PERCENT) (syntax map; membership is
-     engine-RNG-specific — deterministic path is operators.sampling).
+     engine-RNG-specific — deterministic path is operators.sampling),
+     statement-form PIVOT … ON … IN … USING → Spark relation-form PIVOT
+     (IN-less PIVOT needs dynamic discovery → raises, pointing at
+     DataFrame groupBy().pivot).
 
 Not handled textually (use the operator API instead): ASOF JOIN
 (operators.asof.asof_join). Timestamp-difference INTERVAL comparison
@@ -550,8 +553,87 @@ def _rewrite_using_sample(sql: str) -> str:
     return detokenize(out)
 
 
+_SQL_KEYWORDS = {
+    "AS", "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "NULL", "TRUE", "FALSE", "IN", "IS", "LIKE", "BETWEEN", "DISTINCT",
+    # type names (CAST targets)
+    "BIGINT", "INT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "REAL", "DECIMAL", "NUMERIC", "VARCHAR", "STRING", "DATE", "TIMESTAMP",
+    "BOOLEAN",
+}
+
+
+def _rewrite_pivot(sql: str) -> str:
+    """DuckDB statement-form ``PIVOT t ON c [IN (v…)] USING agg [GROUP BY
+    g…]`` → Spark's relation-form ``SELECT * FROM t PIVOT (agg FOR c IN
+    (v…))``. DuckDB's IN-less form discovers pivot values dynamically —
+    impossible in static Spark SQL — and raises, pointing at the
+    DataFrame API (``groupBy().pivot`` auto-discovers). With GROUP BY,
+    Spark's implicit group-by-all-remaining-columns is narrowed by an
+    inner projection of (group cols, pivot col, agg column refs)."""
+    toks = tokenize(sql)
+    depths = _depths(toks)
+    sig = _sig(toks)
+    p = next((k for k, i in enumerate(sig)
+              if toks[i].kind == "ident" and toks[i].text.upper() == "PIVOT"
+              and depths[i] == 0), None)
+    if p is None:
+        return sql
+    # statement form only: PIVOT is the first significant token
+    if p != 0:
+        return sql
+
+    def upper(k: int) -> str:
+        t = toks[sig[k]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    # table ref: identifier chain or parenthesized subquery, up to ON
+    k = p + 1
+    on_k = next(k2 for k2 in range(k, len(sig)) if upper(k2) == "ON")
+    table = detokenize(toks[sig[k]:sig[on_k]]).strip()
+    using_k = next(k2 for k2 in range(on_k, len(sig)) if upper(k2) == "USING")
+    in_k = next((k2 for k2 in range(on_k + 1, using_k) if upper(k2) == "IN"), None)
+    if in_k is None:
+        raise ValueError(
+            "PIVOT without an IN value list needs dynamic column discovery; "
+            "use DataFrame groupBy().pivot(col) instead"
+        )
+    on_col = detokenize(toks[sig[on_k + 1]:sig[in_k]]).strip()
+    in_open = sig[in_k + 1]
+    in_close = _find_close(toks, in_open)
+    values = detokenize(toks[in_open:in_close + 1]).strip()
+    group_k = next(
+        (k2 for k2 in range(using_k + 1, len(sig))
+         if upper(k2) == "GROUP" and depths[sig[k2]] == 0),
+        None,
+    )
+    agg_end = sig[group_k] if group_k is not None else len(toks)
+    agg = detokenize(toks[sig[using_k + 1]:agg_end]).strip()
+    pivot_rel = f"PIVOT ({agg} FOR {on_col} IN {values})"
+    if group_k is None:
+        return f"SELECT * FROM {table} {pivot_rel}"
+    by_k = group_k + 1  # BY
+    group_cols = detokenize(toks[sig[by_k + 1]:]).strip()
+    # columns the agg reads: idents not followed by '(' and not keywords
+    agg_toks = tokenize(agg)
+    agg_sig = _sig(agg_toks)
+    agg_cols: list[str] = []
+    for k2, i2 in enumerate(agg_sig):
+        t = agg_toks[i2]
+        nxt = agg_toks[agg_sig[k2 + 1]] if k2 + 1 < len(agg_sig) else None
+        prev = agg_toks[agg_sig[k2 - 1]] if k2 > 0 else None
+        follows_as = prev is not None and prev.kind == "ident" and prev.text.upper() == "AS"
+        if (t.kind == "ident" and t.text.upper() not in _SQL_KEYWORDS
+                and not follows_as
+                and not (nxt and nxt.text == "(") and t.text not in agg_cols):
+            agg_cols.append(t.text)
+    proj = ", ".join([group_cols, on_col] + agg_cols)
+    return f"SELECT * FROM (SELECT {proj} FROM {table}) {pivot_rel}"
+
+
 def to_spark_sql(sql: str) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL."""
+    sql = _rewrite_pivot(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)

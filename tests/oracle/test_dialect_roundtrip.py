@@ -75,3 +75,13 @@ def test_using_sample_runs_on_spark(engine):
     ).first()["n"]
     total = engine.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
     assert 0 <= n < total
+
+
+def test_pivot_statement_roundtrips_vs_duckdb(engine, duck):
+    # sum over an integral column: CAST(double AS BIGINT) would diverge
+    # (DuckDB rounds, Spark truncates — SURVEY §2.4)
+    sql = ("PIVOT orders ON o_orderstatus IN ('O','F') "
+           "USING sum(o_orderkey) GROUP BY o_orderpriority")
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, diff_summary(got, want)

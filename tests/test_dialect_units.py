@@ -180,3 +180,23 @@ def test_using_sample_rewrites():
     # join USING is untouched
     assert to_spark_sql("SELECT * FROM a JOIN b USING (k)") == \
         "SELECT * FROM a JOIN b USING (k)"
+
+
+def test_pivot_statement_rewrites():
+    out = to_spark_sql("PIVOT orders ON o_orderstatus IN ('O','F') USING sum(o_totalprice)")
+    assert out == ("SELECT * FROM orders "
+                   "PIVOT (sum(o_totalprice) FOR o_orderstatus IN ('O','F'))")
+    out = to_spark_sql(
+        "PIVOT orders ON o_orderstatus IN ('O','F') USING sum(o_totalprice) "
+        "GROUP BY o_orderpriority"
+    )
+    assert out.startswith("SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)")
+
+
+def test_pivot_without_in_raises():
+    with pytest.raises(ValueError, match="groupBy"):
+        to_spark_sql("PIVOT orders ON o_orderstatus USING sum(o_totalprice)")
+
+
+def test_pivot_keyword_elsewhere_untouched():
+    assert to_spark_sql("SELECT pivot FROM t") == "SELECT pivot FROM t"
