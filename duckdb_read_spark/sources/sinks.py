@@ -71,3 +71,34 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    granularity: str = "day",
+    mode: str = "error",
+    compression: str = "zstd",
+    partition_col: str = "p_date",
+) -> None:
+    """Materialize an event table into a hive time-partitioned layout with a
+    REAL timestamp column — the scale fix for SCALE.md §3.4: the ns-shim
+    view computes ``ts`` as an expression, so time predicates cannot reach
+    the parquet scan; after this rewrite (a) equality/range filters on the
+    derived ``partition_col`` prune whole partitions at planning time, and
+    (b) ``ts`` is a plain column again, so predicates on it push down to
+    row-group min/max stats. One-time cost: one pass over the data (no
+    shuffle — partitionBy splits files within each task)."""
+    from pyspark.sql import functions as F
+
+    fmt = {"hour": "yyyy-MM-dd-HH", "day": "yyyy-MM-dd", "month": "yyyy-MM"}
+    if granularity not in fmt:
+        raise ValueError(f"granularity must be one of {sorted(fmt)}")
+    (
+        df.withColumn(partition_col, F.date_format(F.col(ts_col), fmt[granularity]))
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -234,3 +234,35 @@ def test_write_sorted_parquet_roundtrip_and_clustering(engine, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
+
+
+def test_time_partitioned_materialization_restores_pushdown(engine, spark, tmp_path):
+    """SCALE.md §3.4: the ns-shim view cannot push ts predicates to the
+    scan; the time-partitioned rewrite must restore both partition pruning
+    and row-group pushdown."""
+    from duckdb_read_spark.plans.inspect import physical_plan
+    from duckdb_read_spark.sources.sinks import write_time_partitioned
+
+    ev = engine.table("events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(ev, path, ts_col="ts", granularity="day")
+
+    back = spark.read.parquet(path)
+    # roundtrip: same events
+    assert back.count() == ev.count()
+
+    # partition pruning: filtering the partition column shows partition
+    # filters in the scan, and ts predicates now push down
+    plan = physical_plan(
+        back.filter((back["p_date"] == "2024-01-02")
+                    & (back["ts"] > "2024-01-02 06:00:00"))
+    )
+    assert "PartitionFilters" in plan and "p_date" in plan.split("PartitionFilters", 1)[1][:200]
+    pushed = plan.split("PushedFilters:", 1)[1][:200] if "PushedFilters:" in plan else ""
+    assert "ts" in pushed, plan[:1500]
+
+    # the shim view, by contrast, cannot push the RANGE predicate (only a
+    # bare IsNotNull on the raw bigint survives)
+    shim_plan = physical_plan(ev.filter(ev["ts"] > "2024-01-02 06:00:00"))
+    shim_pushed = shim_plan.split("PushedFilters:", 1)[1][:200] if "PushedFilters:" in shim_plan else ""
+    assert "GreaterThan(ts" not in shim_pushed
