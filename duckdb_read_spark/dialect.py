@@ -26,7 +26,8 @@ Handled (SURVEY §2.4 item numbers):
      engine-RNG-specific — deterministic path is operators.sampling),
      statement-form PIVOT … ON … IN … USING → Spark relation-form PIVOT
      (IN-less PIVOT needs dynamic discovery → raises, pointing at
-     DataFrame groupBy().pivot).
+     DataFrame groupBy().pivot), statement-form UNPIVOT … INTO NAME/VALUE
+     → Spark relation-form UNPIVOT.
 
 Not handled textually (use the operator API instead): ASOF JOIN
 (operators.asof.asof_join). Timestamp-difference INTERVAL comparison
@@ -631,9 +632,34 @@ def _rewrite_pivot(sql: str) -> str:
     return f"SELECT * FROM (SELECT {proj} FROM {table}) {pivot_rel}"
 
 
+def _rewrite_unpivot(sql: str) -> str:
+    """DuckDB statement-form ``UNPIVOT t ON c1, c2 INTO NAME k VALUE v`` →
+    Spark relation-form ``SELECT * FROM t UNPIVOT (v FOR k IN (c1, c2))``."""
+    toks = tokenize(sql)
+    depths = _depths(toks)
+    sig = _sig(toks)
+    if not sig or toks[sig[0]].kind != "ident" or toks[sig[0]].text.upper() != "UNPIVOT":
+        return sql
+
+    def upper(k: int) -> str:
+        t = toks[sig[k]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    on_k = next(k for k in range(1, len(sig)) if upper(k) == "ON" and depths[sig[k]] == 0)
+    into_k = next(k for k in range(on_k, len(sig)) if upper(k) == "INTO" and depths[sig[k]] == 0)
+    name_k = next(k for k in range(into_k, len(sig)) if upper(k) == "NAME")
+    value_k = next(k for k in range(name_k, len(sig)) if upper(k) == "VALUE")
+    table = detokenize(toks[sig[1]:sig[on_k]]).strip()
+    cols = detokenize(toks[sig[on_k + 1]:sig[into_k]]).strip()
+    key = detokenize(toks[sig[name_k + 1]:sig[value_k]]).strip()
+    val = detokenize(toks[sig[value_k + 1]:]).strip()
+    return f"SELECT * FROM {table} UNPIVOT ({val} FOR {key} IN ({cols}))"
+
+
 def to_spark_sql(sql: str) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL."""
     sql = _rewrite_pivot(sql)
+    sql = _rewrite_unpivot(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)

@@ -85,3 +85,11 @@ def test_pivot_statement_roundtrips_vs_duckdb(engine, duck):
     got = spark_rows(engine.sql(sql, dialect="duckdb"))
     want = duckdb_rows(duck, sql)
     assert got == want, diff_summary(got, want)
+
+
+def test_unpivot_statement_roundtrips_vs_duckdb(engine, duck):
+    sql = ("UNPIVOT (SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s "
+           "FROM nation GROUP BY n_regionkey) ON n, s INTO NAME metric VALUE val")
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, diff_summary(got, want)

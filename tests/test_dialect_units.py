@@ -200,3 +200,8 @@ def test_pivot_without_in_raises():
 
 def test_pivot_keyword_elsewhere_untouched():
     assert to_spark_sql("SELECT pivot FROM t") == "SELECT pivot FROM t"
+
+
+def test_unpivot_statement_rewrites():
+    out = to_spark_sql("UNPIVOT w ON a, b INTO NAME k VALUE v")
+    assert out == "SELECT * FROM w UNPIVOT (v FOR k IN (a, b))"
