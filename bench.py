@@ -117,6 +117,10 @@ def main() -> None:
         "q71_rollup_reaggregate",
         "q74_clean_corpus",
         "q78_term_frequencies",
+        "q80_dup_clusters",
+        "q83_pack_sequences",
+        "q85_repetition_stats",
+        "q86_profile_columns",
     ):
         extra[name] = round(_time_op(name), 4)
 

@@ -29,6 +29,8 @@ from .dialect import to_spark_sql
 
 # INSTALL/FORCE INSTALL/LOAD statement shapes (LoadInfo.load_type analog,
 # /root/reference/duckdb:30-33).
+_SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
+
 _INSTALL_LOAD_RE = re.compile(
     r"^\s*(?:FORCE\s+)?(INSTALL|LOAD)\s+([A-Za-z_][\w.]*|'[^']+'|\"[^\"]+\")\s*;?\s*$",
     re.IGNORECASE,
@@ -176,6 +178,9 @@ class Engine:
             module = EXTENSION_ALIASES.get(name, name)
             self.install(module) if verb == "INSTALL" else self.load(module)
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        ms = _SUMMARIZE_RE.match(query)
+        if ms:
+            return self.summarize(ms.group(1))
         if dialect == "duckdb":
             query = to_spark_sql(query)
         query = self._resolve_time_travel(query)
@@ -188,6 +193,15 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    def summarize(self, name: str) -> DataFrame:
+        """Per-column profile of a registered table — the DuckDB
+        ``SUMMARIZE t`` analog (count/nulls/distinct/min/max/mean/median in
+        one scan; operators/profile.py). Distinct counts are HLL-approx,
+        matching SUMMARIZE's approx_unique."""
+        from .operators.profile import profile_columns
+
+        return profile_columns(self.table(name))
 
     def explain(self, query: str, dialect: str = "spark", mode: str = "formatted") -> str:
         """EXPLAIN analog (/root/reference/duckdb:101 pipeline inspection)."""

@@ -654,6 +654,34 @@ def _q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.repetition_stats(docs).orderBy("doc_id")
 
 
+@_op("q86_profile_columns", """
+SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(doc_id) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str,
+       CAST(CAST(AVG(doc_id) AS DECIMAL(28,4)) AS DOUBLE) AS mean,
+       CAST(CAST(median(doc_id) AS DECIMAL(28,4)) AS DOUBLE) AS med
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR), NULL, NULL
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+       CAST(CAST(AVG(n_chars) AS DECIMAL(28,4)) AS DOUBLE),
+       CAST(CAST(median(n_chars) AS DECIMAL(28,4)) AS DOUBLE)
+FROM documents
+ORDER BY "column"
+""", note="single-scan column profiler (count/nulls/distinct/min/max/"
+          "mean/median per column via struct-array explode); exact "
+          "distinct here — the scale default is HLL approx")
+def _q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.profile_columns(docs, ["doc_id", "lang", "n_chars"],
+                               exact_distinct=True)
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

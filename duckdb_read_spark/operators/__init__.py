@@ -13,6 +13,7 @@ from .dedup import (
     simhash_candidates,
 )
 from .packing import pack_by_offset, pack_greedy, pack_stats
+from .profile import profile_columns
 from .sampling import (
     hash_split,
     hash_threshold,
@@ -62,6 +63,7 @@ __all__ = [
     "pack_by_offset",
     "pack_greedy",
     "pack_stats",
+    "profile_columns",
     "sessionize",
     "session_stats",
     "cosine_scores",

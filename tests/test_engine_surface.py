@@ -266,3 +266,14 @@ def test_time_partitioned_materialization_restores_pushdown(engine, spark, tmp_p
     shim_plan = physical_plan(ev.filter(ev["ts"] > "2024-01-02 06:00:00"))
     shim_pushed = shim_plan.split("PushedFilters:", 1)[1][:200] if "PushedFilters:" in shim_plan else ""
     assert "GreaterThan(ts" not in shim_pushed
+
+
+def test_summarize_statement_and_api(engine):
+    """DuckDB's SUMMARIZE t analog: SQL statement and API give a row per
+    column with profile stats."""
+    via_sql = engine.sql("SUMMARIZE documents").collect()
+    via_api = engine.summarize("documents").collect()
+    assert [r["column"] for r in via_sql] == sorted(engine.table("documents").columns)
+    assert via_sql == via_api
+    row = {r["column"]: r for r in via_sql}["doc_id"]
+    assert row["n_nulls"] == 0 and row["n_rows"] > 0

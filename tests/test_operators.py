@@ -780,3 +780,31 @@ def test_repetition_stats_planted(spark):
     assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 1
     assert got[1]["rep_ratio"] == 0.75 and got[1]["top_share"] == 1.0
     assert got[2]["rep_ratio"] == 0.0 and got[2]["top_share"] == 0.25
+
+
+# --- column profiler ------------------------------------------------------
+
+def test_profile_columns_planted(spark):
+    from duckdb_read_spark.operators import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "a", 20.0)],
+        "id int, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_columns(df, exact_distinct=True).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["v"]["n_nulls"] == 1 and got["v"]["med"] == 20.0
+    assert got["s"]["mean"] is None and got["id"]["min_str"] == "1"
+
+
+def test_profile_columns_single_scan(documents):
+    """The profiler must be ONE aggregation over ONE scan, not a scan per
+    column."""
+    from duckdb_read_spark.operators import profile_columns
+    from duckdb_read_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(
+        profile_columns(documents, ["doc_id", "lang", "n_chars"]), mode="simple"
+    )
+    assert plan.count("Scan parquet") == 1, plan[:1500]
