@@ -682,6 +682,18 @@ def _q86(spark: SparkSession, sf_dir: str) -> DataFrame:
                                exact_distinct=True)
 
 
+@_op("q87_topk_presplit", QUERIES["q29_topk_per_group"].duckdb_sql,
+     note="topk_per_group(presplit_buckets=8): two-phase salted top-k "
+          "(hot-key window mitigation) must equal the single-window q29")
+def _q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    top = ops.topk_per_group(
+        cust, "c_nationkey", "c_acctbal", k=3, tiebreak="c_custkey",
+        presplit_buckets=8,
+    )
+    return top.select("c_nationkey", "c_custkey", "rn").orderBy("c_nationkey", "rn")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

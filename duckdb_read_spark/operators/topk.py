@@ -25,12 +25,38 @@ def topk_per_group(
     descending: bool = True,
     tiebreak: str | None = None,
     rank_col: str = "rn",
+    presplit_buckets: int | None = None,
 ) -> DataFrame:
-    """Top-k rows per key by ``order_col`` (ROW_NUMBER semantics)."""
+    """Top-k rows per key by ``order_col`` (ROW_NUMBER semantics).
+
+    ``presplit_buckets`` is the hot-key mitigation (SCALE.md §3.1 — AQE
+    cannot split window skew): phase 1 takes a local top-k per
+    (key, salt-bucket), phase 2 re-ranks only the ≤ k × buckets survivors
+    per key, so no window partition ever holds a whole hot key. Identical
+    results when the order is total (pass ``tiebreak`` — the same
+    requirement the plain path has for determinism)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = [F.desc(order_col) if descending else F.asc(order_col)]
     if tiebreak:
         order.append(F.asc(tiebreak))
+    if presplit_buckets:
+        salt = F.pmod(
+            F.xxhash64(F.col(tiebreak) if tiebreak else F.col(order_col)),
+            F.lit(presplit_buckets),
+        )
+        w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+        survivors = (
+            df.withColumn("__salt", salt)
+            .withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= k)
+            .drop("__rn1")
+        )
+        w2 = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            survivors.withColumn(rank_col, F.row_number().over(w2))
+            .filter(F.col(rank_col) <= k)
+            .drop("__salt")
+        )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn(rank_col, F.row_number().over(w))

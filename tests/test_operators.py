@@ -808,3 +808,29 @@ def test_profile_columns_single_scan(documents):
         profile_columns(documents, ["doc_id", "lang", "n_chars"]), mode="simple"
     )
     assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+# --- presplit top-k -------------------------------------------------------
+
+def test_topk_presplit_equals_plain(engine):
+    from duckdb_read_spark.operators import topk_per_group
+
+    cust = engine.table("customer")
+    plain = topk_per_group(cust, "c_nationkey", "c_acctbal", k=3,
+                           tiebreak="c_custkey")
+    split = topk_per_group(cust, "c_nationkey", "c_acctbal", k=3,
+                           tiebreak="c_custkey", presplit_buckets=8)
+    cols = ["c_nationkey", "c_custkey", "rn"]
+    assert sorted(map(tuple, plain.select(cols).collect())) == \
+        sorted(map(tuple, split.select(cols).collect()))
+
+
+def test_topk_presplit_plan_salts_first_window(engine):
+    from duckdb_read_spark.operators import topk_per_group
+    from duckdb_read_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(
+        topk_per_group(engine.table("customer"), "c_nationkey", "c_acctbal",
+                       k=3, tiebreak="c_custkey", presplit_buckets=8)
+    )
+    assert "__salt" in plan
