@@ -211,19 +211,46 @@ def gen_setop(rng: random.Random) -> str:
     )
 
 
-def generate(seed: int) -> str:
+def gen_qualify(rng: random.Random) -> str:
+    """DuckDB-dialect shape: QUALIFY through the rewriter vs DuckDB native.
+    Both the select-alias and inline-window predicate forms."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    part = rng.choice(t["str"])
+    order_val = rng.choice(t["num"] + t["int"])
+    uid = t["int"][0]
+    k = rng.randint(1, 4)
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    over = f"OVER (PARTITION BY {part} ORDER BY {order_val}, {uid})"
+    if rng.random() < 0.5:
+        return (
+            f"SELECT {uid} AS k, {part} AS p, {fn} {over} AS rn "
+            f"FROM {name}{_where(rng, t)} QUALIFY rn <= {k} "
+            f"ORDER BY k NULLS FIRST"
+        )
+    return (
+        f"SELECT {uid} AS k, {part} AS p FROM {name}{_where(rng, t)} "
+        f"QUALIFY {fn} {over} <= {k} ORDER BY k NULLS FIRST"
+    )
+
+
+def generate(seed: int) -> tuple[str, str]:
+    """seed → (sql, dialect): dialect='duckdb' shapes exercise the
+    rewriter (the text is native DuckDB, Spark runs it via to_spark_sql)."""
     rng = random.Random(seed)
+    if seed >= 110:
+        return gen_qualify(rng), "duckdb"
     if seed >= 90:
-        return gen_setop(rng)
+        return gen_setop(rng), "spark"
     if seed >= 60:
-        return gen_window(rng)
+        return gen_window(rng), "spark"
     shape = [gen_projection, gen_aggregation, gen_join][seed % 3]
-    return shape(rng)
+    return shape(rng), "spark"
 
 
-@pytest.mark.parametrize("seed", range(110))
+@pytest.mark.parametrize("seed", range(130))
 def test_fuzzed_query_matches_oracle(seed, engine, duck):
-    sql = generate(seed)
-    got = spark_rows(engine.sql(sql))
+    sql, dialect = generate(seed)
+    got = spark_rows(engine.sql(sql, dialect=dialect))
     want = duckdb_rows(duck, sql)
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
