@@ -694,6 +694,28 @@ def _q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("c_nationkey", "c_custkey", "rn").orderBy("c_nationkey", "rn")
 
 
+@_op("q88_quantize_embeddings", """
+WITH s AS (SELECT vec_id, embedding,
+  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
+  FROM embeddings)
+SELECT vec_id,
+  CAST(CAST(qscale AS DECIMAL(20,10)) AS DOUBLE) AS qscale,
+  array_to_string(list_transform(embedding,
+    x -> CAST(CAST(round(CAST(x AS DOUBLE) / qscale) AS TINYINT) AS VARCHAR)), ',') AS qvec
+FROM s WHERE vec_id < 200 ORDER BY vec_id
+""", note="symmetric per-vector int8 quantization (scale = max|x|/127, "
+          "q = round(x/scale)) — deterministic, so oracle-checked; the "
+          "int8 top-k consumer is recall-tested in pytest")
+def _q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = ops.quantize_embeddings(emb.filter(F.col("vec_id") < 200))
+    return q.select(
+        "vec_id",
+        F.col("qscale").cast("decimal(20,10)").cast("double").alias("qscale"),
+        F.array_join(F.transform("qvec", lambda v: v.cast("string")), ",").alias("qvec"),
+    ).orderBy("vec_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -29,10 +29,12 @@ from .similarity import (
     ann_topk,
     cosine_scores,
     cosine_topk,
+    cosine_topk_int8,
     cosine_topk_pandas,
     ivf_assign,
     ivf_topk,
     lsh_bucket,
+    quantize_embeddings,
 )
 from .text import (
     bpe_token_count,
@@ -69,6 +71,8 @@ __all__ = [
     "cosine_scores",
     "cosine_topk",
     "cosine_topk_pandas",
+    "cosine_topk_int8",
+    "quantize_embeddings",
     "ann_topk",
     "lsh_bucket",
     "token_count",

@@ -220,3 +220,67 @@ def ann_topk(
     bucketed = lsh_bucket(df, dim, n_planes, vec_col)
     cand = bucketed.filter(F.col("bucket").isin([int(b) for b in buckets]))
     return cosine_topk(cand, probe, k, vec_col, id_col)
+
+
+# --- int8 quantization tier ------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). 4× less storage/shuffle than float32 and int8
+    SIMD dot products downstream — the standard memory/bandwidth lever for
+    vector search at corpus scale. Pure JVM HOFs; zero vectors get scale 0
+    and an all-zero code (dequantizes to the zero vector, cosine 0 by the
+    zero-norm guard)."""
+    amax = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x.cast("double") / scale).cast("tinyint")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(qvec_col, q)
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 5,
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over int8 codes (run quantize_embeddings first):
+    per Arrow batch one int8→float32 matvec. Cosine of the quantized vector
+    is scale-invariant, so per-vector scales don't even need to be read —
+    quantization error (≤ ~0.4% per coordinate) is the only approximation."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, True),
+        StructField("sim", DoubleType(), True),
+    ])
+    p = np.asarray(probe, dtype=np.float64)
+    pn = np.linalg.norm(p)
+    p = p / pn if pn else p
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[qvec_col].to_numpy()).astype(np.float32)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (m @ p.astype(np.float32)) / norms
+            top = np.argsort(-sims)[: min(k, len(sims))]
+            yield pdf.iloc[top][[id_col]].assign(sim=sims[top].astype(np.float64))
+
+    scored = df.select(id_col, qvec_col).mapInPandas(score, out_schema)
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)

@@ -834,3 +834,52 @@ def test_topk_presplit_plan_salts_first_window(engine):
                        k=3, tiebreak="c_custkey", presplit_buckets=8)
     )
     assert "__salt" in plan
+
+
+# --- int8 quantization ----------------------------------------------------
+
+def test_quantize_embeddings_bounds_and_determinism(embeddings):
+    from duckdb_read_spark.operators import quantize_embeddings
+
+    q = quantize_embeddings(embeddings.limit(100))
+    rows = q.select("vec_id", "embedding", "qvec", "qscale").collect()
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        # reconstruction error per coordinate <= scale/2
+        for orig, code in zip(r["embedding"], r["qvec"]):
+            assert abs(float(orig) - code * r["qscale"]) <= r["qscale"] / 2 + 1e-9
+    again = {r["vec_id"]: r["qvec"] for r in
+             quantize_embeddings(embeddings.limit(100)).collect()}
+    assert {r["vec_id"]: r["qvec"] for r in rows} == again
+
+
+def test_cosine_topk_int8_recall_vs_exact(embeddings):
+    """Quantized top-10 must substantially overlap the exact top-10 (int8
+    error is <= ~0.4% per coordinate)."""
+    from duckdb_read_spark.operators import (
+        cosine_topk, cosine_topk_int8, quantize_embeddings,
+    )
+
+    probe = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    base = embeddings.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(base, probe, k=10).collect()]
+    quant = [r["vec_id"] for r in
+             cosine_topk_int8(quantize_embeddings(base), probe, k=10).collect()]
+    overlap = len(set(exact) & set(quant)) / 10
+    assert overlap >= 0.8, (exact, quant)
+    # and the single nearest neighbor survives quantization
+    assert exact[0] == quant[0]
+
+
+def test_quantize_zero_vector_safe(spark):
+    from duckdb_read_spark.operators import cosine_topk_int8, quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 2.0]), (2, [2.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    q = quantize_embeddings(df)
+    assert q.filter(F.col("vec_id") == 0).first()["qvec"] == [0, 0]
+    top = cosine_topk_int8(q, [1.0, 2.0], k=3).collect()
+    # zero vector must sort last, not first (sim 0, not NaN)
+    assert top[-1]["vec_id"] == 0 and top[-1]["sim"] == 0.0
