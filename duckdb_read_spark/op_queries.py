@@ -716,6 +716,29 @@ def _q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@_op("q89_sliding_window", """
+WITH x AS (
+  SELECT event_type, value,
+         CAST(to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - i) * 900)
+              AS TIMESTAMP) AS w
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+)
+SELECT w, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+FROM x GROUP BY w, event_type ORDER BY w, event_type
+""", note="sliding 1h/15m window (T1 extension): F.window(size, slide) vs "
+          "the explode-4-offsets SQL formulation; batch/stream dual like "
+          "tumbling_counts")
+def _q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_counts(ev, size="1 hour", slide="15 minutes")
+    return out.select(
+        "w", "event_type", "n", F.col("sv").cast("double").alias("sv")
+    ).orderBy("w", "event_type")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

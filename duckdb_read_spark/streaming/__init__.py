@@ -9,11 +9,12 @@ the frontier below which state can be finalized and emitted.
 
 from .source import events_stream
 from .stateful import running_totals, stream_dedup
-from .windows import session_aggs, tumbling_counts
+from .windows import session_aggs, sliding_counts, tumbling_counts
 
 __all__ = [
     "events_stream",
     "tumbling_counts",
+    "sliding_counts",
     "session_aggs",
     "running_totals",
     "stream_dedup",

@@ -49,6 +49,38 @@ def tumbling_counts(
     return out.select(*cols)
 
 
+def sliding_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    ts: str = "ts",
+    extra_key: str | None = "event_type",
+    value_col: str | None = "value",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window counts/sums: each event lands in
+    size/slide overlapping windows. Same batch/stream duality as
+    tumbling_counts; the batch twin is the explode-offsets SQL formulation
+    (an event at t belongs to every window starting in
+    (t - size, t] on a slide grid). State per key is O(size/slide) windows."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts, watermark)
+    keys = [F.window(F.col(ts), size, slide).alias("win")]
+    if extra_key:
+        keys.append(F.col(extra_key))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("decimal(38,4)").alias("sv")
+        )
+    out = df.groupBy(*keys).agg(*aggs)
+    cols = [F.col("win.start").alias("w")] + ([F.col(extra_key)] if extra_key else []) + [
+        F.col("n")
+    ] + ([F.col("sv")] if value_col else [])
+    return out.select(*cols)
+
+
 def session_aggs(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from duckdb_read_spark.catalog import load_table
 from duckdb_read_spark.oracle import normalize_rows
 from duckdb_read_spark.streaming.source import events_stream
-from duckdb_read_spark.streaming.windows import run_to_memory, session_aggs, tumbling_counts
+from duckdb_read_spark.streaming.windows import (
+    run_to_memory,
+    session_aggs,
+    sliding_counts,
+    tumbling_counts,
+)
 from tests.conftest import SF_SMOKE
 
 EVENTS = os.path.join(SF_SMOKE, "events.parquet")
@@ -194,3 +199,18 @@ def test_streaming_rollup_continuous_aggregate(spark, batch_events):
     coarse_from_stream = reaggregate(spark.table("t_rollup_fine"), 3600)
     direct = bucket_agg(batch_events, width_seconds=3600)
     assert _rows(coarse_from_stream) == _rows(direct)
+
+
+def test_sliding_batch_stream_equivalence(spark, batch_events):
+    batch = _rows(sliding_counts(batch_events))
+    stream = events_stream(spark, EVENTS)
+    run_to_memory(sliding_counts(stream), "t_sliding", output_mode="complete")
+    got = _rows(spark.table("t_sliding"))
+    assert got == batch
+
+
+def test_sliding_each_event_in_size_over_slide_windows(spark, batch_events):
+    """1h/15m: every event contributes to exactly 4 windows."""
+    n_events = batch_events.count()
+    total = sliding_counts(batch_events).agg(F.sum("n").alias("t")).first()["t"]
+    assert total == 4 * n_events
