@@ -31,6 +31,18 @@ from .dialect import to_spark_sql
 # /root/reference/duckdb:30-33).
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 
+# COPY <table | (subquery)> TO 'path' [(OPTIONS)]  (DuckDB COPY statement)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'(?P<path>[^']+)'"
+    r"\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?P<analyze>ANALYZE\s+)?(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _INSTALL_LOAD_RE = re.compile(
     r"^\s*(?:FORCE\s+)?(INSTALL|LOAD)\s+([A-Za-z_][\w.]*|'[^']+'|\"[^\"]+\")\s*;?\s*$",
     re.IGNORECASE,
@@ -181,10 +193,56 @@ class Engine:
         ms = _SUMMARIZE_RE.match(query)
         if ms:
             return self.summarize(ms.group(1))
+        mc = _COPY_RE.match(query)
+        if mc:
+            return self._copy_to(mc.group("src"), mc.group("path"),
+                                 mc.group("opts"), dialect)
+        me = _EXPLAIN_RE.match(query)
+        if me:
+            df = self.sql(me.group("body"), dialect=dialect)
+            if me.group("analyze"):
+                from .plans.inspect import executed_plan
+
+                df.collect()
+                text = executed_plan(df)
+            else:
+                from .plans.inspect import physical_plan
+
+                text = physical_plan(df)
+            return self.spark.createDataFrame(
+                [(text,)], "explain_value string"
+            )
         if dialect == "duckdb":
             query = to_spark_sql(query)
         query = self._resolve_time_travel(query)
         return self.spark.sql(query)
+
+    def _copy_to(self, src: str, path: str, opts: str | None, dialect: str) -> DataFrame:
+        """DuckDB ``COPY src TO 'path' (FORMAT x)`` analog. The source is a
+        table name or a parenthesized query; format comes from the options
+        list, else the path suffix, else parquet. Writes a directory (Spark
+        layout), not a single file — single-file writes serialize through
+        one task and are an anti-pattern at scale."""
+        from .sources.sinks import write_csv, write_json, write_parquet
+
+        df = (
+            self.sql(src[1:-1], dialect=dialect)
+            if src.startswith("(")
+            else self.table(src)
+        )
+        fmt = None
+        if opts:
+            mf = re.search(r"FORMAT\s+(\w+)", opts, re.IGNORECASE)
+            if mf:
+                fmt = mf.group(1).lower()
+        if fmt is None:
+            suffix = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+            fmt = {"csv": "csv", "json": "json"}.get(suffix, "parquet")
+        writer = {"parquet": write_parquet, "csv": write_csv, "json": write_json}.get(fmt)
+        if writer is None:
+            raise ValueError(f"COPY: unsupported format {fmt!r}")
+        writer(df, path, mode="overwrite")
+        return self.spark.sql("SELECT 1 AS ok WHERE false")
 
     def execute(self, script: str, dialect: str = "spark") -> list[DataFrame]:
         """Execute a multi-statement script (the CLI path, shell.cpp analog:

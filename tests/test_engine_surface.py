@@ -277,3 +277,26 @@ def test_summarize_statement_and_api(engine):
     assert via_sql == via_api
     row = {r["column"]: r for r in via_sql}["doc_id"]
     assert row["n_nulls"] == 0 and row["n_rows"] > 0
+
+
+def test_copy_statement_parquet_and_csv(engine, tmp_path):
+    """DuckDB COPY analog: subquery → parquet dir, table → csv dir."""
+    p1 = str(tmp_path / "copy_out")
+    engine.sql(f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{p1}' (FORMAT PARQUET)")
+    back = engine.spark.read.parquet(p1)
+    assert back.count() == 25 and set(back.columns) == {"n_nationkey", "n_name"}
+    p2 = str(tmp_path / "copy_out.csv")
+    engine.sql(f"COPY region TO '{p2}'")
+    got = engine.spark.read.option("header", "true").csv(p2)
+    assert got.count() == 5
+
+
+def test_explain_statement_and_analyze(engine):
+    plan = engine.sql(
+        "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_orderkey < 10"
+    ).first()["explain_value"]
+    assert "PushedFilters" in plan
+    ran = engine.sql(
+        "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM region"
+    ).first()["explain_value"]
+    assert "HashAggregate" in ran or "Aggregate" in ran
