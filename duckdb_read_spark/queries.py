@@ -463,3 +463,24 @@ SELECT p.event_id, s.event_id AS signup_event FROM
 ORDER BY p.event_id
 """, needs_events_shim=True,
     note="DuckDB native ASOF vs join+max_by emulation (SURVEY §4.3.2)")
+
+_q("q90_range_interval_frame", """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS rolling
+FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey
+""", note="time-based RANGE frame (30-day rolling sum) — peers share the "
+          "frame, so the value is order-independent; identical text runs "
+          "on both engines")
+
+_q("q91_lateral_join", """
+SELECT c.c_custkey, t.n, t.maxprice
+FROM customer c, LATERAL (
+  SELECT COUNT(*) AS n, CAST(MAX(o_totalprice) AS DOUBLE) AS maxprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+) t
+WHERE c.c_custkey < 60 ORDER BY c.c_custkey
+""", note="correlated LATERAL subquery (decorrelated by both optimizers "
+          "into a join); identical text runs on both engines")
