@@ -102,3 +102,73 @@ def write_time_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def zorder_key(cols, bits: int = 12):
+    """Morton (Z-order) interleave of min-max-normalized columns: a single
+    long key whose ordering clusters rows that are close in EVERY listed
+    dimension. Pure JVM bit expressions (bits × n_cols shift/or terms in
+    one codegen stage). ``cols`` are (Column, min, max) triples —
+    normalization bounds come from the caller (one cheap agg pass)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    scale_max = (1 << bits) - 1
+    for ci, (col, lo, hi) in enumerate(cols):
+        span = (hi - lo) or 1
+        scaled = F.least(
+            F.lit(scale_max),
+            F.greatest(
+                F.lit(0),
+                ((col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+                 * F.lit(scale_max)).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * n + ci
+                )
+            )
+    return key
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    mode: str = "error",
+    partitions: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Z-order-clustered parquet: files are range-partitioned and sorted on
+    the Morton key of ``cols``, so row-group min/max stats prune for range
+    predicates on ANY of the listed dimensions (a 1-d sort only prunes its
+    leading column). One agg pass for normalization bounds (2 scalars per
+    column to the driver) + one range exchange — same write cost profile
+    as write_sorted_parquet."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).first()
+    triples = [
+        (F.col(c), float(bounds[f"__mn_{c}"]), float(bounds[f"__mx_{c}"]))
+        for c in cols
+    ]
+    keyed = df.withColumn("__zkey", zorder_key(triples, bits))
+    parts = (
+        keyed.repartitionByRange(partitions, "__zkey")
+        if partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    (
+        parts.sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

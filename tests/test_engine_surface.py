@@ -300,3 +300,59 @@ def test_explain_statement_and_analyze(engine):
         "EXPLAIN ANALYZE SELECT COUNT(*) AS n FROM region"
     ).first()["explain_value"]
     assert "HashAggregate" in ran or "Aggregate" in ran
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from duckdb_read_spark.sources.sinks import zorder_key
+
+    df = spark.range(1).select(
+        F.lit(3).alias("x"),  # 0b11
+        F.lit(0).alias("y"),  # 0b00
+    )
+    # 2-bit, 2-col: x occupies even bit positions, y odd → key = 0b0101 = 5
+    key = df.select(
+        zorder_key([(F.col("x"), 0, 3), (F.col("y"), 0, 3)], bits=2).alias("k")
+    ).first()["k"]
+    assert key == 0b0101
+    # swapping values moves the bits to the odd positions
+    key2 = df.select(
+        zorder_key([(F.col("y"), 0, 3), (F.col("x"), 0, 3)], bits=2).alias("k")
+    ).first()["k"]
+    assert key2 == 0b1010
+
+
+def test_write_zordered_clusters_both_dims(engine, spark, tmp_path):
+    """Z-ordered files: a box predicate on BOTH dims touches a strict
+    subset of files (multi-dim clustering a 1-d sort can't provide)."""
+    import glob
+
+    from duckdb_read_spark.sources.sinks import write_zordered_parquet
+
+    src = engine.sql(
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem"
+    )
+    path = str(tmp_path / "li_z")
+    write_zordered_parquet(src, path, ["l_partkey", "l_suppkey"], partitions=8)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) > 2
+    # per-file bounding boxes: a file holding a corner of (part, supp) space
+    # must not also hold the opposite corner
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_partkey", "l_suppkey"])
+        pk, sk = t.column(0).to_pylist(), t.column(1).to_pylist()
+        if pk:
+            boxes.append((min(pk), max(pk), min(sk), max(sk)))
+    pk_lo = min(b[0] for b in boxes); pk_hi = max(b[1] for b in boxes)
+    sk_lo = min(b[2] for b in boxes); sk_hi = max(b[3] for b in boxes)
+    # files whose box intersects the low-low quadrant
+    def hits(b, pk_mid, sk_mid):
+        return b[0] <= pk_mid and b[2] <= sk_mid
+    pk_mid = pk_lo + (pk_hi - pk_lo) / 4
+    sk_mid = sk_lo + (sk_hi - sk_lo) / 4
+    touching = sum(hits(b, pk_mid, sk_mid) for b in boxes)
+    assert touching < len(boxes), (touching, len(boxes))
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == src.count()

@@ -214,3 +214,24 @@ def test_sliding_each_event_in_size_over_slide_windows(spark, batch_events):
     n_events = batch_events.count()
     total = sliding_counts(batch_events).agg(F.sum("n").alias("t")).first()["t"]
     assert total == 4 * n_events
+
+
+def test_stream_static_enrichment_equals_batch(spark, batch_events):
+    """Stream-static join (enriching a stream with a dimension table) must
+    equal the batch join — the standard streaming enrichment pattern; the
+    static side is re-read per micro-batch, no state involved."""
+    dims = spark.createDataFrame(
+        [("purchase", "rev"), ("signup", "acq"), ("click", "eng")],
+        "event_type string, bucket string",
+    )
+    batch = _rows(
+        batch_events.join(dims, "event_type")
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream = events_stream(spark, EVENTS)
+    enriched = (
+        stream.join(dims, "event_type")
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory(enriched, "t_enrich", output_mode="complete")
+    assert _rows(spark.table("t_enrich")) == batch
