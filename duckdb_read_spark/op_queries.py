@@ -739,6 +739,39 @@ def _q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("w", "event_type")
 
 
+@_op("q92_gap_fill", f"""
+{_DUCK_EVENTS_SHIM},
+b AS (SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS e, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      FROM events GROUP BY 1, 2),
+ext AS (SELECT min(e) AS mn, max(e) AS mx FROM b),
+spine AS (SELECT UNNEST(range(mn, mx + 900, 900)) AS e FROM ext),
+dense AS (SELECT e, event_type
+          FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM b))
+SELECT CAST(to_timestamp(d.e) AS TIMESTAMP) AS bucket, d.event_type,
+       COALESCE(b.n, 0) AS n,
+       CAST(last_value(b.sv IGNORE NULLS)
+            OVER (PARTITION BY d.event_type ORDER BY d.e) AS DOUBLE) AS sv_locf
+FROM dense d LEFT JOIN b ON d.e = b.e AND d.event_type = b.event_type
+ORDER BY bucket, d.event_type
+""", note="gap-filled dense series per event_type: zero-fill counts, LOCF "
+          "the gauge sum — hypertable gap_fill surface; spine is a one-row "
+          "bounds agg exploded, never raw-data-sized")
+def _q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ops.bucket_agg(ev, ts="ts", width_seconds=900,
+                       keys=["event_type"], value="value")
+    dense = ops.gap_fill(
+        b.select("bucket", "event_type", "n", "sv"),
+        bucket="bucket", width_seconds=900, keys=["event_type"],
+        fill={"n": "zero", "sv": "locf"},
+    )
+    return dense.select(
+        "bucket", "event_type", "n",
+        F.col("sv").cast("double").alias("sv_locf"),
+    ).orderBy("bucket", "event_type")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -20,6 +20,7 @@ from .sampling import (
     sample_by_hash,
     stratified_sample_by_hash,
 )
+from .gapfill import gap_fill
 from .groupmap import zscore_normalize_pandas, zscore_normalize_window
 from .pipeline import clean_corpus, corpus_report
 from .multimodal import decode_image, make_demo_assets, sample_frames
@@ -87,6 +88,7 @@ __all__ = [
     "sample_frames",
     "make_demo_assets",
     "time_bucket",
+    "gap_fill",
     "bucket_agg",
     "reaggregate",
     "rollup_ladder",

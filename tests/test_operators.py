@@ -883,3 +883,37 @@ def test_quantize_zero_vector_safe(spark):
     top = cosine_topk_int8(q, [1.0, 2.0], k=3).collect()
     # zero vector must sort last, not first (sim 0, not NaN)
     assert top[-1]["vec_id"] == 0 and top[-1]["sim"] == 0.0
+
+
+def test_gap_fill_policies_planted(spark):
+    """Planted gaps: zero-fill counts, LOCF gauges, null keeps holes."""
+    from duckdb_read_spark.operators import gap_fill
+
+    rows = [  # key 'a' has buckets 0,2; key 'b' only bucket 1 (of 0..2)
+        ("a", 0, 2, 10.0), ("a", 2, 1, 30.0), ("b", 1, 5, 99.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, b long, n long, g double")
+        .withColumn("b", F.timestamp_seconds(F.col("b") * 900))
+    )
+    out = gap_fill(df, bucket="b", width_seconds=900, keys=["k"],
+                   fill={"n": "zero", "g": "locf"}).orderBy("k", "b")
+    got = [(r["k"], r["n"], r["g"]) for r in out.collect()]
+    assert got == [
+        ("a", 2, 10.0), ("a", 0, 10.0), ("a", 1, 30.0),   # gap: n=0, g carried
+        ("b", 0, None), ("b", 5, 99.0), ("b", 0, 99.0),   # pre-first g stays null
+    ]
+    # dense: every key gets every bucket in the global range
+    assert out.count() == 6
+
+
+def test_gap_fill_constant_and_empty(spark):
+    from duckdb_read_spark.operators import gap_fill
+
+    df = spark.createDataFrame([], "b timestamp, v double")
+    assert gap_fill(df, bucket="b", width_seconds=60).count() == 0
+
+    one = spark.createDataFrame([(0, None), (2, 5.0)], "bs long, v double") \
+        .withColumn("b", F.timestamp_seconds(F.col("bs") * 60)).drop("bs")
+    out = gap_fill(one, bucket="b", width_seconds=60, fill={"v": -1.0})
+    assert [r["v"] for r in out.orderBy("b").collect()] == [-1.0, -1.0, 5.0]
