@@ -482,14 +482,20 @@ def _rewrite_qualify(sql: str) -> str:
             if toks[i].kind == "ident" and toks[i].text.upper() == "FROM"
             and depths[i] == qdepth
         )
-        # predicate ends at the next same-depth ORDER/LIMIT/OFFSET, a ')'
-        # closing this block, or end of text
+        # predicate ends at the next same-depth clause/set-op keyword
+        # (ORDER/LIMIT/OFFSET stay outside the wrap where projected aliases
+        # remain visible; UNION/INTERSECT/EXCEPT bind the wrapped SELECT as
+        # their first branch; a trailing WINDOW list is inlined later by
+        # _rewrite_window_clause), a ')' closing this block, or end of text
         pend = len(toks)
         for i in range(qpos + 1, len(toks)):
             if depths[i] < qdepth or (
                 depths[i] == qdepth
                 and toks[i].kind == "ident"
-                and toks[i].text.upper() in ("ORDER", "LIMIT", "OFFSET")
+                and toks[i].text.upper() in (
+                    "ORDER", "LIMIT", "OFFSET",
+                    "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+                )
             ):
                 pend = i
                 break

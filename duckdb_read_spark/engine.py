@@ -32,9 +32,12 @@ from .dialect import to_spark_sql
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 
 # COPY <table | (subquery)> TO 'path' [(OPTIONS)]  (DuckDB COPY statement)
+# The opts capture is greedy to the trailing ')' so nested parens (e.g.
+# PARTITION_BY (a, b)) survive; the option parser re-splits on top-level
+# commas.
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'(?P<path>[^']+)'"
-    r"\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    r"\s*(?:\((?P<opts>.*)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -164,7 +167,21 @@ class Engine:
             r"\s+AS\s+OF\s+(?P<lit>'[^']*'|\d+)",
             re.IGNORECASE,
         )
-        return pat.sub(sub, query)
+        # Substitute only matches that START outside string literals and
+        # comments — a matching pattern inside '...' or -- ... must stay
+        # verbatim (ADVICE r2). The TIMESTAMP form's own quoted literal is
+        # part of a match that starts outside, so it still rewrites.
+        spans = [
+            m.span()
+            for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)
+        ]
+
+        def guarded(m: re.Match) -> str:
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            return sub(m)
+
+        return pat.sub(guarded, query)
 
     def register_fixture_dir(self, sf_dir: str) -> None:
         """Register the standard fixture tables from a testdata directory."""
@@ -218,11 +235,15 @@ class Engine:
         return self.spark.sql(query)
 
     def _copy_to(self, src: str, path: str, opts: str | None, dialect: str) -> DataFrame:
-        """DuckDB ``COPY src TO 'path' (FORMAT x)`` analog. The source is a
-        table name or a parenthesized query; format comes from the options
-        list, else the path suffix, else parquet. Writes a directory (Spark
-        layout), not a single file — single-file writes serialize through
-        one task and are an anti-pattern at scale."""
+        """DuckDB ``COPY src TO 'path' (FORMAT x, ...)`` analog. The source
+        is a table name or a parenthesized query; format comes from the
+        options list, else the path suffix, else parquet. Honored options:
+        FORMAT, HEADER, DELIMITER/SEPARATOR (csv), COMPRESSION,
+        PARTITION_BY (hive layout → partition pruning on read); any other
+        key RAISES rather than silently dropping a semantic the caller
+        asked for. Writes a directory (Spark layout), not a single file —
+        single-file writes serialize through one task and are an
+        anti-pattern at scale."""
         from .sources.sinks import write_csv, write_json, write_parquet
 
         df = (
@@ -230,18 +251,37 @@ class Engine:
             if src.startswith("(")
             else self.table(src)
         )
-        fmt = None
-        if opts:
-            mf = re.search(r"FORMAT\s+(\w+)", opts, re.IGNORECASE)
-            if mf:
-                fmt = mf.group(1).lower()
+        options = _parse_copy_options(opts)
+        fmt = options.pop("format", None)
         if fmt is None:
             suffix = path.rsplit(".", 1)[-1].lower() if "." in path else ""
             fmt = {"csv": "csv", "json": "json"}.get(suffix, "parquet")
-        writer = {"parquet": write_parquet, "csv": write_csv, "json": write_json}.get(fmt)
-        if writer is None:
+        partition_by = options.pop("partition_by", None)
+        compression = options.pop("compression", None)
+        header = options.pop("header", None)
+        delimiter = options.pop("delimiter", None)
+        if options:
+            raise ValueError(
+                f"COPY: unrecognized option(s) {sorted(options)} — "
+                "supported: FORMAT, HEADER, DELIMITER, COMPRESSION, PARTITION_BY"
+            )
+        if fmt == "parquet":
+            if header is not None or delimiter is not None:
+                raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")
+            write_parquet(df, path, mode="overwrite", partition_by=partition_by,
+                          **({"compression": compression} if compression else {}))
+        elif fmt == "csv":
+            write_csv(df, path, mode="overwrite",
+                      header=True if header is None else header,
+                      compression=compression, delimiter=delimiter,
+                      partition_by=partition_by)
+        elif fmt == "json":
+            if header is not None or delimiter is not None:
+                raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")
+            write_json(df, path, mode="overwrite", compression=compression,
+                       partition_by=partition_by)
+        else:
             raise ValueError(f"COPY: unsupported format {fmt!r}")
-        writer(df, path, mode="overwrite")
         return self.spark.sql("SELECT 1 AS ok WHERE false")
 
     def execute(self, script: str, dialect: str = "spark") -> list[DataFrame]:
@@ -314,6 +354,47 @@ class Engine:
 
     def stop(self) -> None:
         self.spark.stop()
+
+
+def _parse_copy_options(opts: str | None) -> dict:
+    """Parse a DuckDB COPY options list (``FORMAT csv, HEADER, DELIMITER
+    '|', PARTITION_BY (a, b)``) into a lowercase-key dict. Splits on
+    top-level commas only, so parenthesized value lists stay intact."""
+    out: dict = {}
+    if not opts or not opts.strip():
+        return out
+    parts, depth, buf = [], 0, []
+    for ch in opts:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^(\w+)\s*(.*)$", part, re.DOTALL)
+        if not m:
+            raise ValueError(f"COPY: cannot parse option {part!r}")
+        key, val = m.group(1).lower(), m.group(2).strip()
+        if key in ("sep", "separator"):
+            key = "delimiter"
+        if key == "partition_by":
+            cols = val[1:-1] if val.startswith("(") and val.endswith(")") else val
+            out[key] = [c.strip().strip("'\"") for c in cols.split(",") if c.strip()]
+        elif key == "header":
+            out[key] = val == "" or val.strip("'\"").lower() in ("true", "1", "on")
+        elif val == "":
+            out[key] = True
+        else:
+            out[key] = val.strip("'\"").lower() if key == "format" else val.strip("'\"")
+    return out
 
 
 def split_statements(script: str) -> list[str]:

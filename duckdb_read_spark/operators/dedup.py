@@ -205,13 +205,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, pairs ≥ threshold.
 
     Inverted-index self-join: pairs only materialize for docs sharing a
-    shingle. Intended for bounded corpora / verification of the banded
-    strategies (cost is quadratic in per-shingle document frequency)."""
+    shingle — cost is quadratic in per-shingle document frequency, so a
+    shingle shared by d docs alone contributes C(d,2) candidate pairs.
+
+    ``max_shingle_df`` is the scale lever: shingles appearing in more than
+    that many documents are treated as boilerplate stopwords and excluded
+    from BOTH the intersection and the union (set sizes), capping the
+    per-shingle join fan-out at C(cap,2). The semantics stay exact over
+    the reduced shingle universe (deterministic + SQL-expressible, so the
+    capped tier keeps a DuckDB oracle twin); on corpora whose true
+    near-dups share discriminative shingles the emitted pairs are
+    unchanged (pinned by the planted-dup equivalence pytest). ``None``
+    keeps the full universe — verification corpora only."""
     sh = ngram_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        dfreq = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(dfreq))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -263,6 +283,8 @@ def duplicate_clusters(
     out_id: str = "doc_id",
     cluster_col: str = "cluster_id",
     max_iter: int = 25,
+    probe_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every node in
     ``pairs`` gets ``cluster_col`` = the minimum id reachable from it, so a
@@ -274,10 +296,21 @@ def duplicate_clusters(
     is (edges ⋈ labels) → groupBy min → (labels ⋈ update), all hash
     shuffles on the node id — no driver-side graph. Near-dup clusters are
     stars/cliques around a template (diameter ≤ ~4), so this converges in
-    a handful of rounds; ``localCheckpoint`` truncates the join lineage so
-    plan size stays constant across rounds (at cluster scale, prefer a
-    reliable ``checkpoint`` dir over executor-local blocks).
+    a handful of rounds.
+
+    Convergence is probed (a ``limit(1)`` anti-compare job) only every
+    ``probe_every`` rounds — each probe is a driver round-trip, so batching
+    roughly halves the per-round job count at the default; the final round
+    always probes, and an unconverged exit RAISES rather than silently
+    returning wrong labels (a component with diameter > ``max_iter`` would
+    otherwise keep several "survivors" of one true cluster).
+
+    ``checkpoint_dir`` switches lineage truncation from executor-local
+    blocks (``localCheckpoint`` — lost on executor death) to a reliable
+    ``checkpoint`` directory, the right choice for long cluster runs.
     """
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
     fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
     edges = fwd.union(
         fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
@@ -286,12 +319,21 @@ def duplicate_clusters(
         edges.select(F.col("__src").alias("__node")).distinct()
         .withColumn("__label", F.col("__node"))
     )
-    for _ in range(max_iter):
+    if checkpoint_dir is not None:
+        labels.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    converged = False
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["__dst"] == labels["__node"])
             .groupBy("__src").agg(F.min("__label").alias("__nbr"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(nbr_min, labels["__node"] == nbr_min["__src"], "left")
             .select(
                 F.col("__node"),
@@ -299,17 +341,26 @@ def duplicate_clusters(
                     F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))
                 ).alias("__label"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "__node")
-            .filter(F.col("n.__label") != F.col("o.__label"))
-            .limit(1).count()
-        )
+        probe = (it + 1) % probe_every == 0 or it == max_iter - 1
+        if probe:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "__node")
+                .filter(F.col("n.__label") != F.col("o.__label"))
+                .limit(1).count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge after {max_iter} rounds — "
+            "the pair graph has a component with diameter > max_iter; "
+            "raise max_iter (labels would be silently wrong otherwise)"
+        )
     return labels.select(
         F.col("__node").alias(out_id), F.col("__label").alias(cluster_col)
     )

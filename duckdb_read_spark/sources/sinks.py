@@ -62,15 +62,32 @@ def write_csv(
     mode: str = "error",
     header: bool = True,
     compression: str | None = None,
+    delimiter: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     w = df.write.mode(mode).option("header", str(header).lower())
     if compression:
         w = w.option("compression", compression)
+    if delimiter:
+        w = w.option("sep", delimiter)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     w.csv(path)
 
 
-def write_json(df: DataFrame, path: str, mode: str = "error") -> None:
-    df.write.mode(mode).json(path)
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    compression: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
 
 
 def write_time_partitioned(
@@ -113,6 +130,16 @@ def zorder_key(cols, bits: int = 12):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        # JVM shifts wrap mod 64: a shiftleft past bit 63 would silently
+        # interleave bits into wrong positions and destroy the clustering
+        # property. 63 (not 64) keeps the sign bit clear.
+        raise ValueError(
+            f"zorder_key: bits * len(cols) = {bits * n} exceeds 63 — "
+            f"use bits <= {63 // n} for {n} columns"
+        )
     key = F.lit(0).cast("long")
     scale_max = (1 << bits) - 1
     for ci, (col, lo, hi) in enumerate(cols):
@@ -148,9 +175,11 @@ def write_zordered_parquet(
     predicates on ANY of the listed dimensions (a 1-d sort only prunes its
     leading column). One agg pass for normalization bounds (2 scalars per
     column to the driver) + one range exchange — same write cost profile
-    as write_sorted_parquet."""
+    as write_sorted_parquet. ``bits`` is auto-reduced so the interleaved
+    key fits in 63 bits (4+ columns at the default 12 would overflow)."""
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // len(cols))
     bounds = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],

@@ -170,6 +170,26 @@ def test_qualify_distinct_raises():
         to_spark_sql("SELECT DISTINCT g FROM t QUALIFY row_number() OVER (ORDER BY g) = 1")
 
 
+def test_qualify_stops_at_set_operation():
+    """A set operation after QUALIFY terminates the predicate (ADVICE r2) —
+    the UNION branch must stay OUTSIDE the __qualify wrap."""
+    out = to_spark_sql(
+        "SELECT id FROM t QUALIFY row_number() OVER (ORDER BY id) = 1 "
+        "UNION ALL SELECT id FROM u"
+    )
+    assert "UNION ALL SELECT id FROM u" in out
+    # predicate must not contain the set operation
+    assert "= 1 \n" not in out
+    pred = out.split("AS __qualify")[0]
+    assert "UNION" not in pred.upper()
+    out = to_spark_sql(
+        "SELECT id FROM t QUALIFY row_number() OVER (ORDER BY id) = 1 "
+        "INTERSECT SELECT id FROM u"
+    )
+    assert out.split("AS __qualify")[0].upper().count("INTERSECT") == 0
+    assert "INTERSECT SELECT id FROM u" in out
+
+
 def test_using_sample_rewrites():
     assert to_spark_sql("SELECT * FROM t USING SAMPLE 10%") == \
         "SELECT * FROM t TABLESAMPLE (10 PERCENT)"

@@ -291,6 +291,31 @@ def test_copy_statement_parquet_and_csv(engine, tmp_path):
     assert got.count() == 5
 
 
+def test_copy_statement_options(engine, tmp_path):
+    """COPY options are honored (HEADER false, DELIMITER, PARTITION_BY with
+    nested parens) and unknown keys raise instead of silently dropping
+    (ADVICE r2)."""
+    p = str(tmp_path / "nohdr_csv")
+    engine.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{p}' "
+        "(FORMAT csv, HEADER false, DELIMITER '|')"
+    )
+    got = engine.spark.read.option("header", "false").option("sep", "|").csv(p)
+    assert got.count() == 25 and len(got.columns) == 2
+    p2 = str(tmp_path / "part_parquet")
+    engine.sql(
+        f"COPY (SELECT r_regionkey, r_name FROM region) TO '{p2}' "
+        "(FORMAT parquet, PARTITION_BY (r_regionkey))"
+    )
+    import glob
+
+    assert len(glob.glob(p2 + "/r_regionkey=*")) == 5
+    with pytest.raises(ValueError, match="unrecognized option"):
+        engine.sql(f"COPY region TO '{tmp_path}/x' (FORMAT csv, FROBNICATE 1)")
+    with pytest.raises(ValueError, match="only apply to FORMAT csv"):
+        engine.sql(f"COPY region TO '{tmp_path}/y' (FORMAT parquet, HEADER false)")
+
+
 def test_explain_statement_and_analyze(engine):
     plan = engine.sql(
         "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_orderkey < 10"
@@ -319,6 +344,18 @@ def test_zorder_key_interleaves_bits(spark):
         zorder_key([(F.col("y"), 0, 3), (F.col("x"), 0, 3)], bits=2).alias("k")
     ).first()["k"]
     assert key2 == 0b1010
+
+
+def test_zorder_key_rejects_bit_overflow(spark):
+    """bits * n_cols > 63 would wrap JVM shifts mod 64 and scramble the
+    interleave (ADVICE r2) — must raise, and the writer auto-reduces."""
+    from duckdb_read_spark.sources.sinks import zorder_key
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key([(F.col(c), 0, 1) for c in ("a", "b", "c", "d", "e", "f")],
+                   bits=12)
+    # 5 cols x 12 bits = 60 <= 63 is fine
+    zorder_key([(F.col(c), 0, 1) for c in ("a", "b", "c", "d", "e")], bits=12)
 
 
 def test_write_zordered_clusters_both_dims(engine, spark, tmp_path):

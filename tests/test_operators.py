@@ -617,6 +617,63 @@ def test_duplicate_clusters_matches_union_find(spark):
     assert got == want
 
 
+def test_duplicate_clusters_unconverged_raises(spark):
+    """A chain longer than max_iter must RAISE, not silently return split
+    clusters (ADVICE r2): 0-1-2-...-9 with max_iter=3 cannot converge."""
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=3).collect()
+    # plenty of rounds → one cluster, regardless of probe batching
+    got = {r["cluster_id"]
+           for r in duplicate_clusters(chain, max_iter=15, probe_every=3).collect()}
+    assert got == {0}
+
+
+def test_duplicate_clusters_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to a reliable checkpoint;
+    results must be identical and checkpoint files must land in the dir."""
+    import os
+
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs, checkpoint_dir=ckpt).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(os.scandir(ckpt)), "no checkpoint data written"
+
+
+def test_ngram_jaccard_df_cap_equivalence(docs_with_dups):
+    """On a corpus whose shingle document frequencies stay under the cap,
+    the capped tier must emit EXACTLY the uncapped pairs (the cap only
+    drops boilerplate shingles); and the cap must bound candidate pairs."""
+    from duckdb_read_spark.operators import ngram_jaccard_pairs
+
+    sub = docs_with_dups.filter((F.col("doc_id") < 200) | (F.col("doc_id") >= 100000))
+    uncapped = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(sub, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+              for r in ngram_jaccard_pairs(sub, threshold=0.5,
+                                           max_shingle_df=64).collect()}
+    assert capped == uncapped and uncapped
+    # exact duplicates share ALL shingles, so under any cap each planted
+    # pair either vanishes entirely (every shingle dropped) or keeps
+    # jaccard exactly 1.0 — a surviving planted pair can never dilute
+    tiny = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(sub, threshold=0.999,
+                                         max_shingle_df=3).collect()}
+    planted = {(i, i + 100000) for i in range(20)}
+    surviving = {p: j for p, j in tiny.items() if p in planted}
+    assert surviving and all(j == 1.0 for j in surviving.values())
+
+
 def test_attach_clusters_survivors(spark, docs_with_dups):
     """attach_clusters gives every doc a cluster (singletons = self) and
     filtering doc_id == cluster_id yields exactly one survivor per

@@ -138,6 +138,28 @@ def test_engine_sql_timestamp_as_of(engine, tmp_path):
     assert n == 1
 
 
+def test_as_of_inside_string_literal_untouched(engine, tmp_path):
+    """An AS-OF-shaped pattern inside a string literal or comment must NOT
+    be rewritten once a versioned table is registered (ADVICE r2)."""
+    d = str(tmp_path / "vt_lit")
+    s = engine.spark
+    engine.write_versioned(s.createDataFrame([(1,)], "id long"), d)
+    engine.write_versioned(s.createDataFrame([(1,), (2,)], "id long"), d)
+    engine.register_versioned("vt_lit", d)
+    row = engine.sql(
+        "SELECT 'vt_lit VERSION AS OF 1' AS s, COUNT(*) AS n "
+        "FROM vt_lit -- vt_lit VERSION AS OF 1"
+    ).first()
+    assert row["s"] == "vt_lit VERSION AS OF 1"   # literal survives verbatim
+    assert row["n"] == 2                          # table itself reads latest
+    # the real rewrite still works alongside a literal
+    row2 = engine.sql(
+        "SELECT 'vt_lit VERSION AS OF 9' AS s, COUNT(*) AS n "
+        "FROM vt_lit VERSION AS OF 1"
+    ).first()
+    assert row2["n"] == 1 and row2["s"] == "vt_lit VERSION AS OF 9"
+
+
 def test_snapshot_scan_reads_only_named_dirs(engine, tmp_path):
     """Plan check: a pinned snapshot's scan lists only that snapshot's data
     dirs — time travel must not read newer files."""
