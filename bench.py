@@ -119,6 +119,7 @@ def main() -> None:
         "q78_term_frequencies",
         "q80_dup_clusters",
         "q83_pack_sequences",
+        "q93_dup_clusters_banded",
         "q85_repetition_stats",
         "q86_profile_columns",
     ):
@@ -131,12 +132,20 @@ def main() -> None:
     from duckdb_read_spark import operators as ops
     from duckdb_read_spark.catalog import load_table
 
+    from duckdb_read_spark.op_queries import _SHINGLE_DF_CAP
+
     docs = load_table(spark, sf_dir, "documents")
     counters = {
         "documents_rows": docs.count(),
-        # all pairs sharing >=1 shingle (threshold=0 keeps everything)
-        "q55_candidate_pairs": ops.ngram_jaccard_pairs(docs, n=3, threshold=0.0).count(),
-        "q55_pairs_emitted": ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count(),
+        # all pairs sharing >=1 shingle (threshold=0 keeps everything);
+        # q55/q80 now run the DF-capped tier — the uncapped counter stays
+        # for honesty about what the cap is buying
+        "q55_candidate_pairs": ops.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, max_shingle_df=_SHINGLE_DF_CAP).count(),
+        "q55_candidate_pairs_uncapped": ops.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0).count(),
+        "q55_pairs_emitted": ops.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=_SHINGLE_DF_CAP).count(),
         # all band-bucket collisions (max_hamming=64 disables the verify cut)
         "q66_candidate_pairs": ops.simhash_candidates(docs, max_hamming=64, bands=4).count(),
         "q66_pairs_emitted": ops.simhash_candidates(docs, max_hamming=3, bands=4).count(),

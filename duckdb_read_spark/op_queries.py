@@ -114,10 +114,22 @@ def _q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.exact_dup_groups(docs).orderBy("h")
 
 
-@_op("q55_ngram_jaccard", """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-       FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-1)) AS i FROM toks)),
+# Shingles appearing in more than this many documents are boilerplate and
+# excluded from BOTH engines' shingle universes — the scale lever that
+# bounds the inverted-index self-join fan-out at C(cap,2) per shingle.
+_SHINGLE_DF_CAP = 64
+
+_CAPPED_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-1)) AS i FROM toks)),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING COUNT(*) <= {_SHINGLE_DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle))"""
+
+
+@_op("q55_ngram_jaccard", f"""
+WITH {_CAPPED_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -127,10 +139,15 @@ SELECT id_a, id_b,
 FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 ORDER BY id_a, id_b
-""", note="exact word-trigram Jaccard near-dup pairs (L2 verification tier)")
+""", note="exact word-trigram Jaccard near-dup pairs over the DF-capped "
+          "shingle universe (L2): shingles in > 64 docs are boilerplate "
+          "stopwords on BOTH engines, bounding self-join fan-out; the "
+          "uncapped verification tier stays available via "
+          "max_shingle_df=None (capped==uncapped equivalence pytest)")
 def _q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                    max_shingle_df=_SHINGLE_DF_CAP)
     return pairs.select(
         "id_a", "id_b",
         F.col("jaccard").cast("decimal(10,6)").cast("double").alias("jaccard"),
@@ -532,11 +549,8 @@ def _q79(spark: SparkSession, sf_dir: str) -> DataFrame:
                              presplit="1 day")
 
 
-@_op("q80_dup_clusters", """
-WITH RECURSIVE
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-       FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-1)) AS i FROM toks)),
+@_op("q80_dup_clusters", f"""
+WITH RECURSIVE {_CAPPED_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -550,12 +564,14 @@ reach AS (SELECT a AS node, a AS r FROM edges
           UNION
           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.node)
 SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
-""", note="connected components over q55's near-dup pairs: iterative "
-          "min-label propagation on Spark vs WITH RECURSIVE transitive "
-          "closure on DuckDB — the pairs→clusters step of a dedup pipeline")
+""", note="connected components over q55's DF-capped near-dup pairs: "
+          "iterative min-label propagation on Spark vs WITH RECURSIVE "
+          "transitive closure on DuckDB — the pairs→clusters step of a "
+          "dedup pipeline")
 def _q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = ops.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                    max_shingle_df=_SHINGLE_DF_CAP)
     return ops.duplicate_clusters(pairs).orderBy("doc_id")
 
 
@@ -770,6 +786,18 @@ def _q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "event_type", "n",
         F.col("sv").cast("double").alias("sv_locf"),
     ).orderBy("bucket", "event_type")
+
+
+@_op("q93_dup_clusters_banded", None,
+     note="the 100 TB dedup composition: banded SimHash candidate pairs "
+          "(O(docs x bands), never all-pairs) → connected-components "
+          "clustering — rows-only because the SimHash bit layout is "
+          "engine-specific; clustering correctness itself is oracle-pinned "
+          "by q80 and the union-find pytest")
+def _q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.simhash_candidates(docs, max_hamming=3, bands=4)
+    return ops.duplicate_clusters(pairs).orderBy("doc_id")
 
 
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
