@@ -29,9 +29,17 @@ Handled (SURVEY §2.4 item numbers):
      DataFrame groupBy().pivot), statement-form UNPIVOT … INTO NAME/VALUE
      → Spark relation-form UNPIVOT.
 
-Not handled textually (use the operator API instead): ASOF JOIN
-(operators.asof.asof_join). Timestamp-difference INTERVAL comparison
-needs no rewrite: Spark's ANSI DayTimeInterval comparison matches DuckDB.
+  10. ASOF [LEFT] JOIN → correlated LATERAL subquery: for each left row
+      pick the single right row maximizing (backward) / minimizing
+      (forward) the inequality's right timestamp among key-equal rows —
+      ``[LEFT OUTER|CROSS] JOIN LATERAL (SELECT * FROM right WHERE conds
+      ORDER BY right_ts DESC|ASC LIMIT 1)``. Catalyst decorrelates the
+      limit-1 subquery; extra predicates (e.g. a tolerance bound) ride
+      along in the WHERE untouched. The DataFrame-native path with
+      explicit strategy choice remains operators.asof.asof_join.
+
+Timestamp-difference INTERVAL comparison needs no rewrite: Spark's ANSI
+DayTimeInterval comparison matches DuckDB.
 """
 
 from __future__ import annotations
@@ -638,6 +646,163 @@ def _rewrite_pivot(sql: str) -> str:
     return f"SELECT * FROM (SELECT {proj} FROM {table}) {pivot_rel}"
 
 
+_JOIN_COND_TERMINATORS = {
+    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ASOF",
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT",
+}
+
+_INEQ_OPS = {">=", "<=", ">", "<"}
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a predicate on top-level ANDs (token-aware)."""
+    toks = tokenize(cond)
+    depths = _depths(toks)
+    terms, start = [], 0
+    for i, t in enumerate(toks):
+        if t.kind == "ident" and t.text.upper() == "AND" and depths[i] == 0:
+            terms.append(detokenize(toks[start:i]).strip())
+            start = i + 1
+    terms.append(detokenize(toks[start:]).strip())
+    return [t for t in terms if t]
+
+
+def _colref_parts(expr: str) -> list[str] | None:
+    """['a','ts'] for a plain dotted column ref, else None (calls, casts,
+    arithmetic all disqualify — the as-of inequality must be a bare
+    column-vs-column comparison, which is DuckDB's own requirement)."""
+    toks = [t for t in tokenize(expr) if t.kind not in ("ws", "comment")]
+    if not toks or len(toks) % 2 == 0:
+        return None
+    parts = []
+    for i, t in enumerate(toks):
+        if i % 2 == 0:
+            if t.kind != "ident":
+                return None
+            parts.append(t.text)
+        elif t.text != ".":
+            return None
+    return parts
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB ``ASOF [LEFT] JOIN right [AS] alias ON key = key AND l.ts >=
+    r.ts`` → Spark correlated-LATERAL form (module docstring item 10).
+    Handles table names and parenthesized subqueries on the right; raises
+    on USING-form ASOF (no inequality to infer a direction from)."""
+    skip = 0
+    while True:
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        depths = _depths(toks)
+        candidates = [i for i in sig
+                      if toks[i].kind == "ident" and toks[i].text.upper() == "ASOF"]
+        if skip >= len(candidates):
+            return sql
+        k = candidates[skip]
+        kdepth = depths[k]
+        pos = sig.index(k)
+
+        def up(p: int) -> str:
+            t = toks[sig[p]]
+            return t.text.upper() if t.kind == "ident" else t.text
+
+        j = pos + 1
+        left_join = False
+        if j < len(sig) and up(j) == "LEFT":
+            left_join = True
+            j += 1
+            if up(j) == "OUTER":
+                j += 1
+        elif j < len(sig) and up(j) == "INNER":
+            j += 1
+        if j >= len(sig) or up(j) != "JOIN":
+            # an identifier merely named "asof" — leave it alone
+            skip += 1
+            continue
+        # right-side relation: parenthesized subquery or dotted ident chain
+        r = j + 1
+        if toks[sig[r]].text == "(":
+            close = _find_close(toks, sig[r])
+            ref_text = detokenize(toks[sig[r]:close + 1]).strip()
+            r = next(p for p in range(r, len(sig)) if sig[p] > close) - 1 + 1
+        else:
+            ref_end = r
+            while (ref_end + 2 < len(sig) and up(ref_end + 1) == "."
+                   and toks[sig[ref_end + 2]].kind == "ident"):
+                ref_end += 2
+            ref_text = detokenize(toks[sig[r]:sig[ref_end] + 1]).strip()
+            r = ref_end + 1
+        # optional [AS] alias
+        alias = None
+        if r < len(sig) and up(r) == "AS":
+            r += 1
+        if r < len(sig) and toks[sig[r]].kind == "ident" and up(r) != "ON":
+            alias = toks[sig[r]].text
+            r += 1
+        if alias is None:
+            if ref_text.startswith("("):
+                raise ValueError("ASOF JOIN subquery needs an alias")
+            alias = ref_text.split(".")[-1]
+        if r >= len(sig) or up(r) != "ON":
+            raise ValueError(
+                "ASOF JOIN requires an ON clause (USING form unsupported)")
+        # condition span: up to the next same-depth clause keyword
+        cstart = sig[r] + 1
+        cend = len(toks)
+        for i in range(cstart, len(toks)):
+            if depths[i] < kdepth or (
+                depths[i] == kdepth and toks[i].kind == "ident"
+                and toks[i].text.upper() in _JOIN_COND_TERMINATORS
+            ):
+                cend = i
+                break
+        cond = detokenize(toks[cstart:cend]).strip()
+        # find THE as-of inequality: bare colref OP colref, one side
+        # qualified by the right alias
+        right_ts = None
+        direction = None
+        for term in _split_top_and(cond):
+            ttoks = [t for t in tokenize(term) if t.kind not in ("ws", "comment")]
+            op_i = next((i for i, t in enumerate(ttoks)
+                         if t.kind == "op" and t.text in _INEQ_OPS), None)
+            if op_i is None:
+                continue
+            lhs = _colref_parts(detokenize_strip(ttoks[:op_i]))
+            rhs = _colref_parts(detokenize_strip(ttoks[op_i + 1:]))
+            if lhs is None or rhs is None:
+                continue
+            op = ttoks[op_i].text
+            if rhs[0] == alias and lhs[0] != alias:
+                right_ts = ".".join(rhs)
+                direction = "backward" if op in (">=", ">") else "forward"
+                break
+            if lhs[0] == alias and rhs[0] != alias:
+                right_ts = ".".join(lhs)
+                direction = "backward" if op in ("<=", "<") else "forward"
+                break
+        if right_ts is None:
+            raise ValueError(
+                "ASOF JOIN: no column-vs-column inequality involving the "
+                f"right alias {alias!r} found in ON clause")
+        order = "DESC" if direction == "backward" else "ASC"
+        lateral = (
+            f"(SELECT * FROM {ref_text} AS {alias} WHERE {cond} "
+            f"ORDER BY {right_ts} {order} LIMIT 1)"
+        )
+        joiner = (
+            f"LEFT OUTER JOIN LATERAL {lateral} AS {alias} ON true"
+            if left_join
+            else f"CROSS JOIN LATERAL {lateral} AS {alias}"
+        )
+        sql = detokenize(toks[:k]) + joiner + " " + detokenize(toks[cend:])
+
+
+def detokenize_strip(toks: list[Tok]) -> str:
+    return detokenize(toks).strip()
+
+
 def _rewrite_unpivot(sql: str) -> str:
     """DuckDB statement-form ``UNPIVOT t ON c1, c2 INTO NAME k VALUE v`` →
     Spark relation-form ``SELECT * FROM t UNPIVOT (v FOR k IN (c1, c2))``."""
@@ -666,6 +831,7 @@ def to_spark_sql(sql: str) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL."""
     sql = _rewrite_pivot(sql)
     sql = _rewrite_unpivot(sql)
+    sql = _rewrite_asof_join(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)

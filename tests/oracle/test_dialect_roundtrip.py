@@ -6,9 +6,8 @@ This is a stronger claim than test_declared_queries.py (which uses
 hand-written per-dialect texts): it proves the rewriter alone closes the
 mechanical §2.4 divergences.
 
-Exclusions (semantic, not mechanical — documented in dialect.py):
-- q50_asof_join: ASOF JOIN is an operator-API feature (operators.asof),
-  not a textual rewrite.
+No exclusions: q50's native ``ASOF LEFT JOIN`` text rewrites to the
+correlated-LATERAL form (dialect.py item 10) since round 3.
 
 q36 (date+interval, date_diff width) round-trips since the rewriter casts
 date_diff to BIGINT and the normalizer equates DATE with midnight
@@ -24,10 +23,7 @@ from duckdb_read_spark.dialect import to_spark_sql
 from duckdb_read_spark.oracle import diff_summary, duckdb_rows, spark_rows
 from duckdb_read_spark.queries import QUERIES
 
-_EXCLUDED = {"q50_asof_join"}
-
-
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - _EXCLUDED))
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_duckdb_text_roundtrips_through_rewriter(name, engine, duck):
     spec = QUERIES[name]
     duck_text = spec.duckdb if spec.duckdb is not None else spec.spark

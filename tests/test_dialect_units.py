@@ -190,6 +190,51 @@ def test_qualify_stops_at_set_operation():
     assert "INTERSECT SELECT id FROM u" in out
 
 
+def test_asof_join_rewrites_to_lateral():
+    out = to_spark_sql(
+        "SELECT t.ts, q.bid FROM trades t ASOF JOIN quotes q "
+        "ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    assert "ASOF" not in out.upper()
+    assert "CROSS JOIN LATERAL" in out
+    assert "ORDER BY q.ts DESC LIMIT 1" in out
+    # LEFT form keeps unmatched rows via LEFT OUTER JOIN LATERAL ... ON true
+    out = to_spark_sql(
+        "SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.ts"
+    )
+    assert "LEFT OUTER JOIN LATERAL" in out and out.rstrip().endswith("ON true")
+
+
+def test_asof_join_directions_and_tolerance():
+    # forward: l.ts <= r.ts → earliest right at-or-after → ASC
+    out = to_spark_sql(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts <= b.ts"
+    )
+    assert "ORDER BY b.ts ASC LIMIT 1" in out
+    # right side on the left of the inequality, strict
+    out = to_spark_sql(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts < a.ts"
+    )
+    assert "ORDER BY b.ts DESC LIMIT 1" in out
+    # a tolerance bound is NOT mistaken for the as-of inequality (it is not
+    # a bare column-vs-column term) and rides along in the WHERE
+    out = to_spark_sql(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts "
+        "AND epoch(a.ts) - epoch(b.ts) <= 60"
+    )
+    assert "ORDER BY b.ts DESC LIMIT 1" in out and "60" in out
+
+
+def test_asof_join_errors():
+    with pytest.raises(ValueError, match="inequality"):
+        to_spark_sql("SELECT * FROM a ASOF JOIN b ON a.k = b.k")
+    with pytest.raises(ValueError, match="alias"):
+        to_spark_sql("SELECT * FROM a ASOF JOIN (SELECT 1) ON a.k = 1")
+    # an identifier merely named asof is NOT a join keyword
+    assert to_spark_sql("SELECT asof FROM t") == "SELECT asof FROM t"
+    assert "asof" in to_spark_sql("SELECT t.asof, x FROM t WHERE asof > 1")
+
+
 def test_using_sample_rewrites():
     assert to_spark_sql("SELECT * FROM t USING SAMPLE 10%") == \
         "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
