@@ -475,6 +475,30 @@ FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey
           "frame, so the value is order-independent; identical text runs "
           "on both engines")
 
+_q("q94_recursive_chain", """
+WITH RECURSIVE
+nxt AS (
+  SELECT o1.o_orderkey AS k, o1.o_custkey AS cust, MIN(o2.o_orderkey) AS nk
+  FROM orders o1 JOIN orders o2
+    ON o1.o_custkey = o2.o_custkey AND o2.o_orderkey > o1.o_orderkey
+  WHERE o1.o_custkey < 200 AND o2.o_custkey < 200
+  GROUP BY o1.o_orderkey, o1.o_custkey),
+firsts AS (
+  SELECT o_custkey AS cust, MIN(o_orderkey) AS k
+  FROM orders WHERE o_custkey < 200 GROUP BY o_custkey),
+chain AS (
+  SELECT cust, k, 1 AS pos FROM firsts
+  UNION ALL
+  SELECT c.cust, n.nk AS k, c.pos + 1 AS pos
+  FROM chain c JOIN nxt n ON c.k = n.k AND c.cust = n.cust)
+SELECT cust, k AS o_orderkey, pos FROM chain ORDER BY cust, pos
+""", note="WITH RECURSIVE (Spark 4 native): per-customer order-chain walk "
+          "over a successor relation — acyclic UNION ALL recursion, depth "
+          "= max orders/customer (~25, under Spark's 100-level limit); "
+          "IDENTICAL text runs on both engines. Cyclic closure stays on "
+          "the operator path (duplicate_clusters) because Spark recursion "
+          "does not yet support distinct UNION.")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (
