@@ -51,6 +51,35 @@ _INSTALL_LOAD_RE = re.compile(
     re.IGNORECASE,
 )
 
+# DDL/DML statement shapes routed onto snapshots.py versioned tables — the
+# reference's whole worked example is statement execution through one
+# parse→bind→execute pipeline (/root/reference/duckdb:18-55, 101); CREATE/
+# INSERT are the first statements an embedded-engine session runs.
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*(?P<rest>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # Short extension names → module paths (the extension repository analog,
 # /root/reference/duckdb:38-45: install resolves a name to an artifact).
 EXTENSION_ALIASES: dict[str, str] = {
@@ -67,6 +96,7 @@ class Engine:
         master: str = "local[*]",
         extensions_allowed: bool = True,
         allow_arbitrary_extensions: bool = False,
+        warehouse_dir: str | None = None,
     ) -> None:
         if spark is None:
             builder = SparkSession.builder.master(master).appName("duckdb_read_spark")
@@ -80,6 +110,9 @@ class Engine:
         self._functions: dict[str, Callable] = {}
         self._extensions: dict[str, object] = {}
         self._versioned: dict[str, str] = {}  # view name -> table_dir
+        # Managed-table root for CREATE TABLE/CTAS; created lazily so a
+        # query-only session never touches disk.
+        self._warehouse = warehouse_dir
 
     # -- sources (binder name resolution analog, /root/reference/duckdb:34-37)
 
@@ -201,6 +234,11 @@ class Engine:
         /root/reference/duckdb:18-55). Returns an empty DataFrame, like a
         DDL statement.
         """
+        head = query.lstrip()[:7].upper()
+        if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE")):
+            handled = self._ddl_dml(query, dialect)
+            if handled is not None:
+                return handled
         m = _INSTALL_LOAD_RE.match(query)
         if m:
             verb, name = m.group(1).upper(), m.group(2).strip().strip("'\"")
@@ -233,6 +271,161 @@ class Engine:
             query = to_spark_sql(query)
         query = self._resolve_time_travel(query)
         return self.spark.sql(query)
+
+    # -- DDL/DML over versioned tables -------------------------------------
+
+    def _empty(self) -> DataFrame:
+        return self.spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _warehouse_dir(self) -> str:
+        if self._warehouse is None:
+            import tempfile
+
+            self._warehouse = tempfile.mkdtemp(prefix="ddbrs_warehouse_")
+        import os
+
+        os.makedirs(self._warehouse, exist_ok=True)
+        return self._warehouse
+
+    def _refresh_table(self, name: str) -> None:
+        """Re-point the temp view at the table's latest snapshot."""
+        self.register_versioned(name, self._versioned[name])
+
+    def _ddl_dml(self, query: str, dialect: str) -> DataFrame | None:
+        """Route CREATE TABLE [AS SELECT] / INSERT INTO / DROP TABLE /
+        DELETE FROM / UPDATE onto snapshots.py versioned tables (the
+        statement→pipeline worked example, /root/reference/duckdb:18-55).
+        Every write is a new atomic commit, so DML history is time-
+        travelable: ``SELECT ... FROM t VERSION AS OF n`` sees the table
+        as of any earlier statement. Returns None when the text is not a
+        recognized DDL/DML statement (falls through to spark.sql, e.g.
+        CREATE VIEW)."""
+        import os
+
+        m = _CREATE_TABLE_RE.match(query)
+        if m and _looks_like_create_table(m.group("rest")):
+            name, rest = m.group("name"), m.group("rest").strip()
+            exists = name in self._versioned
+            if exists and m.group("ifnx"):
+                return self._empty()
+            if exists and not m.group("replace"):
+                raise ValueError(f"table {name!r} already exists "
+                                 "(use CREATE OR REPLACE / IF NOT EXISTS)")
+            if rest.startswith("("):
+                close = _match_paren(rest, 0)
+                schema = _schema_to_spark_ddl(rest[1:close])
+                tail = rest[close + 1:].strip()
+                if tail.upper().startswith("AS"):
+                    df = self.sql(tail[2:].strip(), dialect=dialect)
+                else:
+                    df = self.spark.createDataFrame([], schema)
+            else:  # CTAS
+                df = self.sql(rest[2:].strip(), dialect=dialect)
+            table_dir = self._versioned.get(
+                name, os.path.join(self._warehouse_dir(), name))
+            snapshots.write_table(df, table_dir, mode="overwrite")
+            self.register_versioned(name, table_dir)
+            return self._empty()
+        m = _INSERT_RE.match(query)
+        if m:
+            name = m.group("name")
+            if name not in self._versioned:
+                raise ValueError(f"INSERT INTO unknown table {name!r} — "
+                                 "only versioned tables accept DML")
+            body = m.group("body")
+            if body.upper().startswith("VALUES"):
+                body = f"SELECT * FROM {body}"
+            df = self.sql(body, dialect=dialect)
+            target = self.table(name).schema
+            if m.group("cols"):
+                given = [c.strip() for c in m.group("cols").split(",")]
+                missing = [f.name for f in target.fields if f.name not in given]
+                df = df.toDF(*given)
+                from pyspark.sql import functions as F
+
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType) if f.name in given
+                      else F.lit(None).cast(f.dataType).alias(f.name)
+                      for f in target.fields]
+                ) if missing else df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in target.fields])
+            else:
+                if len(df.columns) != len(target.fields):
+                    raise ValueError(
+                        f"INSERT INTO {name}: {len(df.columns)} columns "
+                        f"provided, table has {len(target.fields)}")
+                from pyspark.sql import functions as F
+
+                df = df.toDF(*[f.name for f in target.fields]).select(
+                    *[F.col(f.name).cast(f.dataType) for f in target.fields])
+            snapshots.write_table(df, self._versioned[name], mode="append")
+            self._refresh_table(name)
+            return self._empty()
+        m = _DROP_RE.match(query)
+        if m:
+            name = m.group("name")
+            if name not in self._versioned:
+                if m.group("ifex"):
+                    return self._empty()
+                raise ValueError(f"DROP TABLE unknown table {name!r}")
+            table_dir = self._versioned.pop(name)
+            self.spark.catalog.dropTempView(name)
+            warehouse = self._warehouse
+            if warehouse and os.path.commonpath(
+                    [os.path.abspath(table_dir), os.path.abspath(warehouse)]
+            ) == os.path.abspath(warehouse):
+                import shutil
+
+                shutil.rmtree(table_dir, ignore_errors=True)
+            return self._empty()
+        m = _DELETE_RE.match(query)
+        if m:
+            name = m.group("name")
+            if name not in self._versioned:
+                raise ValueError(f"DELETE FROM unknown table {name!r}")
+            pred = m.group("pred")
+            if pred is None:
+                kept = self.table(name).limit(0)
+            else:
+                # keep rows where the predicate is FALSE or NULL (SQL
+                # DELETE removes only pred-is-TRUE rows)
+                kept = self.sql(
+                    f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE",
+                    dialect=dialect)
+            snapshots.write_table(kept, self._versioned[name], mode="overwrite")
+            self._refresh_table(name)
+            return self._empty()
+        m = _UPDATE_RE.match(query)
+        if m:
+            name = m.group("name")
+            if name not in self._versioned:
+                raise ValueError(f"UPDATE unknown table {name!r}")
+            assignments = {}
+            for part in _split_top_commas(m.group("sets")):
+                col, _, expr = part.partition("=")
+                if not _:
+                    raise ValueError(f"UPDATE: cannot parse assignment {part!r}")
+                assignments[col.strip()] = expr.strip()
+            target = self.table(name).schema
+            unknown = set(assignments) - {f.name for f in target.fields}
+            if unknown:
+                raise ValueError(f"UPDATE {name}: unknown column(s) {sorted(unknown)}")
+            pred = m.group("pred") or "true"
+            cols = []
+            for f in target.fields:
+                if f.name in assignments:
+                    cols.append(
+                        f"CAST(CASE WHEN ({pred}) THEN ({assignments[f.name]}) "
+                        f"ELSE {f.name} END AS {f.dataType.simpleString()}) AS {f.name}"
+                    )
+                else:
+                    cols.append(f.name)
+            updated = self.sql(
+                f"SELECT {', '.join(cols)} FROM {name}", dialect=dialect)
+            snapshots.write_table(updated, self._versioned[name], mode="overwrite")
+            self._refresh_table(name)
+            return self._empty()
+        return None
 
     def _copy_to(self, src: str, path: str, opts: str | None, dialect: str) -> DataFrame:
         """DuckDB ``COPY src TO 'path' (FORMAT x, ...)`` analog. The source
@@ -354,6 +547,56 @@ class Engine:
 
     def stop(self) -> None:
         self.spark.stop()
+
+
+def _looks_like_create_table(rest: str) -> bool:
+    """True for the two shapes we manage: ``(col type, ...)`` or ``AS
+    <select>``. Anything else (USING, LIKE, ...) falls through to
+    spark.sql untouched."""
+    rest = rest.strip()
+    return rest.startswith("(") or rest[:2].upper() == "AS"
+
+
+def _match_paren(text: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at open_idx (quote-naive: schema
+    definitions contain no string literals)."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses")
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _schema_to_spark_ddl(inner: str) -> str:
+    """Column-definition list → Spark DDL schema string. Maps bare VARCHAR
+    (no length) to STRING; drops NOT NULL (snapshot tables don't enforce
+    constraints — same as parquet)."""
+    cols = []
+    for part in _split_top_commas(inner):
+        part = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", part, flags=re.IGNORECASE)
+        part = re.sub(r"\s+NOT\s+NULL\b", "", part, flags=re.IGNORECASE)
+        cols.append(part)
+    return ", ".join(cols)
 
 
 def _parse_copy_options(opts: str | None) -> dict:

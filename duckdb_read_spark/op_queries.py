@@ -800,6 +800,66 @@ def _q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+# --- DDL/DML statement surface (D5): versioned snapshot tables ------------
+
+@_op("q95_ddl_dml_lifecycle", """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_custkey % 10 = 4 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sv,
+       MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+FROM orders WHERE o_orderkey < 2000 AND o_custkey % 10 <> 3
+""", note="CREATE TABLE AS -> INSERT INTO SELECT -> DELETE -> UPDATE "
+          "through Engine.sql onto versioned snapshot commits; the oracle "
+          "replays the same mutations as one pure SELECT")
+def _q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q95_"))
+    eng.execute("""
+CREATE TABLE t95 AS
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 1000;
+INSERT INTO t95
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_orderkey >= 1000 AND o_orderkey < 2000;
+DELETE FROM t95 WHERE o_custkey % 10 = 3;
+UPDATE t95 SET o_totalprice = o_totalprice * 2 WHERE o_custkey % 10 = 4;
+""")
+    return eng.sql("""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+       MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+FROM t95""")
+
+
+@_op("q96_ctas_time_travel", """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM orders WHERE o_orderkey < 500
+""", note="CTAS commit v1, INSERT commit v2, read back VERSION AS OF 1 — "
+          "DML history is time-travelable because every statement is an "
+          "atomic snapshot commit; oracle recomputes the v1 state")
+def _q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q96_"))
+    eng.execute("""
+CREATE TABLE t96 AS
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500;
+INSERT INTO t96
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey >= 500 AND o_orderkey < 1500;
+""")
+    return eng.sql("""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t96 VERSION AS OF 1""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
