@@ -268,9 +268,65 @@ class Engine:
                 [(text,)], "explain_value string"
             )
         if dialect == "duckdb":
+            if query.lstrip()[:5].upper() == "PIVOT":
+                query = self._dynamize_pivot(query)
             query = to_spark_sql(query)
         query = self._resolve_time_travel(query)
         return self.spark.sql(query)
+
+    # Bound on discovered pivot values: each value becomes an output COLUMN,
+    # and a wide-row explosion is a driver/schema problem, not a data
+    # problem — same reason Spark caps spark.sql.pivotMaxValues at 10000.
+    PIVOT_MAX_VALUES = 1000
+
+    def _dynamize_pivot(self, query: str) -> str:
+        """DuckDB's IN-less statement-form ``PIVOT t ON c USING agg``
+        discovers the pivot values dynamically. Static Spark SQL cannot —
+        so discover them here with one bounded DISTINCT scan (sorted, so
+        column order matches DuckDB's sorted dynamic pivot), inject the IN
+        list, and let the dialect rewriter compile the now-static form."""
+        from .dialect import _depths, _sig, tokenize
+
+        toks = tokenize(query)
+        sig = _sig(toks)
+        depths = _depths(toks)
+
+        def up(k: int) -> str:
+            t = toks[sig[k]]
+            return t.text.upper() if t.kind == "ident" else t.text
+
+        try:
+            on_k = next(k for k in range(len(sig))
+                        if up(k) == "ON" and depths[sig[k]] == 0)
+            using_k = next(k for k in range(on_k, len(sig))
+                           if up(k) == "USING" and depths[sig[k]] == 0)
+        except StopIteration:
+            return query  # not the statement form; let the rewriter decide
+        if any(up(k) == "IN" for k in range(on_k + 1, using_k)):
+            return query  # static form — nothing to discover
+        from .dialect import detokenize
+
+        table = detokenize(toks[sig[1]:sig[on_k]]).strip()
+        on_col = detokenize(toks[sig[on_k + 1]:sig[using_k]]).strip()
+        vals_df = self.sql(
+            f"SELECT DISTINCT {on_col} AS v FROM {table} "
+            f"WHERE {on_col} IS NOT NULL ORDER BY v "
+            f"LIMIT {self.PIVOT_MAX_VALUES + 1}"
+        )
+        rows = [r["v"] for r in vals_df.collect()]
+        if len(rows) > self.PIVOT_MAX_VALUES:
+            raise ValueError(
+                f"dynamic PIVOT on {on_col!r}: more than "
+                f"{self.PIVOT_MAX_VALUES} distinct values — pivot on a "
+                "lower-cardinality column or pass an explicit IN list")
+        lits = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" if isinstance(v, str)
+            else str(v)
+            for v in rows
+        )
+        before = detokenize(toks[:sig[using_k]])
+        after = detokenize(toks[sig[using_k]:])
+        return f"{before}IN ({lits}) {after}"
 
     # -- DDL/DML over versioned tables -------------------------------------
 

@@ -860,6 +860,32 @@ SELECT COUNT(*) AS n,
 FROM t96 VERSION AS OF 1""")
 
 
+@_op("q97_dynamic_pivot", f"""
+{_DUCK_EVENTS_SHIM}
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+""", note="IN-less statement-form PIVOT: the engine discovers pivot values "
+          "with one bounded sorted DISTINCT scan (matching DuckDB's "
+          "dynamic pivot column order) and compiles to relation-form "
+          "PIVOT; oracle = portable conditional aggregation")
+def _q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    out = eng.sql("PIVOT events ON event_type USING count(*) GROUP BY user_id",
+                  dialect="duckdb")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    ).orderBy("user_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
