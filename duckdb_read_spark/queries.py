@@ -499,6 +499,31 @@ SELECT cust, k AS o_orderkey, pos FROM chain ORDER BY cust, pos
           "the operator path (duplicate_clusters) because Spark recursion "
           "does not yet support distinct UNION.")
 
+_q("q98_map_ops", """
+SELECT doc_id,
+       element_at(m, 'chars') AS chars,
+       array_join(map_keys(m2), ',') AS ks,
+       aggregate(map_values(m2), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS vsum,
+       CAST(size(map_filter(m, (k, v) -> v >= 100)) AS BIGINT) AS n_big
+FROM (SELECT doc_id,
+             map('chars', CAST(n_chars AS BIGINT), 'id', doc_id) AS m,
+             map_concat(map('chars', CAST(n_chars AS BIGINT), 'id', doc_id),
+                        map('one', CAST(1 AS BIGINT))) AS m2
+      FROM documents)
+ORDER BY doc_id
+""", duckdb="""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS chars,
+       'chars,id,one' AS ks,
+       CAST(n_chars + doc_id + 1 AS BIGINT) AS vsum,
+       CAST((CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+          + (CASE WHEN doc_id >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+FROM documents ORDER BY doc_id
+""", note="N5 map ops end-to-end: construction, element_at, map_keys "
+          "(insertion order), map_concat, map_filter, map_values folded "
+          "with a HOF — DuckDB's map extraction returns LIST (different "
+          "shape), so the oracle recomputes the same scalars directly")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (
