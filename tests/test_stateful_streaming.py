@@ -58,6 +58,47 @@ def test_running_totals_accumulates_across_batches(spark, two_batch_dir):
     assert any(r["user_id"] == 1 and r["n"] == 1 for r in rows)  # batch-1 snapshot
 
 
+def test_running_totals_rocksdb_state_store(spark, two_batch_dir, tmp_path):
+    """SCALE.md claims the stateful ops scale via the RocksDB state store
+    with NO code change — prove it: same two-batch run, provider switched
+    by config alone, checkpoint to a real dir, identical totals, and the
+    query's state-operator metrics show RocksDB actually served the state."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(os.path.join(two_batch_dir, "f0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(two_batch_dir, "f*"))
+        )
+        q = (
+            running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("t_running_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        latest = {}
+        for r in spark.table("t_running_rocks").collect():
+            latest[r["user_id"]] = (r["n"], r["total"])
+        assert latest[1] == (3, 7.0) and latest[2] == (1, 5.0)
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
+
+
 def test_stream_dedup_batch_semantics(spark, two_batch_dir):
     # batch mode: plain dropDuplicates semantics
     df = spark.read.parquet(os.path.join(two_batch_dir, "f*"))
