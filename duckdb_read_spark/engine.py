@@ -79,6 +79,26 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# MERGE is parsed in two steps: the head regex stops at USING, then the
+# source relation (possibly a parenthesized subquery with nested parens) is
+# extracted by paren matching, and the tail regex takes over.
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*))?"
+    r"\s+USING\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_TAIL_RE = re.compile(
+    r"^(?:\s+(?:AS\s+)?(?P<salias>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)\s+(?P<clauses>WHEN\s+(?:NOT\s+)?MATCHED\b.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
+    r"(?=\s+WHEN\s+|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # Short extension names → module paths (the extension repository analog,
 # /root/reference/duckdb:38-45: install resolves a name to an artifact).
@@ -235,6 +255,8 @@ class Engine:
         DDL statement.
         """
         head = query.lstrip()[:7].upper()
+        if head.startswith("MERGE"):
+            return self._merge(query, dialect)
         if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE")):
             handled = self._ddl_dml(query, dialect)
             if handled is not None:
@@ -482,6 +504,143 @@ class Engine:
             self._refresh_table(name)
             return self._empty()
         return None
+
+    def _merge(self, query: str, dialect: str) -> DataFrame:
+        """``MERGE INTO target USING source ON cond WHEN [NOT] MATCHED
+        [AND c] THEN UPDATE SET …|DELETE|INSERT …`` as one copy-on-write
+        snapshot commit (upsert — the Delta/Iceberg MERGE surface over the
+        same metadata-log idea, /root/reference/metadata:1-17).
+
+        Plan shape: matched side is target LEFT JOIN source (update/delete
+        applied per row via CASE), insert side is source LEFT ANTI JOIN
+        target; both are ordinary hash-shuffle joins, unioned into one
+        distributed write. Like Delta, a source that matches one target row
+        more than once produces duplicate target rows — keep the source
+        unique on the join key."""
+        import os
+
+        m = _MERGE_HEAD_RE.match(query)
+        if not m:
+            raise ValueError("cannot parse MERGE INTO statement")
+        target, talias = m.group("target"), m.group("talias") or m.group("target")
+        if target not in self._versioned:
+            raise ValueError(f"MERGE INTO unknown table {target!r} — "
+                             "only versioned tables accept DML")
+        rest = m.group("rest").strip()
+        if rest.startswith("("):
+            close = _match_paren(rest, 0)
+            source, tail = rest[:close + 1], rest[close + 1:]
+        else:
+            ms = re.match(r"^([A-Za-z_]\w*)", rest)
+            if not ms:
+                raise ValueError("cannot parse MERGE source relation")
+            source, tail = ms.group(1), rest[ms.end():]
+        mt = _MERGE_TAIL_RE.match(tail)
+        if not mt:
+            raise ValueError("cannot parse MERGE ON/WHEN clauses")
+        salias = mt.group("salias") or (
+            source if not source.startswith("(") else None)
+        if salias is None:
+            raise ValueError("MERGE subquery source needs an alias")
+        on, clauses = mt.group("on"), mt.group("clauses")
+
+        upd_sets: dict[str, str] | None = None
+        upd_cond = del_cond = None
+        has_delete = False
+        ins_cols: list[str] | None = None
+        ins_vals: list[str] | None = None
+        ins_star = False
+        ins_cond = None
+        for c in _MERGE_CLAUSE_RE.finditer(clauses):
+            action = c.group("action").strip()
+            up = action.upper()
+            if c.group("not"):
+                if not up.startswith("INSERT"):
+                    raise ValueError("WHEN NOT MATCHED supports only INSERT")
+                ins_cond = c.group("cond")
+                body = action[6:].strip()
+                if body == "*" or body.upper() == "*":
+                    ins_star = True
+                else:
+                    mi = re.match(r"^\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                                  body, re.IGNORECASE | re.DOTALL)
+                    if not mi:
+                        raise ValueError(
+                            "WHEN NOT MATCHED THEN INSERT needs `*` or "
+                            "`(cols) VALUES (exprs)`")
+                    ins_cols = [x.strip() for x in mi.group("cols").split(",")]
+                    ins_vals = _split_top_commas(mi.group("vals"))
+                    if len(ins_cols) != len(ins_vals):
+                        raise ValueError("INSERT column/value count mismatch")
+            elif up.startswith("UPDATE"):
+                upd_cond = c.group("cond")
+                upd_sets = {}
+                for part in _split_top_commas(action[len("UPDATE SET"):]):
+                    col, eq, expr = part.partition("=")
+                    if not eq:
+                        raise ValueError(f"MERGE UPDATE: bad assignment {part!r}")
+                    col = col.strip()
+                    # allow `t.col = …` qualification
+                    col = col.split(".")[-1]
+                    upd_sets[col] = expr.strip()
+            elif up == "DELETE":
+                has_delete = True
+                del_cond = c.group("cond")
+            else:
+                raise ValueError(f"unsupported MERGE action {action!r}")
+
+        schema = self.table(target).schema
+        names = [f.name for f in schema.fields]
+        matched = f"coalesce({salias}.__m, false)"
+        # matched side: every target row, updated/deleted per the clauses
+        proj = []
+        for f in schema.fields:
+            if upd_sets and f.name in upd_sets:
+                cond = matched + (f" AND ({upd_cond})" if upd_cond else "")
+                proj.append(
+                    f"CAST(CASE WHEN {cond} THEN ({upd_sets[f.name]}) "
+                    f"ELSE {talias}.{f.name} END AS "
+                    f"{f.dataType.simpleString()}) AS {f.name}")
+            else:
+                proj.append(f"{talias}.{f.name} AS {f.name}")
+        src_marked = (
+            f"(SELECT *, true AS __m FROM {source} "
+            if not source.startswith("(")
+            else f"(SELECT *, true AS __m FROM {source} __mrg_inner "
+        ) + f") {salias}"
+        matched_sql = (
+            f"SELECT {', '.join(proj)} FROM {target} {talias} "
+            f"LEFT JOIN {src_marked} ON {on}"
+        )
+        if has_delete:
+            cond = matched + (f" AND ({del_cond})" if del_cond else "")
+            matched_sql += f" WHERE NOT ({cond})"
+        parts = [matched_sql]
+        if ins_star or ins_cols:
+            if ins_star:
+                ins_map = {n: f"{salias}.{n}" for n in names}
+            else:
+                given = {c: v for c, v in zip(ins_cols, ins_vals)}
+                unknown = set(given) - set(names)
+                if unknown:
+                    raise ValueError(
+                        f"MERGE INSERT: unknown column(s) {sorted(unknown)}")
+                ins_map = {n: given.get(n, "NULL") for n in names}
+            ins_proj = ", ".join(
+                f"CAST({ins_map[f.name]} AS {f.dataType.simpleString()}) AS {f.name}"
+                for f in schema.fields)
+            anti = (
+                f"SELECT {ins_proj} FROM {source} {salias} "
+                f"LEFT ANTI JOIN {target} {talias} ON {on}"
+            )
+            if ins_cond:
+                anti += f" WHERE {ins_cond}"
+            parts.append(anti)
+        result = self.sql(" UNION ALL ".join(
+            f"SELECT * FROM ({p})" for p in parts), dialect=dialect)
+        snapshots.write_table(result, self._versioned[target], mode="overwrite")
+        self._refresh_table(target)
+        return self._empty()
 
     def _copy_to(self, src: str, path: str, opts: str | None, dialect: str) -> DataFrame:
         """DuckDB ``COPY src TO 'path' (FORMAT x, ...)`` analog. The source

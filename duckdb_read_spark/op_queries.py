@@ -886,6 +886,38 @@ def _q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@_op("q99_merge_upsert", """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey >= 500 AND o_orderkey < 1000
+                          THEN o_totalprice + 1000
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sv
+FROM orders WHERE o_orderkey < 1500
+""", note="MERGE INTO (upsert): matched rows updated, unmatched source "
+          "rows inserted, one copy-on-write snapshot commit; oracle "
+          "replays the merge as a pure SELECT")
+def _q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q99_"))
+    eng.execute("""
+CREATE TABLE t99 AS
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000;
+MERGE INTO t99 t USING
+  (SELECT o_orderkey, o_totalprice FROM orders
+   WHERE o_orderkey >= 500 AND o_orderkey < 1500) s
+ON t.o_orderkey = s.o_orderkey
+WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000
+WHEN NOT MATCHED THEN INSERT *;
+""")
+    return eng.sql("""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t99""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

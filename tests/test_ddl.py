@@ -105,6 +105,44 @@ def test_dml_errors(eng):
         eng.sql("UPDATE tt8 SET zz = 1")
 
 
+def test_merge_update_delete_insert(eng):
+    eng.sql("CREATE TABLE tm (k BIGINT, v DOUBLE, tag STRING)")
+    eng.sql("INSERT INTO tm VALUES (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')")
+    eng.sql("""
+MERGE INTO tm t USING
+  (SELECT * FROM VALUES (2, 99.0), (3, 1.0), (4, 40.0) AS x(k, v)) s
+ON t.k = s.k
+WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = s.v
+WHEN MATCHED AND s.v <= 1 THEN DELETE
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+""")
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM tm").collect())
+    assert rows == [(1, 10.0, "a"), (2, 99.0, "b"), (4, 40.0, None)]
+    # the merge was ONE commit; pre-merge state is still readable
+    assert eng.sql("SELECT COUNT(*) AS n FROM tm VERSION AS OF 2").first()["n"] == 3
+
+
+def test_merge_insert_star_by_name(eng):
+    eng.sql("CREATE TABLE tm2 AS SELECT 1 AS k, 'x' AS s")
+    eng.sql("MERGE INTO tm2 USING (SELECT 2 AS k, 'y' AS s) src "
+            "ON tm2.k = src.k WHEN NOT MATCHED THEN INSERT *")
+    assert sorted(tuple(r) for r in eng.sql("SELECT * FROM tm2").collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+def test_merge_errors(eng):
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql("MERGE INTO nope USING region ON 1=1 "
+                "WHEN MATCHED THEN DELETE")
+    eng.sql("CREATE TABLE tm3 AS SELECT 1 AS k")
+    with pytest.raises(ValueError, match="alias"):
+        eng.sql("MERGE INTO tm3 USING (SELECT 2 AS k) ON tm3.k = k "
+                "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="only INSERT"):
+        eng.sql("MERGE INTO tm3 USING region r ON tm3.k = r.r_regionkey "
+                "WHEN NOT MATCHED THEN DELETE")
+
+
 def test_ddl_body_goes_through_dialect(eng):
     """A duckdb-dialect CTAS body is rewritten before execution."""
     eng.sql(
