@@ -68,6 +68,59 @@ def test_asof_union_strategy_one_shuffle(engine):
     assert not has_cartesian(out)
 
 
+def test_asof_sql_lateral_decorrelates(engine):
+    """The dialect's ASOF→LATERAL rewrite must decorrelate — no
+    CartesianProduct, top-1 served by WindowGroupLimit (rank pushed into
+    the shuffle, not a full per-group sort retained). Catalyst's
+    decorrelation does include a broadcast range join over the DISTINCT
+    outer timestamp domain — bounded by distinct left ts, not |l|x|r|,
+    and acceptable for the SQL-parity surface; the 100 TB asof path is
+    operators.asof_join(strategy='union') (SCALE.md D8)."""
+    df = engine.sql(QUERIES["q50_asof_join"].duckdb, dialect="duckdb")
+    plan = physical_plan(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the join back to the left side is a real equi-join, not a loop
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan) \
+        and "LeftOuter" in plan
+    # the only nested-loop is the broadcast DISTINCT-domain range join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_jaccard_df_cap_filters_before_selfjoin(engine):
+    """The DF cap must prune boilerplate shingles BEFORE the inverted-index
+    self-join (that is the whole point) — the plan's join inputs carry the
+    frequency filter, and no cartesian appears."""
+    from duckdb_read_spark.operators import ngram_jaccard_pairs
+
+    docs = engine.table("documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=64)
+    plan = physical_plan(out)
+    assert not has_cartesian(out)
+    # the window-count filter on document frequency sits under the join
+    assert plan.count("Filter") >= 2 and "64" in plan
+
+
+def test_merge_plan_no_cartesian(engine, tmp_path):
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE pm AS SELECT o_orderkey AS k, o_totalprice AS v "
+            "FROM orders WHERE o_orderkey < 100")
+    eng.sql("MERGE INTO pm USING (SELECT o_orderkey AS k, o_totalprice AS v "
+            "FROM orders WHERE o_orderkey < 200) s ON pm.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *")
+    # the merge already committed; gate the read-back plan plus a dry-run
+    # of the same join shape
+    df = eng.sql("SELECT pm.* FROM pm LEFT JOIN (SELECT o_orderkey AS k "
+                 "FROM orders WHERE o_orderkey < 200) s ON pm.k = s.k")
+    assert not has_cartesian(df)
+    assert eng.sql("SELECT COUNT(*) AS n FROM pm").first()["n"] == \
+        engine.sql("SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders "
+                   "WHERE o_orderkey < 200").first()["n"]
+
+
 def test_salted_collect_matches_plain(engine):
     from duckdb_read_spark.operators.skew import salted_collect
 
