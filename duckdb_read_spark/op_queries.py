@@ -918,6 +918,35 @@ SELECT COUNT(*) AS n,
 FROM t99""")
 
 
+@_op("q100_contamination", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+       FROM (SELECT doc_id, t, UNNEST(range(1, len(t)-6)) AS i FROM toks)),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+hits AS (SELECT ev.doc_id, COUNT(*) AS shared
+         FROM ev JOIN tr USING (shingle) GROUP BY ev.doc_id)
+SELECT s.doc_id, s.n_shingles, COALESCE(h.shared, 0) AS shared,
+       CAST(CAST(COALESCE(h.shared, 0) * 1.0 / s.n_shingles AS DECIMAL(10,6))
+            AS DOUBLE) AS frac
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+""", note="train/eval contamination check (benchmark-leakage n-gram "
+          "overlap): eval docs scored by the fraction of their 8-gram "
+          "shingles present anywhere in the train split — train side is "
+          "one DISTINCT shingle set, check is a hash semi-join, linear")
+def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    out = ops.contamination_overlap(train, ev, n=8)
+    return out.select(
+        "doc_id", "n_shingles", F.col("shared").cast("long").alias("shared"),
+        F.col("frac").cast("decimal(10,6)").cast("double").alias("frac"),
+    ).orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

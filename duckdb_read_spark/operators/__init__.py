@@ -3,6 +3,7 @@
 from .asof import asof_join
 from .dedup import (
     attach_clusters,
+    contamination_overlap,
     dedup_exact,
     duplicate_clusters,
     embedding_neardup_pairs,
@@ -59,6 +60,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "duplicate_clusters",
     "attach_clusters",
+    "contamination_overlap",
     "sample_by_hash",
     "stratified_sample_by_hash",
     "hash_split",

@@ -252,6 +252,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval contamination check: for each eval document, how many of
+    its word n-gram shingles also appear anywhere in the training corpus
+    (the n-gram-overlap decontamination standard for benchmark leakage).
+
+    Returns (id, n_shingles, shared, frac) per eval doc — filter
+    ``frac >= threshold`` to quarantine. Scale shape: the train side
+    collapses to a DISTINCT shingle set (bounded by vocabulary of n-grams,
+    not corpus size) and the check is one hash semi-join per eval shingle
+    — linear, no pair materialization. Long shingles (default n=8) make
+    coincidental overlap negligible, so the join key distribution is
+    near-unique and skew-free."""
+    tr = ngram_shingles(train, text_col, id_col, n).select("shingle").distinct()
+    ev = ngram_shingles(eval_df, text_col, id_col, n)
+    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        ev.join(tr, "shingle")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
+        .withColumn("frac", F.col("shared") / F.col("n_shingles"))
+    )
+
+
 # --- embedding cosine near-dup -------------------------------------------
 
 from .similarity import _dot, _norm  # noqa: E402  (shared HOF kernels)

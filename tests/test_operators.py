@@ -674,6 +674,32 @@ def test_ngram_jaccard_df_cap_equivalence(docs_with_dups):
     assert surviving and all(j == 1.0 for j in surviving.values())
 
 
+def test_contamination_overlap_planted(documents):
+    """A train split that contains verbatim copies of eval docs must score
+    those eval docs at frac == 1.0; untouched eval docs keep frac < 1."""
+    from duckdb_read_spark.operators import contamination_overlap
+
+    ev = documents.filter(F.col("doc_id") < 40)
+    # train = the rest, plus copies of eval docs 0..9 under new ids
+    leaked = (
+        documents.filter(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+    )
+    train = documents.filter(F.col("doc_id") >= 40).unionByName(leaked)
+    out = {r["doc_id"]: (r["shared"], r["n_shingles"], r["frac"])
+           for r in contamination_overlap(train, ev, n=8).collect()}
+    leaked_ids = {i for i in range(10) if i in out}
+    assert leaked_ids, "need leaked docs long enough to have 8-gram shingles"
+    for i in leaked_ids:
+        assert out[i][2] == 1.0, f"doc {i} should be fully contaminated: {out[i]}"
+    # clean docs: mostly uncontaminated (a natural exact duplicate inside
+    # the corpus can legitimately score 1.0, so assert the distribution,
+    # not every row)
+    clean = [v[2] for k, v in out.items() if k >= 10]
+    assert clean and min(clean) < 0.5
+    assert sum(1 for f in clean if f < 1.0) >= len(clean) * 0.8
+
+
 def test_attach_clusters_survivors(spark, docs_with_dups):
     """attach_clusters gives every doc a cluster (singletons = self) and
     filtering doc_id == cluster_id yields exactly one survivor per
