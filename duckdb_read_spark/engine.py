@@ -185,6 +185,16 @@ class Engine:
         """Commit history (DESCRIBE HISTORY analog) by view name or path."""
         return snapshots.history(self._versioned.get(name_or_dir, name_or_dir))
 
+    def vacuum_table(self, name_or_dir: str, keep_last: int = 1) -> dict:
+        """Retention cleanup (Delta VACUUM analog): physically drop data
+        dirs and log entries unreachable from the newest ``keep_last``
+        snapshots; see snapshots.vacuum for the replay-chain guarantees."""
+        table_dir = self._versioned.get(name_or_dir, name_or_dir)
+        stats = snapshots.vacuum(table_dir, keep_last=keep_last)
+        if name_or_dir in self._versioned:
+            self._refresh_table(name_or_dir)
+        return stats
+
     def _resolve_time_travel(self, query: str) -> str:
         """Rewrite ``<name> [FOR] VERSION AS OF <n>`` and ``<name> [FOR]
         TIMESTAMP AS OF '<ts>'`` over registered versioned tables into

@@ -54,7 +54,12 @@ def salted_collect(
 def broadcast_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     """Broadcast hint with a row-count guard: refuses to hint a frame whose
     quick count exceeds ``max_rows`` (broadcasting a big side OOMs every
-    executor at once — the one mistake AQE cannot undo)."""
+    executor at once — the one mistake AQE cannot undo).
+
+    Note: the guard is an EAGER job — it materializes the small side once
+    (bounded by ``limit(max_rows+1)``) at call time, inside what otherwise
+    looks like plan construction. That is the price of the check; cache the
+    frame first if it is expensive to recompute."""
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(

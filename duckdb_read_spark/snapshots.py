@@ -155,6 +155,61 @@ def read_table(
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
+def vacuum(table_dir: str, keep_last: int = 1) -> dict:
+    """Physically delete data dirs unreachable from the newest ``keep_last``
+    snapshots, and truncate their log entries (the Delta VACUUM analog —
+    the policy decision the module docstring deferred).
+
+    A data dir is retained iff some kept snapshot's replay references it.
+    Log entries are truncated only BEFORE the oldest kept snapshot's base
+    overwrite — replay of every kept snapshot starts at an overwrite (or
+    the table's first commit), so kept reads replay identically after the
+    vacuum; versions older than the kept window become unreadable cleanly
+    ("version not in log"), never a missing-file read error. The newest
+    snapshot is always kept. Returns ``{"removed_dirs": n,
+    "removed_versions": m}``.
+
+    Scale note: metadata-only decision (O(commits) log replay) plus local
+    directory removals — never touches surviving data files.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    commits = read_log(table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no versioned table at {table_dir!r}")
+    oldest_kept = commits[-keep_last:][0].version
+    # the replay chain of the oldest kept snapshot starts at its latest
+    # overwrite (or the very first commit) — log entries from there on stay
+    base = max(
+        (c.version for c in commits
+         if c.mode == "overwrite" and c.version <= oldest_kept),
+        default=commits[0].version,
+    )
+    keep_dirs: set[str] = set()
+    for c in commits[-keep_last:]:
+        _, dirs = resolve_snapshot(table_dir, version=c.version)
+        keep_dirs.update(dirs)
+    removed_dirs = 0
+    data_root = os.path.join(table_dir, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for entry in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, entry)
+            if full not in keep_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+                removed_dirs += 1
+    removed_versions = 0
+    for c in commits:
+        if c.version < base:
+            try:
+                os.remove(_log_path(table_dir, c.version))
+                removed_versions += 1
+            except FileNotFoundError:
+                pass
+    return {"removed_dirs": removed_dirs, "removed_versions": removed_versions}
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit history, latest first (DESCRIBE HISTORY analog)."""
     return [

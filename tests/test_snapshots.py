@@ -138,6 +138,50 @@ def test_engine_sql_timestamp_as_of(engine, tmp_path):
     assert n == 1
 
 
+def test_vacuum_retains_kept_replay_chain(spark, tmp_path):
+    """vacuum(keep_last=2) on overwrite,append,overwrite,append: the kept
+    snapshots (v3 overwrite + v4 append) must replay identically; v1/v2
+    become cleanly unreadable; their data dirs are gone from disk."""
+    import os
+
+    from duckdb_read_spark.snapshots import (
+        read_table, resolve_snapshot, vacuum, write_table,
+    )
+
+    d = str(tmp_path / "vt_vac")
+    write_table(spark.createDataFrame([(1,)], "id long"), d)                    # v1 ow
+    write_table(spark.createDataFrame([(2,)], "id long"), d, mode="append")     # v2 ap
+    write_table(spark.createDataFrame([(3,)], "id long"), d)                    # v3 ow
+    write_table(spark.createDataFrame([(4,)], "id long"), d, mode="append")     # v4 ap
+    before = {r["id"] for r in read_table(spark, d).collect()}
+    assert before == {3, 4}
+    stats = vacuum(d, keep_last=2)
+    # v1+v2 dirs unreferenced by v3/v4 (v3 is an overwrite) → removed
+    assert stats == {"removed_dirs": 2, "removed_versions": 2}
+    assert {r["id"] for r in read_table(spark, d).collect()} == {3, 4}
+    assert {r["id"] for r in read_table(spark, d, version=3).collect()} == {3}
+    with pytest.raises(LookupError, match="not in log"):
+        resolve_snapshot(d, version=1)
+    data_root = os.path.join(d, "data")
+    assert len(os.listdir(data_root)) == 2
+
+
+def test_vacuum_append_chain_keeps_base_overwrite(spark, tmp_path):
+    """keep_last=1 where the newest snapshot is an APPEND: its base
+    overwrite's log entry and data dir must survive, or the kept snapshot
+    would replay wrong."""
+    from duckdb_read_spark.snapshots import read_table, vacuum, write_table
+
+    d = str(tmp_path / "vt_vac2")
+    write_table(spark.createDataFrame([(1,)], "id long"), d)                    # v1 ow
+    write_table(spark.createDataFrame([(2,)], "id long"), d, mode="append")     # v2 ap
+    write_table(spark.createDataFrame([(3,)], "id long"), d, mode="append")     # v3 ap
+    stats = vacuum(d, keep_last=1)
+    # base overwrite is v1 → nothing removable
+    assert stats == {"removed_dirs": 0, "removed_versions": 0}
+    assert {r["id"] for r in read_table(spark, d).collect()} == {1, 2, 3}
+
+
 def test_as_of_inside_string_literal_untouched(engine, tmp_path):
     """An AS-OF-shaped pattern inside a string literal or comment must NOT
     be rewritten once a versioned table is registered (ADVICE r2)."""
