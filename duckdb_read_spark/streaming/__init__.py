@@ -9,7 +9,12 @@ the frontier below which state can be finalized and emitted.
 
 from .source import events_stream
 from .stateful import running_totals, stream_dedup
-from .windows import session_aggs, sliding_counts, tumbling_counts
+from .windows import (
+    session_aggs,
+    sliding_counts,
+    stream_stream_interval_join,
+    tumbling_counts,
+)
 
 __all__ = [
     "events_stream",

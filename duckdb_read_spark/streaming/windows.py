@@ -110,6 +110,37 @@ def session_aggs(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    within: str = "INTERVAL 1 DAY",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (T7): match right events to left events
+    on ``key`` where ``left_ts - within <= right_ts <= left_ts``. The same
+    plan runs in batch mode (the equivalence-test oracle shape).
+
+    Streaming semantics: BOTH sides carry a watermark and the join
+    condition time-bounds the match, so Spark can evict buffered rows once
+    the watermark passes ``left_ts - within`` — without the interval bound
+    the state would be unbounded (the classic stream-join cliff). Outer
+    joins additionally emit unmatched rows only after the watermark closes
+    their window, so ``how='left_outer'`` output lags by the watermark.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - {within}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, how).drop(rw[key])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str | None = None):
     """Drain a stream into an in-memory table with availableNow semantics
     (process everything currently in the source, then stop). Returns the

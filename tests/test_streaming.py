@@ -216,7 +216,26 @@ def test_sliding_each_event_in_size_over_slide_windows(spark, batch_events):
     assert total == 4 * n_events
 
 
-def test_stream_static_enrichment_equals_batch(spark, batch_events):
+def test_stream_stream_interval_join_equals_batch(spark, batch_events):
+    """T7: watermarked stream-stream interval join (purchases matched to
+    signups within 1 day) must equal the identical plan in batch mode."""
+    from duckdb_read_spark.streaming.windows import stream_stream_interval_join
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("p_id"))
+        s = df.filter(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("ts_r"), F.col("event_id").alias("s_id"))
+        return p, s
+
+    bp, bs = split(batch_events)
+    batch = _rows(
+        stream_stream_interval_join(bp, bs).select("p_id", "s_id"))
+    sp, ss = split(events_stream(spark, EVENTS))
+    joined = stream_stream_interval_join(sp, ss)
+    run_to_memory(joined.select("p_id", "s_id"), "t_ssjoin", output_mode="append")
+    got = _rows(spark.table("t_ssjoin"))
+    assert got == batch and batch  # non-empty and identical
     """Stream-static join (enriching a stream with a dimension table) must
     equal the batch join — the standard streaming enrichment pattern; the
     static side is re-read per micro-batch, no state involved."""
