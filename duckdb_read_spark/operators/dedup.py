@@ -343,21 +343,28 @@ def duplicate_clusters(
     """
     if probe_every < 1:
         raise ValueError(f"probe_every must be >= 1, got {probe_every}")
-    fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
-    edges = fwd.union(
-        fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-    ).distinct()
-    labels = (
-        edges.select(F.col("__src").alias("__node")).distinct()
-        .withColumn("__label", F.col("__node"))
-    )
     if checkpoint_dir is not None:
-        labels.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
+    # Materialize the edge list ONCE: every iteration joins against it, and
+    # without this the (possibly expensive) pair-emitter upstream would be
+    # recomputed per round x per job — measured 2-5x total wall time on the
+    # banded dedup composition.
+    edges = _truncate(
+        fwd.union(
+            fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        ).distinct()
+    )
+    labels = (
+        edges.select(F.col("__src").alias("__node")).distinct()
+        .withColumn("__label", F.col("__node"))
+    )
 
     converged = False
     for it in range(max_iter):
