@@ -25,9 +25,13 @@ Handled (SURVEY §2.4 item numbers):
      USING SAMPLE n% → TABLESAMPLE (n PERCENT) (syntax map; membership is
      engine-RNG-specific — deterministic path is operators.sampling),
      statement-form PIVOT … ON … IN … USING → Spark relation-form PIVOT
-     (IN-less PIVOT needs dynamic discovery → raises, pointing at
-     DataFrame groupBy().pivot), statement-form UNPIVOT … INTO NAME/VALUE
-     → Spark relation-form UNPIVOT.
+     (IN-less PIVOT needs dynamic discovery → raises here; Engine.sql
+     discovers values and re-enters with an IN list), statement-form
+     UNPIVOT … INTO NAME/VALUE → Spark relation-form UNPIVOT,
+     list_intersect/distinct/sort/contains/position→array_*,
+     list_reverse_sort→sort_array(x, false), list_concat→concat,
+     array_to_string→NULL-on-empty array_join wrap, ``expr[a:b]`` slices
+     → slice(expr, a, b-a+1), ``* EXCLUDE`` → ``* EXCEPT``.
 
   10. ASOF [LEFT] JOIN → correlated LATERAL subquery: for each left row
       pick the single right row maximizing (backward) / minimizing
@@ -192,7 +196,7 @@ def _rewrite_calls(sql: str) -> str:
             listish = any(
                 k in arg
                 for k in ("split(", "array", "collect_list", "collect_set",
-                          "sequence(", "transform(", "[")
+                          "sequence(", "transform(", "list_", "[")
             ) or any(h in arg for h in ARRAY_COLUMN_HINTS)
             arg_toks = [t for t in toks[parts[0] + 1:close]
                         if t.kind not in ("ws", "comment")]
@@ -215,9 +219,37 @@ def _rewrite_calls(sql: str) -> str:
             i += 1
             changed = True
             continue
-        if name == "array_to_string" and parts:
-            out.append("array_join")
+        if name in ("list_intersect", "list_distinct", "list_sort",
+                    "list_contains", "list_position") and parts:
+            # list_position: both engines return 0 for a missing element
+            # (measured against DuckDB 1.x) — plain rename is exact
+            out.append("array_" + name[5:])
             i += 1
+            changed = True
+            continue
+        if name == "list_concat" and parts:
+            out.append("concat")  # Spark concat() is array-polymorphic
+            i += 1
+            changed = True
+            continue
+        if name == "list_reverse_sort" and parts:
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            out.append(f"sort_array({lst}, false)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "array_to_string" and parts and len(parts[2]) == 2:
+            # DuckDB returns NULL for an EMPTY list; Spark's array_join
+            # returns '' — wrap to reproduce DuckDB semantics
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            sep = _arg_text(toks, spans[1])
+            out.append(
+                f"(CASE WHEN size({lst}) = 0 THEN CAST(NULL AS STRING) "
+                f"ELSE array_join({lst}, {sep}) END)"
+            )
+            i = close + 1
             changed = True
             continue
         if name == "list_aggregate" and parts and len(parts[2]) == 2:
@@ -355,6 +387,81 @@ def _rewrite_json_arrow(sql: str) -> str:
         new = toks[:sig[lhs_start]] + [Tok("other", repl)] + toks[rhs_i + 1:]
         toks = new
         sig = _sig(toks)
+    return detokenize(toks)
+
+
+def _rewrite_slices(sql: str) -> str:
+    """DuckDB list slicing ``expr[a:b]`` (1-based, inclusive both ends,
+    integer literals) → Spark ``slice(expr, a, b-a+1)``. Runs before the
+    single-index rewrite so ``[n]`` subscripts are untouched. The sliced
+    expression is the preceding identifier chain or parenthesized call."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    for pos in range(len(sig) - 4, -1, -1):
+        if pos + 4 >= len(sig):  # sig shrank after an earlier replacement
+            continue
+        a, b, c, d, e = (sig[pos + k] for k in range(5))
+        if not (
+            toks[a].text == "["
+            and toks[b].kind == "num" and re.fullmatch(r"\d+", toks[b].text)
+            and toks[c].text == ":"
+            and toks[d].kind == "num" and re.fullmatch(r"\d+", toks[d].text)
+            and toks[e].text == "]"
+        ):
+            continue
+        if pos == 0:
+            continue
+        # walk back over the sliced expression: ident chain or (...) or ]
+        end_i = sig[pos - 1]
+        start_pos = pos - 1
+        if toks[end_i].kind == "ident":
+            while (start_pos - 2 >= 0
+                   and toks[sig[start_pos - 1]].text == "."
+                   and toks[sig[start_pos - 2]].kind == "ident"):
+                start_pos -= 2
+        elif toks[end_i].text == ")":
+            depth = 0
+            p = start_pos
+            while p >= 0:
+                if toks[sig[p]].text == ")":
+                    depth += 1
+                elif toks[sig[p]].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p -= 1
+            start_pos = p
+            # include a call name before the '('
+            if start_pos - 1 >= 0 and toks[sig[start_pos - 1]].kind == "ident":
+                start_pos -= 1
+        else:
+            continue
+        lo, hi = int(toks[b].text), int(toks[d].text)
+        expr = detokenize(toks[sig[start_pos]:a]).strip()
+        repl = f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
+        toks = toks[:sig[start_pos]] + [Tok("other", repl)] + toks[e + 1:]
+        sig = _sig(toks)
+    return detokenize(toks)
+
+
+def _rewrite_star_exclude(sql: str) -> str:
+    """DuckDB ``* EXCLUDE (cols)`` / ``* EXCLUDE col`` → Spark
+    ``* EXCEPT (cols)``."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    for pos in range(len(sig) - 1, 0, -1):
+        t = toks[sig[pos]]
+        if t.kind != "ident" or t.text.upper() != "EXCLUDE":
+            continue
+        if toks[sig[pos - 1]].text != "*":
+            continue
+        if pos + 1 < len(sig) and toks[sig[pos + 1]].text == "(":
+            t.text = "EXCEPT"
+        elif pos + 1 < len(sig) and toks[sig[pos + 1]].kind == "ident":
+            # single bare column → parenthesize for Spark
+            col_i = sig[pos + 1]
+            toks[col_i] = Tok("other", f"({toks[col_i].text})")
+            t.text = "EXCEPT"
     return detokenize(toks)
 
 
@@ -838,6 +945,8 @@ def to_spark_sql(sql: str) -> str:
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
     sql = _rewrite_calls(sql)
+    sql = _rewrite_star_exclude(sql)
+    sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql)
     sql = _rewrite_keywords(sql)
     return sql

@@ -524,6 +524,45 @@ FROM documents ORDER BY doc_id
           "with a HOF — DuckDB's map extraction returns LIST (different "
           "shape), so the oracle recomputes the same scalars directly")
 
+_q("q101_group_order_by_all", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem WHERE l_orderkey < 5000
+GROUP BY ALL ORDER BY ALL
+""", note="DuckDB-popularized GROUP BY ALL / ORDER BY ALL ergonomics — "
+          "IDENTICAL text runs on both engines (Spark 3.4+ supports both); "
+          "ORDER BY ALL gives a total order so the hash oracle applies")
+
+_q("q102_star_exclude", """
+SELECT * EXCEPT (p_name, p_type) FROM part ORDER BY p_partkey
+""", duckdb="""
+SELECT * EXCLUDE (p_name, p_type) FROM part ORDER BY p_partkey
+""", note="DuckDB * EXCLUDE → Spark * EXCEPT (dialect star-exclude "
+          "rewrite); the roundtrip suite feeds the EXCLUDE text through "
+          "the rewriter")
+
+_q("q103_array_setops", """
+WITH d AS (SELECT doc_id, split(text, ' ') AS t FROM documents
+           WHERE size(split(text, ' ')) >= 24)
+SELECT doc_id,
+       array_join(array_sort(array_intersect(slice(t, 1, 12), slice(t, 13, 12))), ',') AS inter,
+       size(array_distinct(t)) AS n_dist,
+       array_position(t, 'the') AS pos_the
+FROM d ORDER BY doc_id
+""", duckdb="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) >= 24)
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_intersect(t[1:12], t[13:24])), ','), '') AS inter,
+       len(list_distinct(t)) AS n_dist,
+       list_position(t, 'the') AS pos_the
+FROM d ORDER BY doc_id
+""", note="array set operations + slicing + position: DuckDB list_* "
+          "family and [a:b] slices compile via the dialect renames "
+          "(list_position returns 0-for-missing on both engines, "
+          "measured); sorted before join so the unordered intersect "
+          "result is comparable")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (

@@ -190,6 +190,40 @@ def test_qualify_stops_at_set_operation():
     assert "INTERSECT SELECT id FROM u" in out
 
 
+def test_list_function_renames():
+    assert to_spark_sql("SELECT list_sort(list_intersect(a, b)) FROM t") == \
+        "SELECT array_sort(array_intersect(a, b)) FROM t"
+    assert to_spark_sql("SELECT list_reverse_sort(a) FROM t") == \
+        "SELECT sort_array(a, false) FROM t"
+    assert to_spark_sql("SELECT list_concat(a, b) FROM t") == \
+        "SELECT concat(a, b) FROM t"
+    # len() over a list_* call is array-typed → size, not length
+    assert "size(array_distinct" in to_spark_sql("SELECT len(list_distinct(t)) FROM d")
+
+
+def test_slice_rewrite():
+    assert to_spark_sql("SELECT t[1:12] FROM d") == "SELECT slice(t, 1, 12) FROM d"
+    assert to_spark_sql("SELECT a.t[2:5] FROM d") == "SELECT slice(a.t, 2, 4) FROM d"
+    assert to_spark_sql("SELECT string_split(x, ' ')[1:3] FROM d") == \
+        "SELECT slice(split(x, ' '), 1, 3) FROM d"
+    # single-index subscript untouched by the slice pass (1-based shift only)
+    assert to_spark_sql("SELECT t[3] FROM d") == "SELECT t[2] FROM d"
+
+
+def test_star_exclude_rewrite():
+    assert to_spark_sql("SELECT * EXCLUDE (a, b) FROM t") == \
+        "SELECT * EXCEPT (a, b) FROM t"
+    assert to_spark_sql("SELECT * EXCLUDE r_comment FROM region") == \
+        "SELECT * EXCEPT (r_comment) FROM region"
+
+
+def test_array_to_string_empty_list_is_null():
+    """DuckDB array_to_string(empty, sep) is NULL; the rewrite reproduces
+    that instead of Spark array_join's ''."""
+    out = to_spark_sql("SELECT array_to_string(list_intersect(a, b), ',') FROM t")
+    assert "CASE WHEN size(array_intersect(a, b)) = 0 THEN CAST(NULL AS STRING)" in out
+
+
 def test_asof_join_rewrites_to_lateral():
     out = to_spark_sql(
         "SELECT t.ts, q.bid FROM trades t ASOF JOIN quotes q "
