@@ -232,6 +232,16 @@ def _rewrite_calls(sql: str) -> str:
             i += 1
             changed = True
             continue
+        if name == "quantile_cont" and parts:
+            out.append("percentile")  # exact interpolated percentile
+            i += 1
+            changed = True
+            continue
+        if name in ("list_transform", "list_filter") and parts:
+            out.append(name[5:])  # Spark transform()/filter() HOFs
+            i += 1
+            changed = True
+            continue
         if name == "list_reverse_sort" and parts:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
@@ -462,6 +472,51 @@ def _rewrite_star_exclude(sql: str) -> str:
             col_i = sig[pos + 1]
             toks[col_i] = Tok("other", f"({toks[col_i].text})")
             t.text = "EXCEPT"
+    return detokenize(toks)
+
+
+# Keywords after which a '[' opens a list LITERAL, not a subscript (a bare
+# identifier before '[' means subscript; these idents are SQL keywords, so
+# a value can follow them).
+_LITERAL_CONTEXT_KEYWORDS = {
+    "SELECT", "WHERE", "HAVING", "ON", "WHEN", "THEN", "ELSE", "END",
+    "BY", "AND", "OR", "NOT", "IN", "AS", "RETURN", "VALUES", "SET",
+    "DISTINCT", "ALL", "UNION", "EXCEPT", "INTERSECT", "BETWEEN",
+}
+
+
+def _rewrite_list_literals(sql: str) -> str:
+    """DuckDB bracket list literals ``[e1, e2, …]`` → Spark ``array(e1,
+    e2, …)``. A '[' is a literal (not a subscript/slice) iff the previous
+    significant token is NOT an identifier, ')' or ']'. Runs after the
+    slice/index passes so subscripts are already consumed."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    for pos in range(len(sig) - 1, -1, -1):
+        i = sig[pos]
+        if toks[i].text != "[":
+            continue
+        if pos > 0:
+            prev = toks[sig[pos - 1]]
+            prev_kw = prev.kind == "ident" and prev.text.upper() in _LITERAL_CONTEXT_KEYWORDS
+            if (prev.kind == "ident" and not prev_kw) or prev.text in (")", "]"):
+                continue
+        # find matching ]
+        depth = 0
+        close = None
+        for j in range(i, len(toks)):
+            if toks[j].text == "[":
+                depth += 1
+            elif toks[j].text == "]":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            continue
+        inner = detokenize(toks[i + 1:close])
+        toks = toks[:i] + [Tok("other", f"array({inner})")] + toks[close + 1:]
+        sig = _sig(toks)
     return detokenize(toks)
 
 
@@ -948,5 +1003,6 @@ def to_spark_sql(sql: str) -> str:
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql)
+    sql = _rewrite_list_literals(sql)
     sql = _rewrite_keywords(sql)
     return sql

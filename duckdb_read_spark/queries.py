@@ -563,6 +563,22 @@ FROM d ORDER BY doc_id
           "measured); sorted before join so the unordered intersect "
           "result is comparable")
 
+_q("q104_percentile_cont", """
+SELECT l_returnflag,
+       array_join(transform(percentile(l_quantity, array(0.25D, 0.5D, 0.9D)),
+                            x -> CAST(CAST(x AS DECIMAL(18,6)) AS STRING)), ',') AS q,
+       CAST(CAST(percentile(l_extendedprice, 0.5D) AS DECIMAL(18,6)) AS DOUBLE) AS med_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""", duckdb="""
+SELECT l_returnflag,
+       array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.9]),
+                                      x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS q,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""", note="exact interpolated percentiles (quantile_cont family): Spark "
+          "percentile == DuckDB quantile_cont, single- and multi-quantile "
+          "forms; 6-d.p. decimal snap before the string/double boundary")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (

@@ -26,8 +26,9 @@ def test_index_base_shift():
 
 
 def test_index_base_ignores_array_literal():
-    # [1] not preceded by an identifier is untouched
-    assert "[1" in to_spark_sql("SELECT [1, 2] AS a")
+    # [1, 2] not preceded by an identifier is a list LITERAL: converted to
+    # array() (not index-shifted)
+    assert to_spark_sql("SELECT [1, 2] AS a") == "SELECT array(1, 2) AS a"
 
 
 def test_json_arrow():
@@ -208,6 +209,17 @@ def test_slice_rewrite():
         "SELECT slice(split(x, ' '), 1, 3) FROM d"
     # single-index subscript untouched by the slice pass (1-based shift only)
     assert to_spark_sql("SELECT t[3] FROM d") == "SELECT t[2] FROM d"
+
+
+def test_list_literal_rewrite():
+    assert to_spark_sql("SELECT quantile_cont(x, [0.25, 0.5]) FROM t") == \
+        "SELECT percentile(x, array(0.25, 0.5)) FROM t"
+    # subscripts and slices are NOT literals
+    assert to_spark_sql("SELECT a[2], b[1:3] FROM t") == \
+        "SELECT a[1], slice(b, 1, 3) FROM t"
+    # nested literal
+    assert to_spark_sql("SELECT [[1, 2], [3]] AS m") == \
+        "SELECT array(array(1, 2), array(3)) AS m"
 
 
 def test_star_exclude_rewrite():
