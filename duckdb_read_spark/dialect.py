@@ -155,6 +155,16 @@ def convert_strftime_format(fmt: str) -> str:
     return re.sub("%.", lambda m: _STRFTIME_MAP.get(m.group(), m.group()), fmt)
 
 
+# Call-shaped 1:1 renames (semantics measured/known identical).
+_SIMPLE_RENAMES = {
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "regexp_matches": "regexp_like",   # partial-match boolean on both
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+}
+
+
 # --- call-rewrite helpers -------------------------------------------------
 
 def _rewrite_calls(sql: str) -> str:
@@ -240,6 +250,18 @@ def _rewrite_calls(sql: str) -> str:
         if name in ("list_transform", "list_filter") and parts:
             out.append(name[5:])  # Spark transform()/filter() HOFs
             i += 1
+            changed = True
+            continue
+        if name in _SIMPLE_RENAMES and parts:
+            out.append(_SIMPLE_RENAMES[name])
+            i += 1
+            changed = True
+            continue
+        if name == "epoch" and parts and len(parts[2]) == 1:
+            # DuckDB epoch(ts) → seconds since 1970 (BIGINT for µs ts)
+            _, close, spans = parts
+            out.append(f"unix_timestamp({_arg_text(toks, spans[0])})")
+            i = close + 1
             changed = True
             continue
         if name == "list_reverse_sort" and parts:
@@ -681,6 +703,65 @@ def _rewrite_qualify(sql: str) -> str:
         )
 
 
+def _rewrite_distinct_on(sql: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) list FROM body [ORDER BY
+    o…]`` → one row per key group, chosen by the ORDER BY: compiled to a
+    row_number window (partition by keys, order by the full ORDER BY list)
+    filtered to 1, with the ORDER BY re-applied outside. Top-level
+    statement form only; the ORDER BY should reference projected columns
+    (true for the sane uses of DISTINCT ON)."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    depths = _depths(toks)
+
+    def up(k: int) -> str:
+        t = toks[sig[k]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    if sig and up(0) == "WITH":
+        # main SELECT follows the CTE list at depth 0; recurse on the tail
+        main = next((i for i in sig
+                     if toks[i].kind == "ident"
+                     and toks[i].text.upper() == "SELECT"
+                     and depths[i] == 0), None)
+        if main is None:
+            return sql
+        return detokenize(toks[:main]) + _rewrite_distinct_on(
+            detokenize(toks[main:]))
+    if len(sig) < 4 or up(0) != "SELECT" or up(1) != "DISTINCT" or up(2) != "ON":
+        return sql
+    if toks[sig[3]].text != "(":
+        return sql
+    close = _find_close(toks, sig[3])
+    keys = detokenize(toks[sig[3] + 1:close]).strip()
+    from_k = next(k for k in range(4, len(sig))
+                  if up(k) == "FROM" and depths[sig[k]] == 0)
+    sel_list = detokenize(toks[close + 1:sig[from_k]]).strip()
+    order_k = next((k for k in range(from_k, len(sig))
+                    if up(k) == "ORDER" and depths[sig[k]] == 0), None)
+    limit_k = next((k for k in range(from_k, len(sig))
+                    if up(k) in ("LIMIT", "OFFSET") and depths[sig[k]] == 0), None)
+    body_end = sig[order_k] if order_k is not None else (
+        sig[limit_k] if limit_k is not None else len(toks))
+    body = detokenize(toks[sig[from_k]:body_end]).strip()
+    if order_k is not None:
+        end = sig[limit_k] if limit_k is not None and limit_k > order_k else len(toks)
+        order_list = detokenize(toks[sig[order_k + 2]:end]).strip()
+        tail = detokenize(toks[end:]) if limit_k is not None and limit_k > order_k else ""
+        win_order = order_list
+        outer_order = f" ORDER BY {order_list}"
+    else:
+        win_order = keys
+        outer_order = ""
+        tail = detokenize(toks[body_end:]) if limit_k is not None else ""
+    return (
+        f"SELECT * EXCEPT (__don_rn) FROM "
+        f"(SELECT {sel_list}, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {win_order}) AS __don_rn {body}) "
+        f"WHERE __don_rn = 1{outer_order} {tail}".rstrip()
+    )
+
+
 def _rewrite_using_sample(sql: str) -> str:
     """DuckDB sampling syntax → Spark TABLESAMPLE:
     ``USING SAMPLE 10%`` / ``USING SAMPLE 10 PERCENT`` →
@@ -994,6 +1075,7 @@ def to_spark_sql(sql: str) -> str:
     sql = _rewrite_pivot(sql)
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_asof_join(sql)
+    sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)

@@ -579,6 +579,20 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
           "percentile == DuckDB quantile_cont, single- and multi-quantile "
           "forms; 6-d.p. decimal snap before the string/double boundary")
 
+_q("q105_distinct_on", """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+  FROM events) WHERE rn = 1
+ORDER BY user_id, ts DESC, event_id
+""", duckdb="""
+SELECT DISTINCT ON (user_id) user_id, event_id, ts
+FROM events ORDER BY user_id, ts DESC, event_id
+""", needs_events_shim=True,
+    note="DISTINCT ON (latest event per user): DuckDB/Postgres form "
+         "compiles to the row_number window (dialect distinct-on "
+         "rewrite); tie-broken on event_id for determinism")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (

@@ -222,6 +222,37 @@ def test_list_literal_rewrite():
         "SELECT array(array(1, 2), array(3)) AS m"
 
 
+def test_distinct_on_rewrite():
+    out = to_spark_sql(
+        "SELECT DISTINCT ON (k) k, v, ts FROM t ORDER BY k, ts DESC"
+    )
+    assert "DISTINCT ON" not in out.upper()
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, ts DESC)" in out
+    assert "__don_rn = 1" in out and out.rstrip().endswith("ORDER BY k, ts DESC")
+    # no ORDER BY → arbitrary-but-valid (window ordered by the keys)
+    out = to_spark_sql("SELECT DISTINCT ON (k) k, v FROM t")
+    assert "PARTITION BY k ORDER BY k" in out
+    # plain DISTINCT untouched
+    assert to_spark_sql("SELECT DISTINCT k FROM t") == "SELECT DISTINCT k FROM t"
+    # WITH prefix: the main SELECT still rewrites
+    out = to_spark_sql(
+        "WITH c AS (SELECT 1 AS k, 2 AS v) "
+        "SELECT DISTINCT ON (k) k, v FROM c ORDER BY k, v"
+    )
+    assert "DISTINCT ON" not in out.upper() and "__don_rn = 1" in out
+
+
+def test_simple_function_renames():
+    assert to_spark_sql("SELECT arg_max(a, b), arg_min(a, b) FROM t") == \
+        "SELECT max_by(a, b), min_by(a, b) FROM t"
+    assert to_spark_sql("SELECT regexp_matches(s, 'x+') FROM t") == \
+        "SELECT regexp_like(s, 'x+') FROM t"
+    assert to_spark_sql("SELECT starts_with(s, 'a'), ends_with(s, 'b') FROM t") == \
+        "SELECT startswith(s, 'a'), endswith(s, 'b') FROM t"
+    assert to_spark_sql("SELECT epoch(ts) FROM t") == \
+        "SELECT unix_timestamp(ts) FROM t"
+
+
 def test_star_exclude_rewrite():
     assert to_spark_sql("SELECT * EXCLUDE (a, b) FROM t") == \
         "SELECT * EXCEPT (a, b) FROM t"
