@@ -90,6 +90,33 @@ def write_json(
     w.json(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "error",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table:
+    files are hash-partitioned into ``buckets`` on ``bucket_cols`` at write
+    time, so an equi-join or aggregation on those columns by LATER readers
+    needs NO shuffle — the exchange was paid once at write time. This is
+    the durable sibling of repartition_for_join (operators/skew.py) and the
+    in-warehouse analog of co-located storage.
+
+    Bucketing metadata lives in the session catalog (saveAsTable — Spark's
+    bucketing is catalog-scoped, plain parquet paths can't carry it).
+    Size ``buckets`` like shuffle partitions: at 100 TB, thousands."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)
+
+
 def write_time_partitioned(
     df: DataFrame,
     path: str,

@@ -121,6 +121,32 @@ def test_merge_plan_no_cartesian(engine, tmp_path):
                    "WHERE o_orderkey < 200").first()["n"]
 
 
+def test_bucketed_tables_join_without_shuffle(engine, tmp_path):
+    """Two tables bucketed on the same key join with ZERO exchanges — the
+    shuffle was paid once at write time (the durable co-location story)."""
+    from duckdb_read_spark.sources.sinks import write_bucketed_table
+
+    spark = engine.spark
+    o = engine.sql("SELECT o_orderkey, o_totalprice FROM orders")
+    li = engine.sql("SELECT l_orderkey, l_quantity FROM lineitem")
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], buckets=8,
+                         sort_cols=["o_orderkey"], mode="overwrite",
+                         path=str(tmp_path / "b_orders"))
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], buckets=8,
+                         sort_cols=["l_orderkey"], mode="overwrite",
+                         path=str(tmp_path / "b_lineitem"))
+    try:
+        joined = spark.sql(
+            "SELECT /*+ MERGE(b_lineitem) */ b_orders.o_orderkey, l_quantity "
+            "FROM b_orders JOIN b_lineitem ON o_orderkey = l_orderkey"
+        )
+        assert exchange_count(joined, executed=False) == 0
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_salted_collect_matches_plain(engine):
     from duckdb_read_spark.operators.skew import salted_collect
 
