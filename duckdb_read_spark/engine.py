@@ -107,6 +107,15 @@ EXTENSION_ALIASES: dict[str, str] = {
 }
 
 
+# SET <key> = <value> / SET <key> TO <value> (DuckDB pragma surface,
+# /root/reference/duckdb:122-125: safe mode is itself a SET).
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?P<key>[A-Za-z_][\w.]*)\s*"
+    r"(?:=|\s+TO\s+)\s*(?P<val>[^;]+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 class Engine:
     """A session-scoped analytical SQL engine over file-resident data."""
 
@@ -271,6 +280,10 @@ class Engine:
             handled = self._ddl_dml(query, dialect)
             if handled is not None:
                 return handled
+        mset = _SET_RE.match(query)
+        if mset:
+            self._set_option(mset.group("key"), mset.group("val").strip())
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         m = _INSTALL_LOAD_RE.match(query)
         if m:
             verb, name = m.group(1).upper(), m.group(2).strip().strip("'\"")
@@ -359,6 +372,36 @@ class Engine:
         before = detokenize(toks[:sig[using_k]])
         after = detokenize(toks[sig[using_k]:])
         return f"{before}IN ({lits}) {after}"
+
+    # -- SET statement (pragma surface) ------------------------------------
+
+    # DuckDB option name → handler. The allowlist mirrors safe mode: SQL
+    # text must not be able to set arbitrary engine state
+    # (/root/reference/duckdb:122-125).
+    def _set_option(self, key: str, val: str) -> None:
+        raw = val.strip().strip("'\"")
+        low = raw.lower()
+        truthy = low in ("true", "1", "on")
+        k = key.lower()
+        if k == "enable_external_access":
+            # the reference's safe-mode toggle: disabling locks out
+            # extension loading for the session (one-way per DuckDB
+            # semantics — re-enabling from SQL would defeat the sandbox)
+            if truthy and not self._extensions_allowed:
+                raise PermissionError(
+                    "enable_external_access cannot be re-enabled from SQL "
+                    "once disabled (safe mode is one-way)")
+            self._extensions_allowed = truthy
+        elif k == "threads":
+            self.spark.conf.set("spark.sql.shuffle.partitions", raw)
+        elif k == "timezone":
+            self.spark.conf.set("spark.sql.session.timeZone", raw)
+        elif k.startswith("spark."):
+            self.spark.conf.set(key, raw)
+        else:
+            raise ValueError(
+                f"SET: unknown option {key!r} — supported: "
+                "enable_external_access, threads, timezone, spark.*")
 
     # -- DDL/DML over versioned tables -------------------------------------
 

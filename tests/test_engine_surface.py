@@ -214,6 +214,26 @@ def test_cli_duckdb_dialect(engine, capsys):
     assert "3" in capsys.readouterr().out
 
 
+def test_set_statement_surface(spark):
+    """SET pragma surface: safe-mode toggle is one-way from SQL; spark.*
+    confs pass through; unknown keys raise (allowlist, D3)."""
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.sql("SET spark.sql.shuffle.partitions = 7")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    eng.sql("SET threads TO 8")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    eng.sql("SET timezone = 'UTC'")
+    with pytest.raises(ValueError, match="unknown option"):
+        eng.sql("SET frobnicate = 1")
+    eng.sql("SET enable_external_access = false")
+    with pytest.raises(PermissionError):
+        eng.install("vector")
+    with pytest.raises(PermissionError, match="one-way"):
+        eng.sql("SET enable_external_access = true")
+
+
 def test_install_load_sql_statements(spark):
     """E3 worked example as SQL: INSTALL/LOAD route to the registry
     (/root/reference/duckdb:18-55)."""
