@@ -947,6 +947,20 @@ def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_op("q106_decode_audio", None,
+     note="multimodal audio decode over real planted PCM16 WAVs: strict "
+          "mode, true channel/rate/duration + RMS/peak from the "
+          "self-contained RIFF parser (audio twin of q69)")
+def _q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = ops.make_demo_audio(spark, n=32)
+    feats = ops.decode_audio(assets, strict=True)
+    return feats.select(
+        "asset_id", "channels", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("asset_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -24,7 +24,13 @@ from .sampling import (
 from .gapfill import gap_fill
 from .groupmap import zscore_normalize_pandas, zscore_normalize_window
 from .pipeline import clean_corpus, corpus_report
-from .multimodal import decode_image, make_demo_assets, sample_frames
+from .multimodal import (
+    decode_audio,
+    decode_image,
+    make_demo_assets,
+    make_demo_audio,
+    sample_frames,
+)
 from .rollup import bucket_agg, reaggregate, rollup_ladder, time_bucket
 from .sessionize import session_stats, sessionize
 from .similarity import (
@@ -87,6 +93,8 @@ __all__ = [
     "scrub_text",
     "repetition_stats",
     "decode_image",
+    "decode_audio",
+    "make_demo_audio",
     "sample_frames",
     "make_demo_assets",
     "time_bucket",

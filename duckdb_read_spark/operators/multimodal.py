@@ -205,6 +205,146 @@ def decode_image(
     return df.select(id_col, content_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("channels", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("duration_s", DoubleType(), True),
+    StructField("rms", DoubleType(), True),
+    StructField("peak", DoubleType(), True),
+])
+
+
+def _parse_wav(content: bytes):
+    """RIFF/WAVE chunk walk: fmt → (channels, rate, bits); data → samples.
+    Full REAL sample decode for uncompressed PCM16/PCM8 (numpy over the
+    raw frames); header-only (no sample stats) for other codecs.
+    Returns (channels, rate, n_samples, samples|None) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        size, = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits, = struct.unpack_from("<H", body, 14)
+            fmt = (audio_fmt, ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    audio_fmt, ch, rate, bits = fmt
+    if ch == 0 or rate == 0:
+        return None
+    if data is None:
+        return ch, rate, 0, None
+    if audio_fmt == 1 and bits in (8, 16):
+        dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        frame = ch * bits // 8
+        usable = len(data) - len(data) % frame
+        raw = np.frombuffer(data[:usable], dtype=dt)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0 if bits == 8 \
+            else raw.astype(np.float64) / 32768.0
+        return ch, rate, usable // frame, samples.reshape(-1, ch)
+    # non-PCM (float/ADPCM/...): header facts only
+    bytes_per_frame = max(ch * max(bits, 8) // 8, 1)
+    return ch, rate, len(data) // bytes_per_frame, None
+
+
+def decode_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Decode audio bytes → (layout, duration, loudness) via Arrow-batched
+    mapInPandas — the audio twin of decode_image. REAL self-contained path
+    for RIFF/WAV: chunk walk for channels/rate, full PCM8/PCM16 sample
+    decode with numpy (duration, RMS, peak). Non-WAV bytes (mp3/flac/ogg
+    need codec libs absent here) raise under ``strict=True``, else fall
+    back to the deterministic fake so the pipeline stays exercisable."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                c = bytes(c) if c is not None else b""
+                parsed = _parse_wav(c)
+                if parsed is not None:
+                    ch, rate, n, samples = parsed
+                    dur = n / rate if rate else None
+                    if samples is not None and len(samples):
+                        mono = samples.mean(axis=1)
+                        rms = float((mono ** 2).mean() ** 0.5)
+                        peak = float(abs(mono).max())
+                    else:
+                        rms = peak = None
+                    rows.append((int(i), ch, rate, n, dur, rms, peak))
+                elif strict:
+                    raise NotImplementedError(
+                        "no self-contained codec for these bytes (mp3/flac/"
+                        "ogg need libs not in this environment)")
+                else:
+                    h = hashlib.sha256(c).digest()
+                    rate = 8000 * (1 + h[0] % 6)
+                    n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+                    rows.append((int(i), 1 + h[4] % 2, rate, n, n / rate,
+                                 h[5] / 512.0, h[6] / 256.0))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "channels", "sample_rate", "n_samples",
+                "duration_s", "rms", "peak"])
+
+    return df.select(id_col, content_col).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def make_wav(
+    n_samples: int,
+    sample_rate: int = 16000,
+    channels: int = 1,
+    freq_hz: float = 440.0,
+    amplitude: float = 0.5,
+) -> bytes:
+    """A real, decodable PCM16 WAV: deterministic sine wave."""
+    import math
+    import struct
+
+    frames = bytearray()
+    for t in range(n_samples):
+        v = int(amplitude * 32767 * math.sin(2 * math.pi * freq_hz * t / sample_rate))
+        frames += struct.pack("<h", v) * channels
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    data = bytes(frames)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def make_demo_audio(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL WAV assets (varied rate/length/frequency) so
+    decode_audio(strict=True) exercises the genuine parse path."""
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        length = rate // 50 * (1 + i % 3)  # 20-60 ms
+        content = make_wav(length, rate, channels=1 + i % 2,
+                           freq_hz=220.0 * (1 + i % 4), amplitude=0.25 + (i % 3) * 0.25)
+        rows.append((i, "audio", bytearray(content), None, "audio/wav"))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
