@@ -37,6 +37,13 @@ TABLES = (
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) must read as
+    # TIMESTAMP_LTZ, not TIMESTAMP_NTZ: session tz is pinned UTC so the
+    # two agree on wall-clock values, but NTZ forbids epoch casts
+    # (CAST(ts AS DOUBLE)) that the query surface and DuckDB both allow.
+    # The fixture generator has emitted both INT64(NANOS) and plain µs
+    # footers across rounds; this makes either read identically.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -550,9 +550,18 @@ def _rewrite_index_base(sql: str) -> str:
         a, b, c = sig[pos], sig[pos + 1], sig[pos + 2]
         if toks[a].text == "[" and toks[b].kind == "num" and toks[c].text == "]" \
                 and re.fullmatch(r"\d+", toks[b].text):
-            # preceded by an identifier or ')' → list subscript, not array literal
-            if pos >= 1 and (toks[sig[pos - 1]].kind in ("ident",) or toks[sig[pos - 1]].text == ")"):
-                toks[b] = Tok("num", str(int(toks[b].text) - 1))
+            # preceded by an identifier or ')' → list subscript, not array literal.
+            # SQL keywords (SELECT [5], THEN [1], …) tokenize as idents but open a
+            # literal context — share the literal-keyword set with
+            # _rewrite_list_literals so the two passes agree.
+            if pos >= 1:
+                prev = toks[sig[pos - 1]]
+                prev_is_base = (
+                    prev.kind == "ident"
+                    and prev.text.upper() not in _LITERAL_CONTEXT_KEYWORDS
+                ) or prev.text == ")"
+                if prev_is_base:
+                    toks[b] = Tok("num", str(int(toks[b].text) - 1))
     return detokenize(toks)
 
 

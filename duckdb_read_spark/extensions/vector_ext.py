@@ -7,6 +7,10 @@ Load with ``engine.load("duckdb_read_spark.extensions.vector_ext")``.
 
 from __future__ import annotations
 
+# Checked against an INSTALL ... VERSION pin at LOAD time (the LoadInfo
+# version field, /root/reference/duckdb:30-33).
+__extension_version__ = "1.0.0"
+
 
 def register(engine) -> None:
     """Entry symbol (/root/reference/duckdb:53): add this extension's

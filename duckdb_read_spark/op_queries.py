@@ -961,6 +961,35 @@ def _q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+@_op("q107_sliding_window_stream", OP_QUERIES["q89_sliding_window"].duckdb_sql,
+     note="STREAMING declared query (VERDICT r3 item 6): the sliding-window "
+          "stream (streaming/windows.sliding_counts) executed over a "
+          "file-replayed events stream with availableNow semantics; the "
+          "drained memory-sink table must hash-match the q89 batch oracle — "
+          "batch/stream duality in the driver-visible contract, not just "
+          "pytest")
+def _q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from .streaming.source import events_stream
+    from .streaming.windows import run_to_memory, sliding_counts
+
+    stream = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # watermark=None: a bounded replay drained in one availableNow run —
+    # exact batch equality must not depend on inter-batch watermark
+    # advancement (a multi-file replay could otherwise drop late rows)
+    out = sliding_counts(stream, size="1 hour", slide="15 minutes",
+                         watermark=None)
+    name = f"q107_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select("w", "event_type", "n", F.col("sv").cast("double").alias("sv"))
+        .orderBy("w", "event_type")
+    )
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -11,6 +11,7 @@ from .dedup import (
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_banded_keys,
     simhash_candidates,
 )
 from .packing import pack_by_offset, pack_greedy, pack_stats
@@ -61,6 +62,7 @@ __all__ = [
     "exact_dup_groups",
     "minhash_candidates",
     "simhash",
+    "simhash_banded_keys",
     "simhash_candidates",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

@@ -132,21 +132,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select(id_col, fp.alias("simhash"))
 
 
-def simhash_candidates(
+def simhash_banded_keys(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs: band the 64-bit simhash into ``bands`` sub-keys,
-    bucket-join on any equal band, verify Hamming ≤ ``max_hamming`` via
-    bit_count(a XOR b). By pigeonhole, any pair within Hamming ≤ bands-1
-    shares at least one band, so bands=4 is exact for max_hamming ≤ 3."""
+    """(id, simhash, band, key) — the banded bucket keys simhash_candidates
+    self-joins on; exposed so callers (bench counters, skew audits) can
+    measure band-bucket sizes without re-deriving the banding."""
     width = SIMHASH_BITS // bands
     fps = simhash(df, text_col, id_col)
     mask = (1 << width) - 1
-    banded = fps.select(
+    return fps.select(
         id_col,
         "simhash",
         F.explode(
@@ -159,6 +157,42 @@ def simhash_candidates(
             ])
         ).alias("__bk"),
     ).select(id_col, "simhash", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs: band the 64-bit simhash into ``bands`` sub-keys,
+    bucket-join on any equal band, verify Hamming ≤ ``max_hamming`` via
+    bit_count(a XOR b). By pigeonhole, any pair within Hamming ≤ bands-1
+    shares at least one band, so bands=4 is exact for max_hamming ≤ 3.
+
+    ``max_band_df`` is the skew lever (the banded analog of
+    ngram_jaccard_pairs' max_shingle_df): a band bucket shared by d docs
+    contributes C(d,2) candidates, so one boilerplate-heavy bucket can
+    dominate the join. Buckets with more than ``max_band_df`` members are
+    dropped (broadcast anti-join against the small hot-bucket list),
+    capping per-bucket fan-out at C(cap,2). Near-dups of a hot template
+    still pair through their other ``bands-1`` buckets unless ALL their
+    shared buckets are hot — the pigeonhole guarantee weakens only for
+    pairs living entirely inside boilerplate clusters, which exact-dedup
+    (L1) catches first."""
+    banded = simhash_banded_keys(df, text_col, id_col, bands)
+    if max_band_df is not None:
+        if max_band_df < 2:
+            raise ValueError(f"max_band_df must be >= 2, got {max_band_df}")
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_band_df)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -315,7 +349,7 @@ def duplicate_clusters(
     out_id: str = "doc_id",
     cluster_col: str = "cluster_id",
     max_iter: int = 25,
-    probe_every: int = 2,
+    probe_every: int = 1,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every node in
@@ -324,18 +358,19 @@ def duplicate_clusters(
     step of a dedup pipeline — pair emitters alone over-keep: keep-min on
     a-b and b-c would keep both a and b even though a~c transitively).
 
-    Min-label propagation, one round per graph-diameter hop: each iteration
-    is (edges ⋈ labels) → groupBy min → (labels ⋈ update), all hash
-    shuffles on the node id — no driver-side graph. Near-dup clusters are
-    stars/cliques around a template (diameter ≤ ~4), so this converges in
-    a handful of rounds.
+    Min-label propagation WITH pointer jumping: each round does one
+    neighbor-min hop (edges ⋈ labels → groupBy min) and then one label-
+    doubling hop (label := label(label)), so a chain of length d converges
+    in O(log d) rounds instead of O(d) — the large-star/small-star
+    shortcutting idea from the MapReduce CC literature, expressed as two
+    hash-shuffle joins on the node id. No driver-side graph.
 
-    Convergence is probed (a ``limit(1)`` anti-compare job) only every
-    ``probe_every`` rounds — each probe is a driver round-trip, so batching
-    roughly halves the per-round job count at the default; the final round
-    always probes, and an unconverged exit RAISES rather than silently
-    returning wrong labels (a component with diameter > ``max_iter`` would
-    otherwise keep several "survivors" of one true cluster).
+    Convergence probes are a ``filter(changed).limit(1)`` over the round's
+    checkpointed output — no join, so probing every round (default) is
+    cheap and exits at the earliest possible round. An unconverged exit
+    RAISES rather than silently returning wrong labels (a component the
+    rounds couldn't cover would otherwise keep several "survivors" of one
+    true cluster).
 
     ``checkpoint_dir`` switches lineage truncation from executor-local
     blocks (``localCheckpoint`` — lost on executor death) to a reliable
@@ -372,28 +407,41 @@ def duplicate_clusters(
             edges.join(labels, edges["__dst"] == labels["__node"])
             .groupBy("__src").agg(F.min("__label").alias("__nbr"))
         )
-        new_labels = _truncate(
+        stepped = (
             labels.join(nbr_min, labels["__node"] == nbr_min["__src"], "left")
             .select(
                 F.col("__node"),
+                F.col("__label").alias("__old"),
                 F.least(
                     F.col("__label"), F.coalesce(F.col("__nbr"), F.col("__label"))
-                ).alias("__label"),
+                ).alias("__lab1"),
             )
+        )
+        # pointer jump: follow the label's own label (label doubling) —
+        # labels are node ids, so the label map is `stepped` itself
+        lmap = stepped.select(
+            F.col("__node").alias("__k"), F.col("__lab1").alias("__lab2"))
+        new_labels = _truncate(
+            stepped.join(lmap, stepped["__lab1"] == lmap["__k"], "left")
+            .select(
+                F.col("__node"),
+                F.least(
+                    F.col("__lab1"), F.coalesce(F.col("__lab2"), F.col("__lab1"))
+                ).alias("__label"),
+                F.col("__old"),
+            )
+            .withColumn("__changed", F.col("__label") != F.col("__old"))
+            .drop("__old")
         )
         probe = (it + 1) % probe_every == 0 or it == max_iter - 1
         if probe:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "__node")
-                .filter(F.col("n.__label") != F.col("o.__label"))
-                .limit(1).count()
-            )
-            if changed == 0:
-                labels = new_labels
+            # cached-filter probe: no join, just a scan of the round's
+            # checkpointed output
+            if new_labels.filter("__changed").limit(1).count() == 0:
+                labels = new_labels.select("__node", "__label")
                 converged = True
                 break
-        labels = new_labels
+        labels = new_labels.select("__node", "__label")
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters did not converge after {max_iter} rounds — "

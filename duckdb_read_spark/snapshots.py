@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -53,6 +54,10 @@ class Commit:
     timestamp_ms: int
     mode: str            # "overwrite" | "append"
     dirs: tuple[str, ...]  # data dirs relative to table_dir
+    # file-level manifest (Iceberg-manifest analog): each entry is
+    # {"path": rel file path, "rows": int|None, "stats": {col: [min, max]}}.
+    # None → dir-granular commit (pre-file-level, or plain writes).
+    files: tuple[dict, ...] | None = None
 
 
 def _log_path(table_dir: str, version: int) -> str:
@@ -70,9 +75,109 @@ def read_log(table_dir: str) -> list[Commit]:
             continue
         with open(os.path.join(log_dir, fname)) as f:
             d = json.load(f)
+        files = tuple(d["files"]) if d.get("files") is not None else None
         commits.append(Commit(d["version"], d["timestamp_ms"], d["mode"],
-                              tuple(d["dirs"])))
+                              tuple(d["dirs"]), files))
     return commits
+
+
+def _json_stat(v):
+    """A parquet footer statistic as a JSON-storable, order-preserving
+    value — ISO strings for temporal types order lexicographically."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
+
+
+def file_entry(table_dir: str, rel_path: str) -> dict:
+    """One data file → manifest entry with per-column min/max from the
+    parquet footer (driver-side footer read — the same metadata a format
+    manifest stores; O(1) per file, never touches row data)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(table_dir, rel_path)).metadata
+    stats: dict[str, list] = {}
+    ok: dict[str, bool] = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            name = col.path_in_schema
+            if "." in name:          # nested — no scalar stats
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                ok[name] = False
+                continue
+            lo, hi = _json_stat(s.min), _json_stat(s.max)
+            if lo is None or hi is None:
+                ok[name] = False
+                continue
+            if name not in stats:
+                stats[name] = [lo, hi]
+                ok.setdefault(name, True)
+            else:
+                cur = stats[name]
+                try:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+                except TypeError:
+                    ok[name] = False
+    return {
+        "path": rel_path,
+        "rows": md.num_rows,
+        "stats": {k: v for k, v in stats.items() if ok.get(k, True)},
+    }
+
+
+def _dir_file_entries(table_dir: str, rel_dir: str) -> list[dict]:
+    """Expand a dir-granular commit dir into per-file manifest entries."""
+    full = os.path.join(table_dir, rel_dir)
+    out = []
+    for root, _dirs, fnames in os.walk(full):
+        for fname in sorted(fnames):
+            if not fname.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), table_dir)
+            out.append(file_entry(table_dir, rel))
+    return out
+
+
+def snapshot_file_entries(
+    table_dir: str, version: int | None = None
+) -> list[dict]:
+    """The file-level manifest of a snapshot: replayed from the log when
+    commits carry file lists, expanded from dirs (footer reads) otherwise.
+    Paths are relative to ``table_dir``."""
+    commits = read_log(table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no versioned table at {table_dir!r}")
+    if version is None:
+        version = commits[-1].version
+    chain = [c for c in commits if c.version <= version]
+    entries: list[dict] = []
+    for c in chain:
+        batch = (list(c.files) if c.files is not None
+                 else [e for d in c.dirs for e in _dir_file_entries(table_dir, d)])
+        if c.mode == "overwrite":
+            entries = batch
+        else:
+            entries.extend(batch)
+    return entries
 
 
 def write_table(
@@ -80,11 +185,16 @@ def write_table(
     table_dir: str,
     mode: str = "overwrite",
     timestamp_ms: int | None = None,
+    carry_files: list[dict] | None = None,
 ) -> Commit:
     """Commit ``df`` as the next version of the table at ``table_dir``.
 
     ``mode='append'`` adds files to the current snapshot; ``'overwrite'``
-    starts a fresh one. Returns the committed entry.
+    starts a fresh one. ``carry_files`` (file-level DML): manifest entries
+    from the previous snapshot carried into this one BY REFERENCE — the
+    commit then records an explicit file list (carried + newly written,
+    with footer min/max stats), so an UPDATE that touches one file writes
+    one file, not the table. Returns the committed entry.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -93,16 +203,22 @@ def write_table(
     version = (commits[-1].version + 1) if commits else 1
     rel = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    files = None
+    if carry_files is not None:
+        files = tuple(list(carry_files) + _dir_file_entries(table_dir, rel))
     entry = Commit(
         version=version,
         timestamp_ms=int(time.time() * 1000) if timestamp_ms is None else timestamp_ms,
         mode=mode,
         dirs=(rel,),
+        files=files,
     )
     # O_EXCL: exactly one writer can create this version file.
     with open(_log_path(table_dir, version), "x") as f:
         json.dump({"version": entry.version, "timestamp_ms": entry.timestamp_ms,
-                   "mode": entry.mode, "dirs": list(entry.dirs)}, f)
+                   "mode": entry.mode, "dirs": list(entry.dirs),
+                   "files": list(entry.files) if entry.files is not None else None},
+                  f)
     return entry
 
 
@@ -134,13 +250,15 @@ def resolve_snapshot(
     if not chosen or chosen[-1].version != version:
         known = [c.version for c in commits]
         raise LookupError(f"version {version} not in log (have {known})")
-    dirs: list[str] = []
+    paths: list[str] = []
     for c in chosen:
+        batch = ([e["path"] for e in c.files] if c.files is not None
+                 else list(c.dirs))
         if c.mode == "overwrite":
-            dirs = list(c.dirs)
+            paths = batch
         else:
-            dirs.extend(c.dirs)
-    return version, [os.path.join(table_dir, d) for d in dirs]
+            paths.extend(batch)
+    return version, [os.path.join(table_dir, p) for p in paths]
 
 
 def read_table(
@@ -187,17 +305,23 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
          if c.mode == "overwrite" and c.version <= oldest_kept),
         default=commits[0].version,
     )
+    # kept snapshots may reference whole dirs OR individual files (file-
+    # level DML carries) — a data dir survives iff any kept path is the
+    # dir itself or lives inside it.
+    data_root = os.path.abspath(os.path.join(table_dir, _DATA_DIR))
     keep_dirs: set[str] = set()
     for c in commits[-keep_last:]:
-        _, dirs = resolve_snapshot(table_dir, version=c.version)
-        keep_dirs.update(dirs)
+        _, paths = resolve_snapshot(table_dir, version=c.version)
+        for p in paths:
+            rel = os.path.relpath(os.path.abspath(p), data_root)
+            if not rel.startswith(".."):
+                keep_dirs.add(rel.split(os.sep)[0])
     removed_dirs = 0
-    data_root = os.path.join(table_dir, _DATA_DIR)
     if os.path.isdir(data_root):
         for entry in sorted(os.listdir(data_root)):
-            full = os.path.join(data_root, entry)
-            if full not in keep_dirs:
-                shutil.rmtree(full, ignore_errors=True)
+            if entry not in keep_dirs:
+                shutil.rmtree(os.path.join(data_root, entry),
+                              ignore_errors=True)
                 removed_dirs += 1
     removed_versions = 0
     for c in commits:
@@ -214,6 +338,134 @@ def history(table_dir: str) -> list[dict]:
     """Commit history, latest first (DESCRIBE HISTORY analog)."""
     return [
         {"version": c.version, "timestamp_ms": c.timestamp_ms, "mode": c.mode,
-         "n_dirs": len(c.dirs)}
+         "n_dirs": len(c.dirs),
+         "n_files": len(c.files) if c.files is not None else None}
         for c in reversed(read_log(table_dir))
     ]
+
+
+# -- manifest-stats predicate pruning (file-level DML fast path) ----------
+
+_CMP_RE = re.compile(
+    r"^\(*\s*(?:[A-Za-z_]\w*\.)?(?P<col>[A-Za-z_]\w*)\s*"
+    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+    r"\s*\)*$",
+)
+_CMP_REV_RE = re.compile(
+    r"^\(*\s*(?P<lit>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*"
+    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?:[A-Za-z_]\w*\.)?(?P<col>[A-Za-z_]\w*)"
+    r"\s*\)*$",
+)
+_BETWEEN_RE = re.compile(
+    r"^\(*\s*(?:[A-Za-z_]\w*\.)?(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+"
+    r"(?P<lo>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s+AND\s+"
+    r"(?P<hi>'(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*\)*$",
+    re.IGNORECASE,
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_lit(text: str):
+    if text.startswith("'"):
+        return text[1:-1].replace("''", "'")
+    return float(text) if "." in text else int(text)
+
+
+def _split_top_and(pred: str) -> list[str] | None:
+    """Split on top-level AND (outside parens/strings); None if the
+    predicate contains a top-level OR/NOT (can't prune conjunct-wise)."""
+    parts, depth, buf = [], 0, []
+    in_str = False
+    between_depth: list[int] = []  # BETWEEN ... AND: that AND is not a split
+    toks = re.split(r"(\s+|\(|\)|')", pred)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if in_str:
+            buf.append(t)
+            if t == "'":
+                in_str = False
+            i += 1
+            continue
+        if t == "'":
+            in_str = True
+            buf.append(t)
+        elif t == "(":
+            depth += 1
+            buf.append(t)
+        elif t == ")":
+            depth -= 1
+            buf.append(t)
+        elif t.upper() == "BETWEEN":
+            between_depth.append(depth)
+            buf.append(t)
+        elif t.upper() == "AND" and between_depth and between_depth[-1] == depth:
+            between_depth.pop()
+            buf.append(t)
+        elif depth == 0 and t.upper() == "AND":
+            parts.append("".join(buf))
+            buf = []
+        elif depth == 0 and t.upper() in ("OR", "NOT"):
+            return None
+        else:
+            buf.append(t)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _conjunct_feasible(conj: str, stats: dict) -> bool:
+    """Can any row in a file with these min/max stats satisfy the
+    conjunct? Unrecognized shapes / missing stats → feasible (the prune
+    must stay conservative; the exact probe refines it)."""
+    m = _BETWEEN_RE.match(conj)
+    if m:
+        return (_conjunct_feasible(f"{m.group('col')} >= {m.group('lo')}", stats)
+                and _conjunct_feasible(f"{m.group('col')} <= {m.group('hi')}", stats))
+    m = _CMP_RE.match(conj.strip())
+    op = None
+    if m:
+        op = m.group("op")
+    else:
+        m = _CMP_REV_RE.match(conj.strip())
+        if m:
+            op = _FLIP.get(m.group("op"), m.group("op"))
+    if not m:
+        return True
+    rng = stats.get(m.group("col"))
+    if not rng:
+        return True
+    lit = _parse_lit(m.group("lit"))
+    lo, hi = rng
+    try:
+        if op == "=":
+            return lo <= lit <= hi
+        if op in ("!=", "<>"):
+            return not (lo == lit == hi)
+        if op == "<":
+            return lo < lit
+        if op == "<=":
+            return lo <= lit
+        if op == ">":
+            return hi > lit
+        if op == ">=":
+            return hi >= lit
+    except TypeError:
+        return True      # stats/literal type mismatch — don't prune
+    return True
+
+
+def prune_by_stats(entries: list[dict], pred: str) -> list[dict]:
+    """Manifest entries whose min/max stats can intersect ``pred`` — a
+    pure-metadata candidate cut (no Spark job), the same skip a format's
+    manifest gives a scan. Conservative: anything unparseable keeps the
+    file."""
+    conjuncts = _split_top_and(pred)
+    if conjuncts is None:
+        return list(entries)
+    out = []
+    for e in entries:
+        stats = e.get("stats") or {}
+        if all(_conjunct_feasible(c, stats) for c in conjuncts):
+            out.append(e)
+    return out

@@ -122,6 +122,52 @@ WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
     assert eng.sql("SELECT COUNT(*) AS n FROM tm VERSION AS OF 2").first()["n"] == 3
 
 
+def test_merge_first_match_clause_order(eng):
+    """Standard MERGE applies only the FIRST matching WHEN MATCHED clause
+    per row (round-3 ADVICE): a row satisfying both conditions takes the
+    textually-earlier action."""
+    eng.sql("CREATE TABLE tmo (k BIGINT, v DOUBLE)")
+    eng.sql("INSERT INTO tmo VALUES (1, 10.0), (2, 20.0)")
+    # k=1 satisfies BOTH clauses; UPDATE is first → updated, not deleted
+    eng.sql("""
+MERGE INTO tmo t USING (SELECT 1 AS k, 100.0 AS v) s ON t.k = s.k
+WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = s.v
+WHEN MATCHED AND s.v > 0 THEN DELETE
+""")
+    assert sorted(tuple(r) for r in eng.table("tmo").collect()) == \
+        [(1, 100.0), (2, 20.0)]
+    # DELETE first → deleted; the later UPDATE never fires for that row
+    eng.sql("""
+MERGE INTO tmo t USING (SELECT 1 AS k, 100.0 AS v) s ON t.k = s.k
+WHEN MATCHED AND s.v > 0 THEN DELETE
+WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = -1.0
+""")
+    assert sorted(tuple(r) for r in eng.table("tmo").collect()) == [(2, 20.0)]
+    # unconditional UPDATE first shadows a later DELETE entirely
+    eng.sql("""
+MERGE INTO tmo t USING (SELECT 2 AS k, 5.0 AS v) s ON t.k = s.k
+WHEN MATCHED THEN UPDATE SET v = s.v
+WHEN MATCHED AND s.v > 0 THEN DELETE
+""")
+    assert sorted(tuple(r) for r in eng.table("tmo").collect()) == [(2, 5.0)]
+
+
+def test_string_literal_commas_in_dml(eng):
+    """Commas inside string literals must not split SET assignments or
+    INSERT values (round-3 ADVICE: _split_top_commas was quote-naive)."""
+    eng.sql("CREATE TABLE tlc (k BIGINT, name STRING, tag STRING)")
+    eng.sql("INSERT INTO tlc VALUES (1, 'a, b', 'x'), (2, 'c', 'y, z')")
+    rows = sorted(tuple(r) for r in eng.table("tlc").collect())
+    assert rows == [(1, "a, b", "x"), (2, "c", "y, z")]
+    eng.sql("UPDATE tlc SET name = 'p, q', tag = 'it''s, ok' WHERE k = 1")
+    r = eng.sql("SELECT name, tag FROM tlc WHERE k = 1").first()
+    assert (r["name"], r["tag"]) == ("p, q", "it's, ok")
+    eng.sql("MERGE INTO tlc t USING (SELECT 2 AS k) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET name = 'm, n', tag = 'o'")
+    r = eng.sql("SELECT name, tag FROM tlc WHERE k = 2").first()
+    assert (r["name"], r["tag"]) == ("m, n", "o")
+
+
 def test_merge_insert_star_by_name(eng):
     eng.sql("CREATE TABLE tm2 AS SELECT 1 AS k, 'x' AS s")
     eng.sql("MERGE INTO tm2 USING (SELECT 2 AS k, 'y' AS s) src "

@@ -222,6 +222,20 @@ def test_list_literal_rewrite():
         "SELECT array(array(1, 2), array(3)) AS m"
 
 
+def test_single_element_literal_after_keyword():
+    """Keywords tokenize as idents but open a literal context — `SELECT [5]`
+    is a one-element list literal, not a subscript on `SELECT` (round-3
+    ADVICE: the index pass decremented it to array(4))."""
+    assert to_spark_sql("SELECT [5] AS x") == "SELECT array(5) AS x"
+    assert to_spark_sql("SELECT CASE WHEN b THEN [1] ELSE [2] END AS x") == \
+        "SELECT CASE WHEN b THEN array(1) ELSE array(2) END AS x"
+    assert to_spark_sql("SELECT x IN ([3]) FROM t") == \
+        "SELECT x IN (array(3)) FROM t"
+    # real subscripts still shift 1-based → 0-based
+    assert to_spark_sql("SELECT a[5] FROM t") == "SELECT a[4] FROM t"
+    assert to_spark_sql("SELECT f(x)[5] FROM t") == "SELECT f(x)[4] FROM t"
+
+
 def test_distinct_on_rewrite():
     out = to_spark_sql(
         "SELECT DISTINCT ON (k) k, v, ts FROM t ORDER BY k, ts DESC"

@@ -150,6 +150,27 @@ def test_unknown_extension_blocked_by_default(spark):
     opt_in.install("duckdb_read_spark.extensions.vector_ext")
 
 
+def test_install_repository_and_version_pin(spark):
+    """INSTALL <ext> [FROM repo] [VERSION 'v'] records the LoadInfo triple
+    (/root/reference/duckdb:30-33); a mismatched pin raises at LOAD, a
+    matching one loads, an unknown repository raises at INSTALL."""
+    from duckdb_read_spark import Engine
+
+    e = Engine(spark=spark)
+    e.sql("INSTALL vector FROM core VERSION '1.0.0'")
+    info = e._extensions["duckdb_read_spark.extensions.vector_ext"]
+    assert (info["repository"], info["version"]) == ("core", "1.0.0")
+    e.sql("LOAD vector")  # pin matches __extension_version__
+    e.sql("INSTALL vector VERSION '9.9.9'")  # re-pin (FORCE INSTALL analog)
+    with pytest.raises(ValueError, match="does not match"):
+        e.sql("LOAD vector")
+    with pytest.raises(ValueError, match="repository"):
+        e.sql("INSTALL vector FROM nightly")
+    # unpinned install keeps loading regardless of module version
+    e.sql("INSTALL vector")
+    e.sql("LOAD vector")
+
+
 # --- EXPLAIN (D2) + CLI (E1) ----------------------------------------------
 
 def test_explain_shows_pushdown(engine):
@@ -192,6 +213,24 @@ def test_dynamic_pivot_matches_static(engine):
         dialect="duckdb")
     assert dyn.columns == static.columns
     assert _rows(dyn.orderBy("user_id")) == _rows(static.orderBy("user_id"))
+
+
+def test_dynamic_pivot_typed_literals(engine):
+    """Discovered non-string pivot values render as TYPED literals
+    (round-3 ADVICE: str(date) injected unquoted `IN (2024-01-01)`)."""
+    dyn = engine.sql(
+        "PIVOT (SELECT * FROM VALUES (DATE '2024-01-01', 1), "
+        "(DATE '2024-02-01', 2), (DATE '2024-01-01', 3) AS t(d, v)) "
+        "ON d USING sum(v)",
+        dialect="duckdb")
+    row = dyn.first()
+    assert row["2024-01-01"] == 4 and row["2024-02-01"] == 2
+    booldyn = engine.sql(
+        "PIVOT (SELECT r_regionkey % 2 = 0 AS even FROM region) "
+        "ON even USING count(*)",
+        dialect="duckdb")
+    r = booldyn.first()
+    assert r["true"] == 3 and r["false"] == 2
 
 
 def test_dynamic_pivot_cardinality_guard(engine):
@@ -320,11 +359,18 @@ def test_time_partitioned_materialization_restores_pushdown(engine, spark, tmp_p
     pushed = plan.split("PushedFilters:", 1)[1][:200] if "PushedFilters:" in plan else ""
     assert "ts" in pushed, plan[:1500]
 
-    # the shim view, by contrast, cannot push the RANGE predicate (only a
-    # bare IsNotNull on the raw bigint survives)
+    # the ns-shim view, by contrast, cannot push the RANGE predicate (only
+    # a bare IsNotNull on the raw bigint survives). Fixtures written with
+    # plain µs footers read ts natively (no shim) and push directly — the
+    # shim-blocks-pushdown claim only applies when the shim is active.
+    raw_ts_type = dict(spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").dtypes).get("ts")
     shim_plan = physical_plan(ev.filter(ev["ts"] > "2024-01-02 06:00:00"))
     shim_pushed = shim_plan.split("PushedFilters:", 1)[1][:200] if "PushedFilters:" in shim_plan else ""
-    assert "GreaterThan(ts" not in shim_pushed
+    if raw_ts_type == "bigint":
+        assert "GreaterThan(ts" not in shim_pushed
+    else:
+        assert "GreaterThan(ts" in shim_pushed  # native read pushes down
 
 
 def test_summarize_statement_and_api(engine):

@@ -1,0 +1,161 @@
+"""File-level DML (VERDICT r3 item 2): DELETE/UPDATE/MERGE rewrite only
+the data files that contain affected rows; the rest of the snapshot is
+carried into the new commit BY REFERENCE, with per-file min/max footer
+stats recorded in the log (the Iceberg-manifest idea over snapshots.py,
+/root/reference/metadata:1-17).
+
+Discovery is two-tier: a pure-metadata stats cut (prune_by_stats — no
+Spark job), then one exact column-pruned ``input_file_name()`` probe —
+so a one-row UPDATE on a 100 TB table costs one file rewrite plus a
+pushdown scan of the predicate column, not an O(table) rewrite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_read_spark import snapshots
+from duckdb_read_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    e.register_fixture_dir("/root/testdata/sf0.001")
+    return e
+
+
+@pytest.fixture()
+def t20(eng, spark, tmp_path):
+    """A 20-file versioned table, range-partitioned on k (so per-file
+    min/max stats are disjoint ranges)."""
+    df = (spark.range(0, 2000).withColumnRenamed("id", "k")
+          .withColumn("v", (F.col("k") * 2).cast("long"))
+          .repartitionByRange(20, "k"))
+    d = str(tmp_path / "t20")
+    eng.write_versioned(df, d)
+    eng.register_versioned("t20", d)
+    return d
+
+
+def _paths(d, version=None):
+    return {e["path"] for e in snapshots.snapshot_file_entries(d, version)}
+
+
+def test_manifest_stats_recorded_and_prune(t20):
+    entries = snapshots.snapshot_file_entries(t20)
+    assert len(entries) == 20
+    for e in entries:
+        assert e["rows"] == 100
+        assert "k" in e["stats"] and e["stats"]["k"][0] <= e["stats"]["k"][1]
+    # metadata-only cut: an equality predicate hits exactly one file
+    assert len(snapshots.prune_by_stats(entries, "k = 150")) == 1
+    assert len(snapshots.prune_by_stats(entries, "k >= 1900")) == 1
+    assert len(snapshots.prune_by_stats(entries, "k BETWEEN 95 AND 105")) == 2
+    assert len(snapshots.prune_by_stats(entries, "k = -5")) == 0
+    # unparseable predicate → conservative (all files)
+    assert len(snapshots.prune_by_stats(entries, "k % 7 = 0")) == 20
+
+
+def test_update_rewrites_exactly_one_file(eng, t20):
+    before = _paths(t20)
+    eng.sql("UPDATE t20 SET v = -1 WHERE k = 150")
+    after = _paths(t20)
+    assert len(before & after) == 19      # 19 carried by reference
+    assert len(after - before) >= 1       # one rewritten file (new dir)
+    assert eng.sql("SELECT v FROM t20 WHERE k = 150").first()["v"] == -1
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2000
+    assert eng.sql("SELECT SUM(v) AS s FROM t20").first()["s"] == \
+        sum(2 * k for k in range(2000)) - 300 - 1
+    # time travel still replays the pre-update snapshot
+    assert eng.sql(
+        "SELECT v FROM t20 VERSION AS OF 1 WHERE k = 150").first()["v"] == 300
+
+
+def test_delete_rewrites_only_hit_files(eng, t20):
+    before = _paths(t20)
+    eng.sql("DELETE FROM t20 WHERE k BETWEEN 95 AND 105")  # spans 2 files
+    after = _paths(t20)
+    assert len(before & after) == 18
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2000 - 11
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM t20 WHERE k BETWEEN 95 AND 105"
+    ).first()["n"] == 0
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM t20 VERSION AS OF 1").first()["n"] == 2000
+
+
+def test_delete_no_match_carries_everything(eng, t20):
+    before = _paths(t20)
+    eng.sql("DELETE FROM t20 WHERE k = 999999")
+    after = _paths(t20)
+    assert before <= after                # all 20 carried, nothing lost
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2000
+
+
+def test_merge_rewrites_only_matched_files(eng, t20):
+    before = _paths(t20)
+    eng.sql("""
+MERGE INTO t20 t USING
+  (SELECT * FROM VALUES (150, CAST(-7 AS LONG)), (2500, CAST(1 AS LONG)) AS x(k, v)) s
+ON t.k = s.k
+WHEN MATCHED THEN UPDATE SET v = s.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+""")
+    after = _paths(t20)
+    assert len(before & after) == 19      # only k=150's file rewritten
+    assert eng.sql("SELECT v FROM t20 WHERE k = 150").first()["v"] == -7
+    assert eng.sql("SELECT v FROM t20 WHERE k = 2500").first()["v"] == 1
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2001
+
+
+def test_qualified_predicate_resolves(eng, t20):
+    eng.sql("UPDATE t20 SET v = 0 WHERE t20.k = 7")
+    assert eng.sql("SELECT v FROM t20 WHERE k = 7").first()["v"] == 0
+    eng.sql("DELETE FROM t20 WHERE t20.k = 7")
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 1999
+
+
+def test_vacuum_keeps_dirs_referenced_by_carried_files(eng, t20):
+    eng.sql("UPDATE t20 SET v = -1 WHERE k = 150")
+    stats = eng.vacuum_table("t20", keep_last=1)
+    # v1's dir holds the 19 carried files — it must survive the vacuum
+    assert stats["removed_dirs"] == 0
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2000
+    assert eng.sql("SELECT SUM(v) AS s FROM t20").first()["s"] == \
+        sum(2 * k for k in range(2000)) - 300 - 1
+    # a second update makes the first rewrite dir unreachable → vacuumable
+    eng.sql("UPDATE t20 SET v = -2 WHERE k = 150")
+    stats = eng.vacuum_table("t20", keep_last=1)
+    assert stats["removed_dirs"] == 1
+    assert eng.sql("SELECT v FROM t20 WHERE k = 150").first()["v"] == -2
+
+
+def test_schema_evolution_carried_files_align(eng, spark, tmp_path):
+    """Carried files that pre-date an appended column read as NULL for
+    it, exactly like a mergeSchema snapshot read."""
+    d = str(tmp_path / "tev")
+    base = (spark.range(0, 200).withColumnRenamed("id", "k")
+            .withColumn("v", F.col("k") * 10)
+            .repartitionByRange(4, "k"))
+    eng.write_versioned(base, d)
+    eng.register_versioned("tev", d)
+    extra = spark.createDataFrame([(1000, 1, "x")], "k long, v long, tag string")
+    eng.write_versioned(extra, d, mode="append")
+    eng.register_versioned("tev", d)
+    eng.sql("UPDATE tev SET v = 0 WHERE k = 1000")
+    row = eng.sql("SELECT v, tag FROM tev WHERE k = 1000").first()
+    assert (row["v"], row["tag"]) == (0, "x")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tev WHERE tag IS NULL"
+                   ).first()["n"] == 200
+
+
+def test_log_roundtrips_file_entries(eng, t20):
+    eng.sql("UPDATE t20 SET v = -1 WHERE k = 150")
+    commits = snapshots.read_log(t20)
+    assert commits[-1].files is not None
+    assert len(commits[-1].files) >= 20
+    # a fresh read of the log (new Engine path) resolves identically
+    _, paths = snapshots.resolve_snapshot(t20)
+    assert len(paths) == len(commits[-1].files)

@@ -211,6 +211,30 @@ def test_simhash_candidates_find_exact_dups(docs_with_dups):
     assert hit == 1
 
 
+def test_simhash_band_cap_bounds_hot_buckets(spark):
+    """max_band_df (VERDICT r3 item 8): a planted boilerplate cluster of 50
+    identical docs floods its band buckets (C(50,2)=1225 candidate pairs);
+    the cap drops those hot buckets while the planted non-boilerplate dup
+    pair is still recalled through its own (cold) buckets."""
+    from duckdb_read_spark.operators import simhash_candidates
+
+    boiler = [(i, "terms of service apply to all content herein forever "
+                  "and no liability is accepted by the site operator")
+              for i in range(50)]
+    planted = [(100, "quick brown fox jumps over the lazy dog near a river "
+                     "bank at dawn while birds sing"),
+               (101, "quick brown fox jumps over the lazy dog near a river "
+                     "bank at dawn while birds sing")]
+    docs = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    uncapped = simhash_candidates(docs, max_hamming=0)
+    assert uncapped.count() == 1225 + 1
+    capped = simhash_candidates(docs, max_hamming=0, max_band_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}
+    with pytest.raises(ValueError, match="max_band_df"):
+        simhash_candidates(docs, max_band_df=1)
+
+
 def test_minhash_candidates_recall_on_exact_dups(docs_with_dups):
     from duckdb_read_spark.operators import minhash_candidates
 
@@ -656,18 +680,33 @@ def test_duplicate_clusters_matches_union_find(spark):
 
 
 def test_duplicate_clusters_unconverged_raises(spark):
-    """A chain longer than max_iter must RAISE, not silently return split
-    clusters (ADVICE r2): 0-1-2-...-9 with max_iter=3 cannot converge."""
+    """A chain the rounds can't cover must RAISE, not silently return
+    split clusters (ADVICE r2). With pointer jumping each round roughly
+    doubles reach (reach 2 rounds ≈ 7 hops), so a 100-node path cannot
+    converge in 2 rounds."""
     from duckdb_read_spark.operators import duplicate_clusters
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(100)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=3).collect()
-    # plenty of rounds → one cluster, regardless of probe batching
+        duplicate_clusters(chain, max_iter=2).collect()
+    # O(log d) rounds suffice for the 100-node path (d=100 → ~7 rounds),
+    # regardless of probe batching
     got = {r["cluster_id"]
-           for r in duplicate_clusters(chain, max_iter=15, probe_every=3).collect()}
+           for r in duplicate_clusters(chain, max_iter=10, probe_every=3).collect()}
+    assert got == {0}
+
+
+def test_duplicate_clusters_pointer_jump_log_rounds(spark):
+    """The label-doubling shortcut: a 30-node path converges within 6
+    rounds — impossible for pure one-hop min propagation (needs ~30)."""
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    got = {r["cluster_id"] for r in duplicate_clusters(chain, max_iter=6).collect()}
     assert got == {0}
 
 

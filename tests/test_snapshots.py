@@ -123,6 +123,27 @@ def test_engine_register_versioned_and_sql_as_of(engine, tmp_path):
     assert [h["version"] for h in engine.table_history("vt")] == [2, 1]
 
 
+def test_persistent_catalog_rediscovers_tables(spark, tmp_path):
+    """A new Engine over an existing warehouse re-registers every table
+    whose _log/ is on disk — CREATE TABLE survives a session restart
+    (the reference's OpenDB startup motif, /root/reference/duckdb:120-125)."""
+    from duckdb_read_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark=spark, warehouse_dir=wh)
+    e1.sql("CREATE TABLE pt (k BIGINT)")
+    e1.sql("INSERT INTO pt VALUES (1)")
+    e1.sql("INSERT INTO pt VALUES (2)")
+    spark.catalog.dropTempView("pt")  # simulate a fresh session
+    e2 = Engine(spark=spark, warehouse_dir=wh)
+    assert "pt" in e2._versioned
+    assert {r["k"] for r in e2.sql("SELECT * FROM pt").collect()} == {1, 2}
+    assert e2.sql(
+        "SELECT COUNT(*) AS n FROM pt VERSION AS OF 2").first()["n"] == 1
+    e2.sql("INSERT INTO pt VALUES (3)")  # DML keeps working across restart
+    assert e2.sql("SELECT COUNT(*) AS n FROM pt").first()["n"] == 3
+
+
 def test_engine_sql_timestamp_as_of(engine, tmp_path):
     from duckdb_read_spark.snapshots import write_table as wt
 

@@ -236,6 +236,9 @@ def test_stream_stream_interval_join_equals_batch(spark, batch_events):
     run_to_memory(joined.select("p_id", "s_id"), "t_ssjoin", output_mode="append")
     got = _rows(spark.table("t_ssjoin"))
     assert got == batch and batch  # non-empty and identical
+
+
+def test_stream_static_enrichment_equals_batch(spark, batch_events):
     """Stream-static join (enriching a stream with a dimension table) must
     equal the batch join — the standard streaming enrichment pattern; the
     static side is re-read per micro-batch, no state involved."""
