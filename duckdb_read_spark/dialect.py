@@ -252,6 +252,34 @@ def _rewrite_calls(sql: str) -> str:
             i += 1
             changed = True
             continue
+        if name == "map" and parts:
+            # DuckDB map([keys], [values]) — Spark's two-array constructor
+            # is map_from_arrays (Spark's own map() takes interleaved args;
+            # the two-list form is the only call-shaped map() in DuckDB)
+            out.append("map_from_arrays")
+            i += 1
+            changed = True
+            continue
+        if name == "map_extract" and parts:
+            # DuckDB map_extract returns a one-element LIST, so idiomatic
+            # DuckDB unwraps with [1]; Spark element_at returns the value
+            # directly — rename and swallow the unwrapping subscript.
+            _, close, spans = parts
+            inner = detokenize(toks[parts[0] + 1:close])
+            j = close + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            sub = [k for k in range(j, min(j + 3, len(toks)))]
+            if (len(sub) == 3 and toks[sub[0]].text == "["
+                    and toks[sub[1]].kind == "num" and toks[sub[1]].text == "1"
+                    and toks[sub[2]].text == "]"):
+                out.append(f"element_at({inner})")
+                i = sub[2] + 1
+            else:
+                out.append(f"element_at({inner})")
+                i = close + 1
+            changed = True
+            continue
         if name in _SIMPLE_RENAMES and parts:
             out.append(_SIMPLE_RENAMES[name])
             i += 1
