@@ -123,6 +123,16 @@ _SET_RE = re.compile(
     re.IGNORECASE,
 )
 
+# OPTIMIZE <table> — small-file compaction of a versioned table (the
+# table-format OPTIMIZE statement; file-level commit via snapshots.compact).
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+
+# DESCRIBE/DESC <table> and SHOW TABLES (DuckDB introspection surface).
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
 
 class Engine:
     """A session-scoped analytical SQL engine over file-resident data."""
@@ -214,6 +224,31 @@ class Engine:
         """Commit history (DESCRIBE HISTORY analog) by view name or path."""
         return snapshots.history(self._versioned.get(name_or_dir, name_or_dir))
 
+    def optimize_table(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+    ) -> DataFrame:
+        """Small-file compaction (OPTIMIZE statement): bin-pack files below
+        the small-file threshold into ~target-size files as one new
+        file-level snapshot commit; right-sized files are carried by
+        reference. Returns a one-row stats DataFrame."""
+        if name not in self._versioned:
+            raise ValueError(f"OPTIMIZE unknown table {name!r} — "
+                             "only versioned tables can be compacted")
+        stats = snapshots.compact(
+            self.spark, self._versioned[name],
+            target_file_bytes=target_file_bytes,
+            small_file_bytes=small_file_bytes,
+        )
+        self._refresh_table(name)
+        return self.spark.createDataFrame(
+            [(stats["rewritten_files"], stats["carried_files"],
+              stats["new_files"], stats["version"])],
+            "rewritten_files int, carried_files int, new_files int, version int",
+        )
+
     def vacuum_table(self, name_or_dir: str, keep_last: int = 1) -> dict:
         """Retention cleanup (Delta VACUUM analog): physically drop data
         dirs and log entries unreachable from the newest ``keep_last``
@@ -304,6 +339,23 @@ class Engine:
         if mset:
             self._set_option(mset.group("key"), mset.group("val").strip())
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        mopt = _OPTIMIZE_RE.match(query)
+        if mopt:
+            return self.optimize_table(mopt.group("name"))
+        mdesc = _DESCRIBE_RE.match(query)
+        if mdesc:
+            name = mdesc.group("name")
+            schema = self.table(name).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString().upper(),
+                  "YES" if f.nullable else "NO")
+                 for f in schema.fields],
+                "column_name string, column_type string, null string",
+            )
+        if _SHOW_TABLES_RE.match(query):
+            names = sorted(t.name for t in self.spark.catalog.listTables())
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "name string")
         m = _INSTALL_LOAD_RE.match(query)
         if m:
             verb, name = m.group(1).upper(), m.group(2).strip().strip("'\"")

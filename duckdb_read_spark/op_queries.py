@@ -990,6 +990,50 @@ def _q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_op("q108_paragraph_dedup", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*12+1):(i*12+12)], ' ') AS para
+  FROM (SELECT doc_id, t,
+               UNNEST(range(0, CAST(ceil(len(t)/12.0) AS BIGINT))) AS i
+        FROM toks)
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                               e'\n\n' ORDER BY pos), '')) AS kept_md5
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""", note="corpus-wide paragraph-level dedup keep-first (the boilerplate-"
+          "removal step of crawl pipelines; L1 at sub-document "
+          "granularity). Fixture docs have no newlines, so both sides "
+          "chunk tokens into 12-token pseudo-paragraphs first; the "
+          "operator reassembles surviving paragraphs in order and the "
+          "md5 of the reassembled text must hash-match DuckDB's ordered "
+          "string_agg")
+def _q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text2"))
+    out = ops.dedup_paragraphs(chunked, text_col="text2", id_col="doc_id",
+                               sep="\n\n")
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.md5("text_kept").alias("kept_md5")
+    ).orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

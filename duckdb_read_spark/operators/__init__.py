@@ -10,6 +10,7 @@ from .dedup import (
     exact_dup_groups,
     minhash_candidates,
     ngram_jaccard_pairs,
+    dedup_paragraphs,
     simhash,
     simhash_banded_keys,
     simhash_candidates,
@@ -61,6 +62,7 @@ __all__ = [
     "dedup_exact",
     "exact_dup_groups",
     "minhash_candidates",
+    "dedup_paragraphs",
     "simhash",
     "simhash_banded_keys",
     "simhash_candidates",

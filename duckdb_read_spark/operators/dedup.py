@@ -340,6 +340,64 @@ def embedding_neardup_pairs(
     )
 
 
+# --- paragraph-level dedup ------------------------------------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str = "text_kept",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first: every paragraph that
+    already appeared earlier in the corpus (by ``id_col``, then position)
+    is dropped, and documents are reassembled from their surviving
+    paragraphs — the remove-duplicated-boilerplate step of crawl
+    pipelines (headers/footers/nav text repeat across pages; document-
+    level dedup never sees them).
+
+    Returns (id, n_paras, n_kept, ``out_col``) — a doc whose every
+    paragraph was seen before keeps an empty string.
+
+    Plan shape: posexplode → one window shuffle on md5(paragraph) for
+    keep-first → one groupBy(id) shuffle to reassemble (order restored by
+    sorting (pos, para) structs inside the aggregate, not a global sort).
+    Linear in total paragraphs; the md5 partition is per unique
+    paragraph, so boilerplate-heavy corpora shuffle-skew on the HOT
+    paragraph hash at worst to its duplicate count — bounded by corpus
+    repetition, and those rows reduce to rn=1 immediately.
+    """
+    from pyspark.sql import Window
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("__para"))).orderBy(id_col, "__pos")
+    ranked = parts.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count(F.when(F.col("__rn") == 1, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("__pos"), F.col("__para")),
+                            )
+                        )
+                    ),
+                    lambda x: x["__para"],
+                ),
+                sep,
+            ).alias(out_col),
+        )
+    )
+
+
 # --- duplicate clustering (connected components) --------------------------
 
 def duplicate_clusters(

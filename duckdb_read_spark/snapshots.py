@@ -273,6 +273,48 @@ def read_table(
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> dict:
+    """Bin-pack small data files into ~``target_file_bytes`` files as one
+    new snapshot (the OPTIMIZE statement of the table formats the
+    reference's metadata notes study, /root/reference/metadata:1-17).
+
+    Only files below ``small_file_bytes`` (default: target/2) are
+    rewritten — right-sized files are carried BY REFERENCE, so the cost
+    is O(small files), not O(table). The commit is file-level (manifest
+    with footer stats), time travel replays the pre-compaction snapshot,
+    and vacuum can later reclaim the replaced small files.
+
+    Scale note: the rewrite is one distributed coalesced write of the
+    small-file subset; output file count = ceil(small bytes / target).
+    """
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    entries = snapshot_file_entries(table_dir)
+    sizes = {
+        e["path"]: os.path.getsize(os.path.join(table_dir, e["path"]))
+        for e in entries
+    }
+    small = [e for e in entries if sizes[e["path"]] < small_file_bytes]
+    if len(small) <= 1:
+        return {"rewritten_files": 0, "carried_files": len(entries),
+                "new_files": 0, "version": read_log(table_dir)[-1].version}
+    carried = [e for e in entries if sizes[e["path"]] >= small_file_bytes]
+    small_bytes = sum(sizes[e["path"]] for e in small)
+    n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, e["path"]) for e in small]
+    ).coalesce(n_out)
+    entry = write_table(df, table_dir, mode="overwrite", carry_files=carried)
+    return {"rewritten_files": len(small), "carried_files": len(carried),
+            "new_files": len(entry.files) - len(carried),
+            "version": entry.version}
+
+
 def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     """Physically delete data dirs unreachable from the newest ``keep_last``
     snapshots, and truncate their log entries (the Delta VACUUM analog —

@@ -373,6 +373,21 @@ def test_time_partitioned_materialization_restores_pushdown(engine, spark, tmp_p
         assert "GreaterThan(ts" in shim_pushed  # native read pushes down
 
 
+def test_describe_and_show_tables(engine):
+    """DuckDB introspection surface: DESCRIBE gives (column_name,
+    column_type, null) rows in schema order; SHOW TABLES one sorted
+    name column."""
+    rows = engine.sql("DESCRIBE region").collect()
+    assert [r["column_name"] for r in rows] == engine.table("region").columns
+    types = {r["column_name"]: r["column_type"] for r in rows}
+    assert types["r_regionkey"] in ("INT", "BIGINT")
+    assert types["r_name"] == "STRING"
+    assert all(r["null"] in ("YES", "NO") for r in rows)
+    assert engine.sql("DESC region").count() == len(rows)
+    names = [r["name"] for r in engine.sql("SHOW TABLES").collect()]
+    assert "lineitem" in names and names == sorted(names)
+
+
 def test_summarize_statement_and_api(engine):
     """DuckDB's SUMMARIZE t analog: SQL statement and API give a row per
     column with profile stats."""

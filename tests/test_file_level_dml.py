@@ -151,6 +151,39 @@ def test_schema_evolution_carried_files_align(eng, spark, tmp_path):
                    ).first()["n"] == 200
 
 
+def test_optimize_compacts_small_files(eng, t20):
+    """OPTIMIZE bin-packs the 20 small files into one snapshot with far
+    fewer files; data, time travel, and later DML are unaffected."""
+    before = _paths(t20)
+    assert len(before) == 20
+    row = eng.sql("OPTIMIZE t20").first()
+    assert row["rewritten_files"] == 20 and row["carried_files"] == 0
+    after = _paths(t20)
+    assert len(after) < 20 and row["new_files"] == len(after)
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2000
+    assert eng.sql("SELECT SUM(v) AS s FROM t20").first()["s"] == \
+        sum(2 * k for k in range(2000))
+    # pre-compaction snapshot still replays
+    assert len(_paths(t20, version=1)) == 20
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20 VERSION AS OF 1"
+                   ).first()["n"] == 2000
+    # a mixed table: one big file (carried) + small files (rewritten)
+    eng.sql("INSERT INTO t20 VALUES (9999, 1)")
+    row2 = eng.sql("OPTIMIZE t20").first()
+    assert row2["rewritten_files"] >= 2  # the compacted file is still small
+    assert eng.sql("SELECT COUNT(*) AS n FROM t20").first()["n"] == 2001
+
+
+def test_optimize_noop_on_single_file(eng, spark, tmp_path):
+    d = str(tmp_path / "t1f")
+    eng.write_versioned(spark.range(5).coalesce(1), d)
+    eng.register_versioned("t1f", d)
+    v_before = eng.table_history("t1f")[0]["version"]
+    row = eng.sql("OPTIMIZE t1f").first()
+    assert row["rewritten_files"] == 0
+    assert eng.table_history("t1f")[0]["version"] == v_before  # no commit
+
+
 def test_log_roundtrips_file_entries(eng, t20):
     eng.sql("UPDATE t20 SET v = -1 WHERE k = 150")
     commits = snapshots.read_log(t20)

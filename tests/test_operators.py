@@ -211,6 +211,32 @@ def test_simhash_candidates_find_exact_dups(docs_with_dups):
     assert hit == 1
 
 
+def test_dedup_paragraphs_keep_first_and_reassemble(spark):
+    """Corpus-wide paragraph dedup: a boilerplate footer shared by every
+    doc survives only in its first occurrence; documents reassemble from
+    surviving paragraphs in original order; an all-duplicate doc keeps
+    an empty string."""
+    from duckdb_read_spark.operators import dedup_paragraphs
+
+    footer = "contact us at example dot com"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta\n\n{footer}"),
+            (2, f"{footer}\n\ngamma delta"),
+            (3, f"{footer}"),
+            (4, f"epsilon zeta\n\nalpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert out[1]["text_kept"] == f"alpha beta\n\n{footer}"  # first sees both
+    assert out[2]["text_kept"] == "gamma delta"              # footer dropped
+    assert out[3]["text_kept"] == ""                         # nothing left
+    assert out[4]["text_kept"] == "epsilon zeta"             # alpha beta dup
+    assert [(out[i]["n_paras"], out[i]["n_kept"]) for i in (1, 2, 3, 4)] == \
+        [(2, 2), (2, 1), (1, 0), (2, 1)]
+
+
 def test_simhash_band_cap_bounds_hot_buckets(spark):
     """max_band_df (VERDICT r3 item 8): a planted boilerplate cluster of 50
     identical docs floods its band buckets (C(50,2)=1225 candidate pairs);
