@@ -990,6 +990,42 @@ def _q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_op("q109_session_window_stream", f"""
+{_DUCK_EVENTS_SHIM},
+g AS (SELECT user_id, ts, event_id,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
+s AS (SELECT user_id, ts,
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM g)
+SELECT user_id, COUNT(*) AS n, MIN(ts) AS t0, MAX(ts) AS t1
+FROM s GROUP BY user_id, sess ORDER BY user_id, t0
+""", note="STREAMING declared query #2: session_window stateful "
+          "aggregation over a file-replayed events stream vs the q46 "
+          "lag/sum batch sessionization on session CONTENT (key, n, t0, "
+          "t1) — session ids differ by construction (ordinal vs window "
+          "bounds), the partition of events into sessions must not. "
+          "Exact-gap boundary (ts diff == 30 min) would diverge "
+          "(open vs half-open interval); µs-random fixture timestamps "
+          "never land on it (pinned by the batch==stream pytest)")
+def _q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from .streaming.source import events_stream
+    from .streaming.windows import run_to_memory, session_aggs
+
+    stream = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = session_aggs(stream, gap="30 minutes", watermark=None)
+    name = f"q109_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select("user_id", "n", "t0", "t1")
+        .orderBy("user_id", "t0")
+    )
+
+
 @_op("q108_paragraph_dedup", """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 paras AS (
@@ -1031,6 +1067,38 @@ def _q108(spark: SparkSession, sf_dir: str) -> DataFrame:
                                sep="\n\n")
     return out.select(
         "doc_id", "n_paras", "n_kept", F.md5("text_kept").alias("kept_md5")
+    ).orderBy("doc_id")
+
+
+@_op("q110_entropy_stats", """
+WITH ch AS (SELECT doc_id, UNNEST(string_split_regex(text, '')) AS s
+            FROM documents),
+chf AS (SELECT doc_id, s, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM ch WHERE s <> '' GROUP BY doc_id, s),
+che AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS e
+        FROM chf GROUP BY doc_id),
+tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS s FROM documents),
+tkf AS (SELECT doc_id, s, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tk GROUP BY doc_id, s),
+tke AS (SELECT doc_id, log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS e
+        FROM tkf GROUP BY doc_id)
+SELECT che.doc_id, n_chars,
+       CAST(CAST(round(che.e, 6) AS DECIMAL(12,6)) AS DOUBLE) AS char_entropy,
+       CAST(CAST(round(tke.e, 6) AS DECIMAL(12,6)) AS DOUBLE) AS token_entropy
+FROM che JOIN tke ON che.doc_id = tke.doc_id ORDER BY che.doc_id
+""", note="L4 quality: per-document Shannon entropy of the character and "
+          "token distributions (gibberish/spam band filter — natural "
+          "prose ≈ 4-4.5 char bits, repeated spam → 0, noise → "
+          "log2(alphabet)); log2(n) - Σ c·log2(c)/n on both engines, "
+          "rounded to 6 d.p. before the hash compare")
+def _q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ops.entropy_stats(docs)
+    return out.select(
+        "doc_id", "n_chars",
+        F.col("char_entropy").cast("decimal(12,6)").cast("double").alias("char_entropy"),
+        F.col("token_entropy").cast("decimal(12,6)").cast("double").alias("token_entropy"),
     ).orderBy("doc_id")
 
 

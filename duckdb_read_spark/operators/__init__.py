@@ -51,6 +51,7 @@ from .text import (
     fingerprint,
     lang_scores,
     quality_score,
+    entropy_stats,
     repetition_stats,
     scrub_text,
     text_stats,
@@ -95,6 +96,7 @@ __all__ = [
     "fingerprint",
     "text_stats",
     "scrub_text",
+    "entropy_stats",
     "repetition_stats",
     "decode_image",
     "decode_audio",

@@ -141,6 +141,43 @@ def scrub_text(
     return df.withColumn(out or text_col, col)
 
 
+def entropy_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character and token
+    distributions — the gibberish/boilerplate band filter: natural prose
+    sits in a characteristic band (chars ≈ 4-4.5 bits), repeated spam
+    collapses toward 0, and random noise pushes toward log2(alphabet).
+
+    Same shape as repetition_stats: explode → (doc, symbol) counts →
+    per-doc re-agg using entropy = log2(n) - Σ c·log2(c) / n. Linear in
+    text size; partial aggregation bounds both shuffles by
+    distinct-symbol volume (≤ alphabet/vocabulary per doc)."""
+    def _ent(sym):
+        counts = (
+            df.select(id_col, F.explode(sym).alias("__sym"))
+            .filter(F.col("__sym") != "")
+            .groupBy(id_col, "__sym").agg(F.count(F.lit(1)).alias("__c"))
+        )
+        n = F.sum("__c").cast("double")
+        s = F.sum(F.col("__c").cast("double") * F.log2(F.col("__c").cast("double")))
+        return counts.groupBy(id_col).agg(
+            F.sum("__c").cast("long").alias("__n"),
+            (F.log2(n) - s / n).alias("__e"),
+        )
+
+    ch = _ent(F.split(F.col(text_col), ""))
+    tk = _ent(tokens(F.col(text_col)))
+    return (
+        ch.select(id_col, F.col("__n").alias("n_chars"),
+                  F.round("__e", 6).alias("char_entropy"))
+        .join(tk.select(id_col, F.round("__e", 6).alias("token_entropy")),
+              id_col)
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -211,6 +211,32 @@ def test_simhash_candidates_find_exact_dups(docs_with_dups):
     assert hit == 1
 
 
+def test_entropy_stats_band_behavior(spark):
+    """Entropy quality signals: all-same-token spam collapses toward 0
+    token bits; a uniform vocabulary hits exactly log2(k); char entropy
+    of 'aab' is the textbook 0.918296."""
+    import math
+
+    from duckdb_read_spark.operators import entropy_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e f g h"),     # 8 uniform tokens → 3.0 bits
+            (3, "aab"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in entropy_stats(docs).collect()}
+    assert out[1]["token_entropy"] == 0.0
+    assert out[2]["token_entropy"] == 3.0
+    assert abs(out[3]["char_entropy"] - round(-2/3*math.log2(2/3)
+                                              - 1/3*math.log2(1/3), 6)) < 1e-6
+    assert out[3]["n_chars"] == 3
+    # natural-text band: fixture-style prose sits between spam and noise
+    assert 0.0 < out[1]["char_entropy"] < out[2]["char_entropy"]
+
+
 def test_dedup_paragraphs_keep_first_and_reassemble(spark):
     """Corpus-wide paragraph dedup: a boilerplate footer shared by every
     doc survives only in its first occurrence; documents reassemble from
