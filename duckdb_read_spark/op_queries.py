@@ -1102,6 +1102,33 @@ def _q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_op("q111_corpus_lm_score", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, t[i-1] AS prev, t[i] AS tok
+       FROM (SELECT doc_id, t, UNNEST(range(2, len(t)+1)) AS i FROM toks)),
+cnt AS (SELECT prev, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bg GROUP BY prev, tok),
+ctx AS (SELECT prev, SUM(c) AS cp FROM cnt GROUP BY prev)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(CAST(round(AVG(-log2(c / cp)), 6) AS DECIMAL(12,6)) AS DOUBLE)
+         AS cross_entropy
+FROM bg JOIN cnt USING (prev, tok) JOIN ctx USING (prev)
+GROUP BY doc_id ORDER BY doc_id
+""", note="L4 quality: the perplexity-filter signal — per-document "
+          "cross-entropy under the corpus's own bigram LM (avg of "
+          "-log2 c(prev,tok)/c(prev)); MLE is total because every "
+          "scored bigram is in the counts. Both engines compute the "
+          "identical formula, rounded to 6 d.p.")
+def _q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ops.corpus_bigram_scores(docs)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.col("cross_entropy").cast("decimal(12,6)").cast("double")
+        .alias("cross_entropy"),
+    ).orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

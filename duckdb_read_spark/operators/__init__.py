@@ -51,6 +51,7 @@ from .text import (
     fingerprint,
     lang_scores,
     quality_score,
+    corpus_bigram_scores,
     entropy_stats,
     repetition_stats,
     scrub_text,
@@ -96,6 +97,7 @@ __all__ = [
     "fingerprint",
     "text_stats",
     "scrub_text",
+    "corpus_bigram_scores",
     "entropy_stats",
     "repetition_stats",
     "decode_image",

@@ -178,6 +178,57 @@ def entropy_stats(
     )
 
 
+def corpus_bigram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own bigram language
+    model — the perplexity-filter quality signal of crawl pipelines
+    (documents whose token transitions are unlike the corpus score high;
+    boilerplate scores low), with the corpus itself as the model so no
+    external LM is needed.
+
+    score(doc) = avg over its bigrams of -log2 P(tok|prev), with
+    P = c(prev,tok) / c(prev) from corpus counts (MLE — every scored
+    bigram contributed to the counts, so P > 0 always).
+
+    Plan: one explode to bigrams, two bounded aggregations (counts are
+    vocabulary²-bounded, contexts vocabulary-bounded), two hash joins
+    back, one per-doc re-agg. The context join key is the previous
+    token — Zipf-skewed, so AQE skew-join handles the hot heads at
+    scale."""
+    t = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
+    ).otherwise(F.array().cast("array<int>"))
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("prev"),
+                    F.element_at(t, i).alias("tok"),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.prev").alias("__prev"),
+             F.col("__bg.tok").alias("__tok"))
+    cnt = bg.groupBy("__prev", "__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    ctx = cnt.groupBy("__prev").agg(F.sum("__c").alias("__cp"))
+    scored = bg.join(cnt, ["__prev", "__tok"]).join(ctx, "__prev")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(F.col("__c") / F.col("__cp"))), 6)
+            .alias("cross_entropy"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

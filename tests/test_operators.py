@@ -211,6 +211,34 @@ def test_simhash_candidates_find_exact_dups(docs_with_dups):
     assert hit == 1
 
 
+def test_corpus_bigram_scores_surprise_ordering(spark):
+    """Perplexity-filter semantics: documents made of corpus-typical
+    transitions score near 0; a document with a rare transition scores
+    -log2 of its corpus probability."""
+    import math
+
+    from duckdb_read_spark.operators import corpus_bigram_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # ab x3, ba x2
+            (2, "a b a b"),       # ab x2, ba x1
+            (3, "c d c d"),       # fully deterministic transitions
+            (4, "a d"),           # the one rare transition: P(d|a) = 1/6
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_bigram_scores(docs).collect()}
+    assert out[3]["cross_entropy"] == 0.0
+    # doc1: ab scored -log2(5/6), ba scored 0 → avg = 3/5 * 0.263034
+    assert out[1]["cross_entropy"] == pytest.approx(
+        round(3 / 5 * -math.log2(5 / 6), 6), abs=2e-6)
+    assert out[4]["cross_entropy"] == pytest.approx(
+        round(-math.log2(1 / 6), 6), abs=2e-6)
+    assert out[3]["cross_entropy"] < out[1]["cross_entropy"] < out[4]["cross_entropy"]
+    assert out[4]["n_bigrams"] == 1 and out[1]["n_bigrams"] == 5
+
+
 def test_entropy_stats_band_behavior(spark):
     """Entropy quality signals: all-same-token spam collapses toward 0
     token bits; a uniform vocabulary hits exactly log2(k); char entropy
