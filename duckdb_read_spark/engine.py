@@ -123,6 +123,16 @@ _SET_RE = re.compile(
     re.IGNORECASE,
 )
 
+# read_parquet('path') / read_csv[_auto]('path') / read_json('path') table
+# functions — the embedded-engine "SQL directly over files" surface (the
+# reference's core theme: an analytical engine over file-resident data).
+# Bare single-quoted single-argument form only; file access is external
+# access, so safe mode (enable_external_access=false) blocks it.
+_READ_FUNC_RE = re.compile(
+    r"\bread_(?P<kind>parquet|csv_auto|csv|json)\s*\(\s*'(?P<path>[^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
 # OPTIMIZE <table> — small-file compaction of a versioned table (the
 # table-format OPTIMIZE statement; file-level commit via snapshots.compact).
 _OPTIMIZE_RE = re.compile(
@@ -389,12 +399,57 @@ class Engine:
             return self.spark.createDataFrame(
                 [(text,)], "explain_value string"
             )
+        query = self._resolve_read_functions(query)
         if dialect == "duckdb":
             if query.lstrip()[:5].upper() == "PIVOT":
                 query = self._dynamize_pivot(query)
             query = to_spark_sql(query)
         query = self._resolve_time_travel(query)
         return self.spark.sql(query)
+
+    def _resolve_read_functions(self, query: str) -> str:
+        """``FROM read_parquet('path')`` / read_csv[_auto] / read_json —
+        query files directly without registration (the reference's whole
+        subject is an engine over file-resident data). Each call site is
+        registered as a temp view over the corresponding spark.read (the
+        parquet path gets the ns-timestamp shim, CSV gets header +
+        schema inference like DuckDB's sniffer) and the call text is
+        replaced by the view name. File access from SQL is external
+        access: safe mode (enable_external_access=false) blocks it."""
+        if not _READ_FUNC_RE.search(query):
+            return query
+
+        def sub(m: re.Match) -> str:
+            import hashlib
+
+            if not self._extensions_allowed:
+                raise PermissionError(
+                    "read_* table functions are disabled in safe mode "
+                    "(enable_external_access=false)")
+            kind, path = m.group("kind").lower(), m.group("path")
+            name = f"__read_{hashlib.md5((kind + ':' + path).encode()).hexdigest()[:12]}"
+            if kind == "parquet":
+                df = self.spark.read.parquet(path)
+                df = catalog.apply_schema_shims(df, path)
+            elif kind in ("csv", "csv_auto"):
+                df = (self.spark.read.option("header", "true")
+                      .option("inferSchema", "true").csv(path))
+            else:
+                df = self.spark.read.json(path)
+            df.createOrReplaceTempView(name)
+            return name
+
+        # matches that START inside a string literal or comment stay
+        # verbatim (the call's own path literal starts after the match)
+        spans = [m.span()
+                 for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+
+        def guarded(m: re.Match) -> str:
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            return sub(m)
+
+        return _READ_FUNC_RE.sub(guarded, query)
 
     # Bound on discovered pivot values: each value becomes an output COLUMN,
     # and a wide-row explosion is a driver/schema problem, not a data

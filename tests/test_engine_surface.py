@@ -373,6 +373,47 @@ def test_time_partitioned_materialization_restores_pushdown(engine, spark, tmp_p
         assert "GreaterThan(ts" in shim_pushed  # native read pushes down
 
 
+def test_read_table_functions(engine, spark, tmp_path):
+    """DuckDB's read_parquet/read_csv/read_json table functions: query
+    files directly, no registration; ns-ts shim applied on parquet;
+    blocked in safe mode (file access IS external access)."""
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM "
+        "read_parquet('/root/testdata/sf0.001/region.parquet')"
+    ).first()["n"]
+    assert n == 5
+    # duckdb dialect + join with a registered view in the same query
+    out = engine.sql(
+        "SELECT r_name, len(r_name) AS l FROM "
+        "read_parquet('/root/testdata/sf0.001/region.parquet') "
+        "ORDER BY r_name LIMIT 2",
+        dialect="duckdb",
+    ).collect()
+    assert [r["r_name"] for r in out] == ["AFRICA", "AMERICA"]
+    # events parquet: the ns-timestamp shim must apply (ts usable as ts)
+    r = engine.sql(
+        "SELECT MIN(ts) AS t FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')").first()
+    assert r["t"] is not None and not isinstance(r["t"], int)
+    # csv: header + inference like DuckDB's sniffer
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    rows = engine.sql(
+        f"SELECT a, b FROM read_csv('{p}') ORDER BY a").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+    assert engine.sql(
+        f"SELECT COUNT(*) AS n FROM read_csv_auto('{p}')").first()["n"] == 2
+    # a read_parquet inside a string literal stays verbatim
+    lit = engine.sql("SELECT 'read_parquet(''x'')' AS s").first()["s"]
+    assert lit == "read_parquet('x')"
+    # safe mode blocks
+    from duckdb_read_spark import Engine
+
+    safe = Engine(spark=spark, extensions_allowed=False)
+    with pytest.raises(PermissionError, match="safe mode"):
+        safe.sql("SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')")
+
+
 def test_describe_and_show_tables(engine):
     """DuckDB introspection surface: DESCRIBE gives (column_name,
     column_type, null) rows in schema order; SHOW TABLES one sorted
