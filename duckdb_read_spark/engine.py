@@ -41,6 +41,14 @@ _COPY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# COPY <table> FROM 'path' [(OPTIONS)] — the import counterpart: load a
+# file into an existing versioned table as one append commit.
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+(?P<name>[A-Za-z_]\w*)\s+FROM\s+'(?P<path>[^']+)'"
+    r"\s*(?:\((?P<opts>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _EXPLAIN_RE = re.compile(
     r"^\s*EXPLAIN\s+(?P<analyze>ANALYZE\s+)?(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -380,6 +388,10 @@ class Engine:
         ms = _SUMMARIZE_RE.match(query)
         if ms:
             return self.summarize(ms.group(1))
+        mcf = _COPY_FROM_RE.match(query)
+        if mcf:
+            return self._copy_from(mcf.group("name"), mcf.group("path"),
+                                   mcf.group("opts"))
         mc = _COPY_RE.match(query)
         if mc:
             return self._copy_to(mc.group("src"), mc.group("path"),
@@ -1050,6 +1062,65 @@ class Engine:
         else:
             raise ValueError(f"COPY: unsupported format {fmt!r}")
         return self.spark.sql("SELECT 1 AS ok WHERE false")
+
+    def _copy_from(self, name: str, path: str, opts: str | None) -> DataFrame:
+        """DuckDB ``COPY tbl FROM 'path' (FORMAT x, ...)`` analog: load a
+        file into an existing versioned table as ONE append commit
+        (atomic, time-travelable — a failed load leaves no partial
+        snapshot). Format from the options, else the path suffix, else
+        parquet; CSV honors HEADER/DELIMITER (header defaults on, like
+        the sniffer). Source columns are matched by name when present and
+        by position for headerless CSV; values cast to the table schema."""
+        from pyspark.sql import functions as F
+
+        if name not in self._versioned:
+            raise ValueError(f"COPY FROM unknown table {name!r} — "
+                             "only versioned tables accept imports")
+        options = _parse_copy_options(opts)
+        fmt = options.pop("format", None)
+        if fmt is None:
+            suffix = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+            fmt = {"csv": "csv", "json": "json"}.get(suffix, "parquet")
+        header = options.pop("header", True)
+        delimiter = options.pop("delimiter", None)
+        if options:
+            raise ValueError(
+                f"COPY FROM: unrecognized option(s) {sorted(options)} — "
+                "supported: FORMAT, HEADER, DELIMITER")
+        target = self.table(name).schema
+        if fmt == "parquet":
+            if delimiter is not None:
+                raise ValueError("COPY FROM: DELIMITER only applies to FORMAT csv")
+            df = self.spark.read.parquet(path)
+        elif fmt == "csv":
+            reader = (self.spark.read
+                      .option("header", str(bool(header)).lower())
+                      .option("inferSchema", "true"))
+            if delimiter:
+                reader = reader.option("sep", delimiter)
+            df = reader.csv(path)
+            if not header:
+                if len(df.columns) != len(target.fields):
+                    raise ValueError(
+                        f"COPY FROM {name}: headerless csv has "
+                        f"{len(df.columns)} columns, table has "
+                        f"{len(target.fields)}")
+                df = df.toDF(*[f.name for f in target.fields])
+        elif fmt == "json":
+            if delimiter is not None:
+                raise ValueError("COPY FROM: DELIMITER only applies to FORMAT csv")
+            df = self.spark.read.json(path)
+        else:
+            raise ValueError(f"COPY FROM: unsupported format {fmt!r}")
+        missing = [f.name for f in target.fields if f.name not in df.columns]
+        if missing:
+            raise ValueError(
+                f"COPY FROM {name}: source is missing column(s) {missing}")
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields])
+        snapshots.write_table(df, self._versioned[name], mode="append")
+        self._refresh_table(name)
+        return self._empty()
 
     def execute(self, script: str, dialect: str = "spark") -> list[DataFrame]:
         """Execute a multi-statement script (the CLI path, shell.cpp analog:

@@ -189,6 +189,34 @@ def test_merge_errors(eng):
                 "WHEN NOT MATCHED THEN DELETE")
 
 
+def test_copy_from_roundtrip(eng, tmp_path):
+    """COPY t FROM 'path': one atomic append commit; csv and parquet;
+    columns matched by name and cast to the table schema."""
+    eng.sql("CREATE TABLE tc (k BIGINT, name STRING)")
+    eng.sql("INSERT INTO tc VALUES (1, 'a'), (2, 'b')")
+    out = str(tmp_path / "tc_out.csv")
+    eng.sql(f"COPY tc TO '{out}' (FORMAT csv, HEADER)")
+    eng.sql(f"COPY tc FROM '{out}' (FORMAT csv, HEADER)")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tc").first()["n"] == 4
+    # the import is ONE commit → pre-import state still readable
+    versions = [h["version"] for h in eng.table_history("tc")]
+    assert eng.sql(
+        f"SELECT COUNT(*) AS n FROM tc VERSION AS OF {versions[1]}"
+    ).first()["n"] == 2
+    # parquet roundtrip with column-name matching
+    pout = str(tmp_path / "tc_out.parquet")
+    eng.sql(f"COPY (SELECT name, k FROM tc LIMIT 1) TO '{pout}'")
+    eng.sql(f"COPY tc FROM '{pout}'")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tc").first()["n"] == 5
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.sql(f"COPY nope FROM '{out}'")
+    with pytest.raises(ValueError, match="missing column"):
+        eng.sql("CREATE TABLE tc2 (k BIGINT, extra DOUBLE)")
+        eng.sql(f"COPY tc2 FROM '{out}' (FORMAT csv)")
+    with pytest.raises(ValueError, match="unrecognized option"):
+        eng.sql(f"COPY tc FROM '{out}' (FORMAT csv, NOPE 1)")
+
+
 def test_ddl_body_goes_through_dialect(eng):
     """A duckdb-dialect CTAS body is rewritten before execution."""
     eng.sql(
