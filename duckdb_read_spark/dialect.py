@@ -527,9 +527,10 @@ def _rewrite_star_exclude(sql: str) -> str:
 
 # Keywords after which a '[' opens a list LITERAL, not a subscript (a bare
 # identifier before '[' means subscript; these idents are SQL keywords, so
-# a value can follow them).
+# a value can follow them). END is deliberately ABSENT: it closes a CASE
+# expression, so `END[1]` subscripts the CASE value.
 _LITERAL_CONTEXT_KEYWORDS = {
-    "SELECT", "WHERE", "HAVING", "ON", "WHEN", "THEN", "ELSE", "END",
+    "SELECT", "WHERE", "HAVING", "ON", "WHEN", "THEN", "ELSE",
     "BY", "AND", "OR", "NOT", "IN", "AS", "RETURN", "VALUES", "SET",
     "DISTINCT", "ALL", "UNION", "EXCEPT", "INTERSECT", "BETWEEN",
 }
@@ -578,16 +579,18 @@ def _rewrite_index_base(sql: str) -> str:
         a, b, c = sig[pos], sig[pos + 1], sig[pos + 2]
         if toks[a].text == "[" and toks[b].kind == "num" and toks[c].text == "]" \
                 and re.fullmatch(r"\d+", toks[b].text):
-            # preceded by an identifier or ')' → list subscript, not array literal.
-            # SQL keywords (SELECT [5], THEN [1], …) tokenize as idents but open a
-            # literal context — share the literal-keyword set with
-            # _rewrite_list_literals so the two passes agree.
+            # preceded by an identifier, ')' or ']' → list subscript, not
+            # an array literal: ']' covers subscripting a bracket literal
+            # directly ([1,2,3][2]). SQL keywords (SELECT [5], THEN [1], …)
+            # tokenize as idents but open a literal context — share the
+            # literal-keyword set with _rewrite_list_literals so the two
+            # passes agree.
             if pos >= 1:
                 prev = toks[sig[pos - 1]]
                 prev_is_base = (
                     prev.kind == "ident"
                     and prev.text.upper() not in _LITERAL_CONTEXT_KEYWORDS
-                ) or prev.text == ")"
+                ) or prev.text in (")", "]")
                 if prev_is_base:
                     toks[b] = Tok("num", str(int(toks[b].text) - 1))
     return detokenize(toks)

@@ -10,8 +10,9 @@ determinism conventions by construction:
   (comparisons, IN, BETWEEN, LIKE, CASE, COALESCE, arithmetic, COUNT/MIN/
   MAX/SUM, HAVING, LIMIT).
 
-Each seed is one test case; failures reproduce exactly by seed. 60 seeds ×
-(projection | aggregation | join) shapes. This catches divergence classes
+Each seed is one test case; failures reproduce exactly by seed. 150 seeds
+across (projection | aggregation | join | window | setop | QUALIFY |
+list/map-construct) shapes. This catches divergence classes
 the 50 hand-declared queries don't enumerate (operator interaction, literal
 edge values, grouping on expressions).
 """
@@ -234,10 +235,42 @@ def gen_qualify(rng: random.Random) -> str:
     )
 
 
+def gen_listmap(rng: random.Random) -> str:
+    """DuckDB-dialect shape for the list/map construct rewrites: bracket
+    literals (incl. subscripted and keyword-context single-element ones),
+    1-based subscripts after calls/literals/END, list_* renames, map
+    construction + extraction."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    k = rng.randint(1, 3)
+    pool = [
+        f"[{i1} % 7, {i2} % 5, {k}][{rng.randint(1, 3)}] AS e1",
+        f"CASE WHEN {i1} > {k} THEN [{k}] ELSE [0] END[1] AS e2",
+        f"len(list_distinct([{i1} % 5, {i2} % 5, {k}])) AS e3",
+        f"list_sort([{i1} % 9, {i2} % 7, 3])[{rng.randint(1, 3)}] AS e4",
+        f"map_extract(map(['a', 'b'], [{i1} % 10, {i2} % 10]), "
+        f"{rng.choice(['chr(97)', chr(39) + 'b' + chr(39)])})[1] AS e5",
+        f"len(map_keys(map(['x', 'y'], [{i1}, {i2}]))) AS e6",
+        f"list_contains([{i1} % 4, 2], {k}) AS e7",
+        f"array_to_string(list_sort(string_split({s1}, 'a')), '|') AS e8",
+    ]
+    exprs = rng.sample(pool, k=3)
+    uid = t["int"][0]
+    return (
+        f"SELECT {uid} AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY k NULLS FIRST LIMIT 300"
+    )
+
+
 def generate(seed: int) -> tuple[str, str]:
     """seed → (sql, dialect): dialect='duckdb' shapes exercise the
     rewriter (the text is native DuckDB, Spark runs it via to_spark_sql)."""
     rng = random.Random(seed)
+    if seed >= 130:
+        return gen_listmap(rng), "duckdb"
     if seed >= 110:
         return gen_qualify(rng), "duckdb"
     if seed >= 90:
@@ -248,7 +281,7 @@ def generate(seed: int) -> tuple[str, str]:
     return shape(rng), "spark"
 
 
-@pytest.mark.parametrize("seed", range(130))
+@pytest.mark.parametrize("seed", range(150))
 def test_fuzzed_query_matches_oracle(seed, engine, duck):
     sql, dialect = generate(seed)
     got = spark_rows(engine.sql(sql, dialect=dialect))

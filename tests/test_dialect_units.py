@@ -236,6 +236,28 @@ def test_single_element_literal_after_keyword():
     assert to_spark_sql("SELECT f(x)[5] FROM t") == "SELECT f(x)[4] FROM t"
 
 
+def test_subscript_on_literal_and_case(spark=None):
+    """A subscript directly on a bracket literal shifts to 0-based, and
+    END closes a CASE — `END[1]` subscripts the CASE value (round-4 fuzz
+    findings: both previously produced wrong data / invalid SQL)."""
+    assert to_spark_sql("SELECT [1, 2, 3][2] AS x") == \
+        "SELECT array(1, 2, 3)[1] AS x"
+    assert to_spark_sql("SELECT [[1, 2], [3, 4]][1] AS x") == \
+        "SELECT array(array(1, 2), array(3, 4))[0] AS x"
+    assert to_spark_sql(
+        "SELECT CASE WHEN a > 1 THEN [5] ELSE [0] END[1] AS x") == \
+        "SELECT CASE WHEN a > 1 THEN array(5) ELSE array(0) END[0] AS x"
+
+
+def test_map_construct_rewrites():
+    assert to_spark_sql("SELECT map(['a', 'b'], [1, 2]) AS m") == \
+        "SELECT map_from_arrays(array('a', 'b'), array(1, 2)) AS m"
+    assert to_spark_sql("SELECT map_extract(m, 'k')[1] AS v FROM t") == \
+        "SELECT element_at(m, 'k') AS v FROM t"
+    assert to_spark_sql("SELECT map_extract(m, 'k') AS v FROM t") == \
+        "SELECT element_at(m, 'k') AS v FROM t"
+
+
 def test_distinct_on_rewrite():
     out = to_spark_sql(
         "SELECT DISTINCT ON (k) k, v, ts FROM t ORDER BY k, ts DESC"
