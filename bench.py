@@ -122,6 +122,9 @@ def main() -> None:
         "q93_dup_clusters_banded",
         "q85_repetition_stats",
         "q86_profile_columns",
+        "q108_paragraph_dedup",
+        "q110_entropy_stats",
+        "q111_corpus_lm_score",
     ):
         extra[name] = round(_time_op(name), 4)
 

@@ -338,6 +338,23 @@ def _rewrite_calls(sql: str) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "strptime" and parts and len(parts[2]) == 2:
+            # DuckDB strptime(text, '%fmt') → to_timestamp with the same
+            # %-directive translation strftime uses (shared map)
+            _, close, spans = parts
+            expr = _arg_text(toks, spans[0])
+            fmt = _arg_text(toks, spans[1])
+            if fmt.startswith("'") and fmt.endswith("'"):
+                fmt = "'" + convert_strftime_format(fmt[1:-1]) + "'"
+            out.append(f"to_timestamp({expr}, {fmt})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "approx_quantile" and parts:
+            out.append("approx_percentile")
+            i += 1
+            changed = True
+            continue
         if name == "date_diff" and parts and len(parts[2]) == 3:
             _, close, spans = parts
             unit = _arg_text(toks, spans[0]).strip("'").lower()

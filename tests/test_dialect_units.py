@@ -249,6 +249,13 @@ def test_subscript_on_literal_and_case(spark=None):
         "SELECT CASE WHEN a > 1 THEN array(5) ELSE array(0) END[0] AS x"
 
 
+def test_strptime_and_approx_quantile():
+    assert to_spark_sql("SELECT strptime(s, '%Y-%m-%d %H:%M:%S') FROM t") == \
+        "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    assert to_spark_sql("SELECT approx_quantile(x, 0.5) FROM t") == \
+        "SELECT approx_percentile(x, 0.5) FROM t"
+
+
 def test_map_construct_rewrites():
     assert to_spark_sql("SELECT map(['a', 'b'], [1, 2]) AS m") == \
         "SELECT map_from_arrays(array('a', 'b'), array(1, 2)) AS m"
