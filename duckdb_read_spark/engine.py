@@ -104,7 +104,8 @@ _MERGE_TAIL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
     r"(?=\s+WHEN\s+|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -880,10 +881,25 @@ class Engine:
             raise ValueError("MERGE subquery source needs an alias")
         on, clauses = mt.group("on"), mt.group("clauses")
 
+        def _parse_sets(text: str) -> dict[str, str]:
+            sets: dict[str, str] = {}
+            for part in _split_top_commas(text):
+                col, eq, expr = part.partition("=")
+                if not eq:
+                    raise ValueError(f"MERGE UPDATE: bad assignment {part!r}")
+                # allow `t.col = …` qualification
+                sets[col.strip().split(".")[-1]] = expr.strip()
+            return sets
+
         upd_sets: dict[str, str] | None = None
         upd_cond = del_cond = None
         has_delete = False
         matched_order: list[str] = []  # WHEN MATCHED clause kinds, in text order
+        # WHEN NOT MATCHED BY SOURCE …: target rows with no source match
+        bysrc_upd: dict[str, str] | None = None
+        bysrc_upd_cond = bysrc_del_cond = None
+        bysrc_has_delete = False
+        bysrc_order: list[str] = []
         ins_cols: list[str] | None = None
         ins_vals: list[str] | None = None
         ins_star = False
@@ -891,7 +907,20 @@ class Engine:
         for c in _MERGE_CLAUSE_RE.finditer(clauses):
             action = c.group("action").strip()
             up = action.upper()
-            if c.group("not"):
+            by = (c.group("by") or "").upper()
+            if c.group("not") and by == "SOURCE":
+                if up.startswith("UPDATE"):
+                    bysrc_order.append("update")
+                    bysrc_upd_cond = c.group("cond")
+                    bysrc_upd = _parse_sets(action[len("UPDATE SET"):])
+                elif up == "DELETE":
+                    bysrc_order.append("delete")
+                    bysrc_has_delete = True
+                    bysrc_del_cond = c.group("cond")
+                else:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE supports only UPDATE/DELETE")
+            elif c.group("not"):
                 if not up.startswith("INSERT"):
                     raise ValueError("WHEN NOT MATCHED supports only INSERT")
                 ins_cond = c.group("cond")
@@ -909,18 +938,12 @@ class Engine:
                     ins_vals = _split_top_commas(mi.group("vals"))
                     if len(ins_cols) != len(ins_vals):
                         raise ValueError("INSERT column/value count mismatch")
+            elif by:
+                raise ValueError("BY SOURCE/TARGET only applies to WHEN NOT MATCHED")
             elif up.startswith("UPDATE"):
                 matched_order.append("update")
                 upd_cond = c.group("cond")
-                upd_sets = {}
-                for part in _split_top_commas(action[len("UPDATE SET"):]):
-                    col, eq, expr = part.partition("=")
-                    if not eq:
-                        raise ValueError(f"MERGE UPDATE: bad assignment {part!r}")
-                    col = col.strip()
-                    # allow `t.col = …` qualification
-                    col = col.split(".")[-1]
-                    upd_sets[col] = expr.strip()
+                upd_sets = _parse_sets(action[len("UPDATE SET"):])
             elif up == "DELETE":
                 matched_order.append("delete")
                 has_delete = True
@@ -946,18 +969,47 @@ class Engine:
                 else:  # unconditional DELETE first → UPDATE unreachable
                     upd_sets = None
                     upd_cond = None
+        # same first-match rule within the BY SOURCE clause group
+        if bysrc_upd is not None and bysrc_has_delete:
+            if bysrc_order.index("update") < bysrc_order.index("delete"):
+                if bysrc_upd_cond:
+                    bysrc_del_cond = (
+                        f"({bysrc_del_cond}) AND NOT ({bysrc_upd_cond})"
+                        if bysrc_del_cond else f"NOT ({bysrc_upd_cond})")
+                else:
+                    bysrc_has_delete = False
+                    bysrc_del_cond = None
+            else:
+                if bysrc_del_cond:
+                    bysrc_upd_cond = (
+                        f"({bysrc_upd_cond}) AND NOT ({bysrc_del_cond})"
+                        if bysrc_upd_cond else f"NOT ({bysrc_del_cond})")
+                else:
+                    bysrc_upd = None
+                    bysrc_upd_cond = None
 
         schema = self.table(target).schema
         names = [f.name for f in schema.fields]
         matched = f"coalesce({salias}.__m, false)"
         # matched side: every target row, updated/deleted per the clauses
+        # (WHEN MATCHED acts on matched rows, WHEN NOT MATCHED BY SOURCE on
+        # unmatched ones — disjoint sets, so one CASE per column covers both)
         proj = []
         for f in schema.fields:
+            branches = []
             if upd_sets and f.name in upd_sets:
-                cond = matched + (f" AND ({upd_cond})" if upd_cond else "")
+                branches.append((
+                    matched + (f" AND ({upd_cond})" if upd_cond else ""),
+                    upd_sets[f.name]))
+            if bysrc_upd and f.name in bysrc_upd:
+                branches.append((
+                    f"NOT {matched}"
+                    + (f" AND ({bysrc_upd_cond})" if bysrc_upd_cond else ""),
+                    bysrc_upd[f.name]))
+            if branches:
+                whens = " ".join(f"WHEN {c} THEN ({e})" for c, e in branches)
                 proj.append(
-                    f"CAST(CASE WHEN {cond} THEN ({upd_sets[f.name]}) "
-                    f"ELSE {talias}.{f.name} END AS "
+                    f"CAST(CASE {whens} ELSE {talias}.{f.name} END AS "
                     f"{f.dataType.simpleString()}) AS {f.name}")
             else:
                 proj.append(f"{talias}.{f.name} AS {f.name}")
@@ -970,9 +1022,17 @@ class Engine:
             f"SELECT {', '.join(proj)} FROM {target} {talias} "
             f"LEFT JOIN {src_marked} ON {on}"
         )
+        del_filters = []
         if has_delete:
-            cond = matched + (f" AND ({del_cond})" if del_cond else "")
-            matched_sql += f" WHERE NOT ({cond})"
+            del_filters.append(
+                matched + (f" AND ({del_cond})" if del_cond else ""))
+        if bysrc_has_delete:
+            del_filters.append(
+                f"NOT {matched}"
+                + (f" AND ({bysrc_del_cond})" if bysrc_del_cond else ""))
+        if del_filters:
+            matched_sql += " WHERE " + " AND ".join(
+                f"NOT ({c})" for c in del_filters)
         parts = [matched_sql]
         if ins_star or ins_cols:
             if ins_star:
@@ -995,8 +1055,13 @@ class Engine:
                 anti += f" WHERE {ins_cond}"
             parts.append(anti)
         full_sql = " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
-        fl = self._merge_file_targets(target, talias, source, salias, on,
-                                      dialect)
+        # File-level rewrite carries UNMATCHED files untouched — exactly the
+        # rows BY SOURCE clauses modify — so those merges take the full
+        # rewrite path.
+        fl = None
+        if bysrc_upd is None and not bysrc_has_delete:
+            fl = self._merge_file_targets(target, talias, source, salias, on,
+                                          dialect)
         if fl is not None:
             hit_rel, carried = fl
             sub = self._read_file_subset(target, hit_rel)

@@ -168,6 +168,44 @@ def test_string_literal_commas_in_dml(eng):
     assert (r["name"], r["tag"]) == ("m, n", "o")
 
 
+def test_merge_not_matched_by_source(eng):
+    """WHEN NOT MATCHED BY SOURCE acts on target rows without a source
+    match — the sync-with-prune MERGE shape (Delta/DuckDB surface)."""
+    eng.sql("CREATE TABLE tms (k BIGINT, v DOUBLE)")
+    eng.sql("INSERT INTO tms VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    # full sync: upsert source rows, delete target rows absent from source
+    eng.sql("""
+MERGE INTO tms t USING (SELECT * FROM VALUES (2, 99.0), (4, 40.0) AS x(k, v)) s
+ON t.k = s.k
+WHEN MATCHED THEN UPDATE SET v = s.v
+WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+WHEN NOT MATCHED BY SOURCE THEN DELETE
+""")
+    assert sorted(tuple(r) for r in eng.table("tms").collect()) == \
+        [(2, 99.0), (4, 40.0)]
+    # conditional BY SOURCE UPDATE: flag stale rows instead of deleting
+    eng.sql("""
+MERGE INTO tms t USING (SELECT 2 AS k) s ON t.k = s.k
+WHEN NOT MATCHED BY SOURCE AND v > 0 THEN UPDATE SET v = -1.0
+""")
+    assert sorted(tuple(r) for r in eng.table("tms").collect()) == \
+        [(2, 99.0), (4, -1.0)]
+    # first-match within the BY SOURCE group: UPDATE first shadows DELETE
+    eng.sql("""
+MERGE INTO tms t USING (SELECT 2 AS k) s ON t.k = s.k
+WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0
+WHEN NOT MATCHED BY SOURCE AND v < 1 THEN DELETE
+""")
+    assert sorted(tuple(r) for r in eng.table("tms").collect()) == \
+        [(2, 99.0), (4, 0.0)]
+    with pytest.raises(ValueError, match="only UPDATE/DELETE"):
+        eng.sql("MERGE INTO tms t USING (SELECT 2 AS k) s ON t.k = s.k "
+                "WHEN NOT MATCHED BY SOURCE THEN INSERT *")
+    with pytest.raises(ValueError, match="BY SOURCE/TARGET"):
+        eng.sql("MERGE INTO tms t USING (SELECT 2 AS k) s ON t.k = s.k "
+                "WHEN MATCHED BY SOURCE THEN DELETE")
+
+
 def test_merge_insert_star_by_name(eng):
     eng.sql("CREATE TABLE tm2 AS SELECT 1 AS k, 'x' AS s")
     eng.sql("MERGE INTO tm2 USING (SELECT 2 AS k, 'y' AS s) src "
