@@ -41,6 +41,14 @@ _COPY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# INSERT … ON CONFLICT (keys) DO NOTHING | DO UPDATE SET … — DuckDB's
+# upsert sugar; compiled onto the MERGE machinery.
+_ON_CONFLICT_RE = re.compile(
+    r"^(?P<body>.*?)\s+ON\s+CONFLICT\s*(?:\((?P<keys>[^)]*)\)\s*)?"
+    r"DO\s+(?P<act>NOTHING|UPDATE\s+SET\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # COPY <table> FROM 'path' [(OPTIONS)] — the import counterpart: load a
 # file into an existing versioned table as one append commit.
 _COPY_FROM_RE = re.compile(
@@ -714,6 +722,11 @@ class Engine:
                 raise ValueError(f"INSERT INTO unknown table {name!r} — "
                                  "only versioned tables accept DML")
             body = m.group("body")
+            moc = _ON_CONFLICT_RE.match(body)
+            if moc:
+                return self._insert_on_conflict(
+                    name, m.group("cols"), moc.group("body"),
+                    moc.group("keys"), moc.group("act"), dialect)
             if body.upper().startswith("VALUES"):
                 body = f"SELECT * FROM {body}"
             df = self.sql(body, dialect=dialect)
@@ -841,6 +854,65 @@ class Engine:
             self._refresh_table(name)
             return self._empty()
         return None
+
+    def _insert_on_conflict(
+        self, name: str, cols: str | None, body: str,
+        keys: str | None, act: str, dialect: str,
+    ) -> DataFrame:
+        """``INSERT INTO t … ON CONFLICT (k, …) DO NOTHING | DO UPDATE SET
+        …`` — DuckDB's upsert statement, compiled onto the MERGE machinery
+        (one atomic snapshot commit, same join plan). ``excluded.col`` in
+        the DO UPDATE sets refers to the incoming row, per the standard.
+        The conflict target is required (this engine has no primary-key
+        metadata to infer it from); like MERGE, a source that contains the
+        same key twice produces duplicate rows — dedupe the source."""
+        from pyspark.sql import functions as F
+
+        key_list = [k.strip() for k in (keys or "").split(",") if k.strip()]
+        if not key_list:
+            raise ValueError(
+                "ON CONFLICT needs an explicit conflict target `(col, …)` "
+                "— there is no primary-key metadata to infer one")
+        if cols:
+            raise ValueError(
+                "INSERT … ON CONFLICT supports full-column INSERT only "
+                "(drop the column list)")
+        target = self.table(name).schema
+        unknown = [k for k in key_list
+                   if k not in {f.name for f in target.fields}]
+        if unknown:
+            raise ValueError(
+                f"ON CONFLICT: unknown column(s) {unknown}")
+        if body.upper().lstrip().startswith("VALUES"):
+            body = f"SELECT * FROM {body}"
+        src = self.sql(body, dialect=dialect)
+        if len(src.columns) != len(target.fields):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(src.columns)} columns "
+                f"provided, table has {len(target.fields)}")
+        src = src.toDF(*[f.name for f in target.fields]).select(
+            *[F.col(f.name).cast(f.dataType) for f in target.fields])
+        view = "__upsert_src"
+        src.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"{name}.{k} = {view}.{k}" for k in key_list)
+            if act.upper() == "NOTHING":
+                clauses = "WHEN NOT MATCHED THEN INSERT *"
+            else:
+                sets = re.sub(r"\bexcluded\.", f"{view}.",
+                              act[len("UPDATE SET"):], flags=re.IGNORECASE)
+                # unqualified column refs in the SET exprs mean the
+                # EXISTING row (per the standard); qualify them so the
+                # compiled MERGE join isn't ambiguous
+                sets = _qualify_bare_columns(
+                    sets, name, {f.name for f in target.fields})
+                clauses = (f"WHEN MATCHED THEN UPDATE SET {sets} "
+                           "WHEN NOT MATCHED THEN INSERT *")
+            return self._merge(
+                f"MERGE INTO {name} USING {view} ON {on} {clauses}",
+                dialect)
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _merge(self, query: str, dialect: str) -> DataFrame:
         """``MERGE INTO target USING source ON cond WHEN [NOT] MATCHED
@@ -1303,6 +1375,25 @@ def _match_paren(text: str, open_idx: int) -> int:
             if depth == 0:
                 return i
     raise ValueError("unbalanced parentheses")
+
+
+def _qualify_bare_columns(expr: str, table: str, columns: set[str]) -> str:
+    """Prefix unqualified references to ``columns`` with ``table.`` —
+    token-aware (skips qualified refs, function calls, string literals)."""
+    from .dialect import detokenize, tokenize
+
+    toks = tokenize(expr)
+    sig = [i for i, t in enumerate(toks) if t.kind not in ("ws", "comment")]
+    for pos, i in enumerate(sig):
+        t = toks[i]
+        if t.kind != "ident" or t.text not in columns:
+            continue
+        if pos > 0 and toks[sig[pos - 1]].text == ".":
+            continue          # already qualified
+        if pos + 1 < len(sig) and toks[sig[pos + 1]].text in (".", "("):
+            continue          # qualifier itself / function call
+        toks[i] = type(t)("other", f"{table}.{t.text}")
+    return detokenize(toks)
 
 
 def _pivot_value_literal(v) -> str:

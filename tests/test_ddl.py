@@ -168,6 +168,34 @@ def test_string_literal_commas_in_dml(eng):
     assert (r["name"], r["tag"]) == ("m, n", "o")
 
 
+def test_insert_on_conflict_upsert(eng):
+    """DuckDB's INSERT … ON CONFLICT upsert sugar compiles to MERGE:
+    DO UPDATE (with excluded.*) updates matched keys, DO NOTHING skips
+    them; either way unmatched rows insert, as one snapshot commit."""
+    eng.sql("CREATE TABLE tu (k BIGINT, v DOUBLE)")
+    eng.sql("INSERT INTO tu VALUES (1, 10.0), (2, 20.0)")
+    eng.sql("INSERT INTO tu VALUES (2, 99.0), (3, 30.0) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    assert sorted(tuple(r) for r in eng.table("tu").collect()) == \
+        [(1, 10.0), (2, 99.0), (3, 30.0)]
+    eng.sql("INSERT INTO tu VALUES (3, -1.0), (4, 40.0) "
+            "ON CONFLICT (k) DO NOTHING")
+    assert sorted(tuple(r) for r in eng.table("tu").collect()) == \
+        [(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)]
+    # DO UPDATE may mix excluded.* with the existing value
+    eng.sql("INSERT INTO tu VALUES (4, 2.0) "
+            "ON CONFLICT (k) DO UPDATE SET v = v + excluded.v")
+    assert eng.sql("SELECT v FROM tu WHERE k = 4").first()["v"] == 42.0
+    # each upsert is one commit → time travel sees each stage
+    assert eng.sql("SELECT COUNT(*) AS n FROM tu VERSION AS OF 2"
+                   ).first()["n"] == 2
+    with pytest.raises(ValueError, match="conflict target"):
+        eng.sql("INSERT INTO tu VALUES (1, 1.0) ON CONFLICT DO NOTHING")
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("INSERT INTO tu VALUES (1, 1.0) "
+                "ON CONFLICT (zz) DO NOTHING")
+
+
 def test_merge_not_matched_by_source(eng):
     """WHEN NOT MATCHED BY SOURCE acts on target rows without a source
     match — the sync-with-prune MERGE shape (Delta/DuckDB surface)."""
