@@ -150,6 +150,13 @@ _READ_FUNC_RE = re.compile(
     re.IGNORECASE,
 )
 
+# FROM glob('pattern') — DuckDB's file-listing table function (one `file`
+# column). Driver-side listing: a metadata op, like any FS listing.
+_GLOB_FUNC_RE = re.compile(
+    r"\b(?P<kw>FROM|JOIN)\s+glob\s*\(\s*'(?P<pat>[^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
 # OPTIMIZE <table> — small-file compaction of a versioned table (the
 # table-format OPTIMIZE statement; file-level commit via snapshots.compact).
 _OPTIMIZE_RE = re.compile(
@@ -437,7 +444,7 @@ class Engine:
         schema inference like DuckDB's sniffer) and the call text is
         replaced by the view name. File access from SQL is external
         access: safe mode (enable_external_access=false) blocks it."""
-        if not _READ_FUNC_RE.search(query):
+        if not (_READ_FUNC_RE.search(query) or _GLOB_FUNC_RE.search(query)):
             return query
 
         def sub(m: re.Match) -> str:
@@ -470,6 +477,25 @@ class Engine:
                 return m.group(0)
             return sub(m)
 
+        def glob_sub(m: re.Match) -> str:
+            import glob as globmod
+            import hashlib
+
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            if not self._extensions_allowed:
+                raise PermissionError(
+                    "glob() is disabled in safe mode "
+                    "(enable_external_access=false)")
+            pat = m.group("pat")
+            name = f"__glob_{hashlib.md5(pat.encode()).hexdigest()[:12]}"
+            self.spark.createDataFrame(
+                [(f,) for f in sorted(globmod.glob(pat, recursive=True))],
+                "file string",
+            ).createOrReplaceTempView(name)
+            return f"{m.group('kw')} {name}"
+
+        query = _GLOB_FUNC_RE.sub(glob_sub, query)
         return _READ_FUNC_RE.sub(guarded, query)
 
     # Bound on discovered pivot values: each value becomes an output COLUMN,

@@ -406,12 +406,20 @@ def test_read_table_functions(engine, spark, tmp_path):
     # a read_parquet inside a string literal stays verbatim
     lit = engine.sql("SELECT 'read_parquet(''x'')' AS s").first()["s"]
     assert lit == "read_parquet('x')"
+    # glob() lists files, one sorted `file` column
+    files = [r["file"] for r in engine.sql(
+        "SELECT file FROM glob('/root/testdata/sf0.001/*.parquet') "
+        "ORDER BY file").collect()]
+    assert any(f.endswith("region.parquet") for f in files)
+    assert len(files) == 10 and files == sorted(files)
     # safe mode blocks
     from duckdb_read_spark import Engine
 
     safe = Engine(spark=spark, extensions_allowed=False)
     with pytest.raises(PermissionError, match="safe mode"):
         safe.sql("SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')")
+    with pytest.raises(PermissionError, match="safe mode"):
+        safe.sql("SELECT * FROM glob('/root/testdata/sf0.001/*')")
 
 
 def test_describe_and_show_tables(engine):
