@@ -276,7 +276,12 @@ def _rewrite_calls(sql: str) -> str:
                 out.append(f"element_at({inner})")
                 i = sub[2] + 1
             else:
-                out.append(f"element_at({inner})")
+                # No [1] unwrap: preserve DuckDB's one-element-LIST shape
+                # ([] for a missing key) instead of silently returning a
+                # bare scalar.
+                out.append(
+                    f"filter(array(element_at({inner})),"
+                    " __me_x -> __me_x IS NOT NULL)")
                 i = close + 1
             changed = True
             continue

@@ -468,9 +468,15 @@ class Engine:
             return name
 
         # matches that START inside a string literal or comment stay
-        # verbatim (the call's own path literal starts after the match)
-        spans = [m.span()
-                 for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+        # verbatim (the call's own path literal starts after the match).
+        # Spans are recomputed per pass: the glob rewrite changes string
+        # lengths, so spans measured on the original text would misalign
+        # with offsets in the rewritten text.
+        def literal_spans(q: str) -> list[tuple[int, int]]:
+            return [m.span()
+                    for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", q)]
+
+        spans = literal_spans(query)
 
         def guarded(m: re.Match) -> str:
             if any(s <= m.start() < e for s, e in spans):
@@ -496,6 +502,7 @@ class Engine:
             return f"{m.group('kw')} {name}"
 
         query = _GLOB_FUNC_RE.sub(glob_sub, query)
+        spans = literal_spans(query)
         return _READ_FUNC_RE.sub(guarded, query)
 
     # Bound on discovered pivot values: each value becomes an output COLUMN,
@@ -634,9 +641,21 @@ class Engine:
         cand = snapshots.prune_by_stats(entries, pred)
         hit_rel: set[str] = set()
         if cand:
+            from pyspark.sql import functions as F
+
             paths = [os.path.join(table_dir, e["path"]) for e in cand]
             probe = (self.spark.read.option("mergeSchema", "true")
                      .parquet(*paths))
+            # Align to the CURRENT table schema: the stats cut may leave
+            # only pre-evolution files that lack a column the predicate
+            # references; mergeSchema can't invent it, so add it as NULL
+            # (matching _read_file_subset) or the probe would raise where
+            # the full-rewrite path succeeds.
+            schema = self.table(name).schema
+            probe = probe.select(
+                *[F.col(f.name).cast(f.dataType) if f.name in probe.columns
+                  else F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in schema.fields])
             view = "__dml_probe"
             probe.createOrReplaceTempView(view)
             try:
@@ -1188,6 +1207,10 @@ class Engine:
         anti-pattern at scale."""
         from .sources.sinks import write_csv, write_json, write_parquet
 
+        if not self._extensions_allowed:
+            raise PermissionError(
+                "COPY ... TO is disabled in safe mode "
+                "(enable_external_access=false)")
         df = (
             self.sql(src[1:-1], dialect=dialect)
             if src.startswith("(")
@@ -1236,6 +1259,10 @@ class Engine:
         by position for headerless CSV; values cast to the table schema."""
         from pyspark.sql import functions as F
 
+        if not self._extensions_allowed:
+            raise PermissionError(
+                "COPY ... FROM is disabled in safe mode "
+                "(enable_external_access=false)")
         if name not in self._versioned:
             raise ValueError(f"COPY FROM unknown table {name!r} — "
                              "only versioned tables accept imports")

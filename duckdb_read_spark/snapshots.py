@@ -96,7 +96,13 @@ def _json_stat(v):
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return None
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        # sep=' ' so the stored string orders lexicographically against
+        # SQL timestamp literals ('2024-01-01 05:00:00'); isoformat()'s
+        # default 'T' separator sorts AFTER ' ', which made same-day
+        # comparisons wrongly infeasible in prune_by_stats.
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return float(v)
@@ -456,6 +462,19 @@ def _split_top_and(pred: str) -> list[str] | None:
     return [p.strip() for p in parts if p.strip()]
 
 
+_ISO_T_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}")
+
+
+def _norm_temporal(v):
+    """Normalize ISO-timestamp strings to a ' ' separator so manifests
+    written before the sep=' ' fix (or by external writers) compare
+    correctly against SQL literals: 'T' > ' ' lexicographically, which
+    otherwise breaks every same-day comparison."""
+    if isinstance(v, str) and _ISO_T_RE.match(v):
+        return v.replace("T", " ", 1)
+    return v
+
+
 def _conjunct_feasible(conj: str, stats: dict) -> bool:
     """Can any row in a file with these min/max stats satisfy the
     conjunct? Unrecognized shapes / missing stats → feasible (the prune
@@ -479,6 +498,7 @@ def _conjunct_feasible(conj: str, stats: dict) -> bool:
         return True
     lit = _parse_lit(m.group("lit"))
     lo, hi = rng
+    lit, lo, hi = _norm_temporal(lit), _norm_temporal(lo), _norm_temporal(hi)
     try:
         if op == "=":
             return lo <= lit <= hi

@@ -261,8 +261,11 @@ def test_map_construct_rewrites():
         "SELECT map_from_arrays(array('a', 'b'), array(1, 2)) AS m"
     assert to_spark_sql("SELECT map_extract(m, 'k')[1] AS v FROM t") == \
         "SELECT element_at(m, 'k') AS v FROM t"
+    # without the [1] unwrap DuckDB returns a one-element LIST ([] when
+    # the key is missing) — the translation must keep that shape
     assert to_spark_sql("SELECT map_extract(m, 'k') AS v FROM t") == \
-        "SELECT element_at(m, 'k') AS v FROM t"
+        ("SELECT filter(array(element_at(m, 'k')),"
+         " __me_x -> __me_x IS NOT NULL) AS v FROM t")
 
 
 def test_distinct_on_rewrite():

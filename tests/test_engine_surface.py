@@ -422,6 +422,37 @@ def test_read_table_functions(engine, spark, tmp_path):
         safe.sql("SELECT * FROM glob('/root/testdata/sf0.001/*')")
 
 
+def test_glob_and_read_func_in_one_query(engine):
+    """ADVICE r4: literal/comment spans must be recomputed after the
+    glob() rewrite shifts offsets — a read_parquet FOLLOWING a glob()
+    call in the same query must still resolve."""
+    row = engine.sql(
+        "SELECT COUNT(*) AS nf, MAX(r.r_regionkey) AS mk "
+        "FROM glob('/root/testdata/sf0.001/*.parquet') g "
+        "CROSS JOIN read_parquet('/root/testdata/sf0.001/region.parquet') r"
+    ).first()
+    assert row["nf"] == 50 and row["mk"] == 4  # 10 files × 5 regions
+    # and a read_* genuinely inside a literal AFTER a glob stays verbatim
+    r2 = engine.sql(
+        "SELECT file, 'read_parquet(''x'')' AS s "
+        "FROM glob('/root/testdata/sf0.001/region.parquet')").first()
+    assert r2["s"] == "read_parquet('x')"
+
+
+def test_safe_mode_blocks_copy(engine, spark, tmp_path):
+    """ADVICE r4: COPY TO / COPY FROM are file access and must honor
+    safe mode like the read_* table functions."""
+    from duckdb_read_spark import Engine
+
+    safe = Engine(spark=spark, extensions_allowed=False,
+                  warehouse_dir=str(tmp_path / "wh"))
+    safe.sql("CREATE TABLE tc AS SELECT 1 AS a")
+    with pytest.raises(PermissionError, match="safe mode"):
+        safe.sql(f"COPY tc TO '{tmp_path / 'out.parquet'}'")
+    with pytest.raises(PermissionError, match="safe mode"):
+        safe.sql(f"COPY tc FROM '{tmp_path / 'in.csv'}'")
+
+
 def test_describe_and_show_tables(engine):
     """DuckDB introspection surface: DESCRIBE gives (column_name,
     column_type, null) rows in schema order; SHOW TABLES one sorted

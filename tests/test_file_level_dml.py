@@ -192,3 +192,72 @@ def test_log_roundtrips_file_entries(eng, t20):
     # a fresh read of the log (new Engine path) resolves identically
     _, paths = snapshots.resolve_snapshot(t20)
     assert len(paths) == len(commits[-1].files)
+
+
+def test_timestamp_stats_prune_space_separator(eng, spark, tmp_path):
+    """ADVICE r4: datetime manifest stats must serialize with a ' '
+    separator so lexicographic compare against SQL timestamp literals
+    ('2024-01-01 05:00:00') is correct — isoformat()'s 'T' sorts AFTER
+    ' ' and made same-day range predicates prune files that matched."""
+    import datetime
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        d = str(tmp_path / "tts")
+        df = spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1, 0, 30), 1),
+             (datetime.datetime(2024, 1, 1, 12, 0), 2),
+             (datetime.datetime(2024, 1, 2, 9, 0), 3)],
+            "ts timestamp, v long",
+        ).repartitionByRange(3, "ts")
+        eng.write_versioned(df, d)
+        eng.register_versioned("tts", d)
+        entries = snapshots.snapshot_file_entries(d)
+        ts_stats = [e["stats"].get("ts") for e in entries]
+        assert all(s is not None for s in ts_stats), \
+            "TIMESTAMP_MICROS footers should yield ts stats"
+        assert all("T" not in s[0] and "T" not in s[1] for s in ts_stats)
+        # the regression shape: same-day <= comparison must keep the file
+        kept = snapshots.prune_by_stats(entries, "ts <= '2024-01-01 05:00:00'")
+        assert any(e["stats"]["ts"][0].startswith("2024-01-01 00:30") for e in kept)
+        eng.sql("DELETE FROM tts WHERE ts <= '2024-01-01 05:00:00'")
+        assert eng.sql("SELECT COUNT(*) AS n FROM tts").first()["n"] == 2
+        assert eng.sql("SELECT MIN(v) AS v FROM tts").first()["v"] == 2
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def test_legacy_t_separated_stats_still_compare():
+    """Manifests written before the sep=' ' fix (or by an external
+    writer) normalize at compare time."""
+    entries = [{"path": "a", "rows": 1,
+                "stats": {"ts": ["2024-01-01T00:30:00", "2024-01-01T01:00:00"]}}]
+    kept = snapshots.prune_by_stats(entries, "ts <= '2024-01-01 05:00:00'")
+    assert len(kept) == 1
+    gone = snapshots.prune_by_stats(entries, "ts > '2024-01-01 05:00:00'")
+    assert gone == []
+
+
+def test_probe_aligns_schema_evolved_predicate(eng, spark, tmp_path):
+    """ADVICE r4: a predicate referencing an appended column must not
+    crash the file-level probe when the stats cut leaves only
+    pre-evolution files (which lack that column)."""
+    d = str(tmp_path / "tev2")
+    base = (spark.range(0, 200).withColumnRenamed("id", "k")
+            .withColumn("v", F.col("k") * 10)
+            .repartitionByRange(4, "k"))
+    eng.write_versioned(base, d)
+    eng.register_versioned("tev2", d)
+    extra = spark.createDataFrame([(1000, 1, "x")], "k long, v long, tag string")
+    eng.write_versioned(extra, d, mode="append")
+    eng.register_versioned("tev2", d)
+    # stats cut on k < 100 keeps only pre-evolution files; they lack
+    # `tag`, which the predicate also references
+    eng.sql("DELETE FROM tev2 WHERE tag = 'x' AND k < 100")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tev2").first()["n"] == 201
+    eng.sql("UPDATE tev2 SET v = -5 WHERE tag = 'x' AND k < 2000")
+    assert eng.sql("SELECT v FROM tev2 WHERE k = 1000").first()["v"] == -5
