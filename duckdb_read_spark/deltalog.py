@@ -1,0 +1,292 @@
+"""Delta-protocol-shaped commit log for versioned tables.
+
+The reference's metadata notes center on open table formats
+(/root/reference/metadata:1-5 — Delta/Iceberg/Hudi): their key property
+is that the commit log is a PUBLIC, engine-neutral contract. snapshots.py
+implements the same ideas (atomic commits, file manifests, min/max stats,
+time travel) in a private JSON format; this module mirrors every commit
+into a ``_delta_log/`` directory shaped like the open-source Delta Lake
+protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md), so
+
+* any Delta-protocol reader can list a table's current files, schema and
+  per-file stats straight from ``_delta_log/*.json``;
+* this engine can conversely READ a table that has only a ``_delta_log``
+  (e.g. written by another engine) — see :func:`delta_snapshot` /
+  :func:`read_delta_table`.
+
+Action shapes written (one JSON object per line, spec §Actions):
+
+* ``{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}``
+* ``{"metaData": {"id", "format": {"provider": "parquet", "options"},
+  "schemaString", "partitionColumns", "configuration", "createdTime"}}``
+* ``{"add": {"path", "partitionValues", "size", "modificationTime",
+  "dataChange", "stats"}}`` — stats is the spec's JSON string with
+  ``numRecords`` / ``minValues`` / ``maxValues``.
+* ``{"remove": {"path", "deletionTimestamp", "dataChange"}}``
+* ``{"commitInfo": {...}}`` (free-form provenance, first line)
+
+Commit files are ``{version:020d}.json`` (0-based like Delta; private log
+version N ↔ delta file N-1) created with O_EXCL — the same
+exactly-one-writer-wins atomicity as the private log.
+
+Scale shape: like Delta itself, the log is O(commits) small driver-side
+JSON files; data I/O stays distributed. Replay cost is O(commits × files)
+line parsing — the thing checkpoints bound in full Delta, out of scope
+here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+_DELTA_DIR = "_delta_log"
+
+
+def _delta_path(table_dir: str, version0: int) -> str:
+    return os.path.join(table_dir, _DELTA_DIR, f"{version0:020d}.json")
+
+
+def _list_versions(table_dir: str) -> list[int]:
+    d = os.path.join(table_dir, _DELTA_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json") and f[:-5].isdigit():
+            out.append(int(f[:-5]))
+    return sorted(out)
+
+
+def _read_actions(table_dir: str, version0: int) -> list[dict]:
+    with open(_delta_path(table_dir, version0)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _stats_str(entry: dict) -> str:
+    """Manifest entry → the spec's stats JSON string (numRecords /
+    minValues / maxValues)."""
+    stats = entry.get("stats") or {}
+    return json.dumps({
+        "numRecords": entry.get("rows"),
+        "minValues": {c: v[0] for c, v in stats.items()},
+        "maxValues": {c: v[1] for c, v in stats.items()},
+    })
+
+
+def _add_action(table_dir: str, entry: dict, ts_ms: int) -> dict:
+    full = os.path.join(table_dir, entry["path"])
+    try:
+        size = os.path.getsize(full)
+        mtime = int(os.path.getmtime(full) * 1000)
+    except OSError:
+        size, mtime = 0, ts_ms
+    return {"add": {
+        "path": entry["path"].replace(os.sep, "/"),
+        "partitionValues": {},
+        "size": size,
+        "modificationTime": mtime,
+        "dataChange": True,
+        "stats": _stats_str(entry),
+    }}
+
+
+def _existing_meta(table_dir: str) -> dict | None:
+    """The latest metaData action already in the delta log (carries the
+    stable table id)."""
+    meta = None
+    for v in _list_versions(table_dir):
+        for a in _read_actions(table_dir, v):
+            if "metaData" in a:
+                meta = a["metaData"]
+    return meta
+
+
+def delta_snapshot(table_dir: str, version: int | None = None
+                   ) -> tuple[int, dict[str, dict]]:
+    """Replay the delta log → (private-log version, {path: add action}).
+
+    ``version`` uses the PRIVATE log's 1-based numbering (delta file
+    version-1) so callers address snapshots uniformly.
+    """
+    versions0 = _list_versions(table_dir)
+    if not versions0:
+        raise FileNotFoundError(f"no _delta_log at {table_dir!r}")
+    last0 = versions0[-1] if version is None else version - 1
+    if last0 not in versions0:
+        raise LookupError(
+            f"delta version {last0} not in log (have {versions0})")
+    files: dict[str, dict] = {}
+    for v in versions0:
+        if v > last0:
+            break
+        for a in _read_actions(table_dir, v):
+            if "add" in a:
+                files[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                files.pop(a["remove"]["path"], None)
+    return last0 + 1, files
+
+
+def read_delta_table(spark, table_dir: str, version: int | None = None):
+    """Read a table from its ``_delta_log`` alone — the interop direction:
+    a directory holding only a Delta-shaped log (e.g. written by another
+    engine) is queryable without any private ``_log``. Partitioned Delta
+    tables (non-empty partitionValues) are out of scope."""
+    _, files = delta_snapshot(table_dir, version)
+    if any(a.get("partitionValues") for a in files.values()):
+        raise NotImplementedError(
+            "partitioned Delta tables (non-empty partitionValues) are not "
+            "supported — unpartitioned add actions only")
+    if not files:
+        raise FileNotFoundError(f"delta snapshot at {table_dir!r} is empty")
+    paths = [os.path.join(table_dir, p) for p in sorted(files)]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def mirror_commit(
+    table_dir: str,
+    version: int,
+    mode: str,
+    new_entries: list[dict],
+    carried_entries: list[dict],
+    schema_json: str | None,
+    timestamp_ms: int | None = None,
+) -> None:
+    """Mirror one private-log commit as delta file ``version-1``.
+
+    ``new_entries``: manifest entries for files WRITTEN by this commit.
+    ``carried_entries``: entries carried by reference (file-level DML /
+    OPTIMIZE). Overwrite commits re-add carried files too (idempotent per
+    spec — newest add wins), which makes every overwrite commit
+    SELF-CONTAINED: replay may start at any overwrite boundary, the same
+    property snapshots.vacuum's log truncation relies on. ``'append'``
+    removes nothing and adds only genuinely new files.
+
+    Tables created before the mirror existed are backfilled first
+    (:func:`backfill`), so the delta log always starts at version 0.
+    """
+    ts = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
+    if version > 1 and not _list_versions(table_dir):
+        backfill(table_dir, upto_version=version - 1)
+    prev: dict[str, dict] = {}
+    if version > 1:
+        try:
+            _, prev = delta_snapshot(table_dir, version - 1)
+        except (FileNotFoundError, LookupError):
+            prev = {}
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": ts, "operation": mode.upper(),
+        "engineInfo": "duckdb_read_spark",
+    }}]
+    meta = _existing_meta(table_dir)
+    if meta is None or (schema_json is not None
+                        and meta.get("schemaString") != schema_json):
+        actions.append({"metaData": {
+            "id": (meta or {}).get("id", str(uuid.uuid4())),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json or (meta or {}).get("schemaString", ""),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": (meta or {}).get("createdTime", ts),
+        }})
+    if version == 1:
+        actions.insert(1, {"protocol": {"minReaderVersion": 1,
+                                        "minWriterVersion": 2}})
+    new_paths = {e["path"].replace(os.sep, "/") for e in new_entries}
+    if mode == "overwrite":
+        keep = new_paths | {e["path"].replace(os.sep, "/")
+                            for e in carried_entries}
+        for p in sorted(set(prev) - keep):
+            actions.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True}})
+        for e in carried_entries:
+            actions.append(_add_action(table_dir, e, ts))
+        for e in new_entries:
+            actions.append(_add_action(table_dir, e, ts))
+    else:
+        for e in new_entries:
+            if e["path"].replace(os.sep, "/") not in prev:
+                actions.append(_add_action(table_dir, e, ts))
+    os.makedirs(os.path.join(table_dir, _DELTA_DIR), exist_ok=True)
+    # O_EXCL: same exactly-one-writer atomicity as the private log
+    with open(_delta_path(table_dir, version - 1), "x") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def backfill(table_dir: str, upto_version: int) -> None:
+    """Write delta files 0..upto_version-1 for a table whose private log
+    predates the mirror: each historical snapshot's file set is replayed
+    from the private log (paths only — no footer re-reads, so vacuumed
+    files don't block; stats are optional in the spec and omitted)."""
+    from . import snapshots
+
+    os.makedirs(os.path.join(table_dir, _DELTA_DIR), exist_ok=True)
+    commits = snapshots.read_log(table_dir)
+    prev_paths: set[str] = set()
+    for c in commits:
+        if c.version > upto_version:
+            break
+        _, abs_paths = snapshots.resolve_snapshot(table_dir, version=c.version)
+        cur = set()
+        for p in abs_paths:
+            rel = os.path.relpath(p, table_dir)
+            if os.path.isdir(p):
+                for root, _dirs, fnames in os.walk(p):
+                    for fn in fnames:
+                        if fn.endswith(".parquet"):
+                            cur.add(os.path.relpath(
+                                os.path.join(root, fn), table_dir)
+                                .replace(os.sep, "/"))
+            else:
+                cur.add(rel.replace(os.sep, "/"))
+        ts = c.timestamp_ms
+        actions: list[dict] = [{"commitInfo": {
+            "timestamp": ts, "operation": c.mode.upper(),
+            "engineInfo": "duckdb_read_spark-backfill"}}]
+        if c.version == 1:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+            actions.append({"metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": "",
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": ts,
+            }})
+        for p in sorted(prev_paths - cur):
+            actions.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True}})
+        for p in sorted(cur - prev_paths):
+            full = os.path.join(table_dir, p)
+            try:
+                size = os.path.getsize(full)
+                mtime = int(os.path.getmtime(full) * 1000)
+            except OSError:
+                size, mtime = 0, ts
+            actions.append({"add": {
+                "path": p, "partitionValues": {}, "size": size,
+                "modificationTime": mtime, "dataChange": True}})
+        prev_paths = cur
+        try:
+            with open(_delta_path(table_dir, c.version - 1), "x") as f:
+                f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        except FileExistsError:
+            pass  # concurrent backfill — first writer wins
+
+
+def truncate(table_dir: str, before_version: int) -> int:
+    """Drop delta files below private-log version ``before_version``
+    (mirrors snapshots.vacuum's log truncation). Returns files removed."""
+    n = 0
+    for v in _list_versions(table_dir):
+        if v < before_version - 1:
+            try:
+                os.remove(_delta_path(table_dir, v))
+                n += 1
+            except FileNotFoundError:
+                pass
+    return n

@@ -136,8 +136,10 @@ def _arg_text(toks: list[Tok], span: tuple[int, int]) -> str:
 # --- strftime → date_format format strings --------------------------------
 
 # Column names known to be array-typed, for the len()→size()/length() split
-# (the rewriter has no type information; extend for your schema). The
-# fixture schema's one array column is pre-registered.
+# when no schema information is available (to_spark_sql called standalone,
+# or the column isn't resolvable from registered tables). Engine.sql
+# threads the registered tables' actual schemas via ``column_kinds``, which
+# takes precedence — this fallback only covers unresolvable expressions.
 ARRAY_COLUMN_HINTS: set[str] = {"embedding"}
 
 _STRFTIME_MAP = {
@@ -167,8 +169,12 @@ _SIMPLE_RENAMES = {
 
 # --- call-rewrite helpers -------------------------------------------------
 
-def _rewrite_calls(sql: str) -> str:
-    """One pass of call-shaped rewrites; repeats until fixpoint for nesting."""
+def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """One pass of call-shaped rewrites; repeats until fixpoint for nesting.
+
+    ``column_kinds`` maps lowercased registered-column names to 'array' or
+    'string' (conflict-free across tables) so ``len()`` dispatches on the
+    column's ACTUAL type instead of the name heuristic."""
     toks = tokenize(sql)
     out: list[str] = []
     i = 0
@@ -197,20 +203,34 @@ def _rewrite_calls(sql: str) -> str:
             continue
         if name == "len" and parts:
             # DuckDB len() covers BOTH list length and string length; Spark
-            # splits these into size() and length(). Textual heuristic: the
-            # argument is list-shaped if it contains a list-producing call
-            # or a subscript — else assume string. (Types aren't known at
-            # rewrite time; this covers the dominant idioms.)
+            # splits these into size() and length(). A bare (optionally
+            # qualified) column resolves by the registered tables' schemas
+            # when the Engine threads them in; anything else falls back to
+            # the textual heuristic: the argument is list-shaped if it
+            # contains a list-producing call or a subscript.
             _, close, spans = parts
-            arg = detokenize(toks[parts[0] + 1:close]).lower()
+            arg_toks_all = toks[parts[0] + 1:close]
+            arg = detokenize(arg_toks_all).lower()
+            arg_toks = [t for t in arg_toks_all
+                        if t.kind not in ("ws", "comment")]
+            bare = None
+            if len(arg_toks) == 1 and arg_toks[0].kind == "ident":
+                bare = arg_toks[0].text.lower()
+            elif (len(arg_toks) == 3 and arg_toks[0].kind == "ident"
+                    and arg_toks[1].text == "." and arg_toks[2].kind == "ident"):
+                bare = arg_toks[2].text.lower()
+            kind = (column_kinds or {}).get(bare) if bare else None
+            if kind in ("array", "string"):
+                out.append("size" if kind == "array" else "length")
+                i += 1
+                changed = True
+                continue
             listish = any(
                 k in arg
                 for k in ("split(", "array", "collect_list", "collect_set",
                           "sequence(", "transform(", "list_", "[")
             ) or any(h in arg for h in ARRAY_COLUMN_HINTS)
-            arg_toks = [t for t in toks[parts[0] + 1:close]
-                        if t.kind not in ("ws", "comment")]
-            if len(arg_toks) == 1 and arg_toks[0].kind == "ident" and not listish:
+            if bare is not None and not listish:
                 # Bare column with unknown type: the string assumption is a
                 # guess — fail loudly enough to be diagnosable (ADVICE r1).
                 import warnings
@@ -439,7 +459,7 @@ def _rewrite_calls(sql: str) -> str:
         i += 1
 
     result = "".join(out)
-    return _rewrite_calls(result) if changed else result
+    return _rewrite_calls(result, column_kinds) if changed else result
 
 
 def _rewrite_json_arrow(sql: str) -> str:
@@ -1132,8 +1152,12 @@ def _rewrite_unpivot(sql: str) -> str:
     return f"SELECT * FROM {table} UNPIVOT ({val} FOR {key} IN ({cols}))"
 
 
-def to_spark_sql(sql: str) -> str:
-    """Rewrite a DuckDB-dialect SQL string into Spark SQL."""
+def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """Rewrite a DuckDB-dialect SQL string into Spark SQL.
+
+    ``column_kinds`` (lowercased column name → 'array' | 'string') makes
+    the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
+    supplies it from the registered tables."""
     sql = _rewrite_pivot(sql)
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_asof_join(sql)
@@ -1143,7 +1167,7 @@ def to_spark_sql(sql: str) -> str:
     sql = _rewrite_window_clause(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
-    sql = _rewrite_calls(sql)
+    sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql)

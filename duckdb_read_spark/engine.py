@@ -214,6 +214,7 @@ class Engine:
         df = self.spark.read.parquet(path)
         df = catalog.apply_schema_shims(df, path)
         df.createOrReplaceTempView(name)
+        self._bump_registration_epoch()
         return df
 
     def register_csv(self, name: str, path: str, schema=None, header: bool = True) -> DataFrame:
@@ -221,11 +222,13 @@ class Engine:
         df = reader.csv(path, schema=schema) if schema is not None else reader.option(
             "inferSchema", "true").csv(path)
         df.createOrReplaceTempView(name)
+        self._bump_registration_epoch()
         return df
 
     def register_json(self, name: str, path: str, schema=None) -> DataFrame:
         df = self.spark.read.json(path, schema=schema)
         df.createOrReplaceTempView(name)
+        self._bump_registration_epoch()
         return df
 
     # -- versioned tables (table-format/metadata-log theme,
@@ -252,6 +255,7 @@ class Engine:
         df = snapshots.read_table(self.spark, table_dir, version, as_of_ms)
         df.createOrReplaceTempView(name)
         self._versioned[name] = table_dir
+        self._bump_registration_epoch()
         return df
 
     def table_history(self, name_or_dir: str) -> list[dict]:
@@ -347,6 +351,45 @@ class Engine:
     def register_fixture_dir(self, sf_dir: str) -> None:
         """Register the standard fixture tables from a testdata directory."""
         catalog.register_tables(self.spark, sf_dir)
+        self._bump_registration_epoch()
+
+    def _column_kinds(self) -> dict[str, str]:
+        """Lowercased column name → 'array' | 'string' across every
+        registered (non-internal) view — the schema knowledge behind the
+        dialect's len() dispatch. Names whose type class conflicts across
+        tables are dropped (the rewriter then falls back to its textual
+        heuristic). Cached per registration epoch: pure driver-side
+        catalog metadata, no Spark job."""
+        epoch = getattr(self, "_reg_epoch", 0)
+        cached = getattr(self, "_ck_cache", None)
+        if cached is not None and cached[0] == epoch:
+            return cached[1]
+        from pyspark.sql import types as T
+
+        kinds: dict[str, str | None] = {}
+        for tbl in self.spark.catalog.listTables():
+            if tbl.name.startswith("__"):
+                continue
+            try:
+                schema = self.spark.table(tbl.name).schema
+            except Exception:
+                continue
+            for f in schema.fields:
+                k = ("array" if isinstance(f.dataType, (T.ArrayType, T.MapType))
+                     else "string"
+                     if isinstance(f.dataType, (T.StringType, T.BinaryType))
+                     else None)
+                c = f.name.lower()
+                if c in kinds and kinds[c] != k:
+                    kinds[c] = None
+                else:
+                    kinds[c] = k
+        out = {c: k for c, k in kinds.items() if k}
+        self._ck_cache = (epoch, out)
+        return out
+
+    def _bump_registration_epoch(self) -> None:
+        self._reg_epoch = getattr(self, "_reg_epoch", 0) + 1
 
     # -- query execution (Connection::Query analog) ------------------------
 
@@ -363,6 +406,10 @@ class Engine:
         DDL statement.
         """
         head = query.lstrip()[:7].upper()
+        if not head.startswith(("SELECT", "WITH", "EXPLAIN")):
+            # anything that can define/replace a view or table invalidates
+            # the schema cache behind the dialect's len() dispatch
+            self._bump_registration_epoch()
         if head.startswith("MERGE"):
             return self._merge(query, dialect)
         if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE")):
@@ -431,7 +478,10 @@ class Engine:
         if dialect == "duckdb":
             if query.lstrip()[:5].upper() == "PIVOT":
                 query = self._dynamize_pivot(query)
-            query = to_spark_sql(query)
+            # schema lookup is only paid by queries that actually use len()
+            ck = (self._column_kinds()
+                  if re.search(r"\blen\s*\(", query, re.IGNORECASE) else None)
+            query = to_spark_sql(query, column_kinds=ck)
         query = self._resolve_time_travel(query)
         return self.spark.sql(query)
 

@@ -209,9 +209,10 @@ def write_table(
     version = (commits[-1].version + 1) if commits else 1
     rel = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    new_entries = _dir_file_entries(table_dir, rel)
     files = None
     if carry_files is not None:
-        files = tuple(list(carry_files) + _dir_file_entries(table_dir, rel))
+        files = tuple(list(carry_files) + new_entries)
     entry = Commit(
         version=version,
         timestamp_ms=int(time.time() * 1000) if timestamp_ms is None else timestamp_ms,
@@ -225,6 +226,20 @@ def write_table(
                    "mode": entry.mode, "dirs": list(entry.dirs),
                    "files": list(entry.files) if entry.files is not None else None},
                   f)
+    # Mirror into the Delta-protocol-shaped public log (interop surface;
+    # best-effort — the private commit above is the source of truth).
+    from . import deltalog
+
+    try:
+        deltalog.mirror_commit(
+            table_dir, version, mode,
+            new_entries=new_entries,
+            carried_entries=list(carry_files or []),
+            schema_json=df.schema.json(),
+            timestamp_ms=entry.timestamp_ms,
+        )
+    except FileExistsError:
+        pass  # lost a mirror race; the winning writer recorded this version
     return entry
 
 
@@ -274,8 +289,17 @@ def read_table(
     as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read a snapshot as a DataFrame (schema merged across its data dirs,
-    so appends may evolve the schema additively)."""
-    _, dirs = resolve_snapshot(table_dir, version, as_of_ms)
+    so appends may evolve the schema additively). A directory with only a
+    Delta-protocol ``_delta_log`` (no private log — e.g. written by
+    another engine) is read by replaying that log instead."""
+    try:
+        _, dirs = resolve_snapshot(table_dir, version, as_of_ms)
+    except FileNotFoundError:
+        if as_of_ms is not None:
+            raise
+        from . import deltalog
+
+        return deltalog.read_delta_table(spark, table_dir, version)
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
@@ -379,6 +403,11 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
                 removed_versions += 1
             except FileNotFoundError:
                 pass
+    # mirror the truncation in the public delta log (safe: base is an
+    # overwrite boundary and mirrored overwrite commits are self-contained)
+    from . import deltalog
+
+    deltalog.truncate(table_dir, before_version=base)
     return {"removed_dirs": removed_dirs, "removed_versions": removed_versions}
 
 

@@ -1,0 +1,145 @@
+"""Delta-protocol commit-log mirror (VERDICT r4 item 2): every versioned-
+table commit is mirrored into a spec-shaped ``_delta_log/`` (protocol /
+metaData / add-with-stats / remove actions, 0-based O_EXCL commit files),
+and a directory holding ONLY a delta log is readable — the open-table-
+format interop the reference's metadata notes center on
+(/root/reference/metadata:1-5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_read_spark import deltalog, snapshots
+from duckdb_read_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def tbl(eng, spark, tmp_path):
+    """A 10-file versioned table with one append and one file-level
+    UPDATE on top (3 commits)."""
+    d = str(tmp_path / "tdl")
+    df = (spark.range(0, 1000).withColumnRenamed("id", "k")
+          .withColumn("v", (F.col("k") * 2).cast("long"))
+          .repartitionByRange(10, "k"))
+    eng.write_versioned(df, d)
+    eng.register_versioned("tdl", d)
+    eng.sql("INSERT INTO tdl VALUES (5000, 1)")
+    eng.sql("UPDATE tdl SET v = -1 WHERE k = 150")
+    return d
+
+
+def _delta_files(d):
+    return sorted(os.listdir(os.path.join(d, "_delta_log")))
+
+
+def _actions(d, fname):
+    with open(os.path.join(d, "_delta_log", fname)) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_action_shapes_match_delta_protocol(tbl):
+    files = _delta_files(tbl)
+    assert files[0] == "00000000000000000000.json"  # 0-based, 20-digit
+    assert len(files) == 3
+    first = _actions(tbl, files[0])
+    protocols = [a["protocol"] for a in first if "protocol" in a]
+    metas = [a["metaData"] for a in first if "metaData" in a]
+    assert protocols == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(metas) == 1
+    meta = metas[0]
+    for key in ("id", "format", "schemaString", "partitionColumns",
+                "configuration", "createdTime"):
+        assert key in meta
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    schema = json.loads(meta["schemaString"])  # Spark StructType JSON
+    assert {f["name"] for f in schema["fields"]} == {"k", "v"}
+    adds = [a["add"] for f in files for a in _actions(tbl, f) if "add" in a]
+    assert adds
+    for add in adds:
+        for key in ("path", "partitionValues", "size", "modificationTime",
+                    "dataChange", "stats"):
+            assert key in add
+        assert add["partitionValues"] == {}
+        assert add["size"] > 0
+        stats = json.loads(add["stats"])
+        assert set(stats) == {"numRecords", "minValues", "maxValues"}
+        assert stats["numRecords"] >= 1
+        assert "k" in stats["minValues"] and "k" in stats["maxValues"]
+    # the file-level UPDATE commit: exactly one remove + adds re-stating
+    # the snapshot (self-contained overwrite)
+    last = _actions(tbl, files[-1])
+    removes = [a["remove"] for a in last if "remove" in a]
+    assert len(removes) == 1
+    for rm in removes:
+        assert {"path", "deletionTimestamp", "dataChange"} <= set(rm)
+
+
+def test_delta_replay_matches_private_log_every_version(tbl):
+    for c in snapshots.read_log(tbl):
+        want = {e["path"].replace(os.sep, "/")
+                for e in snapshots.snapshot_file_entries(tbl, c.version)}
+        got_version, got = deltalog.delta_snapshot(tbl, c.version)
+        assert got_version == c.version
+        assert set(got) == want
+
+
+def test_version_as_of_replays_from_delta_only(eng, spark, tbl, tmp_path):
+    """Interop direction: the private _log deleted, the table reads from
+    _delta_log alone — current version AND an earlier VERSION AS OF."""
+    import shutil
+
+    expect_now = {(r["k"], r["v"]) for r in eng.table("tdl").collect()}
+    d2 = str(tmp_path / "delta_only")
+    shutil.copytree(tbl, d2)
+    shutil.rmtree(os.path.join(d2, "_log"))
+    eng.register_versioned("tdl2", d2)
+    got = {(r["k"], r["v"])
+           for r in eng.sql("SELECT k, v FROM tdl2").collect()}
+    assert got == expect_now
+    assert (5000, 1) in got and (150, -1) in got
+    v1 = {(r["k"], r["v"]) for r in
+          eng.sql("SELECT k, v FROM tdl2 VERSION AS OF 1").collect()}
+    assert (5000, 1) not in v1 and (150, 300) in v1
+    assert len(v1) == 1000
+
+
+def test_backfill_pre_mirror_table(eng, spark, tmp_path):
+    """A table whose early commits predate the mirror gets a full
+    0-based backfill on its next commit."""
+    import shutil
+
+    d = str(tmp_path / "tbf")
+    eng.write_versioned(spark.range(10).coalesce(2), d)
+    eng.write_versioned(spark.range(10, 20).coalesce(1), d, mode="append")
+    shutil.rmtree(os.path.join(d, "_delta_log"))  # simulate pre-mirror
+    eng.write_versioned(spark.range(20, 30).coalesce(1), d, mode="append")
+    files = _delta_files(d)
+    assert files[0] == "00000000000000000000.json" and len(files) == 3
+    for c in snapshots.read_log(d):
+        want = {e["path"].replace(os.sep, "/")
+                for e in snapshots.snapshot_file_entries(d, c.version)}
+        _, got = deltalog.delta_snapshot(d, c.version)
+        assert set(got) == want
+
+
+def test_vacuum_truncates_delta_log_consistently(eng, spark, tmp_path):
+    d = str(tmp_path / "tvc")
+    eng.write_versioned(spark.range(10).coalesce(2), d)
+    eng.write_versioned(spark.range(20).coalesce(2), d)  # overwrite
+    eng.write_versioned(spark.range(20, 25).coalesce(1), d, mode="append")
+    snapshots.vacuum(d, keep_last=2)
+    # private log kept versions 2,3 → delta files 1,2 remain
+    assert _delta_files(d) == [f"{v:020d}.json" for v in (1, 2)]
+    _, got = deltalog.delta_snapshot(d)
+    want = {e["path"].replace(os.sep, "/")
+            for e in snapshots.snapshot_file_entries(d)}
+    assert set(got) == want

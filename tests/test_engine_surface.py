@@ -439,6 +439,41 @@ def test_glob_and_read_func_in_one_query(engine):
     assert r2["s"] == "read_parquet('x')"
 
 
+def test_len_dispatch_is_schema_aware(engine, spark):
+    """VERDICT r4 #1: len() on a registered column resolves by the
+    column's ACTUAL type, not the ARRAY_COLUMN_HINTS name list — an
+    array column NOT named 'embedding' gets size(), a string column
+    gets length(), and neither path warns."""
+    import warnings
+
+    spark.createDataFrame(
+        [([1, 2, 3], "abc"), ([4], "de")], "vals array<int>, txt string"
+    ).createOrReplaceTempView("lendisp")
+    engine._bump_registration_epoch()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any heuristic warning fails
+        rows = engine.sql(
+            "SELECT len(vals) AS lv, len(txt) AS lt FROM lendisp ORDER BY lt",
+            dialect="duckdb").collect()
+    assert [(r["lv"], r["lt"]) for r in rows] == [(1, 2), (3, 3)]
+    # qualified references resolve too
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r = engine.sql(
+            "SELECT len(t.vals) AS lv FROM lendisp t ORDER BY lv LIMIT 1",
+            dialect="duckdb").first()
+    assert r["lv"] == 1
+    # string columns of fixture tables stay warning-free as well
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r = engine.sql(
+            "SELECT len(r_name) AS l FROM region ORDER BY l LIMIT 1",
+            dialect="duckdb").first()
+    assert r["l"] == 4  # ASIA
+    spark.catalog.dropTempView("lendisp")
+    engine._bump_registration_epoch()
+
+
 def test_safe_mode_blocks_copy(engine, spark, tmp_path):
     """ADVICE r4: COPY TO / COPY FROM are file access and must honor
     safe mode like the read_* table functions."""
