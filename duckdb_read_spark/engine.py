@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .conf import BUILD_CONFS, RUNTIME_CONFS, apply_runtime_confs
+from .conf import BUILD_CONFS, RUNTIME_CONFS, TABLES, apply_runtime_confs
 from . import catalog, snapshots
 from .dialect import to_spark_sql
 
@@ -146,7 +146,8 @@ _SET_RE = re.compile(
 # Bare single-quoted single-argument form only; file access is external
 # access, so safe mode (enable_external_access=false) blocks it.
 _READ_FUNC_RE = re.compile(
-    r"\bread_(?P<kind>parquet|csv_auto|csv|json)\s*\(\s*'(?P<path>[^']+)'\s*\)",
+    r"\bread_(?P<kind>parquet|csv_auto|csv|json)\s*\(\s*'(?P<path>[^']+)'"
+    r"(?P<args>(?:\s*,[^()]*)?)\)",
     re.IGNORECASE,
 )
 
@@ -155,6 +156,16 @@ _READ_FUNC_RE = re.compile(
 _GLOB_FUNC_RE = re.compile(
     r"\b(?P<kw>FROM|JOIN)\s+glob\s*\(\s*'(?P<pat>[^']+)'\s*\)",
     re.IGNORECASE,
+)
+
+# CREATE STREAM <name> AS SELECT ... — SQL-statement streaming surface:
+# the SELECT's (single) source table is re-bound to a file stream over its
+# registered parquet path, executed with availableNow semantics into a
+# memory sink named <name>.
+_CREATE_STREAM_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+"
+    r"(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 # OPTIMIZE <table> — small-file compaction of a versioned table (the
@@ -191,6 +202,7 @@ class Engine:
         self._functions: dict[str, Callable] = {}
         self._extensions: dict[str, object] = {}
         self._versioned: dict[str, str] = {}  # view name -> table_dir
+        self._table_paths: dict[str, str] = {}  # view name -> parquet path
         # Managed-table root for CREATE TABLE/CTAS; created lazily so a
         # query-only session never touches disk.
         self._warehouse = warehouse_dir
@@ -214,6 +226,7 @@ class Engine:
         df = self.spark.read.parquet(path)
         df = catalog.apply_schema_shims(df, path)
         df.createOrReplaceTempView(name)
+        self._table_paths[name] = path
         self._bump_registration_epoch()
         return df
 
@@ -350,7 +363,13 @@ class Engine:
 
     def register_fixture_dir(self, sf_dir: str) -> None:
         """Register the standard fixture tables from a testdata directory."""
+        import os
+
         catalog.register_tables(self.spark, sf_dir)
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                self._table_paths[t] = p
         self._bump_registration_epoch()
 
     def _column_kinds(self) -> dict[str, str]:
@@ -412,6 +431,10 @@ class Engine:
             self._bump_registration_epoch()
         if head.startswith("MERGE"):
             return self._merge(query, dialect)
+        mstream = _CREATE_STREAM_RE.match(query)
+        if mstream:
+            return self._create_stream(
+                mstream.group("name"), mstream.group("body"), dialect)
         if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE")):
             handled = self._ddl_dml(query, dialect)
             if handled is not None:
@@ -505,15 +528,27 @@ class Engine:
                     "read_* table functions are disabled in safe mode "
                     "(enable_external_access=false)")
             kind, path = m.group("kind").lower(), m.group("path")
-            name = f"__read_{hashlib.md5((kind + ':' + path).encode()).hexdigest()[:12]}"
+            argstr = (m.group("args") or "").strip().lstrip(",")
+            opts = _parse_read_func_args(argstr)
+            name = f"__read_{hashlib.md5((kind + ':' + path + ':' + argstr).encode()).hexdigest()[:12]}"
             if kind == "parquet":
+                if opts:
+                    raise ValueError(
+                        f"read_parquet: unrecognized option(s) {sorted(opts)}")
                 df = self.spark.read.parquet(path)
                 df = catalog.apply_schema_shims(df, path)
             elif kind in ("csv", "csv_auto"):
-                df = (self.spark.read.option("header", "true")
-                      .option("inferSchema", "true").csv(path))
+                df = self._read_csv_with_opts(path, opts)
             else:
-                df = self.spark.read.json(path)
+                columns = opts.pop("columns", None)
+                if opts:
+                    raise ValueError(
+                        f"read_json: unrecognized option(s) {sorted(opts)} — "
+                        "supported: columns")
+                reader = self.spark.read
+                if columns is not None:
+                    reader = reader.schema(_columns_to_spark_ddl(columns))
+                df = reader.json(path)
             df.createOrReplaceTempView(name)
             return name
 
@@ -554,6 +589,110 @@ class Engine:
         query = _GLOB_FUNC_RE.sub(glob_sub, query)
         spans = literal_spans(query)
         return _READ_FUNC_RE.sub(guarded, query)
+
+    def _read_csv_with_opts(self, path: str, opts: dict) -> DataFrame:
+        """read_csv with DuckDB-style named options mapped onto the Spark
+        CSV reader: delim/sep, header, quote, escape, nullstr,
+        all_varchar, columns={'name': 'TYPE', ...} (disables inference).
+        Unrecognized keys RAISE rather than silently dropping a semantic
+        the caller asked for (same contract as COPY options)."""
+        header = opts.pop("header", True)
+        sep = opts.pop("delim", opts.pop("sep", None))
+        quote = opts.pop("quote", None)
+        escape = opts.pop("escape", None)
+        nullstr = opts.pop("nullstr", None)
+        all_varchar = opts.pop("all_varchar", False)
+        columns = opts.pop("columns", None)
+        if opts:
+            raise ValueError(
+                f"read_csv: unrecognized option(s) {sorted(opts)} — "
+                "supported: delim/sep, header, quote, escape, nullstr, "
+                "all_varchar, columns")
+        reader = self.spark.read.option("header", str(bool(header)).lower())
+        if sep is not None:
+            reader = reader.option("sep", sep)
+        if quote is not None:
+            reader = reader.option("quote", quote)
+        if escape is not None:
+            reader = reader.option("escape", escape)
+        if nullstr is not None:
+            reader = reader.option("nullValue", nullstr)
+        if columns is not None:
+            reader = reader.schema(_columns_to_spark_ddl(columns))
+        elif not all_varchar:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+
+    def _create_stream(self, name: str, body: str, dialect: str) -> DataFrame:
+        """``CREATE STREAM <name> AS SELECT ...`` — the SQL statement form
+        of the streaming surface (VERDICT r4 item 5): the first
+        registered-with-path table in the SELECT's FROM/JOIN clauses is
+        re-bound to a file stream over its parquet path (ns-ts shim
+        applied, same as batch); any other tables stay batch views
+        (stream-batch join). The streaming plan is built by spark.sql over
+        a streaming temp view, drained with availableNow into a memory
+        sink registered as ``<name>`` — so a SQL-only user writes
+        CREATE STREAM then SELECTs the result, no Python API.
+
+        Scale shape: identical to the Python path (q107/q109) — the
+        memory sink is the bounded-replay test harness; a production
+        deployment swaps the sink for kafka/parquet via writeStream, the
+        plan is unchanged.
+        """
+        import uuid
+
+        from .streaming.source import events_stream
+        from .streaming.windows import run_to_memory
+
+        if dialect == "duckdb":
+            ck = (self._column_kinds()
+                  if re.search(r"\blen\s*\(", body, re.IGNORECASE) else None)
+            body = to_spark_sql(body, column_kinds=ck)
+        candidates = [
+            (m.start(), m.group("tbl"), m)
+            for m in re.finditer(
+                r"\b(?P<kw>FROM|JOIN)\s+(?P<tbl>[A-Za-z_]\w*)\b", body,
+                re.IGNORECASE)
+            if m.group("tbl") in self._table_paths
+        ]
+        if not candidates:
+            raise ValueError(
+                "CREATE STREAM: no streamable source — the SELECT must "
+                "reference a table registered from a parquet path "
+                f"(known: {sorted(self._table_paths)})")
+        _, src, _m = min(candidates)  # leftmost FROM = the stream source
+        stream_view = f"__stream_{uuid.uuid4().hex[:8]}"
+        events_stream(self.spark, self._table_paths[src]) \
+            .createOrReplaceTempView(stream_view)
+
+        kw_after = {  # words after a table ref that are NOT an alias
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "ON",
+            "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION", "EXCEPT",
+            "INTERSECT", "USING", "QUALIFY", "WINDOW", "VERSION",
+            "TIMESTAMP", "ASOF", "ANTI", "SEMI", "LATERAL", "NATURAL"}
+
+        def rebind(m: re.Match) -> str:
+            if m.group("tbl") != src:
+                return m.group(0)
+            alias = m.group("alias")
+            if alias and alias.upper() not in kw_after:
+                return f"{m.group('kw')} {stream_view} AS {alias}"
+            # no alias: keep the original name addressable; re-emit any
+            # trailing keyword the optional alias group swallowed
+            tail = f" {alias}" if alias else ""
+            return f"{m.group('kw')} {stream_view} AS {src}{tail}"
+
+        rewritten = re.sub(
+            r"\b(?P<kw>FROM|JOIN)\s+(?P<tbl>[A-Za-z_]\w*)"
+            r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?", rebind, body,
+            flags=re.IGNORECASE)
+        out = self.spark.sql(rewritten)
+        if not out.isStreaming:
+            raise ValueError("CREATE STREAM: plan did not stream "
+                             "(source rebind failed)")
+        run_to_memory(out, name)  # availableNow; registers table <name>
+        self._bump_registration_epoch()
+        return self.spark.sql("SELECT 1 AS ok WHERE false")
 
     # Bound on discovered pivot values: each value becomes an output COLUMN,
     # and a wide-row explosion is a driver/schema problem, not a data
@@ -1548,6 +1687,93 @@ def _split_top_commas(text: str) -> list[str]:
         i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_read_func_args(argstr: str) -> dict:
+    """Parse DuckDB-style named args of a read_* table function
+    (``delim='|', header=true, columns={'a': 'INTEGER'}``) into a
+    lowercase-key dict. Values: quoted strings (unescaped), booleans,
+    numbers, or a ``{...}`` struct kept as its raw text."""
+    out: dict = {}
+    if not argstr.strip():
+        return out
+    # split top-level commas (quotes and braces protect inner commas)
+    parts, buf, depth, in_str = [], [], 0, False
+    for ch in argstr:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "{":
+            depth += 1
+            buf.append(ch)
+        elif ch == "}":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^(?P<key>[A-Za-z_]\w*)\s*:?=\s*(?P<val>.+)$", part,
+                     re.DOTALL)
+        if not m:
+            raise ValueError(f"read_*: cannot parse option {part!r} — "
+                             "expected key=value")
+        key, val = m.group("key").lower(), m.group("val").strip()
+        if val.startswith("'") and val.endswith("'"):
+            out[key] = val[1:-1].replace("''", "'")
+        elif val.lower() in ("true", "false"):
+            out[key] = val.lower() == "true"
+        elif re.fullmatch(r"-?\d+", val):
+            out[key] = int(val)
+        else:
+            out[key] = val  # struct text ({'a': 'INTEGER'}) or bareword
+    return out
+
+
+# DuckDB type names → Spark DDL types (for read_* columns={} options).
+_DUCK_TO_SPARK_TYPES = {
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "BIGINT": "BIGINT", "INT8": "BIGINT", "LONG": "BIGINT",
+    "HUGEINT": "DECIMAL(38,0)",
+    "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "TINYINT": "TINYINT",
+    "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "DOUBLE": "DOUBLE", "FLOAT8": "DOUBLE",
+    "REAL": "FLOAT", "FLOAT4": "FLOAT", "FLOAT": "FLOAT",
+    "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+}
+
+
+def _columns_to_spark_ddl(columns: str) -> str:
+    """``{'a': 'INTEGER', 'b': 'VARCHAR'}`` → ``a INT, b STRING`` (the
+    read_csv/read_json columns= option; declaration order preserved)."""
+    pairs = re.findall(r"'((?:[^']|'')+)'\s*:\s*'((?:[^']|'')+)'", columns)
+    if not pairs:
+        raise ValueError(
+            f"read_*: cannot parse columns option {columns!r} — expected "
+            "{'name': 'TYPE', ...}")
+    cols = []
+    for name, typ in pairs:
+        t = typ.strip().upper()
+        base = re.match(r"^[A-Za-z]+", t)
+        mapped = _DUCK_TO_SPARK_TYPES.get(t)
+        if mapped is None and base and base.group() == "DECIMAL":
+            mapped = t
+        if mapped is None:
+            raise ValueError(f"read_*: unsupported column type {typ!r}")
+        cols.append(f"{name.replace(chr(39) * 2, chr(39))} {mapped}")
+    return ", ".join(cols)
 
 
 def _schema_to_spark_ddl(inner: str) -> str:

@@ -1026,6 +1026,38 @@ def _q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_op("q112_create_stream_sql", f"""
+{_DUCK_EVENTS_SHIM}
+SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+FROM events GROUP BY 1, 2 ORDER BY w, event_type
+""", note="STREAMING declared query #3 (VERDICT r4 item 5): the stream is "
+          "driven by SQL TEXT — CREATE STREAM <name> AS SELECT window "
+          "agg FROM events — through Engine.sql (no Python streaming "
+          "API in the query); the engine re-binds events to a file "
+          "stream, drains availableNow into a memory sink, and the "
+          "result must hash-match the q45 tumbling batch oracle")
+def _q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.register_fixture_dir(sf_dir)
+    name = f"q112_sink_{uuid.uuid4().hex[:8]}"
+    eng.sql(
+        f"CREATE STREAM {name} AS "
+        "SELECT window.start AS w, event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sv "
+        "FROM events GROUP BY window(ts, '1 hour'), event_type"
+    )
+    return (
+        spark.table(name)
+        .select("w", "event_type", "n", F.col("sv").cast("double").alias("sv"))
+        .orderBy("w", "event_type")
+    )
+
+
 @_op("q108_paragraph_dedup", """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 paras AS (

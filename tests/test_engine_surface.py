@@ -439,6 +439,33 @@ def test_glob_and_read_func_in_one_query(engine):
     assert r2["s"] == "read_parquet('x')"
 
 
+def test_read_csv_options_cross_engine(engine, tmp_path):
+    """VERDICT r4 #4: read_csv named options (delim, header, quote,
+    columns) — the same SQL text runs verbatim in DuckDB and returns the
+    same rows."""
+    import duckdb
+
+    p = tmp_path / "opts.csv"
+    p.write_text('a|b|c\n1|x|2.5\n2|"y|z"|3.5\n')
+    sql = (f"SELECT a, b, c FROM read_csv('{p}', delim='|', header=true, "
+           "quote='\"') ORDER BY a")
+    srows = [(r["a"], r["b"], r["c"]) for r in engine.sql(sql).collect()]
+    drows = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert srows == drows == [(1, "x", 2.5), (2, "y|z", 3.5)]
+    # headerless + columns= (declared names AND types, no inference)
+    p2 = tmp_path / "nohdr.csv"
+    p2.write_text("1;x\n2;y\n")
+    sql2 = (f"SELECT k, v FROM read_csv('{p2}', delim=';', header=false, "
+            "columns={'k': 'INTEGER', 'v': 'VARCHAR'}) ORDER BY k")
+    srows2 = [(r["k"], r["v"]) for r in engine.sql(sql2).collect()]
+    drows2 = [tuple(r) for r in duckdb.connect().execute(sql2).fetchall()]
+    assert srows2 == drows2 == [(1, "x"), (2, "y")]
+    assert dict(engine.sql(sql2).dtypes)["k"] == "int"
+    # unrecognized option raises instead of silently dropping
+    with pytest.raises(ValueError, match="unrecognized option"):
+        engine.sql(f"SELECT * FROM read_csv('{p}', bogus=1)")
+
+
 def test_len_dispatch_is_schema_aware(engine, spark):
     """VERDICT r4 #1: len() on a registered column resolves by the
     column's ACTUAL type, not the ARRAY_COLUMN_HINTS name list — an
