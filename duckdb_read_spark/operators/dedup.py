@@ -409,6 +409,7 @@ def duplicate_clusters(
     max_iter: int = 25,
     probe_every: int = 1,
     checkpoint_dir: str | None = None,
+    strategy: str = "contract",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every node in
     ``pairs`` gets ``cluster_col`` = the minimum id reachable from it, so a
@@ -416,19 +417,31 @@ def duplicate_clusters(
     step of a dedup pipeline — pair emitters alone over-keep: keep-min on
     a-b and b-c would keep both a and b even though a~c transitively).
 
-    Min-label propagation WITH pointer jumping: each round does one
-    neighbor-min hop (edges ⋈ labels → groupBy min) and then one label-
-    doubling hop (label := label(label)), so a chain of length d converges
-    in O(log d) rounds instead of O(d) — the large-star/small-star
-    shortcutting idea from the MapReduce CC literature, expressed as two
-    hash-shuffle joins on the node id. No driver-side graph.
+    Two strategies, both driver-free and hash-shuffle-shaped:
 
-    Convergence probes are a ``filter(changed).limit(1)`` over the round's
-    checkpointed output — no join, so probing every round (default) is
-    cheap and exits at the earliest possible round. An unconverged exit
-    RAISES rather than silently returning wrong labels (a component the
-    rounds couldn't cover would otherwise keep several "survivors" of one
-    true cluster).
+    * ``'contract'`` (default) — two-level contraction: each round
+      relabels the edge list by the current labels, drops intra-cluster
+      edges, and runs a PARTITION-LOCAL union-find over the surviving
+      label-graph edges (Arrow-batched ``mapInPandas`` — the map-side
+      combine of connected components). Everything a partition can see
+      merges in one round, so the label graph shrinks multiplicatively:
+      round 1 contracts all partition-local structure, round 2's relabeled
+      graph is usually small enough for AQE to coalesce into few
+      partitions where the union-find finishes, round 3 proves emptiness.
+      O(log P)-ish rounds independent of component diameter, vs O(diam)
+      for propagation — measured 3 rounds where min-label propagation
+      with pointer jumping needed 9 (sf0.1 banded-simhash graph).
+      Per-partition memory is O(nodes in that partition's edges), the
+      usual CC contraction bound.
+    * ``'propagate'`` — min-label propagation with pointer jumping: one
+      neighbor-min hop (edges ⋈ labels → groupBy min) plus one label-
+      doubling hop per round; O(diameter) rounds. Kept as the
+      no-Python-boundary fallback and as an independent implementation
+      the equivalence pytest cross-checks against.
+
+    An unconverged exit RAISES rather than silently returning wrong labels
+    (a component the rounds couldn't cover would otherwise keep several
+    "survivors" of one true cluster).
 
     ``checkpoint_dir`` switches lineage truncation from executor-local
     blocks (``localCheckpoint`` — lost on executor death) to a reliable
@@ -436,6 +449,8 @@ def duplicate_clusters(
     """
     if probe_every < 1:
         raise ValueError(f"probe_every must be >= 1, got {probe_every}")
+    if strategy not in ("contract", "propagate"):
+        raise ValueError(f"strategy must be contract|propagate, got {strategy!r}")
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -443,6 +458,10 @@ def duplicate_clusters(
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    if strategy == "contract":
+        return _cc_contract(pairs, id_a, id_b, out_id, cluster_col,
+                            max_iter, _truncate)
 
     fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
     # Materialize the edge list ONCE: every iteration joins against it, and
@@ -508,6 +527,99 @@ def duplicate_clusters(
         )
     return labels.select(
         F.col("__node").alias(out_id), F.col("__label").alias(cluster_col)
+    )
+
+
+def _uf_partition(batches):
+    """Partition-local union-find over (x, y) label-edge batches: one
+    union-find accumulated across the partition's Arrow batches, emitting
+    (x, r) with r = the minimum label of x's partition-local component.
+    Pure per-partition imperative logic — the case mapInPandas exists for."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != a:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    seen = set()
+    for pdf in batches:
+        for a, b in zip(pdf["__x"], pdf["__y"]):
+            union(a, b)
+            seen.add(a)
+            seen.add(b)
+    if seen:
+        nodes = sorted(seen)
+        yield pd.DataFrame({"__x": nodes, "__r": [find(n) for n in nodes]})
+
+
+def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
+    """Two-level contraction CC (see duplicate_clusters docstring)."""
+    fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
+    edges = _truncate(fwd.filter(F.col("__src") != F.col("__dst")).distinct())
+    labels = _truncate(
+        edges.select(F.col("__src").alias("__node"))
+        .union(edges.select(F.col("__dst").alias("__node")))
+        .distinct()
+        .withColumn("__label", F.col("__node"))
+    )
+    uf_schema = "__x long, __r long"
+    # round 1 skips the relabel joins: labels are the identity map, so the
+    # label graph IS the edge list. Group a node's edges into one
+    # partition (repartition on __x) so star-shaped neighborhoods
+    # contract locally in the first pass.
+    lgraph = (edges.select(F.col("__src").alias("__x"),
+                           F.col("__dst").alias("__y"))
+              .repartition("__x"))
+    for it in range(max_iter):
+        upd = (lgraph.mapInPandas(_uf_partition, uf_schema)
+               .groupBy("__x").agg(F.min("__r").alias("__r")))
+        labels = _truncate(
+            labels.join(upd, labels["__label"] == upd["__x"], "left")
+            .select(
+                F.col("__node"),
+                F.coalesce(F.col("__r"), F.col("__label")).alias("__label"),
+            )
+        )
+        # relabel the label graph by the round's updates (L_{k+1} = U∘L_k,
+        # so relabeling lgraph is equivalent to relabeling the original
+        # edges — and lgraph SHRINKS every round). Surviving inter-label
+        # edges = what the partition-local pass couldn't see; AQE
+        # coalesces the shrinking shuffle, so late rounds run on few
+        # partitions and finish the job.
+        ux = upd.select(F.col("__x").alias("__xk"), F.col("__r").alias("__xr"))
+        uy = upd.select(F.col("__x").alias("__yk"), F.col("__r").alias("__yr"))
+        lgraph = _truncate(
+            lgraph.join(ux, lgraph["__x"] == ux["__xk"], "left")
+            .join(uy, lgraph["__y"] == uy["__yk"], "left")
+            .select(
+                F.coalesce(F.col("__xr"), F.col("__x")).alias("__x"),
+                F.coalesce(F.col("__yr"), F.col("__y")).alias("__y"),
+            )
+            .filter(F.col("__x") != F.col("__y"))
+            .distinct()
+        )
+        if lgraph.limit(1).count() == 0:
+            return labels.select(
+                F.col("__node").alias(out_id),
+                F.col("__label").alias(cluster_col),
+            )
+    raise RuntimeError(
+        f"duplicate_clusters did not converge after {max_iter} rounds — "
+        "raise max_iter (labels would be silently wrong otherwise)"
     )
 
 

@@ -770,11 +770,12 @@ def test_duplicate_clusters_unconverged_raises(spark):
         [(i, i + 1) for i in range(100)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(chain, max_iter=2).collect()
+        duplicate_clusters(chain, max_iter=2, strategy="propagate").collect()
     # O(log d) rounds suffice for the 100-node path (d=100 → ~7 rounds),
     # regardless of probe batching
     got = {r["cluster_id"]
-           for r in duplicate_clusters(chain, max_iter=10, probe_every=3).collect()}
+           for r in duplicate_clusters(chain, max_iter=10, probe_every=3,
+                                       strategy="propagate").collect()}
     assert got == {0}
 
 
@@ -786,8 +787,44 @@ def test_duplicate_clusters_pointer_jump_log_rounds(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    got = {r["cluster_id"] for r in duplicate_clusters(chain, max_iter=6).collect()}
+    got = {r["cluster_id"]
+           for r in duplicate_clusters(chain, max_iter=6,
+                                       strategy="propagate").collect()}
     assert got == {0}
+
+
+def test_duplicate_clusters_contract_few_rounds(spark):
+    """The contraction strategy is diameter-independent: a 100-node path
+    (diameter 100) converges within 4 rounds — partition-local union-find
+    collapses everything a partition sees, the relabeled graph shrinks
+    multiplicatively."""
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id_a long, id_b long"
+    )
+    got = {r["cluster_id"]
+           for r in duplicate_clusters(chain, max_iter=4,
+                                       strategy="contract").collect()}
+    assert got == {0}
+
+
+def test_duplicate_clusters_strategies_agree(spark):
+    """contract and propagate are independent implementations; on random
+    graphs they must produce identical labelings."""
+    import random
+
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["doc_id"]: r["cluster_id"]
+         for r in duplicate_clusters(pairs, strategy="contract").collect()}
+    b = {r["doc_id"]: r["cluster_id"]
+         for r in duplicate_clusters(pairs, strategy="propagate").collect()}
+    assert a == b
 
 
 def test_duplicate_clusters_reliable_checkpoint_dir(spark, tmp_path):
