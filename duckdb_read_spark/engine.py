@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .conf import BUILD_CONFS, RUNTIME_CONFS, TABLES, apply_runtime_confs
 from . import catalog, snapshots
 from .dialect import to_spark_sql
+from .sources import sinks
 
 
 # INSTALL/FORCE INSTALL/LOAD statement shapes (LoadInfo.load_type analog,
@@ -175,8 +176,22 @@ _OPTIMIZE_RE = re.compile(
 
 # DESCRIBE/DESC <table> and SHOW TABLES (DuckDB introspection surface).
 _DESCRIBE_RE = re.compile(
-    r"^\s*DESC(?:RIBE)?\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+    r"^\s*DESC(?:RIBE)?\s+(?P<name>[A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+# ATTACH '<dir>' AS db / DETACH db — multiple catalogs in one session
+# (DuckDB's ATTACH surface; the reference's OpenDB startup motif
+# /root/reference/duckdb:120-125 generalized to N warehouses).
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?'(?P<path>[^']+)'"
+    r"\s*(?:AS\s+(?P<db>[A-Za-z_]\w*))?\s*(?:\((?P<opts>[^)]*)\)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+_SHOW_TABLES_FROM_RE = re.compile(
+    r"^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class Engine:
@@ -203,6 +218,12 @@ class Engine:
         self._extensions: dict[str, object] = {}
         self._versioned: dict[str, str] = {}  # view name -> table_dir
         self._table_paths: dict[str, str] = {}  # view name -> parquet path
+        # view name -> (ts_col, partition_col, granularity) for tables
+        # registered through the time-partitioned materialization path
+        self._time_partitioned: dict[str, tuple[str, str, str]] = {}
+        # db name -> {table name -> backing view name} for ATTACHed
+        # warehouses; SQL references ``db.table`` resolve through this
+        self._attached: dict[str, dict[str, str]] = {}
         # Managed-table root for CREATE TABLE/CTAS; created lazily so a
         # query-only session never touches disk.
         self._warehouse = warehouse_dir
@@ -221,10 +242,68 @@ class Engine:
 
     # -- sources (binder name resolution analog, /root/reference/duckdb:34-37)
 
-    def register_parquet(self, name: str, path: str) -> DataFrame:
-        """Register a parquet file/glob as ``name``; ns-timestamp shim applied."""
-        df = self.spark.read.parquet(path)
-        df = catalog.apply_schema_shims(df, path)
+    def register_parquet(
+        self,
+        name: str,
+        path: str,
+        time_partition: bool | str = False,
+        granularity: str = "day",
+        materialize_dir: str | None = None,
+    ) -> DataFrame:
+        """Register a parquet file/glob as ``name``; ns-timestamp shim applied.
+
+        ``time_partition`` fixes the SCALE.md §3.4 scan-cost cliff at the
+        source: the ns-shim view computes its timestamp column as an
+        expression, so time predicates can never reach the parquet scan.
+        With ``time_partition=True`` (materialize on any ns-shimmed column)
+        or ``time_partition='<col>'`` (explicit timestamp column), the data
+        is materialized ONCE into a hive time-partitioned layout
+        (sinks.write_time_partitioned) under ``materialize_dir`` (default:
+        a per-table dir inside the warehouse) and the view re-registered
+        over it — ``<col>`` becomes a real column again (row-group min/max
+        pushdown works) and the derived ``p_date`` partition column is part
+        of the visible schema, as in any hive/Delta partitioned table.
+        Literal time predicates in SQL then additionally prune whole
+        partitions via the generated-partition-filter injection in
+        ``sql()`` (the Delta generated-columns idea). Re-registration
+        reuses an existing materialization (idempotent)."""
+        import os
+
+        raw = self.spark.read.parquet(path)
+        df = catalog.apply_schema_shims(raw, path)
+        ts_col: str | None = None
+        if isinstance(time_partition, str):
+            ts_col = time_partition
+        elif time_partition:
+            raw_types = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+            ts_like = [f.name for f in df.schema.fields
+                       if f.dataType.simpleString() == "timestamp"]
+            # prefer ns-shimmed columns (the expression-computed ones that
+            # motivated this path); else accept a single native ts column
+            shimmed = [c for c in ts_like if raw_types.get(c) == "bigint"]
+            pick = shimmed or ts_like
+            if len(pick) != 1:
+                raise ValueError(
+                    f"time_partition=True needs exactly one candidate "
+                    f"timestamp column in {path!r}, found {pick or 'none'} — "
+                    f"pass time_partition='<col>' to choose explicitly")
+            ts_col = pick[0]
+        if ts_col is not None:
+            types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            if types.get(ts_col) != "timestamp":
+                raise ValueError(
+                    f"time_partition column {ts_col!r} is "
+                    f"{types.get(ts_col, 'absent')}, need timestamp")
+            dest = materialize_dir or os.path.join(
+                self._warehouse_dir(), f"__tp__{name}")
+            if not os.path.isdir(dest):
+                sinks.write_time_partitioned(
+                    df, dest, ts_col=ts_col, granularity=granularity)
+            df = self.spark.read.parquet(dest)
+            self._time_partitioned[name] = (ts_col, "p_date", granularity)
+            path = dest
+        else:
+            self._time_partitioned.pop(name, None)
         df.createOrReplaceTempView(name)
         self._table_paths[name] = path
         self._bump_registration_epoch()
@@ -270,6 +349,95 @@ class Engine:
         self._versioned[name] = table_dir
         self._bump_registration_epoch()
         return df
+
+    # -- attached catalogs (ATTACH/DETACH; DuckDB multi-database surface,
+    #    generalizing the OpenDB motif /root/reference/duckdb:120-125)
+
+    def attach(self, path: str, db: str | None = None) -> dict[str, str]:
+        """Attach a warehouse directory as catalog ``db``.
+
+        Every versioned table in ``path`` (a subdirectory carrying a
+        ``_log/`` or ``_delta_log/``) and every loose parquet file/dataset
+        becomes addressable as ``db.table`` in SQL (and through
+        ``Engine.table('db.table')``). Versioned tables keep their full
+        surface — DML, time travel, OPTIMIZE — because they register
+        through the same path as local tables. Returns {table: view}."""
+        import os
+
+        if not self._extensions_allowed:
+            raise PermissionError(
+                "ATTACH reads external paths — disabled in safe mode "
+                "(enable_external_access=false)")
+        if db is None:
+            db = re.sub(r"\W+", "_",
+                        os.path.basename(os.path.normpath(path))) or "db"
+        if db in self._attached:
+            raise ValueError(f"ATTACH: database {db!r} is already attached")
+        if not os.path.isdir(path):
+            raise ValueError(f"ATTACH: {path!r} is not a directory")
+        tables: dict[str, str] = {}
+        for entry in sorted(os.listdir(path)):
+            p = os.path.join(path, entry)
+            if os.path.isdir(p) and (
+                os.path.isdir(os.path.join(p, "_log"))
+                or os.path.isdir(os.path.join(p, "_delta_log"))
+            ):
+                tname = entry
+                self.register_versioned(f"{db}__{tname}", p)
+            elif entry.endswith(".parquet"):
+                tname = entry[: -len(".parquet")]
+                self.register_parquet(f"{db}__{tname}", p)
+            elif os.path.isdir(p) and any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            ):
+                tname = entry
+                self.register_parquet(f"{db}__{tname}", p)
+            else:
+                continue
+            tables[tname] = f"{db}__{tname}"
+        self._attached[db] = tables
+        self._bump_registration_epoch()
+        return tables
+
+    def detach(self, db: str) -> None:
+        """Drop an attached catalog and every view it registered."""
+        tables = self._attached.pop(db, None)
+        if tables is None:
+            raise ValueError(f"DETACH: database {db!r} is not attached")
+        for view in tables.values():
+            self.spark.catalog.dropTempView(view)
+            self._versioned.pop(view, None)
+            self._table_paths.pop(view, None)
+            self._time_partitioned.pop(view, None)
+        self._bump_registration_epoch()
+
+    def _resolve_qualified(self, query: str) -> str:
+        """Rewrite ``db.table`` (and DuckDB's ``db.main.table``) references
+        to attached catalogs into their backing view names. Column paths
+        like ``db.t.col`` work because only the ``db.t`` head matches.
+        Unknown table names under a known db are left for the analyzer to
+        report. Literal/comment spans are respected per pass."""
+        if not self._attached or "." not in query:
+            return query
+        out = query
+        for db, tables in self._attached.items():
+            pat = re.compile(
+                rf"\b{re.escape(db)}\.(?:main\.)?(?P<t>[A-Za-z_]\w*)")
+
+            def repl(m: re.Match) -> str:
+                view = tables.get(m.group("t"))
+                return view if view is not None else m.group(0)
+
+            spans = [m.span()
+                     for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", out)]
+
+            def guarded(m: re.Match) -> str:
+                if any(a <= m.start() < b for a, b in spans):
+                    return m.group(0)
+                return repl(m)
+
+            out = pat.sub(guarded, out)
+        return out
 
     def table_history(self, name_or_dir: str) -> list[dict]:
         """Commit history (DESCRIBE HISTORY analog) by view name or path."""
@@ -429,6 +597,22 @@ class Engine:
             # anything that can define/replace a view or table invalidates
             # the schema cache behind the dialect's len() dispatch
             self._bump_registration_epoch()
+        ma = _ATTACH_RE.match(query)
+        if ma:
+            self.attach(ma.group("path"), ma.group("db"))
+            return self._empty()
+        md = _DETACH_RE.match(query)
+        if md:
+            self.detach(md.group("db"))
+            return self._empty()
+        msf = _SHOW_TABLES_FROM_RE.match(query)
+        if msf:
+            db = msf.group("db")
+            if db not in self._attached:
+                raise ValueError(f"SHOW TABLES FROM: unknown database {db!r}")
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self._attached[db])], "name string")
+        query = self._resolve_qualified(query)
         if head.startswith("MERGE"):
             return self._merge(query, dialect)
         mstream = _CREATE_STREAM_RE.match(query)
@@ -506,7 +690,88 @@ class Engine:
                   if re.search(r"\blen\s*\(", query, re.IGNORECASE) else None)
             query = to_spark_sql(query, column_kinds=ck)
         query = self._resolve_time_travel(query)
+        if self._time_partitioned:
+            injected = self._inject_partition_filters(query)
+            if injected != query:
+                from pyspark.errors import AnalysisException
+
+                try:
+                    return self.spark.sql(injected)
+                except AnalysisException:
+                    # e.g. the matched column name belonged to a different
+                    # (non-partitioned) table in this query — fall through
+                    # to the untouched text
+                    pass
         return self.spark.sql(query)
+
+    def _inject_partition_filters(self, query: str) -> str:
+        """Generated-partition-filter injection (the Delta generated-columns
+        idea, public spec): for every table registered through the
+        time-partitioned path, a literal comparison on its timestamp column
+        (``ts >= '2024-01-02 03:00:00'``, BETWEEN, =) gains the equivalent
+        predicate on the derived partition column (``AND p_date >=
+        '2024-01-02'``), which Catalyst turns into partition pruning at
+        planning time — whole day/hour directories are never listed. The
+        hive partition-value formats sort lexicographically in time order,
+        so string comparison is exact at partition granularity; boundary
+        partitions are kept (``<``/``>`` widen to ``<=``/``>=``) and the
+        original row-level predicate still applies inside them."""
+        import datetime as _dt
+
+        gran_fmt = {"hour": "%Y-%m-%d-%H", "day": "%Y-%m-%d", "month": "%Y-%m"}
+
+        def guarded_sub(pat: re.Pattern, repl, s: str) -> str:
+            # literal/comment spans recomputed per pass — earlier passes
+            # change offsets (the glob-span lesson, ADVICE r4)
+            spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", s)]
+
+            def f(m: re.Match) -> str:
+                if any(a <= m.start() < b for a, b in spans):
+                    return m.group(0)
+                return repl(m)
+
+            return pat.sub(f, s)
+
+        out = query
+        for name, (ts_col, p_col, gran) in self._time_partitioned.items():
+            if not re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE):
+                continue
+            fmt = gran_fmt[gran]
+
+            def plit(lit: str) -> str | None:
+                try:
+                    return _dt.datetime.fromisoformat(lit.strip("'")).strftime(fmt)
+                except ValueError:
+                    return None
+
+            cmp_pat = re.compile(
+                rf"(?P<pre>(?:[A-Za-z_]\w*\.)?)\b{re.escape(ts_col)}\b\s*"
+                rf"(?P<op>>=|<=|=|<|>)\s*(?P<lit>'[^']*')",
+                re.IGNORECASE,
+            )
+            btw_pat = re.compile(
+                rf"(?P<pre>(?:[A-Za-z_]\w*\.)?)\b{re.escape(ts_col)}\b\s+BETWEEN\s+"
+                rf"(?P<lo>'[^']*')\s+AND\s+(?P<hi>'[^']*')",
+                re.IGNORECASE,
+            )
+
+            def csub(m: re.Match) -> str:
+                p = plit(m.group("lit"))
+                if p is None:
+                    return m.group(0)
+                op = {"<": "<=", ">": ">="}.get(m.group("op"), m.group("op"))
+                return f"{m.group(0)} AND {m.group('pre')}{p_col} {op} '{p}'"
+
+            def bsub(m: re.Match) -> str:
+                lo, hi = plit(m.group("lo")), plit(m.group("hi"))
+                if lo is None or hi is None:
+                    return m.group(0)
+                return (f"{m.group(0)} AND {m.group('pre')}{p_col} "
+                        f"BETWEEN '{lo}' AND '{hi}'")
+
+            out = guarded_sub(btw_pat, bsub, out)
+            out = guarded_sub(cmp_pat, csub, out)
+        return out
 
     def _resolve_read_functions(self, query: str) -> str:
         """``FROM read_parquet('path')`` / read_csv[_auto] / read_json —
@@ -1507,6 +1772,11 @@ class Engine:
         return [self.sql(stmt, dialect=dialect) for stmt in split_statements(script)]
 
     def table(self, name: str) -> DataFrame:
+        if "." in name:
+            db, _, t = name.partition(".")
+            view = self._attached.get(db, {}).get(t)
+            if view is not None:
+                return self.spark.table(view)
         return self.spark.table(name)
 
     def summarize(self, name: str) -> DataFrame:

@@ -655,3 +655,75 @@ def test_write_zordered_clusters_both_dims(engine, spark, tmp_path):
     assert touching < len(boxes), (touching, len(boxes))
     # and the data survives intact
     assert spark.read.parquet(path).count() == src.count()
+
+
+# --- ATTACH / DETACH: multiple catalogs in one session --------------------
+
+def test_attach_two_warehouses_and_join(engine, tmp_path):
+    """ATTACH registers every table of a warehouse dir under db.-qualified
+    names; queries join across two attached catalogs; DETACH removes them.
+    Versioned tables keep their full surface (time travel) through the
+    attached name."""
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "local"))
+    # warehouse 1: one versioned table (via the snapshot log)
+    wh1 = tmp_path / "wh1"
+    dims = eng.spark.createDataFrame(
+        [(1, "eu"), (2, "us"), (3, "apac")], "region_id int, region string")
+    eng.write_versioned(dims, str(wh1 / "regions"))
+    # warehouse 2: one loose parquet table
+    wh2 = tmp_path / "wh2"
+    facts = eng.spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.5), (12, 1, 2.5)],
+        "sale_id int, region_id int, amount double")
+    facts.write.parquet(str(wh2 / "sales.parquet"))
+
+    eng.sql(f"ATTACH '{wh1}' AS store")
+    eng.sql(f"ATTACH DATABASE '{wh2}' AS mart")
+    assert [r.name for r in eng.sql("SHOW TABLES FROM store").collect()] == ["regions"]
+    assert [r.name for r in eng.sql("SHOW TABLES IN mart").collect()] == ["sales"]
+
+    out = eng.sql(
+        "SELECT r.region, sum(s.amount) AS total "
+        "FROM mart.sales s JOIN store.main.regions r USING (region_id) "
+        "GROUP BY r.region ORDER BY r.region")
+    assert [tuple(r) for r in out.collect()] == [("eu", 7.5), ("us", 7.5)]
+
+    # attached versioned tables time-travel by qualified name
+    eng.write_versioned(
+        eng.spark.createDataFrame([(4, "latam")], "region_id int, region string"),
+        str(wh1 / "regions"), mode="append")
+    eng.attach(str(wh1), "store2")  # fresh attach sees the append
+    assert eng.sql("SELECT count(*) AS n FROM store2.regions").collect()[0].n == 4
+    assert eng.sql(
+        "SELECT count(*) AS n FROM store2.regions VERSION AS OF 1"
+    ).collect()[0].n == 3
+
+    # DESCRIBE and Engine.table resolve qualified names
+    assert eng.table("mart.sales").count() == 3
+    cols = [r.column_name for r in eng.sql("DESCRIBE mart.sales").collect()]
+    assert cols == ["sale_id", "region_id", "amount"]
+
+    # a table name inside a string literal never rewrites
+    lit = eng.sql("SELECT 'mart.sales' AS s").collect()[0].s
+    assert lit == "mart.sales"
+
+    eng.sql("DETACH store")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM store.regions").collect()
+    with pytest.raises(ValueError):
+        eng.detach("store")
+    # double-attach of a live name is rejected
+    with pytest.raises(ValueError):
+        eng.attach(str(wh2), "mart")
+    eng.sql("DETACH DATABASE mart")
+    eng.detach("store2")
+
+
+def test_attach_blocked_in_safe_mode(engine, tmp_path):
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark, extensions_allowed=False)
+    with pytest.raises(PermissionError):
+        eng.sql(f"ATTACH '{tmp_path}' AS x")

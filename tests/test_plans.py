@@ -182,3 +182,52 @@ def test_repartition_for_join_no_extra_shuffle(engine):
     plan = physical_plan(joined, "simple")
     # exactly the two explicit repartition exchanges; the join itself adds none
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_time_partitioned_registration_prunes(engine, tmp_path):
+    """SCALE §3.4 closed at the source: register_parquet(time_partition=True)
+    materializes the ns-ts table into a hive day-partitioned layout, and a
+    literal ts range in SQL (a) gains an injected p_date predicate that
+    Catalyst turns into partition pruning, and (b) pushes the ts range
+    itself down to row-group stats — neither is possible through the
+    expression-computed shim view."""
+    import os
+
+    from duckdb_read_spark import Engine
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path))
+    df = eng.register_parquet(
+        "events_tp", os.path.join(sf_dir, "events.parquet"), time_partition=True)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["ts"] == "timestamp"  # a real column again, not an expression
+    # visible partition column (hive style); Spark infers DATE for the
+    # day-granularity format, string for hour/month
+    assert types.get("p_date") in ("date", "string")
+
+    pred = "ts >= '2024-01-02 00:00:00' AND ts < '2024-01-03 00:00:00'"
+    out = eng.sql(f"SELECT count(*) AS n FROM events_tp WHERE {pred}")
+    plan = physical_plan(out)
+    part = plan.split("PartitionFilters", 1)
+    assert len(part) == 2 and "p_date" in part[1][:400]
+    assert has_pushed_filter(out, "GreaterThanOrEqual(ts")
+    # row-identical to the same predicate on the unpartitioned shim view
+    base = engine.sql(f"SELECT count(*) AS n FROM events WHERE {pred}")
+    assert out.collect() == base.collect()
+
+    # BETWEEN and exact-day equality inject too, and literals inside
+    # string context never mutate the result
+    btw = eng.sql("SELECT count(*) AS n FROM events_tp "
+                  "WHERE ts BETWEEN '2024-01-05 06:00:00' AND '2024-01-07 18:00:00'")
+    btw_base = engine.sql("SELECT count(*) AS n FROM events "
+                          "WHERE ts BETWEEN '2024-01-05 06:00:00' AND '2024-01-07 18:00:00'")
+    assert btw.collect() == btw_base.collect()
+    assert "p_date" in physical_plan(btw).split("PartitionFilters", 1)[1][:400]
+
+    # re-registration reuses the existing materialization (no second write)
+    import glob as _g
+    before = set(_g.glob(os.path.join(str(tmp_path), "__tp__events_tp", "*", "*")))
+    eng.register_parquet(
+        "events_tp", os.path.join(sf_dir, "events.parquet"), time_partition=True)
+    after = set(_g.glob(os.path.join(str(tmp_path), "__tp__events_tp", "*", "*")))
+    assert before == after
