@@ -1161,6 +1161,64 @@ def _q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_op("q113_time_partitioned_scan", """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hr, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1 ORDER BY 1
+""", note="register_parquet(time_partition=True): the ns-ts table is "
+          "materialized once into a hive day-partitioned layout and the "
+          "literal ts range gains an injected p_date predicate → partition "
+          "pruning + row-group pushdown (plan-gated in test_plans); the "
+          "oracle runs the same range agg on the flat events view")
+def _q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q113_"))
+    eng.register_parquet(
+        "ev_tp113", os.path.join(sf_dir, "events.parquet"), time_partition=True)
+    return eng.sql("""
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS hr, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+FROM ev_tp113
+WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-12 00:00:00'
+GROUP BY 1 ORDER BY 1""")
+
+
+@_op("q114_bm25_search", """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'stream', 'window')),
+dfreq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+w AS (
+  SELECT q.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (q.tf * 2.2)
+         / (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+  FROM qtf q JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(SUM(w), 6) AS bm25
+FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""", note="BM25 keyword retrieval (operators/retrieval.bm25_topk, L19): one "
+          "tf shuffle + broadcast idf/corpus-stats joins, all JVM; the "
+          "oracle spells the identical Okapi/Lucene-idf formula in SQL")
+def _q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.bm25_topk(docs, ["hash", "join", "stream", "window"], k=10)
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

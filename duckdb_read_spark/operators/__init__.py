@@ -17,6 +17,7 @@ from .dedup import (
 )
 from .packing import pack_by_offset, pack_greedy, pack_stats
 from .profile import profile_columns
+from .retrieval import bm25_topk
 from .sampling import (
     hash_split,
     hash_threshold,
@@ -81,6 +82,7 @@ __all__ = [
     "pack_greedy",
     "pack_stats",
     "profile_columns",
+    "bm25_topk",
     "sessionize",
     "session_stats",
     "cosine_scores",

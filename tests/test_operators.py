@@ -1194,3 +1194,36 @@ def test_gap_fill_constant_and_empty(spark):
         .withColumn("b", F.timestamp_seconds(F.col("bs") * 60)).drop("bs")
     out = gap_fill(one, bucket="b", width_seconds=60, fill={"v": -1.0})
     assert [r["v"] for r in out.orderBy("b").collect()] == [-1.0, -1.0, 5.0]
+
+
+# --- BM25 retrieval (L19) -------------------------------------------------
+
+def test_bm25_planted_relevance(spark):
+    from duckdb_read_spark.operators import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "cat dog fish"),
+         (1, "cat cat cat dog banana"),
+         (2, "banana apple pear"),
+         (3, "dog"),
+         (4, "totally unrelated words here")],
+        "doc_id int, text string")
+    out = bm25_topk(docs, ["cat", "dog"], k=5).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1                      # highest query-term mass wins
+    assert 2 not in ids and 4 not in ids    # zero-match docs are absent
+    assert ids.index(0) < ids.index(3)      # two matched terms beat one
+    assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
+
+
+def test_bm25_tf_saturation(spark):
+    """Okapi tf saturation: term repetitions gain sublinearly — 10x the tf
+    must score well under 10x the weight."""
+    from duckdb_read_spark.operators import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "cat"), (1, " ".join(["cat"] * 10)), (2, "dog dog dog")],
+        "doc_id int, text string")
+    rows = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=3).collect()}
+    assert rows[1] > rows[0]
+    assert rows[1] < 4 * rows[0]
