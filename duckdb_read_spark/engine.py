@@ -188,6 +188,43 @@ _ATTACH_RE = re.compile(
 )
 _DETACH_RE = re.compile(
     r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+# PREPARE name AS <stmt> / EXECUTE name(args) / DEALLOCATE name — DuckDB's
+# prepared-statement surface ($1/$2… and ? placeholders).
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>[A-Za-z_]\w*)\s*(?:\((?P<args>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEALLOCATE_RE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# RESTORE TABLE t TO VERSION AS OF n (Delta RESTORE statement shape) — a
+# metadata-only commit that re-points the table at an old snapshot.
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)\s+TO\s+VERSION"
+    r"\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# EXPORT DATABASE 'dir' / IMPORT DATABASE 'dir' (DuckDB statement pair):
+# dump every managed table + a replayable load.sql; import replays it.
+_EXPORT_DB_RE = re.compile(
+    r"^\s*EXPORT\s+DATABASE\s+'(?P<path>[^']+)'"
+    r"\s*(?:\((?P<opts>[^)]*)\)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_IMPORT_DB_RE = re.compile(
+    r"^\s*IMPORT\s+DATABASE\s+'(?P<path>[^']+)'\s*;?\s*$", re.IGNORECASE)
+# Session transactions (compensation-based): BEGIN pins every versioned
+# table's current version; ROLLBACK restores them / drops tables created
+# since; COMMIT discards the pins.
+_BEGIN_RE = re.compile(
+    r"^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE)
+_COMMIT_TXN_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES_FROM_RE = re.compile(
     r"^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -224,6 +261,10 @@ class Engine:
         # db name -> {table name -> backing view name} for ATTACHed
         # warehouses; SQL references ``db.table`` resolve through this
         self._attached: dict[str, dict[str, str]] = {}
+        # prepared-statement name -> body SQL text (placeholders intact)
+        self._prepared: dict[str, str] = {}
+        # open transaction: {table name -> version at BEGIN}; None = none
+        self._txn_baseline: dict[str, int] | None = None
         # Managed-table root for CREATE TABLE/CTAS; created lazily so a
         # query-only session never touches disk.
         self._warehouse = warehouse_dir
@@ -411,6 +452,53 @@ class Engine:
             self._time_partitioned.pop(view, None)
         self._bump_registration_epoch()
 
+    def _execute_prepared(self, name: str, args: str | None,
+                          dialect: str) -> DataFrame:
+        """EXECUTE a PREPAREd statement: substitute ``$n`` / ``?``
+        placeholders (outside string literals) with the literal argument
+        text and re-enter ``sql()`` — prepared DML/DDL work too. Arguments
+        are SQL fragments, split on top-level commas."""
+        body = self._prepared.get(name)
+        if body is None:
+            raise ValueError(f"EXECUTE: unknown prepared statement {name!r}")
+        vals = ([a.strip() for a in _split_top_commas(args)]
+                if args and args.strip() else [])
+
+        spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", body)]
+
+        def outside(pos: int) -> bool:
+            return not any(a <= pos < b for a, b in spans)
+
+        def dollar(m: re.Match) -> str:
+            if not outside(m.start()):
+                return m.group(0)
+            i = int(m.group(1))
+            if not 1 <= i <= len(vals):
+                raise ValueError(
+                    f"EXECUTE {name}: ${i} has no argument "
+                    f"(got {len(vals)})")
+            return vals[i - 1]
+
+        out = re.sub(r"\$(\d+)", dollar, body)
+        if "?" in out:
+            spans2 = [m.span()
+                      for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", out)]
+            pos = {"i": 0}
+
+            def qmark(m: re.Match) -> str:
+                if any(a <= m.start() < b for a, b in spans2):
+                    return m.group(0)
+                if pos["i"] >= len(vals):
+                    raise ValueError(
+                        f"EXECUTE {name}: more ? placeholders than "
+                        f"arguments ({len(vals)})")
+                v = vals[pos["i"]]
+                pos["i"] += 1
+                return v
+
+            out = re.sub(r"\?", qmark, out)
+        return self.sql(out, dialect=dialect)
+
     def _resolve_qualified(self, query: str) -> str:
         """Rewrite ``db.table`` (and DuckDB's ``db.main.table``) references
         to attached catalogs into their backing view names. Column paths
@@ -467,6 +555,118 @@ class Engine:
               stats["new_files"], stats["version"])],
             "rewritten_files int, carried_files int, new_files int, version int",
         )
+
+    def restore_table(self, name: str, version: int) -> DataFrame:
+        """RESTORE a versioned table to an old snapshot as a NEW commit —
+        metadata-only (every file carried by reference), history preserved,
+        O(files) cost. Accepts attached-db qualified names."""
+        key = name
+        if key not in self._versioned and "." in key:
+            db, _, t = key.partition(".")
+            key = self._attached.get(db, {}).get(t, key)
+        if key not in self._versioned:
+            raise ValueError(f"RESTORE: unknown versioned table {name!r}")
+        entry = snapshots.restore(
+            self._versioned[key], version,
+            schema_json=self.table(key).schema.json())
+        self._refresh_table(key)
+        return self.spark.createDataFrame(
+            [(entry.version, version)],
+            "restored_as_version int, restored_to_version int")
+
+    def export_database(self, path: str) -> DataFrame:
+        """EXPORT DATABASE 'dir': dump every managed (non-attached)
+        versioned table as parquet plus a replayable ``load.sql`` (each
+        line a CREATE OR REPLACE TABLE over read_parquet — text that runs
+        in this engine AND in DuckDB) and an informational ``schema.sql``.
+        One pass per table, no shuffle (partitioning preserved by the
+        parquet rewrite)."""
+        import os
+
+        if not self._extensions_allowed:
+            raise PermissionError(
+                "EXPORT DATABASE writes external paths — disabled in safe "
+                "mode (enable_external_access=false)")
+        os.makedirs(path, exist_ok=True)
+        attached_views = {v for t in self._attached.values()
+                          for v in t.values()}
+        schema_lines: list[str] = []
+        load_lines: list[str] = []
+        n = 0
+        for name in sorted(self._versioned):
+            if name in attached_views:
+                continue
+            df = self.table(name)
+            dest = os.path.join(path, f"{name}.parquet")
+            df.write.mode("overwrite").parquet(dest)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in df.schema.fields)
+            schema_lines.append(f"CREATE TABLE {name} ({cols});")
+            load_lines.append(
+                f"CREATE OR REPLACE TABLE {name} AS "
+                f"SELECT * FROM read_parquet('{dest}/*.parquet');")
+            n += 1
+        with open(os.path.join(path, "schema.sql"), "w") as f:
+            f.write("\n".join(schema_lines) + "\n")
+        with open(os.path.join(path, "load.sql"), "w") as f:
+            f.write("\n".join(load_lines) + "\n")
+        return self.spark.createDataFrame([(n,)], "exported_tables int")
+
+    def import_database(self, path: str) -> DataFrame:
+        """IMPORT DATABASE 'dir': replay the ``load.sql`` an EXPORT wrote —
+        each statement re-creates a managed table from its parquet dump."""
+        import os
+
+        if not self._extensions_allowed:
+            raise PermissionError(
+                "IMPORT DATABASE reads external paths — disabled in safe "
+                "mode (enable_external_access=false)")
+        load = os.path.join(path, "load.sql")
+        if not os.path.exists(load):
+            raise ValueError(f"IMPORT DATABASE: no load.sql under {path!r}")
+        with open(load) as f:
+            script = f.read()
+        results = self.execute(script, dialect="duckdb")
+        return self.spark.createDataFrame(
+            [(len(results),)], "imported_tables int")
+
+    # -- session transactions (compensation-based) -------------------------
+    #
+    # BEGIN pins each versioned table's current version; ROLLBACK issues a
+    # RESTORE commit per mutated table and drops tables created since;
+    # COMMIT discards the pins. Single-session and NOT isolated (readers
+    # see intermediate states — the snapshot log is the durability story);
+    # DROP inside an open transaction is rejected because dropping
+    # physically deletes warehouse files, which compensation cannot undo.
+
+    def begin(self) -> None:
+        if self._txn_baseline is not None:
+            raise ValueError("BEGIN: a transaction is already open")
+        base: dict[str, int] = {}
+        for name, td in self._versioned.items():
+            commits = snapshots.read_log(td)
+            base[name] = commits[-1].version if commits else 0
+        self._txn_baseline = base
+
+    def commit(self) -> None:
+        if self._txn_baseline is None:
+            raise ValueError("COMMIT: no open transaction")
+        self._txn_baseline = None
+
+    def rollback(self) -> None:
+        if self._txn_baseline is None:
+            raise ValueError("ROLLBACK: no open transaction")
+        base, self._txn_baseline = self._txn_baseline, None
+        for name in list(self._versioned):
+            td = self._versioned[name]
+            if name not in base:
+                self.sql(f"DROP TABLE {name}")  # created inside the txn
+                continue
+            commits = snapshots.read_log(td)
+            cur = commits[-1].version if commits else 0
+            if cur > base[name]:
+                self.restore_table(name, base[name])
 
     def vacuum_table(self, name_or_dir: str, keep_last: int = 1) -> dict:
         """Retention cleanup (Delta VACUUM analog): physically drop data
@@ -605,6 +805,39 @@ class Engine:
         if md:
             self.detach(md.group("db"))
             return self._empty()
+        mp = _PREPARE_RE.match(query)
+        if mp:
+            self._prepared[mp.group("name")] = mp.group("body")
+            return self._empty()
+        mda = _DEALLOCATE_RE.match(query)
+        if mda:
+            if self._prepared.pop(mda.group("name"), None) is None:
+                raise ValueError(
+                    f"DEALLOCATE: unknown prepared statement "
+                    f"{mda.group('name')!r}")
+            return self._empty()
+        mx = _EXECUTE_RE.match(query)
+        if mx:
+            return self._execute_prepared(
+                mx.group("name"), mx.group("args"), dialect)
+        mr = _RESTORE_RE.match(query)
+        if mr:
+            return self.restore_table(mr.group("name"), int(mr.group("v")))
+        mexp = _EXPORT_DB_RE.match(query)
+        if mexp:
+            return self.export_database(mexp.group("path"))
+        mimp = _IMPORT_DB_RE.match(query)
+        if mimp:
+            return self.import_database(mimp.group("path"))
+        if _BEGIN_RE.match(query):
+            self.begin()
+            return self._empty()
+        if _COMMIT_TXN_RE.match(query):
+            self.commit()
+            return self._empty()
+        if _ROLLBACK_RE.match(query):
+            self.rollback()
+            return self._empty()
         msf = _SHOW_TABLES_FROM_RE.match(query)
         if msf:
             db = msf.group("db")
@@ -683,6 +916,7 @@ class Engine:
             )
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
+            query = self._resolve_series_functions(query)
             if query.lstrip()[:5].upper() == "PIVOT":
                 query = self._dynamize_pivot(query)
             # schema lookup is only paid by queries that actually use len()
@@ -854,6 +1088,51 @@ class Engine:
         query = _GLOB_FUNC_RE.sub(glob_sub, query)
         spans = literal_spans(query)
         return _READ_FUNC_RE.sub(guarded, query)
+
+    def _resolve_series_functions(self, query: str) -> str:
+        """DuckDB's ``FROM generate_series(a, b[, s])`` (inclusive stop,
+        column named ``generate_series``) and ``FROM range(a, b[, s])``
+        (exclusive stop, column ``range``) → Spark's native ``range`` TVF
+        (exclusive stop, column ``id``) wrapped to restore the DuckDB
+        column name. Integer-literal arguments only (the interval/timestamp
+        forms are not translated — they fail loudly); ``AS t(i)`` column
+        aliases are consumed here so the rewrite needs no derived-table
+        column-alias support."""
+        pat = re.compile(
+            r"\b(?P<kw>FROM|JOIN)\s+(?P<fn>generate_series|range)\s*"
+            r"\(\s*(?P<args>[^()]*)\)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*)"
+            r"(?:\s*\(\s*(?P<colal>[A-Za-z_]\w*)\s*\))?)?",
+            re.IGNORECASE,
+        )
+        spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+
+        def sub(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in spans):
+                return m.group(0)
+            try:
+                args = [int(a.strip()) for a in m.group("args").split(",")]
+            except ValueError:
+                return m.group(0)  # non-integer forms stay verbatim
+            fn = m.group("fn").lower()
+            if len(args) == 1:
+                a, b, s = 0, args[0], 1
+            elif len(args) == 2:
+                (a, b), s = args, 1
+            elif len(args) == 3:
+                a, b, s = args
+            else:
+                return m.group(0)
+            if s == 0:
+                raise ValueError(f"{fn}: step must be non-zero")
+            if fn == "generate_series":  # inclusive stop → widen by one step-sign
+                b = b + (1 if s > 0 else -1)
+            col = m.group("colal") or fn
+            alias = m.group("alias") or fn
+            return (f"{m.group('kw')} (SELECT id AS {col} "
+                    f"FROM range({a}, {b}, {s})) {alias}")
+
+        return pat.sub(sub, query)
 
     def _read_csv_with_opts(self, path: str, opts: dict) -> DataFrame:
         """read_csv with DuckDB-style named options mapped onto the Spark
@@ -1256,6 +1535,11 @@ class Engine:
             return self._empty()
         m = _DROP_RE.match(query)
         if m:
+            if self._txn_baseline is not None:
+                raise ValueError(
+                    "DROP TABLE inside an open transaction is not "
+                    "supported — dropping deletes warehouse files, which "
+                    "ROLLBACK's compensation cannot restore")
             name = m.group("name")
             if name not in self._versioned:
                 if m.group("ifex"):

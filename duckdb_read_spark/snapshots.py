@@ -243,6 +243,53 @@ def write_table(
     return entry
 
 
+def restore(
+    table_dir: str,
+    to_version: int,
+    schema_json: str | None = None,
+    timestamp_ms: int | None = None,
+) -> Commit:
+    """RESTORE (the Delta RESTORE statement idea): commit a NEW version
+    whose content is exactly snapshot ``to_version`` — every file carried
+    by reference, zero data rewritten. History is preserved (restore is
+    itself a commit, so it can be time-traveled past or re-restored);
+    cost is O(files) metadata. Fails if ``to_version`` is no longer in the
+    log (e.g. vacuumed away)."""
+    commits = read_log(table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no versioned table at {table_dir!r}")
+    if to_version not in [c.version for c in commits]:
+        raise LookupError(
+            f"RESTORE: version {to_version} not in log "
+            f"(have {[c.version for c in commits]})")
+    entries = snapshot_file_entries(table_dir, to_version)
+    version = commits[-1].version + 1
+    entry = Commit(
+        version=version,
+        timestamp_ms=int(time.time() * 1000) if timestamp_ms is None else timestamp_ms,
+        mode="overwrite",
+        dirs=(),
+        files=tuple(entries),
+    )
+    with open(_log_path(table_dir, version), "x") as f:
+        json.dump({"version": entry.version, "timestamp_ms": entry.timestamp_ms,
+                   "mode": entry.mode, "dirs": [],
+                   "files": list(entry.files)}, f)
+    from . import deltalog
+
+    try:
+        deltalog.mirror_commit(
+            table_dir, version, "overwrite",
+            new_entries=[],
+            carried_entries=entries,
+            schema_json=schema_json,
+            timestamp_ms=entry.timestamp_ms,
+        )
+    except FileExistsError:
+        pass
+    return entry
+
+
 def resolve_snapshot(
     table_dir: str,
     version: int | None = None,

@@ -297,3 +297,87 @@ def test_create_view_falls_through(eng, spark):
     """CREATE VIEW is not a managed-table statement — plain spark.sql."""
     eng.sql("CREATE OR REPLACE TEMPORARY VIEW vv9 AS SELECT 42 AS x")
     assert eng.sql("SELECT x FROM vv9").first()["x"] == 42
+
+
+# --- RESTORE + transactions (D15) -----------------------------------------
+
+def test_restore_table_metadata_only(eng, tmp_path):
+    eng.sql("CREATE TABLE tr1 AS SELECT n_nationkey AS k, n_name AS v FROM nation")
+    eng.sql("DELETE FROM tr1 WHERE k >= 10")
+    assert eng.sql("SELECT count(*) AS n FROM tr1").collect()[0].n == 10
+    out = eng.sql("RESTORE TABLE tr1 TO VERSION AS OF 1").collect()[0]
+    assert out.restored_to_version == 1
+    assert eng.sql("SELECT count(*) AS n FROM tr1").collect()[0].n == 25
+    # restore is itself a commit: history preserved, both states travelable
+    assert eng.sql(
+        "SELECT count(*) AS n FROM tr1 VERSION AS OF 2").collect()[0].n == 10
+    # metadata-only: the restore commit wrote no new data files
+    import glob, os
+    td = eng._versioned["tr1"]
+    v3_files = glob.glob(os.path.join(td, "data", "v3-*"))
+    assert v3_files == []
+    with pytest.raises(LookupError):
+        eng.sql("RESTORE TABLE tr1 TO VERSION AS OF 99")
+
+
+def test_transaction_rollback_and_commit(eng):
+    eng.sql("CREATE TABLE tx1 AS SELECT n_nationkey AS k FROM nation")
+    eng.sql("BEGIN TRANSACTION")
+    eng.sql("DELETE FROM tx1 WHERE k < 20")
+    eng.sql("CREATE TABLE tx2 AS SELECT 1 AS one")
+    assert eng.sql("SELECT count(*) AS n FROM tx1").collect()[0].n == 5
+    eng.sql("ROLLBACK")
+    # mutated table restored, txn-created table gone
+    assert eng.sql("SELECT count(*) AS n FROM tx1").collect()[0].n == 25
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM tx2").collect()
+
+    eng.sql("BEGIN")
+    eng.sql("UPDATE tx1 SET k = k + 100 WHERE k = 0")
+    eng.sql("COMMIT")
+    assert eng.sql("SELECT max(k) AS m FROM tx1").collect()[0].m == 100
+
+    with pytest.raises(ValueError):
+        eng.sql("COMMIT")
+    with pytest.raises(ValueError):
+        eng.sql("ROLLBACK")
+    eng.sql("BEGIN")
+    with pytest.raises(ValueError):
+        eng.sql("BEGIN")
+    with pytest.raises(ValueError):
+        eng.sql("DROP TABLE tx1")
+    eng.sql("ROLLBACK")
+
+
+def test_export_import_database(eng, tmp_path):
+    eng.sql("CREATE TABLE ex1 AS SELECT n_nationkey AS k, n_name AS v FROM nation")
+    eng.sql("CREATE TABLE ex2 AS SELECT r_regionkey AS k FROM region")
+    dump = str(tmp_path / "dump")
+    out = eng.sql(f"EXPORT DATABASE '{dump}'").collect()[0]
+    assert out.exported_tables == 2
+    import os
+    assert os.path.exists(os.path.join(dump, "load.sql"))
+    assert os.path.exists(os.path.join(dump, "schema.sql"))
+
+    # a fresh engine imports the dump and sees identical data
+    from duckdb_read_spark.engine import Engine
+    eng2 = Engine(spark=eng.spark, warehouse_dir=str(tmp_path / "wh2"))
+    assert eng2.sql(f"IMPORT DATABASE '{dump}'").collect()[0].imported_tables == 2
+    got = {tuple(r) for r in eng2.sql("SELECT k, v FROM ex1").collect()}
+    want = {tuple(r) for r in eng.sql("SELECT k, v FROM ex1").collect()}
+    assert got == want and len(want) == 25
+
+    # DuckDB can replay the same load.sql text (cross-engine dump format)
+    import duckdb
+    con = duckdb.connect()
+    for stmt in open(os.path.join(dump, "load.sql")).read().split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+    assert con.execute("SELECT count(*) FROM ex1").fetchone()[0] == 25
+
+    # safe mode blocks both directions
+    eng3 = Engine(spark=eng.spark, extensions_allowed=False)
+    with pytest.raises(PermissionError):
+        eng3.sql(f"EXPORT DATABASE '{tmp_path / 'x'}'")
+    with pytest.raises(PermissionError):
+        eng3.sql(f"IMPORT DATABASE '{dump}'")

@@ -727,3 +727,51 @@ def test_attach_blocked_in_safe_mode(engine, tmp_path):
     eng = Engine(spark=engine.spark, extensions_allowed=False)
     with pytest.raises(PermissionError):
         eng.sql(f"ATTACH '{tmp_path}' AS x")
+
+
+# --- PREPARE / EXECUTE / DEALLOCATE ---------------------------------------
+
+def test_prepare_execute_deallocate(engine, duck):
+    """Prepared statements: the same PREPARE/EXECUTE text runs verbatim in
+    DuckDB; $n and ? placeholders substitute outside string literals."""
+    prep = ("PREPARE q_prep AS SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS p "
+            "FROM orders WHERE o_orderkey < $1 AND o_orderstatus = $2 "
+            "ORDER BY o_orderkey")
+    exe = "EXECUTE q_prep(100, 'O')"
+    engine.sql(prep)
+    got = _rows(engine.sql(exe))
+    duck.execute(prep)
+    assert got == normalize_rows(tuple(r) for r in duck.execute(exe).fetchall())
+
+    # ? placeholders, and a literal '$1' that must never substitute
+    engine.sql("PREPARE q_qm AS SELECT n_name, '$1' AS tag FROM nation "
+               "WHERE n_nationkey = ?")
+    row = engine.sql("EXECUTE q_qm(3)").collect()[0]
+    assert row.tag == "$1" and row.n_name is not None
+
+    # prepared statements are re-executable with new args
+    n1 = engine.sql("EXECUTE q_qm(1)").count()
+    assert n1 == 1
+
+    engine.sql("DEALLOCATE q_qm")
+    with pytest.raises(ValueError):
+        engine.sql("EXECUTE q_qm(1)")
+    with pytest.raises(ValueError):
+        engine.sql("DEALLOCATE q_qm")
+    engine.sql("DEALLOCATE PREPARE q_prep")
+
+
+def test_generate_series_range_table_functions(engine, duck):
+    """generate_series (inclusive) and range (exclusive) table functions →
+    Spark's native range TVF; same SQL text runs verbatim in DuckDB."""
+    cases = [
+        "SELECT * FROM generate_series(1, 5) ORDER BY 1",
+        "SELECT * FROM range(0, 10, 3) AS t(i) ORDER BY i",
+        "SELECT * FROM generate_series(5, 1, -2) AS t(x) ORDER BY x",
+        "SELECT gs.generate_series * 2 AS d FROM generate_series(2, 8, 2) AS gs ORDER BY 1",
+        "SELECT * FROM range(4) AS t(i) ORDER BY i",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
