@@ -125,6 +125,7 @@ def main() -> None:
         "q108_paragraph_dedup",
         "q110_entropy_stats",
         "q111_corpus_lm_score",
+        "q114_bm25_search",
     ):
         extra[name] = round(_time_op(name), 4)
 

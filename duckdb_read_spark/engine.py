@@ -229,6 +229,28 @@ _SHOW_TABLES_FROM_RE = re.compile(
     r"^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_DATABASES_RE = re.compile(
+    r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
+# CREATE [UNIQUE] INDEX — DuckDB builds an ART index; the Spark-first
+# equivalent of a secondary index over immutable files is STORAGE
+# CLUSTERING: rewrite the table range-partitioned + sorted on the index
+# columns so manifest/row-group min/max stats become selective (zonemaps).
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?P<uniq>UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s+ON\s+(?P<table>[A-Za-z_][\w.]*)\s*"
+    r"\((?P<cols>[^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+# DESCRIBE works on a query too (DuckDB surface): DESCRIBE SELECT …
+_DESCRIBE_QUERY_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?P<body>(?:SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class Engine:
@@ -265,6 +287,9 @@ class Engine:
         self._prepared: dict[str, str] = {}
         # open transaction: {table name -> version at BEGIN}; None = none
         self._txn_baseline: dict[str, int] | None = None
+        # index name -> (table view, columns, unique) — storage-clustering
+        # metadata; unique indexes are re-validated on INSERT
+        self._indexes: dict[str, tuple[str, tuple[str, ...], bool]] = {}
         # Managed-table root for CREATE TABLE/CTAS; created lazily so a
         # query-only session never touches disk.
         self._warehouse = warehouse_dir
@@ -574,6 +599,74 @@ class Engine:
             [(entry.version, version)],
             "restored_as_version int, restored_to_version int")
 
+    def create_index(self, name: str, table: str, cols: list[str],
+                     unique: bool = False) -> DataFrame:
+        """CREATE [UNIQUE] INDEX as storage clustering: rewrite the
+        versioned table range-partitioned + sorted on ``cols`` (one
+        commit), so every data file covers a narrow ``cols`` range and the
+        manifest/row-group min/max stats prune file-level DML and range
+        scans the way a zonemap would. UNIQUE validates key uniqueness at
+        creation and on every later INSERT (UPDATE/MERGE/COPY FROM do not
+        re-validate — documented gap, as compensation there would need a
+        full key join per mutation)."""
+        if name in self._indexes:
+            raise ValueError(f"CREATE INDEX: index {name!r} already exists")
+        key = table
+        if key not in self._versioned and "." in key:
+            db, _, t = key.partition(".")
+            key = self._attached.get(db, {}).get(t, key)
+        if key not in self._versioned:
+            raise ValueError(
+                f"CREATE INDEX: {table!r} is not a versioned table — "
+                "clustering rewrites need the snapshot log")
+        df = self.table(key)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"CREATE INDEX: unknown column(s) {missing}")
+        if unique:
+            from pyspark.sql import functions as F
+
+            keyed = df
+            for c in cols:  # SQL UNIQUE: NULL keys never conflict
+                keyed = keyed.where(F.col(c).isNotNull())
+            dup = (keyed.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+                   .where("c > 1").limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"CREATE UNIQUE INDEX: duplicate values for {cols} "
+                    f"(e.g. {tuple(dup[0])[:-1]})")
+        clustered = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        snapshots.write_table(clustered, self._versioned[key],
+                              mode="overwrite")
+        self._refresh_table(key)
+        self._indexes[name] = (key, tuple(cols), unique)
+        return self._empty()
+
+    def _check_unique_indexes(self, name: str, new_df: DataFrame) -> None:
+        """Raise if appending ``new_df`` to table ``name`` would violate a
+        UNIQUE index: keys must be unique within the batch and absent from
+        the existing table (one aggregate + one broadcast-able semi-join
+        per unique index — the same price a real index probe pays)."""
+        from pyspark.sql import functions as F
+
+        for iname, (tbl, cols, uniq) in self._indexes.items():
+            if not uniq or tbl != name:
+                continue
+            kcols = list(cols)
+            batch = new_df
+            for c in kcols:  # SQL UNIQUE: NULL keys never conflict
+                batch = batch.where(F.col(c).isNotNull())
+            if (batch.groupBy(*kcols).agg(F.count(F.lit(1)).alias("c"))
+                    .where("c > 1").limit(1).collect()):
+                raise ValueError(
+                    f"INSERT violates UNIQUE INDEX {iname!r}: duplicate "
+                    f"keys within the inserted rows")
+            if (batch.join(self.table(name).select(*kcols), kcols, "semi")
+                    .limit(1).collect()):
+                raise ValueError(
+                    f"INSERT violates UNIQUE INDEX {iname!r}: key already "
+                    f"present in {name}")
+
     def export_database(self, path: str) -> DataFrame:
         """EXPORT DATABASE 'dir': dump every managed (non-attached)
         versioned table as parquet plus a replayable ``load.sql`` (each
@@ -823,6 +916,19 @@ class Engine:
         mr = _RESTORE_RE.match(query)
         if mr:
             return self.restore_table(mr.group("name"), int(mr.group("v")))
+        mci = _CREATE_INDEX_RE.match(query)
+        if mci:
+            return self.create_index(
+                mci.group("name"), mci.group("table"),
+                [c.strip() for c in mci.group("cols").split(",")],
+                unique=bool(mci.group("uniq")))
+        mdi = _DROP_INDEX_RE.match(query)
+        if mdi:
+            if self._indexes.pop(mdi.group("name"), None) is None \
+                    and not mdi.group("ifex"):
+                raise ValueError(
+                    f"DROP INDEX: unknown index {mdi.group('name')!r}")
+            return self._empty()
         mexp = _EXPORT_DB_RE.match(query)
         if mexp:
             return self.export_database(mexp.group("path"))
@@ -863,6 +969,18 @@ class Engine:
         mopt = _OPTIMIZE_RE.match(query)
         if mopt:
             return self.optimize_table(mopt.group("name"))
+        if _SHOW_DATABASES_RE.match(query):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self._attached)], "name string")
+        mdq = _DESCRIBE_QUERY_RE.match(query)
+        if mdq:
+            schema = self.sql(mdq.group("body"), dialect=dialect).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString().upper(),
+                  "YES" if f.nullable else "NO")
+                 for f in schema.fields],
+                "column_name string, column_type string, null string",
+            )
         mdesc = _DESCRIBE_RE.match(query)
         if mdesc:
             name = mdesc.group("name")
@@ -1530,6 +1648,8 @@ class Engine:
 
                 df = df.toDF(*[f.name for f in target.fields]).select(
                     *[F.col(f.name).cast(f.dataType) for f in target.fields])
+            if self._indexes:
+                self._check_unique_indexes(name, df)
             snapshots.write_table(df, self._versioned[name], mode="append")
             self._refresh_table(name)
             return self._empty()

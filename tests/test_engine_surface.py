@@ -775,3 +775,16 @@ def test_generate_series_range_table_functions(engine, duck):
         got = _rows(engine.sql(q, dialect="duckdb"))
         want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
         assert got == want, q
+
+
+def test_show_databases_and_describe_query(engine):
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark)
+    assert eng.sql("SHOW DATABASES").count() == 0
+    eng.sql("ATTACH '/root/testdata/sf0.001' AS fix")
+    assert [r.name for r in eng.sql("SHOW DATABASES").collect()] == ["fix"]
+    rows = [tuple(r) for r in eng.sql(
+        "DESCRIBE SELECT n_nationkey AS k, n_name FROM fix.nation").collect()]
+    assert rows[0][0] == "k" and rows[1][0] == "n_name"
+    eng.detach("fix")

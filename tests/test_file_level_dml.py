@@ -261,3 +261,60 @@ def test_probe_aligns_schema_evolved_predicate(eng, spark, tmp_path):
     assert eng.sql("SELECT COUNT(*) AS n FROM tev2").first()["n"] == 201
     eng.sql("UPDATE tev2 SET v = -5 WHERE tag = 'x' AND k < 2000")
     assert eng.sql("SELECT v FROM tev2 WHERE k = 1000").first()["v"] == -5
+
+
+# --- CREATE INDEX = storage clustering (zonemap effect) -------------------
+
+def test_create_index_clusters_for_stats_prune(eng, spark, tmp_path):
+    """CREATE INDEX rewrites the table range-clustered on the index
+    columns, turning a scattered layout (every file spans the full key
+    range → stats prune nothing) into disjoint per-file ranges (a one-key
+    predicate survives the metadata cut to ~1 file)."""
+    shuf = (spark.range(0, 2000)
+            .withColumn("k", (F.col("id") * 997) % 2000)  # scatter keys
+            .withColumn("v", F.col("id") * 2)
+            .drop("id")
+            .repartition(16))
+    d = str(tmp_path / "tidx")
+    eng.write_versioned(shuf, d)
+    eng.register_versioned("tidx", d)
+    before = snapshots.prune_by_stats(
+        snapshots.snapshot_file_entries(d), "k = 150")
+    assert len(before) > 4  # scattered: stats can't cut much
+
+    eng.sql("CREATE INDEX idx_k ON tidx (k)")
+    entries = snapshots.snapshot_file_entries(d)
+    after = snapshots.prune_by_stats(entries, "k = 150")
+    assert len(after) <= 2  # clustered: zonemap-selective
+    # content unchanged by the rewrite
+    assert eng.sql("SELECT count(*) AS n, sum(v) AS s FROM tidx").collect() \
+        == eng.sql("SELECT count(*) AS n, sum(v) AS s FROM tidx "
+                   "VERSION AS OF 1").collect()
+
+    with pytest.raises(ValueError):
+        eng.sql("CREATE INDEX idx_k ON tidx (k)")  # duplicate name
+    eng.sql("DROP INDEX idx_k")
+    with pytest.raises(ValueError):
+        eng.sql("DROP INDEX idx_k")
+    eng.sql("DROP INDEX IF EXISTS idx_k")
+
+
+def test_unique_index_validates_create_and_insert(eng, spark, tmp_path):
+    df = spark.range(0, 100).withColumnRenamed("id", "k") \
+        .withColumn("v", F.col("k") + 1)
+    d = str(tmp_path / "tuq")
+    eng.write_versioned(df, d)
+    eng.register_versioned("tuq", d)
+    eng.sql("CREATE UNIQUE INDEX uq_k ON tuq (k)")
+    # batch-internal duplicate
+    with pytest.raises(ValueError):
+        eng.sql("INSERT INTO tuq VALUES (500, 1), (500, 2)")
+    # collision with existing keys
+    with pytest.raises(ValueError):
+        eng.sql("INSERT INTO tuq VALUES (50, 1)")
+    eng.sql("INSERT INTO tuq VALUES (500, 1)")
+    assert eng.sql("SELECT count(*) AS n FROM tuq").collect()[0].n == 101
+    # creating a unique index over existing duplicates is rejected
+    eng.sql("INSERT INTO tuq (v) VALUES (9), (9)")  # k NULL twice is fine
+    with pytest.raises(ValueError):
+        eng.sql("CREATE UNIQUE INDEX uq_v ON tuq (v)")
