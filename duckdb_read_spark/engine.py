@@ -868,6 +868,113 @@ class Engine:
         self._ck_cache = (epoch, out)
         return out
 
+    def _table_columns(self) -> dict[str, list[str]]:
+        """Lowercased view name → ordered column list for every registered
+        (non-internal) view — schema knowledge behind the COLUMNS()
+        expansion. Cached per registration epoch (driver-side metadata)."""
+        epoch = getattr(self, "_reg_epoch", 0)
+        cached = getattr(self, "_tc_cache", None)
+        if cached is not None and cached[0] == epoch:
+            return cached[1]
+        out: dict[str, list[str]] = {}
+        for tbl in self.spark.catalog.listTables():
+            if tbl.name.startswith("__"):
+                continue
+            try:
+                out[tbl.name.lower()] = [
+                    f.name for f in self.spark.table(tbl.name).schema.fields]
+            except Exception:
+                continue
+        self._tc_cache = (epoch, out)
+        return out
+
+    def _rewrite_columns_expr(self, query: str) -> str:
+        """DuckDB ``COLUMNS('regex')`` star expressions: each select-list
+        item containing a COLUMNS call is duplicated once per column of
+        the FROM table whose name the regex *searches* (DuckDB semantics),
+        with the call replaced by the column and the item aliased to the
+        plain column name — matching DuckDB's output naming for both the
+        bare form and wrapped forms like ``min(COLUMNS('re'))``. Single
+        top-level FROM table only; other shapes are left verbatim (they
+        fail loudly at analysis)."""
+        if not re.search(r"\bCOLUMNS\s*\(", query, re.IGNORECASE):
+            return query
+        sel = _find_top_level(query, "SELECT")
+        frm = _find_top_level(query, "FROM", sel + 6 if sel >= 0 else 0)
+        if sel < 0 or frm < 0:
+            return query
+        mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
+        if not mtab:
+            return query
+        cols = self._table_columns().get(mtab.group(1).lower())
+        if cols is None:
+            return query
+        head = query[sel + 6:]
+        body_off = sel + 6
+        mdist = re.match(r"\s*(?:DISTINCT|ALL)\b", head, re.IGNORECASE)
+        if mdist:
+            body_off += mdist.end()
+        items = _split_top_commas(query[body_off:frm])
+        call_re = re.compile(r"\bCOLUMNS\s*\(\s*'(?P<re>[^']*)'\s*\)",
+                             re.IGNORECASE)
+        out_items: list[str] = []
+        for item in items:
+            m = call_re.search(item)
+            if not m:
+                out_items.append(item.strip())
+                continue
+            try:
+                matched = [c for c in cols if re.search(m.group("re"), c)]
+            except re.error as exc:
+                raise ValueError(
+                    f"COLUMNS: invalid regex {m.group('re')!r}: {exc}")
+            if not matched:
+                raise ValueError(
+                    f"COLUMNS({m.group('re')!r}) matched no column of "
+                    f"{mtab.group(1)!r} (has {cols})")
+            bare = item.strip() == m.group(0)
+            for c in matched:
+                expanded = call_re.sub(c, item, count=1).strip()
+                out_items.append(expanded if bare else f"{expanded} AS {c}")
+        return (query[:body_off] + " " + ", ".join(out_items) + " "
+                + query[frm:])
+
+    def _rewrite_star_replace(self, query: str) -> str:
+        """DuckDB ``* REPLACE (expr AS col, …)``: expand the star against
+        the FROM table's schema with the named columns replaced by their
+        expressions (aliased back to the column name — DuckDB's output
+        naming). Spark has no REPLACE star modifier, so the expansion is
+        the translation. Single top-level FROM table only; other shapes
+        stay verbatim and fail loudly."""
+        m = re.search(r"\*\s+REPLACE\s*\(", query, re.IGNORECASE)
+        if not m:
+            return query
+        frm = _find_top_level(query, "FROM")
+        if frm < 0:
+            return query
+        mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
+        if not mtab:
+            return query
+        cols = self._table_columns().get(mtab.group(1).lower())
+        if cols is None:
+            return query
+        close = _match_paren(query, m.end() - 1)
+        repls: dict[str, str] = {}
+        for part in _split_top_commas(query[m.end():close]):
+            mp = re.match(r"(?s)^\s*(?P<expr>.+?)\s+AS\s+(?P<col>[A-Za-z_]\w*)\s*$",
+                          part)
+            if not mp:
+                raise ValueError(
+                    f"* REPLACE: expected 'expr AS col', got {part.strip()!r}")
+            if mp.group("col") not in cols:
+                raise ValueError(
+                    f"* REPLACE: {mp.group('col')!r} is not a column of "
+                    f"{mtab.group(1)!r} (has {cols})")
+            repls[mp.group("col")] = mp.group("expr")
+        expanded = ", ".join(
+            f"{repls[c]} AS {c}" if c in repls else c for c in cols)
+        return query[:m.start()] + expanded + query[close + 1:]
+
     def _bump_registration_epoch(self) -> None:
         self._reg_epoch = getattr(self, "_reg_epoch", 0) + 1
 
@@ -1035,6 +1142,8 @@ class Engine:
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
             query = self._resolve_series_functions(query)
+            query = self._rewrite_columns_expr(query)
+            query = self._rewrite_star_replace(query)
             if query.lstrip()[:5].upper() == "PIVOT":
                 query = self._dynamize_pivot(query)
             # schema lookup is only paid by queries that actually use len()
@@ -2269,6 +2378,37 @@ class Engine:
 
     def stop(self) -> None:
         self.spark.stop()
+
+
+def _find_top_level(s: str, word: str, start: int = 0) -> int:
+    """Index of the first word-boundary occurrence of ``word`` at paren
+    depth 0, skipping string literals. -1 when absent."""
+    depth, i, n = 0, start, len(s)
+    w, lw = word.upper(), len(word)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and s[i:i + lw].upper() == w
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + lw >= n or not (s[i + lw].isalnum()
+                                       or s[i + lw] == "_"))):
+            return i
+        i += 1
+    return -1
 
 
 def _looks_like_create_table(rest: str) -> bool:

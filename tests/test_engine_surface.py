@@ -788,3 +788,35 @@ def test_show_databases_and_describe_query(engine):
         "DESCRIBE SELECT n_nationkey AS k, n_name FROM fix.nation").collect()]
     assert rows[0][0] == "k" and rows[1][0] == "n_name"
     eng.detach("fix")
+
+
+def test_columns_star_expression(engine, duck):
+    """DuckDB COLUMNS('regex') star expressions — bare and wrapped forms
+    run verbatim in both engines with identical output columns/rows."""
+    cases = [
+        "SELECT COLUMNS('key$') FROM nation ORDER BY n_nationkey",
+        "SELECT min(COLUMNS('n_.*key')) FROM nation",
+        "SELECT n_name, COLUMNS('key$') FROM nation ORDER BY n_nationkey",
+    ]
+    for q in cases:
+        sdf = engine.sql(q, dialect="duckdb")
+        rel = duck.execute(q)
+        assert sdf.columns == [d[0] for d in rel.description], q
+        assert _rows(sdf) == normalize_rows(tuple(r) for r in rel.fetchall()), q
+    with pytest.raises(ValueError):
+        engine.sql("SELECT COLUMNS('zzz') FROM nation", dialect="duckdb")
+
+
+def test_star_replace_expression(engine, duck):
+    cases = [
+        "SELECT * REPLACE (upper(n_name) AS n_name) FROM nation ORDER BY n_nationkey",
+        "SELECT * REPLACE (n_nationkey * 10 AS n_nationkey, upper(n_name) AS n_name) "
+        "FROM nation ORDER BY n_nationkey",
+    ]
+    for q in cases:
+        sdf = engine.sql(q, dialect="duckdb")
+        rel = duck.execute(q)
+        assert sdf.columns == [d[0] for d in rel.description], q
+        assert _rows(sdf) == normalize_rows(tuple(r) for r in rel.fetchall()), q
+    with pytest.raises(ValueError):
+        engine.sql("SELECT * REPLACE (1 AS nope) FROM nation", dialect="duckdb")
