@@ -10,9 +10,9 @@ determinism conventions by construction:
   (comparisons, IN, BETWEEN, LIKE, CASE, COALESCE, arithmetic, COUNT/MIN/
   MAX/SUM, HAVING, LIMIT).
 
-Each seed is one test case; failures reproduce exactly by seed. 150 seeds
+Each seed is one test case; failures reproduce exactly by seed. 180 seeds
 across (projection | aggregation | join | window | setop | QUALIFY |
-list/map-construct) shapes. This catches divergence classes
+list/map-construct | star-expression/series-TVF) shapes. This catches divergence classes
 the 50 hand-declared queries don't enumerate (operator interaction, literal
 edge values, grouping on expressions).
 """
@@ -265,10 +265,42 @@ def gen_listmap(rng: random.Random) -> str:
     )
 
 
+def gen_star_exprs(rng: random.Random) -> str:
+    """DuckDB star-expression / series-TVF shapes: COLUMNS('regex') bare
+    and wrapped, * REPLACE, generate_series/range — all text that runs
+    verbatim in DuckDB while Spark goes through Engine.sql's schema-driven
+    expansion."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    kind = rng.randrange(4)
+    if kind == 0:
+        pat = rng.choice(["key$", "^" + name[0] + "_", "a"])
+        return (f"SELECT COLUMNS('{pat}') FROM {name}{_where(rng, t)} "
+                f"ORDER BY ALL NULLS FIRST LIMIT 100")
+    if kind == 1:
+        pat = rng.choice(["key$", "^" + name[0] + "_"])
+        fn = rng.choice(["min", "max", "count"])
+        return f"SELECT {fn}(COLUMNS('{pat}')) FROM {name}{_where(rng, t)}"
+    if kind == 2:
+        i1 = rng.choice(t["int"])
+        s1 = rng.choice(t["str"])
+        return (f"SELECT * REPLACE ({i1} % {rng.randint(2, 9)} AS {i1}, "
+                f"upper({s1}) AS {s1}) FROM {name}{_where(rng, t)} "
+                f"ORDER BY ALL NULLS FIRST LIMIT 60")
+    a = rng.randint(-5, 5)
+    b = a + rng.randint(0, 40)
+    s = rng.choice([1, 2, 3, 7])
+    fn = rng.choice(["generate_series", "range"])
+    return (f"SELECT g.{fn} AS n, g.{fn} % 5 AS m "
+            f"FROM {fn}({a}, {b}, {s}) AS g ORDER BY n")
+
+
 def generate(seed: int) -> tuple[str, str]:
     """seed → (sql, dialect): dialect='duckdb' shapes exercise the
     rewriter (the text is native DuckDB, Spark runs it via to_spark_sql)."""
     rng = random.Random(seed)
+    if seed >= 150:
+        return gen_star_exprs(rng), "duckdb"
     if seed >= 130:
         return gen_listmap(rng), "duckdb"
     if seed >= 110:
@@ -281,7 +313,7 @@ def generate(seed: int) -> tuple[str, str]:
     return shape(rng), "spark"
 
 
-@pytest.mark.parametrize("seed", range(150))
+@pytest.mark.parametrize("seed", range(180))
 def test_fuzzed_query_matches_oracle(seed, engine, duck):
     sql, dialect = generate(seed)
     got = spark_rows(engine.sql(sql, dialect=dialect))
