@@ -58,6 +58,9 @@ class Commit:
     # {"path": rel file path, "rows": int|None, "stats": {col: [min, max]}}.
     # None → dir-granular commit (pre-file-level, or plain writes).
     files: tuple[dict, ...] | None = None
+    # streaming-sink idempotence (the Delta txn-action idea): the
+    # micro-batch id that produced this commit, None for batch commits.
+    stream_batch_id: int | None = None
 
 
 def _log_path(table_dir: str, version: int) -> str:
@@ -77,7 +80,8 @@ def read_log(table_dir: str) -> list[Commit]:
             d = json.load(f)
         files = tuple(d["files"]) if d.get("files") is not None else None
         commits.append(Commit(d["version"], d["timestamp_ms"], d["mode"],
-                              tuple(d["dirs"]), files))
+                              tuple(d["dirs"]), files,
+                              d.get("stream_batch_id")))
     return commits
 
 
@@ -192,6 +196,7 @@ def write_table(
     mode: str = "overwrite",
     timestamp_ms: int | None = None,
     carry_files: list[dict] | None = None,
+    stream_batch_id: int | None = None,
 ) -> Commit:
     """Commit ``df`` as the next version of the table at ``table_dir``.
 
@@ -219,12 +224,14 @@ def write_table(
         mode=mode,
         dirs=(rel,),
         files=files,
+        stream_batch_id=stream_batch_id,
     )
     # O_EXCL: exactly one writer can create this version file.
     with open(_log_path(table_dir, version), "x") as f:
         json.dump({"version": entry.version, "timestamp_ms": entry.timestamp_ms,
                    "mode": entry.mode, "dirs": list(entry.dirs),
-                   "files": list(entry.files) if entry.files is not None else None},
+                   "files": list(entry.files) if entry.files is not None else None,
+                   "stream_batch_id": entry.stream_batch_id},
                   f)
     # Mirror into the Delta-protocol-shaped public log (interop surface;
     # best-effort — the private commit above is the source of truth).
@@ -241,6 +248,17 @@ def write_table(
     except FileExistsError:
         pass  # lost a mirror race; the winning writer recorded this version
     return entry
+
+
+def last_stream_batch_id(table_dir: str) -> int:
+    """Highest micro-batch id ever committed to this table, -1 if none —
+    the streaming sink's idempotence watermark (Delta's txn-action idea:
+    the log itself records which source batches landed, so a replayed
+    foreachBatch after a checkpoint recovery skips instead of
+    double-appending)."""
+    ids = [c.stream_batch_id for c in read_log(table_dir)
+           if c.stream_batch_id is not None]
+    return max(ids) if ids else -1
 
 
 def restore(

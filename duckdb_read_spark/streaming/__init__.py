@@ -7,6 +7,7 @@ is the append log, micro-batch apply is the WAL apply, and the watermark is
 the frontier below which state can be finalized and emitted.
 """
 
+from .sink import write_stream_versioned
 from .source import events_stream
 from .stateful import running_totals, stream_dedup
 from .windows import (
@@ -23,4 +24,5 @@ __all__ = [
     "session_aggs",
     "running_totals",
     "stream_dedup",
+    "write_stream_versioned",
 ]

@@ -285,3 +285,43 @@ def test_create_stream_sql_statement(spark):
     # no streamable source → loud error, not a silent batch run
     with _pytest.raises(ValueError, match="no streamable source"):
         eng.sql("CREATE STREAM s_cs2 AS SELECT 1 AS x")
+
+
+def test_stream_into_versioned_table_exactly_once(spark, tmp_path):
+    """Streaming sink (T10): micro-batches land as append commits in the
+    snapshot log; a replayed batch id is skipped (exactly-once); the
+    result is a normal versioned table (time travel works on batch
+    boundaries)."""
+    from duckdb_read_spark import snapshots
+    from duckdb_read_spark.streaming import events_stream, write_stream_versioned
+
+    src = events_stream(spark, "/root/testdata/sf0.001/events.parquet",
+                        max_files_per_trigger=1)
+    td = str(tmp_path / "ingest")
+    ck = str(tmp_path / "ck")
+    write_stream_versioned(src.select("event_id", "ts", "user_id"),
+                           td, ck, available_now=True)
+    total = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    out = snapshots.read_table(spark, td)
+    assert out.count() == total
+    commits = snapshots.read_log(td)
+    assert all(c.stream_batch_id is not None for c in commits)
+    assert snapshots.last_stream_batch_id(td) == commits[-1].stream_batch_id
+
+    # the sink's guard skips an already-committed batch id (the
+    # foreachBatch replay after checkpoint-recovery scenario)
+    from duckdb_read_spark.streaming.sink import commit_stream_batch
+
+    replay = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "ts", "user_id").limit(5)
+    assert commit_stream_batch(
+        replay, commits[-1].stream_batch_id, td) is False
+    assert len(snapshots.read_log(td)) == len(commits)
+    assert snapshots.read_table(spark, td).count() == total
+
+    # a fresh stream over the same checkpoint ingests nothing new
+    src2 = events_stream(spark, "/root/testdata/sf0.001/events.parquet",
+                         max_files_per_trigger=1)
+    write_stream_versioned(src2.select("event_id", "ts", "user_id"),
+                           td, ck, available_now=True)
+    assert snapshots.read_table(spark, td).count() == total
