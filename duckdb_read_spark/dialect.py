@@ -578,6 +578,63 @@ _LITERAL_CONTEXT_KEYWORDS = {
 }
 
 
+def _rewrite_list_comprehension(sql: str) -> str:
+    """DuckDB list comprehensions ``[expr FOR var IN lst [IF pred]]`` →
+    Spark higher-order functions ``transform([filter(]lst, var -> pred[)],
+    var -> expr)``. Runs before the bracket-literal pass (which would
+    otherwise mangle the comprehension's own brackets); an inner bracket
+    literal in ``lst``/``expr`` is re-tokenized and handled by the later
+    passes. Innermost-first via restart-on-rewrite, so nesting works.
+    Limitation: a top-level ``if(...)`` *function call* inside the list
+    expression is parsed as the comprehension's IF clause — spell it
+    CASE WHEN there."""
+    toks = tokenize(sql)
+    changed = True
+    while changed:
+        changed = False
+        for i, tk in enumerate(toks):
+            if tk.text != "[":
+                continue
+            depth = 0
+            close = for_i = in_i = if_i = None
+            for j in range(i, len(toks)):
+                t = toks[j]
+                if t.text in ("[", "("):
+                    depth += 1
+                elif t.text in ("]", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        if t.text == "]":
+                            close = j
+                        break
+                elif depth == 1 and t.kind == "ident":
+                    u = t.text.upper()
+                    if u == "FOR" and for_i is None:
+                        for_i = j
+                    elif u == "IN" and for_i is not None and in_i is None:
+                        in_i = j
+                    elif u == "IF" and in_i is not None and if_i is None:
+                        if_i = j
+            if close is None or for_i is None or in_i is None:
+                continue
+            expr = detokenize(toks[i + 1:for_i]).strip()
+            var = detokenize(toks[for_i + 1:in_i]).strip()
+            lst = detokenize(toks[in_i + 1:(if_i or close)]).strip()
+            if if_i is not None:
+                pred = detokenize(toks[if_i + 1:close]).strip()
+                out = (f"transform(filter({lst}, {var} -> {pred}), "
+                       f"{var} -> {expr})")
+            else:
+                out = f"transform({lst}, {var} -> {expr})"
+            toks = toks[:i] + [Tok("other", out)] + toks[close + 1:]
+            # re-tokenize so a nested comprehension (now inside the merged
+            # replacement token) is found on the next scan
+            toks = tokenize(detokenize(toks))
+            changed = True
+            break
+    return detokenize(toks)
+
+
 def _rewrite_list_literals(sql: str) -> str:
     """DuckDB bracket list literals ``[e1, e2, …]`` → Spark ``array(e1,
     e2, …)``. A '[' is a literal (not a subscript/slice) iff the previous
@@ -1168,6 +1225,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
     sql = _rewrite_calls(sql, column_kinds)
+    sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql)

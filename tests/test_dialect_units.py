@@ -393,3 +393,17 @@ def test_pivot_keyword_elsewhere_untouched():
 def test_unpivot_statement_rewrites():
     out = to_spark_sql("UNPIVOT w ON a, b INTO NAME k VALUE v")
     assert out == "SELECT * FROM w UNPIVOT (v FOR k IN (a, b))"
+
+
+def test_list_comprehension_rewrites():
+    from duckdb_read_spark.dialect import to_spark_sql
+
+    assert to_spark_sql("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS l") == \
+        "SELECT transform(filter(array(1, 2, 3), x -> x > 1), x -> x * 2) AS l"
+    assert to_spark_sql("SELECT [upper(s) FOR s IN string_split(t, ' ')] AS l FROM d") == \
+        "SELECT transform(split(t, ' '), s -> upper(s)) AS l FROM d"
+    # nested comprehension
+    out = to_spark_sql("SELECT [[y + 1 FOR y IN x] FOR x IN [[1], [2]]] AS l")
+    assert out.count("transform(") == 2 and "FOR" not in out
+    # a plain bracket literal (no FOR) is untouched by this pass
+    assert to_spark_sql("SELECT [1, 2][1] AS e") == "SELECT array(1, 2)[0] AS e"

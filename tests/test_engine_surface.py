@@ -820,3 +820,17 @@ def test_star_replace_expression(engine, duck):
         assert _rows(sdf) == normalize_rows(tuple(r) for r in rel.fetchall()), q
     with pytest.raises(ValueError):
         engine.sql("SELECT * REPLACE (1 AS nope) FROM nation", dialect="duckdb")
+
+
+def test_list_comprehension_cross_engine(engine, duck):
+    cases = [
+        "SELECT n_nationkey AS k, [x * 2 FOR x IN [1, 2, n_nationkey] IF x > 1] AS l "
+        "FROM nation ORDER BY k",
+        "SELECT n_nationkey AS k, "
+        "[upper(s) FOR s IN string_split(n_name, 'A') IF s <> ''] AS l "
+        "FROM nation ORDER BY k",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
