@@ -1219,6 +1219,21 @@ def _q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bm25_topk(docs, ["hash", "join", "stream", "window"], k=10)
 
 
+@_op("q115_tfidf_vectors", None,
+     note="hashed TF-IDF document vectors (operators/retrieval."
+          "tfidf_vectors, L20): xxhash64 bucketing is Spark-specific so "
+          "no SQL oracle (rows-only, like the other hash-family ops); "
+          "determinism + similarity quality pinned by pytest")
+def _q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = ops.tfidf_vectors(docs, n_features=128)
+    return vecs.select(
+        "doc_id",
+        F.round(F.aggregate("tfidf", F.lit(0.0), lambda a, x: a + x * x), 4)
+        .alias("sq_norm"),
+    ).orderBy("doc_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

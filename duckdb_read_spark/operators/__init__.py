@@ -17,7 +17,7 @@ from .dedup import (
 )
 from .packing import pack_by_offset, pack_greedy, pack_stats
 from .profile import profile_columns
-from .retrieval import bm25_topk
+from .retrieval import bm25_topk, tfidf_vectors
 from .sampling import (
     hash_split,
     hash_threshold,
@@ -83,6 +83,7 @@ __all__ = [
     "pack_stats",
     "profile_columns",
     "bm25_topk",
+    "tfidf_vectors",
     "sessionize",
     "session_stats",
     "cosine_scores",

@@ -24,6 +24,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def tfidf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+    out: str = "tfidf",
+) -> DataFrame:
+    """Hashed TF-IDF document vectors (the hashing trick, as in Spark ML's
+    HashingTF+IDF, re-expressed as pure DataFrame ops — no ML pipeline, no
+    RDDs): term → ``xxhash64 mod n_features`` bucket, per-doc bucket tf,
+    smoothed idf ``ln((N+1)/(df+1)) + 1``, dense ``array<double>`` output
+    that feeds the existing cosine/ANN operators directly.
+
+    Scale shape: one (doc, bucket) tf shuffle (map-side combined, bounded
+    by docs × n_features), one n_features-row idf aggregate broadcast
+    back, and the dense assembly is ``map_from_entries`` + a ``sequence``
+    transform — all JVM expressions. Deterministic: xxhash64 is seeded and
+    versioned, so the same corpus yields the same vectors on any cluster.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(
+            F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_features)))
+    )
+    tf = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("tf"))
+    n_docs = tf.agg(F.countDistinct(id_col).alias("n")).withColumnRenamed("n", "n_docs")
+    dfreq = tf.groupBy("bucket").agg(F.count("*").alias("df"))
+    weighted = (
+        tf.join(F.broadcast(dfreq), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf") * (F.log((F.col("n_docs") + 1.0)
+                                 / (F.col("df") + 1.0)) + 1.0))
+    )
+    dense = (
+        weighted.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("bucket", "w"))).alias("__m"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_features - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("long")), F.lit(0.0)),
+            ).alias(out),
+        )
+    )
+    return dense
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

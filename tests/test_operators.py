@@ -1227,3 +1227,52 @@ def test_bm25_tf_saturation(spark):
     rows = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=3).collect()}
     assert rows[1] > rows[0]
     assert rows[1] < 4 * rows[0]
+
+
+def test_tfidf_vectors_similarity(spark):
+    """Hashed TF-IDF vectors: shared-vocabulary docs are cosine-closer
+    than disjoint-vocabulary docs; vectors are deterministic; common
+    terms are down-weighted relative to rare ones."""
+    import math
+
+    from duckdb_read_spark.operators import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "spark shuffle join agg window"),
+         (1, "spark shuffle join agg filter"),
+         (2, "banana apple pear kiwi mango"),
+         (3, "the the the the rare")],
+        "doc_id int, text string")
+    vecs = {r.doc_id: r.tfidf
+            for r in tfidf_vectors(docs, n_features=64).collect()}
+    assert all(len(v) == 64 for v in vecs.values())
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    assert cos(vecs[0], vecs[1]) > 0.5          # 4/5 shared terms
+    assert cos(vecs[0], vecs[2]) < 0.2          # disjoint vocab
+    # deterministic across invocations
+    vecs2 = {r.doc_id: r.tfidf
+             for r in tfidf_vectors(docs, n_features=64).collect()}
+    assert vecs == vecs2
+    # 'the' (df high if present in many docs) — idf smoothing keeps every
+    # weight positive; nonzero count equals distinct bucketed terms
+    assert sum(1 for x in vecs[3] if x > 0) <= 2
+
+
+def test_tfidf_feeds_cosine_topk(spark):
+    from duckdb_read_spark.operators import cosine_topk, tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 == 0 else "delta epsilon zeta")
+         for i in range(10)],
+        "doc_id int, text string")
+    vecs = tfidf_vectors(docs, n_features=32, out="embedding") \
+        .withColumnRenamed("doc_id", "vec_id")
+    probe = [r.embedding for r in vecs.where("vec_id = 0").collect()][0]
+    top = cosine_topk(vecs.where("vec_id <> 0"), probe, k=4).collect()
+    assert {r.vec_id for r in top} == {2, 4, 6, 8}  # the same-text family
