@@ -164,6 +164,18 @@ _SIMPLE_RENAMES = {
     "regexp_matches": "regexp_like",   # partial-match boolean on both
     "starts_with": "startswith",
     "ends_with": "endswith",
+    "printf": "format_string",         # both C-style %s/%d
+    "array_length": "size",            # 1-arg list-length form
+    "list_value": "array",
+    # literal-separator split aliases; Spark's split treats the separator
+    # as a regex (same caveat the existing string_split mapping carries)
+    "str_split": "split",
+    "string_to_array": "split",
+    "regexp_split_to_array": "split",  # genuinely regex on both
+    "to_hex": "hex",
+    "ucase": "upper",
+    "lcase": "lower",
+    "strlen": "length",
 }
 
 

@@ -834,3 +834,18 @@ def test_list_comprehension_cross_engine(engine, duck):
         got = _rows(engine.sql(q, dialect="duckdb"))
         want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
         assert got == want, q
+
+
+def test_function_alias_renames_cross_engine(engine, duck):
+    q = ("SELECT n_nationkey AS k, "
+         "printf('%s-%d', n_name, n_nationkey) AS a, "
+         "array_length(str_split(n_name, 'A')) AS b, "
+         "list_value(n_nationkey, n_regionkey)[1] AS c, "
+         "string_to_array(n_name, 'R')[1] AS d, "
+         "regexp_split_to_array(n_name, '[AEIOU]')[1] AS e, "
+         "to_hex(n_nationkey) AS f, "
+         "ucase(lcase(n_name)) AS g, strlen(n_name) AS h "
+         "FROM nation ORDER BY k")
+    got = _rows(engine.sql(q, dialect="duckdb"))
+    want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+    assert got == want
