@@ -1234,6 +1234,86 @@ def _q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_op("q116_restore_lifecycle", """
+SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM orders WHERE o_orderkey < 1500
+""", note="RESTORE TABLE (D21): CTAS -> DELETE -> RESTORE TO VERSION 1; "
+          "the metadata-only restore must make the destructive DELETE "
+          "invisible, so the oracle is a plain SELECT of the original cut")
+def _q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q116_"))
+    eng.execute("""
+CREATE TABLE t116 AS
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1500;
+DELETE FROM t116 WHERE o_orderkey % 3 = 0;
+RESTORE TABLE t116 TO VERSION AS OF 1;
+""")
+    return eng.sql("""
+SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t116""")
+
+
+@_op("q117_transaction_rollback", """
+SELECT COUNT(*) AS n, MIN(c_custkey) AS mn,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM customer WHERE c_custkey < 1000
+""", note="session transactions (D23): BEGIN -> DELETE + UPDATE -> "
+          "ROLLBACK; compensation must restore the exact pre-BEGIN state, "
+          "so the oracle is a plain SELECT of the original cut")
+def _q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q117_"))
+    eng.execute("""
+CREATE TABLE t117 AS
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 1000;
+BEGIN TRANSACTION;
+DELETE FROM t117 WHERE c_custkey % 2 = 0;
+UPDATE t117 SET c_acctbal = 0 WHERE c_custkey % 5 = 1;
+ROLLBACK;
+""")
+    return eng.sql("""
+SELECT COUNT(*) AS n, MIN(c_custkey) AS mn,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t117""")
+
+
+@_op("q118_stream_versioned_sink", """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+FROM events GROUP BY event_type ORDER BY event_type
+""", note="streaming sink into a versioned table (T10): events replayed "
+          "as a file stream, each micro-batch an append commit with "
+          "exactly-once batch ids; reading the committed table back must "
+          "match the batch aggregate over the raw events")
+def _q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from . import snapshots
+    from .streaming import events_stream, write_stream_versioned
+
+    work = tempfile.mkdtemp(prefix="ddbrs_q118_")
+    src = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    write_stream_versioned(
+        src.select("event_type", "value"),
+        os.path.join(work, "tbl"), os.path.join(work, "ck"))
+    out = snapshots.read_table(spark, os.path.join(work, "tbl"))
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sv"))
+            .orderBy("event_type"))
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -601,6 +601,23 @@ FROM events ORDER BY user_id, ts DESC, event_id
          "compiles to the row_number window (dialect distinct-on "
          "rewrite); tie-broken on event_id for determinism")
 
+_q("q119_list_comprehension", """
+SELECT doc_id,
+       size(filter(split(text, ' '), w -> length(w) > 4)) AS n_long,
+       array_join(transform(filter(split(text, ' '),
+                                   w -> contains(w, 'q')),
+                            w -> upper(w)), ',') AS qs
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""", duckdb="""
+SELECT doc_id,
+       len([w FOR w IN string_split(text, ' ') IF strlen(w) > 4]) AS n_long,
+       COALESCE(array_to_string([upper(w) FOR w IN string_split(text, ' ')
+                                 IF contains(w, 'q')], ','), '') AS qs
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""", note="DuckDB list comprehensions [expr FOR w IN lst IF pred] compile "
+          "to transform(filter(...)) higher-order functions (dialect "
+          "comprehension rewrite); pure JVM lambda evaluation")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (
