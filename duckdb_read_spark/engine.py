@@ -231,6 +231,7 @@ _SHOW_TABLES_FROM_RE = re.compile(
 )
 _SHOW_DATABASES_RE = re.compile(
     r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
+_USE_RE = re.compile(r"^\s*USE\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
 # CREATE [UNIQUE] INDEX — DuckDB builds an ART index; the Spark-first
 # equivalent of a secondary index over immutable files is STORAGE
 # CLUSTERING: rewrite the table range-partitioned + sorted on the index
@@ -465,11 +466,41 @@ class Engine:
         self._bump_registration_epoch()
         return tables
 
+    def use(self, db: str) -> None:
+        """``USE db``: make an attached catalog's tables reachable by bare
+        name (search-path semantics: a bare name already registered
+        locally wins; only unshadowed names get an alias view). ``USE
+        main`` (or ``memory``) resets to the local namespace."""
+        for v in getattr(self, "_use_aliases", []):
+            self.spark.catalog.dropTempView(v)
+        self._use_aliases: list[str] = []
+        self._use_alias_map: dict[str, str] = {}
+        if db in ("main", "memory"):
+            self._bump_registration_epoch()
+            return
+        if db not in self._attached:
+            raise ValueError(f"USE: unknown database {db!r}")
+        existing = {t.name.lower() for t in self.spark.catalog.listTables()}
+        for tname, view in self._attached[db].items():
+            if tname.lower() not in existing:
+                self.spark.table(view).createOrReplaceTempView(tname)
+                self._use_aliases.append(tname)
+                # temp views freeze the resolved plan, so _refresh_table
+                # must re-point aliases after DML on the backing view
+                self._use_alias_map[tname] = view
+        self._bump_registration_epoch()
+
     def detach(self, db: str) -> None:
         """Drop an attached catalog and every view it registered."""
         tables = self._attached.pop(db, None)
         if tables is None:
             raise ValueError(f"DETACH: database {db!r} is not attached")
+        # bare-name aliases created by USE over this db die with it
+        for v in list(getattr(self, "_use_aliases", [])):
+            if v in tables:
+                self.spark.catalog.dropTempView(v)
+                self._use_aliases.remove(v)
+                getattr(self, "_use_alias_map", {}).pop(v, None)
         for view in tables.values():
             self.spark.catalog.dropTempView(view)
             self._versioned.pop(view, None)
@@ -1076,6 +1107,10 @@ class Engine:
         mopt = _OPTIMIZE_RE.match(query)
         if mopt:
             return self.optimize_table(mopt.group("name"))
+        muse = _USE_RE.match(query)
+        if muse:
+            self.use(muse.group("db"))
+            return self._empty()
         if _SHOW_DATABASES_RE.match(query):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self._attached)], "name string")
@@ -1561,8 +1596,12 @@ class Engine:
         return self._warehouse
 
     def _refresh_table(self, name: str) -> None:
-        """Re-point the temp view at the table's latest snapshot."""
+        """Re-point the temp view at the table's latest snapshot (and any
+        bare-name USE alias over it — temp views freeze plans)."""
         self.register_versioned(name, self._versioned[name])
+        for alias, view in getattr(self, "_use_alias_map", {}).items():
+            if view == name:
+                self.spark.table(view).createOrReplaceTempView(alias)
 
     def _uri_to_rel(self, uri: str, table_dir: str) -> str:
         import os

@@ -849,3 +849,33 @@ def test_function_alias_renames_cross_engine(engine, duck):
     got = _rows(engine.sql(q, dialect="duckdb"))
     want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
     assert got == want
+
+
+def test_use_database_search_path(engine, tmp_path):
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "wh"))
+    wh = tmp_path / "ext"
+    eng.write_versioned(
+        eng.spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        str(wh / "widgets"))
+    eng.spark.createDataFrame([(9,)], "z int").write.parquet(
+        str(wh / "gizmos.parquet"))
+    eng.sql(f"ATTACH '{wh}' AS ext")
+    with pytest.raises(Exception):
+        engine.spark.table("widgets")  # not reachable bare before USE
+    eng.sql("USE ext")
+    assert eng.sql("SELECT count(*) AS n FROM widgets").collect()[0].n == 2
+    assert eng.sql("SELECT z FROM gizmos").collect()[0].z == 9
+    # a locally-registered name shadows the attached one (search path)
+    eng.spark.createDataFrame([(0,)], "only int") \
+        .createOrReplaceTempView("widgets2")
+    # DML through the qualified name stays visible through the bare alias
+    eng.sql("INSERT INTO ext.widgets VALUES (3, 'c')")
+    assert eng.sql("SELECT count(*) AS n FROM widgets").collect()[0].n == 3
+    eng.sql("USE main")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM widgets").collect()
+    with pytest.raises(ValueError):
+        eng.sql("USE nosuchdb")
+    eng.detach("ext")
