@@ -1314,6 +1314,26 @@ def _q118(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+@_op("q120_chunk_documents", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 300),
+     c AS (SELECT doc_id, toks,
+                  CAST(greatest(1, ceil((len(toks) - 16) / 48.0)) AS INT) AS nc
+           FROM t)
+SELECT doc_id, gs.i AS chunk_id,
+       array_to_string(toks[gs.i * 48 + 1 : gs.i * 48 + 64], ' ') AS chunk
+FROM c, UNNEST(generate_series(0, nc - 1)) AS gs(i)
+ORDER BY doc_id, chunk_id
+""", note="overlapping context-window chunking (operators/packing."
+          "chunk_documents, L21): explode(sequence) flatMap, zero "
+          "shuffles; oracle = lateral generate_series + 1-based list "
+          "slicing spelling the identical stride arithmetic")
+def _q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    return ops.chunk_documents(
+        docs, chunk_tokens=64, overlap=16).orderBy("doc_id", "chunk_id")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

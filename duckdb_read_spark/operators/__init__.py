@@ -15,7 +15,7 @@ from .dedup import (
     simhash_banded_keys,
     simhash_candidates,
 )
-from .packing import pack_by_offset, pack_greedy, pack_stats
+from .packing import chunk_documents, pack_by_offset, pack_greedy, pack_stats
 from .profile import profile_columns
 from .retrieval import bm25_topk, tfidf_vectors
 from .sampling import (
@@ -79,6 +79,7 @@ __all__ = [
     "hash_split",
     "hash_threshold",
     "pack_by_offset",
+    "chunk_documents",
     "pack_greedy",
     "pack_stats",
     "profile_columns",

@@ -100,3 +100,53 @@ def pack_stats(packed: DataFrame, token_col: str | None = None,
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(tok).cast("long").alias("tokens"))
         .orderBy("shard", "pack_id")
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    out: str = "chunk",
+):
+    """Split documents into fixed-size overlapping token chunks — the
+    context-window preparation step upstream of sequence packing: a long
+    document becomes ``ceil((n - overlap) / stride)`` chunks of
+    ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens; a document shorter than one chunk stays whole.
+
+    Pure JVM shape: split → per-row chunk-count arithmetic → one
+    ``explode(sequence(...))`` whose fan-out is chunks (data-proportional,
+    no shuffle at all — chunking is a flatMap); the slice/join are
+    per-row expressions. Deterministic and SQL-expressible, so it carries
+    a DuckDB oracle (q120)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    prepared = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)),
+        ).cast("int").alias("__nc"),
+    )
+    return (
+        prepared.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+            "__toks",
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(
+                F.slice("__toks", F.col("chunk_id") * stride + 1,
+                        F.lit(chunk_tokens)),
+                " ",
+            ).alias(out),
+        )
+    )

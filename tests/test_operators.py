@@ -1276,3 +1276,38 @@ def test_tfidf_feeds_cosine_topk(spark):
     probe = [r.embedding for r in vecs.where("vec_id = 0").collect()][0]
     top = cosine_topk(vecs.where("vec_id <> 0"), probe, k=4).collect()
     assert {r.vec_id for r in top} == {2, 4, 6, 8}  # the same-text family
+
+
+# --- chunk_documents (L21) ------------------------------------------------
+
+def test_chunk_documents_properties(spark):
+    from duckdb_read_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(100))),  # long: multiple chunks
+         (1, "a b c"),                                # short: one whole chunk
+         (2, " ".join(f"x{i}" for i in range(16)))],  # exactly chunk-size
+        "doc_id int, text string")
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_id)
+
+    # short docs stay whole
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk == "a b c"
+    assert len(by_doc[2]) == 1 and len(by_doc[2][0].chunk.split()) == 16
+    # long doc: ceil((100-4)/12) = 8 chunks
+    assert len(by_doc[0]) == 8
+    chunks = [r.chunk.split() for r in by_doc[0]]
+    assert all(len(c) == 16 for c in chunks[:-1])
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-4:] == b[:4]
+    # full coverage, in order, no token lost
+    merged = chunks[0] + [t for c in chunks[1:] for t in c[4:]]
+    assert merged == [f"t{i}" for i in range(100)]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
