@@ -31,6 +31,11 @@ from .sources import sinks
 # INSTALL/FORCE INSTALL/LOAD statement shapes (LoadInfo.load_type analog,
 # /root/reference/duckdb:30-33).
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
+# DuckDB also summarizes arbitrary queries: SUMMARIZE SELECT ...
+_SUMMARIZE_QUERY_RE = re.compile(
+    r"^\s*SUMMARIZE\s+(?P<body>(?:SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # COPY <table | (subquery)> TO 'path' [(OPTIONS)]  (DuckDB COPY statement)
 # The opts capture is greedy to the trailing ')' so nested parens (e.g.
@@ -1148,6 +1153,11 @@ class Engine:
             else:
                 self.load(module)
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        msq = _SUMMARIZE_QUERY_RE.match(query)
+        if msq:
+            from .operators.profile import profile_columns
+
+            return profile_columns(self.sql(msq.group("body"), dialect=dialect))
         ms = _SUMMARIZE_RE.match(query)
         if ms:
             return self.summarize(ms.group(1))

@@ -879,3 +879,11 @@ def test_use_database_search_path(engine, tmp_path):
     with pytest.raises(ValueError):
         eng.sql("USE nosuchdb")
     eng.detach("ext")
+
+
+def test_summarize_query_form(engine):
+    out = engine.sql(
+        "SUMMARIZE SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10")
+    rows = {r.column: r for r in out.collect()}
+    assert set(rows) == {"n_nationkey", "n_name"}
+    assert rows["n_nationkey"].n_rows == 10
