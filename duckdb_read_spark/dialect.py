@@ -590,6 +590,96 @@ _LITERAL_CONTEXT_KEYWORDS = {
 }
 
 
+def _split_brace_commas(text: str) -> list[str]:
+    """Split on commas outside (), [], {} and string literals."""
+    parts, buf = [], []
+    depth = 0
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+_STRUCT_KV_RE = re.compile(
+    r"(?s)^\s*(?P<key>'(?:[^']|'')*'|[A-Za-z_]\w*)\s*:\s*(?P<val>.+?)\s*$")
+
+
+def _rewrite_struct_literals(sql: str) -> str:
+    """DuckDB brace literals: ``{'k': v, …}`` → ``named_struct('k', v, …)``
+    and ``MAP {'k': v, …}`` → ``map('k', v, …)``. Innermost-first (last
+    '{' each pass) so nested structs compose; a brace whose body doesn't
+    parse as key:value pairs is left verbatim."""
+    toks = tokenize(sql)
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(toks) - 1, -1, -1):
+            if toks[i].text != "{":
+                continue
+            depth = 0
+            close = None
+            for j in range(i, len(toks)):
+                if toks[j].text == "{":
+                    depth += 1
+                elif toks[j].text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is None:
+                continue
+            inner = detokenize(toks[i + 1:close])
+            kvs = []
+            for part in _split_brace_commas(inner):
+                m = _STRUCT_KV_RE.match(part)
+                if not m:
+                    kvs = None
+                    break
+                key = m.group("key")
+                if not key.startswith("'"):
+                    key = f"'{key}'"  # bare identifier key → string
+                kvs.append((key, m.group("val")))
+            if not kvs:
+                continue
+            args = ", ".join(f"{k}, {v}" for k, v in kvs)
+            p = i - 1
+            while p >= 0 and toks[p].kind in ("ws", "comment"):
+                p -= 1
+            if p >= 0 and toks[p].kind == "ident" and toks[p].text.upper() == "MAP":
+                toks = toks[:p] + [Tok("other", f"map({args})")] + toks[close + 1:]
+            else:
+                toks = (toks[:i] + [Tok("other", f"named_struct({args})")]
+                        + toks[close + 1:])
+            toks = tokenize(detokenize(toks))
+            changed = True
+            break
+    return detokenize(toks)
+
+
 def _rewrite_list_comprehension(sql: str) -> str:
     """DuckDB list comprehensions ``[expr FOR var IN lst [IF pred]]`` →
     Spark higher-order functions ``transform([filter(]lst, var -> pred[)],
@@ -1238,6 +1328,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_array_types(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_list_comprehension(sql)
+    sql = _rewrite_struct_literals(sql)
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql)

@@ -407,3 +407,18 @@ def test_list_comprehension_rewrites():
     assert out.count("transform(") == 2 and "FOR" not in out
     # a plain bracket literal (no FOR) is untouched by this pass
     assert to_spark_sql("SELECT [1, 2][1] AS e") == "SELECT array(1, 2)[0] AS e"
+
+
+def test_struct_literal_rewrites():
+    from duckdb_read_spark.dialect import to_spark_sql
+
+    assert to_spark_sql("SELECT {'a': 1, 'b': 'x'} AS s") == \
+        "SELECT named_struct('a', 1, 'b', 'x') AS s"
+    assert to_spark_sql("SELECT MAP {'k': 2, 'j': 3} AS m") == \
+        "SELECT map('k', 2, 'j', 3) AS m"
+    # bare identifier keys quote; nesting composes innermost-first
+    assert to_spark_sql("SELECT {a: 1, b: {'c': 2}} AS s") == \
+        "SELECT named_struct('a', 1, 'b', named_struct('c', 2)) AS s"
+    # list values with commas survive; field access passes through
+    assert to_spark_sql("SELECT {'l': [1, 2]}.l AS v") == \
+        "SELECT named_struct('l', array(1, 2)).l AS v"

@@ -887,3 +887,17 @@ def test_summarize_query_form(engine):
     rows = {r.column: r for r in out.collect()}
     assert set(rows) == {"n_nationkey", "n_name"}
     assert rows["n_nationkey"].n_rows == 10
+
+
+def test_struct_and_map_literals_cross_engine(engine, duck):
+    cases = [
+        "SELECT n_nationkey AS k, {'id': n_nationkey, 'nm': n_name}.nm AS nm "
+        "FROM nation ORDER BY k",
+        "SELECT n_nationkey AS k, "
+        "map_extract(MAP {'r': n_regionkey, 'n': n_nationkey}, 'r')[1] AS r "
+        "FROM nation ORDER BY k",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
