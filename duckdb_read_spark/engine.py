@@ -951,19 +951,23 @@ class Engine:
         if mdist:
             body_off += mdist.end()
         items = _split_top_commas(query[body_off:frm])
-        call_re = re.compile(r"\bCOLUMNS\s*\(\s*'(?P<re>[^']*)'\s*\)",
-                             re.IGNORECASE)
+        call_re = re.compile(
+            r"\bCOLUMNS\s*\(\s*(?:'(?P<re>[^']*)'|(?P<star>\*))\s*\)",
+            re.IGNORECASE)
         out_items: list[str] = []
         for item in items:
             m = call_re.search(item)
             if not m:
                 out_items.append(item.strip())
                 continue
-            try:
-                matched = [c for c in cols if re.search(m.group("re"), c)]
-            except re.error as exc:
-                raise ValueError(
-                    f"COLUMNS: invalid regex {m.group('re')!r}: {exc}")
+            if m.group("star"):
+                matched = list(cols)
+            else:
+                try:
+                    matched = [c for c in cols if re.search(m.group("re"), c)]
+                except re.error as exc:
+                    raise ValueError(
+                        f"COLUMNS: invalid regex {m.group('re')!r}: {exc}")
             if not matched:
                 raise ValueError(
                     f"COLUMNS({m.group('re')!r}) matched no column of "

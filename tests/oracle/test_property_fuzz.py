@@ -10,9 +10,10 @@ determinism conventions by construction:
   (comparisons, IN, BETWEEN, LIKE, CASE, COALESCE, arithmetic, COUNT/MIN/
   MAX/SUM, HAVING, LIMIT).
 
-Each seed is one test case; failures reproduce exactly by seed. 180 seeds
+Each seed is one test case; failures reproduce exactly by seed. 200 seeds
 across (projection | aggregation | join | window | setop | QUALIFY |
-list/map-construct | star-expression/series-TVF) shapes. This catches divergence classes
+list/map-construct | star-expression/series-TVF | struct-literal/
+comprehension) shapes. This catches divergence classes
 the 50 hand-declared queries don't enumerate (operator interaction, literal
 edge values, grouping on expressions).
 """
@@ -295,10 +296,36 @@ def gen_star_exprs(rng: random.Random) -> str:
             f"FROM {fn}({a}, {b}, {s}) AS g ORDER BY n")
 
 
+def gen_struct_compr(rng: random.Random) -> str:
+    """Struct/MAP brace literals + list comprehensions — native DuckDB
+    text through Engine.sql's rewrites, verbatim in DuckDB."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    kind = rng.randrange(3)
+    uid = t["int"][0]
+    if kind == 0:
+        return (f"SELECT {uid} AS k, "
+                f"{{'a': {i1} % 9, 'b': {{'c': upper({s1})}}}}.b.c AS v "
+                f"FROM {name}{_where(rng, t)} ORDER BY k NULLS FIRST LIMIT 200")
+    if kind == 1:
+        lit = rng.choice(["'x'", "'y'"])
+        return (f"SELECT {uid} AS k, "
+                f"map_extract(MAP {{{lit}: {i1} % 7, 'z': {i2} % 5}}, {lit})[1] AS v "
+                f"FROM {name}{_where(rng, t)} ORDER BY k NULLS FIRST LIMIT 200")
+    thr = rng.randint(0, 4)
+    return (f"SELECT {uid} AS k, "
+            f"len([w FOR w IN string_split({s1}, 'a') IF strlen(w) > {thr}]) AS v "
+            f"FROM {name}{_where(rng, t)} ORDER BY k NULLS FIRST LIMIT 200")
+
+
 def generate(seed: int) -> tuple[str, str]:
     """seed → (sql, dialect): dialect='duckdb' shapes exercise the
     rewriter (the text is native DuckDB, Spark runs it via to_spark_sql)."""
     rng = random.Random(seed)
+    if seed >= 180:
+        return gen_struct_compr(rng), "duckdb"
     if seed >= 150:
         return gen_star_exprs(rng), "duckdb"
     if seed >= 130:
@@ -313,7 +340,7 @@ def generate(seed: int) -> tuple[str, str]:
     return shape(rng), "spark"
 
 
-@pytest.mark.parametrize("seed", range(180))
+@pytest.mark.parametrize("seed", range(200))
 def test_fuzzed_query_matches_oracle(seed, engine, duck):
     sql, dialect = generate(seed)
     got = spark_rows(engine.sql(sql, dialect=dialect))

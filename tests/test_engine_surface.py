@@ -797,6 +797,7 @@ def test_columns_star_expression(engine, duck):
         "SELECT COLUMNS('key$') FROM nation ORDER BY n_nationkey",
         "SELECT min(COLUMNS('n_.*key')) FROM nation",
         "SELECT n_name, COLUMNS('key$') FROM nation ORDER BY n_nationkey",
+        "SELECT max(COLUMNS(*)) FROM region",
     ]
     for q in cases:
         sdf = engine.sql(q, dialect="duckdb")
