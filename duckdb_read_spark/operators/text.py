@@ -194,10 +194,13 @@ def corpus_bigram_scores(
     bigram contributed to the counts, so P > 0 always).
 
     Plan: one explode to bigrams, two bounded aggregations (counts are
-    vocabulary²-bounded, contexts vocabulary-bounded), two hash joins
-    back, one per-doc re-agg. The context join key is the previous
-    token — Zipf-skewed, so AQE skew-join handles the hot heads at
-    scale."""
+    vocabulary²-bounded, contexts vocabulary-bounded) joined small-with-
+    small into a single (prev, tok) → -log2 P model table, then ONE join
+    of the big bigram stream against that model and one per-doc re-agg.
+    AQE converts the model join to broadcast when the model is small
+    (always at fixture scale) and skew-splits the Zipf-hot heads when it
+    is not; the NLL is computed once per model row, not once per corpus
+    bigram."""
     t = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
@@ -218,13 +221,15 @@ def corpus_bigram_scores(
     cnt = bg.groupBy("__prev", "__tok").agg(
         F.count(F.lit(1)).cast("double").alias("__c"))
     ctx = cnt.groupBy("__prev").agg(F.sum("__c").alias("__cp"))
-    scored = bg.join(cnt, ["__prev", "__tok"]).join(ctx, "__prev")
+    model = cnt.join(ctx, "__prev").select(
+        "__prev", "__tok",
+        (-F.log2(F.col("__c") / F.col("__cp"))).alias("__nll"))
+    scored = bg.join(model, ["__prev", "__tok"])
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg(-F.log2(F.col("__c") / F.col("__cp"))), 6)
-            .alias("cross_entropy"),
+            F.round(F.avg("__nll"), 6).alias("cross_entropy"),
         )
     )
 
