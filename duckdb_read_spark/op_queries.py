@@ -1334,6 +1334,32 @@ def _q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, chunk_tokens=64, overlap=16).orderBy("doc_id", "chunk_id")
 
 
+# DECOMPOSED suffix: 'e' + U+0301 combining acute (NFC must compose it
+# to U+00E9) plus a stray combining diaeresis; declared as escapes so the
+# source stays visibly ASCII, and interpolated into the oracle text so
+# both engines see the identical codepoints.
+_Q121_SUFFIX = " cafe\u0301 a\u0308"
+
+
+@_op("q121_unicode_normalize", f"""
+SELECT doc_id,
+       md5(nfc_normalize(substr(text, 1, 40) || '{_Q121_SUFFIX}')) AS h
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""", note="unicode canonicalization (operators/text.normalize_text, "
+          "L22): NFC over text carrying decomposed combining-mark "
+          "sequences; the md5 only matches if both engines compose them "
+          "identically (the fixture body is ASCII — the appended "
+          "decomposed suffix is what the oracle actually tests)")
+def _q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .where("doc_id < 200")
+            .withColumn("text", F.concat(F.expr("substr(text, 1, 40)"),
+                                         F.lit(_Q121_SUFFIX))))
+    return (ops.normalize_text(docs, form="NFC")
+            .select("doc_id", F.md5("text").alias("h"))
+            .orderBy("doc_id"))
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

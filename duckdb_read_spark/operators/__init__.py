@@ -58,6 +58,7 @@ from .text import (
     scrub_text,
     text_stats,
     token_count,
+    normalize_text,
 )
 
 __all__ = [
@@ -101,6 +102,7 @@ __all__ = [
     "fingerprint",
     "text_stats",
     "scrub_text",
+    "normalize_text",
     "corpus_bigram_scores",
     "entropy_stats",
     "repetition_stats",

@@ -263,3 +263,49 @@ def repetition_stats(
             F.round(top / n, 6).alias("top_share"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_accents: bool = False,
+    lowercase: bool = False,
+    out: str | None = None,
+):
+    """Unicode canonicalization (NFC/NFKC/NFD/NFKD), optional accent
+    stripping (NFD + drop combining marks) and casefolding — the
+    normalization step BEFORE hashing/dedup: two byte-different encodings
+    of the same text (composed vs combining accents, compatibility forms)
+    must hash identically or every downstream dedup tier silently leaks
+    duplicates. DuckDB ships this as nfc_normalize/strip_accents; Spark
+    has no JVM builtin, so this is an Arrow-batched pandas_udf over the
+    stdlib ``unicodedata`` — one Python boundary crossing, vectorized per
+    batch, no shuffle (pure projection)."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    # local import + explicit globals entry: `from __future__ import
+    # annotations` stringifies the hints, and pandas_udf resolves them in
+    # this module's globals — pd must be visible there
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_accents:
+                y = "".join(c for c in unicodedata.normalize("NFD", y)
+                            if not unicodedata.combining(c))
+                y = unicodedata.normalize(form, y)
+            return y.casefold() if lowercase else y
+
+        return s.map(one)
+
+    return df.withColumn(out or text_col, _norm(F.col(text_col)))

@@ -1311,3 +1311,25 @@ def test_chunk_documents_properties(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# --- unicode normalization (L22) ------------------------------------------
+
+def test_normalize_text_forms(spark):
+    from duckdb_read_spark.operators import normalize_text
+
+    docs = spark.createDataFrame(
+        [(0, "café"), (1, "ﬁne"), (2, "CAFÉ"), (3, None)],
+        "doc_id int, text string")
+    nfc = {r.doc_id: r.text for r in normalize_text(docs, form="NFC").collect()}
+    assert nfc[0] == "café"          # combining acute composes
+    assert nfc[3] is None                 # NULL passthrough
+    nfkc = {r.doc_id: r.text
+            for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[1] == "fine"              # fi ligature folds
+    low = {r.doc_id: r.text
+           for r in normalize_text(docs, strip_accents=True,
+                                   lowercase=True).collect()}
+    assert low[0] == "cafe" and low[2] == "cafe"  # byte-identical for dedup
+    with pytest.raises(ValueError):
+        normalize_text(docs, form="XXX")
