@@ -59,8 +59,12 @@ class Commit:
     # None → dir-granular commit (pre-file-level, or plain writes).
     files: tuple[dict, ...] | None = None
     # streaming-sink idempotence (the Delta txn-action idea): the
-    # micro-batch id that produced this commit, None for batch commits.
+    # micro-batch id that produced this commit and the app/checkpoint
+    # identity it belongs to, None for batch commits. The watermark is
+    # PER APP — two different streams (fresh checkpoints restart batch
+    # ids at 0) into one table must not shadow each other.
     stream_batch_id: int | None = None
+    stream_app_id: str | None = None
 
 
 def _log_path(table_dir: str, version: int) -> str:
@@ -81,7 +85,8 @@ def read_log(table_dir: str) -> list[Commit]:
         files = tuple(d["files"]) if d.get("files") is not None else None
         commits.append(Commit(d["version"], d["timestamp_ms"], d["mode"],
                               tuple(d["dirs"]), files,
-                              d.get("stream_batch_id")))
+                              d.get("stream_batch_id"),
+                              d.get("stream_app_id")))
     return commits
 
 
@@ -197,6 +202,7 @@ def write_table(
     timestamp_ms: int | None = None,
     carry_files: list[dict] | None = None,
     stream_batch_id: int | None = None,
+    stream_app_id: str | None = None,
 ) -> Commit:
     """Commit ``df`` as the next version of the table at ``table_dir``.
 
@@ -225,13 +231,15 @@ def write_table(
         dirs=(rel,),
         files=files,
         stream_batch_id=stream_batch_id,
+        stream_app_id=stream_app_id,
     )
     # O_EXCL: exactly one writer can create this version file.
     with open(_log_path(table_dir, version), "x") as f:
         json.dump({"version": entry.version, "timestamp_ms": entry.timestamp_ms,
                    "mode": entry.mode, "dirs": list(entry.dirs),
                    "files": list(entry.files) if entry.files is not None else None,
-                   "stream_batch_id": entry.stream_batch_id},
+                   "stream_batch_id": entry.stream_batch_id,
+                   "stream_app_id": entry.stream_app_id},
                   f)
     # Mirror into the Delta-protocol-shaped public log (interop surface;
     # best-effort — the private commit above is the source of truth).
@@ -250,14 +258,17 @@ def write_table(
     return entry
 
 
-def last_stream_batch_id(table_dir: str) -> int:
-    """Highest micro-batch id ever committed to this table, -1 if none —
-    the streaming sink's idempotence watermark (Delta's txn-action idea:
-    the log itself records which source batches landed, so a replayed
-    foreachBatch after a checkpoint recovery skips instead of
-    double-appending)."""
+def last_stream_batch_id(table_dir: str, app_id: str | None = None) -> int:
+    """Highest micro-batch id committed to this table BY THIS APP
+    (checkpoint identity), -1 if none — the streaming sink's idempotence
+    watermark (Delta's txn-action idea: the log records which source
+    batches landed per application, so a replayed foreachBatch after a
+    checkpoint recovery skips, while a DIFFERENT stream with a fresh
+    checkpoint — whose batch ids restart at 0 — is not shadowed).
+    ``app_id=None`` matches legacy commits written before app identities
+    existed."""
     ids = [c.stream_batch_id for c in read_log(table_dir)
-           if c.stream_batch_id is not None]
+           if c.stream_batch_id is not None and c.stream_app_id == app_id]
     return max(ids) if ids else -1
 
 

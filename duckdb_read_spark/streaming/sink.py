@@ -23,14 +23,17 @@ from .. import snapshots
 
 
 def commit_stream_batch(batch_df: DataFrame, batch_id: int,
-                        table_dir: str) -> bool:
+                        table_dir: str, app_id: str | None = None) -> bool:
     """Land one micro-batch as an append commit, or skip it if its id is
-    at or below the table's committed high-water mark (checkpoint-recovery
-    replay). Returns whether a commit happened."""
-    if batch_id <= snapshots.last_stream_batch_id(table_dir):
+    at or below THIS APP's committed high-water mark (checkpoint-recovery
+    replay). The watermark is keyed by ``app_id`` — Delta's txn-action
+    idea — because a *different* stream into the same table starts its
+    batch ids back at 0 and must not be shadowed by an earlier stream's
+    watermark. Returns whether a commit happened."""
+    if batch_id <= snapshots.last_stream_batch_id(table_dir, app_id):
         return False
     snapshots.write_table(batch_df, table_dir, mode="append",
-                          stream_batch_id=batch_id)
+                          stream_batch_id=batch_id, stream_app_id=app_id)
     return True
 
 
@@ -42,10 +45,15 @@ def write_stream_versioned(
     processing_time: str | None = None,
 ):
     """Start (and for ``available_now=True`` drain) a stream into the
-    versioned table at ``table_dir``. Returns the StreamingQuery."""
+    versioned table at ``table_dir``. Returns the StreamingQuery. The
+    checkpoint directory doubles as the idempotence app identity: stable
+    across restarts of the same stream, distinct for a new stream."""
+    import os
+
+    app_id = os.path.abspath(checkpoint_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        commit_stream_batch(batch_df, batch_id, table_dir)
+        commit_stream_batch(batch_df, batch_id, table_dir, app_id)
 
     writer = (stream_df.writeStream
               .foreachBatch(commit_batch)

@@ -306,22 +306,38 @@ def test_stream_into_versioned_table_exactly_once(spark, tmp_path):
     assert out.count() == total
     commits = snapshots.read_log(td)
     assert all(c.stream_batch_id is not None for c in commits)
-    assert snapshots.last_stream_batch_id(td) == commits[-1].stream_batch_id
+    app_expected = __import__("os").path.abspath(ck)
+    assert snapshots.last_stream_batch_id(td, app_expected) == \
+        commits[-1].stream_batch_id
+    assert snapshots.last_stream_batch_id(td) == -1  # no legacy commits
 
     # the sink's guard skips an already-committed batch id (the
-    # foreachBatch replay after checkpoint-recovery scenario)
+    # foreachBatch replay after checkpoint-recovery scenario) — keyed by
+    # this stream's app identity (its checkpoint dir)
+    import os
+
     from duckdb_read_spark.streaming.sink import commit_stream_batch
 
+    app = os.path.abspath(ck)
+    assert all(c.stream_app_id == app for c in commits)
     replay = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
         .select("event_id", "ts", "user_id").limit(5)
     assert commit_stream_batch(
-        replay, commits[-1].stream_batch_id, td) is False
+        replay, commits[-1].stream_batch_id, td, app) is False
     assert len(snapshots.read_log(td)) == len(commits)
     assert snapshots.read_table(spark, td).count() == total
+
+    # a DIFFERENT stream (fresh checkpoint → batch ids restart at 0) into
+    # the same table is NOT shadowed by the first stream's watermark
+    src_b = events_stream(spark, "/root/testdata/sf0.001/events.parquet",
+                          max_files_per_trigger=1)
+    write_stream_versioned(src_b.select("event_id", "ts", "user_id"),
+                           td, str(tmp_path / "ck_b"), available_now=True)
+    assert snapshots.read_table(spark, td).count() == 2 * total
 
     # a fresh stream over the same checkpoint ingests nothing new
     src2 = events_stream(spark, "/root/testdata/sf0.001/events.parquet",
                          max_files_per_trigger=1)
     write_stream_versioned(src2.select("event_id", "ts", "user_id"),
                            td, ck, available_now=True)
-    assert snapshots.read_table(spark, td).count() == total
+    assert snapshots.read_table(spark, td).count() == 2 * total
