@@ -368,9 +368,12 @@ class Engine:
                     f"{types.get(ts_col, 'absent')}, need timestamp")
             dest = materialize_dir or os.path.join(
                 self._warehouse_dir(), f"__tp__{name}")
-            if not os.path.isdir(dest):
+            # reuse only a COMPLETE materialization (_SUCCESS marker); a
+            # half-written dir from a crashed run is overwritten
+            if not os.path.exists(os.path.join(dest, "_SUCCESS")):
                 sinks.write_time_partitioned(
-                    df, dest, ts_col=ts_col, granularity=granularity)
+                    df, dest, ts_col=ts_col, granularity=granularity,
+                    mode="overwrite")
             df = self.spark.read.parquet(dest)
             self._time_partitioned[name] = (ts_col, "p_date", granularity)
             path = dest
