@@ -175,7 +175,7 @@ _SIMPLE_RENAMES = {
     "to_hex": "hex",
     "ucase": "upper",
     "lcase": "lower",
-    "strlen": "length",
+    "strlen": "octet_length",  # DuckDB strlen counts BYTES, not chars
 }
 
 
@@ -307,13 +307,24 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     and toks[sub[2]].text == "]"):
                 out.append(f"element_at({inner})")
                 i = sub[2] + 1
-            else:
-                # No [1] unwrap: preserve DuckDB's one-element-LIST shape
-                # ([] for a missing key) instead of silently returning a
-                # bare scalar.
+            elif len(spans) == 2:
+                # No [1] unwrap: preserve DuckDB's one-element-LIST shape.
+                # Presence is decided by map_contains_key, NOT by value
+                # null-ness — a key mapped to NULL yields [NULL] in DuckDB,
+                # which a filter-out-nulls formulation would collapse to []
+                # (indistinguishable from a missing key).
+                mp = _arg_text(toks, spans[0])
+                ky = _arg_text(toks, spans[1])
+                # the ELSE arm must be an empty array OF THE VALUE TYPE
+                # (bare array() is array<string> and breaks CASE typing):
+                # slice(.., 1, 0) empties the same-typed one-element array
                 out.append(
-                    f"filter(array(element_at({inner})),"
-                    " __me_x -> __me_x IS NOT NULL)")
+                    f"CASE WHEN map_contains_key({mp}, {ky}) "
+                    f"THEN array(element_at({mp}, {ky})) "
+                    f"ELSE slice(array(element_at({mp}, {ky})), 1, 0) END")
+                i = close + 1
+            else:
+                out.append(f"map_extract({inner})")  # wrong arity → loud
                 i = close + 1
             changed = True
             continue

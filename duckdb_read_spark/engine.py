@@ -366,14 +366,31 @@ class Engine:
                 raise ValueError(
                     f"time_partition column {ts_col!r} is "
                     f"{types.get(ts_col, 'absent')}, need timestamp")
+            import json
+
             dest = materialize_dir or os.path.join(
                 self._warehouse_dir(), f"__tp__{name}")
-            # reuse only a COMPLETE materialization (_SUCCESS marker); a
-            # half-written dir from a crashed run is overwritten
-            if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            # reuse only a COMPLETE materialization (_SUCCESS marker) OF
+            # THE SAME (source, ts_col, granularity) — a half-written dir
+            # from a crashed run, or one built for a different source or
+            # granularity (whose partition-value format would make the
+            # injected predicates silently wrong), is overwritten
+            meta = {"source": os.path.abspath(path), "ts_col": ts_col,
+                    "granularity": granularity}
+            meta_path = os.path.join(dest, "_tp_meta.json")
+            reusable = os.path.exists(os.path.join(dest, "_SUCCESS"))
+            if reusable:
+                try:
+                    with open(meta_path) as f:
+                        reusable = json.load(f) == meta
+                except (OSError, ValueError):
+                    reusable = False
+            if not reusable:
                 sinks.write_time_partitioned(
                     df, dest, ts_col=ts_col, granularity=granularity,
                     mode="overwrite")
+                with open(meta_path, "w") as f:
+                    json.dump(meta, f)
             df = self.spark.read.parquet(dest)
             self._time_partitioned[name] = (ts_col, "p_date", granularity)
             path = dest
@@ -780,6 +797,11 @@ class Engine:
             commits = snapshots.read_log(td)
             base[name] = commits[-1].version if commits else 0
         self._txn_baseline = base
+        # only tables a CREATE TABLE statement makes DURING the txn are
+        # dropped on rollback — a mere registration (register_versioned /
+        # ATTACH of pre-existing data) must never be rmtree'd by
+        # compensation
+        self._txn_created: set[str] = set()
 
     def commit(self) -> None:
         if self._txn_baseline is None:
@@ -790,10 +812,14 @@ class Engine:
         if self._txn_baseline is None:
             raise ValueError("ROLLBACK: no open transaction")
         base, self._txn_baseline = self._txn_baseline, None
+        created = getattr(self, "_txn_created", set())
         for name in list(self._versioned):
             td = self._versioned[name]
             if name not in base:
-                self.sql(f"DROP TABLE {name}")  # created inside the txn
+                if name in created:
+                    self.sql(f"DROP TABLE {name}")  # CREATEd inside the txn
+                # registered-not-created tables are left untouched —
+                # registration is not a data mutation
                 continue
             commits = snapshots.read_log(td)
             cur = commits[-1].version if commits else 0
@@ -1268,19 +1294,25 @@ class Engine:
                 re.IGNORECASE,
             )
 
+            # Replacements are PARENTHESIZED: under a preceding NOT, the
+            # bare form `NOT ts >= L AND p >= D` would bind the AND outside
+            # the NOT and silently drop every early partition. The wrap is
+            # semantics-preserving because the partition predicate is
+            # IMPLIED by the ts predicate (p is derived from ts), so
+            # NOT (A AND B) ≡ NOT A when A ⇒ B.
             def csub(m: re.Match) -> str:
                 p = plit(m.group("lit"))
                 if p is None:
                     return m.group(0)
                 op = {"<": "<=", ">": ">="}.get(m.group("op"), m.group("op"))
-                return f"{m.group(0)} AND {m.group('pre')}{p_col} {op} '{p}'"
+                return f"({m.group(0)} AND {m.group('pre')}{p_col} {op} '{p}')"
 
             def bsub(m: re.Match) -> str:
                 lo, hi = plit(m.group("lo")), plit(m.group("hi"))
                 if lo is None or hi is None:
                     return m.group(0)
-                return (f"{m.group(0)} AND {m.group('pre')}{p_col} "
-                        f"BETWEEN '{lo}' AND '{hi}'")
+                return (f"({m.group(0)} AND {m.group('pre')}{p_col} "
+                        f"BETWEEN '{lo}' AND '{hi}')")
 
             out = guarded_sub(btw_pat, bsub, out)
             out = guarded_sub(cmp_pat, csub, out)
@@ -1773,6 +1805,8 @@ class Engine:
                 df = self.sql(rest[2:].strip(), dialect=dialect)
             table_dir = self._versioned.get(
                 name, os.path.join(self._warehouse_dir(), name))
+            if self._txn_baseline is not None and not exists:
+                self._txn_created.add(name)
             snapshots.write_table(df, table_dir, mode="overwrite")
             self.register_versioned(name, table_dir)
             return self._empty()

@@ -381,3 +381,24 @@ def test_export_import_database(eng, tmp_path):
         eng3.sql(f"EXPORT DATABASE '{tmp_path / 'x'}'")
     with pytest.raises(PermissionError):
         eng3.sql(f"IMPORT DATABASE '{dump}'")
+
+
+def test_rollback_never_drops_registered_preexisting_tables(eng, tmp_path):
+    """A table merely REGISTERED during a txn (existing data, e.g. via
+    register_versioned or ATTACH) must survive ROLLBACK — only tables a
+    CREATE statement made inside the txn are dropped."""
+    pre = tmp_path / "pre_existing"
+    eng.write_versioned(
+        eng.spark.createDataFrame([(1,), (2,)], "k int"), str(pre))
+    eng.sql("BEGIN")
+    eng.register_versioned("t_pre", str(pre))
+    eng.sql("CREATE TABLE t_made AS SELECT 1 AS one")
+    eng.sql("ROLLBACK")
+    # the pre-existing table's data is intact and still queryable
+    assert eng.sql("SELECT count(*) AS n FROM t_pre").collect()[0].n == 2
+    import os
+    assert os.path.isdir(str(pre / "_log"))
+    # the created table is gone
+    import pytest as _pt
+    with _pt.raises(Exception):
+        eng.sql("SELECT * FROM t_made").collect()

@@ -263,9 +263,12 @@ def test_map_construct_rewrites():
         "SELECT element_at(m, 'k') AS v FROM t"
     # without the [1] unwrap DuckDB returns a one-element LIST ([] when
     # the key is missing) — the translation must keep that shape
+    # presence decided by map_contains_key (a NULL-valued key must give
+    # [NULL], which a filter-out-nulls formulation would collapse to [])
     assert to_spark_sql("SELECT map_extract(m, 'k') AS v FROM t") == \
-        ("SELECT filter(array(element_at(m, 'k')),"
-         " __me_x -> __me_x IS NOT NULL) AS v FROM t")
+        ("SELECT CASE WHEN map_contains_key(m, 'k') "
+         "THEN array(element_at(m, 'k')) "
+         "ELSE slice(array(element_at(m, 'k')), 1, 0) END AS v FROM t")
 
 
 def test_distinct_on_rewrite():

@@ -902,3 +902,18 @@ def test_struct_and_map_literals_cross_engine(engine, duck):
         got = _rows(engine.sql(q, dialect="duckdb"))
         want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
         assert got == want, q
+
+
+def test_strlen_bytes_and_null_map_values_cross_engine(engine, duck):
+    """Review findings r5: strlen counts BYTES (maps to octet_length, not
+    length), and map_extract on a NULL-valued key gives [NULL], distinct
+    from [] for a missing key."""
+    cases = [
+        "SELECT strlen('café') AS b",
+        "SELECT map_extract(map(['a','b'], [NULL, 2]), 'a') AS v",
+        "SELECT map_extract(map(['a','b'], [NULL, 2]), 'z') AS v",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
