@@ -260,7 +260,11 @@ def backfill(table_dir: str, upto_version: int) -> None:
         for p in sorted(prev_paths - cur):
             actions.append({"remove": {
                 "path": p, "deletionTimestamp": ts, "dataChange": True}})
-        for p in sorted(cur - prev_paths):
+        # overwrite commits re-add EVERY current file (self-contained, the
+        # same invariant mirror_commit keeps) so vacuum's truncation can
+        # start replay at any overwrite boundary; appends add only new.
+        adds = cur if c.mode == "overwrite" else (cur - prev_paths)
+        for p in sorted(adds):
             full = os.path.join(table_dir, p)
             try:
                 size = os.path.getsize(full)
@@ -280,7 +284,11 @@ def backfill(table_dir: str, upto_version: int) -> None:
 
 def truncate(table_dir: str, before_version: int) -> int:
     """Drop delta files below private-log version ``before_version``
-    (mirrors snapshots.vacuum's log truncation). Returns files removed."""
+    (mirrors snapshots.vacuum's log truncation). The surviving base delta
+    is patched to carry protocol/metaData actions if the removed prefix
+    held the only copies — an orphaned log without them violates the spec
+    and breaks external readers. Returns files removed."""
+    meta = _existing_meta(table_dir)  # capture BEFORE files disappear
     n = 0
     for v in _list_versions(table_dir):
         if v < before_version - 1:
@@ -289,4 +297,23 @@ def truncate(table_dir: str, before_version: int) -> int:
                 n += 1
             except FileNotFoundError:
                 pass
+    remaining = _list_versions(table_dir)
+    if n and remaining:
+        base = remaining[0]
+        actions = _read_actions(table_dir, base)
+        have = {k for a in actions for k in a}
+        patch: list[dict] = []
+        if "protocol" not in have:
+            patch.append({"protocol": {"minReaderVersion": 1,
+                                       "minWriterVersion": 2}})
+        if "metaData" not in have and meta is not None:
+            patch.append({"metaData": meta})
+        if patch:
+            # single-writer context (vacuum holds the table) — rewrite the
+            # base file with the actions prepended after commitInfo
+            head = [a for a in actions if "commitInfo" in a]
+            tail = [a for a in actions if "commitInfo" not in a]
+            with open(_delta_path(table_dir, base), "w") as f:
+                f.write("\n".join(json.dumps(a)
+                                  for a in head + patch + tail) + "\n")
     return n

@@ -576,7 +576,11 @@ def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
         .distinct()
         .withColumn("__label", F.col("__node"))
     )
-    uf_schema = "__x long, __r long"
+    # node-id type carries through the union-find output — hardcoding
+    # long would crash on string/non-long document ids that the
+    # propagate strategy always supported
+    id_type = dict(labels.dtypes)["__node"]
+    uf_schema = f"__x {id_type}, __r {id_type}"
     # round 1 skips the relabel joins: labels are the identity map, so the
     # label graph IS the edge list. Group a node's edges into one
     # partition (repartition on __x) so star-shaped neighborhoods
@@ -585,8 +589,12 @@ def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
                            F.col("__dst").alias("__y"))
               .repartition("__x"))
     for it in range(max_iter):
-        upd = (lgraph.mapInPandas(_uf_partition, uf_schema)
-               .groupBy("__x").agg(F.min("__r").alias("__r")))
+        # upd feeds three consumers (labels join + both relabel sides) —
+        # truncate/materialize once or the mapInPandas union-find pass
+        # re-executes per consumer
+        upd = _truncate(
+            lgraph.mapInPandas(_uf_partition, uf_schema)
+            .groupBy("__x").agg(F.min("__r").alias("__r")))
         labels = _truncate(
             labels.join(upd, labels["__label"] == upd["__x"], "left")
             .select(

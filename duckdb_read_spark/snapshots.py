@@ -78,7 +78,9 @@ def read_log(table_dir: str) -> list[Commit]:
         return []
     commits = []
     for fname in sorted(os.listdir(log_dir)):
-        if not fname.endswith(".json"):
+        # commit files only (8-digit version names) — sidecars like
+        # _stream_watermarks.json live in the same dir
+        if not re.fullmatch(r"\d{8}\.json", fname):
             continue
         with open(os.path.join(log_dir, fname)) as f:
             d = json.load(f)
@@ -255,7 +257,43 @@ def write_table(
         )
     except FileExistsError:
         pass  # lost a mirror race; the winning writer recorded this version
+    except Exception as exc:  # pragma: no cover - corrupt/foreign mirror
+        # the PRIVATE commit above already succeeded and is the source of
+        # truth; a broken _delta_log (crashed earlier mirror write,
+        # foreign junk) must not make a durable commit look failed
+        import warnings
+
+        warnings.warn(f"delta-log mirror failed for v{version}: {exc}")
     return entry
+
+
+_WATERMARKS_FILE = "_stream_watermarks.json"
+
+
+def _merge_stream_watermarks(table_dir: str, marks: dict[str, int]) -> None:
+    """Persist per-app batch-id high-water marks that are about to lose
+    their carrying log entries (vacuum truncation). Keys are app ids
+    ('' for legacy app-less commits); merge keeps the max per app."""
+    path = os.path.join(table_dir, _LOG_DIR, _WATERMARKS_FILE)
+    existing: dict[str, int] = {}
+    try:
+        with open(path) as f:
+            existing = json.load(f)
+    except (OSError, ValueError):
+        pass
+    for k, v in marks.items():
+        existing[k] = max(existing.get(k, -1), v)
+    with open(path, "w") as f:
+        json.dump(existing, f)
+
+
+def _sidecar_watermark(table_dir: str, app_id: str | None) -> int:
+    path = os.path.join(table_dir, _LOG_DIR, _WATERMARKS_FILE)
+    try:
+        with open(path) as f:
+            return int(json.load(f).get(app_id or "", -1))
+    except (OSError, ValueError):
+        return -1
 
 
 def last_stream_batch_id(table_dir: str, app_id: str | None = None) -> int:
@@ -269,7 +307,9 @@ def last_stream_batch_id(table_dir: str, app_id: str | None = None) -> int:
     existed."""
     ids = [c.stream_batch_id for c in read_log(table_dir)
            if c.stream_batch_id is not None and c.stream_app_id == app_id]
-    return max(ids) if ids else -1
+    live = max(ids) if ids else -1
+    # vacuum truncation folds dropped commits' watermarks into a sidecar
+    return max(live, _sidecar_watermark(table_dir, app_id))
 
 
 def restore(
@@ -316,6 +356,10 @@ def restore(
         )
     except FileExistsError:
         pass
+    except Exception as exc:  # pragma: no cover - corrupt/foreign mirror
+        import warnings
+
+        warnings.warn(f"delta-log mirror failed for v{version}: {exc}")
     return entry
 
 
@@ -471,6 +515,17 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
                 shutil.rmtree(os.path.join(data_root, entry),
                               ignore_errors=True)
                 removed_dirs += 1
+    # truncated commits may carry the streaming sink's per-app batch-id
+    # watermarks — fold them into the sidecar BEFORE deleting, or a
+    # post-vacuum checkpoint-recovery replay would double-append
+    dropped_marks: dict[str, int] = {}
+    for c in commits:
+        if c.version < base and c.stream_batch_id is not None:
+            key = c.stream_app_id or ""
+            dropped_marks[key] = max(dropped_marks.get(key, -1),
+                                     c.stream_batch_id)
+    if dropped_marks:
+        _merge_stream_watermarks(table_dir, dropped_marks)
     removed_versions = 0
     for c in commits:
         if c.version < base:

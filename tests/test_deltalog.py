@@ -143,3 +143,32 @@ def test_vacuum_truncates_delta_log_consistently(eng, spark, tmp_path):
     want = {e["path"].replace(os.sep, "/")
             for e in snapshots.snapshot_file_entries(d)}
     assert set(got) == want
+
+
+def test_backfilled_filelevel_overwrite_survives_vacuum(eng, spark, tmp_path):
+    """Review finding r5: backfilled overwrite commits were differential
+    (carried files not re-added), so vacuum's delta truncation dropped
+    them from the public log. Scenario: pre-mirror table → file-level
+    DELETE (carries most files by reference) triggers backfill → vacuum
+    — the surviving delta log must still replay every carried file and
+    keep protocol/metaData actions."""
+    import shutil
+
+    d = str(tmp_path / "tbf")
+    df = (spark.range(0, 1000).withColumnRenamed("id", "k")
+          .withColumn("v", F.col("k") * 2)
+          .repartitionByRange(10, "k"))
+    eng.write_versioned(df, d)
+    eng.register_versioned("tbf", d)
+    shutil.rmtree(os.path.join(d, "_delta_log"))  # simulate pre-mirror age
+
+    eng.sql("DELETE FROM tbf WHERE k = 150")  # file-level: 9 files carried
+    before = {r.k for r in snapshots.read_table(spark, d).collect()}
+    snapshots.vacuum(d, keep_last=1)
+
+    got = {r.k for r in deltalog.read_delta_table(spark, d).collect()}
+    assert got == before and len(got) == 999
+    # the truncated log's base commit still carries protocol + metaData
+    base = deltalog._list_versions(d)[0]
+    kinds = {k for a in deltalog._read_actions(d, base) for k in a}
+    assert {"protocol", "metaData"} <= kinds

@@ -1333,3 +1333,18 @@ def test_normalize_text_forms(spark):
     assert low[0] == "cafe" and low[2] == "cafe"  # byte-identical for dedup
     with pytest.raises(ValueError):
         normalize_text(docs, form="XXX")
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """Both CC strategies accept non-long id columns (review finding r5:
+    the contract tier hardcoded long output schema)."""
+    from duckdb_read_spark.operators import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string")
+    for strat in ("contract", "propagate"):
+        out = {r.doc_id: r.cluster_id
+               for r in duplicate_clusters(
+                   pairs, "id_a", "id_b", out_id="doc_id",
+                   strategy=strat).collect()}
+        assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}, strat

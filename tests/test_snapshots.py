@@ -236,3 +236,30 @@ def test_snapshot_scan_reads_only_named_dirs(engine, tmp_path):
     files = df.inputFiles()
     assert files and all("/v1-" in f for f in files)
     assert not any("/v2-" in f for f in files)
+
+
+def test_vacuum_preserves_stream_watermarks(spark, tmp_path):
+    """Review finding r5: vacuum truncation deleted the append commits
+    carrying the streaming sink's per-app batch-id watermark, so a
+    post-vacuum checkpoint-recovery replay double-appended. The dropped
+    watermarks now fold into a _log sidecar consulted alongside live
+    commits."""
+    from duckdb_read_spark import snapshots
+    from duckdb_read_spark.streaming.sink import commit_stream_batch
+
+    td = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "k int")
+    assert commit_stream_batch(df, 0, td, "appA") is True
+    assert commit_stream_batch(df, 1, td, "appA") is True
+    # maintenance: an overwrite (compaction analog) then retention vacuum
+    snapshots.write_table(
+        spark.createDataFrame([(1,), (2,)], "k int"), td, mode="overwrite")
+    snapshots.vacuum(td, keep_last=1)
+    assert all(c.stream_batch_id is None for c in snapshots.read_log(td))
+    # the watermark survives truncation...
+    assert snapshots.last_stream_batch_id(td, "appA") == 1
+    # ...so a recovery replay of batch 1 is still skipped, and new
+    # batches (and other apps) proceed
+    assert commit_stream_batch(df, 1, td, "appA") is False
+    assert commit_stream_batch(df, 2, td, "appA") is True
+    assert commit_stream_batch(df, 0, td, "appB") is True
