@@ -224,6 +224,17 @@ def test_time_partitioned_registration_prunes(engine, tmp_path):
     assert btw.collect() == btw_base.collect()
     assert "p_date" in physical_plan(btw).split("PartitionFilters", 1)[1][:400]
 
+    # a NOT-negated time predicate must stay correct: the injected
+    # partition conjunct is parenthesized WITH the ts predicate, so the
+    # NOT applies to both (review finding r5 — the bare form dropped
+    # every early partition)
+    neg = eng.sql("SELECT count(*) AS n FROM events_tp "
+                  "WHERE NOT ts >= '2024-01-15 00:00:00'")
+    neg_base = engine.sql("SELECT count(*) AS n FROM events "
+                          "WHERE NOT ts >= '2024-01-15 00:00:00'")
+    assert neg.collect() == neg_base.collect()
+    assert neg.collect()[0].n > 0
+
     # re-registration reuses the existing materialization (no second write)
     import glob as _g
     before = set(_g.glob(os.path.join(str(tmp_path), "__tp__events_tp", "*", "*")))
