@@ -36,6 +36,14 @@ _SUMMARIZE_QUERY_RE = re.compile(
     r"^\s*SUMMARIZE\s+(?P<body>(?:SELECT|WITH)\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DESCRIBE_HISTORY_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 # COPY <table | (subquery)> TO 'path' [(OPTIONS)]  (DuckDB COPY statement)
 # The opts capture is greedy to the trailing ')' so nested parens (e.g.
@@ -1152,6 +1160,33 @@ class Engine:
         if _SHOW_DATABASES_RE.match(query):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self._attached)], "name string")
+        mdh = _DESCRIBE_HISTORY_RE.match(query)
+        if mdh:
+            name = mdh.group("name")
+            key = name
+            if key not in self._versioned and "." in key:
+                db, _, t = key.partition(".")
+                key = self._attached.get(db, {}).get(t, key)
+            if key not in self._versioned:
+                raise ValueError(
+                    f"DESCRIBE HISTORY: unknown versioned table {name!r}")
+            hist = self.table_history(key)
+            return self.spark.createDataFrame(
+                [(h["version"], h["timestamp_ms"], h["mode"],
+                  h.get("stream_batch_id")) for h in hist],
+                "version int, timestamp_ms long, operation string, "
+                "stream_batch_id long",
+            )
+        msc = _SHOW_CREATE_RE.match(query)
+        if msc:
+            schema = self.table(msc.group("name")).schema
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in schema.fields)
+            return self.spark.createDataFrame(
+                [(f"CREATE TABLE {msc.group('name')} (\n  {cols}\n);",)],
+                "sql string")
         mdq = _DESCRIBE_QUERY_RE.match(query)
         if mdq:
             schema = self.sql(mdq.group("body"), dialect=dialect).schema

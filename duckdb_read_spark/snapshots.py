@@ -547,7 +547,8 @@ def history(table_dir: str) -> list[dict]:
     return [
         {"version": c.version, "timestamp_ms": c.timestamp_ms, "mode": c.mode,
          "n_dirs": len(c.dirs),
-         "n_files": len(c.files) if c.files is not None else None}
+         "n_files": len(c.files) if c.files is not None else None,
+         "stream_batch_id": c.stream_batch_id}
         for c in reversed(read_log(table_dir))
     ]
 

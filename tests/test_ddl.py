@@ -402,3 +402,16 @@ def test_rollback_never_drops_registered_preexisting_tables(eng, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         eng.sql("SELECT * FROM t_made").collect()
+
+
+def test_describe_history_and_show_create(eng):
+    eng.sql("CREATE TABLE th AS SELECT n_nationkey AS k, n_name AS v FROM nation")
+    eng.sql("INSERT INTO th VALUES (99, 'x')")
+    hist = eng.sql("DESCRIBE HISTORY th").collect()
+    assert [(h.version, h.operation) for h in hist] == \
+        [(2, "append"), (1, "overwrite")]
+    ddl = eng.sql("SHOW CREATE TABLE th").collect()[0].sql
+    assert ddl.startswith("CREATE TABLE th (") and "k INT" in ddl \
+        and "v STRING" in ddl
+    with pytest.raises(ValueError):
+        eng.sql("DESCRIBE HISTORY nation")  # not a versioned table
