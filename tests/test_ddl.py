@@ -415,3 +415,34 @@ def test_describe_history_and_show_create(eng):
         and "v STRING" in ddl
     with pytest.raises(ValueError):
         eng.sql("DESCRIBE HISTORY nation")  # not a versioned table
+
+
+def test_optimize_zorder_by_statement(eng, spark, tmp_path):
+    """OPTIMIZE t ZORDER BY (a, b): after the clustering rewrite, a
+    one-key stats-prune on EITHER dimension survives to few files, where
+    the original random layout pruned (almost) nothing."""
+    import random
+
+    from duckdb_read_spark import snapshots
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a int, b int").repartition(16)
+    d = str(tmp_path / "tz")
+    eng.write_versioned(df, d)
+    eng.register_versioned("tz", d)
+    before_a = len(snapshots.prune_by_stats(
+        snapshots.snapshot_file_entries(d), "a BETWEEN 100 AND 120"))
+    out = eng.sql("OPTIMIZE tz ZORDER BY (a, b)").collect()[0]
+    assert out.zorder_by == "a,b"
+    entries = snapshots.snapshot_file_entries(d)
+    after_a = len(snapshots.prune_by_stats(entries, "a BETWEEN 100 AND 120"))
+    after_b = len(snapshots.prune_by_stats(entries, "b BETWEEN 100 AND 120"))
+    assert after_a < before_a
+    assert after_b < len(entries)  # the SECOND dimension prunes too
+    # content unchanged; history preserved
+    assert eng.sql("SELECT count(*) AS n, sum(a) AS s FROM tz").collect() \
+        == eng.sql("SELECT count(*) AS n, sum(a) AS s FROM tz "
+                   "VERSION AS OF 1").collect()
+    with pytest.raises(ValueError):
+        eng.sql("OPTIMIZE tz ZORDER BY (nope)")
