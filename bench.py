@@ -126,6 +126,8 @@ def main() -> None:
         "q110_entropy_stats",
         "q111_corpus_lm_score",
         "q114_bm25_search",
+        "q115_tfidf_vectors",
+        "q120_chunk_documents",
     ):
         extra[name] = round(_time_op(name), 4)
 

@@ -247,6 +247,11 @@ _SHOW_TABLES_FROM_RE = re.compile(
 _SHOW_DATABASES_RE = re.compile(
     r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+SNAPSHOTS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # CREATE [UNIQUE] INDEX — DuckDB builds an ART index; the Spark-first
 # equivalent of a secondary index over immutable files is STORAGE
 # CLUSTERING: rewrite the table range-partitioned + sorted on the index
@@ -1208,6 +1213,14 @@ class Engine:
                     mopt.group("name"),
                     [c.strip() for c in mopt.group("zcols").split(",")])
             return self.optimize_table(mopt.group("name"))
+        mvac = _VACUUM_RE.match(query)
+        if mvac:
+            stats = self.vacuum_table(
+                mvac.group("name"),
+                keep_last=int(mvac.group("keep") or 1))
+            return self.spark.createDataFrame(
+                [(stats["removed_dirs"], stats["removed_versions"])],
+                "removed_dirs int, removed_versions int")
         muse = _USE_RE.match(query)
         if muse:
             self.use(muse.group("db"))

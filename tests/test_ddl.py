@@ -446,3 +446,18 @@ def test_optimize_zorder_by_statement(eng, spark, tmp_path):
                    "VERSION AS OF 1").collect()
     with pytest.raises(ValueError):
         eng.sql("OPTIMIZE tz ZORDER BY (nope)")
+
+
+def test_vacuum_statement(eng, tmp_path):
+    eng.sql("CREATE TABLE tv AS SELECT n_nationkey AS k FROM nation")
+    eng.sql("INSERT INTO tv VALUES (100)")
+    eng.sql("CREATE OR REPLACE TABLE tv AS SELECT 1 AS k")  # overwrite
+    out = eng.sql("VACUUM tv").collect()[0]
+    assert out.removed_versions == 2
+    assert eng.sql("SELECT count(*) AS n FROM tv").collect()[0].n == 1
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM tv VERSION AS OF 1").collect()
+    # RETAIN keeps more history
+    eng.sql("INSERT INTO tv VALUES (2)")
+    eng.sql("VACUUM tv RETAIN 2 SNAPSHOTS")
+    assert eng.sql("SELECT count(*) AS n FROM tv").collect()[0].n == 2
