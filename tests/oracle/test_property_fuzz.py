@@ -346,3 +346,61 @@ def test_fuzzed_query_matches_oracle(seed, engine, duck):
     got = spark_rows(engine.sql(sql, dialect=dialect))
     want = duckdb_rows(duck, sql)
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
+# --- DML-script differential fuzz (D5 statement layer) --------------------
+
+def gen_dml_script(rng: random.Random) -> list[str]:
+    """A CREATE + 2-5 mutations + final SELECT, in the common DuckDB/Spark
+    statement subset — both engines execute the IDENTICAL script text and
+    must converge to the same table state."""
+    stmts = ["CREATE TABLE fz AS SELECT n_nationkey AS k, "
+             "n_regionkey AS r, n_name AS v FROM nation"]
+    for _ in range(rng.randint(2, 5)):
+        kind = rng.randrange(4)
+        if kind == 0:
+            vals = ", ".join(
+                f"({rng.randint(100, 999)}, {rng.randint(0, 4)}, "
+                f"'{rng.choice('abcde') * 3}')"
+                for _ in range(rng.randint(1, 3)))
+            stmts.append(f"INSERT INTO fz VALUES {vals}")
+        elif kind == 1:
+            stmts.append(f"DELETE FROM fz WHERE k % {rng.randint(2, 7)} = "
+                         f"{rng.randint(0, 1)}")
+        elif kind == 2:
+            stmts.append(f"UPDATE fz SET r = r + {rng.randint(1, 5)} "
+                         f"WHERE k % {rng.randint(2, 5)} = 1")
+        else:
+            stmts.append(
+                f"INSERT INTO fz SELECT n_nationkey + {rng.randint(1000, 2000)}, "
+                f"n_regionkey, lower(n_name) FROM nation "
+                f"WHERE n_nationkey % {rng.randint(2, 5)} = 0")
+    stmts.append("SELECT k, r, v FROM fz ORDER BY k, r, v")
+    return stmts
+
+
+@pytest.mark.parametrize("seed", range(200, 220))
+def test_fuzzed_dml_script_matches_oracle(seed, spark, tmp_path):
+    import duckdb as _duck
+
+    from duckdb_read_spark.conf import TABLES as _FT
+    from duckdb_read_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+    import os as _os
+
+    stmts = gen_dml_script(random.Random(seed))
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.register_fixture_dir(SF_SMOKE)
+    con = _duck.connect()
+    for t in _FT:
+        p = _os.path.join(SF_SMOKE, f"{t}.parquet")
+        if _os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}')")
+    for stmt in stmts[:-1]:
+        eng.sql(stmt, dialect="duckdb")
+        con.execute(stmt)
+    got = spark_rows(eng.sql(stmts[-1]))
+    want = duckdb_rows(con, stmts[-1])
+    assert got == want, f"seed={seed}\nscript={stmts}\n" + \
+        diff_summary(got, want)
