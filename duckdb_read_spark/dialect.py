@@ -639,6 +639,62 @@ _STRUCT_KV_RE = re.compile(
     r"(?s)^\s*(?P<key>'(?:[^']|'')*'|[A-Za-z_]\w*)\s*:\s*(?P<val>.+?)\s*$")
 
 
+def _glob_to_regex(pat: str) -> str:
+    """Glob → regex: escape regex metachars, then ``*`` → ``.*`` and
+    ``?`` → ``.``; character classes ``[...]`` pass through."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in "[]":
+            out.append(ch)
+        elif ch in r".^$+{}()|\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _rewrite_match_operators(sql: str) -> str:
+    """DuckDB pattern operators Spark lacks:
+
+    - ``x SIMILAR TO 'p'`` → ``x RLIKE '^(?:p)$'`` — DuckDB's SIMILAR TO
+      is FULL-MATCH regex (measured: 'abc' SIMILAR TO 'a%' is false, %
+      is a literal), so anchoring is the whole translation;
+    - ``x GLOB 'p'`` → ``x RLIKE '^(?:glob→regex)$'``.
+
+    NOT prefixes ride along untouched (Spark supports NOT RLIKE).
+    Non-literal patterns are left verbatim and fail loudly."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    for pos in range(len(sig) - 1, -1, -1):
+        i = sig[pos]
+        t = toks[i]
+        if t.kind != "ident":
+            continue
+        u = t.text.upper()
+        if u == "SIMILAR":
+            if (pos + 2 < len(sig)
+                    and toks[sig[pos + 1]].text.upper() == "TO"
+                    and toks[sig[pos + 2]].kind == "str"):
+                pat = toks[sig[pos + 2]].text[1:-1]
+                repl = f"RLIKE '^(?:{pat})$'"
+                toks = (toks[:i] + [Tok("other", repl)]
+                        + toks[sig[pos + 2] + 1:])
+        elif u == "GLOB":
+            if pos + 1 < len(sig) and toks[sig[pos + 1]].kind == "str":
+                pat = toks[sig[pos + 1]].text[1:-1]
+                repl = f"RLIKE '^(?:{_glob_to_regex(pat)})$'"
+                toks = (toks[:i] + [Tok("other", repl)]
+                        + toks[sig[pos + 1] + 1:])
+        else:
+            continue
+        sig = _sig(toks)
+    return detokenize(toks)
+
+
 def _rewrite_struct_literals(sql: str) -> str:
     """DuckDB brace literals: ``{'k': v, …}`` → ``named_struct('k', v, …)``
     and ``MAP {'k': v, …}`` → ``map('k', v, …)``. Innermost-first (last
@@ -1340,6 +1396,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_match_operators(sql)
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql)

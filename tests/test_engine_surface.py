@@ -917,3 +917,16 @@ def test_strlen_bytes_and_null_map_values_cross_engine(engine, duck):
         got = _rows(engine.sql(q, dialect="duckdb"))
         want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
         assert got == want, q
+
+
+def test_similar_to_and_glob_cross_engine(engine, duck):
+    q = ("SELECT n_nationkey AS k, "
+         "n_name SIMILAR TO '[A-Z]+A' AS s1, "
+         "n_name SIMILAR TO '(IN|CHI).*' AS s2, "
+         "n_name NOT SIMILAR TO '.*N.*' AS s3, "
+         "n_name GLOB '*AN*' AS g1, "
+         "n_name GLOB 'I?DIA' AS g2 "
+         "FROM nation ORDER BY k")
+    got = _rows(engine.sql(q, dialect="duckdb"))
+    want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+    assert got == want
