@@ -1072,6 +1072,39 @@ class Engine:
         return (query[:body_off] + " " + ", ".join(out_items) + " "
                 + query[frm:])
 
+    def _rewrite_star_rename(self, query: str) -> str:
+        """DuckDB ``* RENAME (col AS new, …)``: expand the star with the
+        named columns aliased to their new names. Same machinery and
+        limitations as * REPLACE."""
+        m = re.search(r"\*\s+RENAME\s*\(", query, re.IGNORECASE)
+        if not m:
+            return query
+        frm = _find_top_level(query, "FROM")
+        if frm < 0:
+            return query
+        mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
+        if not mtab:
+            return query
+        cols = self._table_columns().get(mtab.group(1).lower())
+        if cols is None:
+            return query
+        close = _match_paren(query, m.end() - 1)
+        renames: dict[str, str] = {}
+        for part in _split_top_commas(query[m.end():close]):
+            mp = re.match(r"^\s*(?P<col>[A-Za-z_]\w*)\s+AS\s+"
+                          r"(?P<new>[A-Za-z_]\w*)\s*$", part)
+            if not mp:
+                raise ValueError(
+                    f"* RENAME: expected 'col AS new', got {part.strip()!r}")
+            if mp.group("col") not in cols:
+                raise ValueError(
+                    f"* RENAME: {mp.group('col')!r} is not a column of "
+                    f"{mtab.group(1)!r} (has {cols})")
+            renames[mp.group("col")] = mp.group("new")
+        expanded = ", ".join(
+            f"{c} AS {renames[c]}" if c in renames else c for c in cols)
+        return query[:m.start()] + expanded + query[close + 1:]
+
     def _rewrite_star_replace(self, query: str) -> str:
         """DuckDB ``* REPLACE (expr AS col, …)``: expand the star against
         the FROM table's schema with the named columns replaced by their
@@ -1325,6 +1358,7 @@ class Engine:
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
             query = self._rewrite_star_replace(query)
+            query = self._rewrite_star_rename(query)
             if query.lstrip()[:5].upper() == "PIVOT":
                 query = self._dynamize_pivot(query)
             # schema lookup is only paid by queries that actually use len()

@@ -930,3 +930,18 @@ def test_similar_to_and_glob_cross_engine(engine, duck):
     got = _rows(engine.sql(q, dialect="duckdb"))
     want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
     assert got == want
+
+
+def test_star_rename_expression(engine):
+    """* RENAME is newer-DuckDB surface (post-1.0, so no oracle twin in
+    this environment) — pinned against the explicit projection."""
+    q = ("SELECT * RENAME (n_name AS nation_name, n_regionkey AS region) "
+         "FROM nation ORDER BY n_nationkey")
+    sdf = engine.sql(q, dialect="duckdb")
+    want = engine.sql("SELECT n_nationkey, n_name AS nation_name, "
+                      "n_regionkey AS region "
+                      "FROM nation ORDER BY n_nationkey")
+    assert sdf.columns == want.columns
+    assert _rows(sdf) == _rows(want)
+    with pytest.raises(ValueError):
+        engine.sql("SELECT * RENAME (nope AS x) FROM nation", dialect="duckdb")
