@@ -247,6 +247,11 @@ _SHOW_TABLES_FROM_RE = re.compile(
 _SHOW_DATABASES_RE = re.compile(
     r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+# information_schema.tables / .columns — the ANSI catalog views BI tools
+# introspect with; materialized on demand from the session catalog.
+_INFO_SCHEMA_RE = re.compile(
+    r"\binformation_schema\s*\.\s*(?P<v>tables|columns)\b", re.IGNORECASE)
+
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<name>[A-Za-z_][\w.]*)"
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+SNAPSHOTS?)?\s*;?\s*$",
@@ -1072,6 +1077,51 @@ class Engine:
         return (query[:body_off] + " " + ", ".join(out_items) + " "
                 + query[frm:])
 
+    def _resolve_information_schema(self, query: str) -> str:
+        """``information_schema.tables`` / ``.columns`` (the ANSI catalog
+        views BI tools introspect with, DuckDB-compatible column names and
+        type spellings): materialized on demand from the session catalog
+        into temp views and the references rewritten to them."""
+        if not _INFO_SCHEMA_RE.search(query):
+            return query
+        rows_t: list[tuple] = []
+        rows_c: list[tuple] = []
+        for tbl in self.spark.catalog.listTables():
+            name = tbl.name
+            if name.startswith(("__", "information_schema__")):
+                continue
+            try:
+                schema = self.spark.table(name).schema
+            except Exception:
+                continue
+            ttype = "BASE TABLE" if name in self._versioned else "VIEW"
+            rows_t.append(("memory", "main", name, ttype))
+            for i, f in enumerate(schema.fields, 1):
+                rows_c.append(
+                    ("memory", "main", name, f.name, i,
+                     _duck_type_name(f.dataType.simpleString()),
+                     "YES" if f.nullable else "NO"))
+        self.spark.createDataFrame(
+            rows_t, "table_catalog string, table_schema string, "
+                    "table_name string, table_type string"
+        ).createOrReplaceTempView("information_schema__tables")
+        self.spark.createDataFrame(
+            rows_c, "table_catalog string, table_schema string, "
+                    "table_name string, column_name string, "
+                    "ordinal_position int, data_type string, "
+                    "is_nullable string"
+        ).createOrReplaceTempView("information_schema__columns")
+
+        spans = [m.span()
+                 for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+
+        def sub(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in spans):
+                return m.group(0)
+            return f"information_schema__{m.group('v').lower()}"
+
+        return _INFO_SCHEMA_RE.sub(sub, query)
+
     def _rewrite_star_rename(self, query: str) -> str:
         """DuckDB ``* RENAME (col AS new, …)``: expand the star with the
         named columns aliased to their new names. Same machinery and
@@ -1224,6 +1274,7 @@ class Engine:
                 raise ValueError(f"SHOW TABLES FROM: unknown database {db!r}")
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self._attached[db])], "name string")
+        query = self._resolve_information_schema(query)
         query = self._resolve_qualified(query)
         if head.startswith("MERGE"):
             return self._merge(query, dialect)
@@ -2605,6 +2656,23 @@ class Engine:
 
     def stop(self) -> None:
         self.spark.stop()
+
+
+_DUCK_TYPE_NAMES = {
+    "int": "INTEGER", "bigint": "BIGINT", "smallint": "SMALLINT",
+    "tinyint": "TINYINT", "string": "VARCHAR", "double": "DOUBLE",
+    "float": "FLOAT", "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP", "date": "DATE", "binary": "BLOB",
+}
+
+
+def _duck_type_name(simple: str) -> str:
+    """Spark simpleString → DuckDB information_schema data_type spelling."""
+    if simple in _DUCK_TYPE_NAMES:
+        return _DUCK_TYPE_NAMES[simple]
+    if simple.startswith("array<") and simple.endswith(">"):
+        return _duck_type_name(simple[6:-1]) + "[]"
+    return simple.upper()
 
 
 def _find_top_level(s: str, word: str, start: int = 0) -> int:

@@ -945,3 +945,19 @@ def test_star_rename_expression(engine):
     assert _rows(sdf) == _rows(want)
     with pytest.raises(ValueError):
         engine.sql("SELECT * RENAME (nope AS x) FROM nation", dialect="duckdb")
+
+
+def test_information_schema_views(engine, duck):
+    """information_schema.tables/columns: DuckDB-compatible shapes — the
+    columns rows for a fixture table match DuckDB's own information_schema
+    verbatim (same query text both engines)."""
+    q = ("SELECT column_name, ordinal_position, data_type, is_nullable "
+         "FROM information_schema.columns WHERE table_name = 'region' "
+         "ORDER BY ordinal_position")
+    got = _rows(engine.sql(q))
+    want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+    assert got == want
+    # tables view lists the fixture tables with their types
+    names = {r.table_name for r in engine.sql(
+        "SELECT table_name FROM information_schema.tables").collect()}
+    assert {"region", "nation", "lineitem", "documents"} <= names
