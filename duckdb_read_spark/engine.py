@@ -1406,6 +1406,7 @@ class Engine:
             )
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
+            query = _rewrite_from_first(query)
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
             query = self._rewrite_star_replace(query)
@@ -2673,6 +2674,27 @@ def _duck_type_name(simple: str) -> str:
     if simple.startswith("array<") and simple.endswith(">"):
         return _duck_type_name(simple[6:-1]) + "[]"
     return simple.upper()
+
+
+def _rewrite_from_first(query: str) -> str:
+    """DuckDB's FROM-first syntax: ``FROM t [WHERE …]`` ≡ ``SELECT * FROM
+    t [WHERE …]`` and ``FROM t SELECT list [tail]`` ≡ ``SELECT list FROM
+    t [tail]``. Only applies when the statement literally starts with
+    FROM; everything else (including subqueries) is untouched."""
+    if query.lstrip()[:5].upper() not in ("FROM ", "FROM\t", "FROM\n"):
+        return query
+    sel = _find_top_level(query, "SELECT")
+    if sel < 0:
+        return "SELECT * " + query.lstrip()
+    from_part = query[:sel].strip()
+    rest = query[sel + 6:]  # after 'SELECT'
+    # the select list ends at the first top-level clause keyword
+    cut = len(rest)
+    for kw in ("WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER", "LIMIT"):
+        k = _find_top_level(rest, kw)
+        if 0 <= k < cut:
+            cut = k
+    return f"SELECT {rest[:cut].strip()} {from_part} {rest[cut:].strip()}".strip()
 
 
 def _find_top_level(s: str, word: str, start: int = 0) -> int:

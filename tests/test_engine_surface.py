@@ -961,3 +961,16 @@ def test_information_schema_views(engine, duck):
     names = {r.table_name for r in engine.sql(
         "SELECT table_name FROM information_schema.tables").collect()}
     assert {"region", "nation", "lineitem", "documents"} <= names
+
+
+def test_from_first_syntax_cross_engine(engine, duck):
+    cases = [
+        "FROM nation WHERE n_nationkey < 5",
+        "FROM nation SELECT n_name, n_nationkey * 2 AS d "
+        "WHERE n_nationkey < 5 ORDER BY d",
+        "FROM nation SELECT count(*) AS n",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
