@@ -297,8 +297,12 @@ def truncate(table_dir: str, before_version: int) -> int:
                 n += 1
             except FileNotFoundError:
                 pass
+    # Patch whenever the surviving base lacks protocol/metaData — not only
+    # when THIS call removed files, so a crash between the removals and
+    # the patch is repaired by the next vacuum instead of leaving the
+    # mirror spec-invalid forever.
     remaining = _list_versions(table_dir)
-    if n and remaining:
+    if remaining:
         base = remaining[0]
         actions = _read_actions(table_dir, base)
         have = {k for a in actions for k in a}
@@ -309,11 +313,13 @@ def truncate(table_dir: str, before_version: int) -> int:
         if "metaData" not in have and meta is not None:
             patch.append({"metaData": meta})
         if patch:
-            # single-writer context (vacuum holds the table) — rewrite the
-            # base file with the actions prepended after commitInfo
             head = [a for a in actions if "commitInfo" in a]
             tail = [a for a in actions if "commitInfo" not in a]
-            with open(_delta_path(table_dir, base), "w") as f:
+            # atomic replace: a crash mid-write must never leave a
+            # half-written base commit
+            tmp = _delta_path(table_dir, base) + ".tmp"
+            with open(tmp, "w") as f:
                 f.write("\n".join(json.dumps(a)
                                   for a in head + patch + tail) + "\n")
+            os.replace(tmp, _delta_path(table_dir, base))
     return n

@@ -640,21 +640,48 @@ _STRUCT_KV_RE = re.compile(
 
 
 def _glob_to_regex(pat: str) -> str:
-    """Glob → regex: escape regex metachars, then ``*`` → ``.*`` and
-    ``?`` → ``.``; character classes ``[...]`` pass through."""
+    """Glob → regex: ``*`` → ``.*``, ``?`` → ``.``, character classes
+    ``[...]`` pass through with glob negation ``[!`` → regex ``[^``; an
+    UNMATCHED ``[``/``]`` is escaped (a raw stray bracket would be an
+    invalid regex throwing inside the Spark job); every other regex
+    metachar is escaped."""
     out = []
-    for ch in pat:
+    i, n = 0, len(pat)
+    while i < n:
+        ch = pat[i]
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
-        elif ch in "[]":
-            out.append(ch)
-        elif ch in r".^$+{}()|\\":
+        elif ch == "[":
+            close = pat.find("]", i + 2)  # 'a]' min class body
+            if close == -1:
+                # DuckDB: an unclosed '[' makes the glob match NOTHING
+                # (measured) — not a literal bracket
+                return "(?!x)x"
+            else:
+                body = pat[i + 1:close]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = close
+        elif ch in r".^$+{}()|\]":
             out.append("\\" + ch)
+        elif ch == "\\":
+            out.append("\\\\")
         else:
             out.append(ch)
+        i += 1
     return "".join(out)
+
+
+def _embed_regex_literal(regex: str) -> str:
+    """A regex as a Spark single-quoted string literal: Spark's literal
+    parser processes backslash escapes (escapedStringLiterals=false is
+    the default), so every backslash must be doubled or '\\.' silently
+    becomes the '.' wildcard (measured: 'axtxt' RLIKE '^(?:.*\\.txt)$'
+    was true before this escaping)."""
+    return regex.replace("\\", "\\\\")
 
 
 def _rewrite_match_operators(sql: str) -> str:
@@ -679,14 +706,15 @@ def _rewrite_match_operators(sql: str) -> str:
             if (pos + 2 < len(sig)
                     and toks[sig[pos + 1]].text.upper() == "TO"
                     and toks[sig[pos + 2]].kind == "str"):
-                pat = toks[sig[pos + 2]].text[1:-1]
+                pat = _embed_regex_literal(toks[sig[pos + 2]].text[1:-1])
                 repl = f"RLIKE '^(?:{pat})$'"
                 toks = (toks[:i] + [Tok("other", repl)]
                         + toks[sig[pos + 2] + 1:])
         elif u == "GLOB":
             if pos + 1 < len(sig) and toks[sig[pos + 1]].kind == "str":
-                pat = toks[sig[pos + 1]].text[1:-1]
-                repl = f"RLIKE '^(?:{_glob_to_regex(pat)})$'"
+                pat = _embed_regex_literal(
+                    _glob_to_regex(toks[sig[pos + 1]].text[1:-1]))
+                repl = f"RLIKE '^(?:{pat})$'"
                 toks = (toks[:i] + [Tok("other", repl)]
                         + toks[sig[pos + 1] + 1:])
         else:

@@ -679,20 +679,46 @@ class Engine:
         if missing:
             raise ValueError(f"OPTIMIZE ZORDER BY: unknown column(s) "
                              f"{missing}")
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        numeric = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "date", "timestamp")
+        bad = [c for c in cols
+               if not types[c].startswith(numeric + ("decimal",))]
+        if bad:
+            raise ValueError(
+                f"OPTIMIZE ZORDER BY: column(s) {bad} are not "
+                f"numeric/temporal — the Morton interleave needs "
+                f"min-max-normalizable values")
         bits = min(bits, 63 // len(cols))
+        # date/timestamp normalize through their numeric epoch
+        def num(c):
+            t = types[c]
+            if t == "date":
+                return F.datediff(F.col(c), F.lit("1970-01-01"))
+            if t == "timestamp":
+                return F.unix_timestamp(F.col(c))
+            return F.col(c)
+
         bounds = df.agg(
-            *[F.min(c).alias(f"__mn_{c}") for c in cols],
-            *[F.max(c).alias(f"__mx_{c}") for c in cols],
+            *[F.min(num(c)).alias(f"__mn_{c}") for c in cols],
+            *[F.max(num(c)).alias(f"__mx_{c}") for c in cols],
         ).first()
+        for c in cols:
+            if bounds[f"__mn_{c}"] is None:
+                raise ValueError(
+                    f"OPTIMIZE ZORDER BY: column {c!r} has no non-NULL "
+                    f"values (empty table or all-NULL column)")
         triples = [
-            (F.col(c), float(bounds[f"__mn_{c}"]),
+            (num(c), float(bounds[f"__mn_{c}"]),
              float(bounds[f"__mx_{c}"])) for c in cols
         ]
         # explicit partition count: a bare repartitionByRange is AQE-
         # coalesced on small inputs, collapsing the clustering into one
-        # file (no per-file stats to prune)
-        n_parts = partitions or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        # file (no per-file stats to prune). Default = the snapshot's
+        # current file count, so OPTIMIZE never EXPLODES a small table
+        # into shuffle-partition-many tiny files.
+        n_parts = partitions or max(
+            1, len(snapshots.snapshot_file_entries(self._versioned[name])))
         clustered = (
             df.withColumn("__zkey", zorder_key(triples, bits))
             .repartitionByRange(n_parts, "__zkey")
@@ -1314,15 +1340,13 @@ class Engine:
                 [(n,) for n in sorted(self._attached)], "name string")
         mdh = _DESCRIBE_HISTORY_RE.match(query)
         if mdh:
+            # attached 'db.t' names were already rewritten by
+            # _resolve_qualified before this dispatch point
             name = mdh.group("name")
-            key = name
-            if key not in self._versioned and "." in key:
-                db, _, t = key.partition(".")
-                key = self._attached.get(db, {}).get(t, key)
-            if key not in self._versioned:
+            if name not in self._versioned:
                 raise ValueError(
                     f"DESCRIBE HISTORY: unknown versioned table {name!r}")
-            hist = self.table_history(key)
+            hist = self.table_history(name)
             return self.spark.createDataFrame(
                 [(h["version"], h["timestamp_ms"], h["mode"],
                   h.get("stream_batch_id")) for h in hist],

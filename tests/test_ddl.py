@@ -446,6 +446,13 @@ def test_optimize_zorder_by_statement(eng, spark, tmp_path):
                    "VERSION AS OF 1").collect()
     with pytest.raises(ValueError):
         eng.sql("OPTIMIZE tz ZORDER BY (nope)")
+    # clean errors, not raw float() crashes (review finding r5)
+    eng.sql("CREATE TABLE tzs AS SELECT n_name AS s, n_nationkey AS k FROM nation")
+    with pytest.raises(ValueError, match="numeric"):
+        eng.sql("OPTIMIZE tzs ZORDER BY (s, k)")
+    eng.sql("CREATE TABLE tze (a INT, b INT)")
+    with pytest.raises(ValueError, match="non-NULL"):
+        eng.sql("OPTIMIZE tze ZORDER BY (a, b)")
 
 
 def test_vacuum_statement(eng, tmp_path):
