@@ -247,6 +247,28 @@ _SHOW_TABLES_FROM_RE = re.compile(
 _SHOW_DATABASES_RE = re.compile(
     r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+# ALTER TABLE — metadata-only schema evolution over the snapshot log
+# (the Delta/Iceberg ADD COLUMN idea: existing files never rewritten).
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w.]*)\s+(?P<rest>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_RE = re.compile(
+    r"^ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?P<type>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+(?P<new>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_TO_RE = re.compile(
+    r"^RENAME\s+TO\s+(?P<new>[A-Za-z_]\w*)$", re.IGNORECASE)
+
 # information_schema.tables / .columns — the ANSI catalog views BI tools
 # introspect with; materialized on demand from the session catalog.
 _INFO_SCHEMA_RE = re.compile(
@@ -731,6 +753,76 @@ class Engine:
         return self.spark.createDataFrame(
             [(entry.version, ",".join(cols))],
             "version int, zorder_by string")
+
+    def alter_table(self, name: str, rest: str) -> DataFrame:
+        """ALTER TABLE over versioned tables — metadata-only schema
+        evolution (the Delta/Iceberg idea): the ALTER ledger is a tiny
+        sidecar in ``_log/``; existing data files are NEVER rewritten.
+        ADD COLUMN reads back as NULL-filled typed values (later INSERTs
+        write it physically), DROP/RENAME COLUMN are projections applied
+        at read time, RENAME TO re-registers the view (the table
+        directory keeps its path). Survives restarts (persistent catalog
+        replays the ledger via snapshots.read_table)."""
+        if name not in self._versioned:
+            raise ValueError(
+                f"ALTER TABLE: unknown versioned table {name!r}")
+        table_dir = self._versioned[name]
+        cols = self.table(name).columns
+        rest = rest.strip()
+        m = _ALTER_ADD_RE.match(rest)
+        if m:
+            col, typ = m.group("col"), m.group("type").strip().upper()
+            if col in cols:
+                if re.search(r"IF\s+NOT\s+EXISTS", rest, re.IGNORECASE):
+                    return self._empty()
+                raise ValueError(
+                    f"ALTER TABLE: column {col!r} already exists")
+            base = re.match(r"^[A-Za-z]+", typ)
+            mapped = _DUCK_TO_SPARK_TYPES.get(typ)
+            if mapped is None and base and base.group() == "DECIMAL":
+                mapped = typ
+            if mapped is None:
+                raise ValueError(
+                    f"ALTER TABLE: unsupported column type {typ!r}")
+            snapshots.append_schema_patch(
+                table_dir, {"op": "add", "name": col, "type": mapped})
+        elif _ALTER_DROP_RE.match(rest):
+            md = _ALTER_DROP_RE.match(rest)
+            if md.group("col") not in cols:
+                if re.search(r"IF\s+EXISTS", rest, re.IGNORECASE):
+                    return self._empty()
+                raise ValueError(
+                    f"ALTER TABLE: no column {md.group('col')!r}")
+            snapshots.append_schema_patch(
+                table_dir, {"op": "drop", "name": md.group("col")})
+        elif _ALTER_RENAME_COL_RE.match(rest):
+            mr = _ALTER_RENAME_COL_RE.match(rest)
+            if mr.group("old") not in cols:
+                raise ValueError(
+                    f"ALTER TABLE: no column {mr.group('old')!r}")
+            if mr.group("new") in cols:
+                raise ValueError(
+                    f"ALTER TABLE: column {mr.group('new')!r} already "
+                    f"exists")
+            snapshots.append_schema_patch(
+                table_dir,
+                {"op": "rename", "old": mr.group("old"),
+                 "new": mr.group("new")})
+        elif _ALTER_RENAME_TO_RE.match(rest):
+            new = _ALTER_RENAME_TO_RE.match(rest).group("new")
+            if new in self._versioned:
+                raise ValueError(
+                    f"ALTER TABLE RENAME TO: {new!r} already exists")
+            self.spark.catalog.dropTempView(name)
+            self._versioned[new] = self._versioned.pop(name)
+            self.register_versioned(new, self._versioned[new])
+            return self._empty()
+        else:
+            raise ValueError(
+                f"ALTER TABLE: unsupported clause {rest!r} — supported: "
+                "ADD COLUMN, DROP COLUMN, RENAME COLUMN, RENAME TO")
+        self._refresh_table(name)
+        return self._empty()
 
     def restore_table(self, name: str, version: int) -> DataFrame:
         """RESTORE a versioned table to an old snapshot as a NEW commit —
@@ -1323,6 +1415,9 @@ class Engine:
                     mopt.group("name"),
                     [c.strip() for c in mopt.group("zcols").split(",")])
             return self.optimize_table(mopt.group("name"))
+        malt = _ALTER_RE.match(query)
+        if malt:
+            return self.alter_table(malt.group("name"), malt.group("rest"))
         mvac = _VACUUM_RE.match(query)
         if mvac:
             stats = self.vacuum_table(

@@ -267,6 +267,62 @@ def write_table(
     return entry
 
 
+_SCHEMA_PATCH_FILE = "_schema_patch.json"
+
+
+def read_schema_patches(table_dir: str) -> list[dict]:
+    """The table's persisted schema-evolution ops (ALTER TABLE ledger),
+    oldest first. Each op: {"op": "add", "name", "type"} |
+    {"op": "drop", "name"} | {"op": "rename", "old", "new"}."""
+    path = os.path.join(table_dir, _LOG_DIR, _SCHEMA_PATCH_FILE)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return []
+
+
+def append_schema_patch(table_dir: str, patch: dict) -> None:
+    """Persist one ALTER op (atomic replace — the ledger is tiny)."""
+    patches = read_schema_patches(table_dir)
+    patches.append(patch)
+    path = os.path.join(table_dir, _LOG_DIR, _SCHEMA_PATCH_FILE)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(patches, f)
+    os.replace(tmp, path)
+
+
+def apply_schema_patches(df: DataFrame, table_dir: str) -> DataFrame:
+    """Apply the ALTER ledger to a freshly-read snapshot: adds become
+    NULL-filled typed columns (existing files are never rewritten — the
+    Delta/Iceberg metadata-only ADD COLUMN idea), drops/renames are plain
+    projections. Idempotent per op (an add whose column already exists in
+    the files, e.g. written by a post-ALTER INSERT, is skipped)."""
+    from pyspark.sql import functions as F
+
+    for p in read_schema_patches(table_dir):
+        if p["op"] == "add":
+            if p["name"] not in df.columns:
+                df = df.withColumn(
+                    p["name"], F.lit(None).cast(p["type"]))
+        elif p["op"] == "drop":
+            if p["name"] in df.columns:
+                df = df.drop(p["name"])
+        elif p["op"] == "rename":
+            if p["old"] in df.columns and p["new"] in df.columns:
+                # file generations written AFTER the rename already carry
+                # the new name; mergeSchema surfaces BOTH columns (each
+                # row has exactly one non-NULL side) — coalesce them
+                df = df.withColumn(
+                    p["new"], F.coalesce(F.col(p["new"]), F.col(p["old"]))
+                ).drop(p["old"])
+            elif p["old"] in df.columns:
+                df = df.withColumnRenamed(p["old"], p["new"])
+    return df
+
+
 _WATERMARKS_FILE = "_stream_watermarks.json"
 
 
@@ -420,7 +476,9 @@ def read_table(
         from . import deltalog
 
         return deltalog.read_delta_table(spark, table_dir, version)
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    # ALTER TABLE ledger (metadata-only schema evolution)
+    return apply_schema_patches(df, table_dir)
 
 
 def compact(

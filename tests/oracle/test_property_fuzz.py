@@ -356,12 +356,21 @@ def gen_dml_script(rng: random.Random) -> list[str]:
     must converge to the same table state."""
     stmts = ["CREATE TABLE fz AS SELECT n_nationkey AS k, "
              "n_regionkey AS r, n_name AS v FROM nation"]
+    altered = rng.random() < 0.4
+    if altered:
+        # schema evolution mid-script: both engines must agree on the
+        # evolved shape and the NULL-backfill of pre-ALTER rows
+        stmts.append("ALTER TABLE fz ADD COLUMN w BIGINT")
+        stmts.append(f"UPDATE fz SET w = k * {rng.randint(2, 5)} "
+                     f"WHERE k % {rng.randint(2, 4)} = 0")
+    xtra_val = ", NULL" if altered else ""
+    xtra_sel = ", n_nationkey * 7" if altered else ""
     for _ in range(rng.randint(2, 5)):
         kind = rng.randrange(4)
         if kind == 0:
             vals = ", ".join(
                 f"({rng.randint(100, 999)}, {rng.randint(0, 4)}, "
-                f"'{rng.choice('abcde') * 3}')"
+                f"'{rng.choice('abcde') * 3}'{xtra_val})"
                 for _ in range(rng.randint(1, 3)))
             stmts.append(f"INSERT INTO fz VALUES {vals}")
         elif kind == 1:
@@ -373,9 +382,10 @@ def gen_dml_script(rng: random.Random) -> list[str]:
         else:
             stmts.append(
                 f"INSERT INTO fz SELECT n_nationkey + {rng.randint(1000, 2000)}, "
-                f"n_regionkey, lower(n_name) FROM nation "
+                f"n_regionkey, lower(n_name){xtra_sel} FROM nation "
                 f"WHERE n_nationkey % {rng.randint(2, 5)} = 0")
-    stmts.append("SELECT k, r, v FROM fz ORDER BY k, r, v")
+    tail = ", w" if altered else ""
+    stmts.append(f"SELECT k, r, v{tail} FROM fz ORDER BY k, r, v{tail}")
     return stmts
 
 

@@ -468,3 +468,55 @@ def test_vacuum_statement(eng, tmp_path):
     eng.sql("INSERT INTO tv VALUES (2)")
     eng.sql("VACUUM tv RETAIN 2 SNAPSHOTS")
     assert eng.sql("SELECT count(*) AS n FROM tv").collect()[0].n == 2
+
+
+# --- ALTER TABLE (metadata-only schema evolution) -------------------------
+
+def test_alter_table_add_drop_rename(eng, spark, tmp_path):
+    eng.sql("CREATE TABLE ta AS SELECT n_nationkey AS k, n_name AS v FROM nation")
+    # ADD COLUMN: metadata-only — no data rewrite, reads back NULL-typed
+    import glob as _g, os as _os
+    td = eng._versioned["ta"]
+    files_before = set(_g.glob(_os.path.join(td, "data", "*", "*")))
+    eng.sql("ALTER TABLE ta ADD COLUMN score DOUBLE")
+    assert set(_g.glob(_os.path.join(td, "data", "*", "*"))) == files_before
+    row = eng.sql("SELECT k, score FROM ta WHERE k = 0").collect()[0]
+    assert row.score is None
+    assert dict(eng.table("ta").dtypes)["score"] == "double"
+    # later INSERTs fill it physically
+    eng.sql("INSERT INTO ta VALUES (100, 'x', 1.5)")
+    assert eng.sql("SELECT score FROM ta WHERE k = 100").collect()[0].score == 1.5
+    # DROP + RENAME COLUMN
+    eng.sql("ALTER TABLE ta DROP COLUMN v")
+    assert "v" not in eng.table("ta").columns
+    eng.sql("ALTER TABLE ta RENAME COLUMN score TO quality")
+    assert eng.sql("SELECT max(quality) AS m FROM ta").collect()[0].m == 1.5
+    # UPDATE through the evolved schema
+    eng.sql("UPDATE ta SET quality = 2.0 WHERE k = 100")
+    assert eng.sql("SELECT quality FROM ta WHERE k = 100").collect()[0].quality == 2.0
+    # errors
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE ta ADD COLUMN k INT")
+    eng.sql("ALTER TABLE ta ADD COLUMN IF NOT EXISTS k INT")  # no-op
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE ta DROP COLUMN nope")
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE nation ADD COLUMN x INT")  # not versioned
+
+    # RENAME TO
+    eng.sql("ALTER TABLE ta RENAME TO tb")
+    assert eng.sql("SELECT count(*) AS n FROM tb").collect()[0].n == 26
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM ta").collect()
+
+
+def test_alter_table_survives_restart(eng, spark, tmp_path):
+    """The ALTER ledger is a persistent sidecar: a fresh Engine over the
+    same warehouse sees the evolved schema."""
+    from duckdb_read_spark.engine import Engine
+
+    eng.sql("CREATE TABLE tp AS SELECT n_nationkey AS k FROM nation")
+    eng.sql("ALTER TABLE tp ADD COLUMN tag VARCHAR")
+    eng.sql("ALTER TABLE tp RENAME COLUMN k TO key")
+    eng2 = Engine(spark=spark, warehouse_dir=eng._warehouse)
+    assert set(eng2.table("tp").columns) == {"key", "tag"}
