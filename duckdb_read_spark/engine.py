@@ -885,6 +885,45 @@ class Engine:
         self._indexes[name] = (key, tuple(cols), unique)
         return self._empty()
 
+    def _check_constraints(self, name: str, new_df: DataFrame) -> None:
+        """Enforce the table's declared constraints on an insert batch:
+        NOT NULL (no NULL keys), CHECK (no row where the predicate is
+        FALSE — NULL passes, per SQL), UNIQUE/PRIMARY KEY (no duplicate
+        within the batch, no collision with existing rows — one agg + one
+        semi-join per constraint, the same price an index probe pays).
+        UPDATE/MERGE do not re-validate (documented, same as D24)."""
+        from pyspark.sql import functions as F
+
+        cons = snapshots.read_constraints(
+            self._versioned[name]) if name in self._versioned else []
+        for c in cons:
+            if c["kind"] == "not_null":
+                if new_df.where(F.col(c["col"]).isNull()).limit(1).collect():
+                    raise ValueError(
+                        f"INSERT violates NOT NULL on {name}.{c['col']}")
+            elif c["kind"] == "check":
+                if new_df.where(
+                        F.expr(f"({c['expr']}) = false")).limit(1).collect():
+                    raise ValueError(
+                        f"INSERT violates CHECK ({c['expr']}) on {name}")
+            elif c["kind"] == "unique":
+                kcols = c["cols"]
+                batch = new_df
+                for k in kcols:  # SQL UNIQUE: NULL keys never conflict
+                    batch = batch.where(F.col(k).isNotNull())
+                label = "PRIMARY KEY" if c.get("pk") else "UNIQUE"
+                if (batch.groupBy(*kcols)
+                        .agg(F.count(F.lit(1)).alias("c"))
+                        .where("c > 1").limit(1).collect()):
+                    raise ValueError(
+                        f"INSERT violates {label} ({', '.join(kcols)}) on "
+                        f"{name}: duplicate keys within the inserted rows")
+                if (batch.join(self.table(name).select(*kcols), kcols,
+                               "semi").limit(1).collect()):
+                    raise ValueError(
+                        f"INSERT violates {label} ({', '.join(kcols)}) on "
+                        f"{name}: key already present")
+
     def _check_unique_indexes(self, name: str, new_df: DataFrame) -> None:
         """Raise if appending ``new_df`` to table ``name`` would violate a
         UNIQUE index: keys must be unique within the batch and absent from
@@ -2101,9 +2140,11 @@ class Engine:
             if exists and not m.group("replace"):
                 raise ValueError(f"table {name!r} already exists "
                                  "(use CREATE OR REPLACE / IF NOT EXISTS)")
+            cons: list[dict] = []
             if rest.startswith("("):
                 close = _match_paren(rest, 0)
-                schema = _schema_to_spark_ddl(rest[1:close])
+                inner, cons = _parse_constraints(rest[1:close])
+                schema = _schema_to_spark_ddl(inner)
                 tail = rest[close + 1:].strip()
                 if tail.upper().startswith("AS"):
                     df = self.sql(tail[2:].strip(), dialect=dialect)
@@ -2116,6 +2157,7 @@ class Engine:
             if self._txn_baseline is not None and not exists:
                 self._txn_created.add(name)
             snapshots.write_table(df, table_dir, mode="overwrite")
+            snapshots.write_constraints(table_dir, cons)
             self.register_versioned(name, table_dir)
             return self._empty()
         m = _INSERT_RE.match(query)
@@ -2157,6 +2199,7 @@ class Engine:
                     *[F.col(f.name).cast(f.dataType) for f in target.fields])
             if self._indexes:
                 self._check_unique_indexes(name, df)
+            self._check_constraints(name, df)
             snapshots.write_table(df, self._versioned[name], mode="append")
             self._refresh_table(name)
             return self._empty()
@@ -3024,6 +3067,48 @@ def _columns_to_spark_ddl(columns: str) -> str:
             raise ValueError(f"read_*: unsupported column type {typ!r}")
         cols.append(f"{name.replace(chr(39) * 2, chr(39))} {mapped}")
     return ", ".join(cols)
+
+
+def _parse_constraints(inner: str) -> tuple[str, list[dict]]:
+    """Extract column- and table-level constraints from a CREATE TABLE
+    definition list: NOT NULL, CHECK (expr), UNIQUE, PRIMARY KEY
+    (expanded to NOT NULL + UNIQUE). Returns (definition list with the
+    constraint text removed, constraint dicts)."""
+    cons: list[dict] = []
+    parts_out: list[str] = []
+    for part in _split_top_commas(inner):
+        p = part.strip()
+        up = p.upper()
+        m = re.match(r"^CHECK\s*\(", p, re.IGNORECASE)
+        if m:  # table-level CHECK
+            close = _match_paren(p, m.end() - 1)
+            cons.append({"kind": "check", "expr": p[m.end():close]})
+            continue
+        m = re.match(r"^PRIMARY\s+KEY\s*\(\s*(?P<c>[^)]*)\)\s*$", p,
+                     re.IGNORECASE)
+        if m:  # table-level PRIMARY KEY
+            pk = [c.strip() for c in m.group("c").split(",")]
+            cons.append({"kind": "unique", "cols": pk, "pk": True})
+            cons.extend({"kind": "not_null", "col": c} for c in pk)
+            continue
+        name = p.split()[0] if p.split() else ""
+        mck = re.search(r"\bCHECK\s*\(", p, re.IGNORECASE)
+        if mck:
+            close = _match_paren(p, mck.end() - 1)
+            cons.append({"kind": "check", "expr": p[mck.end():close]})
+            p = (p[:mck.start()] + p[close + 1:]).strip()
+        if re.search(r"\bPRIMARY\s+KEY\b", p, re.IGNORECASE):
+            cons.append({"kind": "unique", "cols": [name], "pk": True})
+            cons.append({"kind": "not_null", "col": name})
+            p = re.sub(r"\s*PRIMARY\s+KEY\b", "", p, flags=re.IGNORECASE)
+        if re.search(r"\bNOT\s+NULL\b", p, re.IGNORECASE):
+            cons.append({"kind": "not_null", "col": name})
+            # the NOT NULL text itself is stripped by _schema_to_spark_ddl
+        if re.search(r"\bUNIQUE\b", p, re.IGNORECASE):
+            cons.append({"kind": "unique", "cols": [name]})
+            p = re.sub(r"\s*\bUNIQUE\b", "", p, flags=re.IGNORECASE)
+        parts_out.append(p)
+    return ", ".join(parts_out), cons
 
 
 def _schema_to_spark_ddl(inner: str) -> str:

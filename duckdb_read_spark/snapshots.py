@@ -323,6 +323,29 @@ def apply_schema_patches(df: DataFrame, table_dir: str) -> DataFrame:
     return df
 
 
+_CONSTRAINTS_FILE = "_constraints.json"
+
+
+def read_constraints(table_dir: str) -> list[dict]:
+    """The table's declared constraints (NOT NULL / CHECK / UNIQUE,
+    PRIMARY KEY expanded into both) — enforced by the engine on INSERT."""
+    path = os.path.join(table_dir, _LOG_DIR, _CONSTRAINTS_FILE)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return []
+
+
+def write_constraints(table_dir: str, cons: list[dict]) -> None:
+    path = os.path.join(table_dir, _LOG_DIR, _CONSTRAINTS_FILE)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+    os.replace(tmp, path)
+
+
 _WATERMARKS_FILE = "_stream_watermarks.json"
 
 

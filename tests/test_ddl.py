@@ -520,3 +520,53 @@ def test_alter_table_survives_restart(eng, spark, tmp_path):
     eng.sql("ALTER TABLE tp RENAME COLUMN k TO key")
     eng2 = Engine(spark=spark, warehouse_dir=eng._warehouse)
     assert set(eng2.table("tp").columns) == {"key", "tag"}
+
+
+# --- constraints (NOT NULL / CHECK / UNIQUE / PRIMARY KEY) ----------------
+
+def test_constraints_enforced_on_insert(eng, spark):
+    """DuckDB-parity constraint enforcement on INSERT — the same script
+    errors at the same statements in both engines."""
+    import duckdb
+
+    ddl = ("CREATE TABLE tc (id BIGINT PRIMARY KEY, "
+           "name VARCHAR NOT NULL, qty INT CHECK (qty >= 0), "
+           "tag VARCHAR UNIQUE)")
+    eng.sql(ddl)
+    con = duckdb.connect()
+    con.execute(ddl)
+
+    good = "INSERT INTO tc VALUES (1, 'a', 5, 'x'), (2, 'b', 0, NULL)"
+    eng.sql(good)
+    con.execute(good)
+    bad = [
+        "INSERT INTO tc VALUES (1, 'c', 1, 'y')",      # PK collision
+        "INSERT INTO tc VALUES (3, NULL, 1, 'z')",     # NOT NULL
+        "INSERT INTO tc VALUES (4, 'd', -1, 'w')",     # CHECK
+        "INSERT INTO tc VALUES (5, 'e', 1, 'x')",      # UNIQUE collision
+        "INSERT INTO tc VALUES (6, 'f', 1, 'q'), (6, 'g', 1, 'r')",  # batch dup
+    ]
+    for stmt in bad:
+        with pytest.raises(Exception):
+            eng.sql(stmt)
+        with pytest.raises(Exception):
+            con.execute(stmt)
+    # NULL CHECK operand passes (SQL: unknown is not a violation), and a
+    # second NULL in the UNIQUE column is fine
+    ok = "INSERT INTO tc VALUES (7, 'h', NULL, NULL)"
+    eng.sql(ok)
+    con.execute(ok)
+    got = {tuple(r) for r in eng.sql("SELECT id, name FROM tc").collect()}
+    want = set(map(tuple, con.execute("SELECT id, name FROM tc").fetchall()))
+    assert got == want and len(got) == 3
+
+
+def test_constraints_survive_restart(eng, spark):
+    from duckdb_read_spark.engine import Engine
+
+    eng.sql("CREATE TABLE tcr (k INT PRIMARY KEY)")
+    eng.sql("INSERT INTO tcr VALUES (1)")
+    eng2 = Engine(spark=spark, warehouse_dir=eng._warehouse)
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng2.sql("INSERT INTO tcr VALUES (1)")
+    eng2.sql("INSERT INTO tcr VALUES (2)")
