@@ -924,6 +924,15 @@ class Engine:
                         f"INSERT violates {label} ({', '.join(kcols)}) on "
                         f"{name}: key already present")
 
+    def _column_defaults(self, name: str) -> dict[str, str]:
+        """Declared DEFAULT expressions for ``name``'s columns (filled
+        into INSERTs that omit the column, instead of NULL)."""
+        if name not in self._versioned:
+            return {}
+        return {c["col"]: c["expr"]
+                for c in snapshots.read_constraints(self._versioned[name])
+                if c["kind"] == "default"}
+
     def _check_unique_indexes(self, name: str, new_df: DataFrame) -> None:
         """Raise if appending ``new_df`` to table ``name`` would violate a
         UNIQUE index: keys must be unique within the batch and absent from
@@ -2182,9 +2191,11 @@ class Engine:
                 df = df.toDF(*given)
                 from pyspark.sql import functions as F
 
+                defaults = self._column_defaults(name)
                 df = df.select(
                     *[F.col(f.name).cast(f.dataType) if f.name in given
-                      else F.lit(None).cast(f.dataType).alias(f.name)
+                      else (F.expr(defaults[f.name]) if f.name in defaults
+                            else F.lit(None)).cast(f.dataType).alias(f.name)
                       for f in target.fields]
                 ) if missing else df.select(
                     *[F.col(f.name).cast(f.dataType) for f in target.fields])
@@ -2716,6 +2727,9 @@ class Engine:
                 f"COPY FROM {name}: source is missing column(s) {missing}")
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields])
+        if self._indexes:
+            self._check_unique_indexes(name, df)
+        self._check_constraints(name, df)  # imports are INSERTs too
         snapshots.write_table(df, self._versioned[name], mode="append")
         self._refresh_table(name)
         return self._empty()
@@ -3097,6 +3111,15 @@ def _parse_constraints(inner: str) -> tuple[str, list[dict]]:
             close = _match_paren(p, mck.end() - 1)
             cons.append({"kind": "check", "expr": p[mck.end():close]})
             p = (p[:mck.start()] + p[close + 1:]).strip()
+        mdf = re.search(r"\bDEFAULT\s+(?P<e>.+)$", p,
+                        re.IGNORECASE | re.DOTALL)
+        if mdf:
+            expr = mdf.group("e").strip()
+            mnn = re.search(r"\s+NOT\s+NULL\s*$", expr, re.IGNORECASE)
+            if mnn:
+                expr = expr[:mnn.start()].strip()
+            cons.append({"kind": "default", "col": name, "expr": expr})
+            p = p[:mdf.start()].strip() + (" NOT NULL" if mnn else "")
         if re.search(r"\bPRIMARY\s+KEY\b", p, re.IGNORECASE):
             cons.append({"kind": "unique", "cols": [name], "pk": True})
             cons.append({"kind": "not_null", "col": name})

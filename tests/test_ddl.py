@@ -570,3 +570,29 @@ def test_constraints_survive_restart(eng, spark):
     with pytest.raises(ValueError, match="PRIMARY KEY"):
         eng2.sql("INSERT INTO tcr VALUES (1)")
     eng2.sql("INSERT INTO tcr VALUES (2)")
+
+
+def test_default_column_values(eng, spark):
+    """DEFAULT expressions fill INSERTs that omit the column — same rows
+    as DuckDB running the identical script."""
+    import duckdb
+
+    ddl = ("CREATE TABLE td (k INT, status VARCHAR DEFAULT 'new', "
+           "score DOUBLE DEFAULT 1.5 NOT NULL)")
+    script = ["INSERT INTO td (k) VALUES (1)",
+              "INSERT INTO td (k, status) VALUES (2, 'old')",
+              "INSERT INTO td VALUES (3, 'x', 9.0)"]
+    eng.sql(ddl)
+    con = duckdb.connect()
+    con.execute(ddl)
+    for stmt in script:
+        eng.sql(stmt)
+        con.execute(stmt)
+    got = {tuple(r) for r in eng.sql("SELECT k, status, score FROM td").collect()}
+    want = set(map(tuple, con.execute("SELECT k, status, score FROM td").fetchall()))
+    assert got == want and len(got) == 3
+    # DEFAULT + NOT NULL: an explicit NULL still violates
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO td VALUES (4, 'y', NULL)")
+    with pytest.raises(Exception):
+        con.execute("INSERT INTO td VALUES (4, 'y', NULL)")
