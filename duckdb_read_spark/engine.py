@@ -247,6 +247,18 @@ _SHOW_TABLES_FROM_RE = re.compile(
 _SHOW_DATABASES_RE = re.compile(
     r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+(?P<db>[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+# CREATE MACRO — DuckDB scalar macros: pure textual expansion at call
+# sites (exactly what DuckDB's binder does with macros).
+_CREATE_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\(\s*(?P<params>[^)]*)\)\s+AS\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MACRO_RE = re.compile(
+    r"^\s*DROP\s+MACRO\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # ALTER TABLE — metadata-only schema evolution over the snapshot log
 # (the Delta/Iceberg ADD COLUMN idea: existing files never rewritten).
 _ALTER_RE = re.compile(
@@ -333,6 +345,8 @@ class Engine:
         self._attached: dict[str, dict[str, str]] = {}
         # prepared-statement name -> body SQL text (placeholders intact)
         self._prepared: dict[str, str] = {}
+        # macro name -> (param names, body text) for call-site expansion
+        self._macros: dict[str, tuple[list[str], str]] = {}
         # open transaction: {table name -> version at BEGIN}; None = none
         self._txn_baseline: dict[str, int] | None = None
         # index name -> (table view, columns, unique) — storage-clustering
@@ -1463,6 +1477,20 @@ class Engine:
                     mopt.group("name"),
                     [c.strip() for c in mopt.group("zcols").split(",")])
             return self.optimize_table(mopt.group("name"))
+        mmac = _CREATE_MACRO_RE.match(query)
+        if mmac:
+            params = [p.strip() for p in mmac.group("params").split(",")
+                      if p.strip()]
+            self._macros[mmac.group("name").lower()] = (
+                params, mmac.group("body"))
+            return self._empty()
+        mdm = _DROP_MACRO_RE.match(query)
+        if mdm:
+            if self._macros.pop(mdm.group("name").lower(), None) is None \
+                    and "IF EXISTS" not in query.upper():
+                raise ValueError(
+                    f"DROP MACRO: unknown macro {mdm.group('name')!r}")
+            return self._empty()
         malt = _ALTER_RE.match(query)
         if malt:
             return self.alter_table(malt.group("name"), malt.group("rest"))
@@ -1573,6 +1601,7 @@ class Engine:
             )
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
+            query = self._expand_macros(query)
             query = _rewrite_from_first(query)
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
@@ -1755,6 +1784,55 @@ class Engine:
         query = _GLOB_FUNC_RE.sub(glob_sub, query)
         spans = literal_spans(query)
         return _READ_FUNC_RE.sub(guarded, query)
+
+    def _expand_macros(self, query: str) -> str:
+        """Expand CREATE MACRO call sites textually (what DuckDB's binder
+        does): each argument substitutes its parameter as a parenthesized
+        expression; nested macros expand to a bounded fixpoint."""
+        if not self._macros:
+            return query
+        for _ in range(10):
+            out = self._expand_macros_once(query)
+            if out == query:
+                return query
+            query = out
+        raise ValueError(
+            "macro expansion did not terminate — recursive macro?")
+
+    def _expand_macros_once(self, s: str) -> str:
+        for name, (params, body) in self._macros.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            spans = [m.span()
+                     for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", s)]
+            out: list[str] = []
+            i = 0
+            while True:
+                m = pat.search(s, i)
+                if not m:
+                    out.append(s[i:])
+                    break
+                if any(a <= m.start() < b for a, b in spans):
+                    out.append(s[i:m.end()])
+                    i = m.end()
+                    continue
+                close = _match_paren(s, m.end() - 1)
+                args = [a.strip()
+                        for a in _split_top_commas(s[m.end():close])
+                        if a.strip()]
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"macro {name}: expected {len(params)} argument(s), "
+                        f"got {len(args)}")
+                expansion = body
+                for p_, a_ in zip(params, args):
+                    expansion = re.sub(
+                        rf"\b{re.escape(p_)}\b",
+                        lambda _m, a=a_: f"({a})", expansion)
+                out.append(s[i:m.start()])
+                out.append(f"({expansion})")
+                i = close + 1
+            s = "".join(out)
+        return s
 
     def _resolve_series_functions(self, query: str) -> str:
         """DuckDB's ``FROM generate_series(a, b[, s])`` (inclusive stop,

@@ -974,3 +974,39 @@ def test_from_first_syntax_cross_engine(engine, duck):
         got = _rows(engine.sql(q, dialect="duckdb"))
         want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
         assert got == want, q
+
+
+def test_create_macro_cross_engine(engine, duck):
+    """CREATE MACRO: the identical CREATE + query script runs in DuckDB;
+    expansion handles multi-param bodies, nesting, and shadowed text in
+    string literals."""
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark)
+    script = [
+        "CREATE MACRO add_one(a) AS a + 1",
+        "CREATE MACRO clamp(x, lo, hi) AS "
+        "CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END",
+        "CREATE MACRO clamp_inc(x) AS clamp(add_one(x), 0, 10)",
+    ]
+    for stmt in script:
+        eng.sql(stmt, dialect="duckdb")
+        duck.execute(stmt)
+    q = ("SELECT n_nationkey AS k, add_one(n_nationkey) AS a, "
+         "clamp(n_nationkey, 3, 7) AS c, clamp_inc(n_nationkey * 2) AS d, "
+         "'add_one(1)' AS lit "
+         "FROM nation ORDER BY k")
+    got = _rows(eng.sql(q, dialect="duckdb"))
+    want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+    assert got == want
+    # argument substitution is parenthesized (no precedence capture)
+    assert eng.sql("SELECT add_one(1 + 1) AS v",
+                   dialect="duckdb").collect()[0].v == 3
+    eng.sql("DROP MACRO add_one")
+    with pytest.raises(ValueError):
+        eng.sql("DROP MACRO add_one")
+    with pytest.raises(ValueError):
+        eng.sql("SELECT clamp(1) AS v", dialect="duckdb")  # arity
+    duck.execute("DROP MACRO add_one")
+    duck.execute("DROP MACRO clamp_inc")
+    duck.execute("DROP MACRO clamp")
