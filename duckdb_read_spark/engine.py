@@ -1481,8 +1481,13 @@ class Engine:
         if mmac:
             params = [p.strip() for p in mmac.group("params").split(",")
                       if p.strip()]
-            self._macros[mmac.group("name").lower()] = (
-                params, mmac.group("body"))
+            body = mmac.group("body").strip()
+            # table macros (AS TABLE SELECT …) expand to a derived table;
+            # dropping the TABLE keyword makes the parenthesized expansion
+            # a plain subquery in FROM position
+            if re.match(r"^TABLE\b", body, re.IGNORECASE):
+                body = body[5:].strip()
+            self._macros[mmac.group("name").lower()] = (params, body)
             return self._empty()
         mdm = _DROP_MACRO_RE.match(query)
         if mdm:

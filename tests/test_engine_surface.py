@@ -1010,3 +1010,19 @@ def test_create_macro_cross_engine(engine, duck):
     duck.execute("DROP MACRO add_one")
     duck.execute("DROP MACRO clamp_inc")
     duck.execute("DROP MACRO clamp")
+
+
+def test_table_macro_cross_engine(engine, duck):
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark)
+    eng.register_fixture_dir("/root/testdata/sf0.001")
+    ddl = ("CREATE MACRO top_nations(rk) AS TABLE "
+           "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = rk")
+    q = ("SELECT t.n_name FROM top_nations(2) t ORDER BY t.n_nationkey")
+    eng.sql(ddl, dialect="duckdb")
+    duck.execute(ddl)
+    got = _rows(eng.sql(q, dialect="duckdb"))
+    want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+    assert got == want and len(got) == 5
+    duck.execute("DROP MACRO TABLE top_nations")
