@@ -255,7 +255,8 @@ _CREATE_MACRO_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_MACRO_RE = re.compile(
-    r"^\s*DROP\s+MACRO\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    r"^\s*DROP\s+MACRO\s+(?:TABLE\s+)?(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -777,6 +778,9 @@ class Engine:
         at read time, RENAME TO re-registers the view (the table
         directory keeps its path). Survives restarts (persistent catalog
         replays the ledger via snapshots.read_table)."""
+        if name not in self._versioned and "." in name:
+            db, _, t = name.partition(".")
+            name = self._attached.get(db, {}).get(t, name)
         if name not in self._versioned:
             raise ValueError(
                 f"ALTER TABLE: unknown versioned table {name!r}")
@@ -791,6 +795,7 @@ class Engine:
                     return self._empty()
                 raise ValueError(
                     f"ALTER TABLE: column {col!r} already exists")
+            typ = re.sub(r"^VARCHAR\s*\(\s*\d+\s*\)$", "VARCHAR", typ)
             base = re.match(r"^[A-Za-z]+", typ)
             mapped = _DUCK_TO_SPARK_TYPES.get(typ)
             if mapped is None and base and base.group() == "DECIMAL":
@@ -809,6 +814,8 @@ class Engine:
                     f"ALTER TABLE: no column {md.group('col')!r}")
             snapshots.append_schema_patch(
                 table_dir, {"op": "drop", "name": md.group("col")})
+            self._sync_constraints_after_alter(
+                table_dir, {"op": "drop", "name": md.group("col")})
         elif _ALTER_RENAME_COL_RE.match(rest):
             mr = _ALTER_RENAME_COL_RE.match(rest)
             if mr.group("old") not in cols:
@@ -822,14 +829,39 @@ class Engine:
                 table_dir,
                 {"op": "rename", "old": mr.group("old"),
                  "new": mr.group("new")})
+            self._sync_constraints_after_alter(
+                table_dir, {"op": "rename", "old": mr.group("old"),
+                            "new": mr.group("new")})
         elif _ALTER_RENAME_TO_RE.match(rest):
+            import os
+
             new = _ALTER_RENAME_TO_RE.match(rest).group("new")
             if new in self._versioned:
                 raise ValueError(
                     f"ALTER TABLE RENAME TO: {new!r} already exists")
             self.spark.catalog.dropTempView(name)
-            self._versioned[new] = self._versioned.pop(name)
-            self.register_versioned(new, self._versioned[new])
+            new_dir = self._versioned.pop(name)
+            # move the directory when it is the warehouse entry named
+            # after the table — otherwise the persistent catalog's
+            # restart rediscovery would resurrect the OLD name
+            warehouse = self._warehouse
+            if (warehouse
+                    and os.path.dirname(os.path.abspath(new_dir))
+                    == os.path.abspath(warehouse)
+                    and os.path.basename(new_dir) == name):
+                moved = os.path.join(os.path.dirname(new_dir), new)
+                if os.path.exists(moved):
+                    raise ValueError(
+                        f"ALTER TABLE RENAME TO: directory {moved!r} "
+                        f"already exists")
+                os.rename(new_dir, moved)
+                new_dir = moved
+            self._versioned[new] = new_dir
+            # unique-index metadata follows the table name
+            self._indexes = {
+                iname: (new if tbl == name else tbl, icols, uniq)
+                for iname, (tbl, icols, uniq) in self._indexes.items()}
+            self.register_versioned(new, new_dir)
             return self._empty()
         else:
             raise ValueError(
@@ -899,6 +931,25 @@ class Engine:
         self._indexes[name] = (key, tuple(cols), unique)
         return self._empty()
 
+    def _check_row_constraints(self, name: str, new_df: DataFrame) -> None:
+        """NOT NULL/CHECK validation only (ON CONFLICT path: uniqueness is
+        exactly what the statement resolves, so only row-local constraints
+        apply to the incoming batch)."""
+        from pyspark.sql import functions as F
+
+        cons = snapshots.read_constraints(
+            self._versioned[name]) if name in self._versioned else []
+        for c in cons:
+            if c["kind"] == "not_null":
+                if new_df.where(F.col(c["col"]).isNull()).limit(1).collect():
+                    raise ValueError(
+                        f"INSERT violates NOT NULL on {name}.{c['col']}")
+            elif c["kind"] == "check":
+                if new_df.where(
+                        F.expr(f"({c['expr']}) = false")).limit(1).collect():
+                    raise ValueError(
+                        f"INSERT violates CHECK ({c['expr']}) on {name}")
+
     def _check_constraints(self, name: str, new_df: DataFrame) -> None:
         """Enforce the table's declared constraints on an insert batch:
         NOT NULL (no NULL keys), CHECK (no row where the predicate is
@@ -937,6 +988,41 @@ class Engine:
                     raise ValueError(
                         f"INSERT violates {label} ({', '.join(kcols)}) on "
                         f"{name}: key already present")
+
+    def _sync_constraints_after_alter(self, table_dir: str,
+                                      op: dict) -> None:
+        """Keep the constraints/defaults sidecar consistent with a column
+        drop/rename — stale entries keyed on a missing column would make
+        every later INSERT crash (drop) or silently stop enforcing
+        (rename)."""
+        cons = snapshots.read_constraints(table_dir)
+        out: list[dict] = []
+        if op["op"] == "drop":
+            col = op["name"]
+            for c in cons:
+                if c["kind"] in ("not_null", "default") and c["col"] == col:
+                    continue
+                if c["kind"] == "unique" and col in c["cols"]:
+                    continue
+                if c["kind"] == "check" and re.search(
+                        rf"\b{re.escape(col)}\b", c["expr"]):
+                    continue
+                out.append(c)
+        else:  # rename
+            old_c, new_c = op["old"], op["new"]
+            for c in cons:
+                c = dict(c)
+                if c["kind"] in ("not_null", "default") \
+                        and c["col"] == old_c:
+                    c["col"] = new_c
+                elif c["kind"] == "unique":
+                    c["cols"] = [new_c if x == old_c else x
+                                 for x in c["cols"]]
+                elif c["kind"] == "check":
+                    c["expr"] = re.sub(rf"\b{re.escape(old_c)}\b", new_c,
+                                       c["expr"])
+                out.append(c)
+        snapshots.write_constraints(table_dir, out)
 
     def _column_defaults(self, name: str) -> dict[str, str]:
         """Declared DEFAULT expressions for ``name``'s columns (filled
@@ -1492,7 +1578,7 @@ class Engine:
         mdm = _DROP_MACRO_RE.match(query)
         if mdm:
             if self._macros.pop(mdm.group("name").lower(), None) is None \
-                    and "IF EXISTS" not in query.upper():
+                    and not mdm.group("ifex"):
                 raise ValueError(
                     f"DROP MACRO: unknown macro {mdm.group('name')!r}")
             return self._empty()
@@ -1604,9 +1690,12 @@ class Engine:
             return self.spark.createDataFrame(
                 [(text,)], "explain_value string"
             )
+        if dialect == "duckdb":
+            # macros first: an expansion may produce read_*/glob call
+            # sites that the next pass must still resolve
+            query = self._expand_macros(query)
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
-            query = self._expand_macros(query)
             query = _rewrite_from_first(query)
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
@@ -1828,11 +1917,28 @@ class Engine:
                     raise ValueError(
                         f"macro {name}: expected {len(params)} argument(s), "
                         f"got {len(args)}")
-                expansion = body
-                for p_, a_ in zip(params, args):
-                    expansion = re.sub(
-                        rf"\b{re.escape(p_)}\b",
-                        lambda _m, a=a_: f"({a})", expansion)
+                if not params:
+                    out.append(s[i:m.start()])
+                    out.append(f"({body})")
+                    i = close + 1
+                    continue
+                # SIMULTANEOUS substitution (sequential passes would
+                # re-substitute an argument whose text matches a later
+                # parameter name), guarded against the body's own string
+                # literals
+                mapping = {p_.lower(): a_ for p_, a_ in zip(params, args)}
+                ppat = re.compile(
+                    "|".join(rf"\b{re.escape(p_)}\b" for p_ in params),
+                    re.IGNORECASE)
+                bspans = [bm.span() for bm in
+                          re.finditer(r"'(?:[^']|'')*'|--[^\n]*", body)]
+
+                def prepl(pm: re.Match) -> str:
+                    if any(a <= pm.start() < b for a, b in bspans):
+                        return pm.group(0)
+                    return f"({mapping[pm.group(0).lower()]})"
+
+                expansion = ppat.sub(prepl, body)
                 out.append(s[i:m.start()])
                 out.append(f"({expansion})")
                 i = close + 1
@@ -2250,6 +2356,9 @@ class Engine:
                 self._txn_created.add(name)
             snapshots.write_table(df, table_dir, mode="overwrite")
             snapshots.write_constraints(table_dir, cons)
+            # a replacement table starts with a clean ALTER ledger —
+            # stale drop/rename patches must not apply to its columns
+            snapshots.clear_schema_patches(table_dir)
             self.register_versioned(name, table_dir)
             return self._empty()
         m = _INSERT_RE.match(query)
@@ -2439,6 +2548,9 @@ class Engine:
                 f"provided, table has {len(target.fields)}")
         src = src.toDF(*[f.name for f in target.fields]).select(
             *[F.col(f.name).cast(f.dataType) for f in target.fields])
+        # constraints apply to upsert inserts too (NOT NULL/CHECK on
+        # the incoming batch; uniqueness is what ON CONFLICT resolves)
+        self._check_row_constraints(name, src)
         view = "__upsert_src"
         src.createOrReplaceTempView(view)
         try:
@@ -2996,16 +3108,31 @@ def _looks_like_create_table(rest: str) -> bool:
 
 
 def _match_paren(text: str, open_idx: int) -> int:
-    """Index of the ')' matching the '(' at open_idx (quote-naive: schema
-    definitions contain no string literals)."""
+    """Index of the ')' matching the '(' at open_idx, skipping string
+    literals — DEFAULT/CHECK clauses legally put literals (including
+    parens like DEFAULT ')') inside definition lists."""
     depth = 0
-    for i in range(open_idx, len(text)):
-        if text[i] == "(":
+    i, n = open_idx, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
             depth += 1
-        elif text[i] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 return i
+        i += 1
     raise ValueError("unbalanced parentheses")
 
 
@@ -3188,21 +3315,27 @@ def _parse_constraints(inner: str) -> tuple[str, list[dict]]:
             cons.append({"kind": "unique", "cols": pk, "pk": True})
             cons.extend({"kind": "not_null", "col": c} for c in pk)
             continue
+        m = re.match(r"^UNIQUE\s*\(\s*(?P<c>[^)]*)\)\s*$", p, re.IGNORECASE)
+        if m:  # table-level UNIQUE
+            cons.append({"kind": "unique",
+                         "cols": [c.strip() for c in m.group("c").split(",")]})
+            continue
         name = p.split()[0] if p.split() else ""
         mck = re.search(r"\bCHECK\s*\(", p, re.IGNORECASE)
         if mck:
             close = _match_paren(p, mck.end() - 1)
             cons.append({"kind": "check", "expr": p[mck.end():close]})
             p = (p[:mck.start()] + p[close + 1:]).strip()
-        mdf = re.search(r"\bDEFAULT\s+(?P<e>.+)$", p,
-                        re.IGNORECASE | re.DOTALL)
+        # DEFAULT expr extends to the next constraint keyword, not to the
+        # end of the definition — 'DEFAULT 0 UNIQUE' keeps its UNIQUE
+        mdf = re.search(
+            r"\bDEFAULT\s+(?P<e>.+?)"
+            r"(?=\s+(?:NOT\s+NULL|UNIQUE|PRIMARY\s+KEY)\b|\s*$)",
+            p, re.IGNORECASE | re.DOTALL)
         if mdf:
-            expr = mdf.group("e").strip()
-            mnn = re.search(r"\s+NOT\s+NULL\s*$", expr, re.IGNORECASE)
-            if mnn:
-                expr = expr[:mnn.start()].strip()
-            cons.append({"kind": "default", "col": name, "expr": expr})
-            p = p[:mdf.start()].strip() + (" NOT NULL" if mnn else "")
+            cons.append({"kind": "default", "col": name,
+                         "expr": mdf.group("e").strip()})
+            p = (p[:mdf.start()] + p[mdf.end():]).strip()
         if re.search(r"\bPRIMARY\s+KEY\b", p, re.IGNORECASE):
             cons.append({"kind": "unique", "cols": [name], "pk": True})
             cons.append({"kind": "not_null", "col": name})

@@ -283,7 +283,12 @@ def read_schema_patches(table_dir: str) -> list[dict]:
 
 
 def append_schema_patch(table_dir: str, patch: dict) -> None:
-    """Persist one ALTER op (atomic replace — the ledger is tiny)."""
+    """Persist one ALTER op (atomic replace — the ledger is tiny). Each
+    op is stamped with the snapshot version it was issued at, so
+    time-travel reads to EARLIER versions see the pre-ALTER schema."""
+    commits = read_log(table_dir)
+    patch = dict(patch)
+    patch["as_of_version"] = commits[-1].version if commits else 0
     patches = read_schema_patches(table_dir)
     patches.append(patch)
     path = os.path.join(table_dir, _LOG_DIR, _SCHEMA_PATCH_FILE)
@@ -294,7 +299,19 @@ def append_schema_patch(table_dir: str, patch: dict) -> None:
     os.replace(tmp, path)
 
 
-def apply_schema_patches(df: DataFrame, table_dir: str) -> DataFrame:
+def clear_schema_patches(table_dir: str) -> None:
+    """Reset the ALTER ledger (CREATE OR REPLACE starts a fresh table —
+    stale patches must not apply to the replacement's columns)."""
+    path = os.path.join(table_dir, _LOG_DIR, _SCHEMA_PATCH_FILE)
+    if os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([], f)
+        os.replace(tmp, path)
+
+
+def apply_schema_patches(df: DataFrame, table_dir: str,
+                         version: int | None = None) -> DataFrame:
     """Apply the ALTER ledger to a freshly-read snapshot: adds become
     NULL-filled typed columns (existing files are never rewritten — the
     Delta/Iceberg metadata-only ADD COLUMN idea), drops/renames are plain
@@ -303,6 +320,8 @@ def apply_schema_patches(df: DataFrame, table_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     for p in read_schema_patches(table_dir):
+        if version is not None and p.get("as_of_version", 0) > version:
+            continue  # ALTER issued after the requested snapshot
         if p["op"] == "add":
             if p["name"] not in df.columns:
                 df = df.withColumn(
@@ -492,7 +511,7 @@ def read_table(
     Delta-protocol ``_delta_log`` (no private log — e.g. written by
     another engine) is read by replaying that log instead."""
     try:
-        _, dirs = resolve_snapshot(table_dir, version, as_of_ms)
+        resolved, dirs = resolve_snapshot(table_dir, version, as_of_ms)
     except FileNotFoundError:
         if as_of_ms is not None:
             raise
@@ -500,8 +519,9 @@ def read_table(
 
         return deltalog.read_delta_table(spark, table_dir, version)
     df = spark.read.option("mergeSchema", "true").parquet(*dirs)
-    # ALTER TABLE ledger (metadata-only schema evolution)
-    return apply_schema_patches(df, table_dir)
+    # ALTER TABLE ledger (metadata-only schema evolution), filtered to
+    # ops issued at or before the snapshot being read
+    return apply_schema_patches(df, table_dir, version=resolved)
 
 
 def compact(

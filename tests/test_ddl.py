@@ -596,3 +596,104 @@ def test_default_column_values(eng, spark):
         eng.sql("INSERT INTO td VALUES (4, 'y', NULL)")
     with pytest.raises(Exception):
         con.execute("INSERT INTO td VALUES (4, 'y', NULL)")
+
+
+def test_alter_constraint_interplay(eng, spark):
+    """Review findings r5 (batch 3): sidecars stay consistent with ALTER,
+    CREATE OR REPLACE clears the ledger, time travel sees the pre-ALTER
+    schema, RENAME TO survives restart."""
+    from duckdb_read_spark.engine import Engine
+
+    eng.sql("CREATE TABLE ti2 (k INT NOT NULL, v VARCHAR DEFAULT 'd')")
+    eng.sql("INSERT INTO ti2 (k) VALUES (1)")
+    # dropping a constrained column removes its constraints — INSERT works
+    eng.sql("ALTER TABLE ti2 DROP COLUMN k")
+    eng.sql("INSERT INTO ti2 (v) VALUES ('x')")
+    # renaming a defaulted column keeps the DEFAULT under the new name
+    eng.sql("ALTER TABLE ti2 RENAME COLUMN v TO label")
+    eng.sql("ALTER TABLE ti2 ADD COLUMN n INT")
+    eng.sql("INSERT INTO ti2 (n) VALUES (9)")
+    assert sorted(r.label for r in eng.sql("SELECT label FROM ti2").collect()) \
+        == ["d", "d", "x"]
+
+    # time travel to a pre-ALTER version shows the pre-ALTER schema
+    assert "k" in eng.sql("SELECT * FROM ti2 VERSION AS OF 1").columns
+    assert "k" not in eng.table("ti2").columns
+
+    # CREATE OR REPLACE starts a clean ledger — no stale rename/drop
+    eng.sql("CREATE OR REPLACE TABLE ti2 AS SELECT 5 AS k, 'y' AS v")
+    assert set(eng.table("ti2").columns) == {"k", "v"}
+
+    # RENAME TO moves the warehouse dir → survives restart under NEW name
+    eng.sql("CREATE TABLE tr2 AS SELECT 1 AS one")
+    eng.sql("ALTER TABLE tr2 RENAME TO tr3")
+    eng2 = Engine(spark=spark, warehouse_dir=eng._warehouse)
+    assert eng2.sql("SELECT count(*) AS n FROM tr3").collect()[0].n == 1
+    with pytest.raises(Exception):
+        eng2.sql("SELECT * FROM tr2").collect()
+
+
+def test_constraint_parser_edges(eng):
+    import duckdb
+
+    con = duckdb.connect()
+    # DEFAULT with a paren-bearing literal; DEFAULT followed by UNIQUE;
+    # table-level UNIQUE (a, b)
+    ddl = ("CREATE TABLE te (a INT, b INT, "
+           "s VARCHAR DEFAULT ')', "
+           "tag VARCHAR DEFAULT 'n' UNIQUE, "
+           "UNIQUE (a, b))")
+    eng.sql(ddl)
+    con.execute(ddl)
+    for ok in ["INSERT INTO te (a, b, tag) VALUES (1, 2, 'x')",
+               "INSERT INTO te (a, b) VALUES (5, 6)"]:  # tag <- DEFAULT 'n'
+        eng.sql(ok)
+        con.execute(ok)
+    rows = {r.tag: r.s for r in eng.sql("SELECT s, tag FROM te").collect()}
+    assert rows == {"x": ")", "n": ")"}
+    for bad in ["INSERT INTO te (a, b, tag) VALUES (1, 2, 'y')",   # (a,b) dup
+                "INSERT INTO te (a, b) VALUES (7, 8)"]:            # tag 'n' dup
+        with pytest.raises(Exception):
+            eng.sql(bad)
+        with pytest.raises(Exception):
+            con.execute(bad)
+    # ON CONFLICT path enforces row constraints too
+    eng.sql("CREATE TABLE tonc (id BIGINT, nm VARCHAR NOT NULL)")
+    eng.sql("INSERT INTO tonc VALUES (1, 'a')")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        eng.sql("INSERT INTO tonc VALUES (2, NULL) "
+                "ON CONFLICT (id) DO NOTHING")
+
+
+def test_macro_substitution_edges(eng):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW nation AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/nation.parquet')")
+    script = [
+        "CREATE MACRO clamp(x, lo, hi) AS "
+        "CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END",
+        "CREATE MACRO tag(x) AS 'x: ' || x",
+    ]
+    for stmt in script:
+        eng.sql(stmt, dialect="duckdb")
+        con.execute(stmt)
+    # an argument whose text equals a later parameter name; a parameter
+    # name inside a body string literal
+    q = ("SELECT n_nationkey AS k, "
+         "clamp(n_regionkey, 0, 3) AS c, tag(n_nationkey) AS t "
+         "FROM (SELECT n_nationkey, n_regionkey AS lo, n_regionkey "
+         "FROM nation) n(n_nationkey, lo, n_regionkey) ORDER BY k LIMIT 5")
+    q = ("SELECT n_nationkey AS k, clamp(n_regionkey, 0, 3) AS c, "
+         "tag(n_nationkey) AS t FROM nation ORDER BY k LIMIT 5")
+    got = [tuple(r) for r in eng.sql(q, dialect="duckdb").collect()]
+    want = con.execute(q).fetchall()
+    assert got == want
+    assert all(t.startswith("x: ") for _, _, t in got)
+    # the collision case directly: pass a column literally named like a
+    # later parameter
+    eng.sql("CREATE OR REPLACE TABLE tm AS SELECT 7 AS lo")
+    v = eng.sql("SELECT clamp(lo, 0, 10) AS v FROM tm",
+                dialect="duckdb").collect()[0].v
+    assert v == 7
