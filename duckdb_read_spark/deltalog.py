@@ -282,12 +282,91 @@ def backfill(table_dir: str, upto_version: int) -> None:
             pass  # concurrent backfill — first writer wins
 
 
+def write_checkpoint(table_dir: str, version0: int) -> None:
+    """Write a spec-shaped checkpoint parquet for delta version
+    ``version0`` plus the ``_last_checkpoint`` pointer (spec §Checkpoints).
+
+    External readers (delta-spark / delta-rs) refuse a log whose lowest
+    JSON commit is N>0 unless a checkpoint lets replay start there — so
+    vacuum truncation MUST leave one behind. The checkpoint holds the
+    reconstructed state at ``version0``: protocol, metaData, and one
+    ``add`` row per live file; one action per parquet row, the other
+    action columns null. Driver-side pyarrow write — O(files) metadata,
+    never touches data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, files = delta_snapshot(table_dir, version0 + 1)
+    meta = _existing_meta(table_dir) or {}
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", str_map)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map),
+            ("createdTime", pa.int64()),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+        ("remove", pa.struct([("path", pa.string()),
+                              ("deletionTimestamp", pa.int64()),
+                              ("dataChange", pa.bool_())])),
+        ("txn", pa.struct([("appId", pa.string()),
+                           ("version", pa.int64())])),
+    ])
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": meta.get("id", str(uuid.uuid4())),
+            "format": {"provider": "parquet",
+                       "options": list((meta.get("format") or {})
+                                       .get("options", {}).items())},
+            "schemaString": meta.get("schemaString", ""),
+            "partitionColumns": meta.get("partitionColumns", []),
+            "configuration": list(meta.get("configuration", {}).items()),
+            "createdTime": meta.get("createdTime", 0),
+        }},
+    ]
+    for p in sorted(files):
+        a = dict(files[p])
+        a["partitionValues"] = list((a.get("partitionValues") or {}).items())
+        a.setdefault("stats", None)
+        rows.append({"add": {k: a.get(k) for k in (
+            "path", "partitionValues", "size", "modificationTime",
+            "dataChange", "stats")}})
+    table = pa.Table.from_pylist(rows, schema=schema)
+    ckpt = os.path.join(table_dir, _DELTA_DIR,
+                        f"{version0:020d}.checkpoint.parquet")
+    tmp = ckpt + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, ckpt)
+    last = os.path.join(table_dir, _DELTA_DIR, "_last_checkpoint")
+    tmp = last + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version0, "size": len(rows)}, f)
+    os.replace(tmp, last)
+
+
 def truncate(table_dir: str, before_version: int) -> int:
     """Drop delta files below private-log version ``before_version``
-    (mirrors snapshots.vacuum's log truncation). The surviving base delta
-    is patched to carry protocol/metaData actions if the removed prefix
-    held the only copies — an orphaned log without them violates the spec
-    and breaks external readers. Returns files removed."""
+    (mirrors snapshots.vacuum's log truncation). Two repairs keep the
+    surviving log externally readable: (1) the surviving base delta is
+    patched to carry protocol/metaData actions if the removed prefix held
+    the only copies; (2) a checkpoint parquet + ``_last_checkpoint`` are
+    written for the surviving base (ADVICE r5: delta-spark/delta-rs reject
+    a log whose lowest version is N>0 with no checkpoint — replay must be
+    able to start at the base). Returns files removed."""
     meta = _existing_meta(table_dir)  # capture BEFORE files disappear
     n = 0
     for v in _list_versions(table_dir):
@@ -322,4 +401,13 @@ def truncate(table_dir: str, before_version: int) -> int:
                 f.write("\n".join(json.dumps(a)
                                   for a in head + patch + tail) + "\n")
             os.replace(tmp, _delta_path(table_dir, base))
+        if base > 0:
+            # a log starting at N>0 needs a checkpoint for external
+            # readers to begin replay there
+            try:
+                write_checkpoint(table_dir, base)
+            except Exception:  # pragma: no cover - best-effort mirror
+                import warnings
+
+                warnings.warn(f"delta checkpoint write failed at {base}")
     return n

@@ -554,6 +554,12 @@ class Engine:
         locally wins; only unshadowed names get an alias view). ``USE
         main`` (or ``memory``) resets to the local namespace."""
         for v in getattr(self, "_use_aliases", []):
+            # a local CREATE TABLE / register_* may have SHADOWED the
+            # alias name since the USE — its view is now a real local
+            # table, not our alias; dropping it would orphan
+            # self._versioned/_table_paths entries (ADVICE r5)
+            if v in self._versioned or v in self._table_paths:
+                continue
             self.spark.catalog.dropTempView(v)
         self._use_aliases: list[str] = []
         self._use_alias_map: dict[str, str] = {}
@@ -1127,10 +1133,14 @@ class Engine:
     def begin(self) -> None:
         if self._txn_baseline is not None:
             raise ValueError("BEGIN: a transaction is already open")
-        base: dict[str, int] = {}
+        base: dict[str, int | None] = {}
         for name, td in self._versioned.items():
             commits = snapshots.read_log(td)
-            base[name] = commits[-1].version if commits else 0
+            # None sentinel: a table with an EMPTY private log (e.g.
+            # registered over a foreign _delta_log-only dir) has no
+            # restorable version 0 — rollback must skip it, not call
+            # restore_table(name, 0) and abort mid-loop (ADVICE r5)
+            base[name] = commits[-1].version if commits else None
         self._txn_baseline = base
         # only tables a CREATE TABLE statement makes DURING the txn are
         # dropped on rollback — a mere registration (register_versioned /
@@ -1148,18 +1158,39 @@ class Engine:
             raise ValueError("ROLLBACK: no open transaction")
         base, self._txn_baseline = self._txn_baseline, None
         created = getattr(self, "_txn_created", set())
+        errors: list[str] = []
         for name in list(self._versioned):
             td = self._versioned[name]
-            if name not in base:
-                if name in created:
-                    self.sql(f"DROP TABLE {name}")  # CREATEd inside the txn
-                # registered-not-created tables are left untouched —
-                # registration is not a data mutation
-                continue
-            commits = snapshots.read_log(td)
-            cur = commits[-1].version if commits else 0
-            if cur > base[name]:
-                self.restore_table(name, base[name])
+            try:
+                if name not in base:
+                    if name in created:
+                        self.sql(f"DROP TABLE {name}")  # CREATEd inside txn
+                    # registered-not-created tables are left untouched —
+                    # registration is not a data mutation
+                    continue
+                commits = snapshots.read_log(td)
+                cur = commits[-1].version if commits else 0
+                if base[name] is None:
+                    # empty-log-at-BEGIN table (foreign _delta_log-only):
+                    # no snapshot to restore to — warn if it was mutated
+                    if cur > 0:
+                        import warnings
+
+                        warnings.warn(
+                            f"ROLLBACK: table {name!r} had no private log "
+                            f"at BEGIN; its in-transaction mutations "
+                            f"cannot be reverted")
+                    continue
+                if cur > base[name]:
+                    self.restore_table(name, base[name])
+            except Exception as exc:
+                # one table's failure must not abandon the rest of the
+                # rollback — collect and re-raise after the loop
+                errors.append(f"{name}: {exc}")
+        if errors:
+            raise RuntimeError(
+                "ROLLBACK: failed to restore some tables — "
+                + "; ".join(errors))
 
     def vacuum_table(self, name_or_dir: str, keep_last: int = 1) -> dict:
         """Retention cleanup (Delta VACUUM analog): physically drop data
@@ -1750,10 +1781,41 @@ class Engine:
 
             return pat.sub(f, s)
 
+        # tables actually referenced by THIS query (matched against the
+        # original text — never against a prior pass's injected output)
+        present = {
+            name: cfg for name, cfg in self._time_partitioned.items()
+            if re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE)
+        }
+        # Cross-table collision guards (ADVICE r5): with two present
+        # time-partitioned tables sharing a ts column name, an unqualified
+        # (or mis-qualified) match would let table B's pass append a
+        # partition predicate in B's granularity against A's column —
+        # valid SQL, so the AnalysisException fallback never fires and
+        # rows are silently dropped. Same hazard when A's partition
+        # column name equals B's ts column (pass B would re-match text
+        # pass A injected). Skip the colliding columns; correctness
+        # beats the pruning win.
+        ts_names = [cfg[0].lower() for cfg in present.values()]
+        p_names = {cfg[1].lower() for cfg in present.values()}
         out = query
-        for name, (ts_col, p_col, gran) in self._time_partitioned.items():
-            if not re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE):
+        for name, (ts_col, p_col, gran) in present.items():
+            if ts_names.count(ts_col.lower()) > 1 or ts_col.lower() in p_names:
                 continue
+            # aliases under which this table appears (FROM t a / JOIN t AS
+            # a): a qualified match `x.ts` is injected only when `x` is the
+            # table itself or one of its aliases — `other.ts` must not gain
+            # THIS table's partition predicate
+            quals = {name.lower()}
+            for m in re.finditer(
+                    rf"\b{re.escape(name)}\s+(?:AS\s+)?([A-Za-z_]\w*)",
+                    query, re.IGNORECASE):
+                w = m.group(1).lower()
+                if w not in ("where", "on", "join", "left", "right", "full",
+                             "inner", "cross", "group", "order", "limit",
+                             "union", "intersect", "except", "having",
+                             "using", "for", "version", "timestamp"):
+                    quals.add(w)
             fmt = gran_fmt[gran]
 
             def plit(lit: str) -> str | None:
@@ -1779,7 +1841,12 @@ class Engine:
             # semantics-preserving because the partition predicate is
             # IMPLIED by the ts predicate (p is derived from ts), so
             # NOT (A AND B) ≡ NOT A when A ⇒ B.
+            def qual_ok(pre: str) -> bool:
+                return (not pre) or pre[:-1].lower() in quals
+
             def csub(m: re.Match) -> str:
+                if not qual_ok(m.group("pre")):
+                    return m.group(0)
                 p = plit(m.group("lit"))
                 if p is None:
                     return m.group(0)
@@ -1787,6 +1854,8 @@ class Engine:
                 return f"({m.group(0)} AND {m.group('pre')}{p_col} {op} '{p}')"
 
             def bsub(m: re.Match) -> str:
+                if not qual_ok(m.group("pre")):
+                    return m.group(0)
                 lo, hi = plit(m.group("lo")), plit(m.group("hi"))
                 if lo is None or hi is None:
                     return m.group(0)

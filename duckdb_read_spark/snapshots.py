@@ -381,8 +381,14 @@ def _merge_stream_watermarks(table_dir: str, marks: dict[str, int]) -> None:
         pass
     for k, v in marks.items():
         existing[k] = max(existing.get(k, -1), v)
-    with open(path, "w") as f:
+    # tmp + os.replace (same pattern as write_constraints): a crash
+    # mid-write must not corrupt the sidecar — _sidecar_watermark would
+    # read -1 and a post-vacuum checkpoint-recovery replay would
+    # double-append, the exact failure this sidecar exists to prevent
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(existing, f)
+    os.replace(tmp, path)
 
 
 def _sidecar_watermark(table_dir: str, app_id: str | None) -> int:

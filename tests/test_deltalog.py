@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -38,7 +39,10 @@ def tbl(eng, spark, tmp_path):
 
 
 def _delta_files(d):
-    return sorted(os.listdir(os.path.join(d, "_delta_log")))
+    # commit files only — truncation also leaves a checkpoint parquet +
+    # _last_checkpoint sidecar for external readers
+    return sorted(f for f in os.listdir(os.path.join(d, "_delta_log"))
+                  if re.fullmatch(r"\d{20}\.json", f))
 
 
 def _actions(d, fname):
@@ -172,3 +176,48 @@ def test_backfilled_filelevel_overwrite_survives_vacuum(eng, spark, tmp_path):
     base = deltalog._list_versions(d)[0]
     kinds = {k for a in deltalog._read_actions(d, base) for k in a}
     assert {"protocol", "metaData"} <= kinds
+
+
+def test_vacuum_truncation_writes_checkpoint(eng, spark, tmp_path):
+    """ADVICE r5: a _delta_log whose lowest JSON commit is N>0 is rejected
+    by external Delta readers unless a checkpoint lets replay start there.
+    After vacuum truncation a spec-shaped checkpoint parquet +
+    _last_checkpoint must exist at the surviving base, and the checkpoint's
+    add-set must equal the current snapshot's file set."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "tck")
+    eng.write_versioned(spark.range(10).coalesce(2), d)
+    eng.write_versioned(spark.range(20).coalesce(2), d)       # overwrite
+    eng.write_versioned(spark.range(20, 25).coalesce(1), d, mode="append")
+    snapshots.vacuum(d, keep_last=2)
+
+    log = os.path.join(d, "_delta_log")
+    base = deltalog._list_versions(d)[0]
+    assert base > 0  # truncation actually happened
+    ckpt = os.path.join(log, f"{base:020d}.checkpoint.parquet")
+    assert os.path.exists(ckpt)
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        last = json.load(f)
+    assert last["version"] == base
+
+    t = pq.read_table(ckpt).to_pylist()
+    kinds = {k for row in t for k, v in row.items() if v is not None}
+    assert {"protocol", "metaData", "add"} <= kinds
+    ckpt_adds = {row["add"]["path"] for row in t if row["add"] is not None}
+    # checkpoint state at base == replaying the base JSON commit alone
+    _, base_files = deltalog.delta_snapshot(d, base + 1)
+    assert ckpt_adds == set(base_files)
+    # and a reader starting at the checkpoint + later JSON commits sees
+    # the current snapshot
+    _, now = deltalog.delta_snapshot(d)
+    later_adds, later_removes = set(), set()
+    for v in deltalog._list_versions(d):
+        if v <= base:
+            continue
+        for a in deltalog._read_actions(d, v):
+            if "add" in a:
+                later_adds.add(a["add"]["path"])
+            elif "remove" in a:
+                later_removes.add(a["remove"]["path"])
+    assert (ckpt_adds - later_removes) | later_adds == set(now)

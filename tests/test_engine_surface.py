@@ -1026,3 +1026,108 @@ def test_table_macro_cross_engine(engine, duck):
     want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
     assert got == want and len(got) == 5
     duck.execute("DROP MACRO TABLE top_nations")
+
+
+def test_partition_filter_injection_collision_guards(engine, tmp_path):
+    """ADVICE r5 (medium): two time-partitioned tables sharing a ts column
+    name but with different granularities — the second table's pass used to
+    append a partition predicate in the wrong granularity format (month
+    values compared against a day literal), valid SQL, so the
+    AnalysisException fallback never fired and rows were silently dropped.
+    Injection must skip colliding columns entirely, and a qualified
+    ``other.ts`` must never gain THIS table's partition predicate."""
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "wh"))
+    src = "/root/testdata/sf0.001/events.parquet"
+    eng.register_parquet("ev_plain", src)
+    eng.register_parquet("ev_day", src, time_partition="ts",
+                         granularity="day",
+                         materialize_dir=str(tmp_path / "tp_day"))
+    eng.register_parquet("ev_month", src, time_partition="ts",
+                         granularity="month",
+                         materialize_dir=str(tmp_path / "tp_month"))
+    lit = "2024-01-15 00:00:00"
+    truth = eng.sql(
+        f"SELECT COUNT(*) AS n FROM ev_plain WHERE ts >= '{lit}'"
+    ).first()["n"]
+    assert 0 < truth < 1000
+
+    # single-table: injection still prunes (p_date predicate present)
+    single = f"SELECT COUNT(*) AS n FROM ev_day WHERE ts >= '{lit}'"
+    assert "p_date" in eng._inject_partition_filters(single)
+    assert eng.sql(single).first()["n"] == truth
+
+    # both tables present + same ts name → no injection at all (the
+    # month-granularity table would otherwise get a day-format literal)
+    both = (f"SELECT (SELECT COUNT(*) FROM ev_day WHERE ts >= '{lit}') AS a, "
+            f"(SELECT COUNT(*) FROM ev_month WHERE ts >= '{lit}') AS b")
+    assert eng._inject_partition_filters(both) == both
+    r = eng.sql(both).first()
+    assert r["a"] == truth and r["b"] == truth
+
+    # qualified predicate on a NON-partitioned table's alias: ev_day's
+    # pass must leave e.ts alone but still prune its own d.ts
+    q = (f"SELECT COUNT(*) AS n FROM ev_day d JOIN ev_plain e "
+         f"ON d.event_id = e.event_id "
+         f"WHERE e.ts >= '{lit}' AND d.ts >= '{lit}'")
+    inj = eng._inject_partition_filters(q)
+    assert "e.p_date" not in inj and "d.p_date" in inj
+    assert eng.sql(q).first()["n"] == truth
+
+
+def test_use_alias_shadowed_by_local_create_survives(engine, tmp_path):
+    """ADVICE r5 (low): USE used to unconditionally drop every alias view
+    it had created — if a local CREATE TABLE later took over the name, a
+    subsequent USE main dropped the local table's view while _versioned
+    still referenced it, breaking later queries."""
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "wh"))
+    wh = tmp_path / "ext2"
+    eng.write_versioned(
+        eng.spark.createDataFrame([(1, "a")], "k int, v string"),
+        str(wh / "shadowme"))
+    eng.sql(f"ATTACH '{wh}' AS ext2")
+    eng.sql("USE ext2")
+    assert eng.sql("SELECT count(*) AS n FROM shadowme").first()["n"] == 1
+    # local CREATE TABLE takes over the aliased name
+    eng.sql("CREATE TABLE shadowme AS SELECT 7 AS x")
+    eng.sql("USE main")  # must NOT drop the local table's view
+    assert eng.sql("SELECT x FROM shadowme").first()["x"] == 7
+    eng.sql("INSERT INTO shadowme VALUES (8)")
+    assert eng.sql("SELECT count(*) AS n FROM shadowme").first()["n"] == 2
+    eng.detach("ext2")
+
+
+def test_rollback_with_foreign_delta_only_table(engine, tmp_path):
+    """ADVICE r5 (low): a versioned table registered over a foreign
+    _delta_log-only dir has an empty private log; BEGIN used to pin
+    version 0 for it and ROLLBACK's restore_table(name, 0) raised,
+    aborting the loop with other tables unreverted. Now: the foreign
+    table is skipped (warning) and every other table is still restored."""
+    import shutil
+    import warnings as _w
+
+    from duckdb_read_spark import Engine
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "wh"))
+    d1 = str(tmp_path / "normal")
+    eng.write_versioned(
+        eng.spark.createDataFrame([(1,)], "k int"), d1)
+    eng.register_versioned("normal_t", d1)
+    # foreign: strip the private log, keep only _delta_log
+    d2 = str(tmp_path / "foreign")
+    eng.write_versioned(eng.spark.createDataFrame([(10,)], "k int"), d2)
+    shutil.rmtree(os.path.join(d2, "_log"))
+    eng.register_versioned("foreign_t", d2)
+
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO normal_t VALUES (2)")
+    eng.sql("INSERT INTO foreign_t VALUES (11)")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        eng.sql("ROLLBACK")
+    assert any("foreign_t" in str(w.message) for w in caught)
+    # the normal table WAS restored despite the unrevertable foreign one
+    assert eng.sql("SELECT count(*) AS n FROM normal_t").first()["n"] == 1
