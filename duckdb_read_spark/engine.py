@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .conf import BUILD_CONFS, RUNTIME_CONFS, TABLES, apply_runtime_confs
-from . import catalog, snapshots
+from . import catalog, iceberglog, snapshots
 from .dialect import to_spark_sql
 from .sources import sinks
 
@@ -530,6 +530,7 @@ class Engine:
             if os.path.isdir(p) and (
                 os.path.isdir(os.path.join(p, "_log"))
                 or os.path.isdir(os.path.join(p, "_delta_log"))
+                or iceberglog.is_iceberg_table(p)
             ):
                 tname = entry
                 self.register_versioned(f"{db}__{tname}", p)
@@ -673,7 +674,10 @@ class Engine:
 
     def table_history(self, name_or_dir: str) -> list[dict]:
         """Commit history (DESCRIBE HISTORY analog) by view name or path."""
-        return snapshots.history(self._versioned.get(name_or_dir, name_or_dir))
+        td = self._versioned.get(name_or_dir, name_or_dir)
+        if not snapshots.read_log(td) and iceberglog.is_iceberg_table(td):
+            return iceberglog.history(td)
+        return snapshots.history(td)
 
     def optimize_table(
         self,

@@ -1360,6 +1360,38 @@ def _q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@_op("q122_iceberg_interop", """
+SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM orders WHERE o_orderkey < 2000
+""", note="Iceberg table-format interop (iceberglog, VERDICT r5 item 1): "
+          "an orders cut exported as a spec-shaped v2 Iceberg table "
+          "(manifest-list/manifest Avro, vN.metadata.json), then an "
+          "overwrite snapshot shrinks it and VERSION AS OF 1 reads the "
+          "ORIGINAL snapshot back — so the oracle is a plain SELECT of "
+          "the original cut; wrong manifest replay or broken time travel "
+          "hash-mismatches")
+def _q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import iceberglog
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q122_"))
+    d = tempfile.mkdtemp(prefix="ddbrs_q122_ice_")
+    cut = eng.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000")
+    iceberglog.write_table(cut, d)                       # snapshot 1
+    iceberglog.write_table(cut.where("o_orderkey < 100"), d,
+                           mode="overwrite")             # snapshot 2
+    eng.register_versioned("t122", d)
+    return eng.sql("""
+SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t122 VERSION AS OF 1""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -514,15 +514,19 @@ def read_table(
 ) -> DataFrame:
     """Read a snapshot as a DataFrame (schema merged across its data dirs,
     so appends may evolve the schema additively). A directory with only a
-    Delta-protocol ``_delta_log`` (no private log — e.g. written by
-    another engine) is read by replaying that log instead."""
+    FOREIGN table-format log (Delta ``_delta_log``, or Iceberg
+    ``metadata/*.metadata.json`` — e.g. written by another engine) is read
+    by replaying that format's log instead."""
     try:
         resolved, dirs = resolve_snapshot(table_dir, version, as_of_ms)
     except FileNotFoundError:
+        from . import deltalog, iceberglog
+
+        if iceberglog.is_iceberg_table(table_dir):
+            return iceberglog.read_iceberg_table(
+                spark, table_dir, version, as_of_ms)
         if as_of_ms is not None:
             raise
-        from . import deltalog
-
         return deltalog.read_delta_table(spark, table_dir, version)
     df = spark.read.option("mergeSchema", "true").parquet(*dirs)
     # ALTER TABLE ledger (metadata-only schema evolution), filtered to

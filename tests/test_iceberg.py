@@ -1,0 +1,320 @@
+"""Iceberg table-format read interop (VERDICT r5 item 1): a foreign
+directory holding spec-shaped Iceberg ``metadata/`` (vN.metadata.json →
+manifest-list avro → manifest avro → parquet data files) is readable,
+time-travelable, and ATTACH-discoverable — the metadata-lake motif the
+reference's notes center on (/root/reference/metadata:1-2,38-39).
+
+The fixture builder below writes the spec shapes by hand (real Avro
+object container files via avroio, v2 metadata JSON) — there is no
+Iceberg library in this environment, which is exactly why the engine
+carries its own reader."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+
+from duckdb_read_spark import avroio, iceberglog
+from duckdb_read_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+
+
+# ---------------------------------------------------------------- fixture
+# Spec-shaped Avro schemas (Iceberg spec "Manifest Lists" / "Manifests",
+# field-ids included as the spec requires).
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102,
+                 "type": {"type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+            ]}},
+    ],
+}
+
+
+class IcebergFixture:
+    """Builds a v2 Iceberg metadata tree over spark-written parquet.
+    Each commit = one manifest (new files ADDED=1, carried EXISTING=0),
+    one manifest list, one vN.metadata.json + version-hint."""
+
+    def __init__(self, spark, table_dir: str, codec: str = "null"):
+        self.spark = spark
+        self.dir = table_dir
+        self.codec = codec
+        self.uuid = str(uuid.uuid4())
+        self.snapshots: list[dict] = []
+        self.live: list[str] = []       # rel data-file paths, current state
+        os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+
+    def commit(self, df, mode: str = "append") -> int:
+        seq = len(self.snapshots) + 1
+        snap_id = 1000 + seq            # deterministic, spec allows any i64
+        ddir = os.path.join(self.dir, "data", f"s{seq}")
+        df.write.mode("overwrite").parquet(ddir)
+        new = sorted(
+            os.path.join("data", f"s{seq}", f)
+            for f in os.listdir(ddir) if f.endswith(".parquet"))
+        carried = [] if mode == "overwrite" else list(self.live)
+        self.live = carried + new
+        entries = []
+        for status, paths in ((1, new), (0, carried)):
+            for rel in paths:
+                full = os.path.join(self.dir, rel)
+                entries.append({
+                    "status": status, "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        # spec stores absolute URIs under the table location
+                        "file_path": f"file://{self.dir}/{rel}",
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": 0,
+                        "file_size_in_bytes": os.path.getsize(full),
+                    }})
+        mpath = os.path.join(self.dir, "metadata", f"m{seq}.avro")
+        avroio.write_container(mpath, MANIFEST_ENTRY_SCHEMA, entries,
+                               codec=self.codec)
+        ml_path = os.path.join(self.dir, "metadata",
+                               f"snap-{snap_id}-1-{self.uuid[:8]}.avro")
+        avroio.write_container(ml_path, MANIFEST_FILE_SCHEMA, [{
+            "manifest_path": f"file://{mpath}",
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": 1,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(new),
+            "existing_files_count": len(carried),
+            "deleted_files_count": 0,
+            "added_rows_count": 0, "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }], codec=self.codec)
+        self.snapshots.append({
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000) + seq,
+            "manifest-list": f"file://{ml_path}",
+            "summary": {"operation": mode},
+        })
+        meta = {
+            "format-version": 2, "table-uuid": self.uuid,
+            "location": f"file://{self.dir}",
+            "last-sequence-number": seq,
+            "last-updated-ms": self.snapshots[-1]["timestamp-ms"],
+            "last-column-id": len(df.schema.fields),
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+                {"id": i + 1, "name": f.name, "required": False,
+                 "type": "long" if f.dataType.simpleString() == "bigint"
+                 else f.dataType.simpleString()}
+                for i, f in enumerate(df.schema.fields)]}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "current-snapshot-id": snap_id,
+            "snapshots": self.snapshots,
+            "snapshot-log": [{"snapshot-id": s["snapshot-id"],
+                              "timestamp-ms": s["timestamp-ms"]}
+                             for s in self.snapshots],
+        }
+        with open(os.path.join(self.dir, "metadata",
+                               f"v{seq}.metadata.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(self.dir, "metadata",
+                               "version-hint.text"), "w") as f:
+            f.write(str(seq))
+        return snap_id
+
+
+# ----------------------------------------------------------------- avroio
+
+def test_avro_container_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record", "name": "kitchen", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "inner", "fields": [
+                    {"name": "x", "type": "long"}]}},
+            {"name": "nested2", "type": "inner"},   # named-type reference
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "BLUE"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f8",
+                                    "size": 3}},
+        ],
+    }
+    recs = [
+        {"s": "héllo", "i": -1, "l": 2**40, "d": 1.5, "b": True,
+         "u": None, "arr": ["a", "b"], "m": {"k": 7},
+         "nested": {"x": 1}, "nested2": {"x": -9}, "e": "BLUE",
+         "fx": b"abc"},
+        {"s": "", "i": 0, "l": -(2**40), "d": -0.25, "b": False,
+         "u": 123, "arr": [], "m": {},
+         "nested": {"x": 0}, "nested2": {"x": 0}, "e": "RED",
+         "fx": b"xyz"},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        avroio.write_container(p, schema, recs, codec=codec)
+        got_schema, got = avroio.read_container(p)
+        assert got == recs
+        assert got_schema["name"] == "kitchen"
+
+
+def test_avro_unknown_codec_raises(tmp_path):
+    p = str(tmp_path / "t.avro")
+    avroio.write_container(p, {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "long"}]}, [{"x": 1}])
+    raw = open(p, "rb").read().replace(b"null", b"zstd", 1)
+    open(p, "wb").write(raw)
+    with pytest.raises(NotImplementedError):
+        avroio.read_container(p)
+
+
+# ---------------------------------------------------------------- iceberg
+
+def test_read_iceberg_snapshot_and_time_travel(eng, spark, tmp_path):
+    d = str(tmp_path / "ice")
+    fx = IcebergFixture(spark, d, codec="deflate")  # Java writer's codec
+    fx.commit(spark.range(0, 100).withColumnRenamed("id", "k").coalesce(3))
+    fx.commit(spark.range(100, 110).withColumnRenamed("id", "k")
+              .coalesce(1), mode="append")
+
+    eng.register_versioned("ice", d)
+    assert eng.sql("SELECT count(*) AS n FROM ice").first()["n"] == 110
+    # VERSION AS OF: 1-based chronological index AND native snapshot-id
+    assert eng.sql(
+        "SELECT count(*) AS n FROM ice VERSION AS OF 1").first()["n"] == 100
+    assert eng.sql(
+        "SELECT count(*) AS n FROM ice VERSION AS OF 1002").first()["n"] == 110
+    # overwrite snapshot drops earlier files from the current set
+    fx.commit(spark.range(0, 7).withColumnRenamed("id", "k").coalesce(1),
+              mode="overwrite")
+    eng.register_versioned("ice", d)
+    assert eng.sql("SELECT count(*) AS n FROM ice").first()["n"] == 7
+    assert eng.sql(
+        "SELECT count(*) AS n FROM ice VERSION AS OF 2").first()["n"] == 110
+    # history surfaces all three snapshots, newest first
+    hist = eng.table_history("ice")
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["operation"] == "overwrite"
+
+
+def test_iceberg_attach_discovery(eng, spark, tmp_path):
+    wh = tmp_path / "lake"
+    d = str(wh / "ice_t")
+    fx = IcebergFixture(spark, d)
+    fx.commit(spark.range(0, 42).coalesce(1))
+    tables = eng.attach(str(wh), db="lake")
+    assert "ice_t" in tables
+    assert eng.sql("SELECT count(*) AS n FROM lake.ice_t").first()["n"] == 42
+
+
+def test_iceberg_relocated_table_paths_reroot(eng, spark, tmp_path):
+    """metadata stores absolute file:// URIs under `location`; a COPIED
+    table dir must still resolve (paths re-rooted onto the new dir)."""
+    import shutil
+
+    d = str(tmp_path / "orig")
+    fx = IcebergFixture(spark, d)
+    fx.commit(spark.range(0, 9).coalesce(1))
+    moved = str(tmp_path / "moved")
+    shutil.copytree(d, moved)
+    shutil.rmtree(d)  # the recorded location no longer exists
+    df = iceberglog.read_iceberg_table(spark, moved)
+    assert df.count() == 9
+
+
+def test_iceberg_delete_manifest_raises(eng, spark, tmp_path):
+    d = str(tmp_path / "icedel")
+    fx = IcebergFixture(spark, d)
+    fx.commit(spark.range(0, 5).coalesce(1))
+    # flip the manifest-list content field to 1 (delete manifest)
+    meta = iceberglog.table_metadata(d)
+    snap = meta["snapshots"][-1]
+    ml = snap["manifest-list"].replace("file://", "")
+    schema, rows = avroio.read_container(ml)
+    rows[0]["content"] = 1
+    avroio.write_container(ml, schema, rows)
+    with pytest.raises(NotImplementedError, match="delete manifests"):
+        iceberglog.read_iceberg_table(spark, d)
+
+
+def test_iceberg_write_table_roundtrip(eng, spark, tmp_path):
+    """EXPORT direction: iceberglog.write_table emits spec-shaped v2
+    metadata (checked against the reader AND structurally: field-ids,
+    name-mapping property, deflate manifests); append snapshots carry
+    prior files as EXISTING entries; time travel works."""
+    d = str(tmp_path / "ice_w")
+    df1 = spark.range(0, 50).withColumnRenamed("id", "k")
+    sid1 = iceberglog.write_table(df1, d)
+    df2 = spark.range(50, 60).withColumnRenamed("id", "k")
+    sid2 = iceberglog.write_table(df2, d, mode="append")
+    assert sid1 != sid2
+
+    assert iceberglog.read_iceberg_table(spark, d).count() == 60
+    assert iceberglog.read_iceberg_table(spark, d, version=1).count() == 50
+    assert iceberglog.read_iceberg_table(spark, d, version=sid1).count() == 50
+
+    meta = iceberglog.table_metadata(d)
+    assert meta["format-version"] == 2
+    assert "schema.name-mapping.default" in meta.get("properties", {})
+    assert [f["id"] for f in meta["schemas"][0]["fields"]] == [1]
+    # manifest entries carry spec field shapes; append manifest holds
+    # both ADDED and EXISTING entries (self-contained snapshot)
+    snap2 = [s for s in meta["snapshots"] if s["snapshot-id"] == sid2][0]
+    _, mls = avroio.read_container(
+        snap2["manifest-list"].replace("file://", ""))
+    assert mls[0]["existing_files_count"] >= 1
+    _, entries = avroio.read_container(
+        mls[0]["manifest_path"].replace("file://", ""))
+    statuses = {e["status"] for e in entries}
+    assert statuses == {0, 1}
+    assert all(e["data_file"]["record_count"] > 0 for e in entries)
+    # registered through the normal engine path too
+    eng.register_versioned("icew", d)
+    assert eng.sql(
+        "SELECT count(*) AS n FROM icew VERSION AS OF 1").first()["n"] == 50
