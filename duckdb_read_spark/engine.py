@@ -224,6 +224,15 @@ _RESTORE_RE = re.compile(
     r"\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE TABLE b [SHALLOW] CLONE a [VERSION AS OF n | TIMESTAMP AS OF 'ts']
+# — zero-copy branch (Delta SHALLOW CLONE statement shape; Neon fork motif)
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+(?:SHALLOW\s+)?CLONE\s+"
+    r"(?P<src>'[^']+'|[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # EXPORT DATABASE 'dir' / IMPORT DATABASE 'dir' (DuckDB statement pair):
 # dump every managed table + a replayable load.sql; import replays it.
 _EXPORT_DB_RE = re.compile(
@@ -897,6 +906,46 @@ class Engine:
         return self.spark.createDataFrame(
             [(entry.version, version)],
             "restored_as_version int, restored_to_version int")
+
+    def clone_table(self, dst: str, src: str, version: int | None = None,
+                    as_of_ms: int | None = None,
+                    dst_dir: str | None = None) -> DataFrame:
+        """``CREATE TABLE dst CLONE src [VERSION AS OF n]`` — zero-copy
+        branch (the Neon branch-creation motif; Delta SHALLOW CLONE
+        shape): the clone's first commit references the source snapshot's
+        files, no data moves, and the two histories diverge independently
+        from there. ``src`` may be a versioned table name (attached-db
+        qualified accepted), or a path to a foreign Delta/Iceberg table
+        dir — cloning is how foreign tables enter the DML/time-travel
+        surface without a rewrite."""
+        import os
+
+        if dst in self._versioned:
+            raise ValueError(f"CLONE: table {dst!r} already exists")
+        key = src
+        if key not in self._versioned and "." in key:
+            db, _, t = key.partition(".")
+            key = self._attached.get(db, {}).get(t, key)
+        src_dir = self._versioned.get(key)
+        if src_dir is None:
+            if os.path.isdir(src):
+                src_dir = src
+            else:
+                raise ValueError(
+                    f"CLONE: unknown versioned table {src!r} "
+                    "(and not a table directory)")
+        table_dir = dst_dir or os.path.join(self._warehouse_dir(), dst)
+        schema_json = None
+        if key in self._versioned:
+            schema_json = self.table(key).schema.json()
+        entry = snapshots.clone(src_dir, table_dir, version=version,
+                                as_of_ms=as_of_ms, schema_json=schema_json)
+        if self._txn_baseline is not None:
+            self._txn_created.add(dst)
+        self.register_versioned(dst, table_dir)
+        return self.spark.createDataFrame(
+            [(dst, entry.version, len(entry.files or ()))],
+            "cloned_table string, version int, files int")
 
     def create_index(self, name: str, table: str, cols: list[str],
                      unique: bool = False) -> DataFrame:
@@ -2275,7 +2324,14 @@ class Engine:
         import urllib.parse
 
         p = urllib.parse.unquote(urllib.parse.urlparse(uri).path or uri)
-        return os.path.relpath(os.path.abspath(p), os.path.abspath(table_dir))
+        rel = os.path.relpath(os.path.abspath(p), os.path.abspath(table_dir))
+        if rel.startswith(".."):
+            # outside the table dir — CLONE manifests reference such
+            # files ABSOLUTELY, so return the same spelling or the
+            # hit-vs-carried comparison silently carries every file
+            # (duplicating rows on file-level DML)
+            return os.path.abspath(p)
+        return rel
 
     def _file_level_targets(
         self, name: str, pred: str, dialect: str
@@ -2402,6 +2458,23 @@ class Engine:
         CREATE VIEW)."""
         import os
 
+        m = _CLONE_RE.match(query)
+        if m:
+            as_of_ms = None
+            if m.group("ts"):
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(m.group("ts"))
+                if dt.tzinfo is None:  # same convention as AS OF reads
+                    dt = dt.replace(tzinfo=timezone.utc)
+                as_of_ms = int(dt.timestamp() * 1000)
+            src = m.group("src")
+            if src.startswith("'"):
+                src = src[1:-1]
+            return self.clone_table(
+                m.group("name"), src,
+                version=int(m.group("ver")) if m.group("ver") else None,
+                as_of_ms=as_of_ms)
         m = _CREATE_TABLE_RE.match(query)
         if m and _looks_like_create_table(m.group("rest")):
             name, rest = m.group("name"), m.group("rest").strip()

@@ -1392,6 +1392,52 @@ SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
 FROM t122 VERSION AS OF 1""")
 
 
+@_op("q123_clone_lifecycle", """
+WITH cut AS (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_custkey < 1200)
+SELECT 'clone_now' AS side, COUNT(*) AS n, MIN(c_custkey) AS mn,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM cut WHERE c_custkey % 4 <> 1
+UNION ALL
+SELECT 'clone_v1', COUNT(*), MIN(c_custkey),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM cut
+UNION ALL
+SELECT 'src', COUNT(*), MIN(c_custkey),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM cut
+ORDER BY side
+""", note="zero-copy CLONE (VERDICT r5 item 2, Neon branch motif): CTAS "
+          "-> CLONE -> destructive DELETE on the clone; the source must "
+          "be untouched ('src'), the clone's v1 must still replay the "
+          "full fork point ('clone_v1'), and the clone head shows the "
+          "divergence ('clone_now') — all three legs reduce to plain "
+          "SELECTs over the original cut for the oracle")
+def _q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q123_"))
+    eng.execute("""
+CREATE TABLE t123 AS
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 1200;
+CREATE TABLE t123c CLONE t123;
+DELETE FROM t123c WHERE c_custkey % 4 = 1;
+""")
+    return eng.sql("""
+SELECT 'clone_now' AS side, COUNT(*) AS n, MIN(c_custkey) AS mn,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t123c
+UNION ALL
+SELECT 'clone_v1', COUNT(*), MIN(c_custkey),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+FROM t123c VERSION AS OF 1
+UNION ALL
+SELECT 'src', COUNT(*), MIN(c_custkey),
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM t123
+ORDER BY side""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

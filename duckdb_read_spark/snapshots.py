@@ -467,6 +467,99 @@ def restore(
     return entry
 
 
+def clone(
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
+    schema_json: str | None = None,
+    timestamp_ms: int | None = None,
+) -> Commit:
+    """Zero-copy table fork (the Neon branch-creation motif [ref
+    neon:2–7]; Delta SHALLOW CLONE shape): the clone's first commit is a
+    file-level manifest carrying the SOURCE snapshot's data files BY
+    ABSOLUTE REFERENCE — no data copied or rewritten, cost O(files)
+    metadata. The two tables then have fully independent histories:
+    commits on either side never touch the other, and the clone's vacuum
+    can never delete source files (absolute paths live outside the
+    clone's ``data/`` root, which is the only place vacuum removes).
+
+    The source's ALTER ledger (ops at-or-before the cloned version,
+    re-stamped to apply from the fork point) and constraints sidecar are
+    copied so the fork preserves the source's logical schema and
+    enforcement. Fails if ``dst_dir`` already holds a table."""
+    if read_log(dst_dir):
+        raise ValueError(f"CLONE target {dst_dir!r} already holds a table")
+    commits = read_log(src_dir)
+    patches: list[dict] = []
+    cons: list[dict] = []
+    if commits:
+        resolved, _ = resolve_snapshot(src_dir, version, as_of_ms)
+        entries = [
+            dict(e, path=os.path.abspath(os.path.join(src_dir, e["path"])))
+            for e in snapshot_file_entries(src_dir, resolved)
+        ]
+        # schema-evolution ledger: ops issued at-or-before the cloned
+        # version apply to the fork from its first version on
+        patches = [dict(p, as_of_version=0)
+                   for p in read_schema_patches(src_dir)
+                   if p.get("as_of_version", 0) <= resolved]
+        cons = read_constraints(src_dir)
+    else:
+        # foreign source: a dir readable only through its Iceberg/Delta
+        # log still clones zero-copy — the fork is how a foreign table
+        # enters this engine's DML/time-travel surface without a rewrite
+        from . import deltalog, iceberglog
+
+        if iceberglog.is_iceberg_table(src_dir):
+            files_abs = iceberglog.snapshot_data_files(
+                src_dir, version, as_of_ms)
+        else:
+            _, fmap = deltalog.delta_snapshot(src_dir, version)
+            files_abs = [os.path.join(src_dir, p) for p in sorted(fmap)]
+        entries = []
+        for p in files_abs:
+            e = file_entry(src_dir, os.path.relpath(p, src_dir))
+            e["path"] = os.path.abspath(p)
+            entries.append(e)
+    os.makedirs(os.path.join(dst_dir, _LOG_DIR), exist_ok=True)
+    entry = Commit(
+        version=1,
+        timestamp_ms=(int(time.time() * 1000)
+                      if timestamp_ms is None else timestamp_ms),
+        mode="overwrite",
+        dirs=(),
+        files=tuple(entries),
+    )
+    with open(_log_path(dst_dir, 1), "x") as f:
+        json.dump({"version": 1, "timestamp_ms": entry.timestamp_ms,
+                   "mode": "overwrite", "dirs": [],
+                   "files": list(entry.files)}, f)
+    if patches:
+        path = os.path.join(dst_dir, _LOG_DIR, _SCHEMA_PATCH_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(patches, f)
+        os.replace(tmp, path)
+    if cons:
+        write_constraints(dst_dir, cons)
+    from . import deltalog
+
+    try:
+        deltalog.mirror_commit(
+            dst_dir, 1, "overwrite",
+            new_entries=[],
+            carried_entries=entries,
+            schema_json=schema_json,
+            timestamp_ms=entry.timestamp_ms,
+        )
+    except Exception as exc:  # pragma: no cover - best-effort mirror
+        import warnings
+
+        warnings.warn(f"delta-log mirror failed for clone: {exc}")
+    return entry
+
+
 def resolve_snapshot(
     table_dir: str,
     version: int | None = None,
