@@ -224,6 +224,14 @@ _RESTORE_RE = re.compile(
     r"\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# DuckDB fts-extension statement surface: PRAGMA create_fts_index /
+# drop_fts_index (the notes' worked example IS extension install+use,
+# /root/reference/duckdb:23-55)
+_PRAGMA_FTS_RE = re.compile(
+    r"^\s*PRAGMA\s+(?P<verb>create|drop)_fts_index\s*\("
+    r"\s*(?P<args>.*?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # CREATE TABLE b [SHALLOW] CLONE a [VERSION AS OF n | TIMESTAMP AS OF 'ts']
 # — zero-copy branch (Delta SHALLOW CLONE statement shape; Neon fork motif)
 _CLONE_RE = re.compile(
@@ -362,6 +370,9 @@ class Engine:
         # index name -> (table view, columns, unique) — storage-clustering
         # metadata; unique indexes are re-validated on INSERT
         self._indexes: dict[str, tuple[str, tuple[str, ...], bool]] = {}
+        # FTS index metadata (DuckDB fts extension surface): table ->
+        # {"id": id column, "fields": [text columns]}
+        self._fts_indexes: dict[str, dict] = {}
         # Managed-table root for CREATE TABLE/CTAS; created lazily so a
         # query-only session never touches disk.
         self._warehouse = warehouse_dir
@@ -1640,6 +1651,10 @@ class Engine:
         if mset:
             self._set_option(mset.group("key"), mset.group("val").strip())
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        mfts = _PRAGMA_FTS_RE.match(query)
+        if mfts:
+            return self._pragma_fts(mfts.group("verb").lower(),
+                                    mfts.group("args"))
         mopt = _OPTIMIZE_RE.match(query)
         if mopt:
             if mopt.group("zcols"):
@@ -1774,6 +1789,7 @@ class Engine:
             return self.spark.createDataFrame(
                 [(text,)], "explain_value string"
             )
+        query = self._resolve_match_bm25(query)
         if dialect == "duckdb":
             # macros first: an expansion may produce read_*/glob call
             # sites that the next pass must still resolve
@@ -1918,6 +1934,152 @@ class Engine:
             out = guarded_sub(btw_pat, bsub, out)
             out = guarded_sub(cmp_pat, csub, out)
         return out
+
+    def _pragma_fts(self, verb: str, argstr: str) -> DataFrame:
+        """``PRAGMA create_fts_index('t', 'id', 'text'[, …][, opts])`` /
+        ``PRAGMA drop_fts_index('t')`` — the DuckDB fts extension's
+        statement surface, mapped onto operators/retrieval.bm25
+        (score-on-read; there is no materialized inverted index to build,
+        so "create" records metadata and validates columns — O(1)).
+
+        Honest divergence, documented: tokenization is lowercase +
+        whitespace split (matching the SQL-CTE oracle the q114 family
+        pins); DuckDB's default Porter stemmer and stopword list are NOT
+        applied — an explicit ``stemmer := 'porter'`` warns rather than
+        silently scoring differently."""
+        parts = _split_top_commas(argstr)
+        pos: list[str] = []
+        named: dict[str, str] = {}
+        for p in parts:
+            mnv = re.match(r"^\s*(\w+)\s*:=\s*(.+?)\s*$", p, re.DOTALL)
+            if mnv:
+                named[mnv.group(1).lower()] = mnv.group(2)
+            elif p.strip():
+                pos.append(p.strip())
+
+        def unq(s: str) -> str:
+            s = s.strip()
+            if s.startswith("'") and s.endswith("'"):
+                return s[1:-1].replace("''", "'")
+            return s
+
+        if verb == "drop":
+            if not pos:
+                raise ValueError("PRAGMA drop_fts_index: missing table")
+            if self._fts_indexes.pop(unq(pos[0]).lower(), None) is None:
+                raise ValueError(
+                    f"PRAGMA drop_fts_index: no FTS index on {unq(pos[0])!r}")
+            return self._empty()
+        if len(pos) < 3:
+            raise ValueError(
+                "PRAGMA create_fts_index needs (table, id_col, text_col, …)")
+        table, id_col = unq(pos[0]), unq(pos[1])
+        fields = [unq(p) for p in pos[2:]]
+        cols = set(self.table(table).columns)
+        missing = [c for c in [id_col, *fields] if c not in cols and c != "*"]
+        if missing:
+            raise ValueError(
+                f"PRAGMA create_fts_index: unknown column(s) {missing} "
+                f"on {table!r}")
+        if fields == ["*"]:
+            fields = [c for c in self.table(table).columns if c != id_col]
+        if table.lower() in self._fts_indexes and \
+                unq(named.get("overwrite", "0")) not in ("1", "true"):
+            raise ValueError(
+                f"PRAGMA create_fts_index: index on {table!r} already "
+                f"exists (pass overwrite := 1)")
+        stemmer = unq(named.get("stemmer", "none")).lower()
+        if stemmer not in ("none", ""):
+            import warnings
+
+            warnings.warn(
+                f"fts stemmer {stemmer!r} is not implemented — scoring "
+                f"uses lowercase whitespace tokens (stemmer := 'none')")
+        self._fts_indexes[table.lower()] = {"id": id_col, "fields": fields}
+        return self._empty()
+
+    def _resolve_match_bm25(self, query: str) -> str:
+        """Rewrite ``fts_main_<t>.match_bm25(<id expr>, '<query>'
+        [, fields := …][, k := …][, b := …][, conjunctive := …])`` call
+        sites (the DuckDB fts scoring function) into correlated scalar
+        subqueries over a per-call scores view computed by
+        operators/retrieval.bm25_scores.
+
+        Scale shape: each call site costs one bm25_scores plan (one tf
+        shuffle + broadcast stats) joined back by Catalyst's
+        scalar-subquery-to-join rewrite; non-matching docs get NULL, same
+        as DuckDB's function."""
+        if "match_bm25" not in query.lower():
+            return query
+        from .operators import retrieval
+
+        pat = re.compile(
+            r"(?:fts_main_(?P<tbl>\w+)\s*\.\s*)?match_bm25\s*\(",
+            re.IGNORECASE)
+        spans = [m.span()
+                 for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+        out, pos = [], 0
+        n = getattr(self, "_fts_view_n", 0)
+        for m in pat.finditer(query):
+            if m.start() < pos or any(a <= m.start() < b for a, b in spans):
+                continue
+            close = _match_paren(query, m.end() - 1)
+            args = _split_top_commas(query[m.end():close])
+            if len(args) < 2:
+                raise ValueError(
+                    "match_bm25 needs (id_expr, 'query'[, options])")
+            id_expr = args[0].strip()
+            qm = re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[1])
+            if not qm:
+                raise ValueError(
+                    "match_bm25: the query must be a string literal")
+            terms = [t for t in
+                     qm.group(1).replace("''", "'").lower().split() if t]
+            named: dict[str, str] = {}
+            for a in args[2:]:
+                mnv = re.match(r"^\s*(\w+)\s*:=\s*(.+?)\s*$", a, re.DOTALL)
+                if mnv:
+                    named[mnv.group(1).lower()] = mnv.group(2).strip()
+            tbl = m.group("tbl")
+            if tbl is None:
+                if len(self._fts_indexes) != 1:
+                    raise ValueError(
+                        "bare match_bm25 needs exactly one FTS index — "
+                        "qualify as fts_main_<table>.match_bm25")
+                tbl = next(iter(self._fts_indexes))
+            info = self._fts_indexes.get(tbl.lower())
+            if info is None:
+                raise ValueError(
+                    f"match_bm25: no FTS index on {tbl!r} — run PRAGMA "
+                    f"create_fts_index first")
+            fields = info["fields"]
+            if "fields" in named:
+                fields = [f.strip().strip("'")
+                          for f in named["fields"].split(",") if f.strip()]
+            from pyspark.sql import functions as F
+
+            src = self.table(tbl)
+            text = (F.col(fields[0]) if len(fields) == 1
+                    else F.concat_ws(" ", *[F.col(c) for c in fields]))
+            scores = retrieval.bm25_scores(
+                src.withColumn("__fts_text", text.cast("string")),
+                terms, text_col="__fts_text", id_col=info["id"],
+                k1=float(named.get("k", 1.2)),
+                b=float(named.get("b", 0.75)),
+                conjunctive=named.get("conjunctive", "0").strip("'")
+                in ("1", "true"),
+            ).select(F.col(info["id"]).alias("__id"),
+                     F.col("bm25").alias("__score"))
+            n += 1
+            view = f"__fts_scores_{n}"
+            scores.createOrReplaceTempView(view)
+            out.append(query[pos:m.start()])
+            out.append(f"(SELECT s.__score FROM {view} s "
+                       f"WHERE s.__id = {id_expr})")
+            pos = close + 1
+        self._fts_view_n = n
+        out.append(query[pos:])
+        return "".join(out)
 
     def _resolve_read_functions(self, query: str) -> str:
         """``FROM read_parquet('path')`` / read_csv[_auto] / read_json —

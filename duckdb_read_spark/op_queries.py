@@ -1438,6 +1438,53 @@ SELECT 'src', COUNT(*), MIN(c_custkey),
 ORDER BY side""")
 
 
+@_op("q124_fts_sql_surface", """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('hash', 'join', 'stream', 'window')),
+dfreq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+w AS (
+  SELECT q.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (q.tf * 2.2)
+         / (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS w
+  FROM qtf q JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(SUM(w), 6) AS bm25
+FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""", note="SQL-reachable BM25 (VERDICT r5 item 3): the DuckDB fts "
+          "statement shapes — PRAGMA create_fts_index + "
+          "fts_main_t.match_bm25 — drive the engine from SQL TEXT alone "
+          "(rewritten onto retrieval.bm25_scores as a correlated scalar "
+          "subquery); this DuckDB build cannot load its fts extension "
+          "offline, so the oracle spells the identical Okapi arithmetic "
+          "as CTEs (same oracle family as q114, which pins the operator "
+          "API path)")
+def _q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q124_"))
+    eng.register_fixture_dir(sf_dir)
+    eng.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+    return eng.sql("""
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id,
+         fts_main_documents.match_bm25(doc_id,
+             'hash join stream window') AS bm25
+  FROM documents) t
+WHERE bm25 IS NOT NULL ORDER BY bm25 DESC, doc_id LIMIT 10""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -76,25 +76,25 @@ def tfidf_vectors(
     return dense
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     query_terms: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
-    k: int = 10,
+    conjunctive: bool = False,
 ) -> DataFrame:
-    """Top-``k`` documents by BM25 score for a bag of ``query_terms``.
-
-    Okapi BM25 with the Lucene-style non-negative idf
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Documents matching no query term
-    are absent from the result (their score is 0). Returns
-    ``(id_col, bm25)`` ordered by score desc, id asc.
-    """
+    """BM25 scores for EVERY document matching ≥1 query term (the
+    unlimited form behind both ``bm25_topk`` and the SQL-reachable
+    ``match_bm25`` surface — DuckDB's function returns NULL for
+    non-matching docs, which the scalar-subquery rewrite gets for free
+    from the absent rows here). ``conjunctive=True`` keeps only documents
+    matching ALL query terms (DuckDB's ``conjunctive := 1``). Returns
+    ``(id_col, bm25)``, unordered."""
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
-        raise ValueError("bm25_topk needs at least one query term")
+        raise ValueError("bm25 needs at least one query term")
     toks = (
         df.select(F.col(id_col), F.explode(
             F.split(F.lower(F.col(text_col)), " ")).alias("term"))
@@ -121,9 +121,33 @@ def bm25_topk(
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
+    agg = scored.groupBy(id_col).agg(
+        F.round(F.sum("w"), 6).alias("bm25"),
+        F.count("*").alias("__nterms"))
+    if conjunctive:
+        agg = agg.where(F.col("__nterms") == len(terms))
+    return agg.drop("__nterms")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag of ``query_terms``.
+
+    Okapi BM25 with the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Documents matching no query term
+    are absent from the result (their score is 0). Returns
+    ``(id_col, bm25)`` ordered by score desc, id asc.
+    """
     return (
-        scored.groupBy(id_col)
-        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+        bm25_scores(df, query_terms, text_col=text_col, id_col=id_col,
+                    k1=k1, b=b)
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )

@@ -1131,3 +1131,69 @@ def test_rollback_with_foreign_delta_only_table(engine, tmp_path):
     assert any("foreign_t" in str(w.message) for w in caught)
     # the normal table WAS restored despite the unrevertable foreign one
     assert eng.sql("SELECT count(*) AS n FROM normal_t").first()["n"] == 1
+
+
+def test_fts_index_sql_surface(engine, tmp_path):
+    """SQL-reachable BM25 (VERDICT r5 item 3): DuckDB fts statement
+    shapes — PRAGMA create_fts_index/drop_fts_index + match_bm25 — give
+    the same scores as the operator API, return NULL for non-matching
+    docs, honor k/b/conjunctive options, and fail loudly when unindexed."""
+    from duckdb_read_spark import Engine
+    from duckdb_read_spark.operators import retrieval
+
+    eng = Engine(spark=engine.spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.register_fixture_dir("/root/testdata/sf0.001")
+
+    with pytest.raises(ValueError, match="no FTS index"):
+        eng.sql("SELECT fts_main_documents.match_bm25(doc_id, 'x') "
+                "FROM documents")
+    eng.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+    eng.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text', "
+            "overwrite := 1)")
+
+    sql_rows = eng.sql("""
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id, fts_main_documents.match_bm25(doc_id,
+                     'hash join stream window') AS bm25
+  FROM documents) t
+WHERE bm25 IS NOT NULL ORDER BY bm25 DESC, doc_id LIMIT 10""").collect()
+    api_rows = retrieval.bm25_topk(
+        eng.table("documents"), ["hash", "join", "stream", "window"],
+        k=10).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in sql_rows] \
+        == [(r["doc_id"], r["bm25"]) for r in api_rows]
+
+    # NULL for non-matching docs (DuckDB's contract)
+    nulls = eng.sql("""
+SELECT count(*) AS n FROM (
+  SELECT fts_main_documents.match_bm25(doc_id, 'zzzunseen') AS s
+  FROM documents) WHERE s IS NULL""").first()["n"]
+    assert nulls == eng.table("documents").count()
+
+    # conjunctive := 1 keeps only docs matching ALL terms — a subset
+    disj = eng.sql("""
+SELECT count(*) AS n FROM (
+  SELECT fts_main_documents.match_bm25(doc_id, 'hash window') AS s
+  FROM documents) WHERE s IS NOT NULL""").first()["n"]
+    conj = eng.sql("""
+SELECT count(*) AS n FROM (
+  SELECT fts_main_documents.match_bm25(doc_id, 'hash window',
+                                       conjunctive := 1) AS s
+  FROM documents) WHERE s IS NOT NULL""").first()["n"]
+    assert 0 < conj < disj
+
+    # explicit stemmer warns (documented divergence: no stemming applied)
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        eng.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text', "
+                "stemmer := 'porter', overwrite := 1)")
+    assert any("stemmer" in str(w.message) for w in caught)
+
+    eng.sql("PRAGMA drop_fts_index('documents')")
+    with pytest.raises(ValueError, match="no FTS index"):
+        eng.sql("SELECT fts_main_documents.match_bm25(doc_id, 'x') "
+                "FROM documents")
