@@ -224,6 +224,15 @@ _RESTORE_RE = re.compile(
     r"\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# ANALYZE [TABLE] t [COMPUTE STATISTICS [FOR COLUMNS c1, …]] — table
+# statistics for cost-based decisions (DuckDB keeps table stats for its
+# optimizer [ref duckdb:101]; Spark's ANALYZE statement shape)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_][\w.]*)"
+    r"(?:\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS"
+    r"|COLUMNS\s+(?P<cols>[\w\s,]+)))?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # DuckDB fts-extension statement surface: PRAGMA create_fts_index /
 # drop_fts_index (the notes' worked example IS extension install+use,
 # /root/reference/duckdb:23-55)
@@ -514,6 +523,24 @@ class Engine:
         ``name VERSION AS OF <n>`` / ``name TIMESTAMP AS OF '<ts>'``.
         """
         df = snapshots.read_table(self.spark, table_dir, version, as_of_ms)
+        # Stats-driven broadcast (the ANALYZE payoff): Spark's static
+        # estimate for a scan is the ON-DISK byte count, which overshoots
+        # badly for small tables spread over many files (per-file footer/
+        # dictionary overhead dominates) — so a tiny dim just above the
+        # threshold on disk plans as a sort-merge join. Fresh ANALYZE
+        # stats carry the actual serialized size; when that fits the
+        # session's autoBroadcastJoinThreshold, bake a broadcast hint
+        # into the view. Stats from any EARLIER version are stale (the
+        # table changed since ANALYZE) and never applied.
+        if version is None and as_of_ms is None:
+            stats = snapshots.read_stats(table_dir)
+            if stats is not None:
+                commits = snapshots.read_log(table_dir)
+                cur = commits[-1].version if commits else 0
+                thr = self._broadcast_threshold()
+                if (stats.get("version") == cur and thr > 0
+                        and stats.get("est_bytes", thr + 1) <= thr):
+                    df = df.hint("broadcast")
         df.createOrReplaceTempView(name)
         self._versioned[name] = table_dir
         self._bump_registration_epoch()
@@ -917,6 +944,98 @@ class Engine:
         return self.spark.createDataFrame(
             [(entry.version, version)],
             "restored_as_version int, restored_to_version int")
+
+    _TYPE_WIDTHS = {
+        "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "float": 4,
+        "date": 4, "bigint": 8, "double": 8, "timestamp": 8,
+    }
+
+    def analyze_table(self, name: str, cols: list[str] | None = None
+                      ) -> DataFrame:
+        """``ANALYZE [TABLE] t [COMPUTE STATISTICS [FOR COLUMNS …]]`` —
+        persist row count, per-column NDV (HLL approx) and average widths
+        into the table's ``_log/_stats.json`` sidecar (DuckDB keeps table
+        stats for its optimizer [ref duckdb:101]; here they feed the
+        engine's own cost decisions — see ``register_versioned``'s
+        stats-driven broadcast hint).
+
+        One scan computes everything (count + approx_count_distinct +
+        avg(length) batched into a single aggregate). Stats are stamped
+        with the snapshot version — any later commit makes them stale,
+        and stale stats are never applied."""
+        from pyspark.sql import functions as F
+
+        key = name
+        if key not in self._versioned and "." in key:
+            db, _, t = key.partition(".")
+            key = self._attached.get(db, {}).get(t, key)
+        if key not in self._versioned:
+            raise ValueError(f"ANALYZE: unknown versioned table {name!r} "
+                             "(stats live in the table's _log/ sidecar)")
+        table_dir = self._versioned[key]
+        df = self.table(key)
+        fields = [f for f in df.schema.fields
+                  if cols is None or f.name in cols]
+        if cols:
+            missing = set(cols) - {f.name for f in df.schema.fields}
+            if missing:
+                raise ValueError(f"ANALYZE: unknown column(s) {sorted(missing)}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in fields:
+            aggs.append(F.approx_count_distinct(f.name)
+                        .alias(f"__ndv_{f.name}"))
+            if f.dataType.simpleString() in ("string", "binary"):
+                aggs.append(F.avg(F.length(f.name))
+                            .alias(f"__len_{f.name}"))
+        r = df.agg(*aggs).first()
+        rows = r["__rows"]
+        col_stats: dict[str, dict] = {}
+        est_bytes = 0
+        for f in df.schema.fields:
+            simple = f.dataType.simpleString()
+            if f in fields:
+                avg_len = r[f"__len_{f.name}"] \
+                    if f"__len_{f.name}" in r.asDict() else None
+                col_stats[f.name] = {"ndv": r[f"__ndv_{f.name}"],
+                                     "avg_len": avg_len}
+            else:
+                avg_len = None
+            # serialized-width estimate: fixed width by type; strings =
+            # avg length + struct overhead; unknown/nested types get a
+            # conservative 32B
+            if simple.startswith("decimal"):
+                w = 16
+            elif simple in ("string", "binary"):
+                w = (avg_len if avg_len is not None else 20) + 16
+            else:
+                w = self._TYPE_WIDTHS.get(simple, 32)
+            est_bytes += int(rows * w)
+        commits = snapshots.read_log(table_dir)
+        version = commits[-1].version if commits else 0
+        stats = {"version": version, "rows": rows, "est_bytes": est_bytes,
+                 "columns": col_stats}
+        snapshots.write_stats(table_dir, stats)
+        self._refresh_table(key)  # re-register so fresh stats take effect
+        return self.spark.createDataFrame(
+            [(key, version, rows, est_bytes)],
+            "table_name string, version int, rows long, est_bytes long")
+
+    def _broadcast_threshold(self) -> int:
+        raw = str(self.spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760")).strip()
+        mult = 1
+        low = raw.lower()
+        for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                       ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                       ("b", 1)):
+            if low.endswith(suf):
+                raw = raw[:-len(suf)]
+                mult = m
+                break
+        try:
+            return int(float(raw) * mult)
+        except ValueError:
+            return 10 * 1024**2
 
     def clone_table(self, dst: str, src: str, version: int | None = None,
                     as_of_ms: int | None = None,
@@ -1714,6 +1833,11 @@ class Engine:
         if mset:
             self._set_option(mset.group("key"), mset.group("val").strip())
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        man = _ANALYZE_RE.match(query)
+        if man:
+            cols = ([c.strip() for c in man.group("cols").split(",")
+                     if c.strip()] if man.group("cols") else None)
+            return self.analyze_table(man.group("name"), cols)
         mfts = _PRAGMA_FTS_RE.match(query)
         if mfts:
             return self._pragma_fts(mfts.group("verb").lower(),

@@ -365,6 +365,31 @@ def write_constraints(table_dir: str, cons: list[dict]) -> None:
     os.replace(tmp, path)
 
 
+_STATS_FILE = "_stats.json"
+
+
+def read_stats(table_dir: str) -> dict | None:
+    """The table's ANALYZE stats sidecar ({version, rows, est_bytes,
+    columns: {col: {ndv, avg_len}}}) or None. Stats are stamped with the
+    snapshot version they were computed at — consumers must treat a
+    version mismatch as stale (the table changed since ANALYZE)."""
+    path = os.path.join(table_dir, _LOG_DIR, _STATS_FILE)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def write_stats(table_dir: str, stats: dict) -> None:
+    path = os.path.join(table_dir, _LOG_DIR, _STATS_FILE)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, path)
+
+
 _WATERMARKS_FILE = "_stream_watermarks.json"
 
 

@@ -242,3 +242,74 @@ def test_time_partitioned_registration_prunes(engine, tmp_path):
         "events_tp", os.path.join(sf_dir, "events.parquet"), time_partition=True)
     after = set(_g.glob(os.path.join(str(tmp_path), "__tp__events_tp", "*", "*")))
     assert before == after
+
+
+def test_analyze_stats_flip_broadcast_choice(engine, spark, tmp_path):
+    """ANALYZE + CBO stats (VERDICT r5 item 5): Spark's static size
+    estimate for a scan is the on-disk byte count, which overshoots for
+    small tables spread over many files (footer/dictionary overhead).
+    With the session threshold between the two sizes, the dim joins as
+    sort-merge; after ANALYZE records the actual serialized size, the
+    re-registered view carries a broadcast hint and the SAME query plans
+    as a broadcast join. A later commit makes the stats stale and the
+    hint must disappear."""
+    from duckdb_read_spark.engine import Engine
+    from duckdb_read_spark.plans.inspect import physical_plan
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.register_fixture_dir("/root/testdata/sf0.001")
+    # 20 rows over 20 files: ~20-40 KB on disk, ~500 B of actual data
+    dim = (spark.range(0, 20).withColumnRenamed("id", "k")
+           .withColumn("v", (F.col("k") % 5).cast("long"))
+           .repartition(20))
+    d = str(tmp_path / "dim20")
+    eng.write_versioned(dim, d)
+    eng.register_versioned("dim20", d)
+    import glob
+    import os
+
+    disk = sum(os.path.getsize(p) for p in glob.glob(
+        os.path.join(d, "data", "**", "*.parquet"), recursive=True))
+
+    q = ("SELECT o.o_orderkey, d.v FROM orders o "
+         "JOIN dim20 d ON o.o_orderkey % 20 = d.k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        thr = max(1024, disk // 4)   # between est (~1 KB) and disk size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        before = physical_plan(eng.sql(q))
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+
+        st = eng.sql("ANALYZE TABLE dim20").first()
+        assert st["rows"] == 20 and st["est_bytes"] < thr < disk
+        after = physical_plan(eng.sql(q))
+        assert "BroadcastHashJoin" in after
+
+        # any commit staleness-invalidates the stats -> hint gone
+        eng.sql("INSERT INTO dim20 VALUES (99, 0)")
+        stale = physical_plan(eng.sql(q))
+        assert "SortMergeJoin" in stale and "BroadcastHashJoin" not in stale
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_analyze_statement_surface(engine, spark, tmp_path):
+    import pytest
+
+    from duckdb_read_spark import snapshots
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ta AS SELECT id AS k, CAST(id AS STRING) AS s "
+            "FROM range(100)")
+    out = eng.sql(
+        "ANALYZE TABLE ta COMPUTE STATISTICS FOR COLUMNS k, s").first()
+    assert out["rows"] == 100
+    st = snapshots.read_stats(eng._versioned["ta"])
+    assert st["version"] == 1 and st["rows"] == 100
+    assert 95 <= st["columns"]["k"]["ndv"] <= 105   # HLL approx
+    assert st["columns"]["s"]["avg_len"] is not None
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("ANALYZE ta COMPUTE STATISTICS FOR COLUMNS nope")
+    with pytest.raises(ValueError, match="unknown versioned table"):
+        eng.sql("ANALYZE no_such_table")
