@@ -2416,15 +2416,25 @@ class Engine:
             s = "".join(out)
         return s
 
+    _TEMPORAL_LIT_RE = re.compile(
+        r"^(?:DATE|TIMESTAMP)\s*'[^']+'$", re.IGNORECASE)
+    _INTERVAL_LIT_RE = re.compile(
+        r"^INTERVAL\s+(?:'[^']+'|\d+)(?:\s+\w+)?$", re.IGNORECASE)
+
     def _resolve_series_functions(self, query: str) -> str:
         """DuckDB's ``FROM generate_series(a, b[, s])`` (inclusive stop,
         column named ``generate_series``) and ``FROM range(a, b[, s])``
-        (exclusive stop, column ``range``) → Spark's native ``range`` TVF
-        (exclusive stop, column ``id``) wrapped to restore the DuckDB
-        column name. Integer-literal arguments only (the interval/timestamp
-        forms are not translated — they fail loudly); ``AS t(i)`` column
-        aliases are consumed here so the rewrite needs no derived-table
-        column-alias support."""
+        (exclusive stop, column ``range``) → Spark equivalents with the
+        DuckDB column name restored. Integer forms map onto Spark's native
+        ``range`` TVF; DATE/TIMESTAMP + INTERVAL forms (the gap-fill spine
+        shape) map onto ``explode(sequence(start, stop, step))`` — Spark's
+        sequence is stop-inclusive like generate_series, and the ``range``
+        form re-applies its exclusive stop as a filter. The literal texts
+        (DATE '…', INTERVAL '1 day' / INTERVAL 1 DAY) are valid in both
+        dialects and pass through verbatim. Other argument shapes (column
+        refs, expressions) stay untouched and fail loudly downstream.
+        ``AS t(i)`` column aliases are consumed here so the rewrite needs
+        no derived-table column-alias support."""
         pat = re.compile(
             r"\b(?P<kw>FROM|JOIN)\s+(?P<fn>generate_series|range)\s*"
             r"\(\s*(?P<args>[^()]*)\)"
@@ -2434,13 +2444,39 @@ class Engine:
         )
         spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
 
+        def temporal_sub(m: re.Match) -> str | None:
+            args = _split_top_commas(m.group("args"))
+            if len(args) != 3:
+                return None
+            a, b, s = (x.strip() for x in args)
+            if not (self._TEMPORAL_LIT_RE.match(a)
+                    and self._TEMPORAL_LIT_RE.match(b)
+                    and self._INTERVAL_LIT_RE.match(s)):
+                return None
+            fn = m.group("fn").lower()
+            col = m.group("colal") or fn
+            alias = m.group("alias") or fn
+            # DuckDB's temporal series yield TIMESTAMP even for DATE
+            # bounds; Spark's sequence(DATE, …) would yield DATE — cast
+            # for identical cross-engine output types
+            if a.upper().startswith("DATE"):
+                a = f"CAST({a} AS TIMESTAMP)"
+            if b.upper().startswith("DATE"):
+                b = f"CAST({b} AS TIMESTAMP)"
+            inner = f"SELECT explode(sequence({a}, {b}, {s})) AS {col}"
+            if fn == "range":  # exclusive stop; sequence() is inclusive
+                neg = re.search(r"-\s*\d", s) is not None
+                inner = (f"SELECT {col} FROM ({inner}) "
+                         f"WHERE {col} {'>' if neg else '<'} {b}")
+            return f"{m.group('kw')} ({inner}) {alias}"
+
         def sub(m: re.Match) -> str:
             if any(a <= m.start() < b for a, b in spans):
                 return m.group(0)
             try:
                 args = [int(a.strip()) for a in m.group("args").split(",")]
             except ValueError:
-                return m.group(0)  # non-integer forms stay verbatim
+                return temporal_sub(m) or m.group(0)
             fn = m.group("fn").lower()
             if len(args) == 1:
                 a, b, s = 0, args[0], 1

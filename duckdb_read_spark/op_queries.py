@@ -1485,6 +1485,39 @@ SELECT doc_id, bm25 FROM (
 WHERE bm25 IS NOT NULL ORDER BY bm25 DESC, doc_id LIMIT 10""")
 
 
+_Q125_TEXT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sv
+  FROM events GROUP BY 1)
+SELECT CAST(d.gs AS DATE) AS day, COALESCE(dd.n, 0) AS n,
+       CAST(COALESCE(dd.sv, 0) AS DOUBLE) AS sv
+FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-09',
+                     INTERVAL '1 day') AS d(gs)
+LEFT JOIN daily dd ON dd.day = CAST(d.gs AS DATE)
+ORDER BY day
+"""
+
+
+@_op("q125_gapfill_date_spine", f"""
+WITH events AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM main.events),
+{_Q125_TEXT.strip()[5:]}
+""", note="date-spine gap fill via the TEMPORAL generate_series TVF "
+          "(VERDICT r5 item 6): the SAME spine/join/zero-fill SQL runs in "
+          "both engines (modulo the oracle's ts-shim CTE) — the spine is "
+          "40 literal-bounded days regardless of data size, and empty "
+          "tail days must appear as zero rows in both")
+def _q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q125_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q125_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -770,6 +770,23 @@ def test_generate_series_range_table_functions(engine, duck):
         "SELECT * FROM generate_series(5, 1, -2) AS t(x) ORDER BY x",
         "SELECT gs.generate_series * 2 AS d FROM generate_series(2, 8, 2) AS gs ORDER BY 1",
         "SELECT * FROM range(4) AS t(i) ORDER BY i",
+        # temporal forms (VERDICT r5 item 6): DATE/TIMESTAMP + INTERVAL →
+        # explode(sequence(…)); generate_series inclusive, range exclusive,
+        # DATE bounds yield TIMESTAMP rows in both engines
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-05', INTERVAL '1 day') ORDER BY 1",
+        "SELECT * FROM generate_series(DATE '2024-01-01', "
+        "DATE '2024-01-07', INTERVAL '2 days') AS t(d) ORDER BY d",
+        "SELECT * FROM range(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-04', INTERVAL '1 day') AS t(ts) ORDER BY ts",
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2024-01-01 02:30:00', INTERVAL 45 MINUTE) ORDER BY 1",
+        # the gap-fill spine shape: date spine LEFT JOINed to daily counts
+        "SELECT d.gs AS day, COUNT(e.event_id) AS n "
+        "FROM generate_series(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-10', INTERVAL '1 day') AS d(gs) "
+        "LEFT JOIN events e ON CAST(e.ts AS DATE) = CAST(d.gs AS DATE) "
+        "GROUP BY d.gs ORDER BY d.gs",
     ]
     for q in cases:
         got = _rows(engine.sql(q, dialect="duckdb"))
