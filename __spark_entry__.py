@@ -34,7 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
-        return spark.sql(QUERIES[name].spark)
+        text = QUERIES[name].spark
+        if "RECURSIVE" in text.upper():
+            # materialize non-recursive CTE inputs once instead of
+            # re-evaluating them every iteration (plans/recursive.py)
+            from duckdb_read_spark.plans.recursive import (
+                materialize_recursive_inputs,
+            )
+
+            text = materialize_recursive_inputs(spark, text)
+        return spark.sql(text)
 
     run.__name__ = f"run_{name}"
     return run

@@ -1995,6 +1995,7 @@ class Engine:
                   if re.search(r"\blen\s*\(", query, re.IGNORECASE) else None)
             query = to_spark_sql(query, column_kinds=ck)
         query = self._resolve_time_travel(query)
+        query = self._materialize_recursive_inputs(query)
         if self._time_partitioned:
             injected = self._inject_partition_filters(query)
             if injected != query:
@@ -2008,6 +2009,15 @@ class Engine:
                     # to the untouched text
                     pass
         return self.spark.sql(query)
+
+    def _materialize_recursive_inputs(self, query: str) -> str:
+        """WITH RECURSIVE optimization: non-recursive CTEs referenced by
+        the recursive step are executed once, cached, and joined per
+        iteration instead of re-evaluated (plans/recursive.py — shared
+        with the declared-query runner path)."""
+        from .plans.recursive import materialize_recursive_inputs
+
+        return materialize_recursive_inputs(self.spark, query)
 
     def _inject_partition_filters(self, query: str) -> str:
         """Generated-partition-filter injection (the Delta generated-columns

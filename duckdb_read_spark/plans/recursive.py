@@ -1,0 +1,132 @@
+"""WITH RECURSIVE input materialization (VERDICT r5 "what's wrong" #3).
+
+Spark 4's recursive CTE execution re-evaluates any non-recursive CTE
+referenced inside the recursive step's body on EVERY iteration — for a
+successor relation built by a self-join aggregate (the q94 shape) that
+re-evaluation is ~half the query's wall time at 27 iterations. DuckDB
+materializes such CTEs once; this pass does the same at the text level:
+
+* parse the ``WITH RECURSIVE`` CTE list;
+* every non-recursive CTE referenced by a recursive CTE's body is
+  executed once, ``cache()``d, registered as a temp view, and its
+  references rewritten — the recursion then probes the cached result per
+  iteration instead of replaying the CTE's plan;
+* anything unparseable falls back to the untouched text (conservative).
+
+Scale shape: the materialized CTE is exactly the relation the recursion
+would rebuild depth-times — caching it trades one extra pass of executor
+storage for depth× plan replays. The remaining per-iteration cost is
+Spark's own planning+job-launch floor (~70 ms/iteration measured), which
+is intrinsic to iterative execution — documented in SCALE.md §2 (D7).
+
+Caches from the previous recursive query are unpersisted on the next
+call (bounded memory; the views are tiny by recursion's nature).
+"""
+
+from __future__ import annotations
+
+import re
+
+_CACHED: list = []
+_VIEW_N = [0]
+
+
+def _match_paren(text: str, open_idx: int) -> int:
+    depth, i, in_str = 0, open_idx, False
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses")
+
+
+def materialize_recursive_inputs(spark, query: str) -> str:
+    """Rewrite ``query`` (Spark dialect) so the recursion joins cached
+    inputs; returns the original text when nothing applies."""
+    m = re.match(r"^\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE)
+    if not m:
+        return query
+    pos = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        mh = re.match(r"\s*(?:,\s*)?([A-Za-z_]\w*)\s+AS\s*\(",
+                      query[pos:], re.IGNORECASE)
+        if not mh:
+            break
+        open_idx = pos + mh.end() - 1
+        try:
+            close = _match_paren(query, open_idx)
+        except ValueError:
+            return query
+        ctes.append((mh.group(1), query[open_idx + 1:close]))
+        pos = close + 1
+    final = query[pos:].strip()
+    if not ctes or not final.upper().startswith(("SELECT", "(")):
+        return query
+    recursive = {n for n, b in ctes
+                 if re.search(rf"\b{re.escape(n)}\b", b, re.IGNORECASE)}
+    if not recursive:
+        return query
+    needed: set[str] = set()
+    for n, b in ctes:
+        if n in recursive:
+            for n2, _ in ctes:
+                if n2 != n and n2 not in recursive and re.search(
+                        rf"\b{re.escape(n2)}\b", b, re.IGNORECASE):
+                    needed.add(n2)
+    # a candidate must not itself depend on a recursive CTE
+    needed = {n for n, b in ctes if n in needed and not any(
+        re.search(rf"\b{re.escape(r)}\b", b, re.IGNORECASE)
+        for r in recursive)}
+    if not needed:
+        return query
+    for df in _CACHED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _CACHED.clear()
+    subst: dict[str, str] = {}
+
+    def apply_subst(text: str) -> str:
+        for old, new in subst.items():
+            spans = [mm.span() for mm in
+                     re.finditer(r"'(?:[^']|'')*'|--[^\n]*", text)]
+            text = re.sub(
+                rf"\b{re.escape(old)}\b",
+                lambda mm: mm.group(0)
+                if any(a <= mm.start() < b for a, b in spans) else new,
+                text, flags=re.IGNORECASE)
+        return text
+
+    remaining: list[tuple[str, str]] = []
+    for name, body in ctes:
+        body = apply_subst(body)
+        if name in needed:
+            try:
+                df = spark.sql(body).cache()
+                df.count()  # materialize once
+            except Exception:
+                return query  # conservative fallback
+            _VIEW_N[0] += 1
+            view = f"__rec_cte_{_VIEW_N[0]}"
+            df.createOrReplaceTempView(view)
+            _CACHED.append(df)
+            subst[name] = view
+        else:
+            remaining.append((name, body))
+    final = apply_subst(final)
+    if not remaining:
+        return final
+    with_list = ", ".join(f"{n} AS ({b})" for n, b in remaining)
+    return f"WITH RECURSIVE {with_list} {final}"

@@ -1214,3 +1214,30 @@ SELECT count(*) AS n FROM (
     with pytest.raises(ValueError, match="no FTS index"):
         eng.sql("SELECT fts_main_documents.match_bm25(doc_id, 'x') "
                 "FROM documents")
+
+
+def test_recursive_cte_input_materialization(engine, spark):
+    """plans/recursive (VERDICT r5 #3): non-recursive CTEs referenced by
+    the recursive step are materialized once (cached temp views) and the
+    rewritten query returns identical rows; non-recursive and unparseable
+    texts pass through untouched."""
+    from duckdb_read_spark.plans.recursive import (
+        materialize_recursive_inputs,
+    )
+    from duckdb_read_spark.queries import QUERIES
+
+    q = QUERIES["q94_recursive_chain"].spark
+    rewritten = materialize_recursive_inputs(spark, q)
+    assert rewritten != q and "__rec_cte_" in rewritten
+    assert "nxt" not in rewritten.replace("__rec_cte_", "")  # substituted
+    want = [tuple(r) for r in spark.sql(q).collect()]
+    got = [tuple(r) for r in spark.sql(rewritten).collect()]
+    assert got == want and len(got) > 0
+
+    # non-recursive text untouched
+    plain = "WITH a AS (SELECT 1 AS x) SELECT * FROM a"
+    assert materialize_recursive_inputs(spark, plain) == plain
+    # recursion with no outside CTE references untouched
+    self_only = ("WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL "
+                 "SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r")
+    assert materialize_recursive_inputs(spark, self_only) == self_only
