@@ -1472,7 +1472,18 @@ class Engine:
                 if dt.tzinfo is None:
                     dt = dt.replace(tzinfo=timezone.utc)
                 as_of_ms = int(dt.timestamp() * 1000)
-                resolved, _ = snapshots.resolve_snapshot(table_dir, as_of_ms=as_of_ms)
+                try:
+                    resolved, _ = snapshots.resolve_snapshot(
+                        table_dir, as_of_ms=as_of_ms)
+                except FileNotFoundError:
+                    # foreign-log table (Iceberg metadata/ only): resolve
+                    # the timestamp through that format's own snapshot log
+                    resolved = f"ms{as_of_ms}"
+                    view = f"{name}__asof_{resolved}"
+                    df = snapshots.read_table(
+                        self.spark, table_dir, as_of_ms=as_of_ms)
+                    df.createOrReplaceTempView(view)
+                    return view
                 view = f"{name}__asof_v{resolved}"
                 df = snapshots.read_table(self.spark, table_dir, version=resolved)
             df.createOrReplaceTempView(view)
@@ -3354,7 +3365,9 @@ class Engine:
         """DuckDB ``COPY src TO 'path' (FORMAT x, ...)`` analog. The source
         is a table name or a parenthesized query; format comes from the
         options list, else the path suffix, else parquet. Honored options:
-        FORMAT, HEADER, DELIMITER/SEPARATOR (csv), COMPRESSION,
+        FORMAT (parquet/csv/json/iceberg — ICEBERG appends a spec-shaped
+        v2 snapshot via iceberglog.write_table, creating the table on
+        first write), HEADER, DELIMITER/SEPARATOR (csv), COMPRESSION,
         PARTITION_BY (hive layout → partition pruning on read); any other
         key RAISES rather than silently dropping a semantic the caller
         asked for. Writes a directory (Spark layout), not a single file —
@@ -3385,6 +3398,18 @@ class Engine:
                 f"COPY: unrecognized option(s) {sorted(options)} — "
                 "supported: FORMAT, HEADER, DELIMITER, COMPRESSION, PARTITION_BY"
             )
+        if fmt == "iceberg":
+            # Iceberg export (D34 write direction) reachable from SQL:
+            # COPY t TO 'dir' (FORMAT ICEBERG) — appends a spec-shaped v2
+            # snapshot (or creates the table) at 'dir'
+            if header is not None or delimiter is not None \
+                    or partition_by is not None or compression is not None:
+                raise ValueError(
+                    "COPY FORMAT ICEBERG supports no other options")
+            mode = ("append" if iceberglog.is_iceberg_table(path)
+                    else "overwrite")
+            iceberglog.write_table(df, path, mode=mode)
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         if fmt == "parquet":
             if header is not None or delimiter is not None:
                 raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")

@@ -318,3 +318,42 @@ def test_iceberg_write_table_roundtrip(eng, spark, tmp_path):
     eng.register_versioned("icew", d)
     assert eng.sql(
         "SELECT count(*) AS n FROM icew VERSION AS OF 1").first()["n"] == 50
+
+
+def test_iceberg_timestamp_as_of_sql(eng, spark, tmp_path):
+    """TIMESTAMP AS OF over a foreign Iceberg table resolves through the
+    Iceberg snapshot log (no private _log to consult)."""
+    from datetime import datetime, timezone
+
+    d = str(tmp_path / "ice_ts")
+    t1 = 1_700_000_000_000
+    t2 = t1 + 3_600_000
+    iceberglog.write_table(spark.range(0, 10), d, timestamp_ms=t1)
+    iceberglog.write_table(spark.range(10, 25), d, mode="append",
+                           timestamp_ms=t2)
+    eng.register_versioned("ice_ts", d)
+    mid = datetime.fromtimestamp((t1 + t2) / 2000, tz=timezone.utc) \
+        .strftime("%Y-%m-%d %H:%M:%S")
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM ice_ts TIMESTAMP AS OF '{mid}'"
+    ).first()["n"]
+    assert n == 10
+    late = datetime.fromtimestamp(t2 / 1000 + 60, tz=timezone.utc) \
+        .strftime("%Y-%m-%d %H:%M:%S")
+    n2 = eng.sql(
+        f"SELECT count(*) AS n FROM ice_ts TIMESTAMP AS OF '{late}'"
+    ).first()["n"]
+    assert n2 == 25
+
+
+def test_copy_to_iceberg_format(eng, spark, tmp_path):
+    """COPY t TO 'dir' (FORMAT ICEBERG): SQL-reachable Iceberg export —
+    first COPY creates the table, a second appends a snapshot."""
+    d = str(tmp_path / "ice_copy")
+    eng.sql("CREATE TABLE csrc2 AS SELECT id AS k FROM range(30)")
+    eng.sql(f"COPY csrc2 TO '{d}' (FORMAT ICEBERG)")
+    assert iceberglog.read_iceberg_table(spark, d).count() == 30
+    eng.sql(f"COPY (SELECT CAST(999 AS BIGINT) AS k) TO '{d}' "
+            f"(FORMAT ICEBERG)")
+    assert iceberglog.read_iceberg_table(spark, d).count() == 31
+    assert iceberglog.read_iceberg_table(spark, d, version=1).count() == 30
