@@ -104,25 +104,104 @@ def _existing_meta(table_dir: str) -> dict | None:
     return meta
 
 
+def _check_protocol(action: dict) -> None:
+    """Refuse reader features this replay cannot honor — a table with
+    deletion vectors or column mapping read naively would RETURN DELETED
+    ROWS / wrong columns, which is strictly worse than failing."""
+    p = action.get("protocol")
+    if not p:
+        return
+    feats = set(p.get("readerFeatures") or [])
+    unsupported = feats & {"deletionVectors", "columnMapping", "v2Checkpoint",
+                           "typeWidening", "variantType"}
+    if p.get("minReaderVersion", 1) > 3 or unsupported:
+        raise NotImplementedError(
+            f"delta reader features not supported: "
+            f"{sorted(unsupported) or 'minReaderVersion=' + str(p.get('minReaderVersion'))} "
+            f"— refusing to read (naive replay would return wrong rows)")
+
+
+def _read_checkpoint(table_dir: str) -> tuple[int, dict[str, dict]] | None:
+    """State from ``_last_checkpoint`` + its checkpoint parquet, or None.
+
+    A real delta-spark table cleans up old JSON commits after retention;
+    the surviving state lives in the checkpoint — replaying only the JSON
+    tail would silently MISS every file added before it."""
+    last = os.path.join(table_dir, _DELTA_DIR, "_last_checkpoint")
+    try:
+        with open(last) as f:
+            info = json.load(f)
+    except (OSError, ValueError):
+        return None
+    v = int(info["version"])
+    parts = info.get("parts")
+    if parts:
+        paths = [os.path.join(
+            table_dir, _DELTA_DIR,
+            f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet")
+            for i in range(1, parts + 1)]
+    else:
+        paths = [os.path.join(table_dir, _DELTA_DIR,
+                              f"{v:020d}.checkpoint.parquet")]
+    import pyarrow.parquet as pq
+
+    files: dict[str, dict] = {}
+    for p in paths:
+        for row in pq.read_table(p).to_pylist():
+            if row.get("protocol") is not None:
+                proto = dict(row["protocol"])
+                if isinstance(proto.get("readerFeatures"), (list, tuple)):
+                    proto["readerFeatures"] = list(proto["readerFeatures"])
+                _check_protocol({"protocol": proto})
+            add = row.get("add")
+            if add is not None:
+                a = dict(add)
+                pv = a.get("partitionValues")
+                if isinstance(pv, list):  # map type → list of (k, v)
+                    a["partitionValues"] = dict(pv)
+                files[a["path"]] = a
+            rm = row.get("remove")
+            if rm is not None:
+                files.pop(rm["path"], None)
+    return v, files
+
+
 def delta_snapshot(table_dir: str, version: int | None = None
                    ) -> tuple[int, dict[str, dict]]:
     """Replay the delta log → (private-log version, {path: add action}).
 
     ``version`` uses the PRIVATE log's 1-based numbering (delta file
-    version-1) so callers address snapshots uniformly.
+    version-1) so callers address snapshots uniformly. When a
+    ``_last_checkpoint`` exists and the requested version is at or after
+    it, replay starts from the checkpoint state (JSON commits before it
+    may have been cleaned up — spec §Checkpoints); earlier versions
+    require their JSON commits to survive. Reader features this replay
+    cannot honor (deletion vectors, column mapping) raise instead of
+    returning wrong rows.
     """
     versions0 = _list_versions(table_dir)
-    if not versions0:
+    ckpt = _read_checkpoint(table_dir)
+    if not versions0 and ckpt is None:
         raise FileNotFoundError(f"no _delta_log at {table_dir!r}")
-    last0 = versions0[-1] if version is None else version - 1
-    if last0 not in versions0:
+    newest = versions0[-1] if versions0 else ckpt[0]
+    last0 = newest if version is None else version - 1
+    files: dict[str, dict] = {}
+    start = 0
+    if ckpt is not None and last0 >= ckpt[0]:
+        start = ckpt[0] + 1
+        files = dict(ckpt[1])
+    elif last0 not in versions0:
         raise LookupError(
             f"delta version {last0} not in log (have {versions0})")
-    files: dict[str, dict] = {}
+    if last0 > newest:
+        raise LookupError(
+            f"delta version {last0} not in log (have {versions0})")
     for v in versions0:
-        if v > last0:
-            break
+        if v < start or v > last0:
+            continue
         for a in _read_actions(table_dir, v):
+            if "protocol" in a:
+                _check_protocol(a)
             if "add" in a:
                 files[a["add"]["path"]] = a["add"]
             elif "remove" in a:

@@ -221,3 +221,47 @@ def test_vacuum_truncation_writes_checkpoint(eng, spark, tmp_path):
             elif "remove" in a:
                 later_removes.add(a["remove"]["path"])
     assert (ckpt_adds - later_removes) | later_adds == set(now)
+
+
+def test_checkpoint_replay_after_json_cleanup(eng, spark, tmp_path):
+    """A real delta-spark table cleans up old JSON commits after
+    retention; state then lives in the checkpoint parquet. Replaying only
+    the JSON tail would silently MISS files — the reader must seed replay
+    from _last_checkpoint."""
+    d = str(tmp_path / "tcp")
+    eng.write_versioned(spark.range(10).coalesce(2), d)
+    eng.write_versioned(spark.range(10, 20).coalesce(1), d, mode="append")
+    eng.write_versioned(spark.range(20, 25).coalesce(1), d, mode="append")
+    _, want = deltalog.delta_snapshot(d)
+    assert len(want) == 4
+    # checkpoint at delta version 1 (private v2), then clean up JSON <= 1
+    deltalog.write_checkpoint(d, 1)
+    for v in (0, 1):
+        os.remove(os.path.join(d, "_delta_log", f"{v:020d}.json"))
+
+    _, got = deltalog.delta_snapshot(d)
+    assert set(got) == set(want)
+    rows = {r.id for r in deltalog.read_delta_table(spark, d).collect()}
+    assert rows == set(range(25))
+    # version at the checkpoint itself resolves to checkpoint state
+    _, at_ckpt = deltalog.delta_snapshot(d, version=2)
+    assert len(at_ckpt) == 3
+    # versions before the cleaned-up prefix fail cleanly, not wrongly
+    with pytest.raises(LookupError):
+        deltalog.delta_snapshot(d, version=1)
+
+
+def test_unsupported_reader_features_raise(eng, spark, tmp_path):
+    """Deletion vectors / column mapping read naively would return
+    DELETED rows or wrong columns — the reader must refuse."""
+    d = str(tmp_path / "tdv")
+    eng.write_versioned(spark.range(5).coalesce(1), d)
+    # append a commit that upgrades the protocol to deletion vectors
+    v = deltalog._list_versions(d)[-1] + 1
+    with open(deltalog._delta_path(d, v), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        deltalog.delta_snapshot(d)
