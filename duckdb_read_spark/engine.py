@@ -233,6 +233,11 @@ _ANALYZE_RE = re.compile(
     r"|COLUMNS\s+(?P<cols>[\w\s,]+)))?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# PRAGMA table_info('t') — DuckDB/SQLite introspection shape
+_PRAGMA_TABLE_INFO_RE = re.compile(
+    r"^\s*PRAGMA\s+table_info\s*\(\s*'?(?P<name>[\w.]+)'?\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 # DuckDB fts-extension statement surface: PRAGMA create_fts_index /
 # drop_fts_index (the notes' worked example IS extension install+use,
 # /root/reference/duckdb:23-55)
@@ -1849,6 +1854,9 @@ class Engine:
             cols = ([c.strip() for c in man.group("cols").split(",")
                      if c.strip()] if man.group("cols") else None)
             return self.analyze_table(man.group("name"), cols)
+        mti = _PRAGMA_TABLE_INFO_RE.match(query)
+        if mti:
+            return self._pragma_table_info(mti.group("name"))
         mfts = _PRAGMA_FTS_RE.match(query)
         if mfts:
             return self._pragma_fts(mfts.group("verb").lower(),
@@ -2142,6 +2150,35 @@ class Engine:
             out = guarded_sub(btw_pat, bsub, out)
             out = guarded_sub(cmp_pat, csub, out)
         return out
+
+    def _pragma_table_info(self, name: str) -> DataFrame:
+        """``PRAGMA table_info('t')`` — the DuckDB/SQLite introspection
+        shape (cid, name, type, notnull, dflt_value, pk), sourced from the
+        view schema plus the constraints/defaults sidecar for versioned
+        tables; same columns/values as DuckDB so scripts using it port
+        verbatim."""
+        key = name
+        if key not in self._versioned and key not in self._table_paths \
+                and "." in key:
+            db, _, t = key.partition(".")
+            key = self._attached.get(db, {}).get(t, key)
+        schema = self.table(key).schema
+        cons = (snapshots.read_constraints(self._versioned[key])
+                if key in self._versioned else [])
+        notnull = {c["col"] for c in cons if c["kind"] == "not_null"}
+        defaults = {c["col"]: c["expr"] for c in cons
+                    if c["kind"] == "default"}
+        pk = {col for c in cons
+              if c["kind"] == "unique" and c.get("pk") for col in c["cols"]}
+        rows = [
+            (i, f.name, _duck_type_name(f.dataType.simpleString()),
+             f.name in notnull or not f.nullable,
+             defaults.get(f.name), f.name in pk)
+            for i, f in enumerate(schema.fields)
+        ]
+        return self.spark.createDataFrame(
+            rows, "cid int, name string, type string, notnull boolean, "
+                  "dflt_value string, pk boolean")
 
     def _pragma_fts(self, verb: str, argstr: str) -> DataFrame:
         """``PRAGMA create_fts_index('t', 'id', 'text'[, …][, opts])`` /

@@ -1241,3 +1241,24 @@ def test_recursive_cte_input_materialization(engine, spark):
     self_only = ("WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL "
                  "SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r")
     assert materialize_recursive_inputs(spark, self_only) == self_only
+
+
+def test_pragma_table_info_cross_engine(engine, duck, spark, tmp_path):
+    """PRAGMA table_info shape matches DuckDB (cid/name/type/notnull/
+    dflt_value/pk), including constraint-sourced flags on a created
+    table."""
+    from duckdb_read_spark import Engine
+
+    got = {(r["cid"], r["name"]) for r in
+           engine.sql("PRAGMA table_info('nation')").collect()}
+    want = {(r[0], r[1]) for r in
+            duck.execute("PRAGMA table_info('nation')").fetchall()}
+    assert got == want
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ti (a INT PRIMARY KEY, b STRING NOT NULL, "
+            "c DOUBLE DEFAULT 1.5)")
+    rows = {r["name"]: r for r in eng.sql("PRAGMA table_info('ti')").collect()}
+    assert rows["a"]["pk"] and rows["a"]["notnull"]
+    assert rows["b"]["notnull"] and not rows["b"]["pk"]
+    assert rows["c"]["dflt_value"] == "1.5" and not rows["c"]["notnull"]
