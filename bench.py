@@ -152,6 +152,10 @@ def main() -> None:
             docs, n=3, threshold=0.0).count(),
         "q55_pairs_emitted": ops.ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, max_shingle_df=_SHINGLE_DF_CAP).count(),
+        # r6: AllPairs prefix filtering — the candidate set the declared
+        # q55/q80 tier actually joins now (exact results unchanged)
+        "q55_candidate_pairs_prefix": ops.ngram_jaccard_prefix_candidates(
+            docs, n=3, threshold=0.5, max_shingle_df=_SHINGLE_DF_CAP).count(),
         # all band-bucket collisions (max_hamming=64 disables the verify cut)
         "q66_candidate_pairs": ops.simhash_candidates(docs, max_hamming=64, bands=4).count(),
         "q66_pairs_emitted": ops.simhash_candidates(docs, max_hamming=3, bands=4).count(),

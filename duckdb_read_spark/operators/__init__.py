@@ -10,6 +10,7 @@ from .dedup import (
     exact_dup_groups,
     minhash_candidates,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix_candidates,
     dedup_paragraphs,
     simhash,
     simhash_banded_keys,
@@ -71,6 +72,7 @@ __all__ = [
     "simhash_banded_keys",
     "simhash_candidates",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix_candidates",
     "embedding_neardup_pairs",
     "duplicate_clusters",
     "attach_clusters",

@@ -240,6 +240,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, pairs ≥ threshold.
 
@@ -255,17 +256,25 @@ def ngram_jaccard_pairs(
     capped tier keeps a DuckDB oracle twin); on corpora whose true
     near-dups share discriminative shingles the emitted pairs are
     unchanged (pinned by the planted-dup equivalence pytest). ``None``
-    keeps the full universe — verification corpora only."""
-    sh = ngram_shingles(df, text_col, id_col, n)
-    if max_shingle_df is not None:
-        from pyspark.sql import Window
+    keeps the full universe — verification corpora only.
 
-        dfreq = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(dfreq))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+    ``prefix_filter=True`` switches candidate generation to the AllPairs/
+    PPJoin prefix-filtering principle (Bayardo et al., WWW'07; Chaudhuri
+    et al., ICDE'06 — both public): order each doc's shingles by a global
+    canonical order (ascending document frequency, shingle tie-break);
+    two sets with Jaccard ≥ t MUST share an element within each one's
+    first ``sz - ceil(t·sz) + 1`` shingles, so only those PREFIX entries
+    enter the inverted-index join — the hot high-df shingles that drive
+    the quadratic blowup sit at the END of the order and never join.
+    A size filter (t·|X| ≤ |Y|) cuts further, and survivors are verified
+    EXACTLY via array_intersect over the full sets, so the emitted pairs
+    are IDENTICAL to the naive path (equivalence pytest + the unchanged
+    q55/q80 oracles pin this). This turns the exact tier from
+    verification-only into the scale path."""
+    if prefix_filter:
+        sh = _shingles_with_df(df, text_col, id_col, n, max_shingle_df)
+        return _jaccard_pairs_prefix(sh, id_col, threshold)
+    sh = _capped_shingles(df, text_col, id_col, n, max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -281,6 +290,124 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _capped_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+                     max_shingle_df: int | None) -> DataFrame:
+    sh = ngram_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        dfreq = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(dfreq))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    return sh
+
+
+def _shingles_with_df(df: DataFrame, text_col: str, id_col: str, n: int,
+                      max_shingle_df: int | None) -> DataFrame:
+    """(id, shingle, __df) — document frequency attached in the SAME
+    window pass the cap uses, so the prefix path pays one shuffle for
+    both instead of a second groupBy+join."""
+    from pyspark.sql import Window
+
+    sh = ngram_shingles(df, text_col, id_col, n).withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    if max_shingle_df is not None:
+        sh = sh.filter(F.col("__df") <= max_shingle_df)
+    return sh
+
+
+def ngram_jaccard_prefix_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Just the candidate id pairs the prefix filter admits (bench
+    introspection — the scale_counters honesty surface)."""
+    sh = _shingles_with_df(df, text_col, id_col, n, max_shingle_df)
+    _, cand = _prefix_candidates(sh, id_col, threshold)
+    return cand
+
+
+def _prefix_candidates(sh: DataFrame, id_col: str, threshold: float
+                       ) -> tuple[DataFrame, DataFrame]:
+    """(per-doc canonical shingle arrays, candidate id pairs) for the
+    prefix-filtering principle — split out so bench can count the
+    candidate set the filter admits. ``sh`` carries (id, shingle, __df)."""
+    docs = (
+        sh.groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("__df", "shingle"))).alias("__ss"))
+        .select(
+            F.col(id_col),
+            F.col("__ss.shingle").alias("__toks"),
+        )
+        .withColumn("__sz", F.size("__toks"))
+        .withColumn(
+            "__plen",
+            F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1)
+)
+    prefix = docs.select(
+        F.col(id_col), F.col("__sz"),
+        F.explode(F.expr("slice(__toks, 1, __plen)")).alias("shingle"))
+    pa = prefix.select(F.col(id_col).alias("id_a"),
+                       F.col("__sz").alias("__za"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("id_b"),
+                       F.col("__sz").alias("__zb"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.col("__zb") >= threshold * F.col("__za"))
+               & (F.col("__za") >= threshold * F.col("__zb")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return docs, cand
+
+
+def _jaccard_pairs_prefix(sh: DataFrame, id_col: str,
+                          threshold: float) -> DataFrame:
+    """Prefix-filtered exact Jaccard over a (id, shingle, __df) table.
+
+    Shuffle budget: 1 window pass attaching df (shared with the cap) +
+    1 per-doc collect + the prefix self-join (bounded by RARE-shingle
+    frequencies) + 2 candidate joins for verification. Candidate count is
+    the sum over PREFIX shingles of C(df,2) — the canonical order pushes
+    boilerplate to the suffix, so the hot-shingle blowup term vanishes.
+    Measured honesty note: on the sf0.1 fixture candidates drop 1.13 M →
+    310 k (3.6×) but WALL TIME is ~3× the naive path — that corpus has no
+    boilerplate tail (pairs come from the mid-frequency bulk, so the
+    index ≈ candidate set) and verification ships both docs' full shingle
+    arrays per candidate. The filter's win condition is candidates ≫
+    index (boilerplate-heavy crawls): the planted-boilerplate pytest
+    shows the C(boiler,2) term vanishing. Hence the declared q55/q80 keep
+    the naive tier at fixture scale; prefix_filter=True is the documented
+    crawl-scale escape hatch, exactness pinned by the equivalence pytest."""
+    docs, cand = _prefix_candidates(sh, id_col, threshold)
+    da = docs.select(F.col(id_col).alias("id_a"),
+                     F.col("__toks").alias("__ta"),
+                     F.col("__sz").alias("sz_a"))
+    db = docs.select(F.col(id_col).alias("id_b"),
+                     F.col("__toks").alias("__tb"),
+                     F.col("__sz").alias("sz_b"))
+    return (
+        cand.join(da, "id_a").join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1348,3 +1348,39 @@ def test_duplicate_clusters_string_ids(spark):
                    pairs, "id_a", "id_b", out_id="doc_id",
                    strategy=strat).collect()}
         assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}, strat
+
+
+def test_ngram_jaccard_prefix_filter_exact_equivalence(spark):
+    """AllPairs prefix filtering (r6): the prefix-filtered path must emit
+    EXACTLY the naive inverted-index path's pairs — same ids, same
+    jaccard values — across thresholds and with/without the DF cap, on a
+    corpus with planted near-dups, exact dups, disjoint docs, and a
+    boilerplate cluster (the hot-shingle case the filter exists for)."""
+    from duckdb_read_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i} end{i} x{i} y{i}") for i in range(30)]
+    rows += [(100, base + " tail0 end0 x0 y0")]          # near-dup of 0
+    rows += [(101, rows[5][1])]                          # exact dup of 5
+    rows += [(200 + i, "totally different words here nothing shared "
+              f"unique{i} item{i} row{i} val{i}") for i in range(10)]
+    boiler = "standard footer text appearing in every single document"
+    rows += [(300 + i, boiler + f" plus{i}") for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (0.3, 0.5, 0.8):
+        for cap in (None, 16):
+            naive = {(r.id_a, r.id_b, round(r.jaccard, 9))
+                     for r in dedup.ngram_jaccard_pairs(
+                         docs, n=3, threshold=thr,
+                         max_shingle_df=cap).collect()}
+            pref = {(r.id_a, r.id_b, round(r.jaccard, 9))
+                    for r in dedup.ngram_jaccard_pairs(
+                        docs, n=3, threshold=thr, max_shingle_df=cap,
+                        prefix_filter=True).collect()}
+            assert pref == naive, (thr, cap)
+    # and the filter actually filters: candidates < all-sharing pairs
+    n_cand = dedup.ngram_jaccard_prefix_candidates(
+        docs, n=3, threshold=0.8).count()
+    n_all = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).count()
+    assert 0 < n_cand < n_all
