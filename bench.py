@@ -128,8 +128,33 @@ def main() -> None:
         "q114_bm25_search",
         "q115_tfidf_vectors",
         "q120_chunk_documents",
+        "q122_iceberg_interop",
+        "q123_clone_lifecycle",
+        "q124_fts_sql_surface",
+        "q125_gapfill_date_spine",
     ):
         extra[name] = round(_time_op(name), 4)
+
+    # q94 lives in the SQL-query contract (not OP_QUERIES) but is the
+    # recursion cost the r5 verdict tracked — time it through the same
+    # materialize-inputs path the declared runner uses
+    def _time_q94(runs: int = 3) -> float:
+        from duckdb_read_spark.plans.recursive import (
+            materialize_recursive_inputs,
+        )
+        from duckdb_read_spark.queries import QUERIES
+
+        def once() -> float:
+            t0 = _t.perf_counter()
+            text = materialize_recursive_inputs(
+                spark, QUERIES["q94_recursive_chain"].spark)
+            spark.sql(text).agg(F.count(F.lit(1))).collect()
+            return _t.perf_counter() - t0
+
+        once()
+        return _st.median(once() for _ in range(runs))
+
+    extra["q94_recursive_chain"] = round(_time_q94(), 4)
 
     # Scale-honesty counters (VERDICT r1 item 9): the dedup benches are
     # only meaningful relative to how many candidate pairs the banding
