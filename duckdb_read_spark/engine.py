@@ -2477,7 +2477,7 @@ class Engine:
     _TEMPORAL_LIT_RE = re.compile(
         r"^(?:DATE|TIMESTAMP)\s*'[^']+'$", re.IGNORECASE)
     _INTERVAL_LIT_RE = re.compile(
-        r"^INTERVAL\s+(?:'[^']+'|\d+)(?:\s+\w+)?$", re.IGNORECASE)
+        r"^INTERVAL\s+(?:'[^']+'|-?\d+)(?:\s+\w+)?$", re.IGNORECASE)
 
     def _resolve_series_functions(self, query: str) -> str:
         """DuckDB's ``FROM generate_series(a, b[, s])`` (inclusive stop,

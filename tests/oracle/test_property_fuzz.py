@@ -414,3 +414,54 @@ def test_fuzzed_dml_script_matches_oracle(seed, spark, tmp_path):
     want = duckdb_rows(con, stmts[-1])
     assert got == want, f"seed={seed}\nscript={stmts}\n" + \
         diff_summary(got, want)
+
+
+# --- temporal generate_series/range fuzz (F11 r6 forms) -------------------
+
+def gen_temporal_series(rng: random.Random) -> str:
+    """Random DATE/TIMESTAMP bounds + INTERVAL steps through the series
+    TVFs — identical text in both engines; exercises inclusive/exclusive
+    stops, descending steps, interval spelling variants, and the
+    DATE-bounds→TIMESTAMP-rows coercion."""
+    import datetime as _dt
+
+    fn = rng.choice(["generate_series", "range"])
+    start = _dt.datetime(2024, 1, rng.randint(1, 20), rng.randint(0, 23))
+    span_h = rng.randint(1, 24 * 40)
+    unit, qty = rng.choice([
+        ("day", rng.randint(1, 3)),
+        ("hour", rng.randint(1, 36)),
+        ("minute", rng.randint(7, 300)),
+    ])
+    desc = rng.random() < 0.25
+    stop = start + _dt.timedelta(hours=-span_h if desc else span_h)
+    sqty = -qty if desc else qty
+    style = rng.randrange(3)
+    if style == 1 and sqty < 0:
+        style = 0  # DuckDB rejects a bare negative (INTERVAL -26 HOUR)
+    if style == 0:
+        step = f"INTERVAL '{sqty} {unit}{'s' if abs(sqty) != 1 else ''}'"
+    elif style == 1:
+        step = f"INTERVAL {sqty} {unit.upper()}"
+    else:
+        step = f"INTERVAL '{sqty}' {unit.upper()}"
+    use_date = unit == "day" and start.hour == 0 and rng.random() < 0.5
+    if use_date:
+        a = f"DATE '{start.date().isoformat()}'"
+        b = f"DATE '{stop.date().isoformat()}'"
+    else:
+        a = f"TIMESTAMP '{start.strftime('%Y-%m-%d %H:%M:%S')}'"
+        b = f"TIMESTAMP '{stop.strftime('%Y-%m-%d %H:%M:%S')}'"
+    src = f"{fn}({a}, {b}, {step}) AS t(ts)"
+    if rng.random() < 0.5:
+        return (f"SELECT COUNT(*) AS n, MIN(ts) AS mn, MAX(ts) AS mx "
+                f"FROM {src}")
+    return f"SELECT ts FROM {src} ORDER BY ts LIMIT 500"
+
+
+@pytest.mark.parametrize("seed", range(220, 240))
+def test_fuzzed_temporal_series_matches_oracle(seed, engine, duck):
+    sql = gen_temporal_series(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
