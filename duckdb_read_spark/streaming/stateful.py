@@ -47,6 +47,68 @@ def running_totals(
     )
 
 
+def running_totals_tws(
+    events: DataFrame,
+    key: str = "user_id",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API (SPARK-45673, public),
+    the successor tier to ``running_totals``'s applyInPandasWithState.
+
+    Same semantics and output shape as ``running_totals`` (equivalence
+    test-pinned), but state is a named ``ValueState`` managed by a
+    ``StatefulProcessor`` — the API that adds state TTL, multiple state
+    variables, timers, and initial-state bootstrapping at 100 TB scale.
+    Requires the RocksDB state store provider (a Spark requirement for
+    this API, config not code) and the ``protobuf`` package (the API's
+    state-protocol wire format — raises a clear error when absent, as in
+    this container; the applyInPandasWithState tier has no such
+    dependency and stays the default)."""
+    import pandas as pd
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's stateful-processor protocol); it is not installed "
+            "in this environment — use running_totals "
+            "(applyInPandasWithState) instead") from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n LONG, total DOUBLE"
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key_t, rows, timer_values):
+            n, total = (self._state.get() if self._state.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({key: [key_t[0]], "n": [n],
+                                "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     id_cols: list[str],

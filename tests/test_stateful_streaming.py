@@ -177,3 +177,61 @@ def test_run_to_memory_default_mode_for_non_aggregated_stream(spark, two_batch_d
     stream = spark.readStream.schema(schema).parquet(os.path.join(two_batch_dir, "f*"))
     run_to_memory(stream_dedup(stream, ["user_id", "ts"]), "t_default_mode")
     assert spark.table("t_default_mode").count() == 4
+
+
+def test_running_totals_transform_with_state(spark, two_batch_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary stateful processing):
+    same two-batch scenario, same totals as the applyInPandasWithState
+    tier — state persists across micro-batches through a named ValueState.
+    RocksDB provider is a Spark requirement for this API (config only).
+    Skips when protobuf (the API's state-protocol dependency) is absent —
+    the operator itself must then raise a CLEAR ImportError, which this
+    test pins before skipping."""
+    from duckdb_read_spark.streaming.stateful import running_totals_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        schema = spark.read.parquet(os.path.join(two_batch_dir, "f0")).schema
+        stream = (spark.readStream.schema(schema)
+                  .parquet(os.path.join(two_batch_dir, "f*")))
+        with pytest.raises(ImportError, match="protobuf"):
+            running_totals_tws(stream)
+        pytest.skip("protobuf not installed — gated-dependency path pinned")
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(os.path.join(two_batch_dir, "f0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(two_batch_dir, "f*"))
+        )
+        q = (
+            running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("t_tws").collect()
+        latest = {}
+        for r in rows:
+            latest[r["user_id"]] = (r["n"], r["total"])
+        assert latest[1] == (3, 7.0)
+        assert latest[2] == (1, 5.0)
+        assert any(r["user_id"] == 1 and r["n"] == 1 for r in rows)
+    finally:
+        if old is not None:
+            spark.conf.set(provider_conf, old)
+        else:
+            spark.conf.unset(provider_conf)
