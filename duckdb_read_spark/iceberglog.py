@@ -131,6 +131,26 @@ def _pick_snapshot(meta: dict, version: int | None,
         f"or 1..{len(snaps)} chronological)")
 
 
+def _check_schema_evolution(meta: dict) -> None:
+    """Refuse renamed columns: Iceberg resolves columns by FIELD ID, so a
+    rename leaves old data files carrying the old name — a name-based
+    parquet read (this reader) would surface the renamed column as two
+    half-NULL columns. Additive evolution (new ids) is safe (mergeSchema);
+    a field id whose name CHANGES across schemas raises instead of
+    mis-reading."""
+    names_by_id: dict[int, set[str]] = {}
+    for sch in meta.get("schemas", []):
+        for f in sch.get("fields", []):
+            names_by_id.setdefault(f["id"], set()).add(f["name"])
+    renamed = sorted(n for n, names in names_by_id.items() if len(names) > 1)
+    if renamed:
+        raise NotImplementedError(
+            f"iceberg column rename detected (field id(s) {renamed} carry "
+            f"multiple names across schemas) — this name-based reader "
+            f"would split the column; field-id projection is not "
+            f"implemented")
+
+
 def snapshot_data_files(table_dir: str, version: int | None = None,
                         as_of_ms: int | None = None) -> list[str]:
     """Absolute local paths of the parquet data files in a snapshot.
@@ -139,6 +159,7 @@ def snapshot_data_files(table_dir: str, version: int | None = None,
     (2). Delete manifests (content=1) and non-data files raise — a
     reader that ignored them would return deleted rows as live."""
     meta = table_metadata(table_dir)
+    _check_schema_evolution(meta)
     snap = _pick_snapshot(meta, version, as_of_ms)
     ml_path = _localize(snap["manifest-list"], meta, table_dir)
     _, manifests = avroio.read_container(ml_path)

@@ -357,3 +357,21 @@ def test_copy_to_iceberg_format(eng, spark, tmp_path):
             f"(FORMAT ICEBERG)")
     assert iceberglog.read_iceberg_table(spark, d).count() == 31
     assert iceberglog.read_iceberg_table(spark, d, version=1).count() == 30
+
+
+def test_iceberg_renamed_column_refuses(eng, spark, tmp_path):
+    """Iceberg resolves columns by field id; a rename leaves old files
+    under the old name, and a name-based read would split the column into
+    two half-NULL ones — the reader must refuse, not mis-read."""
+    d = str(tmp_path / "ice_ren")
+    iceberglog.write_table(spark.range(5).withColumnRenamed("id", "k"), d)
+    meta_path = iceberglog._metadata_path(d)
+    meta = json.loads(open(meta_path).read())
+    # simulate a rename: second schema gives field id 1 a new name
+    meta["schemas"].append({"schema-id": 1, "type": "struct", "fields": [
+        {"id": 1, "name": "k_renamed", "required": False, "type": "long"}]})
+    meta["current-schema-id"] = 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="rename"):
+        iceberglog.read_iceberg_table(spark, d)
