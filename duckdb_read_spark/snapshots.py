@@ -512,7 +512,14 @@ def clone(
     The source's ALTER ledger (ops at-or-before the cloned version,
     re-stamped to apply from the fork point) and constraints sidecar are
     copied so the fork preserves the source's logical schema and
-    enforcement. Fails if ``dst_dir`` already holds a table."""
+    enforcement. Fails if ``dst_dir`` already holds a table.
+
+    Shallow-clone caveat (same as Delta's): the clone REFERENCES source
+    files, so dropping the source table or vacuuming away the cloned
+    snapshot's files breaks the clone's reads of pre-fork data. Post-fork
+    commits on the clone own their files and are unaffected; OPTIMIZE on
+    the clone rewrites referenced data into clone-owned files if full
+    independence is needed."""
     if read_log(dst_dir):
         raise ValueError(f"CLONE target {dst_dir!r} already holds a table")
     commits = read_log(src_dir)
