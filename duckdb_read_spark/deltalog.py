@@ -145,24 +145,31 @@ def _read_checkpoint(table_dir: str) -> tuple[int, dict[str, dict]] | None:
                               f"{v:020d}.checkpoint.parquet")]
     import pyarrow.parquet as pq
 
+    # Read every part up front: a stale _last_checkpoint whose parquet was
+    # cleaned up (or never copied) must FALL BACK to full JSON replay, not
+    # make the table unreadable. Protocol refusals below stay loud.
+    try:
+        rows = [row for p in paths for row in pq.read_table(p).to_pylist()]
+    except Exception:
+        return None
+
     files: dict[str, dict] = {}
-    for p in paths:
-        for row in pq.read_table(p).to_pylist():
-            if row.get("protocol") is not None:
-                proto = dict(row["protocol"])
-                if isinstance(proto.get("readerFeatures"), (list, tuple)):
-                    proto["readerFeatures"] = list(proto["readerFeatures"])
-                _check_protocol({"protocol": proto})
-            add = row.get("add")
-            if add is not None:
-                a = dict(add)
-                pv = a.get("partitionValues")
-                if isinstance(pv, list):  # map type → list of (k, v)
-                    a["partitionValues"] = dict(pv)
-                files[a["path"]] = a
-            rm = row.get("remove")
-            if rm is not None:
-                files.pop(rm["path"], None)
+    for row in rows:
+        if row.get("protocol") is not None:
+            proto = dict(row["protocol"])
+            if isinstance(proto.get("readerFeatures"), (list, tuple)):
+                proto["readerFeatures"] = list(proto["readerFeatures"])
+            _check_protocol({"protocol": proto})
+        add = row.get("add")
+        if add is not None:
+            a = dict(add)
+            pv = a.get("partitionValues")
+            if isinstance(pv, list):  # map type → list of (k, v)
+                a["partitionValues"] = dict(pv)
+            files[a["path"]] = a
+        rm = row.get("remove")
+        if rm is not None:
+            files.pop(rm["path"], None)
     return v, files
 
 
@@ -193,6 +200,14 @@ def delta_snapshot(table_dir: str, version: int | None = None
     elif last0 not in versions0:
         raise LookupError(
             f"delta version {last0} not in log (have {versions0})")
+    elif versions0[0] != 0:
+        # JSON-only replay needs the complete 0..last0 prefix; a log whose
+        # early commits were cleaned up (and whose checkpoint is absent or
+        # unreadable) would replay to a state silently missing every file
+        # added before the surviving base.
+        raise LookupError(
+            f"delta log at {table_dir!r} starts at {versions0[0]} with no "
+            f"readable checkpoint — cannot replay version {last0}")
     if last0 > newest:
         raise LookupError(
             f"delta version {last0} not in log (have {versions0})")
@@ -375,7 +390,22 @@ def write_checkpoint(table_dir: str, version0: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    _, files = delta_snapshot(table_dir, version0 + 1)
+    # Prefer the PRIVATE log's manifest: every private commit carries the
+    # COMPLETE file list, so the state is right even when the surviving
+    # delta base is an append whose JSON alone under-describes the table
+    # (replaying the truncated delta tail there would checkpoint a state
+    # silently missing earlier files). Foreign _delta_log-only dirs fall
+    # back to delta replay, which needs the full 0..N prefix anyway.
+    try:
+        from . import snapshots as _snap
+
+        entries = _snap.snapshot_file_entries(table_dir,
+                                              version=version0 + 1)
+        ts_ms = int(time.time() * 1000)
+        files = {e["path"].replace(os.sep, "/"):
+                 _add_action(table_dir, e, ts_ms)["add"] for e in entries}
+    except FileNotFoundError:
+        _, files = delta_snapshot(table_dir, version0 + 1)
     meta = _existing_meta(table_dir) or {}
     str_map = pa.map_(pa.string(), pa.string())
     schema = pa.schema([

@@ -2306,18 +2306,30 @@ class Engine:
             src = self.table(tbl)
             text = (F.col(fields[0]) if len(fields) == 1
                     else F.concat_ws(" ", *[F.col(c) for c in fields]))
-            scores = retrieval.bm25_scores(
-                src.withColumn("__fts_text", text.cast("string")),
-                terms, text_col="__fts_text", id_col=info["id"],
-                k1=float(named.get("k", 1.2)),
-                b=float(named.get("b", 0.75)),
-                conjunctive=named.get("conjunctive", "0").strip("'")
-                in ("1", "true"),
-            ).select(F.col(info["id"]).alias("__id"),
-                     F.col("bm25").alias("__score"))
-            n += 1
-            view = f"__fts_scores_{n}"
-            scores.createOrReplaceTempView(view)
+            k1 = float(named.get("k", 1.2))
+            bb = float(named.get("b", 0.75))
+            conj = (named.get("conjunctive", "0").strip("'").lower()
+                    in ("1", "true"))  # TRUE/True spellings count too
+            # one scores view per DISTINCT (index, terms, options) — a
+            # session issuing many match_bm25 queries must not leak a new
+            # temp view (and recompute bm25) per call site
+            cache = getattr(self, "_fts_view_cache", None)
+            if cache is None:
+                cache = self._fts_view_cache = {}
+            ckey = (tbl.lower(), tuple(terms), tuple(fields), k1, bb,
+                    conj, getattr(self, "_reg_epoch", 0))
+            view = cache.get(ckey)
+            if view is None:
+                scores = retrieval.bm25_scores(
+                    src.withColumn("__fts_text", text.cast("string")),
+                    terms, text_col="__fts_text", id_col=info["id"],
+                    k1=k1, b=bb, conjunctive=conj,
+                ).select(F.col(info["id"]).alias("__id"),
+                         F.col("bm25").alias("__score"))
+                n += 1
+                view = f"__fts_scores_{n}"
+                scores.createOrReplaceTempView(view)
+                cache[ckey] = view
             out.append(query[pos:m.start()])
             out.append(f"(SELECT s.__score FROM {view} s "
                        f"WHERE s.__id = {id_expr})")
@@ -2496,7 +2508,13 @@ class Engine:
         pat = re.compile(
             r"\b(?P<kw>FROM|JOIN)\s+(?P<fn>generate_series|range)\s*"
             r"\(\s*(?P<args>[^()]*)\)"
-            r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*)"
+            # both `AS t(i)` and DuckDB's bare `t(i)` alias forms are
+            # consumed; the lookahead keeps a following clause keyword
+            # (ORDER/WHERE/JOIN/…) from being eaten as a bare alias
+            r"(?:\s+(?:AS\s+)?(?!(?:ORDER|WHERE|GROUP|HAVING|QUALIFY|"
+            r"LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|JOIN|INNER|LEFT|RIGHT|"
+            r"FULL|CROSS|NATURAL|ON|USING|SELECT|WINDOW)\b)"
+            r"(?P<alias>[A-Za-z_]\w*)"
             r"(?:\s*\(\s*(?P<colal>[A-Za-z_]\w*)\s*\))?)?",
             re.IGNORECASE,
         )
@@ -2523,9 +2541,14 @@ class Engine:
                 b = f"CAST({b} AS TIMESTAMP)"
             inner = f"SELECT explode(sequence({a}, {b}, {s})) AS {col}"
             if fn == "range":  # exclusive stop; sequence() is inclusive
-                neg = re.search(r"-\s*\d", s) is not None
+                # Direction comes from the NET step sign — a compound
+                # interval like '1 day -1 hour' contains a '-' but steps
+                # forward, so sniffing the literal for '-\d' misclassifies
+                # it and would flip the filter. Let the engine evaluate
+                # the sign instead (constant-folded by Catalyst).
                 inner = (f"SELECT {col} FROM ({inner}) "
-                         f"WHERE {col} {'>' if neg else '<'} {b}")
+                         f"WHERE CASE WHEN {a} + {s} >= {a} "
+                         f"THEN {col} < {b} ELSE {col} > {b} END")
             return f"{m.group('kw')} ({inner}) {alias}"
 
         def sub(m: re.Match) -> str:
@@ -2811,6 +2834,11 @@ class Engine:
             paths = [os.path.join(table_dir, e["path"]) for e in cand]
             probe = (self.spark.read.option("mergeSchema", "true")
                      .parquet(*paths))
+            # Apply the ALTER ledger first: a pre-rename candidate file
+            # carries the OLD column name, and probing the new name as
+            # NULL would miss every pred-TRUE row in it — turning the
+            # whole UPDATE/DELETE into a silent no-op on those files.
+            probe = snapshots.apply_schema_patches(probe, table_dir)
             # Align to the CURRENT table schema: the stats cut may leave
             # only pre-evolution files that lack a column the predicate
             # references; mergeSchema can't invent it, so add it as NULL
@@ -2854,6 +2882,12 @@ class Engine:
         table_dir = self._versioned[name]
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[os.path.join(table_dir, p) for p in sorted(rel_paths)]))
+        # Apply the ALTER ledger BEFORE aligning to the table schema:
+        # a hit file written before a RENAME carries the old column name,
+        # and without the rename coalesce the select below would surface
+        # the renamed column as NULL — silently wrong UNIQUE probes and,
+        # worse, NULLed-out data in partial UPDATE/MERGE rewrites.
+        df = snapshots.apply_schema_patches(df, table_dir)
         return df.select(
             *[F.col(f.name).cast(f.dataType) if f.name in df.columns
               else F.lit(None).cast(f.dataType).alias(f.name)

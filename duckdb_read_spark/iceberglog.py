@@ -139,9 +139,25 @@ def _check_schema_evolution(meta: dict) -> None:
     a field id whose name CHANGES across schemas raises instead of
     mis-reading."""
     names_by_id: dict[int, set[str]] = {}
+
+    def walk_type(t) -> None:
+        # nested struct/list/map fields rename the same way top-level
+        # ones do — recurse so a renamed struct member is refused too
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                names_by_id.setdefault(f["id"], set()).add(f["name"])
+                walk_type(f.get("type"))
+        elif kind == "list":
+            walk_type(t.get("element"))
+        elif kind == "map":
+            walk_type(t.get("key"))
+            walk_type(t.get("value"))
+
     for sch in meta.get("schemas", []):
-        for f in sch.get("fields", []):
-            names_by_id.setdefault(f["id"], set()).add(f["name"])
+        walk_type(sch)
     renamed = sorted(n for n, names in names_by_id.items() if len(names) > 1)
     if renamed:
         raise NotImplementedError(
@@ -289,7 +305,11 @@ def write_table(df, table_dir: str, mode: str = "overwrite",
         meta = table_metadata(table_dir)
     except FileNotFoundError:
         meta = None
-    seq = (meta["last-sequence-number"] + 1) if meta else 1
+    # v1 foreign tables have no last-sequence-number (the key is a v2
+    # addition) — treat missing as 0 so appends to a v1 table work
+    # instead of raising KeyError; the table is upgraded to v2 keys on
+    # this write (reader handles both).
+    seq = (meta.get("last-sequence-number", 0) + 1) if meta else 1
     snap_id = int(_uuid.uuid4().int % (2**62)) + 1
     ts = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
     table_uri = f"file://{os.path.abspath(table_dir)}"

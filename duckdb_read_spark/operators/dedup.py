@@ -354,9 +354,14 @@ def _prefix_candidates(sh: DataFrame, id_col: str, threshold: float
         )
         .withColumn("__sz", F.size("__toks"))
         .withColumn(
+            # AllPairs bound sz - ⌈t·sz⌉ + 1, with an epsilon inside the
+            # ceil: IEEE gives e.g. 0.55*100 = 55.000000000000007, whose
+            # ceil (56) would shorten the prefix below the bound and DROP
+            # pairs the naive tier emits at exact-boundary sizes.
             "__plen",
             F.col("__sz")
-            - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1)
+            - F.ceil(F.lit(threshold) * F.col("__sz")
+                     - F.lit(1e-9)).cast("int") + 1)
 )
     prefix = docs.select(
         F.col(id_col), F.col("__sz"),
@@ -368,8 +373,11 @@ def _prefix_candidates(sh: DataFrame, id_col: str, threshold: float
     cand = (
         pa.join(pb, "shingle")
         .where((F.col("id_a") < F.col("id_b"))
-               & (F.col("__zb") >= threshold * F.col("__za"))
-               & (F.col("__za") >= threshold * F.col("__zb")))
+               # epsilon-relaxed size filter for the same IEEE boundary
+               # (|Y| = 55 vs t·|X| = 55.000000000000007); the exact
+               # jaccard verification downstream removes any extras
+               & (F.col("__zb") >= threshold * F.col("__za") - F.lit(1e-9))
+               & (F.col("__za") >= threshold * F.col("__zb") - F.lit(1e-9)))
         .select("id_a", "id_b")
         .distinct()
     )

@@ -31,6 +31,29 @@ _CACHED: list = []
 _VIEW_N = [0]
 
 
+def _ref_positions(name: str, text: str):
+    """Spans where ``name`` can be a TABLE reference: word-bounded, not
+    preceded by ``.`` (that's a qualified column like ``e.name``), not
+    preceded by the keyword ``AS`` (that's an alias/output-column
+    definition), and not inside a string literal or line comment.
+    Rewriting those other occurrences corrupts valid queries (an
+    ``e.lvl`` column ref sharing a CTE's name would become
+    ``e.__rec_cte_1``)."""
+    skip = [mm.span() for mm in
+            re.finditer(r"'(?:[^']|'')*'|--[^\n]*", text)]
+    for mm in re.finditer(rf"\b{re.escape(name)}\b", text, re.IGNORECASE):
+        if any(a <= mm.start() < b for a, b in skip):
+            continue
+        pre = text[:mm.start()].rstrip()
+        if pre.endswith(".") or re.search(r"\bAS$", pre, re.IGNORECASE):
+            continue
+        yield mm.span()
+
+
+def _refs(name: str, text: str) -> bool:
+    return next(iter(_ref_positions(name, text)), None) is not None
+
+
 def _match_paren(text: str, open_idx: int) -> int:
     depth, i, in_str = 0, open_idx, False
     while i < len(text):
@@ -73,21 +96,18 @@ def materialize_recursive_inputs(spark, query: str) -> str:
     final = query[pos:].strip()
     if not ctes or not final.upper().startswith(("SELECT", "(")):
         return query
-    recursive = {n for n, b in ctes
-                 if re.search(rf"\b{re.escape(n)}\b", b, re.IGNORECASE)}
+    recursive = {n for n, b in ctes if _refs(n, b)}
     if not recursive:
         return query
     needed: set[str] = set()
     for n, b in ctes:
         if n in recursive:
             for n2, _ in ctes:
-                if n2 != n and n2 not in recursive and re.search(
-                        rf"\b{re.escape(n2)}\b", b, re.IGNORECASE):
+                if n2 != n and n2 not in recursive and _refs(n2, b):
                     needed.add(n2)
     # a candidate must not itself depend on a recursive CTE
     needed = {n for n, b in ctes if n in needed and not any(
-        re.search(rf"\b{re.escape(r)}\b", b, re.IGNORECASE)
-        for r in recursive)}
+        _refs(r, b) for r in recursive)}
     if not needed:
         return query
     for df in _CACHED:
@@ -100,13 +120,9 @@ def materialize_recursive_inputs(spark, query: str) -> str:
 
     def apply_subst(text: str) -> str:
         for old, new in subst.items():
-            spans = [mm.span() for mm in
-                     re.finditer(r"'(?:[^']|'')*'|--[^\n]*", text)]
-            text = re.sub(
-                rf"\b{re.escape(old)}\b",
-                lambda mm: mm.group(0)
-                if any(a <= mm.start() < b for a, b in spans) else new,
-                text, flags=re.IGNORECASE)
+            # replace back-to-front so earlier spans stay valid
+            for a, b in reversed(list(_ref_positions(old, text))):
+                text = text[:a] + new + text[b:]
         return text
 
     remaining: list[tuple[str, str]] = []

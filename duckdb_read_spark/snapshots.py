@@ -333,10 +333,15 @@ def apply_schema_patches(df: DataFrame, table_dir: str,
             if p["old"] in df.columns and p["new"] in df.columns:
                 # file generations written AFTER the rename already carry
                 # the new name; mergeSchema surfaces BOTH columns (each
-                # row has exactly one non-NULL side) — coalesce them
-                df = df.withColumn(
-                    p["new"], F.coalesce(F.col(p["new"]), F.col(p["old"]))
-                ).drop(p["old"])
+                # row has exactly one non-NULL side) — coalesce them INTO
+                # THE OLD NAME'S POSITION. withColumn+drop would move the
+                # column to the end, silently changing the table's
+                # declared column order (and with it every positional
+                # INSERT/SELECT * binding).
+                df = df.select(*[
+                    F.coalesce(F.col(p["new"]), F.col(p["old"]))
+                    .alias(p["new"]) if c == p["old"] else F.col(c)
+                    for c in df.columns if c != p["new"]])
             elif p["old"] in df.columns:
                 df = df.withColumnRenamed(p["old"], p["new"])
     return df

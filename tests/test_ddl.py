@@ -697,3 +697,28 @@ def test_macro_substitution_edges(eng):
     v = eng.sql("SELECT clamp(lo, 0, 10) AS v FROM tm",
                 dialect="duckdb").collect()[0].v
     assert v == 7
+
+
+def test_rename_preserves_declared_column_order(eng, duck):
+    """Review r6: the rename coalesce (pre+post-rename file generations)
+    must keep the renamed column in its ORIGINAL position — moving it to
+    the end silently flips positional INSERT bindings and SELECT * order.
+    Same script runs in DuckDB; orders and values must agree."""
+    script = [
+        "CREATE TABLE tro (a BIGINT, b BIGINT, c BIGINT)",
+        "INSERT INTO tro VALUES (1, 2, 3)",
+        "ALTER TABLE tro RENAME COLUMN b TO bb",
+        "INSERT INTO tro VALUES (10, 20, 30)",   # positional: a, bb, c
+        "ALTER TABLE tro RENAME COLUMN a TO aa",
+        "INSERT INTO tro VALUES (100, 200, 300)",
+    ]
+    duck.sql("DROP TABLE IF EXISTS tro")
+    for s in script:
+        eng.sql(s)
+        duck.sql(s)
+    q = "SELECT * FROM tro ORDER BY aa"
+    got = [(r[0], r[1], r[2]) for r in eng.sql(q).collect()]
+    want = duck.sql(q).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert [f.name for f in eng.table("tro").schema.fields] \
+        == [d[0] for d in duck.sql("DESCRIBE tro").fetchall()]

@@ -265,3 +265,35 @@ def test_unsupported_reader_features_raise(eng, spark, tmp_path):
             "writerFeatures": ["deletionVectors"]}}) + "\n")
     with pytest.raises(NotImplementedError, match="deletionVectors"):
         deltalog.delta_snapshot(d)
+
+
+def test_stale_last_checkpoint_falls_back_to_json(eng, spark, tmp_path):
+    """Review r6: a _last_checkpoint whose parquet was cleaned up (or
+    never copied) must not make the table unreadable when the complete
+    JSON log is still there — fall back to full replay."""
+    d = str(tmp_path / "tstale")
+    eng.write_versioned(spark.range(10).coalesce(1), d)
+    eng.write_versioned(spark.range(10, 20).coalesce(1), d, mode="append")
+    deltalog.write_checkpoint(d, 1)
+    for f in os.listdir(os.path.join(d, "_delta_log")):
+        if f.endswith(".checkpoint.parquet"):
+            os.remove(os.path.join(d, "_delta_log", f))
+    rows = {r.id for r in deltalog.read_delta_table(spark, d).collect()}
+    assert rows == set(range(20))
+
+
+def test_truncated_log_missing_checkpoint_refuses(eng, spark, tmp_path):
+    """A log whose early JSON commits were cleaned AND whose checkpoint
+    is unreadable must refuse loudly — a tail-only replay would silently
+    miss every file added before the surviving base."""
+    d = str(tmp_path / "ttrunc")
+    eng.write_versioned(spark.range(10).coalesce(1), d)
+    eng.write_versioned(spark.range(10, 20).coalesce(1), d, mode="append")
+    eng.write_versioned(spark.range(20, 30).coalesce(1), d, mode="append")
+    ddir = os.path.join(d, "_delta_log")
+    os.remove(os.path.join(ddir, f"{0:020d}.json"))
+    for f in os.listdir(ddir):
+        if "checkpoint" in f:
+            os.remove(os.path.join(ddir, f))
+    with pytest.raises(LookupError, match="checkpoint"):
+        deltalog.delta_snapshot(d)

@@ -1262,3 +1262,81 @@ def test_pragma_table_info_cross_engine(engine, duck, spark, tmp_path):
     assert rows["a"]["pk"] and rows["a"]["notnull"]
     assert rows["b"]["notnull"] and not rows["b"]["pk"]
     assert rows["c"]["dflt_value"] == "1.5" and not rows["c"]["notnull"]
+
+
+def test_recursive_cte_name_collision_with_column(engine, spark):
+    """Review r6: a CTE whose name also appears as a QUALIFIED COLUMN
+    (e.g. ``e.lvl``) or an output alias (``AS lvl``) must not have those
+    occurrences rewritten to the materialized view name."""
+    from duckdb_read_spark.plans.recursive import (
+        materialize_recursive_inputs,
+    )
+
+    q = ("WITH RECURSIVE lvl AS (SELECT 1 AS x), "
+         "r AS (SELECT l.x AS v FROM lvl l UNION ALL "
+         "SELECT v + 1 FROM r WHERE v < 3) "
+         "SELECT r.v AS lvl, r.v FROM r ORDER BY r.v")
+    rewritten = materialize_recursive_inputs(spark, q)
+    want = [tuple(r) for r in spark.sql(q).collect()]
+    got_df = spark.sql(rewritten)
+    # output column name must survive (AS lvl not rewritten)
+    assert got_df.columns[0] == "lvl"
+    assert [tuple(r) for r in got_df.collect()] == want
+
+    # qualified column ref sharing a CTE name: query must still run and
+    # keep the ref intact (events has no column collision in fixtures, so
+    # build one inline)
+    q2 = ("WITH RECURSIVE base AS (SELECT 1 AS lvl), "
+          "lvl AS (SELECT 2 AS y), "
+          "r AS (SELECT b.lvl AS v, y.y FROM base b CROSS JOIN lvl y "
+          "UNION ALL SELECT v + 1, y FROM r WHERE v < 2) "
+          "SELECT v, y FROM r ORDER BY v")
+    want2 = [tuple(r) for r in spark.sql(q2).collect()]
+    got2 = [tuple(r) for r in
+            spark.sql(materialize_recursive_inputs(spark, q2)).collect()]
+    assert got2 == want2
+
+
+def test_series_bare_alias_and_compound_interval(engine, duck):
+    """Review r6: DuckDB's bare ``t(i)`` table alias (no AS) and
+    same-sign compound interval steps must both work; a following
+    keyword must not be eaten as a bare alias."""
+    cases = [
+        "SELECT * FROM range(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-03 00:00:00', INTERVAL '1 day 1 hour') t(ts) "
+        "ORDER BY ts",
+        "SELECT g.i FROM generate_series(1, 4) g(i) ORDER BY g.i",
+        "SELECT * FROM range(0, 10, 3) r ORDER BY range",
+        "SELECT * FROM range(5) ORDER BY range",
+    ]
+    for q in cases:
+        got = [tuple(r) for r in engine.sql(q, dialect="duckdb").collect()]
+        want = [tuple(r) for r in duck.sql(q).fetchall()]
+        assert got == want, q
+
+
+def test_match_bm25_conjunctive_spelling_and_view_reuse(spark, tmp_path):
+    """Review r6: ``conjunctive := TRUE`` (any case) must filter, and
+    repeated identical match_bm25 queries must reuse one scores view
+    instead of leaking a new temp view per call."""
+    from duckdb_read_spark import Engine
+
+    eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "whf"))
+    eng2.sql("CREATE TABLE ftd (doc_id BIGINT, body VARCHAR)")
+    eng2.sql("INSERT INTO ftd VALUES (1, 'alpha beta gamma'), "
+             "(2, 'alpha delta'), (3, 'beta epsilon')")
+    eng2.sql("PRAGMA create_fts_index('ftd', 'doc_id', 'body')")
+    q = ("SELECT doc_id, fts_main_ftd.match_bm25(doc_id, 'alpha beta', "
+         "conjunctive := TRUE) AS s FROM ftd ORDER BY doc_id")
+    rows = {r.doc_id: r.s for r in eng2.sql(q, dialect="duckdb").collect()}
+    assert rows[1] is not None          # has both terms
+    assert rows[2] is None and rows[3] is None  # single-term docs excluded
+
+    def n_fts_views():
+        return len([v.name for v in spark.catalog.listTables()
+                    if v.name.startswith("__fts_scores_")])
+
+    before = n_fts_views()
+    for _ in range(3):
+        eng2.sql(q, dialect="duckdb").collect()
+    assert n_fts_views() == before      # reused, not leaked

@@ -348,3 +348,44 @@ def test_unique_insert_probe_is_stats_pruned(eng, spark, tmp_path):
         eng.sql("INSERT INTO uq20 VALUES (50, 1)")
     eng.sql("INSERT INTO uq20 VALUES (99999, 1)")
     assert eng.sql("SELECT count(*) AS n FROM uq20").first()["n"] == 2001
+
+
+def test_unique_probe_after_rename_sees_pre_rename_files(eng, spark):
+    """Review r6: the stats-pruned probe read hit files RAW, so a file
+    written before ALTER ... RENAME surfaced the key column as NULL and
+    a duplicate key slipped past the UNIQUE/PK check."""
+    eng.sql("CREATE TABLE uqr (k_old BIGINT PRIMARY KEY, v BIGINT)")
+    eng.sql("INSERT INTO uqr VALUES (1, 10), (2, 20)")
+    eng.sql("ALTER TABLE uqr RENAME COLUMN k_old TO k")
+    # post-rename generations physically carry 'k'; spread the key space
+    # so a narrow batch stats-prunes down to the pre-rename file
+    eng.sql("INSERT INTO uqr VALUES (1000, 1), (2000, 2)")
+    eng.sql("INSERT INTO uqr VALUES (3000, 3), (4000, 4)")
+    with pytest.raises(ValueError):
+        eng.sql("INSERT INTO uqr VALUES (1, 99)")  # dup in pre-rename file
+    with pytest.raises(ValueError):
+        eng.sql("INSERT INTO uqr VALUES (1000, 99)")  # dup post-rename
+    eng.sql("INSERT INTO uqr VALUES (5, 50)")
+    assert eng.sql("SELECT count(*) AS n FROM uqr").first()["n"] == 7
+
+
+def test_partial_update_after_rename_preserves_data(eng, spark, tmp_path):
+    """Review r6 (worse variant): a partial UPDATE whose hit set includes
+    a pre-rename file must coalesce the renamed column from the old
+    name — not rewrite it as NULL (silent data loss)."""
+    df = (spark.range(0, 1000).withColumnRenamed("id", "k_old")
+          .withColumn("v", (F.col("k_old") * 2).cast("long"))
+          .repartitionByRange(10, "k_old"))
+    d = str(tmp_path / "ren10")
+    eng.write_versioned(df, d)
+    eng.register_versioned("ren10", d)
+    eng.sql("ALTER TABLE ren10 RENAME COLUMN k_old TO k")
+    eng.sql("INSERT INTO ren10 VALUES (5000, 1)")  # post-rename generation
+    # UPDATE hits only the pre-rename file(s) holding k=42
+    eng.sql("UPDATE ren10 SET v = -1 WHERE k = 42")
+    rows = {r.k: r.v for r in eng.sql(
+        "SELECT k, v FROM ren10 WHERE k IN (41, 42, 43, 5000)").collect()}
+    assert rows == {41: 82, 42: -1, 43: 86, 5000: 1}
+    # no NULLed-out keys anywhere
+    assert eng.sql("SELECT count(*) AS n FROM ren10 WHERE k IS NULL") \
+        .first()["n"] == 0

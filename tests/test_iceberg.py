@@ -375,3 +375,46 @@ def test_iceberg_renamed_column_refuses(eng, spark, tmp_path):
         json.dump(meta, f)
     with pytest.raises(NotImplementedError, match="rename"):
         iceberglog.read_iceberg_table(spark, d)
+
+
+def test_iceberg_nested_struct_rename_refuses(eng, spark, tmp_path):
+    """Review r6: a rename of a NESTED struct member is the same
+    field-id-vs-name hazard as a top-level rename — the guard must
+    recurse into struct/list/map types, not just top-level fields."""
+    d = str(tmp_path / "ice_nren")
+    iceberglog.write_table(spark.range(3).withColumnRenamed("id", "k"), d)
+    meta_path = iceberglog._metadata_path(d)
+    meta = json.loads(open(meta_path).read())
+    nested = {"id": 7, "name": "info", "required": False, "type": {
+        "type": "struct", "fields": [
+            {"id": 8, "name": "amt", "required": False, "type": "double"}]}}
+    meta["schemas"][0]["fields"].append(nested)
+    renamed = {"id": 7, "name": "info", "required": False, "type": {
+        "type": "struct", "fields": [
+            {"id": 8, "name": "amount", "required": False,
+             "type": "double"}]}}
+    meta["schemas"].append({"schema-id": 1, "type": "struct", "fields": [
+        dict(meta["schemas"][0]["fields"][0]), renamed]})
+    meta["current-schema-id"] = 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="rename"):
+        iceberglog.read_iceberg_table(spark, d)
+
+
+def test_iceberg_append_to_v1_table(eng, spark, tmp_path):
+    """Review r6: foreign format-version-1 tables have no
+    last-sequence-number key (a v2 addition) — appending must work, not
+    KeyError."""
+    d = str(tmp_path / "ice_v1")
+    iceberglog.write_table(spark.range(5).withColumnRenamed("id", "k"), d)
+    meta_path = iceberglog._metadata_path(d)
+    meta = json.loads(open(meta_path).read())
+    meta["format-version"] = 1
+    meta.pop("last-sequence-number", None)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    iceberglog.write_table(
+        spark.range(5, 8).withColumnRenamed("id", "k"), d, mode="append")
+    rows = {r.k for r in iceberglog.read_iceberg_table(spark, d).collect()}
+    assert rows == set(range(8))

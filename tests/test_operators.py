@@ -1384,3 +1384,24 @@ def test_ngram_jaccard_prefix_filter_exact_equivalence(spark):
         docs, n=3, threshold=0.8).count()
     n_all = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).count()
     assert 0 < n_cand < n_all
+
+
+def test_ngram_jaccard_prefix_ieee_boundary(spark):
+    """Review r6: 0.55*100 = 55.000000000000007 in IEEE doubles — without
+    an epsilon the prefix length AND the size filter both drop a pair
+    whose exact jaccard sits ON the threshold. |X|=20, |Y|=11, Y⊂X:
+    J = 11/20 = 0.55 exactly; the naive tier emits it, the prefix tier
+    must too (0.55*20 = 11.000000000000002 would otherwise ceil to 12
+    and reject |Y|=11 >= 11.000000000000002)."""
+    from duckdb_read_spark.operators import dedup
+
+    x = " ".join(f"w{i}" for i in range(21))   # 20 distinct bigrams
+    y = " ".join(f"w{i}" for i in range(12))   # 11 bigrams, all shared
+    docs = spark.createDataFrame([(1, x), (2, y)],
+                                 "doc_id long, text string")
+    naive = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.55).collect()}
+    pref = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.55, prefix_filter=True).collect()}
+    assert naive == {(1, 2)}
+    assert pref == naive
