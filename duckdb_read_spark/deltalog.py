@@ -227,17 +227,75 @@ def delta_snapshot(table_dir: str, version: int | None = None
 def read_delta_table(spark, table_dir: str, version: int | None = None):
     """Read a table from its ``_delta_log`` alone — the interop direction:
     a directory holding only a Delta-shaped log (e.g. written by another
-    engine) is queryable without any private ``_log``. Partitioned Delta
-    tables (non-empty partitionValues) are out of scope."""
+    engine) is queryable without any private ``_log``.
+
+    Partitioned tables: the spec keeps partition VALUES in the log's
+    ``partitionValues`` (data files don't carry the columns). Two read
+    strategies:
+
+    * **hive layout** (every real Delta writer's output): all data paths
+      contain ``key=val/`` segments for every partition column → one
+      ``basePath`` scan relation; Spark's partition discovery restores
+      the columns and partition-filter predicates PRUNE directories —
+      the 100 TB path (one scan, no driver-side plan blowup).
+    * **log-authoritative fallback** (paths not hive-shaped): group adds
+      by partition tuple, attach values as typed literals, unionByName.
+      Driver-side plan is O(distinct partitions) — fine for the odd
+      foreign table, documented in SCALE.md.
+
+    Partition column types come from ``metaData.schemaString`` (a Spark
+    StructType JSON per the spec)."""
     _, files = delta_snapshot(table_dir, version)
-    if any(a.get("partitionValues") for a in files.values()):
-        raise NotImplementedError(
-            "partitioned Delta tables (non-empty partitionValues) are not "
-            "supported — unpartitioned add actions only")
     if not files:
         raise FileNotFoundError(f"delta snapshot at {table_dir!r} is empty")
+    meta = _existing_meta(table_dir) or {}
+    pcols = list(meta.get("partitionColumns") or [])
+    if not pcols:  # adds carry values but metaData was lost/foreign-thin
+        pcols = sorted({k for a in files.values()
+                        for k in (a.get("partitionValues") or {})})
     paths = [os.path.join(table_dir, p) for p in sorted(files)]
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    if not pcols:
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    ptypes = {}
+    try:
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        ptypes = {f.name: f.dataType for f in st.fields if f.name in pcols}
+    except Exception:
+        pass
+
+    hive = all(
+        all(f"/{k}=" in "/" + rel.replace(os.sep, "/") for k in pcols)
+        for rel in files)
+    if hive:
+        df = (spark.read.option("basePath", table_dir)
+              .option("mergeSchema", "true").parquet(*paths))
+        for k in pcols:  # discovery infers types from dir strings — pin
+            df = df.withColumn(
+                k, F.col(k).cast(ptypes.get(k, StringType())))
+        return df
+
+    from collections import defaultdict
+
+    groups: dict[tuple, list[str]] = defaultdict(list)
+    for rel in sorted(files):
+        pv = files[rel].get("partitionValues") or {}
+        groups[tuple(pv.get(k) for k in pcols)].append(rel)
+    parts = []
+    for vals, rels in sorted(groups.items(),
+                             key=lambda kv: [v or "" for v in kv[0]]):
+        d = (spark.read.option("mergeSchema", "true")
+             .parquet(*[os.path.join(table_dir, r) for r in rels]))
+        for k, v in zip(pcols, vals):
+            d = d.withColumn(k, F.lit(v).cast(ptypes.get(k, StringType())))
+        parts.append(d)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def mirror_commit(

@@ -553,6 +553,13 @@ def clone(
                 src_dir, version, as_of_ms)
         else:
             _, fmap = deltalog.delta_snapshot(src_dir, version)
+            if any(a.get("partitionValues") for a in fmap.values()):
+                raise NotImplementedError(
+                    "CLONE of a partitioned Delta table is not supported: "
+                    "partition values live in the Delta log, not the data "
+                    "files, so a file-reference clone would silently DROP "
+                    "the partition columns — read it via the Delta log "
+                    "instead (register/ATTACH)")
             files_abs = [os.path.join(src_dir, p) for p in sorted(fmap)]
         entries = []
         for p in files_abs:

@@ -297,3 +297,80 @@ def test_truncated_log_missing_checkpoint_refuses(eng, spark, tmp_path):
             os.remove(os.path.join(ddir, f))
     with pytest.raises(LookupError, match="checkpoint"):
         deltalog.delta_snapshot(d)
+
+
+def _write_foreign_partitioned(spark, d, hive=True):
+    """Hand-build a foreign partitioned Delta table: data files lack the
+    partition column, values live in the log (spec behavior)."""
+    import json as _json
+
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+    ]}
+    adds = []
+    for p in (1, 2):
+        rel_dir = f"p={p}" if hive else f"bucket{p}"
+        full = os.path.join(d, rel_dir)
+        (spark.range(p * 10, p * 10 + 3)
+         .withColumn("v", F.col("id") * 1.0)
+         .coalesce(1).write.mode("overwrite").parquet(full))
+        for f in os.listdir(full):
+            if f.endswith(".parquet"):
+                adds.append({"add": {
+                    "path": f"{rel_dir}/{f}", "partitionValues": {"p": str(p)},
+                    "size": 1, "modificationTime": 0, "dataChange": True}})
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["p"], "configuration": {},
+                      "createdTime": 0}},
+    ] + adds
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+
+def test_read_partitioned_delta_hive_layout(eng, spark, tmp_path):
+    """Partitioned foreign Delta tables (review r6 gap): hive layout →
+    one basePath scan, partition column restored with its declared type,
+    and a partition predicate PRUNES at the scan."""
+    d = str(tmp_path / "dpart")
+    _write_foreign_partitioned(spark, d, hive=True)
+    df = deltalog.read_delta_table(spark, d)
+    assert dict(df.dtypes)["p"] == "int"
+    got = {(r.id, r.p) for r in df.collect()}
+    assert got == {(10, 1), (11, 1), (12, 1), (20, 2), (21, 2), (22, 2)}
+    pruned = df.filter("p = 2")
+    assert {r.id for r in pruned.collect()} == {20, 21, 22}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "p#" in plan
+
+
+def test_read_partitioned_delta_nonhive_layout(eng, spark, tmp_path):
+    """Non-hive paths: values come from the log (authoritative), typed
+    from schemaString, via the per-partition union fallback."""
+    d = str(tmp_path / "dflat")
+    _write_foreign_partitioned(spark, d, hive=False)
+    df = deltalog.read_delta_table(spark, d)
+    assert dict(df.dtypes)["p"] == "int"
+    got = {(r.id, r.p) for r in df.collect()}
+    assert got == {(10, 1), (11, 1), (12, 1), (20, 2), (21, 2), (22, 2)}
+
+
+def test_partitioned_delta_register_and_clone_guard(eng, spark, tmp_path):
+    """A foreign partitioned Delta dir registers and queries through the
+    engine; CLONE refuses (a file-reference fork would silently drop the
+    log-resident partition columns)."""
+    d = str(tmp_path / "dreg")
+    _write_foreign_partitioned(spark, d, hive=True)
+    eng.register_versioned("dpart", d)
+    got = {(r.id, r.p) for r in eng.sql(
+        "SELECT id, p FROM dpart WHERE p = 2").collect()}
+    assert got == {(20, 2), (21, 2), (22, 2)}
+    with pytest.raises(NotImplementedError, match="partition"):
+        eng.sql("CREATE TABLE dclone CLONE dpart")
