@@ -1518,6 +1518,31 @@ def _q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q125_TEXT, dialect="duckdb")
 
 
+@_op("q126_semantic_dedup", None,
+     note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
+          " — kept ids are k-means-dependent (engine-specific), so "
+          "rows-only; exact-dup removal and pair-subset properties are "
+          "pinned in tests/test_operators.py")
+def _q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = ops.semantic_dedup(emb, threshold=0.4, n_cells=8, iters=3)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+@_op("q127_kmeans_cell_profile", None,
+     note="trained-quantizer cell histogram: k-means cell sizes + mean "
+          "within-cell similarity to the centroid — the IVF balance "
+          "signal an operator would tune n_cells with; centroids are "
+          "engine-specific floats, so rows-only")
+def _q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ops.kmeans_centroids(emb, n_cells=8, iters=3)
+    assigned = ops.ivf_assign(emb, cents)
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cell"))
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -12,6 +12,8 @@ from .dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_prefix_candidates,
     dedup_paragraphs,
+    semantic_dedup,
+    semantic_neardup_pairs,
     simhash,
     simhash_banded_keys,
     simhash_candidates,
@@ -45,6 +47,7 @@ from .similarity import (
     cosine_topk_pandas,
     ivf_assign,
     ivf_topk,
+    kmeans_centroids,
     lsh_bucket,
     quantize_embeddings,
 )
@@ -126,4 +129,5 @@ __all__ = [
 
 from .topk import term_frequencies, topk_per_group  # noqa: E402
 
-__all__ += ["topk_per_group", "term_frequencies", "ivf_assign", "ivf_topk"]
+__all__ += ["topk_per_group", "term_frequencies", "ivf_assign", "ivf_topk",
+            "kmeans_centroids", "semantic_dedup", "semantic_neardup_pairs"]

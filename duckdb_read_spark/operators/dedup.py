@@ -475,6 +475,67 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs: k-means-bucketed cosine (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public arXiv 2303.09540).
+
+    The brute-force tier (:func:`embedding_neardup_pairs`) is O(n^2) pair
+    join — verification corpora only. This is the scale path: cluster
+    with spherical k-means (similarity.kmeans_centroids), self-join
+    WITHIN cells only — candidate cost is sum of per-cell C(sz,2), i.e.
+    ~n^2/k for balanced cells, and the join is a hash-shuffle on the cell
+    id, never a cartesian. Near-identical vectors share a nearest
+    centroid except at cell boundaries (exact duplicates ALWAYS do), so
+    recall loss is confined to threshold-straddling boundary pairs —
+    the same banded-candidate tradeoff as MinHash/SimHash above.
+    """
+    from .similarity import ivf_assign, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+            iters=iters)
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"), "cell")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"), "cell")
+    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (pairs.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cell", "cosine"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 4,
+) -> DataFrame:
+    """Rows surviving SemDeDup: within each k-means cell, any row with a
+    cosine->=threshold neighbor of LOWER id is dropped (keep-first, the
+    same survivor rule as dedup_exact). One anti-join against the pair
+    set's right side — no collect, no loop."""
+    pairs = semantic_neardup_pairs(
+        df, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        n_cells=n_cells, iters=iters)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
 # --- paragraph-level dedup ------------------------------------------------
 
 def dedup_paragraphs(

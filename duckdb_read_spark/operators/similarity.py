@@ -151,6 +151,71 @@ def ivf_assign(
     return df.withColumn(cell_col, cell)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 4,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) centroids as plain Python lists —
+    upgrades the IVF skeleton's first-N "centroids" into a trained
+    quantizer while staying fully deterministic:
+
+    * **init**: the first ``n_cells`` vectors ordered by md5 of the id —
+      a seeded pseudo-random draw that is engine-, partitioning- and
+      retry-stable (same convention as operators/sampling.py).
+    * **assign**: :func:`ivf_assign` — centroid literals compiled into the
+      plan, cosine argmax JVM-side, no broadcast variable, no UDF.
+    * **update**: one ``posexplode`` + per-(cell, dim) mean; the aggregate
+      output is k x dim rows (driver-bounded by construction). Means are
+      re-normalized (spherical k-means: centroids live on the unit sphere,
+      matching the cosine assignment metric). Empty cells keep their
+      previous centroid.
+
+    Scale shape: each iteration costs one explode shuffle of n x dim rows
+    with map-side partial aggregation; ``sample_fraction`` trains on a
+    deterministic md5-threshold sample (the 100 TB pattern — train on ~1M
+    vectors, assign the full corpus once at the end).
+    """
+    import numpy as _np
+
+    train = df.select(id_col, vec_col)
+    if sample_fraction is not None:
+        bound = int(sample_fraction * 0xFFFFFFFF)
+        train = train.filter(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("long") < bound)
+    init_rows = (train
+                 .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+                 .limit(n_cells).select(vec_col).collect())
+    cents = [list(r[vec_col]) for r in init_rows]
+    if not cents:
+        raise ValueError("kmeans_centroids: no vectors to train on")
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(train, cents, vec_col)
+        stats = (assigned
+                 .select("cell", F.posexplode(vec_col).alias("pos", "val"))
+                 .groupBy("cell", "pos")
+                 .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                 .collect())
+        means: dict[int, dict[int, float]] = {}
+        for r in stats:
+            means.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        nxt = []
+        for i, old in enumerate(cents):
+            if i in means and len(means[i]) == dim:
+                v = _np.array([means[i][p] for p in range(dim)])
+                n = _np.linalg.norm(v)
+                nxt.append(list(v / n) if n else list(old))
+            else:  # empty cell: keep the previous centroid
+                nxt.append(list(old))
+        cents = nxt
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_topk(
     df: DataFrame,
     probe: list[float],
@@ -159,18 +224,20 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition vectors into ``n_cells``
     centroid cells, scan only the ``n_probe`` cells nearest the probe.
 
-    Centroid choice here is deterministic (the first ``n_cells`` vectors by
-    id — an IVF skeleton, not a tuned quantizer); at 100 TB the assignment
-    is precomputed once, the table is written partitioned by cell, and a
-    probe becomes a partition-pruned scan of n_probe/n_cells of the data.
+    ``centroids`` takes a trained quantizer (:func:`kmeans_centroids`);
+    without one, the first ``n_cells`` vectors by id serve as a
+    deterministic skeleton. At 100 TB the assignment is precomputed once,
+    the table is written partitioned by cell, and a probe becomes a
+    partition-pruned scan of n_probe/n_cells of the data.
     """
     import numpy as _np
 
-    cents = [
+    cents = centroids if centroids is not None else [
         list(r[vec_col])
         for r in df.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     ]

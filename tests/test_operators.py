@@ -1405,3 +1405,70 @@ def test_ngram_jaccard_prefix_ieee_boundary(spark):
         docs, n=2, threshold=0.55, prefix_filter=True).collect()}
     assert naive == {(1, 2)}
     assert pref == naive
+
+
+# --- semantic dedup (SemDeDup: k-means cells + within-cell cosine) --------
+
+def test_kmeans_centroids_deterministic_and_spherical(spark, embeddings):
+    from duckdb_read_spark.operators import kmeans_centroids
+
+    import numpy as np
+    c1 = kmeans_centroids(embeddings, n_cells=6, iters=3)
+    c2 = kmeans_centroids(embeddings.repartition(7), n_cells=6, iters=3)
+    assert len(c1) == 6 and len(c1[0]) == 64
+    # partitioning-invariant (deterministic init + exact means)
+    assert np.allclose(np.array(c1), np.array(c2), atol=1e-9)
+    # spherical: every updated centroid is unit-norm
+    for c in c1:
+        n = float(np.linalg.norm(np.array(c)))
+        assert abs(n - 1.0) < 1e-6 or n == 0.0
+
+
+def test_semantic_dedup_removes_planted_dups(spark, embeddings):
+    """Exact duplicates always share a k-means cell (identical vector →
+    identical nearest centroid), so SemDeDup must remove every planted
+    copy; near-copies (tiny noise) fall in the same cell too."""
+    from duckdb_read_spark.operators import (
+        semantic_dedup, semantic_neardup_pairs, embedding_neardup_pairs,
+    )
+
+    base = embeddings.limit(50)
+    copies = (base.filter(F.col("vec_id") < 10)
+              .withColumn("vec_id", F.col("vec_id") + 100000))
+    corpus = base.unionByName(copies)
+    kept = semantic_dedup(corpus, threshold=0.999, n_cells=5, iters=2)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # keep-first: every planted high-id copy dropped, every original kept
+    assert not any(i >= 100000 for i in kept_ids)
+    assert {r.vec_id for r in base.select("vec_id").collect()} <= kept_ids
+
+    # cell-bucketed pairs are a SUBSET of brute-force pairs at the same
+    # threshold (banded-candidate tradeoff), and find all exact copies
+    sem = {(r.id_a, r.id_b) for r in semantic_neardup_pairs(
+        corpus, threshold=0.9, n_cells=5, iters=2).collect()}
+    brute = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(
+        corpus, threshold=0.9).collect()}
+    assert sem <= brute
+    assert {(i, i + 100000) for i in range(10)} <= sem
+
+
+def test_ivf_topk_trained_centroids(spark, embeddings):
+    """Trained IVF: probing ALL cells is exact (equals brute force);
+    probing 1 cell with a probe equal to a stored vector must return
+    that vector first (its cell IS the probe's nearest centroid)."""
+    from duckdb_read_spark.operators import (
+        cosine_topk, ivf_topk, kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(embeddings, n_cells=6, iters=3)
+    probe = list(embeddings.filter("vec_id = 7").first()["embedding"])
+    exact = [r.vec_id for r in cosine_topk(
+        embeddings, probe, k=5).collect()]
+    allcells = [r.vec_id for r in ivf_topk(
+        embeddings, probe, k=5, n_cells=6, n_probe=6,
+        centroids=cents).collect()]
+    assert allcells == exact
+    one = [r.vec_id for r in ivf_topk(
+        embeddings, probe, k=3, n_cells=6, n_probe=1,
+        centroids=cents).collect()]
+    assert one[0] == 7
