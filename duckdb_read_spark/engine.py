@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .conf import BUILD_CONFS, RUNTIME_CONFS, TABLES, apply_runtime_confs
-from . import catalog, iceberglog, snapshots
+from . import catalog, hudilog, iceberglog, snapshots
 from .dialect import to_spark_sql
 from .sources import sinks
 
@@ -583,6 +583,7 @@ class Engine:
                 os.path.isdir(os.path.join(p, "_log"))
                 or os.path.isdir(os.path.join(p, "_delta_log"))
                 or iceberglog.is_iceberg_table(p)
+                or hudilog.is_hudi_table(p)
             ):
                 tname = entry
                 self.register_versioned(f"{db}__{tname}", p)

@@ -1,0 +1,172 @@
+"""Apache Hudi copy-on-write table reader (foreign-format interop).
+
+Completes the open-table-format trio the reference's metadata notes
+center on (/root/reference/metadata:1-5 — Delta/Iceberg/Hudi): deltalog.py
+mirrors + reads Delta, iceberglog.py reads/writes Iceberg, and this module
+READS a foreign Hudi COPY_ON_WRITE table from its ``.hoodie/`` timeline —
+no Hudi jar, no Avro dependency, just the published table layout
+(https://hudi.apache.org/tech-specs/):
+
+* ``.hoodie/hoodie.properties`` — table name/type/version (java properties).
+* Timeline: ``.hoodie/{instant}.{action}`` files. A COMPLETED commit is
+  ``{ts}.commit`` or ``{ts}.replacecommit`` (Hudi 1.x names completed
+  instants ``{ts}_{completion_ts}.{action}``); ``*.requested`` /
+  ``*.inflight`` are pending and must be IGNORED (reading an inflight
+  write's files would surface uncommitted data).
+* A ``.commit`` file is JSON with ``partitionToWriteStats``: per partition,
+  the written file's ``path`` (relative to the table root) and ``fileId``.
+  Successive commits to the same FILE GROUP (fileId) replace the previous
+  base file — snapshot state keeps only the newest committed slice per
+  fileId.
+* ``.replacecommit`` additionally carries ``partitionToReplaceFileIds``
+  (clustering / insert_overwrite): those file groups are REMOVED from the
+  snapshot — ignoring them would return overwritten rows as live.
+
+Unlike Delta, Hudi data files physically CONTAIN the partition columns
+(and the ``_hoodie_*`` meta columns), so the read is a plain parquet scan
+of the selected file list — no partition-value reattachment needed.
+
+Honest refusals: MERGE_ON_READ tables (``.log.*`` delta files require
+compaction-aware merging — a base-file-only read silently loses updates)
+and unknown timeline actions raise instead of mis-reading.
+
+Scale shape: the timeline is O(commits) small driver-side files; file
+selection is pure metadata; data I/O stays one distributed parquet scan.
+Time travel addresses instants by their timestamp string or by 1-based
+chronological index (uniform with the private snapshot-log numbering).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+_HOODIE_DIR = ".hoodie"
+
+# completed instants only; Hudi 1.x appends _completionTime before the ext
+_INSTANT_RE = re.compile(
+    r"^(?P<ts>\d+)(?:_\d+)?\.(?P<action>commit|replacecommit)$")
+_PENDING_RE = re.compile(
+    r"^\d+(?:_\d+)?\.(commit|replacecommit|deltacommit|compaction)"
+    r"\.(requested|inflight)$")
+_MOR_RE = re.compile(r"^\d+(?:_\d+)?\.(deltacommit|compaction)$")
+
+
+def is_hudi_table(table_dir: str) -> bool:
+    return os.path.isfile(
+        os.path.join(table_dir, _HOODIE_DIR, "hoodie.properties"))
+
+
+def _properties(table_dir: str) -> dict[str, str]:
+    props: dict[str, str] = {}
+    path = os.path.join(table_dir, _HOODIE_DIR, "hoodie.properties")
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(("#", "!")):
+                continue
+            if "=" in line:
+                k, _, v = line.partition("=")
+                props[k.strip()] = v.strip()
+    return props
+
+
+def timeline(table_dir: str) -> list[tuple[str, str]]:
+    """Completed (instant_ts, action) pairs, chronological. MOR-only
+    actions (deltacommit/compaction) raise — a base-file read of a
+    MERGE_ON_READ table silently loses the un-compacted updates."""
+    d = os.path.join(table_dir, _HOODIE_DIR)
+    out: list[tuple[str, str]] = []
+    for f in sorted(os.listdir(d)):
+        if _PENDING_RE.match(f):
+            continue  # pending: not part of the committed snapshot
+        if _MOR_RE.match(f):
+            raise NotImplementedError(
+                f"Hudi MERGE_ON_READ timeline action {f!r}: log-file "
+                f"merging is not supported — only COPY_ON_WRITE tables "
+                f"(a base-file-only read would silently drop updates)")
+        m = _INSTANT_RE.match(f)
+        if m:
+            out.append((m.group("ts"), m.group("action")))
+    out.sort(key=lambda x: x[0])
+    return out
+
+
+def _read_instant(table_dir: str, ts: str, action: str) -> dict:
+    d = os.path.join(table_dir, _HOODIE_DIR)
+    for f in os.listdir(d):
+        m = _INSTANT_RE.match(f)
+        if m and m.group("ts") == ts and m.group("action") == action:
+            with open(os.path.join(d, f)) as fh:
+                body = fh.read().strip()
+            return json.loads(body) if body else {}
+    raise FileNotFoundError(f"hudi instant {ts}.{action} not in timeline")
+
+
+def snapshot_files(table_dir: str,
+                   instant: str | int | None = None) -> list[str]:
+    """Relative base-file paths of the snapshot at ``instant`` (latest
+    when None; a timestamp string, or a 1-based chronological index).
+
+    Replay: newest committed file slice per file group wins; replaced
+    file groups drop out."""
+    tl = timeline(table_dir)
+    if not tl:
+        raise FileNotFoundError(
+            f"no completed commits in {table_dir!r}/.hoodie")
+    if instant is None:
+        upto = len(tl)
+    elif isinstance(instant, int) or (isinstance(instant, str)
+                                      and len(instant) <= 6):
+        n = int(instant)
+        if not 1 <= n <= len(tl):
+            raise LookupError(
+                f"hudi instant index {n} not in 1..{len(tl)}")
+        upto = n
+    else:
+        tss = [ts for ts, _ in tl]
+        if str(instant) not in tss:
+            raise LookupError(
+                f"hudi instant {instant!r} not in timeline (have {tss})")
+        upto = tss.index(str(instant)) + 1
+
+    by_group: dict[str, tuple[str, str]] = {}   # fileId -> (ts, rel path)
+    for ts, action in tl[:upto]:
+        body = _read_instant(table_dir, ts, action)
+        if action == "replacecommit":
+            for _, fids in (body.get("partitionToReplaceFileIds")
+                            or {}).items():
+                for fid in fids:
+                    by_group.pop(fid, None)
+        for _, stats in (body.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                fid = st.get("fileId") or st["path"]
+                if st.get("path"):
+                    by_group[fid] = (ts, st["path"])
+    return sorted(p for _, p in by_group.values())
+
+
+def read_hudi_table(spark, table_dir: str,
+                    instant: str | int | None = None,
+                    keep_meta: bool = False):
+    """Snapshot (or time-travel) read of a COPY_ON_WRITE table. Hudi base
+    files carry the five ``_hoodie_*`` meta columns; they are dropped by
+    default so the result matches the user schema (``keep_meta=True``
+    keeps them)."""
+    props = _properties(table_dir)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            f"hudi table type {ttype!r} not supported — COPY_ON_WRITE "
+            f"base files only (MERGE_ON_READ needs log-file merging)")
+    rels = snapshot_files(table_dir, instant)
+    if not rels:
+        raise FileNotFoundError(f"hudi snapshot at {table_dir!r} is empty")
+    df = (spark.read.option("mergeSchema", "true")
+          .parquet(*[os.path.join(table_dir, p) for p in rels]))
+    if not keep_meta:
+        meta = [c for c in df.columns if c.startswith("_hoodie_")]
+        if meta:
+            df = df.drop(*meta)
+    return df

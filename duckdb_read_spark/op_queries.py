@@ -1518,6 +1518,77 @@ def _q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q125_TEXT, dialect="duckdb")
 
 
+@_op("q128_hudi_interop", """
+SELECT COUNT(*) AS n, MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx,
+       COUNT(DISTINCT n_regionkey) AS nr
+FROM nation WHERE n_nationkey < 20
+""", note="Hudi COPY_ON_WRITE interop (hudilog): nation exported as a "
+          "spec-shaped .hoodie timeline (two commits updating one file "
+          "group + a replacecommit clustering), read back at the instant "
+          "where the state equals the plain oracle SELECT; wrong "
+          "timeline replay (double-reading a replaced base slice, "
+          "surfacing pending instants) hash-mismatches")
+def _q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from . import hudilog
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q128_"))
+    eng.register_fixture_dir(sf_dir)
+    d = tempfile.mkdtemp(prefix="ddbrs_q128_hudi_") + "/t"
+    os.makedirs(os.path.join(d, ".hoodie"))
+    with open(os.path.join(d, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+
+    def base_file(df, rel):
+        tmp = os.path.join(d, rel + ".dir")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        os.makedirs(os.path.dirname(os.path.join(d, rel)), exist_ok=True)
+        os.replace(os.path.join(tmp, part), os.path.join(d, rel))
+
+    def commit(ts, writes, replaces=None):
+        body = {"partitionToWriteStats": writes}
+        act = "commit"
+        if replaces:
+            body["partitionToReplaceFileIds"] = replaces
+            act = "replacecommit"
+        with open(os.path.join(d, ".hoodie", f"{ts}.{act}"), "w") as f:
+            _json.dump(body, f)
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    # commit 1: stale slice of group g1 (will be superseded)
+    base_file(nation.where("n_nationkey < 5"), "p/g1_0-0-1_001.parquet")
+    commit("001", {"p": [{"fileId": "g1",
+                          "path": "p/g1_0-0-1_001.parquet"}]})
+    # commit 2: g1's newer slice + group g2 → exactly the oracle's cut
+    base_file(nation.where("n_nationkey < 10"), "p/g1_0-0-2_002.parquet")
+    base_file(nation.where("n_nationkey >= 10 AND n_nationkey < 20"),
+              "p/g2_0-0-2_002.parquet")
+    commit("002", {"p": [
+        {"fileId": "g1", "path": "p/g1_0-0-2_002.parquet"},
+        {"fileId": "g2", "path": "p/g2_0-0-2_002.parquet"}]})
+    # a later replacecommit + a pending instant: the time-travel read at
+    # instant 002 must see neither
+    base_file(nation.where("n_nationkey < 2"), "p/g3_0-0-3_003.parquet")
+    commit("003", {"p": [{"fileId": "g3",
+                          "path": "p/g3_0-0-3_003.parquet"}]},
+           replaces={"p": ["g1", "g2"]})
+    open(os.path.join(d, ".hoodie", "004.commit.inflight"), "w").close()
+
+    df = hudilog.read_hudi_table(spark, d, instant="002")
+    df.createOrReplaceTempView("t128")
+    return spark.sql("""
+SELECT COUNT(*) AS n, MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx,
+       COUNT(DISTINCT n_regionkey) AS nr
+FROM t128""")
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "

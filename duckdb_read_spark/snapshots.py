@@ -657,11 +657,15 @@ def read_table(
     try:
         resolved, dirs = resolve_snapshot(table_dir, version, as_of_ms)
     except FileNotFoundError:
-        from . import deltalog, iceberglog
+        from . import deltalog, hudilog, iceberglog
 
         if iceberglog.is_iceberg_table(table_dir):
             return iceberglog.read_iceberg_table(
                 spark, table_dir, version, as_of_ms)
+        if hudilog.is_hudi_table(table_dir):
+            if as_of_ms is not None:
+                raise
+            return hudilog.read_hudi_table(spark, table_dir, version)
         if as_of_ms is not None:
             raise
         return deltalog.read_delta_table(spark, table_dir, version)
