@@ -131,40 +131,131 @@ def _pick_snapshot(meta: dict, version: int | None,
         f"or 1..{len(snaps)} chronological)")
 
 
-def _check_schema_evolution(meta: dict) -> None:
-    """Refuse renamed columns: Iceberg resolves columns by FIELD ID, so a
-    rename leaves old data files carrying the old name — a name-based
-    parquet read (this reader) would surface the renamed column as two
-    half-NULL columns. Additive evolution (new ids) is safe (mergeSchema);
-    a field id whose name CHANGES across schemas raises instead of
-    mis-reading."""
-    names_by_id: dict[int, set[str]] = {}
+def _renamed_field_ids(meta: dict) -> tuple[set[int], set[int]]:
+    """(top-level renamed field ids, nested renamed field ids) across the
+    metadata's schema history. Iceberg resolves columns by FIELD ID, so a
+    rename leaves old data files carrying the old physical name."""
+    top: dict[int, set[str]] = {}
+    nested: dict[int, set[str]] = {}
 
-    def walk_type(t) -> None:
-        # nested struct/list/map fields rename the same way top-level
-        # ones do — recurse so a renamed struct member is refused too
+    def walk_type(t, depth: int) -> None:
         if not isinstance(t, dict):
             return
         kind = t.get("type")
         if kind == "struct":
             for f in t.get("fields", []):
-                names_by_id.setdefault(f["id"], set()).add(f["name"])
-                walk_type(f.get("type"))
+                tgt = top if depth == 0 else nested
+                tgt.setdefault(f["id"], set()).add(f["name"])
+                walk_type(f.get("type"), depth + 1)
         elif kind == "list":
-            walk_type(t.get("element"))
+            walk_type(t.get("element"), depth + 1)
         elif kind == "map":
-            walk_type(t.get("key"))
-            walk_type(t.get("value"))
+            walk_type(t.get("key"), depth + 1)
+            walk_type(t.get("value"), depth + 1)
 
     for sch in meta.get("schemas", []):
-        walk_type(sch)
-    renamed = sorted(n for n, names in names_by_id.items() if len(names) > 1)
-    if renamed:
+        walk_type(sch, 0)
+    return ({i for i, ns in top.items() if len(ns) > 1},
+            {i for i, ns in nested.items() if len(ns) > 1})
+
+
+def _check_schema_evolution(meta: dict) -> None:
+    """Nested renames still refuse (field-id projection below a struct
+    would need recursive schema rewriting); TOP-LEVEL renames are handled
+    by :func:`_read_with_field_id_projection` and pass through here."""
+    _, nested = _renamed_field_ids(meta)
+    if nested:
         raise NotImplementedError(
-            f"iceberg column rename detected (field id(s) {renamed} carry "
-            f"multiple names across schemas) — this name-based reader "
-            f"would split the column; field-id projection is not "
+            f"iceberg NESTED column rename detected (field id(s) "
+            f"{sorted(nested)} carry multiple names across schemas) — "
+            f"field-id projection inside struct/list/map types is not "
             f"implemented")
+
+
+def _current_top_fields(meta: dict) -> list[dict]:
+    """Top-level fields of the current schema (id/name/type)."""
+    sid = meta.get("current-schema-id", 0)
+    for sch in meta.get("schemas", []):
+        if sch.get("schema-id") == sid:
+            return list(sch.get("fields", []))
+    schemas = meta.get("schemas") or [meta.get("schema") or {}]
+    return list(schemas[-1].get("fields", []))
+
+
+_ICEBERG_SPARK_TYPES = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "date": "date", "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp", "binary": "binary", "uuid": "string",
+}
+
+
+def _spark_type(t) -> str:
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return t
+        return _ICEBERG_SPARK_TYPES.get(t, "string")
+    return "string"
+
+
+def _read_with_field_id_projection(spark, table_dir: str, meta: dict,
+                                   files: list[str]):
+    """Renamed-column read path: resolve each data file's physical
+    columns to the CURRENT schema names via the ``PARQUET:field_id``
+    metadata Iceberg writers stamp into parquet fields, then union the
+    per-physical-schema groups.
+
+    Cost shape: one driver-side footer read per data file — the same
+    O(files) metadata class as the manifest replay itself; groups are
+    one scan relation per physical schema generation (bounded by the
+    number of ALTERs, not files). Files that LACK field ids for a
+    renamed column refuse loudly — guessing by name would silently
+    mis-assign data."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    cur = _current_top_fields(meta)
+    cur_by_id = {f["id"]: f["name"] for f in cur}
+    cur_names = {f["name"] for f in cur}
+
+    groups: dict[tuple, list[str]] = {}
+    for path in files:
+        sch = pq.read_schema(path)
+        sig = []
+        for fld in sch:
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            sig.append((fld.name, int(fid) if fid is not None else None))
+        groups.setdefault(tuple(sig), []).append(path)
+
+    parts = []
+    for sig, fs in sorted(
+            groups.items(),
+            key=lambda kv: [(n, -1 if f is None else f) for n, f in kv[0]]):
+        d = spark.read.option("mergeSchema", "true").parquet(*fs)
+        cols = []
+        for name, fid in sig:
+            if fid is not None:
+                if fid in cur_by_id:
+                    cols.append(F.col(name).alias(cur_by_id[fid]))
+                # else: field deleted from current schema — drop it
+            elif name in cur_names:
+                cols.append(F.col(name))  # no id, name still current
+            else:
+                raise NotImplementedError(
+                    f"iceberg renamed-table read: data file column "
+                    f"{name!r} has no PARQUET:field_id metadata and no "
+                    f"current-schema name match — cannot project by "
+                    f"field id (guessing by name would mis-assign data)")
+        parts.append(d.select(*cols))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    for f in cur:  # declared-but-never-written columns read back NULL
+        if f["name"] not in out.columns:
+            out = out.withColumn(
+                f["name"], F.lit(None).cast(_spark_type(f["type"])))
+    return out.select(*[f["name"] for f in cur])
 
 
 def snapshot_data_files(table_dir: str, version: int | None = None,
@@ -213,6 +304,10 @@ def read_iceberg_table(spark, table_dir: str, version: int | None = None,
     if not files:
         raise FileNotFoundError(
             f"iceberg snapshot at {table_dir!r} lists no data files")
+    meta = table_metadata(table_dir)
+    flat_renamed, _ = _renamed_field_ids(meta)
+    if flat_renamed:
+        return _read_with_field_id_projection(spark, table_dir, meta, files)
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
