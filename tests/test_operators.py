@@ -1472,3 +1472,22 @@ def test_ivf_topk_trained_centroids(spark, embeddings):
         embeddings, probe, k=3, n_cells=6, n_probe=1,
         centroids=cents).collect()]
     assert one[0] == 7
+
+
+def test_source_report_flags_bad_sources(spark):
+    """Source-level curation: a boilerplate source (all-dup) and a
+    short-doc source are flagged keep=false; a healthy source passes."""
+    from duckdb_read_spark.operators import source_report
+
+    rows = []
+    rows += [(i, "good long document with plenty of distinct words "
+              f"number {i} here", "en", "good") for i in range(10)]
+    rows += [(100 + i, "same boilerplate text in every doc", "en", "dupes")
+             for i in range(10)]
+    rows += [(200 + i, f"tiny {i}", "en", "short") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    rep = {r.source: r for r in source_report(df).collect()}
+    assert rep["good"].keep
+    assert not rep["dupes"].keep and rep["dupes"].dup_rate == 1.0
+    assert not rep["short"].keep and rep["short"].mean_tokens < 5.0
