@@ -93,9 +93,13 @@ _CREATE_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"^\s*INSERT\s+(?P<orrep>OR\s+REPLACE\s+)?INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
@@ -1842,7 +1846,8 @@ class Engine:
         if mstream:
             return self._create_stream(
                 mstream.group("name"), mstream.group("body"), dialect)
-        if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE")):
+        if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE",
+                            "TRUNCAT")):
             handled = self._ddl_dml(query, dialect)
             if handled is not None:
                 return handled
@@ -2997,6 +3002,22 @@ class Engine:
                 return self._insert_on_conflict(
                     name, m.group("cols"), moc.group("body"),
                     moc.group("keys"), moc.group("act"), dialect)
+            if m.group("orrep"):
+                # INSERT OR REPLACE = upsert on the primary key (DuckDB
+                # sugar for ON CONFLICT (pk) DO UPDATE SET all columns)
+                keys = self._primary_key_cols(name)
+                if not keys:
+                    raise ValueError(
+                        f"INSERT OR REPLACE INTO {name}: table has no "
+                        f"PRIMARY KEY or UNIQUE constraint to resolve "
+                        f"conflicts on")
+                sets = ", ".join(
+                    f"{c} = excluded.{c}"
+                    for c in self.table(name).columns if c not in keys)
+                act = f"UPDATE SET {sets}" if sets else "NOTHING"
+                return self._insert_on_conflict(
+                    name, m.group("cols"), body, ", ".join(keys), act,
+                    dialect)
             if body.upper().startswith("VALUES"):
                 body = f"SELECT * FROM {body}"
             df = self.sql(body, dialect=dialect)
@@ -3052,6 +3073,10 @@ class Engine:
 
                 shutil.rmtree(table_dir, ignore_errors=True)
             return self._empty()
+        mt = _TRUNCATE_RE.match(query)
+        if mt:  # DuckDB TRUNCATE = unconditional DELETE (one empty
+            # overwrite commit; history stays time-travelable)
+            query = f"DELETE FROM {mt.group('name')}"
         m = _DELETE_RE.match(query)
         if m:
             name = m.group("name")
@@ -3135,6 +3160,24 @@ class Engine:
             return self._empty()
         return None
 
+    def _primary_key_cols(self, name: str) -> list[str]:
+        """The table's PK (or first UNIQUE constraint / unique index)
+        columns from the persisted constraint metadata, [] if none —
+        lets ON CONFLICT / INSERT OR REPLACE infer their conflict
+        target the way DuckDB does."""
+        table_dir = self._versioned.get(name)
+        if table_dir:
+            cons = snapshots.read_constraints(table_dir)
+            for pk_only in (True, False):
+                for c in cons:
+                    if c.get("kind") == "unique" and (
+                            bool(c.get("pk")) or not pk_only):
+                        return list(c.get("cols") or [])
+        for _iname, (tbl, cols, uniq) in self._indexes.items():
+            if uniq and tbl == name:
+                return list(cols)
+        return []
+
     def _insert_on_conflict(
         self, name: str, cols: str | None, body: str,
         keys: str | None, act: str, dialect: str,
@@ -3150,9 +3193,12 @@ class Engine:
 
         key_list = [k.strip() for k in (keys or "").split(",") if k.strip()]
         if not key_list:
+            key_list = self._primary_key_cols(name)
+        if not key_list:
             raise ValueError(
                 "ON CONFLICT needs an explicit conflict target `(col, …)` "
-                "— there is no primary-key metadata to infer one")
+                "— the table declares no PRIMARY KEY/UNIQUE constraint "
+                "to infer one from")
         if cols:
             raise ValueError(
                 "INSERT … ON CONFLICT supports full-column INSERT only "

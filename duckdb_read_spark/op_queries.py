@@ -1622,7 +1622,8 @@ def _q129(spark: SparkSession, sf_dir: str) -> DataFrame:
           "pinned in tests/test_operators.py")
 def _q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    kept = ops.semantic_dedup(emb, threshold=0.4, n_cells=8, iters=3)
+    kept = ops.semantic_dedup(emb, threshold=0.4, n_cells=8, iters=3,
+                              sample_fraction=0.3)
     return kept.select("vec_id").orderBy("vec_id")
 
 
@@ -1633,7 +1634,8 @@ def _q126(spark: SparkSession, sf_dir: str) -> DataFrame:
           "engine-specific floats, so rows-only")
 def _q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ops.kmeans_centroids(emb, n_cells=8, iters=3)
+    cents = ops.kmeans_centroids(emb, n_cells=8, iters=3,
+                                 sample_fraction=0.3)
     assigned = ops.ivf_assign(emb, cents)
     return (assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -483,6 +483,7 @@ def semantic_neardup_pairs(
     n_cells: int = 16,
     iters: int = 4,
     centroids: list[list[float]] | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-dup pairs: k-means-bucketed cosine (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -503,7 +504,7 @@ def semantic_neardup_pairs(
     if centroids is None:
         centroids = kmeans_centroids(
             df, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
-            iters=iters)
+            iters=iters, sample_fraction=sample_fraction)
     assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("__va"), "cell")
@@ -524,6 +525,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_cells: int = 16,
     iters: int = 4,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Rows surviving SemDeDup: within each k-means cell, any row with a
     cosine->=threshold neighbor of LOWER id is dropped (keep-first, the
@@ -531,7 +533,7 @@ def semantic_dedup(
     set's right side — no collect, no loop."""
     pairs = semantic_neardup_pairs(
         df, vec_col=vec_col, id_col=id_col, threshold=threshold,
-        n_cells=n_cells, iters=iters)
+        n_cells=n_cells, iters=iters, sample_fraction=sample_fraction)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
 

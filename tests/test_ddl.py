@@ -722,3 +722,37 @@ def test_rename_preserves_declared_column_order(eng, duck):
     assert got == [tuple(r) for r in want]
     assert [f.name for f in eng.table("tro").schema.fields] \
         == [d[0] for d in duck.sql("DESCRIBE tro").fetchall()]
+
+
+def test_truncate_and_insert_or_replace_cross_engine(eng, duck):
+    """DuckDB-verbatim TRUNCATE and INSERT OR REPLACE (PK-inferred
+    upsert): identical scripts leave identical table states."""
+    duck.sql("DROP TABLE IF EXISTS tir")
+    script = [
+        "CREATE TABLE tir (k BIGINT PRIMARY KEY, v VARCHAR)",
+        "INSERT INTO tir VALUES (1, 'a'), (2, 'b')",
+        "INSERT OR REPLACE INTO tir VALUES (2, 'B'), (3, 'c')",
+    ]
+    for stmt in script:
+        eng.sql(stmt)
+        duck.sql(stmt)
+    q = "SELECT k, v FROM tir ORDER BY k"
+    assert [(r.k, r.v) for r in eng.sql(q).collect()] \
+        == [tuple(r) for r in duck.sql(q).fetchall()]
+
+    # ON CONFLICT with no explicit target infers the PK too
+    eng.sql("INSERT INTO tir VALUES (3, 'x') "
+            "ON CONFLICT DO UPDATE SET v = excluded.v")
+    duck.sql("INSERT INTO tir VALUES (3, 'x') "
+             "ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert [(r.k, r.v) for r in eng.sql(q).collect()] \
+        == [tuple(r) for r in duck.sql(q).fetchall()]
+
+    for stmt in ("TRUNCATE tir",):
+        eng.sql(stmt)
+        duck.sql(stmt)
+    assert eng.sql("SELECT count(*) AS n FROM tir").first()["n"] == 0
+    assert duck.sql("SELECT count(*) FROM tir").fetchone()[0] == 0
+    # time travel still sees the pre-TRUNCATE state
+    assert eng.sql("SELECT count(*) AS n FROM tir VERSION AS OF 3") \
+        .first()["n"] == 3
