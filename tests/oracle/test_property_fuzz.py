@@ -366,7 +366,7 @@ def gen_dml_script(rng: random.Random) -> list[str]:
     xtra_val = ", NULL" if altered else ""
     xtra_sel = ", n_nationkey * 7" if altered else ""
     for _ in range(rng.randint(2, 5)):
-        kind = rng.randrange(4)
+        kind = rng.randrange(5)
         if kind == 0:
             vals = ", ".join(
                 f"({rng.randint(100, 999)}, {rng.randint(0, 4)}, "
@@ -379,11 +379,19 @@ def gen_dml_script(rng: random.Random) -> list[str]:
         elif kind == 2:
             stmts.append(f"UPDATE fz SET r = r + {rng.randint(1, 5)} "
                          f"WHERE k % {rng.randint(2, 5)} = 1")
-        else:
+        elif kind == 3:
             stmts.append(
                 f"INSERT INTO fz SELECT n_nationkey + {rng.randint(1000, 2000)}, "
                 f"n_regionkey, lower(n_name){xtra_sel} FROM nation "
                 f"WHERE n_nationkey % {rng.randint(2, 5)} = 0")
+        else:
+            # r6 statement: TRUNCATE wipes, then repopulate a slice so
+            # later mutations still have rows to chew on
+            stmts.append("TRUNCATE fz")
+            stmts.append(
+                f"INSERT INTO fz SELECT n_nationkey, n_regionkey, "
+                f"n_name{xtra_sel} FROM nation "
+                f"WHERE n_nationkey < {rng.randint(5, 25)}")
     tail = ", w" if altered else ""
     stmts.append(f"SELECT k, r, v{tail} FROM fz ORDER BY k, r, v{tail}")
     return stmts
