@@ -267,6 +267,20 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
     except Exception:
         pass
 
+    def declared_order(df):
+        """SELECT * order must match metaData.schemaString (what every
+        real Delta reader returns) — withColumn appends partition
+        columns at the end otherwise."""
+        try:
+            want = [f.name for f in StructType.fromJson(
+                json.loads(meta["schemaString"])).fields]
+        except Exception:
+            return df
+        have = set(df.columns)
+        ordered = [c for c in want if c in have]
+        ordered += [c for c in df.columns if c not in set(ordered)]
+        return df.select(*ordered)
+
     hive = all(
         all(f"/{k}=" in "/" + rel.replace(os.sep, "/") for k in pcols)
         for rel in files)
@@ -276,7 +290,7 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
         for k in pcols:  # discovery infers types from dir strings — pin
             df = df.withColumn(
                 k, F.col(k).cast(ptypes.get(k, StringType())))
-        return df
+        return declared_order(df)
 
     from collections import defaultdict
 
@@ -295,7 +309,7 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
     out = parts[0]
     for d in parts[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
-    return out
+    return declared_order(out)
 
 
 def mirror_commit(

@@ -2999,6 +2999,10 @@ class Engine:
             body = m.group("body")
             moc = _ON_CONFLICT_RE.match(body)
             if moc:
+                if m.group("orrep"):
+                    raise ValueError(
+                        "INSERT OR REPLACE cannot be combined with ON "
+                        "CONFLICT (same as DuckDB) — use one or the other")
                 return self._insert_on_conflict(
                     name, m.group("cols"), moc.group("body"),
                     moc.group("keys"), moc.group("act"), dialect)
@@ -3161,22 +3165,27 @@ class Engine:
         return None
 
     def _primary_key_cols(self, name: str) -> list[str]:
-        """The table's PK (or first UNIQUE constraint / unique index)
-        columns from the persisted constraint metadata, [] if none —
-        lets ON CONFLICT / INSERT OR REPLACE infer their conflict
-        target the way DuckDB does."""
+        """The table's single PK/UNIQUE constraint columns from the
+        persisted metadata, [] if none — lets ON CONFLICT / INSERT OR
+        REPLACE infer their conflict target the way DuckDB does. With
+        MULTIPLE unique constraints the inference is ambiguous and
+        raises (DuckDB errors identically: 'conflict target has to be
+        provided' when more than one candidate exists)."""
+        targets: list[list[str]] = []
         table_dir = self._versioned.get(name)
         if table_dir:
-            cons = snapshots.read_constraints(table_dir)
-            for pk_only in (True, False):
-                for c in cons:
-                    if c.get("kind") == "unique" and (
-                            bool(c.get("pk")) or not pk_only):
-                        return list(c.get("cols") or [])
+            for c in snapshots.read_constraints(table_dir):
+                if c.get("kind") == "unique":
+                    targets.append(list(c.get("cols") or []))
         for _iname, (tbl, cols, uniq) in self._indexes.items():
-            if uniq and tbl == name:
-                return list(cols)
-        return []
+            if uniq and tbl == name and list(cols) not in targets:
+                targets.append(list(cols))
+        if len(targets) > 1:
+            raise ValueError(
+                f"conflict target has to be provided for table {name!r}: "
+                f"it declares multiple UNIQUE/PRIMARY KEY constraints "
+                f"({targets}) — use ON CONFLICT (col, …) explicitly")
+        return targets[0] if targets else []
 
     def _insert_on_conflict(
         self, name: str, cols: str | None, body: str,

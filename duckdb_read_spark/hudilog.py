@@ -72,12 +72,15 @@ def _properties(table_dir: str) -> dict[str, str]:
     return props
 
 
-def timeline(table_dir: str) -> list[tuple[str, str]]:
-    """Completed (instant_ts, action) pairs, chronological. MOR-only
+def timeline(table_dir: str) -> list[tuple[str, str, str]]:
+    """Completed (instant_ts, action, filename) triples, chronological.
+    Ordering is numeric-safe — Hudi timestamps are fixed-width digit
+    strings, but an unpadded foreign timeline ('9' vs '10') must not
+    replay lexicographically or a stale base slice wins. MOR-only
     actions (deltacommit/compaction) raise — a base-file read of a
     MERGE_ON_READ table silently loses the un-compacted updates."""
     d = os.path.join(table_dir, _HOODIE_DIR)
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, str, str]] = []
     for f in sorted(os.listdir(d)):
         if _PENDING_RE.match(f):
             continue  # pending: not part of the committed snapshot
@@ -88,20 +91,15 @@ def timeline(table_dir: str) -> list[tuple[str, str]]:
                 f"(a base-file-only read would silently drop updates)")
         m = _INSTANT_RE.match(f)
         if m:
-            out.append((m.group("ts"), m.group("action")))
-    out.sort(key=lambda x: x[0])
+            out.append((m.group("ts"), m.group("action"), f))
+    out.sort(key=lambda x: (len(x[0]), x[0]))
     return out
 
 
-def _read_instant(table_dir: str, ts: str, action: str) -> dict:
-    d = os.path.join(table_dir, _HOODIE_DIR)
-    for f in os.listdir(d):
-        m = _INSTANT_RE.match(f)
-        if m and m.group("ts") == ts and m.group("action") == action:
-            with open(os.path.join(d, f)) as fh:
-                body = fh.read().strip()
-            return json.loads(body) if body else {}
-    raise FileNotFoundError(f"hudi instant {ts}.{action} not in timeline")
+def _read_instant(table_dir: str, fname: str) -> dict:
+    with open(os.path.join(table_dir, _HOODIE_DIR, fname)) as fh:
+        body = fh.read().strip()
+    return json.loads(body) if body else {}
 
 
 def snapshot_files(table_dir: str,
@@ -117,23 +115,26 @@ def snapshot_files(table_dir: str,
             f"no completed commits in {table_dir!r}/.hoodie")
     if instant is None:
         upto = len(tl)
-    elif isinstance(instant, int) or (isinstance(instant, str)
-                                      and len(instant) <= 6):
-        n = int(instant)
-        if not 1 <= n <= len(tl):
+    elif isinstance(instant, int):
+        # an int addresses the 1-based chronological index (uniform with
+        # the private snapshot-log numbering)
+        if not 1 <= instant <= len(tl):
             raise LookupError(
-                f"hudi instant index {n} not in 1..{len(tl)}")
-        upto = n
+                f"hudi instant index {instant} not in 1..{len(tl)}")
+        upto = instant
     else:
-        tss = [ts for ts, _ in tl]
+        # a string must match a committed instant TIMESTAMP exactly —
+        # guessing "short string means index" would silently read the
+        # wrong snapshot for unpadded foreign timelines
+        tss = [ts for ts, _, _ in tl]
         if str(instant) not in tss:
             raise LookupError(
                 f"hudi instant {instant!r} not in timeline (have {tss})")
         upto = tss.index(str(instant)) + 1
 
     by_group: dict[str, tuple[str, str]] = {}   # fileId -> (ts, rel path)
-    for ts, action in tl[:upto]:
-        body = _read_instant(table_dir, ts, action)
+    for ts, action, fname in tl[:upto]:
+        body = _read_instant(table_dir, fname)
         if action == "replacecommit":
             for _, fids in (body.get("partitionToReplaceFileIds")
                             or {}).items():

@@ -1534,11 +1534,7 @@ def _q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from . import hudilog
-    from .engine import Engine
 
-    eng = Engine(spark=spark,
-                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q128_"))
-    eng.register_fixture_dir(sf_dir)
     d = tempfile.mkdtemp(prefix="ddbrs_q128_hudi_") + "/t"
     os.makedirs(os.path.join(d, ".hoodie"))
     with open(os.path.join(d, ".hoodie", "hoodie.properties"), "w") as f:

@@ -315,7 +315,6 @@ def source_report(
     df: DataFrame,
     source_col: str = "source",
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_docs: int = 5,
     max_dup_rate: float = 0.5,
     min_mean_tokens: float = 5.0,
@@ -344,13 +343,15 @@ def source_report(
         .cast("double").alias("dup_rate"),
         F.round(F.avg(F.col("__toks").cast("double")), 6)
         .cast("double").alias("mean_tokens"),
+        # keep decides on the UNROUNDED aggregates — rounding first would
+        # flip the bit for threshold-straddling values and diverge from
+        # the SQL oracle twin, which compares raw expressions
+        ((F.count(F.lit(1)) >= min_docs)
+         & (F.sum("__dup") / F.count(F.lit(1)) <= max_dup_rate)
+         & (F.avg(F.col("__toks").cast("double")) >= min_mean_tokens)
+         ).alias("keep"),
     ]
     if has_lang:
-        aggs.append(F.countDistinct("lang").alias("n_langs"))
+        aggs.insert(4, F.countDistinct("lang").alias("n_langs"))
     rep = d.groupBy(source_col).agg(*aggs)
-    rep = rep.withColumn(
-        "keep",
-        (F.col("n_docs") >= min_docs)
-        & (F.col("dup_rate") <= max_dup_rate)
-        & (F.col("mean_tokens") >= min_mean_tokens))
     return rep.orderBy(source_col)

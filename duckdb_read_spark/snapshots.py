@@ -549,6 +549,15 @@ def clone(
         from . import deltalog, iceberglog
 
         if iceberglog.is_iceberg_table(src_dir):
+            flat, _n = iceberglog._renamed_field_ids(
+                iceberglog.table_metadata(src_dir))
+            if flat:
+                raise NotImplementedError(
+                    "CLONE of an Iceberg table with renamed columns is "
+                    "not supported: the clone would be read name-based "
+                    "(no field-id projection on private manifests), "
+                    "splitting the renamed column into two half-NULL "
+                    "columns — read it via register/ATTACH instead")
             files_abs = iceberglog.snapshot_data_files(
                 src_dir, version, as_of_ms)
         else:

@@ -107,3 +107,35 @@ def test_clone_timestamp_as_of_and_shallow_keyword(eng):
         .strftime("%Y-%m-%d %H:%M:%S.%f")
     eng.sql(f"CREATE TABLE tb SHALLOW CLONE tsrc TIMESTAMP AS OF '{ts}'")
     assert eng.sql("SELECT count(*) AS n FROM tb").first()["n"] == 10
+
+
+def test_clone_renamed_iceberg_refuses(eng, spark, tmp_path):
+    """Review r6-2: a file-reference CLONE of a flat-renamed Iceberg
+    table would later be read name-based (no field-id projection on
+    private manifests) — refuse instead of silently splitting the
+    column."""
+    import json as _json
+
+    from duckdb_read_spark import iceberglog
+
+    d = str(tmp_path / "ice_ren_clone")
+    iceberglog.write_table(
+        spark.createDataFrame([(1, 2.0)], "k long, v double")
+        .coalesce(1), d)
+    meta_path = iceberglog._metadata_path(d)
+    meta = _json.loads(open(meta_path).read())
+    meta["schemas"] = [
+        {"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"}]},
+        {"schema-id": 1, "type": "struct", "fields": [
+            {"id": 1, "name": "kk", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "double"}]},
+    ]
+    meta["current-schema-id"] = 1
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    from duckdb_read_spark import snapshots as _snap
+
+    with pytest.raises(NotImplementedError, match="renamed"):
+        _snap.clone(d, str(tmp_path / "icecl"))

@@ -756,3 +756,23 @@ def test_truncate_and_insert_or_replace_cross_engine(eng, duck):
     # time travel still sees the pre-TRUNCATE state
     assert eng.sql("SELECT count(*) AS n FROM tir VERSION AS OF 3") \
         .first()["n"] == 3
+
+
+def test_conflict_target_inference_edges(eng, duck):
+    """Review r6-2: multiple UNIQUE/PK constraints make a bare conflict
+    target ambiguous (DuckDB errors too); OR REPLACE + ON CONFLICT is
+    rejected like DuckDB."""
+    eng.sql("CREATE TABLE tamb (k BIGINT PRIMARY KEY, u BIGINT UNIQUE)")
+    eng.sql("INSERT INTO tamb VALUES (1, 10)")
+    with pytest.raises(ValueError, match="[Cc]onflict target"):
+        eng.sql("INSERT OR REPLACE INTO tamb VALUES (1, 11)")
+    with pytest.raises(ValueError, match="[Cc]onflict target"):
+        eng.sql("INSERT INTO tamb VALUES (1, 11) "
+                "ON CONFLICT DO UPDATE SET u = excluded.u")
+    # explicit target still works
+    eng.sql("INSERT INTO tamb VALUES (1, 12) "
+            "ON CONFLICT (k) DO UPDATE SET u = excluded.u")
+    assert eng.sql("SELECT u FROM tamb").first()["u"] == 12
+    with pytest.raises(ValueError, match="OR REPLACE"):
+        eng.sql("INSERT OR REPLACE INTO tamb VALUES (1, 2) "
+                "ON CONFLICT (k) DO NOTHING")

@@ -127,3 +127,28 @@ def test_hudi_register_and_attach(eng, spark, tmp_path):
     assert eng.sql("SELECT count(*) AS n FROM hud").first()["n"] == 12
     eng.attach(str(tmp_path / "cat"), "ext")
     assert eng.sql("SELECT count(*) AS n FROM ext__hud").first()["n"] == 12
+
+
+def test_hudi_unpadded_timeline_orders_numerically(eng, spark, tmp_path):
+    """Review r6-2: instants '9' and '10' must replay 9 → 10 (numeric),
+    not '10' < '9' (lexicographic) — else the STALE base slice wins."""
+    d = str(tmp_path / "hudi_pad")
+    os.makedirs(os.path.join(d, ".hoodie"))
+    with open(os.path.join(d, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    _write_file(spark, d, "p/g1_0-0-9_9.parquet", 0, 3)
+    _commit(d, "9", {"p": [{"fileId": "g1",
+                            "path": "p/g1_0-0-9_9.parquet"}]})
+    _write_file(spark, d, "p/g1_0-0-10_10.parquet", 100, 102)
+    _commit(d, "10", {"p": [{"fileId": "g1",
+                             "path": "p/g1_0-0-10_10.parquet"}]})
+    got = {r.id for r in hudilog.read_hudi_table(spark, d).collect()}
+    assert got == {100, 101}  # the newer slice, not the stale one
+    # string instants address TIMESTAMPS exactly; ints address the index
+    old = {r.id for r in
+           hudilog.read_hudi_table(spark, d, instant="9").collect()}
+    assert old == {0, 1, 2}
+    with pytest.raises(LookupError):
+        hudilog.read_hudi_table(spark, d, instant="2")  # not a ts
+    assert {r.id for r in hudilog.read_hudi_table(
+        spark, d, instant=2).collect()} == {100, 101}
