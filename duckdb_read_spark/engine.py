@@ -164,7 +164,8 @@ _SET_RE = re.compile(
 # Bare single-quoted single-argument form only; file access is external
 # access, so safe mode (enable_external_access=false) blocks it.
 _READ_FUNC_RE = re.compile(
-    r"\bread_(?P<kind>parquet|csv_auto|csv|json)\s*\(\s*'(?P<path>[^']+)'"
+    r"\b(?:read_(?P<kind>parquet|csv_auto|csv|json|delta|iceberg|hudi)"
+    r"|(?P<kind2>delta|iceberg)_scan)\s*\(\s*'(?P<path>[^']+)'"
     r"(?P<args>(?:\s*,[^()]*)?)\)",
     re.IGNORECASE,
 )
@@ -2363,11 +2364,32 @@ class Engine:
                 raise PermissionError(
                     "read_* table functions are disabled in safe mode "
                     "(enable_external_access=false)")
-            kind, path = m.group("kind").lower(), m.group("path")
+            kind = (m.group("kind") or m.group("kind2")).lower()
+            path = m.group("path")
             argstr = (m.group("args") or "").strip().lstrip(",")
             opts = _parse_read_func_args(argstr)
             name = f"__read_{hashlib.md5((kind + ':' + path + ':' + argstr).encode()).hexdigest()[:12]}"
-            if kind == "parquet":
+            if kind in ("delta", "iceberg", "hudi"):
+                # table-format scans (DuckDB's delta_scan/iceberg_scan
+                # extension shapes + read_hudi): replay the foreign log
+                version = opts.pop("version", None)
+                if opts:
+                    raise ValueError(
+                        f"read_{kind}: unrecognized option(s) "
+                        f"{sorted(opts)} — supported: version")
+                if isinstance(version, str) and version.isdigit()                         and kind != "hudi":
+                    version = int(version)
+                from . import deltalog, hudilog, iceberglog
+
+                if kind == "delta":
+                    df = deltalog.read_delta_table(
+                        self.spark, path, version)
+                elif kind == "iceberg":
+                    df = iceberglog.read_iceberg_table(
+                        self.spark, path, version)
+                else:
+                    df = hudilog.read_hudi_table(self.spark, path, version)
+            elif kind == "parquet":
                 if opts:
                     raise ValueError(
                         f"read_parquet: unrecognized option(s) {sorted(opts)}")

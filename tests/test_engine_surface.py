@@ -1340,3 +1340,51 @@ def test_match_bm25_conjunctive_spelling_and_view_reuse(spark, tmp_path):
     for _ in range(3):
         eng2.sql(q, dialect="duckdb").collect()
     assert n_fts_views() == before      # reused, not leaked
+
+
+def test_table_format_scan_tvfs(spark, tmp_path):
+    """SQL-reachable foreign-format scans without registration:
+    delta_scan/iceberg_scan (DuckDB extension shapes) + read_delta/
+    read_iceberg/read_hudi, with a version option; safe mode blocks."""
+    import json as _json
+
+    from duckdb_read_spark import Engine, iceberglog
+
+    eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "whtvf"))
+
+    ice = str(tmp_path / "ice")
+    iceberglog.write_table(
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(1), ice)
+    iceberglog.write_table(
+        spark.createDataFrame([(9,)], "k long").coalesce(1), ice,
+        mode="overwrite")
+    assert {r.k for r in eng2.sql(
+        f"SELECT k FROM iceberg_scan('{ice}')").collect()} == {9}
+    assert {r.k for r in eng2.sql(
+        f"SELECT k FROM read_iceberg('{ice}', version=1)").collect()} \
+        == {1, 2}
+
+    dlt = str(tmp_path / "dlt")
+    eng2.write_versioned(
+        spark.createDataFrame([(5,)], "k long").coalesce(1), dlt)
+    assert [r.k for r in eng2.sql(
+        f"SELECT k FROM delta_scan('{dlt}')").collect()] == [5]
+
+    hud = str(tmp_path / "hud")
+    os.makedirs(os.path.join(hud, ".hoodie"))
+    with open(os.path.join(hud, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    spark.createDataFrame([(7,)], "k long").coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(hud, "tmpd"))
+    part = [x for x in os.listdir(os.path.join(hud, "tmpd"))
+            if x.endswith(".parquet")][0]
+    os.replace(os.path.join(hud, "tmpd", part), os.path.join(hud, "f1.parquet"))
+    with open(os.path.join(hud, ".hoodie", "001.commit"), "w") as f:
+        _json.dump({"partitionToWriteStats": {
+            "": [{"fileId": "g1", "path": "f1.parquet"}]}}, f)
+    assert [r.k for r in eng2.sql(
+        f"SELECT k FROM read_hudi('{hud}')").collect()] == [7]
+
+    safe = Engine(spark=spark, extensions_allowed=False)
+    with pytest.raises(PermissionError):
+        safe.sql(f"SELECT * FROM delta_scan('{dlt}')")
