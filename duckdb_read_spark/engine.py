@@ -3559,6 +3559,22 @@ class Engine:
                     else "overwrite")
             iceberglog.write_table(df, path, mode=mode)
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        if fmt == "delta":
+            # Delta export reachable from SQL: COPY t TO 'dir'
+            # (FORMAT DELTA) — one snapshot commit whose _delta_log
+            # mirror (written by snapshots.write_table) IS the external
+            # contract; append if the target is already a table
+            if header is not None or delimiter is not None \
+                    or partition_by is not None or compression is not None:
+                raise ValueError(
+                    "COPY FORMAT DELTA supports no other options")
+            import os as _os
+
+            exists = (_os.path.isdir(_os.path.join(path, "_delta_log"))
+                      or _os.path.isdir(_os.path.join(path, "_log")))
+            snapshots.write_table(
+                df, path, mode="append" if exists else "overwrite")
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         if fmt == "parquet":
             if header is not None or delimiter is not None:
                 raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")

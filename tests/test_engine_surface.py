@@ -1388,3 +1388,22 @@ def test_table_format_scan_tvfs(spark, tmp_path):
     safe = Engine(spark=spark, extensions_allowed=False)
     with pytest.raises(PermissionError):
         safe.sql(f"SELECT * FROM delta_scan('{dlt}')")
+
+
+def test_copy_to_format_delta(spark, tmp_path):
+    """COPY … TO (FORMAT DELTA): the export lands a Delta-protocol
+    _delta_log readable via delta_scan; a second COPY appends."""
+    from duckdb_read_spark import Engine
+
+    eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "whcd"))
+    eng2.register_fixture_dir("/root/testdata/sf0.001")
+    d = str(tmp_path / "dexp")
+    eng2.sql(f"COPY (SELECT n_nationkey AS k FROM nation WHERE "
+             f"n_nationkey < 5) TO '{d}' (FORMAT DELTA)")
+    assert os.path.isdir(os.path.join(d, "_delta_log"))
+    assert {r.k for r in eng2.sql(
+        f"SELECT k FROM delta_scan('{d}')").collect()} == set(range(5))
+    eng2.sql(f"COPY (SELECT 99 AS k) TO '{d}' (FORMAT DELTA)")
+    got = {r.k for r in eng2.sql(
+        f"SELECT k FROM delta_scan('{d}')").collect()}
+    assert got == set(range(5)) | {99}
