@@ -1611,6 +1611,34 @@ def _q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_report(docs)
 
 
+@_op("q130_delta_roundtrip_sql", """
+SELECT COUNT(*) AS n, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+       COUNT(DISTINCT c_nationkey) AS nn
+FROM customer WHERE c_custkey <= 500
+""", note="SQL-only Delta round-trip: COPY (FORMAT DELTA) exports a "
+          "customer cut, a second COPY appends, delta_scan reads the "
+          "union back — exercises export, append and the scan TVF in "
+          "one hash-checked path")
+def _q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q130_"))
+    eng.register_fixture_dir(sf_dir)
+    d = tempfile.mkdtemp(prefix="ddbrs_q130_delta_") + "/t"
+    eng.sql(f"COPY (SELECT c_custkey, c_nationkey FROM customer "
+            f"WHERE c_custkey <= 300) TO '{d}' (FORMAT DELTA)")
+    eng.sql(f"COPY (SELECT c_custkey, c_nationkey FROM customer "
+            f"WHERE c_custkey > 300 AND c_custkey <= 500) TO '{d}' "
+            f"(FORMAT DELTA)")
+    return eng.sql(f"""
+SELECT COUNT(*) AS n, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+       COUNT(DISTINCT c_nationkey) AS nn
+FROM delta_scan('{d}')""")
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "
