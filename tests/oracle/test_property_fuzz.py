@@ -473,3 +473,49 @@ def test_fuzzed_temporal_series_matches_oracle(seed, engine, duck):
     got = spark_rows(engine.sql(sql, dialect="duckdb"))
     want = duckdb_rows(duck, sql)
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
+# --- upsert-script differential fuzz (INSERT OR REPLACE / ON CONFLICT) ----
+
+def gen_upsert_script(rng: random.Random) -> list[str]:
+    """A PRIMARY KEY table + a cycle of OR-REPLACE / ON-CONFLICT upserts
+    and deletes — identical text in both engines, converging states."""
+    stmts = ["CREATE TABLE uz (k BIGINT PRIMARY KEY, v BIGINT, s VARCHAR)"]
+    stmts.append("INSERT INTO uz VALUES " + ", ".join(
+        f"({k}, {k * 10}, '{rng.choice('xyz')}')"
+        for k in range(1, rng.randint(4, 8))))
+    for _ in range(rng.randint(2, 5)):
+        kind = rng.randrange(3)
+        ks = rng.sample(range(1, 12), rng.randint(1, 3))
+        vals = ", ".join(
+            f"({k}, {rng.randint(0, 99)}, '{rng.choice('abc')}')"
+            for k in ks)
+        if kind == 0:
+            stmts.append(f"INSERT OR REPLACE INTO uz VALUES {vals}")
+        elif kind == 1:
+            stmts.append(
+                f"INSERT INTO uz VALUES {vals} "
+                f"ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+        else:
+            stmts.append(f"DELETE FROM uz WHERE k % {rng.randint(2, 5)} "
+                         f"= {rng.randint(0, 1)}")
+    stmts.append("SELECT k, v, s FROM uz ORDER BY k")
+    return stmts
+
+
+@pytest.mark.parametrize("seed", range(500, 512))
+def test_fuzzed_upsert_script_matches_oracle(seed, spark, tmp_path):
+    import duckdb as _duck
+
+    from duckdb_read_spark.engine import Engine
+
+    stmts = gen_upsert_script(random.Random(seed))
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    con = _duck.connect()
+    for stmt in stmts[:-1]:
+        eng.sql(stmt, dialect="duckdb")
+        con.execute(stmt)
+    got = spark_rows(eng.sql(stmts[-1]))
+    want = duckdb_rows(con, stmts[-1])
+    assert got == want, f"seed={seed}\nscript={stmts}\n" + \
+        diff_summary(got, want)
