@@ -313,3 +313,17 @@ def test_analyze_statement_surface(engine, spark, tmp_path):
         eng.sql("ANALYZE ta COMPUTE STATISTICS FOR COLUMNS nope")
     with pytest.raises(ValueError, match="unknown versioned table"):
         eng.sql("ANALYZE no_such_table")
+
+
+def test_semantic_dedup_pairs_plan_no_cartesian(engine, spark):
+    """SemDeDup's within-cell pairing must be a hash-partitioned
+    EQUI-join on the cell id (the n²/k bucketed shape) — a
+    BroadcastNestedLoop/Cartesian here would be the all-pairs scan the
+    operator exists to avoid."""
+    from duckdb_read_spark.operators import semantic_neardup_pairs
+
+    emb = engine.table("embeddings")
+    pairs = semantic_neardup_pairs(emb, threshold=0.9, n_cells=4, iters=1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
