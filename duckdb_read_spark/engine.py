@@ -3575,6 +3575,18 @@ class Engine:
             snapshots.write_table(
                 df, path, mode="append" if exists else "overwrite")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
+        if fmt == "hudi":
+            # Hudi COPY_ON_WRITE timeline export (timeline-faithful for
+            # this reader; see hudilog.write_hudi_table honesty note)
+            if header is not None or delimiter is not None \
+                    or partition_by is not None or compression is not None:
+                raise ValueError(
+                    "COPY FORMAT HUDI supports no other options")
+            hudilog.write_hudi_table(
+                df, path,
+                mode="append" if hudilog.is_hudi_table(path)
+                else "overwrite")
+            return self.spark.sql("SELECT 1 AS ok WHERE false")
         if fmt == "parquet":
             if header is not None or delimiter is not None:
                 raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")

@@ -171,3 +171,80 @@ def read_hudi_table(spark, table_dir: str,
         if meta:
             df = df.drop(*meta)
     return df
+
+
+def write_hudi_table(spark_df, table_dir: str, mode: str = "append",
+                     timestamp_ms: int | None = None) -> str:
+    """Write a DataFrame as one COPY_ON_WRITE commit in a ``.hoodie``
+    timeline readable by this module's replay (and shaped per the
+    published timeline layout: properties file, ``{ts}.commit`` /
+    ``{ts}.replacecommit`` JSON with partitionToWriteStats).
+
+    ``mode='append'`` adds new file groups; ``mode='overwrite'`` writes a
+    REPLACECOMMIT that replaces every live file group (the
+    insert_overwrite_table shape). Returns the instant timestamp.
+
+    Honesty note: real Hudi readers additionally expect the ``_hoodie_*``
+    meta COLUMNS inside data files and auxiliary metadata (markers,
+    record-key config) that this writer does not produce — the export is
+    a timeline-faithful interchange for THIS reader and timeline-level
+    tools, not a drop-in Hudi dataset. The Delta/Iceberg writers are the
+    externally-consumable paths.
+    """
+    import time
+    import uuid as _uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    hdir = os.path.join(table_dir, _HOODIE_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    props = os.path.join(hdir, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write("hoodie.table.name=%s\nhoodie.table.type=COPY_ON_WRITE\n"
+                    % os.path.basename(table_dir.rstrip(os.sep)))
+    ms = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
+    # pad to Hudi's fixed-width yyyyMMddHHmmssSSS-like monotonic digits:
+    # millis since epoch, zero-padded so lexicographic == numeric, and
+    # bumped past the newest existing instant if clocks collide
+    existing = [ts for ts, _, _ in timeline(table_dir)]
+    ts = f"{ms:017d}"
+    while existing and (len(ts), ts) <= (len(existing[-1]), existing[-1]):
+        ms += 1
+        ts = f"{ms:017d}"
+
+    replaced: dict[str, list[str]] = {}
+    if mode == "overwrite" and existing:
+        live: dict[str, list[str]] = {}
+        for t2, action, fname in timeline(table_dir):
+            body = _read_instant(table_dir, fname)
+            for part, stats in (body.get("partitionToWriteStats")
+                                or {}).items():
+                for st in stats:
+                    live.setdefault(part, []).append(
+                        st.get("fileId") or st["path"])
+        replaced = {p: sorted(set(fids)) for p, fids in live.items()}
+
+    tmp = os.path.join(table_dir, f".hoodie_tmp_{ts}")
+    spark_df.write.mode("overwrite").parquet(tmp)
+    stats = []
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        fid = _uuid.uuid4().hex[:12]
+        rel = f"{fid}_0-0-0_{ts}.parquet"
+        os.replace(os.path.join(tmp, f), os.path.join(table_dir, rel))
+        stats.append({"fileId": fid, "path": rel})
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    body: dict = {"partitionToWriteStats": {"": stats}}
+    action = "commit"
+    if replaced:
+        body["partitionToReplaceFileIds"] = replaced
+        action = "replacecommit"
+    final = os.path.join(hdir, f"{ts}.{action}")
+    with open(final + ".tmp", "w") as f:
+        json.dump(body, f)
+    os.replace(final + ".tmp", final)
+    return ts

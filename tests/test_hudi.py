@@ -152,3 +152,35 @@ def test_hudi_unpadded_timeline_orders_numerically(eng, spark, tmp_path):
         hudilog.read_hudi_table(spark, d, instant="2")  # not a ts
     assert {r.id for r in hudilog.read_hudi_table(
         spark, d, instant=2).collect()} == {100, 101}
+
+
+def test_hudi_write_roundtrip_and_overwrite(eng, spark, tmp_path):
+    """write_hudi_table → timeline replay round-trip: appends add file
+    groups, overwrite lands a replacecommit replacing every live group;
+    earlier instants stay time-travelable; COPY (FORMAT HUDI) routes."""
+    d = str(tmp_path / "hudi_w")
+    t1 = hudilog.write_hudi_table(
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(1), d)
+    t2 = hudilog.write_hudi_table(
+        spark.createDataFrame([(3,)], "k long").coalesce(1), d,
+        mode="append")
+    assert (len(t1), t1) < (len(t2), t2)
+    assert {r.k for r in hudilog.read_hudi_table(spark, d).collect()} \
+        == {1, 2, 3}
+    hudilog.write_hudi_table(
+        spark.createDataFrame([(9,)], "k long").coalesce(1), d,
+        mode="overwrite")
+    assert {r.k for r in hudilog.read_hudi_table(spark, d).collect()} \
+        == {9}
+    assert {r.k for r in
+            hudilog.read_hudi_table(spark, d, instant=2).collect()} \
+        == {1, 2, 3}
+
+    d2 = str(tmp_path / "hudi_copy")
+    eng.register_fixture_dir("/root/testdata/sf0.001")
+    eng.sql(f"COPY (SELECT n_nationkey AS k FROM nation "
+            f"WHERE n_nationkey < 4) TO '{d2}' (FORMAT HUDI)")
+    eng.sql(f"COPY (SELECT 50 AS k) TO '{d2}' (FORMAT HUDI)")
+    got = {r.k for r in eng.sql(
+        f"SELECT k FROM read_hudi('{d2}')").collect()}
+    assert got == {0, 1, 2, 3, 50}
