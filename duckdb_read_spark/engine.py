@@ -2377,9 +2377,10 @@ class Engine:
                     raise ValueError(
                         f"read_{kind}: unrecognized option(s) "
                         f"{sorted(opts)} — supported: version")
-                if isinstance(version, str) and version.isdigit()                         and kind != "hudi":
+                if (isinstance(version, str) and version.isdigit()
+                        and kind != "hudi"):
                     version = int(version)
-                from . import deltalog, hudilog, iceberglog
+                from . import deltalog
 
                 if kind == "delta":
                     df = deltalog.read_delta_table(
@@ -3570,10 +3571,20 @@ class Engine:
                     "COPY FORMAT DELTA supports no other options")
             import os as _os
 
-            exists = (_os.path.isdir(_os.path.join(path, "_delta_log"))
-                      or _os.path.isdir(_os.path.join(path, "_log")))
+            has_private = _os.path.isdir(_os.path.join(path, "_log"))
+            has_delta = _os.path.isdir(_os.path.join(path, "_delta_log"))
+            if has_delta and not has_private:
+                # a FOREIGN _delta_log-only table: appending would start
+                # a fresh private log whose mirror collides with the
+                # foreign version-0 commit — the O_EXCL loss would be
+                # silently swallowed as a mirror race and the appended
+                # rows would vanish from delta_scan. Refuse loudly.
+                raise ValueError(
+                    "COPY FORMAT DELTA cannot append to a foreign "
+                    "_delta_log-only table — CLONE or register it into "
+                    "a private versioned table first")
             snapshots.write_table(
-                df, path, mode="append" if exists else "overwrite")
+                df, path, mode="append" if has_private else "overwrite")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         if fmt == "hudi":
             # Hudi COPY_ON_WRITE timeline export (timeline-faithful for

@@ -209,21 +209,32 @@ def write_hudi_table(spark_df, table_dir: str, mode: str = "append",
     # bumped past the newest existing instant if clocks collide
     existing = [ts for ts, _, _ in timeline(table_dir)]
     ts = f"{ms:017d}"
-    while existing and (len(ts), ts) <= (len(existing[-1]), existing[-1]):
-        ms += 1
+    if existing and (len(ts), ts) <= (len(existing[-1]), existing[-1]):
+        # jump DIRECTLY past the newest instant: a real Hudi timeline
+        # uses yyyyMMddHHmmssSSS digits (~2e16), so incrementing epoch
+        # millis one-by-one would spin ~1e16 iterations
+        ms = max(ms, int(existing[-1]) + 1)
         ts = f"{ms:017d}"
 
     replaced: dict[str, list[str]] = {}
     if mode == "overwrite" and existing:
-        live: dict[str, list[str]] = {}
+        # replace only the LIVE file groups — honoring earlier
+        # replacecommits, so the export never claims to replace an
+        # already-dead group (external timeline tools would flag it)
+        live: dict[str, dict[str, str]] = {}
         for t2, action, fname in timeline(table_dir):
             body = _read_instant(table_dir, fname)
+            if action == "replacecommit":
+                for part, fids in (body.get("partitionToReplaceFileIds")
+                                   or {}).items():
+                    for fid in fids:
+                        live.get(part, {}).pop(fid, None)
             for part, stats in (body.get("partitionToWriteStats")
                                 or {}).items():
                 for st in stats:
-                    live.setdefault(part, []).append(
-                        st.get("fileId") or st["path"])
-        replaced = {p: sorted(set(fids)) for p, fids in live.items()}
+                    live.setdefault(part, {})[
+                        st.get("fileId") or st["path"]] = t2
+        replaced = {p: sorted(m) for p, m in live.items() if m}
 
     tmp = os.path.join(table_dir, f".hoodie_tmp_{ts}")
     spark_df.write.mode("overwrite").parquet(tmp)

@@ -1629,9 +1629,10 @@ def _q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.register_fixture_dir(sf_dir)
     d = tempfile.mkdtemp(prefix="ddbrs_q130_delta_") + "/t"
     eng.sql(f"COPY (SELECT c_custkey, c_nationkey FROM customer "
-            f"WHERE c_custkey <= 300) TO '{d}' (FORMAT DELTA)")
+            f"WHERE c_custkey <= 500 AND c_custkey % 2 = 0) TO '{d}' "
+            f"(FORMAT DELTA)")
     eng.sql(f"COPY (SELECT c_custkey, c_nationkey FROM customer "
-            f"WHERE c_custkey > 300 AND c_custkey <= 500) TO '{d}' "
+            f"WHERE c_custkey <= 500 AND c_custkey % 2 = 1) TO '{d}' "
             f"(FORMAT DELTA)")
     return eng.sql(f"""
 SELECT COUNT(*) AS n, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,

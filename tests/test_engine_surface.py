@@ -1407,3 +1407,20 @@ def test_copy_to_format_delta(spark, tmp_path):
     got = {r.k for r in eng2.sql(
         f"SELECT k FROM delta_scan('{d}')").collect()}
     assert got == set(range(5)) | {99}
+
+
+def test_copy_delta_foreign_log_refuses(spark, tmp_path):
+    """Review r6-3: COPY (FORMAT DELTA) into a foreign _delta_log-only
+    dir would silently lose the appended rows to a swallowed mirror
+    collision — must refuse loudly."""
+    import shutil
+
+    from duckdb_read_spark import Engine
+
+    eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "whfd"))
+    d = str(tmp_path / "fdelta")
+    eng2.write_versioned(
+        spark.createDataFrame([(1,)], "k long").coalesce(1), d)
+    shutil.rmtree(os.path.join(d, "_log"))  # leave a foreign-style dir
+    with pytest.raises(ValueError, match="foreign"):
+        eng2.sql(f"COPY (SELECT 2 AS k) TO '{d}' (FORMAT DELTA)")

@@ -184,3 +184,45 @@ def test_hudi_write_roundtrip_and_overwrite(eng, spark, tmp_path):
     got = {r.k for r in eng.sql(
         f"SELECT k FROM read_hudi('{d2}')").collect()}
     assert got == {0, 1, 2, 3, 50}
+
+
+def test_hudi_write_append_to_real_format_timeline(eng, spark, tmp_path):
+    """Review r6-3: appending to a timeline with real yyyyMMddHHmmssSSS
+    instants (~2e16) must jump past the newest instant, not spin epoch
+    millis one at a time; overwrite replaces only LIVE groups."""
+    d = str(tmp_path / "hudi_real")
+    _hudi_fixture(spark, d)  # instants '001','002' (shorter → older)
+    big = str(tmp_path / "hudi_big")
+    os.makedirs(os.path.join(big, ".hoodie"))
+    with open(os.path.join(big, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\n")
+    _write_file(spark, big, "g1_0-0-1_20240814120000123.parquet", 0, 2)
+    _commit(big, "20240814120000123",
+            {"": [{"fileId": "g1",
+                   "path": "g1_0-0-1_20240814120000123.parquet"}]})
+    ts = hudilog.write_hudi_table(
+        spark.createDataFrame([(5,)], "k long").coalesce(1), big,
+        mode="append")
+    assert int(ts) == 20240814120000124  # jumped, not spun
+    got = {r.id if hasattr(r, "id") else r.k
+           for r in hudilog.read_hudi_table(spark, big)
+           .select(F.coalesce(F.col("id"), F.col("k")).alias("id"))
+           .collect()}
+    assert got == {0, 1, 5}
+
+    # overwrite after a replacecommit must not re-replace dead groups
+    d2 = str(tmp_path / "hudi_live")
+    hudilog.write_hudi_table(
+        spark.createDataFrame([(1,)], "k long").coalesce(1), d2)
+    hudilog.write_hudi_table(
+        spark.createDataFrame([(2,)], "k long").coalesce(1), d2,
+        mode="overwrite")  # replaces group 1
+    ts3 = hudilog.write_hudi_table(
+        spark.createDataFrame([(3,)], "k long").coalesce(1), d2,
+        mode="overwrite")
+    tl = {t: f for t, a, f in hudilog.timeline(d2)}
+    body = hudilog._read_instant(d2, tl[ts3])
+    dead_and_live = body["partitionToReplaceFileIds"][""]
+    assert len(dead_and_live) == 1  # only the LIVE group from commit 2
+    assert {r.k for r in hudilog.read_hudi_table(spark, d2).collect()} \
+        == {3}
