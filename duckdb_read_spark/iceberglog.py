@@ -18,11 +18,17 @@ A snapshot's manifest list FULLY describes it (manifests carry
 snapshots — Iceberg's structural difference from Delta's log replay.
 
 Scope (honest fences, mirrored from deltalog.py's): parquet data files;
-v1 and v2 metadata; ``null``/``deflate`` Avro codecs; delete manifests
-(content=1) and delete data files raise ``NotImplementedError`` rather
-than silently returning wrong rows. Partitioned tables read fine — data
-file paths are listed explicitly, partition pruning happens via parquet
-row-group stats like any explicit-file-list scan.
+v1 and v2 metadata; ``null``/``deflate`` Avro codecs. V2 row-level
+deletes (merge-on-read) are SUPPORTED on the read path: positional
+delete files apply as an anti-join on (target file, ``_metadata.
+row_index``), equality delete files as null-safe anti-joins on their
+equality columns, both scoped by data sequence number per the spec
+(positional: delete.seq >= data.seq; equality: delete.seq > data.seq).
+Files-by-reference consumers (CLONE, COPY export) still refuse tables
+with live deletes — carrying the base files alone would resurrect
+deleted rows. Partitioned tables read fine — data file paths are listed
+explicitly, partition pruning happens via parquet row-group stats like
+any explicit-file-list scan.
 
 Scale shape: metadata files are O(files) driver-side artifacts (the
 format's own design); data I/O is a normal distributed parquet scan of
@@ -258,54 +264,176 @@ def _read_with_field_id_projection(spark, table_dir: str, meta: dict,
     return out.select(*[f["name"] for f in cur])
 
 
-def snapshot_data_files(table_dir: str, version: int | None = None,
-                        as_of_ms: int | None = None) -> list[str]:
-    """Absolute local paths of the parquet data files in a snapshot.
+def snapshot_files(table_dir: str, version: int | None = None,
+                   as_of_ms: int | None = None) -> dict:
+    """Full file inventory of a snapshot, v2-delete-aware.
+
+    Returns ``{"data": [(local_path, recorded_uri, seq)],
+    "pos_deletes": [(local_path, seq)],
+    "eq_deletes": [(local_path, seq, equality_ids)]}``.
 
     Replay: manifest list → manifests → entries with status != DELETED
-    (2). Delete manifests (content=1) and non-data files raise — a
-    reader that ignored them would return deleted rows as live."""
+    (2). A null entry ``sequence_number`` inherits the carrying
+    manifest's ``sequence_number`` (spec: sequence-number inheritance
+    for entries written in the same snapshot). Data manifests
+    (content=0) hold data files; delete manifests (content=1) hold
+    positional (data_file.content=1) and equality (content=2) delete
+    files."""
     meta = table_metadata(table_dir)
     _check_schema_evolution(meta)
     snap = _pick_snapshot(meta, version, as_of_ms)
     ml_path = _localize(snap["manifest-list"], meta, table_dir)
     _, manifests = avroio.read_container(ml_path)
-    files: list[str] = []
+    data: dict[str, tuple[str, int]] = {}
+    pos_del: dict[str, int] = {}
+    eq_del: dict[str, tuple[int, tuple[int, ...]]] = {}
     for mf in manifests:
-        if mf.get("content", 0) == 1:
-            raise NotImplementedError(
-                "iceberg delete manifests (content=1, v2 row-level "
-                "deletes) are not supported")
         m_path = _localize(mf["manifest_path"], meta, table_dir)
         _, entries = avroio.read_container(m_path)
         for e in entries:
             if e.get("status") == 2:      # DELETED
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "iceberg delete files (data_file.content != 0) are "
-                    "not supported")
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
             fmt = str(df_rec.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"iceberg {fmt or 'unknown'} data files not supported "
                     f"(parquet only)")
-            files.append(_localize(df_rec["file_path"], meta, table_dir))
-    return sorted(set(files))
+            local = _localize(df_rec["file_path"], meta, table_dir)
+            content = df_rec.get("content", 0)
+            if content == 0:
+                data[local] = (df_rec["file_path"], seq)
+            elif content == 1:
+                pos_del[local] = max(pos_del.get(local, 0), seq)
+            elif content == 2:
+                ids = tuple(df_rec.get("equality_ids") or ())
+                if not ids:
+                    raise NotImplementedError(
+                        "iceberg equality delete file without "
+                        "equality_ids — cannot determine match columns")
+                eq_del[local] = (seq, ids)
+            else:
+                raise NotImplementedError(
+                    f"iceberg data_file.content={content} not supported")
+    return {
+        "data": sorted((p, uri, seq) for p, (uri, seq) in data.items()),
+        "pos_deletes": sorted(pos_del.items()),
+        "eq_deletes": sorted((p, s, ids)
+                             for p, (s, ids) in eq_del.items()),
+    }
+
+
+def snapshot_data_files(table_dir: str, version: int | None = None,
+                        as_of_ms: int | None = None) -> list[str]:
+    """Absolute local paths of the parquet data files in a snapshot —
+    the FILES-BY-REFERENCE contract (clone, COPY export): refuses when
+    the snapshot carries live row-level deletes, because consuming the
+    base files alone would resurrect deleted rows. Row-accurate reads go
+    through :func:`read_iceberg_table`, which applies the deletes."""
+    info = snapshot_files(table_dir, version, as_of_ms)
+    if info["pos_deletes"] or info["eq_deletes"]:
+        raise NotImplementedError(
+            "iceberg snapshot carries v2 row-level delete files — "
+            "files-by-reference consumers (CLONE / COPY) cannot carry "
+            "them; read the table (deletes applied) and re-materialize "
+            "instead")
+    return [p for p, _uri, _seq in info["data"]]
+
+
+def _norm_uri_expr(col):
+    """Normalize a file URI/path to a bare absolute path for comparison:
+    strip any ``scheme:`` prefix and collapse leading slashes (Spark's
+    ``_metadata.file_path`` renders ``file:/abs``, writers record
+    ``file:///abs`` or ``s3://…``)."""
+    from pyspark.sql import functions as F
+    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
+
+def _apply_row_deletes(spark, info: dict, meta: dict, table_dir: str):
+    """Merge-on-read: scan the data files with ``_metadata`` provenance,
+    anti-join the delete files per spec scoping. All delete inputs are
+    small relative to data (the format's own assumption) and broadcast;
+    the data scan itself stays a normal distributed parquet scan —
+    no shuffle is introduced on the data side."""
+    from pyspark.sql import functions as F
+
+    paths = [p for p, _uri, _seq in info["data"]]
+    base = spark.read.option("mergeSchema", "true").parquet(*paths)
+    data_cols = base.columns
+    base = base.select(
+        "*",
+        _norm_uri_expr(F.col("_metadata.file_path")).alias("__ib_path"),
+        F.col("_metadata.row_index").alias("__ib_pos"))
+    # local-path → data sequence number (and the recorded URI positional
+    # deletes reference, normalized the same way)
+    seq_rows = [(re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/",
+                        os.path.abspath(p)),
+                 re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/", uri),
+                 seq)
+                for p, uri, seq in info["data"]]
+    seq_df = spark.createDataFrame(
+        seq_rows, "__ib_path string, __ib_uri string, __ib_seq bigint")
+    base = base.join(F.broadcast(seq_df), "__ib_path", "left")
+
+    if info["pos_deletes"]:
+        dels = []
+        for p, dseq in info["pos_deletes"]:
+            d = spark.read.parquet(p).select(
+                _norm_uri_expr(F.col("file_path")).alias("__ib_uri"),
+                F.col("pos").cast("bigint").alias("__ib_pos"),
+                F.lit(dseq).cast("bigint").alias("__ib_dseq"))
+            dels.append(d)
+        pos_df = dels[0]
+        for d in dels[1:]:
+            pos_df = pos_df.unionByName(d)
+        base = base.join(
+            F.broadcast(pos_df),
+            on=[base["__ib_uri"] == pos_df["__ib_uri"],
+                base["__ib_pos"] == pos_df["__ib_pos"],
+                pos_df["__ib_dseq"] >= base["__ib_seq"]],
+            how="left_anti")
+
+    if info["eq_deletes"]:
+        cur = {f["id"]: f["name"] for f in _current_top_fields(meta)}
+        for p, dseq, ids in info["eq_deletes"]:
+            try:
+                names = [cur[i] for i in ids]
+            except KeyError as exc:
+                raise NotImplementedError(
+                    f"iceberg equality delete references field id {exc} "
+                    f"absent from the current schema") from None
+            d = spark.read.parquet(p).select(*names).withColumn(
+                "__ib_dseq", F.lit(dseq).cast("bigint"))
+            cond = [base[n].eqNullSafe(d[n]) for n in names]
+            cond.append(d["__ib_dseq"] > base["__ib_seq"])
+            base = base.join(F.broadcast(d), on=cond, how="left_anti")
+
+    return base.select(*data_cols)
 
 
 def read_iceberg_table(spark, table_dir: str, version: int | None = None,
                        as_of_ms: int | None = None):
     """Read an Iceberg snapshot as a DataFrame — the interop direction: a
     directory holding Iceberg ``metadata/`` (e.g. written by another
-    engine) is queryable with full time travel, no private ``_log``."""
-    files = snapshot_data_files(table_dir, version, as_of_ms)
-    if not files:
+    engine) is queryable with full time travel, no private ``_log``.
+    Snapshots carrying v2 row-level deletes read merge-on-read (deletes
+    applied via anti-joins)."""
+    info = snapshot_files(table_dir, version, as_of_ms)
+    if not info["data"]:
         raise FileNotFoundError(
             f"iceberg snapshot at {table_dir!r} lists no data files")
     meta = table_metadata(table_dir)
     flat_renamed, _ = _renamed_field_ids(meta)
+    if info["pos_deletes"] or info["eq_deletes"]:
+        if flat_renamed:
+            raise NotImplementedError(
+                "iceberg renamed columns combined with row-level "
+                "deletes is not supported")
+        return _apply_row_deletes(spark, info, meta, table_dir)
+    files = [p for p, _uri, _seq in info["data"]]
     if flat_renamed:
         return _read_with_field_id_projection(spark, table_dir, meta, files)
     return spark.read.option("mergeSchema", "true").parquet(*files)
@@ -414,18 +542,25 @@ def write_table(df, table_dir: str, mode: str = "overwrite",
     new = sorted(
         os.path.relpath(os.path.join(ddir, f), table_dir)
         for f in os.listdir(ddir) if f.endswith(".parquet"))
-    carried: list[str] = []
+    # carried EXISTING entries keep their ORIGINAL data sequence number
+    # (spec: the data sequence of the snapshot that ADDED the file) —
+    # stamping the new seq would let a later delete snapshot's scoping
+    # wrongly skip or hit them. snapshot_data_files (not snapshot_files)
+    # so appends onto a table with live row-level deletes refuse.
+    carried: list[tuple[str, int]] = []
     if mode == "append" and meta is not None:
-        carried = [os.path.relpath(p, os.path.abspath(table_dir))
-                   for p in snapshot_data_files(table_dir)]
+        snapshot_data_files(table_dir)   # refusal gate for live deletes
+        carried = [
+            (os.path.relpath(p, os.path.abspath(table_dir)), fseq)
+            for p, _uri, fseq in snapshot_files(table_dir)["data"]]
 
     entries = []
-    for status, paths in ((1, new), (0, carried)):   # 1=ADDED, 0=EXISTING
-        for rel in paths:
+    for status, paths in ((1, [(r, seq) for r in new]), (0, carried)):
+        for rel, fseq in paths:          # 1=ADDED, 0=EXISTING
             full = os.path.join(table_dir, rel)
             entries.append({
                 "status": status, "snapshot_id": snap_id,
-                "sequence_number": seq,
+                "sequence_number": fseq,
                 "data_file": {
                     "content": 0,
                     "file_path": f"{table_uri}/{rel.replace(os.sep, '/')}",
@@ -502,3 +637,191 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+# Delete-manifest entries carry the same spec shape plus the
+# equality_ids list (field-id 135) naming the match columns of an
+# equality delete file (null for positional deletes).
+DELETE_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2d", "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102,
+                 "type": {"type": "record", "name": "r102d", "fields": []}},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "field-id": 135},
+            ]}},
+    ],
+}
+
+
+def write_deletes(table_dir: str,
+                  pos: dict[str, list[int]] | None = None,
+                  eq_rows: "list[dict] | None" = None,
+                  eq_ids: list[int] | None = None,
+                  timestamp_ms: int | None = None) -> int:
+    """Commit a v2 ROW-LEVEL DELETE snapshot onto an existing table —
+    the merge-on-read write direction (spec "Row-level deletes").
+
+    ``pos`` maps a live data file's LOCAL path → 0-based row positions
+    to delete (written as one positional delete parquet: ``file_path``
+    recorded-URI column + ``pos``). ``eq_rows``/``eq_ids`` write one
+    equality delete parquet whose columns are the current-schema names
+    of ``eq_ids``; each row deletes every OLDER-sequence data row
+    matching it null-safely. Existing data files (and previously
+    committed delete files) are carried as EXISTING entries with their
+    original sequence numbers — one self-contained snapshot, the same
+    shape :func:`write_table` appends use. Returns the snapshot id.
+
+    Metadata is O(files) driver-side like every other commit; the
+    delete parquet files are written with pyarrow (they are small by
+    the format's own merge-on-read assumption)."""
+    import time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = table_metadata(table_dir)
+    info = snapshot_files(table_dir)
+    uri_by_path = {p: uri for p, uri, _seq in info["data"]}
+    seq = meta.get("last-sequence-number", 0) + 1
+    snap_id = int(_uuid.uuid4().int % (2**62)) + 1
+    ts = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
+    table_uri = f"file://{os.path.abspath(table_dir)}"
+    ddir = os.path.join(table_dir, "data", f"d{seq}-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(ddir, exist_ok=True)
+
+    new_deletes: list[dict] = []   # data_file records for ADDED deletes
+    if pos:
+        fps, poss = [], []
+        for local, positions in sorted(pos.items()):
+            local_abs = os.path.abspath(local)
+            if local_abs not in uri_by_path:
+                raise LookupError(
+                    f"positional delete targets {local!r}, not a live "
+                    f"data file of the current snapshot")
+            for p in sorted(positions):
+                fps.append(uri_by_path[local_abs])
+                poss.append(int(p))
+        path = os.path.join(ddir, "pos-delete-00000.parquet")
+        pq.write_table(pa.table(
+            {"file_path": pa.array(fps, pa.string()),
+             "pos": pa.array(poss, pa.int64())}), path)
+        new_deletes.append({
+            "content": 1, "file_path": f"file://{path}",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": len(poss),
+            "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": None})
+    if eq_rows:
+        if not eq_ids:
+            raise ValueError("eq_rows requires eq_ids (field ids)")
+        cur = {f["id"]: f["name"] for f in _current_top_fields(meta)}
+        names = [cur[i] for i in eq_ids]
+        path = os.path.join(ddir, "eq-delete-00000.parquet")
+        pq.write_table(pa.table(
+            {n: [r.get(n) for r in eq_rows] for n in names}), path)
+        new_deletes.append({
+            "content": 2, "file_path": f"file://{path}",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": len(eq_rows),
+            "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": list(eq_ids)})
+    if not new_deletes:
+        raise ValueError("write_deletes called with nothing to delete")
+
+    # data manifest: every live data file carried EXISTING at its seq
+    data_entries = [{
+        "status": 0, "snapshot_id": snap_id, "sequence_number": fseq,
+        "data_file": {
+            "content": 0, "file_path": uri, "file_format": "PARQUET",
+            "partition": {}, "record_count": _parquet_rows(p),
+            "file_size_in_bytes": os.path.getsize(p)}}
+        for p, uri, fseq in info["data"]]
+    # delete manifest: carried deletes (original seq) + the new ones
+    del_entries = [{
+        "status": 0, "snapshot_id": snap_id, "sequence_number": dseq,
+        "data_file": {
+            "content": 1, "file_path": f"file://{os.path.abspath(p)}",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": _parquet_rows(p),
+            "file_size_in_bytes": os.path.getsize(p),
+            "equality_ids": None}}
+        for p, dseq in info["pos_deletes"]]
+    del_entries += [{
+        "status": 0, "snapshot_id": snap_id, "sequence_number": dseq,
+        "data_file": {
+            "content": 2, "file_path": f"file://{os.path.abspath(p)}",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": _parquet_rows(p),
+            "file_size_in_bytes": os.path.getsize(p),
+            "equality_ids": list(ids)}}
+        for p, dseq, ids in info["eq_deletes"]]
+    del_entries += [{"status": 1, "snapshot_id": snap_id,
+                     "sequence_number": seq, "data_file": rec}
+                    for rec in new_deletes]
+
+    mdir = os.path.join(table_dir, _META_DIR)
+    m_data = os.path.join(mdir, f"m{seq}-data-{_uuid.uuid4().hex[:8]}.avro")
+    avroio.write_container(m_data, MANIFEST_ENTRY_SCHEMA, data_entries,
+                           codec="deflate")
+    m_del = os.path.join(mdir, f"m{seq}-del-{_uuid.uuid4().hex[:8]}.avro")
+    avroio.write_container(m_del, DELETE_MANIFEST_ENTRY_SCHEMA, del_entries,
+                           codec="deflate")
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{_uuid.uuid4().hex[:8]}.avro")
+
+    def _mf(path_, content, n_added, n_existing, rows_added):
+        return {
+            "manifest_path": f"file://{path_}",
+            "manifest_length": os.path.getsize(path_),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": 1,
+            "added_snapshot_id": snap_id,
+            "added_files_count": n_added,
+            "existing_files_count": n_existing,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_added,
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+        }
+
+    avroio.write_container(ml_path, MANIFEST_FILE_SCHEMA, [
+        _mf(m_data, 0, 0, len(data_entries), 0),
+        _mf(m_del, 1, len(new_deletes),
+            len(del_entries) - len(new_deletes),
+            sum(r["record_count"] for r in new_deletes)),
+    ], codec="deflate")
+
+    snapshot = {
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": ts, "manifest-list": f"file://{ml_path}",
+        "summary": {"operation": "delete"},
+    }
+    new_meta = dict(meta)
+    new_meta["location"] = table_uri
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = ts
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snap_id, "timestamp-ms": ts}]
+    tmp = os.path.join(mdir, f"v{seq}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(mdir, f"v{seq}.metadata.json"))
+    hint_tmp = os.path.join(mdir, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(seq))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    return snap_id

@@ -1640,6 +1640,51 @@ SELECT COUNT(*) AS n, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
 FROM delta_scan('{d}')""")
 
 
+@_op("q131_iceberg_v2_deletes", """
+WITH cut AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey < 1500),
+numbered AS (SELECT o_orderkey, o_totalprice,
+                    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+             FROM cut)
+SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM numbered WHERE pos NOT IN (1, 5, 10, 20, 21)
+""", note="Iceberg v2 row-level deletes (merge-on-read): an orders cut "
+          "exported as one sorted parquet snapshot, then a delete "
+          "snapshot removes sorted positions 1/5/10 POSITIONALLY and "
+          "the keys at positions 20/21 via an EQUALITY delete file — "
+          "the registered read applies both anti-joins, so the oracle "
+          "is a row_number() filter over the same cut; wrong position "
+          "addressing, equality matching, or sequence scoping "
+          "hash-mismatches")
+def _q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import iceberglog
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q131_"))
+    eng.register_fixture_dir(sf_dir)
+    d = tempfile.mkdtemp(prefix="ddbrs_q131_ice_")
+    cut = eng.sql("SELECT o_orderkey, o_totalprice FROM orders "
+                  "WHERE o_orderkey < 1500")
+    iceberglog.write_table(
+        cut.coalesce(1).sortWithinPartitions("o_orderkey"), d)  # seq 1
+    (target,) = iceberglog.snapshot_data_files(d)
+    eq_keys = [r.o_orderkey for r in
+               cut.orderBy("o_orderkey").limit(22).collect()[20:22]]
+    iceberglog.write_deletes(
+        d, pos={target: [1, 5, 10]},
+        eq_rows=[{"o_orderkey": k} for k in eq_keys],
+        eq_ids=[1])                                             # seq 2
+    eng.register_versioned("t131", d)
+    return eng.sql("""
+SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t131""")
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "
