@@ -328,6 +328,38 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
             changed = True
             continue
+        if name == "struct_pack" and parts:
+            # DuckDB struct_pack(a := x, b := y) → named_struct('a', x,
+            # 'b', y). Only the fully keyword-form call rewrites; anything
+            # else passes through and fails loudly in Spark analysis.
+            _, close, spans = parts
+            kv = []
+            for sp in spans:
+                m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*:=\s*(.+)$",
+                             _arg_text(toks, sp), re.S)
+                if not m:
+                    kv = None
+                    break
+                kv.append(f"'{m.group(1)}', {m.group(2).strip()}")
+            if kv:
+                out.append(f"named_struct({', '.join(kv)})")
+                i = close + 1
+                changed = True
+                continue
+        if name == "struct_extract" and parts:
+            # struct_extract(s, 'name') → (s).`name` — Spark's field
+            # access on a parenthesized expression (measured to parse for
+            # nested/backticked fields). Non-literal field names have no
+            # Spark equivalent and pass through loudly.
+            _, close, spans = parts
+            if len(spans) == 2:
+                m = re.fullmatch(r"'([^'`]*)'", _arg_text(toks, spans[1]))
+                if m:
+                    out.append(
+                        f"({_arg_text(toks, spans[0])}).`{m.group(1)}`")
+                    i = close + 1
+                    changed = True
+                    continue
         if name in _SIMPLE_RENAMES and parts:
             out.append(_SIMPLE_RENAMES[name])
             i += 1

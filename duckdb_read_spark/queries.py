@@ -618,6 +618,24 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
           "to transform(filter(...)) higher-order functions (dialect "
           "comprehension rewrite); pure JVM lambda evaluation")
 
+_q("q132_struct_ops", """
+SELECT o_orderkey,
+       (named_struct('k', o_orderkey, 'p', o_totalprice)).p AS packed_p,
+       (named_struct('a', o_orderkey,
+                     'n', named_struct('c', o_orderkey + 1))).n.c AS nested_c
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""", duckdb="""
+SELECT o_orderkey,
+       struct_extract(struct_pack(k := o_orderkey, p := o_totalprice),
+                      'p') AS packed_p,
+       ({'a': o_orderkey, 'n': {'c': o_orderkey + 1}}).n.c AS nested_c
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""", note="struct/ROW operations: struct_pack(k := v) -> named_struct, "
+          "struct_extract(s,'f') -> (s).`f`, brace struct literals and "
+          "chained dot access — dialect items measured cross-engine; "
+          "outputs unwrapped to scalars so the value hash is "
+          "stringification-stable")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (

@@ -425,3 +425,24 @@ def test_struct_literal_rewrites():
     # list values with commas survive; field access passes through
     assert to_spark_sql("SELECT {'l': [1, 2]}.l AS v") == \
         "SELECT named_struct('l', array(1, 2)).l AS v"
+
+
+def test_struct_pack_and_extract_rewrites():
+    from duckdb_read_spark.dialect import to_spark_sql
+
+    assert to_spark_sql("SELECT struct_pack(a := 1, b := x + 1) AS s") == \
+        "SELECT named_struct('a', 1, 'b', x + 1) AS s"
+    # nested struct_pack composes through the fixpoint passes
+    assert to_spark_sql(
+        "SELECT struct_pack(a := struct_pack(c := 2)) AS s") == \
+        "SELECT named_struct('a', named_struct('c', 2)) AS s"
+    # struct_extract with a literal field -> parenthesized field access
+    assert to_spark_sql("SELECT struct_extract(s, 'f') AS v") == \
+        "SELECT (s).`f` AS v"
+    # positional (non-keyword) struct_pack args have no DuckDB meaning;
+    # text passes through and fails loudly downstream
+    out = to_spark_sql("SELECT struct_pack(1, 2) AS s")
+    assert "struct_pack(1, 2)" in out
+    # non-literal field name: no Spark equivalent, passes through loudly
+    out2 = to_spark_sql("SELECT struct_extract(s, f) AS v")
+    assert "struct_extract(s, f)" in out2
