@@ -1685,6 +1685,27 @@ SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
 FROM t131""")
 
 
+@_op("q133_positional_join", """
+SELECT c_custkey, c_nationkey, n_name
+FROM customer POSITIONAL JOIN nation
+ORDER BY c_custkey
+""", note="POSITIONAL JOIN (DuckDB by-row-position pairing): Spark-first "
+          "as footer-derived file offsets + _metadata.row_index — the "
+          "global position is a zero-shuffle projection, never a global "
+          "sort — full-outer-joined on the position (NULL-pads the "
+          "shorter side exactly like DuckDB); the oracle runs DuckDB's "
+          "native POSITIONAL JOIN verbatim")
+def _q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    joined = ops.positional_join(
+        spark,
+        os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(sf_dir, "nation.parquet"))
+    return (joined.select("c_custkey", "c_nationkey", "n_name")
+            .orderBy("c_custkey"))
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "

@@ -19,6 +19,7 @@ from .dedup import (
     simhash_candidates,
 )
 from .packing import chunk_documents, pack_by_offset, pack_greedy, pack_stats
+from .positional import positional_join, with_row_position
 from .profile import profile_columns
 from .retrieval import bm25_topk, tfidf_vectors
 from .sampling import (
@@ -131,4 +132,5 @@ __all__ = [
 from .topk import term_frequencies, topk_per_group  # noqa: E402
 
 __all__ += ["topk_per_group", "term_frequencies", "ivf_assign", "ivf_topk",
-            "kmeans_centroids", "semantic_dedup", "semantic_neardup_pairs"]
+            "kmeans_centroids", "semantic_dedup", "semantic_neardup_pairs",
+            "positional_join", "with_row_position"]

@@ -1491,3 +1491,41 @@ def test_source_report_flags_bad_sources(spark):
     assert rep["good"].keep
     assert not rep["dupes"].keep and rep["dupes"].dup_rate == 1.0
     assert not rep["short"].keep and rep["short"].mean_tokens < 5.0
+
+
+# --- positional join -------------------------------------------------------
+
+def test_with_row_position_multi_file_and_no_shuffle(spark, tmp_path):
+    """Positions follow (lexicographic file order, in-file order) and are
+    computed as a pure projection — the plan has NO Exchange."""
+    from duckdb_read_spark.operators import with_row_position
+
+    d = str(tmp_path / "pj")
+    (spark.range(0, 30).withColumnRenamed("id", "k")
+     .repartitionByRange(3, "k").sortWithinPartitions("k")
+     .write.mode("overwrite").parquet(d))
+    df = with_row_position(spark, d)
+    rows = df.orderBy("pos").collect()
+    assert [r.pos for r in rows] == list(range(30))
+    # file order is lexicographic: part-00000 < part-00001 < part-00002,
+    # and range-partitioned ascending keys mean pos order == key order
+    assert [r.k for r in rows] == sorted(r.k for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_positional_join_pads_shorter_side(spark, tmp_path):
+    from duckdb_read_spark.operators import positional_join
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    (spark.range(0, 10).withColumnRenamed("id", "x").coalesce(1)
+     .sortWithinPartitions("x").write.mode("overwrite").parquet(a))
+    (spark.range(100, 103).withColumnRenamed("id", "y").coalesce(1)
+     .sortWithinPartitions("y").write.mode("overwrite").parquet(b))
+    out = positional_join(spark, a, b, pos_col="pos").orderBy("pos")
+    rows = out.collect()
+    assert len(rows) == 10
+    assert [r.y for r in rows[:3]] == [100, 101, 102]
+    assert all(r.y is None for r in rows[3:])
+    assert out.columns == ["pos", "x", "y"]
