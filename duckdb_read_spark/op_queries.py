@@ -1706,6 +1706,45 @@ def _q133(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_custkey"))
 
 
+@_op("q134_temperature_mix", """
+WITH d AS (SELECT doc_id,
+        CASE WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN 'head'
+             WHEN CAST(substr(source, 4) AS INTEGER) < 18 THEN 'mid'
+             ELSE 'tail' END AS grp FROM documents),
+nn AS (SELECT grp, COUNT(*) AS n_s FROM d GROUP BY grp),
+w AS (SELECT grp, n_s, power(n_s, 0.7) AS u FROM nn),
+f AS (SELECT grp, n_s,
+        LEAST(1.0, (SELECT SUM(n_s) FROM nn) * (u / (SELECT SUM(u) FROM w))
+              / n_s) AS frac FROM w),
+th AS (SELECT grp,
+        CASE WHEN round(frac * 4294967296) >= 4294967296 THEN 'g'
+             ELSE lpad(lower(to_hex(CAST(round(frac * 4294967296)
+                                         AS BIGINT))), 8, '0')
+        END AS cutoff FROM f)
+SELECT grp, COUNT(*) AS kept
+FROM d JOIN th USING (grp)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8) < cutoff
+GROUP BY grp ORDER BY grp
+""", note="temperature-scaled corpus mixing (p_s ∝ n_s^0.7, the "
+          "multilingual/multi-domain rebalancing rule): sources are "
+          "grouped into a skewed head/mid/tail layout, the operator "
+          "flattens it with deterministic md5-threshold sampling, and "
+          "the oracle recomputes the EXACT per-group thresholds and "
+          "membership in SQL — weights, caps, hex cutoffs and md5 "
+          "membership all hash-checked cross-engine")
+def _q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn(
+        "grp",
+        F.when(F.expr("CAST(substring(source, 4) AS INT)") < 15, "head")
+        .when(F.expr("CAST(substring(source, 4) AS INT)") < 18, "mid")
+        .otherwise("tail"))
+    mixed = ops.temperature_mix(d, key_col="doc_id", source_col="grp",
+                                temperature=0.7, salt="mix")
+    return (mixed.groupBy("grp").agg(F.count("*").alias("kept"))
+            .orderBy("grp"))
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "

@@ -27,6 +27,7 @@ from .sampling import (
     hash_threshold,
     sample_by_hash,
     stratified_sample_by_hash,
+    temperature_mix,
 )
 from .gapfill import gap_fill
 from .groupmap import zscore_normalize_pandas, zscore_normalize_window
@@ -133,4 +134,4 @@ from .topk import term_frequencies, topk_per_group  # noqa: E402
 
 __all__ += ["topk_per_group", "term_frequencies", "ivf_assign", "ivf_topk",
             "kmeans_centroids", "semantic_dedup", "semantic_neardup_pairs",
-            "positional_join", "with_row_position"]
+            "positional_join", "with_row_position", "temperature_mix"]

@@ -72,6 +72,58 @@ def stratified_sample_by_hash(
     return df.filter(_bucket(F.col(key_col), salt, digits) < cutoff)
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    temperature: float = 0.7,
+    target_rows: int | None = None,
+    salt: str = "mix",
+    digits: int = _DIGITS,
+    max_sources: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing — the corpus-mixing step of
+    a training-data pipeline (the ``p_s ∝ n_s^τ`` sampling rule used by
+    multilingual/multi-domain corpus builds; τ<1 flattens the source
+    distribution toward uniform, τ=1 keeps it proportional).
+
+    Per-source row counts ``n_s`` give unnormalized weights
+    ``n_s**temperature``; each source's target share of ``target_rows``
+    (default: the input total, i.e. pure rebalancing) becomes a keep
+    fraction ``min(1, target·share/n_s)`` applied with the same
+    deterministic md5-threshold rule as :func:`sample_by_hash` — so the
+    realized mix is reproducible across partitioning, retries, and
+    engines (the DuckDB oracle twin recomputes the identical
+    thresholds in SQL). Over-demanded sources cap at fraction 1.0:
+    this operator never repeats rows (upsampling is a separate,
+    explicit explode-by-repeat decision, not a sampling one).
+
+    Scale shape: one partial-agg count per source (shuffle bounded by
+    source cardinality, guarded by ``max_sources``), one bounded
+    driver collect of the per-source table, then a pure projection
+    filter — no data-sized shuffle, no RNG state.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(source_col).count().limit(max_sources + 1).collect()
+    if len(counts) > max_sources:
+        raise ValueError(
+            f"more than {max_sources} distinct {source_col!r} values — "
+            f"raise max_sources if the source cardinality is intended")
+    n_by_src = {r[source_col]: r["count"] for r in counts}
+    total = sum(n_by_src.values())
+    target = total if target_rows is None else int(target_rows)
+    weights = {s: n ** temperature for s, n in n_by_src.items()}
+    wsum = sum(weights.values())
+    fractions = {
+        s: min(1.0, target * (weights[s] / wsum) / n_by_src[s])
+        for s in n_by_src
+    }
+    return stratified_sample_by_hash(
+        df, key_col=key_col, strata_col=source_col, fractions=fractions,
+        default_fraction=0.0, salt=salt, digits=digits)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

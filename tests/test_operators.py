@@ -1529,3 +1529,43 @@ def test_positional_join_pads_shorter_side(spark, tmp_path):
     assert [r.y for r in rows[:3]] == [100, 101, 102]
     assert all(r.y is None for r in rows[3:])
     assert out.columns == ["pos", "x", "y"]
+
+
+# --- temperature mixing ----------------------------------------------------
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    from duckdb_read_spark.operators import temperature_mix
+
+    import pyspark.sql.functions as F
+    rows = ([("big", i) for i in range(900)]
+            + [("small", i + 10_000) for i in range(100)])
+    df = spark.createDataFrame(rows, "src string, k long")
+    mixed = temperature_mix(df, key_col="k", source_col="src",
+                            temperature=0.5, salt="t")
+    got = {r["src"]: r["n"] for r in
+           mixed.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # τ=0.5: weights 30/10 → shares .75/.25 → fractions .833/1.0 — the
+    # small source keeps everything, the big one downsamples near the
+    # target (md5 threshold realizes the fraction within binomial noise)
+    assert got["small"] == 100
+    assert 700 < got["big"] < 820
+    # head share flattened: 90% in, strictly less out
+    assert got["big"] / (got["big"] + got["small"]) < 0.9
+    # deterministic under repartitioning: identical kept-key sets
+    k1 = {r.k for r in mixed.select("k").collect()}
+    k2 = {r.k for r in temperature_mix(
+        df.repartition(7), key_col="k", source_col="src",
+        temperature=0.5, salt="t").select("k").collect()}
+    assert k1 == k2
+
+
+def test_temperature_mix_validates(spark):
+    import pytest as _pytest
+
+    from duckdb_read_spark.operators import temperature_mix
+
+    df = spark.createDataFrame([("a", 1)], "src string, k long")
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, "k", "src", temperature=0.0)
+    with _pytest.raises(ValueError, match="max_sources"):
+        temperature_mix(df, "k", "src", max_sources=0)
