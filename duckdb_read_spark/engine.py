@@ -165,7 +165,8 @@ _SET_RE = re.compile(
 # access, so safe mode (enable_external_access=false) blocks it.
 _READ_FUNC_RE = re.compile(
     r"\b(?:read_(?P<kind>parquet|csv_auto|csv|json|delta|iceberg|hudi)"
-    r"|(?P<kind2>delta|iceberg)_scan)\s*\(\s*'(?P<path>[^']+)'"
+    r"|(?P<kind2>delta|iceberg)_scan"
+    r"|(?P<kind3>parquet_metadata|parquet_schema))\s*\(\s*'(?P<path>[^']+)'"
     r"(?P<args>(?:\s*,[^()]*)?)\)",
     re.IGNORECASE,
 )
@@ -2364,12 +2365,25 @@ class Engine:
                 raise PermissionError(
                     "read_* table functions are disabled in safe mode "
                     "(enable_external_access=false)")
-            kind = (m.group("kind") or m.group("kind2")).lower()
+            kind = (m.group("kind") or m.group("kind2")
+                    or m.group("kind3")).lower()
             path = m.group("path")
             argstr = (m.group("args") or "").strip().lstrip(",")
             opts = _parse_read_func_args(argstr)
             name = f"__read_{hashlib.md5((kind + ':' + path + ':' + argstr).encode()).hexdigest()[:12]}"
-            if kind in ("delta", "iceberg", "hudi"):
+            if kind in ("parquet_metadata", "parquet_schema"):
+                # parquet introspection TVFs (DuckDB shapes): footer
+                # reads distributed via mapInPandas, driver only lists
+                if opts:
+                    raise ValueError(
+                        f"{kind}: unrecognized option(s) {sorted(opts)}")
+                from .sources import parquet_meta
+
+                fn = (parquet_meta.parquet_metadata_df
+                      if kind == "parquet_metadata"
+                      else parquet_meta.parquet_schema_df)
+                df = fn(self.spark, path)
+            elif kind in ("delta", "iceberg", "hudi"):
                 # table-format scans (DuckDB's delta_scan/iceberg_scan
                 # extension shapes + read_hudi): replay the foreign log
                 version = opts.pop("version", None)
@@ -2626,6 +2640,12 @@ class Engine:
                 "supported: delim/sep, header, quote, escape, nullstr, "
                 "all_varchar, columns")
         reader = self.spark.read.option("header", str(bool(header)).lower())
+        if sep is None:
+            # DuckDB's read_csv sniffs the delimiter; Spark's reader
+            # assumes ','. Sniff from a prefix of the first file (a
+            # driver-side metadata-sized read): the winning candidate
+            # splits every sampled line into the same >1 field count.
+            sep = _sniff_csv_delim(path)
         if sep is not None:
             reader = reader.option("sep", sep)
         if quote is not None:
@@ -3958,6 +3978,44 @@ def _split_top_commas(text: str) -> list[str]:
         i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _sniff_csv_delim(path: str, sample_bytes: int = 65536) -> str | None:
+    """Detect the CSV delimiter from a prefix of the first file at
+    ``path`` (DuckDB sniffer's core heuristic): among the candidate
+    delimiters, keep those that split every sampled line into the SAME
+    field count > 1, and prefer the highest field count. Returns None
+    (Spark's ',' default) when nothing qualifies — e.g. a single-column
+    file, where the delimiter is irrelevant."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if not f.startswith((".", "_")))
+    elif any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    if not files:
+        return None
+    try:
+        with open(files[0], "rb") as f:
+            sample = f.read(sample_bytes).decode("utf-8", "replace")
+    except OSError:
+        return None
+    lines = [ln for ln in sample.splitlines()[:64] if ln.strip()]
+    if len(lines) > 1:
+        lines = lines[:-1]   # last line may be truncated by the sample
+    if not lines:
+        return None
+    best: tuple[int, str] | None = None
+    for cand in (",", ";", "\t", "|"):
+        counts = {ln.count(cand) for ln in lines}
+        if len(counts) == 1 and (n := counts.pop()) > 0:
+            if best is None or n > best[0]:
+                best = (n, cand)
+    return best[1] if best else None
 
 
 def _parse_read_func_args(argstr: str) -> dict:

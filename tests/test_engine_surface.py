@@ -1424,3 +1424,52 @@ def test_copy_delta_foreign_log_refuses(spark, tmp_path):
     shutil.rmtree(os.path.join(d, "_log"))  # leave a foreign-style dir
     with pytest.raises(ValueError, match="foreign"):
         eng2.sql(f"COPY (SELECT 2 AS k) TO '{d}' (FORMAT DELTA)")
+
+
+def test_parquet_metadata_and_schema_tvfs(engine, duck):
+    """parquet_metadata / parquet_schema TVFs mirror DuckDB's columns
+    and values (physical types, compression, stringified chunk stats);
+    footer reads run distributed via mapInPandas, not a driver loop."""
+    p = "/root/testdata/sf0.001/nation.parquet"
+    cols = ("file_name, row_group_id, row_group_num_rows, column_id, "
+            "path_in_schema, num_values, compression, "
+            "total_compressed_size, total_uncompressed_size, "
+            "stats_min_value, stats_max_value")
+    got = [tuple(r) for r in engine.sql(
+        f"SELECT {cols} FROM parquet_metadata('{p}') "
+        f"ORDER BY row_group_id, column_id").collect()]
+    want = duck.execute(
+        f"SELECT {cols} FROM parquet_metadata('{p}') "
+        f"ORDER BY row_group_id, column_id").fetchall()
+    assert got == want
+    # schema: leaf rows match DuckDB's (num_children NULL = leaves)
+    got_s = [tuple(r) for r in engine.sql(
+        f"SELECT file_name, name, type FROM parquet_schema('{p}') "
+        f"ORDER BY name").collect()]
+    want_s = duck.execute(
+        f"SELECT file_name, name, type FROM parquet_schema('{p}') "
+        f"WHERE num_children IS NULL ORDER BY name").fetchall()
+    assert got_s == want_s
+
+
+def test_read_csv_auto_sniffs_delimiter(engine, duck, tmp_path):
+    """read_csv_auto detects ;/tab/| delimited files like DuckDB's
+    sniffer instead of assuming ','."""
+    for name, delim in (("semi.csv", ";"), ("tab.csv", "\t"),
+                        ("pipe.csv", "|")):
+        p = tmp_path / name
+        p.write_text(f"a{delim}b{delim}c\n1{delim}x{delim}2.5\n"
+                     f"2{delim}y{delim}3.5\n")
+        got = [tuple(r) for r in engine.sql(
+            f"SELECT a, b, c FROM read_csv_auto('{p}') ORDER BY a"
+        ).collect()]
+        want = duck.execute(
+            f"SELECT a, b, c FROM read_csv_auto('{p}') ORDER BY a"
+        ).fetchall()
+        assert got == want, name
+    # explicit delim option still wins over the sniffer
+    p = tmp_path / "semi2.csv"
+    p.write_text("a;b\n1;2\n")
+    rows = engine.sql(
+        f"SELECT * FROM read_csv('{p}', delim=';')").collect()
+    assert rows[0]["a"] == 1 and rows[0]["b"] == 2
