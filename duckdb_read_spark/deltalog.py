@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -112,7 +113,8 @@ def _check_protocol(action: dict) -> None:
     if not p:
         return
     feats = set(p.get("readerFeatures") or [])
-    unsupported = feats & {"deletionVectors", "columnMapping", "v2Checkpoint",
+    # deletionVectors left out: read_delta_table applies DVs (roaring.py)
+    unsupported = feats & {"columnMapping", "v2Checkpoint",
                            "typeWidening", "variantType"}
     if p.get("minReaderVersion", 1) > 3 or unsupported:
         raise NotImplementedError(
@@ -224,6 +226,155 @@ def delta_snapshot(table_dir: str, version: int | None = None
     return last0 + 1, files
 
 
+def _load_dv_bytes(table_dir: str, dv: dict) -> bytes:
+    """A deletionVector descriptor → its portable RoaringBitmapArray
+    bytes (PROTOCOL.md storage types: 'i' inline Z85, 'u' UUID-named
+    file under the table dir, 'p' absolute path)."""
+    from . import roaring
+
+    st = dv.get("storageType")
+    size = dv.get("sizeInBytes")
+    if st == "i":
+        data = roaring.z85_decode(dv["pathOrInlineDv"])
+        return data[:size] if size else data   # Z85 pads to 4 bytes
+    if st in ("u", "p"):
+        if st == "p":
+            p = dv["pathOrInlineDv"]
+            path = p if os.path.isabs(p) else os.path.join(table_dir, p)
+        else:
+            import uuid as _uuid
+
+            enc = dv["pathOrInlineDv"]
+            prefix, enc = enc[:-20], enc[-20:]   # optional random prefix
+            u = _uuid.UUID(bytes=roaring.z85_decode(enc))
+            parts = [table_dir] + ([prefix] if prefix else [])
+            path = os.path.join(*parts, f"deletion_vector_{u}.bin")
+        with open(path, "rb") as f:
+            buf = f.read()
+        off = dv.get("offset")
+        return roaring.unframe_dv(buf, 1 if off is None else off, size)
+    raise NotImplementedError(
+        f"deletion vector storageType {st!r} not supported")
+
+
+def _dv_rows_df(spark, table_dir: str, dvs: dict[str, dict]):
+    """(file path, deleted row index) rows for every DV-carrying add.
+
+    The driver touches only the COMPRESSED bitmaps (metadata-sized, one
+    per file — the same class as the log actions themselves); expansion
+    to row indexes happens executor-side in mapInPandas, so a table
+    with millions of deleted rows never materializes them on the
+    driver."""
+    import pandas as pd
+
+    rows = [
+        (re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/",
+                os.path.abspath(os.path.join(table_dir, rel))),
+         bytearray(_load_dv_bytes(table_dir, dv)))
+        for rel, dv in sorted(dvs.items())
+    ]
+    src = spark.createDataFrame(rows, "path string, dv binary")
+
+    def gen(batches):
+        from . import roaring
+
+        for pdf in batches:
+            out_p: list[str] = []
+            out_i: list[int] = []
+            for path, data in zip(pdf["path"], pdf["dv"]):
+                for idx in roaring.deserialize_bitmap_array(bytes(data)):
+                    out_p.append(path)
+                    out_i.append(idx)
+            yield pd.DataFrame({"path": out_p, "pos": out_i})
+
+    return src.mapInPandas(gen, "path string, pos bigint")
+
+
+def _apply_dvs(spark, df, table_dir: str, dvs: dict[str, dict]):
+    """Anti-join the deleted (file, row index) pairs out of a scan —
+    positions come from ``_metadata.row_index``, so this is a pure
+    projection on the scan side plus one equi-join (AQE broadcasts the
+    DV side when small, which it is by construction)."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    norm = F.regexp_replace(F.col("_metadata.file_path"),
+                            r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    base = df.select(
+        "*", norm.alias("__dv_path"),
+        F.col("_metadata.row_index").alias("__dv_pos"))
+    dvdf = _dv_rows_df(spark, table_dir, dvs)
+    out = base.join(
+        dvdf,
+        on=[base["__dv_path"] == dvdf["path"],
+            base["__dv_pos"] == dvdf["pos"]],
+        how="left_anti")
+    return out.select(*cols)
+
+
+def live_deletion_vectors(files: dict[str, dict]) -> dict[str, dict]:
+    """The adds of a snapshot that carry a non-empty deletion vector
+    (files-by-reference consumers must refuse these — carrying the base
+    file alone would resurrect the deleted rows)."""
+    return {rel: a["deletionVector"] for rel, a in files.items()
+            if a.get("deletionVector")
+            and a["deletionVector"].get("cardinality", 1) != 0}
+
+
+def attach_deletion_vector(table_dir: str, rel_path: str,
+                           positions: "list[int] | set[int]") -> int:
+    """Commit a deletion vector onto one data file of a FOREIGN Delta
+    table (a dir whose only log is ``_delta_log``): writes the DV file
+    ('u' storage, version byte + size/CRC framing), then one commit
+    that re-adds the file with the ``deletionVector`` descriptor and
+    upgrades the protocol to the deletionVectors reader feature —
+    exactly the shape delta-spark's DELETE leaves behind. Returns the
+    committed version.
+
+    Refuses on tables with a private ``_log`` (their DML goes through
+    the snapshots machinery; a mirror-only DV would silently diverge
+    the two logs)."""
+    import uuid as _uuid
+
+    from . import roaring
+
+    if os.path.isdir(os.path.join(table_dir, "_log")):
+        raise ValueError(
+            "attach_deletion_vector is for foreign _delta_log-only "
+            "tables; use DELETE FROM on engine-managed tables")
+    _, files = delta_snapshot(table_dir)
+    if rel_path not in files:
+        raise LookupError(
+            f"{rel_path!r} is not a live file of the current snapshot")
+    positions = sorted(set(int(p) for p in positions))
+    data = roaring.serialize_bitmap_array(positions)
+    u = _uuid.uuid4()
+    with open(os.path.join(table_dir, f"deletion_vector_{u}.bin"),
+              "wb") as f:
+        f.write(b"\x01" + roaring.frame_dv(data))
+    add = dict(files[rel_path])
+    add["path"] = rel_path
+    add["dataChange"] = False
+    add["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": roaring.z85_encode(u.bytes),
+        "offset": 1, "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+    v = _list_versions(table_dir)[-1] + 1
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"add": add},
+    ]
+    path = _delta_path(table_dir, v)
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return v
+
+
 def read_delta_table(spark, table_dir: str, version: int | None = None):
     """Read a table from its ``_delta_log`` alone — the interop direction:
     a directory holding only a Delta-shaped log (e.g. written by another
@@ -248,6 +399,7 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
     _, files = delta_snapshot(table_dir, version)
     if not files:
         raise FileNotFoundError(f"delta snapshot at {table_dir!r} is empty")
+    dvs = live_deletion_vectors(files)
     meta = _existing_meta(table_dir) or {}
     pcols = list(meta.get("partitionColumns") or [])
     if not pcols:  # adds carry values but metaData was lost/foreign-thin
@@ -255,7 +407,8 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
                         for k in (a.get("partitionValues") or {})})
     paths = [os.path.join(table_dir, p) for p in sorted(files)]
     if not pcols:
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return _apply_dvs(spark, df, table_dir, dvs) if dvs else df
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructType
@@ -287,10 +440,19 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
     if hive:
         df = (spark.read.option("basePath", table_dir)
               .option("mergeSchema", "true").parquet(*paths))
+        if dvs:   # before the casts: _metadata needs the scan relation
+            df = _apply_dvs(spark, df, table_dir, dvs)
         for k in pcols:  # discovery infers types from dir strings — pin
             df = df.withColumn(
                 k, F.col(k).cast(ptypes.get(k, StringType())))
         return declared_order(df)
+
+    if dvs:
+        raise NotImplementedError(
+            "delta deletion vectors on a NON-hive-layout partitioned "
+            "table are not supported (the log-authoritative fallback "
+            "unions per-partition scans; no real Delta writer emits "
+            "this combination) — remove the DVs or use a hive layout")
 
     from collections import defaultdict
 

@@ -1745,6 +1745,64 @@ def _q134(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("grp"))
 
 
+@_op("q135_delta_deletion_vectors", """
+WITH cut AS (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_custkey < 800),
+numbered AS (SELECT c_custkey, c_acctbal,
+                    row_number() OVER (ORDER BY c_custkey) - 1 AS pos
+             FROM cut)
+SELECT COUNT(*) AS n, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM numbered WHERE pos NOT IN (2, 4, 8, 100)
+""", note="Delta deletion vectors (merge-on-read): a customer cut as a "
+          "foreign _delta_log table over one sorted parquet file, then "
+          "attach_deletion_vector commits a spec-shaped DV (portable "
+          "RoaringBitmapArray, Z85 UUID file, size/CRC framing, "
+          "protocol feature upgrade) deleting sorted positions "
+          "2/4/8/100 — the registered read anti-joins them out, so the "
+          "oracle is a row_number() filter; wrong roaring decode, Z85, "
+          "framing, or anti-join addressing hash-mismatches")
+def _q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from . import deltalog
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q135_"))
+    eng.register_fixture_dir(sf_dir)
+    d = tempfile.mkdtemp(prefix="ddbrs_q135_delta_")
+    cut = eng.sql("SELECT c_custkey, c_acctbal FROM customer "
+                  "WHERE c_custkey < 800")
+    full = os.path.join(d, "f0")
+    (cut.coalesce(1).sortWithinPartitions("c_custkey")
+     .write.mode("overwrite").parquet(full))
+    rel = next(f"f0/{f}" for f in sorted(os.listdir(full))
+               if f.endswith(".parquet"))
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t135",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": cut.schema.json(),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    deltalog.attach_deletion_vector(d, rel, [2, 4, 8, 100])
+    eng.register_versioned("t135", d)
+    return eng.sql("""
+SELECT COUNT(*) AS n, MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM t135""")
+
+
 @_op("q126_semantic_dedup", None,
      note="SemDeDup (k-means cells + within-cell cosine, arXiv 2303.09540)"
           " — kept ids are k-means-dependent (engine-specific), so "

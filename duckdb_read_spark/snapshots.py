@@ -562,6 +562,12 @@ def clone(
                 src_dir, version, as_of_ms)
         else:
             _, fmap = deltalog.delta_snapshot(src_dir, version)
+            if deltalog.live_deletion_vectors(fmap):
+                raise NotImplementedError(
+                    "CLONE of a Delta table with live deletion vectors "
+                    "is not supported: carrying the base files by "
+                    "reference would resurrect the deleted rows — read "
+                    "the table (DVs applied) and re-materialize instead")
             if any(a.get("partitionValues") for a in fmap.values()):
                 raise NotImplementedError(
                     "CLONE of a partitioned Delta table is not supported: "

@@ -252,19 +252,30 @@ def test_checkpoint_replay_after_json_cleanup(eng, spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(eng, spark, tmp_path):
-    """Deletion vectors / column mapping read naively would return
-    DELETED rows or wrong columns — the reader must refuse."""
+    """Column mapping read naively would return wrong columns — the
+    reader must refuse. (deletionVectors moved OUT of this guard when
+    the DV read path landed; a DV-feature protocol alone must now be
+    readable.)"""
     d = str(tmp_path / "tdv")
     eng.write_versioned(spark.range(5).coalesce(1), d)
-    # append a commit that upgrades the protocol to deletion vectors
     v = deltalog._list_versions(d)[-1] + 1
     with open(deltalog._delta_path(d, v), "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        deltalog.delta_snapshot(d)
+    # deletionVectors feature alone no longer refuses
+    d2 = str(tmp_path / "tdv2")
+    eng.write_versioned(spark.range(5).coalesce(1), d2)
+    v2 = deltalog._list_versions(d2)[-1] + 1
+    with open(deltalog._delta_path(d2, v2), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": ["deletionVectors"]}}) + "\n")
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
-        deltalog.delta_snapshot(d)
+    assert deltalog.read_delta_table(spark, d2).count() == 5
 
 
 def test_stale_last_checkpoint_falls_back_to_json(eng, spark, tmp_path):
@@ -374,3 +385,158 @@ def test_partitioned_delta_register_and_clone_guard(eng, spark, tmp_path):
     assert got == {(20, 2), (21, 2), (22, 2)}
     with pytest.raises(NotImplementedError, match="partition"):
         eng.sql("CREATE TABLE dclone CLONE dpart")
+
+
+# --- deletion vectors ------------------------------------------------------
+
+def _dv_descriptor(d, positions, inline=False):
+    """Spec-shaped deletionVector descriptor + on-disk DV file ('u'
+    storage, version byte + size/CRC framing) or inline Z85 ('i')."""
+    import uuid as _uuid
+
+    from duckdb_read_spark import roaring
+
+    data = roaring.serialize_bitmap_array(list(positions))
+    if inline:
+        padded = data + b"\x00" * (-len(data) % 4)
+        return {"storageType": "i",
+                "pathOrInlineDv": roaring.z85_encode(padded),
+                "sizeInBytes": len(data), "cardinality": len(positions)}
+    u = _uuid.uuid4()
+    with open(os.path.join(d, f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(b"\x01" + roaring.frame_dv(data))
+    return {"storageType": "u",
+            "pathOrInlineDv": roaring.z85_encode(u.bytes),
+            "offset": 1, "sizeInBytes": len(data),
+            "cardinality": len(positions)}
+
+
+def _write_foreign_dv_table(spark, d, inline=False):
+    """Foreign Delta dir: file A (k=0..9) with DV deleting positions
+    {1,3,7}, file B (k=100..104) with DV deleting {0} — protocol
+    declares the deletionVectors reader feature."""
+    import json as _json
+
+    adds = []
+    for i, (lo, hi, dels) in enumerate(
+            ((0, 10, {1, 3, 7}), (100, 105, {0}))):
+        full = os.path.join(d, f"f{i}")
+        (spark.range(lo, hi).withColumnRenamed("id", "k")
+         .coalesce(1).sortWithinPartitions("k")
+         .write.mode("overwrite").parquet(full))
+        for f in os.listdir(full):
+            if f.endswith(".parquet"):
+                adds.append({"add": {
+                    "path": f"f{i}/{f}", "partitionValues": {},
+                    "size": 1, "modificationTime": 0, "dataChange": True,
+                    "deletionVector": _dv_descriptor(d, dels,
+                                                     inline=inline)}})
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+    ] + adds
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+
+def test_roaring_bitmap_array_roundtrip():
+    from duckdb_read_spark import roaring
+
+    vals = ([1, 3, 70_000] + list(range(200_000, 205_000))
+            + [(5 << 32) | 9])          # array + bitset-adjacent + 2 keys
+    data = roaring.serialize_bitmap_array(vals)
+    assert roaring.deserialize_bitmap_array(data) == sorted(set(vals))
+    # a dense block exceeding 4096 per 16-bit container → bitset payload
+    dense = list(range(10_000))
+    assert roaring.deserialize_bitmap_array(
+        roaring.serialize_bitmap_array(dense)) == dense
+    # run-container DECODE (cookie 12347), as real writers emit
+    import struct
+    run = (struct.pack("<i", 12347 | (0 << 16)) + b"\x01"   # 1 ctr, run
+           + struct.pack("<HH", 0, 5 - 1)                   # key 0, card 5
+           + struct.pack("<HHH", 1, 10, 4))                 # 1 run: 10..14
+    arr = struct.pack("<iqi", 1681511377, 1, 0) + run
+    assert roaring.deserialize_bitmap_array(arr) == [10, 11, 12, 13, 14]
+    # z85 round-trip
+    blob = bytes(range(32))
+    assert roaring.z85_decode(roaring.z85_encode(blob)) == blob
+
+
+@pytest.mark.parametrize("inline", [False, True])
+def test_delta_deletion_vectors_apply(eng, spark, tmp_path, inline):
+    """A foreign Delta table whose adds carry deletion vectors reads
+    merge-on-read: deleted positions vanish, everything else survives;
+    CLONE refuses (files-by-reference would resurrect rows)."""
+    from duckdb_read_spark import deltalog
+
+    d = str(tmp_path / "dvt")
+    _write_foreign_dv_table(spark, d, inline=inline)
+    got = {r.k for r in deltalog.read_delta_table(spark, d).collect()}
+    assert got == ({0, 2, 4, 5, 6, 8, 9} | {101, 102, 103, 104})
+    eng.register_versioned("dvt", d)
+    assert eng.sql("SELECT count(*) AS n FROM dvt").first()["n"] == 11
+    with pytest.raises(NotImplementedError, match="resurrect"):
+        eng.sql(f"CREATE TABLE dvc CLONE '{d}'")
+
+
+def test_delta_dv_clone_guard_direct(spark, tmp_path):
+    from duckdb_read_spark import deltalog, snapshots
+
+    d = str(tmp_path / "dvg")
+    _write_foreign_dv_table(spark, d)
+    with pytest.raises(NotImplementedError, match="resurrect"):
+        snapshots.clone(d, str(tmp_path / "dvg2"))
+
+
+def test_delta_dv_hive_partitioned(spark, tmp_path):
+    """DVs compose with hive-partitioned foreign tables (the layout
+    every real Delta writer emits): partition restore + DV anti-join in
+    one scan relation."""
+    import json as _json
+
+    from duckdb_read_spark import deltalog
+
+    d = str(tmp_path / "dvp")
+    adds = []
+    for p in (1, 2):
+        full = os.path.join(d, f"p={p}")
+        (spark.range(p * 10, p * 10 + 4).withColumnRenamed("id", "k")
+         .coalesce(1).sortWithinPartitions("k")
+         .write.mode("overwrite").parquet(full))
+        for f in os.listdir(full):
+            if f.endswith(".parquet"):
+                adds.append({"add": {
+                    "path": f"p={p}/{f}",
+                    "partitionValues": {"p": str(p)},
+                    "size": 1, "modificationTime": 0, "dataChange": True,
+                    "deletionVector": _dv_descriptor(d, {0})}})
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "p", "type": "integer", "nullable": True,
+         "metadata": {}}]}
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["p"], "configuration": {},
+                      "createdTime": 0}},
+    ] + adds
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    got = {(r.k, r.p) for r in deltalog.read_delta_table(spark, d).collect()}
+    # position 0 of each partition file (k=10, k=20) deleted
+    assert got == {(11, 1), (12, 1), (13, 1), (21, 2), (22, 2), (23, 2)}
