@@ -372,6 +372,43 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name in ("date_part", "datepart") and parts \
+                and len(parts[2]) == 2:
+            # Spark's date_part exists but three fields diverge
+            # [measured 2024-03-04, a Monday]: DuckDB dow is 0..6
+            # Sunday-based (Spark's is 1..7), isodow (1..7 Monday-based)
+            # and epoch don't exist in Spark at all. Other fields (doy,
+            # week, quarter, year, ...) agree and pass through.
+            _, close, spans = parts
+            field = _arg_text(toks, spans[0]).strip().strip("'").lower()
+            expr = _arg_text(toks, spans[1])
+            mapped = {
+                "dow": f"(dayofweek({expr}) - 1)",
+                "isodow": f"(weekday({expr}) + 1)",
+                "epoch": f"CAST(unix_timestamp({expr}) AS DOUBLE)",
+            }.get(field)
+            if mapped is not None:
+                out.append(mapped)
+                i = close + 1
+                changed = True
+                continue
+        if name == "extract" and parts and len(parts[2]) == 1:
+            # EXTRACT(DOW/ISODOW/EPOCH FROM x) — same three divergent
+            # fields as date_part; everything else passes through to
+            # Spark's own EXTRACT.
+            _, close, spans = parts
+            m = re.match(r"(?is)^(dow|isodow|epoch)\s+from\s+(.+)$",
+                         _arg_text(toks, spans[0]))
+            if m:
+                field, expr = m.group(1).lower(), m.group(2).strip()
+                out.append({
+                    "dow": f"(dayofweek({expr}) - 1)",
+                    "isodow": f"(weekday({expr}) + 1)",
+                    "epoch": f"CAST(unix_timestamp({expr}) AS DOUBLE)",
+                }[field])
+                i = close + 1
+                changed = True
+                continue
         if name == "list_reverse_sort" and parts:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])

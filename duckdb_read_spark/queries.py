@@ -636,6 +636,24 @@ FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
           "outputs unwrapped to scalars so the value hash is "
           "stringification-stable")
 
+_q("q136_date_part_fields", """
+SELECT (dayofweek(o_orderdate) - 1) AS dow,
+       (weekday(o_orderdate) + 1) AS isodow,
+       COUNT(*) AS n,
+       COUNT_IF(date_part('doy', o_orderdate) <= 180) AS first_half
+FROM orders GROUP BY 1, 2 ORDER BY dow
+""", duckdb="""
+SELECT date_part('dow', o_orderdate) AS dow,
+       date_part('isodow', o_orderdate) AS isodow,
+       COUNT(*) AS n,
+       CAST(COUNT_IF(date_part('doy', o_orderdate) <= 180)
+            AS BIGINT) AS first_half
+FROM orders GROUP BY 1, 2 ORDER BY dow
+""", note="date_part divergent-field rewrites: DuckDB dow (0..6 "
+          "Sunday-based) -> dayofweek-1, isodow -> weekday+1; agreeing "
+          "fields (doy) pass through verbatim — cross-engine weekday "
+          "histogram over order dates")
+
 _q("q91_lateral_join", """
 SELECT c.c_custkey, t.n, t.maxprice
 FROM customer c, LATERAL (

@@ -446,3 +446,19 @@ def test_struct_pack_and_extract_rewrites():
     # non-literal field name: no Spark equivalent, passes through loudly
     out2 = to_spark_sql("SELECT struct_extract(s, f) AS v")
     assert "struct_extract(s, f)" in out2
+
+
+def test_date_part_divergent_fields_rewrite():
+    from duckdb_read_spark.dialect import to_spark_sql
+
+    out = to_spark_sql("SELECT date_part('dow', d) AS a FROM t")
+    assert "(dayofweek(d) - 1)" in out
+    out = to_spark_sql("SELECT date_part('isodow', d) AS a FROM t")
+    assert "(weekday(d) + 1)" in out
+    out = to_spark_sql("SELECT EXTRACT(EPOCH FROM d) AS a FROM t")
+    assert "unix_timestamp(d)" in out
+    # agreeing fields pass through untouched
+    out = to_spark_sql("SELECT date_part('doy', d) AS a FROM t")
+    assert "date_part('doy', d)" in out
+    out = to_spark_sql("SELECT EXTRACT(year FROM d) AS y FROM t")
+    assert "EXTRACT(year FROM d)" in out
