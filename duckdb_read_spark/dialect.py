@@ -117,9 +117,9 @@ def _split_args(toks: list[Tok], open_idx: int, close_idx: int) -> list[tuple[in
     spans, depth, start = [], 0, open_idx + 1
     for i in range(open_idx + 1, close_idx):
         t = toks[i]
-        if t.text == "(":
+        if t.text in ("(", "["):      # brackets: list literals/subscripts
             depth += 1
-        elif t.text == ")":
+        elif t.text in (")", "]"):
             depth -= 1
         elif t.text == "," and depth == 0:
             spans.append((start, i))
@@ -360,6 +360,36 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     i = close + 1
                     changed = True
                     continue
+        if name == "regexp_matches" and parts and len(parts[2]) == 3:
+            # 3-arg form carries DuckDB option flags; Spark regexp_like
+            # is 2-arg, so fold supported flags into the pattern as
+            # inline modifiers ((?i) etc). Unknown flags pass through
+            # and fail loudly in Spark analysis (3-arg regexp_like).
+            _, close, spans = parts
+            subj = _arg_text(toks, spans[0])
+            pat = _arg_text(toks, spans[1])
+            flags = _arg_text(toks, spans[2]).strip()
+            m = re.fullmatch(r"'([ism]+)'", flags)
+            if m:
+                out.append(
+                    f"regexp_like({subj}, concat('(?{m.group(1)})', {pat}))")
+                i = close + 1
+                changed = True
+                continue
+        if name == "list_has_any" and parts and len(parts[2]) == 2:
+            out.append("arrays_overlap")
+            i += 1
+            changed = True
+            continue
+        if name == "list_has_all" and parts and len(parts[2]) == 2:
+            # true iff every element of the SECOND list is in the first
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            sub = _arg_text(toks, spans[1])
+            out.append(f"(size(array_except({sub}, {lst})) = 0)")
+            i = close + 1
+            changed = True
+            continue
         if name in _SIMPLE_RENAMES and parts:
             out.append(_SIMPLE_RENAMES[name])
             i += 1

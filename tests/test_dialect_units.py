@@ -462,3 +462,19 @@ def test_date_part_divergent_fields_rewrite():
     assert "date_part('doy', d)" in out
     out = to_spark_sql("SELECT EXTRACT(year FROM d) AS y FROM t")
     assert "EXTRACT(year FROM d)" in out
+
+
+def test_regexp_flags_and_list_has_rewrites(engine, duck):
+    """3-arg regexp_matches folds flags into inline modifiers;
+    list_has_any/all map onto arrays_overlap / array_except — values
+    verified against DuckDB."""
+    q = ("SELECT regexp_matches('AbC', 'bc', 'i') AS m1, "
+         "regexp_matches('AbC', 'bc') AS m2, "
+         "list_has_any([1, 2], [2, 9]) AS h1, "
+         "list_has_any([1, 2], [8, 9]) AS h2, "
+         "list_has_all([1, 2, 3], [3, 1]) AS a1, "
+         "list_has_all([1, 2], [3, 1]) AS a2, "
+         "list_has_all([1, 2], CAST([] AS INTEGER[])) AS a3")
+    got = tuple(engine.sql(q, dialect="duckdb").first())
+    want = duck.execute(q).fetchone()
+    assert got == want
