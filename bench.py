@@ -132,6 +132,10 @@ def main() -> None:
         "q123_clone_lifecycle",
         "q124_fts_sql_surface",
         "q125_gapfill_date_spine",
+        "q131_iceberg_v2_deletes",
+        "q133_positional_join",
+        "q134_temperature_mix",
+        "q135_delta_deletion_vectors",
     ):
         extra[name] = round(_time_op(name), 4)
 

@@ -268,8 +268,7 @@ def _dv_rows_df(spark, table_dir: str, dvs: dict[str, dict]):
     import pandas as pd
 
     rows = [
-        (re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/",
-                os.path.abspath(os.path.join(table_dir, rel))),
+        (os.path.abspath(os.path.join(table_dir, rel)),
          bytearray(_load_dv_bytes(table_dir, dv)))
         for rel, dv in sorted(dvs.items())
     ]
@@ -297,9 +296,10 @@ def _apply_dvs(spark, df, table_dir: str, dvs: dict[str, dict]):
     DV side when small, which it is by construction)."""
     from pyspark.sql import functions as F
 
+    from .pathnorm import decoded_file_path
+
     cols = df.columns
-    norm = F.regexp_replace(F.col("_metadata.file_path"),
-                            r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    norm = decoded_file_path(F.col("_metadata.file_path"))
     base = df.select(
         "*", norm.alias("__dv_path"),
         F.col("_metadata.row_index").alias("__dv_pos"))
@@ -346,28 +346,53 @@ def attach_deletion_vector(table_dir: str, rel_path: str,
     if rel_path not in files:
         raise LookupError(
             f"{rel_path!r} is not a live file of the current snapshot")
-    positions = sorted(set(int(p) for p in positions))
+    old_add = files[rel_path]
+    positions = set(int(p) for p in positions)
+    # MERGE with any existing DV — replacing it would resurrect the
+    # previously deleted rows (review r6); delta-spark's DELETE merges.
+    old_dv = old_add.get("deletionVector")
+    if old_dv and old_dv.get("cardinality", 1) != 0:
+        positions |= set(
+            roaring.deserialize_bitmap_array(
+                _load_dv_bytes(table_dir, old_dv)))
+    positions = sorted(positions)
     data = roaring.serialize_bitmap_array(positions)
     u = _uuid.uuid4()
     with open(os.path.join(table_dir, f"deletion_vector_{u}.bin"),
               "wb") as f:
         f.write(b"\x01" + roaring.frame_dv(data))
-    add = dict(files[rel_path])
+    add = dict(old_add)
     add["path"] = rel_path
-    add["dataChange"] = False
+    add["dataChange"] = True      # the visible rows change
     add["deletionVector"] = {
         "storageType": "u",
         "pathOrInlineDv": roaring.z85_encode(u.bytes),
         "offset": 1, "sizeInBytes": len(data),
         "cardinality": len(positions),
     }
+    # spec reconciliation keys actions by (path, dv uniqueId): without a
+    # remove for the OLD entry, external readers see TWO live entries
+    # for the file and return every row twice (review r6)
+    remove = {"path": rel_path,
+              "deletionTimestamp": int(time.time() * 1000),
+              "dataChange": True}
+    if old_dv:
+        remove["deletionVector"] = old_dv
+    # UNION protocol features — overwriting would silently downgrade
+    # the foreign table's other writerFeatures (review r6)
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for v0 in _list_versions(table_dir):
+        for a in _read_actions(table_dir, v0):
+            if "protocol" in a:
+                proto = dict(a["protocol"])
+    proto["minReaderVersion"] = max(proto.get("minReaderVersion", 1), 3)
+    proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 7)
+    proto["readerFeatures"] = sorted(
+        set(proto.get("readerFeatures") or []) | {"deletionVectors"})
+    proto["writerFeatures"] = sorted(
+        set(proto.get("writerFeatures") or []) | {"deletionVectors"})
     v = _list_versions(table_dir)[-1] + 1
-    actions = [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"],
-                      "writerFeatures": ["deletionVectors"]}},
-        {"add": add},
-    ]
+    actions = [{"protocol": proto}, {"remove": remove}, {"add": add}]
     path = _delta_path(table_dir, v)
     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as f:

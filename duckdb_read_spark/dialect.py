@@ -117,9 +117,9 @@ def _split_args(toks: list[Tok], open_idx: int, close_idx: int) -> list[tuple[in
     spans, depth, start = [], 0, open_idx + 1
     for i in range(open_idx + 1, close_idx):
         t = toks[i]
-        if t.text in ("(", "["):      # brackets: list literals/subscripts
-            depth += 1
-        elif t.text in (")", "]"):
+        if t.text in ("(", "[", "{"):  # brackets/braces: list & struct
+            depth += 1                     # literals, subscripts
+        elif t.text in (")", "]", "}"):
             depth -= 1
         elif t.text == "," and depth == 0:
             spans.append((start, i))
@@ -377,16 +377,31 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 changed = True
                 continue
         if name == "list_has_any" and parts and len(parts[2]) == 2:
-            out.append("arrays_overlap")
-            i += 1
+            # NULL semantics [measured]: DuckDB yields NULL only when a
+            # LIST itself is NULL; null ELEMENTS never match (false).
+            # Spark arrays_overlap returns NULL when no common non-null
+            # exists but either side holds a null element — coalesce
+            # that tri-valued case back to DuckDB's false.
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(
+                f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+                f"ELSE COALESCE(arrays_overlap({a}, {b}), false) END)")
+            i = close + 1
             changed = True
             continue
         if name == "list_has_all" and parts and len(parts[2]) == 2:
-            # true iff every element of the SECOND list is in the first
+            # true iff every NON-NULL element of the SECOND list is in
+            # the first (DuckDB ignores null needles [measured]); NULL
+            # when either list is NULL.
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
             sub = _arg_text(toks, spans[1])
-            out.append(f"(size(array_except({sub}, {lst})) = 0)")
+            out.append(
+                f"(CASE WHEN {lst} IS NULL OR {sub} IS NULL THEN NULL "
+                f"ELSE size(array_except(filter({sub}, "
+                f"__lha -> __lha IS NOT NULL), {lst})) = 0 END)")
             i = close + 1
             changed = True
             continue
@@ -396,9 +411,16 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "epoch" and parts and len(parts[2]) == 1:
-            # DuckDB epoch(ts) → seconds since 1970 (BIGINT for µs ts)
+            # DuckDB epoch(ts) → DOUBLE seconds incl. the sub-second
+            # fraction [measured]; unix_timestamp would truncate to
+            # whole seconds. Session-TZ caveat: Spark interprets the
+            # instant in spark.sql.session.timeZone (UTC here), DuckDB
+            # treats the naive timestamp as UTC — identical until a SET
+            # timezone diverges them (documented on the D3 surface).
             _, close, spans = parts
-            out.append(f"unix_timestamp({_arg_text(toks, spans[0])})")
+            e = _arg_text(toks, spans[0])
+            out.append(f"(CAST(unix_micros(CAST({e} AS TIMESTAMP)) "
+                       f"AS DOUBLE) / 1000000.0D)")
             i = close + 1
             changed = True
             continue
@@ -415,7 +437,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             mapped = {
                 "dow": f"(dayofweek({expr}) - 1)",
                 "isodow": f"(weekday({expr}) + 1)",
-                "epoch": f"CAST(unix_timestamp({expr}) AS DOUBLE)",
+                "epoch": f"(CAST(unix_micros(CAST({expr} AS TIMESTAMP))"
+                         f" AS DOUBLE) / 1000000.0D)",
             }.get(field)
             if mapped is not None:
                 out.append(mapped)
@@ -434,7 +457,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 out.append({
                     "dow": f"(dayofweek({expr}) - 1)",
                     "isodow": f"(weekday({expr}) + 1)",
-                    "epoch": f"CAST(unix_timestamp({expr}) AS DOUBLE)",
+                    "epoch": f"(CAST(unix_micros(CAST({expr} AS "
+                             f"TIMESTAMP)) AS DOUBLE) / 1000000.0D)",
                 }[field])
                 i = close + 1
                 changed = True

@@ -4009,6 +4009,10 @@ def _sniff_csv_delim(path: str, sample_bytes: int = 65536) -> str | None:
         lines = lines[:-1]   # last line may be truncated by the sample
     if not lines:
         return None
+    # candidates inside double-quoted fields are DATA, not structure —
+    # counting them elects the wrong delimiter on uniformly quoted rows
+    # (review r6: '1,"x;y;z"' must sniff ',', not ';')
+    lines = [re.sub(r'"[^"]*("|$)', "", ln) for ln in lines]
     best: tuple[int, str] | None = None
     for cand in (",", ";", "\t", "|"):
         counts = {ln.count(cand) for ln in lines}

@@ -314,6 +314,18 @@ def snapshot_files(table_dir: str, version: int | None = None,
                     raise NotImplementedError(
                         "iceberg equality delete file without "
                         "equality_ids — cannot determine match columns")
+                part = df_rec.get("partition") or {}
+                if any(v is not None for v in part.values()):
+                    # spec: a delete file written under a partitioned
+                    # spec applies only WITHIN its partition; this
+                    # reader applies equality deletes globally, which
+                    # would silently drop same-key rows from OTHER
+                    # partitions (review r6) — refuse instead
+                    raise NotImplementedError(
+                        "iceberg PARTITION-SCOPED equality delete "
+                        "files are not supported (this reader applies "
+                        "equality deletes globally); only "
+                        "unpartitioned-spec equality deletes read")
                 eq_del[local] = (seq, ids)
             else:
                 raise NotImplementedError(
@@ -343,12 +355,18 @@ def snapshot_data_files(table_dir: str, version: int | None = None,
     return [p for p, _uri, _seq in info["data"]]
 
 
-def _norm_uri_expr(col):
-    """Normalize a file URI/path to a bare absolute path for comparison:
-    strip any ``scheme:`` prefix and collapse leading slashes (Spark's
-    ``_metadata.file_path`` renders ``file:/abs``, writers record
-    ``file:///abs`` or ``s3://…``)."""
+def _norm_uri_expr(col, percent_encoded: bool = False):
+    """Normalize a file URI/path column to a bare absolute path: strip
+    any ``scheme:`` prefix and collapse leading slashes (writers record
+    ``file:///abs`` or ``s3://…``). ``percent_encoded=True`` for
+    Spark's ``_metadata.file_path``, which percent-encodes the path
+    (pathnorm.decoded_file_path) — manifest/delete-file URIs are stored
+    raw and must NOT be url-decoded."""
     from pyspark.sql import functions as F
+
+    if percent_encoded:
+        from .pathnorm import decoded_file_path
+        return decoded_file_path(col)
     return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
 
 
@@ -365,7 +383,8 @@ def _apply_row_deletes(spark, info: dict, meta: dict, table_dir: str):
     data_cols = base.columns
     base = base.select(
         "*",
-        _norm_uri_expr(F.col("_metadata.file_path")).alias("__ib_path"),
+        _norm_uri_expr(F.col("_metadata.file_path"),
+                       percent_encoded=True).alias("__ib_path"),
         F.col("_metadata.row_index").alias("__ib_pos"))
     # local-path → data sequence number (and the recorded URI positional
     # deletes reference, normalized the same way)
@@ -491,6 +510,16 @@ MANIFEST_ENTRY_SCHEMA = {
     ],
 }
 
+def _next_meta_version(mdir: str, at_least: int) -> int:
+    """Metadata file number and sequence number are INDEPENDENT counters
+    in Iceberg (metadata-only commits advance only the former); naming
+    the new file v{seq} can clobber an existing version on foreign
+    tables (review r6). Next free = max(existing vN, at_least-1) + 1."""
+    existing = [int(m.group(1)) for f in os.listdir(mdir)
+                if (m := re.fullmatch(r"v(\d+)\.metadata\.json", f))]
+    return max(existing + [at_least - 1]) + 1
+
+
 _ICE_TYPES = {
     "bigint": "long", "int": "int", "smallint": "int", "tinyint": "int",
     "double": "double", "float": "float", "string": "string",
@@ -549,10 +578,16 @@ def write_table(df, table_dir: str, mode: str = "overwrite",
     # so appends onto a table with live row-level deletes refuse.
     carried: list[tuple[str, int]] = []
     if mode == "append" and meta is not None:
-        snapshot_data_files(table_dir)   # refusal gate for live deletes
+        info = snapshot_files(table_dir)   # ONE replay (review r6 perf)
+        if info["pos_deletes"] or info["eq_deletes"]:
+            raise NotImplementedError(
+                "iceberg snapshot carries v2 row-level delete files — "
+                "append carries files by reference and cannot carry "
+                "them; read the table (deletes applied) and "
+                "re-materialize instead")
         carried = [
             (os.path.relpath(p, os.path.abspath(table_dir)), fseq)
-            for p, _uri, fseq in snapshot_files(table_dir)["data"]]
+            for p, _uri, fseq in info["data"]]
 
     entries = []
     for status, paths in ((1, [(r, seq) for r in new]), (0, carried)):
@@ -622,13 +657,14 @@ def write_table(df, table_dir: str, mode: str = "overwrite",
                           "timestamp-ms": s["timestamp-ms"]}
                          for s in snaps],
     }
-    tmp = os.path.join(mdir, f"v{seq}.metadata.json.tmp")
+    mv = _next_meta_version(mdir, seq)
+    tmp = os.path.join(mdir, f"v{mv}.metadata.json.tmp")
     with open(tmp, "w") as f:
         json.dump(new_meta, f)
-    os.replace(tmp, os.path.join(mdir, f"v{seq}.metadata.json"))
+    os.replace(tmp, os.path.join(mdir, f"v{mv}.metadata.json"))
     hint_tmp = os.path.join(mdir, "version-hint.text.tmp")
     with open(hint_tmp, "w") as f:
-        f.write(str(seq))
+        f.write(str(mv))
     os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
     return snap_id
 
@@ -816,12 +852,13 @@ def write_deletes(table_dir: str,
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"snapshot-id": snap_id, "timestamp-ms": ts}]
-    tmp = os.path.join(mdir, f"v{seq}.metadata.json.tmp")
+    mv = _next_meta_version(mdir, seq)
+    tmp = os.path.join(mdir, f"v{mv}.metadata.json.tmp")
     with open(tmp, "w") as f:
         json.dump(new_meta, f)
-    os.replace(tmp, os.path.join(mdir, f"v{seq}.metadata.json"))
+    os.replace(tmp, os.path.join(mdir, f"v{mv}.metadata.json"))
     hint_tmp = os.path.join(mdir, "version-hint.text.tmp")
     with open(hint_tmp, "w") as f:
-        f.write(str(seq))
+        f.write(str(mv))
     os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
     return snap_id

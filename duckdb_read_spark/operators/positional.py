@@ -62,9 +62,10 @@ def with_row_position(spark: SparkSession, path: str,
     for f in files:
         offsets[os.path.abspath(f)] = total
         total += pq.ParquetFile(f).metadata.num_rows
-    # file_path renders as file:/abs — normalize to the bare abs path
-    norm = F.regexp_replace(
-        F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    from ..pathnorm import decoded_file_path
+
+    # file:/abs, percent-encoded → decoded bare abs path (pathnorm)
+    norm = decoded_file_path(F.col("_metadata.file_path"))
     off_map = F.create_map(
         *[x for k, v in sorted(offsets.items())
           for x in (F.lit(k), F.lit(v))])

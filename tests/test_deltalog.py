@@ -540,3 +540,65 @@ def test_delta_dv_hive_partitioned(spark, tmp_path):
     got = {(r.k, r.p) for r in deltalog.read_delta_table(spark, d).collect()}
     # position 0 of each partition file (k=10, k=20) deleted
     assert got == {(11, 1), (12, 1), (13, 1), (21, 2), (22, 2), (23, 2)}
+
+
+def test_attach_dv_merges_removes_and_unions_protocol(spark, tmp_path):
+    """Review r6 triple: a second attach merges the existing DV's
+    positions (no resurrection), the commit carries a remove for the
+    old (path, dv) entry so spec-keyed readers don't see two live
+    entries, and the protocol upgrade UNIONS pre-existing features."""
+    import json as _json
+
+    from duckdb_read_spark import deltalog
+
+    d = str(tmp_path / "dvm")
+    adds = []
+    full = os.path.join(d, "f0")
+    (spark.range(0, 8).withColumnRenamed("id", "k")
+     .coalesce(1).sortWithinPartitions("k")
+     .write.mode("overwrite").parquet(full))
+    rel = next(f"f0/{f}" for f in os.listdir(full)
+               if f.endswith(".parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["appendOnly"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}},
+        {"add": {"path": rel, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    deltalog.attach_deletion_vector(d, rel, [1])
+    v = deltalog.attach_deletion_vector(d, rel, [3])
+    got = {r.k for r in deltalog.read_delta_table(spark, d).collect()}
+    assert got == {0, 2, 4, 5, 6, 7}      # BOTH 1 and 3 stay deleted
+    acts = deltalog._read_actions(d, v)
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds == ["protocol", "remove", "add"]
+    assert acts[1]["remove"]["path"] == rel
+    assert "deletionVector" in acts[1]["remove"]   # identifies old entry
+    proto = acts[0]["protocol"]
+    assert "appendOnly" in proto["writerFeatures"]       # unioned
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert acts[2]["add"]["dataChange"] is True
+
+
+def test_dv_path_with_space_still_applies(spark, tmp_path):
+    """Review r6: Spark percent-encodes _metadata.file_path; a table dir
+    containing a space must still match the anti-join keys — otherwise
+    DVs are silently NOT applied."""
+    from duckdb_read_spark import deltalog
+
+    d = str(tmp_path / "dv dir")   # space on purpose
+    _write_foreign_dv_table(spark, d)
+    got = {r.k for r in deltalog.read_delta_table(spark, d).collect()}
+    assert got == ({0, 2, 4, 5, 6, 8, 9} | {101, 102, 103, 104})

@@ -299,7 +299,8 @@ def test_simple_function_renames():
     assert to_spark_sql("SELECT starts_with(s, 'a'), ends_with(s, 'b') FROM t") == \
         "SELECT startswith(s, 'a'), endswith(s, 'b') FROM t"
     assert to_spark_sql("SELECT epoch(ts) FROM t") == \
-        "SELECT unix_timestamp(ts) FROM t"
+        ("SELECT (CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE) "
+         "/ 1000000.0D) FROM t")
 
 
 def test_star_exclude_rewrite():
@@ -456,7 +457,7 @@ def test_date_part_divergent_fields_rewrite():
     out = to_spark_sql("SELECT date_part('isodow', d) AS a FROM t")
     assert "(weekday(d) + 1)" in out
     out = to_spark_sql("SELECT EXTRACT(EPOCH FROM d) AS a FROM t")
-    assert "unix_timestamp(d)" in out
+    assert "unix_micros(CAST(d AS TIMESTAMP)" in out  # fractional seconds
     # agreeing fields pass through untouched
     out = to_spark_sql("SELECT date_part('doy', d) AS a FROM t")
     assert "date_part('doy', d)" in out

@@ -557,3 +557,66 @@ def test_iceberg_flat_rename_field_id_projection(eng, spark, tmp_path):
     assert df.columns == ["kk", "v"]
     got = {(r.kk, r.v) for r in df.collect()}
     assert got == {(1, 10.0), (2, 20.0), (3, 30.0)}
+
+
+def test_iceberg_partition_scoped_equality_delete_refuses(eng, spark,
+                                                          tmp_path):
+    """Review r6: a partition-scoped equality delete applies only
+    within its partition per spec; this reader applies eq deletes
+    globally, so the scoped form must refuse, not drop rows from other
+    partitions."""
+    d = str(tmp_path / "ice_eqpart")
+    iceberglog.write_table(
+        spark.createDataFrame([(1, "a")], "k long, v string")
+        .coalesce(1), d)
+    iceberglog.write_deletes(d, eq_rows=[{"k": 1}], eq_ids=[1])
+    # patch the delete manifest entry's partition record to a non-null
+    # value (simulating a partitioned-spec writer)
+    meta = iceberglog.table_metadata(d)
+    snap = iceberglog.snapshots_chrono(meta)[-1]
+    ml = snap["manifest-list"].replace("file://", "")
+    _, mls = avroio.read_container(ml)
+    for mf in mls:
+        if mf["content"] == 1:
+            mpath = mf["manifest_path"].replace("file://", "")
+            sch, entries = avroio.read_container(mpath)
+            part_schema = {"type": "record", "name": "rp", "fields": [
+                {"name": "day", "type": ["null", "string"]}]}
+            for fld in sch["fields"]:
+                if fld["name"] == "data_file":
+                    for f2 in fld["type"]["fields"]:
+                        if f2["name"] == "partition":
+                            f2["type"] = part_schema
+            for e in entries:
+                e["data_file"]["partition"] = {"day": "2024-01-01"}
+            avroio.write_container(mpath, sch, entries)
+    with pytest.raises(NotImplementedError, match="PARTITION-SCOPED"):
+        iceberglog.read_iceberg_table(spark, d)
+
+
+def test_iceberg_metadata_version_no_clobber(eng, spark, tmp_path):
+    """Review r6: metadata file number and sequence number are
+    independent counters — a foreign table with MORE metadata versions
+    than sequence numbers must not have an existing vN.metadata.json
+    clobbered by the next commit."""
+    import shutil
+
+    d = str(tmp_path / "ice_mv")
+    iceberglog.write_table(spark.range(3).withColumnRenamed("id", "k"), d)
+    mdir = os.path.join(d, "metadata")
+    # simulate two metadata-only commits: v2/v3 exist, seq stays 1
+    shutil.copy(os.path.join(mdir, "v1.metadata.json"),
+                os.path.join(mdir, "v2.metadata.json"))
+    shutil.copy(os.path.join(mdir, "v1.metadata.json"),
+                os.path.join(mdir, "v3.metadata.json"))
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("3")
+    before = open(os.path.join(mdir, "v2.metadata.json")).read()
+    iceberglog.write_table(
+        spark.range(3, 5).withColumnRenamed("id", "k"), d, mode="append")
+    # seq advanced to 2, but v2/v3 survive — new metadata landed at v4
+    assert open(os.path.join(mdir, "v2.metadata.json")).read() == before
+    assert os.path.exists(os.path.join(mdir, "v4.metadata.json"))
+    assert open(os.path.join(mdir, "version-hint.text")).read() == "4"
+    rows = {r.k for r in iceberglog.read_iceberg_table(spark, d).collect()}
+    assert rows == {0, 1, 2, 3, 4}

@@ -1569,3 +1569,15 @@ def test_temperature_mix_validates(spark):
         temperature_mix(df, "k", "src", temperature=0.0)
     with _pytest.raises(ValueError, match="max_sources"):
         temperature_mix(df, "k", "src", max_sources=0)
+
+
+def test_positional_join_path_with_space(spark, tmp_path):
+    """Review r6: percent-encoded _metadata.file_path must still match
+    the footer-derived offset map."""
+    from duckdb_read_spark.operators import with_row_position
+
+    d = str(tmp_path / "pos dir")
+    (spark.range(0, 6).coalesce(2).write.mode("overwrite").parquet(d))
+    rows = with_row_position(spark, d).collect()
+    assert sorted(r.pos for r in rows) == list(range(6))
+    assert all(r.pos is not None for r in rows)
