@@ -136,6 +136,7 @@ def main() -> None:
         "q133_positional_join",
         "q134_temperature_mix",
         "q135_delta_deletion_vectors",
+        "q137_change_data_feed",
     ):
         extra[name] = round(_time_op(name), 4)
 

@@ -171,6 +171,14 @@ _READ_FUNC_RE = re.compile(
     re.IGNORECASE,
 )
 
+# table_changes('t', from_v [, to_v]) — the Delta CDF table function
+# shape over versioned tables (row-level change feed between versions).
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*'(?P<name>[^']+)'\s*,\s*(?P<a>\d+)\s*"
+    r"(?:,\s*(?P<b>\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
 # FROM glob('pattern') — DuckDB's file-listing table function (one `file`
 # column). Driver-side listing: a metadata op, like any FS listing.
 _GLOB_FUNC_RE = re.compile(
@@ -515,6 +523,20 @@ class Engine:
     # -- versioned tables (table-format/metadata-log theme,
     #    /root/reference/metadata:1-17; snapshots.py holds the log protocol)
 
+    def table_changes(self, name: str, from_version: int,
+                      to_version: int | None = None) -> DataFrame:
+        """Row-level change feed for a versioned table between two
+        versions (inclusive) — the Delta CDF ``table_changes`` surface.
+        Columns: the table's data columns plus ``_change_type``
+        (insert/delete/update_preimage/update_postimage),
+        ``_commit_version``, ``_commit_timestamp``. Also reachable from
+        SQL as ``FROM table_changes('t', from_v[, to_v])``."""
+        if name not in self._versioned:
+            raise ValueError(
+                f"table_changes: {name!r} is not a versioned table")
+        return snapshots.table_changes(
+            self.spark, self._versioned[name], from_version, to_version)
+
     def write_versioned(self, df: DataFrame, table_dir: str,
                         mode: str = "overwrite"):
         """Commit ``df`` as the next snapshot of a versioned table."""
@@ -832,7 +854,7 @@ class Engine:
             .drop("__zkey")
         )
         entry = snapshots.write_table(clustered, self._versioned[name],
-                                      mode="overwrite")
+                                      mode="overwrite", data_change=False)
         self._refresh_table(name)
         return self.spark.createDataFrame(
             [(entry.version, ",".join(cols))],
@@ -1127,7 +1149,7 @@ class Engine:
                     f"(e.g. {tuple(dup[0])[:-1]})")
         clustered = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         snapshots.write_table(clustered, self._versioned[key],
-                              mode="overwrite")
+                              mode="overwrite", data_change=False)
         self._refresh_table(key)
         self._indexes[name] = (key, tuple(cols), unique)
         return self._empty()
@@ -2355,7 +2377,8 @@ class Engine:
         schema inference like DuckDB's sniffer) and the call text is
         replaced by the view name. File access from SQL is external
         access: safe mode (enable_external_access=false) blocks it."""
-        if not (_READ_FUNC_RE.search(query) or _GLOB_FUNC_RE.search(query)):
+        if not (_READ_FUNC_RE.search(query) or _GLOB_FUNC_RE.search(query)
+                or _TABLE_CHANGES_RE.search(query)):
             return query
 
         def sub(m: re.Match) -> str:
@@ -2459,7 +2482,21 @@ class Engine:
             ).createOrReplaceTempView(name)
             return f"{m.group('kw')} {name}"
 
+        def cdf_sub(m: re.Match) -> str:
+            import hashlib
+
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            name = m.group("name")
+            a = int(m.group("a"))
+            b = int(m.group("b")) if m.group("b") else None
+            view = f"__cdf_{hashlib.md5(m.group(0).encode()).hexdigest()[:12]}"
+            self.table_changes(name, a, b).createOrReplaceTempView(view)
+            return view
+
         query = _GLOB_FUNC_RE.sub(glob_sub, query)
+        spans = literal_spans(query)
+        query = _TABLE_CHANGES_RE.sub(cdf_sub, query)
         spans = literal_spans(query)
         return _READ_FUNC_RE.sub(guarded, query)
 
@@ -3133,6 +3170,8 @@ class Engine:
             targets = (self._file_level_targets(name, pred, dialect)
                        if pred is not None else None)
             if pred is None:
+                # full delete: no sidecar needed — table_changes derives
+                # the feed from the full-overwrite diff (all rows left)
                 kept = self.table(name).limit(0)
             elif targets is not None:
                 # file-level rewrite: only hit files are re-written; the
@@ -3144,9 +3183,16 @@ class Engine:
                     kept = self.sql(
                         f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE",
                         dialect=dialect)
+                    # change feed: the removed rows, captured at DML time
+                    # (Delta _change_data design) — one extra filter pass
+                    # over the already-pruned hit files
+                    cdc = self.sql(
+                        f"SELECT *, 'delete' AS _change_type FROM {name} "
+                        f"WHERE ({pred}) IS TRUE", dialect=dialect)
                     snapshots.write_table(kept, self._versioned[name],
                                           mode="overwrite",
-                                          carry_files=carried)
+                                          carry_files=carried,
+                                          cdc_df=cdc)
                 finally:
                     self._refresh_table(name)
                 return self._empty()
@@ -3156,7 +3202,13 @@ class Engine:
                 kept = self.sql(
                     f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE",
                     dialect=dialect)
-            snapshots.write_table(kept, self._versioned[name], mode="overwrite")
+            cdc = None
+            if pred is not None:
+                cdc = self.sql(
+                    f"SELECT *, 'delete' AS _change_type FROM {name} "
+                    f"WHERE ({pred}) IS TRUE", dialect=dialect)
+            snapshots.write_table(kept, self._versioned[name],
+                                  mode="overwrite", cdc_df=cdc)
             self._refresh_table(name)
             return self._empty()
         m = _UPDATE_RE.match(query)
@@ -3186,6 +3238,16 @@ class Engine:
                     cols.append(f.name)
             targets = (self._file_level_targets(name, pred, dialect)
                        if pred is not None else None)
+            # change feed: pre/postimages of the touched rows, captured at
+            # DML time (Delta _change_data design); the postimage reuses
+            # the same CASE projection restricted to predicate-true rows
+            cdc_sql = (
+                f"SELECT *, 'update_preimage' AS _change_type FROM {name} "
+                f"WHERE ({pred or 'true'}) IS TRUE "
+                f"UNION ALL "
+                f"SELECT * FROM (SELECT {', '.join(cols)}, "
+                f"'update_postimage' AS _change_type FROM {name} "
+                f"WHERE ({pred or 'true'}) IS TRUE)")
             if targets is not None:
                 hit_rel, carried = targets
                 sub = self._read_file_subset(name, hit_rel)
@@ -3196,13 +3258,17 @@ class Engine:
                         dialect=dialect)
                     snapshots.write_table(updated, self._versioned[name],
                                           mode="overwrite",
-                                          carry_files=carried)
+                                          carry_files=carried,
+                                          cdc_df=self.sql(cdc_sql,
+                                                          dialect=dialect))
                 finally:
                     self._refresh_table(name)
                 return self._empty()
             updated = self.sql(
                 f"SELECT {', '.join(cols)} FROM {name}", dialect=dialect)
-            snapshots.write_table(updated, self._versioned[name], mode="overwrite")
+            snapshots.write_table(updated, self._versioned[name],
+                                  mode="overwrite",
+                                  cdc_df=self.sql(cdc_sql, dialect=dialect))
             self._refresh_table(name)
             return self._empty()
         return None
@@ -3508,6 +3574,42 @@ class Engine:
                 anti += f" WHERE {ins_cond}"
             parts.append(anti)
         full_sql = " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+        # Change feed (Delta _change_data design): each clause family
+        # contributes its touched rows, computed from the SAME join under
+        # the SAME view binding as the main rewrite, so the feed mirrors
+        # exactly what the commit did. Preimages carry the raw target
+        # columns; postimages reuse the update CASE projection.
+        raw_cols = ", ".join(f"{talias}.{n} AS {n}" for n in names)
+        join_from = (f"FROM {target} {talias} "
+                     f"LEFT JOIN {src_marked} ON {on}")
+        upd_branches = []
+        if upd_sets is not None:
+            upd_branches.append(
+                matched + (f" AND ({upd_cond})" if upd_cond else ""))
+        if bysrc_upd is not None:
+            upd_branches.append(
+                f"NOT {matched}"
+                + (f" AND ({bysrc_upd_cond})" if bysrc_upd_cond else ""))
+        cdc_parts: list[str] = []
+        if upd_branches:
+            upd_pred = " OR ".join(f"({b})" for b in upd_branches)
+            cdc_parts.append(
+                f"SELECT {raw_cols}, 'update_preimage' AS _change_type "
+                f"{join_from} WHERE {upd_pred}")
+            cdc_parts.append(
+                f"SELECT * FROM (SELECT {', '.join(proj)}, "
+                f"'update_postimage' AS _change_type "
+                f"{join_from} WHERE {upd_pred})")
+        if del_filters:
+            del_pred = " OR ".join(f"({c})" for c in del_filters)
+            cdc_parts.append(
+                f"SELECT {raw_cols}, 'delete' AS _change_type "
+                f"{join_from} WHERE {del_pred}")
+        if len(parts) > 1:   # the WHEN NOT MATCHED INSERT leg
+            cdc_parts.append(
+                f"SELECT *, 'insert' AS _change_type FROM ({parts[1]})")
+        cdc_sql = " UNION ALL ".join(
+            f"SELECT * FROM ({p})" for p in cdc_parts)
         # File-level rewrite carries UNMATCHED files untouched — exactly the
         # rows BY SOURCE clauses modify — so those merges take the full
         # rewrite path.
@@ -3521,13 +3623,18 @@ class Engine:
             try:
                 sub.createOrReplaceTempView(target)
                 result = self.sql(full_sql, dialect=dialect)
+                cdc = (self.sql(cdc_sql, dialect=dialect)
+                       if cdc_parts else None)
                 snapshots.write_table(result, self._versioned[target],
-                                      mode="overwrite", carry_files=carried)
+                                      mode="overwrite", carry_files=carried,
+                                      cdc_df=cdc)
             finally:
                 self._refresh_table(target)
             return self._empty()
         result = self.sql(full_sql, dialect=dialect)
-        snapshots.write_table(result, self._versioned[target], mode="overwrite")
+        cdc = self.sql(cdc_sql, dialect=dialect) if cdc_parts else None
+        snapshots.write_table(result, self._versioned[target],
+                              mode="overwrite", cdc_df=cdc)
         self._refresh_table(target)
         return self._empty()
 

@@ -1830,6 +1830,54 @@ def _q127(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+@_op("q137_change_data_feed", """
+WITH cut AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+             WHERE c_custkey < 1500),
+ins AS (SELECT c_custkey + 100000 AS k, c_acctbal AS b FROM customer
+        WHERE c_custkey < 300),
+v2 AS (SELECT * FROM cut UNION ALL SELECT * FROM ins),
+v3 AS (SELECT k, CASE WHEN k % 5 = 0 THEN b + 10 ELSE b END AS b FROM v2),
+feed AS (
+  SELECT 'insert' AS change_type, k, b FROM ins
+  UNION ALL
+  SELECT 'update_preimage', k, b FROM v2 WHERE k % 5 = 0
+  UNION ALL
+  SELECT 'update_postimage', k, b + 10 FROM v2 WHERE k % 5 = 0
+  UNION ALL
+  SELECT 'delete', k, b FROM v3 WHERE k % 7 = 0
+)
+SELECT change_type, COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx,
+       CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM feed GROUP BY change_type ORDER BY change_type
+""", note="change data feed (Delta CDF table_changes surface): CTAS -> "
+          "INSERT -> UPDATE -> DELETE, then the v2..v4 feed aggregated "
+          "per _change_type; the oracle replays the same lifecycle as "
+          "pure CTEs over the customer cut (inserts = the appended "
+          "batch, update pre/post = the %5 rows of the v2 state, "
+          "deletes = the %7 rows of the v3 state)")
+def _q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q137_"))
+    eng.execute("""
+CREATE TABLE t137 AS
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 1500;
+INSERT INTO t137
+  SELECT c_custkey + 100000, c_acctbal FROM customer WHERE c_custkey < 300;
+UPDATE t137 SET c_acctbal = c_acctbal + 10 WHERE c_custkey % 5 = 0;
+DELETE FROM t137 WHERE c_custkey % 7 = 0;
+""")
+    return eng.sql("""
+SELECT _change_type AS change_type, COUNT(*) AS n,
+       MIN(c_custkey) AS mn, MAX(c_custkey) AS mx,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM table_changes('t137', 2, 4)
+GROUP BY _change_type ORDER BY change_type""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

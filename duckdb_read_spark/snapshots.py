@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CDC_DIR = "_change_data"
 
 
 @dataclass(frozen=True)
@@ -65,6 +66,15 @@ class Commit:
     # ids at 0) into one table must not shadow each other.
     stream_batch_id: int | None = None
     stream_app_id: str | None = None
+    # change-data-feed sidecar (the Delta ``_change_data`` idea): rel dir
+    # of parquet holding this commit's row-level changes with a
+    # ``_change_type`` column, written at DML time. None → no sidecar
+    # (derivable commits: appends, full overwrites; or pre-CDC history).
+    cdc: str | None = None
+    # False for row-preserving rewrites (OPTIMIZE/compaction/clustering):
+    # table content is unchanged, so table_changes emits nothing for them
+    # (the Delta ``dataChange=false`` flag).
+    data_change: bool = True
 
 
 def _log_path(table_dir: str, version: int) -> str:
@@ -88,7 +98,9 @@ def read_log(table_dir: str) -> list[Commit]:
         commits.append(Commit(d["version"], d["timestamp_ms"], d["mode"],
                               tuple(d["dirs"]), files,
                               d.get("stream_batch_id"),
-                              d.get("stream_app_id")))
+                              d.get("stream_app_id"),
+                              d.get("cdc"),
+                              d.get("data_change", True)))
     return commits
 
 
@@ -205,6 +217,8 @@ def write_table(
     carry_files: list[dict] | None = None,
     stream_batch_id: int | None = None,
     stream_app_id: str | None = None,
+    cdc_df: DataFrame | None = None,
+    data_change: bool = True,
 ) -> Commit:
     """Commit ``df`` as the next version of the table at ``table_dir``.
 
@@ -213,7 +227,13 @@ def write_table(
     from the previous snapshot carried into this one BY REFERENCE — the
     commit then records an explicit file list (carried + newly written,
     with footer min/max stats), so an UPDATE that touches one file writes
-    one file, not the table. Returns the committed entry.
+    one file, not the table. ``cdc_df`` (change data feed): the commit's
+    row-level changes — data columns plus ``_change_type`` — written as a
+    ``_change_data/`` sidecar read back by ``table_changes()``; its plan
+    is evaluated HERE, before the caller repoints any views, so it must
+    read the pre-commit snapshot. ``data_change=False`` marks
+    row-preserving rewrites (compaction/clustering). Returns the
+    committed entry.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -226,6 +246,15 @@ def write_table(
     files = None
     if carry_files is not None:
         files = tuple(list(carry_files) + new_entries)
+    cdc_rel = None
+    if cdc_df is not None:
+        if "_change_type" not in cdc_df.columns:
+            raise ValueError("cdc_df must carry a _change_type column")
+        cdc_rel = os.path.join(_CDC_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
+        # written BEFORE the commit file: a lost O_EXCL race leaves an
+        # orphan dir that no commit references — harmless, vacuumable
+        cdc_df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, cdc_rel))
     entry = Commit(
         version=version,
         timestamp_ms=int(time.time() * 1000) if timestamp_ms is None else timestamp_ms,
@@ -234,6 +263,8 @@ def write_table(
         files=files,
         stream_batch_id=stream_batch_id,
         stream_app_id=stream_app_id,
+        cdc=cdc_rel,
+        data_change=data_change,
     )
     # O_EXCL: exactly one writer can create this version file.
     with open(_log_path(table_dir, version), "x") as f:
@@ -241,7 +272,9 @@ def write_table(
                    "mode": entry.mode, "dirs": list(entry.dirs),
                    "files": list(entry.files) if entry.files is not None else None,
                    "stream_batch_id": entry.stream_batch_id,
-                   "stream_app_id": entry.stream_app_id},
+                   "stream_app_id": entry.stream_app_id,
+                   "cdc": entry.cdc,
+                   "data_change": entry.data_change},
                   f)
     # Mirror into the Delta-protocol-shaped public log (interop surface;
     # best-effort — the private commit above is the source of truth).
@@ -690,6 +723,140 @@ def read_table(
     return apply_schema_patches(df, table_dir, version=resolved)
 
 
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions (the Delta CDF
+    ``table_changes('t', v1, v2)`` surface): every row the table gained or
+    lost in commits ``from_version .. to_version`` (inclusive), with
+    ``_change_type`` (``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage``), ``_commit_version`` and ``_commit_timestamp``
+    columns appended — the Delta CDF column contract.
+
+    Sources per commit, cheapest first:
+    - a ``_change_data/`` sidecar written at DML time (UPDATE/DELETE/
+      MERGE — precise pre/postimages, no diffing);
+    - append commits: the commit's own new files, read as inserts;
+    - the table's first commit: all rows as inserts;
+    - full (non-file-level) overwrites: previous snapshot as deletes +
+      new snapshot as inserts — precise, since every prior row left;
+    - metadata-only carries (RESTORE): file-set diff vs the previous
+      snapshot — precise, since no rows were rewritten;
+    - ``data_change=False`` commits (OPTIMIZE/clustering) emit nothing.
+
+    A file-level rewrite commit from BEFORE CDC capture existed has no
+    derivable feed and raises. Scale: reading the feed scans only change
+    sidecars and the touched commits' files — never the whole table.
+    """
+    from pyspark.sql import functions as F
+
+    commits = read_log(table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no versioned table at {table_dir!r}")
+    by_v = {c.version: c for c in commits}
+    if to_version is None:
+        to_version = commits[-1].version
+    if from_version > to_version:
+        raise ValueError(
+            f"table_changes: from_version {from_version} > to_version "
+            f"{to_version}")
+    missing = [v for v in range(from_version, to_version + 1)
+               if v not in by_v]
+    if missing:
+        raise LookupError(
+            f"table_changes: version(s) {missing} not in log "
+            f"(vacuumed or never written; have "
+            f"{[c.version for c in commits]})")
+
+    def _tagged(df: DataFrame, ctype: str, c: Commit) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(ctype).alias("_change_type"),
+            F.lit(c.version).alias("_commit_version"),
+            F.expr(f"timestamp_millis({c.timestamp_ms})")
+            .alias("_commit_timestamp"))
+
+    first_version = commits[0].version
+    pieces: list[DataFrame] = []
+    for v in range(from_version, to_version + 1):
+        c = by_v[v]
+        if not c.data_change:
+            continue                       # row-preserving rewrite
+        if c.cdc is not None:
+            cdc = spark.read.parquet(os.path.join(table_dir, c.cdc))
+            pieces.append(cdc.select(
+                "*",
+                F.lit(c.version).alias("_commit_version"),
+                F.expr(f"timestamp_millis({c.timestamp_ms})")
+                .alias("_commit_timestamp")))
+            continue
+        if v == first_version:
+            pieces.append(_tagged(read_table(spark, table_dir, version=v),
+                                  "insert", c))
+            continue
+        if c.mode == "append":
+            new = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table_dir, d) for d in c.dirs])
+            pieces.append(_tagged(
+                apply_schema_patches(new, table_dir, version=v), "insert", c))
+            continue
+        # overwrite without a sidecar
+        if c.files is None:
+            # full rewrite: every previous row left, every new row arrived
+            pieces.append(_tagged(
+                read_table(spark, table_dir, version=v - 1), "delete", c))
+            pieces.append(_tagged(
+                read_table(spark, table_dir, version=v), "insert", c))
+            continue
+        if not c.dirs or all(not _dir_has_files(table_dir, d)
+                             for d in c.dirs):
+            # metadata-only carry (RESTORE): nothing rewritten, so the
+            # file-set diff IS the row-level change set
+            prev = {e["path"] for e in snapshot_file_entries(
+                table_dir, version=v - 1)}
+            cur = {e["path"] for e in snapshot_file_entries(
+                table_dir, version=v)}
+            for paths, ctype in ((sorted(prev - cur), "delete"),
+                                 (sorted(cur - prev), "insert")):
+                if paths:
+                    df = spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(table_dir, p) for p in paths])
+                    pieces.append(_tagged(
+                        apply_schema_patches(df, table_dir, version=v),
+                        ctype, c))
+            continue
+        raise ValueError(
+            f"table_changes: version {v} is a file-level rewrite with no "
+            f"change-data sidecar (committed before CDC capture existed) "
+            f"— its row-level feed is not derivable")
+    if not pieces:
+        # empty feed with the contract schema
+        base = read_table(spark, table_dir, version=to_version).limit(0)
+        return base.select(
+            "*", F.lit("").alias("_change_type"),
+            F.lit(0).alias("_commit_version"),
+            F.expr("timestamp_millis(0)").alias("_commit_timestamp")
+        ).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # pin the contract columns last, data columns in current-schema order
+    meta = ["_change_type", "_commit_version", "_commit_timestamp"]
+    data_cols = [col for col in out.columns if col not in meta]
+    return out.select(*data_cols, *meta)
+
+
+def _dir_has_files(table_dir: str, rel: str) -> bool:
+    """True iff the commit data dir holds at least one parquet part (an
+    empty-DataFrame overwrite writes a dir with only _SUCCESS)."""
+    p = os.path.join(table_dir, rel)
+    return os.path.isdir(p) and any(
+        f.endswith(".parquet") for f in os.listdir(p))
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,
@@ -726,7 +893,8 @@ def compact(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, e["path"]) for e in small]
     ).coalesce(n_out)
-    entry = write_table(df, table_dir, mode="overwrite", carry_files=carried)
+    entry = write_table(df, table_dir, mode="overwrite", carry_files=carried,
+                        data_change=False)
     return {"rewritten_files": len(small), "carried_files": len(carried),
             "new_files": len(entry.files) - len(carried),
             "version": entry.version}
@@ -796,6 +964,11 @@ def vacuum(table_dir: str, keep_last: int = 1) -> dict:
     removed_versions = 0
     for c in commits:
         if c.version < base:
+            if c.cdc:
+                # the change-feed sidecar dies with its commit — after
+                # truncation table_changes can't reach this version anyway
+                shutil.rmtree(os.path.join(table_dir, c.cdc),
+                              ignore_errors=True)
             try:
                 os.remove(_log_path(table_dir, c.version))
                 removed_versions += 1
