@@ -376,6 +376,93 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
+        if name == "list_unique" and parts and len(parts[2]) == 1:
+            # DuckDB: COUNT of distinct non-null elements [measured]:
+            # [1,NULL,NULL,2] → 2, NULL list → NULL, [] → 0
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            out.append(
+                f"CAST(size(array_distinct(filter({lst}, "
+                f"__lu -> __lu IS NOT NULL))) AS BIGINT)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_reduce" and parts and len(parts[2]) == 2:
+            # DuckDB list_reduce(L, (acc, x) -> …) seeds the accumulator
+            # with the FIRST element (no init value). Spark's aggregate()
+            # needs an init: seed with element_at(L, 1) and fold the tail.
+            # Divergence pin: DuckDB ERRORS on an empty list; this compiles
+            # to NULL (aggregate over an empty slice returns the NULL
+            # seed) — fail-soft is the Spark-native behavior. NULL list →
+            # NULL in both [measured].
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            lam = _arg_text(toks, spans[1])
+            out.append(
+                f"aggregate(slice({lst}, 2, greatest(size({lst}) - 1, 0)), "
+                f"element_at({lst}, 1), {lam})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "format" and parts and len(parts[2]) >= 2:
+            # DuckDB format() is fmt-style ('{} {:.2f}'); Spark's
+            # format_string is printf-style. Translate a LITERAL format
+            # string's {} / {:spec} placeholders; anything fancier
+            # (positional {0}, named {x}) raises rather than mangling.
+            _, close, spans = parts
+            fmt_txt = _arg_text(toks, spans[0]).strip()
+            if (fmt_txt.startswith("'") and fmt_txt.endswith("'")
+                    and len(fmt_txt) >= 2):
+                body = fmt_txt[1:-1]
+                # {{ / }} are fmt-escaped literal braces
+                pct = (body.replace("{{", "\x00").replace("}}", "\x01")
+                       .replace("%", "%%"))
+                convs: list[str] = []
+
+                def _fmt_spec(m: "re.Match[str]") -> str:
+                    spec = m.group(1)
+                    if spec is None or spec == "":
+                        convs.append("s")
+                        return "%s"
+                    if re.fullmatch(r"[0-9.]*[dfsxX]", spec):
+                        convs.append(spec[-1])
+                        return "%" + spec
+                    raise ValueError(
+                        f"format(): unsupported fmt spec {{{spec}}} — "
+                        f"only {{}}, {{:d}}, {{:f}}, {{:s}}, {{:x}} "
+                        f"shapes translate to format_string")
+
+                translated = re.sub(r"\{(?::([^{}]*))?\}", _fmt_spec, pct)
+                if "{" in translated or "}" in translated:
+                    raise ValueError(
+                        "format(): positional/named fmt placeholders "
+                        "({0}, {name}) are not supported — use {} or "
+                        "{:spec}")
+                translated = (translated.replace("\x00", "{")
+                              .replace("\x01", "}"))
+                # JVM printf is type-strict (%f rejects Decimal, %d
+                # rejects INT32-typed literals' narrower types) — cast
+                # each argument to the conversion's carrier type
+                casts = {"f": "DOUBLE", "d": "BIGINT",
+                         "x": "BIGINT", "X": "BIGINT"}
+                args = [_arg_text(toks, s) for s in parts[2][1:]]
+                if len(convs) != len(args):
+                    raise ValueError(
+                        f"format(): {len(convs)} placeholder(s) but "
+                        f"{len(args)} argument(s)")
+                rest = "".join(
+                    f", CAST({a} AS {casts[cv]})" if cv in casts
+                    else f", {a}"
+                    for a, cv in zip(args, convs))
+                # DuckDB format() is NULL when ANY argument is NULL
+                # [measured]; JVM printf would print the string "null"
+                nullg = " OR ".join(f"({a}) IS NULL" for a in args)
+                out.append(
+                    f"(CASE WHEN {nullg} THEN NULL "
+                    f"ELSE format_string('{translated}'{rest}) END)")
+                i = close + 1
+                changed = True
+                continue
         if name == "list_has_any" and parts and len(parts[2]) == 2:
             # NULL semantics [measured]: DuckDB yields NULL only when a
             # LIST itself is NULL; null ELEMENTS never match (false).
@@ -638,27 +725,48 @@ def _rewrite_json_arrow(sql: str) -> str:
     return detokenize(toks)
 
 
+_CLAUSE_KEYWORDS = {
+    "SELECT", "WHERE", "FROM", "ON", "BY", "HAVING", "JOIN", "USING",
+    "VALUES", "SET", "RETURNING", "OVER", "PARTITION", "GROUP", "ORDER",
+    "UNION", "ALL", "EXCEPT", "INTERSECT", "LIMIT", "OFFSET", "QUALIFY",
+}
+
+
 def _rewrite_slices(sql: str) -> str:
     """DuckDB list slicing ``expr[a:b]`` (1-based, inclusive both ends,
-    integer literals) → Spark ``slice(expr, a, b-a+1)``. Runs before the
-    single-index rewrite so ``[n]`` subscripts are untouched. The sliced
-    expression is the preceding identifier chain or parenthesized call."""
+    integer literals; NEGATIVE bounds count from the end, DuckDB
+    ``[2:-1]``; either bound may be omitted) → Spark ``slice(expr, a,
+    len)``. Positive closed slices stay literal; negative/open bounds
+    compile to size()-relative arithmetic (measured pins: ``[2:-1]`` on a
+    4-list → [2,3,4]; ``[-10:-2]`` clamps the start to 1 → [1,2]). Runs
+    before the single-index rewrite so ``[n]`` subscripts are untouched.
+    The sliced expression is the preceding identifier chain or
+    parenthesized call (re-evaluated inside size() for relative bounds)."""
     toks = tokenize(sql)
     sig = _sig(toks)
-    for pos in range(len(sig) - 4, -1, -1):
-        if pos + 4 >= len(sig):  # sig shrank after an earlier replacement
+    for pos in range(len(sig) - 1, -1, -1):
+        if pos >= len(sig):  # sig shrank after an earlier replacement
             continue
-        a, b, c, d, e = (sig[pos + k] for k in range(5))
-        if not (
-            toks[a].text == "["
-            and toks[b].kind == "num" and re.fullmatch(r"\d+", toks[b].text)
-            and toks[c].text == ":"
-            and toks[d].kind == "num" and re.fullmatch(r"\d+", toks[d].text)
-            and toks[e].text == "]"
-        ):
+        a = sig[pos]
+        if toks[a].text != "[" or pos == 0:
             continue
-        if pos == 0:
+        # gather the bracket body: optional signed ints around one ':'
+        texts, j = [], pos + 1
+        while j < len(sig) and toks[sig[j]].text != "]":
+            t = toks[sig[j]]
+            if t.text in ("-", ":") or (t.kind == "num"
+                                        and re.fullmatch(r"\d+", t.text)):
+                texts.append(t.text)
+                j += 1
+            else:
+                break
+        if j >= len(sig) or toks[sig[j]].text != "]":
             continue
+        m_sl = re.fullmatch(r"(-?\d+)?:(-?\d+)?",
+                            "".join(texts).replace(" ", ""))
+        if m_sl is None:
+            continue
+        e = sig[j]
         # walk back over the sliced expression: ident chain or (...) or ]
         end_i = sig[pos - 1]
         start_pos = pos - 1
@@ -679,14 +787,29 @@ def _rewrite_slices(sql: str) -> str:
                         break
                 p -= 1
             start_pos = p
-            # include a call name before the '('
-            if start_pos - 1 >= 0 and toks[sig[start_pos - 1]].kind == "ident":
+            # include a call name before the '(' — but never a SQL
+            # keyword (`SELECT (arr)[2:-1]` must not swallow SELECT)
+            if (start_pos - 1 >= 0
+                    and toks[sig[start_pos - 1]].kind == "ident"
+                    and toks[sig[start_pos - 1]].text.upper()
+                    not in _SQL_KEYWORDS
+                    and toks[sig[start_pos - 1]].text.upper()
+                    not in _CLAUSE_KEYWORDS):
                 start_pos -= 1
         else:
             continue
-        lo, hi = int(toks[b].text), int(toks[d].text)
         expr = detokenize(toks[sig[start_pos]:a]).strip()
-        repl = f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
+        lo_t, hi_t = m_sl.group(1), m_sl.group(2)
+        lo = int(lo_t) if lo_t is not None else None
+        hi = int(hi_t) if hi_t is not None else None
+        if lo is not None and lo > 0 and hi is not None and hi > 0:
+            repl = f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
+        else:
+            s = ("1" if lo is None else str(lo) if lo > 0
+                 else f"greatest(size({expr}) + {lo} + 1, 1)")
+            en = (f"size({expr})" if hi is None else str(hi) if hi > 0
+                  else f"(size({expr}) + {hi} + 1)")
+            repl = f"slice({expr}, {s}, greatest({en} - ({s}) + 1, 0))"
         toks = toks[:sig[start_pos]] + [Tok("other", repl)] + toks[e + 1:]
         sig = _sig(toks)
     return detokenize(toks)

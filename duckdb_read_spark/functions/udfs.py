@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 
 @F.pandas_udf(DoubleType())
@@ -46,6 +46,103 @@ def trimmed_mean(v: pd.Series) -> float:  # type: ignore[misc]
     return float(core.mean()) if len(core) else float("nan")
 
 
+def _jaro(s: str, t: str) -> float:
+    """Standard Jaro similarity (public algorithm; pins measured DuckDB
+    values: jaro('martha','marhta')=0.9444…)."""
+    if s == t:
+        return 1.0
+    ls, lt = len(s), len(t)
+    if not ls or not lt:
+        return 0.0
+    window = max(ls, lt) // 2 - 1
+    t_taken = [False] * lt
+    matches = 0
+    s_m, t_m = [], []
+    for i, ch in enumerate(s):
+        lo, hi = max(0, i - window), min(lt, i + window + 1)
+        for j in range(lo, hi):
+            if not t_taken[j] and t[j] == ch:
+                t_taken[j] = True
+                matches += 1
+                s_m.append(ch)
+                break
+    if not matches:
+        return 0.0
+    t_m = [t[j] for j in range(lt) if t_taken[j]]
+    trans = sum(a != b for a, b in zip(s_m, t_m)) // 2
+    m = float(matches)
+    return (m / ls + m / lt + (m - trans) / m) / 3.0
+
+
+def _jaro_winkler(s: str, t: str) -> float:
+    """Jaro-Winkler with the standard 0.7 boost threshold and p=0.1
+    (measured: DuckDB applies NO prefix boost at jaro 0.5)."""
+    j = _jaro(s, t)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for a, b in zip(s[:4], t[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * 0.1 * (1.0 - j)
+
+
+def _damerau_levenshtein(s: str, t: str) -> int:
+    """FULL Damerau-Levenshtein (unrestricted transpositions — measured:
+    DuckDB dl('ca','abc')=2, which OSA would call 3)."""
+    da: dict[str, int] = {}
+    ls, lt = len(s), len(t)
+    maxd = ls + lt
+    d = [[maxd] * (lt + 2) for _ in range(ls + 2)]
+    d[1][1] = 0
+    for i in range(1, ls + 1):
+        d[i + 1][1] = i
+    for j in range(1, lt + 1):
+        d[1][j + 1] = j
+    for i in range(1, ls + 1):
+        db = 0
+        for j in range(1, lt + 1):
+            k = da.get(t[j - 1], 0)
+            l_ = db
+            if s[i - 1] == t[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1))  # transpose
+        da[s[i - 1]] = i
+    return d[ls + 1][lt + 1]
+
+
+def _pairwise(a: pd.Series, b: pd.Series, fn, null=None):
+    return pd.Series([
+        null if x is None or y is None else fn(x, y)
+        for x, y in zip(a, b)], dtype="object")
+
+
+@F.pandas_udf(DoubleType())
+def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """X1: DuckDB jaro_similarity (fuzzy-matching surface)."""
+    return _pairwise(a, b, _jaro).astype("float64")
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+    """X1: DuckDB jaro_winkler_similarity (fuzzy-matching surface)."""
+    return _pairwise(a, b, _jaro_winkler).astype("float64")
+
+
+@F.pandas_udf(LongType())
+def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
+    """X1: DuckDB damerau_levenshtein (full DL, not OSA)."""
+    return _pairwise(a, b, _damerau_levenshtein)
+
+
 class SplitWords:
     """X4 UDTF: one output row per whitespace token (UNNEST-as-function).
 
@@ -67,7 +164,16 @@ def register_builtin_udfs(engine) -> None:
     engine.spark.udf.register("vec_l2norm", vec_l2norm)
     engine.spark.udf.register("vec_cosine", vec_cosine)
     engine.spark.udf.register("trimmed_mean", trimmed_mean)
+    # DuckDB fuzzy-matching trio — Arrow-batched (strings are short, the
+    # per-batch python loop is the whole cost; no JVM builtin exists)
+    engine.spark.udf.register("jaro_similarity", jaro_similarity)
+    engine.spark.udf.register("jaro_winkler_similarity",
+                              jaro_winkler_similarity)
+    engine.spark.udf.register("damerau_levenshtein", damerau_levenshtein)
     engine.spark.udtf.register("split_words", udtf(SplitWords, returnType="pos INT, tok STRING"))
     engine._functions.update(
-        {"vec_l2norm": vec_l2norm, "vec_cosine": vec_cosine, "trimmed_mean": trimmed_mean}
+        {"vec_l2norm": vec_l2norm, "vec_cosine": vec_cosine,
+         "trimmed_mean": trimmed_mean, "jaro_similarity": jaro_similarity,
+         "jaro_winkler_similarity": jaro_winkler_similarity,
+         "damerau_levenshtein": damerau_levenshtein}
     )

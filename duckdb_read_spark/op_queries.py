@@ -1878,6 +1878,34 @@ FROM table_changes('t137', 2, 4)
 GROUP BY _change_type ORDER BY change_type""")
 
 
+_Q138_SQL = """
+SELECT c_custkey,
+       round(jaro_winkler_similarity(c_name, 'Customer#000000420'), 6)
+         AS jw,
+       damerau_levenshtein(substr(c_name, 10), '000000420') AS dl
+FROM customer
+WHERE c_custkey < 1000
+ORDER BY jw DESC, dl, c_custkey
+LIMIT 25
+"""
+
+
+@_op("q138_fuzzy_match", _Q138_SQL,
+     note="fuzzy-matching surface (DuckDB core jaro_winkler_similarity / "
+          "damerau_levenshtein, here session Arrow UDFs — the JVM lacks "
+          "the builtins): rank customer names against a probe key; both "
+          "engines run the IDENTICAL text, values measured equal (same "
+          "double arithmetic), rounded per SURVEY §2.0 anyway")
+def _q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q138_"))
+    return eng.sql(_Q138_SQL)
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

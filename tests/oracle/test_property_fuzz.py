@@ -475,6 +475,47 @@ def test_fuzzed_temporal_series_matches_oracle(seed, engine, duck):
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
 
 
+# --- slice/format/list-fold fuzz (r6 dialect additions) -------------------
+
+def gen_slice_format(rng: random.Random) -> str:
+    """Negative/open list slices, fmt-style format(), list_unique /
+    list_reduce — native DuckDB text through the rewriter, verbatim in
+    DuckDB."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    lst = f"string_split({s1}, '{rng.choice('aeio')}')"
+    lo = rng.choice(["", "1", "2", "-2", "-5"])
+    hi = rng.choice(["", "-1", "-2", "2", "9"])
+    pool = [
+        f"({lst})[{lo}:{hi}] AS e1",
+        f"list_unique({lst}) AS e2",
+        f"list_reduce([{i1} % 9 + 1, {i2} % 7 + 1, {rng.randint(1, 5)}], "
+        f"(x, y) -> x + y) AS e3",
+        f"list_reduce({lst}, (x, y) -> x || '-' || y) AS e4",
+        f"format('{{}}#{{:d}}', coalesce({s1}, ''), "
+        f"coalesce({i1}, 0) % 100) AS e5",
+        f"format('{{:.2f}}|{{}}', coalesce({i2}, 0) * 1.5, "
+        f"{rng.randint(1, 9)}) AS e6",
+    ]
+    exprs = rng.sample(pool, k=3)
+    uid = t["int"][0]
+    return (
+        f"SELECT {uid} AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY k NULLS FIRST LIMIT 300"
+    )
+
+
+@pytest.mark.parametrize("seed", range(240, 260))
+def test_fuzzed_slice_format_matches_oracle(seed, engine, duck):
+    sql = gen_slice_format(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
 # --- upsert-script differential fuzz (INSERT OR REPLACE / ON CONFLICT) ----
 
 def gen_upsert_script(rng: random.Random) -> list[str]:

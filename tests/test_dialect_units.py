@@ -211,6 +211,38 @@ def test_slice_rewrite():
     assert to_spark_sql("SELECT t[3] FROM d") == "SELECT t[2] FROM d"
 
 
+def test_slice_negative_and_open_bounds():
+    # measured pins: [2:-1] on a 4-list → [2,3,4]; [-10:-2] clamps to 1
+    out = to_spark_sql("SELECT t[2:-1] FROM d")
+    assert out == ("SELECT slice(t, 2, greatest((size(t) + -1 + 1) - (2) "
+                   "+ 1, 0)) FROM d")
+    out = to_spark_sql("SELECT t[-2:] FROM d")
+    assert "greatest(size(t) + -2 + 1, 1)" in out
+    out = to_spark_sql("SELECT t[:3] FROM d")
+    assert out == "SELECT slice(t, 1, greatest(3 - (1) + 1, 0)) FROM d"
+    # SELECT must not be swallowed as a call name before a paren slice
+    out = to_spark_sql("SELECT (t)[2:-1] FROM d")
+    assert out.startswith("SELECT slice((t), 2,")
+
+
+def test_list_unique_reduce_format_rewrites():
+    out = to_spark_sql("SELECT list_unique(l) FROM t")
+    assert out == ("SELECT CAST(size(array_distinct(filter(l, "
+                   "__lu -> __lu IS NOT NULL))) AS BIGINT) FROM t")
+    out = to_spark_sql("SELECT list_reduce(l, (x, y) -> x + y) FROM t")
+    assert out == ("SELECT aggregate(slice(l, 2, greatest(size(l) - 1, "
+                   "0)), element_at(l, 1), (x, y) -> x + y) FROM t")
+    out = to_spark_sql("SELECT format('{} {:d}', s, i) FROM t")
+    assert "format_string('%s %d', s, CAST(i AS BIGINT))" in out
+    assert "WHEN (s) IS NULL OR (i) IS NULL THEN NULL" in out
+    # literal % and escaped braces survive; bad specs refuse
+    out = to_spark_sql("SELECT format('{{x}} {}%', i) FROM t")
+    assert "format_string('{x} %s%%'" in out
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positional/named"):
+        to_spark_sql("SELECT format('{0}', i) FROM t")
+
+
 def test_list_literal_rewrite():
     assert to_spark_sql("SELECT quantile_cont(x, [0.25, 0.5]) FROM t") == \
         "SELECT percentile(x, array(0.25, 0.5)) FROM t"

@@ -1473,3 +1473,22 @@ def test_read_csv_auto_sniffs_delimiter(engine, duck, tmp_path):
     rows = engine.sql(
         f"SELECT * FROM read_csv('{p}', delim=';')").collect()
     assert rows[0]["a"] == 1 and rows[0]["b"] == 2
+
+
+def test_fuzzy_matching_functions_cross_engine(engine, duck):
+    """DuckDB-core fuzzy scalars (jaro/jaro-winkler/damerau-levenshtein)
+    run as session Arrow UDFs — identical text, measured-equal values
+    including the 0.7 JW boost threshold, full-DL transpositions
+    (dl('ca','abc')=2, not OSA's 3), empty-string 0.0 and NULL→NULL."""
+    q = ("SELECT jaro_winkler_similarity('duck','luck') AS a, "
+         "jaro_winkler_similarity('martha','marhta') AS b, "
+         "jaro_winkler_similarity('dixon','dicksonx') AS c, "
+         "jaro_similarity('abcdefgh','abzzzzzz') AS d, "
+         "jaro_winkler_similarity('','x') AS e, "
+         "damerau_levenshtein('ca','abc') AS f, "
+         "damerau_levenshtein('abc','acb') AS g, "
+         "damerau_levenshtein('kitten','sitting') AS h, "
+         "jaro_winkler_similarity(NULL,'x') AS i")
+    got = [tuple(r) for r in engine.sql(q).collect()]
+    want = duck.execute(q).fetchall()
+    assert got == want
