@@ -176,10 +176,60 @@ _SIMPLE_RENAMES = {
     "ucase": "upper",
     "lcase": "lower",
     "strlen": "octet_length",  # DuckDB strlen counts BYTES, not chars
+    # list-function aliases with identical arg order/semantics
+    "list_zip": "arrays_zip",      # both pad to the longer side with NULL
+    "list_append": "array_append",
+    "list_reverse": "reverse",
 }
 
 
 # --- call-rewrite helpers -------------------------------------------------
+
+# TimescaleDB-shape time_bucket origin (DuckDB uses it too): 2000-01-03
+# 00:00:00 UTC — a Monday, so week-width buckets align on Mondays
+# [measured: time_bucket(7 DAY, DATE '2000-01-02') → 1999-12-27].
+_TB_ORIGIN_US = 946857600000000
+_TB_UNIT_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+
+
+def _time_bucket_expr(toks, parts, column_kinds) -> str | None:
+    """``time_bucket(INTERVAL n unit, expr)`` → origin-anchored floor
+    arithmetic. Fixed-width (non-month) literal intervals only — month
+    buckets are calendar-variable and refuse. DATE-typed inputs (literal
+    or schema-known column) keep DATE output for whole-day widths, like
+    DuckDB."""
+    _, close, spans = parts
+    iv = _arg_text(toks, spans[0]).strip()
+    e = _arg_text(toks, spans[1]).strip()
+    m = re.fullmatch(r"INTERVAL\s+'?(\d+)'?\s+([A-Za-z]+)", iv,
+                     re.IGNORECASE)
+    if not m:
+        return None
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit in ("month", "months", "year", "years"):
+        raise ValueError(
+            "time_bucket: calendar-variable (month/year) bucket widths "
+            "are not supported — use date_trunc for month/year buckets")
+    if unit not in _TB_UNIT_US:
+        return None
+    w = n * _TB_UNIT_US[unit]
+    is_date = bool(re.fullmatch(r"DATE\s+'[^']*'", e, re.IGNORECASE))
+    if not is_date and column_kinds and re.fullmatch(r"[A-Za-z_]\w*", e):
+        is_date = column_kinds.get(e.lower()) == "date"
+    if is_date and w % 86_400_000_000 == 0:
+        days = w // 86_400_000_000
+        return (f"date_add(DATE '2000-01-03', "
+                f"CAST(floor(datediff({e}, DATE '2000-01-03') / {days}) "
+                f"* {days} AS INT))")
+    return (f"timestamp_micros(CAST(floor((unix_micros(CAST({e} AS "
+            f"TIMESTAMP)) - {_TB_ORIGIN_US}) / {w}) * {w} "
+            f"+ {_TB_ORIGIN_US} AS BIGINT))")
 
 def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """One pass of call-shaped rewrites; repeats until fixpoint for nesting.
@@ -374,6 +424,86 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 out.append(
                     f"regexp_like({subj}, concat('(?{m.group(1)})', {pat}))")
                 i = close + 1
+                changed = True
+                continue
+        if name == "list_prepend" and parts and len(parts[2]) == 2:
+            # DuckDB list_prepend(elem, list) ↔ Spark array_prepend(list,
+            # elem) — swapped argument order
+            _, close, spans = parts
+            el = _arg_text(toks, spans[0])
+            lst = _arg_text(toks, spans[1])
+            out.append(f"array_prepend({lst}, {el})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "regexp_extract_all" and parts and len(parts[2]) == 2:
+            # Spark requires the group index; DuckDB defaults to 0
+            _, close, spans = parts
+            s = _arg_text(toks, spans[0])
+            r = _arg_text(toks, spans[1])
+            out.append(f"regexp_extract_all({s}, {r}, 0)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "product" and parts and len(parts[2]) == 1:
+            # exact fold over the group (exp/sum(ln) would break on zeros
+            # and negatives); collect_list drops NULLs like DuckDB's agg
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            out.append(
+                f"aggregate(collect_list(CAST({x} AS DOUBLE)), "
+                f"CAST(1.0 AS DOUBLE), (acc, v) -> acc * v)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "quantile_disc" and parts and len(parts[2]) == 2:
+            # DuckDB discrete quantile: the element at index
+            # floor((n-1)*q)+1 of the sorted group [measured: (1,2,3,4)
+            # q=.5 → 2, q=1 → 4; (10,20,30) q=.5 → 20]
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            qq = _arg_text(toks, spans[1])
+            cl = f"collect_list({x})"
+            out.append(
+                f"try_element_at(array_sort({cl}), "
+                f"CAST(floor((size({cl}) - 1) * ({qq})) AS INT) + 1)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "entropy" and parts and len(parts[2]) == 1:
+            # Shannon entropy (log2) of the group's value distribution
+            # [measured: (1,1,2,3) → 1.5]; NULLs ignored by both
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            cl = f"collect_list({x})"
+            n = f"CAST(size({cl}) AS DOUBLE)"
+            out.append(
+                f"aggregate(transform(array_distinct({cl}), "
+                f"__ev -> CAST(size(filter({cl}, __ey -> __ey = __ev)) "
+                f"AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                f"(__acc, __c) -> __acc - (__c / {n}) * log2(__c / {n}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "histogram" and parts and len(parts[2]) == 1:
+            # DuckDB histogram(x) → MAP(value → count), keys sorted
+            # [measured]; counts BIGINT-cast for stable stringify
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            cl = f"collect_list({x})"
+            out.append(
+                f"map_from_entries(transform(array_sort("
+                f"array_distinct({cl})), __hv -> struct(__hv, "
+                f"CAST(size(filter({cl}, __hy -> __hy = __hv)) "
+                f"AS BIGINT))))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "time_bucket" and parts and len(parts[2]) == 2:
+            rewritten = _time_bucket_expr(toks, parts, column_kinds)
+            if rewritten is not None:
+                out.append(rewritten)
+                i = parts[1] + 1
                 changed = True
                 continue
         if name == "list_unique" and parts and len(parts[2]) == 1:
@@ -667,27 +797,90 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name in ("array_agg", "string_agg") and parts:
             _, close, spans = parts
             inner = detokenize(toks[parts[0] + 1:close])
-            m = re.match(r"^(?P<expr>.*?)\s+ORDER\s+BY\s+(?P<key>.+?)\s*$", inner,
-                         re.IGNORECASE | re.DOTALL)
+            distinct = False
+            md = re.match(r"^\s*DISTINCT\s+(.*)$", inner,
+                          re.IGNORECASE | re.DOTALL)
+            if md:
+                distinct, inner = True, md.group(1)
+            collect = "collect_set" if distinct else "collect_list"
+            # a trailing FILTER (WHERE …) must move INSIDE the rewritten
+            # aggregate — Spark rejects it on the sort_array wrapper
+            filt, fend = "", close
+            if (close + 1 < len(toks)):
+                after = [k for k in range(close + 1, len(toks))
+                         if toks[k].kind not in ("ws", "comment")]
+                if (after and toks[after[0]].kind == "ident"
+                        and toks[after[0]].text.upper() == "FILTER"
+                        and len(after) > 1 and toks[after[1]].text == "("):
+                    try:
+                        fclose = _find_close(toks, after[1])
+                    except ValueError:
+                        fclose = None
+                    if fclose is not None:
+                        filt = " FILTER " + detokenize(
+                            toks[after[1]:fclose + 1])
+                        fend = fclose
+            m = re.match(
+                r"^(?P<expr>.*?)\s+ORDER\s+BY\s+(?P<key>.+?)"
+                r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
+                inner, re.IGNORECASE | re.DOTALL)
             if m:
+                desc = (m.group("dir") or "").upper() == "DESC"
+                sort = (lambda x: f"sort_array({x}, false)" if desc
+                        else f"sort_array({x})")
                 if name == "array_agg":
                     expr = m.group("expr").strip()
                     key = m.group("key").strip()
                     if expr == key:
-                        out.append(f"sort_array(collect_list({expr}))")
-                        i = close + 1
+                        agg = f"{collect}({expr}){filt}"
+                        res = sort(agg)
+                        if filt:
+                            # a fully-filtered group is NULL in DuckDB,
+                            # [] from collect_list — Catalyst dedups the
+                            # repeated aggregate expression
+                            res = (f"(CASE WHEN size({agg}) = 0 "
+                                   f"THEN NULL ELSE {res} END)")
+                        out.append(res)
+                        i = fend + 1
                         changed = True
                         continue
-                else:  # string_agg(x, sep ORDER BY key)
+                else:  # string_agg(x, sep ORDER BY key [dir])
                     m2 = re.match(
-                        r"^(?P<expr>.+?),\s*(?P<sep>'(?:[^']|'')*')\s+ORDER\s+BY\s+(?P<key>.+?)\s*$",
+                        r"^(?P<expr>.+?),\s*(?P<sep>'(?:[^']|'')*')\s+"
+                        r"ORDER\s+BY\s+(?P<key>.+?)"
+                        r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
                         inner, re.IGNORECASE | re.DOTALL)
                     if m2 and m2.group("expr").strip() == m2.group("key").strip():
-                        out.append(
-                            f"array_join(sort_array(collect_list({m2.group('expr').strip()})), {m2.group('sep')})")
-                        i = close + 1
+                        desc = (m2.group("dir") or "").upper() == "DESC"
+                        agg = f"{collect}({m2.group('expr').strip()}){filt}"
+                        sorted_agg = (f"sort_array({agg}, false)" if desc
+                                      else f"sort_array({agg})")
+                        res = f"array_join({sorted_agg}, {m2.group('sep')})"
+                        if filt:
+                            res = (f"(CASE WHEN size({agg}) = 0 "
+                                   f"THEN NULL ELSE {res} END)")
+                        out.append(res)
+                        i = fend + 1
                         changed = True
                         continue
+            elif distinct:
+                # DISTINCT without ORDER BY (set semantics, arbitrary
+                # order in DuckDB too)
+                if name == "array_agg":
+                    out.append(f"{collect}({inner.strip()}){filt}")
+                    i = fend + 1
+                    changed = True
+                    continue
+                m3 = re.match(
+                    r"^(?P<expr>.+?),\s*(?P<sep>'(?:[^']|'')*')\s*$",
+                    inner, re.IGNORECASE | re.DOTALL)
+                if m3:
+                    out.append(
+                        f"array_join({collect}({m3.group('expr').strip()})"
+                        f"{filt}, {m3.group('sep')})")
+                    i = fend + 1
+                    changed = True
+                    continue
         out.append(t.text)
         i += 1
 

@@ -1592,6 +1592,8 @@ class Engine:
                 k = ("array" if isinstance(f.dataType, (T.ArrayType, T.MapType))
                      else "string"
                      if isinstance(f.dataType, (T.StringType, T.BinaryType))
+                     else "date"
+                     if isinstance(f.dataType, T.DateType)
                      else None)
                 c = f.name.lower()
                 if c in kinds and kinds[c] != k:

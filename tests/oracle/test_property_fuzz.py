@@ -516,6 +516,42 @@ def test_fuzzed_slice_format_matches_oracle(seed, engine, duck):
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
 
 
+def gen_agg_extras(rng: random.Random) -> str:
+    """product / quantile_disc / entropy / ordered-DISTINCT aggs /
+    FILTERed ordered aggs / time_bucket — grouped, verbatim DuckDB."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    g = rng.choice(t["int"])
+    q_ = rng.choice(["0.25", "0.5", "0.75", "1.0"])
+    pool = [
+        f"round(product(CASE WHEN {i1} % 13 = 0 THEN 0.5 ELSE 1.0 END), 6)"
+        f" AS e1",
+        f"quantile_disc({i1}, {q_}) AS e2",
+        f"round(entropy({i1} % {rng.randint(2, 6)}), 6) AS e3",
+        f"array_agg(DISTINCT {i1} % 7 ORDER BY {i1} % 7) AS e4",
+        f"string_agg(DISTINCT substr({s1}, 1, 2), '|' "
+        f"ORDER BY substr({s1}, 1, 2) DESC) AS e5",
+        f"array_agg({i1} % 11 ORDER BY {i1} % 11) "
+        f"FILTER (WHERE {i2} % 3 = 0) AS e6",
+    ]
+    exprs = rng.sample(pool, k=3)
+    return (
+        f"SELECT {g} % 4 AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"GROUP BY 1 ORDER BY k NULLS FIRST"
+    )
+
+
+@pytest.mark.parametrize("seed", range(260, 276))
+def test_fuzzed_agg_extras_matches_oracle(seed, engine, duck):
+    sql = gen_agg_extras(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
 # --- upsert-script differential fuzz (INSERT OR REPLACE / ON CONFLICT) ----
 
 def gen_upsert_script(rng: random.Random) -> list[str]:

@@ -225,6 +225,62 @@ def test_slice_negative_and_open_bounds():
     assert out.startswith("SELECT slice((t), 2,")
 
 
+def test_agg_extras_rewrites():
+    # product → exact fold (zeros/negatives safe)
+    out = to_spark_sql("SELECT product(x) FROM t")
+    assert "aggregate(collect_list(CAST(x AS DOUBLE))" in out
+    # quantile_disc: floor((n-1)*q)+1 indexing (measured)
+    out = to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
+    assert "try_element_at(array_sort(collect_list(x))" in out
+    assert "floor((size(collect_list(x)) - 1) * (0.5))" in out
+    # entropy / histogram compile onto collect_list folds
+    assert "log2" in to_spark_sql("SELECT entropy(x) FROM t")
+    assert "map_from_entries" in to_spark_sql("SELECT histogram(x) FROM t")
+    # regexp_extract_all gains Spark's required group index
+    assert to_spark_sql("SELECT regexp_extract_all(s, '[0-9]+') FROM t") \
+        == "SELECT regexp_extract_all(s, '[0-9]+', 0) FROM t"
+    # list aliases / arg swap
+    assert to_spark_sql("SELECT list_prepend(0, l) FROM t") == \
+        "SELECT array_prepend(l, 0) FROM t"
+    assert to_spark_sql("SELECT list_zip(a, b), list_reverse(a) FROM t") \
+        == "SELECT arrays_zip(a, b), reverse(a) FROM t"
+
+
+def test_time_bucket_rewrite():
+    out = to_spark_sql(
+        "SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM t")
+    assert "unix_micros(CAST(ts AS TIMESTAMP))" in out
+    assert "946857600000000" in out          # 2000-01-03 origin (Monday)
+    # DATE literal keeps DATE output for whole-day widths
+    out = to_spark_sql(
+        "SELECT time_bucket(INTERVAL 7 DAY, DATE '2024-01-10')")
+    assert "date_add(DATE '2000-01-03'" in out
+    # schema-known date column routes to the date form too
+    out = to_spark_sql("SELECT time_bucket(INTERVAL 1 DAY, d) FROM t",
+                       column_kinds={"d": "date"})
+    assert "date_add(DATE '2000-01-03'" in out
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="calendar-variable"):
+        to_spark_sql("SELECT time_bucket(INTERVAL 1 MONTH, ts) FROM t")
+
+
+def test_agg_distinct_filter_rewrites():
+    out = to_spark_sql("SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
+    assert out == "SELECT sort_array(collect_set(x)) FROM t"
+    out = to_spark_sql(
+        "SELECT string_agg(DISTINCT x, ',' ORDER BY x DESC) FROM t")
+    assert out == ("SELECT array_join(sort_array(collect_set(x), false), "
+                   "',') FROM t")
+    # FILTER moves inside the rewritten aggregate; an all-filtered group
+    # is NULL in DuckDB, not [] (fuzz seed 266)
+    out = to_spark_sql(
+        "SELECT array_agg(x ORDER BY x) FILTER (WHERE x > 1) FROM t")
+    assert out == (
+        "SELECT (CASE WHEN size(collect_list(x) FILTER (WHERE x > 1)) = 0"
+        " THEN NULL ELSE sort_array(collect_list(x) FILTER (WHERE x > 1))"
+        " END) FROM t")
+
+
 def test_list_unique_reduce_format_rewrites():
     out = to_spark_sql("SELECT list_unique(l) FROM t")
     assert out == ("SELECT CAST(size(array_distinct(filter(l, "
