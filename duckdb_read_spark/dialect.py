@@ -447,26 +447,33 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             continue
         if name == "product" and parts and len(parts[2]) == 1:
             # exact fold over the group (exp/sum(ln) would break on zeros
-            # and negatives); collect_list drops NULLs like DuckDB's agg
+            # and negatives); collect_list drops NULLs like DuckDB's agg;
+            # empty/all-NULL group is NULL in DuckDB, not the seed
+            # (review r6)
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
+            cl = f"collect_list(CAST({x} AS DOUBLE))"
             out.append(
-                f"aggregate(collect_list(CAST({x} AS DOUBLE)), "
-                f"CAST(1.0 AS DOUBLE), (acc, v) -> acc * v)")
+                f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
+                f"aggregate({cl}, CAST(1.0 AS DOUBLE), "
+                f"(acc, v) -> acc * v) END)")
             i = close + 1
             changed = True
             continue
         if name == "quantile_disc" and parts and len(parts[2]) == 2:
             # DuckDB discrete quantile: the element at index
             # floor((n-1)*q)+1 of the sorted group [measured: (1,2,3,4)
-            # q=.5 → 2, q=1 → 4; (10,20,30) q=.5 → 20]
+            # q=.5 → 2, q=1 → 4; (10,20,30) q=.5 → 20]. Empty/all-NULL
+            # group: index would be 0, which ANSI mode rejects even for
+            # try_element_at — clamp to 1; try_element_at on [] → NULL,
+            # matching DuckDB (review r6)
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             qq = _arg_text(toks, spans[1])
             cl = f"collect_list({x})"
             out.append(
-                f"try_element_at(array_sort({cl}), "
-                f"CAST(floor((size({cl}) - 1) * ({qq})) AS INT) + 1)")
+                f"try_element_at(array_sort({cl}), greatest("
+                f"CAST(floor((size({cl}) - 1) * ({qq})) AS INT) + 1, 1))")
             i = close + 1
             changed = True
             continue
@@ -487,15 +494,17 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             continue
         if name == "histogram" and parts and len(parts[2]) == 1:
             # DuckDB histogram(x) → MAP(value → count), keys sorted
-            # [measured]; counts BIGINT-cast for stable stringify
+            # [measured]; counts BIGINT-cast for stable stringify;
+            # empty/all-NULL group is NULL, not {} (review r6)
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             cl = f"collect_list({x})"
             out.append(
+                f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
                 f"map_from_entries(transform(array_sort("
                 f"array_distinct({cl})), __hv -> struct(__hv, "
                 f"CAST(size(filter({cl}, __hy -> __hy = __hv)) "
-                f"AS BIGINT))))")
+                f"AS BIGINT)))) END)")
             i = close + 1
             changed = True
             continue
@@ -521,10 +530,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # DuckDB list_reduce(L, (acc, x) -> …) seeds the accumulator
             # with the FIRST element (no init value). Spark's aggregate()
             # needs an init: seed with element_at(L, 1) and fold the tail.
-            # Divergence pin: DuckDB ERRORS on an empty list; this compiles
-            # to NULL (aggregate over an empty slice returns the NULL
-            # seed) — fail-soft is the Spark-native behavior. NULL list →
-            # NULL in both [measured].
+            # Empty list: BOTH engines error (DuckDB "cannot perform
+            # list_reduce on an empty input list"; ANSI Spark
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT on the seed — review r6
+            # corrected an earlier fail-soft claim). NULL list → NULL in
+            # both [measured].
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
             lam = _arg_text(toks, spans[1])
@@ -863,11 +873,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         i = fend + 1
                         changed = True
                         continue
-            elif distinct:
+            elif distinct or filt:
                 # DISTINCT without ORDER BY (set semantics, arbitrary
-                # order in DuckDB too)
+                # order in DuckDB too), and/or a bare FILTER — the
+                # all-filtered-group → NULL pin applies here too
+                # (review r6)
+                def _null_guard(agg: str, res: str) -> str:
+                    if not filt:
+                        return res
+                    return (f"(CASE WHEN size({agg}) = 0 "
+                            f"THEN NULL ELSE {res} END)")
+
                 if name == "array_agg":
-                    out.append(f"{collect}({inner.strip()}){filt}")
+                    agg = f"{collect}({inner.strip()}){filt}"
+                    out.append(_null_guard(agg, agg))
                     i = fend + 1
                     changed = True
                     continue
@@ -875,9 +894,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     r"^(?P<expr>.+?),\s*(?P<sep>'(?:[^']|'')*')\s*$",
                     inner, re.IGNORECASE | re.DOTALL)
                 if m3:
-                    out.append(
-                        f"array_join({collect}({m3.group('expr').strip()})"
-                        f"{filt}, {m3.group('sep')})")
+                    agg = (f"{collect}({m3.group('expr').strip()})"
+                           f"{filt}")
+                    out.append(_null_guard(
+                        agg, f"array_join({agg}, {m3.group('sep')})"))
                     i = fend + 1
                     changed = True
                     continue
@@ -931,7 +951,8 @@ def _rewrite_slices(sql: str) -> str:
     ``[2:-1]``; either bound may be omitted) → Spark ``slice(expr, a,
     len)``. Positive closed slices stay literal; negative/open bounds
     compile to size()-relative arithmetic (measured pins: ``[2:-1]`` on a
-    4-list → [2,3,4]; ``[-10:-2]`` clamps the start to 1 → [1,2]). Runs
+    4-list → [2,3,4]; ``[-10:-2]`` on a 3-list clamps the start to 1 →
+    [1,2]; a 0 start clamps to 1, a 0 end is empty). Runs
     before the single-index rewrite so ``[n]`` subscripts are untouched.
     The sliced expression is the preceding identifier chain or
     parenthesized call (re-evaluated inside size() for relative bounds)."""
@@ -995,6 +1016,16 @@ def _rewrite_slices(sql: str) -> str:
         lo_t, hi_t = m_sl.group(1), m_sl.group(2)
         lo = int(lo_t) if lo_t is not None else None
         hi = int(hi_t) if hi_t is not None else None
+        # 0 bounds (review r6, measured): DuckDB clamps a 0 start to 1
+        # and treats a 0 end as empty — neither is size-relative
+        if lo == 0:
+            lo = 1
+        if hi == 0:
+            toks = (toks[:sig[start_pos]]
+                    + [Tok("other", f"slice({expr}, 1, 0)")]
+                    + toks[e + 1:])
+            sig = _sig(toks)
+            continue
         if lo is not None and lo > 0 and hi is not None and hi > 0:
             repl = f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
         else:

@@ -383,15 +383,9 @@ class Engine:
         # DuckDB-core fuzzy-matching scalars the JVM lacks — session-level
         # Arrow UDFs, registered eagerly (cheap; idempotent on a shared
         # SparkSession) so plain SELECTs resolve them like any builtin
-        from .functions.udfs import (damerau_levenshtein, jaro_similarity,
-                                     jaro_winkler_similarity)
+        from .functions.udfs import register_fuzzy_udfs
 
-        for _fn_name, _fn in (
-                ("jaro_similarity", jaro_similarity),
-                ("jaro_winkler_similarity", jaro_winkler_similarity),
-                ("damerau_levenshtein", damerau_levenshtein)):
-            spark.udf.register(_fn_name, _fn)
-            self._functions[_fn_name] = _fn
+        self._functions.update(register_fuzzy_udfs(spark))
         self._extensions: dict[str, object] = {}
         self._versioned: dict[str, str] = {}  # view name -> table_dir
         self._table_paths: dict[str, str] = {}  # view name -> parquet path

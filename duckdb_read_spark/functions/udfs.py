@@ -156,6 +156,18 @@ class SplitWords:
                 yield i, tok
 
 
+def register_fuzzy_udfs(spark) -> dict:
+    """DuckDB-CORE fuzzy-matching trio (not extension surface): session
+    Arrow UDFs, registered eagerly by Engine.__init__ so plain SELECTs
+    resolve them like builtins. Idempotent; returns name → fn."""
+    fns = {"jaro_similarity": jaro_similarity,
+           "jaro_winkler_similarity": jaro_winkler_similarity,
+           "damerau_levenshtein": damerau_levenshtein}
+    for fn_name, fn in fns.items():
+        spark.udf.register(fn_name, fn)
+    return fns
+
+
 def register_builtin_udfs(engine) -> None:
     """Entry-symbol analog (/root/reference/duckdb:53-55): put the built-in
     function set into the session catalog under stable SQL names."""
@@ -164,16 +176,9 @@ def register_builtin_udfs(engine) -> None:
     engine.spark.udf.register("vec_l2norm", vec_l2norm)
     engine.spark.udf.register("vec_cosine", vec_cosine)
     engine.spark.udf.register("trimmed_mean", trimmed_mean)
-    # DuckDB fuzzy-matching trio — Arrow-batched (strings are short, the
-    # per-batch python loop is the whole cost; no JVM builtin exists)
-    engine.spark.udf.register("jaro_similarity", jaro_similarity)
-    engine.spark.udf.register("jaro_winkler_similarity",
-                              jaro_winkler_similarity)
-    engine.spark.udf.register("damerau_levenshtein", damerau_levenshtein)
     engine.spark.udtf.register("split_words", udtf(SplitWords, returnType="pos INT, tok STRING"))
     engine._functions.update(
         {"vec_l2norm": vec_l2norm, "vec_cosine": vec_cosine,
-         "trimmed_mean": trimmed_mean, "jaro_similarity": jaro_similarity,
-         "jaro_winkler_similarity": jaro_winkler_similarity,
-         "damerau_levenshtein": damerau_levenshtein}
+         "trimmed_mean": trimmed_mean}
     )
+    engine._functions.update(register_fuzzy_udfs(engine.spark))

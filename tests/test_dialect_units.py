@@ -281,6 +281,26 @@ def test_agg_distinct_filter_rewrites():
         " END) FROM t")
 
 
+def test_agg_extras_empty_group_null_pins():
+    """Review r6: empty/all-NULL groups are NULL in DuckDB for product/
+    histogram/quantile_disc and for FILTERed aggs — never the fold seed,
+    {} or []; 0 slice bounds clamp (start) or empty (end)."""
+    out = to_spark_sql("SELECT product(x) FROM t")
+    assert "CASE WHEN size(collect_list(CAST(x AS DOUBLE))) = 0" in out
+    out = to_spark_sql("SELECT histogram(x) FROM t")
+    assert out.startswith("SELECT (CASE WHEN size(collect_list(x)) = 0")
+    out = to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
+    assert "greatest(" in out          # ANSI rejects index 0 outright
+    out = to_spark_sql("SELECT array_agg(DISTINCT x) FILTER (WHERE c) FROM t")
+    assert out == ("SELECT (CASE WHEN size(collect_set(x) FILTER "
+                   "(WHERE c)) = 0 THEN NULL ELSE collect_set(x) FILTER "
+                   "(WHERE c) END) FROM t")
+    out = to_spark_sql("SELECT t[0:2] FROM d")
+    assert out == "SELECT slice(t, 1, 2) FROM d"
+    out = to_spark_sql("SELECT t[1:0] FROM d")
+    assert out == "SELECT slice(t, 1, 0) FROM d"
+
+
 def test_list_unique_reduce_format_rewrites():
     out = to_spark_sql("SELECT list_unique(l) FROM t")
     assert out == ("SELECT CAST(size(array_distinct(filter(l, "
