@@ -247,6 +247,34 @@ _ANALYZE_RE = re.compile(
     r"|COLUMNS\s+(?P<cols>[\w\s,]+)))?)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE/DROP SEQUENCE + nextval/currval (DuckDB id-generation surface)
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+START\s+(?:WITH\s+)?(?P<start>-?\d+))?"
+    r"(?:\s+INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SEQ_RE = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(?:(?P<ifex>IF\s+EXISTS)\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SEQ_FUNC_RE = re.compile(
+    r"\b(?P<fn>nextval|currval)\s*\(\s*'(?P<name>[^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+# CHECKPOINT / PRAGMA version / PRAGMA database_size — DuckDB session
+# statements with no Spark analog state to flush (every snapshot commit
+# is already durable); introspection shapes answered from the warehouse
+_CHECKPOINT_RE = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$",
+                            re.IGNORECASE)
+_PRAGMA_VERSION_RE = re.compile(r"^\s*PRAGMA\s+version\s*;?\s*$",
+                                re.IGNORECASE)
+_PRAGMA_DBSIZE_RE = re.compile(r"^\s*PRAGMA\s+database_size\s*;?\s*$",
+                               re.IGNORECASE)
+
 # PRAGMA table_info('t') — DuckDB/SQLite introspection shape
 _PRAGMA_TABLE_INFO_RE = re.compile(
     r"^\s*PRAGMA\s+table_info\s*\(\s*'?(?P<name>[\w.]+)'?\s*\)\s*;?\s*$",
@@ -1892,6 +1920,29 @@ class Engine:
             cols = ([c.strip() for c in man.group("cols").split(",")
                      if c.strip()] if man.group("cols") else None)
             return self.analyze_table(man.group("name"), cols)
+        mcs = _CREATE_SEQ_RE.match(query)
+        if mcs:
+            return self._create_sequence(
+                mcs.group("name"),
+                int(mcs.group("start") or 1),
+                int(mcs.group("inc") or 1))
+        mds = _DROP_SEQ_RE.match(query)
+        if mds:
+            return self._drop_sequence(mds.group("name"),
+                                       bool(mds.group("ifex")))
+        if _CHECKPOINT_RE.match(query):
+            # DuckDB CHECKPOINT flushes the WAL; here every snapshot
+            # commit is already a durable file — nothing buffered
+            return self._empty()
+        if _PRAGMA_VERSION_RE.match(query):
+            return self.spark.createDataFrame(
+                [(f"duckdb_read_spark (Spark {self.spark.version})",
+                  "spark-sql")],
+                "library_version string, source_id string")
+        if _PRAGMA_DBSIZE_RE.match(query):
+            return self._pragma_database_size()
+        if _SEQ_FUNC_RE.search(query):
+            query = self._resolve_sequence_functions(query)
         mti = _PRAGMA_TABLE_INFO_RE.match(query)
         if mti:
             return self._pragma_table_info(mti.group("name"))
@@ -2188,6 +2239,133 @@ class Engine:
             out = guarded_sub(btw_pat, bsub, out)
             out = guarded_sub(cmp_pat, csub, out)
         return out
+
+    # -- sequences (DuckDB CREATE SEQUENCE / nextval id-generation) -------
+
+    def _seq_path(self) -> str | None:
+        import os
+
+        if self._warehouse is None:
+            return None
+        return os.path.join(self._warehouse, "_sequences.json")
+
+    def _load_sequences(self) -> dict:
+        import json
+        import os
+
+        if getattr(self, "_sequences", None) is None:
+            self._sequences = {}
+            p = self._seq_path()
+            if p and os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        self._sequences = json.load(f)
+                except (OSError, ValueError):
+                    pass
+        return self._sequences
+
+    def _save_sequences(self) -> None:
+        import json
+        import os
+
+        p = self._seq_path()
+        if p is None:
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._sequences, f)
+        os.replace(tmp, p)
+
+    def _create_sequence(self, name: str, start: int, inc: int) -> DataFrame:
+        seqs = self._load_sequences()
+        if inc == 0:
+            raise ValueError("CREATE SEQUENCE: INCREMENT must be nonzero")
+        seqs[name] = {"next": start, "inc": inc, "last": None}
+        self._save_sequences()
+        return self._empty()
+
+    def _drop_sequence(self, name: str, if_exists: bool) -> DataFrame:
+        seqs = self._load_sequences()
+        if seqs.pop(name, None) is None and not if_exists:
+            raise ValueError(f"DROP SEQUENCE: unknown sequence {name!r}")
+        self._save_sequences()
+        return self._empty()
+
+    def _resolve_sequence_functions(self, query: str) -> str:
+        """``nextval('s')`` / ``currval('s')`` — driver-side allocation,
+        one value per textual call site (matches DuckDB for the common
+        shapes: scalar SELECTs and multi-row ``INSERT … VALUES`` lists,
+        where each row's expression is its own call site). Per-ROW
+        allocation over a scanned relation would need a distributed
+        monotonic counter — a serialization point by definition at
+        scale — so ``nextval`` over a FROM-relation refuses with the
+        window-function alternative spelled out."""
+        spans = [m.span() for m in
+                 re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+
+        def in_literal(pos: int) -> bool:
+            return any(a <= pos < b for a, b in spans)
+
+        hits = [m for m in _SEQ_FUNC_RE.finditer(query)
+                if not in_literal(m.start())]
+        if not hits:
+            return query
+        # every FROM must be a VALUES list (or absent): a real relation
+        # would need per-row allocation
+        for mf in re.finditer(r"\bFROM\b\s+(\w+)?", query, re.IGNORECASE):
+            if in_literal(mf.start()):
+                continue
+            nxt = (mf.group(1) or "").upper()
+            if nxt != "VALUES":
+                raise NotImplementedError(
+                    "nextval()/currval() over a FROM relation needs "
+                    "per-row sequence allocation — a distributed "
+                    "serialization point; use base + row_number() OVER "
+                    "(ORDER BY ...) instead, then advance the sequence")
+        seqs = self._load_sequences()
+        out, pos = [], 0
+        for m in hits:
+            name, fn = m.group("name"), m.group("fn").lower()
+            if name not in seqs:
+                raise ValueError(f"{fn}: unknown sequence {name!r}")
+            s = seqs[name]
+            if fn == "nextval":
+                val = s["next"]
+                s["next"] = val + s["inc"]
+                s["last"] = val
+            else:
+                if s["last"] is None:
+                    raise ValueError(
+                        f"currval: sequence {name!r} has not been used "
+                        f"in this catalog yet (call nextval first)")
+                val = s["last"]
+            out.append(query[pos:m.start()])
+            out.append(f"CAST({val} AS BIGINT)")
+            pos = m.end()
+        out.append(query[pos:])
+        self._save_sequences()
+        return "".join(out)
+
+    def _pragma_database_size(self) -> DataFrame:
+        """DuckDB's PRAGMA database_size column shape, answered from the
+        warehouse directory (block fields are 0 — no block storage)."""
+        import os
+
+        total = 0
+        if self._warehouse and os.path.isdir(self._warehouse):
+            for root, _dirs, files in os.walk(self._warehouse):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return self.spark.createDataFrame(
+            [(f"{total} bytes", 0, 0, 0, 0, "0 bytes", "0 bytes",
+              "unlimited")],
+            "database_size string, block_size bigint, total_blocks bigint,"
+            " used_blocks bigint, free_blocks bigint, wal_size string,"
+            " memory_usage string, memory_limit string")
 
     def _pragma_table_info(self, name: str) -> DataFrame:
         """``PRAGMA table_info('t')`` — the DuckDB/SQLite introspection

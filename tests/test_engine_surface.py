@@ -1492,3 +1492,59 @@ def test_fuzzy_matching_functions_cross_engine(engine, duck):
     got = [tuple(r) for r in engine.sql(q).collect()]
     want = duck.execute(q).fetchall()
     assert got == want
+
+
+def test_sequences_cross_engine(spark, duck, tmp_path):
+    """CREATE SEQUENCE / nextval / currval: driver-side allocation, one
+    value per textual call site — matches DuckDB for scalar SELECTs and
+    multi-row VALUES lists; a FROM-relation call site refuses with the
+    window-function alternative (per-row allocation is a distributed
+    serialization point)."""
+    import pytest as _pytest
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    script = [
+        "CREATE SEQUENCE s1 START 5",
+        "SELECT nextval('s1') AS a, nextval('s1') AS b",
+        "SELECT currval('s1') AS c",
+        "CREATE SEQUENCE s2 START 10 INCREMENT 3",
+        "SELECT nextval('s2') AS a",
+    ]
+    for s in script:
+        want = duck.execute(s).fetchall()
+        got = [tuple(r) for r in eng.sql(s, dialect="duckdb").collect()]
+        assert got == want or not want, s
+    eng.execute("CREATE TABLE st (id BIGINT, v STRING); "
+                "INSERT INTO st VALUES (nextval('s1'), 'x'), "
+                "(nextval('s1'), 'y');")
+    assert sorted((r.id, r.v) for r in eng.table("st").collect()) == \
+        [(7, "x"), (8, "y")]
+    with _pytest.raises(NotImplementedError, match="row_number"):
+        eng.sql("SELECT nextval('s1') FROM st", dialect="duckdb")
+    with _pytest.raises(ValueError, match="unknown sequence"):
+        eng.sql("SELECT nextval('nope')", dialect="duckdb")
+    eng.sql("DROP SEQUENCE s1")
+    with _pytest.raises(ValueError, match="unknown sequence"):
+        eng.sql("SELECT nextval('s1')", dialect="duckdb")
+    # persistence: a new Engine over the same warehouse continues s2
+    eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    assert eng2.sql("SELECT nextval('s2') AS a").collect()[0].a == 13
+    duck.execute("DROP SEQUENCE s1")
+    duck.execute("DROP SEQUENCE s2")
+    duck.execute("DROP TABLE IF EXISTS st")
+
+
+def test_checkpoint_and_size_pragmas(spark, tmp_path):
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    assert eng.sql("CHECKPOINT").count() == 0
+    assert eng.sql("FORCE CHECKPOINT").count() == 0
+    v = eng.sql("PRAGMA version").collect()[0]
+    assert "Spark" in v.library_version
+    eng.execute("CREATE TABLE pz AS SELECT 1 AS x")
+    row = eng.sql("PRAGMA database_size").collect()[0]
+    assert row.database_size.endswith(" bytes")
+    assert int(row.database_size.split()[0]) > 0
