@@ -571,6 +571,21 @@ class Engine:
         return snapshots.table_changes(
             self.spark, self._versioned[name], from_version, to_version)
 
+    def read_stream(self, name: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+        """Streaming DataFrame over a versioned table's append history
+        (the Delta streaming-source idea): the table doubles as a durable
+        message log. Append-only histories only — overwrite commits
+        refuse (a file stream cannot retract emitted rows; use
+        ``table_changes`` for DML-capable tables)."""
+        from .streaming.source import read_stream_table
+
+        if name not in self._versioned:
+            raise ValueError(
+                f"read_stream: {name!r} is not a versioned table")
+        return read_stream_table(self.spark, self._versioned[name],
+                                 max_files_per_trigger)
+
     def write_versioned(self, df: DataFrame, table_dir: str,
                         mode: str = "overwrite"):
         """Commit ``df`` as the next snapshot of a versioned table."""

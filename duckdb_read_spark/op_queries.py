@@ -1906,6 +1906,48 @@ def _q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q138_SQL)
 
 
+@_op("q139_stream_table_source", """
+WITH cut AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+             WHERE c_custkey < 900),
+unioned AS (SELECT * FROM cut
+         UNION ALL
+         SELECT c_custkey + 50000, c_acctbal FROM customer
+         WHERE c_custkey < 200)
+SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx,
+       CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM unioned
+""", note="T11 streaming SOURCE: a versioned table (CTAS + one append) "
+          "drained as a REAL file stream (availableNow -> memory sink), "
+          "then aggregated; the oracle is the same two-leg union as "
+          "plain SELECTs — batch/stream duality on the table log")
+def _q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q139_"))
+    eng.execute("""
+CREATE TABLE t139 AS
+  SELECT c_custkey AS k, c_acctbal AS b FROM customer
+  WHERE c_custkey < 900;
+INSERT INTO t139
+  SELECT c_custkey + 50000, c_acctbal FROM customer WHERE c_custkey < 200;
+""")
+    sink = f"q139_sink_{uuid.uuid4().hex[:8]}"
+    q = (eng.read_stream("t139").writeStream
+         .format("memory").queryName(sink)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ddbrs_q139_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"""
+SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx,
+       CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS sv
+FROM {sink}""")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

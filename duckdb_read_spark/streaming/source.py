@@ -61,3 +61,50 @@ def _file_as_dir(path: str) -> str:
         os.symlink(real, os.path.join(d, os.path.basename(real)))
         _FILE_DIRS[real] = d
     return _FILE_DIRS[real]
+
+
+def read_stream_table(spark: SparkSession, table_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming reads FROM a versioned table — the other half of the
+    lakehouse loop (T10 streams in; this streams out): a file stream over
+    the table's append history, so a versioned table doubles as a durable
+    message log (the Delta streaming-source idea, public protocol).
+
+    Contract (same one Delta enforces): the history must be APPEND-ONLY
+    past its first commit — an overwrite (UPDATE/DELETE/MERGE/RESTORE)
+    changes rows a past micro-batch already emitted, which a file stream
+    cannot retract, so non-append histories refuse loudly; the change
+    feed (snapshots.table_changes) is the incremental surface for
+    DML-capable tables. Tables with ALTER-ledger schema patches also
+    refuse (a file stream pins one schema).
+
+    Scale: each micro-batch lists only NEW files under data/ (driver-side
+    listing bounded by file count; ``max_files_per_trigger`` bounds batch
+    size) and the checkpoint tracks consumed files for exactly-once — no
+    extra shuffle beyond the reader query's own plan.
+    """
+    from .. import snapshots
+
+    commits = snapshots.read_log(table_dir)
+    if not commits:
+        raise FileNotFoundError(f"no versioned table at {table_dir!r}")
+    for c in commits[1:]:
+        if c.mode != "append":
+            raise ValueError(
+                f"read_stream_table: version {c.version} is an overwrite "
+                f"— a file stream cannot retract rows a previous batch "
+                f"already emitted; stream only append-only tables, or "
+                f"consume table_changes() for DML-capable ones")
+    if snapshots.read_schema_patches(table_dir):
+        raise ValueError(
+            "read_stream_table: table carries ALTER-ledger schema "
+            "patches; a file stream pins one schema — start the stream "
+            "from a materialized (patch-applied) copy instead")
+    schema = snapshots.read_table(spark, table_dir).schema
+    reader = (spark.readStream
+              .schema(schema)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(os.path.join(table_dir, "data"))

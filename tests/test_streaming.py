@@ -341,3 +341,39 @@ def test_stream_into_versioned_table_exactly_once(spark, tmp_path):
     write_stream_versioned(src2.select("event_id", "ts", "user_id"),
                            td, ck, available_now=True)
     assert snapshots.read_table(spark, td).count() == 2 * total
+
+
+def test_read_stream_table_incremental_and_refusals(spark, tmp_path):
+    """T11 streaming SOURCE: a versioned table streams its appends
+    exactly once across availableNow runs sharing a checkpoint; an
+    overwrite (DML) history refuses."""
+    import pytest as _pytest
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.execute("CREATE TABLE src AS SELECT 1 AS k UNION ALL SELECT 2;"
+                "INSERT INTO src VALUES (3);")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (eng.read_stream("src").writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(r.k for r in spark.read.parquet(out).collect())
+
+    assert drain() == [1, 2, 3]
+    eng.execute("INSERT INTO src VALUES (4), (5);")
+    # same checkpoint → the second drain appends ONLY the new batch
+    # (exactly-once: 1,2,3 are not re-emitted)
+    assert drain() == [1, 2, 3, 4, 5]
+    # batch == stream totality
+    assert sorted(r.k for r in eng.table("src").collect()) == \
+        [1, 2, 3, 4, 5]
+    # an overwrite history refuses
+    eng.execute("DELETE FROM src WHERE k = 1;")
+    with _pytest.raises(ValueError, match="overwrite"):
+        eng.read_stream("src")
