@@ -249,10 +249,19 @@ _ANALYZE_RE = re.compile(
 )
 # CREATE/DROP SEQUENCE + nextval/currval (DuckDB id-generation surface)
 _CREATE_SEQ_RE = re.compile(
-    r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[A-Za-z_]\w*)"
-    r"(?:\s+START\s+(?:WITH\s+)?(?P<start>-?\d+))?"
-    r"(?:\s+INCREMENT\s+(?:BY\s+)?(?P<inc>-?\d+))?\s*;?\s*$",
+    r"^\s*CREATE\s+SEQUENCE\s+(?:(?P<ifnx>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)(?P<clauses>(?:\s+[^;]*)?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# order-free clause list (DuckDB accepts any order)
+_SEQ_CLAUSE_RE = re.compile(
+    r"START(?:\s+WITH)?\s+(?P<start>-?\d+)"
+    r"|INCREMENT(?:\s+BY)?\s+(?P<inc>-?\d+)"
+    r"|MINVALUE\s+(?P<minv>-?\d+)"
+    r"|MAXVALUE\s+(?P<maxv>-?\d+)"
+    r"|NO\s+(?:MINVALUE|MAXVALUE|CYCLE)"
+    r"|(?P<cycle>CYCLE)"
+    r"|(?P<junk>\S+)",
     re.IGNORECASE,
 )
 _DROP_SEQ_RE = re.compile(
@@ -1476,11 +1485,18 @@ class Engine:
         # ATTACH of pre-existing data) must never be rmtree'd by
         # compensation
         self._txn_created: set[str] = set()
+        # sequence DDL is transactional (measured: DuckDB drops a
+        # rolled-back CREATE SEQUENCE) but nextval values are NOT
+        # (measured: a rolled-back nextval stays consumed) — snapshot the
+        # CATALOG, keep live counters on rollback
+        self._txn_seq_baseline = {
+            k: dict(v) for k, v in self._load_sequences().items()}
 
     def commit(self) -> None:
         if self._txn_baseline is None:
             raise ValueError("COMMIT: no open transaction")
         self._txn_baseline = None
+        self._txn_seq_baseline = None
 
     def rollback(self) -> None:
         if self._txn_baseline is None:
@@ -1516,6 +1532,20 @@ class Engine:
                 # one table's failure must not abandon the rest of the
                 # rollback — collect and re-raise after the loop
                 errors.append(f"{name}: {exc}")
+        # sequence catalog compensation: drop CREATEd-in-txn sequences,
+        # restore DROPped ones; surviving counters stay advanced
+        # (measured DuckDB semantics — nextval is not transactional)
+        seq_base = getattr(self, "_txn_seq_baseline", None)
+        self._txn_seq_baseline = None
+        if seq_base is not None:
+            seqs = self._load_sequences()
+            for sname in list(seqs):
+                if sname not in seq_base:
+                    del seqs[sname]
+            for sname, sdef in seq_base.items():
+                if sname not in seqs:
+                    seqs[sname] = dict(sdef)
+            self._save_sequences()
         if errors:
             raise RuntimeError(
                 "ROLLBACK: failed to restore some tables — "
@@ -1938,9 +1968,8 @@ class Engine:
         mcs = _CREATE_SEQ_RE.match(query)
         if mcs:
             return self._create_sequence(
-                mcs.group("name"),
-                int(mcs.group("start") or 1),
-                int(mcs.group("inc") or 1))
+                mcs.group("name"), mcs.group("clauses") or "",
+                if_not_exists=bool(mcs.group("ifnx")))
         mds = _DROP_SEQ_RE.match(query)
         if mds:
             return self._drop_sequence(mds.group("name"),
@@ -2292,17 +2321,53 @@ class Engine:
             json.dump(self._sequences, f)
         os.replace(tmp, p)
 
-    def _create_sequence(self, name: str, start: int, inc: int) -> DataFrame:
+    def _create_sequence(self, name: str, clauses: str,
+                         if_not_exists: bool) -> DataFrame:
+        """Order-free clause parsing (DuckDB accepts ``INCREMENT BY 2
+        START WITH 5``); unknown clauses refuse by name rather than
+        falling through to an unrelated Spark parse error. Sequence
+        names are case-insensitive (unquoted-identifier folding,
+        measured). Duplicate CREATE errors; IF NOT EXISTS is a no-op
+        that does NOT reset the counter (measured)."""
+        name = name.lower()
         seqs = self._load_sequences()
+        if name in seqs:
+            if if_not_exists:
+                return self._empty()
+            raise ValueError(
+                f"CREATE SEQUENCE: sequence {name!r} already exists")
+        start = inc = None
+        minv = maxv = None
+        for m in _SEQ_CLAUSE_RE.finditer(clauses):
+            if m.group("start") is not None:
+                start = int(m.group("start"))
+            elif m.group("inc") is not None:
+                inc = int(m.group("inc"))
+            elif m.group("minv") is not None:
+                minv = int(m.group("minv"))
+            elif m.group("maxv") is not None:
+                maxv = int(m.group("maxv"))
+            elif m.group("cycle"):
+                raise NotImplementedError(
+                    "CREATE SEQUENCE: CYCLE is not supported")
+            elif m.group("junk"):
+                raise ValueError(
+                    f"CREATE SEQUENCE: unsupported clause at "
+                    f"{m.group('junk')!r}")
+        inc = 1 if inc is None else inc
         if inc == 0:
             raise ValueError("CREATE SEQUENCE: INCREMENT must be nonzero")
-        seqs[name] = {"next": start, "inc": inc, "last": None}
+        if start is None:
+            start = minv if (inc > 0 and minv is not None) else \
+                maxv if (inc < 0 and maxv is not None) else 1
+        seqs[name] = {"next": start, "inc": inc, "last": None,
+                      "min": minv, "max": maxv}
         self._save_sequences()
         return self._empty()
 
     def _drop_sequence(self, name: str, if_exists: bool) -> DataFrame:
         seqs = self._load_sequences()
-        if seqs.pop(name, None) is None and not if_exists:
+        if seqs.pop(name.lower(), None) is None and not if_exists:
             raise ValueError(f"DROP SEQUENCE: unknown sequence {name!r}")
         self._save_sequences()
         return self._empty()
@@ -2326,27 +2391,69 @@ class Engine:
                 if not in_literal(m.start())]
         if not hits:
             return query
-        # every FROM must be a VALUES list (or absent): a real relation
-        # would need per-row allocation
-        for mf in re.finditer(r"\bFROM\b\s+(\w+)?", query, re.IGNORECASE):
-            if in_literal(mf.start()):
+        # Relation-FROM analysis: a real scanned relation would need
+        # per-row allocation. Function-internal FROMs (EXTRACT/SUBSTRING/
+        # TRIM/POSITION/OVERLAY) and IS [NOT] DISTINCT FROM are not
+        # relations (review r6); a FROM VALUES list is allowed ONLY when
+        # every nextval call site sits INSIDE the VALUES tuples — a
+        # select-list nextval over VALUES rows would replicate one
+        # allocated constant per row (review r6).
+        func_from = {"extract", "substring", "substr", "trim",
+                     "position", "overlay"}
+        rel_from: list[int] = []
+        for mf in re.finditer(r"\bFROM\b", query, re.IGNORECASE):
+            p = mf.start()
+            if in_literal(p):
                 continue
-            nxt = (mf.group(1) or "").upper()
-            if nxt != "VALUES":
+            before = query[:p]
+            if re.search(r"\bDISTINCT\s*$", before, re.IGNORECASE):
+                continue
+            # innermost unmatched '(' before this FROM, and its call name
+            depth, opener = 0, None
+            for i2 in range(p - 1, -1, -1):
+                if in_literal(i2):
+                    continue
+                ch = query[i2]
+                if ch == ")":
+                    depth += 1
+                elif ch == "(":
+                    if depth == 0:
+                        opener = i2
+                        break
+                    depth -= 1
+            if opener is not None:
+                mname = re.search(r"([A-Za-z_]\w*)\s*$", query[:opener])
+                if mname and mname.group(1).lower() in func_from:
+                    continue
+            nxt = re.match(r"\s*\(*\s*(\w+)?", query[mf.end():])
+            if (nxt.group(1) or "").upper() != "VALUES":
                 raise NotImplementedError(
                     "nextval()/currval() over a FROM relation needs "
                     "per-row sequence allocation — a distributed "
                     "serialization point; use base + row_number() OVER "
                     "(ORDER BY ...) instead, then advance the sequence")
+            rel_from.append(p)
+        if rel_from and any(h.start() < min(rel_from) for h in hits):
+            raise NotImplementedError(
+                "nextval()/currval() in the select list over a VALUES "
+                "relation would replicate ONE allocated value across "
+                "every row — put the call inside each VALUES tuple, or "
+                "use base + row_number() OVER (ORDER BY ...)")
         seqs = self._load_sequences()
         out, pos = [], 0
         for m in hits:
-            name, fn = m.group("name"), m.group("fn").lower()
+            name = m.group("name").lower()   # unquoted-identifier folding
+            fn = m.group("fn").lower()
             if name not in seqs:
                 raise ValueError(f"{fn}: unknown sequence {name!r}")
             s = seqs[name]
             if fn == "nextval":
                 val = s["next"]
+                if (s.get("max") is not None and val > s["max"]) or \
+                        (s.get("min") is not None and val < s["min"]):
+                    raise ValueError(
+                        f"nextval: sequence {name!r} is out of bounds "
+                        f"(min={s.get('min')}, max={s.get('max')})")
                 s["next"] = val + s["inc"]
                 s["last"] = val
             else:

@@ -1941,7 +1941,11 @@ INSERT INTO t139
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="ddbrs_q139_ck_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "q139: availableNow drain did not finish in 300s — "
+            "refusing to aggregate a partially-filled sink")
     return spark.sql(f"""
 SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx,
        CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS sv

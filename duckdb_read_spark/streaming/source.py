@@ -76,7 +76,17 @@ def read_stream_table(spark: SparkSession, table_dir: str,
     cannot retract, so non-append histories refuse loudly; the change
     feed (snapshots.table_changes) is the incremental surface for
     DML-capable tables. Tables with ALTER-ledger schema patches also
-    refuse (a file stream pins one schema).
+    refuse (a file stream pins one schema). Orphan data dirs (a writer
+    crash between the data write and the O_EXCL commit, or a lost commit
+    race) hold rows the table never contained; batch reads replay the
+    log manifest and skip them, but a raw file stream would emit them —
+    so their presence refuses at start (VACUUM reclaims them).
+
+    CAVEAT (checked at start, unenforceable mid-stream): DML committed
+    WHILE the stream runs writes an overwrite dir the running file
+    stream will pick up as if it were an append — the operator must not
+    run DML against a table being streamed. Delta fails such a stream at
+    runtime; a plain file source has no hook to.
 
     Scale: each micro-batch lists only NEW files under data/ (driver-side
     listing bounded by file count; ``max_files_per_trigger`` bounds batch
@@ -100,6 +110,26 @@ def read_stream_table(spark: SparkSession, table_dir: str,
             "read_stream_table: table carries ALTER-ledger schema "
             "patches; a file stream pins one schema — start the stream "
             "from a materialized (patch-applied) copy instead")
+    data_root = os.path.join(table_dir, "data")
+    committed: set[str] = set()
+    for c in commits:
+        batch = ([e["path"] for e in c.files] if c.files is not None
+                 else list(c.dirs))
+        for p in batch:
+            rel = os.path.relpath(
+                os.path.abspath(os.path.join(table_dir, p)),
+                os.path.abspath(data_root))
+            if not rel.startswith(".."):
+                committed.add(rel.split(os.sep)[0])
+    if os.path.isdir(data_root):
+        orphans = sorted(d for d in os.listdir(data_root)
+                         if d not in committed)
+        if orphans:
+            raise ValueError(
+                f"read_stream_table: uncommitted/orphaned data dirs "
+                f"{orphans[:3]} under {data_root!r} — a file stream "
+                f"would emit rows the table never contained; run VACUUM "
+                f"to reclaim them first")
     schema = snapshots.read_table(spark, table_dir).schema
     reader = (spark.readStream
               .schema(schema)

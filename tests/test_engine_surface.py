@@ -1523,6 +1523,37 @@ def test_sequences_cross_engine(spark, duck, tmp_path):
         [(7, "x"), (8, "y")]
     with _pytest.raises(NotImplementedError, match="row_number"):
         eng.sql("SELECT nextval('s1') FROM st", dialect="duckdb")
+    # a select-list nextval over VALUES rows would replicate one value
+    # (review r6) — refuse; inside the tuples it allocates per site
+    with _pytest.raises(NotImplementedError, match="VALUES"):
+        eng.sql("SELECT nextval('s1') FROM (VALUES (1),(2)) t(x)",
+                dialect="duckdb")
+    # function-internal FROMs are not relations (review r6)
+    got = eng.sql("SELECT nextval('s1') AS a, "
+                  "EXTRACT(YEAR FROM DATE '2024-01-01') AS y",
+                  dialect="duckdb").collect()[0]
+    assert got.y == 2024 and got.a == 9
+    # measured DuckDB semantics: IF NOT EXISTS is a no-op (no counter
+    # reset), duplicate CREATE errors, names fold case-insensitively
+    eng.sql("CREATE SEQUENCE IF NOT EXISTS s1 START 99")
+    assert eng.sql("SELECT nextval('S1') AS a").collect()[0].a == 10
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE SEQUENCE s1")
+    # order-free clauses + MAXVALUE bound
+    eng.sql("CREATE SEQUENCE oo INCREMENT BY 2 START WITH 5 MAXVALUE 7")
+    assert [r.a for r in eng.sql(
+        "SELECT nextval('oo') AS a").collect()] == [5]
+    eng.sql("SELECT nextval('oo')")
+    with _pytest.raises(ValueError, match="out of bounds"):
+        eng.sql("SELECT nextval('oo')")
+    # sequence DDL is transactional, counters are not (measured)
+    eng.sql("BEGIN")
+    eng.sql("CREATE SEQUENCE txs START 7")
+    eng.sql("SELECT nextval('s2')")
+    eng.sql("ROLLBACK")
+    with _pytest.raises(ValueError, match="unknown sequence"):
+        eng.sql("SELECT nextval('txs')")
+    assert eng.sql("SELECT nextval('s2') AS a").collect()[0].a == 16
     with _pytest.raises(ValueError, match="unknown sequence"):
         eng.sql("SELECT nextval('nope')", dialect="duckdb")
     eng.sql("DROP SEQUENCE s1")
@@ -1530,7 +1561,7 @@ def test_sequences_cross_engine(spark, duck, tmp_path):
         eng.sql("SELECT nextval('s1')", dialect="duckdb")
     # persistence: a new Engine over the same warehouse continues s2
     eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
-    assert eng2.sql("SELECT nextval('s2') AS a").collect()[0].a == 13
+    assert eng2.sql("SELECT nextval('s2') AS a").collect()[0].a == 19
     duck.execute("DROP SEQUENCE s1")
     duck.execute("DROP SEQUENCE s2")
     duck.execute("DROP TABLE IF EXISTS st")

@@ -377,3 +377,27 @@ def test_read_stream_table_incremental_and_refusals(spark, tmp_path):
     eng.execute("DELETE FROM src WHERE k = 1;")
     with _pytest.raises(ValueError, match="overwrite"):
         eng.read_stream("src")
+
+
+def test_read_stream_table_refuses_orphan_dirs(spark, tmp_path):
+    """Review r6: an uncommitted data dir (writer crash / lost commit
+    race) holds rows the table never contained — batch reads skip it via
+    the log manifest, so the file stream must refuse rather than emit."""
+    import os
+
+    import pytest as _pytest
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    eng.execute("CREATE TABLE osrc AS SELECT 1 AS k;")
+    d = eng._versioned["osrc"]
+    orphan = os.path.join(d, "data", "v99-deadbeef")
+    spark.range(5).write.parquet(orphan)
+    with _pytest.raises(ValueError, match="orphan"):
+        eng.read_stream("osrc")
+    # vacuum reclaims the orphan; the stream then starts
+    from duckdb_read_spark import snapshots
+    snapshots.vacuum(d, keep_last=1)
+    eng._refresh_table("osrc")
+    assert eng.read_stream("osrc").isStreaming
