@@ -507,6 +507,7 @@ def mirror_commit(
     carried_entries: list[dict],
     schema_json: str | None,
     timestamp_ms: int | None = None,
+    cdc_entries: list[dict] | None = None,
 ) -> None:
     """Mirror one private-log commit as delta file ``version-1``.
 
@@ -517,6 +518,14 @@ def mirror_commit(
     SELF-CONTAINED: replay may start at any overwrite boundary, the same
     property snapshots.vacuum's log truncation relies on. ``'append'``
     removes nothing and adds only genuinely new files.
+
+    ``cdc_entries`` ({path, size} of the commit's ``_change_data/``
+    parquet — our sidecar layout IS Delta's CDF layout, data columns plus
+    ``_change_type``): mirrored as spec ``cdc`` actions so external CDF
+    readers see the feed; the first such commit flips
+    ``delta.enableChangeDataFeed=true`` in metaData and lifts the writer
+    protocol to the CDF legacy version (4), never downgrading features a
+    foreign writer already declared.
 
     Tables created before the mirror existed are backfilled first
     (:func:`backfill`), so the delta log always starts at version 0.
@@ -535,19 +544,42 @@ def mirror_commit(
         "engineInfo": "duckdb_read_spark",
     }}]
     meta = _existing_meta(table_dir)
+    cdf_on = (meta or {}).get("configuration", {}).get(
+        "delta.enableChangeDataFeed") == "true"
     if meta is None or (schema_json is not None
-                        and meta.get("schemaString") != schema_json):
+                        and meta.get("schemaString") != schema_json) \
+            or (cdc_entries and not cdf_on):
+        conf = dict((meta or {}).get("configuration", {}))
+        if cdc_entries:
+            conf["delta.enableChangeDataFeed"] = "true"
         actions.append({"metaData": {
             "id": (meta or {}).get("id", str(uuid.uuid4())),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_json or (meta or {}).get("schemaString", ""),
             "partitionColumns": [],
-            "configuration": {},
+            "configuration": conf,
             "createdTime": (meta or {}).get("createdTime", ts),
         }})
     if version == 1:
-        actions.insert(1, {"protocol": {"minReaderVersion": 1,
-                                        "minWriterVersion": 2}})
+        actions.insert(1, {"protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 4 if cdc_entries else 2}})
+    elif cdc_entries and not cdf_on:
+        # lift to the CDF legacy writer version, preserving whatever a
+        # foreign writer already declared (same union rule the DV path
+        # follows)
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        for v0 in _list_versions(table_dir):
+            for a in _read_actions(table_dir, v0):
+                if "protocol" in a:
+                    proto = dict(a["protocol"])
+        proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 4)
+        actions.insert(1, {"protocol": proto})
+    for e in (cdc_entries or []):
+        actions.append({"cdc": {
+            "path": e["path"].replace(os.sep, "/"),
+            "partitionValues": {}, "size": e["size"],
+            "dataChange": False}})
     new_paths = {e["path"].replace(os.sep, "/") for e in new_entries}
     if mode == "overwrite":
         keep = new_paths | {e["path"].replace(os.sep, "/")

@@ -280,6 +280,13 @@ def write_table(
     # best-effort — the private commit above is the source of truth).
     from . import deltalog
 
+    cdc_entries = None
+    if cdc_rel is not None:
+        cdc_abs = os.path.join(table_dir, cdc_rel)
+        cdc_entries = [
+            {"path": os.path.join(cdc_rel, f),
+             "size": os.path.getsize(os.path.join(cdc_abs, f))}
+            for f in sorted(os.listdir(cdc_abs)) if f.endswith(".parquet")]
     try:
         deltalog.mirror_commit(
             table_dir, version, mode,
@@ -287,6 +294,7 @@ def write_table(
             carried_entries=list(carry_files or []),
             schema_json=df.schema.json(),
             timestamp_ms=entry.timestamp_ms,
+            cdc_entries=cdc_entries,
         )
     except FileExistsError:
         pass  # lost a mirror race; the winning writer recorded this version

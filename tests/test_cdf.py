@@ -165,3 +165,39 @@ MERGE INTO t USING (SELECT 2 AS k) s ON t.k = s.k
     assert _feed(eng, "t", v, v) == [
         (v, "delete", 2, "b"),
         (v, "update_postimage", 3, "C"), (v, "update_preimage", 3, "c")]
+
+
+def test_cdf_mirrored_into_delta_log(eng, spark):
+    """The CDC sidecars are Delta's CDF layout (data cols +
+    _change_type under _change_data/) — the public _delta_log carries
+    them as spec `cdc` actions, flips delta.enableChangeDataFeed, and
+    lifts the writer protocol to the CDF legacy version without
+    downgrading; a log-only consumer reconstructs the exact feed."""
+    eng.execute("""
+CREATE TABLE t (k INT, v STRING);
+INSERT INTO t VALUES (1,'a'),(2,'b');
+UPDATE t SET v = 'B' WHERE k = 2;
+""")
+    d = eng._versioned["t"]
+    from duckdb_read_spark import deltalog
+
+    # private v3 (UPDATE) == delta file v2
+    acts = deltalog._read_actions(d, 2)
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc and all(a["path"].startswith("_change_data/")
+                       and a["dataChange"] is False for a in cdc)
+    meta = [a["metaData"] for a in acts if "metaData" in a]
+    assert meta and meta[0]["configuration"][
+        "delta.enableChangeDataFeed"] == "true"
+    proto = [a["protocol"] for a in acts if "protocol" in a]
+    assert proto and proto[0]["minWriterVersion"] >= 4
+    # a log-only CDF consumer: read the cdc parquet straight from the
+    # action paths and compare with table_changes
+    feed = spark.read.parquet(
+        *[os.path.join(d, a["path"]) for a in cdc])
+    got = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+    want = sorted(
+        (r.k, r.v, r._change_type)
+        for r in eng.table_changes("t", 3, 3).collect())
+    assert got == want == [
+        (2, "B", "update_postimage"), (2, "b", "update_preimage")]
