@@ -461,19 +461,19 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "quantile_disc" and parts and len(parts[2]) == 2:
-            # DuckDB discrete quantile: the element at index
-            # floor((n-1)*q)+1 of the sorted group [measured: (1,2,3,4)
-            # q=.5 → 2, q=1 → 4; (10,20,30) q=.5 → 20]. Empty/all-NULL
-            # group: index would be 0, which ANSI mode rejects even for
-            # try_element_at — clamp to 1; try_element_at on [] → NULL,
-            # matching DuckDB (review r6)
+            # DuckDB discrete quantile: the element at index ceil(n*q),
+            # clamped to >= 1, of the sorted group [measured across
+            # n=3..11 x q=0.1..0.9 — floor((n-1)q)+1 diverges at e.g.
+            # n=7 q=0.75; fuzz seed 269 caught it]. Empty/all-NULL
+            # group: clamped index 1 on [] → try_element_at NULL,
+            # matching DuckDB; ANSI mode rejects index 0 outright.
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             qq = _arg_text(toks, spans[1])
             cl = f"collect_list({x})"
             out.append(
                 f"try_element_at(array_sort({cl}), greatest("
-                f"CAST(floor((size({cl}) - 1) * ({qq})) AS INT) + 1, 1))")
+                f"CAST(ceil(size({cl}) * ({qq})) AS INT), 1))")
             i = close + 1
             changed = True
             continue

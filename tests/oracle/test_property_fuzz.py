@@ -535,6 +535,9 @@ def gen_agg_extras(rng: random.Random) -> str:
         f"ORDER BY substr({s1}, 1, 2) DESC) AS e5",
         f"array_agg({i1} % 11 ORDER BY {i1} % 11) "
         f"FILTER (WHERE {i2} % 3 = 0) AS e6",
+        f"max(time_bucket(INTERVAL {rng.choice([2, 5, 7])} HOUR, "
+        f"TIMESTAMP '2024-01-06 00:00:00' "
+        f"+ ({i1} % 200) * INTERVAL 1 HOUR)) AS e7",
     ]
     exprs = rng.sample(pool, k=3)
     return (

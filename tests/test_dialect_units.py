@@ -229,10 +229,11 @@ def test_agg_extras_rewrites():
     # product → exact fold (zeros/negatives safe)
     out = to_spark_sql("SELECT product(x) FROM t")
     assert "aggregate(collect_list(CAST(x AS DOUBLE))" in out
-    # quantile_disc: floor((n-1)*q)+1 indexing (measured)
+    # quantile_disc: ceil(n*q) indexing, clamped >= 1 (measured across
+    # n=3..11 x q grid; fuzz seed 269 killed the floor((n-1)q)+1 guess)
     out = to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
     assert "try_element_at(array_sort(collect_list(x))" in out
-    assert "floor((size(collect_list(x)) - 1) * (0.5))" in out
+    assert "ceil(size(collect_list(x)) * (0.5))" in out
     # entropy / histogram compile onto collect_list folds
     assert "log2" in to_spark_sql("SELECT entropy(x) FROM t")
     assert "map_from_entries" in to_spark_sql("SELECT histogram(x) FROM t")
