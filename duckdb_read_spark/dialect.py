@@ -180,6 +180,12 @@ _SIMPLE_RENAMES = {
     "list_zip": "arrays_zip",      # both pad to the longer side with NULL
     "list_append": "array_append",
     "list_reverse": "reverse",
+    # string/position aliases (measured: no-match → 0 on both)
+    "strpos": "instr",
+    "string_split_regex": "split",  # genuinely regex on both
+    "ord": "ascii",                 # full codepoint on both (ord('€')=8364)
+    "unicode": "ascii",
+    "epoch_ms": "unix_millis",      # BIGINT ms since epoch on both
 }
 
 
@@ -433,6 +439,136 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             el = _arg_text(toks, spans[0])
             lst = _arg_text(toks, spans[1])
             out.append(f"array_prepend({lst}, {el})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "log" and parts and len(parts[2]) == 1:
+            # DuckDB 1-arg log() is LOG10; Spark's is ln — a silent
+            # wrong answer without the rewrite [measured log(100)=2].
+            # The 2-arg log(base, x) agrees and passes through.
+            _, close, spans = parts
+            out.append(f"log10({_arg_text(toks, spans[0])})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "sign" and parts and len(parts[2]) == 1:
+            # DuckDB sign() returns INTEGER even for doubles [measured];
+            # Spark returns DOUBLE — cast for stringify parity. signum
+            # (Spark's alias) keeps the rewritten text from re-matching
+            # this rule on the fixpoint pass.
+            _, close, spans = parts
+            out.append(
+                f"CAST(signum({_arg_text(toks, spans[0])}) AS INT)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "century" and parts and len(parts[2]) == 1:
+            # measured: 2000 → 20, 2001/2024 → 21 (ceil of year/100)
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"CAST(ceil(year({e}) / 100.0) AS BIGINT)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "to_base" and parts and len(parts[2]) == 2:
+            # conv() matches DuckDB's uppercase digits [measured 'FF']
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(f"conv({x}, 10, {b})")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("isfinite", "isinf") and parts and len(parts[2]) == 1:
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            d = f"CAST({e} AS DOUBLE)"
+            inf = f"(isnan({d}) OR abs({d}) = CAST('inf' AS DOUBLE))"
+            body = (f"(abs({d}) = CAST('inf' AS DOUBLE))"
+                    if name == "isinf" else f"(NOT {inf})")
+            # NULL in → NULL out on both engines [measured]
+            out.append(f"(CASE WHEN {e} IS NULL THEN NULL "
+                       f"ELSE {body} END)")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("dayname", "monthname") and parts and len(parts[2]) == 1:
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            fmt = "EEEE" if name == "dayname" else "MMMM"
+            out.append(f"date_format({e}, '{fmt}')")
+            i = close + 1
+            changed = True
+            continue
+        if name == "date_sub" and parts and len(parts[2]) == 3:
+            # DuckDB date_sub(part, a, b) = COMPLETE parts in the
+            # interval [measured: ('hour', 00:00, 05:30) = 5] — true
+            # elapsed-time division, unlike date_diff's boundary count.
+            # Spark's own 2-arg date_sub(date, n) is untouched.
+            _, close, spans = parts
+            unit = _arg_text(toks, spans[0]).strip().strip("'").lower()
+            a = _arg_text(toks, spans[1])
+            b = _arg_text(toks, spans[2])
+            per = {"second": 1, "minute": 60, "hour": 3600,
+                   "day": 86400}.get(unit)
+            if per is not None:
+                out.append(
+                    f"CAST(floor((unix_micros(CAST({b} AS TIMESTAMP)) - "
+                    f"unix_micros(CAST({a} AS TIMESTAMP))) / "
+                    f"({per} * 1000000.0)) AS BIGINT)")
+                i = close + 1
+                changed = True
+                continue
+        if name == "array_slice" and parts and len(parts[2]) == 3:
+            # function form of [a:b] — same 1-based inclusive bounds,
+            # negatives from the end, 0 start clamps, 0 end empties;
+            # bounds may be runtime expressions here, so the arithmetic
+            # is emitted unconditionally
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            a = _arg_text(toks, spans[1])
+            b = _arg_text(toks, spans[2])
+            s = (f"(CASE WHEN ({a}) < 0 THEN "
+                 f"greatest(size({l_}) + ({a}) + 1, 1) "
+                 f"WHEN ({a}) = 0 THEN 1 ELSE ({a}) END)")
+            en = (f"(CASE WHEN ({b}) < 0 THEN size({l_}) + ({b}) + 1 "
+                  f"ELSE ({b}) END)")
+            out.append(
+                f"slice({l_}, {s}, greatest({en} - {s} + 1, 0))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_select" and parts and len(parts[2]) == 2:
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            idx = _arg_text(toks, spans[1])
+            out.append(
+                f"transform({idx}, __li -> element_at({l_}, __li))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_where" and parts and len(parts[2]) == 2:
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            mk = _arg_text(toks, spans[1])
+            out.append(
+                f"transform(filter(zip_with({l_}, {mk}, "
+                f"(__lv, __lm) -> named_struct('v', __lv, 'm', __lm)), "
+                f"__lp -> __lp.m), __lp -> __lp.v)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_grade_up" and parts and len(parts[2]) == 1:
+            # indices that would sort the list ascending; ties keep
+            # original order [measured [30,10,20,10] → [2,4,3,1]] —
+            # struct sort on (value, index) is exactly that
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            out.append(
+                f"transform(array_sort(zip_with({l_}, "
+                f"sequence(1, size({l_})), "
+                f"(__gv, __gi) -> named_struct('v', __gv, 'i', __gi))), "
+                f"__gp -> __gp.i)")
             i = close + 1
             changed = True
             continue
@@ -777,6 +913,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     f" - unix_timestamp(date_trunc('minute', {a}))) DIV 60 AS BIGINT)"
                 ),
                 "second": f"CAST(unix_timestamp({b}) - unix_timestamp({a}) AS BIGINT)",
+                # week boundaries are MONDAYS (measured: Wed Jan 3 →
+                # Mon Jan 8 2024 = 1); anchor on the 2000-01-03 Monday
+                "week": (
+                    f"CAST(floor(datediff({b}, DATE '2000-01-03') / 7)"
+                    f" - floor(datediff({a}, DATE '2000-01-03') / 7)"
+                    f" AS BIGINT)"
+                ),
             }.get(unit)
             if body is not None:
                 out.append(body)

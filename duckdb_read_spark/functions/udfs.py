@@ -143,6 +143,22 @@ def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
     return _pairwise(a, b, _damerau_levenshtein)
 
 
+@F.pandas_udf(LongType())
+def gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """X1: DuckDB gcd (abs semantics: gcd(-12,18)=6, measured)."""
+    import math
+
+    return _pairwise(a, b, lambda x, y: math.gcd(int(x), int(y)))
+
+
+@F.pandas_udf(LongType())
+def lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """X1: DuckDB lcm (lcm(0,n)=0, measured)."""
+    import math
+
+    return _pairwise(a, b, lambda x, y: math.lcm(int(x), int(y)))
+
+
 class SplitWords:
     """X4 UDTF: one output row per whitespace token (UNNEST-as-function).
 
@@ -162,7 +178,8 @@ def register_fuzzy_udfs(spark) -> dict:
     resolve them like builtins. Idempotent; returns name → fn."""
     fns = {"jaro_similarity": jaro_similarity,
            "jaro_winkler_similarity": jaro_winkler_similarity,
-           "damerau_levenshtein": damerau_levenshtein}
+           "damerau_levenshtein": damerau_levenshtein,
+           "gcd": gcd_udf, "lcm": lcm_udf}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)
     return fns

@@ -547,6 +547,50 @@ def gen_agg_extras(rng: random.Random) -> str:
     )
 
 
+def gen_fn_tranche(rng: random.Random) -> str:
+    """log/sign/century/to_base/isfinite/date_sub/date_diff-week/
+    array_slice/list_select/grade_up/strpos/gcd — verbatim DuckDB."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    n1 = rng.choice(t["num"])
+    s1 = rng.choice(t["str"])
+    lst = f"string_split({s1}, '{rng.choice('aeo')}')"
+    base = rng.choice([2, 8, 16])
+    pool = [
+        f"round(log({i1} % 90 + 10), 6) AS e1",
+        f"sign({i1} % 7 - 3) AS e2",
+        f"to_base({i1} % 4000 + 1, {base}) AS e3",
+        f"isfinite({n1}) AS e4, isinf({n1}) AS e5",
+        f"date_sub('day', DATE '2024-01-01', "
+        f"DATE '2024-01-01' + ({i1} % 90) * INTERVAL 1 DAY) AS e6",
+        f"date_diff('week', DATE '2024-01-01', "
+        f"DATE '2024-01-01' + ({i1} % 60) * INTERVAL 1 DAY) AS e7",
+        f"array_slice({lst}, {rng.choice([1, 2, -3])}, "
+        f"{rng.choice([-1, -2, 3])}) AS e8",
+        f"list_grade_up({lst}) AS e9",
+        f"strpos({s1}, '{rng.choice('ae')}') AS e10",
+        f"gcd({i1} % 30 + 1, {i2} % 20 + 1) AS e11",
+        f"century(DATE '1999-12-31' + ({i1} % 800) * INTERVAL 30 DAY) "
+        f"AS e12",
+    ]
+    exprs = rng.sample(pool, k=3)
+    uid = t["int"][0]
+    return (
+        f"SELECT {uid} AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY k NULLS FIRST LIMIT 300"
+    )
+
+
+@pytest.mark.parametrize("seed", range(276, 292))
+def test_fuzzed_fn_tranche_matches_oracle(seed, engine, duck):
+    sql = gen_fn_tranche(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
 @pytest.mark.parametrize("seed", range(260, 276))
 def test_fuzzed_agg_extras_matches_oracle(seed, engine, duck):
     sql = gen_agg_extras(random.Random(seed))

@@ -282,6 +282,41 @@ def test_agg_distinct_filter_rewrites():
         " END) FROM t")
 
 
+def test_function_tranche_rewrites():
+    """Measured-semantics batch: 1-arg log() is LOG10 in DuckDB (silent
+    wrong answer without the rewrite), sign() returns INT, date_sub is
+    elapsed-parts while date_diff counts boundaries, week boundaries are
+    Mondays, array_slice is the function form of [a:b]."""
+    assert to_spark_sql("SELECT log(x) FROM t") == \
+        "SELECT log10(x) FROM t"
+    assert to_spark_sql("SELECT log(2, x) FROM t") == \
+        "SELECT log(2, x) FROM t"
+    assert to_spark_sql("SELECT sign(x) FROM t") == \
+        "SELECT CAST(signum(x) AS INT) FROM t"
+    assert to_spark_sql("SELECT century(d) FROM t") == \
+        "SELECT CAST(ceil(year(d) / 100.0) AS BIGINT) FROM t"
+    assert to_spark_sql("SELECT to_base(x, 16) FROM t") == \
+        "SELECT conv(x, 10, 16) FROM t"
+    assert "date_format(d, 'EEEE')" in to_spark_sql(
+        "SELECT dayname(d) FROM t")
+    out = to_spark_sql("SELECT date_diff('week', a, b) FROM t")
+    assert "DATE '2000-01-03'" in out        # Monday anchor
+    out = to_spark_sql("SELECT date_sub('hour', a, b) FROM t")
+    assert "floor" in out and "3600" in out
+    # Spark's own 2-arg date_sub is untouched
+    assert to_spark_sql("SELECT date_sub(d, 3) FROM t") == \
+        "SELECT date_sub(d, 3) FROM t"
+    assert to_spark_sql("SELECT strpos(s, 'x'), ord(s) FROM t") == \
+        "SELECT instr(s, 'x'), ascii(s) FROM t"
+    assert "transform(idx, __li -> element_at(l, __li))" in \
+        to_spark_sql("SELECT list_select(l, idx) FROM t")
+    assert "zip_with" in to_spark_sql("SELECT list_where(l, m) FROM t")
+    assert "sequence(1, size(l))" in to_spark_sql(
+        "SELECT list_grade_up(l) FROM t")
+    out = to_spark_sql("SELECT isfinite(x), isinf(x) FROM t")
+    assert "isnan" in out and out.count("CASE WHEN x IS NULL") == 2
+
+
 def test_agg_extras_empty_group_null_pins():
     """Review r6: empty/all-NULL groups are NULL in DuckDB for product/
     histogram/quantile_disc and for FILTERed aggs — never the fold seed,
