@@ -947,6 +947,24 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "any_value" and parts and len(parts[2]) == 1:
+            inner_av = detokenize(toks[parts[0] + 1:parts[1]])
+            mav = re.match(
+                r"^(?P<expr>.*?)\s+ORDER\s+BY\s+(?P<key>.+?)"
+                r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
+                inner_av, re.IGNORECASE | re.DOTALL)
+            if mav and mav.group("expr").strip() == mav.group("key").strip():
+                # DuckDB any_value(x ORDER BY x) = first NON-NULL in that
+                # order [measured: (NULL,2,1) asc → 1] — Spark any_value
+                # has no ORDER BY; sort the null-free collect_list
+                expr = mav.group("expr").strip()
+                desc = (mav.group("dir") or "").upper() == "DESC"
+                srt = (f"sort_array(collect_list({expr}), false)" if desc
+                       else f"sort_array(collect_list({expr}))")
+                out.append(f"try_element_at({srt}, 1)")
+                i = parts[1] + 1
+                changed = True
+                continue
         if name in ("array_agg", "string_agg") and parts:
             _, close, spans = parts
             inner = detokenize(toks[parts[0] + 1:close])
@@ -2019,6 +2037,77 @@ def _rewrite_unpivot(sql: str) -> str:
     return f"SELECT * FROM {table} UNPIVOT ({val} FOR {key} IN ({cols}))"
 
 
+_WIN_EXCL_RE = re.compile(
+    r"\b(?P<fn>sum|count|avg)\s*\(\s*(?P<arg>\*|[A-Za-z_][\w.]*)\s*\)"
+    r"\s*OVER\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_window_exclude(sql: str) -> str:
+    """``agg(x) OVER (… EXCLUDE CURRENT ROW)`` (SQL:2011 frame exclusion,
+    which Spark lacks) → full-frame aggregate minus the current row's
+    contribution — exact for sum/count/avg, incl. the measured NULL
+    pins: an excluded frame whose remaining non-null set is empty is
+    NULL, and count(x) subtracts only when the current x is non-null.
+    ``EXCLUDE NO OTHERS`` (the default) is stripped anywhere; EXCLUDE
+    GROUP/TIES and other aggregates refuse loudly."""
+    if not re.search(r"\bEXCLUDE\b", sql, re.IGNORECASE):
+        return sql
+    sql = re.sub(r"\s+EXCLUDE\s+NO\s+OTHERS\b", "", sql,
+                 flags=re.IGNORECASE)
+    out = sql
+    while True:
+        m = None
+        for cand in _WIN_EXCL_RE.finditer(out):
+            open_i = cand.end() - 1
+            depth, close_i = 0, None
+            for j in range(open_i, len(out)):
+                if out[j] == "(":
+                    depth += 1
+                elif out[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_i = j
+                        break
+            if close_i is None:
+                break
+            spec = out[open_i + 1:close_i]
+            me = re.search(r"\s+EXCLUDE\s+CURRENT\s+ROW\s*$", spec,
+                           re.IGNORECASE)
+            if me:
+                m = (cand, open_i, close_i, spec[:me.start()])
+                break
+        if m is None:
+            break
+        cand, open_i, close_i, spec = m
+        fn = cand.group("fn").lower()
+        arg = cand.group("arg")
+        over = f"OVER ({spec})"
+        if fn == "count":
+            sub = "1" if arg == "*" else f"(CASE WHEN {arg} IS NULL " \
+                                         f"THEN 0 ELSE 1 END)"
+            repl = f"(count({arg}) {over} - {sub})"
+        else:
+            cnt = f"(count({arg}) {over} - (CASE WHEN {arg} IS NULL " \
+                  f"THEN 0 ELSE 1 END))"
+            ssum = f"(sum({arg}) {over} - coalesce({arg}, 0))"
+            if fn == "sum":
+                repl = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
+            else:   # avg
+                repl = (f"(CASE WHEN {cnt} = 0 THEN NULL "
+                        f"ELSE CAST({ssum} AS DOUBLE) / {cnt} END)")
+        out = out[:cand.start()] + repl + out[close_i + 1:]
+    if re.search(r"\bEXCLUDE\s+(CURRENT|GROUP|TIES)\b", out,
+                 re.IGNORECASE):
+        raise NotImplementedError(
+            "window frame EXCLUDE is supported only as EXCLUDE CURRENT "
+            "ROW on sum/count/avg over a plain column (exact "
+            "subtract-the-current-row rewrite); EXCLUDE GROUP/TIES and "
+            "other aggregates have no Spark equivalent")
+    return out
+
+
 def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL.
 
@@ -2032,6 +2121,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_qualify(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)
+    sql = _rewrite_window_exclude(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
     sql = _rewrite_calls(sql, column_kinds)

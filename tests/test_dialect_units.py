@@ -282,6 +282,31 @@ def test_agg_distinct_filter_rewrites():
         " END) FROM t")
 
 
+def test_window_exclude_and_any_value_rewrites():
+    """SQL:2011 frame exclusion compiled to subtract-the-current-row
+    (measured NULL pins: empty residual non-null set → NULL); DuckDB
+    any_value(x ORDER BY x) = first non-null in order."""
+    out = to_spark_sql(
+        "SELECT sum(y) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE CURRENT ROW) FROM t")
+    assert "EXCLUDE" not in out
+    assert "- coalesce(y, 0)" in out and "CASE WHEN" in out
+    out = to_spark_sql(
+        "SELECT count(*) OVER (ORDER BY x EXCLUDE CURRENT ROW) FROM t")
+    assert out == "SELECT (count(*) OVER (ORDER BY x) - 1) FROM t"
+    # the default exclusion is just stripped
+    out = to_spark_sql(
+        "SELECT sum(y) OVER (ORDER BY x EXCLUDE NO OTHERS) FROM t")
+    assert out == "SELECT sum(y) OVER (ORDER BY x) FROM t"
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="EXCLUDE"):
+        to_spark_sql("SELECT min(y) OVER (ORDER BY x "
+                     "EXCLUDE CURRENT ROW) FROM t")
+    out = to_spark_sql("SELECT any_value(x ORDER BY x DESC) FROM t")
+    assert out == ("SELECT try_element_at(sort_array(collect_list(x), "
+                   "false), 1) FROM t")
+
+
 def test_function_tranche_rewrites():
     """Measured-semantics batch: 1-arg log() is LOG10 in DuckDB (silent
     wrong answer without the rewrite), sign() returns INT, date_sub is
