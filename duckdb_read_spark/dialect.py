@@ -2037,11 +2037,45 @@ def _rewrite_unpivot(sql: str) -> str:
     return f"SELECT * FROM {table} UNPIVOT ({val} FOR {key} IN ({cols}))"
 
 
-_WIN_EXCL_RE = re.compile(
-    r"\b(?P<fn>sum|count|avg)\s*\(\s*(?P<arg>\*|[A-Za-z_][\w.]*)\s*\)"
-    r"\s*OVER\s*\(",
-    re.IGNORECASE,
-)
+_WIN_EXCL_FN_RE = re.compile(
+    r"\b(?P<fn>sum|count|avg)\s*\(", re.IGNORECASE)
+
+
+def _win_excl_sites(out: str):
+    """Yield (fn, arg, fn_start, over_open, over_close) for every
+    sum/count/avg(<balanced expr>) OVER (<...>) call site."""
+    for cand in _WIN_EXCL_FN_RE.finditer(out):
+        a_open = cand.end() - 1
+        depth, a_close = 0, None
+        for j in range(a_open, len(out)):
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    a_close = j
+                    break
+        if a_close is None:
+            continue
+        m_over = re.match(r"\s*OVER\s*\(", out[a_close + 1:],
+                          re.IGNORECASE)
+        if not m_over:
+            continue
+        o_open = a_close + 1 + m_over.end() - 1
+        depth, o_close = 0, None
+        for j in range(o_open, len(out)):
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    o_close = j
+                    break
+        if o_close is None:
+            continue
+        yield (cand.group("fn").lower(),
+               out[a_open + 1:a_close].strip(),
+               cand.start(), o_open, o_close)
 
 
 def _rewrite_window_exclude(sql: str) -> str:
@@ -2059,37 +2093,23 @@ def _rewrite_window_exclude(sql: str) -> str:
     out = sql
     while True:
         m = None
-        for cand in _WIN_EXCL_RE.finditer(out):
-            open_i = cand.end() - 1
-            depth, close_i = 0, None
-            for j in range(open_i, len(out)):
-                if out[j] == "(":
-                    depth += 1
-                elif out[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        close_i = j
-                        break
-            if close_i is None:
-                break
-            spec = out[open_i + 1:close_i]
+        for fn, arg, fstart, o_open, o_close in _win_excl_sites(out):
+            spec = out[o_open + 1:o_close]
             me = re.search(r"\s+EXCLUDE\s+CURRENT\s+ROW\s*$", spec,
                            re.IGNORECASE)
             if me:
-                m = (cand, open_i, close_i, spec[:me.start()])
+                m = (fn, arg, fstart, o_close, spec[:me.start()])
                 break
         if m is None:
             break
-        cand, open_i, close_i, spec = m
-        fn = cand.group("fn").lower()
-        arg = cand.group("arg")
+        fn, arg, fstart, close_i, spec = m
         over = f"OVER ({spec})"
         if fn == "count":
-            sub = "1" if arg == "*" else f"(CASE WHEN {arg} IS NULL " \
+            sub = "1" if arg == "*" else f"(CASE WHEN ({arg}) IS NULL " \
                                          f"THEN 0 ELSE 1 END)"
             repl = f"(count({arg}) {over} - {sub})"
         else:
-            cnt = f"(count({arg}) {over} - (CASE WHEN {arg} IS NULL " \
+            cnt = f"(count({arg}) {over} - (CASE WHEN ({arg}) IS NULL " \
                   f"THEN 0 ELSE 1 END))"
             ssum = f"(sum({arg}) {over} - coalesce({arg}, 0))"
             if fn == "sum":
@@ -2097,7 +2117,7 @@ def _rewrite_window_exclude(sql: str) -> str:
             else:   # avg
                 repl = (f"(CASE WHEN {cnt} = 0 THEN NULL "
                         f"ELSE CAST({ssum} AS DOUBLE) / {cnt} END)")
-        out = out[:cand.start()] + repl + out[close_i + 1:]
+        out = out[:fstart] + repl + out[close_i + 1:]
     if re.search(r"\bEXCLUDE\s+(CURRENT|GROUP|TIES)\b", out,
                  re.IGNORECASE):
         raise NotImplementedError(

@@ -538,6 +538,7 @@ def gen_agg_extras(rng: random.Random) -> str:
         f"max(time_bucket(INTERVAL {rng.choice([2, 5, 7])} HOUR, "
         f"TIMESTAMP '2024-01-06 00:00:00' "
         f"+ ({i1} % 200) * INTERVAL 1 HOUR)) AS e7",
+        f"any_value({i1} % 13 ORDER BY {i1} % 13) AS e8",
     ]
     exprs = rng.sample(pool, k=3)
     return (
@@ -581,6 +582,41 @@ def gen_fn_tranche(rng: random.Random) -> str:
         f"FROM {name}{_where(rng, t)} "
         f"ORDER BY k NULLS FIRST LIMIT 300"
     )
+
+
+def gen_window_exclude(rng: random.Random) -> str:
+    """EXCLUDE CURRENT ROW frames + ordered any_value, verbatim DuckDB;
+    partitioned and unpartitioned, with and without NULLs in play."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    fn = rng.choice(["sum", "count", "avg"])
+    lo, hi = rng.randint(1, 3), rng.randint(0, 3)
+    part = rng.choice(["", f"PARTITION BY {i2} % 5 "])
+    arg = rng.choice([f"{i1} % 97",
+                      f"CASE WHEN {i1} % 4 = 0 THEN NULL "
+                      f"ELSE {i1} % 97 END"])
+    # ROWS frames are positional: the window ORDER BY must be a TOTAL
+    # order (all int columns = a unique key on every fixture table) or
+    # tied rows make the frame engine-nondeterministic (seed 296)
+    total = ", ".join(t["int"])
+    expr = (f"round({fn}({arg}) OVER ({part}ORDER BY {total} "
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING "
+            f"EXCLUDE CURRENT ROW), 6)")
+    uid = t["int"][0]
+    return (
+        f"SELECT {uid} AS k, {expr} AS e1 "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY k NULLS FIRST LIMIT 300"
+    )
+
+
+@pytest.mark.parametrize("seed", range(292, 300))
+def test_fuzzed_window_exclude_matches_oracle(seed, engine, duck):
+    sql = gen_window_exclude(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
 
 
 @pytest.mark.parametrize("seed", range(276, 292))
