@@ -179,6 +179,14 @@ _TABLE_CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 
+# FROM 'path.parquet' — DuckDB's bare path-as-table idiom; rewritten
+# onto the read_* TVFs (which carry the safe-mode gate and shims)
+_PATH_TABLE_RE = re.compile(
+    r"\b(?P<kw>FROM|JOIN)\s+'(?P<path>[^']+\.(?P<ext>parquet|csv|json))'",
+    re.IGNORECASE,
+)
+_PATH_READER = {"parquet": "parquet", "csv": "csv_auto", "json": "json"}
+
 # FROM glob('pattern') — DuckDB's file-listing table function (one `file`
 # column). Driver-side listing: a metadata op, like any FS listing.
 _GLOB_FUNC_RE = re.compile(
@@ -2685,6 +2693,20 @@ class Engine:
         schema inference like DuckDB's sniffer) and the call text is
         replaced by the view name. File access from SQL is external
         access: safe mode (enable_external_access=false) blocks it."""
+        # DuckDB's bare path-as-table idiom — FROM 'x.parquet' / JOIN
+        # 'dir/*.csv' — delegates to the read_* machinery (safe-mode
+        # gate, ns-ts shim, CSV sniffing all included). Only positions
+        # directly after FROM/JOIN are table positions; a FROM-looking
+        # sequence INSIDE a string literal stays data (span guard).
+        pt_spans = [m.span() for m in
+                    re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+        query = _PATH_TABLE_RE.sub(
+            lambda m: (m.group(0)
+                       if any(a <= m.start() < b for a, b in pt_spans)
+                       else f"{m.group('kw')} read_"
+                            f"{_PATH_READER[m.group('ext').lower()]}"
+                            f"('{m.group('path')}')"),
+            query)
         if not (_READ_FUNC_RE.search(query) or _GLOB_FUNC_RE.search(query)
                 or _TABLE_CHANGES_RE.search(query)):
             return query

@@ -1579,3 +1579,22 @@ def test_checkpoint_and_size_pragmas(spark, tmp_path):
     row = eng.sql("PRAGMA database_size").collect()[0]
     assert row.database_size.endswith(" bytes")
     assert int(row.database_size.split()[0]) > 0
+
+
+def test_bare_path_as_table(engine, duck):
+    """DuckDB's FROM 'file.parquet' idiom routes onto the read_* TVFs
+    (safe-mode gate and shims included); FROM-looking text inside a
+    string literal stays data."""
+    p = "/root/testdata/sf0.001/nation.parquet"
+    for q in (
+        f"SELECT COUNT(*) AS n FROM '{p}'",
+        f"SELECT n_name FROM '{p}' WHERE n_nationkey = 3",
+        f"SELECT a.n_name FROM '{p}' a JOIN '{p}' b "
+        f"ON a.n_nationkey = b.n_nationkey WHERE a.n_nationkey = 1",
+    ):
+        got = [tuple(r) for r in engine.sql(q, dialect="duckdb").collect()]
+        want = duck.execute(q).fetchall()
+        assert got == want, q
+    lit = engine.sql("SELECT 'x FROM ''y.parquet''' AS s",
+                     dialect="duckdb").collect()
+    assert lit[0].s == "x FROM 'y.parquet'"
