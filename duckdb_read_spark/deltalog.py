@@ -77,7 +77,8 @@ def _stats_str(entry: dict) -> str:
     })
 
 
-def _add_action(table_dir: str, entry: dict, ts_ms: int) -> dict:
+def _add_action(table_dir: str, entry: dict, ts_ms: int,
+                data_change: bool = True) -> dict:
     full = os.path.join(table_dir, entry["path"])
     try:
         size = os.path.getsize(full)
@@ -89,7 +90,7 @@ def _add_action(table_dir: str, entry: dict, ts_ms: int) -> dict:
         "partitionValues": {},
         "size": size,
         "modificationTime": mtime,
-        "dataChange": True,
+        "dataChange": data_change,
         "stats": _stats_str(entry),
     }}
 
@@ -508,6 +509,7 @@ def mirror_commit(
     schema_json: str | None,
     timestamp_ms: int | None = None,
     cdc_entries: list[dict] | None = None,
+    data_change: bool = True,
 ) -> None:
     """Mirror one private-log commit as delta file ``version-1``.
 
@@ -574,6 +576,12 @@ def mirror_commit(
                 if "protocol" in a:
                     proto = dict(a["protocol"])
         proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 4)
+        if proto["minWriterVersion"] >= 7:
+            # feature-table protocols activate ONLY listed features —
+            # without the name, compliant clients treat CDF as off
+            # (review r6)
+            proto["writerFeatures"] = sorted(
+                set(proto.get("writerFeatures") or []) | {"changeDataFeed"})
         actions.insert(1, {"protocol": proto})
     for e in (cdc_entries or []):
         actions.append({"cdc": {
@@ -584,17 +592,26 @@ def mirror_commit(
     if mode == "overwrite":
         keep = new_paths | {e["path"].replace(os.sep, "/")
                             for e in carried_entries}
+        # dataChange mirrors the private flag: OPTIMIZE/clustering
+        # rewrites carry data_change=False, so external CDF readers
+        # deriving a feed from add/remove see NO phantom changes
+        # (review r6); with CDC sidecars present, spec readers use the
+        # cdc actions exclusively for this commit anyway
         for p in sorted(set(prev) - keep):
             actions.append({"remove": {
-                "path": p, "deletionTimestamp": ts, "dataChange": True}})
+                "path": p, "deletionTimestamp": ts,
+                "dataChange": data_change}})
         for e in carried_entries:
-            actions.append(_add_action(table_dir, e, ts))
+            actions.append(_add_action(table_dir, e, ts,
+                                       data_change=data_change))
         for e in new_entries:
-            actions.append(_add_action(table_dir, e, ts))
+            actions.append(_add_action(table_dir, e, ts,
+                                       data_change=data_change))
     else:
         for e in new_entries:
             if e["path"].replace(os.sep, "/") not in prev:
-                actions.append(_add_action(table_dir, e, ts))
+                actions.append(_add_action(table_dir, e, ts,
+                                           data_change=data_change))
     os.makedirs(os.path.join(table_dir, _DELTA_DIR), exist_ok=True)
     # O_EXCL: same exactly-one-writer atomicity as the private log
     with open(_delta_path(table_dir, version - 1), "x") as f:

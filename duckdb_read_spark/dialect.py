@@ -183,9 +183,6 @@ _SIMPLE_RENAMES = {
     # string/position aliases (measured: no-match → 0 on both)
     "strpos": "instr",
     "string_split_regex": "split",  # genuinely regex on both
-    "ord": "ascii",                 # full codepoint on both (ord('€')=8364)
-    "unicode": "ascii",
-    "epoch_ms": "unix_millis",      # BIGINT ms since epoch on both
 }
 
 
@@ -471,11 +468,39 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "to_base" and parts and len(parts[2]) == 2:
-            # conv() matches DuckDB's uppercase digits [measured 'FF']
+            # conv() matches DuckDB's uppercase digits [measured 'FF'];
+            # DuckDB REFUSES negatives where conv would silently return
+            # two's-complement digits (review r6) — keep the refusal
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             b = _arg_text(toks, spans[1])
-            out.append(f"conv({x}, 10, {b})")
+            out.append(
+                f"(CASE WHEN ({x}) < 0 THEN raise_error('to_base: "
+                f"number must be greater than or equal to 0') "
+                f"ELSE conv({x}, 10, {b}) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("ord", "unicode") and parts and len(parts[2]) == 1:
+            # full codepoint on both (ord('€')=8364), but DuckDB returns
+            # -1 on the EMPTY string where Spark ascii gives 0 (review r6)
+            _, close, spans = parts
+            s_ = _arg_text(toks, spans[0])
+            out.append(f"(CASE WHEN ({s_}) = '' THEN -1 "
+                       f"ELSE ascii({s_}) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "epoch_ms" and parts and len(parts[2]) == 1:
+            # overloaded in DuckDB: TIMESTAMP → BIGINT ms, BIGINT ms →
+            # TIMESTAMP (review r6). An integer-literal/arithmetic arg
+            # takes the reverse direction; else the timestamp form.
+            _, close, spans = parts
+            e_ = _arg_text(toks, spans[0]).strip()
+            if re.fullmatch(r"[\d\s+\-*/%()]+", e_):
+                out.append(f"timestamp_millis({e_})")
+            else:
+                out.append(f"unix_millis(CAST({e_} AS TIMESTAMP))")
             i = close + 1
             changed = True
             continue
@@ -510,15 +535,22 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             a = _arg_text(toks, spans[1])
             b = _arg_text(toks, spans[2])
             per = {"second": 1, "minute": 60, "hour": 3600,
-                   "day": 86400}.get(unit)
-            if per is not None:
-                out.append(
-                    f"CAST(floor((unix_micros(CAST({b} AS TIMESTAMP)) - "
-                    f"unix_micros(CAST({a} AS TIMESTAMP))) / "
-                    f"({per} * 1000000.0)) AS BIGINT)")
-                i = close + 1
-                changed = True
-                continue
+                   "day": 86400, "week": 604800}.get(unit)
+            if per is None:
+                raise NotImplementedError(
+                    f"date_sub({unit!r}, ...): calendar-variable parts "
+                    f"(month/year) are not supported — use date_diff or "
+                    f"months_between")
+            # CAST truncates toward zero, matching DuckDB's complete-
+            # parts rule for reversed intervals (measured -5, not
+            # floor's -6 — review r6)
+            out.append(
+                f"CAST((unix_micros(CAST({b} AS TIMESTAMP)) - "
+                f"unix_micros(CAST({a} AS TIMESTAMP))) / "
+                f"({per} * 1000000.0) AS BIGINT)")
+            i = close + 1
+            changed = True
+            continue
         if name == "array_slice" and parts and len(parts[2]) == 3:
             # function form of [a:b] — same 1-based inclusive bounds,
             # negatives from the end, 0 start clamps, 0 end empties;
@@ -539,11 +571,16 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "list_select" and parts and len(parts[2]) == 2:
+            # index 0, negative and out-of-range all yield NULL in
+            # DuckDB [measured]; ANSI element_at would throw on 0 and
+            # wrap on negatives (review r6)
             _, close, spans = parts
             l_ = _arg_text(toks, spans[0])
             idx = _arg_text(toks, spans[1])
             out.append(
-                f"transform({idx}, __li -> element_at({l_}, __li))")
+                f"transform({idx}, __li -> CASE WHEN __li IS NULL "
+                f"OR __li <= 0 THEN NULL "
+                f"ELSE try_element_at({l_}, __li) END)")
             i = close + 1
             changed = True
             continue
@@ -561,13 +598,18 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name == "list_grade_up" and parts and len(parts[2]) == 1:
             # indices that would sort the list ascending; ties keep
             # original order [measured [30,10,20,10] → [2,4,3,1]] —
-            # struct sort on (value, index) is exactly that
+            # struct sort on (null-flag, value, index): DuckDB sorts
+            # NULL VALUES LAST [measured [30,NULL,10] → [3,1,2]] while
+            # Spark's struct compare would put null fields first
+            # (review r6), so an explicit flag leads the key
             _, close, spans = parts
             l_ = _arg_text(toks, spans[0])
             out.append(
                 f"transform(array_sort(zip_with({l_}, "
                 f"sequence(1, size({l_})), "
-                f"(__gv, __gi) -> named_struct('v', __gv, 'i', __gi))), "
+                f"(__gv, __gi) -> named_struct("
+                f"'n', CASE WHEN __gv IS NULL THEN 1 ELSE 0 END, "
+                f"'v', __gv, 'i', __gi))), "
                 f"__gp -> __gp.i)")
             i = close + 1
             changed = True
@@ -2078,6 +2120,31 @@ def _win_excl_sites(out: str):
                cand.start(), o_open, o_close)
 
 
+def _frame_contains_current(spec: str) -> bool:
+    """Whether the window spec's frame includes the current row — the
+    precondition for the subtract-the-current-row EXCLUDE rewrite. No
+    explicit frame → the default (UNBOUNDED PRECEDING..CURRENT ROW)
+    contains it. ``0 PRECEDING``/``0 FOLLOWING`` equal CURRENT ROW."""
+    mf = re.search(
+        r"\b(?:ROWS|RANGE|GROUPS)\s+(?:BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
+        r"(?P<hi>.+?)|(?P<solo>.+?))\s*$",
+        spec, re.IGNORECASE | re.DOTALL)
+    if mf is None:
+        return True
+    lo = (mf.group("lo") or mf.group("solo") or "").strip().upper()
+    hi = (mf.group("hi") or "CURRENT ROW").strip().upper()
+
+    def _starts_at_or_before(b: str) -> bool:
+        return ("PRECEDING" in b or b == "CURRENT ROW"
+                or bool(re.fullmatch(r"0\s+FOLLOWING", b)))
+
+    def _ends_at_or_after(b: str) -> bool:
+        return ("FOLLOWING" in b or b == "CURRENT ROW"
+                or bool(re.fullmatch(r"0\s+PRECEDING", b)))
+
+    return _starts_at_or_before(lo) and _ends_at_or_after(hi)
+
+
 def _rewrite_window_exclude(sql: str) -> str:
     """``agg(x) OVER (… EXCLUDE CURRENT ROW)`` (SQL:2011 frame exclusion,
     which Spark lacks) → full-frame aggregate minus the current row's
@@ -2104,6 +2171,15 @@ def _rewrite_window_exclude(sql: str) -> str:
             break
         fn, arg, fstart, close_i, spec = m
         over = f"OVER ({spec})"
+        if not _frame_contains_current(spec):
+            # the frame never holds the current row, so the exclusion is
+            # a NO-OP (measured: DuckDB '3 PRECEDING AND 1 PRECEDING
+            # EXCLUDE CURRENT ROW' equals the plain frame) — subtracting
+            # would be silently wrong, even negative for count
+            # (review r6)
+            out = (out[:fstart] + f"{fn}({arg}) {over}"
+                   + out[close_i + 1:])
+            continue
         if fn == "count":
             sub = "1" if arg == "*" else f"(CASE WHEN ({arg}) IS NULL " \
                                          f"THEN 0 ELSE 1 END)"

@@ -120,8 +120,11 @@ def _damerau_levenshtein(s: str, t: str) -> int:
 
 
 def _pairwise(a: pd.Series, b: pd.Series, fn, null=None):
+    # pd.isna, not `is None`: nullable INT columns arrive from Arrow as
+    # float64 with NaN holes, which a None check misses (review r6 —
+    # gcd(NULL, 5) crashed on int(nan))
     return pd.Series([
-        null if x is None or y is None else fn(x, y)
+        null if pd.isna(x) or pd.isna(y) else fn(x, y)
         for x, y in zip(a, b)], dtype="object")
 
 

@@ -295,6 +295,7 @@ def write_table(
             schema_json=df.schema.json(),
             timestamp_ms=entry.timestamp_ms,
             cdc_entries=cdc_entries,
+            data_change=data_change,
         )
     except FileExistsError:
         pass  # lost a mirror race; the winning writer recorded this version

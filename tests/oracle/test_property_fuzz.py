@@ -604,10 +604,12 @@ def gen_window_exclude(rng: random.Random) -> str:
             f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING "
             f"EXCLUDE CURRENT ROW), 6)")
     uid = t["int"][0]
+    # the OUTER order must be total too: LIMIT cutting inside an
+    # ORDER BY tie group selects engine-dependent rows (seed 296 again)
     return (
         f"SELECT {uid} AS k, {expr} AS e1 "
         f"FROM {name}{_where(rng, t)} "
-        f"ORDER BY k NULLS FIRST LIMIT 300"
+        f"ORDER BY {total} LIMIT 300"
     )
 
 

@@ -201,3 +201,28 @@ UPDATE t SET v = 'B' WHERE k = 2;
         for r in eng.table_changes("t", 3, 3).collect())
     assert got == want == [
         (2, "B", "update_postimage"), (2, "b", "update_preimage")]
+
+
+def test_optimize_mirror_carries_no_datachange(eng, spark):
+    """Review r6: once CDF is enabled in the public log, an OPTIMIZE's
+    mirrored add/remove actions must carry dataChange=false — otherwise
+    external CDF readers derive phantom delete+inserts for every
+    compacted row while table_changes emits nothing."""
+    eng.execute("""
+CREATE TABLE t (k INT, v STRING);
+INSERT INTO t VALUES (1,'a');
+INSERT INTO t VALUES (2,'b');
+UPDATE t SET v = 'A' WHERE k = 1;
+""")
+    d = eng._versioned["t"]
+    snapshots.compact(spark, d, target_file_bytes=1 << 30,
+                      small_file_bytes=1 << 30)
+    from duckdb_read_spark import deltalog
+
+    v0 = deltalog._list_versions(d)[-1]
+    acts = deltalog._read_actions(d, v0)
+    adds = [a["add"] for a in acts if "add" in a]
+    rms = [a["remove"] for a in acts if "remove" in a]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    assert all(r["dataChange"] is False for r in rms)
+    assert not [a for a in acts if "cdc" in a]

@@ -320,20 +320,28 @@ def test_function_tranche_rewrites():
         "SELECT CAST(signum(x) AS INT) FROM t"
     assert to_spark_sql("SELECT century(d) FROM t") == \
         "SELECT CAST(ceil(year(d) / 100.0) AS BIGINT) FROM t"
-    assert to_spark_sql("SELECT to_base(x, 16) FROM t") == \
-        "SELECT conv(x, 10, 16) FROM t"
+    out = to_spark_sql("SELECT to_base(x, 16) FROM t")
+    assert "conv(x, 10, 16)" in out
+    assert "raise_error" in out         # DuckDB refuses negatives
     assert "date_format(d, 'EEEE')" in to_spark_sql(
         "SELECT dayname(d) FROM t")
     out = to_spark_sql("SELECT date_diff('week', a, b) FROM t")
     assert "DATE '2000-01-03'" in out        # Monday anchor
     out = to_spark_sql("SELECT date_sub('hour', a, b) FROM t")
-    assert "floor" in out and "3600" in out
+    # CAST truncation toward zero, NOT floor (reversed intervals pin)
+    assert "floor" not in out and "3600" in out
+    import pytest as _p2
+    with _p2.raises(NotImplementedError, match="calendar-variable"):
+        to_spark_sql("SELECT date_sub('month', a, b) FROM t")
     # Spark's own 2-arg date_sub is untouched
     assert to_spark_sql("SELECT date_sub(d, 3) FROM t") == \
         "SELECT date_sub(d, 3) FROM t"
-    assert to_spark_sql("SELECT strpos(s, 'x'), ord(s) FROM t") == \
-        "SELECT instr(s, 'x'), ascii(s) FROM t"
-    assert "transform(idx, __li -> element_at(l, __li))" in \
+    assert to_spark_sql("SELECT strpos(s, 'x') FROM t") == \
+        "SELECT instr(s, 'x') FROM t"
+    # ord('') = -1 in DuckDB; ANSI-safe list_select NULLs on idx <= 0
+    assert "ascii(s)" in to_spark_sql("SELECT ord(s) FROM t")
+    assert "THEN -1" in to_spark_sql("SELECT ord(s) FROM t")
+    assert "try_element_at" in \
         to_spark_sql("SELECT list_select(l, idx) FROM t")
     assert "zip_with" in to_spark_sql("SELECT list_where(l, m) FROM t")
     assert "sequence(1, size(l))" in to_spark_sql(
