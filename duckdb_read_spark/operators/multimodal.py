@@ -11,7 +11,8 @@ Codec status: pillow/librosa/av are NOT installed here, but ``decode_image``
 has a REAL self-contained path for the formats a header/raster parse can
 handle without any library: full pixel decode for PPM/PGM (P6/P5) and
 uncompressed 24/32-bit BMP (numpy over the raw raster), dimensions-only for
-PNG (IHDR) and GIF (logical screen descriptor). Unrecognized bytes fall
+PNG (IHDR), GIF (logical screen descriptor) and JPEG (SOFn marker walk).
+Unrecognized bytes fall
 back to a clearly-marked deterministic FAKE (shape metadata from a seeded
 hash) unless ``strict=True``, in which case they raise NotImplementedError
 at evaluation time.
@@ -129,11 +130,50 @@ def _parse_gif_header(content: bytes):
     return w, h, 3, None
 
 
+def _parse_jpeg_header(content: bytes):
+    """JPEG dimensions from the first SOFn marker (self-contained marker
+    walk — no codec): segments are [0xFF, marker, len16, payload];
+    SOF0/1/2/3/5/6/7/9/10/11/13/14/15 carry (precision, h, w, ncomp).
+    Entropy-coded data never precedes the first SOF, so the walk is
+    bounded by header size."""
+    import struct
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(content):
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2                      # standalone markers, no length
+            continue
+        if i + 4 > len(content):
+            return None
+        seg_len = struct.unpack_from(">H", content, i + 2)[0]
+        if seg_len < 2:
+            return None
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if i + 2 + 8 > len(content):
+                return None
+            h, w = struct.unpack_from(">HH", content, i + 5)
+            ncomp = content[i + 9]
+            if w == 0 or h == 0 or ncomp not in (1, 3, 4):
+                return None
+            return w, h, ncomp, None   # dims-only tier (no DCT codec)
+        if marker == 0xDA:             # start of scan — SOF was missing
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def _real_decode(content: bytes):
     """Try each self-contained parser; (w, h, channels, pixels|None) or None."""
     if not content:
         return None
-    for parser in (_parse_pnm, _parse_bmp, _parse_png_header, _parse_gif_header):
+    for parser in (_parse_pnm, _parse_bmp, _parse_png_header,
+                   _parse_gif_header, _parse_jpeg_header):
         out = parser(content)
         if out is not None:
             return out
@@ -174,7 +214,8 @@ def decode_image(
 
     Real self-contained decode for PPM/PGM and uncompressed BMP (true
     dimensions AND a pixel-content embedding), dimensions-only for PNG/GIF
-    headers (embedding NULL). Bytes none of those parsers recognize (JPEG,
+    headers and JPEG SOFn markers (embedding NULL). Bytes none of those
+    parsers recognize (
     compressed PNG rasters, …) raise NotImplementedError under
     ``strict=True``; otherwise they go through the deterministic fake so the
     pipeline shape stays exercisable end-to-end.
@@ -193,7 +234,7 @@ def decode_image(
                     rows.append((int(i), w, h, ch, emb))
                 elif strict:
                     raise NotImplementedError(
-                        "no self-contained codec for these bytes (JPEG/compressed "
+                        "no self-contained codec for these bytes (compressed "
                         "rasters need pillow, which is not in this environment)"
                     )
                 else:

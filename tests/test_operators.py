@@ -530,7 +530,7 @@ def test_decode_image_strict_raises_on_unparseable_bytes(spark):
 
 
 def test_decode_image_real_formats_true_dimensions(spark):
-    """Planted PPM / BMP / PNG / GIF bytes decode to their TRUE dimensions
+    """Planted PPM / BMP / PNG / GIF / JPEG bytes decode to their TRUE dimensions
     under strict=True (self-contained parsers, no codec library)."""
     import struct
     import zlib
@@ -551,11 +551,19 @@ def test_decode_image_real_formats_true_dimensions(spark):
     png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
     gif = b"GIF89a" + struct.pack("<HH", 11, 4) + b"\x00" * 6
+    # Minimal JPEG: SOI + APP0 + a 3-component SOF0 (13x8); the SOFn
+    # marker walk never needs the entropy-coded scan
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 8, 13) + b"\x03"
+            + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    jpg = b"\xff\xd8" + app0 + sof0
     rows = [
         (1, "image", bytearray(make_ppm(10, 6, seed=2)), None, "image/x-portable-pixmap"),
         (2, "image", bytearray(bmp), None, "image/bmp"),
         (3, "image", bytearray(png), None, "image/png"),
         (4, "image", bytearray(gif), None, "image/gif"),
+        (5, "image", bytearray(jpg), None, "image/jpeg"),
     ]
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
     got = {r["asset_id"]: r for r in decode_image(df, strict=True, embed_dim=4).collect()}
@@ -563,11 +571,13 @@ def test_decode_image_real_formats_true_dimensions(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (5, 3, 3)
     assert (got[3]["width"], got[3]["height"], got[3]["channels"]) == (7, 9, 4)
     assert (got[4]["width"], got[4]["height"], got[4]["channels"]) == (11, 4, 3)
+    assert (got[5]["width"], got[5]["height"], got[5]["channels"]) == (13, 8, 3)
     # pixel tiers carry a content embedding; header-only tiers are NULL
     assert got[1]["embedding"] is not None and abs(sum(got[1]["embedding"]) - 1.0) < 1e-9
     # all-red BMP: every luma value 85 → single hist bin gets everything
     assert got[2]["embedding"] == [0.0, 1.0, 0.0, 0.0]
     assert got[3]["embedding"] is None and got[4]["embedding"] is None
+    assert got[5]["embedding"] is None
 
 
 def test_sample_frames(spark):
