@@ -282,6 +282,17 @@ _SEQ_FUNC_RE = re.compile(
     re.IGNORECASE,
 )
 
+# COMMENT ON TABLE/COLUMN (DuckDB comment surface; read back through
+# the duckdb_tables()/duckdb_columns() catalog TVFs)
+_COMMENT_ON_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(?P<kind>TABLE|COLUMN)\s+"
+    r"(?P<name>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s+IS\s+"
+    r"(?P<val>'(?:[^']|'')*'|NULL)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CATALOG_TVF_RE = re.compile(
+    r"\bduckdb_(?P<which>tables|columns)\s*\(\s*\)", re.IGNORECASE)
+
 # CHECKPOINT / PRAGMA version / PRAGMA database_size — DuckDB session
 # statements with no Spark analog state to flush (every snapshot commit
 # is already durable); introspection shapes answered from the warehouse
@@ -1982,6 +1993,12 @@ class Engine:
         if mds:
             return self._drop_sequence(mds.group("name"),
                                        bool(mds.group("ifex")))
+        mco = _COMMENT_ON_RE.match(query)
+        if mco:
+            return self._comment_on(mco.group("kind").upper(),
+                                    mco.group("name"), mco.group("val"))
+        if _CATALOG_TVF_RE.search(query):
+            query = self._resolve_catalog_tvfs(query)
         if _CHECKPOINT_RE.match(query):
             # DuckDB CHECKPOINT flushes the WAL; here every snapshot
             # commit is already a durable file — nothing buffered
@@ -2476,6 +2493,110 @@ class Engine:
         out.append(query[pos:])
         self._save_sequences()
         return "".join(out)
+
+    # -- COMMENT ON + catalog TVFs (duckdb_tables / duckdb_columns) -------
+
+    def _comments_path(self) -> str | None:
+        import os
+
+        if self._warehouse is None:
+            return None
+        return os.path.join(self._warehouse, "_comments.json")
+
+    def _load_comments(self) -> dict:
+        import json
+        import os
+
+        if getattr(self, "_comments", None) is None:
+            self._comments = {}
+            p = self._comments_path()
+            if p and os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        self._comments = json.load(f)
+                except (OSError, ValueError):
+                    pass
+        return self._comments
+
+    def _comment_on(self, kind: str, name: str, val: str) -> DataFrame:
+        """``COMMENT ON TABLE t / COLUMN t.c IS 'text' | NULL`` — persisted
+        in a warehouse sidecar ('' key = the table's own comment), read
+        back through duckdb_tables()/duckdb_columns() like DuckDB."""
+        import json
+        import os
+
+        comment = None if val.upper() == "NULL" else \
+            val[1:-1].replace("''", "'")
+        if kind == "COLUMN":
+            if "." not in name:
+                raise ValueError(
+                    "COMMENT ON COLUMN needs a table.column name")
+            tbl, col = name.rsplit(".", 1)
+        else:
+            tbl, col = name, ""
+        tbl = tbl.lower()
+        known = {t.name.lower() for t in self.spark.catalog.listTables()}
+        if tbl not in known:
+            raise ValueError(f"COMMENT ON: unknown table {tbl!r}")
+        if col:
+            cols = {f.name.lower() for f in self.table(tbl).schema.fields}
+            if col.lower() not in cols:
+                raise ValueError(
+                    f"COMMENT ON: unknown column {tbl}.{col}")
+        cs = self._load_comments()
+        cs.setdefault(tbl, {})[col.lower()] = comment
+        p = self._comments_path()
+        if p is not None:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cs, f)
+            os.replace(tmp, p)
+        return self._empty()
+
+    def _resolve_catalog_tvfs(self, query: str) -> str:
+        """``FROM duckdb_tables() / duckdb_columns()`` — DuckDB's catalog
+        TVFs (the read side of COMMENT ON), answered from the session
+        catalog; driver-side metadata only."""
+        import hashlib
+
+        cs = self._load_comments()
+        tbls = [t.name for t in self.spark.catalog.listTables()
+                if not t.name.startswith("__")]
+
+        def build(which: str):
+            rows = []
+            for t in sorted(tbls):
+                try:
+                    fields = self.spark.table(t).schema.fields
+                except Exception:
+                    continue
+                if which == "tables":
+                    rows.append(("memory", "main", t,
+                                 cs.get(t.lower(), {}).get(""),
+                                 len(fields)))
+                else:
+                    for i, f in enumerate(fields):
+                        rows.append(
+                            ("memory", "main", t, f.name, i + 1,
+                             f.dataType.simpleString().upper(),
+                             cs.get(t.lower(), {}).get(f.name.lower())))
+            schema = ("database_name string, schema_name string, "
+                      "table_name string, comment string, "
+                      "column_count int") if which == "tables" else (
+                      "database_name string, schema_name string, "
+                      "table_name string, column_name string, "
+                      "column_index int, data_type string, "
+                      "comment string")
+            return self.spark.createDataFrame(rows, schema)
+
+        def sub(m: re.Match) -> str:
+            which = m.group("which").lower()
+            view = f"__cat_{which}_{hashlib.md5(str(sorted(tbls)).encode()).hexdigest()[:8]}"
+            build(which).createOrReplaceTempView(view)
+            return view
+
+        return _CATALOG_TVF_RE.sub(sub, query)
 
     def _pragma_database_size(self) -> DataFrame:
         """DuckDB's PRAGMA database_size column shape, answered from the

@@ -1598,3 +1598,47 @@ def test_bare_path_as_table(engine, duck):
     lit = engine.sql("SELECT 'x FROM ''y.parquet''' AS s",
                      dialect="duckdb").collect()
     assert lit[0].s == "x FROM 'y.parquet'"
+
+
+def test_comment_on_and_catalog_tvfs(spark, duck, tmp_path):
+    """COMMENT ON TABLE/COLUMN persists in a warehouse sidecar and reads
+    back through duckdb_tables()/duckdb_columns() — identical statement
+    text and identical (name, comment) rows in both engines."""
+    import pytest as _pytest
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    script = [
+        "CREATE TABLE cmt (i INT, s STRING)",
+        "COMMENT ON TABLE cmt IS 'hello ''world'''",
+        "COMMENT ON COLUMN cmt.i IS 'the id'",
+    ]
+    duck.execute("CREATE TABLE cmt (i INT, s STRING)")
+    duck.execute("COMMENT ON TABLE cmt IS 'hello ''world'''")
+    duck.execute("COMMENT ON COLUMN cmt.i IS 'the id'")
+    for s in script:
+        eng.sql(s, dialect="duckdb")
+    q = ("SELECT table_name, comment FROM duckdb_tables() "
+         "WHERE table_name = 'cmt'")
+    assert [tuple(r) for r in eng.sql(q).collect()] == \
+        duck.execute(q).fetchall() == [("cmt", "hello 'world'")]
+    q2 = ("SELECT column_name, comment FROM duckdb_columns() "
+          "WHERE table_name = 'cmt' ORDER BY column_index")
+    assert [tuple(r) for r in eng.sql(q2).collect()] == \
+        duck.execute(q2).fetchall() == [("i", "the id"), ("s", None)]
+    # un-comment via IS NULL
+    eng.sql("COMMENT ON COLUMN cmt.i IS NULL")
+    got = eng.sql("SELECT comment FROM duckdb_columns() "
+                  "WHERE table_name='cmt' AND column_name='i'").collect()
+    assert got[0].comment is None
+    with _pytest.raises(ValueError, match="unknown table"):
+        eng.sql("COMMENT ON TABLE nope IS 'x'")
+    with _pytest.raises(ValueError, match="unknown column"):
+        eng.sql("COMMENT ON COLUMN cmt.zz IS 'x'")
+    # persistence across engines on the same warehouse
+    eng2 = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    got = eng2.sql("SELECT comment FROM duckdb_tables() "
+                   "WHERE table_name='cmt'").collect()
+    assert got[0].comment == "hello 'world'"
+    duck.execute("DROP TABLE cmt")
