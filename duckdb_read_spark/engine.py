@@ -2012,6 +2012,9 @@ class Engine:
             return self._pragma_database_size()
         if _SEQ_FUNC_RE.search(query):
             query = self._resolve_sequence_functions(query)
+        if re.search(r"\bUNION\s+(?:ALL\s+)?BY\s+NAME\b", query,
+                     re.IGNORECASE):
+            return self._union_by_name(query, dialect)
         mti = _PRAGMA_TABLE_INFO_RE.match(query)
         if mti:
             return self._pragma_table_info(mti.group("name"))
@@ -2493,6 +2496,78 @@ class Engine:
         out.append(query[pos:])
         self._save_sequences()
         return "".join(out)
+
+    def _union_by_name(self, query: str, dialect: str) -> DataFrame:
+        """``A UNION [ALL] BY NAME B`` (DuckDB's name-matching set op,
+        which Spark SQL lacks) — TOP-LEVEL occurrences only: the sides
+        run as ordinary queries and fold through unionByName with
+        NULL-fill for missing columns (DuckDB's rule); the non-ALL form
+        applies DISTINCT over the result. A BY NAME inside a subquery
+        has no textual column knowledge to rewrite with and refuses."""
+        spans = [m.span() for m in
+                 re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+        depth, cuts = 0, []
+        i2 = 0
+        pat = re.compile(r"\bUNION\s+(?P<all>ALL\s+)?BY\s+NAME\b",
+                         re.IGNORECASE)
+        while i2 < len(query):
+            ch = query[i2]
+            if any(a <= i2 < b for a, b in spans):
+                i2 += 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pat.match(query, i2)
+                if m:
+                    cuts.append((i2, m.end(), bool(m.group("all"))))
+                    i2 = m.end()
+                    continue
+            i2 += 1
+        if not cuts:
+            raise NotImplementedError(
+                "UNION BY NAME inside a subquery is not supported — "
+                "hoist it to the top level or align the column lists")
+        pieces, pos = [], 0
+        alls = []
+        for start, end, is_all in cuts:
+            pieces.append(query[pos:start])
+            alls.append(is_all)
+            pos = end
+        pieces.append(query[pos:])
+        # a trailing top-level ORDER BY/LIMIT binds to the WHOLE union,
+        # not the last side — split it off and re-apply over the result
+        last, tail = pieces[-1], ""
+        lspans = [m.span() for m in
+                  re.finditer(r"'(?:[^']|'')*'|--[^\n]*", last)]
+        d2 = 0
+        for j in range(len(last)):
+            if any(a <= j < b for a, b in lspans):
+                continue
+            if last[j] == "(":
+                d2 += 1
+            elif last[j] == ")":
+                d2 -= 1
+            elif d2 == 0 and re.match(r"\b(?:ORDER\s+BY|LIMIT)\b",
+                                      last[j:], re.IGNORECASE):
+                last, tail = last[:j], last[j:]
+                break
+        pieces[-1] = last
+        out = self.sql(pieces[0], dialect=dialect)
+        for body, is_all in zip(pieces[1:], alls):
+            out = out.unionByName(self.sql(body, dialect=dialect),
+                                  allowMissingColumns=True)
+        if not all(alls):
+            out = out.distinct()
+        if tail.strip():
+            import uuid as _uuid
+
+            v = f"__ubn_{_uuid.uuid4().hex[:8]}"
+            out.createOrReplaceTempView(v)
+            out = self.sql(f"SELECT * FROM {v} {tail}", dialect=dialect)
+        return out
 
     # -- COMMENT ON + catalog TVFs (duckdb_tables / duckdb_columns) -------
 

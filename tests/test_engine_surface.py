@@ -1642,3 +1642,28 @@ def test_comment_on_and_catalog_tvfs(spark, duck, tmp_path):
                    "WHERE table_name='cmt'").collect()
     assert got[0].comment == "hello 'world'"
     duck.execute("DROP TABLE cmt")
+
+
+def test_union_by_name(engine, duck):
+    """DuckDB's name-matching set op: reordered columns align, missing
+    columns NULL-fill, trailing ORDER BY/LIMIT bind to the whole union,
+    the non-ALL form dedups; subquery placement refuses."""
+    import pytest as _pytest
+
+    probes = [
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 4 AS b, 3 AS a",
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 9 AS c, 3 AS a "
+        "ORDER BY a",
+        "SELECT 1 AS a UNION BY NAME SELECT 1 AS a "
+        "UNION BY NAME SELECT 2 AS a ORDER BY a",
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 4 AS b, 3 AS a "
+        "ORDER BY a LIMIT 1",
+    ]
+    for q in probes:
+        got = sorted(tuple(r) for r in
+                     engine.sql(q, dialect="duckdb").collect())
+        want = sorted(duck.execute(q).fetchall())
+        assert got == want, q
+    with _pytest.raises(NotImplementedError, match="subquery"):
+        engine.sql("SELECT * FROM (SELECT 1 AS a UNION BY NAME "
+                   "SELECT 2 AS a) t", dialect="duckdb")
