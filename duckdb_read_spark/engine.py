@@ -614,6 +614,46 @@ class Engine:
         return read_stream_table(self.spark, self._versioned[name],
                                  max_files_per_trigger)
 
+    def consume_changes(self, name: str, cursor_path: str) -> DataFrame:
+        """Incremental change-feed consumption with a durable cursor:
+        returns the feed for every version committed since the last
+        call, then advances the cursor (tmp+rename) to the table's
+        current version. First call starts after the current version —
+        an empty feed — so consumers begin from 'now' like a stream
+        checkpoint; delete the cursor file to restart. The returned
+        DataFrame is materialized BEFORE the cursor advances, so a
+        crashed consumer re-reads rather than skips (at-least-once)."""
+        import json
+        import os
+
+        if name not in self._versioned:
+            raise ValueError(
+                f"consume_changes: {name!r} is not a versioned table")
+        table_dir = self._versioned[name]
+        commits = snapshots.read_log(table_dir)
+        cur = commits[-1].version if commits else 0
+        last = None
+        try:
+            with open(cursor_path) as f:
+                last = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            pass
+        if last is None or last >= cur:
+            # no prior cursor (start from now) or nothing new
+            out = self.table(name).limit(0).selectExpr(
+                "*", "CAST(NULL AS STRING) AS _change_type",
+                "CAST(NULL AS INT) AS _commit_version",
+                "CAST(NULL AS TIMESTAMP) AS _commit_timestamp")
+        else:
+            out = snapshots.table_changes(
+                self.spark, table_dir, last + 1, cur)
+            out = out.localCheckpoint(eager=True)   # pin before advance
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": cur}, f)
+        os.replace(tmp, cursor_path)
+        return out
+
     def write_versioned(self, df: DataFrame, table_dir: str,
                         mode: str = "overwrite"):
         """Commit ``df`` as the next snapshot of a versioned table."""

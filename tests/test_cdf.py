@@ -226,3 +226,27 @@ UPDATE t SET v = 'A' WHERE k = 1;
     assert adds and all(a["dataChange"] is False for a in adds)
     assert all(r["dataChange"] is False for r in rms)
     assert not [a for a in acts if "cdc" in a]
+
+
+def test_consume_changes_cursor(eng, tmp_path):
+    """Incremental consumer: first call initializes the cursor at 'now'
+    (empty feed), each later call returns exactly the versions since —
+    feed materialized before the cursor advances (at-least-once)."""
+    eng.execute("""
+CREATE TABLE t (k INT, v STRING);
+INSERT INTO t VALUES (1,'a'),(2,'b');
+""")
+    cur = str(tmp_path / "cursor.json")
+    assert eng.consume_changes("t", cur).count() == 0      # start at now
+    eng.execute("UPDATE t SET v = 'B' WHERE k = 2;")
+    eng.execute("DELETE FROM t WHERE k = 1;")
+    feed = eng.consume_changes("t", cur)
+    got = sorted((r._commit_version, r._change_type, r.k)
+                 for r in feed.collect())
+    assert got == [(3, "update_postimage", 2), (3, "update_preimage", 2),
+                   (4, "delete", 1)]
+    # drained: next call is empty until new commits land
+    assert eng.consume_changes("t", cur).count() == 0
+    eng.execute("INSERT INTO t VALUES (9,'z');")
+    assert [(r._change_type, r.k) for r in
+            eng.consume_changes("t", cur).collect()] == [("insert", 9)]
