@@ -614,15 +614,21 @@ class Engine:
         return read_stream_table(self.spark, self._versioned[name],
                                  max_files_per_trigger)
 
-    def consume_changes(self, name: str, cursor_path: str) -> DataFrame:
-        """Incremental change-feed consumption with a durable cursor:
-        returns the feed for every version committed since the last
-        call, then advances the cursor (tmp+rename) to the table's
-        current version. First call starts after the current version —
-        an empty feed — so consumers begin from 'now' like a stream
-        checkpoint; delete the cursor file to restart. The returned
-        DataFrame is materialized BEFORE the cursor advances, so a
-        crashed consumer re-reads rather than skips (at-least-once)."""
+    def consume_changes(self, name: str, cursor_path: str,
+                        auto_ack: bool = True) -> DataFrame:
+        """Incremental change-feed consumption with a durable cursor.
+
+        Returns the feed for every version committed since the last
+        acknowledged one. The first call initializes the cursor at the
+        table's current version (empty feed — consumers start from
+        'now' like a stream checkpoint; delete the cursor file to
+        restart). ``auto_ack=True`` advances the cursor before
+        returning — at-least-once only for crashes DURING this call; a
+        consumer that crashes while processing the returned rows skips
+        them. For true at-least-once, pass ``auto_ack=False`` and call
+        :meth:`ack_changes` after processing succeeds — an unacked
+        consumer re-reads the same versions on its next call
+        (review r6)."""
         import json
         import os
 
@@ -636,7 +642,7 @@ class Engine:
         try:
             with open(cursor_path) as f:
                 last = int(json.load(f)["version"])
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError):
             pass
         if last is None or last >= cur:
             # no prior cursor (start from now) or nothing new
@@ -644,15 +650,38 @@ class Engine:
                 "*", "CAST(NULL AS STRING) AS _change_type",
                 "CAST(NULL AS INT) AS _commit_version",
                 "CAST(NULL AS TIMESTAMP) AS _commit_timestamp")
+            pending = cur if last is None else last
         else:
             out = snapshots.table_changes(
                 self.spark, table_dir, last + 1, cur)
-            out = out.localCheckpoint(eager=True)   # pin before advance
+            out = out.localCheckpoint(eager=True)   # pin vs vacuum races
+            pending = cur
         tmp = cursor_path + ".tmp"
+        doc = ({"version": pending} if auto_ack or last is None
+               else {"version": last, "pending": pending})
         with open(tmp, "w") as f:
-            json.dump({"version": cur}, f)
+            json.dump(doc, f)
         os.replace(tmp, cursor_path)
         return out
+
+    def ack_changes(self, name: str, cursor_path: str) -> None:
+        """Acknowledge the last ``consume_changes(..., auto_ack=False)``
+        delivery: the cursor's pending version becomes the acked one.
+        No-op if nothing is pending."""
+        import json
+        import os
+
+        try:
+            with open(cursor_path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return
+        if not isinstance(doc, dict) or "pending" not in doc:
+            return
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": doc["pending"]}, f)
+        os.replace(tmp, cursor_path)
 
     def write_versioned(self, df: DataFrame, table_dir: str,
                         mode: str = "overwrite"):
@@ -2052,8 +2081,12 @@ class Engine:
             return self._pragma_database_size()
         if _SEQ_FUNC_RE.search(query):
             query = self._resolve_sequence_functions(query)
-        if re.search(r"\bUNION\s+(?:ALL\s+)?BY\s+NAME\b", query,
-                     re.IGNORECASE):
+        mubn = [m for m in re.finditer(
+            r"\bUNION\s+(?:ALL\s+)?BY\s+NAME\b", query, re.IGNORECASE)
+            if not any(a <= m.start() < b for a, b in
+                       [x.span() for x in re.finditer(
+                           r"'(?:[^']|'')*'|--[^\n]*", query)])]
+        if mubn:
             return self._union_by_name(query, dialect)
         mti = _PRAGMA_TABLE_INFO_RE.match(query)
         if mti:
@@ -2541,9 +2574,19 @@ class Engine:
         """``A UNION [ALL] BY NAME B`` (DuckDB's name-matching set op,
         which Spark SQL lacks) — TOP-LEVEL occurrences only: the sides
         run as ordinary queries and fold through unionByName with
-        NULL-fill for missing columns (DuckDB's rule); the non-ALL form
-        applies DISTINCT over the result. A BY NAME inside a subquery
-        has no textual column knowledge to rewrite with and refuses."""
+        NULL-fill for missing columns (DuckDB's rule); each non-ALL op
+        applies DISTINCT at its own step (left-associative, so a later
+        ALL leg keeps its duplicates — review r6). A BY NAME inside a
+        subquery, a WITH-prefixed statement (the legs would lose CTE
+        scope) or a non-SELECT statement (CREATE VIEW would silently
+        keep only the first leg) refuses."""
+        head = query.lstrip()[:6].upper()
+        if not (head.startswith(("SELECT", "VALUES", "("))):
+            raise NotImplementedError(
+                "UNION BY NAME is supported only in plain top-level "
+                "SELECT statements — a textual split inside "
+                "CREATE VIEW/WITH would silently change semantics "
+                "(first-leg-only view, lost CTE scope)")
         spans = [m.span() for m in
                  re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
         depth, cuts = 0, []
@@ -2590,8 +2633,12 @@ class Engine:
                 d2 += 1
             elif last[j] == ")":
                 d2 -= 1
-            elif d2 == 0 and re.match(r"\b(?:ORDER\s+BY|LIMIT)\b",
-                                      last[j:], re.IGNORECASE):
+            elif d2 == 0 and re.compile(
+                    r"\b(?:ORDER\s+BY|LIMIT)\b",
+                    re.IGNORECASE).match(last, j):
+                # match(last, j), not match(last[j:]): a slice start
+                # counts as a word boundary, so rate_limit would split
+                # at its 'limit' (review r6)
                 last, tail = last[:j], last[j:]
                 break
         pieces[-1] = last
@@ -2599,8 +2646,10 @@ class Engine:
         for body, is_all in zip(pieces[1:], alls):
             out = out.unionByName(self.sql(body, dialect=dialect),
                                   allowMissingColumns=True)
-        if not all(alls):
-            out = out.distinct()
+            if not is_all:
+                # left-associative: DISTINCT applies at THIS step, so a
+                # later ALL leg keeps its duplicates (review r6)
+                out = out.distinct()
         if tail.strip():
             import uuid as _uuid
 
@@ -2705,7 +2754,12 @@ class Engine:
                       "comment string")
             return self.spark.createDataFrame(rows, schema)
 
+        spans = [m.span() for m in
+                 re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
+
         def sub(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in spans):
+                return m.group(0)   # the phrase inside a literal is data
             which = m.group("which").lower()
             view = f"__cat_{which}_{hashlib.md5(str(sorted(tbls)).encode()).hexdigest()[:8]}"
             build(which).createOrReplaceTempView(view)

@@ -144,12 +144,16 @@ def _parse_jpeg_header(content: bytes):
     while i + 4 <= len(content):
         if content[i] != 0xFF:
             return None
+        # the spec allows any number of 0xFF fill bytes before a marker
+        # (review r6) — skip to the actual marker byte
+        while i + 1 < len(content) and content[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(content):
+            return None
         marker = content[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2                      # standalone markers, no length
             continue
-        if i + 4 > len(content):
-            return None
         seg_len = struct.unpack_from(">H", content, i + 2)[0]
         if seg_len < 2:
             return None

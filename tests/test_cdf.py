@@ -250,3 +250,24 @@ INSERT INTO t VALUES (1,'a'),(2,'b');
     eng.execute("INSERT INTO t VALUES (9,'z');")
     assert [(r._change_type, r.k) for r in
             eng.consume_changes("t", cur).collect()] == [("insert", 9)]
+
+
+def test_consume_changes_explicit_ack(eng, tmp_path):
+    """auto_ack=False: an unacked delivery re-reads on the next call
+    (true at-least-once); ack_changes advances the cursor."""
+    eng.execute("""
+CREATE TABLE t (k INT, v STRING);
+INSERT INTO t VALUES (1,'a');
+""")
+    cur = str(tmp_path / "c.json")
+    eng.consume_changes("t", cur)                 # init at now
+    eng.execute("DELETE FROM t WHERE k = 1;")
+    first = [(r._change_type, r.k) for r in
+             eng.consume_changes("t", cur, auto_ack=False).collect()]
+    assert first == [("delete", 1)]
+    # crash before ack → the same versions come back
+    again = [(r._change_type, r.k) for r in
+             eng.consume_changes("t", cur, auto_ack=False).collect()]
+    assert again == first
+    eng.ack_changes("t", cur)
+    assert eng.consume_changes("t", cur).count() == 0

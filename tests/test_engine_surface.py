@@ -1667,3 +1667,36 @@ def test_union_by_name(engine, duck):
     with _pytest.raises(NotImplementedError, match="subquery"):
         engine.sql("SELECT * FROM (SELECT 1 AS a UNION BY NAME "
                    "SELECT 2 AS a) t", dialect="duckdb")
+
+
+def test_union_by_name_review_edges(engine, duck):
+    """Review r6: mixed distinct/ALL chains are left-associative; the
+    phrase inside a string literal stays data; identifiers containing
+    LIMIT don't split the tail; non-SELECT heads refuse."""
+    import pytest as _pytest
+
+    q = ("SELECT 1 AS a UNION BY NAME SELECT 1 AS a "
+         "UNION ALL BY NAME SELECT 1 AS a")
+    got = sorted(tuple(r) for r in
+                 engine.sql(q, dialect="duckdb").collect())
+    assert got == sorted(duck.execute(q).fetchall()) == [(1,), (1,)]
+    lit = engine.sql("SELECT 'a UNION BY NAME b' AS s",
+                     dialect="duckdb").collect()
+    assert lit[0].s == "a UNION BY NAME b"
+    q2 = ("SELECT 1 AS a, 2 AS rate_limit UNION ALL BY NAME "
+          "SELECT 4 AS rate_limit, 3 AS a")
+    got = sorted(tuple(r) for r in
+                 engine.sql(q2, dialect="duckdb").collect())
+    assert got == sorted(duck.execute(q2).fetchall())
+    with _pytest.raises(NotImplementedError, match="plain top-level"):
+        engine.sql("CREATE VIEW ubnv AS SELECT 1 AS a "
+                   "UNION BY NAME SELECT 2 AS a", dialect="duckdb")
+    with _pytest.raises(NotImplementedError, match="plain top-level"):
+        engine.sql("WITH c AS (SELECT 1 AS a) SELECT * FROM c "
+                   "UNION BY NAME SELECT 2 AS a", dialect="duckdb")
+
+
+def test_catalog_tvf_literal_stays_data(engine):
+    got = engine.sql(
+        "SELECT 'see duckdb_tables() for the catalog' AS s").collect()
+    assert got[0].s == "see duckdb_tables() for the catalog"

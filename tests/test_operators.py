@@ -557,7 +557,8 @@ def test_decode_image_real_formats_true_dimensions(spark):
     sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
             + struct.pack(">HH", 8, 13) + b"\x03"
             + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
-    jpg = b"\xff\xd8" + app0 + sof0
+    # an extra 0xFF fill byte before the SOF marker is spec-valid
+    jpg = b"\xff\xd8" + app0 + b"\xff" + sof0
     rows = [
         (1, "image", bytearray(make_ppm(10, 6, seed=2)), None, "image/x-portable-pixmap"),
         (2, "image", bytearray(bmp), None, "image/bmp"),
