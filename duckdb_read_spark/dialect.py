@@ -183,6 +183,7 @@ _SIMPLE_RENAMES = {
     # string/position aliases (measured: no-match → 0 on both)
     "strpos": "instr",
     "string_split_regex": "split",  # genuinely regex on both
+    "json_keys": "json_object_keys",
 }
 
 
@@ -611,6 +612,62 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 f"'n', CASE WHEN __gv IS NULL THEN 1 ELSE 0 END, "
                 f"'v', __gv, 'i', __gi))), "
                 f"__gp -> __gp.i)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "json_extract_string" and parts and len(parts[2]) == 2:
+            # raw (unquoted) scalar extraction — exactly get_json_object
+            # [measured: '$.c.d' → 'x', numbers stringify, missing →
+            # NULL, array subscripts work on both]
+            _, close, spans = parts
+            j = _arg_text(toks, spans[0])
+            pth = _arg_text(toks, spans[1])
+            out.append(f"get_json_object({j}, {pth})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "json_array_length" and parts and len(parts[2]) == 2:
+            # DuckDB's 2-arg (json, path) form — Spark's takes only the
+            # array text, so extract first
+            _, close, spans = parts
+            j = _arg_text(toks, spans[0])
+            pth = _arg_text(toks, spans[1])
+            out.append(
+                f"json_array_length(get_json_object({j}, {pth}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "json_object" and parts and len(parts[2]) % 2 == 0 \
+                and parts[2]:
+            # key/value pairs → to_json(named_struct(...)) [measured
+            # output shape {\"k\":7,\"s\":\"x\"}]
+            _, close, spans = parts
+            args = [_arg_text(toks, s) for s in parts[2]]
+            out.append(f"to_json(named_struct({', '.join(args)}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "json_array" and parts and parts[2]:
+            # homogeneous element lists only (Spark arrays are typed;
+            # a mixed-type call fails loudly at analysis, DuckDB would
+            # coerce — acceptable loud divergence)
+            _, close, spans = parts
+            args = [_arg_text(toks, s) for s in parts[2]]
+            out.append(f"to_json(array({', '.join(args)}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "json_valid" and parts and len(parts[2]) == 1:
+            # measured: 'null' and bare scalars are VALID json; NULL in
+            # → NULL out. get_json_object(j, '$') is NULL for both
+            # invalid json AND the json literal null — disambiguate the
+            # latter with a trimmed-text check.
+            _, close, spans = parts
+            j = _arg_text(toks, spans[0])
+            out.append(
+                f"(CASE WHEN {j} IS NULL THEN NULL "
+                f"WHEN trim({j}) = 'null' THEN true "
+                f"ELSE get_json_object({j}, '$') IS NOT NULL END)")
             i = close + 1
             changed = True
             continue

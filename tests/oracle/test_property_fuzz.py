@@ -574,6 +574,9 @@ def gen_fn_tranche(rng: random.Random) -> str:
         f"gcd({i1} % 30 + 1, {i2} % 20 + 1) AS e11",
         f"century(DATE '1999-12-31' + ({i1} % 800) * INTERVAL 30 DAY) "
         f"AS e12",
+        f"json_extract_string(json_object('k', {i1} % 50, 's', {s1}), "
+        f"'$.s') AS e13",
+        f"json_valid(json_array({i1} % 9, {i2} % 9)) AS e14",
     ]
     exprs = rng.sample(pool, k=3)
     uid = t["int"][0]

@@ -282,6 +282,27 @@ def test_agg_distinct_filter_rewrites():
         " END) FROM t")
 
 
+def test_json_function_rewrites():
+    """Measured JSON batch: json_extract_string == get_json_object
+    exactly (raw scalars, numbers stringify, missing → NULL, array
+    subscripts); 2-arg json_array_length extracts first; json_valid
+    treats the json literal 'null' and bare scalars as valid;
+    json_object/json_array build through to_json."""
+    assert to_spark_sql("SELECT json_extract_string(j, '$.a') FROM t") \
+        == "SELECT get_json_object(j, '$.a') FROM t"
+    assert to_spark_sql("SELECT json_array_length(j, '$.b') FROM t") \
+        == ("SELECT json_array_length(get_json_object(j, '$.b')) "
+            "FROM t")
+    assert to_spark_sql("SELECT json_keys(j) FROM t") == \
+        "SELECT json_object_keys(j) FROM t"
+    out = to_spark_sql("SELECT json_object('k', 7) FROM t")
+    assert out == "SELECT to_json(named_struct('k', 7)) FROM t"
+    out = to_spark_sql("SELECT json_array(1, 2) FROM t")
+    assert out == "SELECT to_json(array(1, 2)) FROM t"
+    out = to_spark_sql("SELECT json_valid(j) FROM t")
+    assert "trim(j) = 'null'" in out and "get_json_object(j, '$')" in out
+
+
 def test_window_exclude_and_any_value_rewrites():
     """SQL:2011 frame exclusion compiled to subtract-the-current-row
     (measured NULL pins: empty residual non-null set → NULL); DuckDB
