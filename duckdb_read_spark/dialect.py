@@ -945,6 +945,62 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name in ("list_cosine_similarity", "array_cosine_similarity",
+                    "list_cosine_distance", "array_cosine_distance",
+                    "list_inner_product", "array_inner_product",
+                    "list_dot_product",
+                    "list_distance", "array_distance") and parts \
+                and len(parts[2]) == 2:
+            # DuckDB vector functions (measured against 1.0.0):
+            #   * list_cosine_similarity returns -1.0 when either vector has
+            #     zero norm (NOT NaN/NULL) — reproduced via the CASE guard.
+            #   * NULL *list* argument propagates NULL (zip_with/aggregate
+            #     give this for free).
+            #   * DuckDB ERRORS on length mismatch or NULL elements; the
+            #     Spark composition returns NULL there instead (zip_with
+            #     pads with NULL) — a documented soft divergence, since
+            #     raising from inside an expression isn't expressible.
+            #   * Results are DOUBLE even for integer lists — every element
+            #     is cast before multiplying.
+            # list_cosine_distance/array_cosine_distance (DuckDB >= 1.1) are
+            # accepted as 1 - similarity; DuckDB 1.0.0 lacks them, so
+            # cross-engine tests cover only the 1.0.0 trio.
+            _, close, spans = parts
+            # The ARRAY<DOUBLE> cast (a) forces double math for integer/
+            # decimal/float32 lists, matching DuckDB's DOUBLE result type,
+            # and (b) types a bare NULL literal argument, which would
+            # otherwise fail Spark analysis as VOID inside aggregate().
+            a = f"CAST({_arg_text(toks, spans[0])} AS ARRAY<DOUBLE>)"
+            b = f"CAST({_arg_text(toks, spans[1])} AS ARRAY<DOUBLE>)"
+            dot = (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0 AS DOUBLE), (s, v) -> s + v)"
+            )
+            n2a = (f"aggregate({a}, CAST(0 AS DOUBLE), "
+                   f"(s, x) -> s + x * x)")
+            n2b = (f"aggregate({b}, CAST(0 AS DOUBLE), "
+                   f"(s, x) -> s + x * x)")
+            cos = (
+                f"(CASE WHEN {n2a} = 0 OR {n2b} = 0 THEN CAST(-1.0 AS DOUBLE) "
+                f"ELSE {dot} / (sqrt({n2a}) * sqrt({n2b})) END)"
+            )
+            base = name.split("_", 1)[1]
+            if base in ("inner_product", "dot_product"):
+                body = dot
+            elif base == "distance":
+                body = (
+                    f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> "
+                    f"(x - y) * (x - y)), "
+                    f"CAST(0 AS DOUBLE), (s, v) -> s + v))"
+                )
+            elif base == "cosine_similarity":
+                body = cos
+            else:  # cosine_distance
+                body = f"(CAST(1.0 AS DOUBLE) - {cos})"
+            out.append(body)
+            i = close + 1
+            changed = True
+            continue
         if name == "list_aggregate" and parts and len(parts[2]) == 2:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])

@@ -577,6 +577,14 @@ def gen_fn_tranche(rng: random.Random) -> str:
         f"json_extract_string(json_object('k', {i1} % 50, 's', {s1}), "
         f"'$.s') AS e13",
         f"json_valid(json_array({i1} % 9, {i2} % 9)) AS e14",
+        # vector trio: coalesce keeps NULLs out of the list elements
+        # (DuckDB errors on NULL elements; the Spark composition doesn't)
+        f"list_cosine_similarity([coalesce({i1} % 7, 0) + 1.0, "
+        f"coalesce({i2} % 5, 0) + 1.0], [3.0, 4.0]) AS e15",
+        f"list_inner_product([coalesce({i1} % 9, 0), 2], "
+        f"[coalesce({i2} % 9, 0), 5]) AS e16",
+        f"list_distance([coalesce({i1} % 11, 0) + 0.5, 1.0], "
+        f"[2.0, coalesce({i2} % 6, 0) + 0.5]) AS e17",
     ]
     exprs = rng.sample(pool, k=3)
     uid = t["int"][0]

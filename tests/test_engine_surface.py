@@ -936,6 +936,51 @@ def test_strlen_bytes_and_null_map_values_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_vector_functions_cross_engine(engine, duck):
+    """DuckDB 1.0.0 vector trio (list_cosine_similarity / list_inner_product
+    incl. the list_dot_product alias / list_distance) — verbatim text in both
+    engines, including the measured zero-norm -> -1.0 and NULL-list -> NULL
+    pins. Length-mismatch/NULL-element inputs are excluded: DuckDB errors
+    there while the Spark composition returns NULL (documented divergence)."""
+    cases = [
+        "SELECT n_nationkey AS k, "
+        "list_cosine_similarity([1.0, 2.0, n_nationkey], [4.0, 5.0, 6.0]) AS cs, "
+        "list_inner_product([n_nationkey, 2], [3, 4]) AS ip, "
+        "list_dot_product([1.0, n_nationkey], [2.0, 2.0]) AS dp, "
+        "list_distance([n_nationkey, 2.0], [4.0, 6.0]) AS d "
+        "FROM nation ORDER BY k",
+        # zero-norm pin (-1.0, not NaN/NULL) and NULL propagation
+        "SELECT list_cosine_similarity([0.0, 0.0], [1.0, 2.0]) AS z1, "
+        "list_cosine_similarity([1.0, 2.0], [0.0, 0.0]) AS z2, "
+        "list_cosine_similarity([1.0, 2.0], NULL) AS n1, "
+        "list_inner_product(NULL, [1.0, 2.0]) AS n2, "
+        "list_distance(NULL, [1.0, 2.0]) AS n3",
+        # negative similarity and integer lists -> DOUBLE
+        "SELECT list_cosine_similarity([1.0, 0.0], [-1.0, 0.0]) AS neg, "
+        "list_inner_product([1, 2], [3, 4]) AS ints",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
+def test_cosine_distance_spelling(engine):
+    """list/array_cosine_distance (DuckDB >= 1.1, no oracle twin here) =
+    1 - similarity; pinned against the similarity spelling."""
+    a = _rows(engine.sql(
+        "SELECT 1.0 - list_cosine_similarity([1.0, 2.0], [2.0, 4.0]) AS v",
+        dialect="duckdb"))
+    b = _rows(engine.sql(
+        "SELECT list_cosine_distance([1.0, 2.0], [2.0, 4.0]) AS v",
+        dialect="duckdb"))
+    assert a == b
+    c = _rows(engine.sql(
+        "SELECT array_cosine_distance([1.0, 2.0], [2.0, 4.0]) AS v",
+        dialect="duckdb"))
+    assert a == c
+
+
 def test_similar_to_and_glob_cross_engine(engine, duck):
     q = ("SELECT n_nationkey AS k, "
          "n_name SIMILAR TO '[A-Z]+A' AS s1, "
