@@ -158,6 +158,21 @@ _SET_RE = re.compile(
     re.IGNORECASE,
 )
 
+# SET VARIABLE name = <scalar expr> / RESET VARIABLE name (DuckDB >= 1.1
+# session variables; this DuckDB build is 1.0.0, so the surface is pinned
+# engine-side without an oracle twin). Dispatched BEFORE _SET_RE so the
+# pragma path never sees the VARIABLE keyword as an option name.
+_SET_VAR_RE = re.compile(
+    r"^\s*SET\s+VARIABLE\s+(?P<name>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<val>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESET_VAR_RE = re.compile(
+    r"^\s*RESET\s+VARIABLE\s+(?P<name>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_GETVARIABLE_RE = re.compile(r"getvariable\s*\(", re.IGNORECASE)
+
 # read_parquet('path') / read_csv[_auto]('path') / read_json('path') table
 # functions — the embedded-engine "SQL directly over files" surface (the
 # reference's core theme: an analytical engine over file-resident data).
@@ -453,6 +468,10 @@ class Engine:
         self._attached: dict[str, dict[str, str]] = {}
         # prepared-statement name -> body SQL text (placeholders intact)
         self._prepared: dict[str, str] = {}
+        # SQL session variables (DuckDB >= 1.1 SET VARIABLE surface):
+        # name -> evaluated Python value; getvariable('name') substitutes
+        # the value as a typed literal at statement-rewrite time
+        self._variables: dict[str, object] = {}
         # macro name -> (param names, body text) for call-site expansion
         self._macros: dict[str, tuple[list[str], str]] = {}
         # open transaction: {table name -> version at BEGIN}; None = none
@@ -1989,6 +2008,12 @@ class Engine:
                     f"DEALLOCATE: unknown prepared statement "
                     f"{mda.group('name')!r}")
             return self._empty()
+        # getvariable() substitutes AFTER the PREPARE intercept (a prepared
+        # body keeps the call site verbatim and resolves at EXECUTE time,
+        # when the body re-enters sql()) but before everything else,
+        # including EXECUTE argument lists.
+        if _GETVARIABLE_RE.search(query):
+            query = self._substitute_getvariable(query)
         mx = _EXECUTE_RE.match(query)
         if mx:
             return self._execute_prepared(
@@ -2044,6 +2069,13 @@ class Engine:
             handled = self._ddl_dml(query, dialect)
             if handled is not None:
                 return handled
+        msv = _SET_VAR_RE.match(query)
+        if msv:
+            return self._set_variable(
+                msv.group("name"), msv.group("val"), dialect)
+        mrv = _RESET_VAR_RE.match(query)
+        if mrv:
+            return self._reset_variable(mrv.group("name"))
         mset = _SET_RE.match(query)
         if mset:
             self._set_option(mset.group("key"), mset.group("val").strip())
@@ -3468,6 +3500,48 @@ class Engine:
                 f"SET: unknown option {key!r} — supported: "
                 "enable_external_access, threads, timezone, spark.*")
 
+    # -- session variables (SET VARIABLE surface) --------------------------
+
+    def _set_variable(self, name: str, expr: str, dialect: str) -> DataFrame:
+        """``SET VARIABLE name = expr``: evaluate ``expr`` NOW (DuckDB
+        evaluates eagerly, not per-use) through the normal sql() path so
+        dialect rewrites and previously set variables apply, then store
+        the scalar."""
+        row = self.sql(f"SELECT ({expr}) AS v", dialect=dialect).first()
+        self._variables[name.lower()] = None if row is None else row[0]
+        return self._empty()
+
+    def _reset_variable(self, name: str) -> DataFrame:
+        self._variables.pop(name.lower(), None)
+        return self._empty()
+
+    def _substitute_getvariable(self, query: str) -> str:
+        """Replace ``getvariable('name')`` call sites with the stored
+        value as a typed literal (token-level, so occurrences inside
+        string literals are untouched). An unset variable reads as NULL,
+        matching DuckDB's getvariable behavior."""
+        from .dialect import detokenize, tokenize
+
+        toks = tokenize(query)
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "ident" and t.text.lower() == "getvariable":
+                j = i + 1
+                while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                    j += 1
+                if (j + 2 < len(toks) and toks[j].text == "("
+                        and toks[j + 1].kind == "str"
+                        and toks[j + 2].text == ")"):
+                    name = toks[j + 1].text[1:-1].replace("''", "'").lower()
+                    out.append(_variable_literal(self._variables.get(name)))
+                    i = j + 3
+                    continue
+            out.append(t.text)
+            i += 1
+        return "".join(out)
+
     # -- DDL/DML over versioned tables -------------------------------------
 
     def _empty(self) -> DataFrame:
@@ -4654,6 +4728,34 @@ def _qualify_bare_columns(expr: str, table: str, columns: set[str]) -> str:
             continue          # qualifier itself / function call
         toks[i] = type(t)("other", f"{table}.{t.text}")
     return detokenize(toks)
+
+
+def _variable_literal(v) -> str:
+    """Render a session-variable value as a typed SQL literal for
+    getvariable() substitution. Extends the pivot renderer with the value
+    shapes a variable can legally hold: NULL, non-finite doubles, decimals,
+    and lists."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        return f"CAST({v} AS DECIMAL(38,18))"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            sign = "-" if v < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_variable_literal(x) for x in v) + ")"
+    if isinstance(v, (str, bool, datetime.datetime, datetime.date, int)):
+        return _pivot_value_literal(v)
+    raise ValueError(
+        f"getvariable: unsupported variable value type {type(v).__name__}")
 
 
 def _pivot_value_literal(v) -> str:

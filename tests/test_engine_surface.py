@@ -273,6 +273,45 @@ def test_set_statement_surface(spark):
         eng.sql("SET enable_external_access = true")
 
 
+def test_set_variable_surface(engine):
+    """SET VARIABLE / getvariable() / RESET VARIABLE (DuckDB >= 1.1
+    session variables; no oracle twin in this environment). Values are
+    evaluated eagerly at SET time and substituted as typed literals at
+    use time; unset variables read as NULL."""
+    engine.sql("SET VARIABLE vmax = 10")
+    got = [r.k for r in engine.sql(
+        "SELECT n_nationkey AS k FROM nation "
+        "WHERE n_nationkey < getvariable('vmax') ORDER BY k").collect()]
+    assert got == list(range(10))
+    # expression values, incl. reference to a previous variable
+    engine.sql("SET VARIABLE vhalf = getvariable('vmax') / 2")
+    assert engine.sql("SELECT getvariable('vhalf') AS v").first().v == 5.0
+    # string values keep quoting through substitution
+    engine.sql("SET VARIABLE vname = 'NATION' || '_3'")
+    assert engine.sql(
+        "SELECT count(*) AS n FROM nation WHERE n_name = getvariable('vname')"
+    ).first().n == 1
+    # date value comes back typed, usable in arithmetic
+    engine.sql("SET VARIABLE vday = DATE '2024-03-01'")
+    assert str(engine.sql(
+        "SELECT getvariable('vday') + INTERVAL 1 DAY AS d").first().d
+    ).startswith("2024-03-02")
+    # eager evaluation: later SETs don't retro-change earlier reads
+    engine.sql("SET VARIABLE vmax = 3")
+    assert engine.sql("SELECT getvariable('vhalf') AS v").first().v == 5.0
+    # a PREPARE body resolves getvariable at EXECUTE time, not PREPARE time
+    engine.sql("PREPARE vq AS SELECT getvariable('vmax') AS v")
+    assert engine.sql("EXECUTE vq").first().v == 3
+    engine.sql("SET VARIABLE vmax = 7")
+    assert engine.sql("EXECUTE vq").first().v == 7
+    engine.sql("DEALLOCATE vq")
+    # RESET -> unset -> NULL; getvariable inside a string literal untouched
+    engine.sql("RESET VARIABLE vmax")
+    assert engine.sql("SELECT getvariable('vmax') AS v").first().v is None
+    assert engine.sql("SELECT 'getvariable(''vmax'')' AS s").first().s \
+        == "getvariable('vmax')"
+
+
 def test_install_load_sql_statements(spark):
     """E3 worked example as SQL: INSTALL/LOAD route to the registry
     (/root/reference/duckdb:18-55)."""
