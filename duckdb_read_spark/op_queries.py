@@ -1952,6 +1952,46 @@ SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx,
 FROM {sink}""")
 
 
+_Q140_TEXT = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+pairs AS (
+  SELECT a.label AS label,
+         CAST(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(12,6))
+              AS DOUBLE) AS cs,
+         CAST(CAST(list_distance(a.v, b.v) AS DECIMAL(12,6))
+              AS DOUBLE) AS dist,
+         CAST(CAST(list_inner_product(a.v, b.v) AS DECIMAL(12,6))
+              AS DOUBLE) AS ip
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 AND b.label = a.label
+)
+SELECT label, COUNT(*) AS pairs,
+       CAST(SUM(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) AS sum_cs,
+       MIN(dist) AS min_dist, MAX(ip) AS max_ip
+FROM pairs GROUP BY label ORDER BY label
+"""
+
+
+@_op("q140_vector_sql_surface", _Q140_TEXT,
+     note="F17 vector function family driven from VERBATIM DuckDB SQL in "
+          "both engines (q48 hand-wrote the Spark HOF; this goes through "
+          "the dialect rewrite): per-label stats over consecutive same-"
+          "label pairs. DOUBLE[] casts force double math over the float32 "
+          "embeddings; each pair value snaps to 6-d.p. decimal BEFORE the "
+          "aggregate, and the sum aggregates decimals (SURVEY §2.0 no-raw-"
+          "float-aggregation rule). The pair join is an equi-join on "
+          "(vec_id+1, label) — shuffle-partitionable, no cross product")
+def _q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q140_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q140_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
