@@ -173,6 +173,19 @@ _RESET_VAR_RE = re.compile(
 )
 _GETVARIABLE_RE = re.compile(r"getvariable\s*\(", re.IGNORECASE)
 
+# CREATE TYPE name AS ENUM ('a', 'b', …) / DROP TYPE [IF EXISTS] name —
+# DuckDB enum types. Dispatched before the generic CREATE/DROP DDL path.
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+ENUM\s*"
+    r"\(\s*(?P<vals>.*?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TYPE_RE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # read_parquet('path') / read_csv[_auto]('path') / read_json('path') table
 # functions — the embedded-engine "SQL directly over files" surface (the
 # reference's core theme: an analytical engine over file-resident data).
@@ -468,6 +481,11 @@ class Engine:
         self._attached: dict[str, dict[str, str]] = {}
         # prepared-statement name -> body SQL text (placeholders intact)
         self._prepared: dict[str, str] = {}
+        # ENUM type name -> allowed values (CREATE TYPE ... AS ENUM).
+        # Columns declared with an enum type store as VARCHAR with an
+        # auto-generated CHECK constraint, so validity survives restarts
+        # through the constraints sidecar even if the type is dropped.
+        self._enum_types: dict[str, list[str]] = {}
         # SQL session variables (DuckDB >= 1.1 SET VARIABLE surface):
         # name -> evaluated Python value; getvariable('name') substitutes
         # the value as a typed literal at statement-rewrite time
@@ -2064,6 +2082,17 @@ class Engine:
         if mstream:
             return self._create_stream(
                 mstream.group("name"), mstream.group("body"), dialect)
+        mct = _CREATE_TYPE_RE.match(query)
+        if mct:
+            return self._create_enum_type(mct.group("name"),
+                                          mct.group("vals"))
+        mdt = _DROP_TYPE_RE.match(query)
+        if mdt:
+            if self._enum_types.pop(mdt.group("name").lower(), None) is None \
+                    and not mdt.group("ifex"):
+                raise ValueError(
+                    f"DROP TYPE: unknown type {mdt.group('name')!r}")
+            return self._empty()
         if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE",
                             "TRUNCAT")):
             handled = self._ddl_dml(query, dialect)
@@ -3542,6 +3571,53 @@ class Engine:
             i += 1
         return "".join(out)
 
+    # -- ENUM types (CREATE TYPE surface) ----------------------------------
+
+    def _create_enum_type(self, name: str, vals: str) -> DataFrame:
+        """``CREATE TYPE name AS ENUM (…)``: record the allowed-value list.
+        Enum-typed columns in later CREATE TABLEs expand to VARCHAR + an
+        auto CHECK, persisted with the table's other constraints."""
+        key = name.lower()
+        if key in self._enum_types:
+            raise ValueError(f"CREATE TYPE: type {name!r} already exists")
+        out: list[str] = []
+        for part in _split_top_commas(vals):
+            p = part.strip()
+            if not (len(p) >= 2 and p.startswith("'") and p.endswith("'")):
+                raise ValueError(
+                    f"CREATE TYPE {name}: enum values must be string "
+                    f"literals, got {p!r}")
+            out.append(p[1:-1].replace("''", "'"))
+        if not out:
+            raise ValueError(f"CREATE TYPE {name}: empty enum")
+        if len(set(out)) != len(out):
+            raise ValueError(f"CREATE TYPE {name}: duplicate enum value")
+        self._enum_types[key] = out
+        return self._empty()
+
+    def _expand_enum_columns(self, inner: str) -> str:
+        """Rewrite ``col enumtype [extras]`` column definitions to
+        ``col VARCHAR [extras] CHECK (col IN (…))`` ahead of constraint
+        parsing. DuckDB semantics preserved: NULLs pass (CHECK with a NULL
+        operand passes, same as DuckDB enum columns accepting NULL);
+        out-of-domain INSERTs error in both engines. Known divergence,
+        documented in SURVEY: ORDER BY on an enum column sorts by the
+        stored string, not by enum definition position."""
+        if not self._enum_types:
+            return inner
+        parts_out = []
+        for part in _split_top_commas(inner):
+            toks = part.strip().split(None, 2)
+            if len(toks) >= 2 and toks[1].lower() in self._enum_types:
+                col = toks[0]
+                vals = self._enum_types[toks[1].lower()]
+                lits = ", ".join("'" + v.replace("'", "''") + "'"
+                                 for v in vals)
+                tail = (" " + toks[2]) if len(toks) == 3 else ""
+                part = f"{col} VARCHAR{tail} CHECK ({col} IN ({lits}))"
+            parts_out.append(part)
+        return ", ".join(parts_out)
+
     # -- DDL/DML over versioned tables -------------------------------------
 
     def _empty(self) -> DataFrame:
@@ -3744,7 +3820,8 @@ class Engine:
             cons: list[dict] = []
             if rest.startswith("("):
                 close = _match_paren(rest, 0)
-                inner, cons = _parse_constraints(rest[1:close])
+                inner, cons = _parse_constraints(
+                    self._expand_enum_columns(rest[1:close]))
                 schema = _schema_to_spark_ddl(inner)
                 tail = rest[close + 1:].strip()
                 if tail.upper().startswith("AS"):
