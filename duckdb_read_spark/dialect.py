@@ -1001,6 +1001,109 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "xor" and parts and len(parts[2]) == 2:
+            # DuckDB integer xor(a, b). Spark spells bitwise XOR as the
+            # '^' operator — which the power rewrite owns in this dialect —
+            # so compose from AND/OR/NOT instead.
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(f"((({a}) & ~({b})) | (~({a}) & ({b})))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "trunc" and parts and len(parts[2]) == 1:
+            # 1-arg numeric trunc (toward zero). Spark's trunc is the
+            # 2-arg DATE truncation — only the 1-arg form is DuckDB's.
+            # Result is DOUBLE (DuckDB preserves the input type; for an
+            # INTEGER argument the value matches but the type widens —
+            # fuzz/tests use non-integer inputs).
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"CAST(CASE WHEN ({e}) >= 0 THEN floor({e}) "
+                       f"ELSE ceil({e}) END AS DOUBLE)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "even" and parts and len(parts[2]) == 1:
+            # round away from zero to the next EVEN number [measured:
+            # even(2.5)=4, even(-0.5)=-2, even(0)=0.0, even(3)=4]
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(
+                f"CAST(CASE WHEN ({e}) = 0 THEN 0.0 ELSE "
+                f"signum({e}) * 2 * ceil(abs({e}) / 2.0) END AS DOUBLE)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "array_unique" and parts and len(parts[2]) == 1:
+            # COUNT of distinct non-NULL elements (not the deduped list)
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"size(array_distinct(filter({e}, "
+                       f"x -> x IS NOT NULL)))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_count" and parts and len(parts[2]) == 1:
+            # count of non-NULL elements
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"size(filter({e}, x -> x IS NOT NULL))")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("mismatches", "hamming") and parts \
+                and len(parts[2]) == 2:
+            # positionwise inequality count over equal-length strings.
+            # DuckDB ERRORS on unequal lengths and on empty strings; this
+            # composition counts over the FIRST argument's length and
+            # gives 0 for empty (soft divergences — raising from an
+            # expression isn't expressible). The empty guard also matters
+            # mechanically: Spark sequence(1, 0) yields a DESCENDING
+            # [1, 0], not an empty array.
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(
+                f"(CASE WHEN length({a}) = 0 THEN 0 ELSE "
+                f"size(filter(sequence(1, length({a})), "
+                f"i -> substr({a}, i, 1) <> substr({b}, i, 1))) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "format_bytes" and parts and len(parts[2]) == 1:
+            # binary-prefix rendering, one TRUNCATED decimal [measured:
+            # 1 -> '1 byte', 1500 -> '1.4 KiB' (not 1.5), 1047552 ->
+            # '1023.0 KiB', -2048 -> '-2.0 KiB', 0 -> '0 bytes']
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            # the ladder stops at PiB [measured: 1024^6 -> '1024.0 PiB',
+            # no EiB tier in DuckDB]
+            tiers = [("KiB", 1024), ("MiB", 1024**2), ("GiB", 1024**3),
+                     ("TiB", 1024**4), ("PiB", 1024**5)]
+            # exact integer math for the truncated decimal: a double
+            # division rounds BIGINT max up to '8192.0 PiB' where DuckDB
+            # truncates to '8191.9 PiB'
+            ladder = []
+            for idx, (unit, div) in enumerate(tiers):
+                cond = (f"WHEN abs({e}) < {div * 1024} "
+                        if idx < len(tiers) - 1 else "ELSE ")
+                if idx < len(tiers) - 1:
+                    cond += "THEN "
+                ladder.append(
+                    f"{cond}concat(CAST(abs({e}) DIV {div} AS STRING), "
+                    f"'.', CAST((abs({e}) % {div}) * 10 DIV {div} "
+                    f"AS STRING), ' {unit}')")
+            out.append(
+                f"(CASE WHEN abs({e}) = 1 THEN concat(CAST({e} AS STRING), "
+                f"' byte') WHEN abs({e}) < 1024 THEN "
+                f"concat(CAST({e} AS STRING), ' bytes') ELSE "
+                f"concat(CASE WHEN ({e}) < 0 THEN '-' ELSE '' END, "
+                f"CASE {' '.join(ladder)} END) END)")
+            i = close + 1
+            changed = True
+            continue
         if name == "list_aggregate" and parts and len(parts[2]) == 2:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
@@ -1222,6 +1325,167 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
 
     result = "".join(out)
     return _rewrite_calls(result, column_kinds) if changed else result
+
+
+def _bracket_close(toks: list[Tok], open_idx: int) -> int:
+    """Index of the closer matching the '(' or '[' at open_idx (tracks
+    both bracket kinds so mixed nesting stays balanced)."""
+    depth = 0
+    for i in range(open_idx, len(toks)):
+        if toks[i].text in ("(", "["):
+            depth += 1
+        elif toks[i].text in (")", "]"):
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced brackets")
+
+
+def _bracket_open_back(toks: list[Tok], close_idx: int) -> int:
+    """Index of the opener matching the ')' or ']' at close_idx."""
+    depth = 0
+    for i in range(close_idx, -1, -1):
+        if toks[i].text in (")", "]"):
+            depth += 1
+        elif toks[i].text in ("(", "["):
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced brackets")
+
+
+# identifiers after which a +/- sign must be UNARY (SELECT -2 ^ 2, the
+# sign belongs to the literal and binds tighter than the power operator)
+_UNARY_CONTEXT_KEYWORDS = frozenset({
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "IN",
+    "BY", "HAVING", "ON", "RETURN", "RETURNING", "SET", "VALUES", "CASE",
+    "BETWEEN", "LIMIT", "OFFSET", "AS", "DISTINCT", "ALL",
+})
+
+# identifiers before '(' that are NOT a function call — ``SELECT (a+1)^2``
+# must treat the paren group as the whole LHS, not absorb SELECT as a
+# call name
+_NOT_FUNCTION_KEYWORDS = _UNARY_CONTEXT_KEYWORDS | frozenset({
+    "FROM", "JOIN", "USING", "OVER", "PARTITION", "GROUP", "ORDER",
+    "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW", "LIKE", "ILIKE",
+    "END", "IS",
+})
+
+
+def _rewrite_power_operator(sql: str) -> str:
+    """DuckDB ``^`` (and ``**``) is EXPONENTIATION; Spark's ``^`` is
+    bitwise XOR — a silent wrong answer if passed through. Rewritten to
+    ``power(L, R)`` with DuckDB's measured binding [1.0.0]: left-
+    associative (2^3^2 = 64), tighter than * / + - (2*3^2 = 18), a unary
+    sign on the LHS binds tighter still ((-2)^2 = 4), and the RHS absorbs
+    a unary sign (2^-2 = 0.25). Operands are primary expressions: literals,
+    (possibly dotted) identifiers, calls, parenthesized groups, and
+    subscript chains. An operand shape outside that grammar raises rather
+    than leaving a silent XOR behind."""
+    guard = 0
+    while True:
+        guard += 1
+        if guard > 500:
+            raise ValueError("power-operator rewrite did not converge")
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        site = None  # (sig pos of op, raw op start, raw op end)
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if t.text == "^":
+                site = (p, ti, ti)
+                break
+            if (t.kind == "op" and t.text == "*" and ti + 1 < len(toks)
+                    and toks[ti + 1].kind == "op"
+                    and toks[ti + 1].text == "*"):
+                site = (p, ti, ti + 1)
+                break
+        if site is None:
+            return sql
+        p, op_a, op_b = site
+        if p == 0 or pos_of[op_b] + 1 >= len(sig):
+            raise ValueError("cannot rewrite DuckDB power operator: "
+                             f"missing operand near {sql[:80]!r}")
+
+        def _fail():
+            raise ValueError(
+                "cannot rewrite DuckDB power operator '^'/'**' — operand "
+                "is not a primary expression; parenthesize it: "
+                + sql[:120])
+
+        # ---- LHS: walk back over one primary -------------------------
+        k = p - 1
+        while True:
+            t = toks[sig[k]]
+            if t.text in (")", "]"):
+                opener = _bracket_open_back(toks, sig[k])
+                k = pos_of[opener]
+                if toks[sig[k]].text == "(" and k >= 1 \
+                        and toks[sig[k - 1]].kind == "ident" \
+                        and toks[sig[k - 1]].text.upper() not in \
+                        _NOT_FUNCTION_KEYWORDS:
+                    k -= 1  # call: absorb function name (+ dotted chain)
+                    while k >= 2 and toks[sig[k - 1]].text == "." \
+                            and toks[sig[k - 2]].kind == "ident":
+                        k -= 2
+                    break
+                if toks[sig[k]].text == "[":
+                    if k == 0:
+                        _fail()
+                    k -= 1  # subscript: keep walking into the base expr
+                    continue
+                break  # plain parenthesized group
+            if t.kind in ("num", "str"):
+                break
+            if t.kind == "ident":
+                while k >= 2 and toks[sig[k - 1]].text == "." \
+                        and toks[sig[k - 2]].kind == "ident":
+                    k -= 2
+                break
+            _fail()
+        # unary sign binds tighter than ^ on the LHS ((-2)^2 = 4) — but
+        # only when actually unary (nothing primary-like before it)
+        if k >= 1 and toks[sig[k - 1]].kind == "op" \
+                and toks[sig[k - 1]].text in ("+", "-"):
+            prev = toks[sig[k - 2]] if k >= 2 else None
+            if prev is None or prev.kind == "op" \
+                    or prev.text in ("(", "[", ",") \
+                    or (prev.kind == "ident"
+                        and prev.text.upper() in _UNARY_CONTEXT_KEYWORDS):
+                k -= 1
+        lhs_raw = sig[k]
+
+        # ---- RHS: one primary, optional leading sign ------------------
+        j = p + (2 if op_b != op_a else 1)
+        rhs_raw = sig[j]
+        while j < len(sig) and toks[sig[j]].kind == "op" \
+                and toks[sig[j]].text in ("+", "-"):
+            j += 1
+        if j >= len(sig):
+            _fail()
+        t = toks[sig[j]]
+        if t.text == "(":
+            j = pos_of[_bracket_close(toks, sig[j])]
+        elif t.kind in ("num", "str"):
+            pass
+        elif t.kind == "ident":
+            while j + 2 < len(sig) and toks[sig[j + 1]].text == "." \
+                    and toks[sig[j + 2]].kind == "ident":
+                j += 2
+            if j + 1 < len(sig) and toks[sig[j + 1]].text == "(":
+                j = pos_of[_bracket_close(toks, sig[j + 1])]
+        else:
+            _fail()
+        while j + 1 < len(sig) and toks[sig[j + 1]].text == "[":
+            j = pos_of[_bracket_close(toks, sig[j + 1])]
+        rhs_end_raw = sig[j]
+
+        left = detokenize(toks[sig[k]:op_a]).strip()
+        right = detokenize(toks[rhs_raw:rhs_end_raw + 1]).strip()
+        sql = (detokenize(toks[:lhs_raw])
+               + f"power({left}, {right})"
+               + detokenize(toks[rhs_end_raw + 1:]))
 
 
 def _rewrite_json_arrow(sql: str) -> str:
@@ -1559,6 +1823,52 @@ def _rewrite_struct_literals(sql: str) -> str:
             changed = True
             break
     return detokenize(toks)
+
+
+def _rewrite_moment_aggs(sql: str) -> str:
+    """DuckDB's skewness/kurtosis are SAMPLE statistics (bias-corrected
+    G1/G2); Spark's are population (g1/g2) — silent wrong answers if
+    passed through. Measured pins [1.0.0]: skewness needs n >= 3, kurtosis
+    n >= 4, zero variance -> NULL (Spark would give NaN); kurtosis_pop is
+    exactly Spark's kurtosis. Runs as a SINGLE pass after _rewrite_calls —
+    the replacements contain the trigger spellings, so they must not
+    re-enter a fixpoint. Argument text is copied verbatim (a moment agg
+    nested inside another's argument is not rewritten — nonsensical SQL)."""
+    toks = tokenize(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        name = t.text.lower() if t.kind == "ident" else None
+        if name in ("skewness", "kurtosis", "kurtosis_pop"):
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            if j < len(toks) and toks[j].text == "(":
+                close = _find_close(toks, j)
+                e = detokenize(toks[j + 1:close]).strip()
+                n = f"count({e})"
+                sd = f"stddev_samp({e})"
+                if name == "kurtosis_pop":
+                    body = f"kurtosis({e})"
+                elif name == "skewness":
+                    body = (
+                        f"(CASE WHEN {n} >= 3 AND {sd} <> 0 THEN "
+                        f"skewness({e}) * sqrt(CAST({n} AS DOUBLE) * "
+                        f"({n} - 1)) / ({n} - 2) "
+                        f"ELSE CAST(NULL AS DOUBLE) END)")
+                else:
+                    body = (
+                        f"(CASE WHEN {n} >= 4 AND {sd} <> 0 THEN "
+                        f"(({n} - 1) / (({n} - 2) * ({n} - 3))) * "
+                        f"(({n} + 1) * kurtosis({e}) + 6) "
+                        f"ELSE CAST(NULL AS DOUBLE) END)")
+                out.append(body)
+                i = close + 1
+                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_list_comprehension(sql: str) -> str:
@@ -2333,7 +2643,9 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_window_exclude(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
+    sql = _rewrite_power_operator(sql)
     sql = _rewrite_calls(sql, column_kinds)
+    sql = _rewrite_moment_aggs(sql)
     sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_match_operators(sql)

@@ -585,6 +585,15 @@ def gen_fn_tranche(rng: random.Random) -> str:
         f"[coalesce({i2} % 9, 0), 5]) AS e16",
         f"list_distance([coalesce({i1} % 11, 0) + 0.5, 1.0], "
         f"[2.0, coalesce({i2} % 6, 0) + 0.5]) AS e17",
+        # r6b tranche: power operator, xor, trunc/even, format_bytes,
+        # mismatches (padded to a fixed length — DuckDB errors on
+        # unequal/empty strings)
+        f"({i1} % 5 + 1) ^ 2 AS e18",
+        f"xor({i1} % 50, {i2} % 30) AS e19",
+        f"trunc({n1} + 0.5) AS e20, even({n1}) AS e21",
+        f"format_bytes(CAST({i1} % 100000 AS BIGINT) * 137) AS e22",
+        f"mismatches(substr(coalesce({s1}, '') || 'xyzw', 1, 4), "
+        f"substr(reverse(coalesce({s1}, '') || 'wzyx'), 1, 4)) AS e23",
     ]
     exprs = rng.sample(pool, k=3)
     uid = t["int"][0]

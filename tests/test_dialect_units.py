@@ -191,6 +191,27 @@ def test_qualify_stops_at_set_operation():
     assert "INTERSECT SELECT id FROM u" in out
 
 
+def test_power_operator_rewrite():
+    """^ / ** → power() with DuckDB's measured binding (left-assoc,
+    tighter than * and binary -, unary LHS sign absorbed)."""
+    assert to_spark_sql("SELECT 2 ^ 3 ^ 2") == \
+        "SELECT power(power(2, 3), 2)"
+    assert to_spark_sql("SELECT -2 ^ 2") == "SELECT power(-2, 2)"
+    assert to_spark_sql("SELECT 3 - 2 ^ 2") == "SELECT 3 - power(2, 2)"
+    assert to_spark_sql("SELECT 2 ^ -2") == "SELECT power(2, -2)"
+    assert to_spark_sql("SELECT x ** 2 + y ** 2") == \
+        "SELECT power(x, 2) + power(y, 2)"
+    out = to_spark_sql("SELECT a.b ^ f(x, 1)")
+    assert out == "SELECT power(a.b, f(x, 1))"
+    # strings containing ^ / ** stay verbatim
+    assert to_spark_sql("SELECT '^' , '**'") == "SELECT '^' , '**'"
+    # a paren group directly after a keyword is the LHS, not a call
+    assert to_spark_sql("SELECT (a + 1) ^ 2 FROM t") == \
+        "SELECT power((a + 1), 2) FROM t"
+    assert to_spark_sql("SELECT x FROM t WHERE (a + b) ^ 2 > 4") == \
+        "SELECT x FROM t WHERE power((a + b), 2) > 4"
+
+
 def test_list_function_renames():
     assert to_spark_sql("SELECT list_sort(list_intersect(a, b)) FROM t") == \
         "SELECT array_sort(array_intersect(a, b)) FROM t"

@@ -1020,6 +1020,77 @@ def test_cosine_distance_spelling(engine):
     assert a == c
 
 
+def test_power_operator_cross_engine(engine, duck):
+    """DuckDB ``^``/``**`` is POWER (Spark's ^ is XOR — a silent wrong
+    answer before this rewrite). Measured binding pins: left-assoc,
+    tighter than * and -, LHS unary sign binds tighter ((-2)^2 = 4),
+    RHS absorbs a sign (2^-2 = 0.25)."""
+    cases = [
+        "SELECT 2 ^ 3 ^ 2 AS a, -2 ^ 2 AS b, 2 ^ -2 AS c, "
+        "2 * 3 ^ 2 AS d, 3 - 2 ^ 2 AS e, 2 ** 10 AS f",
+        "SELECT n_nationkey AS k, (n_nationkey + 1) ^ 2 AS p, "
+        "sqrt(n_nationkey) ** 2 AS q FROM nation ORDER BY k",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
+def test_function_tranche_r6b_cross_engine(engine, duck):
+    """xor / trunc(1-arg) / even / array_unique / list_count /
+    mismatches+hamming / format_bytes — verbatim text both engines with
+    the measured pins (format_bytes truncates the decimal and stops at
+    PiB; even rounds away from zero; array_unique COUNTS distinct
+    non-NULLs)."""
+    cases = [
+        "SELECT xor(5, 3) AS x1, xor(255, 15) AS x2, xor(-1, 5) AS x3",
+        "SELECT trunc(2.7) AS t1, trunc(-2.7) AS t2, "
+        "trunc(CAST(9.99 AS DOUBLE)) AS t3",
+        "SELECT even(2.5) AS e1, even(-1.5) AS e2, even(0) AS e3, "
+        "even(3) AS e4, even(-0.5) AS e5",
+        "SELECT array_unique([1, 1, 2, NULL, NULL]) AS u, "
+        "list_count([1, NULL, 2]) AS c, array_unique([]) AS ue",
+        "SELECT mismatches('abc', 'abd') AS m1, "
+        "hamming('abc', 'abc') AS m2, mismatches('xy', 'yx') AS m3",
+        "SELECT format_bytes(0) AS a, format_bytes(1) AS b, "
+        "format_bytes(-1) AS c, format_bytes(1023) AS d, "
+        "format_bytes(1024) AS f, format_bytes(1500) AS g, "
+        "format_bytes(1047552) AS h, format_bytes(1048576) AS i, "
+        "format_bytes(-2048) AS j, format_bytes(1099511627776) AS k, "
+        "format_bytes(1152921504606846976) AS l, "
+        "format_bytes(9223372036854775807) AS m, "
+        "format_bytes(123456789) AS n",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
+def test_moment_aggs_cross_engine(engine, duck):
+    """DuckDB skewness/kurtosis are SAMPLE statistics, Spark's are
+    population — corrected with n-based factors. Measured pins: skewness
+    needs n >= 3, kurtosis n >= 4, zero variance -> NULL (not NaN),
+    kurtosis_pop == Spark kurtosis."""
+    cases = [
+        "SELECT round(skewness(c_acctbal), 6) AS s, "
+        "round(kurtosis(c_acctbal), 6) AS k, "
+        "round(kurtosis_pop(c_acctbal), 6) AS kp FROM customer",
+        "SELECT n_regionkey AS g, round(skewness(n_nationkey), 6) AS s, "
+        "round(kurtosis(n_nationkey), 6) AS k "
+        "FROM nation GROUP BY g ORDER BY g",
+        "SELECT skewness(x) AS s1, kurtosis(x) AS k1 "
+        "FROM (VALUES (2.0), (2.0), (2.0), (2.0)) t(x)",
+        "SELECT skewness(x) AS s2 FROM (VALUES (1.0), (2.0)) t(x)",
+        "SELECT kurtosis(x) AS k2 FROM (VALUES (1.0), (2.0), (3.0)) t(x)",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_similar_to_and_glob_cross_engine(engine, duck):
     q = ("SELECT n_nationkey AS k, "
          "n_name SIMILAR TO '[A-Z]+A' AS s1, "
