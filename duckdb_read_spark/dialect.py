@@ -183,7 +183,22 @@ _SIMPLE_RENAMES = {
     # string/position aliases (measured: no-match → 0 on both)
     "strpos": "instr",
     "string_split_regex": "split",  # genuinely regex on both
+    "str_split_regex": "split",
     "json_keys": "json_object_keys",
+    # batch-2 aliases (measured identical semantics)
+    "array_reverse": "reverse",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_apply": "transform",
+    "editdist3": "levenshtein",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "gen_random_uuid": "uuid",
+    "to_base64": "base64",
+    # datesub/datediff are spelled-together aliases of date_sub/date_diff;
+    # the renamed forms re-enter the fixpoint and pick up those rewrites
+    "datesub": "date_sub",
+    "datediff": "date_diff",
 }
 
 
@@ -1001,6 +1016,59 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name in ("list_sum", "list_avg") and parts \
+                and len(parts[2]) == 1:
+            # same DOUBLE-accumulator treatment as list_aggregate('sum')
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            s = f"aggregate({lst}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            out.append(s if name == "list_sum"
+                       else f"({s} / size({lst}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_any_value" and parts and len(parts[2]) == 1:
+            # first non-NULL element; get() is 0-based and NULL-safe
+            # out-of-bounds (element_at would throw under ANSI)
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"get(filter({e}, x -> x IS NOT NULL), 0)")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("list_extract", "array_extract") and parts \
+                and len(parts[2]) == 2:
+            # 1-based list element; out-of-bounds -> NULL in DuckDB, so
+            # get() (0-based, NULL out-of-bounds) rather than element_at
+            # (throws under ANSI). array_extract over a STRING argument is
+            # not supported — get() fails analysis loudly there.
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            idx = _arg_text(toks, spans[1])
+            out.append(f"get({lst}, ({idx}) - 1)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "isodow" and parts and len(parts[2]) == 1:
+            # bare-function form of date_part('isodow'): 1..7 Monday-based
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"(weekday({e}) + 1)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "date_add" and parts and len(parts[2]) == 2:
+            # DuckDB date_add(d, INTERVAL …) vs Spark date_add(d, days):
+            # the INTERVAL form becomes plain interval arithmetic; the
+            # integer-days form passes through untouched
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            if b.upper().lstrip().startswith("INTERVAL"):
+                out.append(f"(({a}) + {b})")
+                i = close + 1
+                changed = True
+                continue
         if name == "xor" and parts and len(parts[2]) == 2:
             # DuckDB integer xor(a, b). Spark spells bitwise XOR as the
             # '^' operator — which the power rewrite owns in this dialect —
@@ -1156,7 +1224,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # units: diff('month', Jan 31, Feb 1) = 1, diff('hour', 01:59,
             # 02:01) = 1. Truncate both sides to the part first.
             body = {
-                "day": f"CAST(datediff({b}, {a}) AS BIGINT)",
+                # emitted as date_diff (the Spark 3.5+ alias): a bare
+                # "datediff" emission would re-enter the datediff →
+                # date_diff alias rename on the next fixpoint pass
+                "day": f"CAST(date_diff({b}, {a}) AS BIGINT)",
                 "month": (
                     f"CAST((year({b}) * 12 + month({b}))"
                     f" - (year({a}) * 12 + month({a})) AS BIGINT)"
@@ -2033,6 +2104,8 @@ def _rewrite_keywords(sql: str) -> str:
     for t in toks:
         if t.kind == "ident" and t.text.upper() == "VARCHAR":
             t.text = "STRING"
+        elif t.kind == "ident" and t.text.upper() in ("BLOB", "BYTEA"):
+            t.text = "BINARY"
     return detokenize(toks)
 
 

@@ -53,7 +53,7 @@ def test_strftime_format_conversion():
 
 def test_date_diff_arg_flip():
     out = to_spark_sql("SELECT date_diff('day', a, b)")
-    assert "datediff(b, a)" in out and "BIGINT" in out
+    assert "date_diff(b, a)" in out and "BIGINT" in out
 
 
 def test_varchar_to_string():

@@ -1091,6 +1091,46 @@ def test_moment_aggs_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_function_aliases_batch2_cross_engine(engine, duck):
+    """Batch-2 alias/composite coverage: list_any_value / list_apply /
+    array_reverse / list_min/max/sum/avg / str_split_regex / editdist3 /
+    prefix/suffix / isodow / date_add(INTERVAL) / datesub/datediff
+    spelled-together aliases / list_extract (1-based, NULL OOB — get(),
+    not ANSI-throwing element_at) / BLOB cast + to_base64 /
+    gen_random_uuid. Verbatim text, both engines."""
+    cases = [
+        "SELECT list_any_value([NULL, 7, 8]) AS a, "
+        "list_any_value([NULL]) AS b, "
+        "list_any_value(CAST([] AS INTEGER[])) AS c",
+        "SELECT list_apply([1, 2], x -> x * 2) AS a, "
+        "array_reverse([1, 2, 3]) AS b",
+        "SELECT list_min([3, 1]) AS a, list_max([3, 1]) AS b, "
+        "list_sum([1.0, 2.0]) AS c, list_avg([1.0, 3.0]) AS d",
+        "SELECT str_split_regex('a1b22c', '[0-9]+') AS a",
+        "SELECT editdist3('kitten', 'sitting') AS a, "
+        "levenshtein('kitten', 'sitting') AS b",
+        "SELECT prefix('abc', 'ab') AS a, suffix('abc', 'bc') AS b, "
+        "prefix('abc', 'x') AS c",
+        "SELECT isodow(DATE '2024-03-03') AS a, "
+        "isodow(DATE '2024-03-04') AS b, "
+        "dayofyear(DATE '2024-03-03') AS c, "
+        "weekofyear(DATE '2024-03-03') AS d",
+        "SELECT date_add(DATE '2024-01-01', INTERVAL 3 DAY) AS a, "
+        "date_add(TIMESTAMP '2024-01-01 01:00:00', INTERVAL 90 MINUTE) AS b",
+        "SELECT datesub('day', DATE '2024-01-01', DATE '2024-02-01') AS a, "
+        "datediff('month', DATE '2024-01-31', DATE '2024-02-01') AS b",
+        "SELECT list_extract([1, 2, 3], 2) AS a, "
+        "list_extract([1, 2, 3], 9) AS b, "
+        "list_extract([1, 2, 3], NULL) AS c",
+        "SELECT to_base64('abc'::BLOB) AS a",
+        "SELECT gen_random_uuid() IS NOT NULL AS a",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_similar_to_and_glob_cross_engine(engine, duck):
     q = ("SELECT n_nationkey AS k, "
          "n_name SIMILAR TO '[A-Z]+A' AS s1, "
