@@ -996,8 +996,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             n2b = (f"aggregate({b}, CAST(0 AS DOUBLE), "
                    f"(s, x) -> s + x * x)")
             cos = (
-                f"(CASE WHEN {n2a} = 0 OR {n2b} = 0 THEN CAST(-1.0 AS DOUBLE) "
+                f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                f"THEN CAST(NULL AS DOUBLE) "
+                f"WHEN {n2a} = 0 OR {n2b} = 0 THEN CAST(-1.0 AS DOUBLE) "
                 f"ELSE {dot} / (sqrt({n2a}) * sqrt({n2b})) END)"
+                # the IS NULL arm must come FIRST: with a NULL list and a
+                # zero-norm other side, 'NULL OR TRUE' is TRUE and the
+                # -1.0 arm would fire — DuckDB returns NULL there (review)
             )
             base = name.split("_", 1)[1]
             if base in ("inner_product", "dot_product"):
@@ -1018,12 +1023,18 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             continue
         if name in ("list_sum", "list_avg") and parts \
                 and len(parts[2]) == 1:
-            # same DOUBLE-accumulator treatment as list_aggregate('sum')
+            # DuckDB SKIPS NULL elements and returns NULL for empty /
+            # all-NULL lists [measured: list_sum([1,NULL,2])=3,
+            # list_sum([])=NULL, list_avg([1.0,NULL,3.0])=2.0] — filter
+            # first, then guard on the filtered size (review fix; the
+            # naive aggregate gave NULL on NULL elements and 0.0 on [])
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
-            s = f"aggregate({lst}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-            out.append(s if name == "list_sum"
-                       else f"({s} / size({lst}))")
+            flt = f"filter({lst}, x -> x IS NOT NULL)"
+            s = f"aggregate({flt}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            body = s if name == "list_sum" else f"({s} / size({flt}))"
+            out.append(f"(CASE WHEN size({flt}) = 0 "
+                       f"THEN CAST(NULL AS DOUBLE) ELSE {body} END)")
             i = close + 1
             changed = True
             continue
@@ -1038,14 +1049,19 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             continue
         if name in ("list_extract", "array_extract") and parts \
                 and len(parts[2]) == 2:
-            # 1-based list element; out-of-bounds -> NULL in DuckDB, so
-            # get() (0-based, NULL out-of-bounds) rather than element_at
-            # (throws under ANSI). array_extract over a STRING argument is
+            # 1-based list element; measured pins: out-of-bounds -> NULL,
+            # index 0 -> NULL, NEGATIVE indexes count from the back
+            # (list_extract([1,2,3], -1) = 3, -5 -> NULL) — hence get()
+            # (0-based, NULL out-of-bounds; element_at throws under ANSI)
+            # plus the sign CASE. array_extract over a STRING argument is
             # not supported — get() fails analysis loudly there.
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
             idx = _arg_text(toks, spans[1])
-            out.append(f"get({lst}, ({idx}) - 1)")
+            out.append(
+                f"get({lst}, CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
+                f"WHEN ({idx}) < 0 THEN size({lst}) + ({idx}) "
+                f"ELSE NULL END)")
             i = close + 1
             changed = True
             continue
@@ -1176,12 +1192,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
             agg = _arg_text(toks, spans[1]).strip("'").lower()
+            # NULL-element/empty pins shared with list_sum/list_avg
+            # [measured: sum skips NULLs, empty sum -> NULL, count counts
+            # non-NULL, empty count -> 0] (review fix)
+            _flt = f"filter({lst}, x -> x IS NOT NULL)"
+            _s = (f"aggregate({_flt}, CAST(0 AS DOUBLE), "
+                  f"(acc, x) -> acc + x)")
+            _guard = (f"(CASE WHEN size({_flt}) = 0 "
+                      f"THEN CAST(NULL AS DOUBLE) ELSE {{body}} END)")
             body = {
-                "sum": f"aggregate({lst}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+                "sum": _guard.format(body=_s),
                 "min": f"array_min({lst})",
                 "max": f"array_max({lst})",
-                "avg": f"(aggregate({lst}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({lst}))",
-                "count": f"size({lst})",
+                "avg": _guard.format(body=f"({_s} / size({_flt}))"),
+                "count": f"size({_flt})",
             }.get(agg)
             if body is not None:
                 out.append(body)
@@ -1486,35 +1510,60 @@ def _rewrite_power_operator(sql: str) -> str:
                 + sql[:120])
 
         # ---- LHS: walk back over one primary -------------------------
-        k = p - 1
-        while True:
-            t = toks[sig[k]]
-            if t.text in (")", "]"):
-                opener = _bracket_open_back(toks, sig[k])
-                k = pos_of[opener]
-                if toks[sig[k]].text == "(" and k >= 1 \
-                        and toks[sig[k - 1]].kind == "ident" \
-                        and toks[sig[k - 1]].text.upper() not in \
-                        _NOT_FUNCTION_KEYWORDS:
-                    k -= 1  # call: absorb function name (+ dotted chain)
+        def _lhs_primary_start(k: int) -> int:
+            while True:
+                t = toks[sig[k]]
+                if t.text in (")", "]"):
+                    opener = _bracket_open_back(toks, sig[k])
+                    k = pos_of[opener]
+                    if toks[sig[k]].text == "(" and k >= 1 \
+                            and toks[sig[k - 1]].kind == "ident" \
+                            and toks[sig[k - 1]].text.upper() not in \
+                            _NOT_FUNCTION_KEYWORDS:
+                        k -= 1  # call: absorb fn name (+ dotted chain)
+                        while k >= 2 and toks[sig[k - 1]].text == "." \
+                                and toks[sig[k - 2]].kind == "ident":
+                            k -= 2
+                        return k
+                    if toks[sig[k]].text == "[":
+                        if k == 0:
+                            _fail()
+                        k -= 1  # subscript: walk into the base expr
+                        continue
+                    return k  # plain parenthesized group
+                if t.kind in ("num", "str"):
+                    return k
+                if t.kind == "ident":
+                    if t.text.upper() == "END":
+                        # CASE … END operand: scan back to its CASE
+                        depth = 0
+                        m = k
+                        while m >= 0:
+                            tok_m = toks[sig[m]]
+                            if tok_m.kind == "ident":
+                                up = tok_m.text.upper()
+                                if up == "END":
+                                    depth += 1
+                                elif up == "CASE":
+                                    depth -= 1
+                                    if depth == 0:
+                                        return m
+                            m -= 1
+                        _fail()
                     while k >= 2 and toks[sig[k - 1]].text == "." \
                             and toks[sig[k - 2]].kind == "ident":
                         k -= 2
-                    break
-                if toks[sig[k]].text == "[":
-                    if k == 0:
-                        _fail()
-                    k -= 1  # subscript: keep walking into the base expr
-                    continue
-                break  # plain parenthesized group
-            if t.kind in ("num", "str"):
-                break
-            if t.kind == "ident":
-                while k >= 2 and toks[sig[k - 1]].text == "." \
-                        and toks[sig[k - 2]].kind == "ident":
-                    k -= 2
-                break
-            _fail()
+                    return k
+                _fail()
+
+        k = _lhs_primary_start(p - 1)
+        # a '::' cast chain: the primary just resolved was the TYPE —
+        # keep walking into the base expression (x::INTEGER ^ 2 must
+        # take x::INTEGER as the operand, review fix)
+        while k >= 3 and toks[sig[k - 1]].text == ":" \
+                and toks[sig[k - 2]].text == ":" \
+                and sig[k - 1] == sig[k - 2] + 1:
+            k = _lhs_primary_start(k - 3)
         # unary sign binds tighter than ^ on the LHS ((-2)^2 = 4) — but
         # only when actually unary (nothing primary-like before it)
         if k >= 1 and toks[sig[k - 1]].kind == "op" \
@@ -1540,7 +1589,27 @@ def _rewrite_power_operator(sql: str) -> str:
             j = pos_of[_bracket_close(toks, sig[j])]
         elif t.kind in ("num", "str"):
             pass
+        elif t.kind == "ident" and t.text.upper() == "CASE":
+            # CASE … END operand: scan forward to the matching END
+            depth = 0
+            m = j
+            while m < len(sig):
+                tok_m = toks[sig[m]]
+                if tok_m.kind == "ident":
+                    up = tok_m.text.upper()
+                    if up == "CASE":
+                        depth += 1
+                    elif up == "END":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                m += 1
+            else:
+                _fail()
+            j = m
         elif t.kind == "ident":
+            if t.text.upper() in _NOT_FUNCTION_KEYWORDS:
+                _fail()  # '2 ^ SELECT …' etc. — refuse, don't mangle
             while j + 2 < len(sig) and toks[sig[j + 1]].text == "." \
                     and toks[sig[j + 2]].kind == "ident":
                 j += 2
@@ -1548,8 +1617,20 @@ def _rewrite_power_operator(sql: str) -> str:
                 j = pos_of[_bracket_close(toks, sig[j + 1])]
         else:
             _fail()
-        while j + 1 < len(sig) and toks[sig[j + 1]].text == "[":
-            j = pos_of[_bracket_close(toks, sig[j + 1])]
+        while True:
+            # trailing subscripts and '::' casts extend the primary
+            if j + 1 < len(sig) and toks[sig[j + 1]].text == "[":
+                j = pos_of[_bracket_close(toks, sig[j + 1])]
+                continue
+            if j + 3 < len(sig) and toks[sig[j + 1]].text == ":" \
+                    and toks[sig[j + 2]].text == ":" \
+                    and sig[j + 2] == sig[j + 1] + 1 \
+                    and toks[sig[j + 3]].kind == "ident":
+                j += 3
+                if j + 1 < len(sig) and toks[sig[j + 1]].text == "(":
+                    j = pos_of[_bracket_close(toks, sig[j + 1])]
+                continue
+            break
         rhs_end_raw = sig[j]
 
         left = detokenize(toks[sig[k]:op_a]).strip()
@@ -1918,21 +1999,44 @@ def _rewrite_moment_aggs(sql: str) -> str:
             if j < len(toks) and toks[j].text == "(":
                 close = _find_close(toks, j)
                 e = detokenize(toks[j + 1:close]).strip()
-                n = f"count({e})"
-                sd = f"stddev_samp({e})"
+                # window form: skewness(x) OVER w — the OVER clause must
+                # attach to EVERY inner aggregate, not trail the CASE
+                # (review fix: '(CASE …) OVER w' is a parse error)
+                over = ""
+                m = close + 1
+                while m < len(toks) and toks[m].kind in ("ws", "comment"):
+                    m += 1
+                if m < len(toks) and toks[m].kind == "ident" \
+                        and toks[m].text.upper() == "OVER":
+                    m2 = m + 1
+                    while m2 < len(toks) and toks[m2].kind in \
+                            ("ws", "comment"):
+                        m2 += 1
+                    if m2 < len(toks) and toks[m2].text == "(":
+                        spec_end = _find_close(toks, m2)
+                    elif m2 < len(toks) and toks[m2].kind == "ident":
+                        spec_end = m2
+                    else:
+                        spec_end = None
+                    if spec_end is not None:
+                        over = " OVER " + detokenize(
+                            toks[m2:spec_end + 1]).strip()
+                        close = spec_end
+                n = f"count({e}){over}"
+                sd = f"stddev_samp({e}){over}"
                 if name == "kurtosis_pop":
-                    body = f"kurtosis({e})"
+                    body = f"kurtosis({e}){over}"
                 elif name == "skewness":
                     body = (
                         f"(CASE WHEN {n} >= 3 AND {sd} <> 0 THEN "
-                        f"skewness({e}) * sqrt(CAST({n} AS DOUBLE) * "
+                        f"skewness({e}){over} * sqrt(CAST({n} AS DOUBLE) * "
                         f"({n} - 1)) / ({n} - 2) "
                         f"ELSE CAST(NULL AS DOUBLE) END)")
                 else:
                     body = (
                         f"(CASE WHEN {n} >= 4 AND {sd} <> 0 THEN "
                         f"(({n} - 1) / (({n} - 2) * ({n} - 3))) * "
-                        f"(({n} + 1) * kurtosis({e}) + 6) "
+                        f"(({n} + 1) * kurtosis({e}){over} + 6) "
                         f"ELSE CAST(NULL AS DOUBLE) END)")
                 out.append(body)
                 i = close + 1
@@ -2101,11 +2205,30 @@ def _rewrite_window_clause(sql: str) -> str:
 
 def _rewrite_keywords(sql: str) -> str:
     toks = tokenize(sql)
-    for t in toks:
-        if t.kind == "ident" and t.text.upper() == "VARCHAR":
+    sig = _sig(toks)
+    for pos, ti in enumerate(sig):
+        t = toks[ti]
+        if t.kind != "ident":
+            continue
+        up = t.text.upper()
+        if up == "VARCHAR":
             t.text = "STRING"
-        elif t.kind == "ident" and t.text.upper() in ("BLOB", "BYTEA"):
-            t.text = "BINARY"
+        elif up in ("BLOB", "BYTEA"):
+            # only in TYPE position — a column/alias named blob must
+            # survive (review fix). Type positions: after '::', or after
+            # AS with the next token closing the CAST (')' or a
+            # parameter list '(')
+            prev = toks[sig[pos - 1]] if pos >= 1 else None
+            nxt = toks[sig[pos + 1]] if pos + 1 < len(sig) else None
+            after_colons = (pos >= 2 and prev is not None
+                            and prev.text == ":"
+                            and toks[sig[pos - 2]].text == ":")
+            after_cast_as = (prev is not None and prev.kind == "ident"
+                             and prev.text.upper() == "AS"
+                             and nxt is not None
+                             and nxt.text in (")", "("))
+            if after_colons or after_cast_as:
+                t.text = "BINARY"
     return detokenize(toks)
 
 

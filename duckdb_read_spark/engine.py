@@ -485,7 +485,10 @@ class Engine:
         # Columns declared with an enum type store as VARCHAR with an
         # auto-generated CHECK constraint, so validity survives restarts
         # through the constraints sidecar even if the type is dropped.
-        self._enum_types: dict[str, list[str]] = {}
+        # The definitions themselves persist in a warehouse _types.json
+        # sidecar (same pattern as sequences/comments), so post-restart
+        # CREATE TABLE/DROP TYPE keep working; lazily loaded.
+        self._enum_types: dict[str, list[str]] | None = None
         # SQL session variables (DuckDB >= 1.1 SET VARIABLE surface):
         # name -> evaluated Python value; getvariable('name') substitutes
         # the value as a typed literal at statement-rewrite time
@@ -2029,8 +2032,15 @@ class Engine:
         # getvariable() substitutes AFTER the PREPARE intercept (a prepared
         # body keeps the call site verbatim and resolves at EXECUTE time,
         # when the body re-enters sql()) but before everything else,
-        # including EXECUTE argument lists.
-        if _GETVARIABLE_RE.search(query):
+        # including EXECUTE argument lists. CREATE MACRO is also exempt:
+        # macro bodies expand at CALL SITES, which re-enter sql(), so
+        # leaving the call verbatim gives DuckDB's late binding (review
+        # fix). CREATE VIEW is NOT exempt — a Spark view body is fixed at
+        # definition, so the value freezes at CREATE time (documented
+        # divergence from DuckDB >= 1.1's query-time resolution).
+        if _GETVARIABLE_RE.search(query) and not re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+                r"MACRO\b", query, re.IGNORECASE):
             query = self._substitute_getvariable(query)
         mx = _EXECUTE_RE.match(query)
         if mx:
@@ -2088,10 +2098,12 @@ class Engine:
                                           mct.group("vals"))
         mdt = _DROP_TYPE_RE.match(query)
         if mdt:
-            if self._enum_types.pop(mdt.group("name").lower(), None) is None \
+            if self._load_enum_types().pop(
+                    mdt.group("name").lower(), None) is None \
                     and not mdt.group("ifex"):
                 raise ValueError(
                     f"DROP TYPE: unknown type {mdt.group('name')!r}")
+            self._save_enum_types()
             return self._empty()
         if head.startswith(("CREATE", "INSERT", "DROP", "DELETE", "UPDATE",
                             "TRUNCAT")):
@@ -2295,6 +2307,11 @@ class Engine:
             # macros first: an expansion may produce read_*/glob call
             # sites that the next pass must still resolve
             query = self._expand_macros(query)
+            # …and getvariable() call sites, which late-bind at macro
+            # CALL time (the early substitution pass ran before the
+            # expansion inserted them)
+            if _GETVARIABLE_RE.search(query):
+                query = self._substitute_getvariable(query)
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
             query = _rewrite_from_first(query)
@@ -3573,12 +3590,47 @@ class Engine:
 
     # -- ENUM types (CREATE TYPE surface) ----------------------------------
 
+    def _types_path(self) -> str | None:
+        import os
+
+        if self._warehouse is None:
+            return None
+        return os.path.join(self._warehouse, "_types.json")
+
+    def _load_enum_types(self) -> dict[str, list[str]]:
+        import json
+        import os
+
+        if self._enum_types is None:
+            self._enum_types = {}
+            p = self._types_path()
+            if p and os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        self._enum_types = json.load(f)
+                except (OSError, ValueError):
+                    pass
+        return self._enum_types
+
+    def _save_enum_types(self) -> None:
+        import json
+        import os
+
+        p = self._types_path()
+        if p is None:
+            return  # no warehouse yet: session-only, like sequences
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._enum_types, f)
+        os.replace(tmp, p)
+
     def _create_enum_type(self, name: str, vals: str) -> DataFrame:
         """``CREATE TYPE name AS ENUM (…)``: record the allowed-value list.
         Enum-typed columns in later CREATE TABLEs expand to VARCHAR + an
         auto CHECK, persisted with the table's other constraints."""
         key = name.lower()
-        if key in self._enum_types:
+        if key in self._load_enum_types():
             raise ValueError(f"CREATE TYPE: type {name!r} already exists")
         out: list[str] = []
         for part in _split_top_commas(vals):
@@ -3593,6 +3645,7 @@ class Engine:
         if len(set(out)) != len(out):
             raise ValueError(f"CREATE TYPE {name}: duplicate enum value")
         self._enum_types[key] = out
+        self._save_enum_types()
         return self._empty()
 
     def _expand_enum_columns(self, inner: str) -> str:
@@ -3603,14 +3656,15 @@ class Engine:
         out-of-domain INSERTs error in both engines. Known divergence,
         documented in SURVEY: ORDER BY on an enum column sorts by the
         stored string, not by enum definition position."""
-        if not self._enum_types:
+        enums = self._load_enum_types()
+        if not enums:
             return inner
         parts_out = []
         for part in _split_top_commas(inner):
             toks = part.strip().split(None, 2)
-            if len(toks) >= 2 and toks[1].lower() in self._enum_types:
+            if len(toks) >= 2 and toks[1].lower() in enums:
                 col = toks[0]
-                vals = self._enum_types[toks[1].lower()]
+                vals = enums[toks[1].lower()]
                 lits = ", ".join("'" + v.replace("'", "''") + "'"
                                  for v in vals)
                 tail = (" " + toks[2]) if len(toks) == 3 else ""

@@ -612,6 +612,24 @@ def test_enum_types_cross_engine(eng, spark):
     eng.sql("INSERT INTO moods VALUES (5, 'ok')")
 
 
+def test_enum_types_survive_restart(eng, spark):
+    """Enum definitions persist in the warehouse _types.json sidecar
+    (review fix: a fresh Engine over the same warehouse must still
+    CREATE TABLE with the type and DROP TYPE it)."""
+    from duckdb_read_spark.engine import Engine
+
+    eng.sql("CREATE TYPE lvl AS ENUM ('lo', 'hi')")
+    eng2 = Engine(spark=spark, warehouse_dir=eng._warehouse)
+    eng2.sql("CREATE TABLE lt2 (k INTEGER, v lvl)")
+    eng2.sql("INSERT INTO lt2 VALUES (1, 'lo')")
+    with pytest.raises(Exception):
+        eng2.sql("INSERT INTO lt2 VALUES (2, 'mid')")
+    eng2.sql("DROP TYPE lvl")
+    eng3 = Engine(spark=spark, warehouse_dir=eng._warehouse)
+    with pytest.raises(ValueError, match="unknown type"):
+        eng3.sql("DROP TYPE lvl")
+
+
 def test_default_column_values(eng, spark):
     """DEFAULT expressions fill INSERTs that omit the column — same rows
     as DuckDB running the identical script."""

@@ -79,7 +79,11 @@ def test_string_literal_untouched():
 
 def test_list_aggregate_sum():
     out = to_spark_sql("SELECT list_aggregate(v, 'sum')")
-    assert out.startswith("SELECT aggregate(v, CAST(0 AS DOUBLE)")
+    # NULL-skipping + empty-list guard (review fix): the aggregate runs
+    # over the non-NULL elements, behind a size-0 -> NULL CASE
+    assert "aggregate(filter(v, x -> x IS NOT NULL), CAST(0 AS DOUBLE)" \
+        in out
+    assert out.startswith("SELECT (CASE WHEN size(filter(v,")
 
 
 def test_split_statements_basic():
@@ -210,6 +214,27 @@ def test_power_operator_rewrite():
         "SELECT power((a + 1), 2) FROM t"
     assert to_spark_sql("SELECT x FROM t WHERE (a + b) ^ 2 > 4") == \
         "SELECT x FROM t WHERE power((a + b), 2) > 4"
+    # ::-cast and CASE operands (review fix)
+    assert to_spark_sql("SELECT x::INTEGER ^ 2 FROM t") == \
+        "SELECT power(x::INTEGER, 2) FROM t"
+    assert to_spark_sql("SELECT 2 ^ x::DECIMAL(10,2)") == \
+        "SELECT power(2, x::DECIMAL(10,2))"
+    assert to_spark_sql("SELECT CASE WHEN a THEN 1 ELSE 2 END ^ 2") == \
+        "SELECT power(CASE WHEN a THEN 1 ELSE 2 END, 2)"
+    # a non-primary operand raises instead of emitting mangled SQL
+    import pytest
+    with pytest.raises(ValueError):
+        to_spark_sql("SELECT 2 ^ SELECT")
+
+
+def test_blob_rewrite_is_type_position_only():
+    """BLOB/BYTEA map to BINARY only in cast positions — a column or
+    alias named blob survives (review fix)."""
+    assert to_spark_sql("SELECT 'a'::BLOB") == "SELECT 'a'::BINARY"
+    assert "AS BINARY)" in to_spark_sql("SELECT CAST('a' AS BLOB)")
+    assert to_spark_sql("SELECT blob FROM t") == "SELECT blob FROM t"
+    assert to_spark_sql("SELECT x AS blob FROM t") == \
+        "SELECT x AS blob FROM t"
 
 
 def test_list_function_renames():

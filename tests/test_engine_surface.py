@@ -305,6 +305,16 @@ def test_set_variable_surface(engine):
     engine.sql("SET VARIABLE vmax = 7")
     assert engine.sql("EXECUTE vq").first().v == 7
     engine.sql("DEALLOCATE vq")
+    # a MACRO body late-binds too: expansion happens at call sites,
+    # which re-enter sql() (review fix)
+    engine.sql("SET VARIABLE vm = 10")
+    engine.sql("CREATE MACRO vplus(z) AS z + getvariable('vm')")
+    assert engine.sql("SELECT vplus(1) AS v",
+                      dialect="duckdb").first().v == 11
+    engine.sql("SET VARIABLE vm = 20")
+    assert engine.sql("SELECT vplus(1) AS v",
+                      dialect="duckdb").first().v == 21
+    engine.sql("DROP MACRO vplus")
     # RESET -> unset -> NULL; getvariable inside a string literal untouched
     engine.sql("RESET VARIABLE vmax")
     assert engine.sql("SELECT getvariable('vmax') AS v").first().v is None
@@ -988,12 +998,15 @@ def test_vector_functions_cross_engine(engine, duck):
         "list_dot_product([1.0, n_nationkey], [2.0, 2.0]) AS dp, "
         "list_distance([n_nationkey, 2.0], [4.0, 6.0]) AS d "
         "FROM nation ORDER BY k",
-        # zero-norm pin (-1.0, not NaN/NULL) and NULL propagation
+        # zero-norm pin (-1.0, not NaN/NULL) and NULL propagation —
+        # including NULL beside a zero-norm side, where the IS NULL arm
+        # must win over the zero-norm arm (review pin)
         "SELECT list_cosine_similarity([0.0, 0.0], [1.0, 2.0]) AS z1, "
         "list_cosine_similarity([1.0, 2.0], [0.0, 0.0]) AS z2, "
         "list_cosine_similarity([1.0, 2.0], NULL) AS n1, "
         "list_inner_product(NULL, [1.0, 2.0]) AS n2, "
-        "list_distance(NULL, [1.0, 2.0]) AS n3",
+        "list_distance(NULL, [1.0, 2.0]) AS n3, "
+        "list_cosine_similarity(NULL, [0.0, 0.0]) AS nz",
         # negative similarity and integer lists -> DOUBLE
         "SELECT list_cosine_similarity([1.0, 0.0], [-1.0, 0.0]) AS neg, "
         "list_inner_product([1, 2], [3, 4]) AS ints",
@@ -1030,6 +1043,10 @@ def test_power_operator_cross_engine(engine, duck):
         "2 * 3 ^ 2 AS d, 3 - 2 ^ 2 AS e, 2 ** 10 AS f",
         "SELECT n_nationkey AS k, (n_nationkey + 1) ^ 2 AS p, "
         "sqrt(n_nationkey) ** 2 AS q FROM nation ORDER BY k",
+        # ::-cast and CASE operands (review fix: previously mangled)
+        "SELECT '3'::INTEGER ^ 2 AS a, 2 ^ '3'::INTEGER AS b, "
+        "2 ^ CASE WHEN 1 = 1 THEN 3 ELSE 2 END AS c, "
+        "CASE WHEN 1 = 1 THEN 3 ELSE 2 END ^ 2 AS d",
     ]
     for q in cases:
         got = _rows(engine.sql(q, dialect="duckdb"))
@@ -1084,6 +1101,14 @@ def test_moment_aggs_cross_engine(engine, duck):
         "FROM (VALUES (2.0), (2.0), (2.0), (2.0)) t(x)",
         "SELECT skewness(x) AS s2 FROM (VALUES (1.0), (2.0)) t(x)",
         "SELECT kurtosis(x) AS k2 FROM (VALUES (1.0), (2.0), (3.0)) t(x)",
+        # window form: the OVER clause attaches to every inner aggregate
+        # (review fix: previously produced '(CASE …) OVER ()')
+        "SELECT round(skewness(n_nationkey) OVER (), 6) AS s, "
+        "round(kurtosis(n_nationkey) OVER (), 6) AS k "
+        "FROM nation ORDER BY n_nationkey LIMIT 3",
+        "SELECT n_nationkey AS k, round(skewness(n_nationkey) OVER "
+        "(PARTITION BY n_regionkey), 6) AS s "
+        "FROM nation ORDER BY k LIMIT 8",
     ]
     for q in cases:
         got = _rows(engine.sql(q, dialect="duckdb"))
@@ -1106,6 +1131,17 @@ def test_function_aliases_batch2_cross_engine(engine, duck):
         "array_reverse([1, 2, 3]) AS b",
         "SELECT list_min([3, 1]) AS a, list_max([3, 1]) AS b, "
         "list_sum([1.0, 2.0]) AS c, list_avg([1.0, 3.0]) AS d",
+        # NULL-element / empty pins (review): sums SKIP NULLs, empty /
+        # all-NULL -> NULL; list_aggregate count counts non-NULL, 0 empty
+        "SELECT list_sum([1.0, NULL, 2.0]) AS a, "
+        "list_sum(CAST([] AS DOUBLE[])) AS b, "
+        "list_sum(CAST([NULL] AS DOUBLE[])) AS c, "
+        "list_avg([1.0, NULL, 3.0]) AS d, "
+        "list_aggregate([1.0, NULL, 2.0], 'sum') AS e, "
+        "list_aggregate([1.0, NULL, 2.0], 'count') AS f, "
+        "list_aggregate(CAST([] AS DOUBLE[]), 'count') AS g, "
+        "list_aggregate(CAST([] AS DOUBLE[]), 'sum') AS h, "
+        "list_min([3, NULL, 1]) AS i",
         "SELECT str_split_regex('a1b22c', '[0-9]+') AS a",
         "SELECT editdist3('kitten', 'sitting') AS a, "
         "levenshtein('kitten', 'sitting') AS b",
@@ -1121,7 +1157,10 @@ def test_function_aliases_batch2_cross_engine(engine, duck):
         "datediff('month', DATE '2024-01-31', DATE '2024-02-01') AS b",
         "SELECT list_extract([1, 2, 3], 2) AS a, "
         "list_extract([1, 2, 3], 9) AS b, "
-        "list_extract([1, 2, 3], NULL) AS c",
+        "list_extract([1, 2, 3], NULL) AS c, "
+        "list_extract([1, 2, 3], -1) AS d, "
+        "list_extract([1, 2, 3], -5) AS e, "
+        "list_extract([1, 2, 3], 0) AS f",
         "SELECT to_base64('abc'::BLOB) AS a",
         "SELECT gen_random_uuid() IS NOT NULL AS a",
     ]
