@@ -1156,6 +1156,38 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "bar" and parts and len(parts[2]) in (3, 4):
+            # DuckDB bar(x, min, max [, width=80]): eighth-block bar
+            # chart. Measured algorithm: chars = (x-min)*width/(max-min)
+            # (multiply FIRST — 3*10/10 must be exactly 3.0), clamped to
+            # [0, width]; floor(chars) full blocks + one partial eighth
+            # block (floor of the fractional eighths); then the result is
+            # space-padded to width BYTES, not characters — block chars
+            # are 3 UTF-8 bytes, so '███' + 1 space for width 10 and
+            # 10 spaces for an empty bar (DuckDB pads the byte string).
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            lo = _arg_text(toks, spans[1])
+            hi = _arg_text(toks, spans[2])
+            w = _arg_text(toks, spans[3]) if len(parts[2]) == 4 else "80"
+            chars = (f"least(greatest((({x}) - ({lo})) * ({w}) / "
+                     f"(({hi}) - ({lo})), CAST(0 AS DOUBLE)), "
+                     f"CAST(({w}) AS DOUBLE))")
+            full = f"CAST(floor({chars}) AS INT)"
+            kth = f"CAST(floor(({chars} - floor({chars})) * 8) AS INT)"
+            eighths = ("array('', '▏', '▎', '▍', "
+                       "'▌', '▋', '▊', '▉')")
+            body = (f"concat(repeat('█', {full}), "
+                    f"element_at({eighths}, {kth} + 1))")
+            bytelen = (f"({full} * 3 + CASE WHEN {kth} > 0 THEN 3 "
+                       f"ELSE 0 END)")
+            out.append(
+                f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
+                f"ELSE concat({body}, repeat(' ', "
+                f"greatest(0, CAST(({w}) AS INT) - {bytelen}))) END)")
+            i = close + 1
+            changed = True
+            continue
         if name == "format_bytes" and parts and len(parts[2]) == 1:
             # binary-prefix rendering, one TRUNCATED decimal [measured:
             # 1 -> '1 byte', 1500 -> '1.4 KiB' (not 1.5), 1047552 ->

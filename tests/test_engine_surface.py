@@ -1070,6 +1070,18 @@ def test_function_tranche_r6b_cross_engine(engine, duck):
         "list_count([1, NULL, 2]) AS c, array_unique([]) AS ue",
         "SELECT mismatches('abc', 'abd') AS m1, "
         "hamming('abc', 'abc') AS m2, mismatches('xy', 'yx') AS m3",
+        # bar(): eighth-block rendering incl. the byte-length padding
+        # quirk ('███' + ONE space for width 10; 10 spaces when empty),
+        # clamping, the default width 80, and NULL propagation
+        "SELECT bar(3, 0, 10, 10) AS a, bar(3.5, 0, 10, 4) AS b, "
+        "bar(0, 0, 10, 10) AS c, bar(10, 0, 10, 10) AS d, "
+        "bar(1, 0, 3, 7) AS f, bar(11, 0, 10, 5) AS g, "
+        "bar(-1, 0, 10, 5) AS h, bar(5, 0, 10) AS i, "
+        "bar(NULL, 0, 10, 5) AS j, bar(0.99, 0, 8, 1) AS k, "
+        "bar(0.5, 0, 10, 10) AS l, bar(1.25, 0, 10, 10) AS m, "
+        "bar(9.99, 0, 10, 10) AS n, bar(9, 0, 10, 10) AS o, "
+        "bar(2, 0, 10, 4) AS p, bar(0.06, 0, 10, 10) AS q2, "
+        "bar(4, 0, 10, 1) AS r",
         "SELECT format_bytes(0) AS a, format_bytes(1) AS b, "
         "format_bytes(-1) AS c, format_bytes(1023) AS d, "
         "format_bytes(1024) AS f, format_bytes(1500) AS g, "
