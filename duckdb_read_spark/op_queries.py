@@ -1992,6 +1992,34 @@ def _q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q140_TEXT, dialect="duckdb")
 
 
+@_op("q141_duplicate_spans", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+long AS (SELECT * FROM toks WHERE len(w) >= 20),
+spans AS (
+  SELECT doc_id,
+         md5(array_to_string(array_slice(w, i, i + 19), ' ')) AS span_hash
+  FROM long, UNNEST(generate_series(1, len(w) - 19)) AS s(i)
+)
+SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM spans
+GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, span_hash
+""", note="L26 exact substring-span dedup (the sliding-window flavor of "
+          "training-data dedup): every 20-token span shared verbatim by "
+          ">= 2 documents. The operator is one flatMap (a row per token "
+          "window) + ONE hash groupBy with map-side combine — linear in "
+          "corpus tokens, no pairwise work; the oracle rebuilds the same "
+          "windows with a lateral UNNEST(generate_series) + array_slice")
+def _q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.duplicate_spans(docs, window=20, min_docs=2)
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

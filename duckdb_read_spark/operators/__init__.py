@@ -12,6 +12,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_prefix_candidates,
     dedup_paragraphs,
+    duplicate_spans,
     semantic_dedup,
     semantic_neardup_pairs,
     simhash,
@@ -74,6 +75,7 @@ __all__ = [
     "exact_dup_groups",
     "minhash_candidates",
     "dedup_paragraphs",
+    "duplicate_spans",
     "simhash",
     "simhash_banded_keys",
     "simhash_candidates",

@@ -596,6 +596,64 @@ def dedup_paragraphs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-span dedup: find every ``window``-token span that
+    appears (verbatim) in at least ``min_docs`` DISTINCT documents — the
+    sliding-window flavor of training-data dedup (the "deduplicating
+    training data" recipe: repeated 50-token substrings are memorization
+    fuel even when documents as a whole differ). Whole-document and
+    paragraph dedup both miss a license block pasted mid-document; this
+    catches it.
+
+    Returns (span_hash, n_docs, n_occurrences, min_doc, max_doc) sorted
+    by (n_docs DESC, span_hash).
+
+    Plan shape: split -> posexplode(sequence) flatMap (one row per
+    token-window, ~|corpus tokens| rows) -> md5 -> ONE groupBy shuffle on
+    the span hash with map-side combine. Linear in corpus tokens; no
+    pairwise comparisons — the hash groupBy replaces the suffix array of
+    the single-node recipe, which is the 100 TB-viable formulation. Docs
+    shorter than ``window`` tokens contribute nothing (sequence guard:
+    Spark's sequence(1, n) with n < 1 would COUNT DOWN, not return
+    empty).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias(
+            "__w"
+        ),
+    ).filter(F.size("__w") >= window)
+    spans = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.size("__w") - (window - 1))
+        ).alias("__i"),
+        F.col("__w"),
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(F.slice(F.col("__w"), F.col("__i"), window), " ")
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "span_hash")
+    )
+
+
 # --- duplicate clustering (connected components) --------------------------
 
 def duplicate_clusters(

@@ -1592,3 +1592,28 @@ def test_positional_join_path_with_space(spark, tmp_path):
     rows = with_row_position(spark, d).collect()
     assert sorted(r.pos for r in rows) == list(range(6))
     assert all(r.pos is not None for r in rows)
+
+
+def test_duplicate_spans_planted(spark):
+    """Plant a shared 25-token passage inside otherwise-unrelated docs:
+    the window-20 span scan must flag spans shared by the planted pair
+    and nothing from the unique-text docs; short docs contribute no
+    windows (sequence(1, n<1) would count DOWN without the guard)."""
+    from duckdb_read_spark.operators import duplicate_spans
+
+    passage = " ".join(f"tok{i}" for i in range(25))
+    rows = [
+        (1, "intro one " + passage + " tail one"),
+        (2, "different lead " + passage),
+        (3, " ".join(f"uniq{i}" for i in range(40))),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_spans(df, window=20, min_docs=2).collect()
+    assert got, "planted 25-token passage must yield shared 20-windows"
+    # a 25-token shared passage has 6 shared 20-windows
+    assert all(r.n_docs == 2 and {r.min_doc, r.max_doc} == {1, 2}
+               for r in got)
+    assert len(got) == 6
+    # no spans from the unique doc; raising min_docs filters everything
+    assert duplicate_spans(df, window=20, min_docs=3).count() == 0
