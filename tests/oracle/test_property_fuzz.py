@@ -594,6 +594,10 @@ def gen_fn_tranche(rng: random.Random) -> str:
         f"format_bytes(CAST({i1} % 100000 AS BIGINT) * 137) AS e22",
         f"mismatches(substr(coalesce({s1}, '') || 'xyzw', 1, 4), "
         f"substr(reverse(coalesce({s1}, '') || 'wzyx'), 1, 4)) AS e23",
+        f"bar(coalesce({i1} % 12, 0), 0, 12, 9) AS e24",
+        f"list_extract([{i1} % 9, 5, 7], "
+        f"CASE WHEN {i2} % 2 = 0 THEN -1 ELSE 2 END) AS e25",
+        f"list_sum([{n1}, 2.0, NULL]) AS e26",
     ]
     exprs = rng.sample(pool, k=3)
     uid = t["int"][0]
