@@ -1226,17 +1226,22 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             agg = _arg_text(toks, spans[1]).strip("'").lower()
             # NULL-element/empty pins shared with list_sum/list_avg
             # [measured: sum skips NULLs, empty sum -> NULL, count counts
-            # non-NULL, empty count -> 0] (review fix)
+            # non-NULL, empty count -> 0] (review fix). Pure f-strings —
+            # str.format on text containing user SQL blows up on brace
+            # struct literals (second review).
             _flt = f"filter({lst}, x -> x IS NOT NULL)"
             _s = (f"aggregate({_flt}, CAST(0 AS DOUBLE), "
                   f"(acc, x) -> acc + x)")
-            _guard = (f"(CASE WHEN size({_flt}) = 0 "
-                      f"THEN CAST(NULL AS DOUBLE) ELSE {{body}} END)")
+
+            def _guarded(inner: str) -> str:
+                return (f"(CASE WHEN size({_flt}) = 0 "
+                        f"THEN CAST(NULL AS DOUBLE) ELSE {inner} END)")
+
             body = {
-                "sum": _guard.format(body=_s),
+                "sum": _guarded(_s),
                 "min": f"array_min({lst})",
                 "max": f"array_max({lst})",
-                "avg": _guard.format(body=f"({_s} / size({_flt}))"),
+                "avg": _guarded(f"({_s} / size({_flt}))"),
                 "count": f"size({_flt})",
             }.get(agg)
             if body is not None:
@@ -1558,16 +1563,30 @@ def _rewrite_power_operator(sql: str) -> str:
                             k -= 2
                         return k
                     if toks[sig[k]].text == "[":
-                        if k == 0:
-                            _fail()
-                        k -= 1  # subscript: walk into the base expr
-                        continue
+                        # a '[' is a SUBSCRIPT only when something
+                        # primary-like precedes it; otherwise the bracket
+                        # group is a LIST LITERAL and is itself the
+                        # operand ([1,2] ^ 2 — second review)
+                        prev = toks[sig[k - 1]] if k >= 1 else None
+                        if prev is not None and (
+                                prev.text in (")", "]")
+                                or prev.kind in ("num", "str")
+                                or (prev.kind == "ident"
+                                    and prev.text.upper() not in
+                                    _NOT_FUNCTION_KEYWORDS)):
+                            k -= 1  # subscript: walk into the base expr
+                            continue
+                        return k  # bracket list literal
                     return k  # plain parenthesized group
                 if t.kind in ("num", "str"):
                     return k
                 if t.kind == "ident":
-                    if t.text.upper() == "END":
-                        # CASE … END operand: scan back to its CASE
+                    if t.text.upper() == "END" and not (
+                            k >= 1 and toks[sig[k - 1]].text == "."):
+                        # CASE … END operand: scan back to its CASE.
+                        # A DOT-qualified `t.end` is a column reference,
+                        # never a CASE terminator (second review) — it
+                        # falls through to the dotted-chain path below.
                         depth = 0
                         m = k
                         while m >= 0:
@@ -2255,13 +2274,24 @@ def _rewrite_keywords(sql: str) -> str:
             after_colons = (pos >= 2 and prev is not None
                             and prev.text == ":"
                             and toks[sig[pos - 2]].text == ":")
+            # next must close the CAST: BLOB/BYTEA never take a parameter
+            # list, and accepting '(' clobbered a table alias with a
+            # column list — `AS blob(x)` (second review)
             after_cast_as = (prev is not None and prev.kind == "ident"
                              and prev.text.upper() == "AS"
-                             and nxt is not None
-                             and nxt.text in (")", "("))
+                             and nxt is not None and nxt.text == ")")
             if after_colons or after_cast_as:
                 t.text = "BINARY"
     return detokenize(toks)
+
+
+_ARRAY_ELEM_TYPE_MAP = {
+    # element types normalized at wrap time: the later keyword pass can't
+    # see inside the composed ARRAY<…> token, so BLOB[]/BYTEA[] (and
+    # VARCHAR[]) must translate here (second review: BLOB[] previously
+    # emitted the invalid ARRAY<BLOB>)
+    "BLOB": "BINARY", "BYTEA": "BINARY", "VARCHAR": "STRING",
+}
 
 
 def _rewrite_array_types(sql: str) -> str:
@@ -2276,7 +2306,9 @@ def _rewrite_array_types(sql: str) -> str:
             and toks[b].text == "["
             and toks[c].text == "]"
         ):
-            toks[a] = Tok("ident", f"ARRAY<{toks[a].text}>")
+            elem = _ARRAY_ELEM_TYPE_MAP.get(toks[a].text.upper(),
+                                            toks[a].text)
+            toks[a] = Tok("ident", f"ARRAY<{elem}>")
             toks[b] = Tok("ws", "")
             toks[c] = Tok("ws", "")
     return detokenize(toks)

@@ -225,6 +225,28 @@ def test_power_operator_rewrite():
     import pytest
     with pytest.raises(ValueError):
         to_spark_sql("SELECT 2 ^ SELECT")
+    # second-review pins: dot-qualified `end` is a column, a bracket
+    # group with nothing primary before it is a LIST LITERAL operand
+    assert to_spark_sql("SELECT t.end ^ 2 FROM t") == \
+        "SELECT power(t.end, 2) FROM t"
+    assert to_spark_sql("SELECT [1.0, 2.0] ^ 2") == \
+        "SELECT power(array(1.0, 2.0), 2)"
+    assert to_spark_sql("SELECT arr[1] ^ 2 FROM t") == \
+        "SELECT power(arr[0], 2) FROM t"
+
+
+def test_list_aggregate_brace_literal_and_array_types():
+    """Second-review pins: str.format must never see user SQL text
+    (brace struct literals inside list_aggregate crashed); BLOB[]/
+    VARCHAR[] element types normalize inside the composed ARRAY<> token."""
+    out = to_spark_sql("SELECT list_aggregate([{'a': 1.0}.a, 2.0], 'sum')")
+    assert "named_struct('a', 1.0)" in out
+    assert to_spark_sql("SELECT x::BLOB[] FROM t") == \
+        "SELECT x::ARRAY<BINARY> FROM t"
+    assert to_spark_sql("SELECT CAST(x AS BYTEA[]) FROM t") == \
+        "SELECT CAST(x AS ARRAY<BINARY>) FROM t"
+    assert to_spark_sql("SELECT x::VARCHAR[] FROM t") == \
+        "SELECT x::ARRAY<STRING> FROM t"
 
 
 def test_blob_rewrite_is_type_position_only():
@@ -235,6 +257,9 @@ def test_blob_rewrite_is_type_position_only():
     assert to_spark_sql("SELECT blob FROM t") == "SELECT blob FROM t"
     assert to_spark_sql("SELECT x AS blob FROM t") == \
         "SELECT x AS blob FROM t"
+    # a table alias WITH a column list survives too (second review)
+    assert to_spark_sql("SELECT * FROM (VALUES (1)) AS blob(x)") == \
+        "SELECT * FROM (VALUES (1)) AS blob(x)"
 
 
 def test_list_function_renames():
