@@ -637,6 +637,62 @@ def gen_window_exclude(rng: random.Random) -> str:
     )
 
 
+def gen_power_moments(rng: random.Random) -> str:
+    """Power-operator operand shapes (unary signs, ::-casts, CASE,
+    paren groups, precedence vs * and -, left-associativity) and grouped
+    sample skewness/kurtosis — verbatim DuckDB text. Bases are
+    NULL-guarded and positive wherever a fractional result could go
+    complex; every value rounds to 6 d.p. before the compare."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    n1 = rng.choice(t["num"])
+    b = f"(coalesce({i1} % 7, 0) + 2)"
+    if rng.random() < 0.4:  # grouped moment shape
+        g = rng.choice(t["int"])
+        # 3 d.p., not 6: DuckDB's one-pass moment accumulation and
+        # Spark's distributed merge genuinely differ ~1e-6 on
+        # thousand-row groups — a 6 d.p. compare flips on real noise
+        return (
+            f"SELECT {g} % 4 AS k, "
+            f"round(skewness({n1}), 3) AS m1, "
+            f"round(kurtosis({n1}), 3) AS m2, "
+            f"round(kurtosis_pop({n1}), 3) AS m3, "
+            f"round(skewness(coalesce({i2} % 9, 0) ^ 2), 3) AS m4 "
+            f"FROM {name}{_where(rng, t)} "
+            f"GROUP BY 1 ORDER BY k NULLS FIRST"
+        )
+    pool = [
+        f"round({b} ^ 2, 6) AS p1",
+        f"round(2 ^ coalesce({i2} % 5, 0), 6) AS p2",
+        f"round({b} ^ -2, 6) AS p3",
+        f"round({b} ^ 2 ^ 1, 6) AS p4",
+        f"round(CAST({i1} % 5 AS BIGINT)::INTEGER ^ 2, 6) AS p5",
+        f"round(CASE WHEN coalesce({i2}, 0) % 2 = 0 THEN 2 ELSE 3 END "
+        f"^ 2, 6) AS p6",
+        f"round(2 * {b} ^ 2 - 1, 6) AS p7",
+        f"round(sqrt(abs(coalesce({n1}, 1)) + 1) ** 2, 6) AS p8",
+    ]
+    exprs = rng.sample(pool, k=3)
+    uid = t["int"][0]
+    # total order over EVERY output column: uid alone is not unique in
+    # every table, and a LIMIT cutting inside a tie group is
+    # engine-nondeterministic (the standing fuzz rule)
+    return (
+        f"SELECT {uid} AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY 1 NULLS FIRST, 2, 3, 4 LIMIT 300"
+    )
+
+
+@pytest.mark.parametrize("seed", range(300, 316))
+def test_fuzzed_power_moments_matches_oracle(seed, engine, duck):
+    sql = gen_power_moments(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
 @pytest.mark.parametrize("seed", range(292, 300))
 def test_fuzzed_window_exclude_matches_oracle(seed, engine, duck):
     sql = gen_window_exclude(random.Random(seed))
