@@ -199,6 +199,9 @@ _SIMPLE_RENAMES = {
     # the renamed forms re-enter the fixpoint and pick up those rewrites
     "datesub": "date_sub",
     "datediff": "date_diff",
+    # group_concat = string_agg (incl. the 1-arg ',' default) — the
+    # renamed form re-enters the fixpoint and picks up that rewrite
+    "group_concat": "string_agg",
 }
 
 
@@ -707,6 +710,74 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
                 f"aggregate({cl}, CAST(1.0 AS DOUBLE), "
                 f"(acc, v) -> acc * v) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("first", "last") and parts and len(parts[2]) == 1:
+            # ordered first/last: first(x ORDER BY y) is the x of the
+            # minimum y — exactly min_by/max_by [measured]; DESC flips.
+            # The plain (unordered) forms pass through — arbitrary-order
+            # in both engines. Trailing FILTER clauses stay outside
+            # (valid on min_by/max_by).
+            _, close, spans = parts
+            inner = _arg_text(toks, spans[0])
+            mob = re.match(
+                r"^(?P<e>.+?)\s+ORDER\s+BY\s+(?P<k>.+?)"
+                r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
+                inner, re.IGNORECASE | re.DOTALL)
+            if mob:
+                desc = (mob.group("dir") or "").upper() == "DESC"
+                fn = ("max_by" if (name == "first") == desc else "min_by")
+                out.append(
+                    f"{fn}({mob.group('e').strip()}, "
+                    f"{mob.group('k').strip()})")
+                i = close + 1
+                changed = True
+                continue
+        if name in ("fsum", "favg", "kahan_sum", "sumkahan") and parts \
+                and len(parts[2]) == 1:
+            # Kahan-compensated float aggregates: the compensation is an
+            # accuracy detail — DOUBLE sum/avg is the semantic
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            fn = "avg" if name == "favg" else "sum"
+            out.append(f"{fn}(CAST({e} AS DOUBLE))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "fmod" and parts and len(parts[2]) == 2:
+            # FLOORED modulo [measured: fmod(-7.5, 2.0) = 0.5 where C
+            # fmod and Spark % give -1.5]; result DOUBLE
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(f"CAST(((({a}) % ({b})) + ({b})) % ({b}) "
+                       f"AS DOUBLE)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "fdiv" and parts and len(parts[2]) == 2:
+            # floored division, DOUBLE result [measured:
+            # fdiv(-7.5, 2.0) = -4.0]
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(f"CAST(floor(({a}) / ({b})) AS DOUBLE)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "quantile_disc" and parts and len(parts[2]) == 2 \
+                and _arg_text(toks, parts[2][1]).lstrip().startswith("["):
+            # array-of-quantiles form: same ceil(n*q) index rule applied
+            # per element via transform — Spark allows the aggregate
+            # inside the lambda since the lambda maps a literal array
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            qq = _arg_text(toks, spans[1])
+            cl = f"collect_list({x})"
+            out.append(
+                f"transform({qq}, __q -> try_element_at(array_sort({cl}), "
+                f"greatest(CAST(ceil(size({cl}) * __q) AS INT), 1)))")
             i = close + 1
             changed = True
             continue
@@ -1363,6 +1434,18 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                           re.IGNORECASE | re.DOTALL)
             if md:
                 distinct, inner = True, md.group(1)
+            forced_sep = False
+            if name == "string_agg" and len(parts[2]) == 1:
+                # 1-arg form defaults the separator to ',' [measured] —
+                # Spark's own string_agg concatenates with NO separator,
+                # a silent wrong answer if passed through. forced_sep
+                # routes the plain form through the array_join branch
+                # below (otherwise an unmodified call would fall through).
+                m1 = re.match(r"^(?P<e>.*?)(?P<ob>\s+ORDER\s+BY\s+.*)?$",
+                              inner, re.IGNORECASE | re.DOTALL)
+                inner = (m1.group("e").rstrip() + ", ','"
+                         + (m1.group("ob") or ""))
+                forced_sep = True
             collect = "collect_set" if distinct else "collect_list"
             # a trailing FILTER (WHERE …) must move INSIDE the rewritten
             # aggregate — Spark rejects it on the sort_array wrapper
@@ -1417,20 +1500,24 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         sorted_agg = (f"sort_array({agg}, false)" if desc
                                       else f"sort_array({agg})")
                         res = f"array_join({sorted_agg}, {m2.group('sep')})"
-                        if filt:
+                        if filt or forced_sep:
                             res = (f"(CASE WHEN size({agg}) = 0 "
                                    f"THEN NULL ELSE {res} END)")
                         out.append(res)
                         i = fend + 1
                         changed = True
                         continue
-            elif distinct or filt:
+            elif distinct or filt or forced_sep:
                 # DISTINCT without ORDER BY (set semantics, arbitrary
-                # order in DuckDB too), and/or a bare FILTER — the
-                # all-filtered-group → NULL pin applies here too
-                # (review r6)
+                # order in DuckDB too), a bare FILTER (the
+                # all-filtered-group → NULL pin applies here too,
+                # review r6), or a forced default separator
                 def _null_guard(agg: str, res: str) -> str:
-                    if not filt:
+                    # forced_sep routes through array_join, which gives
+                    # '' on an empty/all-NULL group where DuckDB (and
+                    # Spark's native string_agg) give NULL — guard those
+                    # too, not just FILTER
+                    if not (filt or forced_sep):
                         return res
                     return (f"(CASE WHEN size({agg}) = 0 "
                             f"THEN NULL ELSE {res} END)")
@@ -2026,6 +2113,34 @@ def _rewrite_struct_literals(sql: str) -> str:
             changed = True
             break
     return detokenize(toks)
+
+
+def _rewrite_filter_shorthand(sql: str) -> str:
+    """DuckDB allows ``agg(x) FILTER (cond)`` without WHERE; Spark (and
+    the downstream FILTER-aware rewrites) require ``FILTER (WHERE cond)``.
+    A FILTER clause is the ident whose PREVIOUS significant token is the
+    ')' of the aggregate call — the lowercase filter() HOF never follows
+    a ')'."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    out_parts: list[str] = []
+    last = 0
+    for p, ti in enumerate(sig):
+        t = toks[ti]
+        if (t.kind == "ident" and t.text.upper() == "FILTER" and p >= 1
+                and toks[sig[p - 1]].text == ")"
+                and p + 1 < len(sig) and toks[sig[p + 1]].text == "("):
+            open_i = sig[p + 1]
+            j = open_i + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            if j < len(toks) and not (toks[j].kind == "ident"
+                                      and toks[j].text.upper() == "WHERE"):
+                out_parts.append(detokenize(toks[last:open_i + 1]))
+                out_parts.append("WHERE ")
+                last = open_i + 1
+    out_parts.append(detokenize(toks[last:]))
+    return "".join(out_parts)
 
 
 def _rewrite_moment_aggs(sql: str) -> str:
@@ -2904,6 +3019,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
     sql = _rewrite_power_operator(sql)
+    sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_moment_aggs(sql)
     sql = _rewrite_list_comprehension(sql)

@@ -1097,6 +1097,45 @@ def test_function_tranche_r6b_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_agg_forms_batch3_cross_engine(engine, duck):
+    """Batch-3 aggregate/clause forms: 1-arg string_agg defaults the
+    separator to ',' (Spark's native string_agg concatenates with NONE —
+    a silent wrong answer), group_concat alias, FILTER without WHERE,
+    ordered first/last -> min_by/max_by, array-of-quantiles
+    quantile_disc, floored fmod/fdiv, Kahan fsum/favg. string_agg
+    (DISTINCT x) without ORDER BY is excluded — set order is arbitrary
+    in BOTH engines."""
+    cases = [
+        "SELECT string_agg(n_name) AS a FROM nation WHERE n_nationkey < 3",
+        "SELECT string_agg(n_name ORDER BY n_name DESC) AS a "
+        "FROM nation WHERE n_nationkey < 3",
+        "SELECT group_concat(n_name) AS a, group_concat(n_name, '|') AS b "
+        "FROM nation WHERE n_nationkey < 3",
+        # empty group under the forced separator -> NULL, not ''
+        "SELECT string_agg(n_name) FILTER (n_nationkey > 100) AS a "
+        "FROM nation",
+        "SELECT first(n_name ORDER BY n_nationkey) AS f, "
+        "last(n_name ORDER BY n_nationkey) AS l, "
+        "first(n_name ORDER BY n_nationkey DESC) AS fd FROM nation",
+        "SELECT count(*) FILTER (n_regionkey = 1) AS c1, "
+        "sum(n_nationkey) FILTER (n_regionkey > 2) AS c2 FROM nation",
+        "SELECT fmod(7.5, 2.0) AS a, fmod(-7.5, 2.0) AS b, "
+        "fmod(7, 2) AS c, fmod(7.5, -2.0) AS d, "
+        "fdiv(9, 2) AS e2, fdiv(-7.5, 2.0) AS f",
+        "SELECT quantile_disc(n_nationkey, [0.25, 0.5, 0.9]) AS q "
+        "FROM nation",
+        "SELECT round(fsum(c_acctbal), 4) AS s, "
+        "round(favg(c_acctbal), 4) AS a FROM customer",
+        "SELECT n_regionkey AS g, "
+        "string_agg(n_name ORDER BY n_name) AS names "
+        "FROM nation GROUP BY g ORDER BY g",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_moment_aggs_cross_engine(engine, duck):
     """DuckDB skewness/kurtosis are SAMPLE statistics, Spark's are
     population — corrected with n-based factors. Measured pins: skewness
