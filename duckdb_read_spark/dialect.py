@@ -202,6 +202,7 @@ _SIMPLE_RENAMES = {
     # group_concat = string_agg (incl. the 1-arg ',' default) — the
     # renamed form re-enters the fixpoint and picks up that rewrite
     "group_concat": "string_agg",
+    "epoch_us": "unix_micros",
 }
 
 
@@ -475,6 +476,78 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             out.append(
                 f"CAST(signum({_arg_text(toks, spans[0])}) AS INT)")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("dayofweek", "weekday") and parts \
+                and len(parts[2]) == 1:
+            # BOTH are 0-based-Sunday in DuckDB [measured: Thu=4, Sun=0].
+            # Spark's same-named builtins silently differ (dayofweek is
+            # 1-based Sunday, weekday 0-based MONDAY) — emitted via
+            # extract(DAYOFWEEK), which is not a rewrite trigger
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"(extract(DAYOFWEEK FROM {e}) - 1)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "yearweek" and parts and len(parts[2]) == 1:
+            # ISO year * 100 + ISO week [measured: 2024-12-30 -> 202501]
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"(extract(YEAROFWEEK FROM {e}) * 100 + "
+                       f"extract(WEEK FROM {e}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "isoyear" and parts and len(parts[2]) == 1:
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"extract(YEAROFWEEK FROM {e})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "epoch_ns" and parts and len(parts[2]) == 1:
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"(unix_micros({e}) * 1000)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "julian" and parts and len(parts[2]) == 1:
+            # Julian Day, midnight-based [measured: DATE 2024-01-01 ->
+            # 2460311.0, noon -> +0.5] = days since epoch + 2440588
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"(CAST(unix_timestamp({e}) AS DOUBLE) / 86400.0 "
+                       f"+ 2440588.0)")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("decade", "millennium") and parts \
+                and len(parts[2]) == 1:
+            # decade = floor(year/10) [1999 -> 199]; millennium =
+            # ceil(year/1000) [999 -> 1, 2024 -> 3] — note the mixed
+            # floor/ceil, both measured
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            if name == "decade":
+                out.append(f"CAST(floor(year({e}) / 10.0) AS BIGINT)")
+            else:
+                out.append(f"CAST(ceil(year({e}) / 1000.0) AS BIGINT)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "timezone" and parts and len(parts[2]) == 2 \
+                and _arg_text(toks, parts[2][0]).lstrip().startswith("'"):
+            # timezone('Zone', ts): interpret the naive ts in Zone →
+            # instant (displayed in the session's UTC) = to_utc_timestamp
+            # with flipped args. Only the literal-zone-first form is
+            # rewritten; other shapes fail loudly.
+            _, close, spans = parts
+            tz = _arg_text(toks, spans[0])
+            ts = _arg_text(toks, spans[1])
+            out.append(f"to_utc_timestamp({ts}, {tz})")
             i = close + 1
             changed = True
             continue
@@ -983,8 +1056,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             field = _arg_text(toks, spans[0]).strip().strip("'").lower()
             expr = _arg_text(toks, spans[1])
             mapped = {
-                "dow": f"(dayofweek({expr}) - 1)",
-                "isodow": f"(weekday({expr}) + 1)",
+                "dow": f"(extract(DAYOFWEEK FROM {expr}) - 1)",
+                "isodow": f"(((extract(DAYOFWEEK FROM {expr}) + 5) % 7) + 1)",
                 "epoch": f"(CAST(unix_micros(CAST({expr} AS TIMESTAMP))"
                          f" AS DOUBLE) / 1000000.0D)",
             }.get(field)
@@ -1003,8 +1076,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             if m:
                 field, expr = m.group(1).lower(), m.group(2).strip()
                 out.append({
-                    "dow": f"(dayofweek({expr}) - 1)",
-                    "isodow": f"(weekday({expr}) + 1)",
+                    "dow": f"(extract(DAYOFWEEK FROM {expr}) - 1)",
+                    "isodow": f"(((extract(DAYOFWEEK FROM {expr}) + 5) % 7) + 1)",
                     "epoch": f"(CAST(unix_micros(CAST({expr} AS "
                              f"TIMESTAMP)) AS DOUBLE) / 1000000.0D)",
                 }[field])
@@ -1140,7 +1213,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # bare-function form of date_part('isodow'): 1..7 Monday-based
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
-            out.append(f"(weekday({e}) + 1)")
+            out.append(f"(((extract(DAYOFWEEK FROM {e}) + 5) % 7) + 1)")
             i = close + 1
             changed = True
             continue

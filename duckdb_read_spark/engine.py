@@ -2042,6 +2042,8 @@ class Engine:
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
                 r"MACRO\b", query, re.IGNORECASE):
             query = self._substitute_getvariable(query)
+        if re.search(r"current_setting\s*\(", query, re.IGNORECASE):
+            query = self._substitute_current_setting(query)
         mx = _EXECUTE_RE.match(query)
         if mx:
             return self._execute_prepared(
@@ -3560,6 +3562,47 @@ class Engine:
     def _reset_variable(self, name: str) -> DataFrame:
         self._variables.pop(name.lower(), None)
         return self._empty()
+
+    def _substitute_current_setting(self, query: str) -> str:
+        """``current_setting('key')`` → the session value as a literal
+        (token-level). Mirrors the SET pragma surface (D3): timezone and
+        threads read back what SET wrote; unknown keys refuse like
+        DuckB's unrecognized-setting error."""
+        from .dialect import tokenize
+
+        toks = tokenize(query)
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "ident" and t.text.lower() == "current_setting":
+                j = i + 1
+                while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                    j += 1
+                if (j + 2 < len(toks) and toks[j].text == "("
+                        and toks[j + 1].kind == "str"
+                        and toks[j + 2].text == ")"):
+                    key = toks[j + 1].text[1:-1].replace("''", "'").lower()
+                    if key == "timezone":
+                        val = self.spark.conf.get(
+                            "spark.sql.session.timeZone")
+                        out.append("'" + val.replace("'", "''") + "'")
+                    elif key == "threads":
+                        out.append(self.spark.conf.get(
+                            "spark.sql.shuffle.partitions"))
+                    elif key == "enable_external_access":
+                        out.append("true" if self._extensions_allowed
+                                   else "false")
+                    else:
+                        raise ValueError(
+                            f"current_setting: unknown option {key!r} — "
+                            "supported: timezone, threads, "
+                            "enable_external_access")
+                    i = j + 3
+                    continue
+            out.append(t.text)
+            i += 1
+        return "".join(out)
 
     def _substitute_getvariable(self, query: str) -> str:
         """Replace ``getvariable('name')`` call sites with the stored

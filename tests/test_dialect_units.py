@@ -722,9 +722,9 @@ def test_date_part_divergent_fields_rewrite():
     from duckdb_read_spark.dialect import to_spark_sql
 
     out = to_spark_sql("SELECT date_part('dow', d) AS a FROM t")
-    assert "(dayofweek(d) - 1)" in out
+    assert "(extract(DAYOFWEEK FROM d) - 1)" in out
     out = to_spark_sql("SELECT date_part('isodow', d) AS a FROM t")
-    assert "(weekday(d) + 1)" in out
+    assert "(((extract(DAYOFWEEK FROM d) + 5) % 7) + 1)" in out
     out = to_spark_sql("SELECT EXTRACT(EPOCH FROM d) AS a FROM t")
     assert "unix_micros(CAST(d AS TIMESTAMP)" in out  # fractional seconds
     # agreeing fields pass through untouched

@@ -1136,6 +1136,46 @@ def test_agg_forms_batch3_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_temporal_batch4_cross_engine(engine, duck):
+    """Temporal batch: bare dayofweek/weekday are 0-based-SUNDAY in
+    DuckDB while Spark's same-named builtins silently differ (1-based
+    Sunday / 0-based Monday) — the nastiest kind of collision; plus
+    yearweek/isoyear (ISO), epoch_us/ns, julian (midnight-based),
+    decade (floor) vs millennium (ceil), timezone('Zone', ts) →
+    to_utc_timestamp, and current_setting('timezone') reading the
+    session conf."""
+    duck.execute("SET timezone = 'UTC'")
+    cases = [
+        "SELECT dayofweek(DATE '2024-01-04') AS a, "
+        "weekday(DATE '2024-01-04') AS b, "
+        "dayofweek(DATE '2024-01-07') AS c, "
+        "weekday(DATE '2024-01-08') AS d",
+        "SELECT isodow(DATE '2024-01-04') AS a, "
+        "isodow(DATE '2024-01-07') AS b, isodow(DATE '2024-01-08') AS c",
+        "SELECT date_part('isodow', DATE '2024-01-07') AS a, "
+        "extract(isodow FROM DATE '2024-01-08') AS b",
+        "SELECT yearweek(DATE '2024-12-30') AS a, "
+        "yearweek(DATE '2024-01-04') AS b, "
+        "isoyear(DATE '2024-12-30') AS c",
+        "SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:30.5') AS a, "
+        "epoch_ns(TIMESTAMP '2024-01-01 00:00:00.000001') AS b, "
+        "epoch_ms(TIMESTAMP '2024-01-01 00:00:30.5') AS c",
+        "SELECT julian(DATE '2024-01-01') AS a, "
+        "julian(TIMESTAMP '2024-01-01 12:00:00') AS b",
+        "SELECT decade(DATE '1999-05-01') AS a, "
+        "millennium(DATE '0999-05-01') AS b, "
+        "millennium(DATE '2024-05-01') AS c",
+        "SELECT timezone('America/New_York', "
+        "TIMESTAMP '2024-01-15 12:00:00') AS a, "
+        "timezone('Asia/Tokyo', TIMESTAMP '2024-06-15 09:00:00') AS b",
+        "SELECT current_setting('timezone') AS tz",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_moment_aggs_cross_engine(engine, duck):
     """DuckDB skewness/kurtosis are SAMPLE statistics, Spark's are
     population — corrected with n-based factors. Measured pins: skewness
