@@ -786,14 +786,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name in ("first", "last") and parts and len(parts[2]) == 1:
+        if name in ("first", "last") and parts and parts[2]:
             # ordered first/last: first(x ORDER BY y) is the x of the
             # minimum y — exactly min_by/max_by [measured]; DESC flips.
             # The plain (unordered) forms pass through — arbitrary-order
             # in both engines. Trailing FILTER clauses stay outside
-            # (valid on min_by/max_by).
+            # (valid on min_by/max_by). NOTE: the whole inner text, not
+            # arg spans — a multi-key ORDER BY's commas split the spans.
             _, close, spans = parts
-            inner = _arg_text(toks, spans[0])
+            inner = detokenize(toks[parts[0] + 1:close]).strip()
             mob = re.match(
                 r"^(?P<e>.+?)\s+ORDER\s+BY\s+(?P<k>.+?)"
                 r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
@@ -801,9 +802,21 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             if mob:
                 desc = (mob.group("dir") or "").upper() == "DESC"
                 fn = ("max_by" if (name == "first") == desc else "min_by")
-                out.append(
-                    f"{fn}({mob.group('e').strip()}, "
-                    f"{mob.group('k').strip()})")
+                key = mob.group("k").strip()
+                # multi-key ORDER BY: wrap in a struct — struct ordering
+                # is lexicographic, matching the multi-key sort. (A
+                # top-level comma is the tell; commas inside calls are
+                # depth > 0.)
+                depth = 0
+                for ch in key:
+                    if ch in "([":
+                        depth += 1
+                    elif ch in ")]":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        key = f"struct({key})"
+                        break
+                out.append(f"{fn}({mob.group('e').strip()}, {key})")
                 i = close + 1
                 changed = True
                 continue

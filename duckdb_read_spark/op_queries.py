@@ -2020,6 +2020,40 @@ def _q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.duplicate_spans(docs, window=20, min_docs=2)
 
 
+_Q142_TEXT = """
+SELECT o_orderpriority AS pri,
+       string_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus)
+         AS statuses,
+       first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_k,
+       last(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_k,
+       count(*) FILTER (dayofweek(o_orderdate) = 0) AS sundays,
+       count(*) FILTER (yearweek(CAST(o_orderdate AS DATE)) % 2 = 0)
+         AS even_weeks
+FROM orders
+GROUP BY pri ORDER BY pri
+"""
+
+
+@_op("q142_function_breadth", _Q142_TEXT,
+     note="late-r6 function breadth from VERBATIM DuckDB SQL: 1-arg "
+          "string_agg default ',' separator (a silent wrong answer "
+          "before the rewrite), DISTINCT+ORDER BY form, ordered "
+          "first/last over a MULTI-KEY sort (struct-wrapped min_by/"
+          "max_by), the FILTER-without-WHERE shorthand, and the "
+          "dayofweek/yearweek collision fixes (0-based-Sunday / "
+          "ISO year*100+week) — all inside one grouped query whose "
+          "plan is a single partial->final aggregation")
+def _q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q142_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q142_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
