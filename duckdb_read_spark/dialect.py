@@ -167,6 +167,8 @@ _SIMPLE_RENAMES = {
     "printf": "format_string",         # both C-style %s/%d
     "array_length": "size",            # 1-arg list-length form
     "list_value": "array",
+    "list_pack": "array",
+    "array_zip": "arrays_zip",
     # literal-separator split aliases; Spark's split treats the separator
     # as a regex (same caveat the existing string_split mapping carries)
     "str_split": "split",
@@ -828,6 +830,40 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             e = _arg_text(toks, spans[0])
             fn = "avg" if name == "favg" else "sum"
             out.append(f"{fn}(CAST({e} AS DOUBLE))")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("ltrim", "rtrim", "trim") and parts \
+                and len(parts[2]) == 2:
+            # 2-arg trim family: DuckDB is (string, trim_chars) but
+            # Spark's 2-arg forms are (trim_chars, string) — REVERSED;
+            # passing through silently trims the wrong operand
+            # (ltrim('xxaxx','x') returned '' instead of 'axx'). Emitted
+            # as the TRIM(LEADING … FROM …) keyword form — a swapped
+            # 2-arg emission would re-trigger this rewrite forever.
+            _, close, spans = parts
+            s = _arg_text(toks, spans[0])
+            chars = _arg_text(toks, spans[1])
+            side = {"ltrim": "LEADING", "rtrim": "TRAILING",
+                    "trim": "BOTH"}[name]
+            out.append(f"TRIM({side} {chars} FROM {s})")
+            i = close + 1
+            changed = True
+            continue
+        # NOTE deliberately NOT rewritten: DuckDB's element_at is a
+        # map_extract alias (returns a one-element LIST), but the
+        # map_extract rewrite itself EMITS Spark element_at — renaming
+        # element_at -> map_extract here loops the fixpoint forever.
+        # DuckDB map access spells map_extract or brackets in this
+        # dialect; a bare element_at keeps Spark's scalar semantics
+        # (documented in SURVEY §2.4.15b's family of lookalikes).
+        if name == "constant_or_null" and parts and len(parts[2]) == 2:
+            # returns arg1 unless arg2 is NULL [measured]
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(f"(CASE WHEN ({b}) IS NULL THEN NULL "
+                       f"ELSE ({a}) END)")
             i = close + 1
             changed = True
             continue

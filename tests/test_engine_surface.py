@@ -1136,6 +1136,28 @@ def test_agg_forms_batch3_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_trim_and_misc_batch5_cross_engine(engine, duck):
+    """2-arg ltrim/rtrim/trim take (string, chars) in DuckDB but Spark's
+    2-arg forms are REVERSED — emitted as TRIM(LEADING/TRAILING/BOTH …
+    FROM …) since a swapped re-emission would re-trigger forever. Plus
+    list_pack/array_zip aliases and constant_or_null."""
+    cases = [
+        "SELECT ltrim('xxaxx', 'x') AS a, rtrim('xxaxx', 'x') AS b, "
+        "trim('xyaxy', 'xy') AS c, ltrim('ab', '') AS d, "
+        "ltrim('', 'x') AS e2, ltrim('  pad  ') AS f, "
+        "trim('  pad  ') AS g",
+        "SELECT n_nationkey AS k, trim(n_name, 'N_0123456789') AS t "
+        "FROM nation ORDER BY k LIMIT 5",
+        "SELECT list_pack(1, 2, 3) AS p, array_zip([1, 2], [3, 4]) AS z",
+        "SELECT constant_or_null(42, 1) AS a, "
+        "constant_or_null(42, NULL) AS b",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_temporal_batch4_cross_engine(engine, duck):
     """Temporal batch: bare dayofweek/weekday are 0-based-SUNDAY in
     DuckDB while Spark's same-named builtins silently differ (1-based
