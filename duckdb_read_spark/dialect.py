@@ -345,8 +345,28 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "list_concat" and parts:
-            out.append("concat")  # Spark concat() is array-polymorphic
-            i += 1
+            # Spark flatten(array(a, b, …)) concatenates lists without
+            # spelling "concat" — which is now the STRING rewrite below
+            # (DuckDB concat stringifies even list arguments)
+            _, close, spans = parts
+            args = ", ".join(_arg_text(toks, sp) for sp in spans)
+            out.append(f"flatten(array({args}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "concat" and parts and parts[2]:
+            # DuckDB concat is STRING concatenation that casts every
+            # argument and SKIPS NULLs [measured: concat('a', NULL, 'b')
+            # = 'ab', concat(NULL, NULL) = '', concat(1, 2.5, DATE …)
+            # stringifies] — Spark's concat is NULL-propagating and
+            # array-polymorphic, a silent wrong answer on NULLs.
+            # concat_ws('') reproduces the NULL-skip; per-arg CAST
+            # reproduces the stringify.
+            _, close, spans = parts
+            args = ", ".join(f"CAST({_arg_text(toks, sp)} AS STRING)"
+                             for sp in spans)
+            out.append(f"concat_ws('', {args})")
+            i = close + 1
             changed = True
             continue
         if name == "quantile_cont" and parts:
@@ -447,7 +467,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             m = re.fullmatch(r"'([ism]+)'", flags)
             if m:
                 out.append(
-                    f"regexp_like({subj}, concat('(?{m.group(1)})', {pat}))")
+                    f"regexp_like({subj}, '(?{m.group(1)})' || {pat})")
                 i = close + 1
                 changed = True
                 continue
@@ -830,6 +850,46 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             e = _arg_text(toks, spans[0])
             fn = "avg" if name == "favg" else "sum"
             out.append(f"{fn}(CAST({e} AS DOUBLE))")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("left", "right") and parts and len(parts[2]) == 2:
+            # NEGATIVE counts mean "all but n from the other end" in
+            # DuckDB [measured: left('abcde', -2) = 'abc',
+            # right('abcde', -2) = 'cde'] — Spark returns '' there.
+            # substring-only emissions (left/right would re-trigger).
+            _, close, spans = parts
+            s = _arg_text(toks, spans[0])
+            n = _arg_text(toks, spans[1])
+            if name == "left":
+                body = (f"(CASE WHEN ({n}) < 0 THEN substring({s} FROM 1 "
+                        f"FOR greatest(length({s}) + ({n}), 0)) "
+                        f"ELSE substring({s} FROM 1 FOR {n}) END)")
+            else:
+                body = (f"(CASE WHEN ({n}) < 0 THEN "
+                        f"substring({s} FROM 1 - ({n})) "
+                        f"ELSE substring({s} FROM "
+                        f"greatest(length({s}) - ({n}) + 1, 1)) END)")
+            out.append(body)
+            i = close + 1
+            changed = True
+            continue
+        if name in ("substr", "substring") and parts \
+                and len(parts[2]) == 3:
+            # start 0 with a length: DuckDB counts the nonexistent
+            # position 0 against the length [measured:
+            # substr('abcde', 0, 3) = 'ab'; Spark gives 'abc']. Negative
+            # and positive starts already agree.
+            _, close, spans = parts
+            s = _arg_text(toks, spans[0])
+            st = _arg_text(toks, spans[1])
+            ln = _arg_text(toks, spans[2])
+            out.append(
+                f"(CASE WHEN ({st}) = 0 THEN substring({s} FROM 1 "
+                f"FOR greatest(({ln}) - 1, 0)) "
+                f"ELSE substring({s} FROM {st} FOR {ln}) END)")
+            # FROM/FOR keyword form everywhere above: a comma'd 3-arg
+            # substring emission would re-enter this very rewrite
             i = close + 1
             changed = True
             continue
@@ -1370,13 +1430,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             kth = f"CAST(floor(({chars} - floor({chars})) * 8) AS INT)"
             eighths = ("array('', '▏', '▎', '▍', "
                        "'▌', '▋', '▊', '▉')")
-            body = (f"concat(repeat('█', {full}), "
+            body = (f"(repeat('█', {full}) || "
                     f"element_at({eighths}, {kth} + 1))")
             bytelen = (f"({full} * 3 + CASE WHEN {kth} > 0 THEN 3 "
                        f"ELSE 0 END)")
             out.append(
                 f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
-                f"ELSE concat({body}, repeat(' ', "
+                f"ELSE ({body} || repeat(' ', "
                 f"greatest(0, CAST(({w}) AS INT) - {bytelen}))) END)")
             i = close + 1
             changed = True
@@ -1386,7 +1446,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # 1 -> '1 byte', 1500 -> '1.4 KiB' (not 1.5), 1047552 ->
             # '1023.0 KiB', -2048 -> '-2.0 KiB', 0 -> '0 bytes']
             _, close, spans = parts
-            e = _arg_text(toks, spans[0])
+            # the BIGINT cast types a bare NULL literal (VOID would fail
+            # analysis inside abs()/DIV) and pins integer math
+            e = f"CAST({_arg_text(toks, spans[0])} AS BIGINT)"
             # the ladder stops at PiB [measured: 1024^6 -> '1024.0 PiB',
             # no EiB tier in DuckDB]
             tiers = [("KiB", 1024), ("MiB", 1024**2), ("GiB", 1024**3),
@@ -1401,15 +1463,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 if idx < len(tiers) - 1:
                     cond += "THEN "
                 ladder.append(
-                    f"{cond}concat(CAST(abs({e}) DIV {div} AS STRING), "
-                    f"'.', CAST((abs({e}) % {div}) * 10 DIV {div} "
-                    f"AS STRING), ' {unit}')")
+                    f"{cond}(CAST(abs({e}) DIV {div} AS STRING) || "
+                    f"'.' || CAST((abs({e}) % {div}) * 10 DIV {div} "
+                    f"AS STRING) || ' {unit}')")
             out.append(
-                f"(CASE WHEN abs({e}) = 1 THEN concat(CAST({e} AS STRING), "
+                f"(CASE WHEN abs({e}) = 1 THEN (CAST({e} AS STRING) || "
                 f"' byte') WHEN abs({e}) < 1024 THEN "
-                f"concat(CAST({e} AS STRING), ' bytes') ELSE "
-                f"concat(CASE WHEN ({e}) < 0 THEN '-' ELSE '' END, "
-                f"CASE {' '.join(ladder)} END) END)")
+                f"(CAST({e} AS STRING) || ' bytes') ELSE "
+                f"((CASE WHEN ({e}) < 0 THEN '-' ELSE '' END) || "
+                f"(CASE {' '.join(ladder)} END)) END)")
             i = close + 1
             changed = True
             continue

@@ -268,7 +268,7 @@ def test_list_function_renames():
     assert to_spark_sql("SELECT list_reverse_sort(a) FROM t") == \
         "SELECT sort_array(a, false) FROM t"
     assert to_spark_sql("SELECT list_concat(a, b) FROM t") == \
-        "SELECT concat(a, b) FROM t"
+        "SELECT flatten(array(a, b)) FROM t"  # concat is the STRING rewrite now
     # len() over a list_* call is array-typed → size, not length
     assert "size(array_distinct" in to_spark_sql("SELECT len(list_distinct(t)) FROM d")
 

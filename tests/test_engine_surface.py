@@ -1158,6 +1158,38 @@ def test_trim_and_misc_batch5_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_concat_and_string_edges_cross_engine(engine, duck):
+    """concat is STRING concatenation in DuckDB: casts every argument
+    and SKIPS NULLs (concat('a', NULL, 'b') = 'ab') where Spark's
+    concat NULL-propagates — rewritten through concat_ws(''). left/
+    right accept NEGATIVE counts ("all but n from the other end");
+    substr with start 0 counts the nonexistent position against the
+    length. list_concat now emits flatten(array(...)) since "concat"
+    is the string rewrite."""
+    cases = [
+        "SELECT concat('a', NULL, 'b') AS a, concat(NULL, NULL) AS b, "
+        "concat(1, 2.5, DATE '2024-01-01') AS c, concat('x') AS d",
+        "SELECT left('abcde', -2) AS a, right('abcde', -2) AS b, "
+        "left('abcde', 0) AS c, left('abcde', 10) AS d, "
+        "right('abcde', 10) AS e2, left(NULL, 2) AS f, "
+        "left('abc', NULL) AS g, right('abcde', 0) AS h",
+        "SELECT substr('abcde', 0, 3) AS a, substr('abcde', -2, 1) AS b, "
+        "substr('abcde', 2, 2) AS c, substr('abcde', 0) AS d, "
+        "substr('abcde', -2) AS e2",
+        "SELECT list_concat([1, 2], [3]) AS a",
+        "SELECT n_nationkey AS k, "
+        "concat(n_name, NULL, '-', n_regionkey) AS c "
+        "FROM nation ORDER BY k LIMIT 4",
+        # bar()/format_bytes() survived the || conversion incl. NULLs
+        "SELECT bar(3, 0, 10, 10) AS a, format_bytes(1500) AS b, "
+        "format_bytes(NULL) AS c, bar(NULL, 0, 10, 5) AS d",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_temporal_batch4_cross_engine(engine, duck):
     """Temporal batch: bare dayofweek/weekday are 0-based-SUNDAY in
     DuckDB while Spark's same-named builtins silently differ (1-based
