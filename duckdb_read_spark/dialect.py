@@ -2299,6 +2299,78 @@ def _rewrite_struct_literals(sql: str) -> str:
     return detokenize(toks)
 
 
+# integer target-type spellings whose CASTs round in DuckDB
+_INT_CAST_TARGETS = frozenset({
+    "INT", "INTEGER", "INT4", "SIGNED", "BIGINT", "INT8", "LONG",
+    "SMALLINT", "INT2", "SHORT", "TINYINT", "INT1",
+})
+
+
+def _rewrite_integer_cast_rounding(sql: str) -> str:
+    """DuckDB CAST(x AS <integer type>) ROUNDS half away from zero
+    [measured: CAST(3.7 AS INTEGER) = 4, CAST(-3.7 ...) = -4,
+    CAST('3.7' ...) = 4]; Spark TRUNCATES (3) — a silent wrong answer on
+    every fractional-to-integer cast. Wrapped as
+    CAST(round(CAST(x AS DECIMAL(38,9))) AS T): the decimal hop keeps
+    BIGINT-magnitude values exact (a double hop corrupts > 2^53), makes
+    numeric STRINGS round like DuckDB's string casts, and Spark's
+    HALF_UP on decimals is away-from-zero for negatives, matching.
+    Residual documented divergence: a DOUBLE exactly at .5 uses
+    banker's rounding in DuckDB (2.5 -> 2) but half-up here (3).
+    TRY_CAST gets the same treatment with try_cast hops (NULL-safe).
+    Runs BEFORE the call rewrites so the engine's own emitted casts
+    (ceil indexes etc.) aren't wrapped. Single FORWARD pass — the
+    replacement contains a matching outer CAST, so rescanning would
+    wrap forever; nesting is handled by recursing into the inner
+    expression text instead."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    pos_of = {raw: p for p, raw in enumerate(sig)}
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "ident" and t.text.upper() in ("CAST", "TRY_CAST")
+                and i in pos_of):
+            p = pos_of[i]
+            if p + 1 < len(sig) and toks[sig[p + 1]].text == "(":
+                open_i = sig[p + 1]
+                try:
+                    close_i = _find_close(toks, open_i)
+                except ValueError:
+                    close_i = None
+                if close_i is not None:
+                    inner_sig = [k for k in sig if open_i < k < close_i]
+                    if len(inner_sig) >= 3:
+                        ty = toks[inner_sig[-1]]
+                        as_tok = toks[inner_sig[-2]]
+                        depth = 0
+                        for k in range(open_i, inner_sig[-2]):
+                            if toks[k].text in ("(", "["):
+                                depth += 1
+                            elif toks[k].text in (")", "]"):
+                                depth -= 1
+                        if (ty.kind == "ident"
+                                and ty.text.upper() in _INT_CAST_TARGETS
+                                and as_tok.kind == "ident"
+                                and as_tok.text.upper() == "AS"
+                                and depth == 1):
+                            fn = t.text.upper()
+                            expr = _rewrite_integer_cast_rounding(
+                                detokenize(
+                                    toks[open_i + 1:inner_sig[-2]]
+                                ).strip())
+                            out.append(
+                                f"{fn}(round({fn}({expr} "
+                                f"AS DECIMAL(38,9))) "
+                                f"AS {ty.text.upper()})")
+                            i = close_i + 1
+                            continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_filter_shorthand(sql: str) -> str:
     """DuckDB allows ``agg(x) FILTER (cond)`` without WHERE; Spark (and
     the downstream FILTER-aware rewrites) require ``FILTER (WHERE cond)``.
@@ -3202,6 +3274,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_window_exclude(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
+    sql = _rewrite_integer_cast_rounding(sql)
     sql = _rewrite_power_operator(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_calls(sql, column_kinds)

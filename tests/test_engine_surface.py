@@ -1158,6 +1158,33 @@ def test_trim_and_misc_batch5_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_integer_cast_rounding_cross_engine(engine, duck):
+    """DuckDB CAST to integer types ROUNDS half away from zero; Spark
+    truncates — every fractional-to-int cast was a silent wrong answer.
+    The decimal hop keeps BIGINT magnitudes exact and makes numeric
+    strings round too. Known residual: DOUBLE exactly at .5 uses
+    banker's in DuckDB; and x::INT postfix casts are not wrapped
+    (documented)."""
+    cases = [
+        "SELECT CAST(3.7 AS INTEGER) AS a, CAST(-3.7 AS INTEGER) AS b, "
+        "CAST(3.5 AS INTEGER) AS c, CAST(2.5 AS INTEGER) AS d, "
+        "CAST(-2.5 AS INT) AS e2, CAST(3 AS INTEGER) AS f",
+        "SELECT CAST('3.7' AS INTEGER) AS a, TRY_CAST('3.7' AS INT) AS b, "
+        "TRY_CAST('nope' AS INT) AS c",
+        "SELECT CAST(3.7 AS BIGINT) AS a, CAST(9007199254740993.2 "
+        "AS BIGINT) AS b, CAST(1.5 AS SMALLINT) AS c, "
+        "CAST(1.5 AS TINYINT) AS d",
+        "SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "AS cents, c_custkey AS k FROM customer ORDER BY k LIMIT 10",
+        "SELECT CAST(CASE WHEN n_nationkey % 2 = 0 THEN 1.5 ELSE 2.5 END "
+        "AS INT) AS r, n_nationkey AS k FROM nation ORDER BY k LIMIT 6",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_concat_and_string_edges_cross_engine(engine, duck):
     """concat is STRING concatenation in DuckDB: casts every argument
     and SKIPS NULLs (concat('a', NULL, 'b') = 'ab') where Spark's
