@@ -927,6 +927,18 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name in ("multiply", "subtract", "add") and parts \
+                and len(parts[2]) == 2:
+            # operator-function spellings (type-safe, unlike divide()
+            # whose //-semantics depend on operand types — left loud)
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            op = {"multiply": "*", "subtract": "-", "add": "+"}[name]
+            out.append(f"(({a}) {op} ({b}))")
+            i = close + 1
+            changed = True
+            continue
         if name == "fmod" and parts and len(parts[2]) == 2:
             # FLOORED modulo [measured: fmod(-7.5, 2.0) = 0.5 where C
             # fmod and Spark % give -1.5]; result DOUBLE

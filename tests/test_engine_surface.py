@@ -1178,6 +1178,8 @@ def test_integer_cast_rounding_cross_engine(engine, duck):
         "AS cents, c_custkey AS k FROM customer ORDER BY k LIMIT 10",
         "SELECT CAST(CASE WHEN n_nationkey % 2 = 0 THEN 1.5 ELSE 2.5 END "
         "AS INT) AS r, n_nationkey AS k FROM nation ORDER BY k LIMIT 6",
+        "SELECT multiply(3, 4) AS a, subtract(5, 2) AS b, "
+        "add(1, 2) AS c, mod(7, 3) AS d",
     ]
     for q in cases:
         got = _rows(engine.sql(q, dialect="duckdb"))
