@@ -171,9 +171,7 @@ _SIMPLE_RENAMES = {
     "array_zip": "arrays_zip",
     # literal-separator split aliases; Spark's split treats the separator
     # as a regex (same caveat the existing string_split mapping carries)
-    "str_split": "split",
-    "string_to_array": "split",
-    "regexp_split_to_array": "split",  # genuinely regex on both
+    "regexp_split_to_array": "__regex_split__",  # genuinely regex on both
     "to_hex": "hex",
     "ucase": "upper",
     "lcase": "lower",
@@ -184,8 +182,11 @@ _SIMPLE_RENAMES = {
     "list_reverse": "reverse",
     # string/position aliases (measured: no-match → 0 on both)
     "strpos": "instr",
-    "string_split_regex": "split",  # genuinely regex on both
-    "str_split_regex": "split",
+    # regex-split spellings go through a MARKER: the literal-split
+    # branch below owns the bare "split" name, and a direct rename
+    # would re-enter it and regex-quote an intentional regex
+    "string_split_regex": "__regex_split__",
+    "str_split_regex": "__regex_split__",
     "json_keys": "json_object_keys",
     # batch-2 aliases (measured identical semantics)
     "array_reverse": "reverse",
@@ -283,9 +284,33 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         name = t.text.lower() if t.kind == "ident" else None
         parts = call_parts(i) if name else None
 
-        if name == "string_split" and parts:
-            out.append("split")
-            i += 1
+        if name in ("string_split", "str_split", "string_to_array",
+                    "split") and parts and len(parts[2]) == 2:
+            # DuckDB's split family takes a LITERAL separator; Spark's
+            # split() is REGEX — string_split('a|b', '|') silently split
+            # every character. Literal separators are regex-escaped at
+            # rewrite time; dynamic ones are \Q…\E-quoted. Emitted via
+            # the __regex_split__ marker (resolved to split by the final
+            # keyword pass) so the bare "split" name can own this branch.
+            _, close, spans = parts
+            sv = _arg_text(toks, spans[0])
+            sep_toks = [k for k in range(*spans[1])
+                        if toks[k].kind not in ("ws", "comment")]
+            if len(sep_toks) == 1 and toks[sep_toks[0]].kind == "str":
+                import re as _re
+
+                inner2 = toks[sep_toks[0]].text[1:-1]
+                raw = inner2.replace("\\\\", "\\")  # undo literal doubling
+                if raw == "":
+                    lit = "''"  # empty separator: per-char in both
+                else:
+                    lit = "'" + _embed_regex_literal(_re.escape(raw)) + "'"
+                out.append(f"__regex_split__({sv}, {lit})")
+            else:
+                sep = _arg_text(toks, spans[1])
+                out.append(f"__regex_split__({sv}, "
+                           f"'\\\\Q' || ({sep}) || '\\\\E')")
+            i = close + 1
             changed = True
             continue
         if name == "len" and parts:
@@ -1583,6 +1608,18 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
+        if name == "regexp_extract" and parts and len(parts[2]) == 2:
+            # DuckDB's 2-arg regexp_extract returns the WHOLE match
+            # (group 0); Spark's 2-arg form defaults to group 1 — a
+            # silent wrong answer whenever the pattern has groups. The
+            # emitted 3-arg call doesn't re-match this 2-arg branch.
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            out.append(f"regexp_extract({a}, {b}, 0)")
+            i = close + 1
+            changed = True
+            continue
         if name == "regexp_replace" and parts and len(parts[2]) == 4:
             _, close, spans = parts
             flag = _arg_text(toks, spans[3])
@@ -2185,6 +2222,12 @@ def _glob_to_regex(pat: str) -> str:
     i, n = 0, len(pat)
     while i < n:
         ch = pat[i]
+        if ch == "\\" and i + 1 < n:
+            # glob backslash escapes the next char: 'C:\*' matches a
+            # literal '*' [second-review probe]
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             out.append(".*")
         elif ch == "?":
@@ -2242,14 +2285,21 @@ def _rewrite_match_operators(sql: str) -> str:
             if (pos + 2 < len(sig)
                     and toks[sig[pos + 1]].text.upper() == "TO"
                     and toks[sig[pos + 2]].kind == "str"):
-                pat = _embed_regex_literal(toks[sig[pos + 2]].text[1:-1])
+                # the literal text is already Spark-escaped by
+                # _rewrite_raw_string_literals (backslashes doubled) —
+                # embedding it verbatim in a new literal round-trips to
+                # the raw pattern; _embed_regex_literal here would
+                # QUADRUPLE ('a\.b' stopped matching)
+                pat = toks[sig[pos + 2]].text[1:-1]
                 repl = f"RLIKE '^(?:{pat})$'"
                 toks = (toks[:i] + [Tok("other", repl)]
                         + toks[sig[pos + 2] + 1:])
         elif u == "GLOB":
             if pos + 1 < len(sig) and toks[sig[pos + 1]].kind == "str":
-                pat = _embed_regex_literal(
-                    _glob_to_regex(toks[sig[pos + 1]].text[1:-1]))
+                # glob→regex needs the RAW pattern: undo the literal
+                # doubling first, then Spark-escape the built regex
+                raw = toks[sig[pos + 1]].text[1:-1].replace("\\\\", "\\")
+                pat = _embed_regex_literal(_glob_to_regex(raw))
                 repl = f"RLIKE '^(?:{pat})$'"
                 toks = (toks[:i] + [Tok("other", repl)]
                         + toks[sig[pos + 1] + 1:])
@@ -2409,6 +2459,89 @@ def _rewrite_filter_shorthand(sql: str) -> str:
                 last = open_i + 1
     out_parts.append(detokenize(toks[last:]))
     return "".join(out_parts)
+
+
+def _rewrite_raw_string_literals(sql: str) -> str:
+    """DuckDB single-quoted literals are RAW (no backslash escapes);
+    Spark's default literal parser processes escapes, so a user-written
+    ``'\\d+'`` regex silently loses its backslash ('d+'). Runs FIRST:
+    every backslash in every string literal doubles, reproducing raw
+    semantics exactly — for regexes AND ordinary text ('a\\nb' is
+    backslash-n in DuckDB, not a newline). Later passes that build
+    their own literals (e.g. _embed_regex_literal) already emit
+    Spark-escaped text and must NOT run through this."""
+    toks = tokenize(sql)
+    changed = False
+    for t in toks:
+        if t.kind == "str" and "\\" in t.text:
+            t.text = t.text[0] + t.text[1:-1].replace("\\", "\\\\") \
+                + t.text[-1]
+            changed = True
+    return detokenize(toks) if changed else sql
+
+
+def _convert_re2_replacement(lit: str) -> str:
+    """Convert a replacement literal from RE2 style (DuckDB: ``\\1``
+    backrefs, bare ``$``) to Java style (Spark: ``$1`` backrefs,
+    escaped dollar). Operates on the SQL-literal text AFTER
+    _rewrite_raw_string_literals doubled the backslashes, so a DuckDB
+    ``\\1`` appears here as two chars ``\\\\1`` and a literal backslash
+    as four."""
+    body = lit[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        if body.startswith("\\\\\\\\", i):  # literal backslash (doubled)
+            out.append("\\\\\\\\")
+            i += 4
+            continue
+        if body.startswith("\\\\", i) and i + 2 < len(body) + 1 \
+                and i + 2 <= len(body) - 1 and body[i + 2].isdigit():
+            out.append("$" + body[i + 2])
+            i += 3
+            continue
+        if body[i] == "$":
+            # bare $ must reach Java as \$ — at the SQL-literal level
+            # that is two backslashes + $
+            out.append("\\\\$")
+            i += 1
+            continue
+        out.append(body[i])
+        i += 1
+    return lit[0] + "".join(out) + lit[0]
+
+
+def _rewrite_regexp_replacement(sql: str) -> str:
+    """DuckDB regexp_replace replacement strings use RE2 ``\\1``
+    backreferences; Spark's use Java ``$1`` — '\\2 \\1' passed through
+    silently produces garbage. Single pass AFTER the call rewrites (the
+    4-arg 'g' branch has already dropped the flag); only literal
+    replacement arguments are converted."""
+    toks = tokenize(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "ident" and t.text.lower() == "regexp_replace":
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            if j < len(toks) and toks[j].text == "(":
+                close = _find_close(toks, j)
+                spans = _split_args(toks, j, close)
+                if len(spans) >= 3:
+                    rep_toks = [k for k in range(*spans[2])
+                                if toks[k].kind not in ("ws", "comment")]
+                    if len(rep_toks) == 1 \
+                            and toks[rep_toks[0]].kind == "str":
+                        toks[rep_toks[0]].text = _convert_re2_replacement(
+                            toks[rep_toks[0]].text)
+                out.append(detokenize(toks[i:close + 1]))
+                i = close + 1
+                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_moment_aggs(sql: str) -> str:
@@ -2645,7 +2778,9 @@ def _rewrite_keywords(sql: str) -> str:
         if t.kind != "ident":
             continue
         up = t.text.upper()
-        if up == "VARCHAR":
+        if t.text == "__regex_split__":
+            t.text = "split"  # marker from the literal/regex split split
+        elif up == "VARCHAR":
             t.text = "STRING"
         elif up in ("BLOB", "BYTEA"):
             # only in TYPE position — a column/alias named blob must
@@ -3276,6 +3411,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     ``column_kinds`` (lowercased column name → 'array' | 'string') makes
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
+    sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_pivot(sql)
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_asof_join(sql)
@@ -3290,6 +3426,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_power_operator(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_calls(sql, column_kinds)
+    sql = _rewrite_regexp_replacement(sql)
     sql = _rewrite_moment_aggs(sql)
     sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_struct_literals(sql)

@@ -14,7 +14,7 @@ from duckdb_read_spark.engine import split_statements
 
 def test_function_renames():
     assert to_spark_sql("SELECT len(string_split(x, ' ')) FROM t") == \
-        "SELECT size(split(x, ' ')) FROM t"
+        "SELECT size(split(x, '\\\\ ')) FROM t"  # literal sep, regex-escaped
 
 
 def test_unnest_to_explode():
@@ -130,7 +130,7 @@ def test_len_string_vs_array():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert to_spark_sql("SELECT len(string_split(x,' '))") == \
-            "SELECT size(split(x,' '))"
+            "SELECT size(split(x, '\\\\ '))"
         assert to_spark_sql("SELECT len(embedding) FROM embeddings") == \
             "SELECT size(embedding) FROM embeddings"
 
@@ -277,7 +277,7 @@ def test_slice_rewrite():
     assert to_spark_sql("SELECT t[1:12] FROM d") == "SELECT slice(t, 1, 12) FROM d"
     assert to_spark_sql("SELECT a.t[2:5] FROM d") == "SELECT slice(a.t, 2, 4) FROM d"
     assert to_spark_sql("SELECT string_split(x, ' ')[1:3] FROM d") == \
-        "SELECT slice(split(x, ' '), 1, 3) FROM d"
+        "SELECT slice(split(x, '\\\\ '), 1, 3) FROM d"
     # single-index subscript untouched by the slice pass (1-based shift only)
     assert to_spark_sql("SELECT t[3] FROM d") == "SELECT t[2] FROM d"
 
@@ -674,7 +674,7 @@ def test_list_comprehension_rewrites():
     assert to_spark_sql("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS l") == \
         "SELECT transform(filter(array(1, 2, 3), x -> x > 1), x -> x * 2) AS l"
     assert to_spark_sql("SELECT [upper(s) FOR s IN string_split(t, ' ')] AS l FROM d") == \
-        "SELECT transform(split(t, ' '), s -> upper(s)) AS l FROM d"
+        "SELECT transform(split(t, '\\\\ '), s -> upper(s)) AS l FROM d"
     # nested comprehension
     out = to_spark_sql("SELECT [[y + 1 FOR y IN x] FOR x IN [[1], [2]]] AS l")
     assert out.count("transform(") == 2 and "FOR" not in out

@@ -1158,6 +1158,47 @@ def test_trim_and_misc_batch5_cross_engine(engine, duck):
         assert got == want, q
 
 
+def test_regex_and_literal_semantics_cross_engine(engine, duck):
+    """Three coupled raw-string fixes: DuckDB string literals are RAW
+    (a user '\\d+' regex silently lost its backslash in Spark's escaping
+    literal parser — now every literal doubles its backslashes);
+    regexp_replace replacement strings use RE2 \\1 backrefs (Java wants
+    $1, and bare $ must escape); 2-arg regexp_extract defaults to group
+    0, not Spark's 1. And DuckDB's split family takes LITERAL
+    separators where Spark split() is regex — string_split('a|b', '|')
+    split every character before the rewrite."""
+    cases = [
+        r"SELECT regexp_replace('john smith', '(\w+) (\w+)', '\2 \1', "
+        r"'g') AS a, regexp_replace('abc', '(b)', '[\1]', 'g') AS b, "
+        r"regexp_replace('a$b', '\$', 'USD', 'g') AS c, "
+        r"regexp_replace('x', 'x', 'a$b', 'g') AS d, "
+        r"regexp_replace('x', 'x', 'p\\q', 'g') AS e2",
+        r"SELECT regexp_extract('abc123', '([a-z]+)(\d+)', 1) AS a, "
+        r"regexp_extract('abc123', '([a-z]+)(\d+)', 2) AS b, "
+        r"regexp_extract('abc123', '([a-z]+)(\d+)') AS c, "
+        r"regexp_extract('abc', '(x)?(b)', 2) AS e2, "
+        r"regexp_extract('abc', 'zzz') AS f",
+        r"SELECT 'a\nb' AS raw1, length('a\nb') AS raw2, '\d+' AS raw3",
+        r"SELECT regexp_matches('a7', '\d') AS m1, "
+        r"'a.b' SIMILAR TO 'a\.b' AS m2, 'axb' SIMILAR TO 'a\.b' AS m3, "
+        r"'a.txt' GLOB '*.txt' AS g1, 'C:\dir' GLOB 'C:\*' AS g2, "
+        r"'C:*' GLOB 'C:\*' AS g3",
+        r"SELECT string_split('a|b', '|') AS s1, "
+        r"string_split_regex('a1b', '\d') AS s2, "
+        r"string_split('a.b', '.') AS s3, string_split('a||b', '|') AS s4, "
+        r"string_split('a--b', '--') AS s5, str_split('x*y', '*') AS s6, "
+        r"string_to_array('p+q', '+') AS s7, split('m(n', '(') AS s8, "
+        r"string_split('abc', '') AS s9, string_split('a|b|', '|') AS s10",
+        r"SELECT n_nationkey AS k, string_split(n_name, '_') AS p "
+        r"FROM nation ORDER BY k LIMIT 3",
+        r"SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS r1",
+    ]
+    for q in cases:
+        got = _rows(engine.sql(q, dialect="duckdb"))
+        want = normalize_rows(tuple(r) for r in duck.execute(q).fetchall())
+        assert got == want, q
+
+
 def test_integer_cast_rounding_cross_engine(engine, duck):
     """DuckDB CAST to integer types ROUNDS half away from zero; Spark
     truncates — every fractional-to-int cast was a silent wrong answer.
