@@ -2480,6 +2480,35 @@ def _rewrite_raw_string_literals(sql: str) -> str:
     return detokenize(toks) if changed else sql
 
 
+def _rewrite_like_backslash(sql: str) -> str:
+    """DuckDB LIKE has NO default escape character — a backslash in the
+    pattern is a literal ('a%b' LIKE 'a\\%b' is FALSE, the \\ doesn't
+    escape the %); Spark defaults to '\\' escaping. For a bare
+    LIKE/ILIKE with a literal pattern and no ESCAPE clause, double the
+    backslashes at the VALUE level (the literal is already
+    Spark-escaped, so the token text goes 2x → 4x). An explicit ESCAPE
+    clause replaces Spark's default and already matches DuckDB."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    changed = False
+    for p, ti in enumerate(sig):
+        t = toks[ti]
+        if t.kind != "ident" or t.text.upper() not in ("LIKE", "ILIKE"):
+            continue
+        if p + 1 >= len(sig) or toks[sig[p + 1]].kind != "str":
+            continue
+        lit = toks[sig[p + 1]]
+        if "\\" not in lit.text:
+            continue
+        if p + 2 < len(sig) and toks[sig[p + 2]].kind == "ident" \
+                and toks[sig[p + 2]].text.upper() == "ESCAPE":
+            continue
+        lit.text = lit.text[0] \
+            + lit.text[1:-1].replace("\\", "\\\\") + lit.text[-1]
+        changed = True
+    return detokenize(toks) if changed else sql
+
+
 def _convert_re2_replacement(lit: str) -> str:
     """Convert a replacement literal from RE2 style (DuckDB: ``\\1``
     backrefs, bare ``$``) to Java style (Spark: ``$1`` backrefs,
@@ -3412,6 +3441,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
     sql = _rewrite_raw_string_literals(sql)
+    sql = _rewrite_like_backslash(sql)
     sql = _rewrite_pivot(sql)
     sql = _rewrite_unpivot(sql)
     sql = _rewrite_asof_join(sql)

@@ -1192,6 +1192,14 @@ def test_regex_and_literal_semantics_cross_engine(engine, duck):
         r"SELECT n_nationkey AS k, string_split(n_name, '_') AS p "
         r"FROM nation ORDER BY k LIMIT 3",
         r"SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS r1",
+        # bare LIKE has NO default escape in DuckDB (backslash is a
+        # literal); Spark defaults to '\' — explicit ESCAPE matches
+        r"SELECT 'a%b' LIKE 'a\%b' AS a, 'axb' LIKE 'a\%b' AS b, "
+        r"'a\xb' LIKE 'a\%b' AS c, 'a%b' LIKE 'a!%b' ESCAPE '!' AS d, "
+        r"'axb' LIKE 'a!%b' ESCAPE '!' AS e2, 'abc' LIKE 'a%' AS f, "
+        r"'abc' ILIKE 'A\%' AS g, 'a%' ILIKE 'A\%' AS h",
+        r"SELECT n_nationkey AS k, n_name LIKE '%\_%' AS u, "
+        r"n_name LIKE '%_0' AS v FROM nation ORDER BY k LIMIT 3",
     ]
     for q in cases:
         got = _rows(engine.sql(q, dialect="duckdb"))
