@@ -595,6 +595,11 @@ def gen_fn_tranche(rng: random.Random) -> str:
         f"mismatches(substr(coalesce({s1}, '') || 'xyzw', 1, 4), "
         f"substr(reverse(coalesce({s1}, '') || 'wzyx'), 1, 4)) AS e23",
         f"bar(coalesce({i1} % 12, 0), 0, 12, 9) AS e24",
+        # raw-literal family: backslash regexes, LIKE without escape,
+        # literal split separators (regex-special '.')
+        f"regexp_extract({s1}, '([A-Z]+)(_\\d+)?') AS e27",
+        f"({s1} LIKE '%\\_%') AS e28, string_split({s1}, '.') AS e29",
+        f"regexp_replace({s1}, '([A-Z])_', '\\1-', 'g') AS e30",
         f"list_extract([{i1} % 9, 5, 7], "
         f"CASE WHEN {i2} % 2 = 0 THEN -1 ELSE 2 END) AS e25",
         f"list_sum([{n1}, 2.0, NULL]) AS e26",
