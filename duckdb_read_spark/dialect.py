@@ -297,14 +297,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             sep_toks = [k for k in range(*spans[1])
                         if toks[k].kind not in ("ws", "comment")]
             if len(sep_toks) == 1 and toks[sep_toks[0]].kind == "str":
-                import re as _re
-
                 inner2 = toks[sep_toks[0]].text[1:-1]
                 raw = inner2.replace("\\\\", "\\")  # undo literal doubling
                 if raw == "":
                     lit = "''"  # empty separator: per-char in both
                 else:
-                    lit = "'" + _embed_regex_literal(_re.escape(raw)) + "'"
+                    lit = "'" + _embed_regex_literal(re.escape(raw)) + "'"
                 out.append(f"__regex_split__({sv}, {lit})")
             else:
                 sep = _arg_text(toks, spans[1])
@@ -373,9 +371,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # Spark flatten(array(a, b, …)) concatenates lists without
             # spelling "concat" — which is now the STRING rewrite below
             # (DuckDB concat stringifies even list arguments)
+            # DuckDB SKIPS NULL list arguments but gives NULL when ALL
+            # are NULL [measured: list_concat(NULL, [1,2]) = [1,2],
+            # list_concat(NULL, NULL) = NULL] — flatten alone would
+            # NULL-propagate (third review)
             _, close, spans = parts
             args = ", ".join(_arg_text(toks, sp) for sp in spans)
-            out.append(f"flatten(array({args}))")
+            flt = f"filter(array({args}), x -> x IS NOT NULL)"
+            out.append(f"(CASE WHEN size({flt}) = 0 THEN NULL "
+                       f"ELSE flatten({flt}) END)")
             i = close + 1
             changed = True
             continue
@@ -566,8 +570,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # 2460311.0, noon -> +0.5] = days since epoch + 2440588
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
-            out.append(f"(CAST(unix_timestamp({e}) AS DOUBLE) / 86400.0 "
-                       f"+ 2440588.0)")
+            # unix_micros keeps fractional seconds (third review:
+            # unix_timestamp truncated to whole seconds)
+            out.append(f"(CAST(unix_micros(CAST({e} AS TIMESTAMP)) "
+                       f"AS DOUBLE) / 86400000000.0 + 2440588.0)")
             i = close + 1
             changed = True
             continue
@@ -848,22 +854,58 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 inner, re.IGNORECASE | re.DOTALL)
             if mob:
                 desc = (mob.group("dir") or "").upper() == "DESC"
-                fn = ("max_by" if (name == "first") == desc else "min_by")
                 key = mob.group("k").strip()
-                # multi-key ORDER BY: wrap in a struct — struct ordering
-                # is lexicographic, matching the multi-key sort. (A
-                # top-level comma is the tell; commas inside calls are
-                # depth > 0.)
-                depth = 0
+                keys, depth, buf = [], 0, []
+                in_str = False
                 for ch in key:
-                    if ch in "([":
+                    if in_str:
+                        buf.append(ch)
+                        in_str = ch != "'"
+                        continue
+                    if ch == "'":
+                        in_str = True
+                    elif ch in "([":
                         depth += 1
                     elif ch in ")]":
                         depth -= 1
                     elif ch == "," and depth == 0:
-                        key = f"struct({key})"
-                        break
-                out.append(f"{fn}({mob.group('e').strip()}, {key})")
+                        keys.append("".join(buf))
+                        buf = []
+                        continue
+                    buf.append(ch)
+                keys.append("".join(buf))
+                if len(keys) > 1 and (desc or re.search(
+                        r"\b(ASC|DESC)\b", key, re.IGNORECASE)):
+                    # per-key directions can't map onto one min_by/max_by
+                    # struct (third review: a trailing DESC silently
+                    # inverted the PRIMARY key) — refuse loudly
+                    raise ValueError(
+                        f"{name}(… ORDER BY <multiple keys with "
+                        f"directions>) is not rewritable — use a single "
+                        f"key or uniform ASC: {key!r}")
+                # NULLS LAST is DuckDB's default for BOTH directions, but
+                # Spark min_by/max_by IGNORE NULL ordering keys (third
+                # review: last() must be able to pick a NULL-keyed row).
+                # A null flag rides in front of each key inside the
+                # struct; DESC flips which extreme carries the flag.
+                def _flagged(flag_when_null: str) -> str:
+                    parts_k = []
+                    for k in keys:
+                        k = k.strip()
+                        parts_k.append(f"(CASE WHEN ({k}) IS NULL THEN "
+                                       f"{flag_when_null} ELSE "
+                                       f"{1 - int(flag_when_null)} END)")
+                        parts_k.append(k)
+                    return "struct(" + ", ".join(parts_k) + ")"
+
+                e = mob.group("e").strip()
+                if not desc:
+                    sk = _flagged("1")  # NULLs sort AFTER non-NULLs
+                    fn = "min_by" if name == "first" else "max_by"
+                else:
+                    sk = _flagged("0")  # flag 0 so max=non-NULL extreme
+                    fn = "max_by" if name == "first" else "min_by"
+                out.append(f"{fn}({e}, {sk})")
                 i = close + 1
                 changed = True
                 continue
@@ -2373,12 +2415,16 @@ def _rewrite_integer_cast_rounding(sql: str) -> str:
     [measured: CAST(3.7 AS INTEGER) = 4, CAST(-3.7 ...) = -4,
     CAST('3.7' ...) = 4]; Spark TRUNCATES (3) — a silent wrong answer on
     every fractional-to-integer cast. Wrapped as
-    CAST(round(CAST(x AS DECIMAL(38,9))) AS T): the decimal hop keeps
+    CAST(round(CAST(x AS DECIMAL(38,18))) AS T): the decimal hop keeps
     BIGINT-magnitude values exact (a double hop corrupts > 2^53), makes
     numeric STRINGS round like DuckDB's string casts, and Spark's
     HALF_UP on decimals is away-from-zero for negatives, matching.
-    Residual documented divergence: a DOUBLE exactly at .5 uses
-    banker's rounding in DuckDB (2.5 -> 2) but half-up here (3).
+    Residual documented divergences: a DOUBLE exactly at .5 uses
+    banker's rounding in DuckDB (2.5 -> 2) but half-up here (3); scale-18
+    preserves every DOUBLE's distinction from .5 (double eps near 0.5 is
+    ~1e-16 > 5e-19), but a >18-fractional-digit DECIMAL/string rounds at
+    the hop first (third review tightened this from scale 9, where
+    0.4999999999 flipped to 1).
     TRY_CAST gets the same treatment with try_cast hops (NULL-safe).
     Runs BEFORE the call rewrites so the engine's own emitted casts
     (ceil indexes etc.) aren't wrapped. Single FORWARD pass — the
@@ -2424,7 +2470,7 @@ def _rewrite_integer_cast_rounding(sql: str) -> str:
                                 ).strip())
                             out.append(
                                 f"{fn}(round({fn}({expr} "
-                                f"AS DECIMAL(38,9))) "
+                                f"AS DECIMAL(38,18))) "
                                 f"AS {ty.text.upper()})")
                             i = close_i + 1
                             continue
@@ -2524,8 +2570,8 @@ def _convert_re2_replacement(lit: str) -> str:
             out.append("\\\\\\\\")
             i += 4
             continue
-        if body.startswith("\\\\", i) and i + 2 < len(body) + 1 \
-                and i + 2 <= len(body) - 1 and body[i + 2].isdigit():
+        if body.startswith("\\\\", i) and i + 2 < len(body) \
+                and body[i + 2].isdigit():
             out.append("$" + body[i + 2])
             i += 3
             continue

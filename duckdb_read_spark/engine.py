@@ -3579,10 +3579,20 @@ class Engine:
                 j = i + 1
                 while j < len(toks) and toks[j].kind in ("ws", "comment"):
                     j += 1
-                if (j + 2 < len(toks) and toks[j].text == "("
-                        and toks[j + 1].kind == "str"
-                        and toks[j + 2].text == ")"):
-                    key = toks[j + 1].text[1:-1].replace("''", "'").lower()
+                ok = j < len(toks) and toks[j].text == "("
+                if ok:
+                    k1 = j + 1
+                    while k1 < len(toks) and toks[k1].kind in ("ws",
+                                                               "comment"):
+                        k1 += 1
+                    k2 = k1 + 1
+                    while k2 < len(toks) and toks[k2].kind in ("ws",
+                                                               "comment"):
+                        k2 += 1
+                    ok = (k1 < len(toks) and toks[k1].kind == "str"
+                          and k2 < len(toks) and toks[k2].text == ")")
+                if ok:
+                    key = toks[k1].text[1:-1].replace("''", "'").lower()
                     if key == "timezone":
                         val = self.spark.conf.get(
                             "spark.sql.session.timeZone")
@@ -3598,7 +3608,7 @@ class Engine:
                             f"current_setting: unknown option {key!r} — "
                             "supported: timezone, threads, "
                             "enable_external_access")
-                    i = j + 3
+                    i = k2 + 1
                     continue
             out.append(t.text)
             i += 1
@@ -3620,13 +3630,23 @@ class Engine:
                 j = i + 1
                 while j < len(toks) and toks[j].kind in ("ws", "comment"):
                     j += 1
-                if (j + 2 < len(toks) and toks[j].text == "("
-                        and toks[j + 1].kind == "str"
-                        and toks[j + 2].text == ")"):
-                    name = toks[j + 1].text[1:-1].replace("''", "'").lower()
-                    out.append(_variable_literal(self._variables.get(name)))
-                    i = j + 3
-                    continue
+                if j < len(toks) and toks[j].text == "(":
+                    k1 = j + 1
+                    while k1 < len(toks) and toks[k1].kind in ("ws",
+                                                               "comment"):
+                        k1 += 1
+                    k2 = k1 + 1
+                    while k2 < len(toks) and toks[k2].kind in ("ws",
+                                                               "comment"):
+                        k2 += 1
+                    if (k1 < len(toks) and toks[k1].kind == "str"
+                            and k2 < len(toks) and toks[k2].text == ")"):
+                        name = toks[k1].text[1:-1].replace("''",
+                                                           "'").lower()
+                        out.append(_variable_literal(
+                            self._variables.get(name)))
+                        i = k2 + 1
+                        continue
             out.append(t.text)
             i += 1
         return "".join(out)

@@ -686,7 +686,8 @@ def gen_power_moments(rng: random.Random) -> str:
     return (
         f"SELECT {uid} AS k, {', '.join(exprs)} "
         f"FROM {name}{_where(rng, t)} "
-        f"ORDER BY 1 NULLS FIRST, 2, 3, 4 LIMIT 300"
+        f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, "
+        f"4 NULLS FIRST LIMIT 300"
     )
 
 

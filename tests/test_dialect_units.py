@@ -267,8 +267,10 @@ def test_list_function_renames():
         "SELECT array_sort(array_intersect(a, b)) FROM t"
     assert to_spark_sql("SELECT list_reverse_sort(a) FROM t") == \
         "SELECT sort_array(a, false) FROM t"
-    assert to_spark_sql("SELECT list_concat(a, b) FROM t") == \
-        "SELECT flatten(array(a, b)) FROM t"  # concat is the STRING rewrite now
+    out = to_spark_sql("SELECT list_concat(a, b) FROM t")
+    # NULL-skipping flatten with the all-NULL -> NULL guard (third review)
+    assert "flatten(filter(array(a, b), x -> x IS NOT NULL))" in out
+    assert out.startswith("SELECT (CASE WHEN size(filter(array(a, b)")
     # len() over a list_* call is array-typed → size, not length
     assert "size(array_distinct" in to_spark_sql("SELECT len(list_distinct(t)) FROM d")
 

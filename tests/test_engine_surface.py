@@ -1117,6 +1117,16 @@ def test_agg_forms_batch3_cross_engine(engine, duck):
         "SELECT first(n_name ORDER BY n_nationkey) AS f, "
         "last(n_name ORDER BY n_nationkey) AS l, "
         "first(n_name ORDER BY n_nationkey DESC) AS fd FROM nation",
+        # NULL ordering keys (third review): DuckDB's NULLS LAST default
+        # means last() picks the NULL-keyed row — min_by/max_by alone
+        # would skip it
+        "SELECT first(x ORDER BY y) AS a, last(x ORDER BY y) AS b "
+        "FROM (VALUES (1, 1), (2, NULL)) t(x, y)",
+        "SELECT first(x ORDER BY y DESC) AS a, "
+        "last(x ORDER BY y DESC) AS b "
+        "FROM (VALUES (1, 1), (2, NULL), (3, 5)) t(x, y)",
+        "SELECT first(x ORDER BY a, b) AS f, last(x ORDER BY a, b) AS l "
+        "FROM (VALUES (1, 1, 10), (2, 1, 20), (3, 2, 99)) t(x, a, b)",
         "SELECT count(*) FILTER (n_regionkey = 1) AS c1, "
         "sum(n_nationkey) FILTER (n_regionkey > 2) AS c2 FROM nation",
         "SELECT fmod(7.5, 2.0) AS a, fmod(-7.5, 2.0) AS b, "
@@ -1219,7 +1229,8 @@ def test_integer_cast_rounding_cross_engine(engine, duck):
         "CAST(3.5 AS INTEGER) AS c, CAST(2.5 AS INTEGER) AS d, "
         "CAST(-2.5 AS INT) AS e2, CAST(3 AS INTEGER) AS f",
         "SELECT CAST('3.7' AS INTEGER) AS a, TRY_CAST('3.7' AS INT) AS b, "
-        "TRY_CAST('nope' AS INT) AS c",
+        "TRY_CAST('nope' AS INT) AS c, "
+        "CAST(0.4999999999 AS INTEGER) AS d",
         "SELECT CAST(3.7 AS BIGINT) AS a, CAST(9007199254740993.2 "
         "AS BIGINT) AS b, CAST(1.5 AS SMALLINT) AS c, "
         "CAST(1.5 AS TINYINT) AS d",
@@ -1254,7 +1265,10 @@ def test_concat_and_string_edges_cross_engine(engine, duck):
         "SELECT substr('abcde', 0, 3) AS a, substr('abcde', -2, 1) AS b, "
         "substr('abcde', 2, 2) AS c, substr('abcde', 0) AS d, "
         "substr('abcde', -2) AS e2",
-        "SELECT list_concat([1, 2], [3]) AS a",
+        "SELECT list_concat([1, 2], [3]) AS a, "
+        "list_concat(NULL, [1, 2]) AS b, "
+        "list_concat(CAST(NULL AS INTEGER[]), "
+        "CAST(NULL AS INTEGER[])) AS c",
         "SELECT n_nationkey AS k, "
         "concat(n_name, NULL, '-', n_regionkey) AS c "
         "FROM nation ORDER BY k LIMIT 4",
@@ -1293,7 +1307,8 @@ def test_temporal_batch4_cross_engine(engine, duck):
         "epoch_ns(TIMESTAMP '2024-01-01 00:00:00.000001') AS b, "
         "epoch_ms(TIMESTAMP '2024-01-01 00:00:30.5') AS c",
         "SELECT julian(DATE '2024-01-01') AS a, "
-        "julian(TIMESTAMP '2024-01-01 12:00:00') AS b",
+        "julian(TIMESTAMP '2024-01-01 12:00:00') AS b, "
+        "julian(TIMESTAMP '2024-01-01 00:00:30.5') AS c",
         "SELECT decade(DATE '1999-05-01') AS a, "
         "millennium(DATE '0999-05-01') AS b, "
         "millennium(DATE '2024-05-01') AS c",
