@@ -21,6 +21,9 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# captured at import, before Spark's own threads add load
+_LOAD1_AT_START = round(os.getloadavg()[0], 2)
+
 # The bench set = BASELINE.md B1-B9 (declared oracle queries) + B10 (full
 # sort shape, bench-only).
 BENCH_QUERIES = [
@@ -217,6 +220,10 @@ def main() -> None:
         "operator_queries": extra,
         "scale_counters": counters,
         "sf": sf,
+        # co-tenant noise self-documentation (SCALE.md §4): a capture
+        # with load1 >> 0 at start is inflated, not a regression
+        "load1_at_start": _LOAD1_AT_START,
+        "load1_at_end": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(result))
     spark.stop()

@@ -1784,7 +1784,8 @@ class Engine:
             except Exception:
                 continue
             for f in schema.fields:
-                k = ("array" if isinstance(f.dataType, (T.ArrayType, T.MapType))
+                k = ("array" if isinstance(f.dataType, T.ArrayType)
+                     else "map" if isinstance(f.dataType, T.MapType)
                      else "string"
                      if isinstance(f.dataType, (T.StringType, T.BinaryType))
                      else "date"

@@ -162,6 +162,83 @@ def lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return _pairwise(a, b, lambda x, y: math.lcm(int(x), int(y)))
 
 
+def _age_str(t1, t2) -> str | None:
+    """DuckDB age(t1, t2): the Postgres-style component interval,
+    rendered exactly as DuckDB's INTERVAL→VARCHAR cast [measured pins:
+    '4 years 2 months 26 days 06:06:06'; singular units ('1 year
+    1 month 1 day'); zero components omitted ('-1 month -12:00:00');
+    pure/zero time as '00:00:00[.ffffff]' with trailing fraction zeros
+    trimmed ('09:26:13.998'); negatives sign every component].
+    dateutil.relativedelta performs the same calendar borrow Postgres'
+    timestamp_age does (verified on the measured cases). Spark cannot
+    TYPE the result — year-month and day-time intervals are disjoint —
+    so age() returns the rendered STRING; arithmetic on it fails
+    loudly (documented, SURVEY §2.4)."""
+    if t1 is None or t2 is None or t1 != t1 or t2 != t2:  # NaT-safe
+        return None
+    from dateutil.relativedelta import relativedelta
+
+    rd = relativedelta(t1, t2)
+    parts: list[str] = []
+    for val, unit in ((rd.years, "year"), (rd.months, "month"),
+                      (rd.days, "day")):
+        if val:
+            parts.append(f"{val} {unit}" + ("" if abs(val) == 1 else "s"))
+    h, m, s, us = rd.hours, rd.minutes, rd.seconds, rd.microseconds
+    if h or m or s or us or not parts:
+        neg = h < 0 or m < 0 or s < 0 or us < 0
+        t = f"{'-' if neg else ''}{abs(h):02d}:{abs(m):02d}:{abs(s):02d}"
+        if us:
+            t += f".{abs(us):06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+def _make_unicode_udfs():
+    """L22 as SQL (r7): DuckDB ships nfc_normalize/strip_accents as
+    core scalars; registering the same names lets that text run
+    verbatim (the F14 fuzzy-trio precedent). strip_accents is measured
+    as NFD → drop combining marks → NFC RECOMPOSE (the Hangul pin:
+    '가' round-trips composed, so utf8proc recomposes; a plain NFD
+    strip would leave decomposed jamo). Mirrors
+    operators/text.py normalize_text (the operator surface)."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def nfc_normalize_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    @F.pandas_udf(StringType())
+    def strip_accents_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = "".join(c for c in unicodedata.normalize("NFD", x)
+                        if not unicodedata.combining(c))
+            return unicodedata.normalize("NFC", y)
+
+        return s.map(one)
+
+    return {"nfc_normalize": nfc_normalize_udf,
+            "strip_accents": strip_accents_udf}
+
+
+def _make_age_udf():
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def age_udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        return pd.Series([_age_str(a, b) for a, b in zip(t1, t2)],
+                         dtype=object)
+
+    return age_udf
+
+
 class SplitWords:
     """X4 UDTF: one output row per whitespace token (UNNEST-as-function).
 
@@ -182,7 +259,8 @@ def register_fuzzy_udfs(spark) -> dict:
     fns = {"jaro_similarity": jaro_similarity,
            "jaro_winkler_similarity": jaro_winkler_similarity,
            "damerau_levenshtein": damerau_levenshtein,
-           "gcd": gcd_udf, "lcm": lcm_udf}
+           "gcd": gcd_udf, "lcm": lcm_udf,
+           "age": _make_age_udf(), **_make_unicode_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)
     return fns

