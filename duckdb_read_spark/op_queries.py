@@ -2087,6 +2087,76 @@ def _q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q143_TEXT, dialect="duckdb")
 
 
+_Q144_TEXT = """
+SELECT n_nationkey AS k,
+       CASE WHEN n_nationkey IN (1, 3) THEN n_name || '_v2'
+            ELSE n_name END AS name
+FROM nation WHERE n_nationkey < 10 OR n_nationkey IN (20, 21)
+ORDER BY k
+"""
+
+
+@_op("q144_hudi_merge_on_read", _Q144_TEXT,
+     note="Hudi MERGE_ON_READ interop (r7, hudilog read_mor_table): a "
+          "base parquet slice (keys 0-9) + a spec-framed .log file "
+          "whose avro_data blocks update keys 1/3 TWICE (the later "
+          "block must win) and insert keys 20/21, merged read-path-"
+          "compaction style (newest base + latest log record per "
+          "_hoodie_record_key). The oracle recomputes the merged state "
+          "from nation directly — a stale-block win, dropped insert or "
+          "double-applied base row all hash-mismatch. The log-format "
+          "reader itself is pinned by a hand-authored byte fixture in "
+          "tests/test_hudi.py")
+def _q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from . import hudilog
+
+    d = tempfile.mkdtemp(prefix="ddbrs_q144_hudi_") + "/t"
+    os.makedirs(os.path.join(d, ".hoodie"))
+    with open(os.path.join(d, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (nation.where("n_nationkey < 10")
+            .select(F.col("n_nationkey").cast("string")
+                    .alias("_hoodie_record_key"),
+                    F.col("n_nationkey").cast("long").alias("k"),
+                    F.col("n_name").alias("name")))
+    tmp = os.path.join(d, "b.tmpdir")
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), os.path.join(d, "g1_001.parquet"))
+    with open(os.path.join(d, ".hoodie", "001.commit"), "w") as f:
+        _json.dump({"partitionToWriteStats": {
+            "": [{"fileId": "g1", "path": "g1_001.parquet"}]}}, f)
+    names = {r["n_nationkey"]: r["n_name"]
+             for r in nation.where(
+                 "n_nationkey IN (1, 3, 20, 21)").collect()}
+    schema = _json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "k", "type": "long"},
+            {"name": "name", "type": "string"}]})
+
+    def rec(k, name):
+        return {"_hoodie_record_key": str(k), "k": k, "name": name}
+
+    hudilog.write_log_file(
+        os.path.join(d, "g1_002.log.1"), schema,
+        [[rec(1, "STALE"), rec(3, names[3] + "_v2")],
+         [rec(1, names[1] + "_v2"),
+          rec(20, names[20]), rec(21, names[21])]])
+    with open(os.path.join(d, ".hoodie", "002.deltacommit"), "w") as f:
+        _json.dump({"partitionToWriteStats": {
+            "": [{"fileId": "g1", "path": "g1_002.log.1"}]}}, f)
+    return (hudilog.read_hudi_table(spark, d)
+            .select("k", "name").orderBy("k"))
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

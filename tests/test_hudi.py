@@ -103,18 +103,20 @@ def test_hudi_replacecommit_drops_file_groups(eng, spark, tmp_path):
     assert old == set(range(7)) | set(range(10, 15))
 
 
-def test_hudi_mor_refuses(eng, spark, tmp_path):
+def test_hudi_mor_cow_path_still_refuses_stray_deltacommit(
+        eng, spark, tmp_path):
     d = str(tmp_path / "hudi_mor")
     _hudi_fixture(spark, d)
     open(os.path.join(d, ".hoodie", "005.deltacommit"), "w").close()
     with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
         hudilog.read_hudi_table(spark, d)
+    # a properties-declared MOR table ROUTES to the merge reader (r7);
+    # with no log files the snapshot is just the newest base slices
     d2 = str(tmp_path / "hudi_mor2")
     _hudi_fixture(spark, d2)
     with open(os.path.join(d2, ".hoodie", "hoodie.properties"), "w") as f:
         f.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
-    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
-        hudilog.read_hudi_table(spark, d2)
+    assert hudilog.read_hudi_table(spark, d2).count() > 0
 
 
 def test_hudi_register_and_attach(eng, spark, tmp_path):
@@ -226,3 +228,153 @@ def test_hudi_write_append_to_real_format_timeline(eng, spark, tmp_path):
     assert len(dead_and_live) == 1  # only the LIVE group from commit 2
     assert {r.k for r in hudilog.read_hudi_table(spark, d2).collect()} \
         == {3}
+
+
+# --- MERGE_ON_READ (r7): log-format reader + read-path compaction ---------
+
+_MOR_SCHEMA = json.dumps({
+    "type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "long"},
+    ]})
+
+
+def _avro_zigzag(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_rec(key: str, i: int, v: int) -> bytes:
+    kb = key.encode()
+    return (_avro_zigzag(len(kb)) + kb + _avro_zigzag(i)
+            + _avro_zigzag(v))
+
+
+def _block_bytes(records: list[bytes], schema_json: str,
+                 block_type: int = 3) -> bytes:
+    """Hand-packed HoodieLogFormat block, authored from the published
+    tech-specs layout — independent of hudilog.write_log_file, so the
+    reader is pinned by bytes it did not produce."""
+    import struct
+
+    content = struct.pack(">ii", 3, len(records)) + b"".join(
+        struct.pack(">i", len(r)) + r for r in records)
+    sj = schema_json.encode()
+    headers = (struct.pack(">i", 2)
+               + struct.pack(">ii", 0, 1) + b"1"          # INSTANT_TIME
+               + struct.pack(">ii", 2, len(sj)) + sj)      # SCHEMA
+    footers = struct.pack(">i", 0)
+    body = (struct.pack(">ii", 1, block_type) + headers
+            + struct.pack(">q", len(content)) + content + footers)
+    total = 6 + 8 + len(body) + 8
+    return (b"#HUDI#" + struct.pack(">q", len(body) + 8) + body
+            + struct.pack(">q", total))
+
+
+def test_hudi_log_block_reader_hand_built_bytes(tmp_path):
+    p = str(tmp_path / "x.log.1")
+    with open(p, "wb") as f:
+        f.write(_block_bytes([_avro_rec("k1", 1, 10)], _MOR_SCHEMA))
+        f.write(_block_bytes([_avro_rec("k2", 2, 20),
+                              _avro_rec("k3", 3, 30)], _MOR_SCHEMA))
+    blocks = hudilog.read_log_blocks(p)
+    assert [b["type"] for b in blocks] == ["avro_data", "avro_data"]
+    assert blocks[0]["headers"][0] == "1"
+    recs = hudilog.decode_avro_data_block(
+        blocks[1]["content"], blocks[1]["headers"][2])
+    assert recs == [
+        {"_hoodie_record_key": "k2", "id": 2, "v": 20},
+        {"_hoodie_record_key": "k3", "id": 3, "v": 30}]
+    # the module writer round-trips through the same spec framing
+    p2 = str(tmp_path / "y.log.1")
+    hudilog.write_log_file(p2, _MOR_SCHEMA,
+                           [[{"_hoodie_record_key": "k9",
+                              "id": 9, "v": 90}]])
+    b2 = hudilog.read_log_blocks(p2)
+    assert hudilog.decode_avro_data_block(
+        b2[0]["content"], b2[0]["headers"][2]) == [
+        {"_hoodie_record_key": "k9", "id": 9, "v": 90}]
+
+
+def _mor_fixture(spark, d: str) -> None:
+    """Base slice (keys 0..4) via 001.commit + one log file via
+    002.deltacommit: updates k1 and k3 (k1 twice across two blocks —
+    the LATER block must win) and inserts k9."""
+    os.makedirs(os.path.join(d, ".hoodie"))
+    with open(os.path.join(d, ".hoodie", "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    base = spark.createDataFrame(
+        [(str(i), i, i * 10) for i in range(5)],
+        "`_hoodie_record_key` string, `id` long, `v` long")
+    tmp = os.path.join(d, "b.tmpdir")
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), os.path.join(d, "g1_001.parquet"))
+    _commit(d, "001", {"": [{"fileId": "g1", "path": "g1_001.parquet"}]})
+    with open(os.path.join(d, "g1_002.log.1"), "wb") as f:
+        f.write(_block_bytes([_avro_rec("1", 1, 111),
+                              _avro_rec("3", 3, 333)], _MOR_SCHEMA))
+        f.write(_block_bytes([_avro_rec("1", 1, 999),
+                              _avro_rec("9", 9, 90)], _MOR_SCHEMA))
+    _commit(d, "002", {"": [{"fileId": "g1", "path": "g1_002.log.1"}]},
+            action="deltacommit")
+
+
+def test_hudi_mor_merge_end_to_end(spark, tmp_path):
+    d = str(tmp_path / "mor1")
+    _mor_fixture(spark, d)
+    got = {(r["id"], r["v"])
+           for r in hudilog.read_hudi_table(spark, d).collect()}
+    assert got == {(0, 0), (1, 999), (2, 20), (3, 333), (4, 40), (9, 90)}
+    # time travel to the base-only instant
+    got1 = {(r["id"], r["v"])
+            for r in hudilog.read_mor_table(spark, d, instant="001")
+            .collect()}
+    assert got1 == {(i, i * 10) for i in range(5)}
+
+
+def test_hudi_mor_compaction_absorbs_logs(spark, tmp_path):
+    d = str(tmp_path / "mor2")
+    _mor_fixture(spark, d)
+    # 003.commit writes a NEW base slice for g1 (a completed
+    # compaction): earlier logs are absorbed and must not re-apply
+    base2 = spark.createDataFrame(
+        [("0", 0, 7)], "`_hoodie_record_key` string, `id` long, `v` long")
+    tmp = os.path.join(d, "b2.tmpdir")
+    base2.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), os.path.join(d, "g1_003.parquet"))
+    _commit(d, "003", {"": [{"fileId": "g1", "path": "g1_003.parquet"}]})
+    got = {(r["id"], r["v"])
+           for r in hudilog.read_hudi_table(spark, d).collect()}
+    assert got == {(0, 7)}
+
+
+def test_hudi_mor_refusals(spark, tmp_path):
+    # unsupported block type (delete = ordinal 1) fails the read loudly
+    d = str(tmp_path / "mor3")
+    _mor_fixture(spark, d)
+    with open(os.path.join(d, "g1_004.log.1"), "wb") as f:
+        f.write(_block_bytes([_avro_rec("1", 1, 1)], _MOR_SCHEMA,
+                             block_type=1))
+    _commit(d, "004", {"": [{"fileId": "g1", "path": "g1_004.log.1"}]},
+            action="deltacommit")
+    with pytest.raises(Exception, match="delete"):
+        hudilog.read_hudi_table(spark, d).collect()
+    # framing mismatch (corrupted trailing total length) refuses
+    p = str(tmp_path / "bad.log.1")
+    blk = bytearray(_block_bytes([_avro_rec("1", 1, 1)], _MOR_SCHEMA))
+    blk[-1] ^= 0xFF
+    with open(p, "wb") as f:
+        f.write(bytes(blk))
+    with pytest.raises(ValueError, match="total block length"):
+        hudilog.read_log_blocks(p)
