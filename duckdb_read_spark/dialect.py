@@ -290,12 +290,15 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
     milliseconds → 9123, Postgres-style) where Spark has no such
     field; 'second(s)' is the INTEGER seconds field (9) where Spark's
     is DECIMAL(8,6) with the fraction. The sub-minute fields derive
-    from pmod(unix_micros, 60s) — exact integer arithmetic, positive
-    for pre-epoch timestamps, and crucially NOT date_part('SECOND'):
-    an emission containing this function's own trigger would loop the
-    fixpoint forever."""
-    submin = (f"pmod(unix_micros(CAST({expr} AS TIMESTAMP)), "
-              f"60000000)")
+    from Spark's own EXTRACT(SECOND …) — a DECIMAL(8,6) that is exact
+    at µs precision and, unlike a unix_micros/CAST-to-TIMESTAMP hop,
+    also accepts INTERVAL inputs (review r7: date_part('seconds',
+    ts1 - ts2) must work like DuckDB's). The field travels as the
+    __second_raw__ marker (renamed to SECOND in _rewrite_keywords)
+    because spelling extract(SECOND …)/date_part('SECOND' …) here
+    would re-trigger this very map and loop the fixpoint."""
+    submin = (f"CAST(extract(__second_raw__ FROM {expr}) * 1000000 "
+              f"AS BIGINT)")
     return {
         "dow": f"(extract(DAYOFWEEK FROM {expr}) - 1)",
         "isodow": f"(((extract(DAYOFWEEK FROM {expr}) + 5) % 7) + 1)",
@@ -310,6 +313,20 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
         "seconds": f"({submin} div 1000000)",
         "second": f"({submin} div 1000000)",
     }.get(field)
+
+
+def _map_list_lookup(mp: str, ky: str) -> str:
+    """DuckDB map lookup (map_extract / element_at-on-map / m[k]) is a
+    one-element LIST, [] on a missing key. Presence is decided by
+    map_contains_key, NOT value null-ness (a NULL-valued key must give
+    [NULL]); the ELSE arm empties a same-typed one-element array
+    (bare array() is array<string> and breaks CASE typing);
+    try_element_at never ANSI-throws and never re-triggers the
+    element_at rewrite. Single emission shared by all three surfaces
+    (review r7: it was pasted in three places)."""
+    return (f"CASE WHEN map_contains_key({mp}, {ky}) "
+            f"THEN array(try_element_at({mp}, {ky})) "
+            f"ELSE slice(array(try_element_at({mp}, {ky})), 1, 0) END")
 
 
 def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
@@ -446,9 +463,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             continue
         if name in ("array_distinct", "list_distinct") and parts \
                 and len(parts[2]) == 1 \
-                and not re.search(
-                    r"->\s*\w+\s+IS\s+NOT\s+NULL\s*\)$",
-                    _arg_text(toks, parts[2][0]), re.IGNORECASE):
+                and re.search(r"->\s*\w+\s+IS\s+NOT\s+NULL\s*\)$",
+                              _arg_text(toks, parts[2][0]),
+                              re.IGNORECASE):
+            # argument already ends in a null-dropping filter (this
+            # branch's own emission — fixpoint loop otherwise — or the
+            # list_unique/array_unique emissions): skip the wrap, but
+            # list_distinct must still RENAME (review r7: the guard
+            # skip left an undefined function)
+            out.append("array_distinct")
+            i += 1
+            changed = changed or name == "list_distinct"
+            continue
+        if name in ("array_distinct", "list_distinct") and parts \
+                and len(parts[2]) == 1:
             # DuckDB list_distinct/array_distinct DROPS NULL elements
             # [measured: [1,1,NULL,NULL,2] → 2 elements]; Spark's
             # array_distinct keeps one NULL — silent wrong answer
@@ -535,21 +563,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 out.append(f"try_element_at({inner})")
                 i = sub[2] + 1
             elif len(spans) == 2:
-                # No [1] unwrap: preserve DuckDB's one-element-LIST shape.
-                # Presence is decided by map_contains_key, NOT by value
-                # null-ness — a key mapped to NULL yields [NULL] in DuckDB,
-                # which a filter-out-nulls formulation would collapse to []
-                # (indistinguishable from a missing key).
-                mp = _arg_text(toks, spans[0])
-                ky = _arg_text(toks, spans[1])
-                # the ELSE arm must be an empty array OF THE VALUE TYPE
-                # (bare array() is array<string> and breaks CASE typing):
-                # slice(.., 1, 0) empties the same-typed one-element array
-                out.append(
-                    f"CASE WHEN map_contains_key({mp}, {ky}) "
-                    f"THEN array(try_element_at({mp}, {ky})) "
-                    f"ELSE slice(array(try_element_at({mp}, {ky})), 1, 0) "
-                    f"END")
+                # No [1] unwrap: preserve DuckDB's one-element-LIST shape
+                out.append(_map_list_lookup(_arg_text(toks, spans[0]),
+                                            _arg_text(toks, spans[1])))
                 i = close + 1
             else:
                 out.append(f"map_extract({inner})")  # wrong arity → loud
@@ -574,16 +590,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             is_map = ((column_kinds or {}).get(base) == "map"
                       or (column_kinds or {}).get(
                           base.rsplit(".", 1)[-1]) == "map"
-                      or re.match(r"^(map|map_from_arrays|"
-                                  r"map_from_entries)\s*\(",
-                                  base) is not None
-                      or re.match(r"^map\s*\{", base) is not None)
+                      or _MAP_CONSTRUCTOR_RE.match(base) is not None)
             if is_map:
-                out.append(
-                    f"CASE WHEN map_contains_key({mp}, {ky}) "
-                    f"THEN array(try_element_at({mp}, {ky})) "
-                    f"ELSE slice(array(try_element_at({mp}, {ky})), 1, 0) "
-                    f"END")
+                out.append(_map_list_lookup(mp, ky))
                 i = close + 1
                 changed = True
                 continue
@@ -2914,8 +2923,11 @@ def _rewrite_regexp_replacement(sql: str) -> str:
                             and toks[rep_toks[0]].kind == "str":
                         toks[rep_toks[0]].text = _convert_re2_replacement(
                             toks[rep_toks[0]].text)
-                out.append(detokenize(toks[i:close + 1]))
-                i = close + 1
+                # mutate in place but consume only the NAME — a nested
+                # regexp_replace inside the args needs its own
+                # replacement converted too (review r7)
+                out.append(t.text)
+                i += 1
                 continue
         out.append(t.text)
         i += 1
@@ -2979,7 +2991,12 @@ def _rewrite_regexp_first_match(sql: str) -> str:
     then literal text — DuckDB would honor runtime backrefs there, a
     documented residue). Runs AFTER _rewrite_regexp_replacement, so
     literal replacements are already Java-style. The empty-pattern edge
-    matches at position 1 on both engines ('x*' on 'abc' → 'Yabc')."""
+    matches at position 1 on both engines ('x*' on 'abc' → 'Yabc').
+    Arguments RECURSE through this same pass before the emission is
+    built — a bare 3-arg call nested inside another's arguments must
+    first-match too (review r7), and recursing beats rescanning the
+    output (the subject text appears five times in the emission, so a
+    rescan would blow up exponentially with nesting depth)."""
     toks = tokenize(sql)
     out: list[str] = []
     i = 0
@@ -2993,8 +3010,10 @@ def _rewrite_regexp_first_match(sql: str) -> str:
                 close = _find_close(toks, j)
                 spans = _split_args(toks, j, close)
                 if len(spans) == 3:
-                    s_ = _arg_text(toks, spans[0])
-                    p_ = _arg_text(toks, spans[1])
+                    s_ = _rewrite_regexp_first_match(
+                        _arg_text(toks, spans[0]))
+                    p_ = _rewrite_regexp_first_match(
+                        _arg_text(toks, spans[1]))
                     rep_toks = [k for k in range(*spans[2])
                                 if toks[k].kind not in ("ws", "comment")]
                     if len(rep_toks) == 1 \
@@ -3011,7 +3030,8 @@ def _rewrite_regexp_first_match(sql: str) -> str:
                                 else "concat(" + ", ".join(parts_r) + ")"
                                 ) if parts_r else "''"
                     else:
-                        repl = _arg_text(toks, spans[2])
+                        repl = _rewrite_regexp_first_match(
+                            _arg_text(toks, spans[2]))
                     pos = f"regexp_instr({s_}, {p_})"
                     m0len = f"length(regexp_extract({s_}, {p_}, 0))"
                     out.append(
@@ -3020,9 +3040,10 @@ def _rewrite_regexp_first_match(sql: str) -> str:
                         f"substr({s_}, {pos} + {m0len})) END)")
                     i = close + 1
                     continue
-                # non-3-arg bare forms fall through untouched
-                out.append(detokenize(toks[i:close + 1]))
-                i = close + 1
+                # non-3-arg bare forms: append only the NAME and keep
+                # scanning — nested calls inside the args still rewrite
+                out.append(t.text)
+                i += 1
                 continue
         out.append(t.text)
         i += 1
@@ -3348,10 +3369,7 @@ def _rewrite_index_base(sql: str,
             base = detokenize(toks[sig[start_pos]:sig[pos]]).strip()
             lit = re.fullmatch(r"-?\d+", body_txt)
             if kind == "map":
-                repl = (f"CASE WHEN map_contains_key({base}, {body_txt}) "
-                        f"THEN array(try_element_at({base}, {body_txt})) "
-                        f"ELSE slice(array(try_element_at({base}, "
-                        f"{body_txt})), 1, 0) END")
+                repl = _map_list_lookup(base, body_txt)
             elif kind == "string" and lit:
                 n = int(body_txt)
                 if n == 0:
@@ -3439,6 +3457,10 @@ def _rewrite_keywords(sql: str) -> str:
             # marker from the 4-arg 'g' options form — kept distinct so
             # the first-match pass rewrites only bare DuckDB 3-arg calls
             t.text = "regexp_replace"
+        elif t.text == "__second_raw__":
+            # marker from _DATE_PART_DIVERGENT — Spark's own SECOND
+            # field, spelled indirectly to dodge the fixpoint
+            t.text = "SECOND"
         elif up == "VARCHAR":
             t.text = "STRING"
         elif up in ("BLOB", "BYTEA"):

@@ -308,10 +308,13 @@ def _read_meta_map(buf: bytes, off: int) -> tuple[dict, int]:
 def read_log_blocks(path: str) -> list[dict]:
     """Parse one ``.log.N`` file into
     ``{"type", "headers", "footers", "content"}`` dicts, in file order."""
+    with open(path, "rb") as f:
+        return parse_log_blocks(f.read(), path)
+
+
+def parse_log_blocks(buf: bytes, path: str = "<bytes>") -> list[dict]:
     import struct as _struct
 
-    with open(path, "rb") as f:
-        buf = f.read()
     blocks: list[dict] = []
     off = 0
     while off < len(buf):
@@ -454,6 +457,13 @@ def _mor_groups(table_dir: str,
             r"deltacommit)$", f)
         if m:
             tl.append((m.group("ts"), m.group("action"), f))
+        elif re.match(r"^\d+(?:_\d+)?\.\w+$", f):
+            # a COMPLETED instant of an action this replay does not
+            # understand (e.g. a bare .compaction) — skipping it would
+            # silently drop its file-group changes (review r7); the
+            # fence is refuse-don't-mis-merge, same as the COW path
+            raise NotImplementedError(
+                f"hudi MOR timeline action {f!r} is not supported")
     tl.sort(key=lambda x: (len(x[0]), x[0]))
     if not tl:
         raise FileNotFoundError(
@@ -545,18 +555,35 @@ def read_mor_table(spark, table_dir: str,
                 "(virtual keys) is not supported")
         out_schema = ", ".join(f"`{n}` {t}" for n, t in fields) \
             + ", `__hudi_seq` long"
-        seq_of = {os.path.join(table_dir, p): i
-                  for i, p in enumerate(log_rels)}
+        # cross-file ordering keys on BASENAMES (fileId + write token +
+        # instant make them unique; refused if not) — the binaryFile
+        # `path` column is a scheme-qualified URI that never string-
+        # matches a joined local path (review r7: the old lookup
+        # silently defaulted to 0 and let a stale update win)
+        seq_of = {os.path.basename(p): i for i, p in enumerate(log_rels)}
+        if len(seq_of) != len(log_rels):
+            raise NotImplementedError(
+                f"hudi MOR: duplicate log file basenames in "
+                f"{sorted(map(os.path.basename, log_rels))}")
 
         def _decode(batches):
+            import os as _os
+
             import pandas as _pd
 
             for pdf in batches:
                 rows: list[dict] = []
                 for _, r in pdf.iterrows():
-                    fseq = seq_of.get(r["path"].replace("file:", ""), 0)
-                    blocks = read_log_blocks(
-                        r["path"].replace("file:", ""))
+                    name = _os.path.basename(r["path"])
+                    if name not in seq_of:
+                        raise LookupError(
+                            f"hudi MOR: log file {r['path']!r} not in "
+                            f"the snapshot manifest")
+                    fseq = seq_of[name]
+                    # decode from the binaryFile CONTENT column — no
+                    # executor-side re-open, so non-POSIX storage works
+                    blocks = parse_log_blocks(bytes(r["content"]),
+                                              r["path"])
                     for bi, blk in enumerate(blocks):
                         if blk["type"] != "avro_data":
                             raise NotImplementedError(
@@ -575,7 +602,7 @@ def read_mor_table(spark, table_dir: str,
 
         paths = [os.path.join(table_dir, p) for p in log_rels]
         bin_df = (spark.read.format("binaryFile").load(paths)
-                  .select("path"))
+                  .select("path", "content"))
         upd = bin_df.mapInPandas(_decode, schema=out_schema)
         w = Window.partitionBy("_hoodie_record_key").orderBy(
             F.col("__hudi_seq").desc())

@@ -295,6 +295,31 @@ def test_format_alignment_specs(engine, duck):
         "format('{:>4}', 42) AS g"))
 
 
+def test_review_r7_regression_pins(engine, duck):
+    """r7 code-review finds: (1) a 3-arg regexp_replace NESTED inside
+    another's arguments must first-match too (the pass recurses into
+    args now); (2) nested replacement literals get their backrefs
+    converted; (3) EXTRACT sub-minute fields accept INTERVAL inputs
+    (the emission rides Spark's own SECOND field, not a CAST-to-
+    TIMESTAMP hop); (4) list_distinct over an already-null-filtered
+    argument still renames."""
+    _check(engine, duck, (
+        "SELECT regexp_replace(regexp_replace('aaa', 'a', 'b'), "
+        "'b', 'c') AS nested, "
+        "regexp_replace(regexp_replace('xyxy', '(x)(y)', '\\2\\1'), "
+        "'(y)', '<\\1>') AS backrefs, "
+        "regexp_replace('kk', 'k', regexp_replace('vv', 'v', 'w')) "
+        "AS in_repl"))
+    _check(engine, duck, (
+        "SELECT EXTRACT(second FROM INTERVAL 90 SECOND) AS a, "
+        "EXTRACT(milliseconds FROM INTERVAL '1.5' SECOND) AS b, "
+        "date_part('seconds', TIMESTAMP '2024-06-05 07:08:09' "
+        "- TIMESTAMP '2024-06-05 07:07:39') AS c"))
+    _check(engine, duck, (
+        "SELECT list_sort(list_distinct(list_filter([1, NULL, 2, 2], "
+        "y -> y IS NOT NULL))) AS a"))
+
+
 # --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
 
 
