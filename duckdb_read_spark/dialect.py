@@ -228,6 +228,28 @@ _SIMPLE_RENAMES = {
     # '2024-01-01') = 1, week(DATE '2022-01-01') = 52 = Spark
     # weekofyear]; Spark has no bare week() function
     "week": "weekofyear",
+    # r7 probe batch: measured-identical aliases
+    "datetrunc": "date_trunc",       # spelled-together alias
+    "today": "current_date",         # today() → current_date()
+    "get_current_timestamp": "now",  # both the current instant
+    "arbitrary": "any_value",        # re-enters any_value's ORDER BY form
+    "list_has": "array_contains",
+    "list_indexof": "array_position",  # missing element → 0 on both
+    # hash() is ENGINE-SPECIFIC on both sides (DuckDB's own 64-bit
+    # finalizer vs whatever Spark ships) — mapped to xxhash64 so the
+    # width/quality match, but the VALUES differ by design (§2.4;
+    # don't cross-compare, like random())
+    "hash": "xxhash64",
+    # list(x [ORDER BY k]) is the array_agg alias — the renamed form
+    # re-enters the fixpoint and picks up the NULL-keeping struct wrap
+    "list": "array_agg",
+    # row(a, b) builds an unnamed struct; Spark's struct() auto-names
+    # fields col1… but the VALUES compare equal
+    "row": "struct",
+    # list-concat aliases — the renamed form re-enters the fixpoint and
+    # picks up list_concat's NULL-skip flatten emission
+    "array_concat": "list_concat",
+    "array_cat": "list_concat",
 }
 
 
@@ -313,6 +335,34 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
         "seconds": f"({submin} div 1000000)",
         "second": f"({submin} div 1000000)",
     }.get(field)
+
+
+def _in_from_position(toks: list[Tok], i: int) -> bool:
+    """True when the call at toks[i] sits in TABLE-FUNCTION position:
+    the nearest same-depth clause keyword scanning LEFT is FROM or
+    JOIN. Climbing out of an enclosing paren (a call argument or
+    subquery) settles it as expression position — `f(range(3))` and
+    `SELECT a, range(3)` rewrite, `FROM a, range(5)` does not."""
+    depth = 0
+    j = i - 1
+    while j >= 0:
+        t = toks[j]
+        if t.text == ")":
+            depth += 1
+        elif t.text == "(":
+            if depth == 0:
+                return False
+            depth -= 1
+        elif depth == 0 and t.kind == "ident":
+            up = t.text.upper()
+            if up in ("FROM", "JOIN"):
+                return True
+            if up in ("SELECT", "WHERE", "ON", "HAVING", "QUALIFY",
+                      "LIMIT", "SET", "VALUES", "BY", "WHEN", "THEN",
+                      "ELSE", "AND", "OR", "RETURNING"):
+                return False
+        j -= 1
+    return False
 
 
 def _map_list_lookup(mp: str, ky: str) -> str:
@@ -453,7 +503,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
-        if name in ("list_intersect", "list_sort",
+        if name in ("list_intersect",
                     "list_contains", "list_position") and parts:
             # list_position: both engines return 0 for a missing element
             # (measured against DuckDB 1.x) — plain rename is exact
@@ -848,13 +898,39 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             l_ = _arg_text(toks, spans[0])
             a = _arg_text(toks, spans[1])
             b = _arg_text(toks, spans[2])
+            lt = l_.strip()
+            if (lt.startswith("'") and lt.endswith("'")) or \
+                    (column_kinds or {}).get(lt.lower()) == "string":
+                # STRING slicing [measured: ('hello',2,3) → 'el',
+                # (-3,-1) → 'llo', NULL bound → NULL] — substr with the
+                # same 1-based inclusive arithmetic; size() on a string
+                # would fail analysis
+                s = (f"(CASE WHEN ({a}) < 0 THEN "
+                     f"greatest(length({l_}) + ({a}) + 1, 1) "
+                     f"WHEN ({a}) = 0 THEN 1 ELSE ({a}) END)")
+                en = (f"(CASE WHEN ({b}) < 0 THEN "
+                      f"length({l_}) + ({b}) + 1 ELSE ({b}) END)")
+                # keyword form dodges the substr phantom-position
+                # rewrite (the clamped start is never 0 anyway); a NULL
+                # bound is NULL in DuckDB where greatest(NULL, 0) would
+                # silently empty the result (r7 probe)
+                out.append(f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                           f"THEN NULL ELSE substring({l_} FROM {s} "
+                           f"FOR greatest({en} - {s} + 1, 0)) END)")
+                i = close + 1
+                changed = True
+                continue
             s = (f"(CASE WHEN ({a}) < 0 THEN "
                  f"greatest(size({l_}) + ({a}) + 1, 1) "
                  f"WHEN ({a}) = 0 THEN 1 ELSE ({a}) END)")
             en = (f"(CASE WHEN ({b}) < 0 THEN size({l_}) + ({b}) + 1 "
                   f"ELSE ({b}) END)")
+            # NULL bound → NULL [measured], not the empty list that
+            # greatest(NULL, 0) = 0 would silently produce (r7 probe)
             out.append(
-                f"slice({l_}, {s}, greatest({en} - {s} + 1, 0))")
+                f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+                f"ELSE slice({l_}, {s}, greatest({en} - {s} + 1, 0)) "
+                f"END)")
             i = close + 1
             changed = True
             continue
@@ -1537,6 +1613,195 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name in ("cast", "try_cast") and parts and len(parts[2]) == 1:
+            # CAST('[1,2]' AS INTEGER[]) parses list syntax from text in
+            # DuckDB; Spark cannot cast STRING → ARRAY. from_json covers
+            # the provably-string shapes (literal or string-kind column;
+            # the ARRAY<…> spelling is already normalized by the earlier
+            # type pass). Malformed text is NULL here where plain CAST
+            # errors in DuckDB — a loud-vs-NULL residue on bad input.
+            _, close, spans = parts
+            mc = re.match(r"(?is)^(.+?)\s+AS\s+(ARRAY\s*<.+>)\s*$",
+                          _arg_text(toks, spans[0]))
+            if mc:
+                ex, ty = mc.group(1).strip(), mc.group(2)
+                is_str = ((ex.startswith("'") and ex.endswith("'"))
+                          or (column_kinds or {}).get(
+                              ex.lower()) == "string"
+                          # a ||-concat led by a string literal is a
+                          # string ('[' || x || ']')
+                          or (re.match(r"^\(*\s*'", ex) and "||" in ex))
+                if is_str:
+                    out.append(f"from_json({ex}, '{ty}')")
+                    i = close + 1
+                    changed = True
+                    continue
+        if name in ("add", "multiply", "subtract") and parts \
+                and len(parts[2]) == 2:
+            # operator-function aliases; divide() is deliberately NOT
+            # mapped — like '//' it integer-divides integers but
+            # plain-divides doubles [measured divide(7,2)=3,
+            # divide(7.0,2)=3.5], so no type-blind textual mapping is
+            # safe (§2.4.15a); it stays loud
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            op = {"add": "+", "multiply": "*", "subtract": "-"}[name]
+            out.append(f"(({a}) {op} ({b}))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "sha256" and parts and len(parts[2]) == 1:
+            _, close, spans = parts
+            out.append(f"sha2({_arg_text(toks, spans[0])}, 256)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "geomean" or name == "geometric_mean":
+            if parts and len(parts[2]) == 1:
+                # exp(mean(ln x)) — avg skips NULLs like DuckDB's agg;
+                # an empty/all-NULL group is NULL on both
+                _, close, spans = parts
+                x = _arg_text(toks, spans[0])
+                out.append(f"exp(avg(ln(CAST({x} AS DOUBLE))))")
+                i = close + 1
+                changed = True
+                continue
+        if name == "list_resize" and parts and len(parts[2]) in (2, 3):
+            # truncate or pad to n; the default pad is a typed NULL —
+            # get(l, -1) is NULL of the element type [measured:
+            # list_resize([1,2],4) = [1,2,NULL,NULL]; 3-arg pads the
+            # given value]
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            n_ = _arg_text(toks, spans[1])
+            v_ = (_arg_text(toks, spans[2]) if len(spans) == 3
+                  else f"get({l_}, -1)")
+            # flatten(array(a, b)) concatenates lists without spelling
+            # "concat" — that name is the STRING rewrite's trigger
+            out.append(
+                f"(CASE WHEN size({l_}) >= ({n_}) "
+                f"THEN slice({l_}, 1, {n_}) "
+                f"ELSE flatten(array({l_}, array_repeat({v_}, "
+                f"({n_}) - size({l_})))) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "range" and parts and 1 <= len(parts[2]) <= 3 \
+                and not _in_from_position(toks, i):
+            # list-producing range(): EXCLUSIVE stop, empty when the
+            # bounds cross [measured range(0) = [], range(2,2) = [],
+            # range(5,0,-2) = [5,3,1]]; Spark's sequence is INCLUSIVE.
+            # The FROM/JOIN/','-preceded forms are TABLE functions — the
+            # engine's series resolver rewrites the literal ones into
+            # Spark's native range TVF BEFORE this pass (which must not
+            # re-touch them), and non-literal TVF args stay loud. A
+            # zero step errors in DuckDB and yields [] here (documented
+            # edge).
+            _, close, spans = parts
+            args = [_arg_text(toks, s) for s in spans]
+            if len(args) == 1:
+                a, b, s = "0", args[0], "1"
+            elif len(args) == 2:
+                a, b, s = args[0], args[1], "1"
+            else:
+                a, b, s = args
+            out.append(
+                f"(CASE WHEN ({s}) > 0 AND ({a}) < ({b}) "
+                f"THEN sequence({a}, ({b}) - 1, {s}) "
+                f"WHEN ({s}) < 0 AND ({a}) > ({b}) "
+                f"THEN sequence({a}, ({b}) + 1, {s}) "
+                f"ELSE slice(array({a}), 1, 0) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "generate_series" and parts and 1 <= len(parts[2]) <= 3 \
+                and not _in_from_position(toks, i):
+            # list-producing generate_series(): INCLUSIVE stop
+            # [measured: (3) → [0..3], (5,1) → [] — Spark's sequence
+            # would auto-step DOWN, a silent wrong answer — and
+            # (5,1,-2) → [5,3,1]]. With an EXPLICIT step Spark's
+            # sequence matches exactly; the no-step forms guard the
+            # crossing-bounds case. FROM/JOIN forms were consumed by
+            # the engine's series-TVF resolver.
+            _, close, spans = parts
+            gs = [_arg_text(toks, s) for s in spans]
+            if len(gs) == 3:
+                out.append(f"sequence({gs[0]}, {gs[1]}, {gs[2]})")
+            else:
+                a, b = ("0", gs[0]) if len(gs) == 1 else (gs[0], gs[1])
+                out.append(
+                    f"(CASE WHEN ({a}) <= ({b}) THEN sequence({a}, {b}) "
+                    f"ELSE slice(array({a}), 1, 0) END)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "list_sort" and parts and len(parts[2]) == 1:
+            # 1-arg: plain rename — Spark array_sort is ASC NULLS LAST,
+            # exactly DuckDB's default [measured [3,NULL,1] → [1,3,NULL]]
+            out.append("array_sort")
+            i += 1
+            changed = True
+            continue
+        if name == "list_sort" and parts and len(parts[2]) in (2, 3):
+            # string-literal direction/null-order options [measured:
+            # default is ASC NULLS LAST — matching Spark's array_sort,
+            # which the 1-arg rename uses — and 'DESC' defaults NULLS
+            # LAST too]. sort_array: asc = NULLS FIRST, desc = NULLS
+            # LAST; DESC NULLS FIRST needs the struct trick. A 2-arg
+            # LAMBDA comparator (Spark-style) falls through unrenamed
+            # (loud — DuckDB's list_sort has no comparator form).
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            d_ = _arg_text(toks, spans[1]).strip().strip("'\"").upper()
+            n3 = (_arg_text(toks, spans[2]).strip().strip("'\"").upper()
+                  if len(spans) == 3 else "")
+            emit = None
+            if d_ in ("ASC", "DESC"):
+                first = n3 == "NULLS FIRST"
+                if d_ == "ASC":
+                    emit = (f"sort_array({l_})" if first
+                            else f"array_sort({l_})")
+                else:
+                    emit = (f"transform(sort_array(transform({l_}, "
+                            f"__ls -> struct(__ls IS NULL AS n, "
+                            f"__ls AS v)), false), __ls -> __ls.v)"
+                            if first else f"sort_array({l_}, false)")
+            if emit is not None:
+                out.append(emit)
+                i = close + 1
+                changed = True
+                continue
+        if name == "try_strptime" and parts and len(parts[2]) == 2:
+            # try_to_timestamp: NULL instead of an error on parse
+            # failure [measured] — format string converts like strptime
+            _, close, spans = parts
+            s_ = _arg_text(toks, spans[0])
+            f_ = _arg_text(toks, spans[1]).strip()
+            if f_.startswith("'") and f_.endswith("'"):
+                f_ = "'" + convert_strftime_format(f_[1:-1]) + "'"
+            out.append(f"try_to_timestamp({s_}, {f_})")
+            i = close + 1
+            changed = True
+            continue
+        if name == "date_trunc" and parts and len(parts[2]) == 2:
+            # decade/century/millennium truncate by FLOOR of the year
+            # [measured: decade 2024 → 2020-01-01, century 2024 →
+            # 2000-01-01 (not the ceil-based century() FIELD, which is
+            # 21), millennium → 2000-01-01]; Spark's date_trunc returns
+            # NULL for these fields — a silent wrong answer. Other
+            # fields pass through to Spark's own date_trunc.
+            _, close, spans = parts
+            fld = _arg_text(toks, spans[0]).strip().strip("'\"").lower()
+            x = _arg_text(toks, spans[1])
+            width = {"decade": 10, "century": 100,
+                     "millennium": 1000}.get(fld)
+            if width is not None:
+                out.append(f"make_date(year({x}) - pmod(year({x}), "
+                           f"{width}), 1, 1)")
+                i = close + 1
+                changed = True
+                continue
         if name == "list_reverse_sort" and parts:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
@@ -1848,6 +2113,37 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
+        if name == "list_aggregate" and parts and len(parts[2]) == 3:
+            # 3-arg form passes an agg parameter: string_agg separator
+            # [measured: list_aggregate(['a','b'],'string_agg','-') →
+            # 'a-b'; NULL elements skipped, empty → NULL like the agg]
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            agg3 = _arg_text(toks, spans[1]).strip("'").lower()
+            prm = _arg_text(toks, spans[2])
+            if agg3 in ("string_agg", "group_concat"):
+                _flt3 = f"filter({lst}, x -> x IS NOT NULL)"
+                out.append(
+                    f"(CASE WHEN size({_flt3}) = 0 "
+                    f"THEN CAST(NULL AS STRING) "
+                    f"ELSE array_join({_flt3}, {prm}) END)")
+                i = close + 1
+                changed = True
+                continue
+        if name == "regexp_full_match" and parts and len(parts[2]) == 2:
+            # full-match boolean [DuckDB core] — anchor a non-capturing
+            # group; a literal pattern embeds, an expression concats
+            _, close, spans = parts
+            s_ = _arg_text(toks, spans[0])
+            p_ = _arg_text(toks, spans[1]).strip()
+            if p_.startswith("'") and p_.endswith("'") and len(p_) >= 2:
+                pat = f"'^(?:{p_[1:-1]})$'"
+            else:
+                pat = f"concat('^(?:', {p_}, ')$')"
+            out.append(f"({s_} RLIKE {pat})")
+            i = close + 1
+            changed = True
+            continue
         if name == "strftime" and parts and len(parts[2]) == 2:
             _, close, spans = parts
             expr = _arg_text(toks, spans[0])
@@ -1980,15 +2276,28 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 r"^(?P<expr>.*?)\s+ORDER\s+BY\s+(?P<key>.+?)"
                 r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
                 inner_av, re.IGNORECASE | re.DOTALL)
-            if mav and mav.group("expr").strip() == mav.group("key").strip():
-                # DuckDB any_value(x ORDER BY x) = first NON-NULL in that
-                # order [measured: (NULL,2,1) asc → 1] — Spark any_value
-                # has no ORDER BY; sort the null-free collect_list
+            if mav and "," not in re.sub(r"\([^()]*\)", "",
+                                         mav.group("key")):
+                # DuckDB any_value(x ORDER BY k) = first NON-NULL x in k
+                # order, NULL keys last [measured: ((9,NULL),(7,2)) → 7;
+                # all-NULL x → NULL]. Spark any_value has no ORDER BY —
+                # collect null-free (key, value) structs (the CASE's
+                # NULL rows vanish in collect_list), sort with the
+                # null-rank flag, take the head. expr == key keeps the
+                # same shape (r7 generalized from the expr==key-only
+                # form for arbitrary()/any_value over a separate key).
                 expr = mav.group("expr").strip()
+                key = mav.group("key").strip()
                 desc = (mav.group("dir") or "").upper() == "DESC"
-                srt = (f"sort_array(collect_list({expr}), false)" if desc
-                       else f"sort_array(collect_list({expr}))")
-                out.append(f"try_element_at({srt}, 1)")
+                flag = "IS NOT NULL" if desc else "IS NULL"
+                cl = (f"collect_list(CASE WHEN ({expr}) IS NOT NULL "
+                      f"THEN struct(({key}) {flag} AS __n, "
+                      f"{key} AS __k, {expr} AS __v) END)")
+                srt = (f"sort_array({cl}, false)" if desc
+                       else f"sort_array({cl})")
+                out.append(
+                    f"try_element_at(transform({srt}, "
+                    f"__s -> __s.__v), 1)")
                 i = parts[1] + 1
                 changed = True
                 continue
@@ -2385,33 +2694,211 @@ def _rewrite_power_operator(sql: str) -> str:
                + detokenize(toks[rhs_end_raw + 1:]))
 
 
-def _rewrite_json_arrow(sql: str) -> str:
-    """``expr ->> 'path'`` → ``get_json_object(expr, 'path')`` (identifier or
-    dotted identifier LHS)."""
+def _json_path_element(tok: Tok) -> str | None:
+    """One arrow RHS as a JsonPath fragment: bare key 'a' → '.a',
+    array index 0 → '[0]', an explicit '$.x' path → its '$'-stripped
+    tail. Keys needing quoting/escaping return None (stays loud)."""
+    if tok.kind == "num" and re.fullmatch(r"\d+", tok.text):
+        return f"[{tok.text}]"
+    if tok.kind == "str" and len(tok.text) >= 2:
+        body = tok.text[1:-1]
+        if body.startswith("$"):
+            return body[1:]
+        if re.fullmatch(r"\w+", body):
+            return f".{body}"
+    return None
+
+
+def _rewrite_cte_and_group_forms(sql: str) -> str:
+    """Three small grammar gaps (r7 probe batch 3), all token-level:
+
+    - ``WITH c AS [NOT] MATERIALIZED (…)`` — DuckDB CTE materialization
+      hints; Spark has no spelling, and materialization is the
+      optimizer's call anyway: the hint is DROPPED.
+    - ``GROUP BY ()`` — the grand-total group; Spark rejects the bare
+      form (inside GROUPING SETS it is fine). The clause is dropped —
+      a global aggregate is the same plan.
+    - ``CASE WHEN NULL`` — ANSI Spark rejects an untyped NULL
+      condition; DuckDB treats it as false. The literal gets a BOOLEAN
+      cast (WHEN <expr that is NULL> is already typed and unaffected).
+    """
     toks = tokenize(sql)
     sig = _sig(toks)
-    for pos in range(len(sig) - 1, -1, -1):
-        i = sig[pos]
-        if toks[i].kind != "arrow2" or pos == 0:
+
+    def up(pos: int) -> str:
+        t = toks[sig[pos]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    def _searched_case(pos: int) -> bool:
+        """True when the WHEN at sig[pos] belongs to a SEARCHED CASE
+        (CASE WHEN …) — a simple CASE (CASE x WHEN v) compares values,
+        where an untyped NULL is already fine and a boolean cast would
+        type-clash. Walk back to the owning CASE (END/CASE nest) and
+        look at the token right after it."""
+        depth = 0
+        p = pos - 1
+        while p >= 0:
+            u = up(p)
+            if u == "END":
+                depth += 1
+            elif u == "CASE":
+                if depth == 0:
+                    return p + 1 < len(sig) and up(p + 1) == "WHEN"
+                depth -= 1
+            p -= 1
+        return False
+
+    for pos in range(len(sig)):
+        if up(pos) == "AS" and pos + 1 < len(sig):
+            # the trailing '(' pins the CTE-hint shape — a column
+            # aliased `materialized` must survive
+            if up(pos + 1) == "MATERIALIZED" and pos + 2 < len(sig) \
+                    and up(pos + 2) == "(":
+                toks[sig[pos + 1]].text = ""
+            elif (up(pos + 1) == "NOT" and pos + 3 < len(sig)
+                    and up(pos + 2) == "MATERIALIZED"
+                    and up(pos + 3) == "("):
+                toks[sig[pos + 1]].text = ""
+                toks[sig[pos + 2]].text = ""
+        elif (up(pos) == "GROUP" and pos + 3 < len(sig)
+                and up(pos + 1) == "BY" and up(pos + 2) == "("
+                and up(pos + 3) == ")"):
+            for k in range(4):
+                toks[sig[pos + k]].text = ""
+        elif (up(pos) == "WHEN" and pos + 2 < len(sig)
+                and up(pos + 1) == "NULL" and up(pos + 2) == "THEN"
+                and _searched_case(pos)):
+            toks[sig[pos + 1]].text = "CAST(NULL AS BOOLEAN)"
+    return detokenize(toks)
+
+
+def _rewrite_numeric_literal_forms(sql: str) -> str:
+    """Underscore digit separators ``1_000_000`` → plain decimal
+    [measured in DuckDB 1.0.0]. Hex/binary spellings (0x1A) are NOT
+    rewritten: DuckDB 1.0 has no such literals — it parses '0x1A' as
+    ``0 AS x1A`` (a bare-alias zero, caught by this probe's own
+    cross-engine gate), so a decimal rewrite would silently diverge.
+    The tokenizer splits the underscore form as a num IMMEDIATELY
+    followed by an ident ('1' + '_000_000') — only the adjacent pair
+    rewrites, so a real column named _000_000 (separated by
+    whitespace) survives."""
+    toks = tokenize(sql)
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if t.kind == "num" and nxt is not None and nxt.kind == "ident" \
+                and re.fullmatch(r"(?:_[0-9]+)+", nxt.text):
+            out.append(Tok("num", t.text + nxt.text.replace("_", "")))
+            i += 2
             continue
-        # RHS: next significant token must be a string literal
-        if pos + 1 >= len(sig) or toks[sig[pos + 1]].kind != "str":
+        out.append(t)
+        i += 1
+    return detokenize(out)
+
+
+def _rewrite_json_arrow(sql: str) -> str:
+    """DuckDB JSON arrows → ``get_json_object``.
+
+    A whole chain ``expr (-> k)* ->> k`` collapses into ONE call with a
+    composed JsonPath [measured: '{"a":{"b":2}}' -> 'a' ->> 'b' → '2'] —
+    keys are bare ('a'), integer indexes ([0]) or explicit '$.x' paths,
+    all composable. Collapsing sidesteps the quoting trap entirely: a
+    chain-FINAL ``->`` returns the QUOTED JSON text for string leaves
+    ('"x"') where get_json_object unquotes — that shape stays
+    UNREWRITTEN (a stray arrow is a loud Spark error; use ->> /
+    json_extract_string for scalars). DuckDB lambdas share the '->'
+    spelling: json mode needs a string LHS, a '->>', or a string first
+    key, so 'x -> 1' / 'x -> ''y''' constant lambdas pass through.
+    LHS: dotted identifier chain, string literal, or either under a
+    ``::TYPE`` postfix cast (the '::JSON' spelling — the keyword pass
+    later renames the type)."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    pos = 0
+    while pos < len(sig):
+        t = toks[sig[pos]]
+        if t.kind not in ("arrow", "arrow2") or pos == 0:
+            pos += 1
             continue
-        rhs_i = sig[pos + 1]
-        # LHS: walk back over dotted identifier chain
-        lhs_end = pos - 1
-        lhs_start = lhs_end
-        while lhs_start - 1 >= 1 and toks[sig[lhs_start]].kind == "ident" \
-                and toks[sig[lhs_start - 1]].text == "." \
-                and toks[sig[lhs_start - 2]].kind == "ident":
-            lhs_start -= 2
-        if toks[sig[lhs_start]].kind != "ident":
+        # LHS: [base][:: TYPE]* where base = str literal | dotted
+        # idents | a call/paren group (CAST('…' AS JSON) ->> 'k')
+        lhs_start = pos - 1
+        while (lhs_start - 2 >= 0 and toks[sig[lhs_start]].kind == "ident"
+               and toks[sig[lhs_start - 1]].text == ":"
+               and toks[sig[lhs_start - 2]].text == ":"):
+            lhs_start -= 3
+        base = toks[sig[lhs_start]]
+        if base.kind == "ident":
+            while (lhs_start - 2 >= 0
+                   and toks[sig[lhs_start - 1]].text == "."
+                   and toks[sig[lhs_start - 2]].kind == "ident"):
+                lhs_start -= 2
+            if toks[sig[lhs_start]].kind != "ident":
+                pos += 1
+                continue
+        elif base.text == ")":
+            depth = 0
+            p_ = lhs_start
+            while p_ >= 0:
+                if toks[sig[p_]].text == ")":
+                    depth += 1
+                elif toks[sig[p_]].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p_ -= 1
+            if p_ < 0:
+                pos += 1
+                continue
+            lhs_start = p_
+            # include a call name (CAST counts — it is not a clause)
+            if (p_ - 1 >= 0 and toks[sig[p_ - 1]].kind == "ident"
+                    and toks[sig[p_ - 1]].text.upper()
+                    not in _CLAUSE_KEYWORDS):
+                lhs_start = p_ - 1
+        elif base.kind != "str":
+            pos += 1
             continue
-        lhs_text = detokenize(toks[sig[lhs_start]:i]).strip()
-        repl = f"get_json_object({lhs_text}, {toks[rhs_i].text})"
-        new = toks[:sig[lhs_start]] + [Tok("other", repl)] + toks[rhs_i + 1:]
-        toks = new
+        # json mode only when unambiguous vs a LAMBDA arrow (DuckDB
+        # spells both '->'): a string-literal LHS can't be a lambda
+        # parameter, '->>' is never a lambda, and a string first key
+        # ('j -> 'a'') is json — but 'x -> 1' / 'x -> 'y'' constant
+        # lambdas must stay untouched
+        first_rhs = toks[sig[pos + 1]] if pos + 1 < len(sig) else None
+        if not (base.kind == "str" or t.kind == "arrow2"
+                or (first_rhs is not None and first_rhs.kind == "str")):
+            pos += 1
+            continue
+        # walk the chain forward, composing the path
+        path = ""
+        j = pos
+        end_sig = None
+        while j < len(sig) and toks[sig[j]].kind in ("arrow", "arrow2"):
+            if j + 1 >= len(sig):
+                break
+            frag = _json_path_element(toks[sig[j + 1]])
+            if frag is None:
+                break
+            path += frag
+            if toks[sig[j]].kind == "arrow2":
+                end_sig = j + 1
+                break  # ->> terminates a chain (scalar extraction)
+            j += 2
+        if end_sig is None:
+            # chain-final '->' returns QUOTED JSON for string leaves
+            # where get_json_object unquotes — leave it untouched (a
+            # stray arrow is a loud Spark error; a constant lambda
+            # keeps working). Use ->> / json_extract_string instead.
+            pos += 1
+            continue
+        lhs_text = detokenize(toks[sig[lhs_start]:sig[pos]]).strip()
+        repl = f"get_json_object({lhs_text}, '${path}')"
+        toks = (toks[:sig[lhs_start]] + [Tok("other", repl)]
+                + toks[sig[end_sig] + 1:])
         sig = _sig(toks)
+        pos = 0  # rescan: chains can nest inside other expressions
     return detokenize(toks)
 
 
@@ -2463,10 +2950,36 @@ def _rewrite_slices(sql: str) -> str:
         # chained subscript — '[1,2,3][2:]', judge probe r7) — the
         # shared subscript-base walker handles all of them
         end_i = sig[pos - 1]
-        if toks[end_i].kind == "str":
-            continue  # string slices: unsupported, stays loud
         start_pos = _subscript_base_start(toks, sig, pos)
         if start_pos is None:
+            continue
+        if toks[end_i].kind == "str":
+            # STRING slice [measured: 'abcde'[2:-1] → 'bcde', [:3] →
+            # 'abc', [2:2] → 'b'] — same 1-based inclusive arithmetic
+            # over length(); keyword-form substring dodges the substr
+            # phantom-position rewrite
+            expr = toks[end_i].text
+            lo_t, hi_t = m_sl.group(1), m_sl.group(2)
+            lo = int(lo_t) if lo_t is not None else 1
+            hi = int(hi_t) if hi_t is not None else None
+            if lo == 0:
+                lo = 1
+            st = (str(lo) if lo > 0
+                  else f"greatest(length({expr}) + {lo} + 1, 1)")
+            if hi is None:
+                ln = f"greatest(length({expr}) - ({st}) + 1, 0)"
+            elif hi == 0:
+                ln = "0"
+            elif hi > 0:
+                ln = f"greatest({hi} - ({st}) + 1, 0)"
+            else:
+                ln = (f"greatest((length({expr}) + {hi} + 1) - ({st})"
+                      f" + 1, 0)")
+            toks = (toks[:end_i]
+                    + [Tok("other",
+                           f"substring({expr} FROM {st} FOR {ln})")]
+                    + toks[e + 1:])
+            sig = _sig(toks)
             continue
         expr = detokenize(toks[sig[start_pos]:a]).strip()
         lo_t, hi_t = m_sl.group(1), m_sl.group(2)
@@ -2977,6 +3490,71 @@ def _first_match_replacement_chunks(lit: str) -> list[tuple[str, str]]:
     return chunks
 
 
+def _rewrite_date_subtraction(sql: str,
+                              column_kinds: dict[str, str] | None) -> str:
+    """DuckDB ``DATE - DATE`` is an INTEGER day count [measured:
+    DATE '2024-01-05' - DATE '2024-01-01' = 4]; Spark's is an INTERVAL
+    — a silent type/value divergence. Rewritten to datediff(L, R) when
+    BOTH operands are provably dates: a DATE 'lit' literal or a
+    registered date-kind column (bare or qualified). Everything else —
+    date - integer (same semantics both engines), date - INTERVAL,
+    timestamp - timestamp (interval on both) — passes through."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+
+    def date_operand(pos, direction):
+        """(start_sig, end_sig) of a provably-date operand adjacent to
+        sig[pos] in the given direction, else None."""
+        if direction > 0:  # right operand: DATE 'lit' | date column
+            if pos + 2 < len(sig) and toks[sig[pos + 1]].kind == "ident" \
+                    and toks[sig[pos + 1]].text.upper() == "DATE" \
+                    and toks[sig[pos + 2]].kind == "str":
+                return pos + 1, pos + 2
+            j = pos + 1
+            if j < len(sig) and toks[sig[j]].kind == "ident":
+                end = j
+                while (end + 2 < len(sig)
+                       and toks[sig[end + 1]].text == "."
+                       and toks[sig[end + 2]].kind == "ident"):
+                    end += 2
+                # not a call (next token '(' would make it one)
+                if end + 1 < len(sig) and toks[sig[end + 1]].text == "(":
+                    return None
+                bare = toks[sig[end]].text.lower()
+                if (column_kinds or {}).get(bare) == "date":
+                    return j, end
+            return None
+        # left operand, scanning back
+        if pos - 2 >= 0 and toks[sig[pos - 1]].kind == "str" \
+                and toks[sig[pos - 2]].kind == "ident" \
+                and toks[sig[pos - 2]].text.upper() == "DATE":
+            return pos - 2, pos - 1
+        if pos - 1 >= 0 and toks[sig[pos - 1]].kind == "ident":
+            start = pos - 1
+            while (start - 2 >= 0 and toks[sig[start - 1]].text == "."
+                   and toks[sig[start - 2]].kind == "ident"):
+                start -= 2
+            bare = toks[sig[pos - 1]].text.lower()
+            if (column_kinds or {}).get(bare) == "date":
+                return start, pos - 1
+        return None
+
+    for pos in range(len(sig) - 1, 0, -1):
+        if pos >= len(sig) or toks[sig[pos]].text != "-":
+            continue
+        left = date_operand(pos, -1)
+        right = date_operand(pos, +1)
+        if left is None or right is None:
+            continue
+        l_txt = detokenize(toks[sig[left[0]]:sig[left[1]] + 1])
+        r_txt = detokenize(toks[sig[right[0]]:sig[right[1]] + 1])
+        toks = (toks[:sig[left[0]]]
+                + [Tok("other", f"datediff({l_txt}, {r_txt})")]
+                + toks[sig[right[1]] + 1:])
+        sig = _sig(toks)
+    return detokenize(toks)
+
+
 def _rewrite_regexp_first_match(sql: str) -> str:
     """DuckDB regexp_replace WITHOUT the 'g' option replaces only the
     FIRST match [measured: regexp_replace('aaa','a','b') → 'baa'];
@@ -3463,11 +4041,12 @@ def _rewrite_keywords(sql: str) -> str:
             t.text = "SECOND"
         elif up == "VARCHAR":
             t.text = "STRING"
-        elif up in ("BLOB", "BYTEA"):
+        elif up in ("BLOB", "BYTEA", "JSON"):
             # only in TYPE position — a column/alias named blob must
             # survive (review fix). Type positions: after '::', or after
             # AS with the next token closing the CAST (')' or a
-            # parameter list '(')
+            # parameter list '('). JSON is DuckDB's json type — its
+            # Spark carrier is STRING ('x'::JSON in arrow chains)
             prev = toks[sig[pos - 1]] if pos >= 1 else None
             nxt = toks[sig[pos + 1]] if pos + 1 < len(sig) else None
             after_colons = (pos >= 2 and prev is not None
@@ -3480,7 +4059,7 @@ def _rewrite_keywords(sql: str) -> str:
                              and prev.text.upper() == "AS"
                              and nxt is not None and nxt.text == ")")
             if after_colons or after_cast_as:
-                t.text = "BINARY"
+                t.text = "STRING" if up == "JSON" else "BINARY"
     return detokenize(toks)
 
 
@@ -4093,6 +4672,8 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
     sql = _rewrite_raw_string_literals(sql)
+    sql = _rewrite_numeric_literal_forms(sql)
+    sql = _rewrite_cte_and_group_forms(sql)
     sql = _rewrite_like_backslash(sql)
     sql = _rewrite_pivot(sql)
     sql = _rewrite_unpivot(sql)
@@ -4108,6 +4689,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_power_operator(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_calls(sql, column_kinds)
+    sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)
     sql = _rewrite_regexp_first_match(sql)
     sql = _rewrite_moment_aggs(sql)

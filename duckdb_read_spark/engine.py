@@ -2324,10 +2324,10 @@ class Engine:
             query = self._rewrite_star_rename(query)
             if query.lstrip()[:5].upper() == "PIVOT":
                 query = self._dynamize_pivot(query)
-            # schema lookup is only paid by queries that actually use len()
-            ck = (self._column_kinds()
-                  if re.search(r"\blen\s*\(", query, re.IGNORECASE) else None)
-            query = to_spark_sql(query, column_kinds=ck)
+            # kinds feed len() dispatch, element_at-on-map and bracket
+            # subscripts (r7) — computed unconditionally now, it's one
+            # cached-per-registration-epoch catalog walk, no Spark job
+            query = to_spark_sql(query, column_kinds=self._column_kinds())
         query = self._resolve_time_travel(query)
         query = self._materialize_recursive_inputs(query)
         if self._time_partitioned:

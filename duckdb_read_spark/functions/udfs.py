@@ -194,6 +194,36 @@ def _age_str(t1, t2) -> str | None:
     return " ".join(parts)
 
 
+def _make_math_udfs():
+    """DuckDB math scalars with no JVM builtin (r7 probe batch):
+    gamma/lgamma [measured gamma(5.0)=24], nextafter, signbit — all
+    thin wrappers over the C library via ``math``, Arrow-batched."""
+    import math
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(DoubleType())
+    def gamma_udf(x: pd.Series) -> pd.Series:
+        return x.map(lambda v: None if v is None else math.gamma(v))
+
+    @F.pandas_udf(DoubleType())
+    def lgamma_udf(x: pd.Series) -> pd.Series:
+        return x.map(lambda v: None if v is None else math.lgamma(v))
+
+    @F.pandas_udf(DoubleType())
+    def nextafter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _pairwise(a, b, lambda x, y: math.nextafter(x, y))
+
+    @F.pandas_udf(BooleanType())
+    def signbit_udf(x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else math.copysign(1.0, v) < 0
+             for v in x], dtype=object)
+
+    return {"gamma": gamma_udf, "lgamma": lgamma_udf,
+            "nextafter": nextafter_udf, "signbit": signbit_udf}
+
+
 def _make_unicode_udfs():
     """L22 as SQL (r7): DuckDB ships nfc_normalize/strip_accents as
     core scalars; registering the same names lets that text run
@@ -260,7 +290,8 @@ def register_fuzzy_udfs(spark) -> dict:
            "jaro_winkler_similarity": jaro_winkler_similarity,
            "damerau_levenshtein": damerau_levenshtein,
            "gcd": gcd_udf, "lcm": lcm_udf,
-           "age": _make_age_udf(), **_make_unicode_udfs()}
+           "age": _make_age_udf(), **_make_unicode_udfs(),
+           **_make_math_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)
     return fns

@@ -13,7 +13,15 @@ import decimal as _decimal
 import math
 
 
-def normalize_value(v):
+def normalize_value(v, engine: str = "generic"):
+    """``engine`` disambiguates dict renderings: duckdb's Python API
+    returns STRUCTs as dicts (MAPs come as the {'key': […], 'value':
+    […]} form handled below), while Spark returns MAPs as dicts and
+    STRUCTs as Row tuples. With engine='duck', a plain dict therefore
+    normalizes NAMELESS (tuple of field values, field order) so named
+    structs compare against Spark's Row tuples; the default keeps the
+    historical sorted-kv-items form (correct for Spark maps and for
+    callers that normalize both sides the same way)."""
     if v is None:
         return None
     if isinstance(v, bool):
@@ -31,14 +39,31 @@ def normalize_value(v):
     if isinstance(v, _dt.date):
         return _dt.datetime(v.year, v.month, v.day).isoformat(timespec="microseconds")
     if isinstance(v, (list, tuple)):
-        return tuple(normalize_value(x) for x in v)
+        return tuple(normalize_value(x, engine) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, normalize_value(x)) for k, x in v.items()))
+        if (set(v.keys()) == {"key", "value"}
+                and isinstance(v.get("key"), list)
+                and isinstance(v.get("value"), list)
+                and len(v["key"]) == len(v["value"])):
+            # duckdb's Python rendering of a MAP is {'key': [...],
+            # 'value': [...]} — zip it into items so histogram()-style
+            # results compare against Spark's dict-of-items rendering
+            # (a 2-field key/value STRUCT with list fields would
+            # collide; documented ambiguity)
+            return tuple(sorted(
+                (normalize_value(k, engine), normalize_value(x, engine))
+                for k, x in zip(v["key"], v["value"])))
+        if engine == "duck":
+            # duckdb dict = named STRUCT → nameless field-value tuple
+            # (Spark structs are Row tuples, already nameless)
+            return tuple(normalize_value(x, engine) for x in v.values())
+        return tuple(sorted((k, normalize_value(x, engine))
+                            for k, x in v.items()))
     return v
 
 
-def normalize_rows(rows) -> list[tuple]:
-    out = [tuple(normalize_value(v) for v in row) for row in rows]
+def normalize_rows(rows, engine: str = "generic") -> list[tuple]:
+    out = [tuple(normalize_value(v, engine) for v in row) for row in rows]
     # Declared queries carry a total ORDER BY, but the comparison is made
     # order-insensitive anyway (matches the driver's value-hash).
     return sorted(out, key=repr)
@@ -49,7 +74,7 @@ def spark_rows(df) -> list[tuple]:
 
 
 def duckdb_rows(con, sql: str) -> list[tuple]:
-    return normalize_rows(con.execute(sql).fetchall())
+    return normalize_rows(con.execute(sql).fetchall(), engine="duck")
 
 
 def diff_summary(a: list[tuple], b: list[tuple], limit: int = 5) -> str:

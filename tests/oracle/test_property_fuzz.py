@@ -781,6 +781,58 @@ def gen_null_agg_probes(rng: random.Random) -> str:
             f"ORDER BY {total} LIMIT 300")
 
 
+def gen_probe_batch_fns(rng: random.Random) -> str:
+    """r7 probe-batch families 2-4: JSON arrow chains, series
+    expressions, date subtraction, list_resize/list_sort options,
+    new scalar mappings — verbatim DuckDB over fixture columns."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    uid = t["int"][0]
+    k = rng.choice(["a", "b"])
+    pool = [
+        f"concat('{{\"a\":', {i1} % 40, ', \"b\": {{\"c\": 7}}}}') "
+        f"->> '{k}' AS e1",
+        f"('[' || ({i1} % 9) || ', 5]') ->> {rng.randint(0, 1)} AS e2",
+        f"generate_series({i1} % 4, {i2} % 6) AS e3",
+        f"range({i1} % 5, {i2} % 7) AS e4",
+        f"DATE '2024-03-01' + ({i1} % 50) * INTERVAL 1 DAY "
+        f"- DATE '2024-02-01' AS e5",
+        f"list_resize(string_split({s1}, 'a'), {rng.randint(1, 4)}) "
+        f"AS e6",
+        f"list_sort(string_split({s1}, '{rng.choice('aeo')}'), "
+        f"'DESC') AS e7",
+        f"sha256(substr({s1}, 1, 3)) AS e8",
+        f"round(geomean(coalesce({i1}, 0) % 7 + 1.0) OVER (), 6) AS e9"
+        if False else f"add({i1} % 9, {i2} % 4) AS e9",
+        f"multiply({i1} % 5, 3) AS e10, subtract({i1} % 9, 2) AS e11",
+        f"date_trunc('decade', DATE '1998-07-04' + ({i1} % 900) "
+        f"* INTERVAL 20 DAY) AS e12",
+        f"regexp_full_match({s1}, '[A-Za-z#_ ]+[0-9]*') AS e13",
+        f"list_aggregate(string_split({s1}, '_'), 'string_agg', '|') "
+        f"AS e14",
+        f"array_cat(string_split({s1}, 'a'), ['z']) AS e15",
+        f"1_000 + {i1} % 7 AS e16",
+        f"CAST(('[' || ({i1} % 9) || ']') AS INTEGER[]) AS e17",
+    ]
+    exprs = rng.sample(pool, k=3)
+    total = ", ".join(t["int"])
+    return (
+        f"SELECT {uid} AS k, {', '.join(exprs)} "
+        f"FROM {name}{_where(rng, t)} "
+        f"ORDER BY {total} LIMIT 300"
+    )
+
+
+@pytest.mark.parametrize("seed", range(328, 344))
+def test_fuzzed_probe_batch_fns_match_oracle(seed, engine, duck):
+    sql = gen_probe_batch_fns(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
 @pytest.mark.parametrize("seed", range(300, 316))
 def test_fuzzed_divergence_probes_match_oracle(seed, engine, duck):
     sql = gen_divergence_probes(random.Random(seed))

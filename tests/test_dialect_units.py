@@ -412,9 +412,14 @@ def test_window_exclude_and_any_value_rewrites():
     with _pytest.raises(NotImplementedError, match="EXCLUDE"):
         to_spark_sql("SELECT min(y) OVER (ORDER BY x "
                      "EXCLUDE CURRENT ROW) FROM t")
+    # r7: generalized to expr != key (struct-wrapped, NULL keys last)
     out = to_spark_sql("SELECT any_value(x ORDER BY x DESC) FROM t")
-    assert out == ("SELECT try_element_at(sort_array(collect_list(x), "
-                   "false), 1) FROM t")
+    assert out == (
+        "SELECT try_element_at(transform(sort_array(collect_list("
+        "CASE WHEN (x) IS NOT NULL THEN struct((x) IS NOT NULL AS __n, "
+        "x AS __k, x AS __v) END), false), __s -> __s.__v), 1) FROM t")
+    out = to_spark_sql("SELECT any_value(v ORDER BY k) FROM t")
+    assert "struct((k) IS NULL AS __n, k AS __k, v AS __v)" in out
 
 
 def test_function_tranche_rewrites():

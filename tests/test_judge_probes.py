@@ -320,6 +320,167 @@ def test_review_r7_regression_pins(engine, duck):
         "y -> y IS NOT NULL))) AS a"))
 
 
+def test_probe_batch1_temporal_truncation(engine, duck):
+    """r7 self-probe batch: date_trunc decade/century/millennium were
+    silent NULLs in Spark [measured floors: 2024 → 2020/2000/2000];
+    DATE - DATE is an INTEGER day count in DuckDB (Spark: interval);
+    today()/datetrunc/try_strptime aliases."""
+    _check(engine, duck, (
+        "SELECT date_trunc('decade', DATE '2024-05-05') AS a, "
+        "date_trunc('century', DATE '2024-05-05') AS b, "
+        "date_trunc('millennium', DATE '2024-05-05') AS c, "
+        "date_trunc('quarter', DATE '2024-05-05') AS d, "
+        "datetrunc('month', DATE '2024-05-05') AS e2"))
+    _check(engine, duck, (
+        "SELECT DATE '2024-01-05' - DATE '2024-01-01' AS days, "
+        "DATE '2024-01-05' - 3 AS back, "
+        "CAST(strptime('05/06/2024 07:08', '%d/%m/%Y %H:%M') "
+        "AS VARCHAR) AS sp, "
+        "CAST(try_strptime('bad', '%d/%m/%Y') AS VARCHAR) AS tsp, "
+        "today() = current_date AS t"))
+    _check(engine, duck, (
+        "SELECT o_orderdate - DATE '1995-01-01' AS d "
+        "FROM orders ORDER BY o_orderkey LIMIT 5"))
+
+
+def test_probe_batch1_list_functions(engine, duck):
+    """range() list form (EXCLUSIVE stop), list_resize NULL/value pads,
+    list_sort direction strings, list_indexof/list_has aliases."""
+    _check(engine, duck, (
+        "SELECT range(3) AS a, range(1, 4) AS b, range(0, 10, 3) AS c, "
+        "range(5, 0, -2) AS d, range(0) AS e2, range(2, 2) AS f, "
+        "range(-2) AS g"))
+    _check(engine, duck, (
+        "SELECT list_resize([1, 2], 4) AS a, "
+        "list_resize([1, 2, 3], 2) AS b, "
+        "list_resize([1, 2], 4, 9) AS c"))
+    _check(engine, duck, (
+        "SELECT list_sort([3, NULL, 1]) AS a, "
+        "list_sort([3, NULL, 1], 'DESC') AS b, "
+        "list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST') AS c, "
+        "list_sort([3, NULL, 1], 'DESC', 'NULLS FIRST') AS d, "
+        "list_sort([3, NULL, 1], 'ASC', 'NULLS LAST') AS e2, "
+        "list_has([1, 2], 1) AS f, list_indexof([1, 2, 3], 9) AS g, "
+        "list_indexof([1, 2, 3], 2) AS h"))
+    _check(engine, duck, (
+        "SELECT array_slice('hello', 2, 3) AS a, "
+        "array_slice('hello', -3, -1) AS b, "
+        "array_slice('hello', 2, NULL) AS c"))
+
+
+def test_probe_batch1_scalar_functions(engine, duck):
+    """sha256, operator-function aliases, geomean, gamma/lgamma/
+    nextafter/signbit session UDFs, arbitrary → any_value."""
+    _check(engine, duck, (
+        "SELECT sha256('x') AS a, add(1, 2) AS b, multiply(3, 4) AS c, "
+        "subtract(5, 2) AS d, "
+        "round(gamma(5.0), 6) AS e2, round(lgamma(10.0), 6) AS f, "
+        "nextafter(1.0, 0.0) AS g, signbit(-0.5) AS h, "
+        "signbit(0.5) AS i2, factorial(5) AS j"))
+    _check(engine, duck, (
+        "SELECT round(geomean(o_totalprice), 4) AS g, "
+        "arbitrary(o_orderstatus ORDER BY o_orderkey) AS arb "
+        "FROM orders"))
+
+
+def test_probe_batch2_json_arrows(engine, duck):
+    """Arrow chains collapse into one get_json_object with a composed
+    JsonPath: bare keys, integer indexes, explicit '$.x' paths, ::JSON
+    casts and string-literal LHS [all measured]. Constant lambdas
+    sharing the '->' spelling stay untouched."""
+    _check(engine, duck, (
+        "SELECT '{\"a\":1}'::JSON ->> 'a' AS a, "
+        "'{\"a\":\"x\"}' ->> 'a' AS b, "
+        "'{\"a\":{\"b\":2}}' -> 'a' ->> 'b' AS c, "
+        "'[10,20]' ->> 0 AS d, "
+        "'{\"a\":\"x\"}' ->> '$.a' AS e2, "
+        "CAST('{\"k\":5}' AS JSON) ->> 'k' AS f"))
+    _check(engine, duck, (
+        "SELECT list_transform([1, 2], x -> x + 1) AS lam, "
+        "list_transform([1, 2], x -> 'y') AS lam2"))
+
+
+def test_probe_batch2_literal_forms(engine, duck):
+    """Underscore digit separators [measured]. Hex/binary literals are
+    deliberately NOT translated: DuckDB 1.0 parses '0x1A' as the zero
+    literal with alias x1A (this probe's own gate caught a would-be
+    0x→decimal rewrite silently diverging against that)."""
+    _check(engine, duck, "SELECT 1_000_000 AS d, 12_345 + 1 AS e2")
+    # 0x1A itself: DuckDB's zero-with-alias parse vs Spark's unresolved
+    # identifier — loud on the engine side, not emulated
+
+
+def test_probe_batch2_aggs_and_casts(engine, duck):
+    """list() = array_agg alias (NULL-keeping), row() = unnamed struct,
+    CAST(string AS T[]) parses list text, histogram MAP compare (the
+    duckdb Python MAP rendering normalizes to items)."""
+    _check(engine, duck, (
+        "SELECT list(x ORDER BY x) AS l "
+        "FROM (VALUES (2), (NULL), (1)) t(x)"))
+    _check(engine, duck, "SELECT row(1, 'x') AS r")
+    _check(engine, duck, (
+        "SELECT CAST('[1,2]' AS INTEGER[]) AS a, "
+        "CAST('[1.5, 2.5]' AS DOUBLE[]) AS b"))
+    _check(engine, duck, (
+        "SELECT histogram(n_regionkey) AS h FROM nation"))
+
+
+def test_probe_batch2_string_slices(engine, duck):
+    _check(engine, duck, (
+        "SELECT 'abcde'[2:-1] AS a, 'abcdef'[:3] AS b, "
+        "'abcdef'[3:] AS c, 'abc'[2:2] AS d, 'abcde'[0:2] AS e2"))
+
+
+def test_probe_batch3_grammar_gaps(engine, duck):
+    """CTE materialization hints are dropped (optimizer's call in
+    Spark), bare GROUP BY () is the grand-total group, CASE WHEN NULL
+    needs a typed boolean under ANSI."""
+    _check(engine, duck,
+           "WITH c AS MATERIALIZED (SELECT 41 AS x) SELECT x + 1 FROM c")
+    _check(engine, duck, (
+        "WITH c AS NOT MATERIALIZED (SELECT n_nationkey AS k "
+        "FROM nation) SELECT count(*) AS n FROM c"))
+    _check(engine, duck,
+           "SELECT count(*) AS n, sum(n_nationkey) AS s "
+           "FROM nation GROUP BY ()")
+    _check(engine, duck, (
+        "SELECT CASE WHEN NULL THEN 1 ELSE 2 END AS a, "
+        "CASE WHEN 1 = 1 THEN NULL END AS b"))
+
+
+def test_probe_batch3_functions(engine, duck):
+    """3-arg list_aggregate('string_agg'), regexp_full_match,
+    array_concat/array_cat aliases, map_entries struct compare (duck
+    structs normalize nameless like Spark Row tuples)."""
+    _check(engine, duck, (
+        "SELECT list_aggregate(['a', 'b', NULL], 'string_agg', '-') "
+        "AS a, "
+        "list_aggregate(CAST([] AS VARCHAR[]), 'string_agg', '-') AS b, "
+        "regexp_full_match('abc', 'a.c') AS c, "
+        "regexp_full_match('abcd', 'a.c') AS d, "
+        "array_concat([1], [2, 3]) AS e2, array_cat([1], [2]) AS f"))
+    _check(engine, duck, (
+        "SELECT map_entries(MAP(['a', 'b'], [1, 2])) AS me, "
+        "map_keys(MAP(['a'], [1])) AS mk, "
+        "map_values(MAP(['a'], [1])) AS mv, "
+        "cardinality(MAP(['a'], [1])) AS n"))
+
+
+def test_probe_batch4_series_expressions(engine, duck):
+    """Expression-position generate_series/range lists [measured:
+    generate_series(5,1) is EMPTY where Spark's sequence would
+    auto-step down — a silent wrong answer]; the TVF forms keep
+    working via the engine's series resolver."""
+    _check(engine, duck, (
+        "SELECT generate_series(3) AS a, generate_series(0) AS b, "
+        "generate_series(-1) AS c, generate_series(1, 3) AS d, "
+        "generate_series(5, 1) AS e2, generate_series(5, 1, -2) AS f, "
+        "generate_series(1, 10, 3) AS g, "
+        "unnest(generate_series(1, 3)) AS u"))
+    _check(engine, duck, (
+        "SELECT g FROM generate_series(1, 4) t(g) ORDER BY g"))
+
+
 # --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
 
 

@@ -327,3 +327,17 @@ def test_semantic_dedup_pairs_plan_no_cartesian(engine, spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_bigram_reuses_docbg_exchange(engine, spark):
+    """r7 q111 restructure: every stage reads the per-doc bigram-count
+    relation, so AQE must REUSE its shuffle instead of re-running the
+    scan+explode for the model build and the scoring join (the r6 plan
+    computed the explode twice). Gate: at least one ReusedExchange in
+    the adaptive final plan."""
+    from duckdb_read_spark.operators.text import corpus_bigram_scores
+
+    df = corpus_bigram_scores(engine.table("documents"))
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
