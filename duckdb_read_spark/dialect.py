@@ -232,7 +232,12 @@ _SIMPLE_RENAMES = {
     "datetrunc": "date_trunc",       # spelled-together alias
     "today": "current_date",         # today() → current_date()
     "get_current_timestamp": "now",  # both the current instant
-    "arbitrary": "any_value",        # re-enters any_value's ORDER BY form
+    # arbitrary() is DuckDB's first() ALIAS — it keeps a NULL first
+    # value [measured: arbitrary(v ORDER BY k) over ((1,NULL),(2,7)) →
+    # NULL], so any_value (null-SKIPPING) would silently diverge
+    # (review r7-2); the renamed form re-enters first()'s ordered
+    # rewrite
+    "arbitrary": "first",
     "list_has": "array_contains",
     "list_indexof": "array_position",  # missing element → 0 on both
     # hash() is ENGINE-SPECIFIC on both sides (DuckDB's own 64-bit
@@ -1621,9 +1626,16 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # type pass). Malformed text is NULL here where plain CAST
             # errors in DuckDB — a loud-vs-NULL residue on bad input.
             _, close, spans = parts
-            mc = re.match(r"(?is)^(.+?)\s+AS\s+(ARRAY\s*<.+>)\s*$",
+            mc = re.match(r"(?is)^(.+?)\s+AS\s+(ARRAY\s*<\s*"
+                          r"(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT|"
+                          r"LONG|DOUBLE|FLOAT|REAL|BOOLEAN|"
+                          r"DECIMAL[^>]*)\s*>)\s*$",
                           _arg_text(toks, spans[0]))
             if mc:
+                # numeric/boolean element types only: DuckDB's list-cast
+                # text allows UNQUOTED string elements ('[a, b]') that
+                # from_json would silently NULL (review r7-2) — string
+                # element types stay loud
                 ex, ty = mc.group(1).strip(), mc.group(2)
                 is_str = ((ex.startswith("'") and ex.endswith("'"))
                           or (column_kinds or {}).get(
@@ -1660,10 +1672,17 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name == "geomean" or name == "geometric_mean":
             if parts and len(parts[2]) == 1:
                 # exp(mean(ln x)) — avg skips NULLs like DuckDB's agg;
-                # an empty/all-NULL group is NULL on both
+                # an empty/all-NULL group is NULL on both. Non-positive
+                # values ERROR in DuckDB ('cannot take logarithm') —
+                # ln() would silently return NULL and drop them
+                # (review r7-2), so the guard raises
                 _, close, spans = parts
                 x = _arg_text(toks, spans[0])
-                out.append(f"exp(avg(ln(CAST({x} AS DOUBLE))))")
+                out.append(
+                    f"exp(avg(ln(CASE WHEN ({x}) <= 0 THEN "
+                    f"CAST(raise_error('geomean: cannot take logarithm "
+                    f"of non-positive value') AS DOUBLE) "
+                    f"ELSE CAST({x} AS DOUBLE) END)))")
                 i = close + 1
                 changed = True
                 continue
@@ -1706,8 +1725,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 a, b, s = args[0], args[1], "1"
             else:
                 a, b, s = args
+            # a NULL bound/step is NULL in DuckDB [measured], not the
+            # empty list the guards would otherwise fall through to
             out.append(
-                f"(CASE WHEN ({s}) > 0 AND ({a}) < ({b}) "
+                f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                f"OR ({s}) IS NULL THEN NULL "
+                f"WHEN ({s}) > 0 AND ({a}) < ({b}) "
                 f"THEN sequence({a}, ({b}) - 1, {s}) "
                 f"WHEN ({s}) < 0 AND ({a}) > ({b}) "
                 f"THEN sequence({a}, ({b}) + 1, {s}) "
@@ -1731,7 +1754,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             else:
                 a, b = ("0", gs[0]) if len(gs) == 1 else (gs[0], gs[1])
                 out.append(
-                    f"(CASE WHEN ({a}) <= ({b}) THEN sequence({a}, {b}) "
+                    f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                    f"THEN NULL "
+                    f"WHEN ({a}) <= ({b}) THEN sequence({a}, {b}) "
                     f"ELSE slice(array({a}), 1, 0) END)")
             i = close + 1
             changed = True
@@ -1797,8 +1822,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             width = {"decade": 10, "century": 100,
                      "millennium": 1000}.get(fld)
             if width is not None:
-                out.append(f"make_date(year({x}) - pmod(year({x}), "
-                           f"{width}), 1, 1)")
+                # TIMESTAMP out, like Spark's own date_trunc fields —
+                # DuckDB returns the INPUT type; that (pre-existing)
+                # divergence is §2.4.2's explicit-CAST-at-call-site
+                # class, kept consistent across fields (review r7-2)
+                out.append(f"CAST(make_date(year({x}) - pmod(year({x}), "
+                           f"{width}), 1, 1) AS TIMESTAMP)")
                 i = close + 1
                 changed = True
                 continue
@@ -2750,14 +2779,20 @@ def _rewrite_cte_and_group_forms(sql: str) -> str:
 
     for pos in range(len(sig)):
         if up(pos) == "AS" and pos + 1 < len(sig):
-            # the trailing '(' pins the CTE-hint shape — a column
-            # aliased `materialized` must survive
-            if up(pos + 1) == "MATERIALIZED" and pos + 2 < len(sig) \
-                    and up(pos + 2) == "(":
+            # the '(' + query-keyword pins the CTE-hint shape — both a
+            # column aliased `materialized` AND a derived-table alias
+            # with a column list (AS materialized(x), review r7-2)
+            # must survive
+            def _q_start(k: int) -> bool:
+                return (k < len(sig) and up(k) == "(" and k + 1 < len(sig)
+                        and up(k + 1) in ("SELECT", "VALUES", "WITH",
+                                          "FROM", "TABLE"))
+
+            if up(pos + 1) == "MATERIALIZED" and _q_start(pos + 2):
                 toks[sig[pos + 1]].text = ""
-            elif (up(pos + 1) == "NOT" and pos + 3 < len(sig)
+            elif (up(pos + 1) == "NOT" and pos + 2 < len(sig)
                     and up(pos + 2) == "MATERIALIZED"
-                    and up(pos + 3) == "("):
+                    and _q_start(pos + 3)):
                 toks[sig[pos + 1]].text = ""
                 toks[sig[pos + 2]].text = ""
         elif (up(pos) == "GROUP" and pos + 3 < len(sig)

@@ -202,13 +202,16 @@ def _make_math_udfs():
 
     from pyspark.sql.types import BooleanType
 
+    # NULL checks must be pd.isna, not `is None`: Arrow hands float64
+    # Series with NaN holes for NULLs (review r7-2 — the same class
+    # _pairwise fixed in r6)
     @F.pandas_udf(DoubleType())
     def gamma_udf(x: pd.Series) -> pd.Series:
-        return x.map(lambda v: None if v is None else math.gamma(v))
+        return x.map(lambda v: None if pd.isna(v) else math.gamma(v))
 
     @F.pandas_udf(DoubleType())
     def lgamma_udf(x: pd.Series) -> pd.Series:
-        return x.map(lambda v: None if v is None else math.lgamma(v))
+        return x.map(lambda v: None if pd.isna(v) else math.lgamma(v))
 
     @F.pandas_udf(DoubleType())
     def nextafter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -217,7 +220,7 @@ def _make_math_udfs():
     @F.pandas_udf(BooleanType())
     def signbit_udf(x: pd.Series) -> pd.Series:
         return pd.Series(
-            [None if v is None else math.copysign(1.0, v) < 0
+            [None if pd.isna(v) else math.copysign(1.0, v) < 0
              for v in x], dtype=object)
 
     return {"gamma": gamma_udf, "lgamma": lgamma_udf,

@@ -57,7 +57,10 @@ def normalize_value(v, engine: str = "generic"):
             # duckdb dict = named STRUCT → nameless field-value tuple
             # (Spark structs are Row tuples, already nameless)
             return tuple(normalize_value(x, engine) for x in v.values())
-        return tuple(sorted((k, normalize_value(x, engine))
+        # keys normalize too (dates/decimals as map keys must render
+        # the same as the duck-side zip branch — review r7-2)
+        return tuple(sorted((normalize_value(k, engine),
+                             normalize_value(x, engine))
                             for k, x in v.items()))
     return v
 

@@ -804,8 +804,7 @@ def gen_probe_batch_fns(rng: random.Random) -> str:
         f"list_sort(string_split({s1}, '{rng.choice('aeo')}'), "
         f"'DESC') AS e7",
         f"sha256(substr({s1}, 1, 3)) AS e8",
-        f"round(geomean(coalesce({i1}, 0) % 7 + 1.0) OVER (), 6) AS e9"
-        if False else f"add({i1} % 9, {i2} % 4) AS e9",
+        f"add({i1} % 9, {i2} % 4) AS e9",
         f"multiply({i1} % 5, 3) AS e10, subtract({i1} % 9, 2) AS e11",
         f"date_trunc('decade', DATE '1998-07-04' + ({i1} % 900) "
         f"* INTERVAL 20 DAY) AS e12",

@@ -481,6 +481,36 @@ def test_probe_batch4_series_expressions(engine, duck):
         "SELECT g FROM generate_series(1, 4) t(g) ORDER BY g"))
 
 
+def test_review_r7b_regression_pins(engine, duck):
+    """Second r7 review pass: arbitrary() keeps a NULL first value (it
+    is DuckDB's first() alias — any_value would skip); gamma/signbit of
+    NULL are NULL (Arrow NaN holes); NULL series bounds are NULL not
+    []; truncated decades are TIMESTAMP-typed; a derived-table alias
+    named 'materialized' survives the CTE-hint dropper."""
+    _check(engine, duck, (
+        "SELECT arbitrary(v ORDER BY k) AS a, "
+        "first(v ORDER BY k) AS b, last(v ORDER BY k) AS c "
+        "FROM (VALUES (1, NULL), (2, 7)) t(k, v)"))
+    _check(engine, duck, (
+        "SELECT gamma(CAST(NULL AS DOUBLE)) AS g, "
+        "signbit(CAST(NULL AS DOUBLE)) AS s, "
+        "range(NULL) AS r, generate_series(1, NULL) AS gs"))
+    _check(engine, duck, (
+        "SELECT x FROM (VALUES (1)) AS materialized(x)"))
+    # geomean of a non-positive value errors on BOTH engines
+    with pytest.raises(Exception):
+        duck.execute(
+            "SELECT geomean(x) FROM (VALUES (0.0),(2.0)) t(x)").fetchall()
+    with pytest.raises(Exception):
+        engine.sql("SELECT geomean(x) FROM (VALUES (0.0),(2.0)) t(x)",
+                   dialect="duckdb").collect()
+    # CAST to a STRING-element list stays loud (DuckDB list text allows
+    # unquoted elements that from_json would silently NULL)
+    with pytest.raises(Exception):
+        engine.sql("SELECT CAST('[a, b]' AS VARCHAR[])",
+                   dialect="duckdb").collect()
+
+
 # --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
 
 
