@@ -2804,6 +2804,20 @@ def _rewrite_cte_and_group_forms(sql: str) -> str:
                 and up(pos + 1) == "NULL" and up(pos + 2) == "THEN"
                 and _searched_case(pos)):
             toks[sig[pos + 1]].text = "CAST(NULL AS BOOLEAN)"
+        elif up(pos) == "TIMESTAMPTZ" and pos + 1 < len(sig) \
+                and toks[sig[pos + 1]].kind == "str":
+            # TIMESTAMPTZ 'lit' → TIMESTAMP 'lit': Spark's timestamp
+            # literal parses the offset (bare '+02' included, measured)
+            # into the same instant; the engine carries instants as
+            # session-UTC TIMESTAMP (§2.4.25 — DuckDB's TIMESTAMPTZ
+            # renders a '+00' suffix, compare through strftime)
+            toks[sig[pos]].text = "TIMESTAMP"
+        elif (up(pos) == "TIMESTAMP" and pos + 3 < len(sig)
+                and up(pos + 1) == "WITH" and up(pos + 2) == "TIME"
+                and up(pos + 3) == "ZONE"):
+            # TIMESTAMP WITH TIME ZONE — the spelled-out TIMESTAMPTZ
+            for k in (1, 2, 3):
+                toks[sig[pos + k]].text = ""
     return detokenize(toks)
 
 
@@ -4076,12 +4090,13 @@ def _rewrite_keywords(sql: str) -> str:
             t.text = "SECOND"
         elif up == "VARCHAR":
             t.text = "STRING"
-        elif up in ("BLOB", "BYTEA", "JSON"):
+        elif up in ("BLOB", "BYTEA", "JSON", "TIMESTAMPTZ"):
             # only in TYPE position — a column/alias named blob must
             # survive (review fix). Type positions: after '::', or after
             # AS with the next token closing the CAST (')' or a
             # parameter list '('). JSON is DuckDB's json type — its
-            # Spark carrier is STRING ('x'::JSON in arrow chains)
+            # Spark carrier is STRING ('x'::JSON in arrow chains);
+            # TIMESTAMPTZ casts carry as session-UTC TIMESTAMP
             prev = toks[sig[pos - 1]] if pos >= 1 else None
             nxt = toks[sig[pos + 1]] if pos + 1 < len(sig) else None
             after_colons = (pos >= 2 and prev is not None
@@ -4094,7 +4109,9 @@ def _rewrite_keywords(sql: str) -> str:
                              and prev.text.upper() == "AS"
                              and nxt is not None and nxt.text == ")")
             if after_colons or after_cast_as:
-                t.text = "STRING" if up == "JSON" else "BINARY"
+                t.text = ("STRING" if up == "JSON"
+                          else "TIMESTAMP" if up == "TIMESTAMPTZ"
+                          else "BINARY")
     return detokenize(toks)
 
 

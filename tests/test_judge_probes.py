@@ -511,6 +511,21 @@ def test_review_r7b_regression_pins(engine, duck):
                    dialect="duckdb").collect()
 
 
+def test_probe_batch5_timestamptz_literals(engine, duck):
+    """TIMESTAMPTZ literal/cast spellings carry as session-UTC
+    TIMESTAMP (Spark parses bare '+02' offsets into the same instant,
+    measured); DuckDB's TIMESTAMPTZ renders a '+00' suffix so the
+    instants compare through strftime (§2.4.25)."""
+    _check(engine, duck, (
+        "SELECT strftime(TIMESTAMPTZ '2024-06-05 07:08:09+02', "
+        "'%Y-%m-%d %H:%M') AS a, "
+        "strftime(TIMESTAMP WITH TIME ZONE '2024-06-05 07:08:09+00', "
+        "'%H') AS b, "
+        "strftime('2024-06-05 07:08:09+02'::TIMESTAMPTZ, '%H:%M') AS c, "
+        "strftime(CAST('2024-06-05 07:08:09-05' AS TIMESTAMPTZ), "
+        "'%H') AS d"))
+
+
 # --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
 
 
