@@ -115,6 +115,36 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_UPDATE_FROM_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"\s+FROM\s+(?P<src>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+USING\s+"
+    r"(?P<src>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _relation_shaped(src: str) -> bool:
+    """True when the captured join-DML source is a table name or a
+    parenthesized subquery (with an optional alias) — not an arbitrary
+    expression fragment grabbed from a SET/predicate."""
+    s = src.strip()
+    return re.fullmatch(
+        r"(?:[A-Za-z_]\w*|\(.*\))(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?",
+        s, re.IGNORECASE | re.DOTALL) is not None
+
+
+def _has_subquery(txt: str | None) -> bool:
+    """Word-match SELECT — used to DISABLE the file-level DML fast path
+    (a rebound subset view would mis-evaluate a self-referential
+    subquery); a false positive only skips an optimization."""
+    return bool(txt) and re.search(r"\bSELECT\b", txt,
+                                   re.IGNORECASE) is not None
 # MERGE is parsed in two steps: the head regex stops at USING, then the
 # source relation (possibly a parenthesized subquery with nested parens) is
 # extracted by paren matching, and the tail regex takes over.
@@ -1072,6 +1102,15 @@ class Engine:
                     return self._empty()
                 raise ValueError(
                     f"ALTER TABLE: column {col!r} already exists")
+            default_expr = None
+            mdf = re.search(r"\bDEFAULT\s+(?P<e>.+?)\s*$", typ,
+                            re.IGNORECASE | re.DOTALL)
+            if mdf:
+                # preserve the original-case expression text (typ was
+                # upper-cased for type matching)
+                default_expr = m.group("type").strip()[
+                    mdf.start("e"):mdf.end("e")]
+                typ = typ[:mdf.start()].strip()
             typ = re.sub(r"^VARCHAR\s*\(\s*\d+\s*\)$", "VARCHAR", typ)
             base = re.match(r"^[A-Za-z]+", typ)
             mapped = _DUCK_TO_SPARK_TYPES.get(typ)
@@ -1080,8 +1119,27 @@ class Engine:
             if mapped is None:
                 raise ValueError(
                     f"ALTER TABLE: unsupported column type {typ!r}")
-            snapshots.append_schema_patch(
-                table_dir, {"op": "add", "name": col, "type": mapped})
+            if default_expr is not None:
+                # ADD COLUMN … DEFAULT backfills EXISTING rows in DuckDB.
+                # This is a REWRITING commit here — a metadata-only
+                # default-fill cannot tell a pre-ALTER missing value from
+                # a post-ALTER explicitly-inserted NULL once generations
+                # mix (mergeSchema NULLs both), so the honest choice is
+                # one eager rewrite (documented; the plain ADD stays
+                # metadata-only). The default also registers for future
+                # INSERTs that omit the column.
+                from pyspark.sql import functions as F
+
+                filled = self.table(name).withColumn(
+                    col, F.expr(default_expr).cast(mapped))
+                snapshots.write_table(filled, table_dir, mode="overwrite")
+                cons = snapshots.read_constraints(table_dir)
+                cons.append({"kind": "default", "col": col,
+                             "expr": default_expr})
+                snapshots.write_constraints(table_dir, cons)
+            else:
+                snapshots.append_schema_patch(
+                    table_dir, {"op": "add", "name": col, "type": mapped})
         elif _ALTER_DROP_RE.match(rest):
             md = _ALTER_DROP_RE.match(rest)
             if md.group("col") not in cols:
@@ -1432,6 +1490,47 @@ class Engine:
                                        c["expr"])
                 out.append(c)
         snapshots.write_constraints(table_dir, out)
+
+    def _fill_values_defaults(self, name: str, cols_group: str | None,
+                              body: str) -> str:
+        """Replace bare DEFAULT value placeholders in an INSERT's VALUES
+    	tuples with the column's declared default (positional — DuckDB
+        only allows DEFAULT as a whole value), or NULL when the column
+        has none. Token-level so string literals containing the word
+        survive."""
+        from .dialect import _find_close, _split_args, detokenize, tokenize
+
+        target = self.table(name).schema
+        positions = ([c.strip() for c in cols_group.split(",")]
+                     if cols_group
+                     else [f.name for f in target.fields])
+        defaults = self._column_defaults(name)
+        toks = tokenize(body)
+        depth_entered = False
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "ident" and t.text.upper() == "VALUES":
+                depth_entered = True
+                i += 1
+                continue
+            if depth_entered and t.text == "(":
+                close = _find_close(toks, i)
+                spans = _split_args(toks, i, close)
+                for idx, sp in enumerate(spans):
+                    arg = [k for k in range(*sp)
+                           if toks[k].kind not in ("ws", "comment")]
+                    if (len(arg) == 1 and toks[arg[0]].kind == "ident"
+                            and toks[arg[0]].text.upper() == "DEFAULT"
+                            and idx < len(positions)):
+                        colname = positions[idx]
+                        toks[arg[0]].text = (
+                            f"({defaults[colname]})"
+                            if colname in defaults else "NULL")
+                i = close + 1
+                continue
+            i += 1
+        return detokenize(toks)
 
     def _column_defaults(self, name: str) -> dict[str, str]:
         """Declared DEFAULT expressions for ``name``'s columns (filled
@@ -3992,6 +4091,9 @@ class Engine:
                     name, m.group("cols"), body, ", ".join(keys), act,
                     dialect)
             if body.upper().startswith("VALUES"):
+                if re.search(r"\bDEFAULT\b", body, re.IGNORECASE):
+                    body = self._fill_values_defaults(
+                        name, m.group("cols"), body)
                 body = f"SELECT * FROM {body}"
             df = self.sql(body, dialect=dialect)
             target = self.table(name).schema
@@ -4050,14 +4152,41 @@ class Engine:
         if mt:  # DuckDB TRUNCATE = unconditional DELETE (one empty
             # overwrite commit; history stays time-travelable)
             query = f"DELETE FROM {mt.group('name')}"
+        # join-DML sugar (r7 DML probes): UPDATE … FROM and DELETE …
+        # USING are exactly single-clause MERGEs — re-dispatch through
+        # the MERGE machinery rather than growing a second join-rewrite
+        # path. Unqualified SET columns bind to the target on both.
+        muf = _UPDATE_FROM_RE.match(query)
+        if muf and _relation_shaped(muf.group("src")):
+            # the relation check keeps keyword-form substring(x FROM …)
+            # in a plain UPDATE's SET from being mis-read as a source
+            return self._merge(
+                f"MERGE INTO {muf.group('name')} "
+                f"USING {muf.group('src')} ON {muf.group('pred')} "
+                f"WHEN MATCHED THEN UPDATE SET {muf.group('sets')}",
+                dialect)
+        mdu = _DELETE_USING_RE.match(query)
+        if mdu and _relation_shaped(mdu.group("src")):
+            # …and a join USING(k) inside a DELETE's subquery predicate
+            # from being mis-read as DELETE … USING
+            return self._merge(
+                f"MERGE INTO {mdu.group('name')} "
+                f"USING {mdu.group('src')} ON {mdu.group('pred')} "
+                f"WHEN MATCHED THEN DELETE", dialect)
         m = _DELETE_RE.match(query)
         if m:
             name = m.group("name")
             if name not in self._versioned:
                 raise ValueError(f"DELETE FROM unknown table {name!r}")
             pred = m.group("pred")
+            # a subquery in the predicate may reference the target table
+            # itself — the file-level path REBINDS the table view to the
+            # pruned file subset, which would re-evaluate that subquery
+            # over a fraction of the data (silent wrong answer, r7 DML
+            # probe on the UPDATE twin); fall back to the full rewrite
             targets = (self._file_level_targets(name, pred, dialect)
-                       if pred is not None else None)
+                       if pred is not None
+                       and not _has_subquery(pred) else None)
             if pred is None:
                 # full delete: no sidecar needed — table_changes derives
                 # the feed from the full-overwrite diff (all rows left)
@@ -4125,8 +4254,16 @@ class Engine:
                     )
                 else:
                     cols.append(f.name)
+            # same subquery-rebinding hazard as DELETE — and here the SET
+            # expressions can carry one too (UPDATE t SET v =
+            # (SELECT max(k) FROM t): over the rebound subset the max is
+            # computed from the hit files only — the r7 probe's silent
+            # no-op)
             targets = (self._file_level_targets(name, pred, dialect)
-                       if pred is not None else None)
+                       if pred is not None and not _has_subquery(pred)
+                       and not any(_has_subquery(x)
+                                   for x in assignments.values())
+                       else None)
             # change feed: pre/postimages of the touched rows, captured at
             # DML time (Delta _change_data design); the postimage reuses
             # the same CASE projection restricted to predicate-true rows

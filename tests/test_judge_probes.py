@@ -526,6 +526,61 @@ def test_probe_batch5_timestamptz_literals(engine, duck):
         "'%H') AS d"))
 
 
+def test_probe_batch6_dml_statements(spark, duck, tmp_path):
+    """r7 DML probe batch: join-DML sugar (UPDATE…FROM / DELETE…USING
+    re-dispatch through MERGE), self-referential subqueries disable the
+    file-level fast path (it REBINDS the table view to the pruned
+    subset — the probe caught UPDATE t SET v=(SELECT max(k) FROM t)
+    silently no-oping), DEFAULT as a VALUES placeholder, and ADD
+    COLUMN … DEFAULT (a rewriting backfill commit, documented)."""
+    import duckdb as _duck
+
+    from duckdb_read_spark.engine import Engine
+
+    eng = Engine(spark=spark, warehouse_dir=str(tmp_path / "wh"))
+    con = _duck.connect()
+    scripts = [
+        ["CREATE TABLE p1 (k INT, v INT)",
+         "INSERT INTO p1 VALUES (1, 10), (2, 20)",
+         "CREATE TABLE p2 (k INT, nv INT)",
+         "INSERT INTO p2 VALUES (1, 99)",
+         "UPDATE p1 SET v = nv FROM p2 WHERE p1.k = p2.k",
+         "SELECT * FROM p1 ORDER BY k"],
+        ["CREATE TABLE p3 (k INT)", "INSERT INTO p3 VALUES (1), (2), (3)",
+         "CREATE TABLE p4 (k INT)", "INSERT INTO p4 VALUES (2)",
+         "DELETE FROM p3 USING p4 WHERE p3.k = p4.k",
+         "SELECT * FROM p3 ORDER BY k"],
+        ["CREATE TABLE p5 (k INT, v INT)",
+         "INSERT INTO p5 VALUES (1, 1), (2, 2)",
+         "UPDATE p5 SET v = (SELECT max(k) FROM p5) WHERE k = 1",
+         "SELECT * FROM p5 ORDER BY k"],
+        ["CREATE TABLE p6 (k INT)", "INSERT INTO p6 VALUES (1), (2), (3)",
+         "DELETE FROM p6 WHERE k < (SELECT max(k) FROM p6)",
+         "SELECT * FROM p6 ORDER BY k"],
+        ["CREATE TABLE p7 (x INT DEFAULT 7, y VARCHAR)",
+         "INSERT INTO p7 (y) VALUES ('q')",
+         "INSERT INTO p7 VALUES (DEFAULT, 's')",
+         "INSERT INTO p7 (x, y) VALUES (DEFAULT, 'DEFAULT')",
+         "SELECT * FROM p7 ORDER BY y"],
+        ["CREATE TABLE p8 (k INT)", "INSERT INTO p8 VALUES (1), (2)",
+         "ALTER TABLE p8 ADD COLUMN tag VARCHAR DEFAULT 'n'",
+         "UPDATE p8 SET tag = 'y' WHERE k = 1",
+         "INSERT INTO p8 (k) VALUES (3)",
+         "SELECT * FROM p8 ORDER BY k"],
+        # keyword-form substring in SET must not be read as UPDATE…FROM
+        ["CREATE TABLE p9 (s VARCHAR)", "INSERT INTO p9 VALUES ('abcdef')",
+         "UPDATE p9 SET s = substring(s FROM 2 FOR 3) WHERE length(s) > 2",
+         "SELECT * FROM p9"],
+    ]
+    for stmts in scripts:
+        for st in stmts[:-1]:
+            con.execute(st)
+            eng.sql(st, dialect="duckdb")
+        got = spark_rows(eng.sql(stmts[-1], dialect="duckdb"))
+        want = duckdb_rows(con, stmts[-1])
+        assert got == want, stmts[-2] + "\n" + diff_summary(got, want)
+
+
 # --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
 
 
