@@ -111,32 +111,100 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 
-_UPDATE_FROM_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
-    r"\s+FROM\s+(?P<src>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_DELETE_USING_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+USING\s+"
-    r"(?P<src>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+def _split_join_dml(query: str, kw: str) -> dict | None:
+    """Token-level split of the join-DML forms:
+
+      UPDATE name SET <sets> FROM <src> [WHERE <pred>]   (kw='FROM')
+      DELETE FROM name USING <src> [WHERE <pred>]        (kw='USING')
+
+    The splitting keywords are matched at PAREN DEPTH ZERO only, so a
+    keyword-form substring(x FROM …) in SET, a subquery's inner
+    FROM/WHERE, a join USING(k) inside a predicate, and string literals
+    containing the words all stay where they belong (review r7-3: a
+    regex split on the FIRST occurrence hijacked plain UPDATEs).
+    Returns {name, sets?, src, pred} or None when the statement has no
+    top-level kw (→ the plain DML paths own it)."""
+    from .dialect import _sig, tokenize
+
+    toks = tokenize(query)
+    sig = _sig(toks)
+
+    def up(pos: int) -> str:
+        t = toks[sig[pos]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    if kw == "FROM":
+        if len(sig) < 4 or up(0) != "UPDATE" or up(2) != "SET":
+            return None
+        name_pos, body_start = 1, 3
+    else:
+        if len(sig) < 4 or up(0) != "DELETE" or up(1) != "FROM":
+            return None
+        name_pos, body_start = 2, 3
+    if toks[sig[name_pos]].kind != "ident":
+        return None
+    depth = 0
+    kw_pos = where_pos = None
+    for pos in range(body_start, len(sig)):
+        t = toks[sig[pos]].text
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and toks[sig[pos]].kind == "ident":
+            u = t.upper()
+            if u == kw and kw_pos is None:
+                kw_pos = pos
+            elif u == "WHERE" and kw_pos is not None \
+                    and where_pos is None:
+                where_pos = pos
+    if kw_pos is None:
+        return None
+
+    def span(a: int, b: int | None) -> str:
+        lo = sig[a]
+        hi = sig[b] if b is not None else len(toks)
+        return "".join(t.text for t in toks[lo:hi]).strip().rstrip(";")
+
+    out = {"name": toks[sig[name_pos]].text,
+           "src": span(kw_pos + 1, where_pos),
+           "pred": (span(where_pos + 1, None)
+                    if where_pos is not None else "true")}
+    if kw == "FROM":
+        out["sets"] = span(body_start, kw_pos)
+    return out
 
 
-def _relation_shaped(src: str) -> bool:
-    """True when the captured join-DML source is a table name or a
-    parenthesized subquery (with an optional alias) — not an arbitrary
-    expression fragment grabbed from a SET/predicate."""
-    s = src.strip()
-    return re.fullmatch(
-        r"(?:[A-Za-z_]\w*|\(.*\))(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?",
-        s, re.IGNORECASE | re.DOTALL) is not None
+def _split_where_top_level(rest: str) -> tuple[str, str | None]:
+    """Split an UPDATE's post-SET text at the TOP-LEVEL WHERE. The old
+    regex split on the first ' WHERE ' anywhere — a correlated
+    subquery's inner WHERE or a string literal containing the word
+    truncated the SET list into garbage (review r7-3). Token-level:
+    string literals are single tokens and paren depth guards
+    subqueries."""
+    from .dialect import _sig, tokenize
+
+    toks = tokenize(rest)
+    sig = _sig(toks)
+    depth = 0
+    for pos, ti in enumerate(sig):
+        t = toks[ti]
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" \
+                and t.text.upper() == "WHERE":
+            sets = "".join(x.text for x in toks[:ti]).strip()
+            pred = "".join(
+                x.text for x in toks[ti + 1:]).strip().rstrip(";")
+            return sets, pred
+    return rest.strip().rstrip(";"), None
 
 
 def _has_subquery(txt: str | None) -> bool:
@@ -1127,11 +1195,14 @@ class Engine:
                 # mix (mergeSchema NULLs both), so the honest choice is
                 # one eager rewrite (documented; the plain ADD stays
                 # metadata-only). The default also registers for future
-                # INSERTs that omit the column.
-                from pyspark.sql import functions as F
-
-                filled = self.table(name).withColumn(
-                    col, F.expr(default_expr).cast(mapped))
+                # INSERTs that omit the column. The backfill expression
+                # routes through the DIALECT path like every other place
+                # a stored default is evaluated — a bare F.expr would
+                # read DuckDB text with Spark semantics (review r7-3:
+                # DEFAULT log(100) is log10=2 in DuckDB, ln≈4.6 raw)
+                filled = self.sql(
+                    f"SELECT *, CAST(({default_expr}) AS {mapped}) "
+                    f"AS {col} FROM {name}", dialect="duckdb")
                 snapshots.write_table(filled, table_dir, mode="overwrite")
                 cons = snapshots.read_constraints(table_dir)
                 cons.append({"kind": "default", "col": col,
@@ -1490,6 +1561,78 @@ class Engine:
                                        c["expr"])
                 out.append(c)
         snapshots.write_constraints(table_dir, out)
+
+    def _update_from(self, parts: dict, dialect: str) -> DataFrame:
+        """UPDATE name SET … FROM src [WHERE pred] — the join-update.
+
+        NOT compiled to MERGE: the merge machinery duplicates target
+        rows on multi-match sources (its documented caveat), while
+        DuckDB updates each target row exactly once with an arbitrary
+        matching source row (review r7-3 — the MERGE route was silent
+        table corruption). Shape: tag the target with a synthetic row
+        id, evaluate the SET expressions over the target × source join
+        (any SQL the dialect supports, source columns included), keep
+        ONE winner per row id (first = the same arbitrary-match
+        semantics), left-join back and CASE per assigned column. Two
+        shuffles bounded by the MATCH volume plus the rebuild — same
+        order as MERGE."""
+        from pyspark.sql import functions as F
+
+        name = parts["name"]
+        if name not in self._versioned:
+            raise ValueError(f"UPDATE unknown table {name!r}")
+        assignments: dict[str, str] = {}
+        for part in _split_top_commas(parts["sets"]):
+            col, eq, expr = part.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"UPDATE: cannot parse assignment {part!r}")
+            assignments[col.strip()] = expr.strip()
+        target = self.table(name).schema
+        unknown = set(assignments) - {f.name for f in target.fields}
+        if unknown:
+            raise ValueError(
+                f"UPDATE {name}: unknown column(s) {sorted(unknown)}")
+        aug = self.table(name).withColumn(
+            "__rid", F.monotonically_increasing_id())
+        aug.createOrReplaceTempView(name)
+        try:
+            proj = ", ".join(
+                f"({expr}) AS __set_{i}"
+                for i, expr in enumerate(assignments.values()))
+            matched = self.sql(
+                f"SELECT {name}.__rid AS __rid, {proj} "
+                f"FROM {name}, {parts['src']} WHERE {parts['pred']}",
+                dialect=dialect)
+            winners = (matched.groupBy("__rid").agg(
+                *[F.first(f"__set_{i}").alias(f"__set_{i}")
+                  for i in range(len(assignments))])
+                .withColumn("__hit", F.lit(True)))
+            joined = aug.join(winners, "__rid", "left")
+            set_idx = {c: i for i, c in enumerate(assignments)}
+            cols = []
+            for f in target.fields:
+                if f.name in set_idx:
+                    cols.append(
+                        F.when(F.col("__hit").isNotNull(),
+                               F.col(f"__set_{set_idx[f.name]}")
+                               .cast(f.dataType))
+                        .otherwise(F.col(f.name)).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            updated = joined.select(*cols)
+            # change feed: pre/postimages of the hit rows only
+            hit = joined.where(F.col("__hit").isNotNull())
+            pre = hit.select(*[F.col(f.name) for f in target.fields]) \
+                .withColumn("_change_type", F.lit("update_preimage"))
+            post = hit.select(*cols).withColumn(
+                "_change_type", F.lit("update_postimage"))
+            snapshots.write_table(updated, self._versioned[name],
+                                  mode="overwrite",
+                                  cdc_df=pre.unionByName(post))
+        finally:
+            self._refresh_table(name)
+        return self._empty()
 
     def _fill_values_defaults(self, name: str, cols_group: str | None,
                               body: str) -> str:
@@ -4065,6 +4208,13 @@ class Engine:
                 raise ValueError(f"INSERT INTO unknown table {name!r} — "
                                  "only versioned tables accept DML")
             body = m.group("body")
+            if body.upper().startswith("VALUES") and \
+                    re.search(r"\bDEFAULT\b", body, re.IGNORECASE):
+                # placeholder fill happens BEFORE the ON CONFLICT /
+                # OR REPLACE routes split off (review r7-3: they
+                # returned early with the bare DEFAULT token unfilled)
+                body = self._fill_values_defaults(
+                    name, m.group("cols"), body)
             moc = _ON_CONFLICT_RE.match(body)
             if moc:
                 if m.group("orrep"):
@@ -4091,9 +4241,6 @@ class Engine:
                     name, m.group("cols"), body, ", ".join(keys), act,
                     dialect)
             if body.upper().startswith("VALUES"):
-                if re.search(r"\bDEFAULT\b", body, re.IGNORECASE):
-                    body = self._fill_values_defaults(
-                        name, m.group("cols"), body)
                 body = f"SELECT * FROM {body}"
             df = self.sql(body, dialect=dialect)
             target = self.table(name).schema
@@ -4156,23 +4303,20 @@ class Engine:
         # USING are exactly single-clause MERGEs — re-dispatch through
         # the MERGE machinery rather than growing a second join-rewrite
         # path. Unqualified SET columns bind to the target on both.
-        muf = _UPDATE_FROM_RE.match(query)
-        if muf and _relation_shaped(muf.group("src")):
-            # the relation check keeps keyword-form substring(x FROM …)
-            # in a plain UPDATE's SET from being mis-read as a source
-            return self._merge(
-                f"MERGE INTO {muf.group('name')} "
-                f"USING {muf.group('src')} ON {muf.group('pred')} "
-                f"WHEN MATCHED THEN UPDATE SET {muf.group('sets')}",
-                dialect)
-        mdu = _DELETE_USING_RE.match(query)
-        if mdu and _relation_shaped(mdu.group("src")):
-            # …and a join USING(k) inside a DELETE's subquery predicate
-            # from being mis-read as DELETE … USING
-            return self._merge(
-                f"MERGE INTO {mdu.group('name')} "
-                f"USING {mdu.group('src')} ON {mdu.group('pred')} "
-                f"WHEN MATCHED THEN DELETE", dialect)
+        if re.match(r"^\s*UPDATE\b", query, re.IGNORECASE):
+            juf = _split_join_dml(query, "FROM")
+            if juf is not None:
+                return self._update_from(juf, dialect)
+        if re.match(r"^\s*DELETE\b", query, re.IGNORECASE):
+            jdu = _split_join_dml(query, "USING")
+            if jdu is not None:
+                # DELETE … USING is a single-clause MERGE; duplicate
+                # source matches don't matter for a delete (the row is
+                # gone either way), unlike the UPDATE twin
+                return self._merge(
+                    f"MERGE INTO {jdu['name']} USING {jdu['src']} "
+                    f"ON {jdu['pred']} WHEN MATCHED THEN DELETE",
+                    dialect)
         m = _DELETE_RE.match(query)
         if m:
             name = m.group("name")
@@ -4234,8 +4378,9 @@ class Engine:
             name = m.group("name")
             if name not in self._versioned:
                 raise ValueError(f"UPDATE unknown table {name!r}")
+            sets_text, pred = _split_where_top_level(m.group("rest"))
             assignments = {}
-            for part in _split_top_commas(m.group("sets")):
+            for part in _split_top_commas(sets_text):
                 col, _, expr = part.partition("=")
                 if not _:
                     raise ValueError(f"UPDATE: cannot parse assignment {part!r}")
@@ -4244,7 +4389,6 @@ class Engine:
             unknown = set(assignments) - {f.name for f in target.fields}
             if unknown:
                 raise ValueError(f"UPDATE {name}: unknown column(s) {sorted(unknown)}")
-            pred = m.group("pred")
             cols = []
             for f in target.fields:
                 if f.name in assignments:

@@ -526,7 +526,7 @@ def test_probe_batch5_timestamptz_literals(engine, duck):
         "'%H') AS d"))
 
 
-def test_probe_batch6_dml_statements(spark, duck, tmp_path):
+def test_probe_batch6_dml_statements(spark, tmp_path):
     """r7 DML probe batch: join-DML sugar (UPDATE…FROM / DELETE…USING
     re-dispatch through MERGE), self-referential subqueries disable the
     file-level fast path (it REBINDS the table view to the pruned
@@ -571,6 +571,48 @@ def test_probe_batch6_dml_statements(spark, duck, tmp_path):
         ["CREATE TABLE p9 (s VARCHAR)", "INSERT INTO p9 VALUES ('abcdef')",
          "UPDATE p9 SET s = substring(s FROM 2 FOR 3) WHERE length(s) > 2",
          "SELECT * FROM p9"],
+        # review r7-3: multi-match source updates each target row ONCE
+        # (the MERGE route would have duplicated it)
+        ["CREATE TABLE pa (k INT, v INT)",
+         "INSERT INTO pa VALUES (1, 10), (2, 20)",
+         "CREATE TABLE pb (k INT, nv INT)",
+         "INSERT INTO pb VALUES (1, 99), (1, 77)",
+         "UPDATE pa SET v = nv FROM pb WHERE pa.k = pb.k",
+         "SELECT k, count(*) AS n FROM pa GROUP BY k ORDER BY k"],
+        # subquery SOURCE with its own WHERE; WHERE-less cross-join form
+        ["CREATE TABLE pc (k INT, v INT)",
+         "INSERT INTO pc VALUES (1, 10), (2, 20), (3, 30)",
+         "CREATE TABLE pd (k INT, nv INT)",
+         "INSERT INTO pd VALUES (1, 99), (3, 77)",
+         "UPDATE pc SET v = q.nv FROM (SELECT k, nv FROM pd "
+         "WHERE nv > 80) q WHERE pc.k = q.k",
+         "SELECT * FROM pc ORDER BY k"],
+        ["CREATE TABLE pe (k INT, v INT)",
+         "INSERT INTO pe VALUES (1, 1), (2, 2)",
+         "CREATE TABLE pf (nv INT)", "INSERT INTO pf VALUES (7)",
+         "UPDATE pe SET v = nv FROM pf",
+         "SELECT * FROM pe ORDER BY k"],
+        # plain UPDATE with inner WHEREs in subqueries and in string
+        # literals (the old regex split truncated the SET list)
+        ["CREATE TABLE pg (k INT, v INT)",
+         "INSERT INTO pg VALUES (1, 10), (2, 20)",
+         "CREATE TABLE ph (k INT, v INT)", "INSERT INTO ph VALUES (1, 100)",
+         "UPDATE pg SET v = (SELECT max(v) FROM ph WHERE ph.k = pg.k) "
+         "WHERE k = 1",
+         "SELECT * FROM pg ORDER BY k"],
+        ["CREATE TABLE pi2 (v VARCHAR)", "INSERT INTO pi2 VALUES ('abc')",
+         "UPDATE pi2 SET v = 'go FROM a WHERE b' WHERE v = 'abc'",
+         "SELECT * FROM pi2"],
+        # DEFAULT placeholder through the ON CONFLICT route; backfill
+        # default routes through the DIALECT (log() is log10 in DuckDB)
+        ["CREATE TABLE pj (k INT PRIMARY KEY, x INT DEFAULT 7)",
+         "INSERT INTO pj VALUES (1, 1)",
+         "INSERT INTO pj VALUES (1, DEFAULT) ON CONFLICT DO NOTHING",
+         "INSERT INTO pj VALUES (2, DEFAULT) ON CONFLICT DO NOTHING",
+         "SELECT * FROM pj ORDER BY k"],
+        ["CREATE TABLE pk2 (k INT)", "INSERT INTO pk2 VALUES (1)",
+         "ALTER TABLE pk2 ADD COLUMN lg DOUBLE DEFAULT log(100)",
+         "SELECT k, lg FROM pk2"],
     ]
     for stmts in scripts:
         for st in stmts[:-1]:
