@@ -2414,12 +2414,34 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         r"ORDER\s+BY\s+(?P<key>.+?)"
                         r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
                         inner, re.IGNORECASE | re.DOTALL)
-                    if m2 and m2.group("expr").strip() == m2.group("key").strip():
+                    if m2 and "," not in re.sub(r"\([^()]*\)", "",
+                                                m2.group("key")):
+                        # expr may differ from the (single) sort key
+                        # (r7 probe): struct-wrap like array_agg, but
+                        # drop NULL exprs first — string_agg skips them
                         desc = (m2.group("dir") or "").upper() == "DESC"
-                        agg = f"{collect}({m2.group('expr').strip()}){filt}"
-                        sorted_agg = (f"sort_array({agg}, false)" if desc
-                                      else f"sort_array({agg})")
-                        res = f"array_join({sorted_agg}, {m2.group('sep')})"
+                        expr2 = m2.group("expr").strip()
+                        key2 = m2.group("key").strip()
+                        if expr2 == key2:
+                            agg = f"{collect}({expr2}){filt}"
+                            sorted_agg = (f"sort_array({agg}, false)"
+                                          if desc
+                                          else f"sort_array({agg})")
+                            joined = (f"array_join({sorted_agg}, "
+                                      f"{m2.group('sep')})")
+                        else:
+                            flag2 = ("IS NOT NULL" if desc else "IS NULL")
+                            agg = (f"{collect}(CASE WHEN ({expr2}) IS "
+                                   f"NOT NULL THEN struct(({key2}) "
+                                   f"{flag2} AS __n, {key2} AS __k, "
+                                   f"{expr2} AS __v) END){filt}")
+                            sorted_agg = (f"sort_array({agg}, false)"
+                                          if desc
+                                          else f"sort_array({agg})")
+                            joined = (f"array_join(transform({sorted_agg}"
+                                      f", __s -> __s.__v), "
+                                      f"{m2.group('sep')})")
+                        res = joined
                         if filt or forced_sep:
                             res = (f"(CASE WHEN size({agg}) = 0 "
                                    f"THEN NULL ELSE {res} END)")
@@ -3537,6 +3559,72 @@ def _first_match_replacement_chunks(lit: str) -> list[tuple[str, str]]:
         i += 1
     _flush()
     return chunks
+
+
+_WINDOW_FILTER_AGGS = {
+    "sum", "avg", "mean", "min", "max", "count", "stddev",
+    "stddev_samp", "stddev_pop", "var_pop", "var_samp", "variance",
+    "bool_and", "bool_or",
+}
+
+
+def _rewrite_window_filter(sql: str) -> str:
+    """``agg(x) FILTER (WHERE p) OVER w`` — DuckDB allows FILTER on
+    window aggregates; Spark refuses ("not supported yet"). For
+    NULL-SKIPPING aggregates the filter is exactly a CASE-NULL wrap:
+    agg(CASE WHEN p THEN x END) OVER w (count(*) counts a constant).
+    The collect-family (array_agg/string_agg) is deliberately NOT
+    rewritten — those KEEP what they collect, so a CASE-NULL would
+    inject elements instead of dropping rows; they stay loud. Runs
+    BEFORE the call fixpoint so the wrapped argument picks up further
+    rewrites."""
+    toks = tokenize(sql)
+    i = 0
+    out: list[str] = []
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "ident" and t.text.lower() in _WINDOW_FILTER_AGGS:
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            if j < len(toks) and toks[j].text == "(":
+                close = _find_close(toks, j)
+                spans = _split_args(toks, j, close)
+                k = close + 1
+                while k < len(toks) and toks[k].kind in ("ws", "comment"):
+                    k += 1
+                if (len(spans) == 1 and k < len(toks)
+                        and toks[k].kind == "ident"
+                        and toks[k].text.upper() == "FILTER"):
+                    k2 = k + 1
+                    while k2 < len(toks) \
+                            and toks[k2].kind in ("ws", "comment"):
+                        k2 += 1
+                    if k2 < len(toks) and toks[k2].text == "(":
+                        fclose = _find_close(toks, k2)
+                        k3 = fclose + 1
+                        while k3 < len(toks) \
+                                and toks[k3].kind in ("ws", "comment"):
+                            k3 += 1
+                        if (k3 < len(toks) and toks[k3].kind == "ident"
+                                and toks[k3].text.upper() == "OVER"):
+                            arg = _arg_text(toks, spans[0])
+                            pred = re.sub(
+                                r"^\s*WHERE\s+", "",
+                                detokenize(
+                                    toks[k2 + 1:fclose]).strip(),
+                                flags=re.IGNORECASE)
+                            if arg.strip() == "*":
+                                arg = "1"
+                            if "DISTINCT" not in arg.upper():
+                                out.append(
+                                    f"{t.text}(CASE WHEN ({pred}) "
+                                    f"THEN {arg} END)")
+                                i = fclose + 1
+                                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_date_subtraction(sql: str,
@@ -4740,6 +4828,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_integer_cast_rounding(sql)
     sql = _rewrite_power_operator(sql)
     sql = _rewrite_filter_shorthand(sql)
+    sql = _rewrite_window_filter(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

@@ -623,6 +623,27 @@ def test_probe_batch6_dml_statements(spark, tmp_path):
         assert got == want, stmts[-2] + "\n" + diff_summary(got, want)
 
 
+def test_probe_batch7_window_filter_and_ordered_string_agg(engine, duck):
+    """FILTER on WINDOW aggregates (Spark refuses natively — the
+    CASE-NULL wrap is exact for null-skipping aggs; the collect family
+    stays loud) and string_agg ordered by a key DIFFERENT from the
+    expression (struct-wrapped like array_agg, NULL exprs skipped)."""
+    _check(engine, duck, (
+        "SELECT x, sum(x) FILTER (WHERE x > 1) OVER (ORDER BY x) AS s, "
+        "count(*) FILTER (x > 1) OVER (ORDER BY x) AS c, "
+        "avg(x) FILTER (WHERE x <> 2) OVER "
+        "(ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS a "
+        "FROM (VALUES (1), (2), (3)) t(x) ORDER BY x"))
+    _check(engine, duck, (
+        "SELECT string_agg(n_name, ',' ORDER BY n_nationkey) "
+        "FILTER (WHERE n_nationkey < 3) AS a, "
+        "string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS b, "
+        "string_agg(CASE WHEN n_nationkey % 2 = 0 THEN n_name END, "
+        "'-' ORDER BY n_nationkey) AS skips_nulls "
+        "FROM nation WHERE n_nationkey < 6"))
+
+
 # --- documented divergences (SURVEY §2.4): pin CURRENT behavior ----------
 
 
