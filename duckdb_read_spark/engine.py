@@ -341,6 +341,32 @@ _OPTIMIZE_RE = re.compile(
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?P<name>[A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+# Statement-head target parse for TARGETED schema-cache invalidation:
+# a DML/DDL statement that names its table up front invalidates only that
+# view's cached fields, so one commit never forces a whole-catalog schema
+# re-read (a 500-table warehouse would pay ~500 schema fetches after
+# every INSERT — the r7 q125 regression at fixture scale).
+_DML_TARGET_RE = re.compile(
+    r"^\s*(?:"
+    r"INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO(?:\s+BY\s+NAME)?"
+    r"|UPDATE|DELETE\s+FROM|MERGE\s+INTO|TRUNCATE(?:\s+TABLE)?"
+    r"|ALTER\s+TABLE(?:\s+IF\s+EXISTS)?"
+    r"|DROP\s+(?:TABLE|VIEW)(?:\s+IF\s+EXISTS)?"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?(?:TABLE|VIEW)"
+    r"(?:\s+IF\s+NOT\s+EXISTS)?"
+    r"|RESTORE\s+TABLE|OPTIMIZE|COPY"
+    r")\s+(?P<tbl>[A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+# Statement heads that cannot change any registered view's schema —
+# cached per-table fields all stay valid (the epoch still bumps so
+# name-list caches refresh where routes below add views).
+_SCHEMA_NEUTRAL_RE = re.compile(
+    r"^\s*(?:SET|RESET|PRAGMA|INSTALL|LOAD|SHOW|DESCRIBE|DESC\b|SUMMARIZE"
+    r"|CHECKPOINT|COMMENT|ANALYZE|VACUUM|EXPORT|PREPARE|DEALLOCATE|BEGIN"
+    r"|COPY\s*\()",
+    re.IGNORECASE,
+)
 # ATTACH '<dir>' AS db / DETACH db — multiple catalogs in one session
 # (DuckDB's ATTACH surface; the reference's OpenDB startup motif
 # /root/reference/duckdb:120-125 generalized to N warehouses).
@@ -703,7 +729,7 @@ class Engine:
             self._time_partitioned.pop(name, None)
         df.createOrReplaceTempView(name)
         self._table_paths[name] = path
-        self._bump_registration_epoch()
+        self._bump_registration_epoch(name)
         return df
 
     def register_csv(self, name: str, path: str, schema=None, header: bool = True) -> DataFrame:
@@ -711,13 +737,13 @@ class Engine:
         df = reader.csv(path, schema=schema) if schema is not None else reader.option(
             "inferSchema", "true").csv(path)
         df.createOrReplaceTempView(name)
-        self._bump_registration_epoch()
+        self._bump_registration_epoch(name)
         return df
 
     def register_json(self, name: str, path: str, schema=None) -> DataFrame:
         df = self.spark.read.json(path, schema=schema)
         df.createOrReplaceTempView(name)
-        self._bump_registration_epoch()
+        self._bump_registration_epoch(name)
         return df
 
     # -- versioned tables (table-format/metadata-log theme,
@@ -860,7 +886,7 @@ class Engine:
                     df = df.hint("broadcast")
         df.createOrReplaceTempView(name)
         self._versioned[name] = table_dir
-        self._bump_registration_epoch()
+        self._bump_registration_epoch(name)
         return df
 
     # -- attached catalogs (ATTACH/DETACH; DuckDB multi-database surface,
@@ -911,7 +937,7 @@ class Engine:
                 continue
             tables[tname] = f"{db}__{tname}"
         self._attached[db] = tables
-        self._bump_registration_epoch()
+        self._bump_registration_epoch(keep_fields=True)
         return tables
 
     def use(self, db: str) -> None:
@@ -927,10 +953,11 @@ class Engine:
             if v in self._versioned or v in self._table_paths:
                 continue
             self.spark.catalog.dropTempView(v)
+            self._bump_registration_epoch(v)  # alias fields now stale
         self._use_aliases: list[str] = []
         self._use_alias_map: dict[str, str] = {}
         if db in ("main", "memory"):
-            self._bump_registration_epoch()
+            self._bump_registration_epoch(keep_fields=True)
             return
         if db not in self._attached:
             raise ValueError(f"USE: unknown database {db!r}")
@@ -942,7 +969,8 @@ class Engine:
                 # temp views freeze the resolved plan, so _refresh_table
                 # must re-point aliases after DML on the backing view
                 self._use_alias_map[tname] = view
-        self._bump_registration_epoch()
+                self._bump_registration_epoch(tname)  # alias may shadow
+        self._bump_registration_epoch(keep_fields=True)
 
     def detach(self, db: str) -> None:
         """Drop an attached catalog and every view it registered."""
@@ -955,12 +983,13 @@ class Engine:
                 self.spark.catalog.dropTempView(v)
                 self._use_aliases.remove(v)
                 getattr(self, "_use_alias_map", {}).pop(v, None)
+                self._bump_registration_epoch(v)
         for view in tables.values():
             self.spark.catalog.dropTempView(view)
             self._versioned.pop(view, None)
             self._table_paths.pop(view, None)
             self._time_partitioned.pop(view, None)
-        self._bump_registration_epoch()
+            self._bump_registration_epoch(view)
 
     def _execute_prepared(self, name: str, args: str | None,
                           dialect: str) -> DataFrame:
@@ -2004,63 +2033,111 @@ class Engine:
                 self._table_paths[t] = p
         self._bump_registration_epoch()
 
-    def _column_kinds(self) -> dict[str, str]:
-        """Lowercased column name → 'array' | 'string' across every
-        registered (non-internal) view — the schema knowledge behind the
-        dialect's len() dispatch. Names whose type class conflicts across
-        tables are dropped (the rewriter then falls back to its textual
-        heuristic). Cached per registration epoch: pure driver-side
-        catalog metadata, no Spark job."""
+    def _registered_names(self) -> list[str]:
+        """Registered (non-internal) view names, cached per registration
+        epoch. SHOW TABLES, not catalog.listTables(): the latter fetches
+        full metadata per table over one py4j roundtrip each (measured
+        0.70 s for 10 tables); SHOW TABLES is one local-relation collect
+        (45 ms) returning exactly the names."""
         epoch = getattr(self, "_reg_epoch", 0)
-        cached = getattr(self, "_ck_cache", None)
+        cached = getattr(self, "_names_cache", None)
         if cached is not None and cached[0] == epoch:
             return cached[1]
+        names = [r["tableName"] for r in
+                 self.spark.sql("SHOW TABLES").collect()
+                 if not r["tableName"].startswith("__")]
+        self._names_cache = (epoch, names)
+        return names
+
+    def _fields_of(self, name: str) -> list[tuple[str, str | None]] | None:
+        """Per-view [(column, kind)] — original-cased column names, kind ∈
+        {'array','map','string','date',None} — the one place a view's
+        schema is fetched. Cached per view NAME (not per epoch): a
+        DML/DDL statement invalidates only its own target via
+        _bump_registration_epoch(table=...), so a commit against one
+        table never re-reads the other 499 tables' schemas (the r7 q125
+        regression: 0.081 s → 0.373 s came from a whole-catalog rebuild
+        on every epoch bump)."""
         from pyspark.sql import types as T
 
+        key = name.lower()
+        cache = getattr(self, "_schema_fields", None)
+        if cache is None:
+            cache = self._schema_fields = {}
+        if key in cache:
+            return cache[key]
+        self._schema_fetches = getattr(self, "_schema_fetches", 0) + 1
+        try:
+            schema = self.spark.table(name).schema
+        except Exception:
+            cache[key] = None
+            return None
+        fields = [
+            (f.name,
+             "array" if isinstance(f.dataType, T.ArrayType)
+             else "map" if isinstance(f.dataType, T.MapType)
+             else "string"
+             if isinstance(f.dataType, (T.StringType, T.BinaryType))
+             else "date" if isinstance(f.dataType, T.DateType)
+             else None)
+            for f in schema.fields]
+        cache[key] = fields
+        return fields
+
+    @staticmethod
+    def _referenced_names(query: str, names: list[str]) -> list[str]:
+        """Subset of registered view names textually present in ``query``
+        (word match, case-insensitive; dotted ``db.t`` also matches the
+        ATTACH registry's ``db__t`` views). Over-matching (a table name
+        inside a string literal) only hydrates one extra schema —
+        harmless; under-matching cannot happen for a parseable statement
+        because every referenced view name appears as a word."""
+        low = query.lower()
+        words = set(re.findall(r"[a-z_]\w*", low))
+        for a, b in re.findall(r"([a-z_]\w*)\s*\.\s*([a-z_]\w*)", low):
+            words.add(f"{a}__{b}")
+        return [n for n in names if n.lower() in words]
+
+    def _column_kinds(self, query: str | None = None) -> dict[str, str]:
+        """Lowercased column name → 'array' | 'string' | 'map' | 'date'
+        — the schema knowledge behind the dialect's len() dispatch. With
+        ``query`` given, only views referenced by the statement are
+        merged (fewer cross-table name conflicts AND no whole-catalog
+        hydration on the statement path). Names whose type class
+        conflicts across the merged tables are dropped (the rewriter then
+        falls back to its textual heuristic). Driver-side metadata only,
+        no Spark job."""
+        epoch = getattr(self, "_reg_epoch", 0)
+        names = self._registered_names()
+        if query is not None:
+            names = self._referenced_names(query, names)
+        else:
+            cached = getattr(self, "_ck_cache", None)
+            if cached is not None and cached[0] == epoch:
+                return cached[1]
         kinds: dict[str, str | None] = {}
-        for tbl in self.spark.catalog.listTables():
-            if tbl.name.startswith("__"):
-                continue
-            try:
-                schema = self.spark.table(tbl.name).schema
-            except Exception:
-                continue
-            for f in schema.fields:
-                k = ("array" if isinstance(f.dataType, T.ArrayType)
-                     else "map" if isinstance(f.dataType, T.MapType)
-                     else "string"
-                     if isinstance(f.dataType, (T.StringType, T.BinaryType))
-                     else "date"
-                     if isinstance(f.dataType, T.DateType)
-                     else None)
-                c = f.name.lower()
+        for name in names:
+            for col, k in self._fields_of(name) or []:
+                c = col.lower()
                 if c in kinds and kinds[c] != k:
                     kinds[c] = None
                 else:
                     kinds[c] = k
         out = {c: k for c, k in kinds.items() if k}
-        self._ck_cache = (epoch, out)
+        if query is None:
+            self._ck_cache = (epoch, out)
         return out
 
-    def _table_columns(self) -> dict[str, list[str]]:
-        """Lowercased view name → ordered column list for every registered
-        (non-internal) view — schema knowledge behind the COLUMNS()
-        expansion. Cached per registration epoch (driver-side metadata)."""
-        epoch = getattr(self, "_reg_epoch", 0)
-        cached = getattr(self, "_tc_cache", None)
-        if cached is not None and cached[0] == epoch:
-            return cached[1]
-        out: dict[str, list[str]] = {}
-        for tbl in self.spark.catalog.listTables():
-            if tbl.name.startswith("__"):
-                continue
-            try:
-                out[tbl.name.lower()] = [
-                    f.name for f in self.spark.table(tbl.name).schema.fields]
-            except Exception:
-                continue
-        self._tc_cache = (epoch, out)
-        return out
+    def _columns_of(self, name: str) -> list[str] | None:
+        """Ordered column list of one registered view (original casing) —
+        schema knowledge behind the COLUMNS()/* REPLACE/* RENAME
+        expansions. None if the name is not a registered view."""
+        if name.lower() not in {n.lower() for n in self._registered_names()}:
+            return None
+        fields = self._fields_of(name)
+        if fields is None:
+            return None
+        return [col for col, _ in fields]
 
     def _rewrite_columns_expr(self, query: str) -> str:
         """DuckDB ``COLUMNS('regex')`` star expressions: each select-list
@@ -2080,7 +2157,7 @@ class Engine:
         mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
         if not mtab:
             return query
-        cols = self._table_columns().get(mtab.group(1).lower())
+        cols = self._columns_of(mtab.group(1))
         if cols is None:
             return query
         head = query[sel + 6:]
@@ -2175,7 +2252,7 @@ class Engine:
         mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
         if not mtab:
             return query
-        cols = self._table_columns().get(mtab.group(1).lower())
+        cols = self._columns_of(mtab.group(1))
         if cols is None:
             return query
         close = _match_paren(query, m.end() - 1)
@@ -2211,7 +2288,7 @@ class Engine:
         mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
         if not mtab:
             return query
-        cols = self._table_columns().get(mtab.group(1).lower())
+        cols = self._columns_of(mtab.group(1))
         if cols is None:
             return query
         close = _match_paren(query, m.end() - 1)
@@ -2231,8 +2308,28 @@ class Engine:
             f"{repls[c]} AS {c}" if c in repls else c for c in cols)
         return query[:m.start()] + expanded + query[close + 1:]
 
-    def _bump_registration_epoch(self) -> None:
+    def _bump_registration_epoch(self, table: str | None = None, *,
+                                 keep_fields: bool = False) -> None:
+        """Invalidate schema caches. With ``table``, only that view's
+        cached fields are dropped (the name list and merged-kinds caches
+        still refresh — both are cheap to rebuild from per-table fields);
+        with ``keep_fields``, no per-table entry is dropped (the statement
+        only ADDED views — attach/use aliases); without either, the whole
+        per-table cache is cleared — the conservative path for statements
+        whose target can't be identified."""
         self._reg_epoch = getattr(self, "_reg_epoch", 0) + 1
+        cache = getattr(self, "_schema_fields", None)
+        if cache is None:
+            return
+        if keep_fields:
+            return
+        if table is not None:
+            cache.pop(table.lower(), None)
+            # a dotted DML target resolves to the ATTACH registry's
+            # db__table view name — drop that spelling too
+            cache.pop(table.lower().replace(".", "__"), None)
+        else:
+            cache.clear()
 
     # -- query execution (Connection::Query analog) ------------------------
 
@@ -2251,8 +2348,20 @@ class Engine:
         head = query.lstrip()[:7].upper()
         if not head.startswith(("SELECT", "WITH", "EXPLAIN")):
             # anything that can define/replace a view or table invalidates
-            # the schema cache behind the dialect's len() dispatch
-            self._bump_registration_epoch()
+            # the schema cache behind the dialect's len() dispatch —
+            # TARGETED when the statement head names its table (so one
+            # DML commit doesn't force a whole-catalog schema re-read: the
+            # r7 q125/q131/q137 regression), full-clear otherwise
+            mt = _DML_TARGET_RE.match(query)
+            if mt:
+                self._bump_registration_epoch(mt.group("tbl"))
+            elif _SCHEMA_NEUTRAL_RE.match(query):
+                # statements that cannot change any view's schema keep
+                # every cached entry (epoch still bumps: name list may
+                # change through routes below, e.g. ATTACH)
+                self._bump_registration_epoch(keep_fields=True)
+            else:
+                self._bump_registration_epoch()
         ma = _ATTACH_RE.match(query)
         if ma:
             self.attach(ma.group("path"), ma.group("db"))
@@ -2569,7 +2678,7 @@ class Engine:
             # kinds feed len() dispatch, element_at-on-map and bracket
             # subscripts (r7) — computed unconditionally now, it's one
             # cached-per-registration-epoch catalog walk, no Spark job
-            query = to_spark_sql(query, column_kinds=self._column_kinds())
+            query = to_spark_sql(query, column_kinds=self._column_kinds(query))
         query = self._resolve_time_travel(query)
         query = self._materialize_recursive_inputs(query)
         if self._time_partitioned:
@@ -3662,7 +3771,7 @@ class Engine:
         from .streaming.windows import run_to_memory
 
         if dialect == "duckdb":
-            ck = (self._column_kinds()
+            ck = (self._column_kinds(body)
                   if re.search(r"\blen\s*\(", body, re.IGNORECASE) else None)
             body = to_spark_sql(body, column_kinds=ck)
         candidates = [
@@ -3708,7 +3817,7 @@ class Engine:
             raise ValueError("CREATE STREAM: plan did not stream "
                              "(source rebind failed)")
         run_to_memory(out, name)  # availableNow; registers table <name>
-        self._bump_registration_epoch()
+        self._bump_registration_epoch(name)
         return self.spark.sql("SELECT 1 AS ok WHERE false")
 
     # Bound on discovered pivot values: each value becomes an output COLUMN,

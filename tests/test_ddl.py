@@ -834,3 +834,47 @@ def test_conflict_target_inference_edges(eng, duck):
     with pytest.raises(ValueError, match="OR REPLACE"):
         eng.sql("INSERT OR REPLACE INTO tamb VALUES (1, 2) "
                 "ON CONFLICT (k) DO NOTHING")
+
+
+def test_dml_does_not_rehydrate_unrelated_schemas(eng):
+    """r7 perf regression pin: one DML commit must invalidate only its own
+    target's cached schema — a 500-table warehouse must not pay ~500
+    schema fetches after every INSERT (q125 0.081 s → 0.373 s came from a
+    whole-catalog rebuild per epoch bump). _schema_fetches counts actual
+    spark.table(name).schema reads inside Engine._fields_of."""
+    eng.sql("CREATE TABLE hyd (a BIGINT, b STRING)")
+    eng.sql("INSERT INTO hyd VALUES (1, 'x')")
+    # hydrate several unrelated fixture tables + the DML target once
+    eng.sql("SELECT len(r_name) AS n FROM region", dialect="duckdb").collect()
+    eng.sql("SELECT len(n_name) AS n FROM nation", dialect="duckdb").collect()
+    eng.sql("SELECT len(b) AS n FROM hyd", dialect="duckdb").collect()
+    before = eng._schema_fetches
+    eng.sql("INSERT INTO hyd VALUES (2, 'y')")
+    during = eng._schema_fetches - before
+    # the INSERT itself may re-read ONLY its own target's schema
+    assert during <= 1, f"INSERT hydrated {during} schemas"
+    # queries over unrelated tables after the commit hit the cache
+    eng.sql("SELECT len(r_name) AS n FROM region", dialect="duckdb").collect()
+    eng.sql("SELECT len(n_name) AS n FROM nation", dialect="duckdb").collect()
+    after_unrelated = eng._schema_fetches - before - during
+    assert after_unrelated == 0, (
+        f"post-DML queries re-read {after_unrelated} unrelated schemas")
+    # the target itself re-hydrates (its schema may have changed) — at
+    # most one fetch, and the refreshed read sees the new row
+    got = eng.sql("SELECT count(*) AS n FROM hyd", dialect="duckdb").first()
+    assert got["n"] == 2
+    assert eng._schema_fetches - before - during <= 1
+
+
+def test_replace_table_refreshes_kind_dispatch(eng):
+    """Targeted invalidation must still SEE schema changes: after CREATE
+    OR REPLACE TABLE flips a column from string to array, len() on that
+    column must dispatch to array size, not string length."""
+    eng.sql("CREATE TABLE kd AS SELECT 'abcdef' AS s")
+    # hydrate kd's schema into the cache via a len() dispatch
+    assert eng.sql("SELECT len(s) AS n FROM kd",
+                   dialect="duckdb").first()["n"] == 6
+    eng.sql("CREATE OR REPLACE TABLE kd AS SELECT array(1, 2, 3) AS s")
+    # a stale cached kind would dispatch len(s) as string length
+    assert eng.sql("SELECT len(s) AS n FROM kd",
+                   dialect="duckdb").first()["n"] == 3
