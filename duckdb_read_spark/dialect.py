@@ -133,6 +133,40 @@ def _arg_text(toks: list[Tok], span: tuple[int, int]) -> str:
     return detokenize(toks[span[0]:span[1]]).strip()
 
 
+def _span_is_instant_typed(toks: list[Tok], span: tuple[int, int]) -> bool:
+    """True when the argument span is a provably TIMESTAMPTZ-typed
+    (instant) expression — a TIMESTAMPTZ/TIMESTAMP WITH TIME ZONE
+    literal, a ::TIMESTAMPTZ or CAST(… AS TIMESTAMPTZ) cast, or a call
+    of DuckDB's TIMESTAMPTZ-returning now() family. Runs before the
+    keyword pass erases those spellings to session-UTC TIMESTAMP, so
+    directional functions (timezone) can pick the instant→wall-clock
+    emission. Conservative: anything unrecognized is treated as naive."""
+    sig = [k for k in range(span[0], span[1])
+           if toks[k].kind not in ("ws", "comment")]
+    if not sig:
+        return False
+    # the literal-form pass has already renamed TIMESTAMPTZ spellings to
+    # the __timestamptz__ marker by the time calls are rewritten
+    texts = ["TIMESTAMPTZ" if toks[k].text.upper() == "__TIMESTAMPTZ__"
+             else toks[k].text.upper() for k in sig]
+    kinds = [toks[k].kind for k in sig]
+    if texts[0] == "TIMESTAMPTZ" and len(sig) >= 2 and kinds[1] == "str":
+        return True
+    if texts[:4] == ["TIMESTAMP", "WITH", "TIME", "ZONE"]:
+        return True
+    if (len(texts) >= 3 and texts[-1] == "TIMESTAMPTZ"
+            and texts[-2] == ":" and texts[-3] == ":"):
+        return True
+    if (texts[0] == "CAST" and texts[-1] == ")"
+            and (texts[-2] == "TIMESTAMPTZ"
+                 or texts[-4:-1] == ["WITH", "TIME", "ZONE"])):
+        return True
+    if texts[0] in ("NOW", "CURRENT_TIMESTAMP", "GET_CURRENT_TIMESTAMP",
+                    "TRANSACTION_TIMESTAMP"):
+        return True
+    return False
+
+
 # --- strftime → date_format format strings --------------------------------
 
 # Column names known to be array-typed, for the len()→size()/length() split
@@ -1567,20 +1601,34 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     changed = True
                     continue
         if name == "timezone" and parts and len(parts[2]) == 2:
-            # DuckDB timezone(tz, ts) on a (naive) TIMESTAMP interprets
-            # ts as wall-clock time IN tz and returns the instant
-            # [measured: timezone('America/New_York', '2024-06-05
-            # 07:08:09') → 11:08:09+00 in a UTC session] — exactly
-            # Spark's to_utc_timestamp (arg order flipped). Known
-            # stringification divergence (SURVEY §2.4): DuckDB renders
-            # the TIMESTAMPTZ with a '+00' suffix; Spark's TIMESTAMP
-            # has none. The TIMESTAMPTZ-input overload (instant → naive
-            # wall clock in tz) is unreachable here — the engine has no
-            # TIMESTAMPTZ type.
+            # DuckDB timezone(tz, ts) is DIRECTIONAL on the input type
+            # [measured in DuckDB 1.0.0]:
+            #   naive TIMESTAMP  → interprets ts as wall clock IN tz,
+            #     returns the instant (TIMESTAMPTZ): timezone('America/
+            #     New_York', TIMESTAMP '2024-06-05 07:08:09') →
+            #     11:08:09+00 — Spark's to_utc_timestamp (args flipped).
+            #   TIMESTAMPTZ      → converts the instant to wall clock in
+            #     tz, returns naive TIMESTAMP: timezone('America/
+            #     New_York', TIMESTAMPTZ '2024-06-05 07:08:09+00') →
+            #     03:08:09 — Spark's from_utc_timestamp (ADVICE r7: the
+            #     TIMESTAMPTZ literal/cast erasure made this spelling
+            #     reachable and the unconditional to_utc emission
+            #     silently returned the opposite conversion).
+            # The instant-typed shapes are detected BEFORE the keyword
+            # pass erases TIMESTAMPTZ→TIMESTAMP (this pass runs first):
+            # TIMESTAMPTZ '…' literals, TIMESTAMP WITH TIME ZONE '…',
+            # ::TIMESTAMPTZ postfix casts, CAST(… AS TIMESTAMPTZ), and
+            # the now()/current_timestamp family (TIMESTAMPTZ-returning
+            # in DuckDB; their session-UTC naive carrier is the instant).
+            # Known stringification divergence (SURVEY §2.4): DuckDB
+            # renders TIMESTAMPTZ results with a '+00' suffix.
             _, close, spans = parts
             tz = _arg_text(toks, spans[0])
             ts = _arg_text(toks, spans[1])
-            out.append(f"to_utc_timestamp({ts}, {tz})")
+            if _span_is_instant_typed(toks, spans[1]):
+                out.append(f"from_utc_timestamp({ts}, {tz})")
+            else:
+                out.append(f"to_utc_timestamp({ts}, {tz})")
             i = close + 1
             changed = True
             continue
@@ -2832,12 +2880,17 @@ def _rewrite_cte_and_group_forms(sql: str) -> str:
             # literal parses the offset (bare '+02' included, measured)
             # into the same instant; the engine carries instants as
             # session-UTC TIMESTAMP (§2.4.25 — DuckDB's TIMESTAMPTZ
-            # renders a '+00' suffix, compare through strftime)
-            toks[sig[pos]].text = "TIMESTAMP"
+            # renders a '+00' suffix, compare through strftime). A
+            # MARKER ident, not TIMESTAMP directly: type-directional
+            # rewrites downstream (timezone's instant→wall overload)
+            # must still see that this literal was instant-typed; the
+            # keyword pass renames the marker to TIMESTAMP at the end.
+            toks[sig[pos]].text = "__timestamptz__"
         elif (up(pos) == "TIMESTAMP" and pos + 3 < len(sig)
                 and up(pos + 1) == "WITH" and up(pos + 2) == "TIME"
                 and up(pos + 3) == "ZONE"):
             # TIMESTAMP WITH TIME ZONE — the spelled-out TIMESTAMPTZ
+            toks[sig[pos]].text = "__timestamptz__"
             for k in (1, 2, 3):
                 toks[sig[pos + k]].text = ""
     return detokenize(toks)
@@ -4176,6 +4229,11 @@ def _rewrite_keywords(sql: str) -> str:
             # marker from _DATE_PART_DIVERGENT — Spark's own SECOND
             # field, spelled indirectly to dodge the fixpoint
             t.text = "SECOND"
+        elif up == "__TIMESTAMPTZ__":
+            # marker from the TIMESTAMPTZ literal/cast erasure — kept
+            # distinct through the pipeline so type-directional rewrites
+            # (timezone) can see the operand was instant-typed
+            t.text = "TIMESTAMP"
         elif up == "VARCHAR":
             t.text = "STRING"
         elif up in ("BLOB", "BYTEA", "JSON", "TIMESTAMPTZ"):

@@ -1622,8 +1622,18 @@ class Engine:
         if unknown:
             raise ValueError(
                 f"UPDATE {name}: unknown column(s) {sorted(unknown)}")
+        # monotonically_increasing_id is NONDETERMINISTIC across plan
+        # re-evaluations (AQE re-coalescing, task retry, a shuffle in the
+        # source) and __rid is read by three independent branches below
+        # (the matched aggregate via the temp view, the left-join probe,
+        # and the separately-evaluated cdc preimage/postimage) — pin the
+        # ids by materializing ONCE before any branch reads them (ADVICE
+        # r7; _metadata.file_path/row_index would avoid the materialize
+        # but metadata columns don't resolve through temp views). The
+        # update already rewrites the whole table, so the checkpoint
+        # does not change the operation's O(table) cost class.
         aug = self.table(name).withColumn(
-            "__rid", F.monotonically_increasing_id())
+            "__rid", F.monotonically_increasing_id()).localCheckpoint()
         aug.createOrReplaceTempView(name)
         try:
             proj = ", ".join(

@@ -590,8 +590,42 @@ def read_mor_table(spark, table_dir: str,
                                 f"hudi MOR log block type "
                                 f"{blk['type']!r} is not supported "
                                 f"(avro_data only)")
+                        blk_schema = blk["headers"][_HDR_SCHEMA]
+                        if blk_schema != schema_json:
+                            # log-to-log drift: a later deltacommit may
+                            # add/rename fields; projecting rec.get(n)
+                            # onto the FIRST file's names would silently
+                            # drop the new field and NULL the renamed
+                            # one — refuse like the base-vs-log drift
+                            # fence below (ADVICE r7)
+                            import json as _json
+                            blk_names = {
+                                f["name"] for f in
+                                _json.loads(blk_schema).get("fields", [])}
+                            if blk_names != set(names):
+                                raise NotImplementedError(
+                                    f"hudi MOR schema drift between log "
+                                    f"blocks: {r['path']!r} block {bi} "
+                                    f"has fields "
+                                    f"{sorted(blk_names ^ set(names))} "
+                                    f"differing from the first log's "
+                                    f"schema")
                         recs = decode_avro_data_block(
-                            blk["content"], blk["headers"][_HDR_SCHEMA])
+                            blk["content"], blk_schema)
+                        # __hudi_seq packs (file, block, record) ordinals
+                        # with radix 1e6 into one int64; at the radix the
+                        # packing would overflow into the neighboring
+                        # digit and let a STALE update win the
+                        # latest-per-key window — refuse, don't mis-merge
+                        # (ADVICE r7). fseq is bounded so the product
+                        # stays under 2^63 (9.2e18 / 1e12).
+                        if bi >= 1_000_000 or len(recs) >= 1_000_000 \
+                                or fseq >= 9_000:
+                            raise NotImplementedError(
+                                f"hudi MOR ordering-key radix exceeded: "
+                                f"file #{fseq}, block #{bi}, "
+                                f"{len(recs)} records (limits: 9000 "
+                                f"files, 1e6 blocks, 1e6 records/block)")
                         for ri, rec in enumerate(recs):
                             rec = {n: rec.get(n) for n in names}
                             rec["__hudi_seq"] = ((fseq * 1_000_000 + bi)

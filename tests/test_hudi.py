@@ -378,3 +378,38 @@ def test_hudi_mor_refusals(spark, tmp_path):
         f.write(bytes(blk))
     with pytest.raises(ValueError, match="total block length"):
         hudilog.read_log_blocks(p)
+
+
+def test_hudi_mor_log_to_log_schema_drift_refuses(spark, tmp_path):
+    """ADVICE r7: a later deltacommit whose log blocks carry a DIFFERENT
+    field set must refuse — projecting onto the first log's names would
+    silently drop the new field and NULL renamed ones."""
+    d = str(tmp_path / "mor_drift")
+    _mor_fixture(spark, d)
+    drifted = json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "id", "type": "long"},
+            {"name": "v_renamed", "type": "long"},
+        ]})
+    rec = (b"\x02" + b"7" + _avro_zigzag(7) + _avro_zigzag(70))
+    with open(os.path.join(d, "g1_005.log.1"), "wb") as f:
+        f.write(_block_bytes([rec], drifted))
+    _commit(d, "005", {"": [{"fileId": "g1", "path": "g1_005.log.1"}]},
+            action="deltacommit")
+    with pytest.raises(Exception, match="drift"):
+        hudilog.read_hudi_table(spark, d).collect()
+
+
+def test_hudi_mor_same_schema_second_log_still_merges(spark, tmp_path):
+    """The drift fence must NOT fire on byte-identical schemas across
+    log files (the common case)."""
+    d = str(tmp_path / "mor_same")
+    _mor_fixture(spark, d)
+    with open(os.path.join(d, "g1_005.log.1"), "wb") as f:
+        f.write(_block_bytes([_avro_rec("2", 2, 222)], _MOR_SCHEMA))
+    _commit(d, "005", {"": [{"fileId": "g1", "path": "g1_005.log.1"}]},
+            action="deltacommit")
+    got = {(r["id"], r["v"])
+           for r in hudilog.read_hudi_table(spark, d).collect()}
+    assert got == {(0, 0), (1, 999), (2, 222), (3, 333), (4, 40), (9, 90)}
