@@ -2089,7 +2089,12 @@ class Engine:
              else "string"
              if isinstance(f.dataType, (T.StringType, T.BinaryType))
              else "date" if isinstance(f.dataType, T.DateType)
-             else None)
+             # decimal kinds carry (precision, scale): DuckDB's ordered
+             # statistics quantize DECIMAL inputs to the operand scale
+             # (quantile_cont) or skip interpolation entirely (median),
+             # and the dialect needs the scale to reproduce that
+             else (f"decimal({f.dataType.precision},{f.dataType.scale})"
+                   if isinstance(f.dataType, T.DecimalType) else None))
             for f in schema.fields]
         cache[key] = fields
         return fields

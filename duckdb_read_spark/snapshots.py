@@ -152,7 +152,14 @@ def file_entry(table_dir: str, rel_path: str) -> dict:
             if s is None or not s.has_min_max:
                 ok[name] = False
                 continue
-            lo, hi = _json_stat(s.min), _json_stat(s.max)
+            try:
+                lo, hi = _json_stat(s.min), _json_stat(s.max)
+            except NotImplementedError:
+                # pyarrow cannot decode stats for some physical types
+                # (e.g. DECIMAL backed by FIXED_LEN_BYTE_ARRAY) — the
+                # column just loses pruning, the commit must not fail
+                ok[name] = False
+                continue
             if lo is None or hi is None:
                 ok[name] = False
                 continue

@@ -878,3 +878,17 @@ def test_replace_table_refreshes_kind_dispatch(eng):
     # a stale cached kind would dispatch len(s) as string length
     assert eng.sql("SELECT len(s) AS n FROM kd",
                    dialect="duckdb").first()["n"] == 3
+
+
+def test_decimal_column_dml_commits(eng):
+    """r8: pyarrow cannot decode parquet footer stats for DECIMAL
+    (FIXED_LEN_BYTE_ARRAY) columns — the manifest builder must degrade
+    to no-stats for that column, not fail the whole commit."""
+    eng.sql("CREATE TABLE decdml (x DECIMAL(10,2), g BIGINT)")
+    eng.sql("INSERT INTO decdml VALUES (1.25, 1), (1.75, 1), (-1.01, 2)")
+    eng.sql("UPDATE decdml SET x = x + 1 WHERE g = 2")
+    got = eng.sql("SELECT CAST(sum(x) AS STRING) AS s FROM decdml").first()
+    assert got["s"] == "2.99"
+    # integer column stats still prune
+    hist = eng.table_history("decdml")
+    assert len(hist) == 3
