@@ -434,21 +434,10 @@ _INTERVAL_UNIT_MICROS = {
 }
 
 
-def _try_interval_epoch(expr: str) -> str | None:
-    """Constant-fold ``epoch(INTERVAL …)`` / ``EXTRACT(epoch FROM
-    INTERVAL …)`` for LITERAL intervals — Spark has no interval→seconds
-    conversion (no interval/interval division either, measured), and
-    the timestamp-shaped epoch emission can't resolve on an interval.
-
-    Measured formula [DuckDB 1.0.0]: whole years count 365.25 days
-    (epoch(INTERVAL 12 MONTH) = 31557600) while leftover months count
-    30 days (100 months = 8y·365.25d + 4mo·30d); the month quotient
-    TRUNCATES toward zero ('-1 year -2 months' = -1y − 2mo =
-    -36741600); fractional unit values cascade into the next-smaller
-    unit at storage time ('1.5 months' = 1 mon 15 days). Returns the
-    folded CAST(… AS DOUBLE) text, or None when the operand is not a
-    recognizable interval literal (the caller's timestamp path then
-    applies — loud on a true interval)."""
+def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
+    """Parse a DuckDB interval LITERAL into (months, days, micros) with
+    DuckDB's storage-time cascading of fractional unit values
+    ('1.5 months' = 1 mon 15 days). None when not an interval literal."""
     m = re.match(r"(?is)^\s*INTERVAL\s+(.+?)\s*$", expr.strip())
     if m is None:
         return None
@@ -481,10 +470,164 @@ def _try_interval_epoch(expr: str) -> str | None:
             return None
     days = int(days_f)
     micros += (days_f - days) * 86_400_000_000
+    return months, days, micros
+
+
+def _try_interval_epoch(expr: str) -> str | None:
+    """Constant-fold ``epoch(INTERVAL …)`` / ``EXTRACT(epoch FROM
+    INTERVAL …)`` for LITERAL intervals — Spark has no interval→seconds
+    conversion (no interval/interval division either, measured), and
+    the timestamp-shaped epoch emission can't resolve on an interval.
+
+    Measured formula [DuckDB 1.0.0]: whole years count 365.25 days
+    (epoch(INTERVAL 12 MONTH) = 31557600) while leftover months count
+    30 days (100 months = 8y·365.25d + 4mo·30d); the month quotient
+    TRUNCATES toward zero ('-1 year -2 months' = -1y − 2mo =
+    -36741600); fractional unit values cascade into the next-smaller
+    unit at storage time ('1.5 months' = 1 mon 15 days). Returns the
+    folded CAST(… AS DOUBLE) text, or None when the operand is not a
+    recognizable interval literal (the caller's timestamp path then
+    applies — loud on a true interval)."""
+    parsed = _parse_interval_literal(expr)
+    if parsed is None:
+        return None
+    months, days, micros = parsed
     q = int(months / 12)  # truncation toward zero, like DuckDB
     seconds = (q * 31_557_600 + (months - q * 12) * 2_592_000
                + days * 86_400 + micros / 1e6)
     return f"CAST({seconds!r} AS DOUBLE)"
+
+
+def _parse_time_literal(expr: str) -> int | None:
+    """``TIME 'HH:MM[:SS[.frac]]'`` → microseconds-of-day, else None."""
+    m = re.match(r"(?is)^\s*TIME\s+'(\d{1,2}):(\d{2})"
+                 r"(?::(\d{2})(\.\d+)?)?'\s*$", expr.strip())
+    if m is None:
+        return None
+    h, mi = int(m.group(1)), int(m.group(2))
+    s = int(m.group(3) or 0)
+    frac = float(m.group(4) or 0.0)
+    if h > 24 or mi > 59 or s > 59:
+        return None
+    return ((h * 3600 + mi * 60 + s) * 1_000_000
+            + int(round(frac * 1_000_000)))
+
+
+def _time_literal(us: int) -> str:
+    """Microseconds-of-day → ``TIME 'HH:MM:SS[.ffffff]'`` (DuckDB
+    renders six fractional digits whenever the value has any)."""
+    us %= 86_400_000_000
+    s, sub = divmod(us, 1_000_000)
+    h, rem = divmod(s, 3600)
+    mi, sec = divmod(rem, 60)
+    base = f"{h:02d}:{mi:02d}:{sec:02d}"
+    if sub:
+        base += f".{sub:06d}"
+    return f"TIME '{base}'"
+
+
+def _try_time_field(field: str, expr: str) -> str | None:
+    """Constant-fold EXTRACT/date_part fields over a TIME literal —
+    Spark 4.1 parses TIME literals but UNSUPPORTED_TIME_TYPE's nearly
+    every operation on them [measured: extract(second FROM TIME
+    '13:14:15.75') → 15 (int, truncated); millisecond → seconds·1000 +
+    ms; microsecond → seconds·1e6 + µs; epoch → seconds-of-day DOUBLE
+    incl. fraction]."""
+    us = _parse_time_literal(expr)
+    if us is None:
+        return None
+    s_of_day, sub = divmod(us, 1_000_000)
+    h, rem = divmod(s_of_day, 3600)
+    mi, sec = divmod(rem, 60)
+    vals = {
+        "hour": str(h), "hours": str(h),
+        "minute": str(mi), "minutes": str(mi),
+        "second": str(sec), "seconds": str(sec),
+        "millisecond": str(sec * 1000 + sub // 1000),
+        "milliseconds": str(sec * 1000 + sub // 1000),
+        "microsecond": str(sec * 1_000_000 + sub),
+        "microseconds": str(sec * 1_000_000 + sub),
+        "epoch": f"CAST({us / 1e6!r} AS DOUBLE)",
+    }
+    return vals.get(field)
+
+
+def _fold_time_literals(sql: str) -> str:
+    """Constant-fold the TIME-literal expressions Spark cannot evaluate
+    (UNSUPPORTED_TIME_TYPE on arithmetic/casts/make_time even though the
+    literal itself parses) [all measured in DuckDB 1.0.0]:
+
+    - ``TIME 't' ± INTERVAL lit`` (and ``INTERVAL lit + TIME 't'``):
+      wall-clock arithmetic wraps mod 24 h; only the interval's
+      sub-day MICROS component applies (TIME + INTERVAL 1 MONTH is a
+      no-op — months/days don't move a time-of-day).
+    - ``make_time(h, m, s)`` with literal args (s may be fractional).
+    - ``CAST(TIMESTAMP 'lit' AS TIME)`` / ``TIMESTAMP 'lit'::TIME`` /
+      ``'lit'::TIME`` / ``CAST('lit' AS TIME)`` → the time part as a
+      TIME literal.
+
+    Literal-only by design: Spark has no runtime TIME arithmetic to
+    lower onto, so non-literal shapes stay verbatim and fail loudly.
+    Runs to fixpoint so make_time → ± INTERVAL chains fold through."""
+    if not re.search(r"(?i)\bTIME\b|\bmake_time\s*\(", sql):
+        return sql
+    interval_pat = r"INTERVAL\s+(?:'[^']*'|-?\d+(?:\.\d+)?\s+[A-Za-z]+)"
+    time_pat = r"TIME\s+'[\d:.]+'"
+
+    def fold_arith(m: "re.Match[str]") -> str:
+        tus = _parse_time_literal(m.group("t"))
+        iv = _parse_interval_literal(m.group("iv"))
+        if tus is None or iv is None:
+            return m.group(0)
+        sign = -1 if m.group("op") == "-" else 1
+        return _time_literal(tus + sign * int(iv[2]))
+
+    def fold_arith_rev(m: "re.Match[str]") -> str:
+        tus = _parse_time_literal(m.group("t"))
+        iv = _parse_interval_literal(m.group("iv"))
+        if tus is None or iv is None:
+            return m.group(0)
+        return _time_literal(tus + int(iv[2]))
+
+    def fold_make_time(m: "re.Match[str]") -> str:
+        h, mi = int(m.group(1)), int(m.group(2))
+        sec = float(m.group(3))
+        return _time_literal(
+            (h * 3600 + mi * 60) * 1_000_000
+            + int(round(sec * 1_000_000)))
+
+    def fold_ts_cast(m: "re.Match[str]") -> str:
+        txt = m.group("lit")
+        mt = re.search(r"[T ](\d{2}:\d{2}:\d{2}(?:\.\d+)?)$", txt) or \
+            re.fullmatch(r"(\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?)", txt)
+        if mt is None:
+            return m.group(0)
+        us = _parse_time_literal(f"TIME '{mt.group(1)}'")
+        return _time_literal(us) if us is not None else m.group(0)
+
+    for _ in range(10):
+        new = sql
+        new = re.sub(
+            rf"(?is)(?P<t>{time_pat})\s*(?P<op>[+-])\s*(?P<iv>{interval_pat})",
+            fold_arith, new)
+        new = re.sub(
+            rf"(?is)(?P<iv>{interval_pat})\s*\+\s*(?P<t>{time_pat})",
+            fold_arith_rev, new)
+        new = re.sub(
+            r"(?is)\bmake_time\s*\(\s*(\d+)\s*,\s*(\d+)\s*,\s*"
+            r"(\d+(?:\.\d+)?)\s*\)",
+            fold_make_time, new)
+        new = re.sub(
+            r"(?is)\bCAST\s*\(\s*(?:TIMESTAMP\s+)?'(?P<lit>[^']+)'"
+            r"\s+AS\s+TIME\s*\)",
+            fold_ts_cast, new)
+        new = re.sub(
+            r"(?is)(?:TIMESTAMP\s+)?'(?P<lit>[^']+)'\s*::\s*TIME\b",
+            fold_ts_cast, new)
+        if new == sql:
+            return sql
+        sql = new
+    return sql
 
 
 def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
@@ -505,6 +648,9 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
     __second_raw__ marker (renamed to SECOND in _rewrite_keywords)
     because spelling extract(SECOND …)/date_part('SECOND' …) here
     would re-trigger this very map and loop the fixpoint."""
+    tconst = _try_time_field(field, expr)
+    if tconst is not None:
+        return tconst
     if field == "epoch":
         const = _try_interval_epoch(expr)
         if const is not None:
@@ -569,6 +715,23 @@ def _map_list_lookup(mp: str, ky: str) -> str:
             f"ELSE slice(array(try_element_at({mp}, {ky})), 1, 0) END")
 
 
+# Aggregates where DuckDB's in-call ORDER BY modifier is a semantic
+# no-op (order-SENSITIVE aggs — string_agg/array_agg/first/arbitrary/
+# last — have dedicated ordered rewrites and are deliberately absent).
+_ORDER_INSENSITIVE_AGGS = frozenset({
+    "min", "max", "sum", "avg", "mean", "count", "bit_and", "bit_or",
+    "bit_xor", "bool_and", "bool_or", "stddev", "stddev_samp",
+    "stddev_pop", "var_samp", "var_pop", "variance", "var", "corr",
+    "covar_pop", "covar_samp", "median", "product", "geomean", "favg",
+    "fsum", "kurtosis", "skewness", "entropy", "mad", "mode",
+    "approx_count_distinct", "quantile_cont", "quantile_disc",
+    "quantile", "arg_min", "arg_max", "min_by", "max_by",
+    "bitstring_agg", "regr_slope", "regr_intercept", "regr_count",
+    "regr_r2", "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy",
+    "regr_sxy",
+})
+
+
 def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """One pass of call-shaped rewrites; repeats until fixpoint for nesting.
 
@@ -596,6 +759,43 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         name = t.text.lower() if t.kind == "ident" else None
         parts = call_parts(i) if name else None
 
+        if name in _ORDER_INSENSITIVE_AGGS and parts:
+            # DuckDB accepts an ORDER BY modifier inside EVERY aggregate
+            # (it only matters for order-sensitive ones like string_agg
+            # / array_agg / first, which have their own branches) —
+            # Spark parse-errors on e.g. min(x ORDER BY x). For
+            # order-INSENSITIVE aggregates the modifier is a semantic
+            # no-op [measured], so strip it and re-enter the fixpoint
+            # with the plain call.
+            open_i, close, _ = parts
+            cut = None
+            depth = 0
+            k = open_i + 1
+            while k < close:
+                tk = toks[k]
+                if tk.kind in ("ws", "comment"):
+                    k += 1
+                    continue
+                if tk.text in ("(", "["):
+                    depth += 1
+                elif tk.text in (")", "]"):
+                    depth -= 1
+                elif (depth == 0 and tk.kind == "ident"
+                        and tk.text.upper() == "ORDER"):
+                    k2 = k + 1
+                    while k2 < close and toks[k2].kind in (
+                            "ws", "comment"):
+                        k2 += 1
+                    if k2 < close and toks[k2].text.upper() == "BY":
+                        cut = k
+                        break
+                k += 1
+            if cut is not None:
+                inner = detokenize(toks[open_i + 1:cut]).strip()
+                out.append(f"{name}({inner})")
+                i = close + 1
+                changed = True
+                continue
         if name in ("string_split", "str_split", "string_to_array",
                     "split") and parts and len(parts[2]) == 2:
             # DuckDB's split family takes a LITERAL separator; Spark's
@@ -777,6 +977,90 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             args = ", ".join(f"CAST({_arg_text(toks, sp)} AS STRING)"
                              for sp in spans)
             out.append(f"concat_ws('', {args})")
+            i = close + 1
+            changed = True
+            continue
+        if (name in ("hour", "minute", "second", "millisecond",
+                     "microsecond", "epoch") and parts
+                and len(parts[2]) == 1):
+            # function-form fields over a TIME literal constant-fold
+            # (Spark: UNSUPPORTED_TIME_TYPE on hour(TIME '…'))
+            tconst = _try_time_field(
+                name, _arg_text(toks, parts[2][0]))
+            if tconst is not None:
+                out.append(tconst)
+                i = parts[1] + 1
+                changed = True
+                continue
+        if name == "mad" and parts and len(parts[2]) == 1:
+            # median absolute deviation [measured in DuckDB 1.0.0]:
+            # interpolating median of |x - median(x)| — INTERPOLATING
+            # even over DECIMAL inputs (mad of (1.0,2.0,9.0,10.0)
+            # DECIMAL = 4.0 from median 5.5), with the RESULT truncated
+            # toward zero to the operand scale (0.005 → 0.00, 0.015 →
+            # 0.01); numeric inputs → DOUBLE. Spark has no mad().
+            # DECIMAL path stays in exact decimal arithmetic by working
+            # in a doubled domain: D_i = |2·x_i − (m1+m2)| (scale s),
+            # mad = trunc_s((D_j + D_k) · 0.25).
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            kind = ((column_kinds or {}).get(e.lower())
+                    if re.fullmatch(r"[A-Za-z_]\w*", e) else None)
+            mdec = (re.fullmatch(r"decimal\((\d+),(\d+)\)", kind)
+                    if kind else None)
+
+            def _mid(arr: str, off: int) -> str:
+                return (f"element_at({arr}, "
+                        f"CAST((size({arr}) + {off}) DIV 2 AS INT))")
+
+            if mdec:
+                p_, s_ = int(mdec.group(1)), int(mdec.group(2))
+                dec = f"DECIMAL({p_},{s_})"
+                unit = ("1" if s_ == 0 else "0." + "0" * (s_ - 1) + "1")
+                dev = (f"abs(2 * __v - ({_mid('__arr', 1)} "
+                       f"+ {_mid('__arr', 2)}))")
+                val = f"(({_mid('__a2', 1)} + {_mid('__a2', 2)}) * 0.25)"
+                inner = (
+                    f"element_at(transform(array(sort_array(transform("
+                    f"__arr, __v -> {dev}))), __a2 -> "
+                    f"CAST({val} - ({val} % {unit}) AS {dec})), 1)")
+                null_t = dec
+                src = f"collect_list({e})"
+            else:
+                dev = (f"abs(__v - ({_mid('__arr', 1)} "
+                       f"+ {_mid('__arr', 2)}) / 2)")
+                inner = (
+                    f"element_at(transform(array(sort_array(transform("
+                    f"__arr, __v -> {dev}))), __a2 -> "
+                    f"({_mid('__a2', 1)} + {_mid('__a2', 2)}) / 2), 1)")
+                null_t = "DOUBLE"
+                src = f"collect_list(CAST({e} AS DOUBLE))"
+            out.append(
+                f"element_at(transform(array(sort_array({src})), "
+                f"__arr -> CASE WHEN size(__arr) = 0 THEN "
+                f"CAST(NULL AS {null_t}) ELSE {inner} END), 1)")
+            i = close + 1
+            changed = True
+            continue
+        if name == "bitstring_agg" and parts and len(parts[2]) == 3:
+            # bitstring_agg(x, lo, hi) [measured]: a (hi-lo+1)-char
+            # '0'/'1' string, bit v-lo set per distinct value; NULLs
+            # skipped; a value outside [lo, hi] ERRORS; empty/all-NULL
+            # group → NULL. (The 1-arg form needs table statistics and
+            # errors in DuckDB for plain queries — left loud.)
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            lo = _arg_text(toks, spans[1])
+            hi = _arg_text(toks, spans[2])
+            out.append(
+                f"element_at(transform(array(collect_set({x})), __s -> "
+                f"CASE WHEN size(__s) = 0 THEN CAST(NULL AS STRING) "
+                f"WHEN exists(__s, __v -> __v < ({lo}) OR __v > ({hi})) "
+                f"THEN raise_error('bitstring_agg: value outside of "
+                f"provided min and max range') "
+                f"ELSE concat_ws('', transform(sequence({lo}, {hi}), "
+                f"__p -> if(array_contains(__s, __p), '1', '0'))) "
+                f"END), 1)")
             i = close + 1
             changed = True
             continue
@@ -1561,8 +1845,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "quantile_disc" and parts and len(parts[2]) == 2 \
+        if name in ("quantile_disc", "quantile") and parts \
+                and len(parts[2]) == 2 \
                 and _arg_text(toks, parts[2][1]).lstrip().startswith("["):
+            # bare quantile() is DuckDB's quantile_disc ALIAS [measured]
             # array-of-quantiles form: same ceil(n*q) index rule applied
             # per element via transform — Spark allows the aggregate
             # inside the lambda since the lambda maps a literal array
@@ -1576,7 +1862,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "quantile_disc" and parts and len(parts[2]) == 2:
+        if name in ("quantile_disc", "quantile") and parts \
+                and len(parts[2]) == 2:
             # DuckDB discrete quantile: the element at index ceil(n*q),
             # clamped to >= 1, of the sorted group [measured across
             # n=3..11 x q=0.1..0.9 — floor((n-1)q)+1 diverges at e.g.
@@ -5522,6 +5809,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_power_operator(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
+    sql = _fold_time_literals(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

@@ -856,3 +856,72 @@ def test_list_contains_null_needle(engine, duck):
         "SELECT list_contains([1,2], NULL) AS a, "
         "list_position([1,2], NULL) AS b, "
         "array_contains(['a'], NULL) AS c, list_has([1], NULL) AS d"))
+
+
+# --- r8 self-probe batch: aggregate breadth + TIME-type operations ---------
+
+
+def test_mad_aggregate(engine, duck):
+    """mad() = interpolating median of |x − median(x)| — interpolating
+    even over DECIMAL inputs, result truncated toward zero to the
+    operand scale; numeric inputs → DOUBLE [measured]."""
+    _check(engine, duck, (
+        "SELECT mad(x) AS a FROM (VALUES (CAST(1 AS INT)),(2),(9),(10)"
+        ") v(x)"))
+    _check(engine, duck,
+           "SELECT mad(x) AS a FROM (SELECT 1 AS x WHERE false) v")
+
+
+def test_mad_decimal_column(engine, duck, decimal_table):
+    """DECIMAL-kind column: exact decimal arithmetic in a doubled
+    domain, trunc-to-scale result (0.015 → 0.01)."""
+    _check(engine, duck,
+           "SELECT g, mad(x) AS m FROM decp GROUP BY g ORDER BY g")
+
+
+def test_bitstring_agg(engine, duck):
+    """bitstring_agg(x, lo, hi): '0'/'1' string of hi-lo+1 bits, NULLs
+    skipped, empty group NULL [measured]."""
+    _check(engine, duck, (
+        "SELECT bitstring_agg(x, 0, 5) AS a FROM (VALUES (1),(3)) v(x)"))
+    _check(engine, duck, (
+        "SELECT bitstring_agg(x, 2, 5) AS a "
+        "FROM (VALUES (3),(NULL)) v(x)"))
+
+
+def test_quantile_is_disc_alias(engine, duck):
+    """Bare quantile() is DuckDB's quantile_disc alias (scalar + list
+    forms)."""
+    _check(engine, duck, (
+        "SELECT quantile(x, 0.5) AS a, quantile(x, [0.25, 0.75]) AS b "
+        "FROM (VALUES (1),(2),(3),(4)) v(x)"))
+
+
+def test_order_by_inside_commutative_aggs(engine, duck):
+    """DuckDB accepts ORDER BY inside every aggregate; for
+    order-insensitive ones it is a no-op and Spark parse-errors —
+    stripped."""
+    _check(engine, duck, (
+        "SELECT min(x ORDER BY x) AS a, sum(x ORDER BY x DESC) AS b, "
+        "count(DISTINCT x ORDER BY x) AS c, median(x ORDER BY x) AS d "
+        "FROM (VALUES (3),(1),(1)) v(x)"))
+
+
+def test_time_literal_operations(engine, duck):
+    """TIME-literal folds: extract fields (second truncates, epoch is
+    DOUBLE seconds-of-day), wall-clock ± INTERVAL wraps mod 24 h with
+    only the sub-day micros applying, make_time, timestamp→TIME casts
+    [all measured; Spark raises UNSUPPORTED_TIME_TYPE on every one]."""
+    _check(engine, duck, (
+        "SELECT extract(hour FROM TIME '13:14:15') AS a, "
+        "extract(second FROM TIME '13:14:15.75') AS b, "
+        "extract(epoch FROM TIME '01:00:30') AS c, "
+        "extract(millisecond FROM TIME '01:02:03.456789') AS d, "
+        "hour(TIME '13:14:15') AS e2, "
+        "TIME '23:30:00' + INTERVAL 2 HOUR AS f, "
+        "TIME '01:00:00' - INTERVAL 2 HOUR AS g, "
+        "TIME '13:14:15' + INTERVAL 1 MONTH AS h, "
+        "make_time(13, 14, 15.5) AS i2, "
+        "CAST(TIMESTAMP '2024-01-02 13:14:15.25' AS TIME) AS j, "
+        "'13:14:15'::TIME AS k, "
+        "hour(make_time(5, 6, 7) + INTERVAL 2 HOUR) AS l"))
