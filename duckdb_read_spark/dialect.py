@@ -507,7 +507,9 @@ def _parse_time_literal(expr: str) -> int | None:
     h, mi = int(m.group(1)), int(m.group(2))
     s = int(m.group(3) or 0)
     frac = float(m.group(4) or 0.0)
-    if h > 24 or mi > 59 or s > 59:
+    # 24:00:00 exactly is DuckDB's one allowed 24-hour spelling;
+    # 24:30:00 is a Conversion Error (review r8) — don't fold-and-wrap
+    if h > 24 or mi > 59 or s > 59 or (h == 24 and (mi or s or frac)):
         return None
     return ((h * 3600 + mi * 60 + s) * 1_000_000
             + int(round(frac * 1_000_000)))
@@ -574,7 +576,38 @@ def _fold_time_literals(sql: str) -> str:
     interval_pat = r"INTERVAL\s+(?:'[^']*'|-?\d+(?:\.\d+)?\s+[A-Za-z]+)"
     time_pat = r"TIME\s+'[\d:.]+'"
 
+    def _scaled_micros(m: "re.Match[str]") -> float | None:
+        iv = _parse_interval_literal(m.group("iv"))
+        if iv is None:
+            return None
+        n = 1.0
+        if m.groupdict().get("sop"):
+            n = float(m.group("n"))
+            if m.group("sop") == "/":
+                if n == 0:
+                    return None
+                n = 1.0 / n
+        return iv[2] * n  # only the sub-day micros move a time-of-day
+
+    def fold_arith_scaled(m: "re.Match[str]") -> str:
+        # TIME ± INTERVAL * N — multiplication binds tighter (review
+        # r8: TIME + INTERVAL 1 HOUR * 2 doubles the interval FIRST in
+        # DuckDB), so the scaled form folds as one unit; a standalone
+        # INTERVAL * N elsewhere stays verbatim (Spark handles it
+        # natively and a canonical-literal fold would change its type)
+        tus = _parse_time_literal(m.group("t"))
+        us = _scaled_micros(m)
+        if tus is None or us is None:
+            return m.group(0)
+        sign = -1 if m.group("op") == "-" else 1
+        return _time_literal(tus + sign * int(round(us)))
+
     def fold_arith(m: "re.Match[str]") -> str:
+        if m.string[m.end():].lstrip()[:1] in ("*", "/", "%"):
+            # a tighter-binding operator follows — the scale fold above
+            # runs first in the fixpoint; if it could not fold (non-
+            # literal factor), leave loud rather than mis-fold
+            return m.group(0)
         tus = _parse_time_literal(m.group("t"))
         iv = _parse_interval_literal(m.group("iv"))
         if tus is None or iv is None:
@@ -583,6 +616,8 @@ def _fold_time_literals(sql: str) -> str:
         return _time_literal(tus + sign * int(iv[2]))
 
     def fold_arith_rev(m: "re.Match[str]") -> str:
+        if m.string[:m.start()].rstrip()[-1:] in ("*", "/", "%"):
+            return m.group(0)  # 2 * INTERVAL … + TIME binds the * first
         tus = _parse_time_literal(m.group("t"))
         iv = _parse_interval_literal(m.group("iv"))
         if tus is None or iv is None:
@@ -597,6 +632,12 @@ def _fold_time_literals(sql: str) -> str:
             + int(round(sec * 1_000_000)))
 
     def fold_ts_cast(m: "re.Match[str]") -> str:
+        if m.group("tz") is not None:
+            # TIMESTAMPTZ→TIME is an Unimplemented-cast ERROR in DuckDB
+            # (review r8); the earlier literal eraser left the
+            # __timestamptz__ marker — leave the text verbatim so it
+            # fails loudly instead of stranding the marker mid-fold
+            return m.group(0)
         txt = m.group("lit")
         mt = re.search(r"[T ](\d{2}:\d{2}:\d{2}(?:\.\d+)?)$", txt) or \
             re.fullmatch(r"(\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?)", txt)
@@ -608,6 +649,11 @@ def _fold_time_literals(sql: str) -> str:
     for _ in range(10):
         new = sql
         new = re.sub(
+            rf"(?is)(?P<t>{time_pat})\s*(?P<op>[+-])\s*"
+            rf"(?P<iv>{interval_pat})\s*(?P<sop>[*/])\s*"
+            rf"(?P<n>-?\d+(?:\.\d+)?)(?![\d.])",
+            fold_arith_scaled, new)
+        new = re.sub(
             rf"(?is)(?P<t>{time_pat})\s*(?P<op>[+-])\s*(?P<iv>{interval_pat})",
             fold_arith, new)
         new = re.sub(
@@ -618,11 +664,12 @@ def _fold_time_literals(sql: str) -> str:
             r"(\d+(?:\.\d+)?)\s*\)",
             fold_make_time, new)
         new = re.sub(
-            r"(?is)\bCAST\s*\(\s*(?:TIMESTAMP\s+)?'(?P<lit>[^']+)'"
-            r"\s+AS\s+TIME\s*\)",
+            r"(?is)\bCAST\s*\(\s*(?:(?P<tz>__timestamptz__)\s+"
+            r"|TIMESTAMP\s+)?'(?P<lit>[^']+)'\s+AS\s+TIME\s*\)",
             fold_ts_cast, new)
         new = re.sub(
-            r"(?is)(?:TIMESTAMP\s+)?'(?P<lit>[^']+)'\s*::\s*TIME\b",
+            r"(?is)(?:(?P<tz>__timestamptz__)\s+|TIMESTAMP\s+)?"
+            r"'(?P<lit>[^']+)'\s*::\s*TIME\b",
             fold_ts_cast, new)
         if new == sql:
             return sql
@@ -725,10 +772,14 @@ _ORDER_INSENSITIVE_AGGS = frozenset({
     "covar_pop", "covar_samp", "median", "product", "geomean", "favg",
     "fsum", "kurtosis", "skewness", "entropy", "mad", "mode",
     "approx_count_distinct", "quantile_cont", "quantile_disc",
-    "quantile", "arg_min", "arg_max", "min_by", "max_by",
-    "bitstring_agg", "regr_slope", "regr_intercept", "regr_count",
-    "regr_r2", "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy",
-    "regr_sxy",
+    "quantile", "bitstring_agg", "regr_slope", "regr_intercept",
+    "regr_count", "regr_r2", "regr_avgx", "regr_avgy", "regr_sxx",
+    "regr_syy", "regr_sxy",
+    # NOT here (review r8): arg_min/arg_max/min_by/max_by/mode — their
+    # in-call ORDER BY deterministically breaks TIES in DuckDB
+    # [measured: arg_max(v, k ORDER BY v DESC) over all-tied k returns
+    # 'c', ASC returns 'a'], so stripping it would be a silent wrong
+    # answer; those spellings stay verbatim and fail loudly.
 })
 
 
@@ -1951,15 +2002,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             lp = _lambda_parts(lam)
             if lp is not None and len(lp[0]) == 3:
                 acc, elt, idx = lp[0]
-                # idx first: the elt substitution inserts {lst}, whose
-                # text may legitimately contain a column named like idx
+                # substitution order matters (review r8): idx and acc
+                # rename BEFORE elt, because the elt substitution
+                # inserts {lst} — whose text may legitimately contain a
+                # column named like idx or, worse, like acc (list_
+                # reduce(a, (a,b,i) -> …) would otherwise capture the
+                # accumulator where DuckDB reads the column)
                 body = _substitute_lambda_ident(lp[1], idx, "(__pos - 1)")
+                body = _substitute_lambda_ident(body, acc, "__acc")
                 body = _substitute_lambda_ident(
                     body, elt, f"element_at({lst}, __pos)")
                 out.append(
                     f"aggregate(slice(sequence(1, size({lst})), 2, "
                     f"greatest(size({lst}) - 1, 0)), "
-                    f"element_at({lst}, 1), ({acc}, __pos) -> {body})")
+                    f"element_at({lst}, 1), (__acc, __pos) -> {body})")
             else:
                 out.append(
                     f"aggregate(slice({lst}, 2, "
@@ -3287,12 +3343,14 @@ _TRAILING_COMMA_NEXT = frozenset({
 
 
 def _strip_trailing_commas(sql: str) -> str:
-    """DuckDB's signature ergonomic: trailing commas are allowed in the
-    SELECT list (``SELECT a, b, FROM t``), list literals (``[1, 2, ]``),
-    call argument lists and GROUP BY (measured: all accepted) — Spark
-    raises TRAILING_COMMA_IN_SELECT / parse errors. A comma whose next
-    significant token is a clause keyword, ``)``, ``]`` or end-of-input
-    is never meaningful SQL, so dropping it is safe."""
+    """DuckDB's trailing-comma ergonomic, measured PER CONTEXT (review
+    r8 — it is NOT accepted everywhere): the SELECT list (``SELECT a,
+    b, FROM t`` and at end-of-input), GROUP BY before HAVING, list
+    literals (``[1, 2, ]``), IN-lists (``IN (1, 2,)``) and VALUES
+    tuples — but a call argument list (``greatest(1, 2,)``) and a
+    row-expression (``SELECT (1, 2,)``) are Parser Errors in DuckDB
+    too and must stay loud. Spark rejects all of these
+    (TRAILING_COMMA_IN_SELECT / parse errors)."""
     toks = tokenize(sql)
     sig = _sig(toks)
     changed = False
@@ -3300,9 +3358,37 @@ def _strip_trailing_commas(sql: str) -> str:
         if toks[ti].text != ",":
             continue
         nxt = toks[sig[p + 1]] if p + 1 < len(sig) else None
-        if nxt is None or nxt.text in (")", "]") or (
+        strip = False
+        if nxt is None or nxt.text == "]" or (
                 nxt.kind == "ident"
                 and nxt.text.upper() in _TRAILING_COMMA_NEXT):
+            strip = True
+        elif nxt.text == ")":
+            # only IN-lists and VALUES tuples accept ", )" in DuckDB —
+            # find this group's opener (the scan starts INSIDE the
+            # group, so the enclosing '(' is reached at depth -1) and
+            # inspect what precedes it
+            depth = 0
+            opener = None
+            for q in range(p, -1, -1):
+                txt = toks[sig[q]].text
+                if txt == ")":
+                    depth += 1
+                elif txt == "(":
+                    depth -= 1
+                    if depth == -1:
+                        opener = q
+                        break
+            if opener is not None and opener >= 1:
+                before = toks[sig[opener - 1]]
+                if before.kind == "ident" and before.text.upper() in (
+                        "IN", "VALUES"):
+                    strip = True
+                elif before.text == ",":
+                    # a later tuple of a VALUES list: ( … ), ( … ,)
+                    b2 = toks[sig[opener - 2]] if opener >= 2 else None
+                    strip = b2 is not None and b2.text == ")"
+        if strip:
             toks[ti].text = ""
             changed = True
     return detokenize(toks) if changed else sql
@@ -3811,12 +3897,25 @@ def _rewrite_slices(sql: str) -> str:
     [1,2]; a 0 start clamps to 1, a 0 end is empty). Runs
     before the single-index rewrite so ``[n]`` subscripts are untouched.
     The sliced expression is the preceding identifier chain or
-    parenthesized call (re-evaluated inside size() for relative bounds)."""
+    parenthesized call (re-evaluated inside size() for relative bounds).
+
+    LEFTMOST slice first, restart after every rewrite (review r8):
+    chained slices like ``l[2:5][1:2]`` must rewrite the inner group
+    before the outer slice's base walker folds it — verbatim — into
+    the replacement token, where no later pass can reach it."""
+    for _ in range(200):
+        new = _rewrite_one_slice(sql)
+        if new is None:
+            return sql
+        sql = new
+    raise ValueError("slice rewrite did not converge: " + sql[:120])
+
+
+def _rewrite_one_slice(sql: str) -> str | None:
+    """Rewrite the LEFTMOST slice subscript; None when none remain."""
     toks = tokenize(sql)
     sig = _sig(toks)
-    for pos in range(len(sig) - 1, -1, -1):
-        if pos >= len(sig):  # sig shrank after an earlier replacement
-            continue
+    for pos in range(len(sig)):
         a = sig[pos]
         if toks[a].text != "[" or pos == 0:
             continue
@@ -3888,8 +3987,7 @@ def _rewrite_slices(sql: str) -> str:
                     f"__p -> element_at(__a, __p)))), 1)")
             toks = (toks[:sig[start_pos3]] + [Tok("other", repl)]
                     + toks[e + 1:])
-            sig = _sig(toks)
-            continue
+            return detokenize(toks)
         # walk back over the sliced expression: ident chain, (...) with
         # an optional call name, or a ']' group (bracket LITERAL or a
         # chained subscript — '[1,2,3][2:]', judge probe r7) — the
@@ -3924,8 +4022,7 @@ def _rewrite_slices(sql: str) -> str:
                     + [Tok("other",
                            f"substring({expr} FROM {st} FOR {ln})")]
                     + toks[e + 1:])
-            sig = _sig(toks)
-            continue
+            return detokenize(toks)
         expr = detokenize(toks[sig[start_pos]:a]).strip()
         lo_t, hi_t = m_sl.group(1), m_sl.group(2)
         lo = int(lo_t) if lo_t is not None else None
@@ -3938,8 +4035,7 @@ def _rewrite_slices(sql: str) -> str:
             toks = (toks[:sig[start_pos]]
                     + [Tok("other", f"slice({expr}, 1, 0)")]
                     + toks[e + 1:])
-            sig = _sig(toks)
-            continue
+            return detokenize(toks)
         if lo is not None and lo > 0 and hi is not None and hi > 0:
             repl = f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
         else:
@@ -3949,8 +4045,8 @@ def _rewrite_slices(sql: str) -> str:
                   else f"(size({expr}) + {hi} + 1)")
             repl = f"slice({expr}, {s}, greatest({en} - ({s}) + 1, 0))"
         toks = toks[:sig[start_pos]] + [Tok("other", repl)] + toks[e + 1:]
-        sig = _sig(toks)
-    return detokenize(toks)
+        return detokenize(toks)
+    return None
 
 
 def _rewrite_star_exclude(sql: str) -> str:
@@ -4094,9 +4190,28 @@ def _rewrite_tilde_operators(sql: str) -> str:
     i = 0
     n = len(toks)
     changed = False
+    prev_sig: Tok | None = None
     while i < n:
         t = toks[i]
         if t.text not in ("~", "!"):
+            if t.kind not in ("ws", "comment"):
+                prev_sig = t
+            out.append(t)
+            i += 1
+            continue
+        # BINARY usage only: a primary expression must precede the
+        # operator — ~'101'::BIT is a valid DuckDB PREFIX bitwise NOT
+        # on a BIT cast (review r8), and consuming it as infix emitted
+        # a dangling RLIKE
+        if not (prev_sig is not None
+                and (prev_sig.kind in ("num", "str")
+                     or prev_sig.text in (")", "]")
+                     or (prev_sig.kind == "ident"
+                         and prev_sig.text.upper() not in _SQL_KEYWORDS
+                         and prev_sig.text.upper() not in (
+                             "WHERE", "AND", "OR", "NOT", "SELECT",
+                             "WHEN", "THEN", "ELSE", "ON", "HAVING")))):
+            prev_sig = t
             out.append(t)
             i += 1
             continue
@@ -4113,6 +4228,7 @@ def _rewrite_tilde_operators(sql: str) -> str:
                   "~~": "LIKE", "!~~": "NOT LIKE",
                   "~~*": "ILIKE", "!~~*": "NOT ILIKE"}
         if seq not in op_map:
+            prev_sig = t
             out.append(t)
             i += 1
             continue
@@ -4121,6 +4237,7 @@ def _rewrite_tilde_operators(sql: str) -> str:
         while k < n and toks[k].kind in ("ws", "comment"):
             k += 1
         if k >= n or toks[k].kind != "str":
+            prev_sig = t
             out.append(t)
             i += 1
             continue
@@ -4133,6 +4250,7 @@ def _rewrite_tilde_operators(sql: str) -> str:
         else:
             body = lit[1:-1].replace("\\", "\\\\")
             out.append(Tok("other", f"{op_map[seq]} '{body}'"))
+        prev_sig = out[-1]
         i = k + 1
         changed = True
     return detokenize(out) if changed else sql

@@ -349,7 +349,7 @@ _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 # every INSERT — the r7 q125 regression at fixture scale).
 _DML_TARGET_RE = re.compile(
     r"^\s*(?:"
-    r"INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO(?:\s+BY\s+NAME)?"
+    r"INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO"
     r"|UPDATE|DELETE\s+FROM|MERGE\s+INTO|TRUNCATE(?:\s+TABLE)?"
     r"|ALTER\s+TABLE(?:\s+IF\s+EXISTS)?"
     r"|DROP\s+(?:TABLE|VIEW)(?:\s+IF\s+EXISTS)?"
@@ -2081,7 +2081,10 @@ class Engine:
         try:
             schema = self.spark.table(name).schema
         except Exception:
-            cache[key] = None
+            # do NOT cache the failure (review r8): a transiently broken
+            # dependent view would otherwise pin None until a DML
+            # statement happens to name this exact table — the next
+            # statement should simply retry the fetch
             return None
         fields = [
             (f.name,

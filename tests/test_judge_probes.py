@@ -925,3 +925,39 @@ def test_time_literal_operations(engine, duck):
         "CAST(TIMESTAMP '2024-01-02 13:14:15.25' AS TIME) AS j, "
         "'13:14:15'::TIME AS k, "
         "hour(make_time(5, 6, 7) + INTERVAL 2 HOUR) AS l"))
+
+
+# --- r8 review pins ---------------------------------------------------------
+
+
+def test_review_r8_fix_pins(engine, duck):
+    """Review r8 findings, each measured: lambda params may shadow the
+    reduced list's name; chained slices rewrite inner-first; TIME ±
+    INTERVAL honors the tighter-binding scale factor; trailing commas
+    are legal in IN-lists and VALUES tuples (but NOT call argument
+    lists — those stay loud like DuckDB's own Parser Error); unary ~
+    before a string-typed cast stays prefix bitwise NOT."""
+    _check(engine, duck, (
+        "SELECT list_reduce(a, (a, b, i) -> a + b * i) AS r "
+        "FROM (SELECT [1,2,3,4] AS a) t"))
+    _check(engine, duck, "SELECT ([1,2,3,4,5])[2:5][1:2] AS r")
+    _check(engine, duck, "SELECT ([1,2,3,4,5])[2:][1:2:1] AS r")
+    _check(engine, duck,
+           "SELECT TIME '10:00:00' + INTERVAL 1 HOUR * 2 AS r")
+    _check(engine, duck,
+           "SELECT TIME '10:00:00' - INTERVAL '30 minutes' * 3 AS r")
+    _check(engine, duck, "SELECT 1 AS r WHERE 1 IN (1, 2,)")
+    _check(engine, duck,
+           "SELECT x FROM (VALUES (1,),(2,)) v(x) ORDER BY x")
+
+
+def test_review_r8_tiebreak_aggs_stay_loud(engine):
+    """arg_max/min_by/mode with in-call ORDER BY break TIES in DuckDB —
+    stripping would silently change results, so they refuse loudly."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql(
+            "SELECT arg_max(v, k ORDER BY v DESC) FROM "
+            "(VALUES ('a',1),('b',1)) t(v,k)",
+            dialect="duckdb").collect()
