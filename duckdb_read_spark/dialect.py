@@ -319,6 +319,12 @@ _SIMPLE_RENAMES = {
     # list_apply/apply/array_* lambda aliases are handled by the
     # indexed-lambda branch in _rewrite_calls (1-based (x,i) shift)
     "editdist3": "levenshtein",
+    # r8 probe batch [measured identical incl. 0/-1/odd-length edges]:
+    # to_hex(255)='FF', to_hex(-1)=16 F's = Spark hex(); from_hex pads
+    # odd-length like unhex; list_slice is the array_slice alias
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "list_slice": "array_slice",
     "prefix": "startswith",
     "suffix": "endswith",
     "gen_random_uuid": "uuid",
@@ -783,6 +789,26 @@ _ORDER_INSENSITIVE_AGGS = frozenset({
 })
 
 
+# DuckDB to_<unit>(n) interval constructors → Spark make_*_interval
+# argument templates [measured: to_years(2) = 24 months, to_weeks(1) =
+# 7 days, to_milliseconds(1500) = 1.5 s]
+_TO_INTERVAL_FNS = {
+    "to_millennia": ("make_ym_interval", "({n}) * 1000"),
+    "to_centuries": ("make_ym_interval", "({n}) * 100"),
+    "to_decades": ("make_ym_interval", "({n}) * 10"),
+    "to_years": ("make_ym_interval", "{n}"),
+    "to_quarters": ("make_ym_interval", "0, ({n}) * 3"),
+    "to_months": ("make_ym_interval", "0, {n}"),
+    "to_weeks": ("make_dt_interval", "({n}) * 7"),
+    "to_days": ("make_dt_interval", "{n}"),
+    "to_hours": ("make_dt_interval", "0, {n}"),
+    "to_minutes": ("make_dt_interval", "0, 0, {n}"),
+    "to_seconds": ("make_dt_interval", "0, 0, 0, {n}"),
+    "to_milliseconds": ("make_dt_interval", "0, 0, 0, ({n}) / 1000"),
+    "to_microseconds": ("make_dt_interval", "0, 0, 0, ({n}) / 1000000"),
+}
+
+
 def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """One pass of call-shaped rewrites; repeats until fixpoint for nesting.
 
@@ -1029,6 +1055,52 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                              for sp in spans)
             out.append(f"concat_ws('', {args})")
             i = close + 1
+            changed = True
+            continue
+        if (name in ("timezone_hour", "timezone_minute") and parts
+                and len(parts[2]) == 1):
+            # session-zone offset of a naive timestamp — both engines
+            # pin the session to UTC (D3), so the offset is 0 at every
+            # instant [measured: timezone_hour(TIMESTAMP '2024-07-01')
+            # = 0 in a UTC DuckDB session]; Spark has no such function
+            out.append("CAST(0 AS BIGINT)")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name in _TO_INTERVAL_FNS and parts and len(parts[2]) == 1):
+            # DuckDB's to_years/to_days/… interval constructors → Spark
+            # make_ym_interval / make_dt_interval [measured: to_days(3)
+            # + DATE x = TIMESTAMP, same in Spark]
+            kind, expr_t = _TO_INTERVAL_FNS[name]
+            a = _arg_text(toks, parts[2][0])
+            out.append(f"{kind}({expr_t.format(n=a)})")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "regexp_split_to_table" and parts \
+                and len(parts[2]) == 2:
+            # set-returning split → explode over the regex-split array
+            # (the regexp_split_to_array machinery owns the split
+            # semantics; one extra fixpoint pass renames it)
+            a = _arg_text(toks, parts[2][0])
+            b_ = _arg_text(toks, parts[2][1])
+            out.append(f"explode(regexp_split_to_array({a}, {b_}))")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "date_add" and parts and len(parts[2]) == 2 \
+                and re.match(r"(?is)^\s*(INTERVAL\b|to_\w+\s*\()",
+                             _arg_text(toks, parts[2][1])):
+            # DuckDB date_add(d, INTERVAL) returns TIMESTAMP even for
+            # DATE inputs [measured: date_add(DATE '2024-01-31',
+            # INTERVAL 1 MONTH) → TIMESTAMP '2024-02-29 00:00:00'];
+            # Spark's date_add is (date, int_days) and its + operator
+            # keeps DATE for ym-intervals — the CAST makes both the
+            # type and the month-clamping match
+            a = _arg_text(toks, parts[2][0])
+            iv = _arg_text(toks, parts[2][1])
+            out.append(f"(CAST({a} AS TIMESTAMP) + {iv})")
+            i = parts[1] + 1
             changed = True
             continue
         if (name in ("hour", "minute", "second", "millisecond",

@@ -961,3 +961,31 @@ def test_review_r8_tiebreak_aggs_stay_loud(engine):
             "SELECT arg_max(v, k ORDER BY v DESC) FROM "
             "(VALUES ('a',1),('b',1)) t(v,k)",
             dialect="duckdb").collect()
+
+
+def test_r8_function_breadth_batch2(engine, duck):
+    """Second r8 sweep: to_hex/from_hex = hex/unhex (incl. 0/-1/odd
+    length), date_add(d, INTERVAL) returns TIMESTAMP even for DATE
+    inputs, timezone_hour/minute are 0 in the pinned-UTC sessions,
+    to_days/to_years family = make_*_interval, list_slice =
+    array_slice, regexp_split_to_table explodes the regex split
+    [all measured]."""
+    _check(engine, duck, (
+        "SELECT to_hex(255) AS a, to_hex(0) AS b2, to_hex(-1) AS c, "
+        "from_hex('FF') AS d, from_hex('abc') AS e2"))
+    _check(engine, duck, (
+        "SELECT date_add(DATE '2024-01-31', INTERVAL 1 MONTH) AS a, "
+        "date_add(TIMESTAMP '2024-01-31 05:00:00', INTERVAL 1 DAY) "
+        "AS b2, date_add(DATE '2024-01-01', to_days(3)) AS c"))
+    _check(engine, duck, (
+        "SELECT timezone_hour(TIMESTAMP '2024-07-01') AS a, "
+        "timezone_minute(TIMESTAMP '2024-07-01') AS b2"))
+    _check(engine, duck, (
+        "SELECT to_days(3) + DATE '2024-01-01' AS a, "
+        "TIMESTAMP '2024-01-01 05:00:00' + to_minutes(30) AS b2, "
+        "TIMESTAMP '2024-01-01 00:00:00' + to_milliseconds(1500) AS c"))
+    _check(engine, duck, (
+        "SELECT list_slice([1,2,3,4], 2, 3) AS a, "
+        "list_slice([1,2,3,4], 2, -1) AS b2"))
+    _check(engine, duck, (
+        "SELECT regexp_split_to_table('a1b22c', '[0-9]+') AS r"))
