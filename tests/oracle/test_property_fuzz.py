@@ -908,3 +908,64 @@ def test_fuzzed_upsert_script_matches_oracle(seed, spark, tmp_path):
     want = duckdb_rows(con, stmts[-1])
     assert got == want, f"seed={seed}\nscript={stmts}\n" + \
         diff_summary(got, want)
+
+
+def gen_r8_tranche(rng: random.Random) -> str:
+    """r8 shapes: 1-based indexed lambdas, step slices, quantified
+    comparisons, tilde matches, interval epoch, trailing commas, TIME
+    folds, mad/bitstring_agg over fixture ints — verbatim DuckDB."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    uid = t["int"][0]
+    a = rng.randint(1, 3)
+    b = rng.randint(3, 6)
+    st = rng.choice([2, 3, -1, -2])
+    op = rng.choice(["=", "<>", "<", ">", "<=", ">="])
+    q = rng.choice(["ANY", "ALL", "SOME"])
+    if q == "ALL" and op == "=":
+        op = ">"
+    unit = rng.choice(["MINUTE", "HOUR", "SECOND"])
+    pool = [
+        f"list_transform([{i1} % 7, {i2} % 5, 3], (x, i) -> x * i) "
+        f"AS e1",
+        f"list_filter([{i1} % 9, 4, {i2} % 6, 1], (v, i) -> i % 2 = "
+        f"{rng.randint(0, 1)}) AS e2",
+        f"list_reduce([{i1} % 5 + 1, {i2} % 4 + 1, 2], "
+        f"(acc, v, i) -> acc + v * i) AS e3",
+        f"([{i1} % 8, {i2} % 6, 5, 2, 7])"
+        f"[{a}:{b}:{st}] AS e4",
+        f"({i1} % 10) {op} {q} (SELECT {i2} % 10 FROM {name} "
+        f"WHERE {uid} % 5 = {rng.randint(0, 4)}) AS e5",
+        f"{s1} ~ '[A-Za-z ]*{rng.choice('aeo')}[A-Za-z ]*' AS e6",
+        f"{s1} ~~ '%{rng.choice('aeo')}%' AS e7",
+        f"epoch(INTERVAL '{rng.randint(1, 30)} days "
+        f"{rng.randint(0, 59)} minutes') AS e8",
+        f"extract(epoch FROM TIME '0{rng.randint(1, 9)}:"
+        f"{rng.randint(10, 59)}:{rng.randint(10, 59)}') AS e9",
+        f"TIME '{rng.randint(10, 23)}:00:00' + INTERVAL "
+        f"{rng.randint(1, 90)} {unit} AS e10",
+        f"mad({i1} % 13) AS e11",
+        f"bitstring_agg({i1} % 8, 0, 7) AS e12",
+        f"quantile({i1} % 11, 0.{rng.randint(1, 9)}) AS e13",
+        f"sum({i1} ORDER BY {i2}) AS e14",
+    ]
+    rng.shuffle(pool)
+    picks = pool[:rng.randint(3, 5)]
+    aggish = [p for p in picks if p.split(" AS ")[0].startswith(
+        ("mad(", "bitstring_agg(", "quantile(", "sum("))]
+    if aggish:
+        picks = aggish  # aggregates can't mix with per-row exprs here
+        return (f"SELECT {', '.join(picks)}, FROM {name} "
+                f"WHERE {uid} < 500")
+    return (f"SELECT {uid} AS k, {', '.join(picks)} FROM {name} "
+            f"WHERE {uid} < 40 ORDER BY k, 2")
+
+
+@pytest.mark.parametrize("seed", range(344, 360))
+def test_fuzzed_r8_tranche_matches_oracle(seed, engine, duck):
+    sql = gen_r8_tranche(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
