@@ -205,6 +205,27 @@ def _substitute_lambda_ident(body: str, name: str, repl: str) -> str:
     return detokenize(toks)
 
 
+def _decimal_kind(expr: str,
+                  column_kinds: dict[str, str] | None) -> tuple[int, int] | None:
+    """(precision, scale) when the expression is PROVABLY decimal-typed:
+    a registered decimal-kind column, a ``CAST(… AS DECIMAL(p,s))``, or
+    a ``…::DECIMAL(p,s)`` postfix cast (review r8 #10: the bare-column
+    gate missed cast expressions, silently taking the DOUBLE path)."""
+    e = expr.strip()
+    if re.fullmatch(r"[A-Za-z_]\w*", e):
+        kind = (column_kinds or {}).get(e.lower())
+        m = (re.fullmatch(r"decimal\((\d+),(\d+)\)", kind)
+             if kind else None)
+        return (int(m.group(1)), int(m.group(2))) if m else None
+    m = re.fullmatch(
+        r"(?is)CAST\s*\(.+\s+AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)"
+        r"\s*\)", e)
+    if m is None:
+        m = re.fullmatch(
+            r"(?is).+::\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", e)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def _span_is_instant_typed(toks: list[Tok], span: tuple[int, int]) -> bool:
     """True when the argument span is a provably TIMESTAMPTZ-typed
     (instant) expression — a TIMESTAMPTZ/TIMESTAMP WITH TIME ZONE
@@ -512,13 +533,15 @@ def _parse_time_literal(expr: str) -> int | None:
         return None
     h, mi = int(m.group(1)), int(m.group(2))
     s = int(m.group(3) or 0)
-    frac = float(m.group(4) or 0.0)
+    # sub-microsecond digits TRUNCATE in DuckDB [measured:
+    # '…15.9999995' → .999999, not .000000 of the next second] — take
+    # the first six fraction DIGITS, never float-round (review r8 #8)
+    sub = int(((m.group(4) or ".")[1:] + "000000")[:6])
     # 24:00:00 exactly is DuckDB's one allowed 24-hour spelling;
     # 24:30:00 is a Conversion Error (review r8) — don't fold-and-wrap
-    if h > 24 or mi > 59 or s > 59 or (h == 24 and (mi or s or frac)):
+    if h > 24 or mi > 59 or s > 59 or (h == 24 and (mi or s or sub)):
         return None
-    return ((h * 3600 + mi * 60 + s) * 1_000_000
-            + int(round(frac * 1_000_000)))
+    return (h * 3600 + mi * 60 + s) * 1_000_000 + sub
 
 
 def _time_literal(us: int) -> str:
@@ -582,18 +605,23 @@ def _fold_time_literals(sql: str) -> str:
     interval_pat = r"INTERVAL\s+(?:'[^']*'|-?\d+(?:\.\d+)?\s+[A-Za-z]+)"
     time_pat = r"TIME\s+'[\d:.]+'"
 
-    def _scaled_micros(m: "re.Match[str]") -> float | None:
+    def _scaled_micros(m: "re.Match[str]") -> int | None:
+        # INTEGER factors only: DuckDB has no INTERVAL * DECIMAL
+        # overload (binder error — review r8 #7), and its
+        # INTERVAL / BIGINT TRUNCATES the micros result [measured:
+        # INTERVAL 3 MICROSECOND / 2 adds exactly 1 µs]
         iv = _parse_interval_literal(m.group("iv"))
         if iv is None:
             return None
-        n = 1.0
+        us = int(iv[2])
         if m.groupdict().get("sop"):
-            n = float(m.group("n"))
+            n = int(m.group("n"))
             if m.group("sop") == "/":
                 if n == 0:
                     return None
-                n = 1.0 / n
-        return iv[2] * n  # only the sub-day micros move a time-of-day
+                return int(us / n)  # truncation toward zero
+            return us * n
+        return us  # only the sub-day micros move a time-of-day
 
     def fold_arith_scaled(m: "re.Match[str]") -> str:
         # TIME ± INTERVAL * N — multiplication binds tighter (review
@@ -606,7 +634,7 @@ def _fold_time_literals(sql: str) -> str:
         if tus is None or us is None:
             return m.group(0)
         sign = -1 if m.group("op") == "-" else 1
-        return _time_literal(tus + sign * int(round(us)))
+        return _time_literal(tus + sign * us)
 
     def fold_arith(m: "re.Match[str]") -> str:
         if m.string[m.end():].lstrip()[:1] in ("*", "/", "%"):
@@ -632,10 +660,10 @@ def _fold_time_literals(sql: str) -> str:
 
     def fold_make_time(m: "re.Match[str]") -> str:
         h, mi = int(m.group(1)), int(m.group(2))
-        sec = float(m.group(3))
+        whole, _, fr = m.group(3).partition(".")
+        sub = int((fr + "000000")[:6])  # truncate sub-µs like DuckDB
         return _time_literal(
-            (h * 3600 + mi * 60) * 1_000_000
-            + int(round(sec * 1_000_000)))
+            (h * 3600 + mi * 60 + int(whole)) * 1_000_000 + sub)
 
     def fold_ts_cast(m: "re.Match[str]") -> str:
         if m.group("tz") is not None:
@@ -652,28 +680,45 @@ def _fold_time_literals(sql: str) -> str:
         us = _parse_time_literal(f"TIME '{mt.group(1)}'")
         return _time_literal(us) if us is not None else m.group(0)
 
+    def guarded_sub(pat: str, handler, text: str) -> str:
+        # matches that START strictly INSIDE a string literal are left
+        # alone — the fold patterns legitimately BEGIN with or contain
+        # literals (TIME '…'), but a pattern spelled wholly inside a
+        # user string ('make_time(1, 2, 3)' as data) must never be
+        # rewritten (review r8 #2: every other pass is tokenizer-based
+        # for exactly this reason)
+        spans = [mm.span()
+                 for mm in re.finditer(r"'(?:[^']|'')*'", text)]
+
+        def h(m: "re.Match[str]") -> str:
+            if any(s < m.start() < e for s, e in spans):
+                return m.group(0)
+            return handler(m)
+
+        return re.sub(pat, h, text)
+
     for _ in range(10):
         new = sql
-        new = re.sub(
+        new = guarded_sub(
             rf"(?is)(?P<t>{time_pat})\s*(?P<op>[+-])\s*"
             rf"(?P<iv>{interval_pat})\s*(?P<sop>[*/])\s*"
-            rf"(?P<n>-?\d+(?:\.\d+)?)(?![\d.])",
+            rf"(?P<n>-?\d+)(?![\d.])",
             fold_arith_scaled, new)
-        new = re.sub(
+        new = guarded_sub(
             rf"(?is)(?P<t>{time_pat})\s*(?P<op>[+-])\s*(?P<iv>{interval_pat})",
             fold_arith, new)
-        new = re.sub(
+        new = guarded_sub(
             rf"(?is)(?P<iv>{interval_pat})\s*\+\s*(?P<t>{time_pat})",
             fold_arith_rev, new)
-        new = re.sub(
+        new = guarded_sub(
             r"(?is)\bmake_time\s*\(\s*(\d+)\s*,\s*(\d+)\s*,\s*"
             r"(\d+(?:\.\d+)?)\s*\)",
             fold_make_time, new)
-        new = re.sub(
+        new = guarded_sub(
             r"(?is)\bCAST\s*\(\s*(?:(?P<tz>__timestamptz__)\s+"
             r"|TIMESTAMP\s+)?'(?P<lit>[^']+)'\s+AS\s+TIME\s*\)",
             fold_ts_cast, new)
-        new = re.sub(
+        new = guarded_sub(
             r"(?is)(?:(?P<tz>__timestamptz__)\s+|TIMESTAMP\s+)?"
             r"'(?P<lit>[^']+)'\s*::\s*TIME\b",
             fold_ts_cast, new)
@@ -776,12 +821,14 @@ _ORDER_INSENSITIVE_AGGS = frozenset({
     "bit_xor", "bool_and", "bool_or", "stddev", "stddev_samp",
     "stddev_pop", "var_samp", "var_pop", "variance", "var", "corr",
     "covar_pop", "covar_samp", "median", "product", "geomean", "favg",
-    "fsum", "kurtosis", "skewness", "entropy", "mad", "mode",
+    "fsum", "kurtosis", "skewness", "entropy", "mad",
     "approx_count_distinct", "quantile_cont", "quantile_disc",
     "quantile", "bitstring_agg", "regr_slope", "regr_intercept",
     "regr_count", "regr_r2", "regr_avgx", "regr_avgy", "regr_sxx",
     "regr_syy", "regr_sxy",
-    # NOT here (review r8): arg_min/arg_max/min_by/max_by/mode — their
+    # NOT here (reviews r8 #1/#2): arg_min/arg_max/min_by/max_by/mode
+    # [measured: mode(x ORDER BY x DESC) over tied counts returns the
+    # DESC-first value] — their
     # in-call ORDER BY deterministically breaks TIES in DuckDB
     # [measured: arg_max(v, k ORDER BY v DESC) over all-tied k returns
     # 'c', ASC returns 'a'], so stripping it would be a silent wrong
@@ -1062,8 +1109,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # session-zone offset of a naive timestamp — both engines
             # pin the session to UTC (D3), so the offset is 0 at every
             # instant [measured: timezone_hour(TIMESTAMP '2024-07-01')
-            # = 0 in a UTC DuckDB session]; Spark has no such function
-            out.append("CAST(0 AS BIGINT)")
+            # = 0 in a UTC DuckDB session]; Spark has no such function.
+            # NULL inputs stay NULL (review r8 #3) and the argument
+            # still evaluates, so its errors aren't swallowed.
+            a = _arg_text(toks, parts[2][0])
+            out.append(f"CAST(CASE WHEN ({a}) IS NULL THEN NULL "
+                       f"ELSE 0 END AS BIGINT)")
             i = parts[1] + 1
             changed = True
             continue
@@ -1127,17 +1178,14 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # mad = trunc_s((D_j + D_k) · 0.25).
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
-            kind = ((column_kinds or {}).get(e.lower())
-                    if re.fullmatch(r"[A-Za-z_]\w*", e) else None)
-            mdec = (re.fullmatch(r"decimal\((\d+),(\d+)\)", kind)
-                    if kind else None)
+            mdec = _decimal_kind(e, column_kinds)
 
             def _mid(arr: str, off: int) -> str:
                 return (f"element_at({arr}, "
                         f"CAST((size({arr}) + {off}) DIV 2 AS INT))")
 
             if mdec:
-                p_, s_ = int(mdec.group(1)), int(mdec.group(2))
+                p_, s_ = mdec
                 dec = f"DECIMAL({p_},{s_})"
                 unit = ("1" if s_ == 0 else "0." + "0" * (s_ - 1) + "1")
                 dev = (f"abs(2 * __v - ({_mid('__arr', 1)} "
@@ -1203,10 +1251,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # in both engines.
             _, close, spans = parts
             first = _arg_text(toks, spans[0])
-            kind = ((column_kinds or {}).get(first.lower())
-                    if re.fullmatch(r"[A-Za-z_]\w*", first) else None)
-            mdec = (re.fullmatch(r"decimal\((\d+),(\d+)\)", kind)
-                    if kind else None)
+            mdec = _decimal_kind(first, column_kinds)
             qtext = (_arg_text(toks, spans[1])
                      if len(spans) == 2 else None)
             q_ok = (name == "median" and len(spans) == 1) or (
@@ -1215,7 +1260,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                      or (qtext.startswith("[")
                          and re.fullmatch(r"\[[0-9., ]+\]", qtext))))
             if mdec and q_ok:
-                p, s = int(mdec.group(1)), int(mdec.group(2))
+                p, s = mdec
                 dec = f"DECIMAL({p},{s})"
                 unit = ("1" if s == 0 else "0." + "0" * (s - 1) + "1")
 
@@ -3426,6 +3471,30 @@ def _strip_trailing_commas(sql: str) -> str:
     toks = tokenize(sql)
     sig = _sig(toks)
     changed = False
+
+    def _list_context(p: int) -> str | None:
+        """Nearest same-depth list-opening keyword to the left of sig
+        position p: 'SELECT', 'GROUP', 'ORDER', 'PARTITION', … — the
+        trailing comma is only legal when the list is a SELECT list or
+        GROUP BY list [measured: ORDER BY x, LIMIT 1 and OVER
+        (PARTITION BY x, ORDER BY x) are DuckDB Parser Errors]."""
+        depth = 0
+        for q in range(p - 1, -1, -1):
+            t = toks[sig[q]]
+            if t.text in (")", "]"):
+                depth += 1
+            elif t.text in ("(", "["):
+                depth -= 1
+                if depth < 0:
+                    return None
+            elif depth == 0 and t.kind == "ident":
+                u = t.text.upper()
+                if u == "SELECT":
+                    return "SELECT"
+                if u == "BY" and q >= 1:
+                    return toks[sig[q - 1]].text.upper()
+        return None
+
     for p, ti in enumerate(sig):
         if toks[ti].text != ",":
             continue
@@ -3434,7 +3503,8 @@ def _strip_trailing_commas(sql: str) -> str:
         if nxt is None or nxt.text == "]" or (
                 nxt.kind == "ident"
                 and nxt.text.upper() in _TRAILING_COMMA_NEXT):
-            strip = True
+            strip = (nxt is not None and nxt.text == "]") or \
+                _list_context(p) in ("SELECT", "GROUP")
         elif nxt.text == ")":
             # only IN-lists and VALUES tuples accept ", )" in DuckDB —
             # find this group's opener (the scan starts INSIDE the
@@ -3451,7 +3521,18 @@ def _strip_trailing_commas(sql: str) -> str:
                     if depth == -1:
                         opener = q
                         break
-            if opener is not None and opener >= 1:
+            if opener is not None:
+                inside = (toks[sig[opener + 1]]
+                          if opener + 1 < len(sig) else None)
+                if (inside is not None and inside.kind == "ident"
+                        and inside.text.upper() in ("SELECT", "WITH")
+                        and _list_context(p) in ("SELECT", "GROUP")):
+                    # subquery SELECT list ending at ')' — DuckDB
+                    # accepts the trailing comma (review r8 #5:
+                    # `(SELECT 1 AS a,) t`); an ORDER BY list inside
+                    # the subquery still stays loud via _list_context
+                    strip = True
+            if not strip and opener is not None and opener >= 1:
                 before = toks[sig[opener - 1]]
                 if before.kind == "ident" and before.text.upper() in (
                         "IN", "VALUES"):
@@ -3522,7 +3603,13 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                      if toks[k].kind not in ("ws", "comment")]
         if not inner_sig:
             _fail()
-        first_in = toks[inner_sig[0]].text.upper()
+        # skip redundant wrapping parens when classifying: ((SELECT 2))
+        # is a SUBQUERY operand, not an array (review r8 #4)
+        fi = 0
+        while (fi < len(inner_sig) - 1
+               and toks[inner_sig[fi]].text == "("):
+            fi += 1
+        first_in = toks[inner_sig[fi]].text.upper()
         is_sub = first_in in ("SELECT", "WITH", "FROM", "VALUES")
         rhs_inner = detokenize(toks[open_raw + 1:close_raw]).strip()
         rhs_paren = f"({rhs_inner})"
@@ -3538,17 +3625,29 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
         k = _back_primary(p - 2)
         # absorb tighter-binding arithmetic to the left (a + b > ALL …)
         # — but only BINARY ops: a +/- whose left neighbor doesn't
-        # terminate a primary is a unary sign (SELECT -1 > ALL …)
-        while k >= 2 and toks[sig[k - 1]].kind == "op" \
-                and toks[sig[k - 1]].text in _QUANT_ARITH:
-            before = toks[sig[k - 2]]
-            if toks[sig[k - 1]].text in ("+", "-") and not (
-                    before.kind in ("num", "str")
-                    or before.text in (")", "]")
-                    or (before.kind == "ident" and before.text.upper()
-                        not in _NOT_FUNCTION_KEYWORDS)):
-                break
-            k = _back_primary(k - 2)
+        # terminate a primary is a unary sign (SELECT -1 > ALL …).
+        # Bit ops ^ & | and adjacent << >> shift pairs bind tighter
+        # than comparisons too (review r8 #6: a ^ 2 > ALL (…) must
+        # capture the whole power expression)
+        while k >= 2:
+            pv = toks[sig[k - 1]]
+            if pv.text in _QUANT_ARITH or pv.text in ("^", "&", "|"):
+                if pv.text in ("+", "-"):
+                    before = toks[sig[k - 2]]
+                    if not (before.kind in ("num", "str")
+                            or before.text in (")", "]")
+                            or (before.kind == "ident"
+                                and before.text.upper()
+                                not in _NOT_FUNCTION_KEYWORDS)):
+                        break
+                k = _back_primary(k - 2)
+                continue
+            if (pv.text in ("<", ">") and k >= 3
+                    and toks[sig[k - 2]].text == pv.text
+                    and sig[k - 1] == sig[k - 2] + 1):
+                k = _back_primary(k - 3)  # << / >> shift operator
+                continue
+            break
         if k >= 1 and toks[sig[k - 1]].kind == "op" \
                 and toks[sig[k - 1]].text in ("+", "-"):
             prev = toks[sig[k - 2]] if k >= 2 else None

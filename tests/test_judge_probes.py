@@ -989,3 +989,42 @@ def test_r8_function_breadth_batch2(engine, duck):
         "list_slice([1,2,3,4], 2, -1) AS b2"))
     _check(engine, duck, (
         "SELECT regexp_split_to_table('a1b22c', '[0-9]+') AS r"))
+
+
+def test_review_r8_second_pass_pins(engine, duck):
+    """Second r8 review pass, each measured: string literals survive the
+    TIME fold pass untouched; timezone_hour propagates NULL; wrapped
+    subquery ANY operands classify as subqueries; subquery SELECT lists
+    accept trailing commas while ORDER BY lists stay loud; bit/power
+    operators absorb into the quantified LHS; interval division
+    truncates micros; sub-microsecond fractions truncate; decimal
+    dispatch sees CAST expressions."""
+    _check(engine, duck, "SELECT 'make_time(1, 2, 3)' AS s")
+    _check(engine, duck,
+           "SELECT timezone_hour(CAST(NULL AS TIMESTAMP)) AS r")
+    _check(engine, duck, "SELECT 3 > ANY ((SELECT 2)) AS r")
+    _check(engine, duck, "SELECT * FROM (SELECT 1 AS a,) t2")
+    _check(engine, duck, (
+        "SELECT a ^ 2 > ALL (SELECT 3) AS p, "
+        "a & 3 = ANY (SELECT 2) AS q2, "
+        "a << 1 > ALL (SELECT 3) AS s FROM (SELECT 6 AS a) t"))
+    _check(engine, duck, (
+        "SELECT TIME '10:00:00' + INTERVAL 3 MICROSECOND / 2 AS a, "
+        "make_time(13, 14, 15.9999995) AS b2, "
+        "extract(epoch FROM TIME '13:14:15.9999995') AS c"))
+    _check(engine, duck, (
+        "WITH t AS (SELECT r_regionkey * 1.17 AS x FROM region) "
+        "SELECT CAST(mad(CAST(x AS DECIMAL(6,2))) AS VARCHAR) AS a, "
+        "CAST(quantile_cont(CAST(x AS DECIMAL(6,2)), 0.25) AS VARCHAR) "
+        "AS b2 FROM t"))
+
+
+def test_review_r8_mode_order_by_stays_loud(engine):
+    """mode(x ORDER BY …) breaks ties in DuckDB — must refuse, not
+    strip (second review pass)."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("SELECT mode(x ORDER BY x DESC) FROM "
+                   "(VALUES (1),(1),(2),(2)) t(x)",
+                   dialect="duckdb").collect()
