@@ -1104,6 +1104,43 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if (name in ("current_schema", "current_database",
+                     "current_catalog") and parts and not parts[2]):
+            # DuckDB's fresh-session identifiers [measured: 'main' /
+            # 'memory' / 'memory']; Spark would answer 'default'/
+            # 'spark_catalog' — a silent divergence. Post-USE sessions
+            # keep the fresh-session answer (documented residue; the
+            # engine's USE is a search-path alias layer, not a catalog
+            # switch).
+            out.append("'main'" if name == "current_schema"
+                       else "'memory'")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "json_group_array" and parts and len(parts[2]) == 1:
+            # JSON aggregate [measured: keeps NULL elements as json
+            # null, empty group → NULL] — to_json over the NULL-keeping
+            # array_agg rewrite (the emitted array_agg re-enters the
+            # fixpoint and picks up the struct-wrap)
+            a = _arg_text(toks, parts[2][0])
+            out.append(f"CASE WHEN count(1) = 0 THEN "
+                       f"CAST(NULL AS STRING) ELSE "
+                       f"to_json(array_agg({a})) END")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "json_group_object" and parts and len(parts[2]) == 2:
+            # [measured: NULL values keep their key as json null;
+            # empty group → NULL]
+            k_ = _arg_text(toks, parts[2][0])
+            v_ = _arg_text(toks, parts[2][1])
+            out.append(
+                f"CASE WHEN count(1) = 0 THEN CAST(NULL AS STRING) "
+                f"ELSE to_json(map_from_entries(collect_list("
+                f"struct({k_}, {v_})))) END")
+            i = parts[1] + 1
+            changed = True
+            continue
         if (name in ("timezone_hour", "timezone_minute") and parts
                 and len(parts[2]) == 1):
             # session-zone offset of a naive timestamp — both engines

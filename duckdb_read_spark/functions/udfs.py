@@ -224,7 +224,77 @@ def _make_math_udfs():
              for v in x], dtype=object)
 
     return {"gamma": gamma_udf, "lgamma": lgamma_udf,
-            "nextafter": nextafter_udf, "signbit": signbit_udf}
+            "nextafter": nextafter_udf, "signbit": signbit_udf,
+            **_make_r8_udfs()}
+
+
+def _make_r8_udfs():
+    """r8 probe batch: character-set jaccard, md5_number_lower/upper
+    (the little-endian halves of the md5 digest as unsigned ints —
+    DuckDB's deterministic-sampling workhorses), and RFC 7386
+    json_merge_patch. All measured against DuckDB 1.0.0:
+    jaccard('abc','abd') = 0.5 over character SETS (empty input
+    errors); md5_number_lower('abc') = int.from_bytes(digest[8:16],
+    'little') = 8250560606382298838; merge patch recurses into
+    objects, a null value REMOVES the key."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql.types import DecimalType, StringType
+
+    @F.pandas_udf(DoubleType())
+    def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            if pd.isna(x) or pd.isna(y):
+                return None
+            if not x or not y:
+                raise ValueError(
+                    "jaccard: an argument is too short (same as DuckDB)")
+            sx, sy = set(x), set(y)
+            return len(sx & sy) / len(sx | sy)
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
+
+    def _md5_half(sl):
+        def fn(s: pd.Series) -> pd.Series:
+            import decimal
+            return pd.Series(
+                [None if pd.isna(v) else decimal.Decimal(int.from_bytes(
+                    hashlib.md5(str(v).encode()).digest()[sl], "little"))
+                 for v in s], dtype=object)
+        return fn
+
+    md5_lower = F.pandas_udf(DecimalType(20, 0))(
+        _md5_half(slice(8, 16)))
+    md5_upper = F.pandas_udf(DecimalType(20, 0))(
+        _md5_half(slice(0, 8)))
+
+    @F.pandas_udf(StringType())
+    def json_merge_patch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        def patch(tgt, p):
+            if not isinstance(p, dict):
+                return p
+            if not isinstance(tgt, dict):
+                tgt = {}
+            out = dict(tgt)
+            for k, v in p.items():
+                if v is None:
+                    out.pop(k, None)
+                else:
+                    out[k] = patch(out.get(k), v)
+            return out
+
+        def one(x, y):
+            if pd.isna(x) or pd.isna(y):
+                return None
+            return _json.dumps(
+                patch(_json.loads(x), _json.loads(y)),
+                separators=(",", ":"))
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
+
+    return {"jaccard": jaccard_udf,
+            "md5_number_lower": md5_lower,
+            "md5_number_upper": md5_upper,
+            "json_merge_patch": json_merge_patch_udf}
 
 
 def _make_unicode_udfs():

@@ -1028,3 +1028,31 @@ def test_review_r8_mode_order_by_stays_loud(engine):
         engine.sql("SELECT mode(x ORDER BY x DESC) FROM "
                    "(VALUES (1),(1),(2),(2)) t(x)",
                    dialect="duckdb").collect()
+
+
+def test_r8_json_aggregates_and_session_identifiers(engine, duck):
+    """Third r8 sweep: json_group_array keeps NULL elements and returns
+    NULL on empty groups (to_json over the NULL-keeping array_agg);
+    json_group_object keeps null values; current_schema/database/
+    catalog fold to DuckDB's fresh-session answers; json_merge_patch
+    follows RFC 7386 (null removes, objects recurse); jaccard is
+    character-set Jaccard; md5_number_lower/upper are the
+    little-endian digest halves [all measured]."""
+    _check(engine, duck, (
+        "SELECT current_schema() AS a, current_database() AS b2, "
+        "current_catalog() AS c"))
+    _check(engine, duck, (
+        "SELECT json_group_array(x) AS r "
+        "FROM (VALUES (1),(NULL),(2)) v(x)"))
+    _check(engine, duck, (
+        "SELECT json_group_array(x) AS r "
+        "FROM (SELECT 1 AS x WHERE false) v"))
+    _check(engine, duck, (
+        "SELECT json_group_object(k, v) AS r "
+        "FROM (VALUES ('a',1),('b',NULL)) v(k,v)"))
+    _check(engine, duck, (
+        "SELECT json_merge_patch('{\"a\":{\"x\":1},\"b\":2}', "
+        "'{\"a\":{\"y\":3},\"b\":null}') AS r, "
+        "jaccard('abc', 'abd') AS j, "
+        "CAST(md5_number_lower('abc') AS VARCHAR) AS lo, "
+        "CAST(md5_number_upper('abc') AS VARCHAR) AS hi"))
