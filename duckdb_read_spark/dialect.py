@@ -217,12 +217,55 @@ def _decimal_kind(expr: str,
         m = (re.fullmatch(r"decimal\((\d+),(\d+)\)", kind)
              if kind else None)
         return (int(m.group(1)), int(m.group(2))) if m else None
-    m = re.fullmatch(
-        r"(?is)CAST\s*\(.+\s+AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)"
-        r"\s*\)", e)
-    if m is None:
-        m = re.fullmatch(
-            r"(?is).+::\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", e)
+    # the cast must be the WHOLE expression (review r8-3 #5: a greedy
+    # fullmatch classified `CAST(… DECIMAL(8,2)) + CAST(… DECIMAL(4,0))`
+    # as (4,0) and even booleans like `a::DECIMAL = b::DECIMAL`) —
+    # check token-level: a CAST whose parens close at the very end, or
+    # a ::DECIMAL postfix whose prefix is one operator-free primary
+    toks = tokenize(e)
+    sig = [k for k, t in enumerate(toks)
+           if t.kind not in ("ws", "comment")]
+    if not sig:
+        return None
+    texts = [toks[k].text for k in sig]
+    up = [t.upper() for t in texts]
+    m = None
+    if up[0] == "CAST" and len(sig) >= 8 and texts[1] == "(":
+        depth = 0
+        close_at_end = False
+        for j in range(1, len(sig)):
+            if texts[j] == "(":
+                depth += 1
+            elif texts[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_at_end = j == len(sig) - 1
+                    break
+        if close_at_end:
+            m = re.search(
+                r"(?is)\bAS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)"
+                r"\s*\)\s*$", e)
+    elif (len(sig) >= 9 and up[-1] == ")" and up[-6] == "DECIMAL"
+            and texts[-8] == ":" and texts[-7] == ":"):
+        # prefix before '::' must be a single primary with no top-level
+        # operators (rules out `a::DECIMAL(8,2) = b::DECIMAL(8,2)`)
+        depth = 0
+        ok = True
+        for j in range(0, len(sig) - 8):
+            t = texts[j]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif depth == 0 and (toks[sig[j]].kind in ("op", "other",
+                                                       "arrow")
+                                 or t == ","):
+                ok = False
+                break
+        if ok and depth == 0:
+            m = re.search(
+                r"(?is)::\s*DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$",
+                e)
     return (int(m.group(1)), int(m.group(2))) if m else None
 
 
@@ -497,7 +540,9 @@ def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
             return None
     days = int(days_f)
     micros += (days_f - days) * 86_400_000_000
-    return months, days, micros
+    # round away float-parse artifacts ('8.2 seconds' → 8199999.999…;
+    # review r8-3 #1: int() truncation folded TIME arithmetic 1 µs low)
+    return months, days, float(round(micros))
 
 
 def _try_interval_epoch(expr: str) -> str | None:
@@ -681,14 +726,15 @@ def _fold_time_literals(sql: str) -> str:
         return _time_literal(us) if us is not None else m.group(0)
 
     def guarded_sub(pat: str, handler, text: str) -> str:
-        # matches that START strictly INSIDE a string literal are left
-        # alone — the fold patterns legitimately BEGIN with or contain
-        # literals (TIME '…'), but a pattern spelled wholly inside a
-        # user string ('make_time(1, 2, 3)' as data) must never be
-        # rewritten (review r8 #2: every other pass is tokenizer-based
-        # for exactly this reason)
-        spans = [mm.span()
-                 for mm in re.finditer(r"'(?:[^']|'')*'", text)]
+        # string-literal and comment spans from the CURRENT text (each
+        # substitution shifts offsets, so spans cannot be hoisted above
+        # the chain): matches that START strictly INSIDE a span are
+        # left alone — the fold patterns legitimately BEGIN with or
+        # contain literals (TIME '…'), but a pattern spelled wholly
+        # inside a user string ('make_time(1, 2, 3)' as data) or a
+        # -- comment must never be rewritten (reviews r8 #2 / r8-3 #10)
+        spans = [mm.span() for mm in
+                 re.finditer(r"'(?:[^']|'')*'|--[^\n]*", text)]
 
         def h(m: "re.Match[str]") -> str:
             if any(s < m.start() < e for s, e in spans):
@@ -1117,15 +1163,31 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = parts[1] + 1
             changed = True
             continue
-        if name == "json_group_array" and parts and len(parts[2]) == 1:
+        if (name == "json_group_array" and parts and len(parts[2]) == 1
+                and not re.match(r"(?is)^\s*DISTINCT\b",
+                                 _arg_text(toks, parts[2][0]))
+                and not re.search(r"(?is)\bORDER\s+BY\b",
+                                  _arg_text(toks, parts[2][0]))):
             # JSON aggregate [measured: keeps NULL elements as json
             # null, empty group → NULL] — to_json over the NULL-keeping
             # array_agg rewrite (the emitted array_agg re-enters the
-            # fixpoint and picks up the struct-wrap)
+            # fixpoint and picks up the struct-wrap). DISTINCT/ORDER BY
+            # modifiers are a DuckDB error (macro, not aggregate —
+            # review r8-3 #8) and stay verbatim/loud.
             a = _arg_text(toks, parts[2][0])
             out.append(f"CASE WHEN count(1) = 0 THEN "
                        f"CAST(NULL AS STRING) ELSE "
                        f"to_json(array_agg({a})) END")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "json_merge_patch" and parts and len(parts[2]) > 2:
+            # DuckDB's json_merge_patch is VARIADIC (review r8-3 #7) —
+            # fold left into the 2-arg session UDF; each pass reduces
+            # the arity by one, so the fixpoint converges
+            args = [_arg_text(toks, sp) for sp in parts[2]]
+            out.append(f"json_merge_patch(json_merge_patch({args[0]}, "
+                       f"{args[1]}), {', '.join(args[2:])})")
             i = parts[1] + 1
             changed = True
             continue
@@ -1148,13 +1210,16 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # instant [measured: timezone_hour(TIMESTAMP '2024-07-01')
             # = 0 in a UTC DuckDB session]; Spark has no such function.
             # NULL inputs stay NULL (review r8 #3) and the argument
-            # still evaluates, so its errors aren't swallowed.
+            # still evaluates, so its errors aren't swallowed. DATE and
+            # INTERVAL operands ERROR in DuckDB (review r8-3 #6) —
+            # provable ones stay verbatim and fail loudly.
             a = _arg_text(toks, parts[2][0])
-            out.append(f"CAST(CASE WHEN ({a}) IS NULL THEN NULL "
-                       f"ELSE 0 END AS BIGINT)")
-            i = parts[1] + 1
-            changed = True
-            continue
+            if not re.match(r"(?is)^\s*(DATE\b|INTERVAL\b)", a):
+                out.append(f"CAST(CASE WHEN ({a}) IS NULL THEN NULL "
+                           f"ELSE 0 END AS BIGINT)")
+                i = parts[1] + 1
+                changed = True
+                continue
         if (name in _TO_INTERVAL_FNS and parts and len(parts[2]) == 1):
             # DuckDB's to_years/to_days/… interval constructors → Spark
             # make_ym_interval / make_dt_interval [measured: to_days(3)

@@ -250,17 +250,28 @@ def _make_r8_udfs():
             if not x or not y:
                 raise ValueError(
                     "jaccard: an argument is too short (same as DuckDB)")
-            sx, sy = set(x), set(y)
+            # BYTE sets, not character sets [review r8-3 #2, measured:
+            # jaccard('éa','a') = 1/3 — 'é' is two UTF-8 bytes]
+            sx, sy = set(x.encode()), set(y.encode())
             return len(sx & sy) / len(sx | sy)
         return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
 
     def _md5_half(sl):
         def fn(s: pd.Series) -> pd.Series:
             import decimal
-            return pd.Series(
-                [None if pd.isna(v) else decimal.Decimal(int.from_bytes(
-                    hashlib.md5(str(v).encode()).digest()[sl], "little"))
-                 for v in s], dtype=object)
+
+            def one(v):
+                if pd.isna(v):
+                    return None
+                if not isinstance(v, str):
+                    # DuckDB binder-errors on non-VARCHAR arguments
+                    # (review r8-3 #9) — don't hash a Python repr
+                    raise TypeError(
+                        "md5_number_lower/upper: VARCHAR argument "
+                        "required (same as DuckDB)")
+                return decimal.Decimal(int.from_bytes(
+                    hashlib.md5(v.encode()).digest()[sl], "little"))
+            return pd.Series([one(v) for v in s], dtype=object)
         return fn
 
     md5_lower = F.pandas_udf(DecimalType(20, 0))(
@@ -275,12 +286,13 @@ def _make_r8_udfs():
                 return p
             if not isinstance(tgt, dict):
                 tgt = {}
-            out = dict(tgt)
+            # DuckDB's key order [review r8-3 #4, measured]: unpatched
+            # target keys first (target order), then patch keys in
+            # PATCH order — even keys that overwrite a target value
+            out = {k: v for k, v in tgt.items() if k not in p}
             for k, v in p.items():
-                if v is None:
-                    out.pop(k, None)
-                else:
-                    out[k] = patch(out.get(k), v)
+                if v is not None:
+                    out[k] = patch(tgt.get(k), v)
             return out
 
         def one(x, y):
@@ -288,7 +300,7 @@ def _make_r8_udfs():
                 return None
             return _json.dumps(
                 patch(_json.loads(x), _json.loads(y)),
-                separators=(",", ":"))
+                separators=(",", ":"), ensure_ascii=False)
         return pd.Series([one(x, y) for x, y in zip(a, b)], dtype=object)
 
     return {"jaccard": jaccard_udf,

@@ -1056,3 +1056,31 @@ def test_r8_json_aggregates_and_session_identifiers(engine, duck):
         "jaccard('abc', 'abd') AS j, "
         "CAST(md5_number_lower('abc') AS VARCHAR) AS lo, "
         "CAST(md5_number_upper('abc') AS VARCHAR) AS hi"))
+
+
+def test_review_r8_third_pass_pins(engine, duck):
+    """Third review pass: interval-literal micros round away float
+    artifacts ('8.2 seconds' folds exact); jaccard is BYTE-set Jaccard
+    (2-byte é); json_merge_patch emits raw UTF-8, DuckDB's key order
+    (unpatched target keys first, then patch order) and is variadic;
+    compound/boolean expressions don't hijack the decimal dispatch;
+    provable non-timestamp timezone_hour operands and json_group_array
+    modifiers stay loud."""
+    _check(engine, duck, (
+        "SELECT TIME '10:00:00' + INTERVAL '8.2 seconds' AS a, "
+        "TIME '10:00:00' + INTERVAL '8.2 seconds' * 2 AS b2, "
+        "TIME '10:00:00' + INTERVAL '1.000001 seconds' AS c"))
+    _check(engine, duck, "SELECT jaccard('éa', 'a') AS r")
+    _check(engine, duck, (
+        "SELECT json_merge_patch('{\"a\":\"é\"}', '{\"b\":1}') AS a, "
+        "json_merge_patch('{\"a\":1,\"z\":0}', '{\"m\":2,\"a\":5}') "
+        "AS b2, "
+        "json_merge_patch('{\"a\":1}', '{\"b\":2}', '{\"c\":3}') AS c"))
+    from duckdb_read_spark.dialect import _decimal_kind
+
+    assert _decimal_kind(
+        "CAST(a AS DECIMAL(8,2)) + CAST(b AS DECIMAL(4,0))",
+        None) is None
+    assert _decimal_kind("a::DECIMAL(8,2) = b::DECIMAL(8,2)",
+                         None) is None
+    assert _decimal_kind("x::DECIMAL(8,2)", None) == (8, 2)
