@@ -535,6 +535,20 @@ _ALTER_RENAME_COL_RE = re.compile(
 )
 _ALTER_RENAME_TO_RE = re.compile(
     r"^RENAME\s+TO\s+(?P<new>[A-Za-z_]\w*)$", re.IGNORECASE)
+_ALTER_SET_DEFAULT_RE = re.compile(
+    r"^ALTER\s+(?:COLUMN\s+)?(?P<col>[A-Za-z_]\w*)\s+SET\s+DEFAULT\s+"
+    r"(?P<expr>.+)$", re.IGNORECASE | re.DOTALL)
+_ALTER_DROP_DEFAULT_RE = re.compile(
+    r"^ALTER\s+(?:COLUMN\s+)?(?P<col>[A-Za-z_]\w*)\s+DROP\s+DEFAULT$",
+    re.IGNORECASE)
+_ALTER_TYPE_RE = re.compile(
+    r"^ALTER\s+(?:COLUMN\s+)?(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?:SET\s+DATA\s+)?TYPE\s+(?P<type>[A-Za-z_][\w()\s,]*?)"
+    r"(?:\s+USING\s+(?P<using>.+))?$", re.IGNORECASE | re.DOTALL)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<orrep>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
 
 # information_schema.tables / .columns — the ANSI catalog views BI tools
 # introspect with; materialized on demand from the session catalog.
@@ -1299,10 +1313,58 @@ class Engine:
                 for iname, (tbl, icols, uniq) in self._indexes.items()}
             self.register_versioned(new, new_dir)
             return self._empty()
+        elif _ALTER_SET_DEFAULT_RE.match(rest):
+            msd = _ALTER_SET_DEFAULT_RE.match(rest)
+            if msd.group("col") not in cols:
+                raise ValueError(
+                    f"ALTER TABLE: no column {msd.group('col')!r}")
+            cons = [c for c in snapshots.read_constraints(table_dir)
+                    if not (c["kind"] == "default"
+                            and c["col"] == msd.group("col"))]
+            cons.append({"kind": "default", "col": msd.group("col"),
+                         "expr": msd.group("expr").strip()})
+            snapshots.write_constraints(table_dir, cons)
+        elif _ALTER_DROP_DEFAULT_RE.match(rest):
+            mdd = _ALTER_DROP_DEFAULT_RE.match(rest)
+            if mdd.group("col") not in cols:
+                raise ValueError(
+                    f"ALTER TABLE: no column {mdd.group('col')!r}")
+            snapshots.write_constraints(table_dir, [
+                c for c in snapshots.read_constraints(table_dir)
+                if not (c["kind"] == "default"
+                        and c["col"] == mdd.group("col"))])
+        elif _ALTER_TYPE_RE.match(rest):
+            # ALTER COLUMN … TYPE T [USING expr] — a REWRITING commit
+            # like ADD COLUMN … DEFAULT's backfill: the whole table is
+            # read, the column cast (or computed via USING), and
+            # written as one overwrite commit. ANSI casts make a
+            # lossy/invalid conversion raise, like DuckDB's
+            # Conversion Error.
+            from pyspark.sql import functions as F
+
+            mt_ = _ALTER_TYPE_RE.match(rest)
+            col, typ = mt_.group("col"), mt_.group("type").strip()
+            if col not in cols:
+                raise ValueError(f"ALTER TABLE: no column {col!r}")
+            base = re.match(r"^[A-Za-z_]+", typ.upper())
+            mapped = _DUCK_TO_SPARK_TYPES.get(typ.upper().strip())
+            if mapped is None and base and base.group() == "DECIMAL":
+                mapped = typ
+            if mapped is None:
+                raise ValueError(
+                    f"ALTER TABLE: unsupported target type {typ!r}")
+            cur = self.table(name)
+            newcol = (F.expr(mt_.group("using")) if mt_.group("using")
+                      else F.col(col)).cast(mapped)
+            out = cur.select(
+                *[newcol.alias(c) if c == col else F.col(c)
+                  for c in cur.columns])
+            snapshots.write_table(out, table_dir, mode="overwrite")
         else:
             raise ValueError(
                 f"ALTER TABLE: unsupported clause {rest!r} — supported: "
-                "ADD COLUMN, DROP COLUMN, RENAME COLUMN, RENAME TO")
+                "ADD COLUMN, DROP COLUMN, RENAME COLUMN, RENAME TO, "
+                "ALTER COLUMN SET/DROP DEFAULT, ALTER COLUMN TYPE")
         self._refresh_table(name)
         return self._empty()
 
@@ -4296,6 +4358,24 @@ class Engine:
                 m.group("name"), src,
                 version=int(m.group("ver")) if m.group("ver") else None,
                 as_of_ms=as_of_ms)
+        mv = _CREATE_VIEW_RE.match(query)
+        if mv:
+            # CREATE [OR REPLACE] VIEW → a session TEMP view (the whole
+            # catalog is temp views; Spark's persistent CREATE VIEW
+            # rejects temp-view references outright). The body runs
+            # through the dialect first, and the resolved plan FREEZES
+            # at definition like any Spark view (documented divergence
+            # from DuckDB's name-resolution-at-query-time).
+            vname = mv.group("name")
+            if not mv.group("orrep") and vname.lower() in {
+                    n.lower() for n in self._registered_names()}:
+                raise ValueError(
+                    f"CREATE VIEW: {vname!r} already exists (same as "
+                    f"DuckDB) — use CREATE OR REPLACE VIEW")
+            df = self.sql(mv.group("body"), dialect=dialect)
+            df.createOrReplaceTempView(vname)
+            self._bump_registration_epoch(vname)
+            return self._empty()
         m = _CREATE_TABLE_RE.match(query)
         if m and _looks_like_create_table(m.group("rest")):
             name, rest = m.group("name"), m.group("rest").strip()
@@ -5558,6 +5638,9 @@ _DUCK_TO_SPARK_TYPES = {
     "HUGEINT": "DECIMAL(38,0)",
     "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "TINYINT": "TINYINT",
     "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "CHAR": "STRING", "BPCHAR": "STRING", "UUID": "STRING",
+    "INT1": "TINYINT", "BLOB": "BINARY", "BYTEA": "BINARY",
+    "NUMERIC": "DECIMAL(18,3)",  # DuckDB's bare-NUMERIC default
     "DOUBLE": "DOUBLE", "FLOAT8": "DOUBLE",
     "REAL": "FLOAT", "FLOAT4": "FLOAT", "FLOAT": "FLOAT",
     "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN",
@@ -5644,13 +5727,29 @@ def _parse_constraints(inner: str) -> tuple[str, list[dict]]:
 
 
 def _schema_to_spark_ddl(inner: str) -> str:
-    """Column-definition list → Spark DDL schema string. Maps bare VARCHAR
-    (no length) to STRING; drops NOT NULL (snapshot tables don't enforce
-    constraints — same as parquet)."""
+    """Column-definition list → Spark DDL schema string. Maps DuckDB's
+    type-alias fan (bare VARCHAR, TEXT, INT4/INT8, HUGEINT, BOOL, REAL,
+    DATETIME, …) onto Spark spellings; drops NOT NULL (snapshot tables
+    don't enforce constraints — same as parquet)."""
     cols = []
     for part in _split_top_commas(inner):
-        part = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", part, flags=re.IGNORECASE)
         part = re.sub(r"\s+NOT\s+NULL\b", "", part, flags=re.IGNORECASE)
+
+        # map only the BASE TYPE token (first word after the column
+        # name) — token-wide mapping would corrupt words inside DEFAULT
+        # string literals; VARCHAR(n)'s length drops (Spark's carrier
+        # is bare STRING either way)
+        mcol = re.match(r"^(\s*\S+\s+)([A-Za-z_][A-Za-z0-9_]*)"
+                        r"(\s*\(\s*\d+\s*\))?(.*)$", part, re.DOTALL)
+        if mcol:
+            base = mcol.group(2).upper()
+            mapped = _DUCK_TO_SPARK_TYPES.get(base)
+            if mapped is not None:
+                paren = mcol.group(3) or ""
+                if mapped == "STRING":
+                    paren = ""  # VARCHAR(40)/CHAR(8) length dropped
+                part = (mcol.group(1) + mapped + paren
+                        + mcol.group(4))
         cols.append(part)
     return ", ".join(cols)
 

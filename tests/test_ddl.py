@@ -907,3 +907,52 @@ def test_insert_by_name(eng):
         eng.sql("INSERT INTO tbn BY NAME SELECT 1 AS zz")
     with pytest.raises(ValueError, match="SELECT statement"):
         eng.sql("INSERT INTO tbn BY NAME VALUES (1, 'v', 2.0)")
+
+
+def test_alter_column_default_and_type(eng):
+    """r8: ALTER COLUMN SET/DROP DEFAULT updates the constraint sidecar;
+    ALTER COLUMN TYPE is a rewriting cast commit (USING honored)."""
+    eng.sql("CREATE TABLE alt1 (a BIGINT, b BIGINT DEFAULT 7)")
+    eng.sql("ALTER TABLE alt1 ALTER COLUMN b SET DEFAULT 9")
+    eng.sql("INSERT INTO alt1 (a) VALUES (1)")
+    assert eng.sql("SELECT b FROM alt1").first()["b"] == 9
+    eng.sql("ALTER TABLE alt1 ALTER b DROP DEFAULT")
+    eng.sql("INSERT INTO alt1 (a) VALUES (2)")
+    assert eng.sql(
+        "SELECT b FROM alt1 WHERE a = 2").first()["b"] is None
+    eng.sql("CREATE TABLE alt2 AS SELECT '12' AS v")
+    eng.sql("ALTER TABLE alt2 ALTER COLUMN v TYPE INT")
+    assert dict(eng.table("alt2").dtypes)["v"] == "int"
+    eng.sql("ALTER TABLE alt2 ALTER v TYPE VARCHAR USING v || '!'")
+    assert eng.sql("SELECT v FROM alt2").first()["v"] == "12!"
+    with pytest.raises(ValueError, match="no column"):
+        eng.sql("ALTER TABLE alt2 ALTER COLUMN zz SET DEFAULT 1")
+
+
+def test_create_view_statement(eng):
+    """r8: CREATE [OR REPLACE] VIEW routes to a session temp view (the
+    catalog is temp views; Spark's persistent CREATE VIEW rejects them)
+    with DuckDB's duplicate-name error on the bare form."""
+    eng.sql("CREATE TABLE vsrc AS SELECT 5 AS a")
+    eng.sql("CREATE VIEW vv AS SELECT a * 2 AS b FROM vsrc")
+    assert eng.sql("SELECT b FROM vv").first()["b"] == 10
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE VIEW vv AS SELECT 1 AS b")
+    eng.sql("CREATE OR REPLACE VIEW vv AS SELECT a * 3 AS b FROM vsrc")
+    assert eng.sql("SELECT b FROM vv").first()["b"] == 15
+    eng.sql("DROP VIEW vv")
+    eng.sql("CREATE VIEW vv AS SELECT a AS b FROM vsrc")
+    assert eng.sql("SELECT b FROM vv").first()["b"] == 5
+
+
+def test_create_table_type_aliases(eng):
+    """r8: DuckDB's type-alias fan in CREATE TABLE definitions — TEXT/
+    CHAR(n)/INT4/BLOB/NUMERIC map onto Spark carriers; DEFAULT string
+    literals survive (only the base type token maps)."""
+    eng.sql("CREATE TABLE ta (a INT4, b TEXT, c CHAR(3) DEFAULT 'int', "
+            "d BLOB, e NUMERIC)")
+    eng.sql("INSERT INTO ta (a, b, d, e) "
+            "VALUES (1, 'x', CAST('ab' AS BINARY), 1.5)")
+    r = eng.sql("SELECT * FROM ta").first()
+    assert (r["a"], r["b"], r["c"], bytes(r["d"]),
+            str(r["e"])) == (1, "x", "int", b"ab", "1.500")

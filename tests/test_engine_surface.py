@@ -2160,9 +2160,14 @@ def test_union_by_name_review_edges(engine, duck):
     got = sorted(tuple(r) for r in
                  engine.sql(q2, dialect="duckdb").collect())
     assert got == sorted(duck.execute(q2).fetchall())
-    with _pytest.raises(NotImplementedError, match="plain top-level"):
-        engine.sql("CREATE VIEW ubnv AS SELECT 1 AS a "
-                   "UNION BY NAME SELECT 2 AS a", dialect="duckdb")
+    # r8: CREATE VIEW routes its body through sql(), so the top-level
+    # UNION BY NAME inside a view body now WORKS (it used to refuse) —
+    # verified equal to DuckDB's view result
+    engine.sql("CREATE OR REPLACE VIEW ubnv AS SELECT 1 AS a "
+               "UNION BY NAME SELECT 2 AS a", dialect="duckdb")
+    assert sorted(tuple(r) for r in
+                  engine.sql("SELECT * FROM ubnv").collect()) == \
+        [(1,), (2,)]
     with _pytest.raises(NotImplementedError, match="plain top-level"):
         engine.sql("WITH c AS (SELECT 1 AS a) SELECT * FROM c "
                    "UNION BY NAME SELECT 2 AS a", dialect="duckdb")
