@@ -389,6 +389,9 @@ _SIMPLE_RENAMES = {
     "to_hex": "hex",
     "from_hex": "unhex",
     "list_slice": "array_slice",
+    # long-form aliases of the gcd/lcm session UDFs
+    "greatest_common_divisor": "gcd",
+    "least_common_multiple": "lcm",
     "prefix": "startswith",
     "suffix": "endswith",
     "gen_random_uuid": "uuid",

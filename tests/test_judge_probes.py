@@ -1084,3 +1084,14 @@ def test_review_r8_third_pass_pins(engine, duck):
     assert _decimal_kind("a::DECIMAL(8,2) = b::DECIMAL(8,2)",
                          None) is None
     assert _decimal_kind("x::DECIMAL(8,2)", None) == (8, 2)
+
+
+def test_gcd_lcm_long_aliases(engine, duck):
+    """greatest_common_divisor/least_common_multiple are DuckDB's
+    long-form aliases of gcd/lcm (final r8 sweep; ln/exp/cbrt 1-ulp
+    libm differences and the date_trunc-on-DATE / age() rendering
+    divergences in the same sweep are documented engine-numeric /
+    §2.4 classes)."""
+    _check(engine, duck, (
+        "SELECT greatest_common_divisor(12, 18) AS a, "
+        "least_common_multiple(4, 6) AS b2"))
