@@ -59,6 +59,7 @@ _TOKEN_RE = re.compile(
     | (?P<comment>--[^\n]*)
     | (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*")
+    | (?P<bqid>`(?:[^`]|``)*`)
     | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<arrow2>->>)
     | (?P<arrow>->)
@@ -131,6 +132,77 @@ def _split_args(toks: list[Tok], open_idx: int, close_idx: int) -> list[tuple[in
 
 def _arg_text(toks: list[Tok], span: tuple[int, int]) -> str:
     return detokenize(toks[span[0]:span[1]]).strip()
+
+
+def _rewrite_quoted_identifiers(sql: str) -> str:
+    """DuckDB/Postgres double-quoted IDENTIFIERS → Spark backticks.
+
+    ``SELECT "n_name" FROM nation`` is an identifier in DuckDB but a
+    STRING LITERAL in Spark — the unrewritten text silently returns the
+    constant ``'n_name'`` per row (judge probe r8, the worst divergence
+    class). Every qid token (the tokenizer already lexes ``"…"`` spans
+    atomically, so single-quoted strings and comments are never
+    touched) becomes an atomic backtick identifier; DuckDB's ``""``
+    escape maps to Spark's doubled-backtick escape. Resolution is
+    case-insensitive in BOTH engines [measured: "X" finds column x];
+    the residual divergence is output NAMING — DuckDB renders the
+    stored column's case, Spark the as-written case (§2.4 documented
+    divergence; aliased output is identical).
+
+    Plain-word identifiers (``"n_name"``) become BARE identifiers, not
+    backticks, so they keep composing with the schema-aware rewrites
+    (column_kinds lookups match bare names) and quoted FUNCTION names
+    ("upper"('x') is legal DuckDB) still enter the call rewrites;
+    reserved words and names with specials get backticks."""
+    toks = tokenize(sql)
+    changed = False
+    for t in toks:
+        if t.kind == "qid":
+            inner = t.text[1:-1].replace('""', '"')
+            if (re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", inner)
+                    and inner.upper() not in _SPARK_RESERVED_WORDS):
+                t.text = inner
+            else:
+                t.text = "`" + inner.replace("`", "``") + "`"
+            changed = True
+    return detokenize(toks) if changed else sql
+
+
+# Spark ANSI-mode reserved words (public Spark docs, ansi-compliance
+# keyword table) — a double-quoted identifier with one of these names
+# must stay backtick-quoted
+_SPARK_RESERVED_WORDS = {
+    "ALL", "AND", "ANY", "AS", "AUTHORIZATION", "BOTH", "CASE", "CAST",
+    "CHECK", "COLLATE", "COLUMN", "CONSTRAINT", "CREATE", "CROSS",
+    "CURRENT_DATE", "CURRENT_TIME", "CURRENT_TIMESTAMP", "CURRENT_USER",
+    "DISTINCT", "ELSE", "END", "ESCAPE", "EXCEPT", "EXECUTE", "FALSE",
+    "FETCH", "FILTER", "FOR", "FOREIGN", "FROM", "FULL", "GRANT",
+    "GROUP", "HAVING", "IN", "INNER", "INTERSECT", "INTO", "IS", "JOIN",
+    "LATERAL", "LEADING", "LEFT", "NATURAL", "NOT", "NULL", "OFFSET",
+    "ON", "ONLY", "OR", "ORDER", "OUTER", "OVERLAPS", "PRIMARY",
+    "REFERENCES", "RIGHT", "SELECT", "SESSION_USER", "SOME", "TABLE",
+    "THEN", "TIME", "TO", "TRAILING", "UNION", "UNIQUE", "UNKNOWN",
+    "USER", "USING", "WHEN", "WHERE", "WINDOW", "WITH",
+}
+
+
+def _trailing_over(toks: list[Tok], close: int) -> tuple[str, int]:
+    """A parenthesized ``OVER (...)`` clause directly after ``toks[close]``
+    → ('` OVER (...)`', index of its ')'); ('', close) otherwise. Used by
+    aggregate rewrites that wrap the call (CASE/element_at) — the OVER
+    must hoist onto the INNER aggregate, not the wrapper."""
+    nxt = close + 1
+    while nxt < len(toks) and toks[nxt].kind in ("ws", "comment"):
+        nxt += 1
+    if (nxt < len(toks) and toks[nxt].kind == "ident"
+            and toks[nxt].text.upper() == "OVER"):
+        op = nxt + 1
+        while op < len(toks) and toks[op].kind in ("ws", "comment"):
+            op += 1
+        if op < len(toks) and toks[op].text == "(":
+            oc = _find_close(toks, op)
+            return " OVER " + detokenize(toks[op:oc + 1]), oc
+    return "", close
 
 
 def _lambda_parts(text: str) -> tuple[list[str], str] | None:
@@ -932,6 +1004,26 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         name = t.text.lower() if t.kind == "ident" else None
         parts = call_parts(i) if name else None
 
+        if name == "__floordiv__" and parts and len(parts[2]) == 2:
+            # `//` marker (from _rewrite_floordiv_operator) — expand
+            # with the schema-resolved dispatch [measured]: int//int is
+            # TRUNCATING integer division with NULL on a zero divisor
+            # (-7//2 = -3, 7//0 = NULL); any DOUBLE/DECIMAL operand
+            # makes it PLAIN division (7.0//2 = 3.5). Unprovable
+            # operands default to the integer path (the dominant use;
+            # §2.4 documented divergence).
+            a = _arg_text(toks, parts[2][0])
+            b = _arg_text(toks, parts[2][1])
+            ca = _numeric_class(a, column_kinds)
+            cb = _numeric_class(b, column_kinds)
+            if ca == "frac" or cb == "frac":
+                out.append(f"try_divide({a}, {b})")
+            else:
+                out.append(f"(CASE WHEN ({b}) = 0 THEN NULL "
+                           f"ELSE ({a}) DIV ({b}) END)")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name in _ORDER_INSENSITIVE_AGGS and parts:
             # DuckDB accepts an ORDER BY modifier inside EVERY aggregate
             # (it only matters for order-sensitive ones like string_agg
@@ -1175,15 +1267,16 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # null, empty group → NULL] — to_json over the NULL-keeping
             # array_agg rewrite (the emitted array_agg re-enters the
             # fixpoint and picks up the struct-wrap). DISTINCT/ORDER BY
-            # modifiers are a DuckDB error (macro, not aggregate —
-            # review r8-3 #8) and stay verbatim/loud.
+            # modifiers and OVER (…) are a DuckDB Catalog Error (macro,
+            # not aggregate — measured r9) and stay verbatim/loud.
             a = _arg_text(toks, parts[2][0])
-            out.append(f"CASE WHEN count(1) = 0 THEN "
-                       f"CAST(NULL AS STRING) ELSE "
-                       f"to_json(array_agg({a})) END")
-            i = parts[1] + 1
-            changed = True
-            continue
+            if _trailing_over(toks, parts[1])[0] == "":
+                out.append(f"CASE WHEN count(1) = 0 THEN "
+                           f"CAST(NULL AS STRING) ELSE "
+                           f"to_json(array_agg({a})) END")
+                i = parts[1] + 1
+                changed = True
+                continue
         if name == "json_merge_patch" and parts and len(parts[2]) > 2:
             # DuckDB's json_merge_patch is VARIADIC (review r8-3 #7) —
             # fold left into the 2-arg session UDF; each pass reduces
@@ -1194,9 +1287,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = parts[1] + 1
             changed = True
             continue
-        if name == "json_group_object" and parts and len(parts[2]) == 2:
+        if (name == "json_group_object" and parts and len(parts[2]) == 2
+                and _trailing_over(toks, parts[1])[0] == ""):
             # [measured: NULL values keep their key as json null;
-            # empty group → NULL]
+            # empty group → NULL; OVER (…) is a DuckDB Catalog Error
+            # (macro) — stays verbatim/loud]
             k_ = _arg_text(toks, parts[2][0])
             v_ = _arg_text(toks, parts[2][1])
             out.append(
@@ -1311,8 +1406,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     f"({_mid('__a2', 1)} + {_mid('__a2', 2)}) / 2), 1)")
                 null_t = "DOUBLE"
                 src = f"collect_list(CAST({e} AS DOUBLE))"
+            # a trailing OVER (…) attaches to the INNER collect_list
+            # (mad IS a valid window aggregate in DuckDB — measured r9)
+            over, close = _trailing_over(toks, close)
             out.append(
-                f"element_at(transform(array(sort_array({src})), "
+                f"element_at(transform(array(sort_array({src}{over})), "
                 f"__arr -> CASE WHEN size(__arr) = 0 THEN "
                 f"CAST(NULL AS {null_t}) ELSE {inner} END), 1)")
             i = close + 1
@@ -1328,8 +1426,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             x = _arg_text(toks, spans[0])
             lo = _arg_text(toks, spans[1])
             hi = _arg_text(toks, spans[2])
+            # trailing OVER (…) hoists onto the inner collect_set
+            # (valid window aggregate in DuckDB — measured r9)
+            over, close = _trailing_over(toks, close)
             out.append(
-                f"element_at(transform(array(collect_set({x})), __s -> "
+                f"element_at(transform(array(collect_set({x}){over}), __s -> "
                 f"CASE WHEN size(__s) = 0 THEN CAST(NULL AS STRING) "
                 f"WHEN exists(__s, __v -> __v < ({lo}) OR __v > ({hi})) "
                 f"THEN raise_error('bitstring_agg: value outside of "
@@ -3793,6 +3894,382 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                + detokenize(toks[close_raw + 1:]))
 
 
+# type words for the `//` dispatch (DuckDB 1.0.0 measured)
+_INT_TYPE_WORDS = {
+    "TINYINT", "SMALLINT", "INTEGER", "INT", "INT1", "INT2", "INT4",
+    "INT8", "BIGINT", "HUGEINT", "SIGNED", "LONG", "UTINYINT",
+    "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_FRAC_TYPE_WORDS = {
+    "DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8", "DECIMAL",
+    "NUMERIC", "DEC",
+}
+# function result classes [measured typeof() in DuckDB 1.0.0]
+_INT_RESULT_FNS = {
+    "count", "len", "length", "octet_length", "bit_count",
+    "char_length", "character_length", "strlen", "row_number", "rank",
+    "dense_rank", "ntile", "ascii", "unicode", "instr", "strpos",
+    "position", "levenshtein", "hamming", "mismatches", "bit_length",
+    "array_length", "cardinality", "day", "month", "year", "hour",
+    "minute", "century", "decade", "quarter", "weekofyear", "isodow",
+    "dayofweek", "dayofyear", "weekday", "week", "sign", "gcd", "lcm",
+}
+_FRAC_RESULT_FNS = {
+    "avg", "mean", "median", "stddev", "stddev_samp", "stddev_pop",
+    "variance", "var_samp", "var_pop", "sqrt", "cbrt", "ln", "log",
+    "log2", "log10", "exp", "power", "pow", "pi", "radians", "degrees",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "random",
+    "quantile_cont", "corr", "covar_samp", "covar_pop", "epoch",
+}
+_ARG_CLASS_FNS = {
+    "abs", "sum", "min", "max", "least", "greatest", "coalesce",
+    "ifnull", "first", "last", "any_value", "arbitrary", "mod",
+    "__floordiv__",
+}
+
+
+def _numeric_class(expr: str, column_kinds: dict[str, str] | None,
+                   depth: int = 0) -> str | None:
+    """'int' | 'frac' | None: the operand class driving the ``//``
+    dispatch [measured: int//int truncating INTEGER division (NULL on
+    zero), any DOUBLE/DECIMAL operand → plain division]. Provable
+    sources: literals (``7`` int, ``7.5``/``1e3`` frac), columns whose
+    registered kind is int/double/decimal(p,s), CAST/:: target types,
+    a known-result function, or a +-*%-chain of provable operands
+    (``/`` makes any chain frac — DuckDB ``/`` is double division)."""
+    if depth > 6:
+        return None
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return None
+    if not e:
+        return None
+    toks = tokenize(e)
+    sig = _sig(toks)
+    if not sig:
+        return None
+    # split at top-level binary numeric operators
+    spans: list[tuple[int, int]] = []
+    ops: list[str] = []
+    d = 0
+    start = 0
+    for p in range(len(sig)):
+        t = toks[sig[p]]
+        if t.text in ("(", "["):
+            d += 1
+        elif t.text in (")", "]"):
+            d -= 1
+        elif d == 0 and t.kind == "op":
+            if t.text in ("+", "-", "*", "/", "%"):
+                prev = toks[sig[p - 1]] if p > 0 else None
+                is_binary = prev is not None and (
+                    prev.kind in ("num", "str", "bqid")
+                    or prev.text in (")", "]")
+                    or (prev.kind == "ident"
+                        and prev.text.upper() not in ("AND", "OR",
+                                                      "NOT", "WHEN",
+                                                      "THEN", "ELSE",
+                                                      "IN", "IS")))
+                if is_binary:
+                    spans.append((start, p))
+                    ops.append(t.text)
+                    start = p + 1
+            else:
+                return None  # comparison / || — not a numeric chain
+        elif d == 0 and t.kind == "ident" and t.text.upper() in (
+                "CASE", "AND", "OR", "NOT", "BETWEEN", "LIKE", "IN",
+                "IS", "OVER"):
+            return None
+    spans.append((start, len(sig)))
+    if len(spans) > 1:
+        classes = [
+            _numeric_class(
+                detokenize(toks[sig[a]:sig[b - 1] + 1]), column_kinds,
+                depth + 1) if b > a else None
+            for a, b in spans]
+        if "/" in ops:
+            return "frac"
+        if any(c == "frac" for c in classes):
+            return "frac"
+        if all(c == "int" for c in classes):
+            return "int"
+        return None
+    # single operand — strip leading unary +/-
+    while sig and toks[sig[0]].text in ("+", "-"):
+        sig = sig[1:]
+    if not sig:
+        return None
+    first = toks[sig[0]]
+    if len(sig) == 1:
+        if first.kind == "num":
+            return ("frac" if ("." in first.text
+                               or "e" in first.text.lower()) else "int")
+        if first.kind == "ident":
+            k = (column_kinds or {}).get(first.text.lower())
+            if k == "int":
+                return "int"
+            if k == "double" or (k or "").startswith("decimal("):
+                return "frac"
+            if first.text.upper() in ("NULL",):
+                return None
+        return None
+    up0 = first.text.upper() if first.kind == "ident" else ""
+    # qualified t.c
+    if (len(sig) == 3 and first.kind == "ident"
+            and toks[sig[1]].text == "." and toks[sig[2]].kind == "ident"):
+        k = (column_kinds or {}).get(toks[sig[2]].text.lower())
+        if k == "int":
+            return "int"
+        if k == "double" or (k or "").startswith("decimal("):
+            return "frac"
+        return None
+    # x :: TYPE postfix (whole-expression)
+    m = re.fullmatch(r"(?is)(.+?)::\s*([A-Za-z_]+)\s*(\(\s*\d+\s*"
+                     r"(?:,\s*\d+\s*)?\))?", e)
+    if m and "::" not in m.group(1):
+        w = m.group(2).upper()
+        if w in _INT_TYPE_WORDS:
+            return "int"
+        if w in _FRAC_TYPE_WORDS:
+            return "frac"
+        return None
+    # whole-expression call: f(...)
+    if (first.kind == "ident" and len(sig) >= 3
+            and toks[sig[1]].text == "("):
+        try:
+            close = _find_close(toks, sig[1])
+        except ValueError:
+            return None
+        if close == sig[-1]:
+            fn = first.text.lower()
+            if fn in ("cast", "try_cast"):
+                mt = re.search(r"(?is)\bAS\s+([A-Za-z_]+)\s*(?:\(\s*\d+"
+                               r"\s*(?:,\s*\d+\s*)?\))?\s*\)\s*$", e)
+                if mt:
+                    w = mt.group(1).upper()
+                    if w in _INT_TYPE_WORDS:
+                        return "int"
+                    if w in _FRAC_TYPE_WORDS:
+                        return "frac"
+                return None
+            if fn in _INT_RESULT_FNS:
+                return "int"
+            if fn in _FRAC_RESULT_FNS:
+                return "frac"
+            if fn in _ARG_CLASS_FNS:
+                arg_spans = _split_args(toks, sig[1], close)
+                cs = [_numeric_class(_arg_text(toks, sp), column_kinds,
+                                     depth + 1) for sp in arg_spans]
+                if any(c == "frac" for c in cs):
+                    return "frac"
+                if cs and all(c == "int" for c in cs):
+                    return "int"
+                return None
+    return None
+
+
+_FLOORDIV_STOPS = {
+    "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
+    "ELSE", "BY", "ON", "IN", "AS", "IS", "LIKE", "BETWEEN", "SET",
+    "VALUES", "LIMIT", "OFFSET", "HAVING", "ALL", "DISTINCT", "UNION",
+    "EXCEPT", "INTERSECT", "JOIN", "RETURNING", "PARTITION", "ORDER",
+    "GROUP", "OVER", "CASE", "END",
+}
+
+
+def _rewrite_floordiv_operator(sql: str) -> str:
+    """DuckDB ``//`` → ``__floordiv__(L, R)`` marker (expanded by
+    _rewrite_calls, where column_kinds resolve the int-vs-double
+    dispatch). Leftmost-first with fixpoint iteration so left-assoc
+    chains compose: ``a // b // c`` → ``__floordiv__(__floordiv__(a,
+    b), c)``. Operand extraction follows DuckDB's precedence [measured:
+    ``2*3//4`` = 1, ``7//2*3`` = 9, ``10-7//2`` = 7]: the left operand
+    absorbs the whole same-precedence *%/-chain back to a lower-
+    precedence boundary; the right operand is one (unary-signed)
+    primary with its postfix chain. Runs AFTER the power rewrite, so
+    ``**``/``^`` are already POWER() primaries."""
+    if "//" not in sql:
+        return sql
+    for _ in range(200):  # fixpoint backstop
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        hit = None
+        for p in range(len(sig) - 1):
+            i1, i2 = sig[p], sig[p + 1]
+            if (toks[i1].text == "/" and toks[i2].text == "/"
+                    and i2 == i1 + 1):
+                hit = p
+                break
+        if hit is None:
+            return sql
+        # ---- left operand: scan back
+        q = hit - 1
+        d = 0
+        case_depth = 0
+        while q >= 0:
+            t = toks[sig[q]]
+            up = t.text.upper() if t.kind == "ident" else None
+            if t.text in (")", "]"):
+                d += 1
+            elif t.text in ("(", "["):
+                if d == 0:
+                    break
+                d -= 1
+            elif d == 0 and up == "END":
+                case_depth += 1
+            elif d == 0 and up == "CASE":
+                if case_depth == 0:
+                    break
+                case_depth -= 1
+            elif d == 0 and case_depth == 0:
+                if t.kind == "op":
+                    if t.text in ("*", "/", "%"):
+                        pass  # same precedence — absorb
+                    elif t.text in ("+", "-"):
+                        prev = toks[sig[q - 1]] if q > 0 else None
+                        if prev is not None and (
+                                prev.kind in ("num", "str", "bqid")
+                                or prev.text in (")", "]")
+                                or (prev.kind == "ident"
+                                    and prev.text.upper()
+                                    not in _FLOORDIV_STOPS)):
+                            break  # binary +/- — lower precedence
+                        # unary sign: part of the operand
+                    else:
+                        break  # comparison, ||, …
+                elif t.text in (",", ";"):
+                    break
+                elif up in _FLOORDIV_STOPS:
+                    break
+            q -= 1
+        lstart = q + 1
+        if lstart > hit - 1:
+            return sql  # nothing to the left — malformed, leave loud
+        left = detokenize(toks[sig[lstart]:sig[hit - 1] + 1]).strip()
+        # ---- right operand: unary signs + one primary + postfix chain
+        r = hit + 2
+        if r >= len(sig):
+            return sql
+        while r < len(sig) and toks[sig[r]].text in ("+", "-"):
+            r += 1
+        if r >= len(sig):
+            return sql
+        t = toks[sig[r]]
+        if t.text == "(" or t.text == "[":
+            try:
+                close_raw = _find_close(toks, sig[r]) if t.text == "(" \
+                    else None
+            except ValueError:
+                return sql
+            if t.text == "[":
+                dd = 0
+                close_raw = None
+                for k in range(sig[r], len(toks)):
+                    if toks[k].text == "[":
+                        dd += 1
+                    elif toks[k].text == "]":
+                        dd -= 1
+                        if dd == 0:
+                            close_raw = k
+                            break
+                if close_raw is None:
+                    return sql
+            rend_raw = close_raw
+        elif t.kind in ("num", "str", "bqid"):
+            rend_raw = sig[r]
+        elif t.kind == "ident":
+            if t.text.upper() == "CASE":
+                dd = 0
+                rend_raw = None
+                for p2 in range(r, len(sig)):
+                    u2 = (toks[sig[p2]].text.upper()
+                          if toks[sig[p2]].kind == "ident" else "")
+                    if u2 == "CASE":
+                        dd += 1
+                    elif u2 == "END":
+                        dd -= 1
+                        if dd == 0:
+                            rend_raw = sig[p2]
+                            break
+                if rend_raw is None:
+                    return sql
+            else:
+                rend_raw = sig[r]
+                nxt = r + 1
+                if (nxt < len(sig) and toks[sig[nxt]].text == "("
+                        and sig[nxt] == rend_raw + 1):
+                    try:
+                        rend_raw = _find_close(toks, sig[nxt])
+                    except ValueError:
+                        return sql
+        else:
+            return sql
+        # postfix chain: .ident, ::TYPE[(p,s)], [subscript], call parens
+        p2 = None
+        for pp in range(len(sig)):
+            if sig[pp] == rend_raw:
+                p2 = pp
+                break
+        if p2 is None:
+            p2 = len(sig) - 1
+        while p2 + 1 < len(sig):
+            nt = toks[sig[p2 + 1]]
+            if nt.text == "." and p2 + 2 < len(sig) \
+                    and toks[sig[p2 + 2]].kind == "ident":
+                p2 += 2
+                rend_raw = sig[p2]
+            elif (nt.text == ":" and p2 + 3 < len(sig)
+                    and toks[sig[p2 + 2]].text == ":"
+                    and toks[sig[p2 + 3]].kind == "ident"):
+                p2 += 3
+                rend_raw = sig[p2]
+                if (p2 + 1 < len(sig) and toks[sig[p2 + 1]].text == "("):
+                    try:
+                        rend_raw = _find_close(toks, sig[p2 + 1])
+                    except ValueError:
+                        return sql
+                    while sig[p2] < rend_raw:
+                        p2 += 1
+            elif nt.text == "[":
+                dd = 0
+                done = None
+                for k in range(sig[p2 + 1], len(toks)):
+                    if toks[k].text == "[":
+                        dd += 1
+                    elif toks[k].text == "]":
+                        dd -= 1
+                        if dd == 0:
+                            done = k
+                            break
+                if done is None:
+                    return sql
+                rend_raw = done
+                while p2 + 1 < len(sig) and sig[p2 + 1] <= done:
+                    p2 += 1
+            elif (nt.text == "(" and toks[sig[p2]].kind == "ident"
+                    and sig[p2 + 1] == sig[p2] + 1):
+                try:
+                    rend_raw = _find_close(toks, sig[p2 + 1])
+                except ValueError:
+                    return sql
+                while p2 + 1 < len(sig) and sig[p2 + 1] <= rend_raw:
+                    p2 += 1
+            else:
+                break
+        right = detokenize(toks[sig[hit + 2]:rend_raw + 1]).strip()
+        sql = (detokenize(toks[:sig[lstart]])
+               + f"__floordiv__({left}, {right})"
+               + detokenize(toks[rend_raw + 1:]))
+    raise ValueError("floordiv rewrite did not converge")
+
+
 def _rewrite_power_operator(sql: str) -> str:
     """DuckDB ``^`` (and ``**``) is EXPONENTIATION; Spark's ``^`` is
     bitwise XOR — a silent wrong answer if passed through. Rewritten to
@@ -4701,6 +5178,129 @@ def _rewrite_integer_cast_rounding(sql: str) -> str:
                                 f"AS {ty.text.upper()})")
                             i = close_i + 1
                             continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)
+
+
+def _known_decimal_scale(expr: str,
+                         column_kinds: dict[str, str] | None) -> int | None:
+    """Scale of an expression PROVABLY decimal-typed: a bare numeric
+    literal with a fractional part (both engines type ``1.26`` as
+    DECIMAL(3,2)), or the _decimal_kind cases (decimal-kind column,
+    whole-expression CAST/:: to DECIMAL). None when unprovable."""
+    e = expr.strip()
+    m = re.fullmatch(r"[+-]?\d+\.(\d+)", e)
+    if m:
+        return len(m.group(1))
+    dk = _decimal_kind(e, column_kinds)
+    return dk[1] if dk else None
+
+
+def _rewrite_decimal_cast_truncation(
+        sql: str, column_kinds: dict[str, str] | None) -> str:
+    """DuckDB CAST(x AS DECIMAL(p,s)) TRUNCATES toward zero when x is
+    DECIMAL-typed with a larger scale [measured: CAST(1.26 AS
+    DECIMAL(6,1)) = 1.2, CAST(-1.26 …) = -1.2, CAST(0.999 AS
+    DECIMAL(6,0)) = 0]; Spark rounds HALF_UP (1.3) — a silent wrong
+    answer on every decimal downscale. DOUBLE/FLOAT/VARCHAR sources
+    ROUND in both engines [measured: CAST(1.26::DOUBLE AS DECIMAL(6,1))
+    = 1.3, CAST('1.26' …) = 1.3] and stay untouched. Fires only when
+    the source scale is PROVABLE (numeric literal, decimal-kind column,
+    whole-expression decimal cast) AND exceeds the target scale —
+    unprovable operands keep Spark's cast (documented residue).
+    Emits ``CAST((x) - ((x) % unit) AS DECIMAL(p,s))`` — Spark's %
+    sign follows the dividend, so the subtraction truncates toward
+    zero for negatives too; an out-of-range result still errors like
+    DuckDB's Conversion Error. Single forward pass (the emission
+    contains a matching CAST), recursing into the inner text.
+    ``x::DECIMAL(p,s)`` postfix spellings are folded into CAST form
+    first (only when the primary is a literal/bare column whose scale
+    proves a downscale — everything else keeps Spark's native ``::``)."""
+    toks = tokenize(sql)
+    sig0 = _sig(toks)
+    # pre-pass: literal/column :: DECIMAL(p,s) downscale → CAST form
+    # (pattern: prim : : DECIMAL ( p , s ) — 9 sig tokens)
+    changed = False
+    for q in range(len(sig0) - 8):
+        w = [toks[k] for k in sig0[q:q + 9]]
+        if not (w[1].text == ":" and w[2].text == ":"
+                and w[3].text.upper() == "DECIMAL" and w[4].text == "("
+                and w[5].kind == "num" and w[6].text == ","
+                and w[7].kind == "num" and w[8].text == ")"):
+            continue
+        prim = w[0]
+        if prim.kind not in ("num", "ident") or not re.fullmatch(
+                r"\d+\.\d+|[A-Za-z_]\w*", prim.text):
+            continue
+        if q > 0 and toks[sig0[q - 1]].text in (".", ":"):
+            continue  # qualified t.col / chained :: — leave alone
+        src = _known_decimal_scale(prim.text, column_kinds)
+        if src is None or src <= int(w[7].text):
+            continue
+        repl = f"CAST({prim.text} AS DECIMAL({w[5].text},{w[7].text}))"
+        for k in sig0[q:q + 9]:
+            toks[k].text = ""
+        toks[sig0[q]].text = repl
+        changed = True
+    if changed:
+        toks = tokenize(detokenize(toks))
+    sig = _sig(toks)
+    pos_of = {raw: p for p, raw in enumerate(sig)}
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "ident" and t.text.upper() in ("CAST", "TRY_CAST")
+                and i in pos_of):
+            p = pos_of[i]
+            if p + 1 < len(sig) and toks[sig[p + 1]].text == "(":
+                open_i = sig[p + 1]
+                try:
+                    close_i = _find_close(toks, open_i)
+                except ValueError:
+                    close_i = None
+                hit = None
+                if close_i is not None:
+                    # token-level: inner sig must END with
+                    # AS DECIMAL ( p , s ) and that AS sits at depth 1
+                    inner_sig = [k for k in sig if open_i < k < close_i]
+                    texts = [toks[k].text for k in inner_sig]
+                    if (len(inner_sig) >= 8
+                            and texts[-7].upper() == "AS"
+                            and texts[-6].upper() == "DECIMAL"
+                            and texts[-5] == "("
+                            and texts[-4].isdigit()
+                            and texts[-3] == ","
+                            and texts[-2].isdigit()
+                            and texts[-1] == ")"):
+                        depth = 0
+                        for k in range(open_i, inner_sig[-7]):
+                            if toks[k].text in ("(", "["):
+                                depth += 1
+                            elif toks[k].text in (")", "]"):
+                                depth -= 1
+                        if depth == 1:
+                            hit = (detokenize(
+                                toks[open_i + 1:inner_sig[-7]]).strip(),
+                                texts[-4], int(texts[-2]))
+                if hit:
+                    expr, tp, ts = hit
+                    expr = _rewrite_decimal_cast_truncation(
+                        expr, column_kinds)
+                    src = _known_decimal_scale(expr, column_kinds)
+                    fn = t.text.upper()
+                    if src is not None and src > ts:
+                        unit = ("1" if ts == 0
+                                else "0." + "0" * (ts - 1) + "1")
+                        out.append(
+                            f"{fn}(({expr}) - (({expr}) % {unit}) "
+                            f"AS DECIMAL({tp},{ts}))")
+                    else:
+                        out.append(
+                            f"{t.text}({expr} AS DECIMAL({tp},{ts}))")
+                    i = close_i + 1
+                    continue
         out.append(t.text)
         i += 1
     return "".join(out)
@@ -6183,6 +6783,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     ``column_kinds`` (lowercased column name → 'array' | 'string') makes
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
+    sql = _rewrite_quoted_identifiers(sql)
     sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_numeric_literal_forms(sql)
     sql = _strip_trailing_commas(sql)
@@ -6200,7 +6801,9 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
     sql = _rewrite_integer_cast_rounding(sql)
+    sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
     sql = _rewrite_power_operator(sql)
+    sql = _rewrite_floordiv_operator(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
     sql = _fold_time_literals(sql)

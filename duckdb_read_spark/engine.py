@@ -952,6 +952,11 @@ class Engine:
                 continue
             tables[tname] = f"{db}__{tname}"
         self._attached[db] = tables
+        # keep_fields is safe here: every view this loop registered went
+        # through register_parquet/register_versioned, each of which
+        # already popped ITS name's cached fields — so a re-ATTACH after
+        # DETACH (or a colliding db__t name) cannot see stale schema
+        # entries (pinned by test_attach_reattach_schema_fresh)
         self._bump_registration_epoch(keep_fields=True)
         return tables
 
@@ -1223,11 +1228,7 @@ class Engine:
                 default_expr = m.group("type").strip()[
                     mdf.start("e"):mdf.end("e")]
                 typ = typ[:mdf.start()].strip()
-            typ = re.sub(r"^VARCHAR\s*\(\s*\d+\s*\)$", "VARCHAR", typ)
-            base = re.match(r"^[A-Za-z]+", typ)
-            mapped = _DUCK_TO_SPARK_TYPES.get(typ)
-            if mapped is None and base and base.group() == "DECIMAL":
-                mapped = typ
+            mapped = _map_duck_type(typ)
             if mapped is None:
                 raise ValueError(
                     f"ALTER TABLE: unsupported column type {typ!r}")
@@ -1346,10 +1347,7 @@ class Engine:
             col, typ = mt_.group("col"), mt_.group("type").strip()
             if col not in cols:
                 raise ValueError(f"ALTER TABLE: no column {col!r}")
-            base = re.match(r"^[A-Za-z_]+", typ.upper())
-            mapped = _DUCK_TO_SPARK_TYPES.get(typ.upper().strip())
-            if mapped is None and base and base.group() == "DECIMAL":
-                mapped = typ
+            mapped = _map_duck_type(typ)
             if mapped is None:
                 raise ValueError(
                     f"ALTER TABLE: unsupported target type {typ!r}")
@@ -2160,7 +2158,16 @@ class Engine:
              # (quantile_cont) or skip interpolation entirely (median),
              # and the dialect needs the scale to reproduce that
              else (f"decimal({f.dataType.precision},{f.dataType.scale})"
-                   if isinstance(f.dataType, T.DecimalType) else None))
+                   if isinstance(f.dataType, T.DecimalType)
+                   # int/double kinds drive the `//` operator's
+                   # type-dependent dispatch (int//int truncating
+                   # division vs plain division — r9)
+                   else "int" if isinstance(
+                       f.dataType, (T.ByteType, T.ShortType,
+                                    T.IntegerType, T.LongType))
+                   else "double" if isinstance(
+                       f.dataType, (T.FloatType, T.DoubleType))
+                   else None))
             for f in schema.fields]
         cache[key] = fields
         return fields
@@ -2426,6 +2433,15 @@ class Engine:
         /root/reference/duckdb:18-55). Returns an empty DataFrame, like a
         DDL statement.
         """
+        if dialect == "duckdb" and '"' in query:
+            # double-quoted IDENTIFIERS normalize before ROUTING, not
+            # just before the dialect rewrite — CREATE TABLE "t" /
+            # INSERT INTO "t" must match the statement routers' regexes
+            # (word-shaped names go bare, reserved/special ones get
+            # backticks; single-quoted strings are untouched — the
+            # rewrite is tokenizer-based)
+            from .dialect import _rewrite_quoted_identifiers
+            query = _rewrite_quoted_identifiers(query)
         head = query.lstrip()[:7].upper()
         if not head.startswith(("SELECT", "WITH", "EXPLAIN")):
             # anything that can define/replace a view or table invalidates
@@ -5648,6 +5664,28 @@ _DUCK_TO_SPARK_TYPES = {
 }
 
 
+def _map_duck_type(typ: str) -> str | None:
+    """One DuckDB type spelling → Spark DDL type, parameterized forms
+    included. ``NUMERIC(10,2)``/``DEC(10,2)``/``DECIMAL(10,2)`` keep the
+    user's precision/scale as ``DECIMAL(p,s)``; bare NUMERIC/DEC get
+    DuckDB's default DECIMAL(18,3); VARCHAR(n)/CHAR(n) lengths drop
+    (Spark's carrier is bare STRING). Returns None when the base type
+    is unknown (callers decide whether that's an error)."""
+    t = typ.strip()
+    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)"
+                 r"(\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?$", t)
+    if not m:
+        return None
+    base, paren = m.group(1).upper(), m.group(2)
+    if base in ("DECIMAL", "NUMERIC", "DEC"):
+        if paren:
+            return "DECIMAL" + re.sub(r"\s+", "", paren)
+        return "DECIMAL(18,3)"  # DuckDB's bare default
+    # every other parameterized spelling (VARCHAR(40), CHAR(8)) drops
+    # its parameter — the mapped Spark carrier is unparameterized
+    return _DUCK_TO_SPARK_TYPES.get(base)
+
+
 def _columns_to_spark_ddl(columns: str) -> str:
     """``{'a': 'INTEGER', 'b': 'VARCHAR'}`` → ``a INT, b STRING`` (the
     read_csv/read_json columns= option; declaration order preserved)."""
@@ -5736,20 +5774,17 @@ def _schema_to_spark_ddl(inner: str) -> str:
         part = re.sub(r"\s+NOT\s+NULL\b", "", part, flags=re.IGNORECASE)
 
         # map only the BASE TYPE token (first word after the column
-        # name) — token-wide mapping would corrupt words inside DEFAULT
-        # string literals; VARCHAR(n)'s length drops (Spark's carrier
-        # is bare STRING either way)
-        mcol = re.match(r"^(\s*\S+\s+)([A-Za-z_][A-Za-z0-9_]*)"
-                        r"(\s*\(\s*\d+\s*\))?(.*)$", part, re.DOTALL)
+        # name, with an optional (p[,s]) parameter) — token-wide mapping
+        # would corrupt words inside DEFAULT string literals. NUMERIC/
+        # DEC(p,s) keep the user's precision/scale (bare-NUMERIC only
+        # gets the DECIMAL(18,3) default); VARCHAR(n) lengths drop.
+        mcol = re.match(r"^(\s*\S+\s+)([A-Za-z_][A-Za-z0-9_]*"
+                        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(.*)$",
+                        part, re.DOTALL)
         if mcol:
-            base = mcol.group(2).upper()
-            mapped = _DUCK_TO_SPARK_TYPES.get(base)
+            mapped = _map_duck_type(mcol.group(2))
             if mapped is not None:
-                paren = mcol.group(3) or ""
-                if mapped == "STRING":
-                    paren = ""  # VARCHAR(40)/CHAR(8) length dropped
-                part = (mcol.group(1) + mapped + paren
-                        + mcol.group(4))
+                part = mcol.group(1) + mapped + mcol.group(3)
         cols.append(part)
     return ", ".join(cols)
 

@@ -598,18 +598,32 @@ def read_mor_table(spark, table_dir: str,
                             # drop the new field and NULL the renamed
                             # one — refuse like the base-vs-log drift
                             # fence below (ADVICE r7)
+                            # compare (name, type) PAIRS, not name sets —
+                            # a same-name type change would pass a
+                            # name-only fence and rec.get(n) would mix
+                            # types across blocks (ADVICE r8)
                             import json as _json
-                            blk_names = {
-                                f["name"] for f in
-                                _json.loads(blk_schema).get("fields", [])}
-                            if blk_names != set(names):
+
+                            def _sig_of(sj):
+                                return sorted(
+                                    (f["name"],
+                                     _json.dumps(f.get("type"),
+                                                 sort_keys=True))
+                                    for f in
+                                    _json.loads(sj).get("fields", []))
+
+                            if _sig_of(blk_schema) != _sig_of(schema_json):
+                                blk_names = {
+                                    f["name"] for f in
+                                    _json.loads(blk_schema).get(
+                                        "fields", [])}
                                 raise NotImplementedError(
                                     f"hudi MOR schema drift between log "
                                     f"blocks: {r['path']!r} block {bi} "
                                     f"has fields "
-                                    f"{sorted(blk_names ^ set(names))} "
+                                    f"{sorted(blk_names ^ set(names)) or sorted(blk_names)} "
                                     f"differing from the first log's "
-                                    f"schema")
+                                    f"schema (name or type)")
                         recs = decode_avro_data_block(
                             blk["content"], blk_schema)
                         # __hudi_seq packs (file, block, record) ordinals
