@@ -58,6 +58,9 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+)
     | (?P<comment>--[^\n]*)
     | (?P<str>'(?:[^']|'')*')
+    | (?P<dstr>\$([A-Za-z_]\w*|)\$[\s\S]*?\$\5\$)  # $tag$…$tag$ — \5 is
+                                                   # the tag group (count
+                                                   # groups if editing!)
     | (?P<qid>"(?:[^"]|"")*")
     | (?P<bqid>`(?:[^`]|``)*`)
     | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
@@ -132,6 +135,28 @@ def _split_args(toks: list[Tok], open_idx: int, close_idx: int) -> list[tuple[in
 
 def _arg_text(toks: list[Tok], span: tuple[int, int]) -> str:
     return detokenize(toks[span[0]:span[1]]).strip()
+
+
+def _rewrite_dollar_strings(sql: str) -> str:
+    """DuckDB dollar-quoted strings ``$$…$$`` / ``$tag$…$tag$`` →
+    ordinary single-quoted literals [measured: content is fully RAW —
+    no escape processing; an inner ``$$`` survives under a tag]. Only
+    the ``''`` quote doubling is applied here; the emitted literal then
+    flows through _rewrite_raw_string_literals like every other DuckDB
+    literal (backslash doubling for Spark's escape processing)."""
+    if "$" not in sql:
+        return sql
+    toks = tokenize(sql)
+    changed = False
+    for t in toks:
+        if t.kind == "dstr":
+            inner = t.text[1:-1]
+            inner = inner[inner.index("$") + 1:]
+            inner = inner[:inner.rindex("$")]
+            t.text = "'" + inner.replace("'", "''") + "'"
+            t.kind = "str"
+            changed = True
+    return detokenize(toks) if changed else sql
 
 
 def _rewrite_quoted_identifiers(sql: str) -> str:
@@ -889,6 +914,13 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
         "ms": f"({submin} div 1000)",
         "seconds": f"({submin} div 1000000)",
         "second": f"({submin} div 1000000)",
+        # ISO week-numbering year [measured: isoyear('2021-01-01') =
+        # 2020] — Spark's YEAROFWEEK is the same ISO-8601 field
+        "isoyear": f"extract(YEAROFWEEK FROM {expr})",
+        # yearweek = isoyear*100 + isoweek [measured: '2021-01-03' →
+        # 202053]
+        "yearweek": f"(extract(YEAROFWEEK FROM {expr}) * 100 "
+                    f"+ extract(WEEK FROM {expr}))",
     }.get(field)
 
 
@@ -1004,6 +1036,40 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         name = t.text.lower() if t.kind == "ident" else None
         parts = call_parts(i) if name else None
 
+        if (name in ("cast", "try_cast") and parts
+                and len(parts[2]) == 1):
+            # CAST(<array> AS VARCHAR): Spark renders NULL elements
+            # lowercase ('[1, null, 3]'), DuckDB uppercase ('[1, NULL,
+            # 3]') — a silent hash mismatch in the declared-query
+            # contract. Rewrites only PROVABLY-array operands (list
+            # literal, array-kind column, array-returning call);
+            # everything else keeps the native cast.
+            body = _arg_text(toks, parts[2][0])
+            mvc = re.fullmatch(r"(?is)(.*)\s+AS\s+(?:VARCHAR|STRING|"
+                               r"TEXT)\s*", body)
+            if mvc:
+                x = mvc.group(1).strip()
+                is_arr = (
+                    (x.startswith("[") and x.endswith("]"))
+                    or (column_kinds or {}).get(x.lower()) == "array"
+                    or re.match(
+                        r"(?i)^(?:array|array_agg|collect_list|"
+                        r"collect_set|sort_array|sequence|"
+                        r"array_distinct|array_sort|list_sort|"
+                        r"list_distinct|string_split|split|"
+                        r"string_to_array|regexp_split_to_array|"
+                        r"flatten|slice|list_transform|list_filter|"
+                        r"array_transform)\s*\(", x))
+                if is_arr:
+                    out.append(
+                        f"(CASE WHEN ({x}) IS NULL THEN "
+                        f"CAST(NULL AS STRING) ELSE '[' || array_join("
+                        f"transform({x}, __e -> coalesce("
+                        f"CAST(__e AS STRING), 'NULL')), ', ') || ']' "
+                        f"END)")
+                    i = parts[1] + 1
+                    changed = True
+                    continue
         if name == "__floordiv__" and parts and len(parts[2]) == 2:
             # `//` marker (from _rewrite_floordiv_operator) — expand
             # with the schema-resolved dispatch [measured]: int//int is
@@ -1954,14 +2020,57 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "json_extract_string" and parts and len(parts[2]) == 2:
-            # raw (unquoted) scalar extraction — exactly get_json_object
-            # [measured: '$.c.d' → 'x', numbers stringify, missing →
-            # NULL, array subscripts work on both]
+        if (name in ("json_extract_string", "json_extract_path_text")
+                and parts and len(parts[2]) == 2):
+            # raw (unquoted) scalar extraction — get_json_object for
+            # the common literal-'$'-path case [measured: '$.c.d' →
+            # 'x', numbers stringify, missing → NULL]; every other
+            # path form (bare key, integer index, '/a/b' pointer, a
+            # non-literal path expression — get_json_object requires a
+            # foldable '$' path) routes through the session UDF that
+            # implements DuckDB's full path grammar (r9).
             _, close, spans = parts
             j = _arg_text(toks, spans[0])
             pth = _arg_text(toks, spans[1])
-            out.append(f"get_json_object({j}, {pth})")
+            if re.fullmatch(r"'\$(?:[^']|'')*'", pth):
+                out.append(f"get_json_object({j}, {pth})")
+            else:
+                out.append(f"__json_extract_string__({j}, "
+                           f"CAST({pth} AS STRING))")
+            i = close + 1
+            changed = True
+            continue
+        if (name in ("json_extract", "json_type", "json_extract_path")
+                and parts and len(parts[2]) == 2):
+            # quote-KEEPING extraction / node typing — session UDFs
+            # with DuckDB's measured path grammar and yyjson number
+            # re-rendering (functions/udfs.py). A list-of-paths literal
+            # second argument fans out to array(...) like DuckDB's
+            # VARCHAR[] overload.
+            _, close, spans = parts
+            j = _arg_text(toks, spans[0])
+            pth = _arg_text(toks, spans[1])
+            fn = ("__json_type__" if name == "json_type"
+                  else "__json_extract__")  # dunder names: the public
+            # spellings re-match this branch and would wrap forever
+            if pth.startswith("[") and pth.endswith("]"):
+                lt = tokenize(pth)
+                lspans = _split_args(lt, 0, len(lt) - 1)
+                elems = [detokenize(lt[a:b]).strip() for a, b in lspans]
+                calls = ", ".join(
+                    f"{fn}({j}, CAST({p_} AS STRING))" for p_ in elems)
+                out.append(f"array({calls})")
+            else:
+                out.append(f"{fn}({j}, CAST({pth} AS STRING))")
+            i = close + 1
+            changed = True
+            continue
+        if name == "json_type" and parts and len(parts[2]) == 1:
+            # 1-arg form types the whole document — same as path '$'
+            # [measured]
+            _, close, spans = parts
+            j = _arg_text(toks, spans[0])
+            out.append(f"__json_type__({j}, '$')")
             i = close + 1
             changed = True
             continue
@@ -2977,6 +3086,75 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
             out.append(f"(((extract(DAYOFWEEK FROM {e}) + 5) % 7) + 1)")
+            i = close + 1
+            changed = True
+            continue
+        if (name in ("parse_filename", "parse_dirname", "parse_dirpath",
+                     "parse_path") and parts
+                and 1 <= len(parts[2]) <= (3 if name == "parse_filename"
+                                           else 2)):
+            # data-lake path scalars → fixed-arity session UDFs
+            # (functions/udfs.py carries the measured pins). The
+            # optional args normalize here: parse_filename's 2nd arg is
+            # trim_extension (bool) OR the separator (a string literal
+            # naming one of the four modes).
+            _, close, spans = parts
+            args = [_arg_text(toks, sp) for sp in spans]
+            sep_lits = ("'both_slash'", "'forward_slash'",
+                        "'backslash'", "'system'")
+            if name == "parse_filename":
+                trim, sep = "false", "'both_slash'"
+                if len(args) == 2:
+                    if args[1].lower() in sep_lits:
+                        sep = args[1]
+                    else:
+                        trim = f"CAST({args[1]} AS BOOLEAN)"
+                elif len(args) == 3:
+                    trim = f"CAST({args[1]} AS BOOLEAN)"
+                    sep = args[2]
+                out.append(f"__parse_filename__({args[0]}, {trim}, "
+                           f"CAST({sep} AS STRING))")
+            else:
+                sep = args[1] if len(args) == 2 else "'both_slash'"
+                out.append(f"__{name}__({args[0]}, "
+                           f"CAST({sep} AS STRING))")
+            i = close + 1
+            changed = True
+            continue
+        if (name == "make_timestamp" and parts
+                and len(parts[2]) == 1):
+            # 1-arg form: microseconds since the epoch [measured:
+            # make_timestamp(1612325106123456) = 2021-02-03 04:05:06.
+            # 123456; negative and NULL pass through] — Spark's
+            # timestamp_micros
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"timestamp_micros(CAST({e} AS BIGINT))")
+            i = close + 1
+            changed = True
+            continue
+        if (name in ("date_part", "datepart") and parts
+                and len(parts[2]) == 2
+                and _arg_text(toks, parts[2][0]).startswith("[")):
+            # list-form date_part(['year','month'], d) → STRUCT of
+            # fields [measured: BIGINT values, epoch DOUBLE; an unknown
+            # field errors — the emitted per-field date_part stays loud
+            # on it]. Each element re-enters the fixpoint, so divergent
+            # fields (dow/epoch/…) pick up their own rewrites.
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            e = _arg_text(toks, spans[1])
+            lt = tokenize(lst)
+            lspans = _split_args(lt, 0, len(lt) - 1)
+            fields = [detokenize(lt[a:b]).strip() for a, b in lspans]
+            items = []
+            for f_ in fields:
+                fname = f_.strip().strip("'")
+                cast_t = ("DOUBLE" if fname.lower() == "epoch"
+                          else "BIGINT")
+                items.append(f"{f_}, CAST(date_part({f_}, {e}) "
+                             f"AS {cast_t})")
+            out.append(f"named_struct({', '.join(items)})")
             i = close + 1
             changed = True
             continue
@@ -4270,6 +4448,151 @@ def _rewrite_floordiv_operator(sql: str) -> str:
     raise ValueError("floordiv rewrite did not converge")
 
 
+_PG_OP_STOPS = {
+    "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
+    "ELSE", "BY", "ON", "IN", "AS", "IS", "LIKE", "BETWEEN", "SET",
+    "VALUES", "LIMIT", "OFFSET", "HAVING", "ALL", "DISTINCT", "UNION",
+    "EXCEPT", "INTERSECT", "JOIN", "RETURNING", "PARTITION", "ORDER",
+    "GROUP", "OVER", "END",
+}
+
+
+def _rewrite_pg_operator_spellings(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """DuckDB's Postgres-heritage operator spellings [measured 1.0.0]:
+
+    - ``@ x`` prefix absolute value. Binds LOOSER than arithmetic
+      (``@ 2 - 3`` = 1 = abs(2-3); ``1 + @ 2 - 5`` = 1 + abs(2-5)),
+      stops at comparisons (``@ 2 = 2`` is abs(2) = 2). → abs(chain).
+    - ``x !`` postfix factorial. Same loose binding on the LEFT
+      (``2 + 3 * 2!`` = (2+3*2)! = 40320; ``-3!`` = (-3)! = 1;
+      ``2 < 3!`` = 2 < (3!)). Negative → 1; INTEGER operands only
+      (``0.5!`` binder-errors — provably-fractional operands stay
+      verbatim/loud); 21!+ exceeds BIGINT, so the product folds in
+      DECIMAL(38,0) (34! overflows loudly in BOTH engines). NULL → NULL.
+
+    Not lexed as parts of other operators: '!=' is one token, '!~'
+    family is handled by the tilde pass (a '!' directly before '~' is
+    skipped here)."""
+    if "@" not in sql and "!" not in sql:
+        return sql
+    changed = True
+    guard = 0
+    while changed and guard < 100:
+        changed = False
+        guard += 1
+        toks = tokenize(sql)
+        sig = _sig(toks)
+
+        def _arith_stop(t, prev):
+            if t.text in (",", ";"):
+                return True
+            if t.kind == "op" and t.text not in ("+", "-", "*", "/", "%"):
+                return True  # comparison / ||
+            if t.kind == "ident" and t.text.upper() in _PG_OP_STOPS:
+                return True
+            return False
+
+        for p, raw in enumerate(sig):
+            t = toks[raw]
+            if t.text == "!" and t.kind == "other":
+                nxt_raw = raw + 1
+                if nxt_raw < len(toks) and toks[nxt_raw].text in ("~",
+                                                                  "="):
+                    continue  # '!~' family / '!=' spelled apart
+                prev = toks[sig[p - 1]] if p > 0 else None
+                if prev is None or not (
+                        prev.kind in ("num", "bqid")
+                        or prev.text in (")", "]")
+                        or (prev.kind == "ident"
+                            and (prev.text.upper() == "END"  # CASE…END
+                                 or prev.text.upper()
+                                 not in _PG_OP_STOPS))):
+                    continue  # prefix '!' (not DuckDB) — leave loud
+                # left operand: arithmetic chain scan-back
+                q = p - 1
+                d = 0
+                case_d = 0
+                while q >= 0:
+                    tq = toks[sig[q]]
+                    up = tq.text.upper() if tq.kind == "ident" else None
+                    if tq.text in (")", "]"):
+                        d += 1
+                    elif tq.text in ("(", "["):
+                        if d == 0:
+                            break
+                        d -= 1
+                    elif d == 0 and up == "END":
+                        case_d += 1
+                    elif d == 0 and up == "CASE":
+                        if case_d == 0:
+                            break
+                        case_d -= 1
+                    elif d == 0 and case_d == 0 and _arith_stop(
+                            tq, None):
+                        break
+                    q -= 1
+                lstart = q + 1
+                if lstart > p - 1:
+                    continue
+                x = detokenize(toks[sig[lstart]:sig[p - 1] + 1]).strip()
+                if _numeric_class(x, column_kinds) == "frac":
+                    continue  # DuckDB binder-errors — stay loud
+                repl = (f"(CASE WHEN ({x}) IS NULL THEN "
+                        f"CAST(NULL AS DECIMAL(38,0)) "
+                        f"WHEN ({x}) < 2 THEN CAST(1 AS DECIMAL(38,0)) "
+                        f"ELSE aggregate(sequence(2, ({x})), "
+                        f"CAST(1 AS DECIMAL(38,0)), "
+                        f"(__fac_a, __fac_y) -> __fac_a * __fac_y) "
+                        f"END)")
+                sql = (detokenize(toks[:sig[lstart]]) + repl
+                       + detokenize(toks[raw + 1:]))
+                changed = True
+                break
+            if t.text == "@" and t.kind in ("other", "op"):
+                # prefix position only: prev is operator/keyword/( /
+                # , / start
+                prev = toks[sig[p - 1]] if p > 0 else None
+                if prev is not None and (
+                        prev.kind in ("num", "str", "bqid")
+                        or prev.text in (")", "]")
+                        or (prev.kind == "ident"
+                            and prev.text.upper() not in _PG_OP_STOPS)):
+                    continue
+                # operand: arithmetic chain scan-forward
+                r = p + 1
+                d = 0
+                case_d = 0
+                while r < len(sig):
+                    tr = toks[sig[r]]
+                    up = tr.text.upper() if tr.kind == "ident" else None
+                    if tr.text in ("(", "["):
+                        d += 1
+                    elif tr.text in (")", "]"):
+                        if d == 0:
+                            break
+                        d -= 1
+                    elif d == 0 and up == "CASE":
+                        case_d += 1
+                    elif d == 0 and up == "END":
+                        if case_d == 0:
+                            break
+                        case_d -= 1
+                    elif d == 0 and case_d == 0 and _arith_stop(
+                            tr, None):
+                        break
+                    r += 1
+                rend = r - 1
+                if rend < p + 1:
+                    continue
+                x = detokenize(toks[sig[p + 1]:sig[rend] + 1]).strip()
+                sql = (detokenize(toks[:raw]) + f"abs({x})"
+                       + detokenize(toks[sig[rend] + 1:]))
+                changed = True
+                break
+    return sql
+
+
 def _rewrite_power_operator(sql: str) -> str:
     """DuckDB ``^`` (and ``**``) is EXPONENTIATION; Spark's ``^`` is
     bitwise XOR — a silent wrong answer if passed through. Rewritten to
@@ -4619,10 +4942,43 @@ def _rewrite_json_arrow(sql: str) -> str:
             j += 2
         if end_sig is None:
             # chain-final '->' returns QUOTED JSON for string leaves
-            # where get_json_object unquotes — leave it untouched (a
-            # stray arrow is a loud Spark error; a constant lambda
-            # keeps working). Use ->> / json_extract_string instead.
-            pos += 1
+            # where get_json_object unquotes — route through the
+            # quote-keeping __json_extract__ session UDF instead (r9).
+            # EXTRA guard beyond the json-mode check: a bare ident
+            # directly in a known HOF's argument position is that
+            # lambda's PARAMETER (``list_transform(l, x -> 'a')`` is a
+            # constant lambda, not json) — '->>' chains never had this
+            # ambiguity ('->>' is not lambda syntax).
+            if not path or j <= pos:
+                pos += 1
+                continue
+            if base.kind == "ident" and lhs_start >= 1 and \
+                    toks[sig[lhs_start - 1]].text in ("(", ","):
+                depth2 = 0
+                p3 = lhs_start - 1
+                owner = None
+                while p3 >= 0:
+                    tx = toks[sig[p3]].text
+                    if tx == ")":
+                        depth2 += 1
+                    elif tx == "(":
+                        if depth2 == 0:
+                            if (p3 >= 1
+                                    and toks[sig[p3 - 1]].kind == "ident"):
+                                owner = toks[sig[p3 - 1]].text.lower()
+                            break
+                        depth2 -= 1
+                    p3 -= 1
+                if owner in _LAMBDA_HOF_NAMES:
+                    pos += 1
+                    continue
+            end_sig = j - 1
+            lhs_text = detokenize(toks[sig[lhs_start]:sig[pos]]).strip()
+            repl = f"__json_extract__({lhs_text}, '${path}')"
+            toks = (toks[:sig[lhs_start]] + [Tok("other", repl)]
+                    + toks[sig[end_sig] + 1:])
+            sig = _sig(toks)
+            pos = 0
             continue
         lhs_text = detokenize(toks[sig[lhs_start]:sig[pos]]).strip()
         repl = f"get_json_object({lhs_text}, '${path}')"
@@ -4637,6 +4993,18 @@ _CLAUSE_KEYWORDS = {
     "SELECT", "WHERE", "FROM", "ON", "BY", "HAVING", "JOIN", "USING",
     "VALUES", "SET", "RETURNING", "OVER", "PARTITION", "GROUP", "ORDER",
     "UNION", "ALL", "EXCEPT", "INTERSECT", "LIMIT", "OFFSET", "QUALIFY",
+}
+
+# calls whose arguments are LAMBDAS — a bare ident before '->' inside
+# one of these is the lambda parameter, never a json LHS
+_LAMBDA_HOF_NAMES = {
+    "list_transform", "array_transform", "apply", "list_apply",
+    "array_apply", "transform", "list_filter", "array_filter", "filter",
+    "list_reduce", "array_reduce", "reduce", "aggregate", "fold",
+    "exists", "forall", "any_match", "all_match", "none_match",
+    "zip_with", "map_zip_with", "map_filter", "transform_keys",
+    "transform_values", "array_sort", "list_sort_lambda", "list_where",
+    "__hof_filter__",
 }
 
 
@@ -6783,6 +7151,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     ``column_kinds`` (lowercased column name → 'array' | 'string') makes
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
+    sql = _rewrite_dollar_strings(sql)
     sql = _rewrite_quoted_identifiers(sql)
     sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_numeric_literal_forms(sql)
@@ -6804,6 +7173,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
     sql = _rewrite_power_operator(sql)
     sql = _rewrite_floordiv_operator(sql)
+    sql = _rewrite_pg_operator_spellings(sql, column_kinds)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
     sql = _fold_time_literals(sql)

@@ -2765,6 +2765,9 @@ class Engine:
                 query = self._substitute_getvariable(query)
         query = self._resolve_read_functions(query)
         if dialect == "duckdb":
+            pct_df = self._try_limit_percent(query)
+            if pct_df is not None:
+                return pct_df
             query = _rewrite_from_first(query)
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
@@ -2791,6 +2794,73 @@ class Engine:
                     # to the untouched text
                     pass
         return self.spark.sql(query)
+
+    def _try_limit_percent(self, query: str):
+        """``LIMIT n% [OFFSET k]`` — DuckDB's percentage limit
+        [measured: floor(child_count · n/100) rows, the percent taken
+        of the PRE-offset count (range(5) LIMIT 40% OFFSET 1 → 2 rows);
+        n outside [0, 100] errors]. Spark's LIMIT needs a literal, so
+        this runs as two jobs: count the child, then offset+limit —
+        same asymptotic cost as DuckDB's own implementation. Returns
+        None when the statement has no top-level trailing percent
+        limit."""
+        if "%" not in query or not re.search(r"(?i)\bLIMIT\b", query):
+            return None
+        from .dialect import _sig, detokenize, tokenize
+
+        toks = tokenize(query)
+        sig = _sig(toks)
+        # drop a trailing ';'
+        while sig and toks[sig[-1]].text == ";":
+            sig = sig[:-1]
+        if not sig:
+            return None
+        # optional trailing OFFSET <int>
+        off = None
+        end = len(sig)
+        if (len(sig) >= 2 and toks[sig[-1]].kind == "num"
+                and toks[sig[-2]].kind == "ident"
+                and toks[sig[-2]].text.upper() == "OFFSET"):
+            off = int(toks[sig[-1]].text)
+            end = len(sig) - 2
+        if end < 1 or toks[sig[end - 1]].text != "%":
+            return None
+        # find the top-level LIMIT keyword scanning back
+        depth = 0
+        lim_pos = None
+        for p in range(end - 2, -1, -1):
+            t = toks[sig[p]]
+            if t.text in (")", "]"):
+                depth += 1
+            elif t.text in ("(", "["):
+                depth -= 1
+            elif (depth == 0 and t.kind == "ident"
+                    and t.text.upper() == "LIMIT"):
+                lim_pos = p
+                break
+            elif depth == 0 and t.text == ";":
+                return None
+        if lim_pos is None or lim_pos + 1 > end - 2:
+            return None
+        pct_txt = detokenize(
+            toks[sig[lim_pos + 1]:sig[end - 2] + 1]).strip()
+        base = detokenize(toks[:sig[lim_pos]]).strip()
+        if not base:
+            return None
+        pct_row = self.sql(f"SELECT CAST(({pct_txt}) AS DOUBLE) AS p",
+                           dialect="duckdb").collect()
+        pct = pct_row[0]["p"]
+        if pct is None or pct < 0 or pct > 100:
+            raise ValueError(
+                "Limit percent out of range, should be between 0% and "
+                "100% (same as DuckDB)")
+        inner = self.sql(base, dialect="duckdb")
+        import math
+
+        n = int(math.floor(inner.count() * pct / 100.0))
+        if off:
+            inner = inner.offset(off)
+        return inner.limit(n)
 
     def _materialize_recursive_inputs(self, query: str) -> str:
         """WITH RECURSIVE optimization: non-recursive CTEs referenced by
@@ -5672,6 +5742,21 @@ def _map_duck_type(typ: str) -> str | None:
     (Spark's carrier is bare STRING). Returns None when the base type
     is unknown (callers decide whether that's an error)."""
     t = typ.strip()
+    # DuckDB array suffixes: INT[] / VARCHAR[][] → ARRAY<…> wrapping
+    depth = 0
+    while True:
+        m_arr = re.search(r"\[\s*\]\s*$", t)
+        if not m_arr:
+            break
+        t = t[:m_arr.start()].rstrip()
+        depth += 1
+    if depth:
+        inner = _map_duck_type(t)
+        if inner is None:
+            return None
+        for _ in range(depth):
+            inner = f"ARRAY<{inner}>"
+        return inner
     m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)"
                  r"(\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?$", t)
     if not m:
@@ -5779,7 +5864,8 @@ def _schema_to_spark_ddl(inner: str) -> str:
         # DEC(p,s) keep the user's precision/scale (bare-NUMERIC only
         # gets the DECIMAL(18,3) default); VARCHAR(n) lengths drop.
         mcol = re.match(r"^(\s*\S+\s+)([A-Za-z_][A-Za-z0-9_]*"
-                        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(.*)$",
+                        r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+                        r"(?:\s*\[\s*\])*)(.*)$",
                         part, re.DOTALL)
         if mcol:
             mapped = _map_duck_type(mcol.group(2))

@@ -1095,3 +1095,170 @@ def test_gcd_lcm_long_aliases(engine, duck):
     _check(engine, duck, (
         "SELECT greatest_common_divisor(12, 18) AS a, "
         "least_common_multiple(4, 6) AS b2"))
+
+
+# --- round 9: quoted identifiers, //, decimal-cast trunc, json trio,
+#     dollar strings, loud-gap batch ---------------------------------------
+
+
+def test_double_quoted_identifiers(engine, duck):
+    """The r8 verdict's headline silent divergence: double-quoted
+    names are IDENTIFIERS in DuckDB, string literals in Spark —
+    'SELECT "n"' returned the constant. All four positions (select
+    list, qualified, GROUP BY, ORDER BY), spaced/escaped aliases, the
+    case-insensitive resolution pin, and a quoted FUNCTION name."""
+    _check(engine, duck, (
+        'SELECT "x" AS a FROM (SELECT 1 AS x, 2 AS y) t ORDER BY "x"'))
+    _check(engine, duck, (
+        'SELECT "X" AS a, t."y" AS b2 FROM (SELECT 1 AS x, 2 AS y) '
+        '"t" GROUP BY "x", "y" ORDER BY "a"'))
+    _check(engine, duck, (
+        'SELECT x AS "my alias" FROM (SELECT 1 AS x) ORDER BY '
+        '"my alias"'))
+    _check(engine, duck, (
+        'SELECT x AS "a""b" FROM (SELECT 1 AS x) t ORDER BY "a""b"'))
+    _check(engine, duck, 'SELECT "upper"(\'ab\') AS u')
+    _check(engine, duck,
+           'SELECT x AS "from" FROM (SELECT 1 AS x) ORDER BY "from"')
+
+
+def test_floordiv_operator(engine, duck):
+    """`//` [measured]: int//int is TRUNCATING integer division
+    (-7//2 = -3) with NULL on zero; any DOUBLE/DECIMAL operand makes
+    it PLAIN division (7.0//2 = 3.5); left-assoc chains; binds at
+    *-precedence."""
+    _check(engine, duck, (
+        "SELECT 7 // 2 AS a, -7 // 2 AS b2, 7 // -2 AS c, "
+        "7 // 0 AS d, NULL // 2 AS e2, 100 // 3 // 3 AS f"))
+    _check(engine, duck, (
+        "SELECT 7.0 // 2 AS a, 7 // 2.0 AS b2, 1e3 // 7 AS c, "
+        "2 * 3 // 4 AS d, 7 // 2 * 3 AS e2, 10 - 7 // 2 AS f"))
+    _check(engine, duck, (
+        "SELECT l_orderkey // 10 AS a, l_quantity // 2.0 AS b2 "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3"))
+
+
+def test_decimal_cast_truncation(engine, duck):
+    """CAST(decimal AS DECIMAL(p,s)) downscale TRUNCATES toward zero
+    in DuckDB [measured: 1.26→1.2, -1.26→-1.2, 0.999→0]; DOUBLE and
+    VARCHAR sources ROUND in both engines; upscale is exact."""
+    _check(engine, duck, (
+        "SELECT CAST(CAST(1.26 AS DECIMAL(6,1)) AS VARCHAR) AS a, "
+        "CAST(CAST(-1.26 AS DECIMAL(6,1)) AS VARCHAR) AS b2, "
+        "CAST(CAST(0.999 AS DECIMAL(6,0)) AS VARCHAR) AS c, "
+        "CAST(1.29::DECIMAL(6,1) AS VARCHAR) AS d, "
+        "CAST(CAST('1.26' AS DECIMAL(6,1)) AS VARCHAR) AS e2, "
+        "CAST(CAST(1.26::DOUBLE AS DECIMAL(6,1)) AS VARCHAR) AS f, "
+        "CAST(CAST(1.2 AS DECIMAL(6,3)) AS VARCHAR) AS g"))
+
+
+def test_dollar_quoted_strings(engine, duck):
+    """$$…$$ / $tag$…$tag$ are RAW string literals [measured: no
+    escape processing, inner $$ survives under a tag]."""
+    _check(engine, duck, (
+        "SELECT $$it's raw \\n$$ AS a, $tag$has $$ inside$tag$ AS b2, "
+        "$$$$ AS c, len($$x'y$$) AS d, "
+        "regexp_extract('a1b22', $$\\d+$$, 0) AS e2"))
+
+
+def test_json_introspection_trio(engine, duck):
+    """json_extract keeps quotes and re-renders numbers through
+    yyjson's double rules [measured: 2.50→2.5, 1e2→100.0, 1e30→1e30,
+    -1e-5→-0.00001, 1e21→1e21]; json-null and missing → SQL NULL;
+    bare-key/pointer/int paths; json_type's vocabulary incl. the
+    UBIGINT/BIGINT sign split."""
+    _check(engine, duck, (
+        "SELECT json_extract('{\"a\":{\"b\":\"x\"}}', '$.a.b') AS a, "
+        "json_extract('{\"a\":[1,2]}', '$.a') AS b2, "
+        "json_extract('{\"a\":1}', 'a') AS c, "
+        "json_extract('[1,2,3]', 0) AS d, "
+        "json_extract('{\"a\":{\"b\":1}}', '/a/b') AS e2, "
+        "json_extract('[1,2,3]', '$[#-1]') AS f, "
+        "json_extract('{\"a\":1}', '$.b') AS g"))
+    _check(engine, duck, (
+        "SELECT json_extract('{\"a\": 2.50}', '$.a') AS a, "
+        "json_extract('{\"a\": 1e2}', '$.a') AS b2, "
+        "json_extract('{\"a\": 1e30}', '$.a') AS c, "
+        "json_extract('{\"a\": -1e-5}', '$.a') AS d, "
+        "json_extract('{\"a\": 1e21}', '$.a') AS e2"))
+    _check(engine, duck, (
+        "SELECT json_type('{\"a\":1}') AS a, json_type('[1,2]') AS b2, "
+        "json_type('1') AS c, json_type('-3') AS d, "
+        "json_type('1.5') AS e2, json_type('\"s\"') AS f, "
+        "json_type('true') AS g, json_type('null') AS h, "
+        "json_type('{\"a\":null}', '$.a') AS i2, "
+        "json_type('{\"a\":1}', '$.b') AS j"))
+    _check(engine, duck, (
+        "SELECT json_extract_string('{\"a\":2.5}', 'a') AS a, "
+        "json_extract_path('{\"a\":{\"b\":2}}', '$.a.b') AS b2, "
+        "json_extract_path_text('{\"a\":\"x\"}', 'a') AS c"))
+    # chain-final -> now keeps quotes; lambda arrows stay lambdas
+    _check(engine, duck, (
+        "SELECT '{\"a\":{\"b\":\"x\"}}' -> 'a' -> 'b' AS a, "
+        "CAST(list_transform([1,2], x -> 'a') AS VARCHAR) AS b2"))
+
+
+def test_pg_operator_spellings(engine, duck):
+    """'@' prefix abs and '!' postfix factorial [measured]: both bind
+    looser than arithmetic, tighter than comparison; factorial of
+    negatives is 1, NULL→NULL, 21!+ needs >64-bit (DECIMAL(38,0)
+    carrier here, HUGEINT in DuckDB)."""
+    _check(engine, duck, (
+        "SELECT CAST(5! AS VARCHAR) AS a, CAST(0! AS VARCHAR) AS b2, "
+        "CAST(-3! AS VARCHAR) AS c, CAST(21! AS VARCHAR) AS d, "
+        "CAST(2 + 3 * 2! AS VARCHAR) AS e2, CAST(NULL! AS VARCHAR) "
+        "AS f, 2 < 3! AS g"))
+    _check(engine, duck, (
+        "SELECT @(-5) AS a, @ 5.5 AS b2, @ 2 - 3 AS c, "
+        "1 + @ 2 - 5 AS d, @ 2 = 2 AS e2, @ @ -3 AS f"))
+
+
+def test_loud_gap_batch_r9(engine, duck):
+    """make_timestamp(micros), EXTRACT(isoyear/yearweek), list-form
+    date_part, parse_* path scalars [all measured]."""
+    _check(engine, duck, (
+        "SELECT make_timestamp(1612325106123456) AS a, "
+        "make_timestamp(0) AS b2, make_timestamp(-1) AS c"))
+    _check(engine, duck, (
+        "SELECT EXTRACT(isoyear FROM DATE '2021-01-01') AS a, "
+        "EXTRACT(isoyear FROM DATE '2016-01-04') AS b2, "
+        "EXTRACT(yearweek FROM DATE '2021-01-03') AS c, "
+        "date_part('isoyear', TIMESTAMP '2021-06-15 10:00:00') AS d"))
+    _check(engine, duck, (
+        "SELECT date_part(['year','month','day'], DATE '2021-05-04') "
+        "AS a, date_part(['epoch','hour'], "
+        "TIMESTAMP '2021-05-04 10:11:12') AS b2"))
+    _check(engine, duck, (
+        "SELECT parse_filename('/a/b/c.txt') AS a, "
+        "parse_filename('a.tar.gz', true) AS b2, "
+        "parse_filename('.hidden', true) AS c, "
+        "parse_dirname('/a/b/c.txt') AS d, parse_dirname('c.txt') "
+        "AS e2, parse_dirpath('/c.txt') AS f, "
+        "parse_dirpath('a//b/c') AS g, "
+        "CAST(parse_path('/a/b/c.txt') AS VARCHAR) AS h, "
+        "CAST(parse_path('C:\\u\\f.txt', 'backslash') AS VARCHAR) "
+        "AS i2"))
+
+
+def test_limit_percent(engine, duck):
+    """LIMIT n% [measured: floor(count·n/100) rows, percent of the
+    PRE-offset count, >100/<0 errors]."""
+    _check(engine, duck, (
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 1%"))
+    _check(engine, duck, (
+        "SELECT * FROM (SELECT l_orderkey FROM lineitem "
+        "ORDER BY l_orderkey LIMIT 10) ORDER BY l_orderkey LIMIT 25%"))
+    _check(engine, duck, (
+        "SELECT r_regionkey FROM region ORDER BY r_regionkey "
+        "LIMIT 40% OFFSET 1"))
+
+
+def test_array_varchar_cast_null_elements(engine, duck):
+    """CAST(<array> AS VARCHAR) renders NULL elements uppercase in
+    DuckDB ('[1, NULL, 3]') vs Spark's lowercase — rewritten for
+    provably-array operands."""
+    _check(engine, duck, (
+        "SELECT CAST([1, NULL, 3] AS VARCHAR) AS a, "
+        "CAST(['a', NULL] AS VARCHAR) AS b2, "
+        "CAST(list_sort([2, NULL, 1]) AS VARCHAR) AS c"))
