@@ -516,6 +516,7 @@ _SIMPLE_RENAMES = {
     # rewrite
     "arbitrary": "first",
     "list_has": "array_contains",
+    "array_has": "array_contains",
     "list_indexof": "array_position",  # missing element → 0 on both
     # hash() is ENGINE-SPECIFIC on both sides (DuckDB's own 64-bit
     # finalizer vs whatever Spark ships) — mapped to xxhash64 so the
@@ -1007,6 +1008,15 @@ _TO_INTERVAL_FNS = {
     "to_milliseconds": ("make_dt_interval", "0, 0, 0, ({n}) / 1000"),
     "to_microseconds": ("make_dt_interval", "0, 0, 0, ({n}) / 1000000"),
 }
+
+
+def _is_interval_step(s: str) -> bool:
+    """True when a range/generate_series step argument is provably
+    interval-typed (the temporal-series emission path)."""
+    return bool(re.match(
+        r"(?is)^\s*[-+]?\s*(?:INTERVAL\b|make_dt_interval\s*\(|"
+        r"make_ym_interval\s*\(|to_(?:years|months|days|hours|"
+        r"minutes|seconds|milliseconds|microseconds|weeks)\s*\()", s))
 
 
 def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
@@ -1916,11 +1926,28 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             b = _arg_text(toks, spans[2])
             per = {"second": 1, "minute": 60, "hour": 3600,
                    "day": 86400, "week": 604800}.get(unit)
+            months_per = {"month": 1, "quarter": 3, "year": 12,
+                          "decade": 120, "century": 1200,
+                          "millennium": 12000}.get(unit)
+            if per is None and months_per is not None:
+                # calendar-variable parts (r9) [measured: ('month',
+                # 01-31, 02-29) = 1 — day-clamped completeness;
+                # ('year', 2020-06-01, 2024-05-31) = 3; reversed = -1,
+                # truncation toward zero]: Spark's months_between
+                # shares the clamped/last-day rule, CAST truncates
+                mb = (f"months_between(CAST({b} AS TIMESTAMP), "
+                      f"CAST({a} AS TIMESTAMP))")
+                if months_per == 1:
+                    out.append(f"CAST({mb} AS BIGINT)")
+                else:
+                    out.append(
+                        f"(CAST({mb} AS BIGINT) DIV {months_per})")
+                i = close + 1
+                changed = True
+                continue
             if per is None:
                 raise NotImplementedError(
-                    f"date_sub({unit!r}, ...): calendar-variable parts "
-                    f"(month/year) are not supported — use date_diff or "
-                    f"months_between")
+                    f"date_sub({unit!r}, ...): unknown part")
             # CAST truncates toward zero, matching DuckDB's complete-
             # parts rule for reversed intervals (measured -5, not
             # floor's -6 — review r6)
@@ -2596,7 +2623,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     i = close + 1
                     changed = True
                     continue
-        if name == "list_has_any" and parts and len(parts[2]) == 2:
+        if (name in ("list_has_any", "array_has_any") and parts
+                and len(parts[2]) == 2):
             # NULL semantics [measured]: DuckDB yields NULL only when a
             # LIST itself is NULL; null ELEMENTS never match (false).
             # Spark arrays_overlap returns NULL when no common non-null
@@ -2611,7 +2639,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "list_has_all" and parts and len(parts[2]) == 2:
+        if (name in ("list_has_all", "array_has_all") and parts
+                and len(parts[2]) == 2):
             # true iff every NON-NULL element of the SECOND list is in
             # the first (DuckDB ignores null needles [measured]); NULL
             # when either list is NULL.
@@ -2622,6 +2651,17 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 f"(CASE WHEN {lst} IS NULL OR {sub} IS NULL THEN NULL "
                 f"ELSE size(array_except(filter({sub}, "
                 f"__lha -> __lha IS NOT NULL), {lst})) = 0 END)")
+            i = close + 1
+            changed = True
+            continue
+        if (name == "array_length" and parts and len(parts[2]) == 2
+                and _arg_text(toks, parts[2][1]).strip() == "1"):
+            # 2-arg dimension form: only dim 1 exists for LISTs in
+            # DuckDB [measured: other dims 'not implemented'] — the
+            # dim-1 spelling is len(); other dims stay loud (must
+            # precede the 1-arg rename table)
+            _, close, spans = parts
+            out.append(f"size({_arg_text(toks, spans[0])})")
             i = close + 1
             changed = True
             continue
@@ -2850,6 +2890,26 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 a, b, s = args[0], args[1], "1"
             else:
                 a, b, s = args
+            if len(args) == 3 and _is_interval_step(s):
+                # temporal form [measured: range(DATE a, DATE b,
+                # INTERVAL) → TIMESTAMP[] with EXCLUSIVE stop]. Step
+                # direction probes as ca+s vs ca (intervals don't
+                # compare to 0 in Spark).
+                ca = f"CAST({a} AS TIMESTAMP)"
+                cb = f"CAST({b} AS TIMESTAMP)"
+                out.append(
+                    f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                    f"THEN NULL "
+                    f"WHEN {ca} + ({s}) > {ca} AND {ca} < {cb} THEN "
+                    f"filter(sequence({ca}, {cb}, {s}), "
+                    f"__rg -> __rg < {cb}) "
+                    f"WHEN {ca} + ({s}) < {ca} AND {ca} > {cb} THEN "
+                    f"filter(sequence({ca}, {cb}, {s}), "
+                    f"__rg -> __rg > {cb}) "
+                    f"ELSE slice(array({ca}), 1, 0) END)")
+                i = close + 1
+                changed = True
+                continue
             # a NULL bound/step is NULL in DuckDB [measured], not the
             # empty list the guards would otherwise fall through to
             out.append(
@@ -2874,6 +2934,23 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # the engine's series-TVF resolver.
             _, close, spans = parts
             gs = [_arg_text(toks, s) for s in spans]
+            if len(gs) == 3 and _is_interval_step(gs[2]):
+                # temporal form: INCLUSIVE stop, empty on crossed
+                # bounds [measured] — direction probes as ca+s vs ca
+                a2, b2, s2 = gs
+                ca = f"CAST({a2} AS TIMESTAMP)"
+                cb = f"CAST({b2} AS TIMESTAMP)"
+                out.append(
+                    f"(CASE WHEN ({a2}) IS NULL OR ({b2}) IS NULL "
+                    f"THEN NULL "
+                    f"WHEN {ca} + ({s2}) > {ca} AND {ca} <= {cb} "
+                    f"THEN sequence({ca}, {cb}, {s2}) "
+                    f"WHEN {ca} + ({s2}) < {ca} AND {ca} >= {cb} "
+                    f"THEN sequence({ca}, {cb}, {s2}) "
+                    f"ELSE slice(array({ca}), 1, 0) END)")
+                i = close + 1
+                changed = True
+                continue
             if len(gs) == 3:
                 out.append(f"sequence({gs[0]}, {gs[1]}, {gs[2]})")
             else:
@@ -3078,6 +3155,54 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 f"get({lst}, CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
                 f"WHEN ({idx}) < 0 THEN size({lst}) + ({idx}) "
                 f"ELSE NULL END)")
+            i = close + 1
+            changed = True
+            continue
+        if (name in ("like_escape", "not_like_escape", "ilike_escape",
+                     "not_ilike_escape") and parts
+                and len(parts[2]) == 3):
+            # function spellings of LIKE … ESCAPE [measured: escape
+            # char makes _/% literal; ilike folds case on BOTH sides]
+            _, close, spans = parts
+            s_ = _arg_text(toks, spans[0])
+            pat = _arg_text(toks, spans[1])
+            esc = _arg_text(toks, spans[2])
+            if "ilike" in name:
+                body = f"lower({s_}) LIKE lower({pat}) ESCAPE {esc}"
+            else:
+                body = f"{s_} LIKE {pat} ESCAPE {esc}"
+            neg = "NOT " if name.startswith("not_") else ""
+            out.append(f"({neg}({body}))")
+            i = close + 1
+            changed = True
+            continue
+        if (name in ("divide", "multiply", "add", "subtract", "mod")
+                and parts and len(parts[2]) == 2):
+            # operator-function spellings [measured: divide(7,2)=3 —
+            # it is the `//` semantics, NOT `/`; mod(7,0)=NULL]
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            if name == "divide":
+                out.append(f"__floordiv__({a}, {b})")
+            elif name == "mod":
+                out.append(f"try_mod({a}, {b})")
+            else:
+                op2 = {"multiply": "*", "add": "+",
+                       "subtract": "-"}[name]
+                out.append(f"(({a}) {op2} ({b}))")
+            i = close + 1
+            changed = True
+            continue
+        if name in ("encode", "decode") and parts \
+                and len(parts[2]) == 1:
+            # DuckDB's 1-arg VARCHAR↔BLOB converters are UTF-8
+            # [measured: octet_length(encode('abc')) = 3]; Spark's
+            # spellings take an explicit charset (2-arg emission, so
+            # this 1-arg branch doesn't re-trigger)
+            _, close, spans = parts
+            e = _arg_text(toks, spans[0])
+            out.append(f"{name}({e}, 'UTF-8')")
             i = close + 1
             changed = True
             continue
@@ -4294,9 +4419,9 @@ def _rewrite_floordiv_operator(sql: str) -> str:
         while q >= 0:
             t = toks[sig[q]]
             up = t.text.upper() if t.kind == "ident" else None
-            if t.text in (")", "]"):
+            if t.text in (")", "]", "}"):
                 d += 1
-            elif t.text in ("(", "["):
+            elif t.text in ("(", "[", "{"):
                 if d == 0:
                     break
                 d -= 1
@@ -4306,6 +4431,14 @@ def _rewrite_floordiv_operator(sql: str) -> str:
                 if case_depth == 0:
                     break
                 case_depth -= 1
+            elif d == 0 and t.kind in ("arrow", "arrow2"):
+                break  # lambda/json arrow — never cross it
+            elif (d == 0 and t.text == ":"
+                    and not (sig[q] + 1 < len(toks)
+                             and toks[sig[q] + 1].text == ":")
+                    and not (sig[q] >= 1
+                             and toks[sig[q] - 1].text == ":")):
+                break  # struct-literal key separator (single ':')
             elif d == 0 and case_depth == 0:
                 if t.kind == "op":
                     if t.text in ("*", "/", "%"):
@@ -4448,6 +4581,375 @@ def _rewrite_floordiv_operator(sql: str) -> str:
     raise ValueError("floordiv rewrite did not converge")
 
 
+_COLLATION_FNS = {
+    "NOCASE": "lower({})",
+    "NOACCENT": "strip_accents({})",
+    "NFC": "nfc_normalize({})",
+}
+_CMP_OPS = {"=", "<>", "!=", "<", ">", "<=", ">="}
+
+
+def _rewrite_collate(sql: str) -> str:
+    """``expr COLLATE NOCASE[.NOACCENT…]`` [measured 1.0.0]: the
+    collation applies to COMPARISONS (both sides normalize: 'b' =
+    'B' COLLATE NOCASE is true, whichever side carries it), to IN
+    lists, and to ORDER BY keys; it is a NO-OP under DISTINCT,
+    LIKE and plain aggregates (count(DISTINCT x COLLATE NOCASE)
+    stays 2 over 'a'/'A'). NOCASE → lower(), NOACCENT →
+    strip_accents() (the session UDF), NFC → nfc_normalize();
+    dotted chains compose left-to-right. Unknown (ICU-locale)
+    collations stay verbatim and fail loudly."""
+    if not re.search(r"(?i)\bCOLLATE\b", sql):
+        return sql
+    changed = True
+    guard = 0
+    while changed and guard < 50:
+        changed = False
+        guard += 1
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        for p, raw in enumerate(sig):
+            t = toks[raw]
+            if not (t.kind == "ident" and t.text.upper() == "COLLATE"
+                    and p >= 1 and p + 1 < len(sig)):
+                continue
+            # collation spec: ident (. ident)*
+            specs = []
+            q = p + 1
+            if toks[sig[q]].kind != "ident":
+                continue
+            specs.append(toks[sig[q]].text.upper())
+            while (q + 2 < len(sig) and toks[sig[q + 1]].text == "."
+                   and toks[sig[q + 2]].kind == "ident"):
+                specs.append(toks[sig[q + 2]].text.upper())
+                q += 2
+            if not all(s in _COLLATION_FNS for s in specs):
+                continue  # ICU locale — loud
+
+            def _norm(e: str) -> str:
+                for s in specs:
+                    e = _COLLATION_FNS[s].format(e)
+                return e
+
+            # LHS: one primary scan-back
+            lp = p - 1
+            tl = toks[sig[lp]]
+            if tl.text in (")", "]"):
+                d = 0
+                while lp >= 0:
+                    tx = toks[sig[lp]].text
+                    if tx in (")", "]"):
+                        d += 1
+                    elif tx in ("(", "["):
+                        d -= 1
+                        if d == 0:
+                            break
+                    lp -= 1
+                if (lp >= 1 and toks[sig[lp - 1]].kind == "ident"
+                        and toks[sig[lp - 1]].text.upper()
+                        not in _CLAUSE_KEYWORDS):
+                    lp -= 1
+            elif tl.kind not in ("num", "str", "ident", "bqid"):
+                continue
+            lhs = detokenize(toks[sig[lp]:sig[p - 1] + 1]).strip()
+            prev = toks[sig[lp - 1]] if lp >= 1 else None
+            nxt = toks[sig[q + 1]] if q + 1 < len(sig) else None
+            # comparison on the right: expr COLLATE C <op> R
+            if nxt is not None and nxt.kind == "op" \
+                    and nxt.text in _CMP_OPS:
+                # RHS: one primary
+                rp = q + 2
+                if rp >= len(sig):
+                    continue
+                tr = toks[sig[rp]]
+                rend = sig[rp]
+                if tr.text == "(":
+                    rend = _find_close(toks, sig[rp])
+                elif tr.kind == "ident" and rp + 1 < len(sig) \
+                        and toks[sig[rp + 1]].text == "(" \
+                        and sig[rp + 1] == rend + 1:
+                    rend = _find_close(toks, sig[rp + 1])
+                rhs = detokenize(toks[sig[rp]:rend + 1]).strip()
+                repl = f"{_norm(lhs)} {nxt.text} {_norm(rhs)}"
+                sql = (detokenize(toks[:sig[lp]]) + repl
+                       + detokenize(toks[rend + 1:]))
+                changed = True
+                break
+            # comparison on the left: L <op> expr COLLATE C
+            if prev is not None and prev.kind == "op" \
+                    and prev.text in _CMP_OPS:
+                # L: one primary before the operator
+                llp = lp - 2
+                if llp < 0:
+                    continue
+                tll = toks[sig[llp]]
+                lstart2 = sig[llp]
+                if tll.text in (")", "]"):
+                    d = 0
+                    w = llp
+                    while w >= 0:
+                        tx = toks[sig[w]].text
+                        if tx in (")", "]"):
+                            d += 1
+                        elif tx in ("(", "["):
+                            d -= 1
+                            if d == 0:
+                                break
+                        w -= 1
+                    if (w >= 1 and toks[sig[w - 1]].kind == "ident"
+                            and toks[sig[w - 1]].text.upper()
+                            not in _CLAUSE_KEYWORDS):
+                        w -= 1
+                    lstart2 = sig[w]
+                left2 = detokenize(toks[lstart2:sig[lp - 1]]).strip()
+                repl = f"{_norm(left2)} {prev.text} {_norm(lhs)}"
+                sql = (detokenize(toks[:lstart2]) + repl
+                       + detokenize(toks[sig[q] + 1:]))
+                changed = True
+                break
+            # IN list: expr COLLATE C IN (a, b, …)
+            if (nxt is not None and nxt.kind == "ident"
+                    and nxt.text.upper() == "IN"
+                    and q + 2 < len(sig) and toks[sig[q + 2]].text == "("):
+                close2 = _find_close(toks, sig[q + 2])
+                espans = _split_args(toks, sig[q + 2], close2)
+                elems = [_norm(_arg_text(toks, sp)) for sp in espans]
+                repl = f"{_norm(lhs)} IN ({', '.join(elems)})"
+                sql = (detokenize(toks[:sig[lp]]) + repl
+                       + detokenize(toks[close2 + 1:]))
+                changed = True
+                break
+            # ORDER BY key: normalize; elsewhere (DISTINCT/aggregate/
+            # LIKE) the collation is a measured NO-OP — drop it
+            back = lp - 1
+            d = 0
+            in_order_by = False
+            while back >= 0:
+                tb = toks[sig[back]]
+                if tb.text in (")", "]"):
+                    d += 1
+                elif tb.text in ("(", "["):
+                    if d == 0:
+                        break
+                    d -= 1
+                elif d == 0 and tb.kind == "ident":
+                    u = tb.text.upper()
+                    if u == "BY":
+                        in_order_by = (
+                            back >= 1
+                            and toks[sig[back - 1]].kind == "ident"
+                            and toks[sig[back - 1]].text.upper()
+                            == "ORDER")
+                        break
+                    if u in ("SELECT", "WHERE", "HAVING", "ON", "WHEN",
+                             "THEN", "SET", "VALUES", "FROM", "LIMIT"):
+                        break
+                back -= 1
+            repl = _norm(lhs) if in_order_by else lhs
+            sql = (detokenize(toks[:sig[lp]]) + repl
+                   + detokenize(toks[sig[q] + 1:]))
+            changed = True
+            break
+    return sql
+
+
+def _rewrite_null_safe_division(sql: str) -> str:
+    """DuckDB division/modulo by zero is NULL for EVERY numeric type
+    [measured: 7/0, 7.0/0, 1.0::DOUBLE/0.0::DOUBLE, 7%0, 7.5%0 all
+    NULL]; Spark ANSI throws DIVIDE_BY_ZERO/REMAINDER_BY_ZERO. Every
+    source-level binary ``/`` and ``%`` becomes try_divide/try_mod —
+    the same JVM expression with a NULL branch, so types, precision
+    and codegen are unchanged for non-zero divisors. Runs AFTER the
+    floordiv pass (``//`` already consumed) and BEFORE the call
+    rewrites, so engine EMISSIONS keep plain operators. Leftmost-first
+    with re-scan: the emission contains no '/' or '%', so the loop
+    converges; operand extraction mirrors the floordiv pass
+    (same-precedence chain on the left, one primary on the right)."""
+    if "/" not in sql and "%" not in sql:
+        return sql
+    for _ in range(500):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        hit = None
+        for p, raw in enumerate(sig):
+            t = toks[raw]
+            if t.kind == "op" and t.text in ("/", "%") and p >= 1:
+                hit = p
+                break
+        if hit is None:
+            return sql
+        fn = "try_divide" if toks[sig[hit]].text == "/" else "try_mod"
+        # ---- left operand: same-precedence chain scan-back
+        q = hit - 1
+        d = 0
+        case_d = 0
+        while q >= 0:
+            t = toks[sig[q]]
+            up = t.text.upper() if t.kind == "ident" else None
+            if t.text in (")", "]", "}"):
+                d += 1
+            elif t.text in ("(", "[", "{"):
+                if d == 0:
+                    break
+                d -= 1
+            elif d == 0 and up == "END":
+                case_d += 1
+            elif d == 0 and up == "CASE":
+                if case_d == 0:
+                    break
+                case_d -= 1
+            elif d == 0 and toks[sig[q]].kind in ("arrow", "arrow2"):
+                break  # lambda/json arrow — never cross it
+            elif (d == 0 and t.text == ":"
+                    and not (sig[q] + 1 < len(toks)
+                             and toks[sig[q] + 1].text == ":")
+                    and not (sig[q] >= 1
+                             and toks[sig[q] - 1].text == ":")):
+                break  # struct-literal key separator (single ':')
+            elif d == 0 and case_d == 0:
+                if t.kind == "op":
+                    if t.text in ("*", "/", "%"):
+                        pass  # same precedence — absorb
+                    elif t.text in ("+", "-"):
+                        prev = toks[sig[q - 1]] if q > 0 else None
+                        if prev is not None and (
+                                prev.kind in ("num", "str", "bqid")
+                                or prev.text in (")", "]")
+                                or (prev.kind == "ident"
+                                    and prev.text.upper()
+                                    not in _FLOORDIV_STOPS)):
+                            break
+                    else:
+                        break
+                elif t.text in (",", ";"):
+                    break
+                elif up in _FLOORDIV_STOPS:
+                    break
+            q -= 1
+        lstart = q + 1
+        if lstart > hit - 1:
+            return sql  # malformed — leave loud
+        left = detokenize(toks[sig[lstart]:sig[hit - 1] + 1]).strip()
+        # ---- right operand: unary signs + one primary + postfix chain
+        r = hit + 1
+        while r < len(sig) and toks[sig[r]].text in ("+", "-"):
+            r += 1
+        if r >= len(sig):
+            return sql
+        t = toks[sig[r]]
+        if t.text == "(":
+            try:
+                rend_raw = _find_close(toks, sig[r])
+            except ValueError:
+                return sql
+        elif t.text == "[":
+            dd = 0
+            rend_raw = None
+            for k in range(sig[r], len(toks)):
+                if toks[k].text == "[":
+                    dd += 1
+                elif toks[k].text == "]":
+                    dd -= 1
+                    if dd == 0:
+                        rend_raw = k
+                        break
+            if rend_raw is None:
+                return sql
+        elif t.kind in ("num", "str", "bqid"):
+            rend_raw = sig[r]
+        elif t.kind == "ident":
+            if t.text.upper() == "CASE":
+                dd = 0
+                rend_raw = None
+                for p2 in range(r, len(sig)):
+                    u2 = (toks[sig[p2]].text.upper()
+                          if toks[sig[p2]].kind == "ident" else "")
+                    if u2 == "CASE":
+                        dd += 1
+                    elif u2 == "END":
+                        dd -= 1
+                        if dd == 0:
+                            rend_raw = sig[p2]
+                            break
+                if rend_raw is None:
+                    return sql
+            elif t.text.upper() == "INTERVAL":
+                # INTERVAL '2 days' / INTERVAL 3 MONTH — literal unit
+                # words follow; absorb up to two more tokens
+                rend_raw = sig[r]
+                k2 = r + 1
+                while (k2 < len(sig) and k2 <= r + 2
+                        and (toks[sig[k2]].kind in ("num", "str")
+                             or (toks[sig[k2]].kind == "ident"
+                                 and toks[sig[k2]].text.upper()
+                                 not in _FLOORDIV_STOPS))):
+                    rend_raw = sig[k2]
+                    k2 += 1
+            else:
+                rend_raw = sig[r]
+                nxt = r + 1
+                if (nxt < len(sig) and toks[sig[nxt]].text == "("
+                        and sig[nxt] == rend_raw + 1):
+                    try:
+                        rend_raw = _find_close(toks, sig[nxt])
+                    except ValueError:
+                        return sql
+        else:
+            return sql
+        # postfix chain: .ident, ::TYPE[(p,s)], [subscript]
+        p2 = None
+        for pp in range(len(sig)):
+            if sig[pp] == rend_raw:
+                p2 = pp
+                break
+        if p2 is None:
+            for pp in range(len(sig) - 1, -1, -1):
+                if sig[pp] <= rend_raw:
+                    p2 = pp
+                    break
+        while p2 is not None and p2 + 1 < len(sig):
+            nt = toks[sig[p2 + 1]]
+            if nt.text == "." and p2 + 2 < len(sig) \
+                    and toks[sig[p2 + 2]].kind == "ident":
+                p2 += 2
+                rend_raw = sig[p2]
+            elif (nt.text == ":" and p2 + 3 < len(sig)
+                    and toks[sig[p2 + 2]].text == ":"
+                    and toks[sig[p2 + 3]].kind == "ident"):
+                p2 += 3
+                rend_raw = sig[p2]
+                if p2 + 1 < len(sig) and toks[sig[p2 + 1]].text == "(":
+                    try:
+                        rend_raw = _find_close(toks, sig[p2 + 1])
+                    except ValueError:
+                        return sql
+                    while p2 + 1 < len(sig) and sig[p2 + 1] <= rend_raw:
+                        p2 += 1
+            elif nt.text == "[":
+                dd = 0
+                done = None
+                for k in range(sig[p2 + 1], len(toks)):
+                    if toks[k].text == "[":
+                        dd += 1
+                    elif toks[k].text == "]":
+                        dd -= 1
+                        if dd == 0:
+                            done = k
+                            break
+                if done is None:
+                    return sql
+                rend_raw = done
+                while p2 + 1 < len(sig) and sig[p2 + 1] <= done:
+                    p2 += 1
+            else:
+                break
+        right = detokenize(toks[sig[hit] + 1:rend_raw + 1]).strip()
+        sql = (detokenize(toks[:sig[lstart]])
+               + f"{fn}({left}, {right})"
+               + detokenize(toks[rend_raw + 1:]))
+    raise ValueError("null-safe division rewrite did not converge")
+
+
 _PG_OP_STOPS = {
     "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
     "ELSE", "BY", "ON", "IN", "AS", "IS", "LIKE", "BETWEEN", "SET",
@@ -4485,8 +4987,14 @@ def _rewrite_pg_operator_spellings(
         sig = _sig(toks)
 
         def _arith_stop(t, prev):
+            if t.kind in ("arrow", "arrow2"):
+                return True  # lambda/json arrow — never cross it
             if t.text in (",", ";"):
                 return True
+            if t.text == ":":
+                return True  # struct key separator ('::' is handled
+                # by the callers' adjacent-token absorption before
+                # reaching the stop check)
             if t.kind == "op" and t.text not in ("+", "-", "*", "/", "%"):
                 return True  # comparison / ||
             if t.kind == "ident" and t.text.upper() in _PG_OP_STOPS:
@@ -4516,9 +5024,9 @@ def _rewrite_pg_operator_spellings(
                 while q >= 0:
                     tq = toks[sig[q]]
                     up = tq.text.upper() if tq.kind == "ident" else None
-                    if tq.text in (")", "]"):
+                    if tq.text in (")", "]", "}"):
                         d += 1
-                    elif tq.text in ("(", "["):
+                    elif tq.text in ("(", "[", "{"):
                         if d == 0:
                             break
                         d -= 1
@@ -4566,9 +5074,9 @@ def _rewrite_pg_operator_spellings(
                 while r < len(sig):
                     tr = toks[sig[r]]
                     up = tr.text.upper() if tr.kind == "ident" else None
-                    if tr.text in ("(", "["):
+                    if tr.text in ("(", "[", "{"):
                         d += 1
-                    elif tr.text in (")", "]"):
+                    elif tr.text in (")", "]", "}"):
                         if d == 0:
                             break
                         d -= 1
@@ -6299,7 +6807,8 @@ def _subscript_base_start(toks: list[Tok], sig: list[int],
 
 
 _MAP_CONSTRUCTOR_RE = re.compile(
-    r"^(map|map_from_arrays|map_from_entries)\s*[({]", re.IGNORECASE)
+    r"^(map|map_from_arrays|map_from_entries|map_concat)\s*[({]",
+    re.IGNORECASE)
 
 
 def _base_kind(toks: list[Tok], sig: list[int], start_pos: int,
@@ -7172,11 +7681,13 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_integer_cast_rounding(sql)
     sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
     sql = _rewrite_power_operator(sql)
+    sql = _fold_time_literals(sql)
     sql = _rewrite_floordiv_operator(sql)
     sql = _rewrite_pg_operator_spellings(sql, column_kinds)
+    sql = _rewrite_null_safe_division(sql)
+    sql = _rewrite_collate(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
-    sql = _fold_time_literals(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

@@ -3209,9 +3209,58 @@ class Engine:
                     continue
             i2 += 1
         if not cuts:
-            raise NotImplementedError(
-                "UNION BY NAME inside a subquery is not supported — "
-                "hoist it to the top level or align the column lists")
+            # BY NAME below top level (r9): materialize the innermost
+            # enclosing parenthesized span as its own BY-NAME union (a
+            # temp view), substitute the view into the outer text and
+            # re-run. An outer-CTE reference inside the span fails
+            # loudly at the inner run (unknown view) — same class as
+            # the WITH refusal above, never a silent change.
+            m2 = None
+            for m3 in pat.finditer(query):
+                if not any(a <= m3.start() < b for a, b in spans):
+                    m2 = m3
+                    break
+            if m2 is None:
+                raise NotImplementedError(
+                    "UNION BY NAME inside a subquery is not supported — "
+                    "hoist it to the top level or align the column lists")
+            stack: list[int] = []
+            open_i = None
+            for j in range(m2.start()):
+                if any(a <= j < b for a, b in spans):
+                    continue
+                if query[j] == "(":
+                    stack.append(j)
+                elif query[j] == ")":
+                    stack.pop()
+            if not stack:
+                raise NotImplementedError(
+                    "UNION BY NAME inside a subquery is not supported — "
+                    "hoist it to the top level or align the column lists")
+            open_i = stack[-1]
+            d3 = 0
+            close_i = None
+            for j in range(open_i, len(query)):
+                if any(a <= j < b for a, b in spans):
+                    continue
+                if query[j] == "(":
+                    d3 += 1
+                elif query[j] == ")":
+                    d3 -= 1
+                    if d3 == 0:
+                        close_i = j
+                        break
+            if close_i is None:
+                raise ValueError("UNION BY NAME: unbalanced parentheses")
+            inner_df = self._union_by_name(
+                query[open_i + 1:close_i], dialect)
+            import uuid as _uuid
+
+            v2 = f"__ubn_{_uuid.uuid4().hex[:8]}"
+            inner_df.createOrReplaceTempView(v2)
+            return self.sql(
+                query[:open_i] + f"(SELECT * FROM {v2})"
+                + query[close_i + 1:], dialect=dialect)
         pieces, pos = [], 0
         alls = []
         for start, end, is_all in cuts:

@@ -171,22 +171,53 @@ def _age_str(t1, t2) -> str | None:
     1 month 1 day'); zero components omitted ('-1 month -12:00:00');
     pure/zero time as '00:00:00[.ffffff]' with trailing fraction zeros
     trimmed ('09:26:13.998'); negatives sign every component].
-    dateutil.relativedelta performs the same calendar borrow Postgres'
-    timestamp_age does (verified on the measured cases). Spark cannot
-    TYPE the result — year-month and day-time intervals are disjoint —
-    so age() returns the rendered STRING; arithmetic on it fails
-    loudly (documented, SURVEY §2.4)."""
+    The borrow is Postgres' timestamp_age algorithm: a negative day
+    difference borrows days-in-month of the SECOND (subtracted)
+    argument's month — NOT relativedelta's anchor (r9 probe:
+    age('2024-03-01 12:00', '2023-01-15 06:00') = 1 year 1 month
+    **17** days 06:00:00 — borrowing January's 31; relativedelta said
+    15). Spark cannot TYPE the result — year-month and day-time
+    intervals are disjoint — so age() returns the rendered STRING;
+    arithmetic on it fails loudly (documented, SURVEY §2.4)."""
     if t1 is None or t2 is None or t1 != t1 or t2 != t2:  # NaT-safe
         return None
-    from dateutil.relativedelta import relativedelta
+    import calendar
 
-    rd = relativedelta(t1, t2)
+    sign = 1
+    if t1 < t2:
+        t1, t2 = t2, t1
+        sign = -1
+    us = t1.microsecond - t2.microsecond
+    s = t1.second - t2.second
+    m = t1.minute - t2.minute
+    h = t1.hour - t2.hour
+    dd = t1.day - t2.day
+    mo = t1.month - t2.month
+    yy = t1.year - t2.year
+    if us < 0:
+        us += 1_000_000
+        s -= 1
+    if s < 0:
+        s += 60
+        m -= 1
+    if m < 0:
+        m += 60
+        h -= 1
+    if h < 0:
+        h += 24
+        dd -= 1
+    if dd < 0:
+        dd += calendar.monthrange(t2.year, t2.month)[1]
+        mo -= 1
+    if mo < 0:
+        mo += 12
+        yy -= 1
+    yy, mo, dd = sign * yy, sign * mo, sign * dd
+    h, m, s, us = sign * h, sign * m, sign * s, sign * us
     parts: list[str] = []
-    for val, unit in ((rd.years, "year"), (rd.months, "month"),
-                      (rd.days, "day")):
+    for val, unit in ((yy, "year"), (mo, "month"), (dd, "day")):
         if val:
             parts.append(f"{val} {unit}" + ("" if abs(val) == 1 else "s"))
-    h, m, s, us = rd.hours, rd.minutes, rd.seconds, rd.microseconds
     if h or m or s or us or not parts:
         neg = h < 0 or m < 0 or s < 0 or us < 0
         t = f"{'-' if neg else ''}{abs(h):02d}:{abs(m):02d}:{abs(s):02d}"

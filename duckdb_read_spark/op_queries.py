@@ -2258,6 +2258,110 @@ def _q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q147_TEXT, dialect="duckdb")
 
 
+_Q148_TEXT = """
+SELECT "l_returnflag" AS flag,
+       "l_orderkey" // 100 AS okey_bucket,
+       count(*) AS n,
+       CAST(CAST(sum("l_quantity") AS BIGINT) AS VARCHAR) AS qty,
+       CAST(CAST(avg(l_extendedprice) AS DECIMAL(18,4)) AS DECIMAL(12,1))
+           AS price_trunc,
+       sum(l_quantity) / count(*) AS qty_ratio
+FROM "lineitem"
+WHERE "l_linenumber" % 2 = 1
+GROUP BY "l_returnflag", "l_orderkey" // 100
+ORDER BY flag, okey_bucket
+LIMIT 40
+"""
+
+
+@_op("q148_quoted_floordiv", _Q148_TEXT,
+     note="r9 headline tranche as one verbatim query: double-quoted "
+          "identifiers in every position (the r8 silent divergence), "
+          "// truncating integer division as a grouping key, "
+          "decimal-downscale-cast truncation, and null-safe / and % "
+          "spellings")
+def _q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q148_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q148_TEXT, dialect="duckdb")
+
+
+_Q149_TEXT = """
+WITH j AS (
+  SELECT doc_id,
+         '{"id": ' || doc_id || ', "lang": "' || lang ||
+         '", "meta": {"tok": ' || len(string_split(text, ' ')) ||
+         ', "ratio": 2.50}}' AS payload
+  FROM documents WHERE doc_id < 40)
+SELECT doc_id,
+       json_extract(payload, '$.meta.tok') AS tok_json,
+       json_extract_string(payload, 'lang') AS lang_raw,
+       json_type(payload) AS t_root,
+       json_type(payload, '$.meta.ratio') AS t_ratio,
+       json_extract(payload, '/meta/ratio') AS ratio_render,
+       json_valid(payload) AS ok,
+       payload -> 'meta' -> 'tok' AS tok_arrow
+FROM j
+ORDER BY doc_id
+"""
+
+
+@_op("q149_json_introspection", _Q149_TEXT,
+     note="r9 json trio over constructed payloads: quote-keeping "
+          "json_extract with $-path/bare/pointer forms, yyjson number "
+          "re-rendering (2.50 → 2.5), json_type vocabulary, chain-final "
+          "-> arrows")
+def _q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q149_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q149_TEXT, dialect="duckdb")
+
+
+_Q150_TEXT = """
+SELECT doc_id,
+       parse_filename('/corpus/' || lang || '/' || doc_id || '.txt', true)
+           AS stem,
+       parse_dirpath('/corpus/' || lang || '/' || doc_id || '.txt')
+           AS dirp,
+       lang COLLATE NOCASE = upper(lang) COLLATE NOCASE AS ci_eq,
+       CAST(CAST(doc_id % 6 AS INTEGER)! AS VARCHAR) AS fact,
+       @ (doc_id - 20) AS dist,
+       date_sub('month', DATE '2023-11-15',
+                DATE '2023-11-15' + to_days(CAST(doc_id AS INTEGER))) AS mdiff,
+       isoyear(DATE '2024-01-01' + to_days(CAST(doc_id AS INTEGER))) AS iy,
+       CAST(make_timestamp(1700000000000000 + doc_id * 1000000)
+            AS VARCHAR) AS mts
+FROM documents WHERE doc_id < 40
+ORDER BY doc_id
+"""
+
+
+@_op("q150_pg_operator_tranche", _Q150_TEXT,
+     note="r9 loud-gap batch as one verbatim query: parse_* path "
+          "scalars, COLLATE comparisons, postfix factorial in "
+          "DECIMAL(38,0), @ prefix abs, calendar date_sub, bare "
+          "isoyear, 1-arg make_timestamp")
+def _q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q150_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q150_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 

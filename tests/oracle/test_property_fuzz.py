@@ -969,3 +969,53 @@ def test_fuzzed_r8_tranche_matches_oracle(seed, engine, duck):
     got = spark_rows(engine.sql(sql, dialect="duckdb"))
     want = duckdb_rows(duck, sql)
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
+def gen_r9_tranche(rng: random.Random) -> str:
+    """r9 shapes: double-quoted identifiers, // floor division,
+    null-safe / and %, decimal downscale casts, json introspection,
+    dollar strings, @/! operators, COLLATE, parse_* paths —
+    verbatim DuckDB."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    i1, i2 = rng.choice(t["int"]), rng.choice(t["int"])
+    s1 = rng.choice(t["str"])
+    uid = t["int"][0]
+    n1 = rng.randint(2, 9)
+    n2 = rng.randint(1, 5)
+    sc = rng.randint(0, 2)
+    pool = [
+        f'"{i1}" // {n1} AS e1',
+        f"{i1} // ({i2} % {n1}) AS e2",
+        f"{i1} % ({i2} % {n2}) AS e3",
+        f"{i1} / nullif({i2} % {n2}, -1) AS e4",
+        f"CAST(CAST({i1} * 1.377 AS DECIMAL(18,6)) "
+        f"AS DECIMAL(18,{sc})) AS e5",
+        f"json_extract('{{\"a\": {{\"b\": ' || ({i1} % 50) || "
+        f"', \"c\": 2.50}}}}', '$.a.b') AS e6",
+        f"json_type('[1, \"x\", null, 2.5]', '$[{rng.randint(0, 3)}]')"
+        f" AS e7",
+        f"json_extract_string('{{\"k\": ' || ({i2} % 9) || '}}', 'k') "
+        f"AS e8",
+        f"{s1} ~ $$[A-Za-z ,.]*$$ AS e9",
+        f"@ ({i1} % 19 - 9) AS e10",
+        f"CAST(CAST({i1} % 7 AS INTEGER)! AS VARCHAR) AS e11",
+        f"{s1} COLLATE NOCASE = upper({s1}) AS e12",
+        f"parse_filename('/d/' || {i1} || '.x', true) AS e13",
+        f"parse_dirpath('a/' || ({i2} % 5) || '/f') AS e14",
+        f"divide({i1}, {n1}) AS e15",
+        f"date_sub('month', DATE '2023-01-31', DATE '2023-01-31' "
+        f"+ to_days(CAST({i1} % 90 AS INTEGER))) AS e16",
+    ]
+    rng.shuffle(pool)
+    picks = pool[:rng.randint(3, 5)]
+    return (f"SELECT {uid} AS k, {', '.join(picks)} FROM {name} "
+            f"WHERE {uid} < 40 ORDER BY k, 2")
+
+
+@pytest.mark.parametrize("seed", range(360, 376))
+def test_fuzzed_r9_tranche_matches_oracle(seed, engine, duck):
+    sql = gen_r9_tranche(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)

@@ -445,9 +445,12 @@ def test_function_tranche_rewrites():
     out = to_spark_sql("SELECT date_sub('hour', a, b) FROM t")
     # CAST truncation toward zero, NOT floor (reversed intervals pin)
     assert "floor" not in out and "3600" in out
-    import pytest as _p2
-    with _p2.raises(NotImplementedError, match="calendar-variable"):
-        to_spark_sql("SELECT date_sub('month', a, b) FROM t")
+    # calendar parts implemented in r9: complete clamped months via
+    # months_between, truncation toward zero
+    out = to_spark_sql("SELECT date_sub('month', a, b) FROM t")
+    assert "months_between" in out and "DIV" not in out
+    out = to_spark_sql("SELECT date_sub('year', a, b) FROM t")
+    assert "months_between" in out and "DIV 12" in out
     # Spark's own 2-arg date_sub is untouched
     assert to_spark_sql("SELECT date_sub(d, 3) FROM t") == \
         "SELECT date_sub(d, 3) FROM t"

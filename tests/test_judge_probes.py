@@ -1262,3 +1262,147 @@ def test_array_varchar_cast_null_elements(engine, duck):
         "SELECT CAST([1, NULL, 3] AS VARCHAR) AS a, "
         "CAST(['a', NULL] AS VARCHAR) AS b2, "
         "CAST(list_sort([2, NULL, 1]) AS VARCHAR) AS c"))
+
+
+def test_collate_clauses(engine, duck):
+    """COLLATE [measured]: comparisons normalize BOTH sides whichever
+    side carries the clause; dotted chains compose; IN lists and
+    ORDER BY keys collate; DISTINCT/aggregates are a NO-OP (count
+    DISTINCT of 'a'/'A' under NOCASE stays 2)."""
+    _check(engine, duck, (
+        "SELECT 'b' COLLATE NOCASE = 'B' AS a, "
+        "'b' = 'B' COLLATE NOCASE AS b2, "
+        "'É' COLLATE NOACCENT = 'E' AS c, "
+        "'É' COLLATE NOACCENT.NOCASE = 'e' AS d, "
+        "'b' COLLATE NOCASE < 'A' AS e2, "
+        "'b' COLLATE NOCASE IN ('B', 'c') AS f"))
+    _check(engine, duck, (
+        "SELECT x FROM (VALUES ('b'),('A')) t(x) "
+        "ORDER BY x COLLATE NOCASE"))
+    _check(engine, duck, (
+        "SELECT count(DISTINCT x COLLATE NOCASE) AS a, "
+        "max(x COLLATE NOCASE) AS b2 "
+        "FROM (VALUES ('a'),('A')) t(x)"))
+
+
+def test_union_by_name_in_subquery(engine, duck):
+    """UNION [ALL] BY NAME below the top level (r8 refusal lifted):
+    the inner union materializes as a temp view and the outer text
+    re-runs."""
+    _check(engine, duck, (
+        "SELECT * FROM (SELECT 1 AS a, 2 AS b UNION ALL BY NAME "
+        "SELECT 3 AS b, 4 AS a) ORDER BY a"))
+    _check(engine, duck, (
+        "SELECT t.a + 1 AS x FROM (SELECT 1 AS a UNION BY NAME "
+        "SELECT 1 AS a) t ORDER BY x"))
+
+
+def test_documented_over_acceptance_r9(engine, duck):
+    """§2.4 documented divergences (VERDICT r8 'What's missing' #10):
+    text DuckDB REJECTS that the engine accepts — pinned so drift in
+    either engine surfaces loudly. octet_length on a bare string
+    literal is a DuckDB binder ambiguity (BLOB works in both);
+    CAST('YES' AS BOOLEAN) is a DuckDB conversion error (Spark
+    accepts y/yes/t forms); '5' + 1 is a DuckDB binder error (Spark
+    ANSI coerces the numeric string)."""
+    import pytest as _pytest
+
+    for q in ("SELECT octet_length('lit')",
+              "SELECT CAST('YES' AS BOOLEAN)",
+              "SELECT '5' + 1"):
+        with _pytest.raises(Exception):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+    _check(engine, duck, "SELECT octet_length(encode('abc')) AS a")
+
+
+def test_null_safe_division(engine, duck):
+    """Division/modulo by zero is NULL for EVERY numeric type in
+    DuckDB [measured: 7/0, 7.0/0, DOUBLE/DOUBLE, 7%0, 7.5%0 all
+    NULL]; source-level / and % compile to try_divide/try_mod."""
+    _check(engine, duck, (
+        "SELECT 7/0 AS a, 7.0/0 AS b2, 1.0::DOUBLE/0.0::DOUBLE AS c, "
+        "7%0 AS d, 7.5%0 AS e2, NULL/2 AS f"))
+    _check(engine, duck, (
+        "SELECT 7/2 AS a, 10 - 7 / 2 AS b2, 2 * 3 / 4 AS c, "
+        "100 / 5 / 2 AS d, -7 / 2 AS e2, 7 % 3 AS f, -7 % 3 AS g"))
+    _check(engine, duck, (
+        "SELECT l_orderkey, sum(l_quantity) / count(*) AS r "
+        "FROM lineitem GROUP BY l_orderkey "
+        "ORDER BY l_orderkey LIMIT 3"))
+
+
+def test_named_arithmetic_and_like_escape(engine, duck):
+    """divide() is the `//` semantics (trunc int division, plain on
+    doubles); mod(x,0) is NULL; like_escape family maps onto
+    LIKE … ESCAPE [measured]."""
+    _check(engine, duck, (
+        "SELECT divide(7,2) AS a, divide(-7,2) AS b2, "
+        "divide(7.0,2) AS c, multiply(3,4) AS d, add(1,2) AS e2, "
+        "subtract(5,3) AS f, mod(7,0) AS g, mod(-7,3) AS h"))
+    _check(engine, duck, (
+        "SELECT like_escape('a_c', 'a$_c', '$') AS a, "
+        "not_like_escape('abc', 'a$_c', '$') AS b2, "
+        "ilike_escape('A_C', 'a$_c', '$') AS c, "
+        "not_ilike_escape('AxC', 'a$_c', '$') AS d"))
+
+
+def test_age_postgres_borrow_and_date_sub_calendar(engine, duck):
+    """age() borrows a negative day difference from the SECOND
+    argument's month (Postgres timestamp_age) — relativedelta's
+    anchor gave 15 where DuckDB says 17 [measured r9]; date_sub
+    gains calendar parts (complete clamped months/years, truncation
+    toward zero on reversed intervals)."""
+    _check(engine, duck, (
+        "SELECT CAST(age(TIMESTAMP '2024-03-01 12:00:00', "
+        "TIMESTAMP '2023-01-15 06:00:00') AS VARCHAR) AS a, "
+        "CAST(age(TIMESTAMP '2023-01-15 06:00:00', "
+        "TIMESTAMP '2024-03-01 12:00:00') AS VARCHAR) AS b2, "
+        "CAST(age(TIMESTAMP '2024-03-30 00:00:00', "
+        "TIMESTAMP '2024-01-31 00:00:00') AS VARCHAR) AS c, "
+        "CAST(age(TIMESTAMP '2024-03-01 00:00:00', "
+        "TIMESTAMP '2024-02-29 10:00:00') AS VARCHAR) AS d"))
+    _check(engine, duck, (
+        "SELECT date_sub('month', DATE '2024-01-31', "
+        "DATE '2024-02-29') AS a, "
+        "date_sub('month', DATE '2024-03-01', DATE '2024-01-31') "
+        "AS b2, date_sub('year', DATE '2020-06-01', "
+        "DATE '2024-05-31') AS c, date_sub('quarter', "
+        "DATE '2024-01-15', DATE '2024-08-20') AS d"))
+
+
+def test_encode_decode_one_arg(engine, duck):
+    """1-arg encode/decode are UTF-8 VARCHAR↔BLOB [measured]."""
+    _check(engine, duck, (
+        "SELECT octet_length(encode('abc')) AS a, "
+        "decode(encode('héllo')) AS b2, "
+        "encode('abc') = 'abc'::BLOB AS c"))
+
+
+def test_temporal_series_and_has_family(engine, duck):
+    """range/generate_series over DATE/TIMESTAMP with INTERVAL steps
+    [measured: TIMESTAMP[] results, range exclusive / series
+    inclusive, crossed bounds empty]; array_has* aliases with
+    null-needle/element semantics; map_concat subscripts; dim-1
+    array_length."""
+    _check(engine, duck, (
+        "SELECT CAST(range(DATE '2024-01-01', DATE '2024-01-05', "
+        "INTERVAL 1 DAY) AS VARCHAR) AS a, "
+        "CAST(generate_series(DATE '2024-01-01', DATE '2024-01-05', "
+        "INTERVAL 2 DAY) AS VARCHAR) AS b2, "
+        "CAST(range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02', "
+        "INTERVAL 12 HOUR) AS VARCHAR) AS c, "
+        "CAST(range(DATE '2024-01-05', DATE '2024-01-01', "
+        "- INTERVAL 2 DAY) AS VARCHAR) AS d, "
+        "CAST(range(DATE '2024-01-05', DATE '2024-01-01', "
+        "INTERVAL 1 DAY) AS VARCHAR) AS e2, "
+        "CAST(generate_series(TIMESTAMP '2024-03-01', "
+        "TIMESTAMP '2024-06-01', INTERVAL 1 MONTH) AS VARCHAR) AS f"))
+    _check(engine, duck, (
+        "SELECT array_has([1,2], 2) AS a, "
+        "array_has([1,NULL], NULL) AS b2, "
+        "array_has_any([1,NULL],[NULL]) AS c, "
+        "array_has_any([1],[1,9]) AS d, "
+        "array_has_all([1,2,NULL],[NULL,1]) AS e2, "
+        "CAST(map_concat(map(['a'],[1]), map(['b'],[2]))['b'] "
+        "AS VARCHAR) AS f, array_length([1,2], 1) AS g"))
