@@ -1019,6 +1019,69 @@ def _is_interval_step(s: str) -> bool:
         r"minutes|seconds|milliseconds|microseconds|weeks)\s*\()", s))
 
 
+def _is_ym_interval_step(s: str) -> bool:
+    """True for YEAR-MONTH interval steps — these need the COMPOUNDING
+    emission: Spark's sequence() computes start + i*step (re-clamping
+    from the original day each time) while DuckDB compounds prev + step
+    [measured: range('2024-01-31','2024-06-30', 1 MONTH) = …02-29,
+    03-29, 04-29… in DuckDB vs …02-29, 03-31, 04-30… from sequence]."""
+    return bool(re.search(
+        r"(?is)\b(?:MONTHS?|YEARS?|QUARTERS?|MONS?|DECADES?|"
+        r"CENTUR(?:Y|IES)|MILLENNI(?:UM|A))\b", s)) or bool(re.match(
+            r"(?is)^\s*[-+]?\s*(?:make_ym_interval\s*\(|"
+            r"to_(?:years|months|quarters|decades|centuries|"
+            r"millennia)\s*\()", s))
+
+
+def _temporal_series_emission(a: str, b: str, s: str,
+                              inclusive: bool) -> str:
+    """range/generate_series over DATE/TIMESTAMP bounds with an
+    INTERVAL step → TIMESTAMP[] [measured: range EXCLUSIVE stop,
+    generate_series INCLUSIVE, crossed bounds empty, NULL bound OR
+    NULL step → NULL]. Day-time steps ride Spark's sequence();
+    year-month steps COMPOUND via an aggregate() fold (add_months
+    clamping applies to the PREVIOUS element, like DuckDB)."""
+    ca = f"CAST({a} AS TIMESTAMP)"
+    cb = f"CAST({b} AS TIMESTAMP)"
+    null_guard = (f"({a}) IS NULL OR ({b}) IS NULL "
+                  f"OR {ca} + ({s}) IS NULL")
+    if _is_ym_interval_step(s):
+        cmp_up = "<=" if inclusive else "<"
+        cmp_dn = ">=" if inclusive else ">"
+        last = "element_at(__acc, size(__acc))"
+
+        def fold(bound_cmp: str, months: str) -> str:
+            return (
+                f"aggregate(sequence(1, CAST({months} AS INT) + 1), "
+                f"array({ca}), (__acc, __i) -> "
+                f"CASE WHEN {last} + ({s}) {bound_cmp} {cb} "
+                f"THEN array_append(__acc, {last} + ({s})) "
+                f"ELSE __acc END)")
+
+        return (
+            f"(CASE WHEN {null_guard} THEN NULL "
+            f"WHEN {ca} + ({s}) > {ca} AND {ca} {cmp_up} {cb} "
+            f"THEN {fold(cmp_up, f'months_between({cb}, {ca})')} "
+            f"WHEN {ca} + ({s}) < {ca} AND {ca} {cmp_dn} {cb} "
+            f"THEN {fold(cmp_dn, f'months_between({ca}, {cb})')} "
+            f"ELSE slice(array({ca}), 1, 0) END)")
+    if inclusive:
+        return (
+            f"(CASE WHEN {null_guard} THEN NULL "
+            f"WHEN {ca} + ({s}) > {ca} AND {ca} <= {cb} "
+            f"THEN sequence({ca}, {cb}, {s}) "
+            f"WHEN {ca} + ({s}) < {ca} AND {ca} >= {cb} "
+            f"THEN sequence({ca}, {cb}, {s}) "
+            f"ELSE slice(array({ca}), 1, 0) END)")
+    return (
+        f"(CASE WHEN {null_guard} THEN NULL "
+        f"WHEN {ca} + ({s}) > {ca} AND {ca} < {cb} THEN "
+        f"filter(sequence({ca}, {cb}, {s}), __rg -> __rg < {cb}) "
+        f"WHEN {ca} + ({s}) < {ca} AND {ca} > {cb} THEN "
+        f"filter(sequence({ca}, {cb}, {s}), __rg -> __rg > {cb}) "
+        f"ELSE slice(array({ca}), 1, 0) END)")
+
+
 def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """One pass of call-shaped rewrites; repeats until fixpoint for nesting.
 
@@ -1071,12 +1134,27 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         r"flatten|slice|list_transform|list_filter|"
                         r"array_transform)\s*\(", x))
                 if is_arr:
-                    out.append(
-                        f"(CASE WHEN ({x}) IS NULL THEN "
-                        f"CAST(NULL AS STRING) ELSE '[' || array_join("
-                        f"transform({x}, __e -> coalesce("
-                        f"CAST(__e AS STRING), 'NULL')), ', ') || ']' "
-                        f"END)")
+                    if re.match(r"^\[\s*\[", x):
+                        # one nesting level of literal arrays: inner
+                        # NULLs must render uppercase too (review r9
+                        # #6; deeper nesting is documented residue)
+                        inner = (
+                            f"'[' || array_join(transform(__e, "
+                            f"__e2 -> coalesce(CAST(__e2 AS STRING), "
+                            f"'NULL')), ', ') || ']'")
+                        out.append(
+                            f"(CASE WHEN ({x}) IS NULL THEN "
+                            f"CAST(NULL AS STRING) ELSE '[' || "
+                            f"array_join(transform({x}, __e -> "
+                            f"CASE WHEN __e IS NULL THEN 'NULL' "
+                            f"ELSE {inner} END), ', ') || ']' END)")
+                    else:
+                        out.append(
+                            f"(CASE WHEN ({x}) IS NULL THEN "
+                            f"CAST(NULL AS STRING) ELSE '[' || "
+                            f"array_join(transform({x}, __e -> "
+                            f"coalesce(CAST(__e AS STRING), 'NULL')), "
+                            f"', ') || ']' END)")
                     i = parts[1] + 1
                     changed = True
                     continue
@@ -2059,7 +2137,17 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             j = _arg_text(toks, spans[0])
             pth = _arg_text(toks, spans[1])
-            if re.fullmatch(r"'\$(?:[^']|'')*'", pth):
+            if pth.startswith("[") and pth.endswith("]"):
+                # VARCHAR[] overload → element-wise fan-out (review
+                # r9 #4 — the scalar route stringified the list)
+                lt = tokenize(pth)
+                lspans = _split_args(lt, 0, len(lt) - 1)
+                elems = [detokenize(lt[a:b]).strip() for a, b in lspans]
+                calls = ", ".join(
+                    f"__json_extract_string__({j}, "
+                    f"CAST({p_} AS STRING))" for p_ in elems)
+                out.append(f"array({calls})")
+            elif re.fullmatch(r"'\$(?:[^']|'')*'", pth):
                 out.append(f"get_json_object({j}, {pth})")
             else:
                 out.append(f"__json_extract_string__({j}, "
@@ -2891,22 +2979,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             else:
                 a, b, s = args
             if len(args) == 3 and _is_interval_step(s):
-                # temporal form [measured: range(DATE a, DATE b,
-                # INTERVAL) → TIMESTAMP[] with EXCLUSIVE stop]. Step
-                # direction probes as ca+s vs ca (intervals don't
-                # compare to 0 in Spark).
-                ca = f"CAST({a} AS TIMESTAMP)"
-                cb = f"CAST({b} AS TIMESTAMP)"
-                out.append(
-                    f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
-                    f"THEN NULL "
-                    f"WHEN {ca} + ({s}) > {ca} AND {ca} < {cb} THEN "
-                    f"filter(sequence({ca}, {cb}, {s}), "
-                    f"__rg -> __rg < {cb}) "
-                    f"WHEN {ca} + ({s}) < {ca} AND {ca} > {cb} THEN "
-                    f"filter(sequence({ca}, {cb}, {s}), "
-                    f"__rg -> __rg > {cb}) "
-                    f"ELSE slice(array({ca}), 1, 0) END)")
+                # temporal form — see _temporal_series_emission
+                out.append(_temporal_series_emission(
+                    a, b, s, inclusive=False))
                 i = close + 1
                 changed = True
                 continue
@@ -2935,19 +3010,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             gs = [_arg_text(toks, s) for s in spans]
             if len(gs) == 3 and _is_interval_step(gs[2]):
-                # temporal form: INCLUSIVE stop, empty on crossed
-                # bounds [measured] — direction probes as ca+s vs ca
-                a2, b2, s2 = gs
-                ca = f"CAST({a2} AS TIMESTAMP)"
-                cb = f"CAST({b2} AS TIMESTAMP)"
-                out.append(
-                    f"(CASE WHEN ({a2}) IS NULL OR ({b2}) IS NULL "
-                    f"THEN NULL "
-                    f"WHEN {ca} + ({s2}) > {ca} AND {ca} <= {cb} "
-                    f"THEN sequence({ca}, {cb}, {s2}) "
-                    f"WHEN {ca} + ({s2}) < {ca} AND {ca} >= {cb} "
-                    f"THEN sequence({ca}, {cb}, {s2}) "
-                    f"ELSE slice(array({ca}), 1, 0) END)")
+                # temporal form — see _temporal_series_emission
+                out.append(_temporal_series_emission(
+                    gs[0], gs[1], gs[2], inclusive=True))
                 i = close + 1
                 changed = True
                 continue
@@ -4387,17 +4452,194 @@ _FLOORDIV_STOPS = {
 }
 
 
+def _scan_arith_left(toks, sig, hit: int) -> int | None:
+    """sig position where the SAME-PRECEDENCE left operand chain of the
+    binary */%-class operator at sig[hit] starts (DuckDB precedence,
+    measured: ``2*3//4`` = 1, ``10-7//2`` = 7). Absorbs * / % and
+    unary signs, walks CASE…END and bracket groups, and stops at
+    lower-precedence boundaries, lambda/json arrows and struct-literal
+    key colons. None when there is nothing to the left."""
+    q = hit - 1
+    d = 0
+    case_depth = 0
+    while q >= 0:
+        t = toks[sig[q]]
+        up = t.text.upper() if t.kind == "ident" else None
+        if t.text in (")", "]", "}"):
+            d += 1
+        elif t.text in ("(", "[", "{"):
+            if d == 0:
+                break
+            d -= 1
+        elif d == 0 and up == "END":
+            case_depth += 1
+        elif d == 0 and up == "CASE":
+            if case_depth == 0:
+                break
+            case_depth -= 1
+        elif d == 0 and t.kind in ("arrow", "arrow2"):
+            break  # lambda/json arrow — never cross it
+        elif (d == 0 and t.text == ":"
+                and not (sig[q] + 1 < len(toks)
+                         and toks[sig[q] + 1].text == ":")
+                and not (sig[q] >= 1
+                         and toks[sig[q] - 1].text == ":")):
+            break  # struct-literal key separator (single ':')
+        elif d == 0 and case_depth == 0:
+            if t.kind == "op":
+                if t.text in ("*", "/", "%"):
+                    pass  # same precedence — absorb
+                elif t.text in ("+", "-"):
+                    prev = toks[sig[q - 1]] if q > 0 else None
+                    if prev is not None and (
+                            prev.kind in ("num", "str", "bqid")
+                            or prev.text in (")", "]")
+                            or (prev.kind == "ident"
+                                and prev.text.upper()
+                                not in _FLOORDIV_STOPS)):
+                        break  # binary +/- — lower precedence
+                    # unary sign: part of the operand
+                else:
+                    break  # comparison, ||, …
+            elif t.text in (",", ";"):
+                break
+            elif up in _FLOORDIV_STOPS:
+                break
+        q -= 1
+    lstart = q + 1
+    return lstart if lstart <= hit - 1 else None
+
+
+def _scan_right_primary(toks, sig, r: int) -> int | None:
+    """Raw token index where the unary-signed PRIMARY starting at sig
+    position r ends — a literal/ident/call/paren/bracket/CASE…END/
+    INTERVAL-literal group plus its postfix chain (.ident, ::TYPE
+    [(p,s)], [subscript], call parens). None on malformed input."""
+    while r < len(sig) and toks[sig[r]].text in ("+", "-"):
+        r += 1
+    if r >= len(sig):
+        return None
+    t = toks[sig[r]]
+    if t.text == "(":
+        try:
+            rend_raw = _find_close(toks, sig[r])
+        except ValueError:
+            return None
+    elif t.text == "[":
+        dd = 0
+        rend_raw = None
+        for k in range(sig[r], len(toks)):
+            if toks[k].text == "[":
+                dd += 1
+            elif toks[k].text == "]":
+                dd -= 1
+                if dd == 0:
+                    rend_raw = k
+                    break
+        if rend_raw is None:
+            return None
+    elif t.kind in ("num", "str", "bqid"):
+        rend_raw = sig[r]
+    elif t.kind == "ident":
+        if t.text.upper() == "CASE":
+            dd = 0
+            rend_raw = None
+            for p2 in range(r, len(sig)):
+                u2 = (toks[sig[p2]].text.upper()
+                      if toks[sig[p2]].kind == "ident" else "")
+                if u2 == "CASE":
+                    dd += 1
+                elif u2 == "END":
+                    dd -= 1
+                    if dd == 0:
+                        rend_raw = sig[p2]
+                        break
+            if rend_raw is None:
+                return None
+        elif t.text.upper() == "INTERVAL":
+            # INTERVAL '2 days' / INTERVAL 3 MONTH — absorb up to two
+            # literal/unit tokens
+            rend_raw = sig[r]
+            k2 = r + 1
+            while (k2 < len(sig) and k2 <= r + 2
+                    and (toks[sig[k2]].kind in ("num", "str")
+                         or (toks[sig[k2]].kind == "ident"
+                             and toks[sig[k2]].text.upper()
+                             not in _FLOORDIV_STOPS))):
+                rend_raw = sig[k2]
+                k2 += 1
+        else:
+            rend_raw = sig[r]
+            nxt = r + 1
+            if (nxt < len(sig) and toks[sig[nxt]].text == "("
+                    and sig[nxt] == rend_raw + 1):
+                try:
+                    rend_raw = _find_close(toks, sig[nxt])
+                except ValueError:
+                    return None
+    else:
+        return None
+    # postfix chain
+    p2 = None
+    for pp in range(len(sig) - 1, -1, -1):
+        if sig[pp] <= rend_raw:
+            p2 = pp
+            break
+    while p2 is not None and p2 + 1 < len(sig):
+        nt = toks[sig[p2 + 1]]
+        if nt.text == "." and p2 + 2 < len(sig) \
+                and toks[sig[p2 + 2]].kind == "ident":
+            p2 += 2
+            rend_raw = sig[p2]
+        elif (nt.text == ":" and p2 + 3 < len(sig)
+                and toks[sig[p2 + 2]].text == ":"
+                and toks[sig[p2 + 3]].kind == "ident"):
+            p2 += 3
+            rend_raw = sig[p2]
+            if p2 + 1 < len(sig) and toks[sig[p2 + 1]].text == "(":
+                try:
+                    rend_raw = _find_close(toks, sig[p2 + 1])
+                except ValueError:
+                    return None
+                while p2 + 1 < len(sig) and sig[p2 + 1] <= rend_raw:
+                    p2 += 1
+        elif nt.text == "[":
+            dd = 0
+            done = None
+            for k in range(sig[p2 + 1], len(toks)):
+                if toks[k].text == "[":
+                    dd += 1
+                elif toks[k].text == "]":
+                    dd -= 1
+                    if dd == 0:
+                        done = k
+                        break
+            if done is None:
+                return None
+            rend_raw = done
+            while p2 + 1 < len(sig) and sig[p2 + 1] <= done:
+                p2 += 1
+        elif (nt.text == "(" and toks[sig[p2]].kind == "ident"
+                and sig[p2 + 1] == sig[p2] + 1):
+            try:
+                rend_raw = _find_close(toks, sig[p2 + 1])
+            except ValueError:
+                return None
+            while p2 + 1 < len(sig) and sig[p2 + 1] <= rend_raw:
+                p2 += 1
+        else:
+            break
+    return rend_raw
+
+
 def _rewrite_floordiv_operator(sql: str) -> str:
     """DuckDB ``//`` → ``__floordiv__(L, R)`` marker (expanded by
     _rewrite_calls, where column_kinds resolve the int-vs-double
     dispatch). Leftmost-first with fixpoint iteration so left-assoc
     chains compose: ``a // b // c`` → ``__floordiv__(__floordiv__(a,
-    b), c)``. Operand extraction follows DuckDB's precedence [measured:
-    ``2*3//4`` = 1, ``7//2*3`` = 9, ``10-7//2`` = 7]: the left operand
-    absorbs the whole same-precedence *%/-chain back to a lower-
-    precedence boundary; the right operand is one (unary-signed)
-    primary with its postfix chain. Runs AFTER the power rewrite, so
-    ``**``/``^`` are already POWER() primaries."""
+    b), c)``. Operand extraction is the shared _scan_arith_left /
+    _scan_right_primary pair (DuckDB precedence, measured). Runs AFTER
+    the power rewrite, so ``**``/``^`` are already POWER() primaries."""
     if "//" not in sql:
         return sql
     for _ in range(200):  # fixpoint backstop
@@ -4412,173 +4654,62 @@ def _rewrite_floordiv_operator(sql: str) -> str:
                 break
         if hit is None:
             return sql
-        # ---- left operand: scan back
-        q = hit - 1
-        d = 0
-        case_depth = 0
-        while q >= 0:
-            t = toks[sig[q]]
-            up = t.text.upper() if t.kind == "ident" else None
-            if t.text in (")", "]", "}"):
-                d += 1
-            elif t.text in ("(", "[", "{"):
-                if d == 0:
-                    break
-                d -= 1
-            elif d == 0 and up == "END":
-                case_depth += 1
-            elif d == 0 and up == "CASE":
-                if case_depth == 0:
-                    break
-                case_depth -= 1
-            elif d == 0 and t.kind in ("arrow", "arrow2"):
-                break  # lambda/json arrow — never cross it
-            elif (d == 0 and t.text == ":"
-                    and not (sig[q] + 1 < len(toks)
-                             and toks[sig[q] + 1].text == ":")
-                    and not (sig[q] >= 1
-                             and toks[sig[q] - 1].text == ":")):
-                break  # struct-literal key separator (single ':')
-            elif d == 0 and case_depth == 0:
-                if t.kind == "op":
-                    if t.text in ("*", "/", "%"):
-                        pass  # same precedence — absorb
-                    elif t.text in ("+", "-"):
-                        prev = toks[sig[q - 1]] if q > 0 else None
-                        if prev is not None and (
-                                prev.kind in ("num", "str", "bqid")
-                                or prev.text in (")", "]")
-                                or (prev.kind == "ident"
-                                    and prev.text.upper()
-                                    not in _FLOORDIV_STOPS)):
-                            break  # binary +/- — lower precedence
-                        # unary sign: part of the operand
-                    else:
-                        break  # comparison, ||, …
-                elif t.text in (",", ";"):
-                    break
-                elif up in _FLOORDIV_STOPS:
-                    break
-            q -= 1
-        lstart = q + 1
-        if lstart > hit - 1:
+        lstart = _scan_arith_left(toks, sig, hit)
+        if lstart is None:
             return sql  # nothing to the left — malformed, leave loud
         left = detokenize(toks[sig[lstart]:sig[hit - 1] + 1]).strip()
-        # ---- right operand: unary signs + one primary + postfix chain
-        r = hit + 2
-        if r >= len(sig):
+        if hit + 2 >= len(sig):
             return sql
-        while r < len(sig) and toks[sig[r]].text in ("+", "-"):
-            r += 1
-        if r >= len(sig):
+        rend_raw = _scan_right_primary(toks, sig, hit + 2)
+        if rend_raw is None:
             return sql
-        t = toks[sig[r]]
-        if t.text == "(" or t.text == "[":
-            try:
-                close_raw = _find_close(toks, sig[r]) if t.text == "(" \
-                    else None
-            except ValueError:
-                return sql
-            if t.text == "[":
-                dd = 0
-                close_raw = None
-                for k in range(sig[r], len(toks)):
-                    if toks[k].text == "[":
-                        dd += 1
-                    elif toks[k].text == "]":
-                        dd -= 1
-                        if dd == 0:
-                            close_raw = k
-                            break
-                if close_raw is None:
-                    return sql
-            rend_raw = close_raw
-        elif t.kind in ("num", "str", "bqid"):
-            rend_raw = sig[r]
-        elif t.kind == "ident":
-            if t.text.upper() == "CASE":
-                dd = 0
-                rend_raw = None
-                for p2 in range(r, len(sig)):
-                    u2 = (toks[sig[p2]].text.upper()
-                          if toks[sig[p2]].kind == "ident" else "")
-                    if u2 == "CASE":
-                        dd += 1
-                    elif u2 == "END":
-                        dd -= 1
-                        if dd == 0:
-                            rend_raw = sig[p2]
-                            break
-                if rend_raw is None:
-                    return sql
-            else:
-                rend_raw = sig[r]
-                nxt = r + 1
-                if (nxt < len(sig) and toks[sig[nxt]].text == "("
-                        and sig[nxt] == rend_raw + 1):
-                    try:
-                        rend_raw = _find_close(toks, sig[nxt])
-                    except ValueError:
-                        return sql
-        else:
-            return sql
-        # postfix chain: .ident, ::TYPE[(p,s)], [subscript], call parens
-        p2 = None
-        for pp in range(len(sig)):
-            if sig[pp] == rend_raw:
-                p2 = pp
-                break
-        if p2 is None:
-            p2 = len(sig) - 1
-        while p2 + 1 < len(sig):
-            nt = toks[sig[p2 + 1]]
-            if nt.text == "." and p2 + 2 < len(sig) \
-                    and toks[sig[p2 + 2]].kind == "ident":
-                p2 += 2
-                rend_raw = sig[p2]
-            elif (nt.text == ":" and p2 + 3 < len(sig)
-                    and toks[sig[p2 + 2]].text == ":"
-                    and toks[sig[p2 + 3]].kind == "ident"):
-                p2 += 3
-                rend_raw = sig[p2]
-                if (p2 + 1 < len(sig) and toks[sig[p2 + 1]].text == "("):
-                    try:
-                        rend_raw = _find_close(toks, sig[p2 + 1])
-                    except ValueError:
-                        return sql
-                    while sig[p2] < rend_raw:
-                        p2 += 1
-            elif nt.text == "[":
-                dd = 0
-                done = None
-                for k in range(sig[p2 + 1], len(toks)):
-                    if toks[k].text == "[":
-                        dd += 1
-                    elif toks[k].text == "]":
-                        dd -= 1
-                        if dd == 0:
-                            done = k
-                            break
-                if done is None:
-                    return sql
-                rend_raw = done
-                while p2 + 1 < len(sig) and sig[p2 + 1] <= done:
-                    p2 += 1
-            elif (nt.text == "(" and toks[sig[p2]].kind == "ident"
-                    and sig[p2 + 1] == sig[p2] + 1):
-                try:
-                    rend_raw = _find_close(toks, sig[p2 + 1])
-                except ValueError:
-                    return sql
-                while p2 + 1 < len(sig) and sig[p2 + 1] <= rend_raw:
-                    p2 += 1
-            else:
-                break
         right = detokenize(toks[sig[hit + 2]:rend_raw + 1]).strip()
         sql = (detokenize(toks[:sig[lstart]])
                + f"__floordiv__({left}, {right})"
                + detokenize(toks[rend_raw + 1:]))
     raise ValueError("floordiv rewrite did not converge")
+
+
+def _rewrite_null_safe_division(sql: str) -> str:
+    """DuckDB division/modulo by zero is NULL for EVERY numeric type
+    [measured: 7/0, 7.0/0, 1.0::DOUBLE/0.0::DOUBLE, 7%0, 7.5%0 all
+    NULL]; Spark ANSI throws DIVIDE_BY_ZERO/REMAINDER_BY_ZERO. Every
+    source-level binary ``/`` and ``%`` becomes try_divide/try_mod —
+    the same JVM expression with a NULL branch, so types, precision
+    and codegen are unchanged for non-zero divisors. Runs AFTER the
+    floordiv pass (``//`` already consumed) and BEFORE the call
+    rewrites, so engine EMISSIONS keep plain operators. Leftmost-first
+    with re-scan (the emission contains no '/' or '%'); operand
+    extraction is the shared _scan_arith_left/_scan_right_primary
+    pair."""
+    if "/" not in sql and "%" not in sql:
+        return sql
+    for _ in range(500):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        hit = None
+        for p, raw in enumerate(sig):
+            t = toks[raw]
+            if t.kind == "op" and t.text in ("/", "%") and p >= 1:
+                hit = p
+                break
+        if hit is None:
+            return sql
+        fn = "try_divide" if toks[sig[hit]].text == "/" else "try_mod"
+        lstart = _scan_arith_left(toks, sig, hit)
+        if lstart is None:
+            return sql  # malformed — leave loud
+        left = detokenize(toks[sig[lstart]:sig[hit - 1] + 1]).strip()
+        if hit + 1 >= len(sig):
+            return sql
+        rend_raw = _scan_right_primary(toks, sig, hit + 1)
+        if rend_raw is None:
+            return sql
+        right = detokenize(toks[sig[hit] + 1:rend_raw + 1]).strip()
+        sql = (detokenize(toks[:sig[lstart]])
+               + f"{fn}({left}, {right})"
+               + detokenize(toks[rend_raw + 1:]))
+    raise ValueError("null-safe division rewrite did not converge")
 
 
 _COLLATION_FNS = {
@@ -4654,53 +4785,87 @@ def _rewrite_collate(sql: str) -> str:
             lhs = detokenize(toks[sig[lp]:sig[p - 1] + 1]).strip()
             prev = toks[sig[lp - 1]] if lp >= 1 else None
             nxt = toks[sig[q + 1]] if q + 1 < len(sig) else None
-            # comparison on the right: expr COLLATE C <op> R
+            # comparison on the right: expr COLLATE C <op> R — the
+            # collation applies to the WHOLE opposite operand
+            # [measured: 'AB' COLLATE NOCASE = 'a' || 'B' is true],
+            # so R absorbs ||/arithmetic chains; the collate-carrying
+            # side stays one primary [measured: 'A' || 'b' COLLATE
+            # NOCASE binds to 'b' only]
             if nxt is not None and nxt.kind == "op" \
                     and nxt.text in _CMP_OPS:
-                # RHS: one primary
                 rp = q + 2
                 if rp >= len(sig):
                     continue
-                tr = toks[sig[rp]]
-                rend = sig[rp]
-                if tr.text == "(":
-                    rend = _find_close(toks, sig[rp])
-                elif tr.kind == "ident" and rp + 1 < len(sig) \
-                        and toks[sig[rp + 1]].text == "(" \
-                        and sig[rp + 1] == rend + 1:
-                    rend = _find_close(toks, sig[rp + 1])
+                rend = _scan_right_primary(toks, sig, rp)
+                if rend is None:
+                    continue
+                pos_of2 = {raw: p2 for p2, raw in enumerate(sig)}
+                while True:
+                    p3 = pos_of2.get(rend)
+                    if p3 is None or p3 + 2 >= len(sig):
+                        break
+                    opt = toks[sig[p3 + 1]]
+                    if not (opt.kind == "op" and opt.text in
+                            ("||", "+", "-", "*", "/", "%")):
+                        break
+                    nxt_end = _scan_right_primary(toks, sig, p3 + 2)
+                    if nxt_end is None:
+                        break
+                    rend = nxt_end
                 rhs = detokenize(toks[sig[rp]:rend + 1]).strip()
                 repl = f"{_norm(lhs)} {nxt.text} {_norm(rhs)}"
                 sql = (detokenize(toks[:sig[lp]]) + repl
                        + detokenize(toks[rend + 1:]))
                 changed = True
                 break
-            # comparison on the left: L <op> expr COLLATE C
+            # comparison on the left: L <op> expr COLLATE C — L is the
+            # WHOLE opposite operand (||/arithmetic chain absorbed)
             if prev is not None and prev.kind == "op" \
                     and prev.text in _CMP_OPS:
-                # L: one primary before the operator
                 llp = lp - 2
                 if llp < 0:
                     continue
-                tll = toks[sig[llp]]
-                lstart2 = sig[llp]
-                if tll.text in (")", "]"):
-                    d = 0
-                    w = llp
-                    while w >= 0:
-                        tx = toks[sig[w]].text
-                        if tx in (")", "]"):
-                            d += 1
-                        elif tx in ("(", "["):
-                            d -= 1
-                            if d == 0:
-                                break
-                        w -= 1
-                    if (w >= 1 and toks[sig[w - 1]].kind == "ident"
-                            and toks[sig[w - 1]].text.upper()
-                            not in _CLAUSE_KEYWORDS):
-                        w -= 1
-                    lstart2 = sig[w]
+
+                def _prim_start(w0: int) -> int | None:
+                    """sig position where the primary ENDING at sig
+                    position w0 starts (calls/parens walked back)."""
+                    tw = toks[sig[w0]]
+                    if tw.text in (")", "]"):
+                        d2 = 0
+                        w = w0
+                        while w >= 0:
+                            tx = toks[sig[w]].text
+                            if tx in (")", "]"):
+                                d2 += 1
+                            elif tx in ("(", "["):
+                                d2 -= 1
+                                if d2 == 0:
+                                    break
+                            w -= 1
+                        if w < 0:
+                            return None
+                        if (w >= 1 and toks[sig[w - 1]].kind == "ident"
+                                and toks[sig[w - 1]].text.upper()
+                                not in _CLAUSE_KEYWORDS):
+                            w -= 1
+                        return w
+                    if tw.kind in ("num", "str", "ident", "bqid"):
+                        return w0
+                    return None
+
+                wstart = _prim_start(llp)
+                if wstart is None:
+                    continue
+                while wstart >= 2:
+                    opt = toks[sig[wstart - 1]]
+                    if not (opt.kind == "op" and opt.text in
+                            ("||", "+", "-", "*", "/", "%")):
+                        break
+                    w2 = _prim_start(wstart - 2)
+                    if w2 is None:
+                        break
+                    wstart = w2
+                lstart2 = sig[wstart]
                 left2 = detokenize(toks[lstart2:sig[lp - 1]]).strip()
                 repl = f"{_norm(left2)} {prev.text} {_norm(lhs)}"
                 sql = (detokenize(toks[:lstart2]) + repl
@@ -5460,6 +5625,23 @@ def _rewrite_json_arrow(sql: str) -> str:
             if not path or j <= pos:
                 pos += 1
                 continue
+            if base.text == ")" and toks[sig[lhs_start]].text == "(":
+                # a BARE parenthesized LHS whose content is only idents
+                # and commas is a multi-param LAMBDA tuple — (x, i) ->
+                # 'c' — never a json operand (review r9 #3); a CALL
+                # result like coalesce(a, b) -> 'k' stays json
+                try:
+                    grp_close = _find_close(toks, sig[lhs_start])
+                except ValueError:
+                    grp_close = None
+                if grp_close is not None:
+                    body_toks = [toks[k] for k in sig
+                                 if sig[lhs_start] < k < grp_close]
+                    if body_toks and all(
+                            t2.kind == "ident" or t2.text == ","
+                            for t2 in body_toks):
+                        pos += 1
+                        continue
             if base.kind == "ident" and lhs_start >= 1 and \
                     toks[sig[lhs_start - 1]].text in ("(", ","):
                 depth2 = 0

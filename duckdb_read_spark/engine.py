@@ -1352,8 +1352,22 @@ class Engine:
                 raise ValueError(
                     f"ALTER TABLE: unsupported target type {typ!r}")
             cur = self.table(name)
-            newcol = (F.expr(mt_.group("using")) if mt_.group("using")
-                      else F.col(col)).cast(mapped)
+            src_col = (F.expr(mt_.group("using")) if mt_.group("using")
+                       else F.col(col))
+            mdec = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", mapped)
+            src_type = dict(cur.dtypes).get(col, "")
+            msrc = re.fullmatch(r"decimal\(\d+,(\d+)\)", src_type)
+            if (mdec and msrc and not mt_.group("using")
+                    and int(msrc.group(1)) > int(mdec.group(2))):
+                # DECIMAL→DECIMAL downscale TRUNCATES toward zero in
+                # DuckDB [measured: 2.9999 → DECIMAL(9,1) = 2.9];
+                # Spark's cast rounds HALF_UP (r9 DDL sweep)
+                s_ = int(mdec.group(2))
+                unit = "1" if s_ == 0 else "0." + "0" * (s_ - 1) + "1"
+                newcol = F.expr(
+                    f"CAST({col} - ({col} % {unit}) AS {mapped})")
+            else:
+                newcol = src_col.cast(mapped)
             out = cur.select(
                 *[newcol.alias(c) if c == col else F.col(c)
                   for c in cur.columns])
@@ -1677,7 +1691,9 @@ class Engine:
             if not eq:
                 raise ValueError(
                     f"UPDATE: cannot parse assignment {part!r}")
-            assignments[col.strip()] = expr.strip()
+            # the qid normalizer backticks spaced names — the
+            # assignment key matches the SCHEMA name (r9)
+            assignments[col.strip().strip("`")] = expr.strip()
         target = self.table(name).schema
         unknown = set(assignments) - {f.name for f in target.fields}
         if unknown:
@@ -4639,12 +4655,12 @@ class Engine:
 
                 defaults = self._column_defaults(name)
                 df = df.select(
-                    *[F.col(f.name).cast(f.dataType) if f.name in given
+                    *[_duck_value_cast(df, f) if f.name in given
                       else (F.expr(defaults[f.name]) if f.name in defaults
                             else F.lit(None)).cast(f.dataType).alias(f.name)
                       for f in target.fields]
                 ) if missing else df.select(
-                    *[F.col(f.name).cast(f.dataType) for f in target.fields])
+                    *[_duck_value_cast(df, f) for f in target.fields])
             else:
                 if len(df.columns) != len(target.fields):
                     raise ValueError(
@@ -4652,8 +4668,9 @@ class Engine:
                         f"provided, table has {len(target.fields)}")
                 from pyspark.sql import functions as F
 
-                df = df.toDF(*[f.name for f in target.fields]).select(
-                    *[F.col(f.name).cast(f.dataType) for f in target.fields])
+                df = df.toDF(*[f.name for f in target.fields])
+                df = df.select(
+                    *[_duck_value_cast(df, f) for f in target.fields])
             if self._indexes:
                 self._check_unique_indexes(name, df)
             self._check_constraints(name, df)
@@ -4963,8 +4980,9 @@ class Engine:
                 col, eq, expr = part.partition("=")
                 if not eq:
                     raise ValueError(f"MERGE UPDATE: bad assignment {part!r}")
-                # allow `t.col = …` qualification
-                sets[col.strip().split(".")[-1]] = expr.strip()
+                # allow `t.col = …` qualification; strip the qid
+                # normalizer's backticks on spaced names (r9)
+                sets[col.strip().split(".")[-1].strip("`")] = expr.strip()
             return sets
 
         upd_sets: dict[str, str] | None = None
@@ -5783,6 +5801,28 @@ _DUCK_TO_SPARK_TYPES = {
 }
 
 
+def _duck_value_cast(df, field):
+    """Cast one INSERT value column to the target field's type with
+    DuckDB's semantics: a DECIMAL→DECIMAL downscale TRUNCATES toward
+    zero [measured r9: INSERT 2.9999 into DECIMAL(9,3) stores 2.999;
+    Spark's cast would round to 3.000]; everything else is Spark's
+    plain (ANSI) cast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    st = dict(zip(df.columns,
+                  [f.dataType for f in df.schema.fields])).get(field.name)
+    dt = field.dataType
+    if (isinstance(st, T.DecimalType) and isinstance(dt, T.DecimalType)
+            and st.scale > dt.scale):
+        s_ = dt.scale
+        unit = "1" if s_ == 0 else "0." + "0" * (s_ - 1) + "1"
+        return F.expr(
+            f"CAST(`{field.name}` - (`{field.name}` % {unit}) "
+            f"AS DECIMAL({dt.precision},{dt.scale}))").alias(field.name)
+    return F.col(field.name).cast(dt)
+
+
 def _map_duck_type(typ: str) -> str | None:
     """One DuckDB type spelling → Spark DDL type, parameterized forms
     included. ``NUMERIC(10,2)``/``DEC(10,2)``/``DECIMAL(10,2)`` keep the
@@ -5912,7 +5952,10 @@ def _schema_to_spark_ddl(inner: str) -> str:
         # would corrupt words inside DEFAULT string literals. NUMERIC/
         # DEC(p,s) keep the user's precision/scale (bare-NUMERIC only
         # gets the DECIMAL(18,3) default); VARCHAR(n) lengths drop.
-        mcol = re.match(r"^(\s*\S+\s+)([A-Za-z_][A-Za-z0-9_]*"
+        # the column name may be a backtick-quoted identifier with
+        # spaces (`a b` — the qid normalizer's output for "a b")
+        mcol = re.match(r"^(\s*(?:`[^`]*`|\S+)\s+)"
+                        r"([A-Za-z_][A-Za-z0-9_]*"
                         r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
                         r"(?:\s*\[\s*\])*)(.*)$",
                         part, re.DOTALL)

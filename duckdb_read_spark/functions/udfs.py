@@ -602,21 +602,36 @@ def _make_parse_path_udfs():
 
     @F.pandas_udf(StringType())
     def parse_dirname_udf(p: pd.Series, sep: pd.Series) -> pd.Series:
+        # [measured r9 review #5]: the first path element whenever the
+        # path CONTAINS a separator — 'trailing/' → 'trailing',
+        # '/' → '/', '/c.txt' → '/'; no separator → ''
         def one(x, s):
             if pd.isna(x) or pd.isna(s):
                 return None
-            parts = _parts(str(x), _sep_chars(s))
-            return parts[0] if len(parts) > 1 else ""
+            xs = str(x)
+            chars = _sep_chars(s)
+            if not any(c in xs for c in chars):
+                return ""
+            parts = _parts(xs, chars)
+            return parts[0] if parts else ""
         return pd.Series([one(x, s) for x, s in zip(p, sep)],
                          dtype=object)
 
     @F.pandas_udf(StringType())
     def parse_dirpath_udf(p: pd.Series, sep: pd.Series) -> pd.Series:
+        # [measured r9 review #5]: a trailing separator strips exactly
+        # ONE character ('a//' → 'a/', '/a/' → '/a'), the bare root
+        # keeps its separator ('/' → '/'); otherwise the text before
+        # the LAST separator ('' when none)
         def one(x, s):
             if pd.isna(x) or pd.isna(s):
                 return None
             xs = str(x)
-            idx = max((xs.rfind(c) for c in _sep_chars(s)), default=-1)
+            chars = _sep_chars(s)
+            if xs and xs[-1] in chars:
+                stripped = xs[:-1]
+                return stripped if stripped else xs[-1]
+            idx = max((xs.rfind(c) for c in chars), default=-1)
             return xs[:idx] if idx >= 0 else ""
         return pd.Series([one(x, s) for x, s in zip(p, sep)],
                          dtype=object)

@@ -1406,3 +1406,36 @@ def test_temporal_series_and_has_family(engine, duck):
         "array_has_all([1,2,NULL],[NULL,1]) AS e2, "
         "CAST(map_concat(map(['a'],[1]), map(['b'],[2]))['b'] "
         "AS VARCHAR) AS f, array_length([1,2], 1) AS g"))
+
+
+def test_review_r9_fixes(engine, duck):
+    """r9 review pass: year-month interval series COMPOUND (prev +
+    step with clamping — Spark's sequence re-anchors and diverged on
+    month-end starts); NULL interval steps → NULL; compound opposite
+    operands under COLLATE; multi-param constant-string lambdas stay
+    lambdas; json_extract_string list fan-out; parse_dirname/dirpath
+    root/trailing-separator pins; nested-array NULL rendering."""
+    _check(engine, duck, (
+        "SELECT CAST(range(DATE '2024-01-31', DATE '2024-06-30', "
+        "INTERVAL 1 MONTH) AS VARCHAR) AS a, "
+        "CAST(generate_series(DATE '2024-01-31', DATE '2024-06-30', "
+        "INTERVAL 2 MONTH) AS VARCHAR) AS b2, "
+        "CAST(range(DATE '2025-03-31', DATE '2024-06-30', "
+        "- INTERVAL 1 MONTH) AS VARCHAR) AS c, "
+        "generate_series(DATE '2024-01-01', DATE '2024-01-05', "
+        "to_days(CAST(NULL AS INT))) IS NULL AS d"))
+    _check(engine, duck, (
+        "SELECT 'AB' COLLATE NOCASE = 'a' || 'B' AS a, "
+        "'A' || 'b' COLLATE NOCASE = 'ab' AS b2, "
+        "'x' || 'Y' = 'XY' COLLATE NOCASE AS c"))
+    _check(engine, duck, (
+        "SELECT CAST(list_transform([1,2], (x, i) -> 'c') AS VARCHAR) "
+        "AS a, "
+        "CAST(json_extract_string('{\"a\":1,\"b\":\"x\"}', "
+        "['$.a','$.b','$.c']) AS VARCHAR) AS b2, "
+        "CAST([[1,NULL],[2]] AS VARCHAR) AS c"))
+    _check(engine, duck, (
+        "SELECT parse_dirname('trailing/') AS a, parse_dirname('/') "
+        "AS b2, parse_dirpath('/') AS c, parse_dirpath('trailing/') "
+        "AS d, parse_dirpath('a//') AS e2, parse_dirname('//') AS f, "
+        "parse_dirpath('/a/') AS g"))
