@@ -460,6 +460,14 @@ _SIMPLE_RENAMES = {
     "to_hex": "hex",
     "ucase": "upper",
     "lcase": "lower",
+    # DuckDB cases per-codepoint (utf8proc simple maps) vs the JVM's
+    # full maps — upper('straße') = 'STRAẞE' vs 'STRASSE', lower('ΑΣ')
+    # = 'ασ' vs final-sigma 'ας' [measured r9]. The __duck_*__ SQL temp
+    # functions (functions/udfs.py register_case_udfs) are pure-JVM
+    # translate sandwiches; ucase/lcase re-enter the fixpoint and pick
+    # these up
+    "upper": "__duck_upper__",
+    "lower": "__duck_lower__",
     "strlen": "octet_length",  # DuckDB strlen counts BYTES, not chars
     # list-function aliases with identical arg order/semantics
     "list_zip": "arrays_zip",      # both pad to the longer side with NULL
@@ -616,6 +624,19 @@ def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
     mq = re.fullmatch(r"'([^']*)'", body)
     if mq:
         txt = mq.group(1)
+        # time-of-day shape 'H:M:S[.f]' [measured r9: '100:00:00' is
+        # 100 hours, '1:2:3' one-digit fields OK, minutes/seconds must
+        # be ≤59, a leading '-' negates the WHOLE value, sub-second
+        # digits TRUNCATE at six]
+        mt = re.fullmatch(
+            r"(-)?(\d+):(\d{1,2}):(\d{1,2})(\.\d+)?", txt.strip())
+        if mt:
+            if int(mt.group(3)) > 59 or int(mt.group(4)) > 59:
+                return None
+            us = ((int(mt.group(2)) * 3600 + int(mt.group(3)) * 60
+                   + int(mt.group(4))) * 1_000_000
+                  + int(((mt.group(5) or ".")[1:] + "000000")[:6]))
+            return 0, 0, float(-us if mt.group(1) else us)
     else:
         m3 = re.fullmatch(r"'?(-?\d+(?:\.\d+)?)'?\s+([A-Za-z]+)", body)
         if m3 is None:
@@ -669,6 +690,83 @@ def _try_interval_epoch(expr: str) -> str | None:
     seconds = (q * 31_557_600 + (months - q * 12) * 2_592_000
                + days * 86_400 + micros / 1e6)
     return f"CAST({seconds!r} AS DOUBLE)"
+
+
+def _rewrite_interval_forms(sql: str) -> str:
+    """Interval spellings DuckDB accepts but Spark doesn't [measured
+    1.0.0, r9]:
+
+    - ``INTERVAL 'H:M:S[.f]'`` (time-of-day string; '100:00:00' is 100
+      hours, leading '-' negates the whole, fraction truncates at six
+      digits) → ``make_dt_interval(0, 0, 0, secs)``.
+    - ``INTERVAL lit / n`` (INTEGER literal divisor): DuckDB divides
+      the (months, days, micros) components SEPARATELY, each
+      truncating toward zero — INTERVAL '1 day'/2 = 0, '3 days'/2 =
+      1 day, '5 months'/2 = 2 months, '90 seconds'/4 = 22.5 s — while
+      Spark's native interval division is exact ('1 day'/2 = 12 h).
+      Folded for literal operands only; a COMPUTED interval divided by
+      n keeps Spark's exact semantics (documented §2.4 — parquet
+      carries no interval columns, so literals are the real surface).
+      Non-integer divisors stay unfolded (DuckDB binder-errors there;
+      the engine's try_divide acceptance is a pinned over-acceptance).
+      A divided result mixing months with days/micros stays unfolded
+      (loud — Spark cannot type it).
+    """
+    if not re.search(r"(?i)\bINTERVAL\b", sql):
+        return sql
+    ivl_pat = (r"INTERVAL\s+(?:'[^']*'(?:\s+[A-Za-z]+)?"
+               r"|-?\d+(?:\.\d+)?\s+[A-Za-z]+)")
+
+    def _emit(months: int, days: int, micros: int) -> str | None:
+        if months and not days and not micros:
+            return f"INTERVAL '{months}' MONTH"
+        if not months:
+            from decimal import Decimal
+
+            secs = Decimal(micros) / Decimal(1_000_000)
+            return f"make_dt_interval({days}, 0, 0, {secs:f})"
+        return None
+
+    def fold_div(m: "re.Match[str]") -> str:
+        parsed = _parse_interval_literal(m.group("iv"))
+        n = int(m.group("n"))
+        if parsed is None or n == 0:
+            return m.group(0)
+        months, days, micros = parsed
+        out = _emit(int(months / n), int(days / n), int(int(micros) / n))
+        return out if out is not None else m.group(0)
+
+    def fold_hms(m: "re.Match[str]") -> str:
+        parsed = _parse_interval_literal(m.group(0))
+        if parsed is None:
+            return m.group(0)
+        return _emit(0, 0, int(parsed[2])) or m.group(0)
+
+    def fold_emitted_div(m: "re.Match[str]") -> str:
+        # chained division over an already-folded result:
+        # INTERVAL '1 day'/2/2 → make_dt_interval(0,0,0,0)/2 → fold on
+        n = int(m.group("n"))
+        if n == 0:
+            return m.group(0)
+        days, micros = int(m.group("d")), round(
+            float(m.group("s")) * 1_000_000)
+        out = _emit(0, int(days / n), int(int(micros) / n))
+        return out if out is not None else m.group(0)
+
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = re.sub(
+            rf"(?is)\b(?P<iv>{ivl_pat})\s*/\s*(?P<n>-?\d+)(?![\d.])",
+            fold_div, sql)
+        sql = re.sub(
+            r"(?is)\bmake_dt_interval\((?P<d>-?\d+), 0, 0, "
+            r"(?P<s>-?\d+(?:\.\d+)?)\)\s*/\s*(?P<n>-?\d+)(?![\d.])",
+            fold_emitted_div, sql)
+    sql = re.sub(r"(?is)\bINTERVAL\s+'-?\d+:\d{1,2}:\d{1,2}(?:\.\d+)?'"
+                 r"(?!\s*(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|TO)\b)",
+                 fold_hms, sql)
+    return sql
 
 
 def _parse_time_literal(expr: str) -> int | None:
@@ -1378,7 +1476,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # NULL-propagate (third review)
             _, close, spans = parts
             args = ", ".join(_arg_text(toks, sp) for sp in spans)
-            flt = f"filter(array({args}), x -> x IS NOT NULL)"
+            # __fl__ lambda var so the flatten NULL-sub-list branch
+            # doesn't re-wrap this already-NULL-free emission (r9)
+            flt = f"filter(array({args}), __fl__ -> __fl__ IS NOT NULL)"
             out.append(f"(CASE WHEN size({flt}) = 0 THEN NULL "
                        f"ELSE flatten({flt}) END)")
             i = close + 1
@@ -1808,6 +1908,65 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     i = close + 1
                     changed = True
                     continue
+                # positional form (UNNAMED structs only in DuckDB —
+                # row(7,8)): the engine's row() builds Spark col1…
+                # auto-names, so 1-based position n is field `coln`;
+                # named structs fail loudly on the missing field (r9)
+                mi = re.fullmatch(r"(\d+)", _arg_text(toks,
+                                                      spans[1]).strip())
+                if mi:
+                    out.append(f"({_arg_text(toks, spans[0])})"
+                               f".`col{mi.group(1)}`")
+                    i = close + 1
+                    changed = True
+                    continue
+        if (name == "flatten" and parts and len(parts[2]) == 1
+                and _arg_text(toks, parts[2][0]).strip() in
+                ("array()", "[]")):
+            # flatten([]) → [] in DuckDB; Spark's flatten rejects the
+            # untyped empty array (array<void> is not array<array>) (r9)
+            out.append("array()")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name in ("__duck_upper__", "__duck_lower__") and parts
+                and len(parts[2]) == 1):
+            # DuckDB cases per-codepoint (utf8proc SIMPLE maps) vs the
+            # JVM's FULL maps — upper('straße') = 'STRAẞE' vs
+            # 'STRASSE', lower('ΑΣ') = 'ασ' vs final-sigma 'ας'
+            # [measured r9 over U+0020..U+2FFFF: 172/71 divergent
+            # codepoints, every DuckDB target single-codepoint].
+            # Inline translate sandwich: divergent sources swap to
+            # case-stable plane-16 private-use placeholders, the JVM
+            # cases the rest, placeholders map to DuckDB's target.
+            # Inlined (not a SQL temp function) because Spark forbids
+            # SQL UDFs inside Sort — ORDER BY lower(x) must work.
+            from .functions.casetables import (
+                LOWER_PUA, LOWER_SRC, LOWER_TGT,
+                UPPER_PUA, UPPER_SRC, UPPER_TGT)
+
+            a = _arg_text(toks, parts[2][0])
+            base, src, pua, tgt = (
+                ("__jvm_upper__", UPPER_SRC, UPPER_PUA, UPPER_TGT)
+                if name == "__duck_upper__"
+                else ("__jvm_lower__", LOWER_SRC, LOWER_PUA, LOWER_TGT))
+            out.append(f"translate({base}(translate({a}, '{src}', "
+                       f"'{pua}')), '{pua}', '{tgt}')")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name == "flatten" and parts and len(parts[2]) == 1
+                and "__fl__" not in _arg_text(toks, parts[2][0])):
+            # DuckDB flatten SKIPS NULL sub-lists ([[1,2],NULL,[3]] →
+            # [1,2,3]) while Spark's is NULL-poisoning [measured r9:
+            # flatten(NULL)=NULL, flatten([NULL])=[], element NULLs
+            # inside sub-lists survive] — drop NULL sub-lists first
+            a = _arg_text(toks, parts[2][0])
+            out.append(
+                f"flatten(filter({a}, __fl__ -> __fl__ IS NOT NULL))")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name == "regexp_matches" and parts and len(parts[2]) == 3:
             # 3-arg form carries DuckDB option flags; Spark regexp_like
             # is 2-arg, so fold supported flags into the pattern as
@@ -1975,6 +2134,25 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name in ("isfinite", "isinf") and parts and len(parts[2]) == 1:
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
+            # DATE/TIMESTAMP args: DuckDB has ±infinity dates, which
+            # the engine cannot represent (parquet can't store them) —
+            # every representable temporal is finite, so isfinite is
+            # TRUE / isinf FALSE with NULL-in → NULL-out [measured r9]
+            e_strip = e.strip()
+            is_temporal = bool(
+                re.match(r"(?is)^(?:DATE|TIMESTAMP(?:TZ)?)\s*'", e_strip)
+                or re.search(r"(?is)::\s*(?:DATE|TIMESTAMP(?:TZ)?)\s*$",
+                             e_strip)
+                or (re.fullmatch(r"[A-Za-z_]\w*", e_strip)
+                    and (column_kinds or {}).get(e_strip.lower())
+                    in ("date", "timestamp")))
+            if is_temporal:
+                val = "FALSE" if name == "isinf" else "TRUE"
+                out.append(f"(CASE WHEN {e} IS NULL THEN NULL "
+                           f"ELSE {val} END)")
+                i = close + 1
+                changed = True
+                continue
             d = f"CAST({e} AS DOUBLE)"
             inf = f"(isnan({d}) OR abs({d}) = CAST('inf' AS DOUBLE))"
             body = (f"(abs({d}) = CAST('inf' AS DOUBLE))"
@@ -7159,6 +7337,10 @@ def _rewrite_keywords(sql: str) -> str:
         up = t.text.upper()
         if t.text == "__regex_split__":
             t.text = "split"  # marker from the literal/regex split split
+        elif t.text in ("__jvm_upper__", "__jvm_lower__"):
+            # inner call of the duck-case sandwich — spelled indirectly
+            # so the upper/lower rename doesn't re-enter the fixpoint
+            t.text = t.text[6:-2]
         elif t.text == "__global_regexp_replace__":
             # marker from the 4-arg 'g' options form — kept distinct so
             # the first-match pass rewrites only bare DuckDB 3-arg calls
@@ -7213,7 +7395,21 @@ _ARRAY_ELEM_TYPE_MAP = {
 
 
 def _rewrite_array_types(sql: str) -> str:
-    """DuckDB array-type syntax ``T[]`` → Spark ``ARRAY<T>`` (in casts)."""
+    """DuckDB array-type syntax ``T[]`` → Spark ``ARRAY<T>`` (in casts).
+    Nested ``T[][]`` converts every level (r9: the single pass left
+    ``ARRAY<INT>[]``, which the list-literal pass then corrupted into
+    ``ARRAY<INT>array()``) — the token pass handles the innermost
+    suffix, the regex fixpoint wraps the remaining outer ``[]``s."""
+    sql = _rewrite_array_types_once(sql)
+    pat = re.compile(r"(?is)\b(ARRAY<(?:[^<>\[\]]|<[^<>]*>)*>)\s*\[\s*\]")
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = pat.sub(lambda m: f"ARRAY<{m.group(1)}>", sql)
+    return sql
+
+
+def _rewrite_array_types_once(sql: str) -> str:
     toks = tokenize(sql)
     sig = _sig(toks)
     for pos in range(len(sig) - 2, -1, -1):
@@ -7836,6 +8032,104 @@ def _rewrite_window_exclude(sql: str) -> str:
     return out
 
 
+_ARRAY_LIT = r"array\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\)"
+
+
+def _rewrite_null_list_concat(sql: str) -> str:
+    """``[…] || NULL`` / ``NULL || […]`` → NULL [measured: DuckDB list
+    concat with a NULL side is NULL]. Spark's type unification rejects
+    ``concat(array(…), NULL)`` (the bare NULL types as STRING), so the
+    literal-list case folds to an IF(TRUE, NULL, arr) — NULL carrying
+    the array's type. Column-typed arrays stay loud (rare, and the
+    rewriter has no expression types)."""
+    if "||" not in sql:
+        return sql
+    sql = re.sub(
+        rf"(?is)\b(?P<a>{_ARRAY_LIT})\s*\|\|\s*NULL(?![\w(])",
+        lambda m: f"if(true, null, {m.group('a')})", sql)
+    sql = re.sub(
+        rf"(?is)(?<![\w)])NULL\s*\|\|\s*(?P<a>{_ARRAY_LIT})",
+        lambda m: f"if(true, null, {m.group('a')})", sql)
+    return sql
+
+
+_SCALAR_CTX_OPS = frozenset({"=", "<", ">", "+", "-", "*", "/", "%",
+                             "||", "<=", ">=", "<>", "!=", "<=>"})
+_SCALAR_CTX_KW = frozenset({"SELECT", "WHERE", "WHEN", "THEN", "ELSE",
+                            "AND", "OR", "NOT", "HAVING", "BY", "ON",
+                            "SET", "RETURNING"})
+
+
+def _rewrite_scalar_subquery_first_row(sql: str) -> str:
+    """DuckDB 1.0 scalar subqueries return the FIRST row when the
+    subquery yields several [measured: SELECT (SELECT n_name FROM
+    nation ORDER BY n_name) = 'ALGERIA'; Spark raises at runtime].
+    For ORDERED scalar subqueries the first row is deterministic, so
+    appending LIMIT 1 reproduces it; UNORDERED multi-row scalar
+    subqueries stay loud (their DuckDB result is scan-order-dependent
+    — a LIMIT 1 would be silently nondeterministic). Expression
+    context is recognized by the token before '(' (operator/expression
+    keyword; a ',' disambiguates by scanning back to the nearest
+    same-depth clause keyword), so IN/EXISTS/FROM/derived-table parens
+    are untouched."""
+    if "(" not in sql or not re.search(r"(?i)\bORDER\s+BY\b", sql):
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    changed = False
+    for p, ti in enumerate(sig):
+        if toks[ti].text != "(" or p == 0 or p + 1 >= len(sig):
+            continue
+        nxt = toks[sig[p + 1]]
+        if not (nxt.kind == "ident" and nxt.text.upper() == "SELECT"):
+            continue
+        prev = toks[sig[p - 1]]
+        pu = prev.text.upper() if prev.kind == "ident" else prev.text
+        ok = pu in _SCALAR_CTX_OPS or (prev.kind == "ident"
+                                       and pu in _SCALAR_CTX_KW)
+        if not ok and pu == ",":
+            d = 0
+            for q in range(p - 1, -1, -1):
+                t = toks[sig[q]]
+                if t.text == ")":
+                    d += 1
+                elif t.text == "(":
+                    if d == 0:
+                        break
+                    d -= 1
+                elif d == 0 and t.kind == "ident":
+                    u = t.text.upper()
+                    if u in ("FROM", "JOIN", "USING"):
+                        break
+                    if u in _SCALAR_CTX_KW:
+                        ok = True
+                        break
+        if not ok:
+            continue
+        try:
+            close = _find_close(toks, ti)
+        except ValueError:
+            continue
+        depth = 0
+        has_order = has_limit = False
+        for k in range(ti + 1, close):
+            t = toks[k]
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "ident":
+                u = t.text.upper()
+                if u == "ORDER":
+                    has_order = True
+                elif u == "LIMIT":
+                    has_limit = True
+        if has_order and not has_limit:
+            toks[close] = Tok("punct", " LIMIT 1)")
+            changed = True
+    return detokenize(toks) if changed else sql
+
+
 def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL.
 
@@ -7855,6 +8149,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_quantified_comparisons(sql)
+    sql = _rewrite_scalar_subquery_first_row(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)
     sql = _rewrite_window_exclude(sql)
@@ -7864,6 +8159,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
     sql = _rewrite_power_operator(sql)
     sql = _fold_time_literals(sql)
+    sql = _rewrite_interval_forms(sql)
     sql = _rewrite_floordiv_operator(sql)
     sql = _rewrite_pg_operator_spellings(sql, column_kinds)
     sql = _rewrite_null_safe_division(sql)
@@ -7883,5 +8179,6 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_slices(sql)
     sql = _rewrite_index_base(sql, column_kinds)
     sql = _rewrite_list_literals(sql)
+    sql = _rewrite_null_list_concat(sql)
     sql = _rewrite_keywords(sql)
     return sql

@@ -56,9 +56,13 @@ def marker_ratio(text: Column, markers: tuple[str, ...]) -> Column:
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language marker-hit ratio columns ``score_<lang>`` plus argmax
     ``lang_pred``. One projection, no shuffle."""
-    out = df
-    for lang, markers in LANG_MARKERS.items():
-        out = out.withColumn(f"score_{lang}", marker_ratio(F.col(text_col), markers))
+    # one withColumns call (not a withColumn chain): each chained
+    # withColumn re-analyzes the whole plan, and with 5 marker-list
+    # expressions that was ~0.5 s of driver-side analysis per build at
+    # sf0.1 (q74 r8→r9 drift; measured with /tmp profiling round 9)
+    out = df.withColumns(
+        {f"score_{lang}": marker_ratio(F.col(text_col), markers)
+         for lang, markers in LANG_MARKERS.items()})
     # argmax via greatest + chained when (stable: first max wins in dict order)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
     pred = None

@@ -27,6 +27,12 @@ def normalize_value(v, engine: str = "generic"):
     if isinstance(v, bool):
         return v
     if isinstance(v, _decimal.Decimal):
+        if v == v.to_integral_value() and abs(v) >= 2 ** 53:
+            # past float's exact-integer range a float round-trip loses
+            # digits — DuckDB renders UBIGINT/HUGEINT as Python int, so
+            # an integral DECIMAL(20,0) (md5_number_lower/upper) must
+            # stay exact to compare equal (r9 probe)
+            return int(v)
         return round(float(v), 6)
     if isinstance(v, float):
         if math.isnan(v):

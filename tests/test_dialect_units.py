@@ -270,8 +270,10 @@ def test_list_function_renames():
     assert to_spark_sql("SELECT list_reverse_sort(a) FROM t") == \
         "SELECT sort_array(a, false) FROM t"
     out = to_spark_sql("SELECT list_concat(a, b) FROM t")
-    # NULL-skipping flatten with the all-NULL -> NULL guard (third review)
-    assert "flatten(filter(array(a, b), x -> x IS NOT NULL))" in out
+    # NULL-skipping flatten with the all-NULL -> NULL guard (third
+    # review); __fl__ var keeps the r9 flatten NULL-sub-list branch
+    # from re-wrapping this already-NULL-free emission
+    assert "flatten(filter(array(a, b), __fl__ -> __fl__ IS NOT NULL))" in out
     assert out.startswith("SELECT (CASE WHEN size(filter(array(a, b)")
     # len() over a list_* call is array-typed → size, not length
     assert "size(array_distinct" in to_spark_sql("SELECT len(list_distinct(t)) FROM d")
@@ -713,8 +715,12 @@ def test_list_comprehension_rewrites():
 
     assert to_spark_sql("SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS l") == \
         "SELECT transform(filter(array(1, 2, 3), x -> x > 1), x -> x * 2) AS l"
-    assert to_spark_sql("SELECT [upper(s) FOR s IN string_split(t, ' ')] AS l FROM d") == \
-        "SELECT transform(split(t, '\\\\ '), s -> upper(s)) AS l FROM d"
+    out = to_spark_sql(
+        "SELECT [upper(s) FOR s IN string_split(t, ' ')] AS l FROM d")
+    # upper() routes through the r9 duck-case translate sandwich
+    assert out.startswith("SELECT transform(split(t, '\\\\ '), "
+                          "s -> translate(upper(translate(s, ")
+    assert out.endswith(") AS l FROM d")
     # nested comprehension
     out = to_spark_sql("SELECT [[y + 1 FOR y IN x] FOR x IN [[1], [2]]] AS l")
     assert out.count("transform(") == 2 and "FOR" not in out

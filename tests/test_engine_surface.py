@@ -2119,9 +2119,7 @@ def test_comment_on_and_catalog_tvfs(spark, duck, tmp_path):
 def test_union_by_name(engine, duck):
     """DuckDB's name-matching set op: reordered columns align, missing
     columns NULL-fill, trailing ORDER BY/LIMIT bind to the whole union,
-    the non-ALL form dedups; subquery placement refuses."""
-    import pytest as _pytest
-
+    the non-ALL form dedups; subquery placement materializes (r9)."""
     probes = [
         "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 4 AS b, 3 AS a",
         "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 9 AS c, 3 AS a "
@@ -2130,15 +2128,15 @@ def test_union_by_name(engine, duck):
         "UNION BY NAME SELECT 2 AS a ORDER BY a",
         "SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 4 AS b, 3 AS a "
         "ORDER BY a LIMIT 1",
+        # subquery placement used to refuse; since r9 the inner span is
+        # materialized as a temp view and runs (commit ff5b34b)
+        "SELECT * FROM (SELECT 1 AS a UNION BY NAME SELECT 2 AS a) t",
     ]
     for q in probes:
         got = sorted(tuple(r) for r in
                      engine.sql(q, dialect="duckdb").collect())
         want = sorted(duck.execute(q).fetchall())
         assert got == want, q
-    with _pytest.raises(NotImplementedError, match="subquery"):
-        engine.sql("SELECT * FROM (SELECT 1 AS a UNION BY NAME "
-                   "SELECT 2 AS a) t", dialect="duckdb")
 
 
 def test_union_by_name_review_edges(engine, duck):

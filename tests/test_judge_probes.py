@@ -659,13 +659,10 @@ def test_pin_in_subquery_null_divergence(engine, duck):
 
 
 def test_pin_sharp_s_casing_divergence(engine, duck):
-    """upper('straße'): JVM gives 'STRASSE', DuckDB/ICU 'STRAẞE'
-    (documented, not worth fixing)."""
-    got = spark_rows(engine.sql("SELECT upper('straße') AS v",
-                                dialect="duckdb"))
-    want = duckdb_rows(duck, "SELECT upper('straße') AS v")
-    assert got == [("STRASSE",)]
-    assert want == [("STRAẞE",)]
+    """upper('straße'): JVM gives 'STRASSE', DuckDB/utf8proc 'STRAẞE'.
+    Was a documented divergence through r8; fixed r9 by the inline
+    translate sandwich (see test_r9b_case_mapping_duck_semantics)."""
+    _check(engine, duck, "SELECT upper('straße') AS v")
 
 
 # --- r8: indexed lambdas are 1-based; DECIMAL ordered statistics -----------
@@ -1439,3 +1436,128 @@ def test_review_r9_fixes(engine, duck):
         "AS b2, parse_dirpath('/') AS c, parse_dirpath('trailing/') "
         "AS d, parse_dirpath('a//') AS e2, parse_dirname('//') AS f, "
         "parse_dirpath('/a/') AS g"))
+
+
+def test_r9b_case_mapping_duck_semantics(engine, duck):
+    """DuckDB upper/lower are per-codepoint (utf8proc SIMPLE maps); the
+    JVM applies FULL maps. Measured divergences: ß→ẞ (not SS), ligature
+    ﬁ keeps itself (not FI), final sigma 'ΑΣ'→'ασ' (not 'ας'),
+    'İ'→'i' (not i̇). Routed through the __duck_upper__/__duck_lower__
+    translate sandwiches (pure JVM)."""
+    _check(engine, duck, (
+        "SELECT upper('straße') AS a, lower('STRAẞE') AS b2, "
+        "upper('ﬁle') AS c, lower('ΑΣ') AS d, lower('İstanbul') AS e2, "
+        "ucase('ßx') AS f, lcase('AΣB') AS g, upper(NULL) AS h, "
+        "lower('') AS i2, upper('hello World 123') AS j"))
+    _check(engine, duck,
+           "SELECT upper(n_name) AS a FROM nation ORDER BY a LIMIT 3")
+
+
+def test_r9b_md5_number_exact(engine, duck):
+    """md5_number_lower/upper are UBIGINT-exact — the oracle canon must
+    not round them through float (r9: 8250560606382298838 came back as
+    8.2505…e18 and silently mismatched)."""
+    _check(engine, duck, (
+        "SELECT md5_number_lower('abc') AS a, "
+        "md5_number_upper('abc') AS b2, md5_number_lower(NULL) AS c"))
+
+
+def test_r9b_interval_hms_and_division(engine, duck):
+    """INTERVAL 'H:M:S[.f]' time-of-day strings ('100:00:00' = 100
+    hours, leading '-' negates the whole, fraction truncates at 6
+    digits) and interval division: DuckDB divides (months, days,
+    micros) SEPARATELY, each truncating toward zero — '1 day'/2 = 0,
+    '3 days'/2 = 1 day, '90 seconds'/4 = 22.5 s [all measured r9]."""
+    _check(engine, duck, (
+        "SELECT INTERVAL '1:02:03' AS a, INTERVAL '100:00:00' AS b2, "
+        "INTERVAL '-1:02:03' AS c, INTERVAL '1:02:03.1234567' AS d"))
+    _check(engine, duck, (
+        "SELECT INTERVAL '1 day'/2 AS a, INTERVAL '3 days'/2 AS b2, "
+        "INTERVAL '90 seconds'/4 AS z, "
+        "INTERVAL '3 days'/-2 AS d, INTERVAL '1 day'/2/2 AS e2, "
+        "INTERVAL '1 month 3 days'/2 AS f, "
+        "INTERVAL '1 microsecond'/2 AS g, INTERVAL 6 HOUR / 4 AS h"))
+    _check(engine, duck, (
+        "SELECT TIMESTAMP '2024-01-01' + INTERVAL '1:02:03' AS a, "
+        "TIME '10:00:00' + INTERVAL '1:02:03' AS b2"))
+
+
+def test_r9b_isfinite_temporal(engine, duck):
+    """isfinite/isinf on DATE/TIMESTAMP args: TRUE/FALSE with NULL-in →
+    NULL-out (DuckDB's ±infinity dates are unrepresentable here —
+    parquet can't store them; 'infinity'::DATE stays loud)."""
+    _check(engine, duck, (
+        "SELECT isfinite(DATE '2024-01-01') AS a, "
+        "isinf(TIMESTAMP '2024-01-01') AS b2, "
+        "isfinite(NULL::DATE) AS c, isfinite(1.5) AS d, "
+        "isinf('inf'::DOUBLE) AS e2"))
+    _check(engine, duck, (
+        "SELECT isfinite(o_orderdate) AS f FROM orders "
+        "ORDER BY o_orderkey LIMIT 2"))
+
+
+def test_r9b_struct_extract_flatten_nullconcat(engine, duck):
+    """struct_extract string and positional (unnamed row()) forms;
+    flatten SKIPS NULL sub-lists and accepts the empty list; a literal
+    list || NULL (either side) is NULL."""
+    _check(engine, duck, (
+        "SELECT struct_extract({'a':1,'b':2}, 'b') AS x, "
+        "struct_extract(row(7,8), 1) AS y, "
+        "struct_extract(row(7,8), 2) AS z"))
+    _check(engine, duck, (
+        "SELECT flatten([]) AS a, flatten([[1,2],NULL,[3]]) AS b2, "
+        "flatten([[NULL],[1]]) AS c, flatten([[]]::INT[][]) AS d, "
+        "flatten(NULL::INT[][]) AS e2, "
+        "flatten(flatten([[[1],[2]],[[3]]])) AS f"))
+    _check(engine, duck, (
+        "SELECT [1] || NULL AS a, NULL || [2] AS b2, 'a' || NULL AS c, "
+        "[1,2] || [3] AS d"))
+    _check(engine, duck, "SELECT NULL::INT[][] AS a, [[1]]::INT[][] AS b2")
+
+
+def test_r9b_scalar_subquery_first_row(engine, duck):
+    """DuckDB 1.0 scalar subqueries take the FIRST row of a multi-row
+    result; with a top-level ORDER BY that row is deterministic and the
+    engine folds a LIMIT 1 on. IN-lists, derived tables and
+    already-limited subqueries are untouched; UNORDERED multi-row
+    scalars stay loud (scan-order-dependent in DuckDB)."""
+    _check(engine, duck, (
+        "SELECT (SELECT n_name FROM nation ORDER BY n_name) AS a"))
+    _check(engine, duck, (
+        "SELECT n_regionkey, (SELECT r_name FROM region "
+        "ORDER BY r_regionkey) AS rn FROM nation "
+        "ORDER BY n_nationkey LIMIT 3"))
+    _check(engine, duck, (
+        "SELECT r_name FROM region WHERE r_regionkey = "
+        "(SELECT n_regionkey FROM nation ORDER BY n_nationkey) "
+        "ORDER BY r_name"))
+    _check(engine, duck, (
+        "SELECT (SELECT n_name FROM nation ORDER BY n_name "
+        "LIMIT 1 OFFSET 2) AS a"))
+
+
+def test_r9b_over_acceptance_pins(engine, duck):
+    """Documented over-acceptances (engine accepts, DuckDB 1.0.0
+    binder-errors) — pinned so drift in either engine is loud:
+    multi-arg count(DISTINCT a, b), least() across string/number,
+    INTERVAL ÷ or × a DECIMAL, and a TIMESTAMP literal without
+    seconds."""
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    for q in ("SELECT count(DISTINCT n_regionkey % 2, n_nationkey % 3) "
+              "AS c FROM nation",
+              "SELECT least('a', 'b', NULL) AS c",
+              "SELECT INTERVAL '1 day' / 2.5 AS c",
+              "SELECT INTERVAL '1 day' * 2.5 AS c",
+              # DuckDB requires seconds in a TIMESTAMP literal
+              "SELECT TIMESTAMP '2024-01-01 23:00' AS c"):
+        with _pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+    # capacity pin (reverse direction): a 39-digit HUGEINT literal is a
+    # DuckDB value but exceeds Spark's DECIMAL(38) — loud, not silent
+    hug = "SELECT 170141183460469231731687303715884105727 AS c"
+    assert duck.execute(hug).fetchall()
+    with _pytest.raises(Exception):
+        engine.sql(hug, dialect="duckdb").collect()
