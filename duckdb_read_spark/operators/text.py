@@ -46,6 +46,18 @@ def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tok
     )
 
 
+def _marker_ratio_sql(text_col: str, markers: tuple[str, ...]) -> str:
+    """SQL text of the marker-hit ratio — built as ONE F.expr string
+    instead of nested Column-API lambdas: each Column lambda costs
+    several py4j round-trips, and with 5 languages × (filter + size +
+    split) the driver spent ~0.2 s per build just assembling the plan
+    (measured r9; execution unchanged — same expression tree)."""
+    lst = ", ".join(f"'{m}'" for m in markers)
+    toks = f"split(`{text_col}`, ' ')"
+    return (f"size(filter({toks}, t -> t IN ({lst}))) / "
+            f"greatest(size({toks}), 1)")
+
+
 def marker_ratio(text: Column, markers: tuple[str, ...]) -> Column:
     """Fraction of whitespace tokens that are in the marker list."""
     toks = tokens(text)
@@ -56,40 +68,43 @@ def marker_ratio(text: Column, markers: tuple[str, ...]) -> Column:
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language marker-hit ratio columns ``score_<lang>`` plus argmax
     ``lang_pred``. One projection, no shuffle."""
-    # one withColumns call (not a withColumn chain): each chained
-    # withColumn re-analyzes the whole plan, and with 5 marker-list
-    # expressions that was ~0.5 s of driver-side analysis per build at
-    # sf0.1 (q74 r8→r9 drift; measured with /tmp profiling round 9)
+    # one withColumns call of F.expr strings (not a withColumn chain of
+    # Column-API lambdas): chained withColumn re-analyzes the whole
+    # plan per call, and each Column lambda costs several py4j round
+    # trips — together ~0.5 s of driver-side build time at sf0.1
+    # before any execution (q74 r8→r9 drift; measured round 9)
     out = df.withColumns(
-        {f"score_{lang}": marker_ratio(F.col(text_col), markers)
+        {f"score_{lang}": F.expr(_marker_ratio_sql(text_col, markers))
          for lang, markers in LANG_MARKERS.items()})
-    # argmax via greatest + chained when (stable: first max wins in dict order)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    pred = None
-    for lang in LANG_MARKERS:
-        cond = F.col(f"score_{lang}") == best
-        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    return out.withColumn("lang_pred", pred)
+    # argmax via greatest + chained when (stable: first max wins in
+    # dict order), as one parsed SQL string
+    best = ", ".join(f"score_{lang}" for lang in LANG_MARKERS)
+    whens = " ".join(
+        f"WHEN score_{lang} = greatest({best}) THEN '{lang}'"
+        for lang in LANG_MARKERS)
+    return out.withColumn("lang_pred", F.expr(f"CASE {whens} END"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
     """Heuristic quality in [0,1]: length band + word-shape + punctuation
-    density + stopword presence (the usual crawl-filter features)."""
-    text = F.col(text_col)
-    n_chars = F.length(text)
-    toks = tokens(text)
-    n_toks = F.greatest(F.size(toks), F.lit(1))
-    avg_word_len = n_chars / n_toks
-    punct = F.size(
-        F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))
-    ) / F.greatest(n_chars, F.lit(1))
-    stop = marker_ratio(text, LANG_MARKERS["en"])
-    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.25)
-    word_ok = F.when((avg_word_len >= 2.0) & (avg_word_len <= 12.0), 1.0).otherwise(0.25)
-    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.5)
-    stop_ok = F.when(stop >= 0.01, 1.0).otherwise(0.5)
-    score = (len_ok * 0.3 + word_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.2)
-    return df.withColumn(out, F.round(score, 6))
+    density + stopword presence (the usual crawl-filter features).
+    Built as one parsed SQL string — the Column-API form cost ~0.1 s of
+    py4j build time per call (measured r9); same expression tree."""
+    t = f"`{text_col}`"
+    n_toks = f"greatest(size(split({t}, ' ')), 1)"
+    punct = (rf"size(regexp_extract_all({t}, '[^\\w\\s]', 0)) / "
+             rf"greatest(length({t}), 1)")
+    stop = _marker_ratio_sql(text_col, LANG_MARKERS["en"])
+    # D-suffixed literals: bare 1.0 parses as DECIMAL in Spark SQL,
+    # but the Column-API original computed in DOUBLE — keep the type
+    score = (
+        f"(CASE WHEN length({t}) BETWEEN 50 AND 20000 "
+        f"THEN 1.0D ELSE 0.25D END) * 0.3D + "
+        f"(CASE WHEN length({t}) / {n_toks} BETWEEN 2.0D AND 12.0D "
+        f"THEN 1.0D ELSE 0.25D END) * 0.3D + "
+        f"(CASE WHEN {punct} <= 0.2D THEN 1.0D ELSE 0.5D END) * 0.2D + "
+        f"(CASE WHEN {stop} >= 0.01D THEN 1.0D ELSE 0.5D END) * 0.2D")
+    return df.withColumn(out, F.expr(f"round({score}, 6)"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
