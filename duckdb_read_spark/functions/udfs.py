@@ -368,7 +368,7 @@ def _make_json_introspection_udfs():
     import json as _json
     from decimal import Decimal
 
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import BooleanType, StringType
 
     def _parse_int(s: str):
         v = int(s)
@@ -532,11 +532,91 @@ def _make_json_introspection_udfs():
         return pd.Series([one(x, y) for x, y in zip(j, p)],
                          dtype=object)
 
+    @F.pandas_udf(StringType())
+    def json_structure_udf(j: pd.Series) -> pd.Series:
+        # [measured r9]: null → "NULL", ints ≥0 UBIGINT else BIGINT,
+        # fractional DOUBLE; arrays unify element structures (NULL
+        # yields to anything, UBIGINT<BIGINT<DOUBLE ranks, objects
+        # merge keys recursively, anything else collapses to "JSON");
+        # [] → ["NULL"]
+        _RANK = {"UBIGINT": 0, "BIGINT": 1, "DOUBLE": 2}
+
+        def sof(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "BOOLEAN"
+            if isinstance(v, int):
+                return "UBIGINT" if v >= 0 else "BIGINT"
+            if isinstance(v, float):
+                return "DOUBLE"
+            if isinstance(v, str):
+                return "VARCHAR"
+            if isinstance(v, dict):
+                return {k: sof(x) for k, x in v.items()}
+            out = "NULL"
+            for e in v:
+                out = unify(out, sof(e))
+            return [out]
+
+        def unify(a, b):
+            if a == b:
+                return a
+            if a == "NULL":
+                return b
+            if b == "NULL":
+                return a
+            if (isinstance(a, str) and a in _RANK
+                    and isinstance(b, str) and b in _RANK):
+                return a if _RANK[a] >= _RANK[b] else b
+            if isinstance(a, dict) and isinstance(b, dict):
+                return {k: unify(a.get(k, "NULL"), b.get(k, "NULL"))
+                        for k in {**a, **b}}
+            if isinstance(a, list) and isinstance(b, list):
+                return [unify(a[0], b[0])]
+            return "JSON"
+
+        def one(x):
+            if pd.isna(x):
+                return None
+            return _json.dumps(sof(_loads(str(x))),
+                               separators=(",", ":"),
+                               ensure_ascii=False)
+        return pd.Series([one(x) for x in j], dtype=object)
+
+    @F.pandas_udf(BooleanType())
+    def json_contains_udf(j: pd.Series, n: pd.Series) -> pd.Series:
+        # [measured r9]: the needle must itself be valid JSON (raises
+        # otherwise); TRUE when any node — including the root — equals
+        # the needle exactly
+        def found(node, needle) -> bool:
+            if type(node) is type(needle) or (
+                    isinstance(node, (int, float))
+                    and isinstance(needle, (int, float))
+                    and not isinstance(node, bool)
+                    and not isinstance(needle, bool)):
+                if node == needle:
+                    return True
+            if isinstance(node, dict):
+                return any(found(v, needle) for v in node.values())
+            if isinstance(node, list):
+                return any(found(v, needle) for v in node)
+            return False
+
+        def one(x, y):
+            if pd.isna(x) or pd.isna(y):
+                return None
+            return found(_loads(str(x)), _loads(str(y)))
+        return pd.Series([one(x, y) for x, y in zip(j, n)],
+                         dtype=object)
+
     # dunder spellings are the dialect's emission targets (the public
     # names would re-trigger their own rewrite branch); the public
     # names are registered too for direct Spark-side use
     return {"json_extract": json_extract_udf,
             "json_type": json_type_udf,
+            "json_structure": json_structure_udf,
+            "json_contains": json_contains_udf,
             "__json_extract__": json_extract_udf,
             "__json_type__": json_type_udf,
             "__json_extract_string__": json_extract_string_udf,
@@ -651,6 +731,22 @@ def _make_parse_path_udfs():
             "__parse_path__": parse_path_udf}
 
 
+def _make_regexp_escape_udf():
+    """DuckDB regexp_escape = RE2 QuoteMeta — backslash every
+    non-word ASCII char [measured r9: 'a b' → 'a\\ b', 'a-b_c' →
+    'a\\-b_c', 'é' unescaped, backslash escaped]; Python's re.escape
+    (3.7+) matches on every measured probe."""
+    import re as _re
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def regexp_escape_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else _re.escape(x))
+
+    return {"regexp_escape": regexp_escape_udf}
+
+
 def _make_unicode_udfs():
     """L22 as SQL (r7): DuckDB ships nfc_normalize/strip_accents as
     core scalars; registering the same names lets that text run
@@ -718,6 +814,7 @@ def register_fuzzy_udfs(spark) -> dict:
            "damerau_levenshtein": damerau_levenshtein,
            "gcd": gcd_udf, "lcm": lcm_udf,
            "age": _make_age_udf(), **_make_unicode_udfs(),
+           **_make_regexp_escape_udf(),
            **_make_math_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)

@@ -117,8 +117,13 @@ def test_multi_window_clause():
 
 
 def test_strftime_escaped_percent():
-    assert convert_strftime_format("%%Y") == "%Y"   # literal %Y, not yyyy
+    # literal %Y, not yyyy — the Y must be PATTERN-QUOTED too, or Java
+    # reads it as year-of-era (r9: bare literal letters were silently
+    # interpreted as directives before)
+    assert convert_strftime_format("%%Y") == "%'Y'"
     assert convert_strftime_format("%Y%%") == "yyyy%"
+    assert convert_strftime_format("Year: %Y") == "'Year: 'yyyy"
+    assert convert_strftime_format("%d/%m") == "dd/MM"
 
 
 def test_len_string_vs_array():
@@ -504,9 +509,15 @@ def test_list_unique_reduce_format_rewrites():
     # literal % and escaped braces survive; bad specs refuse
     out = to_spark_sql("SELECT format('{{x}} {}%', i) FROM t")
     assert "format_string('{x} %s%%'" in out
+    # positional {N} placeholders reorder/reuse args (r9); named {x}
+    # and mixed auto+positional still refuse
+    out = to_spark_sql("SELECT format('{1}{0}{0}', a, b) FROM t")
+    assert "format_string('%s%s%s', b, a, a)" in out
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positional/named"):
-        to_spark_sql("SELECT format('{0}', i) FROM t")
+        to_spark_sql("SELECT format('{name}', i) FROM t")
+    with _pytest.raises(ValueError, match="cannot mix"):
+        to_spark_sql("SELECT format('{0}{}', i) FROM t")
 
 
 def test_list_literal_rewrite():

@@ -1561,3 +1561,110 @@ def test_r9b_over_acceptance_pins(engine, duck):
     assert duck.execute(hug).fetchall()
     with _pytest.raises(Exception):
         engine.sql(hug, dialect="duckdb").collect()
+
+
+def test_r9c_multi_unnest_zip(engine, duck):
+    """Several unnest() calls in ONE select list ZIP positionally with
+    NULL padding in DuckDB [measured: unnest([1,2,3]), unnest([10,20])
+    → (1,10),(2,20),(3,NULL)] — two explodes would cross-product
+    silently. WHERE stays pre-unnest; ORDER BY/LIMIT post-unnest;
+    wrapped expressions apply after unnesting."""
+    for q in (
+        "SELECT unnest([1,2,3]) AS u, unnest([10,20]) AS v",
+        "SELECT unnest([1,2]) AS u, unnest(['a','b','c']) AS v",
+        "SELECT unnest([1,2]) AS u, unnest([10,20]) AS v, n_name "
+        "FROM nation WHERE n_nationkey = 0",
+        "SELECT unnest([1,2]) + 100 AS u, unnest([10,20]) AS v "
+        "ORDER BY v DESC",
+        "SELECT unnest([1,2,3]) AS u, unnest([10,20]) AS v LIMIT 2",
+        "SELECT unnest([]::INT[]) AS u, unnest([1]) AS v",
+        "SELECT n_nationkey, unnest([n_nationkey, n_regionkey]) AS u, "
+        "unnest([1,2]) AS v FROM nation WHERE n_nationkey < 2 "
+        "ORDER BY n_nationkey, u, v",
+    ):
+        got = sorted(map(repr, spark_rows(engine.sql(q, dialect="duckdb"))))
+        want = sorted(map(repr, duckdb_rows(duck, q)))
+        assert got == want, q
+
+
+def test_r9c_mode_first_seen_ties(engine, duck):
+    """mode() breaks count ties by FIRST APPEARANCE in scan order
+    [measured: (1,3,1,3) → 1, (3,1,3,1) → 3]; Spark's native mode is
+    arbitrary on ties."""
+    _check(engine, duck, "SELECT mode(n_regionkey) AS m FROM nation")
+    _check(engine, duck,
+           "SELECT mode(x) AS m FROM (VALUES (1),(3),(1),(3)) t(x)")
+    _check(engine, duck,
+           "SELECT mode(x) AS m FROM (VALUES ('b'),('a'),('b'),('a')) "
+           "t(x)")
+    _check(engine, duck,
+           "SELECT n_regionkey, mode(n_nationkey % 3) AS m FROM nation "
+           "GROUP BY n_regionkey ORDER BY n_regionkey")
+    _check(engine, duck, "SELECT mode(x) AS m FROM (SELECT NULL::INT "
+                         "AS x)")
+
+
+def test_r9c_window_refinement_and_format_positional(engine, duck):
+    """OVER (w ORDER BY …) refines a named WINDOW; format() positional
+    {N} placeholders reorder and reuse; fractional {:.Nf} rounds
+    HALF-EVEN on the exact binary value (2.25 → '2.2' but 2.345 →
+    '2.35' — it stores above the tie)."""
+    _check(engine, duck, (
+        "SELECT n_name, rank() OVER (w ORDER BY n_name) AS r "
+        "FROM nation WINDOW w AS (PARTITION BY n_regionkey) "
+        "ORDER BY n_name LIMIT 5"))
+    _check(engine, duck, (
+        "SELECT format('{1} {0}', 'a', 'b') AS a, "
+        "format('{0}{0}', 'x') AS b2, format('{0:.1f}', 2.25) AS c, "
+        "format('{:.2f}', 2.345) AS d, format('{:.1f}', -2.25) AS e2"))
+
+
+def test_r9c_strftime_week_fields_and_literals(engine, duck):
+    """strftime %U/%W/%w/%u/%V/%G compute as expressions (Spark bans
+    week-based date_format patterns); %g is MILLISECONDS; literal text
+    containing letters pattern-quotes (bare letters were read as Java
+    directives — 'ms=%g' printed the minute/second fields)."""
+    _check(engine, duck, (
+        "SELECT strftime(DATE '2024-02-05', '%j %U %W %w %u %V %G') "
+        "AS a, strftime(DATE '2024-01-01', 'w=%U|%W') AS b2, "
+        "strftime(DATE '2023-01-01', '%U|%W|%w|%u|%V|%G') AS c, "
+        "strftime(DATE '2021-01-01', '%G') AS d, "
+        "strftime(DATE '2026-01-01', '%G') AS e2"))
+    _check(engine, duck, (
+        "SELECT strftime(TIMESTAMP '2024-02-05 13:01:02.345678', "
+        "'ms=%g') AS a, strftime(DATE '2024-02-05', 'Year: %Y') AS b2"))
+
+
+def test_r9c_json_breadth(engine, duck):
+    """json_structure (type unification: NULL yields, UBIGINT<BIGINT<
+    DOUBLE, objects merge keys, incompatibles → JSON), json_contains
+    (exact node match at any depth incl. root), json_transform/
+    from_json (COERCING casts, failures → NULL fields), json_quote/
+    to_json on ANY value (scalars included), regexp_escape,
+    reservoir_quantile."""
+    _check(engine, duck, (
+        """SELECT json_structure('{"a":1,"b":[1.5]}') AS a, """
+        """json_structure('[1,"x"]') AS b2, json_structure('[]') AS c, """
+        """json_structure('[{"a":1},{"b":-2}]') AS d, """
+        """json_structure('null') AS e2"""))
+    _check(engine, duck, (
+        """SELECT json_contains('{"a":1}', '1') AS a, """
+        """json_contains('[1,2]', '3') AS b2, """
+        """json_contains('{"a":{"b":1}}', '{"b":1}') AS c, """
+        """json_contains('"x"','"x"') AS d, """
+        """json_contains('{"a":1}', '{"a":2}') AS e2"""))
+    _check(engine, duck, (
+        """SELECT json_transform('{"a":"5","b":"x"}', """
+        """'{"a":"INTEGER"}') AS a, """
+        """json_transform('[1,2]', '["VARCHAR"]') AS b2, """
+        """json_transform('{"a":"x"}','{"a":"INTEGER"}') AS c, """
+        """json_transform('{"a":{"b":"7"}}','{"a":{"b":"BIGINT"}}') """
+        """AS d, from_json('[1,2]','["INTEGER"]') AS e2"""))
+    _check(engine, duck, (
+        "SELECT json_quote('abc') AS a, json_quote(5) AS b2, "
+        "json_quote([1,2]) AS c, json_quote(NULL) AS d, "
+        "to_json('abc') AS e2, to_json({'x':1}) AS f"))
+    _check(engine, duck, (
+        "SELECT regexp_escape('a.b*c+[]') AS a, regexp_escape('a b') "
+        "AS b2, reservoir_quantile(n_nationkey, 0.5, 100) AS c "
+        "FROM nation"))
