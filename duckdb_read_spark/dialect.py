@@ -679,6 +679,10 @@ _SIMPLE_RENAMES = {
     "arbitrary": "first",
     "list_has": "array_contains",
     "array_has": "array_contains",
+    # generic-fold aliases — re-enter the list_aggregate dispatch
+    "list_aggr": "list_aggregate",
+    "array_aggregate": "list_aggregate",
+    "array_aggr": "list_aggregate",
     "list_indexof": "array_position",  # missing element → 0 on both
     # hash() is ENGINE-SPECIFIC on both sides (DuckDB's own 64-bit
     # finalizer vs whatever Spark ships) — mapped to xxhash64 so the
@@ -1540,6 +1544,47 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name == "unnest" and parts:
             out.append("explode")
             i += 1
+            changed = True
+            continue
+        if (name == "list_median" and parts and len(parts[2]) == 1):
+            # exact median of the non-NULL elements as DOUBLE
+            # [measured r9: [1,2,3] → 2.0, [1,2,3,4] → 2.5, NULLs skip,
+            # empty/all-NULL → NULL]
+            a = _arg_text(toks, parts[2][0])
+            s_ = f"array_sort(filter({a}, __lm__ -> __lm__ IS NOT NULL))"
+            n_ = f"size({s_})"
+            out.append(
+                f"(CASE WHEN {s_} IS NULL OR {n_} = 0 THEN "
+                f"CAST(NULL AS DOUBLE) WHEN {n_} % 2 = 1 THEN "
+                f"CAST(element_at({s_}, CAST(({n_} + 1) / 2 AS INT)) "
+                f"AS DOUBLE) "
+                f"ELSE (CAST(element_at({s_}, "
+                f"CAST({n_} / 2 AS INT)) AS DOUBLE) + "
+                f"CAST(element_at({s_}, CAST({n_} / 2 AS INT) + 1) "
+                f"AS DOUBLE)) / 2 END)")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name == "list_any_value" and parts and len(parts[2]) == 1):
+            # first non-NULL element, NULL when none [measured r9]
+            a = _arg_text(toks, parts[2][0])
+            out.append(f"get(filter({a}, __lv__ -> __lv__ IS NOT NULL), "
+                       f"0)")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name in ("round_even", "roundbankers") and parts
+                and len(parts[2]) in (1, 2)):
+            # half-even rounding ≡ Spark bround on every measured probe
+            # [r9: 2.5→2, 3.5→4, DECIMAL 2.345@2 → 2.34 (exact decimal
+            # tie → even), DOUBLE 2.675@2 → 2.68 — DuckDB's round_even,
+            # like bround, rounds the shortest DECIMAL repr, unlike its
+            # own format '{:.Nf}' which rounds the exact binary value]
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            p_ = _arg_text(toks, spans[1]) if len(spans) == 2 else "0"
+            out.append(f"bround({a}, {p_})")
+            i = close + 1
             changed = True
             continue
         if (name == "mode" and parts and len(parts[2]) == 1
@@ -3953,7 +3998,18 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 "min": f"array_min({lst})",
                 "max": f"array_max({lst})",
                 "avg": _guarded(f"({_s} / size({_flt}))"),
+                "mean": _guarded(f"({_s} / size({_flt}))"),
                 "count": f"size({_flt})",
+                # r9 additions — re-enter their dedicated rewrites
+                "median": f"list_median({lst})",
+                "any_value": f"list_any_value({lst})",
+                # 2-arg string_agg defaults to ',' [measured r9]
+                "string_agg": (f"(CASE WHEN size({_flt}) = 0 "
+                               f"THEN CAST(NULL AS STRING) "
+                               f"ELSE array_join({_flt}, ',') END)"),
+                "group_concat": (f"(CASE WHEN size({_flt}) = 0 "
+                                 f"THEN CAST(NULL AS STRING) "
+                                 f"ELSE array_join({_flt}, ',') END)"),
             }.get(agg)
             if body is not None:
                 out.append(body)
@@ -8343,6 +8399,70 @@ def _rewrite_window_exclude(sql: str) -> str:
 _ARRAY_LIT = r"array\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*\)"
 
 
+def _rewrite_struct_varchar_casts(sql: str) -> str:
+    """``named_struct(...)::STRING`` / ``CAST(struct(...) AS STRING)``
+    → ``__duck_varchar__(...)`` — DuckDB renders struct casts WITH
+    their keys ({'a': 1}) and unnamed row() structs parenthesized
+    ((1, 2)); Spark's CAST drops the keys ({1}) [measured r9]. Only
+    struct-LITERAL casts are type-detectable here; a struct COLUMN
+    cast keeps Spark's render (documented §2.4)."""
+    if "struct(" not in sql:
+        return sql
+    for _ in range(20):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        done = True
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (t.kind != "ident"
+                    or t.text not in ("named_struct", "struct")
+                    or p + 1 >= len(sig) or toks[sig[p + 1]].text != "("):
+                continue
+            try:
+                close = _find_close(toks, sig[p + 1])
+            except ValueError:
+                continue
+            cpos = None
+            for q2 in range(p + 1, len(sig)):
+                if sig[q2] == close:
+                    cpos = q2
+                    break
+            if cpos is None:
+                continue
+            call = detokenize(toks[ti:close + 1])
+            # postfix ::STRING form
+            if (cpos + 3 < len(sig) and toks[sig[cpos + 1]].text == ":"
+                    and toks[sig[cpos + 2]].text == ":"
+                    and toks[sig[cpos + 3]].kind == "ident"
+                    and toks[sig[cpos + 3]].text.upper() in
+                    ("STRING", "VARCHAR", "TEXT")):
+                sql = (detokenize(toks[:ti])
+                       + f"__duck_varchar__({call})"
+                       + detokenize(toks[sig[cpos + 3] + 1:]))
+                done = False
+                break
+            # CAST( struct(...) AS STRING ) form
+            if (p >= 2 and toks[sig[p - 1]].text == "("
+                    and toks[sig[p - 2]].kind == "ident"
+                    and toks[sig[p - 2]].text.upper() == "CAST"
+                    and cpos + 2 < len(sig)
+                    and toks[sig[cpos + 1]].kind == "ident"
+                    and toks[sig[cpos + 1]].text.upper() == "AS"
+                    and toks[sig[cpos + 2]].kind == "ident"
+                    and toks[sig[cpos + 2]].text.upper() in
+                    ("STRING", "VARCHAR", "TEXT")
+                    and cpos + 3 < len(sig)
+                    and toks[sig[cpos + 3]].text == ")"):
+                sql = (detokenize(toks[:sig[p - 2]])
+                       + f"__duck_varchar__({call})"
+                       + detokenize(toks[sig[cpos + 3] + 1:]))
+                done = False
+                break
+        if done:
+            return sql
+    return sql
+
+
 def _rewrite_null_list_concat(sql: str) -> str:
     """``[…] || NULL`` / ``NULL || […]`` → NULL [measured: DuckDB list
     concat with a NULL side is NULL]. Spark's type unification rejects
@@ -8358,6 +8478,81 @@ def _rewrite_null_list_concat(sql: str) -> str:
     sql = re.sub(
         rf"(?is)(?<![\w)])NULL\s*\|\|\s*(?P<a>{_ARRAY_LIT})",
         lambda m: f"if(true, null, {m.group('a')})", sql)
+    return sql
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """``expr AT TIME ZONE 'Z'`` → ``timezone('Z', expr)`` — the SQL
+    operator spelling of DuckDB's directional timezone() (r8): a naive
+    TIMESTAMP reinterprets as an instant IN that zone, a TIMESTAMPTZ
+    renders as the naive wall clock AT that zone. Re-enters the
+    fixpoint so the r8 __timestamptz__ machinery applies. The left
+    operand is one primary (literal with optional type prefix, dotted
+    column chain, call/paren group, ::-cast chain); odd shapes stay
+    verbatim and fail loudly in Spark."""
+    if not re.search(r"(?i)\bAT\s+TIME\s+ZONE\b", sql):
+        return sql
+    for _ in range(20):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        hit = None
+        for p in range(len(sig) - 3):
+            if all(toks[sig[p + k]].kind == "ident"
+                   and toks[sig[p + k]].text.upper() == w
+                   for k, w in ((0, "AT"), (1, "TIME"), (2, "ZONE"))):
+                hit = p
+                break
+        if hit is None or hit == 0:
+            return sql
+        rend = _scan_right_primary(toks, sig, hit + 3)
+        if rend is None:
+            return sql
+        right = detokenize(toks[sig[hit + 3]:rend + 1]).strip()
+        lstart = hit - 1
+        t = toks[sig[lstart]]
+        if t.text == ")":
+            d = 0
+            q = lstart
+            while q >= 0:
+                if toks[sig[q]].text == ")":
+                    d += 1
+                elif toks[sig[q]].text == "(":
+                    d -= 1
+                    if d == 0:
+                        break
+                q -= 1
+            if q < 0:
+                return sql
+            lstart = q
+            if (lstart - 1 >= 0 and toks[sig[lstart - 1]].kind == "ident"
+                    and toks[sig[lstart - 1]].text.upper() not in
+                    ("SELECT", "WHERE", "AND", "OR", "WHEN", "THEN",
+                     "ELSE", "BY", "FROM", "ON")):
+                lstart -= 1
+        elif t.kind == "str":
+            if (lstart - 1 >= 0 and toks[sig[lstart - 1]].kind == "ident"
+                    and toks[sig[lstart - 1]].text.upper() in
+                    ("TIMESTAMP", "TIMESTAMPTZ", "DATE", "TIME",
+                     "__TIMESTAMPTZ__")):  # marker from the cte pass
+                lstart -= 1
+        elif t.kind in ("ident", "bqid", "num"):
+            # absorb ::TYPE cast chains and dotted column chains
+            while lstart - 2 >= 0:
+                if (toks[sig[lstart - 1]].text == "." and
+                        toks[sig[lstart - 2]].kind in ("ident", "bqid")):
+                    lstart -= 2
+                elif (lstart - 3 >= 0
+                        and toks[sig[lstart - 1]].text == ":"
+                        and toks[sig[lstart - 2]].text == ":"):
+                    lstart -= 3
+                else:
+                    break
+        else:
+            return sql
+        left = detokenize(toks[sig[lstart]:sig[hit]]).strip()
+        sql = (detokenize(toks[:sig[lstart]])
+               + f"timezone({right}, {left})"
+               + detokenize(toks[rend + 1:]))
     return sql
 
 
@@ -8614,6 +8809,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_qualify(sql)
     sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_scalar_subquery_first_row(sql)
+    sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_multi_unnest(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)
@@ -8645,5 +8841,6 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_index_base(sql, column_kinds)
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_null_list_concat(sql)
+    sql = _rewrite_struct_varchar_casts(sql)
     sql = _rewrite_keywords(sql)
     return sql

@@ -731,6 +731,81 @@ def _make_parse_path_udfs():
             "__parse_path__": parse_path_udf}
 
 
+def _make_duck_varchar_udf():
+    """STRUCT → VARCHAR rendering, DuckDB style [measured r9]:
+    ``{'a': 1, 's': abc}`` — single-quoted keys, bare values (strings
+    unquoted/unescaped), NULL uppercase, nested structs/lists recurse,
+    booleans lowercase, timestamps ``2024-01-01 05:06:07``, DECIMALs
+    keep scale; UNNAMED row() structs render parenthesized ``(1, 2)``
+    (detected by Spark's col1..colN auto-names — a real struct whose
+    keys are all colN renders tuple-style too, documented). Spark's
+    own CAST(struct AS STRING) drops the keys entirely ('{1, abc}') —
+    a silent wrong answer for any DuckDB text comparing rendered
+    structs. The dialect routes struct-literal casts here; COLUMN
+    struct casts can't be type-detected and keep Spark's render
+    (documented §2.4)."""
+    import datetime as _dt
+    import re as _re
+    from decimal import Decimal as _Dec
+
+    from pyspark.sql.types import StringType
+
+    def _render(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, dict):
+            if v and all(_re.fullmatch(r"col\d+", k) for k in v):
+                return ("(" + ", ".join(_render(x) for x in v.values())
+                        + ")")
+            return ("{" + ", ".join(f"'{k}': {_render(x)}"
+                                    for k, x in v.items()) + "}")
+        if isinstance(v, (list, tuple)) or (
+                hasattr(v, "tolist") and not hasattr(v, "items")
+                and not isinstance(v, (str, bytes))):
+            seq = v.tolist() if hasattr(v, "tolist") else v
+            return "[" + ", ".join(_render(x) for x in seq) + "]"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, _Dec):
+            return str(v)
+        return str(v)
+
+    @F.pandas_udf(StringType())
+    def duck_varchar_udf(s: pd.DataFrame) -> pd.Series:
+        # a STRUCT column arrives as a pd.DataFrame (one column per
+        # field), not a Series of dicts — rebuild the per-row dicts;
+        # numpy scalars unwrap via .item() so bools/ints render cleanly
+        def clean(v):
+            if hasattr(v, "item") and not hasattr(v, "__len__"):
+                try:
+                    v = v.item()
+                except Exception:
+                    pass
+            if isinstance(v, float) and v != v:
+                return None
+            return v
+
+        if isinstance(s, pd.DataFrame):
+            rows = [{k: clean(v) for k, v in rec.items()}
+                    for rec in s.to_dict("records")]
+        else:
+            rows = [clean(v) for v in s]
+
+        def one(v):
+            if v is None:
+                return None
+            return _render(v)
+        return pd.Series([one(v) for v in rows], dtype=object)
+
+    return {"__duck_varchar__": duck_varchar_udf}
+
+
 def _make_regexp_escape_udf():
     """DuckDB regexp_escape = RE2 QuoteMeta — backslash every
     non-word ASCII char [measured r9: 'a b' → 'a\\ b', 'a-b_c' →
@@ -815,6 +890,7 @@ def register_fuzzy_udfs(spark) -> dict:
            "gcd": gcd_udf, "lcm": lcm_udf,
            "age": _make_age_udf(), **_make_unicode_udfs(),
            **_make_regexp_escape_udf(),
+           **_make_duck_varchar_udf(),
            **_make_math_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)

@@ -1668,3 +1668,63 @@ def test_r9c_json_breadth(engine, duck):
         "SELECT regexp_escape('a.b*c+[]') AS a, regexp_escape('a b') "
         "AS b2, reservoir_quantile(n_nationkey, 0.5, 100) AS c "
         "FROM nation"))
+
+
+def test_r9d_at_time_zone_and_list_folds(engine, duck):
+    """AT TIME ZONE operator (directional like timezone()); generic
+    list_aggregate function-name dispatch (NULL elements skip,
+    string_agg default ','); list_median (DOUBLE, NULLs skip, empty →
+    NULL); list_any_value (first non-NULL); round_even ≡ bround on
+    every measured probe."""
+    _check(engine, duck, (
+        "SELECT TIMESTAMP '2024-06-01 12:00:00' AT TIME ZONE "
+        "'America/New_York' AS a, TIMESTAMPTZ '2024-06-01 12:00:00+00' "
+        "AT TIME ZONE 'America/New_York' AS b2"))
+    _check(engine, duck, (
+        "SELECT list_aggregate([1,5,3], 'max') AS a, "
+        "list_aggregate([1,NULL,3], 'sum') AS b2, "
+        "list_aggregate(['a',NULL,'b'], 'string_agg', '-') AS c, "
+        "list_aggregate(['a','b'], 'string_agg') AS d, "
+        "list_aggregate([1,2], 'avg') AS e2"))
+    _check(engine, duck, (
+        "SELECT list_median([1,2,3]) AS a, list_median([1,2,3,4]) AS "
+        "b2, list_median([NULL,1,2]) AS c, list_median([]::INT[]) AS d,"
+        " list_any_value([NULL, 3, 5]) AS e2, "
+        "list_any_value([]::INT[]) AS f"))
+    _check(engine, duck, (
+        "SELECT round_even(2.5, 0) AS a, round_even(3.5, 0) AS b2, "
+        "round_even(2.345, 2) AS c, round_even(2.675::DOUBLE, 2) AS d, "
+        "round_even(-2.5, 0) AS e2"))
+
+
+def test_r9d_struct_varchar_render(engine, duck):
+    """Struct-literal → VARCHAR casts render DuckDB-style WITH keys
+    ({'a': 1}; bare unescaped values, NULL uppercase, unnamed row()
+    parenthesized) — Spark's CAST drops the keys. Column struct casts
+    keep Spark's render (type-undetectable; documented). list_distinct
+    ORDER is engine-internal hash order on both sides — compare
+    through list_sort."""
+    _check(engine, duck, (
+        "SELECT struct_pack(a := 1)::VARCHAR AS a, "
+        "{'x': [1,2]}::VARCHAR AS b2, row(1,2)::VARCHAR AS c"))
+    _check(engine, duck, (
+        "SELECT CAST({'s':'abc','d':DATE '2024-01-01','n':NULL,"
+        "'f':1.5} AS VARCHAR) AS a, {'a': {'b': 1}}::VARCHAR AS b2, "
+        "CAST({'v': true} AS VARCHAR) AS c"))
+    _check(engine, duck, (
+        "SELECT CAST(list_sort(list_distinct([2,2,NULL,1])) "
+        "AS VARCHAR) AS a"))
+
+
+def test_r9d_over_acceptance_additions(engine, duck):
+    """overlay() and nvl2() don't exist in DuckDB 1.0 (engine
+    over-accepts both — pinned); bare table-name-as-struct selection
+    (SELECT t FROM t) stays loud."""
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    for q in ("SELECT overlay('hello' PLACING 'XX' FROM 2) AS c",
+              "SELECT nvl2(NULL, 'x', 'y') AS c"):
+        with _pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
