@@ -2362,6 +2362,97 @@ def _q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q150_TEXT, dialect="duckdb")
 
 
+_Q151_TEXT = """
+SELECT doc_id,
+       upper(lang || 'ß') AS up,
+       lower('İ-' || upper(lang)) AS lo,
+       format('{1}#{0}', lang, doc_id % 7) AS fmt,
+       format('{:.1f}', (doc_id % 40) + 0.25) AS fr,
+       strftime(DATE '2024-01-01' + to_days(CAST(doc_id % 400 AS INTEGER)),
+                '%G-%V (%U/%W) w%w u%u') AS wk,
+       strftime(TIMESTAMP '2024-02-05 13:01:02.345678'
+                + to_days(CAST(doc_id % 3 AS INTEGER)), 'ms=%g on %j') AS msj
+FROM documents WHERE doc_id < 60
+ORDER BY doc_id
+"""
+
+
+@_op("q151_case_format_strftime", _Q151_TEXT,
+     note="r9b/r9c tranche as one verbatim query: per-codepoint case "
+          "mapping (ß→ẞ, İ→i), positional format with half-even "
+          "fraction ties, strftime week fields (%G/%V/%U/%W/%w/%u), "
+          "%g milliseconds, pattern-quoted literal text")
+def _q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q151_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q151_TEXT, dialect="duckdb")
+
+
+_Q152_TEXT = """
+SELECT doc_id,
+       unnest(string_split(text, ' ')[1:4]) AS w,
+       unnest([1,2,3,4]) AS pos,
+       list_median(list_transform(string_split(text, ' ')[1:9],
+                                  w2 -> length(w2))) AS med,
+       list_aggregate(string_split(text, ' ')[1:3],
+                      'string_agg', '|') AS joined
+FROM documents WHERE doc_id < 12
+ORDER BY doc_id, pos
+"""
+
+
+@_op("q152_multi_unnest_list_folds", _Q152_TEXT,
+     note="multiple unnest() in one select list ZIP positionally with "
+          "NULL padding (not cross-product); list_median and the "
+          "generic list_aggregate string_agg dispatch ride along")
+def _q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q152_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q152_TEXT, dialect="duckdb")
+
+
+_Q153_TEXT = """
+SELECT o_orderkey,
+       (o_orderdate::TIMESTAMP AT TIME ZONE 'America/New_York')
+           AT TIME ZONE 'UTC' AS instant,
+       TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 day' / 2
+           + INTERVAL '3:30:00' AS t2,
+       (SELECT r_name FROM region ORDER BY r_regionkey) AS first_region,
+       json_structure('{"k": ' || CAST(o_orderkey % 5 AS VARCHAR)
+                      || ', "t": "' || o_orderstatus || '"}') AS js,
+       json_quote(o_orderstatus) AS jq,
+       mode(o_orderstatus) OVER () AS md
+FROM orders WHERE o_orderkey < 60
+ORDER BY o_orderkey
+"""
+
+
+@_op("q153_tz_interval_json", _Q153_TEXT,
+     note="AT TIME ZONE (directional), component-wise interval "
+          "division, INTERVAL 'H:M:S' literals, ordered scalar "
+          "subquery first-row, json_structure/json_quote; the windowed "
+          "mode stays verbatim (both engines agree)")
+def _q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q153_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q153_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
