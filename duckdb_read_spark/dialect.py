@@ -6034,7 +6034,54 @@ def _rewrite_numeric_literal_forms(sql: str) -> str:
             continue
         out.append(t)
         i += 1
-    return detokenize(out)
+    return _fold_numeric_string_casts(detokenize(out))
+
+
+_NUM_CAST_TYPES = (r"(?:U?(?:TINY|SMALL|BIG|HUGE)?INT(?:EGER)?[1248]?"
+                   r"|LONG|SIGNED|DOUBLE|FLOAT[48]?|REAL"
+                   r"|DECIMAL|NUMERIC|DEC)")
+
+
+def _clean_numeric_string(lit: str, target: str) -> str | None:
+    """DuckDB string→number casts accept hex ('0x1A' = 26), binary
+    ('0b101') and digit-separator underscores ('1_000', '1_00.5_0' =
+    100.50) [measured r9 — Spark's ANSI cast rejects all three].
+    Returns the plain-decimal spelling, or None to leave the cast
+    untouched (loud parity for the invalid forms like '_1')."""
+    s = lit.strip()
+    is_float = target.upper().startswith(("DOUBLE", "FLOAT", "REAL",
+                                          "DECIMAL", "NUMERIC", "DEC"))
+    # hex/binary are integer-only and UNSIGNED in DuckDB [measured:
+    # '-0x10'::INT is a Conversion Error]
+    if not is_float and re.fullmatch(r"0[xX][0-9a-fA-F]+", s):
+        return str(int(s[2:], 16))
+    if not is_float and re.fullmatch(r"0[bB][01]+", s):
+        return str(int(s[2:], 2))
+    if "_" in s and re.fullmatch(
+            r"[+-]?\d+(?:_\d+)*(?:\.\d+(?:_\d+)*)?(?:[eE][+-]?\d+)?", s):
+        return s.replace("_", "")
+    return None
+
+
+def _fold_numeric_string_casts(sql: str) -> str:
+    """``'0x1A'::INT`` / ``CAST('1_000' AS BIGINT)`` literal folds."""
+    if "'" not in sql or not re.search(r"(?i)0[xb]|_\d", sql):
+        return sql
+
+    def sub_pg(m: "re.Match[str]") -> str:
+        c = _clean_numeric_string(m.group(1), m.group(2))
+        return (f"'{c}'::{m.group(2)}" if c is not None else m.group(0))
+
+    def sub_cast(m: "re.Match[str]") -> str:
+        c = _clean_numeric_string(m.group(1), m.group(2))
+        return (f"CAST('{c}' AS {m.group(2)}" if c is not None
+                else m.group(0))
+
+    sql = re.sub(rf"'([^']*)'\s*::\s*({_NUM_CAST_TYPES})\b",
+                 sub_pg, sql)
+    sql = re.sub(rf"(?is)\bCAST\s*\(\s*'([^']*)'\s+AS\s+"
+                 rf"({_NUM_CAST_TYPES})\b", sub_cast, sql)
+    return sql
 
 
 def _rewrite_json_arrow(sql: str) -> str:
@@ -8479,6 +8526,69 @@ def _rewrite_null_list_concat(sql: str) -> str:
         rf"(?is)(?<![\w)])NULL\s*\|\|\s*(?P<a>{_ARRAY_LIT})",
         lambda m: f"if(true, null, {m.group('a')})", sql)
     return sql
+
+
+def substitute_select_alias(sql: str, name: str) -> str | None:
+    """Inline the select-list alias ``name`` at its other references —
+    DuckDB resolves select aliases in WHERE/HAVING (a real column wins
+    on conflict; volatile aliases refuse) [measured r9], Spark doesn't.
+    Called by Engine.sql on an UNRESOLVED_COLUMN retry, so column
+    precedence falls out naturally: when the name resolves as a column
+    there is no error and no substitution. Returns the substituted
+    text, or None when no ``AS name`` select item exists."""
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    depths = _depths(toks)
+    target = name.lower()
+    # find `AS name`
+    def_pos = None
+    for p in range(1, len(sig)):
+        t = toks[sig[p]]
+        if (t.kind in ("ident", "bqid")
+                and t.text.strip("`").lower() == target
+                and toks[sig[p - 1]].kind == "ident"
+                and toks[sig[p - 1]].text.upper() == "AS"):
+            def_pos = p
+            break
+    if def_pos is None:
+        return None
+    d0 = depths[sig[def_pos]]
+    # the aliased expression: back from AS to the previous depth-d0
+    # comma / SELECT / DISTINCT
+    start = None
+    for q in range(def_pos - 2, -1, -1):
+        tq = toks[sig[q]]
+        if depths[sig[q]] < d0:
+            start = q + 1
+            break
+        if depths[sig[q]] == d0 and (
+                tq.text == "," or (tq.kind == "ident"
+                                   and tq.text.upper() in ("SELECT",
+                                                           "DISTINCT"))):
+            start = q + 1
+            break
+    if start is None:
+        start = 0
+    expr = detokenize(toks[sig[start]:sig[def_pos - 1]]).strip()
+    if not expr:
+        return None
+    # substitute every OTHER bare reference
+    changed = False
+    for p, ti in enumerate(sig):
+        t = toks[ti]
+        if (p == def_pos or t.kind not in ("ident", "bqid")
+                or t.text.strip("`").lower() != target):
+            continue
+        if p > 0 and toks[sig[p - 1]].text in (".", ":"):
+            continue  # qualified or struct-key position
+        if p > 0 and toks[sig[p - 1]].kind == "ident" \
+                and toks[sig[p - 1]].text.upper() == "AS":
+            continue  # defines some other alias of the same name
+        if p + 1 < len(sig) and toks[sig[p + 1]].text == "(":
+            continue  # function call
+        toks[ti] = Tok("ident", f"({expr})")
+        changed = True
+    return detokenize(toks) if changed else None
 
 
 def _rewrite_at_time_zone(sql: str) -> str:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .conf import BUILD_CONFS, RUNTIME_CONFS, TABLES, apply_runtime_confs
 from . import catalog, hudilog, iceberglog, snapshots
-from .dialect import to_spark_sql
+from .dialect import substitute_select_alias, to_spark_sql
 from .sources import sinks
 
 
@@ -2809,6 +2809,23 @@ class Engine:
                     # (non-partitioned) table in this query — fall through
                     # to the untouched text
                     pass
+        from pyspark.errors import AnalysisException as _AE
+
+        for _ in range(5):  # chained aliases expand one per retry
+            try:
+                return self.spark.sql(query)
+            except _AE as e:
+                # DuckDB resolves select-list aliases in WHERE/HAVING
+                # (dialect.substitute_select_alias) — retry with the
+                # unresolved name inlined; a real column never errors,
+                # so column precedence is preserved
+                m_al = re.search(r"UNRESOLVED_COLUMN[^`]*`([^`]+)`",
+                                 str(e))
+                sub = (substitute_select_alias(query, m_al.group(1))
+                       if m_al else None)
+                if sub is None:
+                    raise
+                query = sub
         return self.spark.sql(query)
 
     def _try_limit_percent(self, query: str):

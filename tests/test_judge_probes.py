@@ -1728,3 +1728,33 @@ def test_r9d_over_acceptance_additions(engine, duck):
         with _pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+
+
+def test_r9e_alias_in_where_and_numeric_strings(engine, duck):
+    """Select-list aliases resolve in WHERE/HAVING like DuckDB (a real
+    column WINS on conflict — upper(n_name) AS n_name filters on the
+    COLUMN; chained aliases expand); string→number casts accept hex
+    '0x1A' (unsigned only — '-0x10' errors on both), binary '0b101'
+    and digit-separator underscores [all measured r9]."""
+    _check(engine, duck, (
+        "SELECT n_nationkey + 1 AS nk FROM nation WHERE nk > 5 "
+        "ORDER BY nk LIMIT 2"))
+    _check(engine, duck, (
+        "SELECT n_nationkey + 1 AS nk, nk * 2 AS nk2 FROM nation "
+        "WHERE nk2 > 40 ORDER BY nk LIMIT 2"))
+    _check(engine, duck, (
+        "SELECT count(*) AS c FROM nation GROUP BY n_regionkey "
+        "HAVING c > 4 ORDER BY c LIMIT 2"))
+    _check(engine, duck, (
+        "SELECT upper(n_name) AS n_name FROM nation "
+        "WHERE n_name LIKE 'A%' ORDER BY 1 LIMIT 2"))
+    _check(engine, duck, (
+        "SELECT '0x1A'::INTEGER AS a, '0X0f'::INT AS b2, "
+        "'0b101'::INT AS c, '1_000_000'::INT AS d, "
+        "'1_00.5_0'::DOUBLE AS e2, CAST('0x10' AS BIGINT) AS f"))
+    import duckdb as _duckdb
+    import pytest as _pytest
+    with _pytest.raises(_duckdb.Error):
+        duck.execute("SELECT '-0x10'::INT").fetchall()
+    with _pytest.raises(Exception):
+        engine.sql("SELECT '-0x10'::INT", dialect="duckdb").collect()
