@@ -738,17 +738,52 @@ def _time_bucket_expr(toks, parts, column_kinds) -> str | None:
     if unit not in _TB_UNIT_US:
         return None
     w = n * _TB_UNIT_US[unit]
+    # 3-arg forms [measured r9]: a DATE/TIMESTAMP third arg re-anchors
+    # the buckets at that ORIGIN; an INTERVAL third arg OFFSETS the
+    # default anchor (time_bucket(7 DAY, 2024-03-05, INTERVAL 2 DAY) =
+    # 2024-02-28). Literal origins/offsets only; others stay loud.
+    anchor_date = "DATE '2000-01-03'"
+    origin_us = _TB_ORIGIN_US
+    if len(spans) >= 3:
+        a3 = _arg_text(toks, spans[2]).strip()
+        m_org = re.fullmatch(r"(?is)(DATE|TIMESTAMP)\s+'([^']*)'", a3)
+        parsed_iv = _parse_interval_literal(a3)
+        if m_org:
+            import datetime as _dt
+            try:
+                if m_org.group(1).upper() == "DATE":
+                    od = _dt.date.fromisoformat(m_org.group(2))
+                    ots = _dt.datetime(od.year, od.month, od.day)
+                else:
+                    ots = _dt.datetime.fromisoformat(m_org.group(2))
+            except ValueError:
+                return None
+            origin_us = int((ots - _dt.datetime(1970, 1, 1))
+                            .total_seconds() * 1_000_000)
+            anchor_date = f"DATE '{ots.date().isoformat()}'"
+            if ots != _dt.datetime(ots.year, ots.month, ots.day):
+                anchor_date = None  # sub-day origin: timestamp path
+        elif parsed_iv is not None and parsed_iv[0] == 0:
+            off = parsed_iv[1] * 86_400_000_000 + int(parsed_iv[2])
+            origin_us += off
+            if off % 86_400_000_000 == 0:
+                anchor_date = (f"date_add(DATE '2000-01-03', "
+                               f"{off // 86_400_000_000})")
+            else:
+                anchor_date = None
+        else:
+            return None
     is_date = bool(re.fullmatch(r"DATE\s+'[^']*'", e, re.IGNORECASE))
     if not is_date and column_kinds and re.fullmatch(r"[A-Za-z_]\w*", e):
         is_date = column_kinds.get(e.lower()) == "date"
-    if is_date and w % 86_400_000_000 == 0:
+    if is_date and w % 86_400_000_000 == 0 and anchor_date is not None:
         days = w // 86_400_000_000
-        return (f"date_add(DATE '2000-01-03', "
-                f"CAST(floor(datediff({e}, DATE '2000-01-03') / {days}) "
+        return (f"date_add({anchor_date}, "
+                f"CAST(floor(datediff({e}, {anchor_date}) / {days}) "
                 f"* {days} AS INT))")
     return (f"timestamp_micros(CAST(floor((unix_micros(CAST({e} AS "
-            f"TIMESTAMP)) - {_TB_ORIGIN_US}) / {w}) * {w} "
-            f"+ {_TB_ORIGIN_US} AS BIGINT))")
+            f"TIMESTAMP)) - {origin_us}) / {w}) * {w} "
+            f"+ {origin_us} AS BIGINT))")
 
 _INTERVAL_UNIT_MONTHS = {
     "y": 12, "yr": 12, "yrs": 12, "year": 12, "years": 12,
@@ -1546,6 +1581,51 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i += 1
             changed = True
             continue
+        _tn_guard = False
+        if name == "typeof" and parts:
+            k_ = i - 1
+            while k_ >= 0 and toks[k_].kind == "ws":
+                k_ -= 1
+            if k_ >= 1 and toks[k_].text == "(":
+                k2_ = k_ - 1
+                while k2_ >= 0 and toks[k2_].kind == "ws":
+                    k2_ -= 1
+                _tn_guard = (toks[k2_].kind == "ident" and
+                             toks[k2_].text == "__duck_typename__")
+        if (name == "typeof" and parts and len(parts[2]) == 1
+                and not _tn_guard):
+            # DuckDB type spellings (INTEGER/VARCHAR/INTEGER[]/
+            # STRUCT(a INTEGER)/'"NULL"'), not Spark's lowercase DDL —
+            # converted by the __duck_typename__ session UDF over
+            # Spark's own typeof string [measured r9]
+            a = _arg_text(toks, parts[2][0])
+            out.append(f"__duck_typename__(typeof({a}))")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "version" and parts and not parts[2]:
+            # the engine's DuckDB-compat surface version — the oracle's
+            # DuckDB (1.0.0); Spark's version() returns the Spark build
+            out.append("'v1.0.0'")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "setseed" and parts and len(parts[2]) == 1:
+            # duck setseed(x) seeds random() and returns NULL; Spark
+            # random seeds per-expression — the seeding itself cannot
+            # carry over (random() values never cross-compare anyway,
+            # like hash()); NULL return preserved
+            out.append("CAST(NULL AS BOOLEAN)")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "txid_current" and parts and not parts[2]:
+            # a transaction ordinal — engine-specific VALUE by design
+            # (documented like hash()); typed BIGINT so comparisons run
+            out.append("CAST(1 AS BIGINT)")
+            i = parts[1] + 1
+            changed = True
+            continue
         if (name == "list_median" and parts and len(parts[2]) == 1):
             # exact median of the non-NULL elements as DOUBLE
             # [measured r9: [1,2,3] → 2.0, [1,2,3,4] → 2.5, NULLs skip,
@@ -1592,8 +1672,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                                  _arg_text(toks, parts[2][0]))
                 and not re.search(r"(?is)\bORDER\s+BY\b",
                                   _arg_text(toks, parts[2][0]))
-                and "collect_list" not in _arg_text(toks, parts[2][0])
-                and _trailing_over(toks, parts[1])[0] == ""):
+                and "collect_list" not in _arg_text(toks, parts[2][0])):
             # DuckDB mode() breaks count ties by FIRST APPEARANCE in
             # scan order [measured r9: mode over (1,3,1,3) = 1, over
             # (3,1,3,1) = 3] while Spark's mode picks arbitrarily.
@@ -1603,15 +1682,19 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # below cost ONE collect). O(n·distinct) per group — fine
             # for the oracle scale; mode(x ORDER BY …)/DISTINCT forms
             # stay verbatim per the _ORDER_INSENSITIVE_AGGS note.
+            # window form: a trailing OVER (…) hoists onto the inner
+            # collect_list aggregates (r9: the windowed tie at sf0.001
+            # diverged; the three spellings still share one buffer)
+            over, oc = _trailing_over(toks, parts[1])
             a = _arg_text(toks, parts[2][0])
-            lst = f"collect_list({a})"
+            lst = f"collect_list({a}){over}"
             out.append(
                 f"(array_max(transform(array_distinct({lst}), "
                 f"__mv__ -> struct("
                 f"size(filter({lst}, __my__ -> __my__ = __mv__)) AS c, "
                 f"-array_position({lst}, __mv__) AS np, "
                 f"__mv__ AS v))).v)")
-            i = parts[1] + 1
+            i = (oc if over else parts[1]) + 1
             changed = True
             continue
         if name in ("first_value", "last_value", "nth_value",
@@ -2949,7 +3032,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "time_bucket" and parts and len(parts[2]) == 2:
+        if name == "time_bucket" and parts and len(parts[2]) in (2, 3):
             rewritten = _time_bucket_expr(toks, parts, column_kinds)
             if rewritten is not None:
                 out.append(rewritten)

@@ -2271,7 +2271,9 @@ class Engine:
             body_off += mdist.end()
         items = _split_top_commas(query[body_off:frm])
         call_re = re.compile(
-            r"\bCOLUMNS\s*\(\s*(?:'(?P<re>[^']*)'|(?P<star>\*))\s*\)",
+            r"\bCOLUMNS\s*\(\s*(?:'(?P<re>[^']*)'|(?P<star>\*)"
+            r"|(?P<v>[A-Za-z_]\w*)\s*->\s*(?P=v)\s+"
+            r"(?P<neg>NOT\s+)?LIKE\s+'(?P<pat>[^']*)')\s*\)",
             re.IGNORECASE)
         out_items: list[str] = []
         for item in items:
@@ -2281,6 +2283,17 @@ class Engine:
                 continue
             if m.group("star"):
                 matched = list(cols)
+            elif m.group("v") is not None:
+                # lambda form COLUMNS(c -> c [NOT] LIKE 'pat') — the
+                # predicate evaluates DRIVER-side against the column
+                # names (LIKE → anchored regex; other predicate shapes
+                # stay verbatim and fail loudly) (r9)
+                pat = re.escape(m.group("pat"))
+                pat = pat.replace("%", ".*").replace("_", ".")
+                hits = [c for c in cols
+                        if re.fullmatch(pat, c) is not None]
+                matched = ([c for c in cols if c not in hits]
+                           if m.group("neg") else hits)
             else:
                 try:
                     matched = [c for c in cols if re.search(m.group("re"), c)]

@@ -731,6 +731,66 @@ def _make_parse_path_udfs():
             "__parse_path__": parse_path_udf}
 
 
+def _make_duck_typename_udf():
+    """Spark typeof() output → DuckDB type spelling [measured r9:
+    typeof(1)='INTEGER', typeof('x')='VARCHAR', typeof([1])=
+    'INTEGER[]', typeof({'a':1})='STRUCT(a INTEGER)', typeof(MAP…)=
+    'MAP(VARCHAR, INTEGER)', typeof(NULL)='"NULL"', every interval
+    width → 'INTERVAL', DECIMAL keeps (p,s)]. Pure string transform —
+    the dialect emits __duck_typename__(typeof(x))."""
+    import re as _re
+
+    from pyspark.sql.types import StringType
+
+    _SCALARS = {"int": "INTEGER", "bigint": "BIGINT",
+                "smallint": "SMALLINT", "tinyint": "TINYINT",
+                "string": "VARCHAR", "double": "DOUBLE",
+                "float": "FLOAT", "boolean": "BOOLEAN", "date": "DATE",
+                "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+                "binary": "BLOB", "void": '"NULL"'}
+
+    def conv(t: str) -> str:
+        t = t.strip()
+        if t.startswith("array<") and t.endswith(">"):
+            return conv(t[6:-1]) + "[]"
+        if t.startswith("map<") and t.endswith(">"):
+            k, v = _split_top(t[4:-1])
+            return f"MAP({conv(k)}, {conv(v)})"
+        if t.startswith("struct<") and t.endswith(">"):
+            fields = _split_top(t[7:-1], many=True)
+            parts = []
+            for f in fields:
+                name, _, ft = f.partition(":")
+                parts.append(f"{name.strip()} {conv(ft)}")
+            return "STRUCT(" + ", ".join(parts) + ")"
+        if t.startswith("interval"):
+            return "INTERVAL"
+        if t.startswith("decimal"):
+            return t.upper().replace(" ", "")
+        return _SCALARS.get(t, t.upper())
+
+    def _split_top(s: str, many: bool = False):
+        out, buf, d = [], [], 0
+        for ch in s:
+            if ch == "<":
+                d += 1
+            elif ch == ">":
+                d -= 1
+            if ch == "," and d == 0:
+                out.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        out.append("".join(buf))
+        return out if many else (out[0], out[1])
+
+    @F.pandas_udf(StringType())
+    def duck_typename_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else conv(x))
+
+    return {"__duck_typename__": duck_typename_udf}
+
+
 def _make_duck_varchar_udf():
     """STRUCT → VARCHAR rendering, DuckDB style [measured r9]:
     ``{'a': 1, 's': abc}`` — single-quoted keys, bare values (strings
@@ -891,6 +951,7 @@ def register_fuzzy_udfs(spark) -> dict:
            "age": _make_age_udf(), **_make_unicode_udfs(),
            **_make_regexp_escape_udf(),
            **_make_duck_varchar_udf(),
+           **_make_duck_typename_udf(),
            **_make_math_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)

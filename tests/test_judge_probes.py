@@ -1758,3 +1758,37 @@ def test_r9e_alias_in_where_and_numeric_strings(engine, duck):
         duck.execute("SELECT '-0x10'::INT").fetchall()
     with _pytest.raises(Exception):
         engine.sql("SELECT '-0x10'::INT", dialect="duckdb").collect()
+
+
+def test_r9f_typeof_metadata_columns_lambda_time_bucket(engine, duck):
+    """typeof() renders DuckDB type spellings (INTEGER/VARCHAR/
+    INTEGER[]/STRUCT(a INTEGER)/'"NULL"'/INTERVAL, DECIMAL keeps
+    (p,s)); version() is the compat surface 'v1.0.0'; setseed → NULL
+    (seeding can't carry; random() never cross-compares);
+    txid_current typed BIGINT (value engine-specific, like hash());
+    COLUMNS(c -> c [NOT] LIKE 'pat') lambda star; time_bucket 3-arg
+    origin-date and offset-interval forms."""
+    _check(engine, duck, (
+        "SELECT typeof(1) AS a, typeof(1.5) AS b2, typeof('x') AS c, "
+        "typeof([1]) AS d, typeof(DATE '2024-01-01') AS e2, "
+        "typeof(1::BIGINT) AS f, typeof(NULL) AS g, "
+        "typeof({'a':1}) AS h, typeof(MAP{'k':1}) AS i2, "
+        "typeof(INTERVAL 1 DAY) AS j"))
+    _check(engine, duck, (
+        "SELECT version() AS v, setseed(0.25) IS NULL AS s, "
+        "txid_current() > 0 AS t"))
+    _check(engine, duck, (
+        "SELECT COLUMNS(c -> c LIKE 'n_n%') FROM nation "
+        "ORDER BY n_nationkey LIMIT 2"))
+    _check(engine, duck, (
+        "SELECT min(COLUMNS(c -> c NOT LIKE '%comment%')) FROM nation"))
+    _check(engine, duck, (
+        "SELECT time_bucket(INTERVAL 7 DAY, DATE '2024-03-05', "
+        "DATE '2024-01-01') AS a, time_bucket(INTERVAL 15 MINUTE, "
+        "TIMESTAMP '2024-01-01 10:07:33', INTERVAL 5 MINUTE) AS b2, "
+        "time_bucket(INTERVAL 7 DAY, DATE '2024-03-05', "
+        "INTERVAL 2 DAY) AS c"))
+    _check(engine, duck, (
+        "SELECT time_bucket(INTERVAL 1 DAY, o_orderdate, "
+        "DATE '2024-01-02') AS a, count(*) AS c FROM orders "
+        "GROUP BY 1 ORDER BY 1 LIMIT 3"))
