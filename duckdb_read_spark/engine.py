@@ -4511,6 +4511,113 @@ class Engine:
         carried = [e for e in entries if e["path"] not in hit_rel]
         return hit_rel, carried
 
+    def _split_returning(self, query: str) -> tuple[str, str] | None:
+        """Top-level trailing ``RETURNING <list>`` on an INSERT/UPDATE/
+        DELETE → (statement-without-clause, list text); None otherwise.
+        Depth-0 token match, so subquery/str occurrences stay put."""
+        if not re.match(r"(?is)^\s*(INSERT|UPDATE|DELETE)\b", query) \
+                or not re.search(r"(?i)\bRETURNING\b", query):
+            return None
+        from .dialect import _depths, _sig, detokenize, tokenize
+
+        toks = tokenize(query)
+        sig = _sig(toks)
+        depths = _depths(toks)
+        for p in range(len(sig) - 1, -1, -1):
+            t = toks[sig[p]]
+            if (t.kind == "ident" and t.text.upper() == "RETURNING"
+                    and depths[sig[p]] == 0):
+                stmt = detokenize(toks[:sig[p]]).rstrip()
+                rlist = (detokenize(toks[sig[p] + 1:])
+                         .strip().rstrip(";").strip())
+                if rlist:
+                    return stmt, rlist
+        return None
+
+    def _dml_returning(self, stmt: str, rlist: str,
+                       dialect: str) -> DataFrame:
+        """DuckDB DML ``RETURNING`` [measured r9: INSERT returns the
+        inserted rows (defaults applied), UPDATE the POST-image of the
+        touched rows, DELETE the deleted rows; expressions and * are a
+        full select list over the table's columns].
+
+        DELETE/UPDATE pre-compute their result from the PRE-state (the
+        UPDATE post-image applies the SET expressions in a derived
+        select) and pin it with localCheckpoint before the commit;
+        INSERT reads the new commit's change feed (append commits
+        derive it from the file-set diff — exact). Join-DML
+        (UPDATE…FROM / DELETE…USING), ON CONFLICT, OR REPLACE and
+        BY NAME shapes refuse loudly."""
+        from pyspark.sql import functions as F
+
+        up = stmt.lstrip().upper()
+        if up.startswith("DELETE"):
+            if _split_join_dml(stmt, "USING") is not None:
+                raise NotImplementedError(
+                    "RETURNING with DELETE…USING is not supported")
+            m = _DELETE_RE.match(stmt)
+            if not m:
+                raise NotImplementedError(
+                    "RETURNING: unsupported DELETE shape")
+            q = f"SELECT {rlist} FROM {m.group('name')}"
+            if m.group("pred"):
+                q += f" WHERE {m.group('pred')}"
+            out = self.sql(q, dialect=dialect).localCheckpoint()
+            self.sql(stmt, dialect=dialect)
+            return out
+        if up.startswith("UPDATE"):
+            if _split_join_dml(stmt, "FROM") is not None:
+                raise NotImplementedError(
+                    "RETURNING with UPDATE…FROM is not supported")
+            m = _UPDATE_RE.match(stmt)
+            if not m:
+                raise NotImplementedError(
+                    "RETURNING: unsupported UPDATE shape")
+            name, rest = m.group("name"), m.group("rest")
+            wpos = _find_top_level(rest, "WHERE")
+            sets_txt = rest if wpos < 0 else rest[:wpos]
+            pred = None if wpos < 0 else rest[wpos + 5:]
+            sets: dict[str, str] = {}
+            for part in _split_top_commas(sets_txt):
+                col, eq, expr = part.partition("=")
+                if not eq:
+                    raise NotImplementedError(
+                        f"RETURNING: cannot parse SET item {part!r}")
+                sets[col.strip().lower()] = expr.strip()
+            cols = self.table(name).columns
+            inner = ", ".join(
+                f"({sets[c.lower()]}) AS {c}" if c.lower() in sets else c
+                for c in cols)
+            q = f"SELECT {rlist} FROM (SELECT {inner} FROM {name}"
+            if pred:
+                q += f" WHERE {pred}"
+            q += ") __returning__"
+            out = self.sql(q, dialect=dialect).localCheckpoint()
+            self.sql(stmt, dialect=dialect)
+            return out
+        m = _INSERT_RE.match(stmt)
+        if (not m or m.group("orrep") or m.group("byname")
+                or _ON_CONFLICT_RE.match(m.group("body"))):
+            raise NotImplementedError(
+                "RETURNING supports plain INSERT INTO only (no ON "
+                "CONFLICT / OR REPLACE / BY NAME)")
+        name = m.group("name")
+        if name not in self._versioned:
+            raise ValueError(f"INSERT INTO unknown table {name!r} — "
+                             "only versioned tables accept DML")
+        v0 = snapshots.history(self._versioned[name])[0]["version"]
+        self.sql(stmt, dialect=dialect)
+        feed = (self.table_changes(name, v0 + 1)
+                .filter(F.col("_change_type") == "insert")
+                .drop("_change_type", "_commit_version",
+                      "_commit_timestamp"))
+        feed.createOrReplaceTempView("__returning__")
+        try:
+            return self.sql(f"SELECT {rlist} FROM __returning__",
+                            dialect=dialect).localCheckpoint()
+        finally:
+            self.spark.catalog.dropTempView("__returning__")
+
     def _ddl_dml(self, query: str, dialect: str) -> DataFrame | None:
         """Route CREATE TABLE [AS SELECT] / INSERT INTO / DROP TABLE /
         DELETE FROM / UPDATE onto snapshots.py versioned tables (the
@@ -4522,6 +4629,9 @@ class Engine:
         CREATE VIEW)."""
         import os
 
+        ret = self._split_returning(query)
+        if ret is not None:
+            return self._dml_returning(ret[0], ret[1], dialect)
         m = _CLONE_RE.match(query)
         if m:
             as_of_ms = None

@@ -956,3 +956,33 @@ def test_create_table_type_aliases(eng):
     r = eng.sql("SELECT * FROM ta").first()
     assert (r["a"], r["b"], r["c"], bytes(r["d"]),
             str(r["e"])) == (1, "x", "int", b"ab", "1.500")
+
+
+def test_dml_returning(eng):
+    """DML RETURNING [measured r9]: INSERT returns the inserted rows
+    with DEFAULTs applied, UPDATE the POST-image of touched rows
+    (SET expressions evaluated), DELETE the deleted rows; the list is a
+    full select list (*/expressions). Join-DML and conflict shapes
+    refuse loudly."""
+    import duckdb as _duckdb
+
+    import pytest as _pytest
+
+    duck = _duckdb.connect()
+    stmts = [
+        "CREATE TABLE retrn(a INT, b VARCHAR DEFAULT 'z')",
+        "INSERT INTO retrn VALUES (1,'x'),(2,'y') RETURNING a, b",
+        "INSERT INTO retrn (a) VALUES (3) RETURNING *",
+        "UPDATE retrn SET a = a + 10 WHERE a < 3 RETURNING a, b",
+        "UPDATE retrn SET a = a * 2, b = b || '!' RETURNING *",
+        "DELETE FROM retrn WHERE a > 20 RETURNING a, upper(b) AS ub",
+        "SELECT * FROM retrn ORDER BY a",
+    ]
+    for s in stmts:
+        want = duck.execute(s).fetchall()
+        r = eng.sql(s, dialect="duckdb")
+        got = [tuple(x) for x in r.collect()] if r is not None else []
+        assert sorted(map(repr, got)) == sorted(map(repr, want)), s
+    with _pytest.raises(NotImplementedError, match="RETURNING"):
+        eng.sql("INSERT INTO retrn VALUES (9, 'q') ON CONFLICT DO "
+                "NOTHING RETURNING a", dialect="duckdb")
