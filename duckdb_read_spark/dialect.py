@@ -1626,6 +1626,60 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = parts[1] + 1
             changed = True
             continue
+        if (name in ("list_slice", "array_slice") and parts
+                and len(parts[2]) == 4):
+            # 4-arg step form → the bracket step-slice machinery
+            # (l[a:b:s], r8) owns the semantics; runs later in the
+            # pipeline
+            _, close, spans = parts
+            l_ = _arg_text(toks, spans[0])
+            a_ = _arg_text(toks, spans[1])
+            b_ = _arg_text(toks, spans[2])
+            s_ = _arg_text(toks, spans[3])
+            out.append(f"({l_})[{a_}:{b_}:{s_}]")
+            i = close + 1
+            changed = True
+            continue
+        if (name == "regexp_extract" and parts and len(parts[2]) == 3
+                and _arg_text(toks, parts[2][2]).strip().startswith("[")):
+            # NAME-LIST form → STRUCT of the capture groups [measured
+            # r9: no match → struct of empty strings, same as the
+            # scalar form's '' default]
+            _, close, spans = parts
+            s_ = _arg_text(toks, spans[0])
+            p_ = _arg_text(toks, spans[1])
+            names = re.findall(r"'((?:[^']|'')*)'",
+                               _arg_text(toks, spans[2]))
+            if names:
+                fields = ", ".join(
+                    f"'{n}', regexp_extract({s_}, {p_}, {k + 1})"
+                    for k, n in enumerate(names))
+                out.append(f"named_struct({fields})")
+                i = close + 1
+                changed = True
+                continue
+        if (name == "alias" and parts and len(parts[2]) == 1
+                and re.fullmatch(r"[A-Za-z_]\w*",
+                                 _arg_text(toks, parts[2][0]).strip())):
+            # alias(col) → the OUTPUT column's name as text [measured
+            # r9: a trailing AS x rebinds it — alias(n) AS a = 'a'];
+            # expression args render engine-specific and stay loud
+            nm_out = _arg_text(toks, parts[2][0]).strip()
+            close_ = parts[1]
+            k_ = close_ + 1
+            while k_ < len(toks) and toks[k_].kind == "ws":
+                k_ += 1
+            if (k_ + 1 < len(toks) and toks[k_].kind == "ident"
+                    and toks[k_].text.upper() == "AS"):
+                k2_ = k_ + 1
+                while k2_ < len(toks) and toks[k2_].kind == "ws":
+                    k2_ += 1
+                if toks[k2_].kind in ("ident", "bqid"):
+                    nm_out = toks[k2_].text.strip("`")
+            out.append(f"'{nm_out}'")
+            i = close_ + 1
+            changed = True
+            continue
         if (name == "list_median" and parts and len(parts[2]) == 1):
             # exact median of the non-NULL elements as DOUBLE
             # [measured r9: [1,2,3] → 2.0, [1,2,3,4] → 2.5, NULLs skip,
@@ -3625,9 +3679,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
-        if name == "try_strptime" and parts and len(parts[2]) == 2:
+        if (name == "try_strptime" and parts and len(parts[2]) == 2
+                and not _arg_text(toks,
+                                  parts[2][1]).strip().startswith("[")):
             # try_to_timestamp: NULL instead of an error on parse
             # failure [measured] — format string converts like strptime
+            # (the FORMAT-LIST form falls through to its own branch)
             _, close, spans = parts
             s_ = _arg_text(toks, spans[0])
             f_ = _arg_text(toks, spans[1]).strip()
@@ -4147,6 +4204,30 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if (name in ("strptime", "try_strptime") and parts
+                and len(parts[2]) == 2
+                and _arg_text(toks, parts[2][1]).strip().startswith("[")):
+            # FORMAT-LIST form [measured r9: formats try in order;
+            # strptime errors when none match, try_strptime → NULL] —
+            # coalesce over try_to_timestamp per format, with a strict
+            # to_timestamp on the LAST for the erroring spelling
+            _, close, spans = parts
+            s_ = _arg_text(toks, spans[0])
+            flist = _arg_text(toks, spans[1]).strip()
+            fmts = re.findall(r"'((?:[^']|'')*)'", flist)
+            if fmts:
+                conv = [convert_strftime_format(f.replace("''", "'"))
+                        for f in fmts]
+                tries = [f"try_to_timestamp({s_}, "
+                         f"'{_sql_quote(c)}')" for c in conv]
+                if name == "strptime":
+                    tries[-1] = (f"to_timestamp({s_}, "
+                                 f"'{_sql_quote(conv[-1])}')")
+                out.append("coalesce(" + ", ".join(tries) + ")"
+                           if len(tries) > 1 else tries[0])
+                i = close + 1
+                changed = True
+                continue
         if name == "strptime" and parts and len(parts[2]) == 2:
             # DuckDB strptime(text, '%fmt') → to_timestamp with the same
             # %-directive translation strftime uses (shared map)

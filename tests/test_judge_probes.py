@@ -1792,3 +1792,29 @@ def test_r9f_typeof_metadata_columns_lambda_time_bucket(engine, duck):
         "SELECT time_bucket(INTERVAL 1 DAY, o_orderdate, "
         "DATE '2024-01-02') AS a, count(*) AS c FROM orders "
         "GROUP BY 1 ORDER BY 1 LIMIT 3"))
+
+
+def test_r9g_strptime_list_slice_step_regexp_named(engine, duck):
+    """strptime/try_strptime FORMAT-LIST forms (try in order; strict
+    errors when none match, try_ → NULL); 4-arg list_slice step form
+    (positive and negative steps); regexp_extract NAME-LIST → struct
+    of capture groups ('' on no-match); alias() returns the OUTPUT
+    column name (a trailing AS rebinds it)."""
+    _check(engine, duck, (
+        "SELECT strptime('2024-01-02', ['%Y-%m-%d', '%d/%m/%Y']) AS a, "
+        "strptime('02/03/2024', ['%Y-%m-%d', '%d/%m/%Y']) AS b2, "
+        "try_strptime('xx', ['%Y-%m-%d', '%d/%m/%Y']) AS c"))
+    _check(engine, duck, (
+        "SELECT list_slice([1,2,3,4,5], 1, 5, 2) AS a, "
+        "list_slice([1,2,3,4,5], 5, 1, -2) AS b2"))
+    _check(engine, duck, (
+        "SELECT regexp_extract('2024-01-02', '(\\d+)-(\\d+)', "
+        "['y', 'm']) AS a, "
+        "regexp_extract('abc', '(x)(y)', ['a','b']) AS b2"))
+    _check(engine, duck, (
+        "SELECT alias(n_nationkey) AS a, alias(n_name) FROM nation "
+        "LIMIT 1"))
+    _check(engine, duck, (
+        "SELECT trim(LEADING 'x' FROM 'xxabcxx') AS a, "
+        "trim(TRAILING 'x' FROM 'xxabcxx') AS b2, "
+        "trim(BOTH FROM '  a  ') AS c"))
