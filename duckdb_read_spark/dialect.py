@@ -8830,6 +8830,60 @@ def _rewrite_at_time_zone(sql: str) -> str:
     return sql
 
 
+def _rewrite_lateral_unnest(sql: str) -> str:
+    """FROM-position lateral unnest — ``FROM t, unnest(e) AS a(c)`` /
+    ``CROSS JOIN unnest(e) AS a(c)`` → ``LATERAL VIEW explode(e) a AS
+    c`` [measured r9: the AS alias(col) form; the bare forms surface
+    DuckDB-internal struct names and stay loud]."""
+    if not re.search(r"(?is)(,|\bJOIN)\s*unnest\s*\(", sql):
+        return sql
+    for _ in range(20):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        done = True
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (t.kind != "ident" or t.text.lower() != "unnest"
+                    or p + 1 >= len(sig) or toks[sig[p + 1]].text != "("
+                    or p == 0):
+                continue
+            prev = toks[sig[p - 1]]
+            pu = prev.text.upper() if prev.kind == "ident" else prev.text
+            if pu not in (",", "JOIN"):
+                continue
+            start = p - 1
+            if pu == "JOIN" and p >= 2 and toks[sig[p - 2]].kind == \
+                    "ident" and toks[sig[p - 2]].text.upper() in (
+                        "CROSS", "INNER"):
+                start = p - 2
+            try:
+                close = _find_close(toks, sig[p + 1])
+            except ValueError:
+                continue
+            cpos = next((q for q in range(p + 1, len(sig))
+                         if sig[q] == close), None)
+            if cpos is None or cpos + 5 >= len(sig):
+                continue
+            if not (toks[sig[cpos + 1]].kind == "ident"
+                    and toks[sig[cpos + 1]].text.upper() == "AS"
+                    and toks[sig[cpos + 2]].kind in ("ident", "bqid")
+                    and toks[sig[cpos + 3]].text == "("
+                    and toks[sig[cpos + 4]].kind in ("ident", "bqid")
+                    and toks[sig[cpos + 5]].text == ")"):
+                continue
+            arg = detokenize(toks[sig[p + 1] + 1:close])
+            alias = toks[sig[cpos + 2]].text
+            col = toks[sig[cpos + 4]].text
+            sql = (detokenize(toks[:sig[start]])
+                   + f" LATERAL VIEW explode({arg}) {alias} AS {col} "
+                   + detokenize(toks[sig[cpos + 5] + 1:]))
+            done = False
+            break
+        if done:
+            return sql
+    return sql
+
+
 def _rewrite_multi_unnest(sql: str) -> str:
     """Several ``unnest()`` calls in ONE select list ZIP positionally in
     DuckDB, NULL-padding to the longest [measured r9: SELECT
@@ -9084,6 +9138,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_scalar_subquery_first_row(sql)
     sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_lateral_unnest(sql)
     sql = _rewrite_multi_unnest(sql)
     sql = _rewrite_using_sample(sql)
     sql = _rewrite_window_clause(sql)

@@ -2243,6 +2243,37 @@ class Engine:
             return None
         return [col for col, _ in fields]
 
+    def _rewrite_positional_join(self, query: str) -> str:
+        """``a POSITIONAL JOIN b`` in SQL → the zero-shuffle positional
+        operator (operators/positional.py) materialized as a temp view
+        and substituted into the FROM clause. Before r9 the text
+        reached Spark verbatim, which parsed POSITIONAL as an ALIAS of
+        a and silently CROSS-joined. Parquet-backed registered tables
+        only (the operator derives row positions from parquet footers);
+        other relations refuse loudly."""
+        if not re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", query):
+            return query
+        from .operators.positional import positional_join
+
+        def one(m: "re.Match[str]") -> str:
+            a, b = m.group(1), m.group(2)
+            pa = self._table_paths.get(a)
+            pb = self._table_paths.get(b)
+            if pa is None or pb is None:
+                raise NotImplementedError(
+                    "POSITIONAL JOIN needs parquet-backed registered "
+                    f"tables (got {a!r}, {b!r}) — row positions derive "
+                    "from parquet footers")
+            df = positional_join(self.spark, pa, pb)
+            view = f"__posjoin_{a}_{b}__"
+            df.createOrReplaceTempView(view)
+            self._bump_registration_epoch(view)
+            return view
+
+        return re.sub(
+            r"(?i)\b([A-Za-z_]\w*)\s+POSITIONAL\s+JOIN\s+([A-Za-z_]\w*)",
+            one, query)
+
     def _rewrite_columns_expr(self, query: str) -> str:
         """DuckDB ``COLUMNS('regex')`` star expressions: each select-list
         item containing a COLUMNS call is duplicated once per column of
@@ -2800,6 +2831,7 @@ class Engine:
             query = _rewrite_from_first(query)
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
+            query = self._rewrite_positional_join(query)
             query = self._rewrite_star_replace(query)
             query = self._rewrite_star_rename(query)
             if query.lstrip()[:5].upper() == "PIVOT":

@@ -1818,3 +1818,29 @@ def test_r9g_strptime_list_slice_step_regexp_named(engine, duck):
         "SELECT trim(LEADING 'x' FROM 'xxabcxx') AS a, "
         "trim(TRAILING 'x' FROM 'xxabcxx') AS b2, "
         "trim(BOTH FROM '  a  ') AS c"))
+
+
+def test_r9h_positional_join_sql_and_lateral_unnest(engine, duck):
+    """The SQL POSITIONAL JOIN form routes onto the zero-shuffle
+    positional operator (before r9 Spark parsed POSITIONAL as an alias
+    and silently CROSS-joined); FROM-position lateral unnest with an
+    AS alias(col) list compiles to LATERAL VIEW explode."""
+    for q in (
+        "SELECT r_name, n_name FROM region POSITIONAL JOIN nation "
+        "ORDER BY r_name NULLS LAST",
+        "SELECT count(*) AS c FROM nation POSITIONAL JOIN region",
+        "SELECT n_name, u FROM nation, unnest([n_nationkey, "
+        "n_regionkey]) AS t(u) WHERE n_nationkey < 2 ORDER BY n_name, u",
+        "SELECT u FROM (SELECT 1 AS n) CROSS JOIN unnest([1,2]) AS "
+        "t(u) ORDER BY u",
+    ):
+        _check(engine, duck, q)
+    # * RENAME is an ENGINE EXTENSION — DuckDB 1.0 parse-errors (pinned
+    # over-acceptance)
+    import duckdb as _duckdb
+    import pytest as _pytest
+    with _pytest.raises(_duckdb.Error):
+        duck.execute("SELECT * RENAME (n_name AS nm) FROM nation "
+                     "LIMIT 1").fetchall()
+    engine.sql("SELECT * RENAME (n_name AS nm) FROM nation LIMIT 1",
+               dialect="duckdb").collect()
