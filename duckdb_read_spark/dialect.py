@@ -655,6 +655,11 @@ _SIMPLE_RENAMES = {
     "suffix": "endswith",
     "gen_random_uuid": "uuid",
     "to_base64": "base64",
+    "from_base64": "unbase64",   # BLOB out on both [measured r9]
+    # session-zone instant constructors: the naive-UTC carrier IS the
+    # instant (session TZ pinned UTC); 1-arg micros / 6-arg components
+    # re-enter make_timestamp's own rewrites [measured r9]
+    "make_timestamptz": "make_timestamp",
     # datesub/datediff are spelled-together aliases of date_sub/date_diff;
     # the renamed forms re-enter the fixpoint and pick up those rewrites
     "datesub": "date_sub",
@@ -1213,6 +1218,16 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
         # 202053]
         "yearweek": f"(extract(YEAROFWEEK FROM {expr}) * 100 "
                     f"+ extract(WEEK FROM {expr}))",
+        # boundary-exact long fields [measured r9: century(2000-12-31)
+        # = 20, (2001-01-01) = 21; decade(2024) = 202; era = 1 for
+        # every representable CE date] — Spark's EXTRACT lacks them
+        "century": f"CAST(ceil(year({expr}) / 100.0D) AS BIGINT)",
+        "centuries": f"CAST(ceil(year({expr}) / 100.0D) AS BIGINT)",
+        "millennium": f"CAST(ceil(year({expr}) / 1000.0D) AS BIGINT)",
+        "millennia": f"CAST(ceil(year({expr}) / 1000.0D) AS BIGINT)",
+        "decade": f"CAST(floor(year({expr}) / 10.0D) AS BIGINT)",
+        "decades": f"CAST(floor(year({expr}) / 10.0D) AS BIGINT)",
+        "era": f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE 1 END)",
     }.get(field)
 
 
@@ -1785,6 +1800,28 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # element type is unknowable here, so fold the constant.
             is_bool = "contains" in name or name == "list_has"
             out.append(f"CAST(NULL AS {'BOOLEAN' if is_bool else 'INT'})")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name in ("list_intersect", "array_intersect") and parts
+                and len(parts[2]) == 2):
+            # DuckDB intersect DROPS NULL elements ([1,2,NULL] ∩
+            # [NULL,2,3] = [2]; [NULL] ∩ [NULL] = []) [measured r9];
+            # Spark's array_intersect keeps a shared NULL. The inner
+            # call spells through a marker so the fixpoint terminates.
+            a_ = _arg_text(toks, parts[2][0])
+            b_ = _arg_text(toks, parts[2][1])
+            out.append(f"filter(__array_intersect__({a_}, {b_}), "
+                       f"__li__ -> __li__ IS NOT NULL)")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "era" and parts and len(parts[2]) == 1:
+            # era(d) = 1 for every representable (CE) date [measured
+            # r9 — BC dates have no carrier here]
+            a_ = _arg_text(toks, parts[2][0])
+            out.append(f"(CASE WHEN ({a_}) IS NULL THEN NULL "
+                       f"ELSE 1 END)")
             i = parts[1] + 1
             changed = True
             continue
@@ -3408,10 +3445,19 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name == "extract" and parts and len(parts[2]) == 1:
             # EXTRACT(DOW/ISODOW/EPOCH/MICROSECONDS/… FROM x) — same
             # divergent fields as date_part; everything else passes
-            # through to Spark's own EXTRACT.
+            # through to Spark's own EXTRACT. DuckDB also accepts a
+            # QUOTED field name (extract('century' FROM d)) — strip the
+            # quotes first (r9; Spark parse-errors on them).
             _, close, spans = parts
-            m = re.match(r"(?is)^([a-z_]+)\s+from\s+(.+)$",
-                         _arg_text(toks, spans[0]).strip())
+            arg0 = _arg_text(toks, spans[0]).strip()
+            mq_ = re.match(r"(?is)^'([a-z_]+)'(\s+from\s+.+)$", arg0)
+            if mq_:
+                arg0 = mq_.group(1) + mq_.group(2)
+                out.append(f"extract({arg0})")
+                i = close + 1
+                changed = True
+                continue
+            m = re.match(r"(?is)^([a-z_]+)\s+from\s+(.+)$", arg0)
             if m:
                 mapped = _DATE_PART_DIVERGENT(m.group(1).lower(),
                                               m.group(2).strip())
@@ -7907,6 +7953,8 @@ def _rewrite_keywords(sql: str) -> str:
         up = t.text.upper()
         if t.text == "__regex_split__":
             t.text = "split"  # marker from the literal/regex split split
+        elif t.text == "__array_intersect__":
+            t.text = "array_intersect"  # NULL-drop wrap marker (r9)
         elif t.text == "__to_json__":
             # inner call of the to_json/json_quote wrap — spelled
             # indirectly so the scalar-accepting rewrite doesn't

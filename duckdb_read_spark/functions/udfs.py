@@ -731,6 +731,98 @@ def _make_parse_path_udfs():
             "__parse_path__": parse_path_udf}
 
 
+def _grapheme_clusters(s: str) -> list[str]:
+    """Grapheme-cluster split — UAX #29 core rules (Extend/ZWJ/
+    variation selectors/emoji modifiers attach, regional-indicator
+    PAIRS, Hangul jamo composition, CRLF). Covers accents, emoji ZWJ
+    sequences and flags [measured parity r9: length_grapheme('🤦🏼‍♂️ab')
+    = 3, '🇩🇪🇺🇸' = 2]; exotic Prepend/SpacingMark scripts may diverge
+    from utf8proc's full property tables (documented)."""
+    import unicodedata as _ud
+
+    def is_ri(cp: int) -> bool:
+        return 0x1F1E6 <= cp <= 0x1F1FF
+
+    def is_extend(ch: str) -> bool:
+        cp = ord(ch)
+        return (_ud.category(ch) in ("Mn", "Me", "Mc")
+                or cp == 0x200D or 0xFE00 <= cp <= 0xFE0F
+                or 0x1F3FB <= cp <= 0x1F3FF or cp == 0x20E3)
+
+    def hangul(cp: int) -> str | None:
+        if 0x1100 <= cp <= 0x115F or 0xA960 <= cp <= 0xA97C:
+            return "L"
+        if 0x1160 <= cp <= 0x11A7 or 0xD7B0 <= cp <= 0xD7C6:
+            return "V"
+        if 0x11A8 <= cp <= 0x11FF or 0xD7CB <= cp <= 0xD7FB:
+            return "T"
+        if 0xAC00 <= cp <= 0xD7A3:
+            return "LV" if (cp - 0xAC00) % 28 == 0 else "LVT"
+        return None
+
+    out: list[str] = []
+    ri_run = 0
+    for ch in s:
+        if not out:
+            out.append(ch)
+            ri_run = 1 if is_ri(ord(ch)) else 0
+            continue
+        prev = out[-1][-1]
+        glue = False
+        if prev == "\r" and ch == "\n":
+            glue = True
+        elif is_extend(ch) or ord(prev) == 0x200D:
+            glue = True
+        elif is_ri(ord(ch)) and is_ri(ord(prev)) and ri_run % 2 == 1:
+            glue = True
+        else:
+            hp, hc = hangul(ord(prev)), hangul(ord(ch))
+            if hp and hc:
+                glue = ((hp == "L" and hc in ("L", "V", "LV", "LVT"))
+                        or (hp in ("LV", "V") and hc in ("V", "T"))
+                        or (hp in ("LVT", "T") and hc == "T"))
+        if glue:
+            out[-1] += ch
+        else:
+            out.append(ch)
+        ri_run = ri_run + 1 if is_ri(ord(ch)) else 0
+    return out
+
+
+def _make_grapheme_udfs():
+    from pyspark.sql.types import LongType as _Long, StringType
+
+    @F.pandas_udf(_Long())
+    def length_grapheme_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else len(_grapheme_clusters(v))
+             for v in s], dtype="object")
+
+    @F.pandas_udf(StringType())
+    def substring_grapheme_udf(s: pd.Series, start: pd.Series,
+                               n: pd.Series) -> pd.Series:
+        def one(v, st, k):
+            if v is None or pd.isna(st) or pd.isna(k):
+                return None
+            cl = _grapheme_clusters(v)
+            st, k = int(st), int(k)
+            # same 1-based/negative-start rules as substring [measured]
+            if st > 0:
+                lo = st - 1
+            elif st == 0:
+                lo = 0
+                k = max(k - 1, 0)
+            else:
+                lo = max(len(cl) + st, 0)
+                k = k + min(len(cl) + st, 0) if len(cl) + st < 0 else k
+            return "".join(cl[lo:lo + max(k, 0)])
+        return pd.Series([one(v, a, b)
+                          for v, a, b in zip(s, start, n)], dtype=object)
+
+    return {"length_grapheme": length_grapheme_udf,
+            "substring_grapheme": substring_grapheme_udf}
+
+
 def _make_duck_typename_udf():
     """Spark typeof() output → DuckDB type spelling [measured r9:
     typeof(1)='INTEGER', typeof('x')='VARCHAR', typeof([1])=
@@ -952,6 +1044,7 @@ def register_fuzzy_udfs(spark) -> dict:
            **_make_regexp_escape_udf(),
            **_make_duck_varchar_udf(),
            **_make_duck_typename_udf(),
+           **_make_grapheme_udfs(),
            **_make_math_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)

@@ -270,8 +270,11 @@ def test_blob_rewrite_is_type_position_only():
 
 
 def test_list_function_renames():
+    # list_intersect drops NULL elements like DuckDB (r9) — the
+    # NULL-filter wrap rides inside
     assert to_spark_sql("SELECT list_sort(list_intersect(a, b)) FROM t") == \
-        "SELECT array_sort(array_intersect(a, b)) FROM t"
+        ("SELECT array_sort(filter(array_intersect(a, b), "
+         "__li__ -> __li__ IS NOT NULL)) FROM t")
     assert to_spark_sql("SELECT list_reverse_sort(a) FROM t") == \
         "SELECT sort_array(a, false) FROM t"
     out = to_spark_sql("SELECT list_concat(a, b) FROM t")
@@ -636,7 +639,9 @@ def test_array_to_string_empty_list_is_null():
     """DuckDB array_to_string(empty, sep) is NULL; the rewrite reproduces
     that instead of Spark array_join's ''."""
     out = to_spark_sql("SELECT array_to_string(list_intersect(a, b), ',') FROM t")
-    assert "CASE WHEN size(array_intersect(a, b)) = 0 THEN CAST(NULL AS STRING)" in out
+    assert ("CASE WHEN size(filter(array_intersect(a, b), "
+            "__li__ -> __li__ IS NOT NULL)) = 0 "
+            "THEN CAST(NULL AS STRING)") in out
 
 
 def test_asof_join_rewrites_to_lateral():

@@ -1844,3 +1844,41 @@ def test_r9h_positional_join_sql_and_lateral_unnest(engine, duck):
                      "LIMIT 1").fetchall()
     engine.sql("SELECT * RENAME (n_name AS nm) FROM nation LIMIT 1",
                dialect="duckdb").collect()
+
+
+def test_r9i_intersect_era_graphemes_base64(engine, duck):
+    """list_intersect drops NULLs (shared NULL included); era()=1 and
+    the century/millennium/decade/era EXTRACT fields (boundary-exact:
+    century(2000-12-31)=20); quoted EXTRACT field names; grapheme
+    cluster functions (ZWJ emoji, flags, combining marks);
+    from_base64/make_timestamptz mappings."""
+    _check(engine, duck, (
+        "SELECT list_intersect([1,2,NULL], [NULL,2,3]) AS a, "
+        "list_intersect([NULL]::INT[], [NULL]::INT[]) AS b2, "
+        "list_intersect([1,1,2],[1]) AS c"))
+    _check(engine, duck, (
+        "SELECT era(DATE '2024-01-01') AS a, era(NULL::DATE) AS b2, "
+        "extract('century' FROM DATE '2001-01-01') AS c, "
+        "extract(century FROM DATE '2000-12-31') AS d, "
+        "extract(decade FROM DATE '2024-01-01') AS e2, "
+        "extract(millennium FROM DATE '2001-01-01') AS f, "
+        "extract(era FROM DATE '2024-01-01') AS g, "
+        "date_part('century', DATE '2001-01-01') AS h"))
+    _check(engine, duck, (
+        "SELECT length_grapheme('🤦🏼‍♂️ab') AS a, "
+        "length_grapheme('héllo') AS b2, length_grapheme('🇩🇪🇺🇸') AS c, "
+        "substring_grapheme('🤦🏼‍♂️abc', 2, 2) AS d, "
+        "substring_grapheme('🇩🇪🇺🇸x', 2, 2) AS e2"))
+    _check(engine, duck, (
+        "SELECT from_base64('YWJj')::VARCHAR AS a, "
+        "to_base64(encode('abc')) AS b2, "
+        "CAST(make_timestamptz(2024,1,2,3,4,5.5) AS VARCHAR) "
+        "LIKE '2024-01-02 03:04:05.5%' AS c"))
+    # crc32/url_encode exist in Spark but NOT DuckDB 1.0 (pinned
+    # over-acceptances)
+    import duckdb as _duckdb
+    import pytest as _pytest
+    for q in ("SELECT crc32('abc') AS c", "SELECT url_encode('a b') AS c"):
+        with _pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()
