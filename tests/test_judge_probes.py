@@ -1882,3 +1882,26 @@ def test_r9i_intersect_era_graphemes_base64(engine, duck):
         with _pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()
+
+
+def test_r9i_typeof_promotion_divergence_pins(engine, duck):
+    """Documented divergence: typeof() of DERIVED expressions reflects
+    Spark's type-promotion rules, not DuckDB's — decimal multiply
+    widens (DECIMAL(6,3) vs (5,3)), decimal division stays DECIMAL
+    where DuckDB goes DOUBLE, int // is BIGINT vs INTEGER, sum(INT) is
+    BIGINT vs HUGEINT. The VALUES agree (pinned below); only the
+    introspected type names differ. Base columns and literals match
+    exactly (test_r9f)."""
+    _check(engine, duck, (
+        "SELECT 1.5 + 2.25 AS a, 1.10 * 2.10 AS b2, "
+        "CAST(1.5 / 2.25 AS DOUBLE) AS c, 7 // 2 AS d, "
+        "sum(x) AS e2 FROM (VALUES (1),(2)) t(x)"))
+    got = spark_rows(engine.sql(
+        "SELECT typeof(1.5 * 2.25) AS m, typeof(1 // 2) AS f, "
+        "typeof(sum(x)) AS s FROM (VALUES (1)) t(x)",
+        dialect="duckdb"))
+    want = duckdb_rows(duck, (
+        "SELECT typeof(1.5 * 2.25) AS m, typeof(1 // 2) AS f, "
+        "typeof(sum(x)) AS s FROM (VALUES (1)) t(x)"))
+    assert got == [("DECIMAL(6,3)", "BIGINT", "BIGINT")]
+    assert want == [("DECIMAL(5,3)", "INTEGER", "HUGEINT")]
