@@ -1596,6 +1596,51 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i += 1
             changed = True
             continue
+        if (name in ("count", "sum", "avg") and parts
+                and len(parts[2]) == 1
+                and re.match(r"(?is)^\s*DISTINCT\b",
+                             _arg_text(toks, parts[2][0]))
+                and _trailing_over(toks, parts[1])[0] != ""):
+            # DISTINCT aggregates as WINDOW functions — Spark refuses
+            # (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED); DuckDB allows
+            # them [measured r9]. Rebuilt over a windowed collect_list
+            # → array_distinct (collect_list drops NULLs, matching the
+            # aggregates' NULL skipping); sum/avg fold in DOUBLE.
+            over, oc = _trailing_over(toks, parts[1])
+            a = re.sub(r"(?is)^\s*DISTINCT\b", "",
+                       _arg_text(toks, parts[2][0])).strip()
+            dl = f"array_distinct(collect_list({a}){over})"
+            if name == "count":
+                out.append(f"size({dl})")
+            else:
+                s_ = (f"aggregate({dl}, CAST(0 AS DOUBLE), "
+                      f"(__da__, __db__) -> __da__ + __db__)")
+                body = (s_ if name == "sum"
+                        else f"({s_} / size({dl}))")
+                out.append(f"(CASE WHEN size({dl}) = 0 THEN "
+                           f"CAST(NULL AS DOUBLE) ELSE {body} END)")
+            i = oc + 1
+            changed = True
+            continue
+        if (name in ("row_number", "rank", "dense_rank", "ntile",
+                     "percent_rank", "cume_dist", "lag", "lead")
+                and parts):
+            # DuckDB allows these without a window ORDER BY (row order
+            # = scan order); Spark refuses — append an ORDER BY over
+            # monotonically_increasing_id() (scan order, zero shuffle)
+            over, oc = _trailing_over(toks, parts[1])
+            if (over and not re.search(r"(?is)\bORDER\s+BY\b", over)
+                    and "monotonically_increasing_id" not in over):
+                call_txt = detokenize(toks[i:parts[1] + 1])
+                inner = over.strip()[5:].strip()  # drop leading OVER
+                spec = inner[1:-1].strip()  # drop parens
+                sep = " " if spec else ""
+                out.append(
+                    f"{call_txt} OVER ({spec}{sep}ORDER BY "
+                    f"monotonically_increasing_id())")
+                i = oc + 1
+                changed = True
+                continue
         _tn_guard = False
         if name == "typeof" and parts:
             k_ = i - 1

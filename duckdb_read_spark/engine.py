@@ -2841,6 +2841,10 @@ class Engine:
             # cached-per-registration-epoch catalog walk, no Spark job
             query = to_spark_sql(query, column_kinds=self._column_kinds(query))
         query = self._resolve_time_travel(query)
+        if re.search(r"(?is)\bWITH\s+RECURSIVE\b", query):
+            out = self._try_union_recursive(query)
+            if out is not None:
+                return out
         query = self._materialize_recursive_inputs(query)
         if self._time_partitioned:
             injected = self._inject_partition_filters(query)
@@ -4542,6 +4546,115 @@ class Engine:
             return None
         carried = [e for e in entries if e["path"] not in hit_rel]
         return hit_rel, carried
+
+    _REC_UNION_N = [0]
+
+    def _try_union_recursive(self, query: str):
+        """``WITH RECURSIVE r AS (anchor UNION step) tail`` — the
+        DEDUPLICATING recursion Spark refuses
+        (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). Semi-naive iteration:
+        the working table is each round's NEW rows, new = step-result
+        minus everything seen (standard UNION-recursion semantics);
+        stops when a round adds nothing. Single-CTE statements only
+        (UNION ALL recursion keeps Spark's native path). Returns None
+        when the shape doesn't apply."""
+        m = re.match(r"(?is)^\s*WITH\s+RECURSIVE\s+([A-Za-z_]\w*)\s*"
+                     r"(?:\(([^)]*)\))?\s+AS\s*\(", query)
+        if m is None:
+            return None
+        name, cols_txt = m.group(1), m.group(2)
+        open_pos = m.end() - 1
+        depth = 0
+        in_str = False
+        close = None
+        for i in range(open_pos, len(query)):
+            ch = query[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            return None
+        body = query[open_pos + 1:close]
+        tail = query[close + 1:]
+        if re.match(r"(?is)^\s*,", tail):
+            return None  # further CTEs — out of scope, native path
+        # top-level UNION (not ALL / BY NAME) inside the body
+        from .dialect import _depths, _sig, detokenize, tokenize
+
+        toks = tokenize(body)
+        sig = _sig(toks)
+        depths = _depths(toks)
+        u = None
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (t.kind == "ident" and t.text.upper() == "UNION"
+                    and depths[ti] == 0):
+                nxt = toks[sig[p + 1]] if p + 1 < len(sig) else None
+                if nxt is not None and nxt.kind == "ident" \
+                        and nxt.text.upper() in ("ALL", "BY"):
+                    continue
+                u = (ti, p)
+                break
+        if u is None:
+            return None
+        anchor = detokenize(toks[:u[0]])
+        step = detokenize(toks[u[0] + 1:]).lstrip()
+        if step.upper().startswith("DISTINCT"):
+            step = step[8:]
+        from .plans.recursive import _ref_positions
+
+        self._REC_UNION_N[0] += 1
+        view = f"__rec_union_{self._REC_UNION_N[0]}__"
+
+        def rename_refs(text: str) -> str:
+            out_t = []
+            last = 0
+            for a, b in _ref_positions(name, text):
+                out_t.append(text[last:a])
+                out_t.append(view)
+                last = b
+            out_t.append(text[last:])
+            return "".join(out_t)
+
+        cols = ([c.strip() for c in cols_txt.split(",")]
+                if cols_txt else None)
+        total = self.spark.sql(anchor)
+        if cols:
+            total = total.toDF(*cols)
+        total = total.distinct().localCheckpoint()
+        frontier = total
+        step_v = rename_refs(step)
+        for _ in range(100_000):
+            frontier.createOrReplaceTempView(view)
+            nxt = self.spark.sql(step_v)
+            if cols:
+                nxt = nxt.toDF(*cols)
+            else:
+                nxt = nxt.toDF(*total.columns)
+            nxt = nxt.distinct().subtract(total).localCheckpoint()
+            if nxt.limit(1).count() == 0:
+                break
+            total = total.union(nxt).localCheckpoint()
+            frontier = nxt
+        else:
+            raise RuntimeError(
+                "WITH RECURSIVE (UNION) did not converge in 100000 "
+                "iterations")
+        total.createOrReplaceTempView(view)
+        tail_v = rename_refs(tail)
+        if not tail_v.strip().rstrip(";").strip():
+            tail_v = f"SELECT * FROM {view}"
+        return self.spark.sql(tail_v)
 
     def _split_returning(self, query: str) -> tuple[str, str] | None:
         """Top-level trailing ``RETURNING <list>`` on an INSERT/UPDATE/

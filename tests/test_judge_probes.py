@@ -1905,3 +1905,32 @@ def test_r9i_typeof_promotion_divergence_pins(engine, duck):
         "typeof(sum(x)) AS s FROM (VALUES (1)) t(x)"))
     assert got == [("DECIMAL(6,3)", "BIGINT", "BIGINT")]
     assert want == [("DECIMAL(5,3)", "INTEGER", "HUGEINT")]
+
+
+def test_r9j_union_recursion_distinct_windows_unordered_rank(engine, duck):
+    """UNION (deduplicating) recursive CTEs run semi-naive engine-side
+    (Spark only supports UNION ALL recursion) — including
+    cycle-terminating recursions; DISTINCT aggregates as window
+    functions rebuild over windowed collect_list → array_distinct;
+    rank-family windows without ORDER BY get scan order via
+    monotonically_increasing_id (DuckDB's row order)."""
+    for q in (
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION SELECT n + 1 FROM r "
+        "WHERE n < 5) SELECT * FROM r ORDER BY n",
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION SELECT CASE WHEN "
+        "n >= 3 THEN 1 ELSE n + 1 END FROM r) SELECT count(*) AS c "
+        "FROM r",
+        "WITH RECURSIVE p(x) AS (SELECT 2 UNION SELECT x * 2 FROM p "
+        "WHERE x < 50) SELECT sum(x) AS s FROM p",
+        "SELECT count(DISTINCT n_regionkey) OVER () AS c FROM nation "
+        "LIMIT 1",
+        "SELECT sum(DISTINCT n_regionkey) OVER (PARTITION BY "
+        "n_nationkey % 2) AS s FROM nation ORDER BY s LIMIT 3",
+        "SELECT avg(DISTINCT n_regionkey) OVER () AS a FROM nation "
+        "LIMIT 1",
+        "SELECT row_number() OVER () AS rn FROM nation ORDER BY rn "
+        "LIMIT 3",
+        "SELECT ntile(3) OVER (PARTITION BY n_regionkey) AS t "
+        "FROM nation ORDER BY t LIMIT 4",
+    ):
+        _check(engine, duck, q)
