@@ -5530,10 +5530,14 @@ class Engine:
         compression = options.pop("compression", None)
         header = options.pop("header", None)
         delimiter = options.pop("delimiter", None)
+        null_str = options.pop("null", None)
+        quote = options.pop("quote", None)
+        escape = options.pop("escape", None)
         if options:
             raise ValueError(
                 f"COPY: unrecognized option(s) {sorted(options)} — "
-                "supported: FORMAT, HEADER, DELIMITER, COMPRESSION, PARTITION_BY"
+                "supported: FORMAT, HEADER, DELIMITER, COMPRESSION, "
+                "PARTITION_BY, NULL, QUOTE, ESCAPE"
             )
         if fmt == "iceberg":
             # Iceberg export (D34 write direction) reachable from SQL:
@@ -5586,15 +5590,19 @@ class Engine:
                 else "overwrite")
             return self.spark.sql("SELECT 1 AS ok WHERE false")
         if fmt == "parquet":
-            if header is not None or delimiter is not None:
-                raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")
+            if header is not None or delimiter is not None \
+                    or null_str is not None or quote is not None \
+                    or escape is not None:
+                raise ValueError("COPY: HEADER/DELIMITER/NULL/QUOTE/"
+                                 "ESCAPE only apply to FORMAT csv")
             write_parquet(df, path, mode="overwrite", partition_by=partition_by,
                           **({"compression": compression} if compression else {}))
         elif fmt == "csv":
             write_csv(df, path, mode="overwrite",
                       header=True if header is None else header,
                       compression=compression, delimiter=delimiter,
-                      partition_by=partition_by)
+                      partition_by=partition_by, null_str=null_str,
+                      quote=quote, escape=escape)
         elif fmt == "json":
             if header is not None or delimiter is not None:
                 raise ValueError("COPY: HEADER/DELIMITER only apply to FORMAT csv")
@@ -6289,7 +6297,11 @@ def _parse_copy_options(opts: str | None) -> dict:
         elif val == "":
             out[key] = True
         else:
-            out[key] = val.strip("'\"").lower() if key == "format" else val.strip("'\"")
+            # unquote ONE layer precisely — a generic strip("'\"")
+            # empties a QUOTE '"' value (r9)
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+                val = val[1:-1].replace(val[0] * 2, val[0])
+            out[key] = val.lower() if key == "format" else val
     return out
 
 

@@ -64,12 +64,23 @@ def write_csv(
     compression: str | None = None,
     delimiter: str | None = None,
     partition_by: list[str] | None = None,
+    null_str: str | None = None,
+    quote: str | None = None,
+    escape: str | None = None,
 ) -> None:
     w = df.write.mode(mode).option("header", str(header).lower())
     if compression:
         w = w.option("compression", compression)
     if delimiter:
         w = w.option("sep", delimiter)
+    if null_str is not None:
+        w = w.option("nullValue", null_str)
+    if quote is not None:
+        # DuckDB quotes-and-doubles by default; Spark escapes with a
+        # backslash unless escape == quote
+        w = w.option("quote", quote).option("escape", escape or quote)
+    if escape is not None and quote is None:
+        w = w.option("escape", escape)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.csv(path)

@@ -2175,3 +2175,31 @@ def test_catalog_tvf_literal_stays_data(engine):
     got = engine.sql(
         "SELECT 'see duckdb_tables() for the catalog' AS s").collect()
     assert got[0].s == "see duckdb_tables() for the catalog"
+
+
+def test_copy_csv_null_quote_escape(engine, duck, tmp_path):
+    """COPY csv options NULL/QUOTE/ESCAPE write byte-identical rows to
+    DuckDB (quote-and-double when escape == quote); option values
+    unquote ONE layer precisely — a generic strip emptied QUOTE '\"'
+    (r9)."""
+    import glob
+    import os
+
+    cases = [
+        ("COPY (SELECT 'a\"b' AS q, 'x,y' AS c2) TO '{d}/e.csv' "
+         "(FORMAT csv, HEADER, QUOTE '\"')", "e.csv"),
+        ("COPY (SELECT n_name, NULL::INT AS x FROM nation "
+         "ORDER BY n_name LIMIT 2) TO '{d}/c.csv' "
+         "(FORMAT csv, NULL 'NA', HEADER)", "c.csv"),
+    ]
+    for i, (sql_t, fname) in enumerate(cases):
+        d1 = tmp_path / f"duck{i}"
+        d2 = tmp_path / f"spark{i}"
+        d1.mkdir(), d2.mkdir()
+        duck.execute(sql_t.format(d=d1))
+        want = (d1 / fname).read_text()
+        engine.sql(sql_t.format(d=d2), dialect="duckdb")
+        parts = sorted(set(glob.glob(os.path.join(str(d2), fname,
+                                                  "part-*"))))
+        got = "".join(open(x).read() for x in parts)
+        assert sorted(got.splitlines()) == sorted(want.splitlines())
