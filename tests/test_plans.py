@@ -7,6 +7,8 @@ At sf0.001 these run in seconds; the properties are scale-invariant."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from duckdb_read_spark.plans import (
@@ -341,3 +343,38 @@ def test_corpus_bigram_reuses_docbg_exchange(engine, spark):
     df.collect()  # AQE finalizes reuse at runtime
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_multi_unnest_zip_no_cartesian(engine):
+    """The multi-unnest ZIP rewrite must not cross-product: one
+    explode over the index sequence, no CartesianProduct/BNLJ."""
+    df = engine.sql(
+        "SELECT unnest([n_nationkey, n_regionkey]) AS a, "
+        "unnest([1, 2, 3]) AS b FROM nation", dialect="duckdb")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    # exactly one Generate node (the numbered formatted-plan entry)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+
+
+def test_positional_join_sql_no_cartesian_no_sort(engine):
+    """The SQL POSITIONAL JOIN route joins on footer-derived positions:
+    an equi-join (broadcastable), never a cartesian product or a
+    global sort."""
+    df = engine.sql(
+        "SELECT r_name, n_name FROM region POSITIONAL JOIN nation",
+        dialect="duckdb")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "GlobalSort" not in plan and "Sort [" not in plan
+
+
+def test_lateral_unnest_single_generate(engine):
+    """FROM-position lateral unnest compiles to one Generate (LATERAL
+    VIEW explode), not a join."""
+    df = engine.sql(
+        "SELECT n_name, u FROM nation, unnest([n_nationkey, "
+        "n_regionkey]) AS t(u)", dialect="duckdb")
+    assert not has_cartesian(df)
+    plan = physical_plan(df)
+    assert "Generate" in plan and "Join" not in plan
