@@ -6968,10 +6968,19 @@ def _rewrite_struct_literals(sql: str) -> str:
             p = i - 1
             while p >= 0 and toks[p].kind in ("ws", "comment"):
                 p -= 1
+            # parenthesized emissions: a dotted field chain after the
+            # literal ({'a':…}.b.c) parse-errors on a bare call (r9)
             if p >= 0 and toks[p].kind == "ident" and toks[p].text.upper() == "MAP":
                 toks = toks[:p] + [Tok("other", f"map({args})")] + toks[close + 1:]
             else:
-                toks = (toks[:i] + [Tok("other", f"named_struct({args})")]
+                nxt_ = close + 1
+                while nxt_ < len(toks) and toks[nxt_].kind in ("ws",
+                                                               "comment"):
+                    nxt_ += 1
+                wrap = (nxt_ < len(toks) and toks[nxt_].text == ".")
+                emission = (f"(named_struct({args}))" if wrap
+                            else f"named_struct({args})")
+                toks = (toks[:i] + [Tok("other", emission)]
                         + toks[close + 1:])
             toks = tokenize(detokenize(toks))
             changed = True
@@ -7770,6 +7779,14 @@ def _subscript_base_start(toks: list[Tok], sig: list[int],
                    and toks[sig[start_pos - 1]].text == "."
                    and toks[sig[start_pos - 2]].kind == "ident"):
                 start_pos -= 2
+            if (start_pos - 2 >= 0
+                    and toks[sig[start_pos - 1]].text == "."
+                    and toks[sig[start_pos - 2]].text in (")", "]")):
+                # dotted field access on a paren/bracket group —
+                # (named_struct(…)).b.c[2] — absorb the group too (r9)
+                sub = _subscript_base_start(toks, sig, start_pos - 1)
+                if sub is not None:
+                    return sub
             return start_pos
         if t.text in (")", "]"):
             closer, opener = t.text, "(" if t.text == ")" else "["

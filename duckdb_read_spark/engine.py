@@ -2360,7 +2360,14 @@ class Engine:
             except Exception:
                 continue
             ttype = "BASE TABLE" if name in self._versioned else "VIEW"
-            rows_t.append(("memory", "main", name, ttype))
+            # full SQL-standard column set [measured r9: DuckDB emits
+            # 13 columns — the standard NULL tail plus
+            # is_insertable_into YES for base tables / NO for views,
+            # is_typed NO, TABLE_COMMENT last]
+            rows_t.append(("memory", "main", name, ttype,
+                           None, None, None, None, None,
+                           "YES" if ttype == "BASE TABLE" else "NO",
+                           "NO", None, None))
             for i, f in enumerate(schema.fields, 1):
                 rows_c.append(
                     ("memory", "main", name, f.name, i,
@@ -2368,7 +2375,14 @@ class Engine:
                      "YES" if f.nullable else "NO"))
         self.spark.createDataFrame(
             rows_t, "table_catalog string, table_schema string, "
-                    "table_name string, table_type string"
+                    "table_name string, table_type string, "
+                    "self_referencing_column_name string, "
+                    "reference_generation string, "
+                    "user_defined_type_catalog string, "
+                    "user_defined_type_schema string, "
+                    "user_defined_type_name string, "
+                    "is_insertable_into string, is_typed string, "
+                    "commit_action string, TABLE_COMMENT string"
         ).createOrReplaceTempView("information_schema__tables")
         self.spark.createDataFrame(
             rows_c, "table_catalog string, table_schema string, "

@@ -756,8 +756,10 @@ def test_struct_literal_rewrites():
     assert to_spark_sql("SELECT {a: 1, b: {'c': 2}} AS s") == \
         "SELECT named_struct('a', 1, 'b', named_struct('c', 2)) AS s"
     # list values with commas survive; field access passes through
+    # parenthesized when a field chain follows (dotted chains after a
+    # bare call parse-error in Spark — r9)
     assert to_spark_sql("SELECT {'l': [1, 2]}.l AS v") == \
-        "SELECT named_struct('l', array(1, 2)).l AS v"
+        "SELECT (named_struct('l', array(1, 2))).l AS v"
 
 
 def test_struct_pack_and_extract_rewrites():

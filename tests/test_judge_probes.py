@@ -1934,3 +1934,27 @@ def test_r9j_union_recursion_distinct_windows_unordered_rank(engine, duck):
         "FROM nation ORDER BY t LIMIT 4",
     ):
         _check(engine, duck, q)
+
+
+def test_r9k_struct_chain_infoschema(engine, duck):
+    """Dotted field chains + subscripts on struct literals
+    (({'a':…}).b.c[2] — the paren wrap and the base scan absorbing
+    paren groups through dots); the full 13-column SQL-standard
+    information_schema.tables shape; struct/list aggregate keys pinned
+    as over-acceptances (DuckDB binder-errors)."""
+    _check(engine, duck, (
+        "SELECT {'a': 1, 'b': {'c': [1,2]}}.b.c[2] AS x, "
+        "{'a': [{'k': 5}]}.a[1].k AS y, "
+        "struct_pack(v := [9,8]).v[2] AS z"))
+    _check(engine, duck, (
+        "SELECT * FROM information_schema.tables "
+        "WHERE table_name = 'nation'"))
+    import duckdb as _duckdb
+    import pytest as _pytest
+    for q in ("SELECT min_by(n_name, {'k': n_nationkey}) AS c "
+              "FROM nation",
+              "SELECT arg_max(n_name, [n_regionkey, n_nationkey]) AS c "
+              "FROM nation"):
+        with _pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
