@@ -1958,3 +1958,16 @@ def test_r9k_struct_chain_infoschema(engine, duck):
         with _pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+
+
+def test_r9l_not_glob_over_acceptance(engine, duck):
+    """DuckDB 1.0 parses GLOB but NOT `NOT GLOB` (parser error) — the
+    engine accepts the negated spelling (pinned over-acceptance)."""
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    _check(engine, duck, "SELECT 'abc' GLOB 'a*' AS a")
+    with _pytest.raises(_duckdb.Error):
+        duck.execute("SELECT 'abc' NOT GLOB 'b*' AS a").fetchall()
+    engine.sql("SELECT 'abc' NOT GLOB 'b*' AS a",
+               dialect="duckdb").collect()
