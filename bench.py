@@ -225,6 +225,16 @@ def main() -> None:
         "load1_at_start": _LOAD1_AT_START,
         "load1_at_end": round(os.getloadavg()[0], 2),
     }
+    if _LOAD1_AT_START > 0.5:
+        # quiet-capture protocol (r9 verdict item 9): the r9 driver
+        # artifact was taken at load1 2.28 and read +15% noise — flag
+        # the capture as untrustworthy IN the artifact so no forensics
+        # are needed, and say what to do about it
+        result["noisy_capture"] = True
+        print(f"WARNING: load1 {_LOAD1_AT_START} > 0.5 at start — "
+              f"timings are co-tenant-inflated; re-capture at low "
+              f"load before comparing against BASELINE.md or a prior "
+              f"round (SCALE.md §4 protocol)", file=sys.stderr)
     print(json.dumps(result))
     spark.stop()
 

@@ -106,6 +106,29 @@ def _existing_meta(table_dir: str) -> dict | None:
     return meta
 
 
+def _meta_at(table_dir: str, version: int | None = None) -> dict | None:
+    """The metaData action in effect AT the requested (private 1-based)
+    version — under columnMapping, renames only touch the metaData, so
+    time travel must read the schema as of the version, not the latest
+    (r10). Falls back to the checkpoint's metaData when the JSON prefix
+    was cleaned up."""
+    versions0 = _list_versions(table_dir)
+    last0 = ((versions0[-1] if versions0 else -1)
+             if version is None else version - 1)
+    meta = None
+    for v in versions0:
+        if v > last0:
+            break
+        for a in _read_actions(table_dir, v):
+            if "metaData" in a:
+                meta = a["metaData"]
+    if meta is None:
+        ckpt = _read_checkpoint(table_dir)
+        if ckpt is not None and ckpt[0] <= last0:
+            meta = ckpt[2]
+    return meta
+
+
 def _check_protocol(action: dict) -> None:
     """Refuse reader features this replay cannot honor — a table with
     deletion vectors or column mapping read naively would RETURN DELETED
@@ -115,8 +138,11 @@ def _check_protocol(action: dict) -> None:
         return
     feats = set(p.get("readerFeatures") or [])
     # deletionVectors left out: read_delta_table applies DVs (roaring.py)
-    unsupported = feats & {"columnMapping", "v2Checkpoint",
-                           "typeWidening", "variantType"}
+    # columnMapping left out since r10: read_delta_table projects
+    # physical→logical names from the metaData schema (files-by-
+    # reference consumers like CLONE refuse separately — a bare file
+    # reference would expose the physical col-uuid names)
+    unsupported = feats & {"v2Checkpoint", "typeWidening", "variantType"}
     if p.get("minReaderVersion", 1) > 3 or unsupported:
         raise NotImplementedError(
             f"delta reader features not supported: "
@@ -124,8 +150,11 @@ def _check_protocol(action: dict) -> None:
             f"— refusing to read (naive replay would return wrong rows)")
 
 
-def _read_checkpoint(table_dir: str) -> tuple[int, dict[str, dict]] | None:
-    """State from ``_last_checkpoint`` + its checkpoint parquet, or None.
+def _read_checkpoint(
+        table_dir: str
+) -> tuple[int, dict[str, dict], dict | None] | None:
+    """(version, files, metaData) from ``_last_checkpoint`` + its
+    checkpoint parquet, or None.
 
     A real delta-spark table cleans up old JSON commits after retention;
     the surviving state lives in the checkpoint — replaying only the JSON
@@ -157,12 +186,15 @@ def _read_checkpoint(table_dir: str) -> tuple[int, dict[str, dict]] | None:
         return None
 
     files: dict[str, dict] = {}
+    meta: dict | None = None
     for row in rows:
         if row.get("protocol") is not None:
             proto = dict(row["protocol"])
             if isinstance(proto.get("readerFeatures"), (list, tuple)):
                 proto["readerFeatures"] = list(proto["readerFeatures"])
             _check_protocol({"protocol": proto})
+        if row.get("metaData") is not None:
+            meta = dict(row["metaData"])
         add = row.get("add")
         if add is not None:
             a = dict(add)
@@ -173,7 +205,7 @@ def _read_checkpoint(table_dir: str) -> tuple[int, dict[str, dict]] | None:
         rm = row.get("remove")
         if rm is not None:
             files.pop(rm["path"], None)
-    return v, files
+    return v, files, meta
 
 
 def delta_snapshot(table_dir: str, version: int | None = None
@@ -401,6 +433,88 @@ def attach_deletion_vector(table_dir: str, rel_path: str,
     return v
 
 
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def column_mapping_mode(meta: dict | None) -> str:
+    """'none' | 'name' | 'id' from metaData.configuration."""
+    return ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+
+
+def _cm_has_nested_map(t) -> bool:
+    """True when a MAP type anywhere in the node has a mapped struct
+    inside — the rename can't reach inside map keys/values without
+    map_entries round-trips; refuse loudly rather than half-rename."""
+    if not isinstance(t, dict):
+        return False
+    k = t.get("type")
+    if k == "struct":
+        return any(_cm_has_nested_map(f.get("type")) for f in t["fields"])
+    if k == "array":
+        return _cm_has_nested_map(t.get("elementType"))
+    if k == "map":
+        def mapped(n):
+            if not isinstance(n, dict):
+                return False
+            if n.get("type") == "struct":
+                return any(_CM_PHYS in (f.get("metadata") or {})
+                           or mapped(f.get("type")) for f in n["fields"])
+            if n.get("type") == "array":
+                return mapped(n.get("elementType"))
+            if n.get("type") == "map":
+                return mapped(n.get("keyType")) or mapped(
+                    n.get("valueType"))
+            return False
+        return mapped(t.get("keyType")) or mapped(t.get("valueType"))
+    return False
+
+
+def _cm_rename(col, t):
+    """Physical→logical projection of one column per the Delta schema
+    node ``t`` (spec: every field under columnMapping carries
+    delta.columnMapping.physicalName; parquet files store the physical
+    names — delta-spark writes them in BOTH 'name' and 'id' modes, so
+    name-based projection serves both). Structs rebuild recursively
+    (NULL structs stay NULL via the when() guard); arrays transform
+    element-wise; scalars pass through."""
+    from pyspark.sql import functions as F
+
+    if isinstance(t, dict) and t.get("type") == "struct":
+        parts = []
+        for f in t["fields"]:
+            phys = (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+            parts.append(
+                _cm_rename(col.getField(phys), f["type"])
+                .alias(f["name"]))
+        return F.when(col.isNotNull(), F.struct(*parts))
+    if isinstance(t, dict) and t.get("type") == "array":
+        et = t.get("elementType")
+        if isinstance(et, dict) and et.get("type") in ("struct", "array"):
+            return F.transform(col, lambda x: _cm_rename(x, et))
+        return col
+    return col
+
+
+def _apply_column_mapping(df, schema: dict):
+    """SELECT the logical view of a physically-named scan — one
+    projection, zero shuffles; also establishes the declared column
+    order (what every Delta reader returns)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in schema["fields"]:
+        if _cm_has_nested_map(f.get("type")):
+            raise NotImplementedError(
+                "delta columnMapping with mapped struct fields inside "
+                "a MAP type is not supported — the projection cannot "
+                "rename inside map entries")
+        phys = (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+        cols.append(
+            _cm_rename(F.col(f"`{phys}`"), f["type"]).alias(f["name"]))
+    return df.select(*cols)
+
+
 def read_delta_table(spark, table_dir: str, version: int | None = None):
     """Read a table from its ``_delta_log`` alone — the interop direction:
     a directory holding only a Delta-shaped log (e.g. written by another
@@ -421,20 +535,57 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
       foreign table, documented in SCALE.md.
 
     Partition column types come from ``metaData.schemaString`` (a Spark
-    StructType JSON per the spec)."""
+    StructType JSON per the spec).
+
+    columnMapping (r10): when ``metaData.configuration`` sets
+    ``delta.columnMapping.mode`` to 'name' or 'id', parquet files (and
+    the log's partitionValues keys, and hive path segments) carry
+    PHYSICAL names (``col-<uuid>``); the logical view is one
+    physical→logical SELECT projection from the metaData schema's
+    per-field ``delta.columnMapping.physicalName`` (delta-spark writes
+    physical names in both modes, so name-based projection serves
+    'id' too). The metaData is read AS OF the requested version —
+    renames only touch the metaData, so time travel across a RENAME
+    COLUMN returns the old logical names over the same files."""
     _, files = delta_snapshot(table_dir, version)
     if not files:
         raise FileNotFoundError(f"delta snapshot at {table_dir!r} is empty")
     dvs = live_deletion_vectors(files)
-    meta = _existing_meta(table_dir) or {}
+    meta = _meta_at(table_dir, version) or _existing_meta(table_dir) or {}
+    cm_mode = column_mapping_mode(meta)
+    cm_schema = None
+    if cm_mode in ("name", "id"):
+        try:
+            cm_schema = json.loads(meta["schemaString"])
+        except (KeyError, ValueError):
+            raise NotImplementedError(
+                "delta columnMapping table without a readable metaData "
+                "schemaString — cannot derive logical names")
+    phys_of = {}
+    if cm_schema is not None:
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+            for f in cm_schema["fields"]}
+
+    def logical_view(df):
+        return (_apply_column_mapping(df, cm_schema)
+                if cm_schema is not None else df)
+
     pcols = list(meta.get("partitionColumns") or [])
     if not pcols:  # adds carry values but metaData was lost/foreign-thin
         pcols = sorted({k for a in files.values()
                         for k in (a.get("partitionValues") or {})})
+        if cm_schema is not None:
+            back = {v: k for k, v in phys_of.items()}
+            pcols = sorted(back.get(k, k) for k in pcols)
+    # the scan side (paths, partitionValues keys) speaks PHYSICAL names
+    ppcols = [phys_of.get(k, k) for k in pcols]
     paths = [os.path.join(table_dir, p) for p in sorted(files)]
     if not pcols:
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        return _apply_dvs(spark, df, table_dir, dvs) if dvs else df
+        if dvs:
+            df = _apply_dvs(spark, df, table_dir, dvs)
+        return logical_view(df)
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructType
@@ -442,14 +593,18 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
     ptypes = {}
     try:
         st = StructType.fromJson(json.loads(meta["schemaString"]))
-        ptypes = {f.name: f.dataType for f in st.fields if f.name in pcols}
+        ptypes = {phys_of.get(f.name, f.name): f.dataType
+                  for f in st.fields if f.name in pcols}
     except Exception:
         pass
 
     def declared_order(df):
         """SELECT * order must match metaData.schemaString (what every
         real Delta reader returns) — withColumn appends partition
-        columns at the end otherwise."""
+        columns at the end otherwise. Under columnMapping the logical
+        projection already establishes the order."""
+        if cm_schema is not None:
+            return logical_view(df)
         try:
             want = [f.name for f in StructType.fromJson(
                 json.loads(meta["schemaString"])).fields]
@@ -461,16 +616,16 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
         return df.select(*ordered)
 
     hive = all(
-        all(f"/{k}=" in "/" + rel.replace(os.sep, "/") for k in pcols)
+        all(f"/{k}=" in "/" + rel.replace(os.sep, "/") for k in ppcols)
         for rel in files)
     if hive:
         df = (spark.read.option("basePath", table_dir)
               .option("mergeSchema", "true").parquet(*paths))
         if dvs:   # before the casts: _metadata needs the scan relation
             df = _apply_dvs(spark, df, table_dir, dvs)
-        for k in pcols:  # discovery infers types from dir strings — pin
+        for k in ppcols:  # discovery infers types from dir strings — pin
             df = df.withColumn(
-                k, F.col(k).cast(ptypes.get(k, StringType())))
+                k, F.col(f"`{k}`").cast(ptypes.get(k, StringType())))
         return declared_order(df)
 
     if dvs:
@@ -485,13 +640,13 @@ def read_delta_table(spark, table_dir: str, version: int | None = None):
     groups: dict[tuple, list[str]] = defaultdict(list)
     for rel in sorted(files):
         pv = files[rel].get("partitionValues") or {}
-        groups[tuple(pv.get(k) for k in pcols)].append(rel)
+        groups[tuple(pv.get(k) for k in ppcols)].append(rel)
     parts = []
     for vals, rels in sorted(groups.items(),
                              key=lambda kv: [v or "" for v in kv[0]]):
         d = (spark.read.option("mergeSchema", "true")
              .parquet(*[os.path.join(table_dir, r) for r in rels]))
-        for k, v in zip(pcols, vals):
+        for k, v in zip(ppcols, vals):
             d = d.withColumn(k, F.lit(v).cast(ptypes.get(k, StringType())))
         parts.append(d)
     out = parts[0]

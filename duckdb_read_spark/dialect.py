@@ -577,7 +577,16 @@ def convert_strftime_format(fmt: str) -> str:
     DateTimeFormatter and silently corrupted the output before r9
     ('ms=%g' read the m and s as minute/second fields)."""
     out: list[str] = []
-    for tok in re.findall(r"%-?.|[^%]+", fmt):
+    toks = re.findall(r"%-?.|[^%]+", fmt)
+    if sum(len(t) for t in toks) != len(fmt):
+        # a terminal lone '%' matches neither alternative and was
+        # silently DROPPED before r10 (ADVICE r9); DuckDB itself errors
+        # there [measured: strftime(ts, 'abc%') → Invalid Input Error:
+        # Trailing format character] — loud parity
+        raise ValueError(
+            f"strftime: trailing '%' in format {fmt!r} (DuckDB "
+            f"rejects it too: trailing format character)")
+    for tok in toks:
         if tok.startswith("%"):
             if tok.startswith("%-") and tok not in _STRFTIME_MAP:
                 raise ValueError(
@@ -616,10 +625,11 @@ _SIMPLE_RENAMES = {
     "lcase": "lower",
     # DuckDB cases per-codepoint (utf8proc simple maps) vs the JVM's
     # full maps — upper('straße') = 'STRAẞE' vs 'STRASSE', lower('ΑΣ')
-    # = 'ασ' vs final-sigma 'ας' [measured r9]. The __duck_*__ SQL temp
-    # functions (functions/udfs.py register_case_udfs) are pure-JVM
-    # translate sandwiches; ucase/lcase re-enter the fixpoint and pick
-    # these up
+    # = 'ασ' vs final-sigma 'ας' [measured r9]. The __duck_*__ markers
+    # are INLINED by _rewrite_calls (its __duck_upper__/__duck_lower__
+    # branches emit pure-JVM translate sandwiches around upper/lower —
+    # no SQL temp function is registered); ucase/lcase re-enter the
+    # fixpoint and pick these up
     "upper": "__duck_upper__",
     "lower": "__duck_lower__",
     "strlen": "octet_length",  # DuckDB strlen counts BYTES, not chars
@@ -815,7 +825,16 @@ def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
     """Parse a DuckDB interval LITERAL into (months, days, micros) with
     DuckDB's storage-time cascading of fractional unit values
     ('1.5 months' = 1 mon 15 days). None when not an interval literal."""
-    m = re.match(r"(?is)^\s*INTERVAL\s+(.+?)\s*$", expr.strip())
+    e = expr.strip()
+    # the mixed-literal fold's own emission (r10) — epoch()/arithmetic
+    # folds still need the (months, days, micros) triple after it ran
+    mm = re.fullmatch(
+        r"(?is)make_interval\(\s*0\s*,\s*(-?\d+)\s*,\s*0\s*,\s*(-?\d+)"
+        r"\s*,\s*0\s*,\s*0\s*,\s*(-?\d+(?:\.\d+)?)\s*\)", e)
+    if mm:
+        return (int(mm.group(1)), int(mm.group(2)),
+                float(mm.group(3)) * 1_000_000)
+    m = re.match(r"(?is)^\s*INTERVAL\s+(.+?)\s*$", e)
     if m is None:
         return None
     body = m.group(1).strip()
@@ -964,7 +983,222 @@ def _rewrite_interval_forms(sql: str) -> str:
     sql = re.sub(r"(?is)\bINTERVAL\s+'-?\d+:\d{1,2}:\d{1,2}(?:\.\d+)?'"
                  r"(?!\s*(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|TO)\b)",
                  fold_hms, sql)
+
+    def fold_mixed(m: "re.Match[str]") -> str:
+        # a quoted literal MIXING year-month with day-time units —
+        # DuckDB stores (months, days, micros) together; Spark's
+        # parser refuses ("Cannot mix year-month and day-time
+        # fields"). make_interval carries all three classes; date/
+        # timestamp arithmetic over it adds months first then days,
+        # like DuckDB [measured r10: DATE '2024-01-31' + '1 month 2
+        # days' → 2024-03-02 both]. Single-class literals stay
+        # verbatim (Spark parses them natively).
+        parsed = _parse_interval_literal(m.group(0))
+        if parsed is None:
+            return m.group(0)
+        months, days, micros = parsed
+        if not months or not (days or micros):
+            return m.group(0)
+        from decimal import Decimal
+
+        secs = Decimal(int(micros)) / Decimal(1_000_000)
+        return (f"make_interval(0, {months}, 0, {days}, 0, 0, "
+                f"{secs:f})")
+
+    sql = re.sub(r"(?is)\bINTERVAL\s+'[^']*'"
+                 r"(?!\s*(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|TO)\b)",
+                 fold_mixed, sql)
     return sql
+
+
+_INTERVAL_EMISSION_FNS = ("make_dt_interval", "make_ym_interval",
+                          "make_interval")
+# functions whose result is DATE in both engines
+_DATE_RESULT_FNS = {"date_add", "date_sub", "make_date", "to_date",
+                    "last_day", "current_date"}
+
+
+def _expr_is_date(expr: str, column_kinds: dict[str, str] | None) -> bool:
+    """True when the expression is PROVABLY DATE-typed: a DATE literal,
+    a registered date-kind column (bare or qualified), a DATE cast, or
+    a date-returning function call (whole-expression)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return False
+    if re.fullmatch(r"(?is)DATE\s+'[^']*'", e):
+        return True
+    if re.fullmatch(r"[A-Za-z_]\w*", e):
+        return (column_kinds or {}).get(e.lower()) == "date"
+    m = re.fullmatch(r"[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)", e)
+    if m:
+        return (column_kinds or {}).get(m.group(1).lower()) == "date"
+    if re.fullmatch(r"(?is)(?:TRY_)?CAST\s*\(.*\bAS\s+DATE\s*\)", e):
+        return True
+    if re.fullmatch(r"(?is).*::\s*DATE", e) and "::" not in \
+            re.sub(r"(?is)::\s*DATE\s*$", "", e):
+        return True
+    m = re.fullmatch(r"(?is)([A-Za-z_]\w*)\s*\(.*\)", e)
+    return bool(m and m.group(1).lower() in _DATE_RESULT_FNS)
+
+
+def _rewrite_date_interval_arith(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """``DATE ± INTERVAL`` (either operand order for +) is TIMESTAMP in
+    DuckDB [measured r10: typeof(DATE '2024-01-31' + INTERVAL 1 MONTH)
+    → TIMESTAMP '2024-02-29 00:00:00', every interval class promotes];
+    Spark keeps DATE for year-month and whole-day intervals — a schema
+    divergence on everyday arithmetic (values agree). PROVABLY
+    date-typed operands (literal/date-kind column/cast/date fn) paired
+    with an interval operand (INTERVAL literal or make_*_interval
+    emission) wrap in ``timestamp(…)`` — Spark's cast shorthand, a
+    no-op when Spark already promoted (hour-class intervals).
+    Single sweep with simultaneous span application, so the emission
+    is never re-matched."""
+    if not re.search(r"(?i)\bINTERVAL\b|\bmake_(?:dt_|ym_)?interval\s*\(",
+                     sql):
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    pos_of = {raw: p for p, raw in enumerate(sig)}
+    edits: list[tuple[int, int]] = []  # raw-token [start, end] spans
+
+    def _right_operand(p: int) -> tuple[str | None, int | None]:
+        """Classify the primary after sig position p: ('interval'|
+        'date'|None, raw end index)."""
+        if p >= len(sig):
+            return None, None
+        t = toks[sig[p]]
+        if t.kind == "ident" and t.text.upper() == "INTERVAL":
+            if p + 1 >= len(sig):
+                return None, None
+            nxt = toks[sig[p + 1]]
+            if nxt.kind == "str":
+                end = sig[p + 1]
+                if (p + 2 < len(sig) and toks[sig[p + 2]].kind == "ident"
+                        and re.fullmatch(r"[A-Za-z]+",
+                                         toks[sig[p + 2]].text)
+                        and toks[sig[p + 2]].text.upper()
+                        not in _FLOORDIV_STOPS):
+                    end = sig[p + 2]
+                return "interval", end
+            if (nxt.kind == "num" and p + 2 < len(sig)
+                    and toks[sig[p + 2]].kind == "ident"
+                    and re.fullmatch(r"[A-Za-z]+", toks[sig[p + 2]].text)):
+                return "interval", sig[p + 2]
+            return None, None
+        if (t.kind == "ident" and p + 1 < len(sig)
+                and toks[sig[p + 1]].text == "("):
+            try:
+                close = _find_close(toks, sig[p + 1])
+            except ValueError:
+                return None, None
+            name = t.text.lower()
+            if name in _INTERVAL_EMISSION_FNS:
+                return "interval", close
+            if name in _DATE_RESULT_FNS or name in ("cast", "try_cast"):
+                txt = detokenize(toks[sig[p]:close + 1])
+                if _expr_is_date(txt, column_kinds):
+                    return "date", close
+            return None, None
+        if t.kind == "ident" and t.text.upper() == "DATE" \
+                and p + 1 < len(sig) and toks[sig[p + 1]].kind == "str":
+            return "date", sig[p + 1]
+        if t.kind == "ident":
+            end = sig[p]
+            if (p + 2 < len(sig) and toks[sig[p + 1]].text == "."
+                    and toks[sig[p + 2]].kind == "ident"):
+                end = sig[p + 2]
+                nm = toks[sig[p + 2]].text
+            else:
+                nm = t.text
+            if (column_kinds or {}).get(nm.lower()) == "date":
+                return "date", end
+        return None, None
+
+    def _left_interval(p: int) -> int | None:
+        """Raw start index when the tokens ENDING at sig position p
+        form an interval primary, else None."""
+        t = toks[sig[p]]
+        if t.text == ")":
+            opener = _bracket_open_back(toks, sig[p])
+            q = pos_of.get(opener)
+            if (q is not None and q >= 1
+                    and toks[sig[q - 1]].kind == "ident"
+                    and toks[sig[q - 1]].text.lower()
+                    in _INTERVAL_EMISSION_FNS):
+                return sig[q - 1]
+            return None
+        if t.kind == "str" and p >= 1 \
+                and toks[sig[p - 1]].kind == "ident" \
+                and toks[sig[p - 1]].text.upper() == "INTERVAL":
+            return sig[p - 1]
+        if (t.kind == "ident" and re.fullmatch(r"[A-Za-z]+", t.text)
+                and p >= 2 and toks[sig[p - 1]].kind in ("num", "str")
+                and toks[sig[p - 2]].kind == "ident"
+                and toks[sig[p - 2]].text.upper() == "INTERVAL"):
+            return sig[p - 2]
+        return None
+
+    for p, ti in enumerate(sig):
+        t = toks[ti]
+        if t.kind != "op" or t.text not in ("+", "-") \
+                or p == 0 or p + 1 >= len(sig):
+            continue
+        prev = toks[sig[p - 1]]
+        binary = (prev.kind in ("num", "str", "bqid")
+                  or prev.text in (")", "]")
+                  or (prev.kind == "ident"
+                      and prev.text.upper() not in _FLOORDIV_STOPS))
+        if not binary:
+            continue
+        r_kind, r_end = _right_operand(p + 1)
+        if r_kind is None:
+            continue
+        if r_kind == "interval":
+            def _skip():
+                raise _PrimarySkip()
+            try:
+                lstart = _primary_start_back(toks, sig, pos_of, p - 1,
+                                             _skip)
+            except _PrimarySkip:
+                continue
+            # a DATE literal's leading DATE keyword sits OUTSIDE the
+            # str primary — absorb it
+            raw_start = sig[lstart]
+            if (toks[raw_start].kind == "str" and lstart >= 1
+                    and toks[sig[lstart - 1]].kind == "ident"
+                    and toks[sig[lstart - 1]].text.upper() == "DATE"):
+                raw_start = sig[lstart - 1]
+            left_txt = detokenize(toks[raw_start:sig[p - 1] + 1])
+            if _expr_is_date(left_txt, column_kinds):
+                edits.append((raw_start, r_end))
+        elif r_kind == "date" and t.text == "+":
+            raw_start = _left_interval(p - 1)
+            if raw_start is not None:
+                edits.append((raw_start, r_end))
+    if not edits:
+        return sql
+    # drop overlapping spans (keep the earliest), apply right-to-left
+    edits.sort()
+    kept: list[tuple[int, int]] = []
+    for s, e in edits:
+        if kept and s <= kept[-1][1]:
+            continue
+        kept.append((s, e))
+    out = sql
+    for s, e in reversed(kept):
+        start_ch = sum(len(t.text) for t in toks[:s])
+        end_ch = sum(len(t.text) for t in toks[:e + 1])
+        out = (out[:start_ch] + "timestamp("
+               + out[start_ch:end_ch] + ")" + out[end_ch:])
+    return out
 
 
 def _parse_time_literal(expr: str) -> int | None:
@@ -1620,6 +1854,55 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 out.append(f"(CASE WHEN size({dl}) = 0 THEN "
                            f"CAST(NULL AS DOUBLE) ELSE {body} END)")
             i = oc + 1
+            changed = True
+            continue
+        if name in ("avg", "mean") and parts and len(parts[2]) == 1:
+            # avg is DOUBLE in DuckDB for EVERY accepted input —
+            # int/decimal/float all → DOUBLE, and non-numerics
+            # (interval/timestamp/varchar) are Binder Errors [measured
+            # r10], so an unconditional cast is faithful (Spark keeps
+            # DECIMAL(p+4,s+4), rendering '2.00000' vs '2.0'; VALUES-
+            # derived decimal columns aren't provable via
+            # column_kinds, so a conditional wrap missed them). Wraps
+            # the whole aggregate — including a trailing FILTER (…)
+            # and OVER (…). __decavg__ dodges the fixpoint re-entry;
+            # _rewrite_keywords renames it back to avg (Spark's mean
+            # is an avg alias, so one marker serves both spellings).
+            end = parts[1]
+            extra = ""
+            after = [k for k in range(end + 1, len(toks))
+                     if toks[k].kind not in ("ws", "comment")]
+            if (after and toks[after[0]].kind == "ident"
+                    and toks[after[0]].text.upper() == "FILTER"
+                    and len(after) > 1 and toks[after[1]].text == "("):
+                try:
+                    fclose = _find_close(toks, after[1])
+                except ValueError:
+                    fclose = None
+                if fclose is not None:
+                    extra += " FILTER " + detokenize(
+                        toks[after[1]:fclose + 1])
+                    end = fclose
+                    after = [k for k in range(end + 1, len(toks))
+                             if toks[k].kind not in ("ws", "comment")]
+            if (after and toks[after[0]].kind == "ident"
+                    and toks[after[0]].text.upper() == "OVER"
+                    and len(after) > 1):
+                nxt = toks[after[1]]
+                if nxt.text == "(":
+                    try:
+                        oclose = _find_close(toks, after[1])
+                        extra += " OVER " + detokenize(
+                            toks[after[1]:oclose + 1])
+                        end = oclose
+                    except ValueError:
+                        pass
+                elif nxt.kind == "ident":
+                    extra += f" OVER {nxt.text}"
+                    end = after[1]
+            args_txt = detokenize(toks[parts[0]:parts[1] + 1])
+            out.append(f"CAST(__decavg__{args_txt}{extra} AS DOUBLE)")
+            i = end + 1
             changed = True
             continue
         if (name in ("row_number", "rank", "dense_rank", "ntile",
@@ -4562,12 +4845,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                                f"{filt}")
                         res = (f"transform({sort(agg)}, "
                                f"__s -> __s.__v)")
-                        if filt:
-                            # a fully-filtered group is NULL in DuckDB,
-                            # [] from collect_list — Catalyst dedups the
-                            # repeated aggregate expression
-                            res = (f"(CASE WHEN size({agg}) = 0 "
-                                   f"THEN NULL ELSE {res} END)")
+                        # an EMPTY aggregate is NULL in DuckDB — fully
+                        # filtered group, WHERE false, zero-row relation
+                        # [measured r10: array_agg(x) WHERE false →
+                        # NULL; collect_list gives []] — Catalyst dedups
+                        # the repeated aggregate expression
+                        res = (f"(CASE WHEN size({agg}) = 0 "
+                               f"THEN NULL ELSE {res} END)")
                         out.append(res)
                         i = fend + 1
                         changed = True
@@ -4605,10 +4889,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                             joined = (f"array_join(transform({sorted_agg}"
                                       f", __s -> __s.__v), "
                                       f"{m2.group('sep')})")
-                        res = joined
-                        if filt or forced_sep:
-                            res = (f"(CASE WHEN size({agg}) = 0 "
-                                   f"THEN NULL ELSE {res} END)")
+                        # empty aggregate → NULL (see array_agg branch;
+                        # array_join would give '' — measured r10:
+                        # string_agg(x, ',') WHERE false → NULL)
+                        res = (f"(CASE WHEN size({agg}) = 0 "
+                               f"THEN NULL ELSE {joined} END)")
                         out.append(res)
                         i = fend + 1
                         changed = True
@@ -4622,12 +4907,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 # elements (judge probe r6: Spark's array_agg is a
                 # collect_list alias and drops them)
                 def _null_guard(agg: str, res: str) -> str:
-                    # forced_sep routes through array_join, which gives
-                    # '' on an empty/all-NULL group where DuckDB (and
-                    # Spark's native string_agg) give NULL — guard those
-                    # too, not just FILTER
-                    if not (filt or forced_sep):
-                        return res
+                    # EVERY empty aggregate is NULL in DuckDB — not
+                    # just FILTERed/forced-sep shapes [measured r10:
+                    # array_agg(x)/string_agg(x, ',')/list(x) over
+                    # WHERE false all → NULL; collect_list gives [],
+                    # array_join gives '']
                     return (f"(CASE WHEN size({agg}) = 0 "
                             f"THEN NULL ELSE {res} END)")
 
@@ -5210,6 +5494,242 @@ def _numeric_class(expr: str, column_kinds: dict[str, str] | None,
     return None
 
 
+# functions whose result is DECIMAL when every numeric arg is
+# [measured typeof() in DuckDB 1.0.0: sum(DECIMAL(4,1)) →
+# DECIMAL(38,1), min/max/abs/coalesce/round keep the decimal class]
+_DEC_PRESERVING_FNS = {
+    "sum", "min", "max", "abs", "least", "greatest", "coalesce",
+    "ifnull", "round", "first", "last", "any_value", "arbitrary",
+}
+
+
+def _expr_is_decimal(expr: str, column_kinds: dict[str, str] | None,
+                     depth: int = 0) -> bool:
+    """True when the expression is PROVABLY DECIMAL-typed in DuckDB:
+    a non-exponent fractional literal (``1.5`` is DECIMAL(2,1) there,
+    ``1e3``/``1.5e3`` are DOUBLE), a registered decimal-kind column
+    (bare or qualified), a DECIMAL cast, or a ``+ - * %`` chain of
+    int/decimal operands with at least one decimal (any ``/`` makes
+    the chain DOUBLE; a DOUBLE operand wins the chain, so unknown
+    operands return False — conservative: unprovable → unrewritten).
+    Drives the ``/``-result and ``avg``-result DOUBLE rewrites
+    [measured: DECIMAL/DECIMAL and avg(DECIMAL) are DOUBLE in DuckDB,
+    DECIMAL in Spark]."""
+    if depth > 6:
+        return False
+    if _decimal_kind(expr, column_kinds) is not None:
+        return True
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return False
+    toks = tokenize(e)
+    sig = _sig(toks)
+    if not sig:
+        return False
+    # top-level arithmetic chain: split like _numeric_class does
+    spans: list[tuple[int, int]] = []
+    ops: list[str] = []
+    d = 0
+    start = 0
+    for p in range(len(sig)):
+        t = toks[sig[p]]
+        if t.text in ("(", "["):
+            d += 1
+        elif t.text in (")", "]"):
+            d -= 1
+        elif d == 0 and t.kind == "op":
+            if t.text in ("+", "-", "*", "/", "%"):
+                prev = toks[sig[p - 1]] if p > 0 else None
+                is_binary = prev is not None and (
+                    prev.kind in ("num", "str", "bqid")
+                    or prev.text in (")", "]")
+                    or (prev.kind == "ident"
+                        and prev.text.upper() not in ("AND", "OR",
+                                                      "NOT", "WHEN",
+                                                      "THEN", "ELSE",
+                                                      "IN", "IS")))
+                if is_binary:
+                    spans.append((start, p))
+                    ops.append(t.text)
+                    start = p + 1
+            else:
+                return False
+        elif d == 0 and t.kind == "ident" and t.text.upper() in (
+                "CASE", "AND", "OR", "NOT", "BETWEEN", "LIKE", "IN",
+                "IS", "OVER"):
+            return False
+    spans.append((start, len(sig)))
+    if len(spans) > 1:
+        if "/" in ops:
+            return False  # DuckDB '/' is double division
+        texts = [detokenize(toks[sig[a]:sig[b - 1] + 1])
+                 if b > a else "" for a, b in spans]
+        any_dec = False
+        for tx in texts:
+            if _expr_is_decimal(tx, column_kinds, depth + 1):
+                any_dec = True
+            elif _numeric_class(tx, column_kinds, depth + 1) != "int":
+                return False
+        return any_dec
+    # single operand — strip unary signs
+    while sig and toks[sig[0]].text in ("+", "-"):
+        sig = sig[1:]
+    if not sig:
+        return False
+    first = toks[sig[0]]
+    if len(sig) == 1:
+        return (first.kind == "num" and "." in first.text
+                and "e" not in first.text.lower())
+    # whole-expression call of a decimal-preserving function
+    if (first.kind == "ident" and len(sig) >= 3
+            and toks[sig[1]].text == "("
+            and first.text.lower() in _DEC_PRESERVING_FNS):
+        try:
+            close = _find_close(toks, sig[1])
+        except ValueError:
+            return False
+        if close == sig[-1]:
+            arg_spans = _split_args(toks, sig[1], close)
+            any_dec = False
+            for sp in arg_spans:
+                tx = _arg_text(toks, sp)
+                if re.fullmatch(r"(?is)NULL", tx.strip()):
+                    continue
+                if _expr_is_decimal(tx, column_kinds, depth + 1):
+                    any_dec = True
+                elif _numeric_class(tx, column_kinds,
+                                    depth + 1) != "int":
+                    return False
+            return any_dec
+    return False
+
+
+# functions whose result is always DOUBLE in DuckDB 1.0 [measured
+# typeof()] — median/quantile_cont are NOT here (they keep the
+# decimal class), nor FLOAT-returning ones (float32 shortest-repr
+# differs from float64's)
+_DOUBLE_RESULT_FNS = {
+    "avg", "mean", "stddev", "stddev_samp", "stddev_pop", "variance",
+    "var_samp", "var_pop", "sqrt", "cbrt", "ln", "log", "log2",
+    "log10", "exp", "power", "pow", "pi", "radians", "degrees", "sin",
+    "cos", "tan", "asin", "acos", "atan", "atan2", "random", "corr",
+    "covar_samp", "covar_pop", "epoch", "try_divide", "__decavg__",
+}
+
+_DOUBLE_TYPE_WORDS = ("DOUBLE", "FLOAT8")
+
+
+def _expr_is_double(expr: str, column_kinds: dict[str, str] | None,
+                    depth: int = 0) -> bool:
+    """True when the expression is PROVABLY DOUBLE-typed: an exponent
+    literal (``1e3`` is DOUBLE in DuckDB; ``1.5`` is DECIMAL), a
+    registered double-kind column, a DOUBLE/FLOAT8 cast, an
+    always-DOUBLE function result, or an arithmetic chain with a
+    provable DOUBLE operand (double wins every numeric promotion).
+    FLOAT/REAL is deliberately NOT double here — float32 shortest-
+    round-trip rendering differs. Drives the double→VARCHAR render
+    rewrite; conservative (unprovable → False → Spark's own CAST)."""
+    if depth > 6:
+        return False
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return False
+    toks = tokenize(e)
+    sig = _sig(toks)
+    if not sig:
+        return False
+    # top-level arithmetic chain
+    d = 0
+    spans: list[tuple[int, int]] = []
+    start = 0
+    for p in range(len(sig)):
+        t = toks[sig[p]]
+        if t.text in ("(", "["):
+            d += 1
+        elif t.text in (")", "]"):
+            d -= 1
+        elif d == 0 and t.kind == "op":
+            if t.text in ("+", "-", "*", "/", "%"):
+                prev = toks[sig[p - 1]] if p > 0 else None
+                if prev is not None and (
+                        prev.kind in ("num", "str", "bqid")
+                        or prev.text in (")", "]")
+                        or (prev.kind == "ident"
+                            and prev.text.upper() not in
+                            ("AND", "OR", "NOT", "WHEN", "THEN",
+                             "ELSE", "IN", "IS"))):
+                    spans.append((start, p))
+                    start = p + 1
+            else:
+                return False
+        elif d == 0 and t.kind == "ident" and t.text.upper() in (
+                "CASE", "AND", "OR", "NOT", "BETWEEN", "LIKE", "IN",
+                "IS", "OVER"):
+            return False
+    spans.append((start, len(sig)))
+    if len(spans) > 1:
+        return any(
+            _expr_is_double(detokenize(toks[sig[a]:sig[b - 1] + 1]),
+                            column_kinds, depth + 1)
+            for a, b in spans if b > a)
+    while sig and toks[sig[0]].text in ("+", "-"):
+        sig = sig[1:]
+    if not sig:
+        return False
+    first = toks[sig[0]]
+    if len(sig) == 1:
+        if first.kind == "num":
+            return "e" in first.text.lower()
+        if first.kind == "ident":
+            return (column_kinds or {}).get(
+                first.text.lower()) == "double"
+        return False
+    if (len(sig) == 3 and first.kind == "ident"
+            and toks[sig[1]].text == "."
+            and toks[sig[2]].kind == "ident"):
+        return (column_kinds or {}).get(
+            toks[sig[2]].text.lower()) == "double"
+    # x :: DOUBLE postfix (whole expression)
+    m = re.fullmatch(r"(?is)(.+?)::\s*([A-Za-z_0-9]+)\s*", e)
+    if m and "::" not in m.group(1):
+        return m.group(2).upper() in _DOUBLE_TYPE_WORDS
+    # whole-expression call
+    if (first.kind == "ident" and len(sig) >= 3
+            and toks[sig[1]].text == "("):
+        try:
+            close = _find_close(toks, sig[1])
+        except ValueError:
+            return False
+        if close == sig[-1]:
+            fn = first.text.lower()
+            if fn in ("cast", "try_cast"):
+                mt = re.search(r"(?is)\bAS\s+([A-Za-z_0-9]+)\s*\)\s*$",
+                               e)
+                return bool(mt and mt.group(1).upper()
+                            in _DOUBLE_TYPE_WORDS)
+            return fn in _DOUBLE_RESULT_FNS
+        # call with a trailing OVER (window aggregate)
+        if (first.text.lower() in _DOUBLE_RESULT_FNS
+                and re.search(r"(?is)\)\s*(FILTER\s*\(.*\)\s*)?OVER\b",
+                              e)):
+            return True
+    return False
+
+
 _FLOORDIV_STOPS = {
     "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
     "ELSE", "BY", "ON", "IN", "AS", "IS", "LIKE", "BETWEEN", "SET",
@@ -5437,48 +5957,6 @@ def _rewrite_floordiv_operator(sql: str) -> str:
     raise ValueError("floordiv rewrite did not converge")
 
 
-def _rewrite_null_safe_division(sql: str) -> str:
-    """DuckDB division/modulo by zero is NULL for EVERY numeric type
-    [measured: 7/0, 7.0/0, 1.0::DOUBLE/0.0::DOUBLE, 7%0, 7.5%0 all
-    NULL]; Spark ANSI throws DIVIDE_BY_ZERO/REMAINDER_BY_ZERO. Every
-    source-level binary ``/`` and ``%`` becomes try_divide/try_mod —
-    the same JVM expression with a NULL branch, so types, precision
-    and codegen are unchanged for non-zero divisors. Runs AFTER the
-    floordiv pass (``//`` already consumed) and BEFORE the call
-    rewrites, so engine EMISSIONS keep plain operators. Leftmost-first
-    with re-scan (the emission contains no '/' or '%'); operand
-    extraction is the shared _scan_arith_left/_scan_right_primary
-    pair."""
-    if "/" not in sql and "%" not in sql:
-        return sql
-    for _ in range(500):
-        toks = tokenize(sql)
-        sig = _sig(toks)
-        hit = None
-        for p, raw in enumerate(sig):
-            t = toks[raw]
-            if t.kind == "op" and t.text in ("/", "%") and p >= 1:
-                hit = p
-                break
-        if hit is None:
-            return sql
-        fn = "try_divide" if toks[sig[hit]].text == "/" else "try_mod"
-        lstart = _scan_arith_left(toks, sig, hit)
-        if lstart is None:
-            return sql  # malformed — leave loud
-        left = detokenize(toks[sig[lstart]:sig[hit - 1] + 1]).strip()
-        if hit + 1 >= len(sig):
-            return sql
-        rend_raw = _scan_right_primary(toks, sig, hit + 1)
-        if rend_raw is None:
-            return sql
-        right = detokenize(toks[sig[hit] + 1:rend_raw + 1]).strip()
-        sql = (detokenize(toks[:sig[lstart]])
-               + f"{fn}({left}, {right})"
-               + detokenize(toks[rend_raw + 1:]))
-    raise ValueError("null-safe division rewrite did not converge")
-
-
 _COLLATION_FNS = {
     "NOCASE": "lower({})",
     "NOACCENT": "strip_accents({})",
@@ -5685,7 +6163,8 @@ def _rewrite_collate(sql: str) -> str:
     return sql
 
 
-def _rewrite_null_safe_division(sql: str) -> str:
+def _rewrite_null_safe_division(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """DuckDB division/modulo by zero is NULL for EVERY numeric type
     [measured: 7/0, 7.0/0, 1.0::DOUBLE/0.0::DOUBLE, 7%0, 7.5%0 all
     NULL]; Spark ANSI throws DIVIDE_BY_ZERO/REMAINDER_BY_ZERO. Every
@@ -5696,7 +6175,15 @@ def _rewrite_null_safe_division(sql: str) -> str:
     rewrites, so engine EMISSIONS keep plain operators. Leftmost-first
     with re-scan: the emission contains no '/' or '%', so the loop
     converges; operand extraction mirrors the floordiv pass
-    (same-precedence chain on the left, one primary on the right)."""
+    (same-precedence chain on the left, one primary on the right).
+
+    r10: DuckDB's ``/`` result is DOUBLE whatever the numeric operands
+    [measured: typeof(1/3), DECIMAL(4,1)/DECIMAL(4,1), 1.5/2 all
+    DOUBLE]; Spark keeps DECIMAL when an operand is decimal — a schema
+    AND rendered-value divergence (0.333333 vs 0.3333333333333333).
+    When either operand is provably decimal (_expr_is_decimal), the
+    left operand is cast to DOUBLE so Spark's division promotes;
+    intervals and unprovable operands are untouched."""
     if "/" not in sql and "%" not in sql:
         return sql
     for _ in range(500):
@@ -5876,8 +6363,18 @@ def _rewrite_null_safe_division(sql: str) -> str:
             else:
                 break
         right = detokenize(toks[sig[hit] + 1:rend_raw + 1]).strip()
+        lhs = left
+        if (fn == "try_divide"
+                and (_expr_is_decimal(left, column_kinds)
+                     or _expr_is_decimal(right, column_kinds))
+                and not re.match(
+                    r"(?is)\s*(?:INTERVAL\b|make_(?:dt_|ym_)?"
+                    r"interval\s*\()", left)):
+            # interval ÷ decimal is a pinned over-acceptance — a DOUBLE
+            # cast on the interval side would turn it into a hard error
+            lhs = f"CAST(({left}) AS DOUBLE)"
         sql = (detokenize(toks[:sig[lstart]])
-               + f"{fn}({left}, {right})"
+               + f"{fn}({lhs}, {right})"
                + detokenize(toks[rend_raw + 1:]))
     raise ValueError("null-safe division rewrite did not converge")
 
@@ -8026,6 +8523,10 @@ def _rewrite_keywords(sql: str) -> str:
             # inner call of the duck-case sandwich — spelled indirectly
             # so the upper/lower rename doesn't re-enter the fixpoint
             t.text = t.text[6:-2]
+        elif t.text == "__decavg__":
+            # marker from the avg(DECIMAL)→DOUBLE cast wrap — spelled
+            # indirectly so the wrap doesn't re-enter its own emission
+            t.text = "avg"
         elif t.text == "__global_regexp_replace__":
             # marker from the 4-arg 'g' options form — kept distinct so
             # the first-match pass rewrites only bare DuckDB 3-arg calls
@@ -8784,6 +9285,103 @@ def _rewrite_struct_varchar_casts(sql: str) -> str:
     return sql
 
 
+_STR_TARGET_WORDS = ("STRING", "VARCHAR", "TEXT")
+
+
+class _PrimarySkip(Exception):
+    """Non-primary operand in an optional rewrite — skip, don't fail."""
+
+
+def _rewrite_double_varchar_casts(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """``CAST(double_expr AS VARCHAR)`` / ``double_expr::VARCHAR`` →
+    ``__duck_double_varchar__(x, x IS NULL)`` — DuckDB's scalar DOUBLE
+    render is shortest-round-trip ('1e+16', '1e-05', 'nan', 'inf');
+    Spark's CAST says '1.0E16'/'NaN'/'Infinity' [measured r10]. Only PROVABLY double sources rewrite
+    (_expr_is_double); the IS NULL companion argument disambiguates
+    NULL from NaN inside the Arrow float64 block. Runs after the call/
+    division rewrites so avg/try_divide emissions are visible."""
+    if not re.search(r"(?i)CAST\s*\(|::", sql):
+        return sql
+    for _ in range(50):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        done = True
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            # CAST( src AS VARCHAR ) / TRY_CAST — try_cast of a double
+            # to text never fails, so both route to the render UDF
+            if (t.kind == "ident"
+                    and t.text.upper() in ("CAST", "TRY_CAST")
+                    and p + 1 < len(sig)
+                    and toks[sig[p + 1]].text == "("):
+                try:
+                    close = _find_close(toks, sig[p + 1])
+                except ValueError:
+                    continue
+                # the last top-level AS inside the parens
+                d = 0
+                as_at = None
+                for q in range(p + 2, len(sig)):
+                    if sig[q] >= close:
+                        break
+                    tq = toks[sig[q]]
+                    if tq.text == "(":
+                        d += 1
+                    elif tq.text == ")":
+                        d -= 1
+                    elif (d == 0 and tq.kind == "ident"
+                            and tq.text.upper() == "AS"):
+                        as_at = q
+                if as_at is None:
+                    continue
+                tgt = [q for q in range(as_at + 1, len(sig))
+                       if sig[q] < close]
+                if (len(tgt) != 1
+                        or toks[sig[tgt[0]]].kind != "ident"
+                        or toks[sig[tgt[0]]].text.upper()
+                        not in _STR_TARGET_WORDS):
+                    continue
+                src = detokenize(
+                    toks[sig[p + 2]:sig[as_at - 1] + 1]).strip()
+                if not _expr_is_double(src, column_kinds):
+                    continue
+                sql = (detokenize(toks[:ti])
+                       + f"__duck_double_varchar__(({src}), "
+                       + f"({src}) IS NULL)"
+                       + detokenize(toks[close + 1:]))
+                done = False
+                break
+            # src :: VARCHAR postfix
+            if (t.text == ":" and p + 2 < len(sig)
+                    and toks[sig[p + 1]].text == ":"
+                    and sig[p + 1] == ti + 1
+                    and toks[sig[p + 2]].kind == "ident"
+                    and toks[sig[p + 2]].text.upper()
+                    in _STR_TARGET_WORDS and p >= 1):
+                def _skip():
+                    raise _PrimarySkip()
+                try:
+                    lstart = _primary_start_back(
+                        toks, sig, pos_of, p - 1, _skip)
+                except _PrimarySkip:
+                    continue
+                src = detokenize(
+                    toks[sig[lstart]:sig[p - 1] + 1]).strip()
+                if not _expr_is_double(src, column_kinds):
+                    continue
+                sql = (detokenize(toks[:sig[lstart]])
+                       + f"__duck_double_varchar__(({src}), "
+                       + f"({src}) IS NULL)"
+                       + detokenize(toks[sig[p + 2] + 1:]))
+                done = False
+                break
+        if done:
+            return sql
+    return sql
+
+
 def _rewrite_null_list_concat(sql: str) -> str:
     """``[…] || NULL`` / ``NULL || […]`` → NULL [measured: DuckDB list
     concat with a NULL side is NULL]. Spark's type unification rejects
@@ -8802,6 +9400,10 @@ def _rewrite_null_list_concat(sql: str) -> str:
     return sql
 
 
+_VOLATILE_FNS_RE = re.compile(
+    r"(?i)\b(?:random|uuid|gen_random_uuid|uuidv4|uuidv7)\s*\(")
+
+
 def substitute_select_alias(sql: str, name: str) -> str | None:
     """Inline the select-list alias ``name`` at its other references —
     DuckDB resolves select aliases in WHERE/HAVING (a real column wins
@@ -8809,59 +9411,125 @@ def substitute_select_alias(sql: str, name: str) -> str | None:
     Called by Engine.sql on an UNRESOLVED_COLUMN retry, so column
     precedence falls out naturally: when the name resolves as a column
     there is no error and no substitution. Returns the substituted
-    text, or None when no ``AS name`` select item exists."""
+    text, or None when no ``AS name`` select item exists.
+
+    r10 (ADVICE): substitution is SCOPED — each ``AS name`` definition
+    inlines only references inside its own SELECT's paren group, and
+    never inside a nested ``(SELECT …)`` subquery within it (DuckDB
+    errors when an outer clause names an inner subquery's alias; the
+    unscoped version silently inlined across). Volatile expressions
+    (random/uuid) refuse entirely — a second evaluation would be a
+    second independent draw."""
     toks = tokenize(sql)
     sig = _sig(toks)
-    depths = _depths(toks)
     target = name.lower()
-    # find `AS name`
-    def_pos = None
-    for p in range(1, len(sig)):
-        t = toks[sig[p]]
-        if (t.kind in ("ident", "bqid")
-                and t.text.strip("`").lower() == target
-                and toks[sig[p - 1]].kind == "ident"
-                and toks[sig[p - 1]].text.upper() == "AS"):
-            def_pos = p
-            break
-    if def_pos is None:
+    # every `AS name` definition position
+    def_positions = [
+        p for p in range(1, len(sig))
+        if (toks[sig[p]].kind in ("ident", "bqid")
+            and toks[sig[p]].text.strip("`").lower() == target
+            and toks[sig[p - 1]].kind == "ident"
+            and toks[sig[p - 1]].text.upper() == "AS")]
+    if not def_positions:
         return None
-    d0 = depths[sig[def_pos]]
-    # the aliased expression: back from AS to the previous depth-d0
-    # comma / SELECT / DISTINCT
-    start = None
-    for q in range(def_pos - 2, -1, -1):
-        tq = toks[sig[q]]
-        if depths[sig[q]] < d0:
-            start = q + 1
-            break
-        if depths[sig[q]] == d0 and (
-                tq.text == "," or (tq.kind == "ident"
-                                   and tq.text.upper() in ("SELECT",
-                                                           "DISTINCT"))):
-            start = q + 1
-            break
-    if start is None:
-        start = 0
-    expr = detokenize(toks[sig[start]:sig[def_pos - 1]]).strip()
-    if not expr:
-        return None
-    # substitute every OTHER bare reference
+    depths = _depths(toks)
     changed = False
-    for p, ti in enumerate(sig):
-        t = toks[ti]
-        if (p == def_pos or t.kind not in ("ident", "bqid")
-                or t.text.strip("`").lower() != target):
+    for def_pos in def_positions:
+        d0 = depths[sig[def_pos]]
+        # the aliased expression: back from AS to the previous
+        # depth-d0 comma / SELECT / DISTINCT
+        start = None
+        for q in range(def_pos - 2, -1, -1):
+            tq = toks[sig[q]]
+            if depths[sig[q]] < d0:
+                start = q + 1
+                break
+            if depths[sig[q]] == d0 and (
+                    tq.text == "," or (tq.kind == "ident"
+                                       and tq.text.upper()
+                                       in ("SELECT", "DISTINCT"))):
+                start = q + 1
+                break
+        if start is None:
+            start = 0
+        expr = detokenize(toks[sig[start]:sig[def_pos - 1]]).strip()
+        if not expr:
             continue
-        if p > 0 and toks[sig[p - 1]].text in (".", ":"):
-            continue  # qualified or struct-key position
-        if p > 0 and toks[sig[p - 1]].kind == "ident" \
-                and toks[sig[p - 1]].text.upper() == "AS":
-            continue  # defines some other alias of the same name
-        if p + 1 < len(sig) and toks[sig[p + 1]].text == "(":
-            continue  # function call
-        toks[ti] = Tok("ident", f"({expr})")
-        changed = True
+        if _VOLATILE_FNS_RE.search(expr):
+            continue  # volatile alias: refuse, keep the error loud
+        # scope = the innermost paren group enclosing the definition
+        lo, hi = 0, len(toks) - 1
+        stack: list[int] = []
+        for k in range(sig[def_pos] + 1):
+            if toks[k].text == "(":
+                stack.append(k)
+            elif toks[k].text == ")":
+                if stack:
+                    stack.pop()
+        if stack:
+            lo = stack[-1]
+            try:
+                hi = _find_close(toks, lo)
+            except ValueError:
+                hi = len(toks) - 1
+        # …further bounded by the def's own SELECT segment: set-
+        # operation branches at the same depth are separate scopes
+        # (each UNION arm resolves only its own aliases)
+        for q in range(def_pos - 1, -1, -1):
+            ti_q = sig[q]
+            if ti_q <= lo:
+                break
+            tq = toks[ti_q]
+            if (depths[ti_q] == d0 and tq.kind == "ident"
+                    and tq.text.upper() == "SELECT"):
+                lo = max(lo, ti_q)
+                break
+        for q in range(def_pos + 1, len(sig)):
+            ti_q = sig[q]
+            if ti_q >= hi:
+                break
+            tq = toks[ti_q]
+            if (depths[ti_q] == d0 and tq.kind == "ident"
+                    and tq.text.upper() in ("UNION", "INTERSECT",
+                                            "EXCEPT", "SELECT")):
+                hi = min(hi, ti_q)
+                break
+        # nested (SELECT …) groups inside the scope are other scopes
+        excluded: list[tuple[int, int]] = []
+        k = lo + 1
+        while k < hi:
+            if toks[k].text == "(":
+                try:
+                    close = _find_close(toks, k)
+                except ValueError:
+                    break
+                inner = next((toks[j] for j in range(k + 1, close)
+                              if toks[j].kind not in ("ws", "comment")),
+                             None)
+                if (inner is not None and inner.kind == "ident"
+                        and inner.text.upper() == "SELECT"):
+                    excluded.append((k, close))
+                    k = close + 1
+                    continue
+            k += 1
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (p == def_pos or t.kind not in ("ident", "bqid")
+                    or t.text.strip("`").lower() != target):
+                continue
+            if ti < lo or ti > hi:
+                continue  # other scope
+            if any(s < ti < e for s, e in excluded):
+                continue  # inside a nested subquery scope
+            if p > 0 and toks[sig[p - 1]].text in (".", ":"):
+                continue  # qualified or struct-key position
+            if p > 0 and toks[sig[p - 1]].kind == "ident" \
+                    and toks[sig[p - 1]].text.upper() == "AS":
+                continue  # defines some other alias of the same name
+            if p + 1 < len(sig) and toks[sig[p + 1]].text == "(":
+                continue  # function call
+            toks[ti] = Tok("ident", f"({expr})")
+            changed = True
     return detokenize(toks) if changed else None
 
 
@@ -9227,6 +9895,91 @@ def _rewrite_scalar_subquery_first_row(sql: str) -> str:
     return detokenize(toks) if changed else sql
 
 
+_ORDER_LIST_TERMINATORS = frozenset({
+    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
+})
+
+
+def _inject_order_by_nulls(sql: str) -> str:
+    """Append NULLS LAST to every bare-ASC sort key under the duckdb
+    dialect. DuckDB 1.0's default_null_order is NULLS LAST for BOTH
+    directions [measured: ORDER BY x over (1,NULL,2) → 1,2,NULL; DESC →
+    2,1,NULL; window row_number() OVER (ORDER BY x) numbers the NULL row
+    last; ORDER BY ALL → 1,2,NULL]. Spark defaults ASC keys to NULLS
+    FIRST — a silent row-order wrong answer on completely ordinary SQL.
+    DESC keys already agree (both engines place NULLS LAST) and are left
+    alone, as is any key with an explicit NULLS FIRST/LAST.
+
+    Runs LAST in the to_spark_sql pipeline, on the final Spark text, so
+    it also covers the ORDER BYs emitted by earlier rewrites from user
+    sort keys (DISTINCT ON, QUALIFY, scalar-subquery LIMIT 1 — those
+    keys evaluate under DuckDB's defaults too) and never sees in-call
+    aggregate ORDER BY modifiers (consumed by _rewrite_calls). Spark
+    accepts NULLS LAST after ordinals and after ALL [measured:
+    ORDER BY 1 NULLS LAST / ORDER BY ALL NULLS LAST both run]. A key
+    list ends at a same-depth LIMIT/OFFSET/FETCH, a window frame
+    (ROWS/RANGE/GROUPS), a closing paren, or ';'."""
+    if not re.search(r"(?i)\bORDER\b", sql):
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    depths = _depths(toks)
+    # token index → insert " NULLS LAST" after it
+    inserts: set[int] = set()
+    for p, ti in enumerate(sig):
+        t = toks[ti]
+        if t.kind != "ident" or t.text.upper() != "ORDER":
+            continue
+        if p + 2 >= len(sig):
+            continue
+        nxt = toks[sig[p + 1]]
+        if nxt.kind != "ident" or nxt.text.upper() != "BY":
+            continue
+        base = depths[ti]
+        key_toks: list[int] = []  # token idxs of sig tokens in this key
+        q = p + 2
+
+        def _flush() -> None:
+            if not key_toks:
+                return
+            last = toks[key_toks[-1]]
+            lu = last.text.upper() if last.kind == "ident" else last.text
+            if lu in ("FIRST", "LAST") and len(key_toks) >= 2:
+                prev = toks[key_toks[-2]]
+                if prev.kind == "ident" and prev.text.upper() == "NULLS":
+                    return
+            if lu == "DESC":
+                return
+            inserts.add(key_toks[-1])
+
+        while q < len(sig):
+            ki = sig[q]
+            kt = toks[ki]
+            kd = depths[ki]
+            if kd < base or kt.text == ";":
+                break
+            if kd == base:
+                if kt.text == ",":
+                    _flush()
+                    key_toks = []
+                    q += 1
+                    continue
+                if (kt.kind == "ident"
+                        and kt.text.upper() in _ORDER_LIST_TERMINATORS):
+                    break
+            key_toks.append(ki)
+            q += 1
+        _flush()
+    if not inserts:
+        return sql
+    out: list[str] = []
+    for i, t in enumerate(toks):
+        out.append(t.text)
+        if i in inserts:
+            out.append(" NULLS LAST")
+    return "".join(out)
+
+
 def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL.
 
@@ -9260,9 +10013,10 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_power_operator(sql)
     sql = _fold_time_literals(sql)
     sql = _rewrite_interval_forms(sql)
+    sql = _rewrite_date_interval_arith(sql, column_kinds)
     sql = _rewrite_floordiv_operator(sql)
     sql = _rewrite_pg_operator_spellings(sql, column_kinds)
-    sql = _rewrite_null_safe_division(sql)
+    sql = _rewrite_null_safe_division(sql, column_kinds)
     sql = _rewrite_collate(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
@@ -9281,5 +10035,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_null_list_concat(sql)
     sql = _rewrite_struct_varchar_casts(sql)
+    sql = _rewrite_double_varchar_casts(sql, column_kinds)
     sql = _rewrite_keywords(sql)
+    sql = _inject_order_by_nulls(sql)
     return sql

@@ -2253,26 +2253,40 @@ class Engine:
         other relations refuse loudly."""
         if not re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", query):
             return query
-        from .operators.positional import positional_join
+        from .operators.positional import positional_join_chain
 
         def one(m: "re.Match[str]") -> str:
-            a, b = m.group(1), m.group(2)
-            pa = self._table_paths.get(a)
-            pb = self._table_paths.get(b)
-            if pa is None or pb is None:
-                raise NotImplementedError(
-                    "POSITIONAL JOIN needs parquet-backed registered "
-                    f"tables (got {a!r}, {b!r}) — row positions derive "
-                    "from parquet footers")
-            df = positional_join(self.spark, pa, pb)
-            view = f"__posjoin_{a}_{b}__"
+            # the WHOLE chain matches at once (ADVICE r9: the pairwise
+            # form consumed the left ident, leaving 'POSITIONAL JOIN c'
+            # verbatim — Spark parsed POSITIONAL as an alias and
+            # silently cross-joined)
+            names = [m.group(1)] + re.findall(
+                r"(?i)POSITIONAL\s+JOIN\s+([A-Za-z_]\w*)", m.group(2))
+            paths = []
+            for n in names:
+                p = self._table_paths.get(n)
+                if p is None:
+                    raise NotImplementedError(
+                        "POSITIONAL JOIN needs parquet-backed "
+                        f"registered tables (got {n!r}) — row "
+                        "positions derive from parquet footers")
+                paths.append(p)
+            df = positional_join_chain(self.spark, paths)
+            view = "__posjoin_" + "_".join(names) + "__"
             df.createOrReplaceTempView(view)
             self._bump_registration_epoch(view)
             return view
 
-        return re.sub(
-            r"(?i)\b([A-Za-z_]\w*)\s+POSITIONAL\s+JOIN\s+([A-Za-z_]\w*)",
+        query = re.sub(
+            r"(?i)\b([A-Za-z_]\w*)"
+            r"((?:\s+POSITIONAL\s+JOIN\s+[A-Za-z_]\w*)+)",
             one, query)
+        if re.search(r"(?i)\bPOSITIONAL\s+JOIN\b", query):
+            raise NotImplementedError(
+                "POSITIONAL JOIN operand is not a plain registered "
+                "table name — parenthesized/subquery operands are not "
+                "supported (a pass-through would silently cross-join)")
+        return query
 
     def _rewrite_columns_expr(self, query: str) -> str:
         """DuckDB ``COLUMNS('regex')`` star expressions: each select-list

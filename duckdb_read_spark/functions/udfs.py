@@ -823,6 +823,39 @@ def _make_grapheme_udfs():
             "substring_grapheme": substring_grapheme_udf}
 
 
+def _make_duck_double_varchar_udf():
+    """Scalar DOUBLE → VARCHAR, DuckDB style [measured r10]: DuckDB's
+    shortest-round-trip render matches Python repr() digit for digit —
+    '1e+16' (Spark: '1.0E16'), '1000000000000000.0' below 1e16,
+    '1e-05' under 1e-4, 'nan'/'inf'/'-inf' (Spark: 'NaN'/'Infinity'),
+    '-0.0' for runtime negative zero. NULL and NaN are
+    indistinguishable in a float64 pandas block, so the dialect passes
+    ``x IS NULL`` as a second argument (Spark's IS NULL is false for
+    NaN)."""
+    import math as _math
+
+    from pyspark.sql.types import StringType
+
+    def one(v: float, isnull: bool) -> str | None:
+        if isnull:
+            return None
+        if _math.isnan(v):
+            return "nan"
+        # repr matches DuckDB digit-for-digit, incl. '-0.0' for a real
+        # runtime negative zero [measured r10: -0.0::DOUBLE → '-0.0';
+        # only the DECIMAL literal -0.0 loses its sign BEFORE the cast]
+        return repr(v)
+
+    @F.pandas_udf(StringType())
+    def duck_double_varchar_udf(s: pd.Series,
+                                isnull: pd.Series) -> pd.Series:
+        return pd.Series(
+            [one(float(v) if v is not None else 0.0, bool(n))
+             for v, n in zip(s, isnull)], dtype=object)
+
+    return {"__duck_double_varchar__": duck_double_varchar_udf}
+
+
 def _make_duck_typename_udf():
     """Spark typeof() output → DuckDB type spelling [measured r9:
     typeof(1)='INTEGER', typeof('x')='VARCHAR', typeof([1])=
@@ -1043,6 +1076,7 @@ def register_fuzzy_udfs(spark) -> dict:
            "age": _make_age_udf(), **_make_unicode_udfs(),
            **_make_regexp_escape_udf(),
            **_make_duck_varchar_udf(),
+           **_make_duck_double_varchar_udf(),
            **_make_duck_typename_udf(),
            **_make_grapheme_udfs(),
            **_make_math_udfs()}

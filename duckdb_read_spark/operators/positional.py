@@ -85,11 +85,25 @@ def positional_join(spark: SparkSession, left_path: str, right_path: str,
     ``pos_col`` optionally keeps the position column in the output
     (DuckDB drops it; hash-checked queries keep it for a total order).
     """
+    return positional_join_chain(spark, [left_path, right_path],
+                                 pos_col)
+
+
+def positional_join_chain(spark: SparkSession, paths: list[str],
+                          pos_col: str | None = None) -> DataFrame:
+    """``t1 POSITIONAL JOIN t2 POSITIONAL JOIN t3 …`` folded left to
+    right — each step pads to the LONGER side (full outer on the
+    position), so the chain's row count is the max input length, like
+    DuckDB's chained form [measured 1.0.0]. Still zero shuffles for
+    the position derivation; the N-1 equi-joins share the one position
+    key (ADVICE r9: the pairwise rewrite left 'POSITIONAL JOIN c'
+    verbatim in chains, which Spark silently CROSS-joined)."""
     keep = pos_col is not None
     pc = pos_col or "__pj_pos"
-    lf = with_row_position(spark, left_path, pc)
-    rf = with_row_position(spark, right_path, pc)
-    out = lf.join(rf, pc, "full")
-    cols = ([pc] if keep else []) + [c for c in lf.columns if c != pc] \
-        + [c for c in rf.columns if c != pc]
-    return out.select(*cols)
+    out = with_row_position(spark, paths[0], pc)
+    cols = [c for c in out.columns if c != pc]
+    for p in paths[1:]:
+        nxt = with_row_position(spark, p, pc)
+        out = out.join(nxt, pc, "full")
+        cols += [c for c in nxt.columns if c != pc]
+    return out.select(*(([pc] if keep else []) + cols))

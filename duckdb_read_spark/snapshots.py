@@ -611,6 +611,14 @@ def clone(
                 src_dir, version, as_of_ms)
         else:
             _, fmap = deltalog.delta_snapshot(src_dir, version)
+            if deltalog.column_mapping_mode(
+                    deltalog._meta_at(src_dir, version)) != "none":
+                raise NotImplementedError(
+                    "CLONE of a Delta columnMapping table is not "
+                    "supported: the data files carry PHYSICAL "
+                    "col-<uuid> names and a file-reference clone has "
+                    "no metaData to project them back — read it via "
+                    "register/ATTACH instead")
             if deltalog.live_deletion_vectors(fmap):
                 raise NotImplementedError(
                     "CLONE of a Delta table with live deletion vectors "

@@ -252,19 +252,19 @@ def test_checkpoint_replay_after_json_cleanup(eng, spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(eng, spark, tmp_path):
-    """Column mapping read naively would return wrong columns — the
+    """v2Checkpoint read naively would miss checkpointed state — the
     reader must refuse. (deletionVectors moved OUT of this guard when
-    the DV read path landed; a DV-feature protocol alone must now be
-    readable.)"""
+    the DV read path landed; columnMapping moved out in r10 when the
+    physical→logical projection landed.)"""
     d = str(tmp_path / "tdv")
     eng.write_versioned(spark.range(5).coalesce(1), d)
     v = deltalog._list_versions(d)[-1] + 1
     with open(deltalog._delta_path(d, v), "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["columnMapping"],
-            "writerFeatures": ["columnMapping"]}}) + "\n")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         deltalog.delta_snapshot(d)
     # deletionVectors feature alone no longer refuses
     d2 = str(tmp_path / "tdv2")
@@ -602,3 +602,219 @@ def test_dv_path_with_space_still_applies(spark, tmp_path):
     _write_foreign_dv_table(spark, d)
     got = {r.k for r in deltalog.read_delta_table(spark, d).collect()}
     assert got == ({0, 2, 4, 5, 6, 8, 9} | {101, 102, 103, 104})
+
+
+# ---------------------------------------------------------------- r10:
+# columnMapping read (the r9 verdict's "most common still-refused
+# interop feature") — fixtures hand-built to the spec: parquet files
+# carry PHYSICAL col-<uuid> names, the metaData schema carries
+# delta.columnMapping.physicalName per field, partitionValues keys and
+# hive path segments speak physical names too.
+
+_CM = "delta.columnMapping.physicalName"
+_CMID = "delta.columnMapping.id"
+
+
+def _cm_field(name, typ, phys, fid, nullable=True):
+    return {"name": name, "type": typ, "nullable": nullable,
+            "metadata": {_CMID: fid, _CM: phys}}
+
+
+def _write_cm_table(spark, d, mode="name"):
+    """v0: columns (k → col-aaa, v → col-bbb); v1: appends a file;
+    v2: RENAME COLUMN v TO val (metaData-only — same files)."""
+    import json as _json
+
+    os.makedirs(d)
+    f1 = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "`col-aaa` long, `col-bbb` double")
+    f1.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "p1"))
+    f2 = spark.createDataFrame(
+        [(3, 4.0)], "`col-aaa` long, `col-bbb` double")
+    f2.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "p2"))
+
+    def one_parquet(sub):
+        full = os.path.join(d, sub)
+        return [f"{sub}/{f}" for f in os.listdir(full)
+                if f.endswith(".parquet")]
+
+    def meta(schema):
+        return {"metaData": {
+            "id": "cmt", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 0}}
+
+    schema_v0 = {"type": "struct", "fields": [
+        _cm_field("k", "long", "col-aaa", 1),
+        _cm_field("v", "double", "col-bbb", 2)]}
+    schema_v2 = {"type": "struct", "fields": [
+        _cm_field("k", "long", "col-aaa", 1),
+        _cm_field("val", "double", "col-bbb", 2)]}
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    proto = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping"]}}
+    commits = [
+        [proto, meta(schema_v0)] + [
+            {"add": {"path": p, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}
+            for p in one_parquet("p1")],
+        [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}
+         for p in one_parquet("p2")],
+        [meta(schema_v2)],
+    ]
+    import json as _json2
+    for v, acts in enumerate(commits):
+        with open(os.path.join(ddir, f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(_json2.dumps(a) for a in acts) + "\n")
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_column_mapping_read(spark, tmp_path, mode):
+    """Physical col-<uuid> parquet names project to logical names in
+    declared order; both 'name' and 'id' modes (delta-spark writes
+    physical names in both)."""
+    d = str(tmp_path / f"cm_{mode}")
+    _write_cm_table(spark, d, mode=mode)
+    df = deltalog.read_delta_table(spark, d)
+    assert df.columns == ["k", "val"]
+    got = sorted((r.k, r.val) for r in df.collect())
+    assert got == [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)]
+
+
+def test_column_mapping_time_travel_rename(spark, tmp_path):
+    """Time travel across a RENAME COLUMN: the metaData AS OF the
+    version drives the logical names — the same files read back under
+    the OLD name at the old version."""
+    d = str(tmp_path / "cmtt")
+    _write_cm_table(spark, d)
+    old = deltalog.read_delta_table(spark, d, version=2)
+    assert old.columns == ["k", "v"]
+    assert sorted(r.k for r in old.collect()) == [0, 1, 2, 3]
+    v1 = deltalog.read_delta_table(spark, d, version=1)
+    assert sorted(r.v for r in v1.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_column_mapping_hive_partitioned(spark, tmp_path):
+    """Hive layout under mapping: path segments and partitionValues
+    keys are PHYSICAL; the logical view restores names and the
+    partition predicate still prunes."""
+    import json as _json
+
+    d = str(tmp_path / "cmp")
+    os.makedirs(d)
+    adds = []
+    for p in (1, 2):
+        sub = f"col-ppp={p}"
+        full = os.path.join(d, sub)
+        spark.createDataFrame(
+            [(p * 10 + i,) for i in range(3)], "`col-aaa` long"
+        ).coalesce(1).write.mode("overwrite").parquet(full)
+        for f in os.listdir(full):
+            if f.endswith(".parquet"):
+                adds.append({"add": {
+                    "path": f"{sub}/{f}",
+                    "partitionValues": {"col-ppp": str(p)},
+                    "size": 1, "modificationTime": 0,
+                    "dataChange": True}})
+    schema = {"type": "struct", "fields": [
+        _cm_field("id", "long", "col-aaa", 1),
+        _cm_field("p", "integer", "col-ppp", 2)]}
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmp", "format": {"provider": "parquet",
+                                    "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}},
+    ] + adds
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    df = deltalog.read_delta_table(spark, d)
+    assert df.columns == ["id", "p"]
+    assert dict(df.dtypes)["p"] == "int"
+    got = {(r.id, r.p) for r in df.collect()}
+    assert got == {(10, 1), (11, 1), (12, 1), (20, 2), (21, 2), (22, 2)}
+    assert {r.id for r in df.filter("p = 2").collect()} == {20, 21, 22}
+
+
+def test_column_mapping_nested_struct(spark, tmp_path):
+    """Nested struct fields are mapped too — the projection rebuilds
+    structs recursively and keeps NULL structs NULL."""
+    import json as _json
+
+    d = str(tmp_path / "cmn")
+    os.makedirs(d)
+    rows = [(0, (1.5, "a")), (1, (2.5, "b")), (2, None)]
+    spark.createDataFrame(
+        rows,
+        "`col-aaa` long, `col-sss` struct<`col-xxx`: double, "
+        "`col-yyy`: string>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "p1"))
+    inner = {"type": "struct", "fields": [
+        _cm_field("x", "double", "col-xxx", 3),
+        _cm_field("y", "string", "col-yyy", 4)]}
+    schema = {"type": "struct", "fields": [
+        _cm_field("k", "long", "col-aaa", 1),
+        _cm_field("s", inner, "col-sss", 2)]}
+    ddir = os.path.join(d, "_delta_log")
+    os.makedirs(ddir)
+    adds = [{"add": {"path": f"p1/{f}", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}}
+            for f in os.listdir(os.path.join(d, "p1"))
+            if f.endswith(".parquet")]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmn", "format": {"provider": "parquet",
+                                    "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}},
+    ] + adds
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+    df = deltalog.read_delta_table(spark, d)
+    assert df.columns == ["k", "s"]
+    assert df.schema["s"].dataType.fieldNames() == ["x", "y"]
+    got = {(r.k, None if r.s is None else (r.s.x, r.s.y))
+           for r in df.collect()}
+    assert got == {(0, (1.5, "a")), (1, (2.5, "b")), (2, None)}
+
+
+def test_column_mapping_clone_refuses(eng, spark, tmp_path):
+    """A file-reference CLONE of a mapping table would expose physical
+    col-<uuid> names — refuse loudly."""
+    d = str(tmp_path / "cmc")
+    _write_cm_table(spark, d)
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        snapshots.clone(d, str(tmp_path / "cmc_clone"))
+
+
+def test_column_mapping_v2checkpoint_still_refuses(spark, tmp_path):
+    """The protocol guard keeps refusing v2Checkpoint even on a
+    columnMapping table (the r10 support is for mapping alone)."""
+    import json as _json
+
+    d = str(tmp_path / "cmv2")
+    _write_cm_table(spark, d)
+    v = deltalog._list_versions(d)[-1] + 1
+    with open(deltalog._delta_path(d, v), "w") as f:
+        f.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "v2Checkpoint"],
+            "writerFeatures": ["columnMapping", "v2Checkpoint"]}})
+            + "\n")
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        deltalog.read_delta_table(spark, d)

@@ -70,7 +70,9 @@ def test_window_clause_inlined():
     out = to_spark_sql(
         "SELECT LAG(x) OVER w FROM t WINDOW w AS (PARTITION BY k ORDER BY ts)"
     )
-    assert "OVER (PARTITION BY k ORDER BY ts)" in out and "WINDOW" not in out
+    # r10: bare ASC window keys pick up DuckDB's NULLS LAST default
+    assert ("OVER (PARTITION BY k ORDER BY ts NULLS LAST)" in out
+            and "WINDOW" not in out)
 
 
 def test_string_literal_untouched():
@@ -112,7 +114,8 @@ def test_multi_window_clause():
         "SELECT sum(x) OVER w1, avg(x) OVER w2 FROM t "
         "WINDOW w1 AS (PARTITION BY k), w2 AS (ORDER BY ts)"
     )
-    assert "OVER (PARTITION BY k)" in out and "OVER (ORDER BY ts)" in out
+    assert ("OVER (PARTITION BY k)" in out
+            and "OVER (ORDER BY ts NULLS LAST)" in out)
     assert "WINDOW" not in out and "w2 AS" not in out
 
 
@@ -160,7 +163,8 @@ def test_qualify_rewrite_alias_and_inline():
         "FROM t QUALIFY rn <= 2 ORDER BY id"
     )
     assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
-    assert "EXCEPT (__qualify)" in out and out.rstrip().endswith("ORDER BY id")
+    assert ("EXCEPT (__qualify)" in out
+            and out.rstrip().endswith("ORDER BY id NULLS LAST"))
     out = to_spark_sql(
         "SELECT id FROM t QUALIFY row_number() OVER (ORDER BY id) <= 3"
     )
@@ -174,7 +178,7 @@ def test_qualify_rewrite_in_subquery():
     )
     assert "QUALIFY " not in out
     # the wrap stays inside the subquery parens
-    assert out.rstrip().endswith("ORDER BY id")
+    assert out.rstrip().endswith("ORDER BY id NULLS LAST")
 
 
 def test_qualify_distinct_raises():
@@ -353,14 +357,19 @@ def test_time_bucket_rewrite():
 def test_agg_distinct_filter_rewrites():
     # r7: array_agg struct-wraps to keep NULL elements (DuckDB keeps
     # them, collect_list/collect_set drop them) with NULLS-LAST order
+    # r10: the empty-aggregate → NULL guard is UNCONDITIONAL (measured:
+    # array_agg/string_agg over WHERE false → NULL, not []/'')
     out = to_spark_sql("SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
-    assert out == ("SELECT transform(sort_array(collect_set(struct("
-                   "(x) IS NULL AS __n, x AS __k, x AS __v))), "
-                   "__s -> __s.__v) FROM t")
+    agg0 = ("collect_set(struct((x) IS NULL AS __n, x AS __k, "
+            "x AS __v))")
+    assert out == (f"SELECT (CASE WHEN size({agg0}) = 0 THEN NULL ELSE "
+                   f"transform(sort_array({agg0}), __s -> __s.__v) "
+                   f"END) FROM t")
     out = to_spark_sql(
         "SELECT string_agg(DISTINCT x, ',' ORDER BY x DESC) FROM t")
-    assert out == ("SELECT array_join(sort_array(collect_set(x), false), "
-                   "',') FROM t")
+    assert out == ("SELECT (CASE WHEN size(collect_set(x)) = 0 THEN "
+                   "NULL ELSE array_join(sort_array(collect_set(x), "
+                   "false), ',') END) FROM t")
     # FILTER moves inside the rewritten aggregate; an all-filtered group
     # is NULL in DuckDB, not [] (fuzz seed 266)
     out = to_spark_sql(
@@ -374,11 +383,13 @@ def test_agg_distinct_filter_rewrites():
     # plain array_agg keeps NULLs in input order; window form attaches
     # OVER to the inner collect, not the transform wrapper
     out = to_spark_sql("SELECT array_agg(x) FROM t")
-    assert out == ("SELECT transform(collect_list(struct(x AS __v)), "
-                   "__s -> __s.__v) FROM t")
+    agg1 = "collect_list(struct(x AS __v))"
+    assert out == (f"SELECT (CASE WHEN size({agg1}) = 0 THEN NULL ELSE "
+                   f"transform({agg1}, __s -> __s.__v) END) FROM t")
     out = to_spark_sql("SELECT array_agg(x) OVER (PARTITION BY g) FROM t")
-    assert out == ("SELECT transform(collect_list(struct(x AS __v)) "
-                   "OVER (PARTITION BY g), __s -> __s.__v) FROM t")
+    agg2 = "collect_list(struct(x AS __v)) OVER (PARTITION BY g)"
+    assert out == (f"SELECT (CASE WHEN size({agg2}) = 0 THEN NULL ELSE "
+                   f"transform({agg2}, __s -> __s.__v) END) FROM t")
 
 
 def test_json_function_rewrites():
@@ -413,11 +424,11 @@ def test_window_exclude_and_any_value_rewrites():
     assert "- coalesce(y, 0)" in out and "CASE WHEN" in out
     out = to_spark_sql(
         "SELECT count(*) OVER (ORDER BY x EXCLUDE CURRENT ROW) FROM t")
-    assert out == "SELECT (count(*) OVER (ORDER BY x) - 1) FROM t"
+    assert out == "SELECT (count(*) OVER (ORDER BY x NULLS LAST) - 1) FROM t"
     # the default exclusion is just stripped
     out = to_spark_sql(
         "SELECT sum(y) OVER (ORDER BY x EXCLUDE NO OTHERS) FROM t")
-    assert out == "SELECT sum(y) OVER (ORDER BY x) FROM t"
+    assert out == "SELECT sum(y) OVER (ORDER BY x NULLS LAST) FROM t"
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="EXCLUDE"):
         to_spark_sql("SELECT min(y) OVER (ORDER BY x "
@@ -601,8 +612,10 @@ def test_distinct_on_rewrite():
         "SELECT DISTINCT ON (k) k, v, ts FROM t ORDER BY k, ts DESC"
     )
     assert "DISTINCT ON" not in out.upper()
-    assert "row_number() OVER (PARTITION BY k ORDER BY k, ts DESC)" in out
-    assert "__don_rn = 1" in out and out.rstrip().endswith("ORDER BY k, ts DESC")
+    assert ("row_number() OVER (PARTITION BY k ORDER BY k NULLS LAST, "
+            "ts DESC)" in out)
+    assert "__don_rn = 1" in out and out.rstrip().endswith(
+        "ORDER BY k NULLS LAST, ts DESC")
     # no ORDER BY → arbitrary-but-valid (window ordered by the keys)
     out = to_spark_sql("SELECT DISTINCT ON (k) k, v FROM t")
     assert "PARTITION BY k ORDER BY k" in out
@@ -664,7 +677,7 @@ def test_asof_join_directions_and_tolerance():
     out = to_spark_sql(
         "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts <= b.ts"
     )
-    assert "ORDER BY b.ts ASC LIMIT 1" in out
+    assert "ORDER BY b.ts ASC NULLS LAST LIMIT 1" in out
     # right side on the left of the inequality, strict
     out = to_spark_sql(
         "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.ts < a.ts"

@@ -1,0 +1,313 @@
+"""Judge-probe cross-engine gate (round 10).
+
+The r9 verdict's 84 fresh differential probes found six NEW silent
+divergences on undeclared-but-ordinary SQL. This file commits the
+probes (and the fixes' edge cases) as a permanent gate — every case is
+identical text executed in both engines:
+
+Fixed here (dialect.py / functions/udfs.py r10):
+  1. Bare ASC ORDER BY keys: DuckDB defaults NULLS LAST in BOTH
+     directions; Spark's ASC default is NULLS FIRST (statement, window,
+     ORDER BY ALL, ordinal, LIMIT'd forms).
+  2. EMPTY array_agg/string_agg/list → NULL (WHERE false, zero-row
+     relation, fully-FILTERed group) — not []/''.
+  3. avg() is DOUBLE for every input; DECIMAL '/' is DOUBLE division.
+  4. Scalar DOUBLE→VARCHAR renders shortest-round-trip ('1e+16',
+     '1e-05', 'nan', 'inf') via __duck_double_varchar__.
+  5. DATE ± INTERVAL is TIMESTAMP (any interval class, either + order);
+     mixed year-month + day-time interval literals fold to
+     make_interval.
+
+Documented divergences are pinned at the bottom so a behavior change
+in either engine shows up as a test failure, not a silent drift.
+"""
+
+from __future__ import annotations
+
+import duckdb as _duckdb
+import pytest
+
+from duckdb_read_spark.oracle import diff_summary, duckdb_rows, spark_rows
+
+
+def _check(engine, duck, q):
+    got = spark_rows(engine.sql(q, dialect="duckdb"))
+    want = duckdb_rows(duck, q)
+    assert got == want, q + "\n" + diff_summary(got, want)
+
+
+# ---------------------------------------------------------------- 1
+def test_bare_order_by_nulls_last(engine, duck):
+    """DuckDB's default_null_order is NULLS LAST for ASC and DESC
+    [measured: (1,NULL,2) ORDER BY x → 1,2,NULL]; Spark ASC defaults
+    NULLS FIRST — the r9 verdict's headline silent row-order wrong
+    answer."""
+    for q in (
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x",
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x ASC",
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x DESC",
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY ALL",
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY 1",
+        "SELECT x FROM (VALUES (1),(NULL),(2),(NULL)) t(x) "
+        "ORDER BY x LIMIT 3",
+        "SELECT x FROM (VALUES (1),(NULL),(2),(NULL)) t(x) "
+        "ORDER BY x LIMIT 2 OFFSET 1",
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY -x",
+        "SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x % 2, x",
+        "SELECT s FROM (VALUES ('b'),(NULL),('a')) t(s) ORDER BY s",
+        "SELECT x FROM (VALUES (1.5),(NULL),(0.5)) t(x) ORDER BY x",
+    ):
+        _check(engine, duck, q)
+
+
+def test_multi_key_order_by_mixed_nulls(engine, duck):
+    """Multi-column keys with NULLs in several positions, mixed
+    explicit/bare directions [measured]."""
+    rows = "(VALUES (1,NULL),(NULL,2),(1,1),(2,NULL)) t(x,y)"
+    for q in (
+        f"SELECT x, y FROM {rows} ORDER BY x, y",
+        f"SELECT x, y FROM {rows} ORDER BY x DESC, y",
+        f"SELECT x, y FROM {rows} ORDER BY x NULLS FIRST, y DESC",
+        f"SELECT x, y FROM {rows} ORDER BY x ASC, y ASC",
+    ):
+        _check(engine, duck, q)
+
+
+def test_window_order_by_nulls_last(engine, duck):
+    """Window ORDER BY has the same NULLS LAST default [measured:
+    row_number numbers the NULL row last] — including inside RANGE /
+    ROWS frames and PARTITION BY forms."""
+    for q in (
+        "SELECT x, row_number() OVER (ORDER BY x) rn "
+        "FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY rn",
+        "SELECT x, row_number() OVER (ORDER BY x DESC) rn "
+        "FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY rn",
+        "SELECT x, first_value(x) OVER (ORDER BY x) fv "
+        "FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x",
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) s "
+        "FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x",
+        "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) s FROM (VALUES (1),(NULL),(2)) t(x) "
+        "ORDER BY x",
+        "SELECT g, x, rank() OVER (PARTITION BY g ORDER BY x) r "
+        "FROM (VALUES (1,1),(1,NULL),(2,NULL),(2,5)) t(g,x) "
+        "ORDER BY g, r",
+        "SELECT lag(x) OVER w lx FROM (VALUES (1),(NULL),(2)) t(x) "
+        "WINDOW w AS (ORDER BY x) ORDER BY lx",
+    ):
+        _check(engine, duck, q)
+
+
+def test_order_by_nulls_in_rewritten_forms(engine, duck):
+    """Rewrites that RE-EMIT user sort keys (DISTINCT ON, scalar
+    subquery) evaluate them under DuckDB's defaults too."""
+    _check(engine, duck,
+           "SELECT DISTINCT ON (g) g, x "
+           "FROM (VALUES (1,NULL),(1,3),(2,7),(2,NULL)) t(g,x) "
+           "ORDER BY g, x")
+    _check(engine, duck,
+           "SELECT (SELECT x FROM (VALUES (1),(NULL),(2)) t(x) "
+           "ORDER BY x) first_x")
+
+
+# ---------------------------------------------------------------- 2
+def test_empty_aggregates_are_null(engine, duck):
+    """array_agg/list/string_agg over ZERO rows → NULL [measured:
+    WHERE false → NULL; collect_list gives [], array_join '']; an
+    all-NULL (non-empty) input keeps DuckDB's element semantics."""
+    for q in (
+        "SELECT array_agg(x) a FROM (VALUES (1)) t(x) WHERE false",
+        "SELECT array_agg(x ORDER BY x) a FROM (VALUES (1)) t(x) "
+        "WHERE false",
+        "SELECT array_agg(x ORDER BY x DESC) a FROM (VALUES (1)) t(x) "
+        "WHERE false",
+        "SELECT array_agg(DISTINCT x) a FROM (VALUES (1)) t(x) "
+        "WHERE false",
+        "SELECT string_agg(x, ',') a FROM (VALUES ('a')) t(x) "
+        "WHERE false",
+        "SELECT string_agg(x, ',' ORDER BY x) a FROM (VALUES ('a')) "
+        "t(x) WHERE false",
+        "SELECT string_agg(x) a FROM (VALUES ('a')) t(x) WHERE false",
+        "SELECT list(x) a FROM (VALUES (1)) t(x) WHERE false",
+        "SELECT array_agg(x) a FROM (VALUES (CAST(NULL AS INT))) t(x)",
+        "SELECT string_agg(x, ',') a "
+        "FROM (VALUES (CAST(NULL AS VARCHAR))) t(x)",
+        "SELECT array_agg(l_orderkey ORDER BY l_orderkey) a "
+        "FROM lineitem WHERE l_orderkey < 0",
+        "SELECT array_agg(x) FILTER (WHERE x > 5) a "
+        "FROM (VALUES (1),(2)) t(x)",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 3
+def test_avg_is_double(engine, duck):
+    """avg() is DOUBLE for EVERY accepted input in DuckDB [measured:
+    typeof(avg(DECIMAL(4,1))) → DOUBLE 2.0]; Spark's decimal avg is
+    DECIMAL(p+4,s+4) rendering '2.00000'. VARCHAR casts expose the
+    render."""
+    dec2 = ("(VALUES (CAST(1.5 AS DECIMAL(4,1))),"
+            "(CAST(2.5 AS DECIMAL(4,1)))) t(x)")
+    for q in (
+        f"SELECT CAST(avg(x) AS VARCHAR) r FROM {dec2}",
+        f"SELECT CAST(mean(x) AS VARCHAR) r FROM {dec2}",
+        f"SELECT CAST(avg(DISTINCT x) AS VARCHAR) r FROM {dec2}",
+        f"SELECT CAST(avg(x) OVER () AS VARCHAR) r FROM {dec2}",
+        "SELECT g, CAST(avg(x) FILTER (WHERE x > 1) AS VARCHAR) r "
+        "FROM (VALUES (1, CAST(1.5 AS DECIMAL(4,1))),"
+        "(1, CAST(2.5 AS DECIMAL(4,1)))) t(g,x) GROUP BY g",
+        "SELECT CAST(avg(x) AS VARCHAR) r FROM (VALUES (1),(2)) t(x)",
+        "SELECT avg(l_quantity) r FROM lineitem",
+    ):
+        _check(engine, duck, q)
+
+
+def test_decimal_division_is_double(engine, duck):
+    """'/' yields DOUBLE for every numeric operand pair in DuckDB
+    [measured: typeof(1/3), DECIMAL/DECIMAL, 1.5/2 all DOUBLE]; Spark
+    keeps DECIMAL when an operand is decimal (0.333333 vs
+    0.3333333333333333)."""
+    for q in (
+        "SELECT CAST(CAST(1 AS DECIMAL(4,1))/CAST(3 AS DECIMAL(4,1)) "
+        "AS VARCHAR) r",
+        "SELECT CAST(1.5/2 AS VARCHAR) r",
+        "SELECT CAST(CAST(10 AS DECIMAL(10,2)) / 4 AS VARCHAR) r",
+        "SELECT CAST(2 / CAST(8 AS DECIMAL(10,2)) AS VARCHAR) r",
+        "SELECT CAST(7 / 0 AS VARCHAR) r",
+        "SELECT CAST(CAST(1 AS DECIMAL(4,1)) / 0 AS VARCHAR) r",
+        "SELECT CAST(1.5 % 2 AS VARCHAR) r",
+        "SELECT CAST((CAST(1.1 AS DECIMAL(4,1)) + "
+        "CAST(2.25 AS DECIMAL(4,2))) * 2 AS VARCHAR) r",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 4
+def test_double_varchar_render(engine, duck):
+    """Scalar DOUBLE→VARCHAR is shortest-round-trip in DuckDB —
+    matches Python repr digit for digit [measured battery r10]."""
+    for q in (
+        "SELECT CAST(1e16 AS VARCHAR) r",
+        "SELECT TRY_CAST(1e16 AS VARCHAR) r",
+        "SELECT CAST(1.5e16 AS VARCHAR) r",
+        "SELECT CAST(1e15 AS VARCHAR) r",
+        "SELECT CAST(1e-5 AS VARCHAR) r",
+        "SELECT CAST(1e-4 AS VARCHAR) r",
+        "SELECT CAST(1e100 AS VARCHAR) r",
+        "SELECT CAST(123456789.123e0 AS VARCHAR) r",
+        "SELECT CAST('nan'::DOUBLE AS VARCHAR) r",
+        "SELECT CAST('inf'::DOUBLE AS VARCHAR) r",
+        "SELECT CAST('-inf'::DOUBLE AS VARCHAR) r",
+        "SELECT CAST(0.0::DOUBLE * -1 AS VARCHAR) r",
+        "SELECT CAST(CAST(NULL AS DOUBLE) AS VARCHAR) r",
+        "SELECT CAST(sqrt(2) AS VARCHAR) r",
+        "SELECT CAST(1/3 AS VARCHAR) r",
+        "SELECT l_quantity::VARCHAR r FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 5",
+        "SELECT CAST(avg(l_quantity) AS VARCHAR) r FROM lineitem",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 5
+def test_date_plus_interval_is_timestamp(engine, duck):
+    """DATE ± INTERVAL is TIMESTAMP in DuckDB for EVERY interval class
+    and either '+' operand order [measured]; Spark keeps DATE for
+    year-month/whole-day intervals. date + int stays DATE."""
+    for q in (
+        "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH a",
+        "SELECT DATE '2024-01-31' - INTERVAL 1 MONTH a",
+        "SELECT INTERVAL 1 MONTH + DATE '2024-01-31' a",
+        "SELECT DATE '2024-01-31' + INTERVAL 2 HOUR a",
+        "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH + INTERVAL 2 DAY "
+        "a",
+        "SELECT DATE '2024-01-31' + 1 a",
+        "SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS VARCHAR) "
+        "a",
+        "SELECT o_orderdate + INTERVAL 30 DAY a FROM orders "
+        "ORDER BY o_orderkey LIMIT 3",
+    ):
+        _check(engine, duck, q)
+    # schema promotion, not just values: the engine result is TIMESTAMP
+    df = engine.sql("SELECT DATE '2024-01-31' + INTERVAL 1 MONTH a",
+                    dialect="duckdb")
+    assert df.schema["a"].dataType.simpleString() == "timestamp"
+
+
+def test_mixed_interval_literal(engine, duck):
+    """A quoted literal mixing year-month with day-time units parses in
+    DuckDB but not Spark ('Cannot mix year-month and day-time fields')
+    — folded to make_interval, which adds months before days like
+    DuckDB [measured: 2024-01-31 + '1 month 2 days' → 2024-03-02]."""
+    for q in (
+        "SELECT DATE '2024-01-31' + INTERVAL '1 month 2 days' a",
+        "SELECT TIMESTAMP '2024-01-31 01:02:03' + "
+        "INTERVAL '1 year 1 day' a",
+        "SELECT TIMESTAMP '2024-03-31 01:02:03' - "
+        "INTERVAL '1 month 1 hour' a",
+    ):
+        _check(engine, duck, q)
+
+
+def test_chained_positional_join(engine, duck):
+    """``a POSITIONAL JOIN b POSITIONAL JOIN c`` resolves the WHOLE
+    chain (ADVICE r9: the pairwise rewrite left 'POSITIONAL JOIN c'
+    verbatim — Spark parsed POSITIONAL as an alias and silently
+    cross-joined); non-table operands refuse loudly."""
+    _check(engine, duck,
+           "SELECT r_name, n_name, s_name FROM region POSITIONAL JOIN "
+           "nation POSITIONAL JOIN supplier "
+           "ORDER BY n_nationkey NULLS LAST, s_name NULLS LAST")
+    _check(engine, duck,
+           "SELECT r_name, n_name FROM region POSITIONAL JOIN nation "
+           "ORDER BY n_nationkey")
+    with pytest.raises(NotImplementedError, match="POSITIONAL"):
+        engine.sql("SELECT * FROM (SELECT 1) POSITIONAL JOIN nation",
+                   dialect="duckdb")
+
+
+# ------------------------------------------------------- pinned
+def test_r10_over_acceptance_pins(engine, duck):
+    """Documented over-acceptances from the r9 verdict's probe batch 1
+    (engine accepts and answers; DuckDB 1.0.0 errors) — pinned so
+    drift in either engine is loud: boolean word casts, string+int
+    arithmetic, sqrt/ln domain errors (DuckDB Out of Range; Spark
+    NaN/-Infinity under its math semantics), and two functions DuckDB
+    1.0 simply lacks (initcap, octet_length)."""
+    for q in ("SELECT CAST('yes' AS BOOLEAN) AS c",
+              "SELECT '1' + 1 AS c",
+              "SELECT sqrt(-1) AS c",
+              "SELECT ln(0) AS c",
+              "SELECT initcap('ab cd') AS c",
+              "SELECT octet_length('ab') AS c"):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+
+
+def test_negative_zero_literal_pin(engine, duck):
+    """``-0.0::DOUBLE``: DuckDB binds '::' tighter than unary minus
+    (negating the DOUBLE → '-0.0'); Spark folds the '-' into the
+    DECIMAL literal, which has no signed zero → '0.0'. A parse-
+    precedence divergence visible ONLY at exactly -0.0 — pinned, not
+    rewritten; runtime negative zeros agree (see the render gate)."""
+    q = "SELECT CAST(-0.0::DOUBLE AS VARCHAR) r"
+    assert duckdb_rows(duck, q) == [("-0.0",)]
+    assert spark_rows(engine.sql(q, dialect="duckdb")) == [("0.0",)]
+
+
+def test_sum_bigint_overflow_pin(engine, duck):
+    """sum(BIGINT) promotes to HUGEINT in DuckDB [measured:
+    9223372036854775807 + 1 sums fine → HUGEINT]; Spark's ANSI sum
+    throws ARITHMETIC_OVERFLOW — LOUD, not silent, and int128 has no
+    Spark type (SURVEY §1.3 fence). Pinned in both directions; the
+    non-overflowing same-shape query must agree."""
+    q = ("SELECT sum(x) s FROM "
+         "(VALUES (9223372036854775807), (1)) t(x)")
+    assert duck.execute(q).fetchall()[0][0] == 9223372036854775808
+    with pytest.raises(Exception):
+        engine.sql(q, dialect="duckdb").collect()
+    _check(engine, duck,
+           "SELECT sum(x) s FROM (VALUES (9223372036854775806), (1)) "
+           "t(x)")
