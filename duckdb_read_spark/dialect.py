@@ -834,6 +834,11 @@ def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
     if mm:
         return (int(mm.group(1)), int(mm.group(2)),
                 float(mm.group(3)) * 1_000_000)
+    mm2 = re.fullmatch(
+        r"(?is)make_dt_interval\(\s*(-?\d+)\s*,\s*0\s*,\s*0\s*,"
+        r"\s*(-?\d+(?:\.\d+)?)\s*\)", e)
+    if mm2:
+        return 0, int(mm2.group(1)), float(mm2.group(2)) * 1_000_000
     m = re.match(r"(?is)^\s*INTERVAL\s+(.+?)\s*$", e)
     if m is None:
         return None
@@ -859,11 +864,29 @@ def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
         if m3 is None:
             return None
         txt = f"{m3.group(1)} {m3.group(2)}"
-    if not re.fullmatch(r"(?:\s*-?\d+(?:\.\d+)?\s*[A-Za-z]+)+\s*", txt):
+    # unit pairs with an optional trailing time-of-day component
+    # ('1 year 2 months 3 days 04:05:06' — measured: the H:M:S tail
+    # adds to micros, a leading '-' negating the whole tail)
+    m_all = re.fullmatch(
+        r"(?P<units>(?:\s*-?\d+(?:\.\d+)?\s+[A-Za-z]+)*)"
+        r"(?:\s+(?P<tsign>-)?(?P<th>\d+):(?P<tm>\d{1,2}):"
+        r"(?P<ts>\d{1,2})(?P<tf>\.\d+)?)?\s*", txt)
+    if (m_all is None
+            or (not m_all.group("units").strip()
+                and m_all.group("th") is None)):
         return None
     months = 0
     days_f = 0.0
     micros = 0.0
+    if m_all.group("th") is not None:
+        if int(m_all.group("tm")) > 59 or int(m_all.group("ts")) > 59:
+            return None
+        t_us = ((int(m_all.group("th")) * 3600
+                 + int(m_all.group("tm")) * 60
+                 + int(m_all.group("ts"))) * 1_000_000
+                + int(((m_all.group("tf") or ".")[1:] + "000000")[:6]))
+        micros += -t_us if m_all.group("tsign") else t_us
+    txt = m_all.group("units")
     for num, unit in re.findall(r"(-?\d+(?:\.\d+)?)\s*([A-Za-z]+)", txt):
         val = float(num)
         u = unit.lower()
@@ -984,26 +1007,67 @@ def _rewrite_interval_forms(sql: str) -> str:
                  r"(?!\s*(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|TO)\b)",
                  fold_hms, sql)
 
+    def fold_cmp(m: "re.Match[str]") -> str:
+        # literal-vs-literal interval comparisons: DuckDB compares
+        # across classes by normalizing 1 month = 30 days = 720 hours
+        # [measured r10: '1 month' = '30 days' TRUE, '1 year' =
+        # '360 days' TRUE, '1 month 1 day' > '30 days 23 hours' TRUE];
+        # Spark type-errors on cross-class comparisons. Folded to
+        # TRUE/FALSE driver-side; computed-interval comparisons stay
+        # loud.
+        pa = _parse_interval_literal(m.group("a"))
+        btxt, tail = m.group("b"), ""
+        pb = _parse_interval_literal(btxt)
+        if pb is None:
+            # the pattern's optional unit word may have swallowed a
+            # trailing ALIAS ("… = INTERVAL '30 days' e") — retry
+            # without it and carry the word through
+            mb = re.match(r"(?is)^(.*?)(\s+[A-Za-z_]\w*)$", btxt)
+            if mb:
+                pb = _parse_interval_literal(mb.group(1))
+                tail = mb.group(2)
+        if pa is None or pb is None:
+            return m.group(0)
+
+        def tot(p):
+            return (p[0] * 30 + p[1]) * 86_400_000_000 + p[2]
+
+        a, b, op = tot(pa), tot(pb), m.group("op")
+        res = {"=": a == b, "==": a == b, "<>": a != b, "!=": a != b,
+               "<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+        return ("TRUE" if res else "FALSE") + tail
+
+    sql = re.sub(
+        rf"(?is)\b(?P<a>{ivl_pat})\s*(?P<op><=|>=|<>|!=|==|=|<|>)"
+        rf"\s*(?P<b>{ivl_pat})",
+        fold_cmp, sql)
+
     def fold_mixed(m: "re.Match[str]") -> str:
-        # a quoted literal MIXING year-month with day-time units —
-        # DuckDB stores (months, days, micros) together; Spark's
-        # parser refuses ("Cannot mix year-month and day-time
-        # fields"). make_interval carries all three classes; date/
+        # quoted literals Spark's parser refuses: MIXED year-month +
+        # day-time units ("Cannot mix year-month and day-time fields")
+        # and FRACTIONAL unit values ('1.5 hours' is INVALID_TYPED_
+        # LITERAL). make_interval carries all three classes; date/
         # timestamp arithmetic over it adds months first then days,
         # like DuckDB [measured r10: DATE '2024-01-31' + '1 month 2
-        # days' → 2024-03-02 both]. Single-class literals stay
+        # days' → 2024-03-02 both]. Other single-class literals stay
         # verbatim (Spark parses them natively).
         parsed = _parse_interval_literal(m.group(0))
         if parsed is None:
             return m.group(0)
         months, days, micros = parsed
-        if not months or not (days or micros):
+        fractional = re.search(r"\d+\.\d+", m.group(0)) is not None
+        mixed = months and (days or micros)
+        if not (mixed or fractional):
             return m.group(0)
         from decimal import Decimal
 
         secs = Decimal(int(micros)) / Decimal(1_000_000)
-        return (f"make_interval(0, {months}, 0, {days}, 0, 0, "
-                f"{secs:f})")
+        if mixed:
+            return (f"make_interval(0, {months}, 0, {days}, 0, 0, "
+                    f"{secs:f})")
+        if months:
+            return f"INTERVAL '{months}' MONTH"
+        return f"make_dt_interval({days}, 0, 0, {secs:f})"
 
     sql = re.sub(r"(?is)\bINTERVAL\s+'[^']*'"
                  r"(?!\s*(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|TO)\b)",
@@ -9382,6 +9446,218 @@ def _rewrite_double_varchar_casts(
     return sql
 
 
+def _duck_interval_str(months: int, days: int, micros: float) -> str:
+    """DuckDB's INTERVAL→VARCHAR render [measured r10 battery]:
+    non-zero parts joined by spaces in (years, months, days, time)
+    order; year/month/day words singular at ±1; months fold into
+    years trunc-toward-zero ('-14 months' → '-1 year -2 months');
+    the time part is HH:MM:SS with unbounded hours ('25:00:00'),
+    fraction trimmed of trailing zeros ('00:00:01.5'), a leading '-'
+    for negative micros; all-zero → '00:00:00'."""
+    micros = int(round(micros))
+    parts: list[str] = []
+    years = int(months / 12)
+    mon = months - years * 12
+
+    def word(n: int, w: str) -> str:
+        return f"{n} {w}" + ("" if abs(n) == 1 else "s")
+
+    if years:
+        parts.append(word(years, "year"))
+    if mon:
+        parts.append(word(mon, "month"))
+    if days:
+        parts.append(word(days, "day"))
+    if micros or not parts:
+        sign = "-" if micros < 0 else ""
+        us = abs(micros)
+        h, rem = divmod(us, 3_600_000_000)
+        mi, rem = divmod(rem, 60_000_000)
+        s, frac = divmod(rem, 1_000_000)
+        t = f"{sign}{h:02d}:{mi:02d}:{s:02d}"
+        if frac:
+            t += "." + f"{frac:06d}".rstrip("0")
+        parts.append(t)
+    return " ".join(parts)
+
+
+def _expr_is_timestamp(expr: str,
+                       column_kinds: dict[str, str] | None) -> bool:
+    """PROVABLY timestamp-typed: a TIMESTAMP literal, a registered
+    timestamp-kind column (bare or qualified), a TIMESTAMP cast, or a
+    timestamp()/to_timestamp() call (whole-expression)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return False
+    if re.fullmatch(r"(?is)TIMESTAMP\s+'[^']*'", e):
+        return True
+    if re.fullmatch(r"[A-Za-z_]\w*", e):
+        return (column_kinds or {}).get(e.lower()) == "timestamp"
+    m = re.fullmatch(r"[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)", e)
+    if m:
+        return (column_kinds or {}).get(m.group(1).lower()) == "timestamp"
+    if re.fullmatch(r"(?is)(?:TRY_)?CAST\s*\(.*\bAS\s+TIMESTAMP\s*\)",
+                    e):
+        return True
+    m = re.fullmatch(r"(?is)(timestamp|to_timestamp|date_trunc)"
+                     r"\s*\(.*\)", e)
+    return m is not None
+
+
+def _expr_is_dt_interval(expr: str,
+                         column_kinds: dict[str, str] | None) -> bool:
+    """PROVABLY a day-time interval: ``A - B`` with both operands
+    provably timestamp (Spark's timestamp subtraction yields
+    DayTimeIntervalType, DuckDB's an INTERVAL — values agree, only
+    the VARCHAR render differs)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return False
+    toks = tokenize(e)
+    sig = _sig(toks)
+    d = 0
+    minus_at = None
+    for p in range(1, len(sig)):
+        t = toks[sig[p]]
+        if t.text in ("(", "["):
+            d += 1
+        elif t.text in (")", "]"):
+            d -= 1
+        elif d == 0 and t.kind == "op" and t.text == "-":
+            if minus_at is not None:
+                return False  # more than one top-level '-'
+            minus_at = p
+    if minus_at is None:
+        return False
+    left = detokenize(toks[sig[0]:sig[minus_at - 1] + 1])
+    right = detokenize(toks[sig[minus_at] + 1:sig[-1] + 1])
+    return (_expr_is_timestamp(left, column_kinds)
+            and _expr_is_timestamp(right, column_kinds))
+
+
+def _rewrite_interval_varchar_casts(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """``CAST(interval AS VARCHAR)`` → DuckDB's interval render
+    [measured r10: '3 days', '01:30:00', '1 year 2 months' — Spark
+    says "INTERVAL '3' DAY"]. Interval LITERALS (and the interval-form
+    pass's make_interval/make_dt_interval emissions) constant-fold to
+    the rendered string; provable ts−ts expressions route through the
+    __duck_dt_interval_varchar__ pandas UDF. Unprovable interval
+    sources keep Spark's render (documented)."""
+    if not re.search(r"(?i)CAST\s*\(|::", sql):
+        return sql
+    if not re.search(r"(?i)\bINTERVAL\b|make_(?:dt_|ym_)?interval"
+                     r"|TIMESTAMP\b|timestamp", sql):
+        return sql
+    for _ in range(50):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        done = True
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (t.kind == "ident"
+                    and t.text.upper() in ("CAST", "TRY_CAST")
+                    and p + 1 < len(sig)
+                    and toks[sig[p + 1]].text == "("):
+                try:
+                    close = _find_close(toks, sig[p + 1])
+                except ValueError:
+                    continue
+                d = 0
+                as_at = None
+                for q in range(p + 2, len(sig)):
+                    if sig[q] >= close:
+                        break
+                    tq = toks[sig[q]]
+                    if tq.text == "(":
+                        d += 1
+                    elif tq.text == ")":
+                        d -= 1
+                    elif (d == 0 and tq.kind == "ident"
+                            and tq.text.upper() == "AS"):
+                        as_at = q
+                if as_at is None:
+                    continue
+                tgt = [q for q in range(as_at + 1, len(sig))
+                       if sig[q] < close]
+                if (len(tgt) != 1
+                        or toks[sig[tgt[0]]].kind != "ident"
+                        or toks[sig[tgt[0]]].text.upper()
+                        not in _STR_TARGET_WORDS):
+                    continue
+                src = detokenize(
+                    toks[sig[p + 2]:sig[as_at - 1] + 1]).strip()
+                parsed = _parse_interval_literal(src)
+                if parsed is not None:
+                    out = "'" + _sql_quote(
+                        _duck_interval_str(*parsed)) + "'"
+                    sql = (detokenize(toks[:ti]) + out
+                           + detokenize(toks[close + 1:]))
+                    done = False
+                    break
+                if _expr_is_dt_interval(src, column_kinds):
+                    sql = (detokenize(toks[:ti])
+                           + f"__duck_dt_interval_varchar__(({src}))"
+                           + detokenize(toks[close + 1:]))
+                    done = False
+                    break
+                continue
+            # src :: VARCHAR postfix over an interval literal primary
+            if (t.text == ":" and p + 2 < len(sig)
+                    and toks[sig[p + 1]].text == ":"
+                    and sig[p + 1] == ti + 1
+                    and toks[sig[p + 2]].kind == "ident"
+                    and toks[sig[p + 2]].text.upper()
+                    in _STR_TARGET_WORDS and p >= 1):
+                def _skip():
+                    raise _PrimarySkip()
+                try:
+                    lstart = _primary_start_back(
+                        toks, sig, pos_of, p - 1, _skip)
+                except _PrimarySkip:
+                    continue
+                raw_start = sig[lstart]
+                # absorb a leading INTERVAL keyword / unit-word tail
+                if (lstart >= 1
+                        and toks[sig[lstart - 1]].kind == "ident"
+                        and toks[sig[lstart - 1]].text.upper()
+                        == "INTERVAL"):
+                    raw_start = sig[lstart - 1]
+                elif (lstart >= 2
+                        and toks[sig[lstart - 2]].kind == "ident"
+                        and toks[sig[lstart - 2]].text.upper()
+                        == "INTERVAL"):
+                    raw_start = sig[lstart - 2]
+                src = detokenize(
+                    toks[raw_start:sig[p - 1] + 1]).strip()
+                parsed = _parse_interval_literal(src)
+                if parsed is None:
+                    continue
+                sql = (detokenize(toks[:raw_start])
+                       + "'" + _sql_quote(_duck_interval_str(*parsed))
+                       + "'" + detokenize(toks[sig[p + 2] + 1:]))
+                done = False
+                break
+        if done:
+            return sql
+    return sql
+
+
 def _rewrite_null_list_concat(sql: str) -> str:
     """``[…] || NULL`` / ``NULL || […]`` → NULL [measured: DuckDB list
     concat with a NULL side is NULL]. Spark's type unification rejects
@@ -10036,6 +10312,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_null_list_concat(sql)
     sql = _rewrite_struct_varchar_casts(sql)
     sql = _rewrite_double_varchar_casts(sql, column_kinds)
+    sql = _rewrite_interval_varchar_casts(sql, column_kinds)
     sql = _rewrite_keywords(sql)
     sql = _inject_order_by_nulls(sql)
     return sql

@@ -2183,6 +2183,10 @@ class Engine:
                                     T.IntegerType, T.LongType))
                    else "double" if isinstance(
                        f.dataType, (T.FloatType, T.DoubleType))
+                   # timestamp kind feeds the ts−ts → dt-interval
+                   # prover behind the interval VARCHAR render (r10)
+                   else "timestamp" if isinstance(
+                       f.dataType, T.TimestampType)
                    else None))
             for f in schema.fields]
         cache[key] = fields

@@ -856,6 +856,32 @@ def _make_duck_double_varchar_udf():
     return {"__duck_double_varchar__": duck_double_varchar_udf}
 
 
+def _make_duck_interval_varchar_udf():
+    """Day-time interval → VARCHAR, DuckDB style [measured r10]:
+    micros normalize into days trunc-toward-zero and render as
+    '[N day(s) ]HH:MM:SS[.frac]' with per-part signs
+    ('-2 days -02:30:00'); pure time at <1 day ('01:30:00'). Used for
+    provable ts−ts expressions (Spark's CAST says "INTERVAL '0
+    01:30:00' DAY TO SECOND")."""
+    from pyspark.sql.types import StringType
+
+    def one(td) -> str | None:
+        if td is None or pd.isna(td):
+            return None
+        total = int(pd.Timedelta(td).value) // 1000  # ns → µs
+        days = int(total / 86_400_000_000)
+        rem = total - days * 86_400_000_000
+        from duckdb_read_spark.dialect import _duck_interval_str
+
+        return _duck_interval_str(0, days, rem)
+
+    @F.pandas_udf(StringType())
+    def duck_dt_interval_varchar_udf(s: pd.Series) -> pd.Series:
+        return pd.Series([one(v) for v in s], dtype=object)
+
+    return {"__duck_dt_interval_varchar__": duck_dt_interval_varchar_udf}
+
+
 def _make_duck_typename_udf():
     """Spark typeof() output → DuckDB type spelling [measured r9:
     typeof(1)='INTEGER', typeof('x')='VARCHAR', typeof([1])=
@@ -1077,6 +1103,7 @@ def register_fuzzy_udfs(spark) -> dict:
            **_make_regexp_escape_udf(),
            **_make_duck_varchar_udf(),
            **_make_duck_double_varchar_udf(),
+           **_make_duck_interval_varchar_udf(),
            **_make_duck_typename_udf(),
            **_make_grapheme_udfs(),
            **_make_math_udfs()}

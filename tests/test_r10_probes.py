@@ -311,3 +311,69 @@ def test_sum_bigint_overflow_pin(engine, duck):
     _check(engine, duck,
            "SELECT sum(x) s FROM (VALUES (9223372036854775806), (1)) "
            "t(x)")
+
+
+# ------------------------------------------------- interval tranche
+def test_interval_literal_comparisons(engine, duck):
+    """DuckDB compares intervals across unit classes by normalizing
+    1 month = 30 days = 720 hours [measured]; Spark type-errors on
+    cross-class comparisons — literal-vs-literal forms constant-fold
+    driver-side."""
+    for q in (
+        "SELECT INTERVAL '1 month' = INTERVAL '30 days' e",
+        "SELECT INTERVAL '1 month' = INTERVAL '31 days' e",
+        "SELECT INTERVAL '1 month' > INTERVAL '29 days' e",
+        "SELECT INTERVAL '1 year' = INTERVAL '360 days' e",
+        "SELECT INTERVAL '1 day' = INTERVAL '24 hours' e",
+        "SELECT INTERVAL 90 MINUTE = INTERVAL '1.5 hours' e",
+        "SELECT INTERVAL '1 month 1 day' > INTERVAL '30 days 23 "
+        "hours' e",
+    ):
+        _check(engine, duck, q)
+
+
+def test_interval_varchar_render(engine, duck):
+    """Interval→VARCHAR renders DuckDB's component form ('3 days',
+    '01:30:00', '1 year 2 months', '-1 year -2 months', fraction
+    trimmed) [measured battery]; Spark says \"INTERVAL '3' DAY\".
+    Literals fold driver-side; ts−ts routes through the day-time
+    render UDF."""
+    for q in (
+        "SELECT CAST(INTERVAL '1 month' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '14 months' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '-14 months' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '3 days' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '1 day' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL 90 MINUTE AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '1.5 seconds' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '25 hours' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '2 days 3 hours' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '1 month 2 days' AS VARCHAR) s",
+        "SELECT CAST(INTERVAL '1 year 2 months 3 days 04:05:06' "
+        "AS VARCHAR) s",
+        "SELECT INTERVAL '3 days'::VARCHAR s",
+        "SELECT CAST(TIMESTAMP '2024-01-03 05:00:00' - "
+        "TIMESTAMP '2024-01-01 02:30:00' AS VARCHAR) d",
+        "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' - "
+        "TIMESTAMP '2024-01-03 02:30:00' AS VARCHAR) d",
+        "SELECT CAST(CAST(NULL AS TIMESTAMP) - "
+        "TIMESTAMP '2024-01-01 00:00:00' AS VARCHAR) d",
+        "SELECT CAST(ts - TIMESTAMP '2024-01-01 00:00:00' AS VARCHAR) "
+        "d FROM events ORDER BY event_id LIMIT 3",
+    ):
+        _check(engine, duck, q)
+
+
+def test_fractional_interval_literals(engine, duck):
+    """Quoted interval literals with FRACTIONAL unit values parse in
+    DuckDB but not Spark (INVALID_TYPED_LITERAL) — folded to
+    make_dt_interval; fractional months cascade into days at storage
+    time ('1.5 months' = 1 mon 15 days, measured r8)."""
+    for q in (
+        "SELECT DATE '2024-01-01' + INTERVAL '1.5 hours' a",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '2.5 days' "
+        "a",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1.5 "
+        "months' a",
+    ):
+        _check(engine, duck, q)
