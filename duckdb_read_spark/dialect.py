@@ -741,18 +741,19 @@ def _time_bucket_expr(toks, parts, column_kinds) -> str | None:
     _, close, spans = parts
     iv = _arg_text(toks, spans[0]).strip()
     e = _arg_text(toks, spans[1]).strip()
-    m = re.fullmatch(r"INTERVAL\s+'?(\d+)'?\s+([A-Za-z]+)", iv,
-                     re.IGNORECASE)
-    if not m:
+    parsed_w = _parse_interval_literal(iv)
+    if parsed_w is None:
         return None
-    n, unit = int(m.group(1)), m.group(2).lower()
-    if unit in ("month", "months", "year", "years"):
+    if parsed_w[0]:
         raise ValueError(
             "time_bucket: calendar-variable (month/year) bucket widths "
             "are not supported — use date_trunc for month/year buckets")
-    if unit not in _TB_UNIT_US:
+    # r10: the quoted-unit spelling INTERVAL '15 minutes' parses too
+    # (the old regex wanted the unit OUTSIDE the quotes and silently
+    # fell through to a loud UNRESOLVED_ROUTINE)
+    w = parsed_w[1] * 86_400_000_000 + int(parsed_w[2])
+    if w <= 0:
         return None
-    w = n * _TB_UNIT_US[unit]
     # 3-arg forms [measured r9]: a DATE/TIMESTAMP third arg re-anchors
     # the buckets at that ORIGIN; an INTERVAL third arg OFFSETS the
     # default anchor (time_bucket(7 DAY, 2024-03-05, INTERVAL 2 DAY) =
@@ -1920,6 +1921,28 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = oc + 1
             changed = True
             continue
+        if (name in ("arg_max", "arg_min", "max_by", "min_by")
+                and parts and len(parts[2]) == 2
+                and not re.search(
+                    r"(?is)\bORDER\s+BY\b|\bDISTINCT\b",
+                    detokenize(toks[parts[0]:parts[1] + 1]))):
+            # DuckDB's arg_max/arg_min/max_by/min_by skip rows where
+            # EITHER argument is NULL [measured r10: arg_min(v, k)
+            # over ('a',1),(NULL,0) → 'a'; NULL keys skipped too].
+            # Spark's min_by ignores NULL keys but RETURNS a NULL
+            # value sitting at the winning key — nullify the key when
+            # the value is NULL so those rows drop out. Marker dodges
+            # the fixpoint re-entry; ordered/DISTINCT forms keep their
+            # dedicated handling.
+            v_ = _arg_text(toks, parts[2][0])
+            k_ = _arg_text(toks, parts[2][1])
+            fn2 = "max_by" if "max" in name else "min_by"
+            out.append(
+                f"__duck_{fn2}__({v_}, CASE WHEN ({v_}) IS NULL "
+                f"THEN NULL ELSE {k_} END)")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name in ("avg", "mean") and parts and len(parts[2]) == 1:
             # avg is DOUBLE in DuckDB for EVERY accepted input —
             # int/decimal/float all → DOUBLE, and non-numerics
@@ -2181,10 +2204,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 changed = True
                 continue
         if (name in ("list_contains", "list_position", "array_contains",
-                     "array_position", "list_has", "list_indexof")
+                     "array_position", "list_has", "array_has",
+                     "list_indexof")
                 and parts and len(parts[2]) == 2
-                and _arg_text(toks, parts[2][1]).strip().upper()
-                == "NULL"):
+                and (_arg_text(toks, parts[2][1]).strip().upper()
+                     == "NULL"
+                     or _arg_text(toks, parts[2][0]).strip().upper()
+                     == "NULL")):
             # a NULL needle is NULL in DuckDB [measured: list_contains(
             # [1,2], NULL) → NULL, list_position([1,2], NULL) → NULL],
             # while Spark's array_contains REJECTS a NULL-typed argument
@@ -2192,6 +2218,25 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # element type is unknowable here, so fold the constant.
             is_bool = "contains" in name or name == "list_has"
             out.append(f"CAST(NULL AS {'BOOLEAN' if is_bool else 'INT'})")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name in ("list_contains", "array_contains", "list_has",
+                     "array_has") and parts and len(parts[2]) == 2):
+            # DuckDB contains is FALSE when the needle is absent even
+            # with NULL elements present [measured r10: list_contains(
+            # [1,NULL], 3) → FALSE]; Spark's three-valued array_contains
+            # says NULL there. NULL list or NULL needle stay NULL
+            # (runtime nulls — the literal-NULL needle folded above,
+            # Spark rejects a NULL-typed argument). Marker dodges the
+            # fixpoint re-entry.
+            a_ = _arg_text(toks, parts[2][0])
+            x_ = _arg_text(toks, parts[2][1])
+            out.append(
+                f"(CASE WHEN ({a_}) IS NULL OR ({x_}) IS NULL "
+                f"THEN CAST(NULL AS BOOLEAN) "
+                f"ELSE coalesce(__duck_array_contains__({a_}, {x_}), "
+                f"FALSE) END)")
             i = parts[1] + 1
             changed = True
             continue
@@ -3217,13 +3262,24 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "json_array" and parts and parts[2]:
-            # homogeneous element lists only (Spark arrays are typed;
-            # a mixed-type call fails loudly at analysis, DuckDB would
-            # coerce — acceptable loud divergence)
+            # per-ELEMENT json conversion (r10): Spark arrays are
+            # typed, so the old array()-based emission was a loud
+            # analysis error on mixed args where DuckDB coerces each
+            # element independently [measured: json_array(1, 'a') →
+            # '[1,"a"]', NULL args → literal null]
             _, close, spans = parts
             args = [_arg_text(toks, s) for s in parts[2]]
-            out.append(f"__to_json__(array({', '.join(args)}))")
+            # json_quote re-enters the fixpoint and picks up the
+            # scalar-accepting to_json wrap for each element
+            elems = ", ".join(
+                f"coalesce(json_quote({a}), 'null')" for a in args)
+            out.append(f"concat('[', concat_ws(',', {elems}), ']')")
             i = close + 1
+            changed = True
+            continue
+        if name == "json_array" and parts and not parts[2]:
+            out.append("'[]'")  # zero-arg form [measured]
+            i = parts[1] + 1
             changed = True
             continue
         if name == "json_valid" and parts and len(parts[2]) == 1:
@@ -3330,7 +3386,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 else:
                     sk = _flagged("0")  # flag 0 so max=non-NULL extreme
                     fn = "max_by" if name == "first" else "min_by"
-                out.append(f"{fn}({e}, {sk})")
+                # marker spelling: ordered first/last must KEEP a NULL
+                # value at the winning key (r10: the arg_max NULL-skip
+                # wrap would re-capture a plain min_by emission)
+                out.append(f"__duck_{fn}__({e}, {sk})")
                 i = close + 1
                 changed = True
                 continue
@@ -6582,6 +6641,20 @@ def _rewrite_pg_operator_spellings(
                     elif d == 0 and case_d == 0 and _arith_stop(
                             tr, None):
                         break
+                    elif (d == 0 and case_d == 0 and r > p + 1
+                            and tr.kind in ("ident", "num", "str",
+                                            "bqid")):
+                        # two adjacent primaries at top level = an
+                        # ALIAS boundary ('@ -5 a' absorbed the alias
+                        # before r10, emitting abs(-5 a))
+                        pv = toks[sig[r - 1]]
+                        if (pv.kind in ("num", "str", "bqid")
+                                or pv.text in (")", "]")
+                                or (pv.kind == "ident"
+                                    and pv.text.upper()
+                                    not in ("WHEN", "THEN", "ELSE",
+                                            "AND", "OR", "NOT"))):
+                            break
                     r += 1
                 rend = r - 1
                 if rend < p + 1:
@@ -8587,6 +8660,12 @@ def _rewrite_keywords(sql: str) -> str:
             # inner call of the duck-case sandwich — spelled indirectly
             # so the upper/lower rename doesn't re-enter the fixpoint
             t.text = t.text[6:-2]
+        elif t.text in ("__duck_max_by__", "__duck_min_by__"):
+            # markers from the NULL-skipping arg_max/arg_min wrap (r10)
+            t.text = t.text[7:-2]
+        elif t.text == "__duck_array_contains__":
+            # marker from the contains FALSE-not-NULL wrap (r10)
+            t.text = "array_contains"
         elif t.text == "__decavg__":
             # marker from the avg(DECIMAL)→DOUBLE cast wrap — spelled
             # indirectly so the wrap doesn't re-enter its own emission
@@ -9616,6 +9695,18 @@ def _rewrite_interval_varchar_casts(
                            + detokenize(toks[close + 1:]))
                     done = False
                     break
+                src_toks = tokenize(src)
+                if _span_is_instant_typed(src_toks, (0, len(src_toks))):
+                    # TIMESTAMPTZ→VARCHAR carries the session-zone
+                    # offset [measured r10: '2024-07-01 12:00:00+00'
+                    # under the UTC session both engines pin]; the
+                    # keyword pass later erases the instant marker to
+                    # naive TIMESTAMP, which renders offset-less
+                    sql = (detokenize(toks[:ti])
+                           + f"concat(CAST(({src}) AS STRING), '+00')"
+                           + detokenize(toks[close + 1:]))
+                    done = False
+                    break
                 continue
             # src :: VARCHAR postfix over an interval literal primary
             if (t.text == ":" and p + 2 < len(sig)
@@ -9632,11 +9723,14 @@ def _rewrite_interval_varchar_casts(
                 except _PrimarySkip:
                     continue
                 raw_start = sig[lstart]
-                # absorb a leading INTERVAL keyword / unit-word tail
+                # absorb a leading INTERVAL / timestamptz-marker /
+                # TIMESTAMP keyword (typed-literal prefixes sit outside
+                # the str primary)
                 if (lstart >= 1
                         and toks[sig[lstart - 1]].kind == "ident"
                         and toks[sig[lstart - 1]].text.upper()
-                        == "INTERVAL"):
+                        in ("INTERVAL", "__TIMESTAMPTZ__",
+                            "TIMESTAMP")):
                     raw_start = sig[lstart - 1]
                 elif (lstart >= 2
                         and toks[sig[lstart - 2]].kind == "ident"
@@ -9647,6 +9741,15 @@ def _rewrite_interval_varchar_casts(
                     toks[raw_start:sig[p - 1] + 1]).strip()
                 parsed = _parse_interval_literal(src)
                 if parsed is None:
+                    src_toks = tokenize(src)
+                    if _span_is_instant_typed(src_toks,
+                                              (0, len(src_toks))):
+                        sql = (detokenize(toks[:raw_start])
+                               + f"concat(CAST(({src}) AS STRING), "
+                               + "'+00')"
+                               + detokenize(toks[sig[p + 2] + 1:]))
+                        done = False
+                        break
                     continue
                 sql = (detokenize(toks[:raw_start])
                        + "'" + _sql_quote(_duck_interval_str(*parsed))

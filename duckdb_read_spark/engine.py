@@ -2247,6 +2247,30 @@ class Engine:
             return None
         return [col for col, _ in fields]
 
+    def _check_natural_joins(self, query: str) -> None:
+        """NATURAL JOIN with ZERO shared column names is a Binder Error
+        in DuckDB but a silent CROSS JOIN in Spark (r10 probe) — refuse
+        when both operands are registered tables whose schemas provably
+        share nothing. Aliased/subquery operands stay unchecked (their
+        columns aren't resolvable here; Spark's cross-join behavior is
+        then a documented over-acceptance)."""
+        if not re.search(r"(?i)\bNATURAL\b", query):
+            return
+        for m in re.finditer(
+                r"(?i)\b([A-Za-z_]\w*)\s+NATURAL\s+"
+                r"(?:(?:LEFT|RIGHT|FULL|INNER)\s+(?:OUTER\s+)?)?"
+                r"JOIN\s+([A-Za-z_]\w*)", query):
+            ca = self._columns_of(m.group(1))
+            cb = self._columns_of(m.group(2))
+            if (ca is not None and cb is not None
+                    and not ({c.lower() for c in ca}
+                             & {c.lower() for c in cb})):
+                raise ValueError(
+                    f"No columns found to join on in NATURAL JOIN "
+                    f"between {m.group(1)!r} and {m.group(2)!r} "
+                    f"(DuckDB Binder Error parity — Spark would "
+                    f"silently cross-join)")
+
     def _rewrite_positional_join(self, query: str) -> str:
         """``a POSITIONAL JOIN b`` in SQL → the zero-shuffle positional
         operator (operators/positional.py) materialized as a temp view
@@ -2861,6 +2885,7 @@ class Engine:
             if pct_df is not None:
                 return pct_df
             query = _rewrite_from_first(query)
+            self._check_natural_joins(query)
             query = self._resolve_series_functions(query)
             query = self._rewrite_columns_expr(query)
             query = self._rewrite_positional_join(query)

@@ -1019,3 +1019,53 @@ def test_fuzzed_r9_tranche_matches_oracle(seed, engine, duck):
     got = spark_rows(engine.sql(sql, dialect="duckdb"))
     want = duckdb_rows(duck, sql)
     assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)
+
+
+def gen_r10_nulls_in_sort(rng: random.Random) -> str:
+    """r10 shapes: NULL-bearing sort keys under BARE (and explicit
+    ASC/DESC) ORDER BY — the NULLS LAST injection must reproduce
+    DuckDB's default_null_order everywhere a user sort key lands
+    (statement sorts, window ORDER BY, ordered aggregates) — plus
+    empty/FILTERed ordered aggregates (NULL, not []/'') and decimal
+    division (DOUBLE, not DECIMAL). Unlike the §2.0-conventional
+    families, the tail ORDER BY is deliberately BARE: a unique
+    trailing key keeps the order total in both engines."""
+    name = rng.choice(list(TABLES))
+    t = TABLES[name]
+    uid = t["int"][0]
+    i = rng.choice(t["int"])
+    n = rng.choice(t["num"])
+    s = rng.choice(t["str"])
+    m1 = rng.randint(2, 5)
+    m2 = rng.randint(2, 7)
+    k1 = f"nullif({i} % {m1}, {rng.randint(0, m1 - 1)})"
+    d = rng.choice(["", " DESC", " ASC"])
+    shape = rng.randrange(4)
+    if shape == 0:
+        return (f"SELECT {uid} AS k, {k1} AS a, {s} AS b FROM {name} "
+                f"WHERE {uid} < 60 ORDER BY a{d}, b, k")
+    if shape == 1:
+        return (f"SELECT {uid} AS k, row_number() OVER "
+                f"(ORDER BY {k1}{d}, {uid}) AS rn, "
+                f"sum({i}) OVER (ORDER BY {k1}{d}, {uid} "
+                f"ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rs "
+                f"FROM {name} WHERE {uid} < 40 ORDER BY k")
+    if shape == 2:
+        return (f"SELECT nullif({i} % {m2}, 1) AS g, "
+                f"array_agg({s} ORDER BY {uid}{d}) "
+                f"FILTER (WHERE {uid} % 3 = 0) AS aa, "
+                f"string_agg({s}, '|' ORDER BY {uid} DESC) AS sa "
+                f"FROM {name} WHERE {uid} < 60 GROUP BY g "
+                f"ORDER BY g, sa")
+    return (f"SELECT {uid} AS k, "
+            f"CAST(CAST({i} AS DECIMAL(18,3)) / {m1} AS VARCHAR) AS dv,"
+            f" CAST({n} AS VARCHAR) AS nv FROM {name} "
+            f"WHERE {uid} < 50 ORDER BY k")
+
+
+@pytest.mark.parametrize("seed", range(376, 396))
+def test_fuzzed_r10_nulls_in_sort_matches_oracle(seed, engine, duck):
+    sql = gen_r10_nulls_in_sort(random.Random(seed))
+    got = spark_rows(engine.sql(sql, dialect="duckdb"))
+    want = duckdb_rows(duck, sql)
+    assert got == want, f"seed={seed}\nsql={sql}\n" + diff_summary(got, want)

@@ -408,7 +408,10 @@ def test_json_function_rewrites():
     out = to_spark_sql("SELECT json_object('k', 7) FROM t")
     assert out == "SELECT to_json(named_struct('k', 7)) FROM t"
     out = to_spark_sql("SELECT json_array(1, 2) FROM t")
-    assert out == "SELECT to_json(array(1, 2)) FROM t"
+    # r10: per-ELEMENT json conversion (mixed-type args coerce
+    # independently in DuckDB; one typed array() was a loud error)
+    assert out.startswith("SELECT concat_ws('', CAST('[' AS STRING)")
+    assert "to_json(array(1))" in out and "to_json(array(2))" in out
     out = to_spark_sql("SELECT json_valid(j) FROM t")
     assert "trim(j) = 'null'" in out and "get_json_object(j, '$')" in out
 
@@ -630,8 +633,11 @@ def test_distinct_on_rewrite():
 
 
 def test_simple_function_renames():
+    # r10: NULL values skip (DuckDB arg_max/min ignore NULL-v rows)
     assert to_spark_sql("SELECT arg_max(a, b), arg_min(a, b) FROM t") == \
-        "SELECT max_by(a, b), min_by(a, b) FROM t"
+        ("SELECT max_by(a, CASE WHEN (a) IS NULL THEN NULL ELSE b END)"
+         ", min_by(a, CASE WHEN (a) IS NULL THEN NULL ELSE b END) "
+         "FROM t")
     assert to_spark_sql("SELECT regexp_matches(s, 'x+') FROM t") == \
         "SELECT regexp_like(s, 'x+') FROM t"
     assert to_spark_sql("SELECT starts_with(s, 'a'), ends_with(s, 'b') FROM t") == \

@@ -377,3 +377,128 @@ def test_fractional_interval_literals(engine, duck):
         "months' a",
     ):
         _check(engine, duck, q)
+
+
+def test_timestamptz_varchar_offset(engine, duck):
+    """TIMESTAMPTZ→VARCHAR carries the session-zone offset ('…+00'
+    under the UTC session both engines pin) [measured]; the naive
+    TIMESTAMP render stays offset-less."""
+    for q in (
+        "SELECT CAST(TIMESTAMPTZ '2024-07-01 12:00:00' AS VARCHAR) t",
+        "SELECT CAST(TIMESTAMPTZ '2024-07-01 12:00:00.5' AS VARCHAR) "
+        "t",
+        "SELECT TIMESTAMPTZ '2024-07-01 12:00:00'::VARCHAR t",
+        "SELECT CAST(TIMESTAMP '2024-07-01 12:00:00' AS VARCHAR) t",
+        "SELECT CAST(TIMESTAMP WITH TIME ZONE "
+        "'2024-07-01 12:00:00+02' AS VARCHAR) t",
+    ):
+        _check(engine, duck, q)
+
+
+def test_prefix_abs_unary_minus_and_alias(engine, duck):
+    """``@`` prefix abs over a signed operand and before an alias —
+    the operand scan stops at an adjacent-primary (alias) boundary
+    ('@ -5 a' absorbed the alias before r10, a loud parse error)."""
+    for q in (
+        "SELECT @ -5 a",
+        "SELECT @ 5 a",
+        "SELECT 1 + @ 2 - 5 a",
+        "SELECT @ x a FROM (VALUES (-3)) s(x)",
+    ):
+        _check(engine, duck, q)
+
+
+def test_list_contains_false_not_null(engine, duck):
+    """DuckDB contains is FALSE for an absent needle even with NULL
+    elements present [measured: list_contains([1,NULL], 3) → FALSE];
+    Spark's three-valued array_contains says NULL. NULL list/needle
+    stay NULL."""
+    for q in (
+        "SELECT list_contains([1,NULL], 3) a, "
+        "list_contains([1,NULL], 1) b",
+        "SELECT list_contains([1,2], NULL) a, list_contains(NULL, 1) b",
+        "SELECT list_contains([], 1) a",
+        "SELECT array_contains([1,NULL], 3) a, list_has([1,NULL], 3) "
+        "b, array_has([1,NULL], 3) c",
+        "SELECT list_contains([x], y) a FROM "
+        "(VALUES (1, NULL),(NULL, 2),(3, 3)) t(x, y)",
+        "SELECT list_position([1,NULL,3], 3) p",
+        "SELECT list_position(NULL, 3) p",
+    ):
+        _check(engine, duck, q)
+    # element ORDER of list_distinct is hash-arbitrary in DuckDB and
+    # first-seen in Spark (documented §2.4) — compare through list_sort
+    _check(engine, duck,
+           "SELECT list_sort(list_distinct([1,2,2,NULL])) d")
+
+
+def test_arg_minmax_skip_null_values(engine, duck):
+    """arg_max/arg_min/max_by/min_by skip rows where EITHER argument
+    is NULL [measured: arg_min(v,k) over ('a',1),(NULL,0) → 'a'];
+    Spark's min_by returns the NULL value sitting at the winning
+    key."""
+    for q in (
+        "SELECT arg_min(v, k) a FROM (VALUES ('a',1),('b',3),(NULL,0))"
+        " t(v,k)",
+        "SELECT arg_min(v, k) a FROM (VALUES ('a',NULL),('b',3),"
+        "('c',2)) t(v,k)",
+        "SELECT min_by(v, k) a FROM (VALUES ('a',1),(NULL,0)) t(v,k)",
+        "SELECT arg_max(v, k) a FROM (VALUES (NULL,9),('b',3)) t(v,k)",
+        "SELECT max_by(v, k) a FROM (VALUES (NULL,9),('b',3)) t(v,k)",
+        "SELECT arg_max(v, k) a FROM (VALUES (CAST(NULL AS VARCHAR),9))"
+        " t(v,k)",
+        "SELECT g, arg_max(v, k) a FROM (VALUES (1,'a',1),(1,NULL,5),"
+        "(2,'z',1)) t(g,v,k) GROUP BY g ORDER BY g",
+    ):
+        _check(engine, duck, q)
+
+
+def test_json_array_heterogeneous(engine, duck):
+    """json_array converts each element INDEPENDENTLY in DuckDB
+    [measured: json_array(1, 'a') → '[1,"a"]', NULL → literal null,
+    zero args → '[]']; the old array()-based emission was a loud
+    analysis error on mixed types."""
+    for q in (
+        "SELECT json_array(1, 'a') a",
+        "SELECT json_array(1, NULL, 'a', [1,2]) a",
+        "SELECT json_array() a",
+        "SELECT json_array(42) a",
+        "SELECT json_array(true, 1.5) a",
+    ):
+        _check(engine, duck, q)
+
+
+def test_time_bucket_quoted_unit_width(engine, duck):
+    """time_bucket accepts the quoted-unit width spelling
+    (INTERVAL '15 minutes') — the old regex wanted the unit outside
+    the quotes and silently fell through to a loud error."""
+    for q in (
+        "SELECT time_bucket(INTERVAL '15 minutes', "
+        "TIMESTAMP '2024-06-05 01:22:03') b",
+        "SELECT time_bucket(INTERVAL 15 MINUTE, "
+        "TIMESTAMP '2024-06-05 01:22:03') b",
+        "SELECT time_bucket(INTERVAL '1 week', DATE '2024-06-05') b",
+        "SELECT time_bucket(INTERVAL '90 seconds', "
+        "TIMESTAMP '2024-06-05 01:22:03') b",
+        "SELECT time_bucket(INTERVAL '2 days', DATE '2024-06-05', "
+        "DATE '2024-06-01') b",
+    ):
+        _check(engine, duck, q)
+
+
+def test_natural_join_no_shared_columns_refuses(engine, duck):
+    """NATURAL JOIN with zero shared column names: DuckDB Binder
+    Error; Spark silently CROSS-joins — the engine refuses when both
+    operands are registered tables with provably disjoint schemas."""
+    q = "SELECT * FROM region NATURAL JOIN nation"
+    with pytest.raises(_duckdb.Error):
+        duck.execute(q).fetchall()
+    with pytest.raises(ValueError, match="NATURAL JOIN"):
+        engine.sql(q, dialect="duckdb")
+    # a REAL natural join (shared column) still works in both
+    _check(engine, duck,
+           "SELECT n_name, s_name FROM "
+           "(SELECT n_nationkey AS k, n_name FROM nation) a "
+           "NATURAL JOIN "
+           "(SELECT s_nationkey AS k, s_name FROM supplier) b "
+           "ORDER BY n_name, s_name LIMIT 5")
