@@ -1738,6 +1738,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         r"string_to_array|regexp_split_to_array|"
                         r"flatten|slice|list_transform|list_filter|"
                         r"array_transform)\s*\(", x))
+                if is_arr and _expr_is_double_array(
+                        f"array({x[1:-1]})" if x.startswith("[")
+                        else x, column_kinds):
+                    # DOUBLE elements render shortest-round-trip in
+                    # DuckDB ('[1e+16]'; CAST says '1.0E16') — a
+                    # struct-flagged render UDF (NULL elements merge
+                    # with NaN in a bare float64 Arrow block) (r10)
+                    out.append(
+                        f"__duck_double_array_varchar__(transform"
+                        f"(({x}), __da -> struct(CAST(__da AS DOUBLE) "
+                        f"AS v, __da IS NULL AS n)))")
+                    i = parts[1] + 1
+                    changed = True
+                    continue
                 if is_arr:
                     if re.match(r"^\[\s*\[", x):
                         # one nesting level of literal arrays: inner
@@ -9628,6 +9642,63 @@ def _expr_is_dt_interval(expr: str,
             and _expr_is_timestamp(right, column_kinds))
 
 
+def _expr_is_double_array(expr: str,
+                          column_kinds: dict[str, str] | None) -> bool:
+    """Whole-expression ``array(…)`` call whose EVERY element is
+    provably DOUBLE (the list-literal rewrite runs earlier, so
+    ``[1e16]`` arrives as ``array(1e16)``)."""
+    e = expr.strip()
+    toks = tokenize(e)
+    sig = _sig(toks)
+    if (len(sig) < 3 or toks[sig[0]].kind != "ident"
+            or toks[sig[0]].text.lower() != "array"
+            or toks[sig[1]].text != "("):
+        return False
+    try:
+        close = _find_close(toks, sig[1])
+    except ValueError:
+        return False
+    if close != sig[-1]:
+        return False
+    spans = _split_args(toks, sig[1], close)
+    if not spans:
+        return False
+    texts = [_arg_text(toks, sp) for sp in spans]
+    # double wins every numeric unification: one provable DOUBLE plus
+    # int/decimal companions types the whole array DOUBLE[] in both
+    # engines [measured: [1e16, 2.5] → '[1e+16, 2.5]']
+    any_dbl = False
+    for tx in texts:
+        if _expr_is_double(tx, column_kinds):
+            any_dbl = True
+        elif not (re.fullmatch(r"(?is)NULL", tx.strip())
+                  or _expr_is_decimal(tx, column_kinds)
+                  or _numeric_class(tx, column_kinds) == "int"):
+            return False
+    return any_dbl
+
+
+def _expr_is_map(expr: str, column_kinds: dict[str, str] | None) -> bool:
+    """PROVABLY map-typed: a map()/map_from_entries() call
+    (whole-expression) or a registered map-kind column."""
+    e = expr.strip()
+    if re.fullmatch(r"[A-Za-z_]\w*", e):
+        return (column_kinds or {}).get(e.lower()) == "map"
+    m = re.fullmatch(r"[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)", e)
+    if m:
+        return (column_kinds or {}).get(m.group(1).lower()) == "map"
+    m = re.fullmatch(
+        r"(?is)(map|map_from_entries|map_from_arrays)\s*\(.*\)", e)
+    if m is None:
+        return False
+    toks = tokenize(e)
+    sig = _sig(toks)
+    try:
+        return _find_close(toks, sig[1]) == sig[-1]
+    except (ValueError, IndexError):
+        return False
+
+
 def _rewrite_interval_varchar_casts(
         sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """``CAST(interval AS VARCHAR)`` → DuckDB's interval render
@@ -9635,12 +9706,18 @@ def _rewrite_interval_varchar_casts(
     says "INTERVAL '3' DAY"]. Interval LITERALS (and the interval-form
     pass's make_interval/make_dt_interval emissions) constant-fold to
     the rendered string; provable ts−ts expressions route through the
-    __duck_dt_interval_varchar__ pandas UDF. Unprovable interval
-    sources keep Spark's render (documented)."""
+    __duck_dt_interval_varchar__ pandas UDF. Also hooks the other
+    provable non-scalar cast sources [measured r10]: TIMESTAMPTZ
+    instants gain the session-zone '+00' offset, arrays of DOUBLE
+    elements route through the r9 duck-render UDF ('[1e+16]' vs
+    Spark's '[1.0E16]'), and map()/map-kind sources render
+    '{k=v, …}' with NULL values spelled NULL (Spark: '{k -> v}').
+    Unprovable sources keep Spark's render (documented)."""
     if not re.search(r"(?i)CAST\s*\(|::", sql):
         return sql
     if not re.search(r"(?i)\bINTERVAL\b|make_(?:dt_|ym_)?interval"
-                     r"|TIMESTAMP\b|timestamp", sql):
+                     r"|TIMESTAMP\b|timestamp|\bmap\b|\barray\s*\(",
+                     sql):
         return sql
     for _ in range(50):
         toks = tokenize(sql)
@@ -9704,6 +9781,29 @@ def _rewrite_interval_varchar_casts(
                     # naive TIMESTAMP, which renders offset-less
                     sql = (detokenize(toks[:ti])
                            + f"concat(CAST(({src}) AS STRING), '+00')"
+                           + detokenize(toks[close + 1:]))
+                    done = False
+                    break
+                if _expr_is_double_array(src, column_kinds):
+                    # array of DOUBLE elements: the element render
+                    # diverges ('[1e+16]' vs Spark's '[1.0E16]') — the
+                    # r9 duck-render UDF reprs floats element-wise
+                    sql = (detokenize(toks[:ti])
+                           + f"__duck_varchar__(({src}))"
+                           + detokenize(toks[close + 1:]))
+                    done = False
+                    break
+                if _expr_is_map(src, column_kinds):
+                    # MAP→VARCHAR renders '{k=v, k2=v2}' with NULL
+                    # values spelled NULL [measured r10]; Spark says
+                    # '{k -> v}'
+                    sql = (detokenize(toks[:ti])
+                           + "(CASE WHEN (" + src + ") IS NULL THEN "
+                           + "NULL ELSE concat('{', array_join("
+                           + f"transform(map_entries(({src})), "
+                           + "__mv -> concat(CAST(__mv.key AS STRING),"
+                           + " '=', coalesce(CAST(__mv.value AS "
+                           + "STRING), 'NULL'))), ', '), '}') END)"
                            + detokenize(toks[close + 1:]))
                     done = False
                     break

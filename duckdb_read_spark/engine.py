@@ -2345,6 +2345,7 @@ class Engine:
         items = _split_top_commas(query[body_off:frm])
         call_re = re.compile(
             r"\bCOLUMNS\s*\(\s*(?:'(?P<re>[^']*)'|(?P<star>\*)"
+            r"|(?P<lst>\[[^\]]*\])"
             r"|(?P<v>[A-Za-z_]\w*)\s*->\s*(?P=v)\s+"
             r"(?P<neg>NOT\s+)?LIKE\s+'(?P<pat>[^']*)')\s*\)",
             re.IGNORECASE)
@@ -2356,6 +2357,17 @@ class Engine:
                 continue
             if m.group("star"):
                 matched = list(cols)
+            elif m.group("lst") is not None:
+                # list form COLUMNS(['a', 'b']) — exact names, declared
+                # order, each must exist (DuckDB Binder Error parity)
+                names = re.findall(r"'([^']*)'", m.group("lst"))
+                by_lower = {c.lower(): c for c in cols}
+                missing = [n for n in names if n.lower() not in by_lower]
+                if missing:
+                    raise ValueError(
+                        f"COLUMNS(list): column(s) {missing} not in "
+                        f"{mtab.group(1)!r} (has {cols})")
+                matched = [by_lower[n.lower()] for n in names]
             elif m.group("v") is not None:
                 # lambda form COLUMNS(c -> c [NOT] LIKE 'pat') — the
                 # predicate evaluates DRIVER-side against the column

@@ -882,6 +882,37 @@ def _make_duck_interval_varchar_udf():
     return {"__duck_dt_interval_varchar__": duck_dt_interval_varchar_udf}
 
 
+def _make_duck_double_array_varchar_udf():
+    """ARRAY<DOUBLE> → VARCHAR, DuckDB style: each element renders
+    shortest-round-trip ('[1e+16, 2.5]'), NULL elements uppercase
+    'NULL', real NaN 'nan'. The dialect passes array<struct<v, n>>
+    (value + IS NULL flag) because a float64 Arrow block merges NULL
+    with NaN (r10)."""
+    import math as _math
+
+    from pyspark.sql.types import StringType
+
+    def one(lst) -> str | None:
+        if lst is None:
+            return None
+        parts = []
+        for e in lst:
+            n = e["n"] if isinstance(e, dict) else e.n
+            v = e["v"] if isinstance(e, dict) else e.v
+            if n:
+                parts.append("NULL")
+            else:
+                v = float(v)
+                parts.append("nan" if _math.isnan(v) else repr(v))
+        return "[" + ", ".join(parts) + "]"
+
+    @F.pandas_udf(StringType())
+    def duck_double_array_varchar_udf(s: pd.Series) -> pd.Series:
+        return pd.Series([one(v) for v in s], dtype=object)
+
+    return {"__duck_double_array_varchar__": duck_double_array_varchar_udf}
+
+
 def _make_duck_typename_udf():
     """Spark typeof() output → DuckDB type spelling [measured r9:
     typeof(1)='INTEGER', typeof('x')='VARCHAR', typeof([1])=
@@ -1104,6 +1135,7 @@ def register_fuzzy_udfs(spark) -> dict:
            **_make_duck_varchar_udf(),
            **_make_duck_double_varchar_udf(),
            **_make_duck_interval_varchar_udf(),
+           **_make_duck_double_array_varchar_udf(),
            **_make_duck_typename_udf(),
            **_make_grapheme_udfs(),
            **_make_math_udfs()}

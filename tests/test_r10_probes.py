@@ -502,3 +502,38 @@ def test_natural_join_no_shared_columns_refuses(engine, duck):
            "NATURAL JOIN "
            "(SELECT s_nationkey AS k, s_name FROM supplier) b "
            "ORDER BY n_name, s_name LIMIT 5")
+
+
+def test_array_map_varchar_renders(engine, duck):
+    """CAST of arrays with DOUBLE elements renders shortest-round-trip
+    per element ('[1e+16, 2.5]' — one double types the whole array
+    DOUBLE[], NULLs uppercase); map casts render '{k=v, …}' with NULL
+    values spelled NULL (Spark: '{k -> v}') [all measured r10]."""
+    for q in (
+        "SELECT CAST([1e16] AS VARCHAR) a",
+        "SELECT CAST([1e16, 2.5] AS VARCHAR) a",
+        "SELECT CAST([1e16, 2] AS VARCHAR) a",
+        "SELECT CAST([1e16, NULL] AS VARCHAR) a",
+        "SELECT CAST([2.5, 1.5] AS VARCHAR) a",
+        "SELECT CAST([1, NULL, 3] AS VARCHAR) a",
+        "SELECT CAST(map([1,2],['a','b']) AS VARCHAR) m",
+        "SELECT CAST(map([1],[CAST(NULL AS VARCHAR)]) AS VARCHAR) m",
+        "SELECT CAST(map(['x y'],['a,b']) AS VARCHAR) m",
+        "SELECT CAST(map([1.5],[DATE '2024-01-01']) AS VARCHAR) m",
+        "SELECT CAST(map_from_entries([(1,'a')]) AS VARCHAR) m",
+    ):
+        _check(engine, duck, q)
+
+
+def test_columns_list_form(engine, duck):
+    """COLUMNS(['a', 'b']) — exact-name list star expansion, declared
+    order; a missing name refuses like DuckDB's Binder Error."""
+    _check(engine, duck,
+           "SELECT min(COLUMNS(['n_nationkey', 'n_regionkey'])) "
+           "FROM nation")
+    _check(engine, duck,
+           "SELECT COLUMNS(['n_name']) FROM nation "
+           "WHERE n_nationkey = 0")
+    with pytest.raises(Exception):
+        engine.sql("SELECT COLUMNS(['nope']) FROM nation",
+                   dialect="duckdb")
