@@ -674,10 +674,18 @@ _SIMPLE_RENAMES = {
     # the renamed forms re-enter the fixpoint and pick up those rewrites
     "datesub": "date_sub",
     "datediff": "date_diff",
+    # ClickHouse-compat + array_/list_ alias tails (r10 catalog sweep)
+    "formatreadablesize": "format_bytes",
+    "current_localtimestamp": "localtimestamp",
+    "array_indexof": "list_indexof",
+    "array_resize": "list_resize",
+    "array_reverse_sort": "list_reverse_sort",
+    "array_select": "list_select",
+    "array_where": "list_where",
     # group_concat = string_agg (incl. the 1-arg ',' default) — the
     # renamed form re-enters the fixpoint and picks up that rewrite
     "group_concat": "string_agg",
-    "epoch_us": "unix_micros",
+    # epoch_us handled as a branch (DATE args need a TIMESTAMP cast)
     # bare week() is ISO week in both engines [measured: week(DATE
     # '2024-01-01') = 1, week(DATE '2022-01-01') = 52 = Spark
     # weekofyear]; Spark has no bare week() function
@@ -730,6 +738,17 @@ _TB_UNIT_US = {
     "day": 86_400_000_000, "days": 86_400_000_000,
     "week": 604_800_000_000, "weeks": 604_800_000_000,
 }
+
+
+def _strptime_year_shift(emission: str, raw_fmt: str) -> str:
+    """DuckDB strptime defaults MISSING fields from 1900-01-01
+    [measured r10: strptime('05', '%m') → 1900-05-01, literal-only
+    format → 1900-01-01]; Spark's to_timestamp defaults from 1970 —
+    a year-less format shifts the result back 70 years (exact: year
+    arithmetic, month/day preserved)."""
+    if re.search(r"%-?[YyG]", raw_fmt):
+        return emission
+    return f"({emission} + INTERVAL '-70' YEAR)"
 
 
 def _time_bucket_expr(toks, parts, column_kinds) -> str | None:
@@ -2928,10 +2947,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "epoch_ns" and parts and len(parts[2]) == 1:
+        if name in ("epoch_ns", "epoch_us") and parts \
+                and len(parts[2]) == 1:
+            # DATE args need the TIMESTAMP cast (r10: unix_micros(DATE)
+            # is a type mismatch; DuckDB accepts DATE for the whole
+            # epoch_* family)
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
-            out.append(f"(unix_micros({e}) * 1000)")
+            mul = " * 1000" if name == "epoch_ns" else ""
+            out.append(f"(unix_micros(CAST({e} AS TIMESTAMP)){mul})")
             i = close + 1
             changed = True
             continue
@@ -3650,6 +3674,51 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if (name in ("greatest", "least") and parts
+                and len(parts[2]) == 1):
+            # 1-arg form is the identity in DuckDB [measured:
+            # greatest(7) = 7]; Spark requires two args
+            out.append(f"({_arg_text(toks, parts[2][0])})")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name == "format" and parts and len(parts[2]) == 1
+                and _arg_text(toks, parts[2][0]).strip().startswith("'")
+                and "{" not in _arg_text(toks, parts[2][0]).replace(
+                    "{{", "").replace("}}", "")):
+            # 1-arg form: no placeholders — the template IS the result
+            # with doubled braces unescaped [measured: format('{{}}') →
+            # '{}']
+            lit = _arg_text(toks, parts[2][0]).strip()
+            body = lit[1:-1].replace("{{", "{").replace("}}", "}")
+            out.append("'" + body + "'")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "to_binary" and parts and len(parts[2]) == 1:
+            # DuckDB to_binary(VARCHAR) is the VARCHAR→BIT cast: the
+            # UTF-8 BYTES as a 0/1 text [measured: 'abc' →
+            # '011000010110001001100011']; Spark's to_binary is a
+            # hex/base64 decoder — silent wrong answer
+            out.append(
+                f"__duck_to_bit__({_arg_text(toks, parts[2][0])})")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name == "current_schemas" and parts
+                and len(parts[2]) == 1
+                and _arg_text(toks, parts[2][0]).strip().lower()
+                in ("true", "false")):
+            # search-path introspection [measured: true → ['main',
+            # 'main', 'main', 'pg_catalog'], false → []]
+            if _arg_text(toks, parts[2][0]).strip().lower() == "true":
+                out.append("array('main', 'main', 'main', "
+                           "'pg_catalog')")
+            else:
+                out.append("array()")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name == "format" and parts and len(parts[2]) >= 2:
             # DuckDB format() is fmt-style ('{} {:.2f} {:>8}'); Spark's
             # format_string is printf-style. Translate a LITERAL format
@@ -4199,10 +4268,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             s_ = _arg_text(toks, spans[0])
             f_ = _arg_text(toks, spans[1]).strip()
+            raw_f = f_
             if f_.startswith("'") and f_.endswith("'"):
                 f_ = ("'" + _sql_quote(
                     convert_strftime_format(f_[1:-1])) + "'")
-            out.append(f"try_to_timestamp({s_}, {f_})")
+            out.append(_strptime_year_shift(
+                f"try_to_timestamp({s_}, {f_})", raw_f))
             i = close + 1
             changed = True
             continue
@@ -4575,8 +4646,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             lo = _arg_text(toks, spans[1])
             hi = _arg_text(toks, spans[2])
             w = _arg_text(toks, spans[3]) if len(parts[2]) == 4 else "80"
-            chars = (f"least(greatest((({x}) - ({lo})) * ({w}) / "
-                     f"(({hi}) - ({lo})), CAST(0 AS DOUBLE)), "
+            # try_divide: a zero-width range (max == min) renders an
+            # EMPTY bar in DuckDB, not a divide-by-zero error (r10)
+            chars = (f"least(greatest(coalesce(try_divide((({x}) - "
+                     f"({lo})) * ({w}), ({hi}) - ({lo})), "
+                     f"CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)), "
                      f"CAST(({w}) AS DOUBLE))")
             full = f"CAST(floor({chars}) AS INT)"
             kth = f"CAST(floor(({chars} - floor({chars})) * 8) AS INT)"
@@ -4590,6 +4664,34 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
                 f"ELSE ({body} || repeat(' ', "
                 f"greatest(0, CAST(({w}) AS INT) - {bytelen}))) END)")
+            i = close + 1
+            changed = True
+            continue
+        if (name == "formatreadabledecimalsize" and parts
+                and len(parts[2]) == 1):
+            # decimal-prefix sibling of format_bytes [measured r10:
+            # 1500 → '1.5 kB' (lowercase k), 999949999999 → '999.9 GB'
+            # truncated, 0 → '0 bytes', -2000 → '-2.0 kB']
+            _, close, spans = parts
+            e = f"CAST({_arg_text(toks, spans[0])} AS BIGINT)"
+            tiers = [("kB", 1000), ("MB", 1000**2), ("GB", 1000**3),
+                     ("TB", 1000**4), ("PB", 1000**5)]
+            ladder = []
+            for idx, (unit, div) in enumerate(tiers):
+                cond = (f"WHEN abs({e}) < {div * 1000} "
+                        if idx < len(tiers) - 1 else "ELSE ")
+                if idx < len(tiers) - 1:
+                    cond += "THEN "
+                ladder.append(
+                    f"{cond}(CAST(abs({e}) DIV {div} AS STRING) || "
+                    f"'.' || CAST((abs({e}) % {div}) * 10 DIV {div} "
+                    f"AS STRING) || ' {unit}')")
+            out.append(
+                f"(CASE WHEN abs({e}) = 1 THEN (CAST({e} AS STRING) || "
+                f"' byte') WHEN abs({e}) < 1000 THEN "
+                f"(CAST({e} AS STRING) || ' bytes') ELSE "
+                f"((CASE WHEN ({e}) < 0 THEN '-' ELSE '' END) || "
+                f"(CASE {' '.join(ladder)} END)) END)")
             i = close + 1
             changed = True
             continue
@@ -4729,11 +4831,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             if fmts:
                 conv = [convert_strftime_format(f.replace("''", "'"))
                         for f in fmts]
-                tries = [f"try_to_timestamp({s_}, "
-                         f"'{_sql_quote(c)}')" for c in conv]
+                tries = [_strptime_year_shift(
+                    f"try_to_timestamp({s_}, '{_sql_quote(c)}')", f)
+                    for c, f in zip(conv, fmts)]
                 if name == "strptime":
-                    tries[-1] = (f"to_timestamp({s_}, "
-                                 f"'{_sql_quote(conv[-1])}')")
+                    tries[-1] = _strptime_year_shift(
+                        f"to_timestamp({s_}, "
+                        f"'{_sql_quote(conv[-1])}')", fmts[-1])
                 out.append("coalesce(" + ", ".join(tries) + ")"
                            if len(tries) > 1 else tries[0])
                 i = close + 1
@@ -4745,10 +4849,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             expr = _arg_text(toks, spans[0])
             fmt = _arg_text(toks, spans[1])
+            raw = fmt
             if fmt.startswith("'") and fmt.endswith("'"):
                 fmt = ("'" + _sql_quote(
                     convert_strftime_format(fmt[1:-1])) + "'")
-            out.append(f"to_timestamp({expr}, {fmt})")
+            out.append(_strptime_year_shift(
+                f"to_timestamp({expr}, {fmt})", raw))
             i = close + 1
             changed = True
             continue

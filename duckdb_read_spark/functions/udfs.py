@@ -913,6 +913,22 @@ def _make_duck_double_array_varchar_udf():
     return {"__duck_double_array_varchar__": duck_double_array_varchar_udf}
 
 
+def _make_duck_to_bit_udf():
+    """VARCHAR → BIT-pattern text, DuckDB's to_binary/VARCHAR→BIT cast
+    [measured r10: 'abc' → '011000010110001001100011', 'é' →
+    '1100001110101001' — the UTF-8 BYTES as 0/1 text]."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def duck_to_bit_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None
+             else "".join(f"{b:08b}" for b in str(v).encode("utf-8"))
+             for v in s], dtype=object)
+
+    return {"__duck_to_bit__": duck_to_bit_udf}
+
+
 def _make_duck_typename_udf():
     """Spark typeof() output → DuckDB type spelling [measured r9:
     typeof(1)='INTEGER', typeof('x')='VARCHAR', typeof([1])=
@@ -1136,6 +1152,7 @@ def register_fuzzy_udfs(spark) -> dict:
            **_make_duck_double_varchar_udf(),
            **_make_duck_interval_varchar_udf(),
            **_make_duck_double_array_varchar_udf(),
+           **_make_duck_to_bit_udf(),
            **_make_duck_typename_udf(),
            **_make_grapheme_udfs(),
            **_make_math_udfs()}

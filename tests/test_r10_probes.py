@@ -537,3 +537,41 @@ def test_columns_list_form(engine, duck):
     with pytest.raises(Exception):
         engine.sql("SELECT COLUMNS(['nope']) FROM nation",
                    dialect="duckdb")
+
+
+def test_catalog_sweep_function_gaps(engine, duck):
+    """Fixes from a full duckdb_functions() catalog sweep (r10) — each
+    measured: 1-arg greatest/least identity; 1-arg format with brace
+    unescaping; formatReadableSize/DecimalSize ladders (truncated
+    decimal, lowercase kB); epoch_us/ms/ns over DATE; array_* aliases
+    of the list_* family; current_localtimestamp/current_schemas;
+    to_binary = VARCHAR→BIT 0/1 text; bar() with a zero-width range
+    renders an empty bar instead of a division error; strptime
+    defaults MISSING fields from 1900-01-01 (Spark's to_timestamp
+    defaults 1970) — year-less formats shift back 70 years."""
+    for q in (
+        "SELECT strptime('05', '%m') s",
+        "SELECT strptime('abc', 'abc') s",
+        "SELECT strptime('2024 05', '%Y %m') s",
+        "SELECT try_strptime('xyz', 'abc') s",
+        "SELECT try_strptime('05-03', ['%Y', '%m-%d']) s",
+        "SELECT epoch_us(DATE '2024-06-05') u, "
+        "epoch_ms(DATE '2024-06-05') m, epoch_ns(DATE '2024-06-05') n",
+        "SELECT greatest(7) g, least(3) l",
+        "SELECT format('abc') f1, format('{{}}') f2, "
+        "format('a{{b') f3",
+        "SELECT formatReadableSize(1048576) a, "
+        "formatReadableDecimalSize(1048576) b, "
+        "formatReadableDecimalSize(1500) c, "
+        "formatReadableDecimalSize(0) d, "
+        "formatReadableDecimalSize(-2000) e",
+        "SELECT to_binary('abc') b1, to_binary('é') b2",
+        "SELECT current_schemas(true) a, current_schemas(false) b",
+        "SELECT array_indexof([10,20], 20) a, array_resize([1], 3) b, "
+        "array_reverse_sort([1,3,2]) c, array_select([10,20,30],[2]) "
+        "d",
+        "SELECT bar(2.5, 2.5, 2.5, 2.5) ba",
+        "SELECT bar(5, 0, 10) bb",
+        "SELECT current_localtimestamp() IS NOT NULL c",
+    ):
+        _check(engine, duck, q)
