@@ -676,6 +676,8 @@ _SIMPLE_RENAMES = {
     "datediff": "date_diff",
     # ClickHouse-compat + array_/list_ alias tails (r10 catalog sweep)
     "formatreadablesize": "format_bytes",
+    "grade_up": "list_grade_up",
+    "array_grade_up": "list_grade_up",
     "current_localtimestamp": "localtimestamp",
     "array_indexof": "list_indexof",
     "array_resize": "list_resize",
@@ -1880,7 +1882,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "len" and parts:
+        if name in ("len", "length") and parts and len(parts[2]) == 1:
             # DuckDB len() covers BOTH list length and string length; Spark
             # splits these into size() and length(). A bare (optionally
             # qualified) column resolves by the registered tables' schemas
@@ -1900,9 +1902,42 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 bare = arg_toks[2].text.lower()
             kind = (column_kinds or {}).get(bare) if bare else None
             if kind in ("array", "map", "string"):
-                out.append("length" if kind == "string" else "size")
+                emitted = "length" if kind == "string" else "size"
+                out.append(emitted)
                 i += 1
-                changed = True
+                # length()→length is a no-op — flagging it as a change
+                # would loop the fixpoint (r10)
+                changed = changed or emitted != name
+                continue
+            if name == "length":
+                # plain length() keeps Spark's string semantics unless
+                # the argument is ITSELF a list (whole-expression list
+                # literal or list-returning call — a containment
+                # heuristic misfired on string emissions that merely
+                # CONTAIN 'array(', r10): DuckDB's length() is a len()
+                # alias and counts list elements
+                at = arg.strip()
+                whole_list = at.startswith("[") and at.endswith("]")
+                if not whole_list and re.match(
+                        r"(?is)(array|collect_list|collect_set|"
+                        r"sequence|flatten|sort_array|array_distinct|"
+                        r"array_sort|list_sort|list_distinct|"
+                        r"string_to_array|string_split|split|"
+                        r"regexp_split_to_array)\s*\(", at):
+                    tk2 = tokenize(at)
+                    sg2 = _sig(tk2)
+                    try:
+                        whole_list = (len(sg2) >= 3
+                                      and _find_close(tk2, sg2[1])
+                                      == sg2[-1])
+                    except (ValueError, IndexError):
+                        whole_list = False
+                if whole_list:
+                    out.append("size")
+                    changed = True
+                else:
+                    out.append(t.text)  # Spark's own length()
+                i += 1
                 continue
             listish = any(
                 k in arg
@@ -1952,6 +1987,57 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 out.append(f"(CASE WHEN size({dl}) = 0 THEN "
                            f"CAST(NULL AS DOUBLE) ELSE {body} END)")
             i = oc + 1
+            changed = True
+            continue
+        if (name in ("arg_max_null", "arg_min_null") and parts
+                and len(parts[2]) == 2):
+            # _null variants KEEP a NULL value at the winning key
+            # [measured r10: arg_max_null(d, k) over max-k row with
+            # NULL d → NULL] — exactly Spark's raw max_by/min_by
+            # (NULL keys still skip); marker dodges the NULL-skip wrap
+            v_ = _arg_text(toks, parts[2][0])
+            k_ = _arg_text(toks, parts[2][1])
+            fn2 = "max_by" if "max" in name else "min_by"
+            out.append(f"__duck_{fn2}__({v_}, {k_})")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "map" and parts and not parts[2]:
+            # zero-arg map() is the empty map [measured] — the marker
+            # dodges both the map→map_from_arrays rewrite and this
+            # branch's own fixpoint re-entry
+            out.append("__duck_map0__()")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name in ("left_grapheme", "right_grapheme") and parts
+                and len(parts[2]) == 2):
+            # grapheme-cluster left/right via substring_grapheme
+            # [measured r10: right_grapheme('héllo', 9) = whole string,
+            # left_grapheme(s, 0) = '']
+            s_ = _arg_text(toks, parts[2][0])
+            n_ = _arg_text(toks, parts[2][1])
+            if name == "left_grapheme":
+                out.append(f"substring_grapheme({s_}, 1, {n_})")
+            else:
+                out.append(
+                    f"substring_grapheme({s_}, greatest(1, "
+                    f"length_grapheme({s_}) - ({n_}) + 1), ({n_}))")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "count_star" and parts and not parts[2]:
+            out.append("count(*)")  # zero-arg spelling [measured]
+            i = parts[1] + 1
+            changed = True
+            continue
+        if name == "sem" and parts and len(parts[2]) == 1:
+            # standard error of the mean — DuckDB computes it from the
+            # POPULATION stddev [measured: sem({2.5,1.5}) = 0.35355 =
+            # stddev_pop/sqrt(n), not the textbook samp form 0.5]
+            a_ = _arg_text(toks, parts[2][0])
+            out.append(f"(stddev_pop({a_}) / sqrt(count({a_})))")
+            i = parts[1] + 1
             changed = True
             continue
         if (name in ("arg_max", "arg_min", "max_by", "min_by")
@@ -4406,8 +4492,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name in ("list_extract", "array_extract") and parts \
-                and len(parts[2]) == 2:
+        if name in ("list_extract", "array_extract", "list_element") \
+                and parts and len(parts[2]) == 2:
             # 1-based list element; measured pins: out-of-bounds -> NULL,
             # index 0 -> NULL, NEGATIVE indexes count from the back
             # (list_extract([1,2,3], -1) = 3, -5 -> NULL) — hence get()
@@ -4417,10 +4503,23 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
             idx = _arg_text(toks, spans[1])
-            out.append(
-                f"get({lst}, CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
-                f"WHEN ({idx}) < 0 THEN size({lst}) + ({idx}) "
-                f"ELSE NULL END)")
+            is_str = ((lst.strip().startswith("'")
+                       and lst.strip().endswith("'"))
+                      or (column_kinds or {}).get(
+                          lst.strip().lower()) == "string")
+            if is_str:
+                # STRING overload [measured r10: list_extract('abc',2)
+                # = 'b', -1 = 'c', out-of-range/0 = '', NULL idx NULL]
+                out.append(
+                    f"(CASE WHEN ({idx}) IS NULL THEN NULL "
+                    f"WHEN ({idx}) > 0 THEN substring({lst}, {idx}, 1) "
+                    f"WHEN ({idx}) < 0 THEN substring({lst}, "
+                    f"length({lst}) + ({idx}) + 1, 1) ELSE '' END)")
+            else:
+                out.append(
+                    f"get({lst}, CASE WHEN ({idx}) > 0 THEN ({idx}) - 1 "
+                    f"WHEN ({idx}) < 0 THEN size({lst}) + ({idx}) "
+                    f"ELSE NULL END)")
             i = close + 1
             changed = True
             continue
@@ -4804,6 +4903,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             expr = _arg_text(toks, spans[0])
             fmt = _arg_text(toks, spans[1])
+            if (expr.startswith("'") and expr.endswith("'")
+                    and "%" in expr and not fmt.startswith("'")):
+                # DuckDB also accepts strftime(fmt, ts) — the REVERSED
+                # Postgres argument order [measured r10: both orders
+                # return the same text]
+                expr, fmt = fmt, expr
             if fmt.startswith("'") and fmt.endswith("'"):
                 cc = _strftime_concat_expr(expr, fmt[1:-1])
                 if cc is not None:
@@ -8783,6 +8888,8 @@ def _rewrite_keywords(sql: str) -> str:
         elif t.text in ("__duck_max_by__", "__duck_min_by__"):
             # markers from the NULL-skipping arg_max/arg_min wrap (r10)
             t.text = t.text[7:-2]
+        elif t.text == "__duck_map0__":
+            t.text = "map"  # zero-arg empty-map marker (r10)
         elif t.text == "__duck_array_contains__":
             # marker from the contains FALSE-not-NULL wrap (r10)
             t.text = "array_contains"

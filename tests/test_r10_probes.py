@@ -575,3 +575,46 @@ def test_catalog_sweep_function_gaps(engine, duck):
         "SELECT current_localtimestamp() IS NOT NULL c",
     ):
         _check(engine, duck, q)
+
+
+def test_aggregate_catalog_gaps(engine, duck):
+    """Aggregate-catalog sweep leftovers (r10, measured):
+    arg_max_null/arg_min_null KEEP a NULL value at the winning key
+    (= Spark's raw max_by/min_by); count_star() = count(*); sem() =
+    stddev_samp / sqrt(n)."""
+    rel = ("(VALUES (1, 2.5e0), (2, 1.5e0), (3, CAST(NULL AS DOUBLE)))"
+           " t(k, d)")
+    for q in (
+        f"SELECT arg_max_null(k, d) a FROM {rel}",
+        f"SELECT arg_max_null(d, k) a FROM {rel}",
+        f"SELECT arg_min_null(d, k) a FROM {rel}",
+        f"SELECT count_star() c FROM {rel}",
+        f"SELECT sem(d) s FROM {rel}",
+        f"SELECT sem(k) s FROM {rel}",
+    ):
+        _check(engine, duck, q)
+
+
+def test_catalog_sweep_triage_two(engine, duck):
+    """Second triage pass over the catalog sweep's loud names (r10,
+    measured): strftime accepts the reversed (fmt, ts) Postgres
+    order; length() counts list elements on provable lists;
+    list_extract/list_element/array_extract over STRINGS pick 1-based
+    chars ('' out-of-range, negatives from the back); zero-arg map();
+    grade_up/array_grade_up alias list_grade_up; left/right_grapheme
+    via substring_grapheme."""
+    for q in (
+        "SELECT strftime('%Y-%m', TIMESTAMP '2024-06-05 07:08:09') s",
+        "SELECT strftime(TIMESTAMP '2024-06-05 07:08:09', '%Y-%m') s",
+        "SELECT length([1,2,3]) l, length('abc') s",
+        "SELECT list_element('abc', 2) e, list_extract('abc', -1) f, "
+        "array_extract('abc', 9) g, list_extract('abc', 0) z",
+        "SELECT list_element([10,20], 2) e",
+        "SELECT map() m",
+        "SELECT grade_up([3,1,2]) g, array_grade_up([3,1,2]) h",
+        "SELECT left_grapheme('héllo', 2) l, "
+        "right_grapheme('héllo', 2) r",
+        "SELECT left_grapheme('héllo', 0) l, "
+        "right_grapheme('héllo', 9) r",
+    ):
+        _check(engine, duck, q)
