@@ -2453,6 +2453,100 @@ def _q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q153_TEXT, dialect="duckdb")
 
 
+_Q154_TEXT = """
+SELECT nullif(n_regionkey, 2) AS g,
+       CAST(array_agg(n_name ORDER BY n_nationkey DESC)
+            FILTER (WHERE n_nationkey % 7 = 0) AS VARCHAR) AS aa,
+       string_agg(n_name, '|' ORDER BY n_nationkey) AS sa,
+       CAST(avg(n_nationkey) AS VARCHAR) AS av,
+       CAST(count(*) / 7 AS VARCHAR) AS dv,
+       sem(n_nationkey) AS se,
+       arg_max_null(n_name, n_nationkey) AS amx,
+       count_star() AS cs
+FROM nation
+GROUP BY g
+ORDER BY g
+"""
+
+
+@_op("q154_nulls_order_empty_aggs", _Q154_TEXT,
+     note="r10 tranche as one verbatim query: bare ASC ORDER BY over a "
+          "NULL-bearing key (DuckDB NULLS LAST default), fully-FILTERed "
+          "array_agg groups → NULL (not []), avg/'/' → DOUBLE renders, "
+          "sem (stddev_pop/sqrt n), arg_max_null, count_star")
+def _q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q154_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q154_TEXT, dialect="duckdb")
+
+
+_Q155_TEXT = """
+SELECT n_nationkey AS k,
+       CAST(INTERVAL '14 months' AS VARCHAR) AS ym,
+       CAST(INTERVAL 90 MINUTE AS VARCHAR) AS dt,
+       CAST((TIMESTAMP '2024-01-03 05:00:00'
+             - TIMESTAMP '2024-01-01 02:30:00') AS VARCHAR) AS diff,
+       INTERVAL '1 month' = INTERVAL '30 days' AS cmp,
+       DATE '2024-01-31' + INTERVAL '1 month 2 days' AS promo,
+       time_bucket(INTERVAL '15 minutes',
+                   TIMESTAMP '2024-06-05 01:22:03') AS tb
+FROM nation WHERE n_nationkey < 3 ORDER BY k
+"""
+
+
+@_op("q155_interval_surface", _Q155_TEXT,
+     note="r10 interval tranche verbatim: component renders "
+          "('1 year 2 months', '01:30:00', ts−ts day-time), "
+          "cross-class literal comparison (1 month = 30 days), mixed "
+          "ym+dt literal arithmetic promoting DATE→TIMESTAMP, "
+          "quoted-unit time_bucket width")
+def _q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q155_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q155_TEXT, dialect="duckdb")
+
+
+_Q156_TEXT = """
+SELECT n_nationkey AS k,
+       strftime('%Y-%m', DATE '2024-06-05') AS sf,
+       strptime('05 2024', '%m %Y') AS sp,
+       strptime('07', '%m') AS sp1900,
+       formatReadableDecimalSize(n_nationkey * 123456) AS frd,
+       format_bytes(n_nationkey * 123456) AS fb,
+       list_extract(n_name, 2) AS ch,
+       left_grapheme(n_name, 3) AS lg,
+       greatest(n_nationkey) AS g1,
+       to_binary(substring(n_name, 1, 2)) AS tb
+FROM nation WHERE n_nationkey < 5 ORDER BY k
+"""
+
+
+@_op("q156_catalog_sweep_fns", _Q156_TEXT,
+     note="r10 catalog-sweep functions verbatim: reversed-order "
+          "strftime, strptime 1900 default for year-less formats, "
+          "formatReadable ladders, string list_extract, "
+          "left_grapheme, 1-arg greatest, VARCHAR→BIT to_binary")
+def _q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q156_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q156_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
