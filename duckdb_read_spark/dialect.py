@@ -9150,23 +9150,55 @@ def _rewrite_using_sample(sql: str) -> str:
             consumed = i + 1
             continue
         nums = sig[pos + 2]
-        if toks[nums].kind != "num":
+        if (toks[nums].kind == "ident"
+                and toks[nums].text.lower() in ("reservoir", "bernoulli",
+                                                "system")
+                and pos + 3 < len(sig)
+                and toks[sig[pos + 3]].text == "("):
+            # method-form ROW sample: USING SAMPLE reservoir(5 ROWS)
+            # [REPEATABLE (seed)] → TABLESAMPLE (5 ROWS) — exact row
+            # COUNT in both engines; which rows land is engine-RNG-
+            # specific by nature, so the seed drops (r10). The PERCENT
+            # method forms stay loud (documented residue — reservoir %
+            # is an exact fraction in DuckDB, approximate here).
+            close = _find_close(toks, sig[pos + 3])
+            inner = [k for k in range(sig[pos + 3] + 1, close)
+                     if toks[k].kind not in ("ws", "comment")]
+            ok_rows = (len(inner) == 2 and toks[inner[0]].kind == "num"
+                       and toks[inner[1]].kind == "ident"
+                       and toks[inner[1]].text.upper() == "ROWS")
+            if not ok_rows:
+                out.append(t)
+                consumed = i + 1
+                continue
+            n = toks[inner[0]].text
+            unit = "ROWS"
+            end = close + 1
+            q2 = pos + 3
+            while q2 < len(sig) and sig[q2] <= close:
+                q2 += 1
+            if (q2 + 1 < len(sig) and toks[sig[q2]].kind == "ident"
+                    and toks[sig[q2]].text.upper() == "REPEATABLE"
+                    and toks[sig[q2 + 1]].text == "("):
+                end = _find_close(toks, sig[q2 + 1]) + 1
+        elif toks[nums].kind != "num":
             out.append(t)
             consumed = i + 1
             continue
-        n = toks[nums].text
-        end = nums + 1
-        unit = "ROWS"
-        j = pos + 3
-        if j < len(sig) and toks[sig[j]].text == "%":
-            unit, end = "PERCENT", sig[j] + 1
-            j += 1
-        elif j < len(sig) and toks[sig[j]].kind == "ident" \
-                and toks[sig[j]].text.upper() in ("PERCENT", "ROWS"):
-            unit, end = toks[sig[j]].text.upper(), sig[j] + 1
-            j += 1
-        if j < len(sig) and toks[sig[j]].text == "(":
-            end = _find_close(toks, sig[j]) + 1  # drop (bernoulli) etc.
+        else:
+            n = toks[nums].text
+            end = nums + 1
+            unit = "ROWS"
+            j = pos + 3
+            if j < len(sig) and toks[sig[j]].text == "%":
+                unit, end = "PERCENT", sig[j] + 1
+                j += 1
+            elif j < len(sig) and toks[sig[j]].kind == "ident" \
+                    and toks[sig[j]].text.upper() in ("PERCENT", "ROWS"):
+                unit, end = toks[sig[j]].text.upper(), sig[j] + 1
+                j += 1
+            if j < len(sig) and toks[sig[j]].text == "(":
+                end = _find_close(toks, sig[j]) + 1  # drop (bernoulli)
         # Spark requires TABLESAMPLE BEFORE the table alias (measured:
         # `FROM (…) x TABLESAMPLE (…)` is PARSE_SYNTAX_ERROR, judge
         # probe r7) — if `[AS] alias` directly precedes USING SAMPLE,
@@ -9258,13 +9290,31 @@ def _rewrite_pivot(sql: str) -> str:
          if upper(k2) == "GROUP" and depths[sig[k2]] == 0),
         None,
     )
-    agg_end = sig[group_k] if group_k is not None else len(toks)
-    agg = detokenize(toks[sig[using_k + 1]:agg_end]).strip()
-    pivot_rel = f"PIVOT ({agg} FOR {on_col} IN {values})"
+    # a trailing ORDER BY/LIMIT/OFFSET belongs OUTSIDE the rewritten
+    # relation (r10: it was glued into the agg/group-col text, a loud
+    # parse error)
+    def _tail_k(start: int) -> int | None:
+        return next(
+            (k2 for k2 in range(start, len(sig))
+             if upper(k2) in ("ORDER", "LIMIT", "OFFSET")
+             and depths[sig[k2]] == 0), None)
+
     if group_k is None:
-        return f"SELECT * FROM {table} {pivot_rel}"
+        tk = _tail_k(using_k + 1)
+        agg_end = sig[tk] if tk is not None else len(toks)
+        tail = (" " + detokenize(toks[sig[tk]:]).strip()
+                if tk is not None else "")
+        agg = detokenize(toks[sig[using_k + 1]:agg_end]).strip()
+        pivot_rel = f"PIVOT ({agg} FOR {on_col} IN {values})"
+        return f"SELECT * FROM {table} {pivot_rel}{tail}"
+    agg = detokenize(toks[sig[using_k + 1]:sig[group_k]]).strip()
+    pivot_rel = f"PIVOT ({agg} FOR {on_col} IN {values})"
     by_k = group_k + 1  # BY
-    group_cols = detokenize(toks[sig[by_k + 1]:]).strip()
+    tk = _tail_k(by_k + 1)
+    g_end = sig[tk] if tk is not None else len(toks)
+    tail = (" " + detokenize(toks[sig[tk]:]).strip()
+            if tk is not None else "")
+    group_cols = detokenize(toks[sig[by_k + 1]:g_end]).strip()
     # columns the agg reads: idents not followed by '(' and not keywords
     agg_toks = tokenize(agg)
     agg_sig = _sig(agg_toks)
@@ -9279,7 +9329,24 @@ def _rewrite_pivot(sql: str) -> str:
                 and not (nxt and nxt.text == "(") and t.text not in agg_cols):
             agg_cols.append(t.text)
     proj = ", ".join([group_cols, on_col] + agg_cols)
-    return f"SELECT * FROM (SELECT {proj} FROM {table}) {pivot_rel}"
+    inner = f"SELECT * FROM (SELECT {proj} FROM {table}) {pivot_rel}"
+    # count-USING pivots fill EMPTY cells with 0 in DuckDB, NULL in
+    # Spark [measured r10] — wrap the known value columns in coalesce
+    # when the group columns are plain identifiers (expression groups
+    # keep Spark's NULL cells, documented)
+    gnames = [g.strip() for g in group_cols.split(",")]
+    if (re.fullmatch(r"(?is)count\s*\((?:[^()]*)\)", agg)
+            and all(re.fullmatch(r"[A-Za-z_]\w*", g) for g in gnames)):
+        vals_items = _split_brace_commas(values.strip()[1:-1])
+        coal = []
+        for v in vals_items:
+            v = v.strip()
+            nm = v[1:-1].replace("''", "'") if (
+                v.startswith("'") and v.endswith("'")) else v
+            coal.append(f"coalesce(`{nm}`, 0) AS `{nm}`")
+        outer = ", ".join(gnames + coal)
+        return f"SELECT {outer} FROM ({inner}){tail}"
+    return f"{inner}{tail}"
 
 
 _JOIN_COND_TERMINATORS = {
@@ -9542,6 +9609,74 @@ def _rewrite_window_exclude(sql: str) -> str:
     sql = re.sub(r"\s+EXCLUDE\s+NO\s+OTHERS\b", "", sql,
                  flags=re.IGNORECASE)
     out = sql
+    # --- EXCLUDE GROUP / EXCLUDE TIES over RANGE/GROUPS frames (r10):
+    # those frame kinds snap bounds to PEER boundaries, so a frame
+    # containing the current row contains its WHOLE peer group — the
+    # exclusion is then frame-agg minus the peer-group agg (plus the
+    # current row back for TIES) [measured: sum/count/avg battery;
+    # ROWS frames exclude only IN-FRAME peers and stay loud].
+    while True:
+        m = None
+        for fn, arg, fstart, o_open, o_close in _win_excl_sites(out):
+            spec = out[o_open + 1:o_close]
+            me = re.search(r"\s+EXCLUDE\s+(GROUP|TIES)\s*$", spec,
+                           re.IGNORECASE)
+            if me:
+                m = (fn, arg, fstart, o_close, spec[:me.start()],
+                     me.group(1).upper())
+                break
+        if m is None:
+            break
+        fn, arg, fstart, close_i, spec, kind = m
+        mspec = re.match(
+            r"(?is)^\s*(?:PARTITION\s+BY\s+(?P<p>.*?))?\s*"
+            r"ORDER\s+BY\s+(?P<o>.*?)\s*"
+            r"(?P<fr>(?:RANGE|GROUPS)\s+.*)$", spec)
+        if mspec is None or not _frame_contains_current(spec):
+            break  # ROWS / frameless / non-containing → the loud raise
+        # peer partition = partition keys + direction-stripped order keys
+        def _split_keys(txt: str) -> list[str]:
+            ks, d, buf = [], 0, []
+            for ch in txt:
+                if ch in "([":
+                    d += 1
+                elif ch in ")]":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    ks.append("".join(buf))
+                    buf = []
+                    continue
+                buf.append(ch)
+            ks.append("".join(buf))
+            return [k.strip() for k in ks if k.strip()]
+
+        okeys = []
+        for k in _split_keys(mspec.group("o")):
+            k = re.sub(r"(?is)\s+NULLS\s+(FIRST|LAST)\s*$", "", k)
+            k = re.sub(r"(?is)\s+(ASC|DESC)\s*$", "", k)
+            okeys.append(k.strip())
+        pkeys = (_split_keys(mspec.group("p"))
+                 if mspec.group("p") else [])
+        pov = f"OVER (PARTITION BY {', '.join(pkeys + okeys)})"
+        over = f"OVER ({spec})"
+        nn = ("1" if arg == "*"
+              else f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
+        back_c = f" + {nn}" if kind == "TIES" else ""
+        back_s = f" + coalesce({arg}, 0)" if kind == "TIES" else ""
+        if fn == "count":
+            repl = (f"(count({arg}) {over} - count({arg}) {pov}"
+                    f"{back_c})")
+        else:
+            cnt = (f"(count({arg}) {over} - count({arg}) {pov}"
+                   f"{back_c})")
+            ssum = (f"(sum({arg}) {over} - "
+                    f"coalesce(sum({arg}) {pov}, 0){back_s})")
+            if fn == "sum":
+                repl = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
+            else:   # avg
+                repl = (f"(CASE WHEN {cnt} = 0 THEN NULL "
+                        f"ELSE CAST({ssum} AS DOUBLE) / {cnt} END)")
+        out = out[:fstart] + repl + out[close_i + 1:]
     while True:
         m = None
         for fn, arg, fstart, o_open, o_close in _win_excl_sites(out):
@@ -9581,10 +9716,12 @@ def _rewrite_window_exclude(sql: str) -> str:
     if re.search(r"\bEXCLUDE\s+(CURRENT|GROUP|TIES)\b", out,
                  re.IGNORECASE):
         raise NotImplementedError(
-            "window frame EXCLUDE is supported only as EXCLUDE CURRENT "
-            "ROW on sum/count/avg over a plain column (exact "
-            "subtract-the-current-row rewrite); EXCLUDE GROUP/TIES and "
-            "other aggregates have no Spark equivalent")
+            "window frame EXCLUDE is supported as EXCLUDE CURRENT ROW "
+            "(any current-row-containing frame) and EXCLUDE GROUP/TIES "
+            "over RANGE/GROUPS frames containing the current row, on "
+            "sum/count/avg over a plain column; ROWS-framed GROUP/TIES "
+            "exclude only IN-FRAME peers and other aggregates have no "
+            "exact Spark rewrite")
     return out
 
 

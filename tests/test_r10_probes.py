@@ -618,3 +618,68 @@ def test_catalog_sweep_triage_two(engine, duck):
         "right_grapheme('héllo', 9) r",
     ):
         _check(engine, duck, q)
+
+
+def test_window_exclude_group_ties(engine, duck):
+    """EXCLUDE GROUP/TIES over RANGE frames containing the current row
+    (RANGE bounds snap to peer boundaries, so the frame holds the
+    WHOLE peer group): frame-agg minus peer-group-agg, plus the
+    current row back for TIES [measured battery incl. NULL values and
+    empty residuals]; ROWS-framed forms exclude only in-frame peers
+    and refuse loudly."""
+    rel = ("(VALUES (1, 1, 10.0e0),(2, 1, 20.0e0),(3, 2, 30.0e0),"
+           "(4, 2, CAST(NULL AS DOUBLE)),(5, 3, 50.0e0)) t(id, k, x)")
+    fr = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    fu = "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    for q in (
+        f"SELECT id, sum(x) OVER (ORDER BY k {fr} EXCLUDE GROUP) s "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, sum(x) OVER (ORDER BY k {fr} EXCLUDE TIES) s "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, count(x) OVER (ORDER BY k {fr} EXCLUDE GROUP) c "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, count(*) OVER (ORDER BY k {fr} EXCLUDE GROUP) c "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, count(*) OVER (ORDER BY k {fr} EXCLUDE TIES) c "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, avg(x) OVER (ORDER BY k {fr} EXCLUDE GROUP) a "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, avg(x) OVER (ORDER BY k {fu} EXCLUDE TIES) a "
+        f"FROM {rel} ORDER BY id",
+        f"SELECT id, sum(x) OVER (PARTITION BY k % 2 ORDER BY k {fr} "
+        f"EXCLUDE GROUP) s FROM {rel} ORDER BY id",
+        f"SELECT id, sum(x) OVER (ORDER BY k RANGE BETWEEN 1 "
+        f"PRECEDING AND CURRENT ROW EXCLUDE GROUP) s FROM {rel} "
+        f"ORDER BY id",
+    ):
+        _check(engine, duck, q)
+    with pytest.raises(NotImplementedError, match="EXCLUDE"):
+        engine.sql(
+            f"SELECT sum(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING "
+            f"AND CURRENT ROW EXCLUDE GROUP) s FROM {rel}",
+            dialect="duckdb")
+
+
+def test_pivot_tails_and_count_cells(engine, duck):
+    """PIVOT statement forms: a trailing ORDER BY/LIMIT belongs
+    OUTSIDE the rewritten relation (it was glued into the agg/group
+    text — loud parse error); subquery sources dynamize; count-USING
+    pivots fill empty cells with 0 like DuckDB (Spark: NULL);
+    reservoir(N ROWS) samples map to TABLESAMPLE (N ROWS) — exact row
+    count, membership engine-specific."""
+    for q in (
+        "PIVOT (SELECT n_regionkey r, n_nationkey % 3 m, "
+        "n_nationkey v FROM nation) ON m USING sum(v) GROUP BY r "
+        "ORDER BY r",
+        "PIVOT nation ON n_regionkey IN (0, 1) USING "
+        "sum(n_nationkey) GROUP BY n_name ORDER BY n_name LIMIT 4",
+        "PIVOT nation ON n_regionkey USING count(*) GROUP BY n_name "
+        "ORDER BY n_name LIMIT 3",
+        "PIVOT nation ON n_regionkey IN (0, 1) USING count(*) "
+        "GROUP BY n_name ORDER BY n_name LIMIT 4",
+        "SELECT count(*) c FROM (SELECT * FROM nation USING SAMPLE "
+        "reservoir(5 ROWS) REPEATABLE (42)) t",
+        "SELECT count(*) c FROM (SELECT * FROM nation USING SAMPLE "
+        "reservoir(7 ROWS)) t",
+    ):
+        _check(engine, duck, q)
