@@ -7037,6 +7037,28 @@ def _json_path_element(tok: Tok) -> str | None:
     return None
 
 
+def _rewrite_fetch_clause(sql: str) -> str:
+    """ANSI ``[OFFSET k ROWS] FETCH FIRST|NEXT [n] ROWS ONLY`` (DuckDB
+    accepts it; Spark's parser doesn't) → ``LIMIT n [OFFSET k]`` —
+    Spark requires LIMIT before OFFSET [measured r10: 'OFFSET 2 LIMIT
+    3' is a parse error]. String literals are skipped."""
+    if not re.search(r"(?i)\bFETCH\b|\bOFFSET\s+\d+\s+ROWS?\b", sql):
+        return sql
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        t = parts[i]
+        t = re.sub(r"(?is)\bOFFSET\s+(\d+)\s+ROWS?\s+"
+                   r"FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY",
+                   r"LIMIT \2 OFFSET \1", t)
+        t = re.sub(r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+"
+                   r"ROWS?\s+ONLY", r"LIMIT \1", t)
+        t = re.sub(r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+ROWS?\s+ONLY",
+                   "LIMIT 1", t)
+        t = re.sub(r"(?is)\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", t)
+        parts[i] = t
+    return "".join(parts)
+
+
 def _rewrite_cte_and_group_forms(sql: str) -> str:
     """Three small grammar gaps (r7 probe batch 3), all token-level:
 
@@ -10820,6 +10842,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_numeric_literal_forms(sql)
     sql = _strip_trailing_commas(sql)
+    sql = _rewrite_fetch_clause(sql)
     sql = _rewrite_cte_and_group_forms(sql)
     sql = _rewrite_like_backslash(sql)
     sql = _rewrite_pivot(sql)

@@ -2206,6 +2206,18 @@ class Engine:
             words.add(f"{a}__{b}")
         return [n for n in names if n.lower() in words]
 
+    def _describe_df(self, schema):
+        """DuckDB's DESCRIBE shape [measured r10: 6 columns
+        (column_name, column_type, null, key, default, extra), duck
+        type spellings, NULL tail]."""
+        return self.spark.createDataFrame(
+            [(f.name, _duck_type_name(f.dataType.simpleString()),
+              "YES" if f.nullable else "NO", None, None, None)
+             for f in schema.fields],
+            "column_name string, column_type string, null string, "
+            "key string, default string, extra string",
+        )
+
     def _column_kinds(self, query: str | None = None) -> dict[str, str]:
         """Lowercased column name → 'array' | 'string' | 'map' | 'date'
         — the schema knowledge behind the dialect's len() dispatch. With
@@ -2819,22 +2831,12 @@ class Engine:
         mdq = _DESCRIBE_QUERY_RE.match(query)
         if mdq:
             schema = self.sql(mdq.group("body"), dialect=dialect).schema
-            return self.spark.createDataFrame(
-                [(f.name, f.dataType.simpleString().upper(),
-                  "YES" if f.nullable else "NO")
-                 for f in schema.fields],
-                "column_name string, column_type string, null string",
-            )
+            return self._describe_df(schema)
         mdesc = _DESCRIBE_RE.match(query)
         if mdesc:
             name = mdesc.group("name")
             schema = self.table(name).schema
-            return self.spark.createDataFrame(
-                [(f.name, f.dataType.simpleString().upper(),
-                  "YES" if f.nullable else "NO")
-                 for f in schema.fields],
-                "column_name string, column_type string, null string",
-            )
+            return self._describe_df(schema)
         if _SHOW_TABLES_RE.match(query):
             names = sorted(t.name for t in self.spark.catalog.listTables())
             return self.spark.createDataFrame(

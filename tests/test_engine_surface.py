@@ -571,9 +571,12 @@ def test_describe_and_show_tables(engine):
     rows = engine.sql("DESCRIBE region").collect()
     assert [r["column_name"] for r in rows] == engine.table("region").columns
     types = {r["column_name"]: r["column_type"] for r in rows}
-    assert types["r_regionkey"] in ("INT", "BIGINT")
-    assert types["r_name"] == "STRING"
+    # r10: duck type spellings + the 6-column duck DESCRIBE shape
+    assert types["r_regionkey"] in ("INTEGER", "BIGINT")
+    assert types["r_name"] == "VARCHAR"
     assert all(r["null"] in ("YES", "NO") for r in rows)
+    assert rows[0].__fields__ == ["column_name", "column_type", "null",
+                                  "key", "default", "extra"]
     assert engine.sql("DESC region").count() == len(rows)
     names = [r["name"] for r in engine.sql("SHOW TABLES").collect()]
     assert "lineitem" in names and names == sorted(names)

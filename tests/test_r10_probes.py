@@ -683,3 +683,24 @@ def test_pivot_tails_and_count_cells(engine, duck):
         "reservoir(7 ROWS)) t",
     ):
         _check(engine, duck, q)
+
+
+def test_fetch_clause_and_describe_shape(engine, duck):
+    """ANSI FETCH FIRST/NEXT n ROWS ONLY (with the OFFSET k ROWS
+    prefix) maps to LIMIT/OFFSET in Spark's required order; DESCRIBE
+    emits DuckDB's 6-column shape with duck type spellings [measured:
+    (column_name, column_type, null, key, default, extra)]."""
+    for q in (
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "FETCH FIRST 3 ROWS ONLY",
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY",
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "FETCH FIRST ROW ONLY",
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "OFFSET 23 ROWS",
+        "SELECT 'FETCH FIRST 3 ROWS ONLY' s",
+        "DESCRIBE SELECT n_nationkey, n_name FROM nation",
+        "DESCRIBE nation",
+    ):
+        _check(engine, duck, q)
