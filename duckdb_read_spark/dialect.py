@@ -676,6 +676,10 @@ _SIMPLE_RENAMES = {
     "datediff": "date_diff",
     # ClickHouse-compat + array_/list_ alias tails (r10 catalog sweep)
     "formatreadablesize": "format_bytes",
+    # byte-based distance [measured: levenshtein('é','e') = 2]; Spark's
+    # builtin counts characters
+    "levenshtein": "__duck_levenshtein__",
+    "editdist3": "__duck_levenshtein__",
     "grade_up": "list_grade_up",
     "array_grade_up": "list_grade_up",
     "current_localtimestamp": "localtimestamp",

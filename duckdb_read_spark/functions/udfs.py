@@ -130,22 +130,56 @@ def _pairwise(a: pd.Series, b: pd.Series, fn, null=None):
         for x, y in zip(a, b)], dtype="object")
 
 
+def _levenshtein(s, t) -> int:
+    """Plain Levenshtein DP (operands are byte strings — see below)."""
+    ls, lt = len(s), len(t)
+    if not ls:
+        return lt
+    if not lt:
+        return ls
+    prev = list(range(lt + 1))
+    for i in range(1, ls + 1):
+        cur = [i] + [0] * lt
+        for j in range(1, lt + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (s[i - 1] != t[j - 1]))
+        prev = cur
+    return prev[lt]
+
+
+# DuckDB's string-distance family measures BYTES, not characters
+# [measured r10: levenshtein('é','e') = 2, damerau_levenshtein same,
+# jaro_similarity('éa','ea') = 0.0 — 'é' is two UTF-8 bytes]; the
+# char-based forms silently under-count on non-ASCII text.
 @F.pandas_udf(DoubleType())
 def jaro_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
-    """X1: DuckDB jaro_similarity (fuzzy-matching surface)."""
-    return _pairwise(a, b, _jaro).astype("float64")
+    """X1: DuckDB jaro_similarity (fuzzy-matching surface; bytes)."""
+    return _pairwise(
+        a, b, lambda x, y: _jaro(x.encode(), y.encode())
+    ).astype("float64")
 
 
 @F.pandas_udf(DoubleType())
 def jaro_winkler_similarity(a: pd.Series, b: pd.Series) -> pd.Series:
-    """X1: DuckDB jaro_winkler_similarity (fuzzy-matching surface)."""
-    return _pairwise(a, b, _jaro_winkler).astype("float64")
+    """X1: DuckDB jaro_winkler_similarity (bytes)."""
+    return _pairwise(
+        a, b, lambda x, y: _jaro_winkler(x.encode(), y.encode())
+    ).astype("float64")
 
 
 @F.pandas_udf(LongType())
 def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
-    """X1: DuckDB damerau_levenshtein (full DL, not OSA)."""
-    return _pairwise(a, b, _damerau_levenshtein)
+    """X1: DuckDB damerau_levenshtein (full DL, not OSA; bytes)."""
+    return _pairwise(
+        a, b, lambda x, y: _damerau_levenshtein(x.encode(), y.encode()))
+
+
+@F.pandas_udf(LongType())
+def levenshtein_bytes(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DuckDB levenshtein/editdist3 (bytes — Spark's builtin counts
+    characters)."""
+    return _pairwise(
+        a, b, lambda x, y: _levenshtein(x.encode(), y.encode()))
 
 
 @F.pandas_udf(LongType())
@@ -1145,6 +1179,7 @@ def register_fuzzy_udfs(spark) -> dict:
     fns = {"jaro_similarity": jaro_similarity,
            "jaro_winkler_similarity": jaro_winkler_similarity,
            "damerau_levenshtein": damerau_levenshtein,
+           "__duck_levenshtein__": levenshtein_bytes,
            "gcd": gcd_udf, "lcm": lcm_udf,
            "age": _make_age_udf(), **_make_unicode_udfs(),
            **_make_regexp_escape_udf(),

@@ -704,3 +704,25 @@ def test_fetch_clause_and_describe_shape(engine, duck):
         "DESCRIBE nation",
     ):
         _check(engine, duck, q)
+
+
+def test_string_distances_are_byte_based(engine, duck):
+    """DuckDB's string-distance family measures UTF-8 BYTES, not
+    characters [measured: levenshtein('é','e') = 2,
+    jaro_similarity('éa','ea') = 0.0] — the char-based forms silently
+    under-count on non-ASCII text."""
+    for q in (
+        "SELECT levenshtein('héllo', 'hello') a, "
+        "levenshtein('abc', '') b, levenshtein('', '') c, "
+        "levenshtein(NULL, 'a') d",
+        "SELECT editdist3('héllo', 'hello') a, "
+        "levenshtein('kitten', 'sitting') b",
+        "SELECT damerau_levenshtein('é', 'e') a, "
+        "damerau_levenshtein('ca', 'abc') b",
+        "SELECT jaro_similarity('éa', 'ea') a, "
+        "jaro_similarity('martha', 'marhta') b",
+        "SELECT jaro_winkler_similarity('martha', 'marhta') a, "
+        "jaro_winkler_similarity('é', 'e') b",
+        "SELECT levenshtein('👍', 'x') a",
+    ):
+        _check(engine, duck, q)
