@@ -113,19 +113,36 @@ def _meta_at(table_dir: str, version: int | None = None) -> dict | None:
     (r10). Falls back to the checkpoint's metaData when the JSON prefix
     was cleaned up."""
     versions0 = _list_versions(table_dir)
-    last0 = ((versions0[-1] if versions0 else -1)
-             if version is None else version - 1)
+    ckpt = _read_checkpoint(table_dir)
+    if version is None:
+        # mirror delta_snapshot's newest computation: a checkpoint-only
+        # table (every JSON commit cleaned up) still has a newest
+        # version — the checkpoint's (ADVICE r10: last0 = -1 here made
+        # `ckpt[0] <= last0` false, silently dropping the checkpoint
+        # metaData and reading columnMapping tables with cm_mode='none')
+        if versions0:
+            last0 = versions0[-1]
+        elif ckpt is not None:
+            last0 = ckpt[0]
+        else:
+            return None
+    else:
+        last0 = version - 1
     meta = None
+    meta_v = -1
     for v in versions0:
         if v > last0:
             break
         for a in _read_actions(table_dir, v):
             if "metaData" in a:
                 meta = a["metaData"]
-    if meta is None:
-        ckpt = _read_checkpoint(table_dir)
-        if ckpt is not None and ckpt[0] <= last0:
-            meta = ckpt[2]
+                meta_v = v
+    # prefer the checkpoint metaData when it is NEWER than the newest
+    # surviving JSON commit that carried one (the rename could live in
+    # a cleaned-up commit the checkpoint has absorbed)
+    if (ckpt is not None and ckpt[0] <= last0 and ckpt[2] is not None
+            and ckpt[0] > meta_v):
+        meta = ckpt[2]
     return meta
 
 

@@ -397,6 +397,22 @@ def _span_is_instant_typed(toks: list[Tok], span: tuple[int, int]) -> bool:
     if texts[0] in ("NOW", "CURRENT_TIMESTAMP", "GET_CURRENT_TIMESTAMP",
                     "TRANSACTION_TIMESTAMP"):
         return True
+    # TIMESTAMPTZ-returning constructors [measured r11: to_timestamp(
+    # 1718000000) and make_timestamptz(…) render '…+00'; epoch_ms and
+    # make_timestamp are naive]. Only a WHOLE-span call counts, and
+    # to_timestamp only in its 1-arg epoch-seconds form — the 2-arg
+    # form is the strptime rewrite's Spark-native (naive) emission.
+    if (texts[0] in ("TO_TIMESTAMP", "MAKE_TIMESTAMPTZ",
+                     "__MAKE_TIMESTAMPTZ__", "__DUCK_INSTANT__")
+            and len(sig) >= 3 and toks[sig[1]].text == "("):
+        try:
+            close = _find_close(toks, sig[1])
+        except ValueError:
+            return False
+        if close == sig[-1]:
+            if texts[0] != "TO_TIMESTAMP":
+                return True
+            return len(_split_args(toks, sig[1], close)) == 1
     return False
 
 
@@ -668,8 +684,11 @@ _SIMPLE_RENAMES = {
     "from_base64": "unbase64",   # BLOB out on both [measured r9]
     # session-zone instant constructors: the naive-UTC carrier IS the
     # instant (session TZ pinned UTC); 1-arg micros / 6-arg components
-    # re-enter make_timestamp's own rewrites [measured r9]
-    "make_timestamptz": "make_timestamp",
+    # re-enter make_timestamp's own rewrites [measured r9]. The marker
+    # (renamed to make_timestamp in _rewrite_keywords) keeps the
+    # TIMESTAMPTZ-ness visible to _span_is_instant_typed so a
+    # ::VARCHAR render appends DuckDB's '+00' offset (r11)
+    "make_timestamptz": "__make_timestamptz__",
     # datesub/datediff are spelled-together aliases of date_sub/date_diff;
     # the renamed forms re-enter the fixpoint and pick up those rewrites
     "datesub": "date_sub",
@@ -751,8 +770,16 @@ def _strptime_year_shift(emission: str, raw_fmt: str) -> str:
     [measured r10: strptime('05', '%m') → 1900-05-01, literal-only
     format → 1900-01-01]; Spark's to_timestamp defaults from 1970 —
     a year-less format shifts the result back 70 years (exact: year
-    arithmetic, month/day preserved)."""
-    if re.search(r"%-?[YyG]", raw_fmt):
+    arithmetic, month/day preserved). Only a string-LITERAL format can
+    prove the year directive absent — a non-literal format (column,
+    parameter) has no ``%`` in its SQL text, and shifting it
+    unconditionally would return timestamps 70 years early whenever
+    the runtime format DOES carry a year (ADVICE r10); such formats
+    pass through unshifted (documented divergence: a year-less
+    dynamic format then defaults from 1970, not 1900)."""
+    f = raw_fmt.strip()
+    is_literal = len(f) >= 2 and f[0] in "'\"" and f[-1] == f[0]
+    if not is_literal or re.search(r"%-?[YyG]", f):
         return emission
     return f"({emission} + INTERVAL '-70' YEAR)"
 
@@ -956,6 +983,66 @@ def _try_interval_epoch(expr: str) -> str | None:
     seconds = (q * 31_557_600 + (months - q * 12) * 2_592_000
                + days * 86_400 + micros / 1e6)
     return f"CAST({seconds!r} AS DOUBLE)"
+
+
+def _try_interval_field(field: str, expr: str) -> str | None:
+    """Constant-fold ``extract(field FROM INTERVAL …)`` for LITERAL
+    intervals on DuckDB's three-field storage model (months, days,
+    micros) [measured r11]: components are NOT normalized across
+    fields — hour(INTERVAL '26:30:00') = 26 (hours unbounded inside
+    micros; Spark folds 26 h into 1 d 2 h), day('400 days') = 400,
+    year = months ÷ 12 truncating toward zero, month = the remainder,
+    minute/second/millisecond/microsecond live within the next-coarser
+    micros unit (millisecond INCLUDES the seconds digits: '…:45.123'
+    → 45123), decade/century/millennium divide months, quarter =
+    trunc(rem_months/3) + 1 ('-11 months' → -2). All BIGINT. Returns
+    None for non-literal operands (documented divergence) and for
+    fields DuckDB itself rejects on intervals (dow/week/isoyear…)."""
+    parsed = _parse_interval_literal(expr)
+    if parsed is None:
+        return None
+    months, days, micros = parsed
+    micros = int(micros)
+
+    def trunc_div(a: float | int, b: int) -> int:
+        return int(a / b)
+
+    f = {
+        "years": "year", "y": "year", "yr": "year", "yrs": "year",
+        "months": "month", "mon": "month", "mons": "month",
+        "days": "day", "d": "day",
+        "hours": "hour", "h": "hour", "hr": "hour", "hrs": "hour",
+        "minutes": "minute", "m": "minute", "min": "minute",
+        "mins": "minute",
+        "seconds": "second", "s": "second", "sec": "second",
+        "secs": "second",
+        "milliseconds": "millisecond", "ms": "millisecond",
+        "microseconds": "microsecond", "us": "microsecond",
+        "decades": "decade", "centuries": "century",
+        "millenniums": "millennium", "millennia": "millennium",
+        "quarters": "quarter",
+    }.get(field, field)
+    y = trunc_div(months, 12)
+    rem_m = months - y * 12
+    hr = trunc_div(micros, 3_600_000_000)
+    rem_min_us = micros - trunc_div(micros, 60_000_000) * 60_000_000
+    val: int | None = {
+        "year": y,
+        "month": rem_m,
+        "day": days,
+        "hour": hr,
+        "minute": trunc_div(micros - hr * 3_600_000_000, 60_000_000),
+        "second": trunc_div(rem_min_us, 1_000_000),
+        "millisecond": trunc_div(rem_min_us, 1_000),
+        "microsecond": rem_min_us,
+        "decade": trunc_div(months, 120),
+        "century": trunc_div(months, 1200),
+        "millennium": trunc_div(months, 12000),
+        "quarter": trunc_div(rem_m, 3) + 1,
+    }.get(f)
+    if val is None:
+        return None
+    return f"CAST({val} AS BIGINT)"
 
 
 def _rewrite_interval_forms(sql: str) -> str:
@@ -1520,6 +1607,9 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
         const = _try_interval_epoch(expr)
         if const is not None:
             return const
+    iconst = _try_interval_field(field, expr)
+    if iconst is not None:
+        return iconst
     submin = (f"CAST(extract(__second_raw__ FROM {expr}) * 1000000 "
               f"AS BIGINT)")
     return {
@@ -2112,6 +2202,131 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     end = after[1]
             args_txt = detokenize(toks[parts[0]:parts[1] + 1])
             out.append(f"CAST(__decavg__{args_txt}{extra} AS DOUBLE)")
+            i = end + 1
+            changed = True
+            continue
+        if name == "sum" and parts and len(parts[2]) == 1:
+            # sum(DECIMAL(p,s)) is DECIMAL(38,s) in DuckDB for ANY p
+            # [measured r11: sum(DECIMAL(4,1)) → DECIMAL(38,1), same
+            # for DISTINCT and OVER () forms]; Spark uses p+10 →
+            # DECIMAL(14,1) — schema mismatch on every plain decimal
+            # sum, and premature overflow at p+10 digits. Fires only
+            # when the operand is PROVABLY decimal with a provable
+            # scale (literal / decimal-kind column / decimal cast);
+            # int operands keep the pinned sum(BIGINT)→HUGEINT
+            # overflow fence, doubles already agree. Wraps the whole
+            # aggregate incl. trailing FILTER (…) / OVER (…);
+            # __decsum__ dodges the fixpoint re-entry.
+            arg0 = _arg_text(toks, parts[2][0]).strip()
+            bare = re.sub(r"(?is)^\s*(?:DISTINCT|ALL)\b", "",
+                          arg0).strip()
+            sc = (_known_decimal_scale(bare, column_kinds)
+                  if _expr_is_decimal(bare, column_kinds) else None)
+            if sc is not None:
+                end = parts[1]
+                extra = ""
+                after = [k for k in range(end + 1, len(toks))
+                         if toks[k].kind not in ("ws", "comment")]
+                if (after and toks[after[0]].kind == "ident"
+                        and toks[after[0]].text.upper() == "FILTER"
+                        and len(after) > 1
+                        and toks[after[1]].text == "("):
+                    try:
+                        fclose = _find_close(toks, after[1])
+                    except ValueError:
+                        fclose = None
+                    if fclose is not None:
+                        extra += " FILTER " + detokenize(
+                            toks[after[1]:fclose + 1])
+                        end = fclose
+                        after = [k for k in range(end + 1, len(toks))
+                                 if toks[k].kind not in ("ws",
+                                                         "comment")]
+                if (after and toks[after[0]].kind == "ident"
+                        and toks[after[0]].text.upper() == "OVER"
+                        and len(after) > 1):
+                    nxt = toks[after[1]]
+                    if nxt.text == "(":
+                        try:
+                            oclose = _find_close(toks, after[1])
+                            extra += " OVER " + detokenize(
+                                toks[after[1]:oclose + 1])
+                            end = oclose
+                        except ValueError:
+                            pass
+                    elif nxt.kind == "ident":
+                        extra += f" OVER {nxt.text}"
+                        end = after[1]
+                # upcast the operand to DECIMAL(38,s) (lossless: same
+                # scale, max precision) so Spark accumulates at
+                # min(38, 38+10) = 38 digits — otherwise a source
+                # DECIMAL(p,s) overflows at p+10 digits where DuckDB
+                # keeps going to 38
+                kw = re.match(r"(?is)^\s*(DISTINCT|ALL)\b", arg0)
+                pre = (kw.group(1).upper() + " ") if kw else ""
+                out.append(f"CAST(__decsum__({pre}CAST(({bare}) AS "
+                           f"DECIMAL(38,{sc}))){extra} "
+                           f"AS DECIMAL(38,{sc}))")
+                i = end + 1
+                changed = True
+                continue
+        if name == "corr" and parts and len(parts[2]) == 2:
+            # corr() over zero-variance input: DuckDB → NULL [measured:
+            # constant x, or a single row]; Spark's corr divides by the
+            # moment product and throws DIVIDE_BY_ZERO under ANSI — a
+            # loud failure for a legal answer. Rebuilt as try_divide(
+            # covar_samp, stddev*stddev): mathematically Pearson's r,
+            # NULL when either stddev is 0/NULL. (covar_samp/
+            # regr_slope/regr_r2 need no guard — probed: both engines
+            # already return NULL/1.0 alike on degenerate input.)
+            # Last-ulp rendering vs DuckDB's one-pass kernel is
+            # documented float residue — DuckDB's own corr differs in
+            # the last ulp from this identity too. Trailing FILTER/
+            # OVER clauses are carried onto every sub-aggregate.
+            _, close, spans = parts
+            a = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            end = close
+            extra = ""
+            after = [k for k in range(end + 1, len(toks))
+                     if toks[k].kind not in ("ws", "comment")]
+            if (after and toks[after[0]].kind == "ident"
+                    and toks[after[0]].text.upper() == "FILTER"
+                    and len(after) > 1 and toks[after[1]].text == "("):
+                try:
+                    fclose = _find_close(toks, after[1])
+                except ValueError:
+                    fclose = None
+                if fclose is not None:
+                    extra += " FILTER " + detokenize(
+                        toks[after[1]:fclose + 1])
+                    end = fclose
+                    after = [k for k in range(end + 1, len(toks))
+                             if toks[k].kind not in ("ws", "comment")]
+            if (after and toks[after[0]].kind == "ident"
+                    and toks[after[0]].text.upper() == "OVER"
+                    and len(after) > 1):
+                nxt = toks[after[1]]
+                if nxt.text == "(":
+                    try:
+                        oclose = _find_close(toks, after[1])
+                        extra += " OVER " + detokenize(
+                            toks[after[1]:oclose + 1])
+                        end = oclose
+                    except ValueError:
+                        pass
+                elif nxt.kind == "ident":
+                    extra += f" OVER {nxt.text}"
+                    end = after[1]
+            # pairwise NULL skipping: corr drops a row when EITHER side
+            # is NULL, so each marginal stddev sees the masked operand
+            ax = (f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                  f"THEN NULL ELSE ({a}) END)")
+            bx = (f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                  f"THEN NULL ELSE ({b}) END)")
+            out.append(
+                f"try_divide(covar_samp({ax}, {bx}){extra}, "
+                f"stddev_samp({ax}){extra} * stddev_samp({bx}){extra})")
             i = end + 1
             changed = True
             continue
@@ -4090,6 +4305,21 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     i = close + 1
                     changed = True
                     continue
+        if (name in ("year", "month", "day", "hour", "minute",
+                     "second", "millisecond", "microsecond", "decade",
+                     "century", "millennium", "quarter")
+                and parts and len(parts[2]) == 1):
+            # field FUNCTIONS over interval LITERALS fold on the same
+            # three-field model as extract (hour(INTERVAL '26:30:00')
+            # = 26 in DuckDB; Spark's hour() refuses the interval) —
+            # timestamp/date operands return None here and pass through
+            iconst = _try_interval_field(
+                name, _arg_text(toks, parts[2][0]))
+            if iconst is not None:
+                out.append(iconst)
+                i = parts[1] + 1
+                changed = True
+                continue
         if name == "timezone" and parts and len(parts[2]) == 2:
             # DuckDB timezone(tz, ts) is DIRECTIONAL on the input type
             # [measured in DuckDB 1.0.0]:
@@ -4368,27 +4598,106 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             changed = True
             continue
         if name == "date_trunc" and parts and len(parts[2]) == 2:
-            # decade/century/millennium truncate by FLOOR of the year
-            # [measured: decade 2024 → 2020-01-01, century 2024 →
-            # 2000-01-01 (not the ceil-based century() FIELD, which is
-            # 21), millennium → 2000-01-01]; Spark's date_trunc returns
-            # NULL for these fields — a silent wrong answer. Other
-            # fields pass through to Spark's own date_trunc.
+            # DuckDB 1.0 date_trunc return type is decided by the FIELD,
+            # not the input [measured matrix, both DATE and TIMESTAMP
+            # inputs]: day-or-coarser fields (day/week/month/quarter/
+            # year/isoyear/decade/century/millennium + plural/short
+            # aliases) return DATE; hour-or-finer (hour/minute/second/
+            # millisecond/microsecond/epoch) return TIMESTAMP. Spark's
+            # date_trunc always returns TIMESTAMP, silently NULLs
+            # unknown fields, and lacks the DuckDB-only fields — so
+            # every literal field is normalized and re-typed here.
             _, close, spans = parts
-            fld = _arg_text(toks, spans[0]).strip().strip("'\"").lower()
+            raw_fld = _arg_text(toks, spans[0]).strip()
+            fld = raw_fld.strip("'\"").lower()
             x = _arg_text(toks, spans[1])
-            width = {"decade": 10, "century": 100,
-                     "millennium": 1000}.get(fld)
+            is_lit = raw_fld[:1] in ("'", '"')
+            width = {"decade": 10, "decades": 10,
+                     "century": 100, "centuries": 100,
+                     "millennium": 1000, "millenniums": 1000,
+                     "millennia": 1000}.get(fld)
+            spark_date_fld = {  # Spark-supported, DuckDB returns DATE
+                "day": "day", "days": "day", "d": "day",
+                "week": "week", "weeks": "week", "w": "week",
+                "month": "month", "months": "month", "mon": "month",
+                "quarter": "quarter", "quarters": "quarter",
+                "year": "year", "years": "year", "y": "year",
+            }.get(fld)
+            spark_ts_fld = {  # Spark-supported, TIMESTAMP out
+                "hour": "hour", "hours": "hour", "h": "hour",
+                "hr": "hour",
+                "minute": "minute", "minutes": "minute", "m": "minute",
+                "mins": "minute",
+                "second": "second", "seconds": "second", "s": "second",
+                "secs": "second",
+                # epoch-trunc = second-trunc [measured: '...45.123456'
+                # → '...45']
+                "epoch": "second",
+                "millisecond": "millisecond",
+                "milliseconds": "millisecond", "ms": "millisecond",
+                "microsecond": "microsecond",
+                "microseconds": "microsecond", "us": "microsecond",
+            }.get(fld)
             if width is not None:
-                # TIMESTAMP out, like Spark's own date_trunc fields —
-                # DuckDB returns the INPUT type; that (pre-existing)
-                # divergence is §2.4.2's explicit-CAST-at-call-site
-                # class, kept consistent across fields (review r7-2)
-                out.append(f"CAST(make_date(year({x}) - pmod(year({x}), "
-                           f"{width}), 1, 1) AS TIMESTAMP)")
+                # decade/century/millennium truncate by FLOOR of the
+                # year [measured: decade 2024 → 2020-01-01, century
+                # 2024 → 2000-01-01 (not the ceil-based century()
+                # FIELD, which is 21)]; make_date returns DATE,
+                # matching DuckDB's day-or-coarser return type.
+                out.append(f"make_date(year({x}) - pmod(year({x}), "
+                           f"{width}), 1, 1)")
                 i = close + 1
                 changed = True
                 continue
+            if fld in ("isoyear", "isoyears"):
+                # start of the ISO week-numbering year = the Monday of
+                # the week containing Jan 4 [measured: '2021-01-01' →
+                # '2019-12-30'; '2023-01-01' → '2022-01-03']
+                iso = f"extract(YEAROFWEEK FROM {x})"
+                j4 = f"make_date({iso}, 1, 4)"
+                # DAYOFWEEK_ISO is 1=Monday; plain weekday()/dayofweek()
+                # spellings would be re-captured by the DuckDB
+                # Sunday-0-based rewrite on the fixpoint pass
+                out.append(f"date_sub({j4}, "
+                           f"extract(DAYOFWEEK_ISO FROM {j4}) - 1)")
+                i = close + 1
+                changed = True
+                continue
+            if spark_date_fld == "day":
+                # truncation to day IS the date part; CAST avoids
+                # re-matching this rule on the fixpoint pass
+                out.append(f"CAST({x} AS DATE)")
+                i = close + 1
+                changed = True
+                continue
+            if spark_date_fld is not None:
+                # Spark's trunc() returns DATE natively (and is a
+                # different name, so the fixpoint pass stops)
+                out.append(f"trunc(CAST({x} AS DATE), "
+                           f"'{spark_date_fld}')")
+                i = close + 1
+                changed = True
+                continue
+            if spark_ts_fld is not None and fld != spark_ts_fld:
+                # normalize alias → canonical; canonical spellings pass
+                # through untouched (Spark's date_trunc agrees:
+                # TIMESTAMP out) so the fixpoint pass terminates
+                out.append(f"date_trunc('{spark_ts_fld}', {x})")
+                i = close + 1
+                changed = True
+                continue
+            # canonical hour/minute/second/millisecond/microsecond:
+            # Spark-native (TIMESTAMP out, agreeing with DuckDB) —
+            # verbatim token copy below
+            if is_lit and spark_ts_fld is None:
+                # DuckDB errors loudly on an unrecognized specifier;
+                # Spark would silently return NULL — refuse instead.
+                raise ValueError(
+                    f"date_trunc specifier {raw_fld} is not recognized "
+                    f"(DuckDB 1.0 rejects it with a Conversion Error)")
+            # non-literal field (column/parameter): unknowable at
+            # rewrite time; pass through to Spark's date_trunc
+            # (TIMESTAMP out, NULL on unknown) — documented divergence.
         if name == "list_reverse_sort" and parts:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
@@ -4615,12 +4924,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if (name == "make_timestamp" and parts
+        if (name in ("make_timestamp", "__make_timestamptz__") and parts
                 and len(parts[2]) == 1):
             # 1-arg form: microseconds since the epoch [measured:
             # make_timestamp(1612325106123456) = 2021-02-03 04:05:06.
             # 123456; negative and NULL pass through] — Spark's
-            # timestamp_micros
+            # timestamp_micros. The timestamptz marker's 1-arg form
+            # loses its instant-ness here (render residue: no '+00'
+            # on a ::VARCHAR of make_timestamptz(micros)) — the
+            # component forms keep it via _span_is_instant_typed.
             _, close, spans = parts
             e = _arg_text(toks, spans[0])
             out.append(f"timestamp_micros(CAST({e} AS BIGINT))")
@@ -4940,15 +5252,25 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             if fmts:
                 conv = [convert_strftime_format(f.replace("''", "'"))
                         for f in fmts]
+                # formats here were extracted FROM string literals, so
+                # re-quote for the year-shift's literal-only gate
                 tries = [_strptime_year_shift(
-                    f"try_to_timestamp({s_}, '{_sql_quote(c)}')", f)
+                    f"try_to_timestamp({s_}, '{_sql_quote(c)}')",
+                    f"'{f}'")
                     for c, f in zip(conv, fmts)]
                 if name == "strptime":
                     tries[-1] = _strptime_year_shift(
                         f"to_timestamp({s_}, "
-                        f"'{_sql_quote(conv[-1])}')", fmts[-1])
-                out.append("coalesce(" + ", ".join(tries) + ")"
-                           if len(tries) > 1 else tries[0])
+                        f"'{_sql_quote(conv[-1])}')", f"'{fmts[-1]}'")
+                body = ("coalesce(" + ", ".join(tries) + ")"
+                        if len(tries) > 1 else tries[0])
+                # the FORMAT-LIST forms return TIMESTAMPTZ in DuckDB
+                # [measured r11: typeof → TIMESTAMP WITH TIME ZONE;
+                # the scalar forms are naive] — the __duck_instant__
+                # marker keeps that visible to the ::VARCHAR '+00'
+                # render and erases to a plain paren group in
+                # _rewrite_keywords
+                out.append(f"__duck_instant__({body})")
                 i = close + 1
                 changed = True
                 continue
@@ -8923,6 +9245,17 @@ def _rewrite_keywords(sql: str) -> str:
             # marker from the avg(DECIMAL)→DOUBLE cast wrap — spelled
             # indirectly so the wrap doesn't re-enter its own emission
             t.text = "avg"
+        elif t.text == "__decsum__":
+            # marker from the sum(DECIMAL)→DECIMAL(38,s) cast wrap
+            t.text = "sum"
+        elif t.text == "__make_timestamptz__":
+            # TIMESTAMPTZ constructor marker (instant-typed for the
+            # '+00' render); the naive-UTC carrier is make_timestamp
+            t.text = "make_timestamp"
+        elif t.text == "__duck_instant__":
+            # instant-typed wrapper marker (strptime FORMAT-LIST) —
+            # erases to a bare paren group
+            t.text = ""
         elif t.text == "__global_regexp_replace__":
             # marker from the 4-arg 'g' options form — kept distinct so
             # the first-match pass rewrites only bare DuckDB 3-arg calls
@@ -9828,12 +10161,15 @@ class _PrimarySkip(Exception):
 def _rewrite_double_varchar_casts(
         sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """``CAST(double_expr AS VARCHAR)`` / ``double_expr::VARCHAR`` →
-    ``__duck_double_varchar__(x, x IS NULL)`` — DuckDB's scalar DOUBLE
-    render is shortest-round-trip ('1e+16', '1e-05', 'nan', 'inf');
-    Spark's CAST says '1.0E16'/'NaN'/'Infinity' [measured r10]. Only PROVABLY double sources rewrite
-    (_expr_is_double); the IS NULL companion argument disambiguates
-    NULL from NaN inside the Arrow float64 block. Runs after the call/
-    division rewrites so avg/try_divide emissions are visible."""
+    ``__duck_double_varchar__(CAST(x AS STRING))`` — DuckDB's scalar
+    DOUBLE render is shortest-round-trip ('1e+16', '1e-05', 'nan',
+    'inf'); Spark's CAST says '1.0E16'/'NaN'/'Infinity' [measured
+    r10]. Only PROVABLY double sources rewrite (_expr_is_double); the
+    UDF re-parses Spark's round-trip-exact render, so the source
+    evaluates ONCE (ADVICE r11 — the old (x, x IS NULL) pair drew a
+    volatile source twice) and NULL needs no companion flag. Runs
+    after the call/division rewrites so avg/try_divide emissions are
+    visible."""
     if not re.search(r"(?i)CAST\s*\(|::", sql):
         return sql
     for _ in range(50):
@@ -9880,9 +10216,20 @@ def _rewrite_double_varchar_casts(
                     toks[sig[p + 2]:sig[as_at - 1] + 1]).strip()
                 if not _expr_is_double(src, column_kinds):
                     continue
+                # already wrapped? (the emission's inner CAST would
+                # otherwise re-match this very rule forever)
+                if (p >= 2 and toks[sig[p - 1]].text == "("
+                        and toks[sig[p - 2]].text
+                        == "__duck_double_varchar__"):
+                    continue
+                # ADVICE r11: evaluate src ONCE via Spark's own
+                # round-trip-exact string render; the UDF re-parses
+                # and re-renders DuckDB-style (NULL survives in the
+                # string block, no NaN ambiguity, volatile sources
+                # draw a single value)
                 sql = (detokenize(toks[:ti])
-                       + f"__duck_double_varchar__(({src}), "
-                       + f"({src}) IS NULL)"
+                       + f"__duck_double_varchar__(CAST(({src}) "
+                       + "AS STRING))"
                        + detokenize(toks[close + 1:]))
                 done = False
                 break
@@ -9905,8 +10252,8 @@ def _rewrite_double_varchar_casts(
                 if not _expr_is_double(src, column_kinds):
                     continue
                 sql = (detokenize(toks[:sig[lstart]])
-                       + f"__duck_double_varchar__(({src}), "
-                       + f"({src}) IS NULL)"
+                       + f"__duck_double_varchar__(CAST(({src}) "
+                       + "AS STRING))"
                        + detokenize(toks[sig[p + 2] + 1:]))
                 done = False
                 break
@@ -10835,12 +11182,200 @@ def _inject_order_by_nulls(sql: str) -> str:
     return "".join(out)
 
 
+def _values_column_kinds(sql: str) -> dict[str, str]:
+    """Derive decimal kinds for ``(VALUES …) alias(col, …)`` columns
+    whose cells are numeric literals. DuckDB types a dotted literal as
+    DECIMAL (``1.5`` → DECIMAL(2,1)) and unifies a VALUES column to
+    (max int-digits + max scale, max scale) [measured r11: (1.5),(2.25)
+    → DECIMAL(3,2); (1.5),(2) → DECIMAL(11,1) — an INTEGER cell
+    contributes 10 int digits; exponent literals flip the column to
+    DOUBLE; NULL cells are ignored]. These kinds feed the same
+    ``column_kinds`` map as registered-table schemas, so the decimal
+    provers (sum/avg/division/quantile) see literal-derived tables too.
+    Columns with any unclassifiable cell (expressions, strings,
+    doubles) are left unmapped; names that conflict across VALUES
+    clauses are dropped."""
+    has_values = bool(re.search(r"(?i)\bVALUES\b", sql))
+    if not has_values and not re.search(r"(?i)\bDECIMAL\b", sql):
+        return {}
+    try:
+        toks = tokenize(sql)
+    except ValueError:
+        return {}
+    sig = [k for k, t in enumerate(toks)
+           if t.kind not in ("ws", "comment")]
+    kinds: dict[str, str | None] = {}
+
+    def _cell_kind(cell: str) -> tuple[int, int] | None | str:
+        """(int_digits, scale) for a numeric-literal cell, 'null' for
+        NULL, None for anything unclassifiable."""
+        e = cell.strip()
+        while e.startswith("(") and e.endswith(")"):
+            e = e[1:-1].strip()
+        if re.fullmatch(r"(?is)NULL", e):
+            return "null"
+        m = re.fullmatch(r"[+-]?(\d*)\.(\d*)", e)
+        if m:
+            ip = m.group(1).lstrip("0") or "0"
+            return (max(len(ip), 1), len(m.group(2)))
+        m = re.fullmatch(r"[+-]?(\d+)", e)
+        if m:
+            n = len(m.group(1))
+            return (10 if n <= 9 else (19 if n <= 18 else 38), 0)
+        dk = _decimal_kind(e, None)
+        if dk is not None:
+            return (dk[0] - dk[1], dk[1])
+        return None
+
+    for pi, k in enumerate(sig):
+        if not has_values:
+            break
+        t = toks[k]
+        if not (t.kind == "ident" and t.text.lower() == "values"):
+            continue
+        if pi == 0 or toks[sig[pi - 1]].text != "(":
+            continue
+        open_idx = sig[pi - 1]
+        try:
+            close_idx = _find_close(toks, open_idx)
+        except ValueError:
+            continue
+        # alias: ) [AS] ident ( col, col, … )
+        rest = [q for q in sig if q > close_idx]
+        ri = 0
+        if (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and toks[rest[ri]].text.upper() == "AS"):
+            ri += 1
+        if not (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and toks[rest[ri]].text.upper() not in (
+                    "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON",
+                    "UNION", "INTERSECT", "EXCEPT", "HAVING")):
+            continue
+        ri += 1
+        if not (ri < len(rest) and toks[rest[ri]].text == "("):
+            continue
+        col_open = rest[ri]
+        try:
+            col_close = _find_close(toks, col_open)
+        except ValueError:
+            continue
+        col_spans = _split_args(toks, col_open, col_close)
+        cols = [_arg_text(toks, sp).strip() for sp in col_spans]
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+            continue
+        # rows: top-level parenthesized groups between VALUES and close
+        rows: list[list[str]] = []
+        j = k + 1
+        ok = True
+        while j < close_idx:
+            tj = toks[j]
+            if tj.kind in ("ws", "comment") or tj.text == ",":
+                j += 1
+                continue
+            if tj.text != "(":
+                ok = False
+                break
+            try:
+                rc = _find_close(toks, j)
+            except ValueError:
+                ok = False
+                break
+            rows.append([_arg_text(toks, sp)
+                         for sp in _split_args(toks, j, rc)])
+            j = rc + 1
+        if not ok or not rows or any(len(r) != len(cols) for r in rows):
+            continue
+        for ci, cname in enumerate(cols):
+            max_ip = 0
+            max_sc = 0
+            any_dec = False
+            classifiable = True
+            for r in rows:
+                ck = _cell_kind(r[ci])
+                if ck == "null":
+                    continue
+                if ck is None:
+                    classifiable = False
+                    break
+                ip, sc = ck
+                max_ip = max(max_ip, ip)
+                max_sc = max(max_sc, sc)
+                if sc > 0 or _decimal_kind(r[ci].strip(), None):
+                    any_dec = True
+            if not (classifiable and any_dec):
+                continue
+            kind = f"decimal({min(max_ip + max_sc, 38)},{max_sc})"
+            lc = cname.lower()
+            if lc in kinds and kinds[lc] != kind:
+                kinds[lc] = None
+            else:
+                kinds[lc] = kind
+    # SELECT-item decimal-cast aliases: `CAST(… AS DECIMAL(p,s)) [AS]
+    # name` followed by `,`/FROM, preceded by SELECT/`,` — a derived
+    # table like (SELECT CAST(99.9 AS DECIMAL(3,1)) x FROM …) t then
+    # proves t.x decimal for the outer query's sum/avg/quantile.
+    for pi, k in enumerate(sig):
+        t = toks[k]
+        if not (t.kind == "ident" and t.text.lower() in ("cast",
+                                                         "try_cast")):
+            continue
+        prev = toks[sig[pi - 1]] if pi > 0 else None
+        if prev is None or not (
+                prev.text == ","
+                or (prev.kind == "ident"
+                    and prev.text.upper() in ("SELECT", "DISTINCT"))):
+            continue
+        if pi + 1 >= len(sig) or toks[sig[pi + 1]].text != "(":
+            continue
+        try:
+            cclose = _find_close(toks, sig[pi + 1])
+        except ValueError:
+            continue
+        cast_txt = detokenize(toks[k:cclose + 1])
+        dk = _decimal_kind(cast_txt, None)
+        if dk is None:
+            continue
+        rest = [q for q in sig if q > cclose]
+        ri = 0
+        if (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and toks[rest[ri]].text.upper() == "AS"):
+            ri += 1
+        if not (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and re.fullmatch(r"[A-Za-z_]\w*", toks[rest[ri]].text)
+                and toks[rest[ri]].text.upper() not in (
+                    "FROM", "WHERE", "AS", "GROUP", "ORDER", "LIMIT")):
+            continue
+        cname = toks[rest[ri]].text
+        ri += 1
+        if not (ri < len(rest)
+                and (toks[rest[ri]].text == ","
+                     or (toks[rest[ri]].kind == "ident"
+                         and toks[rest[ri]].text.upper() == "FROM"))):
+            continue
+        kind = f"decimal({dk[0]},{dk[1]})"
+        lc = cname.lower()
+        if lc in kinds and kinds[lc] != kind:
+            kinds[lc] = None
+        else:
+            kinds[lc] = kind
+    return {c: k for c, k in kinds.items() if k}
+
+
 def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL.
 
     ``column_kinds`` (lowercased column name → 'array' | 'string') makes
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
+    derived = _values_column_kinds(sql)
+    if derived:
+        merged = dict(column_kinds or {})
+        for c, k in derived.items():
+            if c in merged and merged[c] != k:
+                del merged[c]  # ambiguous across scopes — no proof
+            else:
+                merged[c] = k
+        column_kinds = merged
     sql = _rewrite_dollar_strings(sql)
     sql = _rewrite_quoted_identifiers(sql)
     sql = _rewrite_raw_string_literals(sql)

@@ -2272,6 +2272,23 @@ class Engine:
                 r"(?i)\b([A-Za-z_]\w*)\s+NATURAL\s+"
                 r"(?:(?:LEFT|RIGHT|FULL|INNER)\s+(?:OUTER\s+)?)?"
                 r"JOIN\s+([A-Za-z_]\w*)", query):
+            # the left identifier must be a BASE relation, not an alias:
+            # in `FROM (SELECT …) nation NATURAL JOIN region` the alias
+            # shadows the registered table and its schema proves nothing
+            # (ADVICE r10). An alias follows a closing paren, an AS, or
+            # another identifier (`region r NATURAL JOIN …`).
+            before = query[:m.start(1)].rstrip()
+            if before.endswith(")"):
+                continue
+            mw = re.search(r"([A-Za-z_]\w*)\s*$", before)
+            if mw and mw.group(1).upper() not in (
+                    "FROM", "JOIN", "ON", "USING", "WHERE", "AND",
+                    "OR"):
+                # preceded by a bare identifier/AS → group(1) is an
+                # alias position, or group(1)'s relation is aliased
+                if mw.group(1).upper() == "AS" or self._columns_of(
+                        mw.group(1)) is not None:
+                    continue
             ca = self._columns_of(m.group(1))
             cb = self._columns_of(m.group(2))
             if (ca is not None and cb is not None

