@@ -2986,6 +2986,22 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i += 1
                 changed = True
                 continue
+            if (name == "median" and len(parts[2]) == 1
+                    and _trailing_over(toks, parts[1])[0] != ""
+                    and re.search(r"(?is)\bORDER\s+BY\b",
+                                  _trailing_over(toks, parts[1])[0])):
+                # windowed median with ORDER BY / an explicit frame:
+                # Spark's median refuses window frames
+                # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) where
+                # DuckDB computes them [r10 verdict] — Spark's
+                # percentile(x, 0.5) is the same exact interpolating
+                # median and supports every frame; the OVER clause
+                # stays in place after the call
+                out.append(
+                    f"percentile({_arg_text(toks, parts[2][0])}, 0.5)")
+                i = parts[1] + 1
+                changed = True
+                continue
             # non-decimal median: Spark's own median() is identical
         if (name in ("list_transform", "array_transform", "apply",
                      "list_apply", "array_apply", "list_filter",
@@ -11361,6 +11377,220 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
     return {c: k for c, k in kinds.items() if k}
 
 
+def _setop_item_class(expr: str,
+                      column_kinds: dict[str, str] | None) -> str:
+    """'string' | 'nonstring' | 'null' | 'unknown' for one set-op
+    select-list item — the classes the VARCHAR-unification pass needs.
+    Provable only; 'unknown' leaves the item untouched (loud)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        toks0 = tokenize(e)
+        try:
+            if _find_close(toks0, 0) == len(toks0) - 1:
+                e = e[1:-1].strip()
+            else:
+                break
+        except ValueError:
+            return "unknown"
+    if re.fullmatch(r"(?is)NULL", e):
+        return "null"
+    toks = tokenize(e)
+    sig = _sig(toks)
+    if len(sig) == 1:
+        t = toks[sig[0]]
+        if t.kind == "str":
+            return "string"
+        if t.text.upper() in ("TRUE", "FALSE"):
+            return "nonstring"
+        if t.kind == "ident":
+            kind = (column_kinds or {}).get(t.text.lower())
+            if kind == "string":
+                return "string"
+            if kind in ("date",) or (kind or "").startswith("decimal"):
+                return "nonstring"
+            return "unknown"
+    if (len(sig) == 2 and toks[sig[0]].kind == "ident"
+            and toks[sig[0]].text.upper() in ("DATE", "TIMESTAMP",
+                                              "TIME", "TIMESTAMPTZ",
+                                              "__TIMESTAMPTZ__")
+            and toks[sig[1]].kind == "str"):
+        return "nonstring"
+    if _numeric_class(e, column_kinds) is not None:
+        return "nonstring"
+    if _expr_is_date(e, column_kinds):
+        return "nonstring"
+    return "unknown"
+
+
+def _rewrite_setop_varchar_unify(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
+    """Mixed-type set-operation arms: DuckDB unifies a VARCHAR arm with
+    int/decimal/date/bool arms to VARCHAR and returns rows [measured
+    r11: ``SELECT 1 UNION ALL SELECT 'a'`` → VARCHAR ('1','a')];
+    Spark under ANSI casts the string arm to the numeric type — a
+    runtime CAST_INVALID_INPUT for non-numeric strings and a SILENT
+    int-typed result for numeric ones ('2' stays 2). For chains of
+    BARE ``SELECT`` arms whose select lists align, any column position
+    mixing a provably-string item with provably-non-string items gets
+    the non-string items wrapped in ``CAST(… AS VARCHAR)`` (the later
+    render passes then apply DuckDB's double/instant formats).
+    Parenthesized arms, VALUES arms, BY NAME forms, and unprovable
+    items are left untouched (loud or documented). List/interval arms
+    error in DuckDB too — no wrap, both stay loud."""
+    if not re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", sql):
+        return sql
+    if re.search(r"(?i)\bBY\s+NAME\b", sql):
+        return sql
+    try:
+        toks = tokenize(sql)
+    except ValueError:
+        return sql
+    sig = _sig(toks)
+    depths = _depths(toks)
+    texts = [toks[k].text.upper() for k in sig]
+
+    # set-op operator positions, grouped into chains by (depth, scope)
+    op_at = [p for p, tx in enumerate(texts)
+             if tx in ("UNION", "INTERSECT", "EXCEPT")]
+    if not op_at:
+        return sql
+    # arm boundaries: each arm must START with SELECT directly (bare
+    # arm); find the SELECT of the first arm by scanning back from the
+    # first op at the same depth
+    chains: list[list[int]] = []  # lists of sig-positions of SELECTs
+    done_ops: set[int] = set()
+    for p0 in op_at:
+        if p0 in done_ops:
+            continue
+        d = depths[sig[p0]]
+        # collect the full chain at this depth going forward
+        chain_ops = [p0]
+        q = p0
+        while True:
+            nxt = [r for r in op_at if r > q
+                   and depths[sig[r]] == d
+                   and r not in done_ops]
+            # only ops in the SAME scope: no depth dip below d between
+            good = None
+            for r in nxt:
+                if all(depths[sig[s]] >= d
+                       for s in range(q + 1, r)):
+                    good = r
+                break
+            if good is None:
+                break
+            chain_ops.append(good)
+            q = good
+        done_ops.update(chain_ops)
+        # first arm's SELECT: nearest preceding SELECT at depth d with
+        # no scope dip between it and the op
+        first_sel = None
+        for r in range(chain_ops[0] - 1, -1, -1):
+            if depths[sig[r]] < d:
+                break
+            if depths[sig[r]] == d and texts[r] == "SELECT":
+                first_sel = r
+                break
+        if first_sel is None:
+            continue
+        sels = [first_sel]
+        ok = True
+        for op_p in chain_ops:
+            # skip operator tail (ALL / DISTINCT)
+            r = op_p + 1
+            while r < len(sig) and texts[r] in ("ALL", "DISTINCT"):
+                r += 1
+            if r < len(sig) and texts[r] == "SELECT":
+                sels.append(r)
+            else:
+                ok = False  # parenthesized / VALUES arm — leave alone
+                break
+        if ok and len(sels) >= 2:
+            chains.append(sels)
+
+    if not chains:
+        return sql
+
+    # per arm: select-list item spans [(start_sig, end_sig_exclusive)]
+    _LIST_END = {"FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+                 "OFFSET", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+                 "QUALIFY", "FETCH"}
+
+    def arm_items(sel_p: int) -> list[tuple[int, int]] | None:
+        d = depths[sig[sel_p]]
+        r = sel_p + 1
+        if r < len(sig) and texts[r] == "DISTINCT":
+            r += 1
+        start = r
+        items: list[tuple[int, int]] = []
+        while r < len(sig):
+            if depths[sig[r]] < d:
+                break
+            if depths[sig[r]] == d:
+                if texts[r] in _LIST_END:
+                    break
+                if toks[sig[r]].text == ",":
+                    items.append((start, r))
+                    start = r + 1
+                    r += 1
+                    continue
+            r += 1
+        items.append((start, r))
+        if any(a >= b for a, b in items):
+            return None
+        return items
+
+    replacements: list[tuple[int, int, str]] = []  # raw tok span → text
+    for sels in chains:
+        per_arm = [arm_items(s) for s in sels]
+        if any(it is None for it in per_arm):
+            continue
+        ncols = len(per_arm[0])
+        if any(len(it) != ncols for it in per_arm):
+            continue
+        for ci in range(ncols):
+            exprs: list[tuple[int, int, str, str | None]] = []
+            classes: list[str] = []
+            for it in per_arm:
+                a, b = it[ci]
+                span_sig = sig[a:b]
+                alias = None
+                end = b
+                if (b - a >= 3 and texts[b - 2] == "AS"
+                        and toks[sig[b - 1]].kind == "ident"):
+                    alias = detokenize(toks[sig[b - 2]:sig[b - 1] + 1])
+                    end = b - 2
+                elif (b - a == 2 and toks[sig[b - 1]].kind == "ident"
+                      and toks[sig[a]].kind in ("num", "str")):
+                    alias = toks[sig[b - 1]].text
+                    end = b - 1
+                etxt = detokenize(toks[sig[a]:sig[end - 1] + 1]).strip()
+                exprs.append((sig[a], sig[end - 1] + 1, etxt, alias))
+                classes.append(_setop_item_class(etxt, column_kinds))
+            if "unknown" in classes or "string" not in classes:
+                continue
+            if not any(c == "nonstring" for c in classes):
+                continue
+            for (raw_a, raw_b, etxt, alias), cls in zip(exprs,
+                                                        classes):
+                if cls == "nonstring":
+                    # keep the unaliased column's display name (DuckDB
+                    # and Spark both name `SELECT 1` as "1"; the CAST
+                    # would rename it)
+                    al = ("" if alias is not None
+                          else " AS `" + etxt.replace("`", "") + "`")
+                    replacements.append(
+                        (raw_a, raw_b,
+                         f"CAST(({etxt}) AS VARCHAR){al}"))
+    if not replacements:
+        return sql
+    replacements.sort(reverse=True)
+    out_toks = [t.text for t in toks]
+    for raw_a, raw_b, txt in replacements:
+        out_toks[raw_a:raw_b] = [txt]
+    return "".join(out_toks)
+
+
 def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL.
 
@@ -11411,6 +11641,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_collate(sql)
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
+    sql = _rewrite_setop_varchar_unify(sql, column_kinds)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

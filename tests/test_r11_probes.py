@@ -308,6 +308,100 @@ def test_double_varchar_volatile_single_draw(engine):
         assert 0.0 <= float(v) < 1.0
 
 
+# ---------------------------------------------------------------- 9
+def test_setop_varchar_unification(engine, duck):
+    """Mixed-type set-op arms: DuckDB unifies a VARCHAR arm with int/
+    decimal/date/bool arms to VARCHAR [measured r11 lattice]; Spark
+    under ANSI cast the string arm to the numeric type (runtime error
+    for 'a', SILENT int typing for '2')."""
+    for q in (
+        "SELECT 1 UNION ALL SELECT 'a'",
+        "SELECT 1 x UNION ALL SELECT 'a' ORDER BY x",
+        "SELECT 1 UNION ALL SELECT '2'",
+        "SELECT 1.5 UNION ALL SELECT 'a'",
+        "SELECT DATE '2024-01-01' UNION ALL SELECT 'x'",
+        "SELECT 1.5e0 UNION ALL SELECT 'a'",
+        "SELECT true UNION ALL SELECT 'yes'",
+        "SELECT 'a' UNION ALL SELECT 1",
+        "SELECT 1, 'b' UNION ALL SELECT 'a', 'c'",
+        "SELECT 1 UNION SELECT '1' ORDER BY 1",
+        "SELECT 1 INTERSECT SELECT '1'",
+        "SELECT 1 EXCEPT SELECT '1'",
+        "SELECT 1 UNION ALL SELECT 'a' UNION ALL SELECT 2.5",
+        "SELECT x FROM (SELECT 1 x UNION ALL SELECT 'a') t ORDER BY x",
+        "SELECT n_name FROM nation WHERE n_nationkey = 0 "
+        "UNION ALL SELECT 1",
+        # same-type arms stay native
+        "SELECT 1 UNION ALL SELECT 2",
+        "SELECT 1 UNION ALL SELECT NULL",
+        "SELECT 1 UNION ALL SELECT 1.5",
+    ):
+        got = sorted(map(str, spark_rows(
+            engine.sql(q, dialect="duckdb"))))
+        want = sorted(map(str, duckdb_rows(duck, q)))
+        assert got == want, q + f"\n got {got}\n want {want}"
+
+
+# --------------------------------------------------------------- 10
+def test_windowed_median_over_frames(engine, duck):
+    """median(x) OVER with ORDER BY / an explicit frame: Spark's
+    median refuses (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), DuckDB
+    computes it — rewritten to percentile(x, 0.5), Spark's identical
+    exact interpolating median that accepts every frame."""
+    for q in (
+        "SELECT x, median(x) OVER (ORDER BY x ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) m FROM (VALUES (1),(2),(4),(8)) "
+        "t(x) ORDER BY x",
+        "SELECT x, median(x) OVER (ORDER BY x) m "
+        "FROM (VALUES (1),(2),(4)) t(x) ORDER BY x",
+        "SELECT x, median(x) OVER (ORDER BY x RANGE BETWEEN 2 "
+        "PRECEDING AND CURRENT ROW) m FROM (VALUES (1),(2),(4),(8)) "
+        "t(x) ORDER BY x",
+        "SELECT g, x, median(x) OVER (PARTITION BY g) m "
+        "FROM (VALUES (1,1),(1,2),(2,5)) t(g,x) ORDER BY g, x",
+        "SELECT x, quantile_cont(x, 0.25) OVER (ORDER BY x ROWS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) q "
+        "FROM (VALUES (1),(2),(4)) t(x) ORDER BY x",
+        "SELECT x, median(x) OVER w m FROM (VALUES (1),(2),(4)) t(x) "
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW) ORDER BY x",
+        "SELECT median(x) m FROM (VALUES (1),(2)) t(x)",
+    ):
+        _check(engine, duck, q)
+
+
+# ------------------------------------------------------- pinned
+def test_r11_over_acceptance_pins(engine, duck):
+    """Documented over-acceptances from the r10 verdict's probe batch
+    (engine accepts and answers; DuckDB 1.0.0 errors) — pinned so
+    drift in either engine is loud: sum(INTERVAL) (DuckDB binder-
+    errors, Spark sums day-time intervals), the postfix
+    ``lead(x) IGNORE NULLS`` spelling (DuckDB parser rejects), and
+    overlay() (absent from DuckDB 1.0's catalog)."""
+    import duckdb as _duckdb
+    for q in (
+        "SELECT sum(INTERVAL '1 day') s FROM (VALUES (1)) t(x)",
+        "SELECT lead(x) IGNORE NULLS OVER (ORDER BY x) l "
+        "FROM (VALUES (1)) t(x)",
+        "SELECT overlay('hello' PLACING 'XX' FROM 2) o",
+    ):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+
+
+def test_arg_max_tie_break_pin(engine, duck):
+    """arg_max/max_by on TIED keys: DuckDB keeps the FIRST-SEEN value
+    (single-threaded scan order); Spark's choice is unspecified and
+    partition-order-dependent — a documented divergence (like the
+    mode() tie pin): the engine must return SOME tied value, exact
+    identity is not contractual."""
+    q = "SELECT arg_max(v, k) a FROM (VALUES ('a',1),('b',1)) t(v,k)"
+    assert duckdb_rows(duck, q) == [("a",)]  # first seen
+    got = spark_rows(engine.sql(q, dialect="duckdb"))
+    assert got[0][0] in ("a", "b")
+
+
 def test_double_varchar_renders_unchanged(engine, duck):
     """The single-arg re-parse render keeps every r10 shape [measured:
     repr-style shortest round-trip, 'nan'/'inf', NULL]."""
