@@ -6342,6 +6342,61 @@ def _expr_is_double(expr: str, column_kinds: dict[str, str] | None,
     sig = _sig(toks)
     if not sig:
         return False
+    # whole-expression CASE: DOUBLE iff every THEN/ELSE branch proves
+    # DOUBLE (NULL branches are neutral) — the window-FILTER pass
+    # rewrites FILTER clauses into CASE operands, so aggregate
+    # operands routinely take this shape (r11)
+    if (toks[sig[0]].kind == "ident"
+            and toks[sig[0]].text.upper() == "CASE"
+            and toks[sig[-1]].text.upper() == "END"):
+        cdepth = 0
+        branches: list[str] = []
+        cur: list[int] | None = None
+        for p in range(len(sig)):
+            t = toks[sig[p]]
+            word = t.text.upper() if t.kind == "ident" else ""
+            if word == "CASE":
+                cdepth += 1
+                continue
+            if cdepth == 1 and word in ("THEN", "ELSE", "WHEN", "END"):
+                if cur is not None:
+                    branches.append(
+                        detokenize(toks[cur[0]:sig[p - 1] + 1]))
+                cur = ([sig[p + 1]] if word in ("THEN", "ELSE")
+                       and p + 1 < len(sig) else None)
+            if word == "END":
+                cdepth -= 1
+        if branches and all(
+                re.fullmatch(r"(?is)\s*NULL\s*", b)
+                or _expr_is_double(b, column_kinds, depth + 1)
+                for b in branches) and any(
+                not re.fullmatch(r"(?is)\s*NULL\s*", b)
+                for b in branches):
+            return True
+        return False
+    # whole-expression call with a trailing FILTER/OVER (window
+    # aggregate) — must run BEFORE the chain scan, whose depth-0 OVER
+    # guard would reject it (r11: the old bottom check was unreachable)
+    if (toks[sig[0]].kind == "ident" and len(sig) >= 3
+            and toks[sig[1]].text == "("):
+        try:
+            wclose = _find_close(toks, sig[1])
+        except ValueError:
+            return False
+        if wclose != sig[-1]:
+            rest = detokenize(toks[wclose + 1:]).strip()
+            if re.match(r"(?is)^(FILTER\s*\(.*\)\s*)?OVER\b", rest):
+                fn = toks[sig[0]].text.lower()
+                if fn in _DOUBLE_RESULT_FNS:
+                    return True
+                wargs = _split_args(toks, sig[1], wclose)
+                if fn in ("sum", "min", "max", "first", "last",
+                          "any_value", "abs") and wargs:
+                    a0 = re.sub(r"(?is)^\s*(?:DISTINCT|ALL)\b", "",
+                                _arg_text(toks, wargs[0])).strip()
+                    return _expr_is_double(a0, column_kinds,
+                                           depth + 1)
+                return False
     # top-level arithmetic chain
     d = 0
     spans: list[tuple[int, int]] = []
@@ -6404,19 +6459,32 @@ def _expr_is_double(expr: str, column_kinds: dict[str, str] | None,
             close = _find_close(toks, sig[1])
         except ValueError:
             return False
+        fn = first.text.lower()
         if close == sig[-1]:
-            fn = first.text.lower()
             if fn in ("cast", "try_cast"):
                 mt = re.search(r"(?is)\bAS\s+([A-Za-z_0-9]+)\s*\)\s*$",
                                e)
                 return bool(mt and mt.group(1).upper()
                             in _DOUBLE_TYPE_WORDS)
-            return fn in _DOUBLE_RESULT_FNS
-        # call with a trailing OVER (window aggregate)
-        if (first.text.lower() in _DOUBLE_RESULT_FNS
-                and re.search(r"(?is)\)\s*(FILTER\s*\(.*\)\s*)?OVER\b",
-                              e)):
-            return True
+            if fn in _DOUBLE_RESULT_FNS:
+                return True
+            # class-PRESERVING functions: the result is DOUBLE iff the
+            # operand is provably DOUBLE (sum(dbl_col) rendered
+            # Spark-style was a silent divergence found while
+            # declaring q157, r11); coalesce/least/greatest promote —
+            # ANY double operand wins.
+            arg_spans = _split_args(toks, sig[1], close)
+            if fn in ("sum", "min", "max", "first", "last",
+                      "any_value", "mode", "abs") and arg_spans:
+                a0 = re.sub(r"(?is)^\s*(?:DISTINCT|ALL)\b", "",
+                            _arg_text(toks, arg_spans[0])).strip()
+                return _expr_is_double(a0, column_kinds, depth + 1)
+            if fn in ("coalesce", "least", "greatest", "ifnull",
+                      "nvl"):
+                return any(
+                    _expr_is_double(_arg_text(toks, sp), column_kinds,
+                                    depth + 1)
+                    for sp in arg_spans)
     return False
 
 
@@ -11224,12 +11292,16 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
 
     def _cell_kind(cell: str) -> tuple[int, int] | None | str:
         """(int_digits, scale) for a numeric-literal cell, 'null' for
-        NULL, None for anything unclassifiable."""
+        NULL, 'double' for an exponent literal or DOUBLE cast (a DOUBLE
+        cell flips the whole column to DOUBLE in DuckDB), None for
+        anything unclassifiable."""
         e = cell.strip()
         while e.startswith("(") and e.endswith(")"):
             e = e[1:-1].strip()
         if re.fullmatch(r"(?is)NULL", e):
             return "null"
+        if re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)[eE][+-]?\d+", e):
+            return "double"
         m = re.fullmatch(r"[+-]?(\d*)\.(\d*)", e)
         if m:
             ip = m.group(1).lstrip("0") or "0"
@@ -11241,6 +11313,9 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
         dk = _decimal_kind(e, None)
         if dk is not None:
             return (dk[0] - dk[1], dk[1])
+        if re.fullmatch(
+                r"(?is)CAST\s*\(.+\s+AS\s+(?:DOUBLE|FLOAT8)\s*\)", e):
+            return "double"
         return None
 
     for pi, k in enumerate(sig):
@@ -11305,6 +11380,7 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
             max_ip = 0
             max_sc = 0
             any_dec = False
+            any_dbl = False
             classifiable = True
             for r in rows:
                 ck = _cell_kind(r[ci])
@@ -11313,14 +11389,20 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
                 if ck is None:
                     classifiable = False
                     break
+                if ck == "double":
+                    any_dbl = True
+                    continue
                 ip, sc = ck
                 max_ip = max(max_ip, ip)
                 max_sc = max(max_sc, sc)
                 if sc > 0 or _decimal_kind(r[ci].strip(), None):
                     any_dec = True
-            if not (classifiable and any_dec):
+            if not classifiable or not (any_dec or any_dbl):
                 continue
-            kind = f"decimal({min(max_ip + max_sc, 38)},{max_sc})"
+            # a DOUBLE cell flips the whole column to DOUBLE [measured:
+            # (1.5),(2e3) → DOUBLE]
+            kind = ("double" if any_dbl
+                    else f"decimal({min(max_ip + max_sc, 38)},{max_sc})")
             lc = cname.lower()
             if lc in kinds and kinds[lc] != kind:
                 kinds[lc] = None

@@ -2547,6 +2547,99 @@ def _q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q156_TEXT, dialect="duckdb")
 
 
+_Q157_TEXT = """
+SELECT date_trunc('month', o_orderdate) AS mth,
+       sum(o_totalprice) AS tot,
+       CAST(sum(o_totalprice) AS VARCHAR) AS tot_s,
+       CAST(CAST(corr(o_totalprice, o_orderkey) AS DECIMAL(10,6))
+            AS DOUBLE) AS c,
+       corr(o_custkey * 0, o_totalprice) AS c0
+FROM orders
+GROUP BY 1 ORDER BY 1 LIMIT 12
+"""
+
+
+@_op("q157_trunc_sum_corr", _Q157_TEXT,
+     note="r11 tranche: GROUP BY date_trunc('month') keys as DATE "
+          "(DuckDB's field-decided return type), sum(DOUBLE) duck-"
+          "rendered via the class-preserving prover, corr rounded to "
+          "6 places, and a zero-variance corr → NULL (Spark's corr "
+          "throws DIVIDE_BY_ZERO under ANSI)")
+def _q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q157_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q157_TEXT, dialect="duckdb")
+
+
+_Q158_TEXT = """
+SELECT n_nationkey AS k,
+       extract(hour FROM INTERVAL '26:30:45.123456') AS h,
+       extract(millisecond FROM INTERVAL '26:30:45.123456') AS ms,
+       date_part('day', INTERVAL '400 days') AS d,
+       year(INTERVAL '25 months') AS y,
+       extract(quarter FROM INTERVAL '-11 months') AS q,
+       CAST(to_timestamp(1718000000) AS VARCHAR) AS tts,
+       CAST(make_timestamptz(2024, 6, 10, 7, 33, 20) AS VARCHAR) AS mtz,
+       CAST(try_strptime('05-03', ['%Y-%m-%dT%H', '%m-%d'])
+            AS VARCHAR) AS sp,
+       CAST(date_trunc('isoyear', DATE '2021-01-01') AS VARCHAR) AS iso
+FROM nation ORDER BY k LIMIT 5
+"""
+
+
+@_op("q158_interval_fields_instants", _Q158_TEXT,
+     note="r11 tranche: extract/date_part/field-functions over "
+          "interval literals on the three-field model (unbounded "
+          "hours, within-minute milliseconds, trunc-of-months "
+          "quarters), TIMESTAMPTZ constructors rendering '+00' "
+          "(to_timestamp, make_timestamptz, list-form try_strptime), "
+          "and isoyear truncation to Monday of ISO week 1")
+def _q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q158_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q158_TEXT, dialect="duckdb")
+
+
+_Q159_TEXT = """
+SELECT g, k, med,
+       (SELECT count(*) FROM (SELECT n_name AS v FROM nation
+                              UNION ALL SELECT 42) u
+        WHERE v = '42') AS unified
+FROM (SELECT n_regionkey AS g, n_nationkey AS k,
+             median(n_nationkey) OVER (PARTITION BY n_regionkey
+                 ORDER BY n_nationkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS med
+      FROM nation) t
+ORDER BY g, k
+"""
+
+
+@_op("q159_frame_median_setop_unify", _Q159_TEXT,
+     note="r11 tranche: median over an explicit ROWS frame (Spark's "
+          "median refuses frames; rewritten to percentile 0.5) and a "
+          "mixed VARCHAR/int set operation unified to VARCHAR like "
+          "DuckDB ('42' is findable as a string)")
+def _q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q159_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q159_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
