@@ -3042,6 +3042,47 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 continue
             # bare filter() with a 1-param lambda (or a non-lambda
             # second argument) is already Spark-native — leave verbatim
+        if name == "struct_insert" and parts and len(parts[2]) >= 2:
+            # struct_insert(s, k := v, …) appends fields [measured:
+            # struct_insert({'a': 1}, b := 2) = {'a': 1, 'b': 2}];
+            # Spark has no := syntax and no generic field-append, so
+            # only LITERAL struct first arguments rewrite (brace
+            # literal → merged brace literal for the later struct
+            # pass; named_struct → extended named_struct); non-literal
+            # structs refuse loudly instead of PARSE_SYNTAX_ERROR.
+            _, close, spans = parts
+            base = _arg_text(toks, spans[0]).strip()
+            adds = []
+            ok_add = True
+            for sp in spans[1:]:
+                ma = re.match(r"(?is)^\s*([A-Za-z_]\w*)\s*:\s*=\s*(.+)$",
+                              _arg_text(toks, sp))
+                if ma is None:
+                    ok_add = False
+                    break
+                adds.append((ma.group(1), ma.group(2).strip()))
+            if ok_add and base.startswith("{") and base.endswith("}"):
+                inner = base[1:-1].strip()
+                pairs = ", ".join(f"'{k}': ({v})" for k, v in adds)
+                out.append("{" + (inner + ", " if inner else "")
+                           + pairs + "}")
+                i = close + 1
+                changed = True
+                continue
+            if ok_add and re.match(r"(?is)^named_struct\s*\(", base) \
+                    and base.endswith(")"):
+                inner = base[base.index("(") + 1:-1].strip()
+                pairs = ", ".join(f"'{k}', ({v})" for k, v in adds)
+                out.append("named_struct(" + (inner + ", " if inner
+                           else "") + pairs + ")")
+                i = close + 1
+                changed = True
+                continue
+            if ok_add:
+                raise ValueError(
+                    "struct_insert on a non-literal struct is not "
+                    "supported — Spark SQL has no generic field "
+                    "append; rebuild the struct with named_struct")
         if name == "map" and parts:
             # DuckDB map([keys], [values]) — Spark's two-array constructor
             # is map_from_arrays (Spark's own map() takes interleaved args;

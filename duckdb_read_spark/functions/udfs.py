@@ -215,6 +215,14 @@ def _age_str(t1, t2) -> str | None:
     arithmetic on it fails loudly (documented, SURVEY §2.4)."""
     if t1 is None or t2 is None or t1 != t1 or t2 != t2:  # NaT-safe
         return None
+    # DATE operands arrive as datetime.date (no time attributes) —
+    # promote to midnight timestamps like DuckDB's implicit cast (r11:
+    # age(DATE, DATE) crashed on .microsecond)
+    import datetime as _dt
+    if isinstance(t1, _dt.date) and not isinstance(t1, _dt.datetime):
+        t1 = _dt.datetime(t1.year, t1.month, t1.day)
+    if isinstance(t2, _dt.date) and not isinstance(t2, _dt.datetime):
+        t2 = _dt.datetime(t2.year, t2.month, t2.day)
     import calendar
 
     sign = 1

@@ -370,6 +370,27 @@ def test_windowed_median_over_frames(engine, duck):
         _check(engine, duck, q)
 
 
+# --------------------------------------------------------------- 11
+def test_age_on_dates_and_struct_insert(engine, duck):
+    """Two r11 sweep finds: age(DATE, DATE) crashed the render UDF on
+    the missing time attributes (dates now promote to midnight like
+    DuckDB's implicit cast), and struct_insert's ``k := v`` named-
+    argument syntax was a Spark parse error (literal-struct bases now
+    merge; non-literal bases refuse with guidance)."""
+    for q in (
+        "SELECT age(DATE '2024-03-01', DATE '2020-01-15')::VARCHAR a",
+        "SELECT age(TIMESTAMP '2024-03-01 10:00:00', "
+        "TIMESTAMP '2020-01-15 04:00:00')::VARCHAR a",
+        "SELECT struct_insert({'a': 1}, b := 2) s",
+        "SELECT struct_insert({'a': 1}, b := 2, c := 'x') s",
+        "SELECT struct_insert({'a': 1}, b := 2).b v",
+    ):
+        _check(engine, duck, q)
+    with pytest.raises(Exception, match="non-literal struct"):
+        engine.sql("SELECT struct_insert(s, b := 2) FROM "
+                   "(SELECT {'a': 1} s) t", dialect="duckdb").collect()
+
+
 # ------------------------------------------------------- pinned
 def test_r11_over_acceptance_pins(engine, duck):
     """Documented over-acceptances from the r10 verdict's probe batch
