@@ -159,12 +159,34 @@ def _check_protocol(action: dict) -> None:
     # physical→logical names from the metaData schema (files-by-
     # reference consumers like CLONE refuse separately — a bare file
     # reference would expose the physical col-uuid names)
-    unsupported = feats & {"v2Checkpoint", "typeWidening", "variantType"}
+    # v2Checkpoint left out since r11: _read_checkpoint reads UUID-named
+    # manifests (json or parquet) and their _sidecars/ files
+    unsupported = feats & {"typeWidening", "variantType"}
     if p.get("minReaderVersion", 1) > 3 or unsupported:
         raise NotImplementedError(
             f"delta reader features not supported: "
             f"{sorted(unsupported) or 'minReaderVersion=' + str(p.get('minReaderVersion'))} "
             f"— refusing to read (naive replay would return wrong rows)")
+
+
+def _v2_checkpoint_paths(table_dir: str, v: int) -> list[str]:
+    """UUID-named V2 checkpoint manifests for version ``v`` (spec §V2
+    Checkpoint: ``<version>.checkpoint.<uniqueStr>.{json|parquet}``),
+    excluding classic multipart names (two zero-padded numeric
+    segments)."""
+    import glob as _glob
+
+    out: list[str] = []
+    for ext in ("parquet", "json"):
+        pat = os.path.join(table_dir, _DELTA_DIR,
+                           f"{v:020d}.checkpoint.*.{ext}")
+        for p in sorted(_glob.glob(pat)):
+            mid = os.path.basename(p).split(".checkpoint.")[1]
+            mid = mid.rsplit(".", 1)[0]
+            if re.fullmatch(r"\d{10}\.\d{10}", mid):
+                continue  # classic multipart part-file
+            out.append(p)
+    return out
 
 
 def _read_checkpoint(
@@ -175,7 +197,13 @@ def _read_checkpoint(
 
     A real delta-spark table cleans up old JSON commits after retention;
     the surviving state lives in the checkpoint — replaying only the JSON
-    tail would silently MISS every file added before it."""
+    tail would silently MISS every file added before it.
+
+    r11: V2 checkpoints (spec §V2 Checkpoint Spec) read too — a
+    UUID-named manifest (parquet or json) carrying checkpointMetadata
+    plus ``sidecar`` actions whose files (under ``_delta_log/_sidecars/``)
+    hold the add/remove state; the manifest may also carry actions
+    inline. The v2Checkpoint reader feature no longer refuses."""
     last = os.path.join(table_dir, _DELTA_DIR, "_last_checkpoint")
     try:
         with open(last) as f:
@@ -194,17 +222,36 @@ def _read_checkpoint(
                               f"{v:020d}.checkpoint.parquet")]
     import pyarrow.parquet as pq
 
+    def _load_rows(p: str) -> list[dict]:
+        if p.endswith(".json"):
+            with open(p) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        return pq.read_table(p).to_pylist()
+
     # Read every part up front: a stale _last_checkpoint whose parquet was
     # cleaned up (or never copied) must FALL BACK to full JSON replay, not
     # make the table unreadable. Protocol refusals below stay loud.
     try:
-        rows = [row for p in paths for row in pq.read_table(p).to_pylist()]
+        rows = [row for p in paths for row in _load_rows(p)]
     except Exception:
-        return None
+        rows = None
+    if rows is None:
+        v2 = _v2_checkpoint_paths(table_dir, v)
+        if not v2:
+            return None
+        try:
+            # a single manifest is authoritative; multiple candidates
+            # (retried writes) are interchangeable per spec — take the
+            # first readable one
+            rows = _load_rows(v2[0])
+        except Exception:
+            return None
 
     files: dict[str, dict] = {}
     meta: dict | None = None
-    for row in rows:
+
+    def _apply(row: dict) -> None:
+        nonlocal meta
         if row.get("protocol") is not None:
             proto = dict(row["protocol"])
             if isinstance(proto.get("readerFeatures"), (list, tuple)):
@@ -222,6 +269,20 @@ def _read_checkpoint(
         rm = row.get("remove")
         if rm is not None:
             files.pop(rm["path"], None)
+
+    sidecars: list[str] = []
+    for row in rows:
+        sc = row.get("sidecar")
+        if sc is not None:
+            sidecars.append(sc["path"])
+            continue
+        _apply(row)
+    for sc_path in sidecars:
+        full = os.path.join(table_dir, _DELTA_DIR, "_sidecars", sc_path)
+        # a sidecar named in the manifest MUST exist — a missing one
+        # means silently dropping part of the table state; stay loud
+        for row in _load_rows(full):
+            _apply(row)
     return v, files, meta
 
 

@@ -252,20 +252,30 @@ def test_checkpoint_replay_after_json_cleanup(eng, spark, tmp_path):
 
 
 def test_unsupported_reader_features_raise(eng, spark, tmp_path):
-    """v2Checkpoint read naively would miss checkpointed state — the
-    reader must refuse. (deletionVectors moved OUT of this guard when
-    the DV read path landed; columnMapping moved out in r10 when the
-    physical→logical projection landed.)"""
+    """Reader features the replay cannot honor must refuse.
+    (deletionVectors moved OUT of this guard when the DV read path
+    landed; columnMapping in r10 with the physical→logical projection;
+    v2Checkpoint in r11 with the UUID-manifest + sidecar reader.)"""
     d = str(tmp_path / "tdv")
     eng.write_versioned(spark.range(5).coalesce(1), d)
     v = deltalog._list_versions(d)[-1] + 1
     with open(deltalog._delta_path(d, v), "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="typeWidening"):
+        deltalog.delta_snapshot(d)
+    # v2Checkpoint feature alone no longer refuses (r11)
+    d3 = str(tmp_path / "tdv3")
+    eng.write_versioned(spark.range(5).coalesce(1), d3)
+    v3 = deltalog._list_versions(d3)[-1] + 1
+    with open(deltalog._delta_path(d3, v3), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["v2Checkpoint"],
             "writerFeatures": ["v2Checkpoint"]}}) + "\n")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
-        deltalog.delta_snapshot(d)
+    assert deltalog.read_delta_table(spark, d3).count() == 5
     # deletionVectors feature alone no longer refuses
     d2 = str(tmp_path / "tdv2")
     eng.write_versioned(spark.range(5).coalesce(1), d2)
@@ -802,13 +812,14 @@ def test_column_mapping_clone_refuses(eng, spark, tmp_path):
         snapshots.clone(d, str(tmp_path / "cmc_clone"))
 
 
-def test_column_mapping_v2checkpoint_still_refuses(spark, tmp_path):
-    """The protocol guard keeps refusing v2Checkpoint even on a
-    columnMapping table (the r10 support is for mapping alone)."""
+def test_column_mapping_with_v2checkpoint_feature_reads(spark, tmp_path):
+    """A columnMapping table that also declares the v2Checkpoint reader
+    feature reads normally since r11 (it used to refuse)."""
     import json as _json
 
     d = str(tmp_path / "cmv2")
     _write_cm_table(spark, d)
+    before = deltalog.read_delta_table(spark, d).count()
     v = deltalog._list_versions(d)[-1] + 1
     with open(deltalog._delta_path(d, v), "w") as f:
         f.write(_json.dumps({"protocol": {
@@ -816,5 +827,154 @@ def test_column_mapping_v2checkpoint_still_refuses(spark, tmp_path):
             "readerFeatures": ["columnMapping", "v2Checkpoint"],
             "writerFeatures": ["columnMapping", "v2Checkpoint"]}})
             + "\n")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    assert deltalog.read_delta_table(spark, d).count() == before
+
+
+# --- V2 checkpoints (spec §V2 Checkpoint Spec, r11) -----------------------
+
+_SCHEMA_A = ('{"type":"struct","fields":[{"name":"a","type":"long",'
+             '"nullable":true,"metadata":{}}]}')
+
+
+def _v2_add_row(d: str, name: str, values: list[int]) -> dict:
+    """Write a one-column data parquet and return its add action."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full = os.path.join(d, name)
+    pq.write_table(pa.table({"a": pa.array(values, pa.int64())}), full)
+    return {"path": name, "partitionValues": {},
+            "size": os.path.getsize(full),
+            "modificationTime": 0, "dataChange": True, "stats": None}
+
+
+def _v2_action_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([
+        ("path", pa.string()), ("partitionValues", str_map),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string())])
+    return pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string()))])),
+        ("metaData", pa.struct([
+            ("id", pa.string()), ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", str_map)])),
+        ("add", add_t),
+        ("remove", pa.struct([("path", pa.string()),
+                              ("dataChange", pa.bool_())])),
+        ("sidecar", pa.struct([("path", pa.string()),
+                               ("sizeInBytes", pa.int64())])),
+        ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+    ])
+
+
+def _v2_write_rows(path: str, rows: list[dict]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _v2_action_schema()
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    # map-typed nested fields need (k, v) tuples
+    for c in ("metaData", "add"):
+        for r in cols[c]:
+            if r and isinstance(r.get("partitionValues"
+                                      if c == "add"
+                                      else "configuration"), dict):
+                k = "partitionValues" if c == "add" else "configuration"
+                r[k] = list(r[k].items())
+    pq.write_table(pa.Table.from_pydict(cols, schema=schema), path)
+
+
+def test_v2_checkpoint_parquet_manifest_with_sidecars(spark, tmp_path):
+    """Checkpoint-only table (every JSON commit cleaned up) whose state
+    lives in a UUID-named V2 manifest + two _sidecars/ parquet files —
+    the naive reader returned nothing or refused; now it reads."""
+    d = str(tmp_path / "v2pq")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    a1 = _v2_add_row(d, "part-0.parquet", [1, 2, 3])
+    a2 = _v2_add_row(d, "part-1.parquet", [4, 5])
+    _v2_write_rows(os.path.join(log, "_sidecars", "sc-aaaa.parquet"),
+                   [{"add": a1}])
+    _v2_write_rows(os.path.join(log, "_sidecars", "sc-bbbb.parquet"),
+                   [{"add": a2}])
+    _v2_write_rows(
+        os.path.join(
+            log, "00000000000000000002.checkpoint.0aa0-uuid.parquet"),
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["v2Checkpoint"],
+                       "writerFeatures": ["v2Checkpoint"]}},
+         {"metaData": {"id": "m-1", "schemaString": _SCHEMA_A,
+                       "partitionColumns": [], "configuration": {}}},
+         {"checkpointMetadata": {"version": 2}},
+         {"sidecar": {"path": "sc-aaaa.parquet", "sizeInBytes": 1}},
+         {"sidecar": {"path": "sc-bbbb.parquet", "sizeInBytes": 1}}])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2}, f)
+    df = deltalog.read_delta_table(spark, d)
+    assert sorted(r.a for r in df.collect()) == [1, 2, 3, 4, 5]
+    # _meta_at resolves the manifest metaData on the checkpoint-only log
+    assert (deltalog._meta_at(d) or {}).get("id") == "m-1"
+
+
+def test_v2_checkpoint_json_manifest_inline_and_tail(spark, tmp_path):
+    """JSON-format V2 manifest with INLINE add actions (no sidecars),
+    plus a surviving JSON commit after the checkpoint: replay starts at
+    the manifest state and applies the tail."""
+    d = str(tmp_path / "v2js")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    a1 = _v2_add_row(d, "part-0.parquet", [10, 20])
+    a2 = _v2_add_row(d, "part-1.parquet", [30])
+    manifest = os.path.join(
+        log, "00000000000000000001.checkpoint.1bb1-uuid.json")
+    with open(manifest, "w") as f:
+        for action in (
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "m-2", "schemaString": _SCHEMA_A,
+                          "partitionColumns": [], "configuration": {}}},
+            {"checkpointMetadata": {"version": 1}},
+            {"add": a1},
+        ):
+            f.write(json.dumps(action) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1}, f)
+    with open(os.path.join(log, "00000000000000000002.json"),
+              "w") as f:
+        f.write(json.dumps({"add": a2}) + "\n")
+    df = deltalog.read_delta_table(spark, d)
+    assert sorted(r.a for r in df.collect()) == [10, 20, 30]
+    # time travel to the checkpoint state itself (private version 2)
+    df1 = deltalog.read_delta_table(spark, d, version=2)
+    assert sorted(r.a for r in df1.collect()) == [10, 20]
+
+
+def test_v2_checkpoint_missing_sidecar_is_loud(spark, tmp_path):
+    """A sidecar named by the manifest but absent on disk must raise —
+    silently dropping part of the table state is the one wrong answer."""
+    d = str(tmp_path / "v2miss")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    _v2_write_rows(
+        os.path.join(
+            log, "00000000000000000000.checkpoint.2cc2-uuid.parquet"),
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["v2Checkpoint"],
+                       "writerFeatures": ["v2Checkpoint"]}},
+         {"metaData": {"id": "m-3", "schemaString": _SCHEMA_A,
+                       "partitionColumns": [], "configuration": {}}},
+         {"checkpointMetadata": {"version": 0}},
+         {"sidecar": {"path": "gone.parquet", "sizeInBytes": 1}}])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0}, f)
+    with pytest.raises(Exception):
         deltalog.read_delta_table(spark, d)
