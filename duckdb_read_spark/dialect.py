@@ -1045,6 +1045,100 @@ def _try_interval_field(field: str, expr: str) -> str | None:
     return f"CAST({val} AS BIGINT)"
 
 
+_BITLIT = (r"(?:'(?P<q1>[^']*)'\s*::\s*BIT\b"
+           r"|CAST\s*\(\s*'(?P<q2>[^']*)'\s+AS\s+BIT\s*\))")
+
+
+def _fold_bit_literals(sql: str) -> str:
+    """DuckDB BITSTRING surface over LITERAL operands, constant-folded
+    [measured r11: '101'::BIT renders '101'; bit_count('1011')=3
+    BIGINT; get_bit 0-based; set_bit returns BIT; bitstring('101',7)
+    zero-pads left; '|'/'&'/xor() require equal lengths (else Invalid
+    Input); bit_position is 1-based strpos, 0 when absent;
+    octet_length = ceil(bits/8); non-[01] characters are a Conversion
+    Error]. Spark has no BIT type at all (UNSUPPORTED_DATATYPE), so
+    literal expressions fold driver-side and a remaining bare literal
+    becomes its VARCHAR render; non-literal BIT expressions stay loud
+    via Spark's own refusal. typeof('101'::BIT) reporting VARCHAR is
+    the documented residue of the string carrier."""
+    if not re.search(r"(?i)::\s*BIT\b|AS\s+BIT\s*\)|bitstring\s*\(",
+                     sql):
+        return sql
+
+    def lit(m: "re.Match[str]", g1: str = "q1", g2: str = "q2") -> str:
+        s = m.group(g1) if m.group(g1) is not None else m.group(g2)
+        if not re.fullmatch(r"[01]*", s):
+            raise ValueError(
+                f"Invalid character encountered in BIT string {s!r} "
+                f"(DuckDB Conversion Error parity)")
+        return s
+
+    for _ in range(20):
+        before = sql
+        sql = re.sub(
+            r"(?is)\bbitstring\s*\(\s*'([01]*)'\s*,\s*(\d+)\s*\)",
+            lambda m: "'" + m.group(1).rjust(int(m.group(2)), "0")
+            + "'::BIT" if len(m.group(1)) <= int(m.group(2)) else
+            (_ for _ in ()).throw(ValueError(
+                "bitstring: length shorter than input")), sql)
+        sql = re.sub(
+            rf"(?is)\bset_bit\s*\(\s*{_BITLIT}\s*,\s*(\d+)\s*,\s*"
+            rf"([01])\s*\)",
+            lambda m: "'" + (lambda s, i, v: s[:i] + v + s[i + 1:])(
+                lit(m), int(m.group(3)), m.group(4)) + "'::BIT", sql)
+        sql = re.sub(
+            rf"(?is)\bxor\s*\(\s*{_BITLIT}\s*,\s*"
+            rf"(?:'(?P<r1>[^']*)'\s*::\s*BIT\b"
+            rf"|CAST\s*\(\s*'(?P<r2>[^']*)'\s+AS\s+BIT\s*\))\s*\)",
+            lambda m: "'" + "".join(
+                "1" if a != b else "0"
+                for a, b in zip(lit(m), lit(m, "r1", "r2")))
+            + "'::BIT", sql)
+        sql = re.sub(
+            rf"(?is){_BITLIT}\s*(?P<op>[|&])\s*"
+            rf"(?:'(?P<r1>[^']*)'\s*::\s*BIT\b"
+            rf"|CAST\s*\(\s*'(?P<r2>[^']*)'\s+AS\s+BIT\s*\))",
+            lambda m: (lambda a, b: "'" + "".join(
+                ("1" if (x == "1" or y == "1") else "0")
+                if m.group("op") == "|"
+                else ("1" if (x == "1" and y == "1") else "0")
+                for x, y in zip(a, b)) + "'::BIT"
+                if len(a) == len(b) else (_ for _ in ()).throw(
+                    ValueError("Cannot OR/AND bit strings of "
+                               "different size")))(
+                lit(m), lit(m, "r1", "r2")), sql)
+        sql = re.sub(rf"(?is)\bbit_count\s*\(\s*{_BITLIT}\s*\)",
+                     lambda m: f"CAST({lit(m).count('1')} AS BIGINT)",
+                     sql)
+        sql = re.sub(rf"(?is)\bbit_length\s*\(\s*{_BITLIT}\s*\)",
+                     lambda m: f"CAST({len(lit(m))} AS BIGINT)", sql)
+        sql = re.sub(
+            rf"(?is)\boctet_length\s*\(\s*{_BITLIT}\s*\)",
+            lambda m: f"CAST({(len(lit(m)) + 7) // 8} AS BIGINT)", sql)
+        def _get_bit(m: "re.Match[str]") -> str:
+            s, i = lit(m), int(m.group(3))
+            if i >= len(s):
+                raise ValueError(
+                    f"get_bit: bit index {i} out of range for a "
+                    f"{len(s)}-bit string (DuckDB Out of Range parity)")
+            return f"CAST({s[i]} AS INT)"
+
+        sql = re.sub(
+            rf"(?is)\bget_bit\s*\(\s*{_BITLIT}\s*,\s*(\d+)\s*\)",
+            _get_bit, sql)
+        sql = re.sub(
+            rf"(?is)\bbit_position\s*\(\s*{_BITLIT}\s*,\s*"
+            rf"(?:'(?P<r1>[^']*)'\s*::\s*BIT\b"
+            rf"|CAST\s*\(\s*'(?P<r2>[^']*)'\s+AS\s+BIT\s*\))\s*\)",
+            lambda m: f"CAST({lit(m, 'r1', 'r2').find(lit(m)) + 1} "
+            f"AS INT)", sql)
+        if sql == before:
+            break
+    # a remaining bare BIT literal renders as its 0/1 string
+    sql = re.sub(rf"(?is){_BITLIT}", lambda m: "'" + lit(m) + "'", sql)
+    return sql
+
+
 def _rewrite_interval_forms(sql: str) -> str:
     """Interval spellings DuckDB accepts but Spark doesn't [measured
     1.0.0, r9]:
@@ -3042,6 +3136,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 continue
             # bare filter() with a 1-param lambda (or a non-lambda
             # second argument) is already Spark-native — leave verbatim
+        if name in ("union_value", "union_extract", "union_tag") and parts:
+            # DuckDB UNION (sum) types have no Spark analog — refuse
+            # with guidance instead of a ':=' parse error (r11)
+            raise ValueError(
+                f"{name}: DuckDB UNION types are not supported — "
+                f"model the variant as a STRUCT of nullable fields "
+                f"and tag with a separate column")
         if name == "struct_insert" and parts and len(parts[2]) >= 2:
             # struct_insert(s, k := v, …) appends fields [measured:
             # struct_insert({'a': 1}, b := 2) = {'a': 1, 'b': 2}];
@@ -4403,9 +4504,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             tz = _arg_text(toks, spans[0])
             ts = _arg_text(toks, spans[1])
             if _span_is_instant_typed(toks, spans[1]):
+                # instant → wall clock: naive TIMESTAMP out (no marker)
                 out.append(f"from_utc_timestamp({ts}, {tz})")
             else:
-                out.append(f"to_utc_timestamp({ts}, {tz})")
+                # wall clock → instant: TIMESTAMPTZ out — the marker
+                # makes a ::VARCHAR render carry DuckDB's '+00' (r11)
+                out.append(
+                    f"__duck_instant__(to_utc_timestamp({ts}, {tz}))")
             i = close + 1
             changed = True
             continue
@@ -11756,6 +11861,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
     sql = _rewrite_power_operator(sql)
     sql = _fold_time_literals(sql)
+    sql = _fold_bit_literals(sql)
     sql = _rewrite_interval_forms(sql)
     sql = _rewrite_date_interval_arith(sql, column_kinds)
     sql = _rewrite_floordiv_operator(sql)

@@ -391,6 +391,60 @@ def test_age_on_dates_and_struct_insert(engine, duck):
                    "(SELECT {'a': 1} s) t", dialect="duckdb").collect()
 
 
+# --------------------------------------------------------------- 12
+def test_bit_literals_fold(engine, duck):
+    """DuckDB BITSTRING surface over literal operands constant-folds
+    (Spark has no BIT type at all): casts render the 0/1 string,
+    bit_count/get_bit/set_bit/bit_length/octet_length/bit_position/
+    bitstring and the |/&/xor combinators compute driver-side."""
+    for q in (
+        "SELECT '101'::BIT b",
+        "SELECT '101'::BIT::VARCHAR v",
+        "SELECT bit_count('1011'::BIT) c",
+        "SELECT get_bit('101'::BIT, 1) g",
+        "SELECT set_bit('101'::BIT, 1, 1)::VARCHAR s",
+        "SELECT bit_length('101'::BIT) l, "
+        "octet_length('10101010'::BIT) o",
+        "SELECT bit_position('010'::BIT, '1101011'::BIT) p",
+        "SELECT bit_position('11'::BIT, '0000'::BIT) p",
+        "SELECT bitstring('101', 7)::VARCHAR b",
+        "SELECT ('101'::BIT | '010'::BIT)::VARCHAR v",
+        "SELECT ('101'::BIT & '011'::BIT)::VARCHAR v",
+        "SELECT xor('101'::BIT, '011'::BIT)::VARCHAR v",
+        "SELECT bit_count(bitstring('101', 9)) c",
+    ):
+        _check(engine, duck, q)
+    for bad, msg in (("SELECT '12'::BIT", "Invalid character"),
+                     ("SELECT ('101'::BIT | '01'::BIT)",
+                      "different size")):
+        with pytest.raises(Exception, match=msg):
+            engine.sql(bad, dialect="duckdb").collect()
+
+
+def test_timezone_naive_direction_renders_instant(engine, duck):
+    """timezone(tz, naive TIMESTAMP) returns TIMESTAMPTZ in DuckDB —
+    its VARCHAR render carries '+00'; the instant→wall direction stays
+    a bare naive render [measured r11]."""
+    for q in (
+        "SELECT timezone('America/New_York', "
+        "TIMESTAMP '2024-06-05 07:08:09')::VARCHAR v",
+        "SELECT timezone('America/New_York', "
+        "TIMESTAMPTZ '2024-06-05 07:08:09+00')::VARCHAR v",
+        "SELECT timezone('America/New_York', "
+        "TIMESTAMP '2024-06-05 07:08:09') r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_union_type_fence(engine):
+    """DuckDB UNION (sum) types have no Spark analog — union_value/
+    union_extract/union_tag refuse with guidance, not a ':=' parse
+    error."""
+    with pytest.raises(Exception, match="UNION types"):
+        engine.sql("SELECT union_value(num := 2) u",
+                   dialect="duckdb").collect()
+
+
 # ------------------------------------------------------- pinned
 def test_r11_over_acceptance_pins(engine, duck):
     """Documented over-acceptances from the r10 verdict's probe batch
