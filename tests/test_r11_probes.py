@@ -102,6 +102,35 @@ def test_date_trunc_group_by(engine, duck):
            "FROM lineitem GROUP BY 1 ORDER BY 1 LIMIT 5")
 
 
+def test_date_trunc_group_by_fuzz(engine, duck):
+    """Deterministic fuzz family: GROUP BY date_trunc over a seeded
+    spread of dates/timestamps × every day-or-coarser field — schema,
+    values, and render all match (the r10 verdict's done-bar)."""
+    import random
+
+    rng = random.Random(1137)
+    cells = []
+    for _ in range(40):
+        y = rng.randint(1989, 2031)
+        mth = rng.randint(1, 12)
+        dd = rng.randint(1, 28)
+        if rng.random() < 0.5:
+            cells.append(f"(TIMESTAMP '{y:04d}-{mth:02d}-{dd:02d} "
+                         f"{rng.randint(0, 23):02d}:"
+                         f"{rng.randint(0, 59):02d}:00')")
+        else:
+            cells.append(
+                f"(CAST(DATE '{y:04d}-{mth:02d}-{dd:02d}' "
+                f"AS TIMESTAMP))")
+    rows = "(VALUES " + ",".join(cells) + ") t(d)"
+    for fld in ("day", "week", "month", "quarter", "year", "isoyear",
+                "decade", "century"):
+        _check(engine, duck,
+               f"SELECT date_trunc('{fld}', d) k, count(*) c, "
+               f"CAST(date_trunc('{fld}', d) AS VARCHAR) r "
+               f"FROM {rows} GROUP BY 1, 3 ORDER BY 1")
+
+
 def test_date_trunc_unknown_specifier_refuses(engine):
     """DuckDB rejects an unrecognized specifier with a Conversion
     Error; Spark would silently return NULL — the engine refuses."""
