@@ -4145,6 +4145,38 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = parts[1] + 1
             changed = True
             continue
+        if (name in ("greatest", "least") and parts
+                and len(parts[2]) >= 2):
+            # mixed string-literal + numeric/date args: DuckDB casts
+            # the STRING to the other side's type [measured r11:
+            # least(1,'2') = 1 BIGINT (not varchar comparison — '05'
+            # orders as 5); greatest(DATE…, '2023-06-01') = DATE];
+            # Spark's least/greatest refuse mixed types. Only literal
+            # strings rewrite; anything unprovable stays loud.
+            _, close, spans = parts
+            args = [_arg_text(toks, sp).strip() for sp in spans]
+            is_str = [a.startswith("'") and a.endswith("'")
+                      for a in args]
+            if any(is_str) and not all(is_str):
+                others = [a for a, s in zip(args, is_str) if not s]
+                ncls = [_numeric_class(a, column_kinds)
+                        for a in others]
+                if all(c is not None for c in ncls):
+                    tgt = ("DOUBLE" if any(c == "frac" for c in ncls)
+                           else "BIGINT")
+                elif all(_expr_is_date(a, column_kinds)
+                         for a in others):
+                    tgt = "DATE"
+                else:
+                    tgt = None
+                if tgt is not None:
+                    new_args = [
+                        f"CAST({a} AS {tgt})" if s else a
+                        for a, s in zip(args, is_str)]
+                    out.append(f"{name}(" + ", ".join(new_args) + ")")
+                    i = close + 1
+                    changed = True
+                    continue
         if (name == "format" and parts and len(parts[2]) == 1
                 and _arg_text(toks, parts[2][0]).strip().startswith("'")
                 and "{" not in _arg_text(toks, parts[2][0]).replace(
@@ -11871,6 +11903,14 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
     sql = _rewrite_setop_varchar_unify(sql, column_kinds)
+    # bare integer literal as a filter: DuckDB casts INT→BOOLEAN in
+    # WHERE/HAVING [measured r11: WHERE 1 keeps all rows, WHERE 0
+    # none]; Spark refuses (FILTER_NOT_BOOLEAN)
+    sql = re.sub(
+        r"(?is)\b(WHERE|HAVING)\s+(\d+)(?=\s*(?:$|;|\)|GROUP\b|"
+        r"ORDER\b|LIMIT\b|OFFSET\b|WINDOW\b|QUALIFY\b|UNION\b|"
+        r"INTERSECT\b|EXCEPT\b|FETCH\b|HAVING\b))",
+        r"\1 (\2 <> 0)", sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

@@ -465,6 +465,28 @@ def test_timezone_naive_direction_renders_instant(engine, duck):
         _check(engine, duck, q)
 
 
+def test_least_greatest_mixed_and_where_int(engine, duck):
+    """least/greatest with a string literal against numeric/date args:
+    DuckDB casts the STRING to the other side's type ('05' orders as
+    5, not as text) where Spark refuses mixed types; and a bare
+    integer literal in WHERE/HAVING casts to BOOLEAN [measured r11]."""
+    for q in (
+        "SELECT least(1, '2') l",
+        "SELECT greatest('1', 2) g",
+        "SELECT least('10', 9) l",
+        "SELECT least(1, '05') l",
+        "SELECT greatest(DATE '2024-01-01', '2023-06-01') g",
+        "SELECT least(1.5e0, '2') l",
+        "SELECT count(*) c FROM nation WHERE 1",
+        "SELECT count(*) c FROM nation WHERE 0",
+        "SELECT n_regionkey, count(*) c FROM nation GROUP BY 1 "
+        "HAVING 1 ORDER BY 1",
+        "SELECT least('a', 'b') l",
+        "SELECT least(1, 2) l",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
