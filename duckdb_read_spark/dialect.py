@@ -11851,12 +11851,95 @@ def _rewrite_setop_varchar_unify(
     return "".join(out_toks)
 
 
+def _rewrite_escape_strings(sql: str) -> str:
+    """Postgres-style ``E'...'`` escape-string literals [measured r11 in
+    DuckDB 1.0: \\n/\\t/\\r/\\b/\\f controls, \\xHH hex, \\ooo octal,
+    \\uXXXX/\\UXXXXXXXX unicode, \\\\ backslash, both '' and \\'
+    escape a quote, an UNKNOWN escape drops the backslash ('\\q'→'q')]
+    — Spark parses E'…' as an unsupported typed literal. Decoded
+    driver-side and re-emitted as a standard quoted literal."""
+    if not re.search(r"(?i)(?<![\w'])e'", sql):
+        return sql
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # ordinary string literal: copy verbatim
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if (c in "eE" and i + 1 < n and sql[i + 1] == "'"
+                and (i == 0 or not (sql[i - 1].isalnum()
+                                    or sql[i - 1] in "_'\""))):
+            j = i + 2
+            body: list[str] = []
+            closed = False
+            while j < n:
+                ch = sql[j]
+                if ch == "\\" and j + 1 < n:
+                    nx = sql[j + 1]
+                    if nx in "nrtbf":
+                        body.append({"n": "\n", "r": "\r", "t": "\t",
+                                     "b": "\b", "f": "\f"}[nx])
+                        j += 2
+                        continue
+                    if nx == "x":
+                        m = re.match(r"[0-9A-Fa-f]{1,2}",
+                                     sql[j + 2:j + 4])
+                        if m:
+                            body.append(chr(int(m.group(0), 16)))
+                            j += 2 + len(m.group(0))
+                            continue
+                    if nx in "uU":
+                        w = 4 if nx == "u" else 8
+                        m = re.match(rf"[0-9A-Fa-f]{{{w}}}",
+                                     sql[j + 2:j + 2 + w])
+                        if m:
+                            body.append(chr(int(m.group(0), 16)))
+                            j += 2 + w
+                            continue
+                    if nx in "01234567":
+                        m = re.match(r"[0-7]{1,3}", sql[j + 1:j + 4])
+                        body.append(chr(int(m.group(0), 8)))
+                        j += 1 + len(m.group(0))
+                        continue
+                    body.append(nx)  # incl. \\ and \' and unknown
+                    j += 2
+                    continue
+                if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                    body.append("'")
+                    j += 2
+                    continue
+                if ch == "'":
+                    closed = True
+                    break
+                body.append(ch)
+                j += 1
+            if closed:
+                out.append("'" + _sql_quote("".join(body)) + "'")
+                i = j + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """Rewrite a DuckDB-dialect SQL string into Spark SQL.
 
     ``column_kinds`` (lowercased column name → 'array' | 'string') makes
     the ``len()`` array-vs-string dispatch schema-aware; Engine.sql
     supplies it from the registered tables."""
+    sql = _rewrite_escape_strings(sql)
     derived = _values_column_kinds(sql)
     if derived:
         merged = dict(column_kinds or {})

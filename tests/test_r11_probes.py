@@ -487,6 +487,22 @@ def test_least_greatest_mixed_and_where_int(engine, duck):
         _check(engine, duck, q)
 
 
+def test_escape_string_literals(engine, duck):
+    """Postgres-style E'…' literals decode driver-side [measured:
+    controls, \\xHH hex, \\ooo octal, '' and \\' quote escapes, an
+    unknown escape drops the backslash]; Spark refuses the typed
+    literal E outright."""
+    for q in (
+        r"SELECT e'a\nb' v", r"SELECT E'a\tb' v",
+        r"SELECT e'it''s' v", r"SELECT e'it\'s' v",
+        r"SELECT e'a\x41b' v", r"SELECT e'a\101b' v",
+        r"SELECT e'back\\slash' v", r"SELECT e'\q' v",
+        r"SELECT length(e'a\nb') l",
+        r"SELECT 'a\nb' v",  # plain literal keeps the raw backslash
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
