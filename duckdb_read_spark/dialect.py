@@ -2538,6 +2538,14 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     k2_ += 1
                 if toks[k2_].kind in ("ident", "bqid"):
                     nm_out = toks[k2_].text.strip("`")
+            elif (k_ < len(toks) and toks[k_].kind in ("ident", "bqid")
+                    and toks[k_].text.upper() not in (
+                        "FROM", "WHERE", "GROUP", "ORDER", "HAVING",
+                        "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+                        "WINDOW", "QUALIFY", "AND", "OR", "AS")):
+                # bare trailing alias rebinds too [measured r11:
+                # alias(n) a = 'a' like the AS form]
+                nm_out = toks[k_].text.strip("`")
             out.append(f"'{nm_out}'")
             i = close_ + 1
             changed = True
@@ -9753,6 +9761,20 @@ def _rewrite_using_sample(sql: str) -> str:
     dropped. Syntax compatibility only — which rows land in the sample is
     engine-RNG-specific by nature (SURVEY §2.3); the deterministic path is
     operators.sampling.sample_by_hash."""
+    # TABLESAMPLE method-forms (r11): TABLESAMPLE bernoulli(50%) /
+    # system(10 PERCENT) → TABLESAMPLE (50 PERCENT) (approximate in
+    # both engines); TABLESAMPLE reservoir(4 ROWS) → (4 ROWS); the
+    # reservoir-PERCENT form stays loud (exact fraction in DuckDB,
+    # approximate here); seeds drop like the USING SAMPLE forms.
+    sql = re.sub(
+        r"(?is)\bTABLESAMPLE\s+(bernoulli|system)\s*\(\s*"
+        r"(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*\)"
+        r"(?:\s*REPEATABLE\s*\(\s*\d+\s*\))?",
+        lambda m: f"TABLESAMPLE ({m.group(2)} PERCENT)", sql)
+    sql = re.sub(
+        r"(?is)\bTABLESAMPLE\s+(reservoir|bernoulli|system)\s*\(\s*"
+        r"(\d+)\s+ROWS\s*\)(?:\s*REPEATABLE\s*\(\s*\d+\s*\))?",
+        lambda m: f"TABLESAMPLE ({m.group(2)} ROWS)", sql)
     toks = tokenize(sql)
     sig = _sig(toks)
     out: list[Tok] = []
@@ -11458,7 +11480,8 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
     doubles) are left unmapped; names that conflict across VALUES
     clauses are dropped."""
     has_values = bool(re.search(r"(?i)\bVALUES\b", sql))
-    if not has_values and not re.search(r"(?i)\bDECIMAL\b", sql):
+    if (not has_values and "[" not in sql
+            and not re.search(r"(?i)\bDECIMAL\b", sql)):
         return {}
     try:
         toks = tokenize(sql)
@@ -11634,6 +11657,46 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
             kinds[lc] = None
         else:
             kinds[lc] = kind
+    # SELECT-item list-literal aliases: `[…] [AS] name` followed by
+    # `,`/FROM proves name array-kind, so the outer query's len()/
+    # indexing dispatch sees the derived column (r11: arr[len(arr)]
+    # silently took the string-length path)
+    for pi, k in enumerate(sig):
+        t = toks[k]
+        if t.text != "[":
+            continue
+        prev = toks[sig[pi - 1]] if pi > 0 else None
+        if prev is None or not (
+                prev.text == ","
+                or (prev.kind == "ident"
+                    and prev.text.upper() in ("SELECT", "DISTINCT"))):
+            continue
+        try:
+            bclose = _bracket_close(toks, k)
+        except ValueError:
+            continue
+        rest = [q for q in sig if q > bclose]
+        ri = 0
+        if (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and toks[rest[ri]].text.upper() == "AS"):
+            ri += 1
+        if not (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and re.fullmatch(r"[A-Za-z_]\w*", toks[rest[ri]].text)
+                and toks[rest[ri]].text.upper() not in (
+                    "FROM", "WHERE", "AS", "GROUP", "ORDER", "LIMIT")):
+            continue
+        cname = toks[rest[ri]].text
+        ri += 1
+        if not (ri >= len(rest)  # end of statement
+                or toks[rest[ri]].text in (",", ")")
+                or (toks[rest[ri]].kind == "ident"
+                    and toks[rest[ri]].text.upper() == "FROM")):
+            continue
+        lc = cname.lower()
+        if lc in kinds and kinds[lc] != "array":
+            kinds[lc] = None
+        else:
+            kinds[lc] = "array"
     return {c: k for c, k in kinds.items() if k}
 
 

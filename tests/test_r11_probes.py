@@ -503,6 +503,31 @@ def test_escape_string_literals(engine, duck):
         _check(engine, duck, q)
 
 
+def test_alias_tablesample_array_alias_kinds(engine, duck):
+    """Three r11 sweep finds: alias() rebinds on a BARE trailing alias
+    (not just AS); TABLESAMPLE method-forms map like USING SAMPLE
+    (bernoulli/system percent → PERCENT, reservoir rows → ROWS); and a
+    list-literal SELECT alias proves array kind so the outer len()/
+    indexing dispatch sees the derived column."""
+    for q in (
+        "SELECT alias(n_nationkey) a FROM nation LIMIT 1",
+        "SELECT alias(n_nationkey) AS b FROM nation LIMIT 1",
+        "SELECT alias(n_nationkey) FROM nation LIMIT 1",
+        "SELECT count(*) c FROM nation TABLESAMPLE reservoir(4 ROWS)",
+        "SELECT count(*) = 25 c FROM nation "
+        "TABLESAMPLE system(100 PERCENT)",
+        "SELECT arr[1] one, arr[len(arr)] lst "
+        "FROM (SELECT ['a','b','c'] arr) t",
+        "SELECT len(arr) l FROM (SELECT [1,2,3] arr) t",
+    ):
+        _check(engine, duck, q)
+    # approximate % sample: count is within [0, full]
+    rows = spark_rows(engine.sql(
+        "SELECT count(*) c FROM nation TABLESAMPLE BERNOULLI(50%)",
+        dialect="duckdb"))
+    assert 0 <= rows[0][0] <= 25
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
