@@ -88,7 +88,8 @@ _INSTALL_LOAD_RE = re.compile(
 # parse→bind→execute pipeline (/root/reference/duckdb:18-55, 101); CREATE/
 # INSERT are the first statements an embedded-engine session runs.
 _CREATE_TABLE_RE = re.compile(
-    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?"
+    r"(?P<temp>TEMP(?:ORARY)?\s+)?TABLE\s+"
     r"(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*(?P<rest>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -4922,8 +4923,19 @@ class Engine:
                     df = self.spark.createDataFrame([], schema)
             else:  # CTAS
                 df = self.sql(rest[2:].strip(), dialect=dialect)
-            table_dir = self._versioned.get(
-                name, os.path.join(self._warehouse_dir(), name))
+            if m.group("temp") and name not in self._versioned:
+                # TEMP TABLE: a full versioned table (DML works) whose
+                # directory lives OUTSIDE the warehouse, so a fresh
+                # Engine over the same warehouse does not see it —
+                # DuckDB's session scoping (r11; Spark only offers
+                # CREATE TEMPORARY VIEW, which takes no DML)
+                import tempfile as _tempfile
+
+                table_dir = os.path.join(
+                    _tempfile.mkdtemp(prefix="ddbrs_temp_"), name)
+            else:
+                table_dir = self._versioned.get(
+                    name, os.path.join(self._warehouse_dir(), name))
             if self._txn_baseline is not None and not exists:
                 self._txn_created.add(name)
             snapshots.write_table(df, table_dir, mode="overwrite")

@@ -986,3 +986,24 @@ def test_dml_returning(eng):
     with _pytest.raises(NotImplementedError, match="RETURNING"):
         eng.sql("INSERT INTO retrn VALUES (9, 'q') ON CONFLICT DO "
                 "NOTHING RETURNING a", dialect="duckdb")
+
+
+def test_create_temp_table_lifecycle(spark, tmp_path):
+    """CREATE TEMP TABLE is a full versioned table (DML works) whose
+    directory lives OUTSIDE the warehouse — DuckDB's session scoping;
+    Spark itself only offers CREATE TEMPORARY VIEW (r11)."""
+    import os
+
+    from duckdb_read_spark.engine import Engine
+
+    wh = str(tmp_path / "wh_temp")
+    eng = Engine(spark=spark, warehouse_dir=wh)
+    eng.sql("CREATE TEMP TABLE tt AS SELECT 5 AS v", dialect="duckdb")
+    eng.sql("UPDATE tt SET v = v + 1", dialect="duckdb")
+    assert eng.sql("SELECT v FROM tt").collect()[0][0] == 6
+    eng.sql("CREATE TEMPORARY TABLE tt2(x INTEGER)", dialect="duckdb")
+    eng.sql("INSERT INTO tt2 VALUES (9)", dialect="duckdb")
+    assert eng.sql("SELECT x FROM tt2").collect()[0][0] == 9
+    eng.sql("CREATE TABLE perm AS SELECT 1 AS x", dialect="duckdb")
+    names = set(os.listdir(wh)) if os.path.isdir(wh) else set()
+    assert "perm" in names and "tt" not in names and "tt2" not in names
