@@ -2759,6 +2759,48 @@ class Engine:
                 [(f"duckdb_read_spark (Spark {self.spark.version})",
                   "spark-sql")],
                 "library_version string, source_id string")
+        if re.match(r"(?is)^\s*SELECT\s+\*\s+FROM\s+pragma_version"
+                    r"\s*\(\s*\)\s*;?\s*$", query):
+            # TVF spelling of PRAGMA version (r11)
+            return self.sql("PRAGMA version")
+        if re.match(r"(?is)^\s*PRAGMA\s+database_list\s*;?\s*$", query):
+            # DuckDB shape [measured r11: seq/name/file; file is NULL
+            # for the in-memory default] — the engine's local namespace
+            # plus any ATTACHed catalogs
+            rows = [(0, "memory", None)] + [
+                (i + 1, db, None)
+                for i, db in enumerate(sorted(self._attached))]
+            return self.spark.createDataFrame(
+                rows, "seq int, name string, file string")
+        if re.match(r"(?is)^\s*PRAGMA\s+show_tables\s*;?\s*$", query):
+            return self.sql("SHOW TABLES")
+        mcall = re.match(r"(?is)^\s*CALL\s+pragma_table_info\s*\(\s*"
+                         r"'?(?P<name>[\w.]+)'?\s*\)\s*;?\s*$", query)
+        if mcall:
+            return self._pragma_table_info(mcall.group("name"))
+        if re.match(r"(?is)^\s*(?:VACUUM|ANALYZE|VACUUM\s+ANALYZE)"
+                    r"\s*;?\s*$", query):
+            # bare VACUUM / ANALYZE are accepted no-op hints in DuckDB
+            # [measured r11]; the table-targeted forms do real work
+            return self._empty()
+        if re.match(r"(?is)^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$", query):
+            # DuckDB shape [measured r11]: database/schema/name/
+            # column_names/column_types/temporary
+            rows = []
+            db = "memory"
+            for n in sorted(self._registered_names()):
+                try:
+                    schema = self.table(n).schema
+                    cn = [f.name for f in schema.fields]
+                    ct = [_duck_type_name(f.dataType.simpleString())
+                          for f in schema.fields]
+                except Exception:
+                    cn, ct = [], []
+                rows.append((db, "main", n, cn, ct, False))
+            return self.spark.createDataFrame(
+                rows, "database string, schema string, name string, "
+                      "column_names array<string>, "
+                      "column_types array<string>, temporary boolean")
         if _PRAGMA_DBSIZE_RE.match(query):
             return self._pragma_database_size()
         if _SEQ_FUNC_RE.search(query):

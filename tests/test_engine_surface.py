@@ -2206,3 +2206,30 @@ def test_copy_csv_null_quote_escape(engine, duck, tmp_path):
                                                   "part-*"))))
         got = "".join(open(x).read() for x in parts)
         assert sorted(got.splitlines()) == sorted(want.splitlines())
+
+
+def test_pragma_and_statement_spellings_r11(engine):
+    """r11 statement-surface sweep: PRAGMA database_list /
+    PRAGMA show_tables / SELECT * FROM pragma_version() /
+    CALL pragma_table_info(…) / SHOW ALL TABLES (DuckDB's 6-column
+    shape) / bare VACUUM-ANALYZE no-op hints."""
+    eng = engine
+    eng.sql("CREATE TABLE prag_t(a INTEGER)", dialect="duckdb")
+    dl = eng.sql("PRAGMA database_list")
+    assert dl.columns == ["seq", "name", "file"]
+    assert dl.collect()[0][1] == "memory"
+    st = eng.sql("PRAGMA show_tables")
+    assert "prag_t" in {r[0] for r in st.collect()}
+    pv = eng.sql("SELECT * FROM pragma_version()")
+    assert pv.columns == ["library_version", "source_id"]
+    ti = eng.sql("CALL pragma_table_info('prag_t')")
+    assert ti.columns == ["cid", "name", "type", "notnull",
+                          "dflt_value", "pk"]
+    at = eng.sql("SHOW ALL TABLES")
+    assert at.columns == ["database", "schema", "name",
+                          "column_names", "column_types", "temporary"]
+    row = [r for r in at.collect() if r["name"] == "prag_t"][0]
+    assert row["column_names"] == ["a"]
+    assert row["column_types"] == ["INTEGER"]
+    for hint in ("VACUUM", "ANALYZE", "VACUUM ANALYZE"):
+        assert eng.sql(hint).count() == 0
