@@ -4083,6 +4083,22 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "list_histogram" and parts and len(parts[2]) == 1:
+            # list variant of histogram [measured r11: NULL elements
+            # skip, keys sorted, empty/NULL list → NULL]
+            _, close, spans = parts
+            lraw = _arg_text(toks, spans[0])
+            lst = f"filter({lraw}, __hn -> __hn IS NOT NULL)"
+            out.append(
+                f"(CASE WHEN ({lraw}) IS NULL OR size({lst}) = 0 "
+                f"THEN NULL ELSE "
+                f"map_from_entries(transform(array_sort("
+                f"array_distinct({lst})), __hv -> struct(__hv, "
+                f"CAST(size(filter({lst}, __hy -> __hy = __hv)) "
+                f"AS BIGINT)))) END)")
+            i = close + 1
+            changed = True
+            continue
         if name == "time_bucket" and parts and len(parts[2]) in (2, 3):
             rewritten = _time_bucket_expr(toks, parts, column_kinds)
             if rewritten is not None:
