@@ -5531,6 +5531,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             unit = _arg_text(toks, spans[0]).strip("'").lower()
             a = _arg_text(toks, spans[1])
             b = _arg_text(toks, spans[2])
+            # TIME-literal operands [measured r11: date_diff('minute',
+            # TIME '10:00', TIME '11:30') = 90 in DuckDB; Spark cannot
+            # cast a TIME literal for the arithmetic] — anchor both on
+            # the same date, preserving the within-day difference
+            tl = r"(?is)^TIME\s+'(\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)'$"
+            ma_, mb_ = re.match(tl, a.strip()), re.match(tl, b.strip())
+            if ma_ and mb_:
+                a = f"TIMESTAMP '1970-01-01 {ma_.group(1)}'"
+                b = f"TIMESTAMP '1970-01-01 {mb_.group(1)}'"
             # DuckDB date_diff counts PART BOUNDARIES CROSSED, not elapsed
             # units: diff('month', Jan 31, Feb 1) = 1, diff('hour', 01:59,
             # 02:01) = 1. Truncate both sides to the part first.

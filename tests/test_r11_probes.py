@@ -528,6 +528,23 @@ def test_alias_tablesample_array_alias_kinds(engine, duck):
     assert 0 <= rows[0][0] <= 25
 
 
+def test_list_histogram_and_time_date_diff(engine, duck):
+    """list_histogram (NULL-skipping sorted-key MAP) and date_diff over
+    TIME literals (anchored on one date) — r11 sweep finds."""
+    for q in (
+        "SELECT list_histogram([1,1,2,NULL]) h",
+        "SELECT list_histogram(['b','a','b']) h",
+        "SELECT list_histogram([]) h",
+        "SELECT date_diff('minute', TIME '10:00:00', "
+        "TIME '11:30:00') d",
+        "SELECT date_diff('hour', TIME '01:59:00', "
+        "TIME '02:01:00') d",
+        "SELECT datediff('minute', TIME '10:00:00', "
+        "TIME '10:45:00') d",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
