@@ -4176,7 +4176,13 @@ class Engine:
             reader = reader.schema(_columns_to_spark_ddl(columns))
         elif not all_varchar:
             reader = reader.option("inferSchema", "true")
-        return reader.csv(path)
+        df = reader.csv(path)
+        if not header and columns is None:
+            # DuckDB names headerless columns column0..columnN; Spark
+            # says _c0.._cN — a silent schema mismatch on every
+            # SELECT column0 (r11)
+            df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
+        return df
 
     def _create_stream(self, name: str, body: str, dialect: str) -> DataFrame:
         """``CREATE STREAM <name> AS SELECT ...`` — the SQL statement form
