@@ -2640,6 +2640,35 @@ def _q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q159_TEXT, dialect="duckdb")
 
 
+_Q160_TEXT = r"""
+SELECT n_nationkey AS k,
+       list_histogram([n_regionkey, n_regionkey + 1, NULL]) AS lh,
+       least(n_nationkey, '10') AS lg,
+       e'tab\tsep' AS esc,
+       bit_count('1011'::BIT) AS bc,
+       set_bit('101'::BIT, 1, 1)::VARCHAR AS sb,
+       date_diff('minute', TIME '10:00:00', TIME '11:30:00') AS td,
+       struct_insert({'a': n_nationkey}, b := 2).b AS si
+FROM nation WHERE 1 ORDER BY k LIMIT 5
+"""
+
+
+@_op("q160_sweep_finds", _Q160_TEXT,
+     note="r11 sweep finds verbatim: list_histogram NULL-skip sorted "
+          "MAP, least string-vs-int unification, E-string escape "
+          "literals, literal BITSTRING folds, date_diff over TIME "
+          "literals, struct_insert named args, bare-integer WHERE")
+def _q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q160_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q160_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
