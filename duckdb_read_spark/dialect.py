@@ -2222,10 +2222,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         if name == "sem" and parts and len(parts[2]) == 1:
             # standard error of the mean — DuckDB computes it from the
             # POPULATION stddev [measured: sem({2.5,1.5}) = 0.35355 =
-            # stddev_pop/sqrt(n), not the textbook samp form 0.5]
+            # stddev_pop/sqrt(n), not the textbook samp form 0.5]. A
+            # trailing OVER hoists onto each sub-aggregate (r11).
             a_ = _arg_text(toks, parts[2][0])
-            out.append(f"(stddev_pop({a_}) / sqrt(count({a_})))")
-            i = parts[1] + 1
+            over, end = _trailing_over(toks, parts[1])
+            out.append(f"(stddev_pop({a_}){over} "
+                       f"/ sqrt(count({a_}){over}))")
+            i = end + 1
             changed = True
             continue
         if (name in ("arg_max", "arg_min", "max_by", "min_by")
@@ -3818,10 +3821,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # exact fold over the group (exp/sum(ln) would break on zeros
             # and negatives); collect_list drops NULLs like DuckDB's agg;
             # empty/all-NULL group is NULL in DuckDB, not the seed
-            # (review r6)
+            # (review r6). A trailing OVER hoists onto the inner
+            # collect_list (r11: the windowed form parse-errored).
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
-            cl = f"collect_list(CAST({x} AS DOUBLE))"
+            over, close = _trailing_over(toks, close)
+            cl = f"collect_list(CAST({x} AS DOUBLE)){over}"
             out.append(
                 f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
                 f"aggregate({cl}, CAST(1.0 AS DOUBLE), "
@@ -4027,7 +4032,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             qq = _arg_text(toks, spans[1])
-            cl = f"collect_list({x})"
+            over, close = _trailing_over(toks, close)
+            cl = f"collect_list({x}){over}"
             out.append(
                 f"transform({qq}, __q -> try_element_at(array_sort({cl}), "
                 f"greatest(CAST(ceil(size({cl}) * __q) AS INT), 1)))")
@@ -4045,7 +4051,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             qq = _arg_text(toks, spans[1])
-            cl = f"collect_list({x})"
+            over, close = _trailing_over(toks, close)
+            cl = f"collect_list({x}){over}"
             out.append(
                 f"try_element_at(array_sort({cl}), greatest("
                 f"CAST(ceil(size({cl}) * ({qq})) AS INT), 1))")
@@ -4057,7 +4064,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # [measured: (1,1,2,3) → 1.5]; NULLs ignored by both
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
-            cl = f"collect_list({x})"
+            over, close = _trailing_over(toks, close)
+            cl = f"collect_list({x}){over}"
             n = f"CAST(size({cl}) AS DOUBLE)"
             out.append(
                 f"aggregate(transform(array_distinct({cl}), "
@@ -4073,7 +4081,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # empty/all-NULL group is NULL, not {} (review r6)
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
-            cl = f"collect_list({x})"
+            over, close = _trailing_over(toks, close)
+            cl = f"collect_list({x}){over}"
             out.append(
                 f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
                 f"map_from_entries(transform(array_sort("
@@ -4664,11 +4673,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 # (review r7-2), so the guard raises
                 _, close, spans = parts
                 x = _arg_text(toks, spans[0])
+                over, close = _trailing_over(toks, close)
                 out.append(
                     f"exp(avg(ln(CASE WHEN ({x}) <= 0 THEN "
                     f"CAST(raise_error('geomean: cannot take logarithm "
                     f"of non-positive value') AS DOUBLE) "
-                    f"ELSE CAST({x} AS DOUBLE) END)))")
+                    f"ELSE CAST({x} AS DOUBLE) END)){over})")
                 i = close + 1
                 changed = True
                 continue

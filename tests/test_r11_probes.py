@@ -545,6 +545,33 @@ def test_list_histogram_and_time_date_diff(engine, duck):
         _check(engine, duck, q)
 
 
+def test_windowed_rewritten_aggregates(engine, duck):
+    """Rewritten aggregates accept window frames: the trailing OVER
+    hoists onto the inner collect_list/sub-aggregates (r11 — product/
+    quantile_disc/entropy/histogram/sem parse-errored or demanded a
+    GROUP BY when windowed)."""
+    V = "(VALUES (1, 2.0),(2, 4.0),(3, 8.0),(4, 16.0)) t(o, x)"
+    for q in (
+        f"SELECT o, quantile_disc(x, 0.5) OVER (ORDER BY o ROWS "
+        f"BETWEEN 1 PRECEDING AND CURRENT ROW) q FROM {V} ORDER BY o",
+        f"SELECT o, quantile(x, [0.25, 0.75]) OVER (ORDER BY o) q "
+        f"FROM {V} ORDER BY o",
+        f"SELECT o, product(x) OVER (ORDER BY o ROWS BETWEEN 1 "
+        f"PRECEDING AND CURRENT ROW) p FROM {V} ORDER BY o",
+        f"SELECT o, CAST(CAST(entropy(o) OVER (ORDER BY o) "
+        f"AS DECIMAL(12,6)) AS DOUBLE) e FROM {V} ORDER BY o",
+        f"SELECT o, histogram(o) OVER (ORDER BY o ROWS BETWEEN 1 "
+        f"PRECEDING AND CURRENT ROW) h FROM {V} ORDER BY o",
+        f"SELECT o, CAST(CAST(sem(x) OVER (ORDER BY o) "
+        f"AS DECIMAL(12,6)) AS DOUBLE) s FROM {V} ORDER BY o",
+        f"SELECT product(x) p, quantile_disc(x, 0.5) q, "
+        f"sem(x)::DECIMAL(12,6)::DOUBLE s FROM {V}",
+        f"SELECT entropy(o)::DECIMAL(12,6)::DOUBLE e, histogram(o) h "
+        f"FROM {V}",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
