@@ -230,6 +230,31 @@ def _trailing_over(toks: list[Tok], close: int) -> tuple[str, int]:
     return "", close
 
 
+def _trailing_filter_over(toks: list[Tok], close: int) -> tuple[str, int]:
+    """Trailing ``FILTER (WHERE …)`` and/or ``OVER (...)`` clauses after
+    ``toks[close]`` → (' FILTER … OVER …', index of the last consumed
+    token); ('', close) when neither follows. Like _trailing_over but
+    also hoists the FILTER clause — rewritten aggregates whose emission
+    wraps the call (element_at/CASE) must carry BOTH onto the inner
+    collect_list (r11: quantile_disc(x, q) FILTER (…) parse-errored)."""
+    extra = ""
+    end = close
+    nxt = end + 1
+    while nxt < len(toks) and toks[nxt].kind in ("ws", "comment"):
+        nxt += 1
+    if (nxt < len(toks) and toks[nxt].kind == "ident"
+            and toks[nxt].text.upper() == "FILTER"):
+        op = nxt + 1
+        while op < len(toks) and toks[op].kind in ("ws", "comment"):
+            op += 1
+        if op < len(toks) and toks[op].text == "(":
+            oc = _find_close(toks, op)
+            extra += " FILTER " + detokenize(toks[op:oc + 1])
+            end = oc
+    over, end2 = _trailing_over(toks, end)
+    return extra + over, end2
+
+
 def _lambda_parts(text: str) -> tuple[list[str], str] | None:
     """Split ``(x, i) -> body`` / ``x -> body`` at the top-level arrow
     into (parameter names, body text). None when not a lambda."""
@@ -2225,7 +2250,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # stddev_pop/sqrt(n), not the textbook samp form 0.5]. A
             # trailing OVER hoists onto each sub-aggregate (r11).
             a_ = _arg_text(toks, parts[2][0])
-            over, end = _trailing_over(toks, parts[1])
+            over, end = _trailing_filter_over(toks, parts[1])
             out.append(f"(stddev_pop({a_}){over} "
                        f"/ sqrt(count({a_}){over}))")
             i = end + 1
@@ -3060,24 +3085,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     inner = _cont(qtext)
                 null_t = (f"ARRAY<{dec}>" if (name != "median"
                           and qtext.startswith("[")) else dec)
-                # a trailing OVER (…) must attach to the INNER aggregate
-                # (collect_list), not the element_at wrapper — otherwise
-                # Spark sees a non-window call and demands GROUP BY
-                nxt = close + 1
-                while nxt < len(toks) and toks[nxt].kind in (
-                        "ws", "comment"):
-                    nxt += 1
-                over = ""
-                if (nxt < len(toks) and toks[nxt].kind == "ident"
-                        and toks[nxt].text.upper() == "OVER"):
-                    op = nxt + 1
-                    while op < len(toks) and toks[op].kind in (
-                            "ws", "comment"):
-                        op += 1
-                    if op < len(toks) and toks[op].text == "(":
-                        oc = _find_close(toks, op)
-                        over = " OVER " + detokenize(toks[op:oc + 1])
-                        close = oc
+                # trailing FILTER (…) / OVER (…) must attach to the
+                # INNER aggregate (collect_list), not the element_at
+                # wrapper — otherwise Spark sees a non-window call and
+                # demands GROUP BY (or refuses FILTER on element_at)
+                over, close = _trailing_filter_over(toks, close)
                 out.append(
                     f"element_at(transform(array(sort_array("
                     f"collect_list({first}){over})), __arr -> "
@@ -3825,7 +3837,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # collect_list (r11: the windowed form parse-errored).
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
-            over, close = _trailing_over(toks, close)
+            over, close = _trailing_filter_over(toks, close)
             cl = f"collect_list(CAST({x} AS DOUBLE)){over}"
             out.append(
                 f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
@@ -4032,7 +4044,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             qq = _arg_text(toks, spans[1])
-            over, close = _trailing_over(toks, close)
+            over, close = _trailing_filter_over(toks, close)
             cl = f"collect_list({x}){over}"
             out.append(
                 f"transform({qq}, __q -> try_element_at(array_sort({cl}), "
@@ -4051,7 +4063,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
             qq = _arg_text(toks, spans[1])
-            over, close = _trailing_over(toks, close)
+            over, close = _trailing_filter_over(toks, close)
             cl = f"collect_list({x}){over}"
             out.append(
                 f"try_element_at(array_sort({cl}), greatest("
@@ -4064,7 +4076,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # [measured: (1,1,2,3) → 1.5]; NULLs ignored by both
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
-            over, close = _trailing_over(toks, close)
+            over, close = _trailing_filter_over(toks, close)
             cl = f"collect_list({x}){over}"
             n = f"CAST(size({cl}) AS DOUBLE)"
             out.append(
@@ -4081,7 +4093,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # empty/all-NULL group is NULL, not {} (review r6)
             _, close, spans = parts
             x = _arg_text(toks, spans[0])
-            over, close = _trailing_over(toks, close)
+            over, close = _trailing_filter_over(toks, close)
             cl = f"collect_list({x}){over}"
             out.append(
                 f"(CASE WHEN size({cl}) = 0 THEN NULL ELSE "
@@ -4673,7 +4685,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 # (review r7-2), so the guard raises
                 _, close, spans = parts
                 x = _arg_text(toks, spans[0])
-                over, close = _trailing_over(toks, close)
+                over, close = _trailing_filter_over(toks, close)
                 out.append(
                     f"exp(avg(ln(CASE WHEN ({x}) <= 0 THEN "
                     f"CAST(raise_error('geomean: cannot take logarithm "
@@ -4926,6 +4938,24 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             # non-literal field (column/parameter): unknowable at
             # rewrite time; pass through to Spark's date_trunc
             # (TIMESTAMP out, NULL on unknown) — documented divergence.
+        if (name in ("array_pop_back", "array_pop_front", "list_pop_back",
+                     "list_pop_front") and parts
+                and len(parts[2]) == 1):
+            # drop the last/first element [measured r11: pop of [] →
+            # [], NULL → NULL]; Spark has no pop — slice() with a
+            # clamped length
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            if name.endswith("back"):
+                out.append(f"slice({lst}, 1, "
+                           f"greatest(size({lst}) - 1, 0))")
+            else:
+                out.append(f"(CASE WHEN size({lst}) <= 1 THEN "
+                           f"slice({lst}, 1, 0) ELSE slice({lst}, 2, "
+                           f"size({lst}) - 1) END)")
+            i = close + 1
+            changed = True
+            continue
         if name == "list_reverse_sort" and parts:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])

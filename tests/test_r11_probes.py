@@ -572,6 +572,30 @@ def test_windowed_rewritten_aggregates(engine, duck):
         _check(engine, duck, q)
 
 
+def test_filter_clause_on_rewritten_aggregates(engine, duck):
+    """Trailing FILTER clauses hoist onto the inner collect_list of
+    rewritten aggregates (r11 — quantile_disc/quantile_cont FILTER
+    landed on the element_at wrapper); array_pop_back/front map to
+    clamped slices."""
+    V = "(VALUES (1, 2.0),(2, 4.0),(3, 8.0),(4, 16.0)) t(o, x)"
+    for q in (
+        f"SELECT product(x) FILTER (WHERE o > 1) p FROM {V}",
+        f"SELECT quantile_disc(x, 0.5) FILTER (WHERE o > 1) q "
+        f"FROM {V}",
+        f"SELECT quantile_cont(x, [0.5]) FILTER (WHERE o > 1) q "
+        f"FROM {V}",
+        f"SELECT median(x) FILTER (WHERE o > 1) m FROM {V}",
+        f"SELECT entropy(o) FILTER (WHERE o < 3) e FROM {V}",
+        f"SELECT histogram(o) FILTER (WHERE o < 3) h FROM {V}",
+        f"SELECT sem(x) FILTER (WHERE o > 1)::DECIMAL(12,6)::DOUBLE s "
+        f"FROM {V}",
+        "SELECT array_pop_back([1,2,3]) b, array_pop_front([1,2,3]) f",
+        "SELECT array_pop_back([1]) b, array_pop_front([1]) f",
+        "SELECT array_pop_back(CAST(NULL AS INT[])) b",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
