@@ -10760,8 +10760,16 @@ def _expr_is_map(expr: str, column_kinds: dict[str, str] | None) -> bool:
     if m:
         return (column_kinds or {}).get(m.group(1).lower()) == "map"
     m = re.fullmatch(
-        r"(?is)(map|map_from_entries|map_from_arrays)\s*\(.*\)", e)
+        r"(?is)(map|map_from_entries|map_from_arrays|histogram|"
+        r"list_histogram|map_concat|map_filter)\s*\(.*\)", e)
     if m is None:
+        # the histogram rewrites run first, so their CASE-wrapped
+        # map_from_entries emission is the shape a later ::VARCHAR
+        # pass sees (r11: CAST(list_histogram(…) AS VARCHAR) rendered
+        # Spark-style '{k -> v}')
+        if re.fullmatch(r"(?is)\(CASE\s+WHEN\b.*map_from_entries"
+                        r".*END\s*\)", e):
+            return True
         return False
     toks = tokenize(e)
     sig = _sig(toks)

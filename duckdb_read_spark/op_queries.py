@@ -2642,7 +2642,8 @@ def _q159(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q160_TEXT = r"""
 SELECT n_nationkey AS k,
-       list_histogram([n_regionkey, n_regionkey + 1, NULL]) AS lh,
+       CAST(list_histogram([n_regionkey, n_regionkey + 1, NULL])
+            AS VARCHAR) AS lh,
        least(n_nationkey, '10') AS lg,
        e'tab\tsep' AS esc,
        bit_count('1011'::BIT) AS bc,
