@@ -10796,8 +10796,11 @@ def _rewrite_interval_varchar_casts(
     if not re.search(r"(?i)CAST\s*\(|::", sql):
         return sql
     if not re.search(r"(?i)\bINTERVAL\b|make_(?:dt_|ym_)?interval"
-                     r"|TIMESTAMP\b|timestamp|\bmap\b|\barray\s*\(",
+                     r"|TIMESTAMP\b|timestamp|\bmap\w*\b|\barray\s*\(",
                      sql):
+        # \bmap\w*\b: the histogram rewrites emit map_from_entries,
+        # which the plain \bmap\b guard skipped (r11 — the map render
+        # never fired on CAST(histogram(x) AS VARCHAR))
         return sql
     for _ in range(50):
         toks = tokenize(sql)

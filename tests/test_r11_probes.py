@@ -528,6 +528,18 @@ def test_alias_tablesample_array_alias_kinds(engine, duck):
     assert 0 <= rows[0][0] <= 25
 
 
+def test_histogram_varchar_render(engine, duck):
+    """CAST(histogram(…) AS VARCHAR) renders DuckDB's '{k=v}' shape —
+    the render pass's cheap guard skipped the map_from_entries
+    emission (r11)."""
+    for q in (
+        "SELECT CAST(histogram(x) AS VARCHAR) h "
+        "FROM (VALUES (1),(2),(2)) t(x)",
+        "SELECT CAST(list_histogram([1,1,2]) AS VARCHAR) h",
+    ):
+        _check(engine, duck, q)
+
+
 def test_list_histogram_and_time_date_diff(engine, duck):
     """list_histogram (NULL-skipping sorted-key MAP) and date_diff over
     TIME literals (anchored on one date) — r11 sweep finds."""
