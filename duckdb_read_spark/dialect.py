@@ -8494,16 +8494,34 @@ def _rewrite_struct_literals(sql: str) -> str:
             if close is None:
                 continue
             inner = detokenize(toks[i + 1:close])
+            p_map = i - 1
+            while p_map >= 0 and toks[p_map].kind in ("ws", "comment"):
+                p_map -= 1
+            is_map = (p_map >= 0 and toks[p_map].kind == "ident"
+                      and toks[p_map].text.upper() == "MAP")
             kvs = []
             for part in _split_brace_commas(inner):
                 m = _STRUCT_KV_RE.match(part)
-                if not m:
-                    kvs = None
-                    break
-                key = m.group("key")
-                if not key.startswith("'"):
-                    key = f"'{key}'"  # bare identifier key → string
-                kvs.append((key, m.group("val")))
+                if m:
+                    key = m.group("key")
+                    if not key.startswith("'"):
+                        key = f"'{key}'"  # bare identifier key → string
+                    kvs.append((key, m.group("val")))
+                    continue
+                if is_map:
+                    # MAP keys may be any literal [measured r11:
+                    # MAP {1: 'x'}, {1.5: …}, {DATE '…': …} all bind;
+                    # a bare-brace STRUCT with a numeric key is a
+                    # DuckDB parse error] — keep the literal verbatim
+                    m2 = re.match(
+                        r"(?s)^\s*(?P<key>[+-]?\d+(?:\.\d+)?"
+                        r"|(?:DATE|TIME|TIMESTAMP)\s+'[^']*')"
+                        r"\s*:\s*(?P<val>.+?)\s*$", part)
+                    if m2:
+                        kvs.append((m2.group("key"), m2.group("val")))
+                        continue
+                kvs = None
+                break
             if not kvs:
                 continue
             args = ", ".join(f"{k}, {v}" for k, v in kvs)

@@ -608,6 +608,21 @@ def test_filter_clause_on_rewritten_aggregates(engine, duck):
         _check(engine, duck, q)
 
 
+def test_map_literal_nonstring_keys(engine, duck):
+    """MAP brace literals accept any literal key in DuckDB (numeric,
+    decimal, DATE) — the struct-literal pass only recognized quoted/
+    identifier keys, so MAP {1: 'x'} reached Spark unparsed (r11)."""
+    for q in (
+        "SELECT element_at(MAP {1: 'x'}, 2) e",
+        "SELECT element_at(MAP {1: 'x'}, 1) e",
+        "SELECT MAP {1: 'x', 2: 'y'}[2] v",
+        "SELECT MAP {1.5: 'x'}[1.5] v",
+        "SELECT map_keys(MAP {DATE '2024-01-01': 1}) k",
+        "SELECT MAP {'a': 1}['a'] v",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
