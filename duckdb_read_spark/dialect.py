@@ -9828,9 +9828,55 @@ def _rewrite_distinct_on(sql: str) -> str:
         win_order = keys
         outer_order = ""
         tail = detokenize(toks[body_end:]) if limit_k is not None else ""
+
+    # EXPRESSION keys (n % 2, substr(...)) aren't projected, so the
+    # OUTER ORDER BY can't resolve them in Spark (r11) — project each
+    # as a hidden __don_kN column, reference the alias outside, and
+    # EXCEPT it away. The window's PARTITION BY keeps the raw
+    # expression (sibling aliases don't resolve inside one SELECT).
+    def _norm(x: str) -> str:
+        try:
+            return " ".join(t.text for t in tokenize(x)
+                            if t.kind not in ("ws", "comment"))
+        except ValueError:
+            return x.strip()
+
+    ktoks = tokenize("(" + keys + ")")
+    kspans = _split_args(ktoks, 0, len(ktoks) - 1)
+    key_exprs = [_arg_text(ktoks, sp).strip() for sp in kspans]
+    hidden: list[tuple[str, str]] = []  # (expr, alias)
+    for ii, ke in enumerate(key_exprs):
+        if not re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)?", ke):
+            hidden.append((ke, f"__don_k{ii}"))
+    extra_sel = "".join(f", ({e}) AS {a}" for e, a in hidden)
+    except_cols = "__don_rn" + "".join(f", {a}" for _, a in hidden)
+    if hidden and outer_order:
+        otoks = tokenize(order_list)
+        # split the outer order list on top-level commas
+        items = []
+        depth = 0
+        start = 0
+        for idx, t in enumerate(otoks):
+            if t.text in ("(", "["):
+                depth += 1
+            elif t.text in (")", "]"):
+                depth -= 1
+            elif t.text == "," and depth == 0:
+                items.append(detokenize(otoks[start:idx]))
+                start = idx + 1
+        items.append(detokenize(otoks[start:]))
+        norm_of = {_norm(e): a for e, a in hidden}
+        new_items = []
+        for it in items:
+            m = re.match(r"(?is)^(?P<e>.*?)(?P<sfx>(\s+(ASC|DESC))?"
+                         r"(\s+NULLS\s+(FIRST|LAST))?)\s*$", it.strip())
+            e, sfx = m.group("e"), m.group("sfx") or ""
+            alias = norm_of.get(_norm(e))
+            new_items.append((alias or e) + sfx)
+        outer_order = " ORDER BY " + ", ".join(new_items)
     return (
-        f"SELECT * EXCEPT (__don_rn) FROM "
-        f"(SELECT {sel_list}, row_number() OVER "
+        f"SELECT * EXCEPT ({except_cols}) FROM "
+        f"(SELECT {sel_list}{extra_sel}, row_number() OVER "
         f"(PARTITION BY {keys} ORDER BY {win_order}) AS __don_rn {body}) "
         f"WHERE __don_rn = 1{outer_order} {tail}".rstrip()
     )

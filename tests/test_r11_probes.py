@@ -623,6 +623,23 @@ def test_map_literal_nonstring_keys(engine, duck):
         _check(engine, duck, q)
 
 
+def test_distinct_on_expression_keys(engine, duck):
+    """DISTINCT ON with EXPRESSION keys: the compiled row_number form
+    projects each non-column key as a hidden __don_kN so the outer
+    ORDER BY can resolve it (r11 — Spark errored UNRESOLVED_COLUMN)."""
+    for q in (
+        "SELECT DISTINCT ON (n_regionkey, n_nationkey % 2) "
+        "n_regionkey, n_name FROM nation "
+        "ORDER BY n_regionkey, n_nationkey % 2, n_name",
+        "SELECT DISTINCT ON (substr(n_name, 1, 1)) "
+        "substr(n_name,1,1) c, n_name FROM nation "
+        "ORDER BY substr(n_name, 1, 1), n_name",
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name DESC",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
