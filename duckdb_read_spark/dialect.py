@@ -1186,6 +1186,18 @@ def _rewrite_interval_forms(sql: str) -> str:
     """
     if not re.search(r"(?i)\bINTERVAL\b", sql):
         return sql
+    # INTERVAL (expr) UNIT — a DYNAMIC quantity [measured r11:
+    # INTERVAL (col) DAY binds in DuckDB; Spark's INTERVAL literal
+    # grammar refuses the parens] → (expr) * INTERVAL '1' UNIT
+    # (weeks as 7 days: Spark has no WEEK interval unit)
+    sql = re.sub(
+        r"(?is)\bINTERVAL\s*\((?P<e>(?:[^()]|\([^()]*\))*)\)\s*"
+        r"(?P<u>YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?\b",
+        lambda m: (f"(({m.group('e').strip()}) * INTERVAL '7' DAY)"
+                   if m.group("u").upper() == "WEEK"
+                   else f"(({m.group('e').strip()}) * "
+                        f"INTERVAL '1' {m.group('u').upper()})"),
+        sql)
     ivl_pat = (r"INTERVAL\s+(?:'[^']*'(?:\s+[A-Za-z]+)?"
                r"|-?\d+(?:\.\d+)?\s+[A-Za-z]+)")
 
@@ -12182,6 +12194,11 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _fold_bit_literals(sql)
     sql = _rewrite_interval_forms(sql)
     sql = _rewrite_date_interval_arith(sql, column_kinds)
+    # BEFORE the floordiv/try_mod passes: their left-operand scan
+    # walks back across a comprehension's IF keyword and mangles
+    # `[x FOR x IN … IF x % 2 = 1]` (r11); once compiled to
+    # filter(…, x -> cond) the lambda-aware passes handle the body
+    sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_floordiv_operator(sql)
     sql = _rewrite_pg_operator_spellings(sql, column_kinds)
     sql = _rewrite_null_safe_division(sql, column_kinds)
@@ -12202,7 +12219,6 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_regexp_replacement(sql)
     sql = _rewrite_regexp_first_match(sql)
     sql = _rewrite_moment_aggs(sql)
-    sql = _rewrite_list_comprehension(sql)
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_tilde_operators(sql)
     sql = _rewrite_match_operators(sql)

@@ -640,6 +640,25 @@ def test_distinct_on_expression_keys(engine, duck):
         _check(engine, duck, q)
 
 
+def test_comprehension_mod_and_dynamic_interval(engine, duck):
+    """Two r11 sweep finds: a list comprehension's IF filter with %
+    arithmetic was mangled by the try_mod pass running first (the
+    comprehension now compiles before the operator passes), and
+    INTERVAL (expr) UNIT — a dynamic quantity — maps to
+    (expr) * INTERVAL '1' UNIT (weeks as 7 days)."""
+    for q in (
+        "SELECT [x FOR x IN [1,2,3] IF x % 2 = 1] lf",
+        "SELECT [x * 2 FOR x IN [1,2,3]] lc",
+        "SELECT INTERVAL (n_nationkey) DAY iv FROM nation "
+        "WHERE n_nationkey = 2",
+        "SELECT DATE '2024-01-01' + INTERVAL (n_nationkey) MONTH d "
+        "FROM nation WHERE n_nationkey = 3",
+        "SELECT INTERVAL (2) WEEK w",
+        "SELECT INTERVAL 3 DAY v",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
