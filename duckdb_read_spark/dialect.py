@@ -230,6 +230,48 @@ def _trailing_over(toks: list[Tok], close: int) -> tuple[str, int]:
     return "", close
 
 
+def _parse_order_keys(key_text: str) -> list[tuple[str, bool, bool]] | None:
+    """ORDER BY list text → [(expr, desc, nulls_first)], honoring
+    DuckDB's NULLS LAST default in BOTH directions. None on a parse
+    failure."""
+    try:
+        ktoks = tokenize("(" + key_text + ")")
+        spans = _split_args(ktoks, 0, len(ktoks) - 1)
+    except ValueError:
+        return None
+    out: list[tuple[str, bool, bool]] = []
+    for sp in spans:
+        item = _arg_text(ktoks, sp).strip()
+        m = re.match(r"(?is)^(?P<e>.+?)(?:\s+(?P<dir>ASC|DESC))?"
+                     r"(?:\s+NULLS\s+(?P<n>FIRST|LAST))?\s*$", item)
+        if m is None or not m.group("e").strip():
+            return None
+        out.append((m.group("e").strip(),
+                    (m.group("dir") or "").upper() == "DESC",
+                    (m.group("n") or "").upper() == "FIRST"))
+    return out
+
+
+def _order_comparator(keys: list[tuple[str, bool, bool]]) -> str:
+    """array_sort comparator lambda body over struct fields __k0..__kN
+    for multi-key / NULLS-overridden ordered aggregates (r11): per-key
+    direction, NULLS LAST unless overridden, tie → next key."""
+    body = "0"
+    for idx in range(len(keys) - 1, -1, -1):
+        _, desc, nf = keys[idx]
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        nl, nr = ("-1", "1") if nf else ("1", "-1")
+        f = f"__k{idx}"
+        body = (f"CASE WHEN __l.{f} IS NULL AND __r.{f} IS NULL "
+                f"THEN {body} "
+                f"WHEN __l.{f} IS NULL THEN {nl} "
+                f"WHEN __r.{f} IS NULL THEN {nr} "
+                f"WHEN __l.{f} < __r.{f} THEN {lt} "
+                f"WHEN __l.{f} > __r.{f} THEN {gt} "
+                f"ELSE {body} END")
+    return body
+
+
 def _trailing_filter_over(toks: list[Tok], close: int) -> tuple[str, int]:
     """Trailing ``FILTER (WHERE …)`` and/or ``OVER (...)`` clauses after
     ``toks[close]`` → (' FILTER … OVER …', index of the last consumed
@@ -5791,7 +5833,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     # stays unrewritten (loud on Spark).
                     single_key = "," not in re.sub(r"\([^()]*\)", "",
                                                    key)
-                    if single_key and (not distinct or expr == key):
+                    has_nulls_kw = re.search(r"(?is)\bNULLS\s+"
+                                             r"(FIRST|LAST)\b", key)
+                    if (single_key and not has_nulls_kw
+                            and (not distinct or expr == key)):
                         flag = ("IS NOT NULL" if desc else "IS NULL")
                         agg = (f"{collect}(struct(({key}) {flag} AS "
                                f"__n, {key} AS __k, {expr} AS __v))"
@@ -5809,14 +5854,43 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         i = fend + 1
                         changed = True
                         continue
+                    if not distinct:
+                        # MULTI-key / NULLS-overridden ORDER BY (r11):
+                        # comparator-sorted struct collection —
+                        # per-key direction, DuckDB's NULLS LAST
+                        # default unless overridden. The full key TEXT
+                        # (incl. a trailing dir the outer regex split
+                        # off) re-parses here.
+                        full_key = (key + (" " + m.group("dir")
+                                           if m.group("dir") else ""))
+                        okeys = _parse_order_keys(full_key)
+                        if okeys:
+                            fields = ", ".join(
+                                f"({e}) AS __k{ix}"
+                                for ix, (e, _, _) in enumerate(okeys))
+                            agg = (f"{collect}(struct({fields}, "
+                                   f"{expr} AS __v)){filt}")
+                            cmp_ = _order_comparator(okeys)
+                            res = (f"transform(array_sort({agg}, "
+                                   f"(__l, __r) -> {cmp_}), "
+                                   f"__s -> __s.__v)")
+                            res = (f"(CASE WHEN size({agg}) = 0 "
+                                   f"THEN NULL ELSE {res} END)")
+                            out.append(res)
+                            i = fend + 1
+                            changed = True
+                            continue
                 else:  # string_agg(x, sep ORDER BY key [dir])
                     m2 = re.match(
                         r"^(?P<expr>.+?),\s*(?P<sep>'(?:[^']|'')*')\s+"
                         r"ORDER\s+BY\s+(?P<key>.+?)"
                         r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
                         inner, re.IGNORECASE | re.DOTALL)
-                    if m2 and "," not in re.sub(r"\([^()]*\)", "",
-                                                m2.group("key")):
+                    if (m2 and "," not in re.sub(r"\([^()]*\)", "",
+                                                 m2.group("key"))
+                            and not re.search(r"(?is)\bNULLS\s+"
+                                              r"(FIRST|LAST)\b",
+                                              m2.group("key"))):
                         # expr may differ from the (single) sort key
                         # (r7 probe): struct-wrap like array_agg, but
                         # drop NULL exprs first — string_agg skips them
@@ -5851,6 +5925,33 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         i = fend + 1
                         changed = True
                         continue
+                    if m2 and not distinct:
+                        # MULTI-key / NULLS-overridden ORDER BY (r11):
+                        # comparator sort like the array_agg path;
+                        # NULL exprs drop first (string_agg skips them)
+                        full_key = (m2.group("key").strip()
+                                    + (" " + m2.group("dir")
+                                       if m2.group("dir") else ""))
+                        okeys = _parse_order_keys(full_key)
+                        if okeys:
+                            expr2 = m2.group("expr").strip()
+                            fields = ", ".join(
+                                f"({e}) AS __k{ix}"
+                                for ix, (e, _, _) in enumerate(okeys))
+                            agg = (f"{collect}(CASE WHEN ({expr2}) IS "
+                                   f"NOT NULL THEN struct({fields}, "
+                                   f"{expr2} AS __v) END){filt}")
+                            cmp_ = _order_comparator(okeys)
+                            joined = (
+                                f"array_join(transform(array_sort("
+                                f"{agg}, (__l, __r) -> {cmp_}), "
+                                f"__s -> __s.__v), {m2.group('sep')})")
+                            res = (f"(CASE WHEN size({agg}) = 0 "
+                                   f"THEN NULL ELSE {joined} END)")
+                            out.append(res)
+                            i = fend + 1
+                            changed = True
+                            continue
             elif name == "array_agg" or distinct or filt or forced_sep:
                 # DISTINCT without ORDER BY (set semantics, arbitrary
                 # order in DuckDB too), a bare FILTER (the

@@ -659,6 +659,29 @@ def test_comprehension_mod_and_dynamic_interval(engine, duck):
         _check(engine, duck, q)
 
 
+def test_multi_key_ordered_aggregates(engine, duck):
+    """array_agg/string_agg with MULTI-key or NULLS-overridden ORDER
+    BY: comparator-sorted struct collection with per-key direction and
+    DuckDB's NULLS LAST default (r11 — multi-key forms reached Spark's
+    parser and failed; NULLS keywords emitted invalid sort text)."""
+    V = ("(VALUES (1, 'b', 10),(2, 'a', 10),(3, 'a', 5),"
+         "(NULL, 'c', 1)) t(x, s, k)")
+    for q in (
+        "SELECT n_regionkey r, array_agg(n_name ORDER BY "
+        "length(n_name) DESC, n_name) a FROM nation "
+        "GROUP BY 1 ORDER BY 1",
+        f"SELECT array_agg(x ORDER BY s, k DESC) a FROM {V}",
+        f"SELECT array_agg(x ORDER BY k DESC, s) a FROM {V}",
+        f"SELECT array_agg(x ORDER BY x NULLS FIRST) a FROM {V}",
+        f"SELECT array_agg(s ORDER BY x DESC NULLS FIRST) a FROM {V}",
+        f"SELECT string_agg(s, '-' ORDER BY k, s DESC) a FROM {V}",
+        f"SELECT string_agg(s, '|' ORDER BY x NULLS FIRST) a FROM {V}",
+        f"SELECT array_agg(x ORDER BY x) a FROM {V}",
+        f"SELECT array_agg(x ORDER BY x DESC) a FROM {V}",
+    ):
+        _check(engine, duck, q)
+
+
 def test_union_type_fence(engine):
     """DuckDB UNION (sum) types have no Spark analog — union_value/
     union_extract/union_tag refuse with guidance, not a ':=' parse
