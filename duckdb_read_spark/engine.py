@@ -600,6 +600,14 @@ class Engine:
                 builder = builder.config(k, v)
             spark = builder.getOrCreate()
         apply_runtime_confs(spark)
+        # Executors unpickle module-level pandas UDFs BY REFERENCE, so the
+        # package must be importable inside every Python worker — workers
+        # don't inherit the driver's sys.path edits, and on a real cluster
+        # they don't share its filesystem either. Ship a content-stamped
+        # package zip via addPyFile (idempotent; see pkgship.py).
+        from .pkgship import ship_package
+
+        ship_package(spark)
         self.spark = spark
         self._extensions_allowed = extensions_allowed
         self._allow_arbitrary_extensions = allow_arbitrary_extensions

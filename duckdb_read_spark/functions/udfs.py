@@ -901,14 +901,17 @@ def _make_duck_interval_varchar_udf():
     01:30:00' DAY TO SECOND")."""
     from pyspark.sql.types import StringType
 
+    # Captured at maker time (driver-side) so the UDF body never imports
+    # the 12k-line dialect module per batch; the reference is resolved on
+    # the executor from the shipped package zip (pkgship.py).
+    from duckdb_read_spark.dialect import _duck_interval_str
+
     def one(td) -> str | None:
         if td is None or pd.isna(td):
             return None
         total = int(pd.Timedelta(td).value) // 1000  # ns → µs
         days = int(total / 86_400_000_000)
         rem = total - days * 86_400_000_000
-        from duckdb_read_spark.dialect import _duck_interval_str
-
         return _duck_interval_str(0, days, rem)
 
     @F.pandas_udf(StringType())
