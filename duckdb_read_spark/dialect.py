@@ -1116,6 +1116,77 @@ _BITLIT = (r"(?:'(?P<q1>[^']*)'\s*::\s*BIT\b"
            r"|CAST\s*\(\s*'(?P<q2>[^']*)'\s+AS\s+BIT\s*\))")
 
 
+def _fold_blob_literals(sql: str) -> str:
+    r"""String-literal → BLOB casts decode DuckDB's ``\xHH`` escapes
+    [measured r12: '\xAA'::BLOB is ONE byte (octet_length 1, hex 'AA');
+    'ab\x41'::BLOB = b'abA'; a backslash not followed by exactly two
+    hex digits is a Conversion Error]. The old path mapped the TYPE to
+    BINARY but left the literal's four raw characters — silent wrong
+    values across the whole blob surface (VERDICT r11 #4). Emitted as
+    Spark's native hex binary literal ``X'…'``; non-literal operands
+    keep the plain BINARY cast (bytes pass through unchanged)."""
+    if not re.search(r"(?i)::\s*(?:BLOB|BYTEA)\b"
+                     r"|AS\s+(?:BLOB|BYTEA)\s*\)", sql):
+        return sql
+
+    def decode(body: str) -> str:
+        raw = body.replace("''", "'")
+        out = bytearray()
+        k = 0
+        while k < len(raw):
+            ch = raw[k]
+            if ch == "\\":
+                mh = re.match(r"x[0-9A-Fa-f]{2}", raw[k + 1:k + 4])
+                if not mh:
+                    raise ValueError(
+                        "Invalid hex escape code encountered in "
+                        f"string -> blob conversion: {raw[k:k + 4]!r} "
+                        "(DuckDB Conversion Error parity)")
+                out.append(int(mh.group(0)[1:], 16))
+                k += 4
+                continue
+            out.extend(ch.encode("utf-8"))
+            k += 1
+        return "X'" + out.hex().upper() + "'"
+
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    changed = False
+    for k, ti in enumerate(sig):
+        t = toks[ti]
+        if t.kind != "str":
+            continue
+        # 'lit'::BLOB
+        if (k + 3 < len(sig) and toks[sig[k + 1]].text == ":"
+                and toks[sig[k + 2]].text == ":"
+                and toks[sig[k + 3]].kind == "ident"
+                and toks[sig[k + 3]].text.upper() in ("BLOB", "BYTEA")):
+            t.text = decode(t.text[1:-1])
+            t.kind = "other"
+            for j in (sig[k + 1], sig[k + 2], sig[k + 3]):
+                toks[j].text = ""
+            changed = True
+            continue
+        # CAST('lit' AS BLOB)
+        if (k >= 2 and k + 3 < len(sig)
+                and toks[sig[k - 2]].kind == "ident"
+                and toks[sig[k - 2]].text.upper() in ("CAST", "TRY_CAST")
+                and toks[sig[k - 1]].text == "("
+                and toks[sig[k + 1]].kind == "ident"
+                and toks[sig[k + 1]].text.upper() == "AS"
+                and toks[sig[k + 2]].kind == "ident"
+                and toks[sig[k + 2]].text.upper() in ("BLOB", "BYTEA")
+                and toks[sig[k + 3]].text == ")"):
+            toks[sig[k - 2]].text = ""
+            toks[sig[k - 1]].text = ""
+            t.text = decode(t.text[1:-1])
+            t.kind = "other"
+            for j in (sig[k + 1], sig[k + 2], sig[k + 3]):
+                toks[j].text = ""
+            changed = True
+    return detokenize(toks) if changed else sql
+
+
 def _fold_bit_literals(sql: str) -> str:
     """DuckDB BITSTRING surface over LITERAL operands, constant-folded
     [measured r11: '101'::BIT renders '101'; bit_count('1011')=3
@@ -1151,16 +1222,22 @@ def _fold_bit_literals(sql: str) -> str:
         sql = re.sub(
             rf"(?is)\bset_bit\s*\(\s*{_BITLIT}\s*,\s*(\d+)\s*,\s*"
             rf"([01])\s*\)",
-            lambda m: "'" + (lambda s, i, v: s[:i] + v + s[i + 1:])(
+            lambda m: "'" + (lambda s, i, v: s[:i] + v + s[i + 1:]
+                if i < len(s) else (_ for _ in ()).throw(ValueError(
+                    f"set_bit: bit index {i} out of range for "
+                    f"{len(s)}-bit string (DuckDB Out of Range "
+                    "parity)")))(
                 lit(m), int(m.group(3)), m.group(4)) + "'::BIT", sql)
         sql = re.sub(
             rf"(?is)\bxor\s*\(\s*{_BITLIT}\s*,\s*"
             rf"(?:'(?P<r1>[^']*)'\s*::\s*BIT\b"
             rf"|CAST\s*\(\s*'(?P<r2>[^']*)'\s+AS\s+BIT\s*\))\s*\)",
-            lambda m: "'" + "".join(
-                "1" if a != b else "0"
-                for a, b in zip(lit(m), lit(m, "r1", "r2")))
-            + "'::BIT", sql)
+            lambda m: (lambda a, b: "'" + "".join(
+                "1" if x != y else "0" for x, y in zip(a, b))
+                + "'::BIT" if len(a) == len(b) else
+                (_ for _ in ()).throw(ValueError(
+                    "Cannot XOR bit strings of different size")))(
+                lit(m), lit(m, "r1", "r2")), sql)
         sql = re.sub(
             rf"(?is){_BITLIT}\s*(?P<op>[|&])\s*"
             rf"(?:'(?P<r1>[^']*)'\s*::\s*BIT\b"
@@ -3900,9 +3977,13 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name in ("first", "last") and parts and parts[2]:
+        if name in ("first", "last", "any_value") and parts and parts[2]:
             # ordered first/last: first(x ORDER BY y) is the x of the
             # minimum y — exactly min_by/max_by [measured]; DESC flips.
+            # any_value rides the same shape but SKIPS NULL values
+            # [measured r12: any_value(v ORDER BY k DESC) over
+            # ((1,7),(2,NULL),(4,9)) → 9] — a value-null flag leads
+            # its sort struct so NULL values always lose.
             # The plain (unordered) forms pass through — arbitrary-order
             # in both engines. Trailing FILTER clauses stay outside
             # (valid on min_by/max_by). NOTE: the whole inner text, not
@@ -3962,10 +4043,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 e = mob.group("e").strip()
                 if not desc:
                     sk = _flagged("1")  # NULLs sort AFTER non-NULLs
-                    fn = "min_by" if name == "first" else "max_by"
+                    fn = "min_by" if name != "last" else "max_by"
                 else:
                     sk = _flagged("0")  # flag 0 so max=non-NULL extreme
-                    fn = "max_by" if name == "first" else "min_by"
+                    fn = "max_by" if name != "last" else "min_by"
+                if name == "any_value":
+                    vf = "1" if not desc else "0"
+                    sk = (f"struct((CASE WHEN ({e}) IS NULL THEN {vf} "
+                          f"ELSE {1 - int(vf)} END), "
+                          + sk[len("struct("):])
                 # marker spelling: ordered first/last must KEEP a NULL
                 # value at the winning key (r10: the arg_max NULL-skip
                 # wrap would re-capture a plain min_by emission)
@@ -3973,6 +4059,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 i = close + 1
                 changed = True
                 continue
+        if name == "any_value" and parts and len(parts[2]) == 1:
+            # bare any_value SKIPS NULLs in DuckDB [measured r12:
+            # any_value(v) over ((NULL),(7)) → 7]; Spark's 1-arg form
+            # keeps the first value, NULL included — a silent wrong
+            # value on an everyday aggregate (VERDICT r11 #2). Spark's
+            # 2-arg any_value(x, true) is the exact semantic; DISTINCT
+            # is a no-op for "pick any non-NULL" and is stripped.
+            _, close, spans = parts
+            inner = detokenize(toks[parts[0] + 1:close]).strip()
+            inner = re.sub(r"(?is)^DISTINCT\s+", "", inner)
+            out.append(f"any_value(({inner}), true)")
+            i = close + 1
+            changed = True
+            continue
         if name in ("fsum", "favg", "kahan_sum", "sumkahan") and parts \
                 and len(parts[2]) == 1:
             # Kahan-compensated float aggregates: the compensation is an
@@ -4007,20 +4107,66 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             continue
         if name in ("substr", "substring") and parts \
                 and len(parts[2]) == 3:
-            # start 0 with a length: DuckDB counts the nonexistent
-            # position 0 against the length [measured:
-            # substr('abcde', 0, 3) = 'ab'; Spark gives 'abc']. Negative
-            # and positive starts already agree.
+            # DuckDB's 3-arg substr works on a POSITION LINE [measured
+            # matrix r12]: a negative start means len(s)+start+1, then
+            # the window is [p, p+L) for L >= 0 and [p+L, p) for L < 0
+            # (negative length extends LEFT of start — substr('hello',
+            # 2, -1) = 'h', (3,-2) = 'he', (6,-3) = 'llo'), clipped to
+            # the string; start 0 counts the nonexistent position 0
+            # against the length (substr('abcde',0,3) = 'ab'). Spark
+            # returns '' for any negative length and treats start 0 as
+            # 1 — silent wrong values (VERDICT r11 #3). Literal
+            # start >= 1 with literal length >= 0 agrees and stays
+            # native; everything else takes the windowed form.
             _, close, spans = parts
             s = _arg_text(toks, spans[0])
-            st = _arg_text(toks, spans[1])
-            ln = _arg_text(toks, spans[2])
-            out.append(
-                f"(CASE WHEN ({st}) = 0 THEN substring({s} FROM 1 "
-                f"FOR greatest(({ln}) - 1, 0)) "
-                f"ELSE substring({s} FROM {st} FOR {ln}) END)")
+            st = _arg_text(toks, spans[1]).strip()
+            ln = _arg_text(toks, spans[2]).strip()
+            lit_st = re.fullmatch(r"[+-]?\d+", st)
+            lit_ln = re.fullmatch(r"[+-]?\d+", ln)
+            if lit_st and lit_ln and int(st) >= 1 and int(ln) >= 0:
+                body = f"substring({s} FROM {st} FOR {ln})"
+            else:
+                p = (f"(CASE WHEN ({st}) < 0 THEN length({s}) + ({st})"
+                     f" + 1 ELSE ({st}) END)")
+                a = (f"greatest(CASE WHEN ({ln}) >= 0 THEN {p} "
+                     f"ELSE {p} + ({ln}) END, 1)")
+                b = (f"least(CASE WHEN ({ln}) >= 0 THEN {p} + ({ln}) "
+                     f"- 1 ELSE {p} - 1 END, length({s}))")
+                # explicit NULL guard: greatest/least IGNORE NULL args,
+                # so a NULL start/length would otherwise clamp to 1/end
+                body = (f"(CASE WHEN ({st}) IS NULL OR ({ln}) IS NULL "
+                        f"THEN CAST(NULL AS STRING) "
+                        f"WHEN ({b}) < ({a}) THEN '' ELSE "
+                        f"substring({s} FROM {a} FOR ({b}) - ({a}) "
+                        f"+ 1) END)")
+            out.append(body)
             # FROM/FOR keyword form everywhere above: a comma'd 3-arg
             # substring emission would re-enter this very rewrite
+            i = close + 1
+            changed = True
+            continue
+        if name == "split_part" and parts and len(parts[2]) == 3:
+            # DuckDB's split_part NULL/zero matrix [measured r12]:
+            # NULL separator → the WHOLE string; NULL string, NULL or
+            # 0 index, and any out-of-range index (either sign) → ''
+            # — it never returns NULL and never errors. Spark's
+            # split_part NULLs on NULL input and THROWS
+            # INVALID_INDEX_OF_ZERO on 0. Emitted over split() +
+            # try_element_at (no split_part in the output — this very
+            # branch would re-trigger); \Q…\E quotes the separator so
+            # a dynamic one stays literal.
+            _, close, spans = parts
+            s = _arg_text(toks, spans[0])
+            sep = _arg_text(toks, spans[1])
+            ix = _arg_text(toks, spans[2])
+            out.append(
+                f"(CASE WHEN ({sep}) IS NULL THEN ({s}) "
+                f"WHEN ({s}) IS NULL OR ({ix}) IS NULL "
+                f"OR ({ix}) = 0 THEN '' "
+                f"ELSE coalesce(try_element_at(split({s}, "
+                f"concat('\\\\Q', {sep}, '\\\\E'), -1), "
+                f"CAST(({ix}) AS INT)), '') END)")
             i = close + 1
             changed = True
             continue
@@ -5681,6 +5827,28 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "regexp_extract" and parts and len(parts[2]) == 3:
+            # a group index PAST the pattern's capture count returns ''
+            # in DuckDB [measured r12: regexp_extract('ab12',
+            # '([a-z]+)(\d+)', 3) = '']; Spark throws
+            # REGEX_GROUP_INDEX. Provable only for a LITERAL pattern +
+            # LITERAL index (counted driver-side); negative indexes
+            # error in BOTH engines and stay loud.
+            _, close, spans = parts
+            pat = _arg_text(toks, spans[1]).strip()
+            gix = _arg_text(toks, spans[2]).strip()
+            mp = re.fullmatch(r"'((?:[^']|'')*)'", pat)
+            if mp and re.fullmatch(r"\d+", gix) and int(gix) > 0:
+                try:
+                    ngroups = re.compile(
+                        mp.group(1).replace("''", "'")).groups
+                except re.error:
+                    ngroups = None
+                if ngroups is not None and int(gix) > ngroups:
+                    out.append("''")
+                    i = close + 1
+                    changed = True
+                    continue
         if name == "regexp_replace" and parts and len(parts[2]) == 4:
             # 4-arg options form. 'g' = replace-all = Spark's native
             # semantics; WITHOUT 'g' DuckDB replaces only the FIRST
@@ -5728,37 +5896,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
-        if name == "any_value" and parts and len(parts[2]) == 1:
-            inner_av = detokenize(toks[parts[0] + 1:parts[1]])
-            mav = re.match(
-                r"^(?P<expr>.*?)\s+ORDER\s+BY\s+(?P<key>.+?)"
-                r"(?:\s+(?P<dir>ASC|DESC))?\s*$",
-                inner_av, re.IGNORECASE | re.DOTALL)
-            if mav and "," not in re.sub(r"\([^()]*\)", "",
-                                         mav.group("key")):
-                # DuckDB any_value(x ORDER BY k) = first NON-NULL x in k
-                # order, NULL keys last [measured: ((9,NULL),(7,2)) → 7;
-                # all-NULL x → NULL]. Spark any_value has no ORDER BY —
-                # collect null-free (key, value) structs (the CASE's
-                # NULL rows vanish in collect_list), sort with the
-                # null-rank flag, take the head. expr == key keeps the
-                # same shape (r7 generalized from the expr==key-only
-                # form for arbitrary()/any_value over a separate key).
-                expr = mav.group("expr").strip()
-                key = mav.group("key").strip()
-                desc = (mav.group("dir") or "").upper() == "DESC"
-                flag = "IS NOT NULL" if desc else "IS NULL"
-                cl = (f"collect_list(CASE WHEN ({expr}) IS NOT NULL "
-                      f"THEN struct(({key}) {flag} AS __n, "
-                      f"{key} AS __k, {expr} AS __v) END)")
-                srt = (f"sort_array({cl}, false)" if desc
-                       else f"sort_array({cl})")
-                out.append(
-                    f"try_element_at(transform({srt}, "
-                    f"__s -> __s.__v), 1)")
-                i = parts[1] + 1
-                changed = True
-                continue
+        # NOTE ordered/plain any_value rewrites live with first/last
+        # above (r12: min_by/max_by emission — no collect_list of the
+        # whole group; the old sort_array form is retired).
         if (name == "string_agg" and parts and len(parts[2]) == 2
                 and re.match(r"(?is)^\s*NULL\s*(ORDER\s+BY\b.*)?$",
                              _arg_text(toks, parts[2][1]))):
@@ -12167,6 +12307,42 @@ def _rewrite_setop_varchar_unify(
     return "".join(out_toks)
 
 
+_BARE_FILTER_STOPS = frozenset((
+    "GROUP", "ORDER", "LIMIT", "OFFSET", "WINDOW", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT", "FETCH", "HAVING"))
+
+
+def _rewrite_bare_integer_filters(sql: str) -> str:
+    """Bare integer literal as a filter: DuckDB casts INT→BOOLEAN in
+    WHERE/HAVING [measured r11: WHERE 1 keeps all rows, WHERE 0 none];
+    Spark refuses (FILTER_NOT_BOOLEAN). Token-aware (ADVICE r11: the
+    old raw re.sub fired inside string literals — ``SELECT 'WHERE 1
+    ORDER BY x'`` got its CONTENT rewritten), so string/dollar/quoted
+    spans can never match; the integer must be the whole predicate."""
+    if not re.search(r"(?is)\b(where|having)\s+\d", sql):
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    changed = False
+    for k, ti in enumerate(sig[:-1]):
+        t = toks[ti]
+        if t.kind != "ident" or t.text.upper() not in ("WHERE", "HAVING"):
+            continue
+        nt = toks[sig[k + 1]]
+        if nt.kind != "num" or not nt.text.isdigit():
+            continue
+        if k + 2 < len(sig):
+            ft = toks[sig[k + 2]]
+            ends = (ft.text in (";", ")")
+                    or (ft.kind == "ident"
+                        and ft.text.upper() in _BARE_FILTER_STOPS))
+            if not ends:
+                continue
+        nt.text = f"({nt.text} <> 0)"
+        changed = True
+    return detokenize(toks) if changed else sql
+
+
 def _rewrite_escape_strings(sql: str) -> str:
     """Postgres-style ``E'...'`` escape-string literals [measured r11 in
     DuckDB 1.0: \\n/\\t/\\r/\\b/\\f controls, \\xHH hex, \\ooo octal,
@@ -12193,6 +12369,18 @@ def _rewrite_escape_strings(sql: str) -> str:
             out.append(sql[i:j + 1])
             i = j + 1
             continue
+        if c == "$":  # dollar-quoted literal: RAW content, copy
+            # verbatim — an e'…' shape inside $$…$$ must survive
+            # untouched (ADVICE r11: this pass runs before the dollar
+            # rewrite and used to decode it)
+            md = re.match(r"\$([A-Za-z_]\w*)?\$", sql[i:])
+            if md:
+                tag = md.group(0)
+                end = sql.find(tag, i + len(tag))
+                if end != -1:
+                    out.append(sql[i:end + len(tag)])
+                    i = end + len(tag)
+                    continue
         if (c in "eE" and i + 1 < n and sql[i + 1] == "'"
                 and (i == 0 or not (sql[i - 1].isalnum()
                                     or sql[i - 1] in "_'\""))):
@@ -12267,6 +12455,9 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
         column_kinds = merged
     sql = _rewrite_dollar_strings(sql)
     sql = _rewrite_quoted_identifiers(sql)
+    # BEFORE the raw-literal backslash doubling: \xHH blob escapes
+    # decode against the literal's RAW text
+    sql = _fold_blob_literals(sql)
     sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_numeric_literal_forms(sql)
     sql = _strip_trailing_commas(sql)
@@ -12307,14 +12498,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_filter_shorthand(sql)
     sql = _rewrite_window_filter(sql)
     sql = _rewrite_setop_varchar_unify(sql, column_kinds)
-    # bare integer literal as a filter: DuckDB casts INT→BOOLEAN in
-    # WHERE/HAVING [measured r11: WHERE 1 keeps all rows, WHERE 0
-    # none]; Spark refuses (FILTER_NOT_BOOLEAN)
-    sql = re.sub(
-        r"(?is)\b(WHERE|HAVING)\s+(\d+)(?=\s*(?:$|;|\)|GROUP\b|"
-        r"ORDER\b|LIMIT\b|OFFSET\b|WINDOW\b|QUALIFY\b|UNION\b|"
-        r"INTERSECT\b|EXCEPT\b|FETCH\b|HAVING\b))",
-        r"\1 (\2 <> 0)", sql)
+    sql = _rewrite_bare_integer_filters(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

@@ -620,6 +620,11 @@ class Engine:
         self._functions.update(register_fuzzy_udfs(spark))
         self._extensions: dict[str, object] = {}
         self._versioned: dict[str, str] = {}  # view name -> table_dir
+        # session TEMP tables (name -> tempdir) and, where a temp name
+        # collides with a permanent table, the shadowed warehouse dir to
+        # restore on DROP — DuckDB's temp catalog shadows, never clobbers
+        self._temp_tables: dict[str, str] = {}
+        self._temp_shadow: dict[str, str] = {}
         self._table_paths: dict[str, str] = {}  # view name -> parquet path
         # view name -> (ts_col, partition_col, granularity) for tables
         # registered through the time-partitioned materialization path
@@ -4960,7 +4965,16 @@ class Engine:
         m = _CREATE_TABLE_RE.match(query)
         if m and _looks_like_create_table(m.group("rest")):
             name, rest = m.group("name"), m.group("rest").strip()
-            exists = name in self._versioned
+            # TEMP tables live in their own namespace (DuckDB's temp
+            # catalog): a CREATE TEMP TABLE colliding with a permanent
+            # table SHADOWS it for the session — it must never clash
+            # with, or worse overwrite, the warehouse table (ADVICE r11)
+            if m.group("temp"):
+                exists = name in self._temp_tables
+            else:
+                exists = name in self._temp_shadow or (
+                    name in self._versioned
+                    and name not in self._temp_tables)
             if exists and m.group("ifnx"):
                 return self._empty()
             if exists and not m.group("replace"):
@@ -4979,16 +4993,36 @@ class Engine:
                     df = self.spark.createDataFrame([], schema)
             else:  # CTAS
                 df = self.sql(rest[2:].strip(), dialect=dialect)
-            if m.group("temp") and name not in self._versioned:
+            if m.group("temp"):
                 # TEMP TABLE: a full versioned table (DML works) whose
                 # directory lives OUTSIDE the warehouse, so a fresh
                 # Engine over the same warehouse does not see it —
                 # DuckDB's session scoping (r11; Spark only offers
-                # CREATE TEMPORARY VIEW, which takes no DML)
-                import tempfile as _tempfile
+                # CREATE TEMPORARY VIEW, which takes no DML). Replacing
+                # an existing temp reuses its dir; a NAME COLLISION with
+                # a permanent table records the shadowed dir so DROP
+                # restores it (never touches the warehouse copy).
+                if name in self._temp_tables:
+                    table_dir = self._temp_tables[name]
+                else:
+                    import tempfile as _tempfile
 
-                table_dir = os.path.join(
-                    _tempfile.mkdtemp(prefix="ddbrs_temp_"), name)
+                    table_dir = os.path.join(
+                        _tempfile.mkdtemp(prefix="ddbrs_temp_"), name)
+                    if name in self._versioned:
+                        self._temp_shadow[name] = self._versioned[name]
+                self._temp_tables[name] = table_dir
+            elif name in self._temp_tables:
+                # permanent CREATE while a temp of the same name exists:
+                # write the warehouse copy but leave the temp shadowing
+                # it for resolution (DuckDB's temp-first search path)
+                table_dir = self._temp_shadow.get(
+                    name, os.path.join(self._warehouse_dir(), name))
+                self._temp_shadow[name] = table_dir
+                snapshots.write_table(df, table_dir, mode="overwrite")
+                snapshots.write_constraints(table_dir, cons)
+                snapshots.clear_schema_patches(table_dir)
+                return self._empty()
             else:
                 table_dir = self._versioned.get(
                     name, os.path.join(self._warehouse_dir(), name))
@@ -5130,6 +5164,20 @@ class Engine:
                 if m.group("ifex"):
                     return self._empty()
                 raise ValueError(f"DROP TABLE unknown table {name!r}")
+            if name in self._temp_tables:
+                # temp resolves first (DuckDB search path); dropping it
+                # un-shadows the permanent table if one was hidden
+                tdir = self._temp_tables.pop(name)
+                import shutil
+
+                shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+                shadow = self._temp_shadow.pop(name, None)
+                if shadow is not None:
+                    self.register_versioned(name, shadow)
+                else:
+                    self._versioned.pop(name, None)
+                    self.spark.catalog.dropTempView(name)
+                return self._empty()
             table_dir = self._versioned.pop(name)
             self.spark.catalog.dropTempView(name)
             warehouse = self._warehouse

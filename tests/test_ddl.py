@@ -1007,3 +1007,34 @@ def test_create_temp_table_lifecycle(spark, tmp_path):
     eng.sql("CREATE TABLE perm AS SELECT 1 AS x", dialect="duckdb")
     names = set(os.listdir(wh)) if os.path.isdir(wh) else set()
     assert "perm" in names and "tt" not in names and "tt2" not in names
+
+
+def test_temp_table_shadows_permanent(spark, tmp_path):
+    """A TEMP TABLE colliding with a permanent table SHADOWS it for the
+    session and DROP restores it — it must never overwrite the warehouse
+    copy (ADVICE r11: the old path clobbered the permanent directory
+    with mode='overwrite'). DuckDB's temp catalog resolves first."""
+    import pytest as _pytest
+
+    from duckdb_read_spark.engine import Engine
+
+    wh = str(tmp_path / "wh_shadow")
+    eng = Engine(spark=spark, warehouse_dir=wh)
+    eng.sql("CREATE TABLE st AS SELECT 1 AS v", dialect="duckdb")
+    eng.sql("CREATE TEMP TABLE st AS SELECT 99 AS v", dialect="duckdb")
+    # temp shadows for resolution, and temp DML touches only the temp
+    assert eng.sql("SELECT v FROM st").collect()[0][0] == 99
+    eng.sql("UPDATE st SET v = v + 1", dialect="duckdb")
+    assert eng.sql("SELECT v FROM st").collect()[0][0] == 100
+    # re-creating the temp needs OR REPLACE, like any table namespace
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TEMP TABLE st AS SELECT 2 AS v", dialect="duckdb")
+    eng.sql("CREATE OR REPLACE TEMP TABLE st AS SELECT 7 AS v",
+            dialect="duckdb")
+    assert eng.sql("SELECT v FROM st").collect()[0][0] == 7
+    # DROP removes the temp and un-shadows the UNTOUCHED permanent copy
+    eng.sql("DROP TABLE st", dialect="duckdb")
+    assert eng.sql("SELECT v FROM st").collect()[0][0] == 1
+    # a fresh engine over the same warehouse sees the intact permanent
+    eng2 = Engine(spark=spark, warehouse_dir=wh)
+    assert eng2.sql("SELECT v FROM st").collect()[0][0] == 1

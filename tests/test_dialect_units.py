@@ -436,14 +436,19 @@ def test_window_exclude_and_any_value_rewrites():
     with _pytest.raises(NotImplementedError, match="EXCLUDE"):
         to_spark_sql("SELECT min(y) OVER (ORDER BY x "
                      "EXCLUDE CURRENT ROW) FROM t")
-    # r7: generalized to expr != key (struct-wrapped, NULL keys last)
+    # r12: ordered any_value rides the min_by/max_by emission with a
+    # leading value-null flag (skips NULL values; no group collect)
     out = to_spark_sql("SELECT any_value(x ORDER BY x DESC) FROM t")
-    assert out == (
-        "SELECT try_element_at(transform(sort_array(collect_list("
-        "CASE WHEN (x) IS NOT NULL THEN struct((x) IS NOT NULL AS __n, "
-        "x AS __k, x AS __v) END), false), __s -> __s.__v), 1) FROM t")
+    assert out.startswith("SELECT max_by(x, struct((CASE WHEN "
+                          "(x) IS NULL THEN 0 ELSE 1 END), ")
     out = to_spark_sql("SELECT any_value(v ORDER BY k) FROM t")
-    assert "struct((k) IS NULL AS __n, k AS __k, v AS __v)" in out
+    assert out.startswith("SELECT min_by(v, struct((CASE WHEN "
+                          "(v) IS NULL THEN 1 ELSE 0 END), ")
+    # bare/DISTINCT forms → Spark's 2-arg ignore-nulls any_value
+    assert to_spark_sql("SELECT any_value(v) FROM t") == \
+        "SELECT any_value((v), true) FROM t"
+    assert to_spark_sql("SELECT any_value(DISTINCT v) FROM t") == \
+        "SELECT any_value((v), true) FROM t"
 
 
 def test_function_tranche_rewrites():
