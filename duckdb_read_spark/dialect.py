@@ -946,6 +946,36 @@ def _parse_interval_literal(expr: str) -> tuple[int, int, float] | None:
     DuckDB's storage-time cascading of fractional unit values
     ('1.5 months' = 1 mon 15 days). None when not an interval literal."""
     e = expr.strip()
+    if e.startswith("-"):
+        # unary-minus literal negates the WHOLE value [measured r12:
+        # CAST(- INTERVAL 90 MINUTE AS VARCHAR) = '-01:30:00']; a
+        # compound tail ('- INTERVAL x + y') fails the inner
+        # fullmatches and stays None like before
+        inner = _parse_interval_literal(e[1:])
+        if inner is None:
+            return None
+        return (-inner[0], -inner[1], -inner[2])
+    # to_years(2)/to_days(3)/… constructor with a LITERAL argument —
+    # parsing it here lets the mixed-interval arithmetic folds combine
+    # to_months(1) + to_days(3) driver-side (r12: the unfold emitted
+    # make_ym_interval + make_dt_interval, which Spark cannot add)
+    mt_ = re.fullmatch(r"(?is)(to_(?:millennia|centuries|decades|years|"
+                       r"months|weeks|days|hours|minutes|seconds))"
+                       r"\s*\(\s*(-?\d+)\s*\)", e)
+    if mt_:
+        n = int(mt_.group(2))
+        fn = mt_.group(1).lower()
+        mult = {"to_millennia": 12000, "to_centuries": 1200,
+                "to_decades": 120, "to_years": 12, "to_months": 1}
+        if fn in mult:
+            return (n * mult[fn], 0, 0.0)
+        if fn == "to_weeks":
+            return (0, n * 7, 0.0)
+        if fn == "to_days":
+            return (0, n, 0.0)
+        return (0, 0, float(n * {"to_hours": 3_600_000_000,
+                                 "to_minutes": 60_000_000,
+                                 "to_seconds": 1_000_000}[fn]))
     # the mixed-literal fold's own emission (r10) — epoch()/arithmetic
     # folds still need the (months, days, micros) triple after it ran
     mm = re.fullmatch(
@@ -1177,14 +1207,154 @@ def _fold_blob_literals(sql: str) -> str:
                 and toks[sig[k + 2]].kind == "ident"
                 and toks[sig[k + 2]].text.upper() in ("BLOB", "BYTEA")
                 and toks[sig[k + 3]].text == ")"):
-            toks[sig[k - 2]].text = ""
-            toks[sig[k - 1]].text = ""
-            t.text = decode(t.text[1:-1])
-            t.kind = "other"
-            for j in (sig[k + 1], sig[k + 2], sig[k + 3]):
+            body = decode(t.text[1:-1])
+            # blank the WHOLE CAST span (ws included) so no stray
+            # spaces survive around the emitted literal
+            for j in range(sig[k - 2], sig[k + 3] + 1):
                 toks[j].text = ""
+            t.text = body
+            t.kind = "other"
             changed = True
     return detokenize(toks) if changed else sql
+
+
+def _fold_infinity_temporals(sql: str) -> str:
+    """DuckDB's ±infinity DATE/TIMESTAMP literals [measured r12:
+    DATE 'infinity' FETCHES as 9999-12-31, '-infinity' as 0001-01-01,
+    TIMESTAMP 'infinity' as 9999-12-31 23:59:59.999999, '-infinity'
+    as 0001-01-01 00:00:00; '+infinity' is a Conversion Error] have
+    no Spark carrier — fold the LITERAL forms to the exact values
+    DuckDB's own Python fetch returns, so outputs and comparisons
+    (infinity sorts past every real date) match the oracle. True
+    open-ended infinity arithmetic is documented residue (§2.4.34)."""
+    if not re.search(r"(?i)'-?infinity'", sql):
+        return sql
+    d = {"infinity": "9999-12-31", "-infinity": "0001-01-01"}
+    t = {"infinity": "9999-12-31 23:59:59.999999",
+         "-infinity": "0001-01-01 00:00:00"}
+
+    def lit(kind: str, word: str) -> str:
+        k = "TIMESTAMP" if kind.upper().startswith("TIMESTAMP") \
+            else "DATE"
+        if k == "TIMESTAMP" and word.lower() == "-infinity":
+            # PySpark cannot FETCH 0001-01-01 00:00:00 (its local-time
+            # conversion underflows to year 0) — no faithful carrier;
+            # same loud-fence class as HUGEINT (§1.3)
+            raise NotImplementedError(
+                "TIMESTAMP '-infinity' has no Spark carrier (PySpark "
+                "cannot fetch the 0001-01-01 minimum) — use DATE "
+                "'-infinity' or a sentinel timestamp instead")
+        v = (t if k == "TIMESTAMP" else d)[word.lower()]
+        return f"{k} '{v}'"
+
+    sql = re.sub(
+        r"(?is)\b(DATE|TIMESTAMPTZ|TIMESTAMP)\s+'(-?infinity)'",
+        lambda m: lit(m.group(1), m.group(2)), sql)
+    sql = re.sub(
+        r"(?is)'(-?infinity)'\s*::\s*(DATE|TIMESTAMPTZ|TIMESTAMP)\b",
+        lambda m: lit(m.group(2), m.group(1)), sql)
+    sql = re.sub(
+        r"(?is)\b(?:TRY_)?CAST\s*\(\s*'(-?infinity)'\s+AS\s+"
+        r"(DATE|TIMESTAMPTZ|TIMESTAMP)\s*\)",
+        lambda m: lit(m.group(2), m.group(1)), sql)
+    return sql
+
+
+_UNSIGNED_CARRIERS = {
+    # lossless wider signed/decimal Spark carrier + inclusive max
+    # (UBIGINT→DECIMAL(20,0) matches the parquet read-side convention)
+    "UTINYINT": ("SMALLINT", 255),
+    "USMALLINT": ("INT", 65535),
+    "UINTEGER": ("BIGINT", 4294967295),
+    "UBIGINT": ("DECIMAL(20,0)", 18446744073709551615),
+}
+
+
+def _rewrite_unsigned_casts(sql: str) -> str:
+    """Unsigned-type casts [measured r12: 255::UTINYINT = 255;
+    (-1)::UTINYINT and 256::UTINYINT are Conversion Errors; floats
+    ROUND (3.7::UINTEGER = 4); TRY_CAST yields NULL out of range].
+    Spark has no unsigned types (UNSUPPORTED_DATATYPE) — each maps to
+    its lossless wider signed/decimal carrier with an explicit range
+    check, so out-of-range stays LOUD like DuckDB instead of silently
+    wrapping. typeof() reporting the carrier is documented residue
+    (same class as BIT's VARCHAR carrier). UHUGEINT stays refused
+    (int128 fence, §1.3)."""
+    if not re.search(r"(?i)\bU(?:TINYINT|SMALLINT|INTEGER|BIGINT)\b",
+                     sql):
+        return sql
+
+    def emi(x: str, up: str, is_try: bool) -> str:
+        carrier, mx = _UNSIGNED_CARRIERS[up]
+        cst = "TRY_CAST" if is_try else "CAST"
+        v = f"{cst}(({x}) AS DECIMAL(38,0))"
+        if is_try:
+            bad = "CAST(NULL AS DECIMAL(38,0))"
+        else:
+            bad = (f"CAST(raise_error('Conversion Error: value out "
+                   f"of range for {up} (DuckDB parity)') AS "
+                   f"DECIMAL(38,0))")
+        return (f"CAST((CASE WHEN {v} IS NULL THEN NULL "
+                f"WHEN {v} < 0 OR {v} > {mx} THEN {bad} "
+                f"ELSE {v} END) AS {carrier})")
+
+    while True:
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        hit = False
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if (t.kind != "ident"
+                    or t.text.upper() not in _UNSIGNED_CARRIERS):
+                continue
+            up = t.text.upper()
+            # <expr>::UTYPE
+            if (p >= 2 and toks[sig[p - 1]].text == ":"
+                    and toks[sig[p - 2]].text == ":"):
+                if p >= 3 and toks[sig[p - 3]].kind == "num":
+                    # numeric literal operand (5::UTINYINT) — not a
+                    # subscriptable base, handled directly
+                    start = p - 3
+                else:
+                    start = _subscript_base_start(toks, sig, p - 2)
+                if start is None:
+                    continue
+                x = detokenize(toks[sig[start]:sig[p - 2]]).strip()
+                sql = (detokenize(toks[:sig[start]])
+                       + emi(x, up, False) + detokenize(toks[ti + 1:]))
+                hit = True
+                break
+            # [TRY_]CAST(expr AS UTYPE)
+            if (p + 1 < len(sig) and toks[sig[p + 1]].text == ")"
+                    and p >= 1 and toks[sig[p - 1]].kind == "ident"
+                    and toks[sig[p - 1]].text.upper() == "AS"):
+                depth = 0
+                copen = None
+                for q in range(p - 2, -1, -1):
+                    tq = toks[sig[q]].text
+                    if tq == ")":
+                        depth += 1
+                    elif tq == "(":
+                        if depth == 0:
+                            copen = q
+                            break
+                        depth -= 1
+                if (copen is None or copen == 0
+                        or toks[sig[copen - 1]].kind != "ident"
+                        or toks[sig[copen - 1]].text.upper()
+                        not in ("CAST", "TRY_CAST")):
+                    continue
+                is_try = (toks[sig[copen - 1]].text.upper()
+                          == "TRY_CAST")
+                x = detokenize(
+                    toks[sig[copen] + 1:sig[p - 1]]).strip()
+                sql = (detokenize(toks[:sig[copen - 1]])
+                       + emi(x, up, is_try)
+                       + detokenize(toks[sig[p + 1] + 1:]))
+                hit = True
+                break
+        if not hit:
+            return sql
 
 
 def _fold_bit_literals(sql: str) -> str:
@@ -1303,7 +1473,10 @@ def _rewrite_interval_forms(sql: str) -> str:
       A divided result mixing months with days/micros stays unfolded
       (loud — Spark cannot type it).
     """
-    if not re.search(r"(?i)\bINTERVAL\b", sql):
+    if not re.search(r"(?i)\bINTERVAL\b|\bto_[a-z]+\s*\(\s*-?\d",
+                     sql):
+        # to_*(lit): the add/sub fold below combines to_months(1) +
+        # to_days(3) driver-side, so the guard must admit them (r12)
         return sql
     # INTERVAL (expr) UNIT — a DYNAMIC quantity [measured r11:
     # INTERVAL (col) DAY binds in DuckDB; Spark's INTERVAL literal
@@ -1356,9 +1529,39 @@ def _rewrite_interval_forms(sql: str) -> str:
         out = _emit(0, int(days / n), int(int(micros) / n))
         return out if out is not None else m.group(0)
 
+    # interval ± interval over LITERAL operands (INTERVAL literals,
+    # to_*(n) constructors, already-folded make_*interval emissions)
+    # folds driver-side on the three-field model — Spark cannot even
+    # ANALYZE a year-month + day-time addition (r12:
+    # to_months(1) + to_days(3) binder-errored; DuckDB: 1 mon 3 days)
+    iv_any = (rf"(?:{ivl_pat}"
+              r"|to_[a-z]+\s*\(\s*-?\d+\s*\)"
+              r"|make_dt_interval\([^()]*\)"
+              r"|make_interval\([^()]*\))")
+
+    def fold_addsub(m: "re.Match[str]") -> str:
+        pa = _parse_interval_literal(m.group("a"))
+        pb = _parse_interval_literal(m.group("b"))
+        if pa is None or pb is None:
+            return m.group(0)
+        sgn = 1 if m.group("op") == "+" else -1
+        months = int(pa[0] + sgn * pb[0])
+        days = int(pa[1] + sgn * pb[1])
+        micros = int(pa[2] + sgn * pb[2])
+        if months and (days or micros):
+            from decimal import Decimal
+
+            secs = Decimal(micros) / Decimal(1_000_000)
+            return (f"make_interval(0, {months}, 0, {days}, 0, 0, "
+                    f"{secs:f})")
+        return _emit(months, days, micros) or m.group(0)
+
     prev = None
     while prev != sql:
         prev = sql
+        sql = re.sub(
+            rf"(?is)\b(?P<a>{iv_any})\s*(?P<op>[+-])\s*(?P<b>{iv_any})",
+            fold_addsub, sql)
         sql = re.sub(
             rf"(?is)\b(?P<iv>{ivl_pat})\s*/\s*(?P<n>-?\d+)(?![\d.])",
             fold_div, sql)
@@ -3338,6 +3541,15 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     "struct_insert on a non-literal struct is not "
                     "supported — Spark SQL has no generic field "
                     "append; rebuild the struct with named_struct")
+        if name == "grouping" and parts and len(parts[2]) >= 2:
+            # multi-arg grouping(a, b) returns the combined BITMASK in
+            # DuckDB [measured r12: CUBE rows → 0/1/2/3, b is the LSB];
+            # Spark's grouping() is strictly 1-arg — grouping_id(a, b)
+            # is the exact equivalent (same bit order)
+            out.append("grouping_id")
+            i += 1
+            changed = True
+            continue
         if name == "map" and parts:
             # DuckDB map([keys], [values]) — Spark's two-array constructor
             # is map_from_arrays (Spark's own map() takes interleaved args;
@@ -4490,6 +4702,12 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     if re.fullmatch(r"[0-9.]*[dfsxX]", spec):
                         convs.append(spec)  # full spec (precision for f)
                         return "%" + spec
+                    if re.fullmatch(r",d?", spec):
+                        # thousands separators [measured r12: DuckDB
+                        # '{:,}'/'{:,d}' group integers; floats error]
+                        # — Java printf's ',' flag is the same grouping
+                        convs.append(",d")
+                        return "%,d"
                     ma = re.fullmatch(
                         r"(?P<fill>.)?(?P<align>[<>^])(?P<width>\d+)"
                         r"(?P<rest>(?:\.\d+)?[dfsxX]?)", spec)
@@ -9881,6 +10099,17 @@ def _rewrite_keywords(sql: str) -> str:
             t.text = "filter"
         elif up == "VARCHAR":
             t.text = "STRING"
+            # typed-length VARCHAR(n)/CHAR(n): DuckDB parses and
+            # IGNORES the length [measured r12: CAST('abcdef' AS
+            # VARCHAR(2)) = 'abcdef']; Spark refuses STRING(n) with
+            # UNSUPPORTED_DATATYPE — strip the parameter (the DECIMAL
+            # params, by contrast, carry meaning and stay)
+            if (pos + 3 < len(sig)
+                    and toks[sig[pos + 1]].text == "("
+                    and toks[sig[pos + 2]].kind == "num"
+                    and toks[sig[pos + 3]].text == ")"):
+                for j in (sig[pos + 1], sig[pos + 2], sig[pos + 3]):
+                    toks[j].text = ""
         elif up in ("BLOB", "BYTEA", "JSON", "TIMESTAMPTZ"):
             # only in TYPE position — a column/alias named blob must
             # survive (review fix). Type positions: after '::', or after
@@ -11874,7 +12103,8 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
     clauses are dropped."""
     has_values = bool(re.search(r"(?i)\bVALUES\b", sql))
     if (not has_values and "[" not in sql
-            and not re.search(r"(?i)\bDECIMAL\b", sql)):
+            and not re.search(r"(?i)\bDECIMAL\b", sql)
+            and not re.search(r"(?i)\bmap\w*\s*[({]", sql)):
         return {}
     try:
         toks = tokenize(sql)
@@ -12090,6 +12320,68 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
             kinds[lc] = None
         else:
             kinds[lc] = "array"
+    # SELECT-item MAP-constructor aliases: `MAP {…} [AS] name` /
+    # `map(…)/map_from_entries(…) [AS] name` proves name map-kind, so
+    # a bracket lookup on the DERIVED column routes through the
+    # one-element-LIST emission (r12: `FROM (SELECT MAP {'a':1} AS m)
+    # … m['a']` silently fell back to Spark's bare-value/NULL)
+    for pi, k in enumerate(sig):
+        t = toks[k]
+        if not (t.kind == "ident" and t.text.lower() in (
+                "map", "map_from_entries", "map_from_arrays")):
+            continue
+        prev = toks[sig[pi - 1]] if pi > 0 else None
+        if prev is None or not (
+                prev.text == ","
+                or (prev.kind == "ident"
+                    and prev.text.upper() in ("SELECT", "DISTINCT"))):
+            continue
+        if pi + 1 >= len(sig):
+            continue
+        opener = toks[sig[pi + 1]].text
+        if opener == "(":
+            try:
+                mclose = _find_close(toks, sig[pi + 1])
+            except ValueError:
+                continue
+        elif opener == "{":
+            depth, j = 0, sig[pi + 1]
+            mclose = None
+            while j < len(toks):
+                if toks[j].text == "{":
+                    depth += 1
+                elif toks[j].text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        mclose = j
+                        break
+                j += 1
+            if mclose is None:
+                continue
+        else:
+            continue
+        rest = [q for q in sig if q > mclose]
+        ri = 0
+        if (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and toks[rest[ri]].text.upper() == "AS"):
+            ri += 1
+        if not (ri < len(rest) and toks[rest[ri]].kind == "ident"
+                and re.fullmatch(r"[A-Za-z_]\w*", toks[rest[ri]].text)
+                and toks[rest[ri]].text.upper() not in (
+                    "FROM", "WHERE", "AS", "GROUP", "ORDER", "LIMIT")):
+            continue
+        cname = toks[rest[ri]].text
+        ri += 1
+        if not (ri >= len(rest)
+                or toks[rest[ri]].text in (",", ")")
+                or (toks[rest[ri]].kind == "ident"
+                    and toks[rest[ri]].text.upper() == "FROM")):
+            continue
+        lc = cname.lower()
+        if lc in kinds and kinds[lc] != "map":
+            kinds[lc] = None
+        else:
+            kinds[lc] = "map"
     return {c: k for c, k in kinds.items() if k}
 
 
@@ -12307,6 +12599,68 @@ def _rewrite_setop_varchar_unify(
     return "".join(out_toks)
 
 
+def _rewrite_percentile_disc(sql: str) -> str:
+    """``percentile_disc(f) WITHIN GROUP (ORDER BY e [dir])`` is an
+    ORDER STATISTIC over ANY orderable type in DuckDB [measured r12:
+    over VARCHAR → 'b'; over DATE works; DESC picks from the top —
+    0.25 over (1,2,3,4) DESC → 4]; Spark's native percentile_disc
+    casts to DOUBLE and crashes on non-numerics (VERDICT r11 #7).
+    ASC re-enters the quantile_disc machinery (same emission, array
+    fractions included); DESC takes the descending-sort twin."""
+    if not re.search(r"(?i)\bpercentile_disc\b", sql):
+        return sql
+    while True:
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        hit = False
+        for pi, k in enumerate(sig):
+            t = toks[k]
+            if t.kind != "ident" or t.text.lower() != "percentile_disc":
+                continue
+            if pi + 1 >= len(sig) or toks[sig[pi + 1]].text != "(":
+                continue
+            fopen = sig[pi + 1]
+            try:
+                fclose = _find_close(toks, fopen)
+            except ValueError:
+                continue
+            frac = detokenize(toks[fopen + 1:fclose]).strip()
+            rest = [q for q in sig if q > fclose]
+            if (len(rest) < 3
+                    or toks[rest[0]].text.upper() != "WITHIN"
+                    or toks[rest[1]].text.upper() != "GROUP"
+                    or toks[rest[2]].text != "("):
+                continue
+            gopen = rest[2]
+            try:
+                gclose = _find_close(toks, gopen)
+            except ValueError:
+                continue
+            inner = detokenize(toks[gopen + 1:gclose]).strip()
+            mo = re.match(r"(?is)^ORDER\s+BY\s+(.*?)(?:\s+(ASC|DESC))?"
+                          r"\s*$", inner)
+            if not mo:
+                continue
+            e = mo.group(1).strip()
+            if (mo.group(2) or "").upper() != "DESC":
+                repl = f"quantile_disc(({e}), {frac})"
+            else:
+                cl = f"collect_list(({e}))"
+                pick = (f"try_element_at(sort_array({cl}, false), "
+                        f"greatest(CAST(ceil(size({cl}) * __q) "
+                        f"AS INT), 1))")
+                if frac.lstrip().startswith("["):
+                    repl = f"transform({frac}, __q -> {pick})"
+                else:
+                    repl = pick.replace("__q", f"({frac})")
+            sql = (detokenize(toks[:k]) + repl
+                   + detokenize(toks[gclose + 1:]))
+            hit = True
+            break
+        if not hit:
+            return sql
+
+
 _BARE_FILTER_STOPS = frozenset((
     "GROUP", "ORDER", "LIMIT", "OFFSET", "WINDOW", "QUALIFY",
     "UNION", "INTERSECT", "EXCEPT", "FETCH", "HAVING"))
@@ -12458,6 +12812,8 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     # BEFORE the raw-literal backslash doubling: \xHH blob escapes
     # decode against the literal's RAW text
     sql = _fold_blob_literals(sql)
+    sql = _fold_infinity_temporals(sql)
+    sql = _rewrite_unsigned_casts(sql)
     sql = _rewrite_raw_string_literals(sql)
     sql = _rewrite_numeric_literal_forms(sql)
     sql = _strip_trailing_commas(sql)
@@ -12499,6 +12855,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_window_filter(sql)
     sql = _rewrite_setop_varchar_unify(sql, column_kinds)
     sql = _rewrite_bare_integer_filters(sql)
+    sql = _rewrite_percentile_disc(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)

@@ -3006,7 +3006,7 @@ class Engine:
 
         for _ in range(5):  # chained aliases expand one per retry
             try:
-                return self.spark.sql(query)
+                return self._ym_fetchable(self.spark.sql(query))
             except _AE as e:
                 # DuckDB resolves select-list aliases in WHERE/HAVING
                 # (dialect.substitute_select_alias) — retry with the
@@ -3019,7 +3019,64 @@ class Engine:
                 if sub is None:
                     raise
                 query = sub
-        return self.spark.sql(query)
+        return self._ym_fetchable(self.spark.sql(query))
+
+    def _ym_fetchable(self, df: DataFrame) -> DataFrame:
+        """Render YEAR-MONTH interval output columns to the day-time
+        carrier (months × 30 days). PySpark cannot FETCH a
+        YearMonthIntervalType at all (fromInternal is unimplemented —
+        to_months(1) crashed at collect, VERDICT r11 #9b), and DuckDB's
+        own Python fetch converts months to 30-day timedeltas, so the
+        carrier matches the oracle's values exactly. Plan-only: no job
+        runs; columns of every other type pass through untouched."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import YearMonthIntervalType
+
+        def _is_cal(dt) -> bool:
+            return type(dt).__name__ == "CalendarIntervalType"
+
+        if not any(isinstance(f.dataType, YearMonthIntervalType)
+                   or _is_cal(f.dataType) for f in df.schema.fields):
+            return df
+        cols = []
+        for f in df.schema.fields:
+            q = f.name.replace("`", "``")
+            if isinstance(f.dataType, YearMonthIntervalType):
+                # widen to INTERVAL MONTH first: the integral cast
+                # counts the interval's END field, so a pure
+                # INTERVAL YEAR would otherwise yield YEARS (r12:
+                # INTERVAL 2 YEAR fetched as 60 days, not 720)
+                cols.append(F.expr(
+                    f"make_dt_interval(30 * CAST(CAST(`{q}` AS "
+                    f"INTERVAL MONTH) AS BIGINT))").alias(f.name))
+            elif _is_cal(f.dataType):
+                # CalendarIntervalType has no field extractors and no
+                # numeric cast — parse its canonical string render
+                # ('1 years 2 months 3 days 4 hours 5 minutes 6.5
+                # seconds'; absent units omitted, negatives signed)
+                s = f"CAST(`{q}` AS STRING)"
+
+                def unit(u: str, scale: int) -> str:
+                    return (f"coalesce(try_cast(regexp_extract({s}, "
+                            f"'(-?[0-9]+) {u}', 1) AS BIGINT), 0) "
+                            f"* {scale}")
+
+                total = " + ".join((
+                    unit("years", 31_104_000),    # 12 × 30 days
+                    unit("months", 2_592_000),    # 30 days
+                    unit("days", 86_400),
+                    unit("hours", 3_600),
+                    unit("minutes", 60),
+                    f"coalesce(try_cast(regexp_extract({s}, "
+                    f"'(-?[0-9.]+) seconds', 1) AS DECIMAL(20,6)), 0)",
+                ))
+                cols.append(F.expr(
+                    f"CASE WHEN `{q}` IS NULL THEN NULL ELSE "
+                    f"make_dt_interval(0, 0, 0, {total}) END"
+                ).alias(f.name))
+            else:
+                cols.append(F.col(f"`{q}`"))
+        return df.select(*cols)
 
     def _try_limit_percent(self, query: str):
         """``LIMIT n% [OFFSET k]`` — DuckDB's percentage limit

@@ -262,9 +262,14 @@ def test_list_aggregate_brace_literal_and_array_types():
 
 def test_blob_rewrite_is_type_position_only():
     """BLOB/BYTEA map to BINARY only in cast positions — a column or
-    alias named blob survives (review fix)."""
-    assert to_spark_sql("SELECT 'a'::BLOB") == "SELECT 'a'::BINARY"
-    assert "AS BINARY)" in to_spark_sql("SELECT CAST('a' AS BLOB)")
+    alias named blob survives (review fix). r12: a LITERAL blob cast
+    folds to Spark's hex binary literal (decoding \\xHH escapes);
+    non-literal operands keep the BINARY cast."""
+    assert to_spark_sql("SELECT 'a'::BLOB") == "SELECT X'61'"
+    assert to_spark_sql("SELECT CAST('a' AS BLOB)") == "SELECT X'61'"
+    assert to_spark_sql("SELECT x::BLOB FROM t") == \
+        "SELECT x::BINARY FROM t"
+    assert "AS BINARY)" in to_spark_sql("SELECT CAST(x AS BLOB) FROM t")
     assert to_spark_sql("SELECT blob FROM t") == "SELECT blob FROM t"
     assert to_spark_sql("SELECT x AS blob FROM t") == \
         "SELECT x AS blob FROM t"

@@ -178,3 +178,204 @@ def test_blob_literal_hex_escapes(engine, duck):
                 r"SELECT 'a\b'::BLOB"):
         with pytest.raises(ValueError, match="blob conversion"):
             to_spark_sql(bad)
+
+
+# ------------------------------------------------------------ verdict 6
+def test_multi_arg_grouping_bitmask(engine, duck):
+    """grouping(a, b) returns the combined bitmask in DuckDB (b = LSB);
+    Spark's grouping is 1-arg — grouping_id(a, b) is the exact map."""
+    _check(engine, duck,
+           "SELECT a, b, grouping(a, b) AS g FROM (VALUES (1,'x'),"
+           "(2,'y')) t(a,b) GROUP BY CUBE(a,b) "
+           "ORDER BY a NULLS LAST, b NULLS LAST, g")
+    _check(engine, duck,
+           "SELECT a, grouping(a) AS g FROM (VALUES (1),(2)) t(a) "
+           "GROUP BY ROLLUP(a) ORDER BY a NULLS LAST")
+
+
+def test_varchar_typed_length_ignored(engine, duck):
+    """CAST(x AS VARCHAR(n)) parses and IGNORES the length in DuckDB;
+    Spark refuses STRING(n) — the parameter strips in the dialect."""
+    _check(engine, duck, "SELECT CAST('abcdef' AS VARCHAR(2)) AS r")
+    _check(engine, duck, "SELECT 'abcdef'::VARCHAR(3) AS r")
+
+
+def test_percentile_disc_order_statistic(engine, duck):
+    """percentile_disc WITHIN GROUP is an order statistic over ANY
+    orderable type [measured r12: VARCHAR → 'b'; DESC picks from the
+    top; array fractions return a list]; Spark's native form casts to
+    DOUBLE and crashes on non-numerics."""
+    for q in (
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY s) AS r "
+        "FROM (VALUES ('a'),('b'),('c')) t(s)",
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY s DESC) "
+        "AS r FROM (VALUES ('a'),('b'),('c')) t(s)",
+        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x DESC) "
+        "AS r FROM (VALUES (1),(2),(3),(4)) t(x)",
+        "SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS r "
+        "FROM (VALUES (1),(2),(3),(4)) t(x)",
+        "SELECT percentile_disc([0.25, 0.75]) WITHIN GROUP "
+        "(ORDER BY x) AS r FROM (VALUES (1),(2),(3),(4)) t(x)",
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS r "
+        "FROM (VALUES (DATE '2024-01-01'),(DATE '2024-03-01'),"
+        "(DATE '2024-02-01')) t(d)",
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS r "
+        "FROM (VALUES (1),(2),(3),(4)) t(x)",
+    ):
+        _check(engine, duck, q)
+
+
+# ------------------------------------------------------------ verdict 5
+def test_derived_map_bracket_lookup(engine, duck):
+    """Bracket lookup on a DERIVED (subquery-aliased) map keeps
+    DuckDB's one-element-LIST semantics ([v] present, [] missing) —
+    the kind derivation now carries MAP through SELECT-item aliases."""
+    for q in (
+        "SELECT m['a'] AS r FROM (SELECT MAP {'a':1} AS m) q",
+        "SELECT m['zz'] AS r FROM (SELECT MAP {'a':1} AS m) q",
+        "SELECT q.m['a'] AS r FROM (SELECT MAP {'a':1, 'b':2} AS m) q",
+        "SELECT m['a'] AS r FROM "
+        "(SELECT map_from_entries([('a', 5)]) AS m) q",
+        "SELECT m['x'] AS r FROM (SELECT map(['x','y'],[3,4]) AS m) q",
+        "SELECT (MAP {'a':1})['a'] AS r",
+    ):
+        _check(engine, duck, q)
+
+
+# ------------------------------------------------------------ verdict 7
+def test_interval_render_and_ym_outputs(engine, duck):
+    """(a) unary-minus interval casts render DuckDB-style
+    ('-01:30:00'); (b) YEAR-MONTH and mixed (calendar) interval
+    OUTPUTS fetch as 30-day-month timedeltas exactly like DuckDB's
+    Python fetch (PySpark's fromInternal is unimplemented for both
+    types); (c) literal interval ± interval folds driver-side on the
+    three-field model (Spark cannot even analyze YM + DT)."""
+    for q in (
+        "SELECT CAST(- INTERVAL 90 MINUTE AS VARCHAR) AS r",
+        "SELECT CAST(-INTERVAL '90' MINUTE AS VARCHAR) AS r",
+        "SELECT CAST(- INTERVAL '1 month 3 days' AS VARCHAR) AS r",
+        "SELECT to_days(3) AS r",
+        "SELECT to_months(1) AS r",
+        "SELECT to_years(2) AS r",
+        "SELECT to_hours(5) AS r",
+        "SELECT to_months(1) + to_days(3) AS r",
+        "SELECT to_days(10) - to_hours(5) AS r",
+        "SELECT INTERVAL '14' MONTH AS r",
+        "SELECT INTERVAL 2 YEAR AS r",
+        "SELECT INTERVAL '1 month 2 days' AS r",
+        "SELECT INTERVAL '1 day' + INTERVAL '3 hours' AS r",
+        "SELECT DATE '2024-01-31' + (INTERVAL 1 MONTH + INTERVAL "
+        "2 DAY) AS r",
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(5) AS r",
+        "SELECT CAST(to_months(1) + to_days(3) AS VARCHAR) AS r",
+        "SELECT to_days(3) = INTERVAL '3 days' AS r",
+    ):
+        _check(engine, duck, q)
+
+
+# ------------------------------------------------------- pinned (r12)
+def test_r12_over_acceptance_pins(engine, duck):
+    """Documented over-acceptances from the r11 verdict's probe batch
+    (engine accepts and answers; DuckDB 1.0.0 errors loudly) — pinned
+    so drift in either engine is loud. Spark's NULL/NaN math on
+    out-of-domain inputs is kept deliberately: at 100 TB a single bad
+    row aborting a full scan is the worse default, and Spark's
+    non-ANSI math is the platform convention (SURVEY §2.4)."""
+    import duckdb as _duckdb
+    for q in (
+        "SELECT log(-1) AS r",       # DuckDB: Out of Range; eng NULL
+        "SELECT ln(0) AS r",         # DuckDB: Out of Range; eng NULL
+        "SELECT sqrt(-1) AS r",      # DuckDB: Out of Range; eng NaN
+        "SELECT asin(2) AS r",       # DuckDB: Invalid Input; eng NaN
+        "SELECT acos(-2) AS r",
+        "SELECT INTERVAL 1 DAY * 2.5 AS r",   # INTERVAL×DECIMAL binder
+        "SELECT 'yes'::BOOLEAN AS r",         # 't'/'1' agree; 'yes' no
+        "SELECT url_encode('a b') AS r",      # absent in DuckDB 1.0
+        "SELECT url_decode('a%20b') AS r",
+        "SELECT (1,2) IN (SELECT 1, 2) AS r",  # multi-col IN binder
+    ):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+    # agreeing BOOLEAN spellings stay green
+    _check(engine, duck, "SELECT 't'::BOOLEAN AS r")
+    _check(engine, duck, "SELECT '1'::BOOLEAN AS r")
+
+
+def test_scalar_subquery_many_rows_pinned_loud(engine, duck):
+    """A scalar subquery returning >1 row: DuckDB 1.0 silently takes
+    the FIRST row — scan-order-dependent, i.e. nondeterministic on a
+    parallel engine — so the engine KEEPS Spark's loud
+    SCALAR_SUBQUERY_TOO_MANY_ROWS instead (documented divergence,
+    SURVEY §2.4; VERDICT r11 #8 decision)."""
+    q = ("SELECT x FROM (VALUES (1),(2)) t(x) WHERE x = "
+         "(SELECT y FROM (VALUES (5),(6)) s(y))")
+    duck.execute(q).fetchall()  # DuckDB answers (first row)
+    with pytest.raises(Exception, match="(?i)more than one row|"
+                       "SCALAR_SUBQUERY"):
+        engine.sql(q, dialect="duckdb").collect()
+    # the single-row form agrees
+    _check(engine, duck,
+           "SELECT x FROM (VALUES (1),(2)) t(x) WHERE x = "
+           "(SELECT min(y) FROM (VALUES (1),(6)) s(y)) ORDER BY x")
+
+
+# ------------------------------------------------------ missing 3-5
+def test_format_thousands_separator(engine, duck):
+    """format('{:,}' / '{:,d}') groups integers with commas in DuckDB
+    (floats error — stays loud); Java printf's ',' flag matches."""
+    for q in (
+        "SELECT format('{:,}', 123456789) AS r",
+        "SELECT format('{:,d}', 1234567) AS r",
+        "SELECT format('{:,}', 42) AS r",
+        "SELECT format('{:,}', -1234567) AS r",
+        "SELECT format('{} has {:,}', 'x', 1000) AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_unsigned_type_casts(engine, duck):
+    """UTINYINT/USMALLINT/UINTEGER/UBIGINT casts ride lossless wider
+    signed/decimal carriers with explicit range checks — out-of-range
+    raises like DuckDB (never wraps); TRY_CAST yields NULL; floats
+    round [measured r12]."""
+    for q in (
+        "SELECT 5::UTINYINT AS r", "SELECT 255::UTINYINT AS r",
+        "SELECT 3.7::UINTEGER AS r", "SELECT 65535::USMALLINT AS r",
+        "SELECT 4294967295::UINTEGER AS r",
+        "SELECT '42'::UBIGINT AS r",
+        "SELECT CAST(NULL AS UINTEGER) AS r",
+        "SELECT CAST(18446744073709551615 AS UBIGINT) AS r",
+        "SELECT TRY_CAST(-1 AS UTINYINT) AS r",
+        "SELECT TRY_CAST(300 AS UTINYINT) AS r",
+        "SELECT 5::UTINYINT + 3 AS r",
+        "SELECT x::USMALLINT AS r FROM (VALUES (7),(65535)) t(x) "
+        "ORDER BY r",
+        "SELECT (x + 1)::UINTEGER AS r FROM (VALUES (7)) t(x)",
+    ):
+        _check(engine, duck, q)
+    import duckdb as _duckdb
+    for q in ("SELECT (-1)::UTINYINT", "SELECT 256::UTINYINT",
+              "SELECT CAST(-5 AS UBIGINT)"):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        with pytest.raises(Exception):
+            engine.sql(q, dialect="duckdb").collect()
+
+
+def test_infinity_temporal_literals(engine, duck):
+    """±infinity DATE/TIMESTAMP literals fold to the exact values
+    DuckDB's Python fetch returns (9999-12-31 / 0001-01-01 / max
+    timestamp); TIMESTAMP '-infinity' fences loudly — PySpark cannot
+    fetch the 0001-01-01 minimum at all."""
+    for q in (
+        "SELECT DATE 'infinity' AS r",
+        "SELECT DATE '-infinity' AS r",
+        "SELECT TIMESTAMP 'infinity' AS r",
+        "SELECT 'infinity'::DATE AS r",
+        "SELECT DATE 'infinity' > DATE '2024-01-01' AS r",
+        "SELECT DATE '-infinity' < DATE '0001-06-01' AS r",
+    ):
+        _check(engine, duck, q)
+    with pytest.raises(NotImplementedError, match="no Spark carrier"):
+        to_spark_sql("SELECT TIMESTAMP '-infinity'")
