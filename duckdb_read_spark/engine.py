@@ -3133,7 +3133,12 @@ class Engine:
         pct_row = self.sql(f"SELECT CAST(({pct_txt}) AS DOUBLE) AS p",
                            dialect="duckdb").collect()
         pct = pct_row[0]["p"]
-        if pct is None or pct < 0 or pct > 100:
+        if pct is None:
+            # LIMIT NULL% keeps every row [measured r12: DuckDB treats
+            # a NULL percent like LIMIT NULL — no limit at all]
+            inner = self.sql(base, dialect="duckdb")
+            return inner.offset(off) if off else inner
+        if pct < 0 or pct > 100:
             raise ValueError(
                 "Limit percent out of range, should be between 0% and "
                 "100% (same as DuckDB)")

@@ -379,3 +379,42 @@ def test_infinity_temporal_literals(engine, duck):
         _check(engine, duck, q)
     with pytest.raises(NotImplementedError, match="no Spark carrier"):
         to_spark_sql("SELECT TIMESTAMP '-infinity'")
+
+
+def test_limit_percent_null_and_expr(engine, duck):
+    """LIMIT NULL% keeps every row (DuckDB treats a NULL percent like
+    LIMIT NULL); constant-expression percents evaluate; >100 errors in
+    both engines [measured r12]."""
+    _check(engine, duck,
+           "SELECT x FROM (VALUES (1),(2),(3),(4)) t(x) "
+           "ORDER BY x LIMIT NULL%")
+    _check(engine, duck,
+           "SELECT x FROM (VALUES (1),(2),(3),(4)) t(x) "
+           "ORDER BY x LIMIT (25+25)%")
+    _check(engine, duck,
+           "SELECT x FROM (VALUES (1),(2),(3)) t(x) "
+           "ORDER BY x LIMIT 33.4%")
+    import duckdb as _duckdb
+    with pytest.raises(_duckdb.Error):
+        duck.execute("SELECT 1 LIMIT 150%").fetchall()
+    with pytest.raises(ValueError, match="Limit percent out of range"):
+        engine.sql("SELECT 1 AS r LIMIT 150%", dialect="duckdb").collect()
+
+
+def test_hex_literal_and_describe_nullability_pins(engine, duck):
+    """Two pinned divergences from the r11 verdict's probe batch:
+    (a) DuckDB 1.0's tokenizer splits `SELECT 0x1F` into `0 AS x1F`(!)
+    — the engine refuses the malformed number loudly instead of
+    reproducing the tokenizer accident; (b) DESCRIBE SELECT reports
+    null='NO' for literal columns where DuckDB says 'YES' for every
+    column unconditionally — Spark's analyzer actually proves literal
+    non-nullability, which is the more informative answer."""
+    assert duck.execute("SELECT 0x1F").fetchall() == [(0,)]  # 0 AS x1F
+    with pytest.raises(Exception):
+        engine.sql("SELECT 0x1F", dialect="duckdb").collect()
+    dd = duck.execute("DESCRIBE SELECT 1 AS a").fetchall()
+    assert dd[0][2] == "YES"  # DuckDB: always-YES
+    ed = {r["column_name"]: r["null"] for r in
+          engine.sql("DESCRIBE SELECT 1 AS a", dialect="duckdb")
+          .collect()}
+    assert ed["a"] == "NO"    # engine: proven non-null (documented)
