@@ -2095,6 +2095,16 @@ def _DATE_PART_DIVERGENT(field: str, expr: str) -> str | None:
         "decade": f"CAST(floor(year({expr}) / 10.0D) AS BIGINT)",
         "decades": f"CAST(floor(year({expr}) / 10.0D) AS BIGINT)",
         "era": f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE 1 END)",
+        # naive timestamps (and the engine's UTC-instant TIMESTAMPTZ
+        # carrier) have no zone displacement [measured r12: extract
+        # (timezone/timezone_hour/timezone_minute FROM TIMESTAMP/
+        # TIMESTAMPTZ/TIME) → BIGINT 0]
+        "timezone": f"CAST(CASE WHEN ({expr}) IS NULL THEN NULL "
+                    f"ELSE 0 END AS BIGINT)",
+        "timezone_hour": f"CAST(CASE WHEN ({expr}) IS NULL THEN NULL "
+                         f"ELSE 0 END AS BIGINT)",
+        "timezone_minute": f"CAST(CASE WHEN ({expr}) IS NULL THEN "
+                           f"NULL ELSE 0 END AS BIGINT)",
     }.get(field)
 
 
@@ -4699,15 +4709,50 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     if spec is None or spec == "":
                         convs.append("s")
                         return "%s"
-                    if re.fullmatch(r"[0-9.]*[dfsxX]", spec):
-                        convs.append(spec)  # full spec (precision for f)
-                        return "%" + spec
                     if re.fullmatch(r",d?", spec):
                         # thousands separators [measured r12: DuckDB
                         # '{:,}'/'{:,d}' group integers; floats error]
                         # — Java printf's ',' flag is the same grouping
                         convs.append(",d")
                         return "%,d"
+                    mr = re.fullmatch(
+                        r"(?P<sign>[+ ]?)(?P<alt>#?)(?P<type>[bxXo])",
+                        spec)
+                    if mr:
+                        # widthless radix specs are sign-aware [measured
+                        # r12: '{:x}' of -255 → '-ff', '{:#x}' → '-0xff',
+                        # '{:+x}' → '+ff'] — Java %x would print the
+                        # two's complement; binary has no Java spec at
+                        # all, so all four radixes emit sign ||
+                        # prefix || magnitude driver-side
+                        convs.append(("radix", mr.group("sign"),
+                                      bool(mr.group("alt")),
+                                      mr.group("type")))
+                        return "%s"
+                    mg2 = re.fullmatch(
+                        r"(?P<sign>[+ ]?)(?P<prec>(?:\.\d+)?)"
+                        r"(?P<type>[gG])", spec)
+                    if mg2:
+                        # fmt 'g' strips trailing mantissa zeros (C
+                        # style: '{:g}' of 100.0 → '100'); Java %g
+                        # keeps them — post-strip per argument
+                        convs.append(("gstrip", mg2.group("sign"),
+                                      mg2.group("prec"),
+                                      mg2.group("type")))
+                        return "%s"
+                    if re.fullmatch(r"[0-9.]*[dfsxX]", spec):
+                        convs.append(spec)  # full spec (precision for f)
+                        return "%" + spec
+                    if re.fullmatch(r"[+ ]?#?0?\d*(?:\.\d+)?[dfsxXoeE]",
+                                    spec):
+                        # sign/alternate/zero-pad/width/precision pass
+                        # straight through — Java printf speaks the
+                        # same flags for these conversions [measured
+                        # r12: '{:+d}' '+5', '{: d}' ' 5', '{:#x}'
+                        # '0xff', '{:08d}' '-0000042', '{:e}'
+                        # '1.234568e+04' all agree]
+                        convs.append(spec)
+                        return "%" + spec
                     ma = re.fullmatch(
                         r"(?P<fill>.)?(?P<align>[<>^])(?P<width>\d+)"
                         r"(?P<rest>(?:\.\d+)?[dfsxX]?)", spec)
@@ -4735,7 +4780,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 # rejects INT32-typed literals' narrower types) — cast
                 # each argument to the conversion's carrier type
                 casts = {"f": "DOUBLE", "d": "BIGINT",
-                         "x": "BIGINT", "X": "BIGINT"}
+                         "x": "BIGINT", "X": "BIGINT",
+                         "o": "BIGINT", "e": "DOUBLE", "E": "DOUBLE"}
                 args = [_arg_text(toks, s) for s in parts[2][1:]]
                 if any(ix is not None for ix in arg_idx):
                     # positional {N} form: every placeholder must carry
@@ -4755,6 +4801,30 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         f"{len(args)} argument(s)")
 
                 def _one_arg(a: str, cv) -> str:
+                    if isinstance(cv, tuple) and cv[0] == "radix":
+                        # sign || prefix || magnitude [measured r12]
+                        _, sgn, alt, typ = cv
+                        v = f"CAST({a} AS BIGINT)"
+                        mag = {"x": f"lower(hex(abs({v})))",
+                               "X": f"hex(abs({v}))",
+                               "o": f"format_string('%o', abs({v}))",
+                               "b": f"bin(abs({v}))"}[typ]
+                        pre = ({"x": "0x", "X": "0X",
+                                "o": "0", "b": "0b"}[typ] if alt else "")
+                        pos = f"'{sgn}'" if sgn else "''"
+                        return (f"concat(CASE WHEN {v} < 0 THEN '-' "
+                                f"ELSE {pos} END, '{pre}', {mag})")
+                    if isinstance(cv, tuple) and cv[0] == "gstrip":
+                        # Java %g then strip trailing mantissa zeros
+                        # (and a bare trailing '.') — C/fmt semantics
+                        _, sgn, prec, typ = cv
+                        p_ = prec or ".6"
+                        inner = (f"format_string('%{sgn}{p_}{typ}', "
+                                 f"CAST({a} AS DOUBLE))")
+                        s1 = (f"__java_regexp_replace__({inner}, "
+                              f"'(\\\\.\\\\d*?)0+([eE]|$)', '$1$2')")
+                        return (f"__java_regexp_replace__({s1}, "
+                                f"'\\\\.([eE]|$)', '$1')")
                     if isinstance(cv, tuple):  # fill/align/width wrap
                         _, fill, align, width, rest_s = cv
                         fl = fill.replace("'", "''")
@@ -4831,19 +4901,90 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             if (fmt_txt.startswith("'") and fmt_txt.endswith("'")
                     and len(fmt_txt) >= 2):
                 body = fmt_txt[1:-1]
-                specs = [m.group(1) for m in re.finditer(
-                    r"%[-+ #0]*\d*(?:\.\d+)?([a-zA-Z%])", body)
-                    if m.group(1) != "%"]
+                args = [_arg_text(toks, s) for s in spans[1:]]
+                # C '*' takes width/precision from the NEXT argument;
+                # Java has no '*' — fold LITERAL star operands into the
+                # spec text [measured r12: printf('%*d', 6, 42) →
+                # '    42']. Non-literal stars fall through (loud).
+                if "*" in body:
+                    folded, kept, q2, ok2 = [], [], list(args), True
+                    last = 0
+                    for ms in re.finditer(
+                            r"%[-+ #0]*(\*|\d+)?(?:\.(\*|\d+))?"
+                            r"[a-zA-Z%]", body):
+                        if ms.group(0) == "%%":
+                            continue
+                        txt = ms.group(0)
+                        for g in (1, 2):
+                            if ms.group(g) == "*":
+                                if not (q2 and re.fullmatch(
+                                        r"[+-]?\d+", q2[0].strip())):
+                                    ok2 = False
+                                    break
+                                w = q2.pop(0).strip()
+                                txt = txt.replace("*", w, 1)
+                        if not ok2:
+                            break
+                        folded.append(body[last:ms.start()] + txt)
+                        last = ms.end()
+                        if txt[-1] != "%":
+                            kept.append(q2.pop(0) if q2 else None)
+                    if ok2 and None not in kept:
+                        body = "".join(folded) + body[last:]
+                        args = kept + q2  # leftovers keep arity loud
+                # C aliases Java lacks [measured r12: %i and %u both
+                # print like %d in DuckDB]
+                body = re.sub(r"(%[-+ #0]*\d*(?:\.\d+)?)[iu]",
+                              r"\1d", body)
+                sm = list(re.finditer(
+                    r"%[-+ #0]*\d*(?:\.\d+)?([a-zA-Z%])", body))
+                specs = [m.group(1) for m in sm if m.group(1) != "%"]
                 casts = {"f": "DOUBLE", "e": "DOUBLE", "g": "DOUBLE",
-                         "E": "DOUBLE", "G": "DOUBLE",
+                         "E": "DOUBLE", "G": "DOUBLE", "a": "DOUBLE",
+                         "A": "DOUBLE",
                          "d": "BIGINT", "x": "BIGINT", "X": "BIGINT",
                          "o": "BIGINT"}
-                args = [_arg_text(toks, s) for s in spans[1:]]
                 if len(specs) == len(args):
+                    # widthless %g/%G strip trailing mantissa zeros in
+                    # C (DuckDB '1.2345e-05'; Java keeps '1.23450e-05')
+                    # and %a/%A exponents carry an explicit '+' in C
+                    # ('0x1.8p+0' vs Java '0x1.8p0') — both repair
+                    # per-argument, spliced back as %s [measured r12]
+                    newb, pos2, ai = [], 0, 0
+                    nargs = list(args)
+                    for m2 in sm:
+                        if m2.group(1) == "%":
+                            continue
+                        st = m2.group(0)
+                        if re.fullmatch(r"%(?:\.\d+)?[gG]", st):
+                            p_ = re.search(r"\.\d+", st)
+                            inner = (f"format_string('%{(p_.group(0) if p_ else '.6')}"
+                                     f"{m2.group(1)}', "
+                                     f"CAST({args[ai]} AS DOUBLE))")
+                            s1 = (f"__java_regexp_replace__({inner}, "
+                                  f"'(\\\\.\\\\d*?)0+([eE]|$)', "
+                                  f"'$1$2')")
+                            nargs[ai] = (f"__java_regexp_replace__({s1}, "
+                                         f"'\\\\.([eE]|$)', '$1')")
+                            specs[ai] = "s"
+                            newb.append(body[pos2:m2.start()] + "%s")
+                            pos2 = m2.end()
+                        elif re.fullmatch(r"%[aA]", st):
+                            inner = (f"format_string('{st}', "
+                                     f"CAST({args[ai]} AS DOUBLE))")
+                            nargs[ai] = (f"__java_regexp_replace__({inner}, "
+                                         f"'([pP])(\\\\d)', '$1+$2')")
+                            specs[ai] = "s"
+                            newb.append(body[pos2:m2.start()] + "%s")
+                            pos2 = m2.end()
+                        ai += 1
+                    if newb:
+                        body = "".join(newb) + body[pos2:]
+                    fmt_txt = f"'{body}'"
                     rest = "".join(
                         f", CAST({a} AS {casts[cv]})" if cv in casts
                         else f", {a}"
-                        for a, cv in zip(args, specs))
+                        for a, cv in zip(nargs, specs))
                     if args:
                         nullg = " OR ".join(f"({a}) IS NULL"
                                             for a in args)
@@ -12874,4 +13015,8 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_interval_varchar_casts(sql, column_kinds)
     sql = _rewrite_keywords(sql)
     sql = _inject_order_by_nulls(sql)
+    # emissions that carry Java-style $N replacements dodge the RE2
+    # converter behind this marker (format/printf g-strip, %a repair)
+    if "__java_regexp_replace__" in sql:
+        sql = sql.replace("__java_regexp_replace__", "regexp_replace")
     return sql

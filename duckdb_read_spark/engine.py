@@ -2538,18 +2538,46 @@ class Engine:
         naming). Spark has no REPLACE star modifier, so the expansion is
         the translation. Single top-level FROM table only; other shapes
         stay verbatim and fail loudly."""
-        m = re.search(r"\*\s+REPLACE\s*\(", query, re.IGNORECASE)
+        m = re.search(
+            r"\*\s+(?:EXCLUDE\s*(?:\((?P<exc>[^)]*)\)|"
+            r"(?P<exc1>[A-Za-z_]\w*))\s+)?REPLACE\s*\(",
+            query, re.IGNORECASE)
         if not m:
             return query
         frm = _find_top_level(query, "FROM")
         if frm < 0:
             return query
-        mtab = re.match(r"\s*([A-Za-z_][\w.]*)", query[frm + 4:])
-        if not mtab:
-            return query
-        cols = self._columns_of(mtab.group(1))
+        src = "the FROM relation"
+        rest = query[frm + 4:]
+        lead = len(rest) - len(rest.lstrip())
+        cols: list[str] | None = None
+        if rest.lstrip().startswith("("):
+            # derived table: an alias column list names the schema
+            # outright; otherwise one analysis-only pass resolves it
+            # (combined EXCLUDE…REPLACE over a subquery, r12)
+            sub_open = frm + 4 + lead
+            sub_close = _match_paren(query, sub_open)
+            mal = re.match(r"\s*(?:AS\s+)?[A-Za-z_]\w*\s*\(([^)]*)\)",
+                           query[sub_close + 1:], re.IGNORECASE)
+            if mal:
+                cols = [c.strip() for c in mal.group(1).split(",")]
+            else:
+                try:
+                    cols = self.sql(query[sub_open + 1:sub_close],
+                                    dialect="duckdb").columns
+                except Exception:
+                    return query
+        else:
+            mtab = re.match(r"\s*([A-Za-z_][\w.]*)", rest)
+            if not mtab:
+                return query
+            src = repr(mtab.group(1))
+            cols = self._columns_of(mtab.group(1))
         if cols is None:
             return query
+        exc = {c.strip().strip('"').lower()
+               for c in (m.group("exc") or m.group("exc1") or "").split(",")
+               if c.strip()}
         close = _match_paren(query, m.end() - 1)
         repls: dict[str, str] = {}
         for part in _split_top_commas(query[m.end():close]):
@@ -2558,13 +2586,14 @@ class Engine:
             if not mp:
                 raise ValueError(
                     f"* REPLACE: expected 'expr AS col', got {part.strip()!r}")
-            if mp.group("col") not in cols:
+            if mp.group("col").lower() not in {c.lower() for c in cols}:
                 raise ValueError(
                     f"* REPLACE: {mp.group('col')!r} is not a column of "
-                    f"{mtab.group(1)!r} (has {cols})")
-            repls[mp.group("col")] = mp.group("expr")
+                    f"{src} (has {cols})")
+            repls[mp.group("col").lower()] = mp.group("expr")
         expanded = ", ".join(
-            f"{repls[c]} AS {c}" if c in repls else c for c in cols)
+            f"{repls[c.lower()]} AS {c}" if c.lower() in repls else c
+            for c in cols if c.lower() not in exc)
         return query[:m.start()] + expanded + query[close + 1:]
 
     def _bump_registration_epoch(self, table: str | None = None, *,

@@ -1002,6 +1002,10 @@ def _make_duck_typename_udf():
             return "STRUCT(" + ", ".join(parts) + ")"
         if t.startswith("interval"):
             return "INTERVAL"
+        if t.startswith("time(") or t == "time":
+            # Spark 4 spells the type with precision ('time(6)');
+            # DuckDB has a single micro-precision TIME [measured r12]
+            return "TIME"
         if t.startswith("decimal"):
             return t.upper().replace(" ", "")
         return _SCALARS.get(t, t.upper())

@@ -418,3 +418,100 @@ def test_hex_literal_and_describe_nullability_pins(engine, duck):
           engine.sql("DESCRIBE SELECT 1 AS a", dialect="duckdb")
           .collect()}
     assert ed["a"] == "NO"    # engine: proven non-null (documented)
+
+
+# --------------------------------------------------- r12 probe batch 1
+def test_format_printf_long_tail(engine, duck):
+    """format()/printf() spec long tail [measured r12]: radix specs
+    (X/o/b with sign-aware negatives and # prefixes — Java %x would
+    print the two's complement), e/E scientific, sign flags, g/G with
+    C-style trailing-zero strip, C star widths folded from literal
+    args, %i/%u aliases, %a hex-float exponent '+', %c codepoints."""
+    for q in (
+        "SELECT format('{:X}', 255) AS r",
+        "SELECT format('{:o}', 8) AS r",
+        "SELECT format('{:b}', 5) AS r",
+        "SELECT format('{:#b}', -5) AS r",
+        "SELECT format('{:x}', -255) AS r",
+        "SELECT format('{:#x}', -255) AS r",
+        "SELECT format('{:+x}', 255) AS r",
+        "SELECT format('{:e}', 12345.678) AS r",
+        "SELECT format('{:E}', 12345.678) AS r",
+        "SELECT format('{:.3e}', 12345.678) AS r",
+        "SELECT format('{:+d}|{: d}', 5, 5) AS r",
+        "SELECT format('{:08d}', -42) AS r",
+        "SELECT format('{:g}', 100.0) AS r",
+        "SELECT format('{:g}', 0.000012345) AS r",
+        "SELECT format('{:.3g}', 12345.678) AS r",
+        "SELECT format('{:G}', 0.000012345) AS r",
+        "SELECT format('{:6x}', 255) AS r",
+        "SELECT format('{:#o}', 8) AS r",
+        "SELECT printf('%g', 1.5) AS r",
+        "SELECT printf('%g', 100.0) AS r",
+        "SELECT printf('%g', 123456789.0) AS r",
+        "SELECT printf('%G %g', 0.000012345, 2.0) AS r",
+        "SELECT printf('%.3g', 12345.678) AS r",
+        "SELECT printf('%*d', 6, 42) AS r",
+        "SELECT printf('%-*d|', 6, 42) AS r",
+        "SELECT printf('%.*f', 2, 3.14159) AS r",
+        "SELECT printf('%i %u', 42, 7) AS r",
+        "SELECT printf('%a', 1.5) AS r",
+        "SELECT printf('%c', 65) AS r",
+        "SELECT printf('%e', 12345.678) AS r",
+        # the user-written RE2-replacement path must still convert
+        "SELECT regexp_replace('abc', '(b)', '[\\1]') AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_timezone_fields_and_typeof_time(engine, duck):
+    """extract(timezone[_hour|_minute] FROM ts) → BIGINT 0 on naive
+    timestamps and TIME (no zone displacement); typeof(TIME) spells
+    the single micro-precision TIME [measured r12]."""
+    for q in (
+        "SELECT extract(timezone FROM TIMESTAMP '2024-01-01 00:00:00')"
+        " AS r",
+        "SELECT extract(timezone_hour FROM TIMESTAMP "
+        "'2024-01-01 00:00:00') AS a, extract(timezone_minute FROM "
+        "TIMESTAMP '2024-01-01 00:00:00') AS b",
+        "SELECT date_part('timezone', TIMESTAMP '2024-01-01 00:00:00')"
+        " AS r",
+        "SELECT extract(timezone FROM TIME '13:00:00') AS r",
+        "SELECT typeof(TIME '13:00:00') AS r",
+        "SELECT date_part(['year','month','day'], DATE '2024-03-05') "
+        "AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_star_exclude_replace_combined(engine, duck):
+    """* [EXCLUDE …] REPLACE (…) over base tables AND derived tables
+    (subquery schemas resolve through one analysis-only pass; alias
+    column lists name the schema outright) [r12 — the combined form
+    parse-errored and derived tables refused]."""
+    for q in (
+        "SELECT * EXCLUDE (b) REPLACE (a * 10 AS a) FROM "
+        "(VALUES (1, 2, 3)) t(a, b, c)",
+        "SELECT * REPLACE (a + 1 AS a) FROM (SELECT 1 AS a, 'x' AS b)"
+        " q",
+        "SELECT * EXCLUDE b REPLACE (a * 2 AS a) FROM "
+        "(VALUES (1, 2)) t(a, b)",
+        "SELECT * REPLACE (upper(r_name) AS r_name) FROM region "
+        "ORDER BY r_regionkey LIMIT 2",
+    ):
+        _check(engine, duck, q)
+
+
+def test_nth_value_ignore_nulls_pinned(engine, duck):
+    """nth_value(..) IGNORE NULLS: DuckDB 1.0's parser rejects the
+    clause outright; the engine accepts Spark's native support —
+    pinned over-acceptance (documented divergence, SURVEY §2.4)."""
+    import duckdb as _duckdb
+    q = ("SELECT x, nth_value(y, 2) IGNORE NULLS OVER (ORDER BY x "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+         "AS r FROM (VALUES (1,NULL),(2,'a'),(3,NULL),(4,'b')) t(x,y) "
+         "ORDER BY x")
+    with pytest.raises(_duckdb.Error):
+        duck.execute(q).fetchall()
+    rows = engine.sql(q, dialect="duckdb").collect()
+    assert [r["r"] for r in rows] == ["b", "b", "b", "b"]
