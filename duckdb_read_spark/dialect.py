@@ -2515,6 +2515,80 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i += 1
             changed = True
             continue
+        if name == "unnest" and parts and len(parts[2]) == 2:
+            # named-argument forms [measured r12]: recursive := true
+            # flattens nested LISTS fully ([[1,2],[3]] → 1,2,3 rows);
+            # max_depth := n unnests n list levels; recursive := false
+            # is the bare unnest. Depth comes from the literal's
+            # bracket nesting — non-literal nested args stay loud.
+            a0 = _arg_text(toks, parts[2][0]).strip()
+            a1 = _arg_text(toks, parts[2][1]).strip()
+            mrec = re.match(r"(?is)^recursive\s*:=\s*(true|false)$", a1)
+            mdep = re.match(r"(?is)^max_depth\s*:=\s*(\d+)$", a1)
+            if mrec or mdep:
+                if a0.lstrip().startswith("["):
+                    lead = a0.lstrip()
+                    d_ = 0
+                    for ch in lead:
+                        if ch == "[":
+                            d_ += 1
+                        elif not ch.isspace():
+                            break
+                    if mrec and mrec.group(1).lower() == "false":
+                        levels = 1
+                    elif mrec:
+                        levels = d_
+                    else:
+                        levels = min(int(mdep.group(1)), d_)
+                    inner0 = a0
+                    for _fl in range(max(levels - 1, 0)):
+                        inner0 = f"flatten({inner0})"
+                    out.append(f"explode({inner0})")
+                    i = parts[1] + 1
+                    changed = True
+                    continue
+                if mrec and re.match(r"(?is)^(\{|struct_pack\s*\(|"
+                                     r"row\s*\()", a0.lstrip()):
+                    # struct operand: recursive on a FLAT struct equals
+                    # the bare struct unnest (fields → columns)
+                    out.append(f"inline(array({a0}))")
+                    i = parts[1] + 1
+                    changed = True
+                    continue
+                raise ValueError(
+                    "unnest recursive/max_depth: the list depth is "
+                    "only provable for array literals — spell the "
+                    "flatten() calls explicitly for column operands")
+        if name == "generate_subscripts" and parts \
+                and len(parts[2]) == 2:
+            # subscripts along dimension 1 → 1..len rows; [] on NULL
+            # or empty [measured r12]; DuckDB itself refuses other
+            # dimensions for LISTs ('Not implemented')
+            a0 = _arg_text(toks, parts[2][0]).strip()
+            a1 = _arg_text(toks, parts[2][1]).strip()
+            if a1 != "1":
+                raise ValueError(
+                    "generate_subscripts: only dimension 1 exists for "
+                    "LISTs (same as DuckDB)")
+            out.append(
+                f"explode(CASE WHEN ({a0}) IS NULL OR size({a0}) = 0 "
+                f"THEN slice(array(1), 1, 0) "
+                f"ELSE sequence(1, size({a0})) END)")
+            i = parts[1] + 1
+            changed = True
+            continue
+        if (name == "unnest" and parts and len(parts[2]) == 1
+                and re.match(r"(?is)^(\{|struct_pack\s*\(|row\s*\()",
+                             _arg_text(toks, parts[2][0]).lstrip())):
+            # unnest(STRUCT) expands fields into COLUMNS in DuckDB
+            # [measured: unnest({'a':1,'b':2}) → columns a, b] —
+            # Spark's explode refuses structs; inline(array(s)) is the
+            # field-expanding generator
+            out.append(
+                f"inline(array({_arg_text(toks, parts[2][0])}))")
+            i = parts[1] + 1
+            changed = True
+            continue
         if name == "unnest" and parts:
             out.append("explode")
             i += 1
@@ -6725,6 +6799,51 @@ def _strip_trailing_commas(sql: str) -> str:
     return detokenize(toks) if changed else sql
 
 
+def _in_filter_position(toks: list[Tok], i: int) -> bool:
+    """True when the boolean expression containing toks[i] sits in
+    FILTER position (WHERE/HAVING/QUALIFY/ON/WHEN context, possibly
+    under AND/OR/NOT grouping) — there Spark's IN-subquery plan
+    (semi/null-aware-anti join) is 3VL-equivalent because NULL and
+    FALSE both reject. Value positions (SELECT items, function
+    arguments, SET, THEN/ELSE arms) must take the CASE emission
+    instead [measured r12: Spark's PROJECTED IN-subquery answers
+    FALSE where DuckDB answers NULL on a null-bearing no-match]."""
+    depth = 0
+    j = i - 1
+    while j >= 0:
+        t = toks[j]
+        if t.kind in ("ws", "comment"):
+            j -= 1
+            continue
+        if t.text in (")", "]"):
+            depth += 1
+        elif t.text in ("(", "["):
+            if depth == 0:
+                k2 = j - 1
+                while k2 >= 0 and toks[k2].kind in ("ws", "comment"):
+                    k2 -= 1
+                if (k2 >= 0 and toks[k2].kind == "ident"
+                        and toks[k2].text.upper() not in (
+                            "AND", "OR", "NOT", "WHERE", "ON",
+                            "HAVING", "QUALIFY", "WHEN", "SELECT",
+                            "BY", "THEN", "ELSE", "IN")):
+                    return False  # function-call argument
+            else:
+                depth -= 1
+        elif depth == 0:
+            if t.text == ",":
+                return False
+            if t.kind == "ident":
+                up = t.text.upper()
+                if up in ("WHERE", "HAVING", "QUALIFY", "ON", "WHEN"):
+                    return True
+                if up in ("SELECT", "SET", "VALUES", "BY", "THEN",
+                          "ELSE", "RETURNING", "LIMIT"):
+                    return False
+        j -= 1
+    return False
+
+
 def _rewrite_quantified_comparisons(sql: str) -> str:
     """Quantified subquery comparisons ``x <op> ANY/SOME/ALL (…)`` —
     DuckDB/Postgres surface Spark lacks entirely (parse error).
@@ -6836,9 +6955,11 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                 k -= 1
         lhs = detokenize(toks[sig[k]:sig[p - 1]]).strip()
 
-        if is_sub and op == "=" and quant == "ANY":
+        in_filter = _in_filter_position(toks, sig[k])
+        if is_sub and op == "=" and quant == "ANY" and in_filter:
             repl = f"(({lhs}) IN {rhs_paren})"
-        elif is_sub and op in ("<>", "!=") and quant == "ALL":
+        elif is_sub and op in ("<>", "!=") and quant == "ALL" \
+                and in_filter:
             repl = f"(({lhs}) NOT IN {rhs_paren})"
         elif is_sub and quant == "ANY":
             repl = (
@@ -6864,6 +6985,79 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                     f"END)")
         sql = (detokenize(toks[:sig[k]]) + repl
                + detokenize(toks[close_raw + 1:]))
+
+
+def _rewrite_value_position_in_subquery(sql: str) -> str:
+    """``x [NOT] IN (subquery)`` OUTSIDE filter position → the
+    3-valued CASE-over-EXISTS emission. Spark's own IN-subquery plan
+    answers FALSE (not NULL) when projected and the null-bearing
+    subquery has no match [measured r12]; DuckDB answers NULL. In
+    WHERE/HAVING/ON the plan is 3VL-equivalent (NULL and FALSE both
+    reject; NOT IN plans null-aware anti join) and keeps the semi-join
+    shape — only value positions rewrite. Runs AFTER the quantified
+    pass, whose filter-position `= ANY` emissions are bare INs."""
+    if not re.search(r"(?i)\bIN\s*\(", sql):
+        return sql
+    guard = 0
+    while True:
+        guard += 1
+        if guard > 100:
+            return sql
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        done = True
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if not (t.kind == "ident" and t.text.upper() == "IN"
+                    and p >= 1 and p + 1 < len(sig)
+                    and toks[sig[p + 1]].text == "("):
+                continue
+            open_raw = sig[p + 1]
+            try:
+                close_raw = _find_close(toks, open_raw)
+            except ValueError:
+                continue
+            inner_sig = [q for q in range(open_raw + 1, close_raw)
+                         if toks[q].kind not in ("ws", "comment")]
+            if not inner_sig:
+                continue
+            fi = 0
+            while (fi < len(inner_sig) - 1
+                   and toks[inner_sig[fi]].text == "("):
+                fi += 1
+            if toks[inner_sig[fi]].text.upper() not in (
+                    "SELECT", "WITH", "FROM", "VALUES"):
+                continue
+            negated = (toks[sig[p - 1]].kind == "ident"
+                       and toks[sig[p - 1]].text.upper() == "NOT")
+            lhs_end = p - 2 if negated else p - 1
+            if lhs_end < 0:
+                continue
+            def _skip():
+                raise _PrimarySkip()
+            try:
+                k = _primary_start_back(toks, sig, pos_of, lhs_end,
+                                        _skip)
+            except _PrimarySkip:
+                continue
+            if _in_filter_position(toks, sig[k]):
+                continue
+            lhs = detokenize(toks[sig[k]:sig[lhs_end] + 1]).strip()
+            sub = detokenize(toks[open_raw + 1:close_raw]).strip()
+            tv, fv = ("FALSE", "TRUE") if negated else ("TRUE", "FALSE")
+            repl = (
+                f"(CASE WHEN EXISTS (SELECT 1 FROM ({sub}) "
+                f"AS __qt(__s) WHERE ({lhs}) = __s) THEN {tv} "
+                f"WHEN EXISTS (SELECT 1 FROM ({sub}) AS __qn(__s) "
+                f"WHERE (({lhs}) = __s) IS NULL) "
+                f"THEN CAST(NULL AS BOOLEAN) ELSE {fv} END)")
+            sql = (detokenize(toks[:sig[k]]) + repl
+                   + detokenize(toks[close_raw + 1:]))
+            done = False
+            break
+        if done:
+            return sql
 
 
 # type words for the `//` dispatch (DuckDB 1.0.0 measured)
@@ -9166,8 +9360,85 @@ _INT_CAST_TARGETS = frozenset({
     "SMALLINT", "INT2", "SHORT", "TINYINT", "INT1",
 })
 
+# DuckDB alias → the spelling Spark's parser accepts (INT4/SIGNED/INT1/
+# INT2 are parse errors there, r12)
+_INT_SPARK_SPELLING = {
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "BIGINT": "BIGINT", "INT8": "BIGINT", "LONG": "BIGINT",
+    "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "SHORT": "SMALLINT",
+    "TINYINT": "TINYINT", "INT1": "TINYINT",
+}
 
-def _rewrite_integer_cast_rounding(sql: str) -> str:
+
+def _rewrite_postfix_numeric_casts(sql: str) -> str:
+    """``expr::<integer type>`` / ``expr::DECIMAL(p,s)`` → the CAST
+    spelling, so the rounding/truncation passes below see them. Spark
+    executes ``::`` natively — and TRUNCATES — so leaving the postfix
+    form bypassed the DuckDB rounding semantics entirely [r12:
+    2.5::INTEGER returned 2 where DuckDB rounds to 3]. One conversion
+    per fixpoint iteration; the emission carries no ``::`` so it can't
+    re-match. ``::T[]`` array spellings are left for the array pass."""
+    if "::" not in sql:
+        return sql
+    targets = _INT_CAST_TARGETS | {"DECIMAL", "NUMERIC"}
+    for _ in range(80):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        done = True
+        for p, ti in enumerate(sig):
+            t = toks[ti]
+            if not (t.text == ":" and p + 2 < len(sig)
+                    and toks[sig[p + 1]].text == ":"
+                    and sig[p + 1] == ti + 1
+                    and toks[sig[p + 2]].kind == "ident"
+                    and toks[sig[p + 2]].text.upper() in targets
+                    and p >= 1):
+                continue
+            tend = p + 2
+            tend_raw = sig[tend]
+            up2 = toks[sig[tend]].text.upper()
+            if tend + 1 < len(sig) and toks[sig[tend + 1]].text == "(":
+                if up2 not in ("DECIMAL", "NUMERIC"):
+                    continue  # INT(…) is not a type parameter list
+                try:
+                    tend_raw = _find_close(toks, sig[tend + 1])
+                except ValueError:
+                    continue
+            elif (tend + 1 < len(sig)
+                    and toks[sig[tend + 1]].text == "["):
+                continue  # ::INT[] array cast — not ours
+            ty_txt = detokenize(
+                toks[sig[tend]:tend_raw + 1]).strip()
+            def _skip():
+                raise _PrimarySkip()
+            try:
+                lstart = _primary_start_back(
+                    toks, sig, pos_of, p - 1, _skip)
+            except _PrimarySkip:
+                continue
+            if (toks[sig[lstart]].kind == "ident"
+                    and toks[sig[lstart]].text.upper()
+                    in ("FILTER", "OVER")):
+                # `agg(x) FILTER (…)::T` — the primary scan stops at
+                # the FILTER/OVER group, not the aggregate; converting
+                # would orphan the clause. Leave the native `::` (a
+                # truncating residue on this rare shape, documented).
+                continue
+            src_txt = detokenize(
+                toks[sig[lstart]:sig[p - 1] + 1]).strip()
+            sql = (detokenize(toks[:sig[lstart]])
+                   + f"CAST({src_txt} AS {ty_txt})"
+                   + detokenize(toks[tend_raw + 1:]))
+            done = False
+            break
+        if done:
+            return sql
+    return sql
+
+
+def _rewrite_integer_cast_rounding(
+        sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """DuckDB CAST(x AS <integer type>) ROUNDS half away from zero
     [measured: CAST(3.7 AS INTEGER) = 4, CAST(-3.7 ...) = -4,
     CAST('3.7' ...) = 4]; Spark TRUNCATES (3) — a silent wrong answer on
@@ -9224,11 +9495,35 @@ def _rewrite_integer_cast_rounding(sql: str) -> str:
                             expr = _rewrite_integer_cast_rounding(
                                 detokenize(
                                     toks[open_i + 1:inner_sig[-2]]
-                                ).strip())
+                                ).strip(), column_kinds)
+                            # DOUBLE/FLOAT sources round HALF TO EVEN
+                            # in DuckDB [measured r12: 2.5::DOUBLE →
+                            # INTEGER = 2, 3.5 → 4, -2.5 → -2 — C++
+                            # nearbyint], unlike the away-from-zero
+                            # DECIMAL/VARCHAR paths — provably-double
+                            # sources take Spark's bround (half-even)
+                            # instead of the decimal hop
+                            is_float = bool(
+                                re.fullmatch(
+                                    r"(?is).*::\s*(?:FLOAT4?|REAL)\s*",
+                                    expr)
+                                or re.fullmatch(
+                                    r"(?is)\(*\s*(?:TRY_)?CAST\s*\(.*"
+                                    r"\bAS\s+(?:FLOAT4?|REAL)\s*\)\s*"
+                                    r"\)*", expr))
+                            ty_sp = _INT_SPARK_SPELLING[
+                                ty.text.upper()]
+                            if is_float or _expr_is_double(
+                                    expr, column_kinds):
+                                out.append(
+                                    f"{fn}(bround({expr}) "
+                                    f"AS {ty_sp})")
+                                i = close_i + 1
+                                continue
                             out.append(
                                 f"{fn}(round({fn}({expr} "
                                 f"AS DECIMAL(38,18))) "
-                                f"AS {ty.text.upper()})")
+                                f"AS {ty_sp})")
                             i = close_i + 1
                             continue
         out.append(t.text)
@@ -10505,6 +10800,53 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+def _reorder_alias_tablesample(sql: str) -> str:
+    """``(subquery) alias TABLESAMPLE (…)`` / ``tbl alias TABLESAMPLE
+    (…)`` — DuckDB puts the alias BEFORE the sample clause; Spark's
+    grammar wants ``TABLESAMPLE (…) alias`` [measured r12: the
+    alias-first order is a Spark parse error]. Token-level swap; the
+    no-alias forms pass through untouched."""
+    if not re.search(r"(?i)\bTABLESAMPLE\b", sql):
+        return sql
+    for _ in range(20):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        done = True
+        for p2, ti in enumerate(sig):
+            t = toks[ti]
+            if not (t.kind == "ident"
+                    and t.text.upper() == "TABLESAMPLE"
+                    and p2 >= 2 and p2 + 1 < len(sig)
+                    and toks[sig[p2 + 1]].text == "("):
+                continue
+            al = toks[sig[p2 - 1]]
+            before = toks[sig[p2 - 2]]
+            _clauses = ("FROM", "JOIN", "ON", "WHERE", "AND", "OR",
+                        "USING", "LATERAL", "CROSS", "INNER", "LEFT",
+                        "RIGHT", "FULL", "NATURAL", "AS")
+            if not (al.kind == "ident"
+                    and al.text.upper() not in _SQL_KEYWORDS
+                    and al.text.upper() not in _clauses
+                    and (before.text == ")"
+                         or (before.kind == "ident"
+                             and before.text.upper() not in _SQL_KEYWORDS
+                             and before.text.upper() not in _clauses))):
+                continue
+            try:
+                close = _find_close(toks, sig[p2 + 1])
+            except ValueError:
+                continue
+            clause = detokenize(toks[ti:close + 1]).strip()
+            sql = (detokenize(toks[:sig[p2 - 1]])
+                   + f"{clause} {al.text}"
+                   + detokenize(toks[close + 1:]))
+            done = False
+            break
+        if done:
+            return sql
+    return sql
+
+
 def _rewrite_using_sample(sql: str) -> str:
     """DuckDB sampling syntax → Spark TABLESAMPLE:
     ``USING SAMPLE 10%`` / ``USING SAMPLE 10 PERCENT`` →
@@ -10667,10 +11009,15 @@ def _rewrite_pivot(sql: str) -> str:
 
     # table ref: identifier chain or parenthesized subquery, up to ON
     k = p + 1
-    on_k = next(k2 for k2 in range(k, len(sig)) if upper(k2) == "ON")
+    # depth-0 only: a JOIN's ON inside a parenthesized source subquery
+    # must not terminate the table ref (r12)
+    on_k = next(k2 for k2 in range(k, len(sig))
+                if upper(k2) == "ON" and depths[sig[k2]] == 0)
     table = detokenize(toks[sig[k]:sig[on_k]]).strip()
-    using_k = next(k2 for k2 in range(on_k, len(sig)) if upper(k2) == "USING")
-    in_k = next((k2 for k2 in range(on_k + 1, using_k) if upper(k2) == "IN"), None)
+    using_k = next(k2 for k2 in range(on_k, len(sig))
+                   if upper(k2) == "USING" and depths[sig[k2]] == 0)
+    in_k = next((k2 for k2 in range(on_k + 1, using_k)
+                 if upper(k2) == "IN" and depths[sig[k2]] == 0), None)
     if in_k is None:
         raise ValueError(
             "PIVOT without an IN value list needs dynamic column discovery; "
@@ -10694,6 +11041,20 @@ def _rewrite_pivot(sql: str) -> str:
              if upper(k2) in ("ORDER", "LIMIT", "OFFSET")
              and depths[sig[k2]] == 0), None)
 
+    def _count_coalesce_items(agg_: str) -> list[str] | None:
+        """count-USING pivots fill EMPTY cells with 0 in DuckDB, NULL
+        in Spark [measured r10/r12] — coalesce items for the known
+        value columns, or None when the agg isn't a bare count."""
+        if not re.fullmatch(r"(?is)count\s*\((?:[^()]*)\)", agg_):
+            return None
+        items = []
+        for v in _split_brace_commas(values.strip()[1:-1]):
+            v = v.strip()
+            nm = v[1:-1].replace("''", "'") if (
+                v.startswith("'") and v.endswith("'")) else v
+            items.append(f"coalesce(`{nm}` , 0) AS `{nm}`")
+        return items
+
     if group_k is None:
         tk = _tail_k(using_k + 1)
         agg_end = sig[tk] if tk is not None else len(toks)
@@ -10701,6 +11062,16 @@ def _rewrite_pivot(sql: str) -> str:
                 if tk is not None else "")
         agg = detokenize(toks[sig[using_k + 1]:agg_end]).strip()
         pivot_rel = f"PIVOT ({agg} FOR {on_col} IN {values})"
+        coal = _count_coalesce_items(agg)
+        if coal:
+            # implicit group-by-all-remaining: names unknown here, so
+            # keep them via * EXCEPT and re-append the value columns
+            # coalesced, in IN order (DuckDB's column order)
+            exc = ", ".join(c.split(" AS ")[-1].strip()
+                            for c in coal)
+            return (f"SELECT * EXCEPT ({exc}), {', '.join(coal)} "
+                    f"FROM (SELECT * FROM {table} {pivot_rel})"
+                    f"{tail}")
         return f"SELECT * FROM {table} {pivot_rel}{tail}"
     agg = detokenize(toks[sig[using_k + 1]:sig[group_k]]).strip()
     pivot_rel = f"PIVOT ({agg} FOR {on_col} IN {values})"
@@ -10730,15 +11101,8 @@ def _rewrite_pivot(sql: str) -> str:
     # when the group columns are plain identifiers (expression groups
     # keep Spark's NULL cells, documented)
     gnames = [g.strip() for g in group_cols.split(",")]
-    if (re.fullmatch(r"(?is)count\s*\((?:[^()]*)\)", agg)
-            and all(re.fullmatch(r"[A-Za-z_]\w*", g) for g in gnames)):
-        vals_items = _split_brace_commas(values.strip()[1:-1])
-        coal = []
-        for v in vals_items:
-            v = v.strip()
-            nm = v[1:-1].replace("''", "'") if (
-                v.startswith("'") and v.endswith("'")) else v
-            coal.append(f"coalesce(`{nm}`, 0) AS `{nm}`")
+    coal = _count_coalesce_items(agg)
+    if coal and all(re.fullmatch(r"[A-Za-z_]\w*", g) for g in gnames):
         outer = ", ".join(gnames + coal)
         return f"SELECT {outer} FROM ({inner}){tail}"
     return f"{inner}{tail}"
@@ -12279,7 +12643,12 @@ def _values_column_kinds(sql: str) -> dict[str, str]:
         if dk is not None:
             return (dk[0] - dk[1], dk[1])
         if re.fullmatch(
-                r"(?is)CAST\s*\(.+\s+AS\s+(?:DOUBLE|FLOAT8)\s*\)", e):
+                r"(?is)CAST\s*\(.+\s+AS\s+"
+                r"(?:DOUBLE|FLOAT8|FLOAT4?|REAL)\s*\)", e):
+            return "double"
+        if re.fullmatch(
+                r"(?is).+::\s*(?:DOUBLE|FLOAT8|FLOAT4?|REAL)", e):
+            # postfix-cast cells type the column DOUBLE too (r12)
             return "double"
         return None
 
@@ -12967,16 +13336,19 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_quantified_comparisons(sql)
+    sql = _rewrite_value_position_in_subquery(sql)
     sql = _rewrite_scalar_subquery_first_row(sql)
     sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_lateral_unnest(sql)
     sql = _rewrite_multi_unnest(sql)
     sql = _rewrite_using_sample(sql)
+    sql = _reorder_alias_tablesample(sql)
     sql = _rewrite_window_clause(sql)
     sql = _rewrite_window_exclude(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
-    sql = _rewrite_integer_cast_rounding(sql)
+    sql = _rewrite_postfix_numeric_casts(sql)
+    sql = _rewrite_integer_cast_rounding(sql, column_kinds)
     sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
     sql = _rewrite_power_operator(sql)
     sql = _fold_time_literals(sql)

@@ -2870,7 +2870,9 @@ class Engine:
             return self.optimize_table(mopt.group("name"))
         mmac = _CREATE_MACRO_RE.match(query)
         if mmac:
-            params = [p.strip() for p in mmac.group("params").split(",")
+            # top-level split: a `p := f(1,2)` default carries commas
+            params = [p.strip()
+                      for p in _split_top_commas(mmac.group("params"))
                       if p.strip()]
             body = mmac.group("body").strip()
             # table macros (AS TABLE SELECT …) expand to a derived table;
@@ -4119,10 +4121,39 @@ class Engine:
                 args = [a.strip()
                         for a in _split_top_commas(s[m.end():close])
                         if a.strip()]
-                if len(args) != len(params):
+                # `p := default` parameters are NAMED with defaults
+                # [measured r12: md(a, b := 10) — md(1) takes the
+                # default, md(1, b := 2) overrides, md(1, 2) errors
+                # ('requires a single positional parameter')]
+                pos_params: list[str] = []
+                named_params: dict[str, str] = {}
+                for p_ in params:
+                    mnp = re.match(r"(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$",
+                                   p_.strip())
+                    if mnp:
+                        named_params[mnp.group(1).lower()] = \
+                            mnp.group(2).strip()
+                    else:
+                        pos_params.append(p_)
+                pos_args: list[str] = []
+                named_args: dict[str, str] = {}
+                for a_ in args:
+                    mna = re.match(r"(?is)^([A-Za-z_]\w*)\s*:=\s*(.+)$",
+                                   a_)
+                    if mna and named_params:
+                        an = mna.group(1).lower()
+                        if an in named_params:
+                            named_args[an] = mna.group(2).strip()
+                            continue
+                        raise ValueError(
+                            f"macro {name}: does not have default "
+                            f"parameter {mna.group(1)!r} (same as "
+                            f"DuckDB's binder)")
+                    pos_args.append(a_)
+                if len(pos_args) != len(pos_params):
                     raise ValueError(
-                        f"macro {name}: expected {len(params)} argument(s), "
-                        f"got {len(args)}")
+                        f"macro {name}: expected {len(pos_params)} "
+                        f"argument(s), got {len(pos_args)}")
                 if not params:
                     out.append(s[i:m.start()])
                     out.append(f"({body})")
@@ -4132,9 +4163,13 @@ class Engine:
                 # re-substitute an argument whose text matches a later
                 # parameter name), guarded against the body's own string
                 # literals
-                mapping = {p_.lower(): a_ for p_, a_ in zip(params, args)}
+                mapping = {p_.lower(): a_
+                           for p_, a_ in zip(pos_params, pos_args)}
+                for k_, dflt_ in named_params.items():
+                    mapping[k_] = named_args.get(k_, dflt_)
                 ppat = re.compile(
-                    "|".join(rf"\b{re.escape(p_)}\b" for p_ in params),
+                    "|".join(rf"\b{re.escape(p_)}\b"
+                             for p_ in mapping),
                     re.IGNORECASE)
                 bspans = [bm.span() for bm in
                           re.finditer(r"'(?:[^']|'')*'|--[^\n]*", body)]

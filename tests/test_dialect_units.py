@@ -225,11 +225,13 @@ def test_power_operator_rewrite():
         "SELECT power((a + 1), 2) FROM t"
     assert to_spark_sql("SELECT x FROM t WHERE (a + b) ^ 2 > 4") == \
         "SELECT x FROM t WHERE power((a + b), 2) > 4"
-    # ::-cast and CASE operands (review fix)
+    # ::-cast and CASE operands (review fix); r12: postfix int/decimal
+    # casts convert to CAST form first so the rounding pass sees them
     assert to_spark_sql("SELECT x::INTEGER ^ 2 FROM t") == \
-        "SELECT power(x::INTEGER, 2) FROM t"
+        ("SELECT power(CAST(round(CAST(x AS DECIMAL(38,18))) AS INT), "
+         "2) FROM t")
     assert to_spark_sql("SELECT 2 ^ x::DECIMAL(10,2)") == \
-        "SELECT power(2, x::DECIMAL(10,2))"
+        "SELECT power(2, CAST(x AS DECIMAL(10,2)))"
     assert to_spark_sql("SELECT CASE WHEN a THEN 1 ELSE 2 END ^ 2") == \
         "SELECT power(CASE WHEN a THEN 1 ELSE 2 END, 2)"
     # a non-primary operand raises instead of emitting mangled SQL

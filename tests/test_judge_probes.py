@@ -648,14 +648,11 @@ def test_probe_batch7_window_filter_and_ordered_string_agg(engine, duck):
 
 
 def test_pin_in_subquery_null_divergence(engine, duck):
-    """'1 IN (SELECT NULL)' is NULL in DuckDB, false in Spark (known
-    three-valued-logic divergence in select-list position; documented,
-    not fixed). This pin notices if either engine moves."""
-    got = spark_rows(engine.sql("SELECT 1 IN (SELECT NULL) AS v",
-                                dialect="duckdb"))
-    want = duckdb_rows(duck, "SELECT 1 IN (SELECT NULL) AS v")
-    assert got == [(False,)]
-    assert want == [(None,)]
+    """'1 IN (SELECT NULL)' is NULL in DuckDB. Was a documented
+    divergence (Spark's projected IN-subquery said false) through r11;
+    FIXED r12 by the value-position CASE-over-EXISTS emission
+    (test_r12_probes.py::test_value_position_in_subquery_3vl)."""
+    _check(engine, duck, "SELECT 1 IN (SELECT NULL) AS v")
 
 
 def test_pin_sharp_s_casing_divergence(engine, duck):

@@ -292,11 +292,18 @@ def test_r12_over_acceptance_pins(engine, duck):
         "SELECT 'yes'::BOOLEAN AS r",         # 't'/'1' agree; 'yes' no
         "SELECT url_encode('a b') AS r",      # absent in DuckDB 1.0
         "SELECT url_decode('a%20b') AS r",
-        "SELECT (1,2) IN (SELECT 1, 2) AS r",  # multi-col IN binder
     ):
         with pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+    # multi-column (1,2) IN (subquery): BOTH loud now — DuckDB binder-
+    # errors and the r12 value-position IN emission surfaces Spark's
+    # analysis error (was an over-acceptance before r12)
+    q2 = "SELECT (1,2) IN (SELECT 1, 2) AS r"
+    with pytest.raises(_duckdb.Error):
+        duck.execute(q2).fetchall()
+    with pytest.raises(Exception):
+        engine.sql(q2, dialect="duckdb").collect()
     # agreeing BOOLEAN spellings stay green
     _check(engine, duck, "SELECT 't'::BOOLEAN AS r")
     _check(engine, duck, "SELECT '1'::BOOLEAN AS r")
@@ -515,3 +522,190 @@ def test_nth_value_ignore_nulls_pinned(engine, duck):
         duck.execute(q).fetchall()
     rows = engine.sql(q, dialect="duckdb").collect()
     assert [r["r"] for r in rows] == ["b", "b", "b", "b"]
+
+
+def test_numeric_cast_rounding_matrix(engine, duck):
+    """Fractional→integer and decimal-downscale casts [measured r12]:
+    DECIMAL→int rounds HALF AWAY FROM ZERO, DOUBLE/FLOAT→int rounds
+    HALF TO EVEN (C++ nearbyint — the old decimal hop was half-up),
+    VARCHAR→int parses then rounds away from zero, DECIMAL downscale
+    truncates toward zero; postfix ``::`` casts now convert to CAST
+    form first (Spark's native ``::`` truncates), and INT4/SIGNED/
+    INT1/INT2/INT8 alias spellings normalize for Spark's parser."""
+    for q in (
+        "SELECT 2.5::INTEGER AS a, 3.5::INTEGER AS b, "
+        "(-2.5)::INTEGER AS c",
+        "SELECT CAST(2.5::DOUBLE AS INTEGER) AS a, "
+        "CAST(3.5::DOUBLE AS INTEGER) AS b, "
+        "CAST(-2.5::DOUBLE AS INTEGER) AS c",
+        "SELECT CAST(2.49999::DOUBLE AS INTEGER) AS r",
+        "SELECT CAST(2.5::FLOAT AS INTEGER) AS r",
+        "SELECT CAST(2.5 AS INT4) AS a, CAST(2.5 AS SIGNED) AS b, "
+        "CAST(2.5 AS INT8) AS c, CAST(2.5 AS INT1) AS d, "
+        "CAST(2.5 AS INT2) AS e",
+        "SELECT 2.5::INT4 AS a, 2.5::SIGNED AS b",
+        "SELECT '2.5'::INTEGER AS a, TRY_CAST('xx' AS INTEGER) AS b",
+        "SELECT TRY_CAST(2.5::DOUBLE AS INTEGER) AS r",
+        "SELECT CAST(9.5 AS DECIMAL(3,0)) AS a, "
+        "CAST(9.99 AS DECIMAL(4,1)) AS b",
+        "SELECT 1.26::DECIMAL(6,1) AS r",
+        "SELECT CAST(x AS INTEGER) AS r FROM "
+        "(VALUES (2.5::DOUBLE),(3.5::DOUBLE)) t(x) ORDER BY r",
+        "SELECT 3.99::INTEGER::VARCHAR AS r",
+        "SELECT (2.5 + 1)::INTEGER AS r",
+        "SELECT CAST(7 AS BIGINT) AS r",
+        "SELECT l_quantity::INTEGER AS r FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 3",
+    ):
+        _check(engine, duck, q)
+
+
+def test_correlated_dml_and_script_shapes(engine, duck):
+    """Correlated-SET UPDATE, correlated DELETE, UPDATE…FROM join,
+    DELETE…USING, INSERT BY NAME, and multi-column SET — the same
+    statement scripts run in both engines, final table compared."""
+    cases = [
+        (["CREATE OR REPLACE TABLE r12a AS SELECT * FROM "
+          "(VALUES (1, 10),(2, 20),(3, 30)) v(id, val)",
+          "CREATE OR REPLACE TABLE r12b AS SELECT * FROM "
+          "(VALUES (1, 100),(3, 300)) v(id, bonus)",
+          "UPDATE r12a SET val = (SELECT bonus FROM r12b WHERE "
+          "r12b.id = r12a.id) WHERE id IN (SELECT id FROM r12b)"],
+         "SELECT * FROM r12a ORDER BY id"),
+        (["CREATE OR REPLACE TABLE r12c AS SELECT * FROM "
+          "(VALUES (1, 10),(2, 20)) v(id, val)",
+          "UPDATE r12c SET val = (SELECT max(id) FROM r12c x "
+          "WHERE x.id > r12c.id)"],
+         "SELECT * FROM r12c ORDER BY id"),
+        (["CREATE OR REPLACE TABLE r12d AS SELECT * FROM "
+          "(VALUES (1, 10),(2, 20),(3, 5)) v(id, val)",
+          "DELETE FROM r12d WHERE val < (SELECT avg(val) FROM r12d)"],
+         "SELECT * FROM r12d ORDER BY id"),
+        (["CREATE OR REPLACE TABLE r12e AS SELECT * FROM "
+          "(VALUES (1, 10),(2, 20)) v(id, val)",
+          "CREATE OR REPLACE TABLE r12f AS SELECT * FROM "
+          "(VALUES (1, 7)) v(id, nv)",
+          "UPDATE r12e SET val = r12f.nv FROM r12f "
+          "WHERE r12e.id = r12f.id"],
+         "SELECT * FROM r12e ORDER BY id"),
+        (["CREATE OR REPLACE TABLE r12g AS SELECT * FROM "
+          "(VALUES (1),(2),(3)) v(id)",
+          "CREATE OR REPLACE TABLE r12h AS SELECT * FROM "
+          "(VALUES (2)) v(id)",
+          "DELETE FROM r12g USING r12h WHERE r12g.id = r12h.id"],
+         "SELECT * FROM r12g ORDER BY id"),
+        (["CREATE OR REPLACE TABLE r12i AS SELECT * FROM "
+          "(VALUES (1, 'x')) v(id, name)",
+          "INSERT INTO r12i BY NAME SELECT 'y' AS name, 2 AS id"],
+         "SELECT * FROM r12i ORDER BY id"),
+        (["CREATE OR REPLACE TABLE r12j AS SELECT * FROM "
+          "(VALUES (1, 10, 'a')) v(id, val, tag)",
+          "UPDATE r12j SET val = 99, tag = 'z' WHERE id = 1"],
+         "SELECT * FROM r12j ORDER BY id"),
+    ]
+    for stmts, final in cases:
+        for st in stmts:
+            engine.sql(st, dialect="duckdb")
+            duck.execute(st)
+        _check(engine, duck, final)
+
+
+def test_value_position_in_subquery_3vl(engine, duck):
+    """PROJECTED [NOT] IN (subquery) and = ANY / <> ALL follow
+    DuckDB's 3-valued logic (NULL on a null-bearing no-match) via the
+    CASE-over-EXISTS emission; filter positions keep Spark's
+    semi/null-aware-anti join plan, which is 3VL-equivalent there
+    [measured r12]."""
+    for q in (
+        "SELECT 1 = ANY(SELECT y FROM (VALUES (NULL::INTEGER),(2)) "
+        "s(y)) AS r",
+        "SELECT 2 = ANY(SELECT y FROM (VALUES (NULL::INTEGER),(2)) "
+        "s(y)) AS r",
+        "SELECT 1 IN (SELECT y FROM (VALUES (NULL::INTEGER),(2)) "
+        "s(y)) AS r",
+        "SELECT 1 NOT IN (SELECT y FROM (VALUES (NULL::INTEGER),(2)) "
+        "s(y)) AS r",
+        "SELECT 2 NOT IN (SELECT y FROM (VALUES (NULL::INTEGER),(2)) "
+        "s(y)) AS r",
+        "SELECT 1 <> ALL(SELECT y FROM (VALUES (NULL::INTEGER),(2)) "
+        "s(y)) AS r",
+        "SELECT x FROM (VALUES (1),(5)) t(x) WHERE x = ANY(SELECT y "
+        "FROM (VALUES (1),(2)) s(y)) ORDER BY x",
+        "SELECT x FROM (VALUES (1),(5)) t(x) WHERE x NOT IN (SELECT "
+        "y FROM (VALUES (1),(NULL::INTEGER)) s(y)) ORDER BY x",
+        "SELECT CASE WHEN 1 IN (SELECT y FROM (VALUES (2)) s(y)) "
+        "THEN 'a' ELSE 'b' END AS r",
+        "SELECT coalesce(1 IN (SELECT y FROM "
+        "(VALUES (NULL::INTEGER)) s(y)), false) AS r",
+        "SELECT 1 > ALL(SELECT y FROM (VALUES (5)) s(y) WHERE false)"
+        " AS r",
+        "SELECT 1 = ANY(SELECT y FROM (VALUES (NULL::INTEGER)) s(y) "
+        "WHERE false) AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_unnest_named_args_and_struct(engine, duck):
+    """unnest named arguments [measured r12]: recursive := true
+    flattens nested LISTS fully, max_depth := n unnests n list levels
+    (literal depth), recursive := false is the bare unnest; a STRUCT
+    operand expands fields into COLUMNS (inline(array(s)));
+    generate_subscripts(a, 1) → 1..len rows ([] on NULL/empty)."""
+    for q in (
+        "SELECT unnest([[1,2],[3]], recursive := true) AS u",
+        "SELECT unnest([[1,2],[3]], max_depth := 1) AS u",
+        "SELECT unnest([[1,2],[3]], max_depth := 2) AS u",
+        "SELECT unnest([[[1]],[[2,3]]], recursive := true) AS u",
+        "SELECT unnest([1,2,3], recursive := false) AS u",
+        "SELECT unnest({'a': 1, 'b': 2})",
+        "SELECT unnest({'a': 1, 'b': 2}, recursive := true)",
+        "SELECT unnest(struct_pack(x := 5, y := 'z'))",
+        "SELECT generate_subscripts([10,20,30], 1) AS g",
+        "SELECT generate_subscripts([], 1) AS g",
+        "SELECT generate_subscripts(CAST(NULL AS INT[]), 1) AS g",
+    ):
+        _check(engine, duck, q)
+
+
+def test_macro_named_default_params(engine, duck):
+    """CREATE MACRO with `p := default` named parameters [measured
+    r12]: omitted names take the default, `name := v` overrides,
+    positional args for named params error ('requires a single
+    positional parameter' in DuckDB)."""
+    for stmt in ("CREATE OR REPLACE MACRO r12m(a, b := 10) AS a + b",):
+        engine.sql(stmt, dialect="duckdb")
+        duck.execute(stmt)
+    _check(engine, duck, "SELECT r12m(1) AS x, r12m(1, b := 2) AS y")
+    import duckdb as _duckdb
+    with pytest.raises(_duckdb.Error):
+        duck.execute("SELECT r12m(1, 2)").fetchall()
+    with pytest.raises(ValueError):
+        engine.sql("SELECT r12m(1, 2)", dialect="duckdb").collect()
+
+
+def test_pivot_join_source_and_count_fill(engine, duck):
+    """PIVOT over a JOINed subquery (the table-ref scan now stops at
+    the depth-0 ON, not the join's ON) and count-USING pivots filling
+    empty cells with 0 in the implicit-group form too [r12]."""
+    q1 = ("PIVOT (SELECT r_name, n_regionkey FROM region JOIN nation "
+          "ON r_regionkey = n_regionkey) ON r_name USING count(*)")
+    got = sorted(spark_rows(engine.sql(q1, dialect="duckdb")))
+    want = sorted(duckdb_rows(duck, q1))
+    assert got == want
+    q2 = ("PIVOT (SELECT n_regionkey, n_name FROM nation) "
+          "ON n_regionkey IN (0, 1) USING count(*)")
+    got = sorted(spark_rows(engine.sql(q2, dialect="duckdb")))
+    want = sorted(duckdb_rows(duck, q2))
+    assert got == want
+
+
+def test_tablesample_after_subquery_alias(engine, duck):
+    """``(subquery) alias TABLESAMPLE (…)`` — DuckDB's alias-first
+    order reorders to Spark's sample-first grammar [r12]."""
+    for q in (
+        "SELECT count(*) <= 1 AS r FROM (SELECT 1 AS x) t "
+        "TABLESAMPLE (100 PERCENT)",
+        "SELECT t.x AS r FROM (SELECT 1 AS x) t "
+        "TABLESAMPLE (100 PERCENT)",
+    ):
+        _check(engine, duck, q)
