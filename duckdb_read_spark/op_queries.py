@@ -2670,6 +2670,123 @@ def _q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q160_TEXT, dialect="duckdb")
 
 
+_Q161_TEXT = """
+SELECT l_orderkey AS k, l_linenumber AS ln,
+       l_quantity::INTEGER AS qi,
+       CAST(l_extendedprice / 100 AS INTEGER) AS pe,
+       CAST(l_extendedprice AS DECIMAL(12,1)) AS pt,
+       CAST(l_returnflag AS VARCHAR(1)) AS vc,
+       l_linenumber::UTINYINT + 0 AS un,
+       format('{:,}', l_orderkey * 1000) AS fm
+FROM lineitem ORDER BY k, ln, qi LIMIT 15
+"""
+
+
+@_op("q161_cast_rounding_matrix", _Q161_TEXT,
+     note="r12 tranche: DECIMAL->int postfix cast rounds away from "
+          "zero, '/'-derived DOUBLE->int rounds HALF TO EVEN (bround), "
+          "DECIMAL downscale truncates toward zero, VARCHAR(n) length "
+          "strips, UTINYINT rides its lossless carrier, and "
+          "format('{:,}') groups thousands")
+def _q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q161_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q161_TEXT, dialect="duckdb")
+
+
+_Q162_TEXT = """
+SELECT n_nationkey AS k,
+       n_nationkey IN (SELECT r_regionkey FROM region
+                       WHERE r_regionkey > 2) AS a,
+       n_regionkey = ANY(SELECT CASE WHEN r_regionkey = 2 THEN NULL
+                         ELSE r_regionkey END FROM region) AS b,
+       n_regionkey > ALL(SELECT r_regionkey FROM region
+                         WHERE r_regionkey < 2) AS c,
+       n_nationkey NOT IN (SELECT CASE WHEN r_regionkey = 0 THEN NULL
+                           ELSE r_regionkey END FROM region) AS d
+FROM nation ORDER BY k LIMIT 10
+"""
+
+
+@_op("q162_projected_membership_3vl", _Q162_TEXT,
+     note="r12 tranche: PROJECTED [NOT] IN / = ANY / > ALL over "
+          "null-bearing subqueries follow DuckDB's three-valued logic "
+          "(NULL on a null-bearing no-match) via the CASE-over-EXISTS "
+          "emission; filter positions keep the semi/anti join plan")
+def _q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q162_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q162_TEXT, dialect="duckdb")
+
+
+_Q163_TEXT = """
+SELECT n_nationkey AS k,
+       format('{:#x}|{:b}|{:e}', n_nationkey * 100 - 50,
+              n_nationkey + 1, n_nationkey * 1.5) AS fm,
+       printf('%g %i', n_nationkey * 0.5 + 0.125, n_nationkey) AS pf,
+       extract(timezone FROM TIMESTAMP '2024-01-01 00:00:00') AS tz,
+       typeof(TIME '13:00:00') AS tt,
+       substr(n_name, 3, -2) AS sb,
+       split_part(n_name, '_', 9) AS sp,
+       (SELECT q.m['a'][1] FROM (SELECT MAP {'a': 7} AS m) q) AS mp
+FROM nation ORDER BY k LIMIT 8
+"""
+
+
+@_op("q163_spec_long_tail", _Q163_TEXT,
+     note="r12 tranche: fmt radix specs with sign-aware negatives "
+          "('{:#x}' of -50 -> '-0x32'), binary '{:b}', scientific "
+          "'{:e}', C printf %g trailing-zero strip + %i alias, "
+          "extract(timezone) -> 0, typeof(TIME), left-extending "
+          "negative substr length, out-of-range split_part -> '', "
+          "and a DERIVED-map bracket lookup keeping list semantics")
+def _q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q163_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q163_TEXT, dialect="duckdb")
+
+
+_Q164_TEXT = """
+SELECT n_regionkey AS r, n_nationkey % 2 AS p,
+       grouping(n_regionkey, n_nationkey % 2) AS g,
+       count(*) AS c,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY n_name) AS med
+FROM nation GROUP BY CUBE(n_regionkey, n_nationkey % 2)
+ORDER BY r NULLS LAST, p NULLS LAST, g LIMIT 24
+"""
+
+
+@_op("q164_grouping_bitmask_order_stats", _Q164_TEXT,
+     note="r12 tranche: multi-arg grouping(a, b) -> grouping_id "
+          "bitmask (b = LSB) over CUBE, with percentile_disc WITHIN "
+          "GROUP as a type-agnostic order statistic over VARCHAR "
+          "(Spark's native form casts to DOUBLE and crashes)")
+def _q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q164_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q164_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
