@@ -8897,7 +8897,8 @@ def _rewrite_one_slice(sql: str) -> str | None:
         while j < len(sig) and toks[sig[j]].text != "]":
             t = toks[sig[j]]
             if t.text in ("-", ":") or (t.kind == "num"
-                                        and re.fullmatch(r"\d+", t.text)):
+                                        and re.fullmatch(r"\d+", t.text)) \
+                    or (t.kind == "ident" and t.text.upper() == "NULL"):
                 texts.append(t.text)
                 j += 1
             else:
@@ -8907,6 +8908,18 @@ def _rewrite_one_slice(sql: str) -> str | None:
         body_txt = "".join(texts).replace(" ", "")
         m_step = re.fullmatch(r"(-?\d+)?:(-?\d+)?:(-?\d+)", body_txt)
         m_sl = re.fullmatch(r"(-?\d+)?:(-?\d+)?", body_txt)
+        if ("NULL" in body_txt.upper()
+                and re.fullmatch(r"(?i)(-?\d+|NULL)?:(-?\d+|NULL)?",
+                                 body_txt)):
+            # a NULL bound NULLs the whole slice [measured r12:
+            # ([1,2,3])[NULL:2] → NULL] — if() keeps the base's type
+            start_posN = _subscript_base_start(toks, sig, pos)
+            if start_posN is None:
+                continue
+            exprN = detokenize(toks[sig[start_posN]:a]).strip()
+            return (detokenize(toks[:sig[start_posN]])
+                    + f"if(true, NULL, {exprN})"
+                    + detokenize(toks[sig[j] + 1:]))
         if m_step is None and m_sl is None:
             continue
         e = sig[j]
@@ -9368,6 +9381,148 @@ _INT_SPARK_SPELLING = {
     "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "SHORT": "SMALLINT",
     "TINYINT": "TINYINT", "INT1": "TINYINT",
 }
+
+
+_TS_PRECISION_EMIT = {
+    # second/milli rounding to DuckDB's cast semantics [measured r12:
+    # 45.678901 AS TIMESTAMP_S → :46 (rounds), AS TIMESTAMP_MS →
+    # .679; TIMESTAMP_NS is identity at the micro carrier — Python
+    # fetch truncates ns in DuckDB too]
+    "TIMESTAMP_S": ("timestamp_seconds(CAST(round(unix_micros("
+                    "CAST({x} AS TIMESTAMP)) / 1000000.0) AS BIGINT))"),
+    "TIMESTAMP_MS": ("timestamp_micros(CAST(round(unix_micros("
+                     "CAST({x} AS TIMESTAMP)) / 1000.0) AS BIGINT) "
+                     "* 1000)"),
+    "TIMESTAMP_NS": "CAST({x} AS TIMESTAMP)",
+}
+
+
+def _check_bc_temporal_literals(sql: str) -> None:
+    """BC-era and year-zero temporal literals have NO Spark carrier
+    (Spark dates start at 0001-01-01 CE) — DuckDB parses
+    ``DATE '0044-03-15 (BC)'`` and ``DATE '0000-01-01'`` (year 0 =
+    1 BC). Silently dropping the era suffix mis-dated by the whole
+    era [r12] — fence LOUDLY instead."""
+    if "(BC)" not in sql.upper() and "'0000-" not in sql:
+        return
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    for p2, ti in enumerate(sig):
+        t = toks[ti]
+        if t.kind != "str":
+            continue
+        body = t.text[1:-1].strip()
+        is_bc = bool(re.search(r"(?i)\(\s*BC\s*\)\s*$", body))
+        is_y0 = bool(re.match(r"0000-", body))
+        if not (is_bc or is_y0):
+            continue
+        prev = toks[sig[p2 - 1]] if p2 >= 1 else None
+        typed = (prev is not None and prev.kind == "ident"
+                 and prev.text.upper() in ("DATE", "TIMESTAMP",
+                                           "TIMESTAMPTZ"))
+        cast_after = (p2 + 2 < len(sig)
+                      and toks[sig[p2 + 1]].text == ":"
+                      and toks[sig[p2 + 2]].text == ":")
+        if typed or cast_after:
+            raise NotImplementedError(
+                f"BC-era / year-zero temporal literal {t.text} has no "
+                f"Spark carrier — Spark dates start at 0001-01-01 CE "
+                f"(DuckDB's proleptic BC years are unrepresentable)")
+
+
+def _rewrite_timestamp_precision(sql: str) -> str:
+    """DuckDB's fixed-precision timestamp types: ``TIMESTAMP_S``/
+    ``TIMESTAMP_MS``/``TIMESTAMP_NS`` literals and cast targets ride
+    the micro-precision TIMESTAMP carrier, with second/milli casts
+    ROUNDING like DuckDB's (see _TS_PRECISION_EMIT). typeof() reports
+    the carrier (documented residue)."""
+    if not re.search(r"(?i)\bTIMESTAMP_(?:S|MS|NS)\b", sql):
+        return sql
+    for _ in range(40):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        done = True
+        for p2, ti in enumerate(sig):
+            t = toks[ti]
+            up = t.text.upper() if t.kind == "ident" else ""
+            # literal form: TIMESTAMP_S '…'
+            if (up in _TS_PRECISION_EMIT and p2 + 1 < len(sig)
+                    and toks[sig[p2 + 1]].kind == "str"):
+                lit = f"TIMESTAMP {toks[sig[p2 + 1]].text}"
+                sql = (detokenize(toks[:ti])
+                       + _TS_PRECISION_EMIT[up].format(x=lit)
+                       + detokenize(toks[sig[p2 + 1] + 1:]))
+                done = False
+                break
+            # CAST(x AS TIMESTAMP_S)
+            if (t.kind == "ident"
+                    and t.text.upper() in ("CAST", "TRY_CAST")
+                    and p2 + 1 < len(sig)
+                    and toks[sig[p2 + 1]].text == "("):
+                try:
+                    close = _find_close(toks, sig[p2 + 1])
+                except ValueError:
+                    continue
+                inner = [q for q in range(p2 + 2, len(sig))
+                         if sig[q] < close]
+                if len(inner) < 3:
+                    continue
+                last = toks[sig[inner[-1]]]
+                as_t = toks[sig[inner[-2]]]
+                if not (last.kind == "ident"
+                        and last.text.upper() in _TS_PRECISION_EMIT
+                        and as_t.kind == "ident"
+                        and as_t.text.upper() == "AS"):
+                    continue
+                d_ = 0
+                ok_depth = True
+                for q in range(sig[p2 + 1] + 1, sig[inner[-2]]):
+                    if toks[q].text in ("(", "["):
+                        d_ += 1
+                    elif toks[q].text in (")", "]"):
+                        d_ -= 1
+                if d_ != 0:
+                    continue
+                x = detokenize(
+                    toks[sig[p2 + 2]:sig[inner[-2] - 1] + 1]).strip()
+                sql = (detokenize(toks[:ti])
+                       + _TS_PRECISION_EMIT[last.text.upper()]
+                       .format(x=f"({x})")
+                       + detokenize(toks[close + 1:]))
+                done = False
+                break
+            # postfix x::TIMESTAMP_S
+            if (t.text == ":" and p2 + 2 < len(sig)
+                    and toks[sig[p2 + 1]].text == ":"
+                    and sig[p2 + 1] == ti + 1
+                    and toks[sig[p2 + 2]].kind == "ident"
+                    and toks[sig[p2 + 2]].text.upper()
+                    in _TS_PRECISION_EMIT and p2 >= 1):
+                pos_of = {raw: pp for pp, raw in enumerate(sig)}
+                def _skip():
+                    raise _PrimarySkip()
+                try:
+                    lstart = _primary_start_back(
+                        toks, sig, pos_of, p2 - 1, _skip)
+                except _PrimarySkip:
+                    continue
+                if (lstart >= 1 and toks[sig[lstart]].kind == "str"
+                        and toks[sig[lstart - 1]].kind == "ident"
+                        and toks[sig[lstart - 1]].text.upper()
+                        in ("TIMESTAMP", "DATE", "TIMESTAMPTZ")):
+                    lstart -= 1  # typed literal: keyword + string
+                x = detokenize(
+                    toks[sig[lstart]:sig[p2 - 1] + 1]).strip()
+                sql = (detokenize(toks[:sig[lstart]])
+                       + _TS_PRECISION_EMIT[
+                           toks[sig[p2 + 2]].text.upper()]
+                       .format(x=f"({x})")
+                       + detokenize(toks[sig[p2 + 2] + 1:]))
+                done = False
+                break
+        if done:
+            return sql
+    return sql
 
 
 def _rewrite_postfix_numeric_casts(sql: str) -> str:
@@ -11558,6 +11713,152 @@ class _PrimarySkip(Exception):
     """Non-primary operand in an optional rewrite — skip, don't fail."""
 
 
+_METHOD_SKIP_QUALIFIERS = {
+    "main", "pg_catalog", "information_schema", "system", "temp",
+    "memory",
+}
+
+
+def _rewrite_method_calls(sql: str) -> str:
+    """DuckDB method-call (dot) syntax ``expr.fn(args)`` → ``fn(expr,
+    args)`` [measured r12: works on column refs, parenthesized
+    expressions and list literals — ``n_name.lower()``,
+    ``(1+2).sqrt()``, ``[3,1,2].list_sort()``; bare string/number
+    literals are parse errors in DuckDB too]. Schema-qualified calls
+    (``main.abs(-1)``) are left alone. One rewrite per fixpoint
+    iteration; the emission has no dot before the call so it can't
+    re-match."""
+    if "." not in sql or "(" not in sql:
+        return sql
+    for _ in range(60):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        done = True
+        for p2, ti in enumerate(sig):
+            t = toks[ti]
+            if not (t.text == "." and p2 >= 1 and p2 + 2 < len(sig)
+                    and toks[sig[p2 + 1]].kind == "ident"
+                    and toks[sig[p2 + 2]].text == "("
+                    and sig[p2 + 2] > sig[p2 + 1]):
+                continue
+            prev = toks[sig[p2 - 1]]
+            if prev.kind not in ("ident",) and prev.text not in (")", "]"):
+                continue
+            if (prev.kind == "ident"
+                    and prev.text.lower() in _METHOD_SKIP_QUALIFIERS
+                    and not (p2 >= 2
+                             and toks[sig[p2 - 2]].text == ".")):
+                # schema-qualified call: DuckDB resolves main.abs(-1)
+                # to the bare builtin — STRIP the qualifier (Spark
+                # has no `main` namespace)
+                sql = (detokenize(toks[:sig[p2 - 1]])
+                       + detokenize(toks[sig[p2 + 1]:]))
+                done = False
+                break
+            # the dot must bind a complete primary, not a decimal
+            # number fragment
+            if prev.kind == "num":
+                continue
+            fn = toks[sig[p2 + 1]].text
+            try:
+                close = _find_close(toks, sig[p2 + 2])
+            except ValueError:
+                continue
+            def _skip():
+                raise _PrimarySkip()
+            try:
+                lstart = _primary_start_back(
+                    toks, sig, pos_of, p2 - 1, _skip)
+            except _PrimarySkip:
+                continue
+            # a dotted chain to the LEFT (a.b.fn(…)) keeps the chain
+            # as the operand; _primary_start_back already walks it
+            operand = detokenize(
+                toks[sig[lstart]:sig[p2 - 1] + 1]).strip()
+            args = detokenize(
+                toks[sig[p2 + 2] + 1:close]).strip()
+            call = (f"{fn}({operand}, {args})" if args
+                    else f"{fn}({operand})")
+            sql = (detokenize(toks[:sig[lstart]]) + call
+                   + detokenize(toks[close + 1:]))
+            done = False
+            break
+        if done:
+            return sql
+    return sql
+
+
+def _fold_negative_zero_double(sql: str) -> str:
+    """Unary ``-0.0`` cast to DOUBLE/FLOAT keeps its SIGN in DuckDB
+    ('-0.0' render); Spark types the bare ``0.0`` literal DECIMAL,
+    negates in decimal space (no signed zero), and the cast yields
+    +0.0 [measured r12]. Fold ``-0.0::DOUBLE`` into a string-parse
+    cast, which preserves the sign bit. ``CAST(-0.0 AS DOUBLE)`` loses
+    the sign in BOTH engines (unary minus negates the DECIMAL literal
+    before the cast) and stays untouched; binary minus too."""
+    if not re.search(r"-\s*0?\.0*\d*", sql):
+        return sql
+    _fls = r"(?:DOUBLE|FLOAT8|FLOAT4?|REAL)"
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    out = []
+    consumed = 0
+    for p2, ti in enumerate(sig):
+        if ti < consumed:
+            continue
+        t = toks[ti]
+        if not (t.text == "-" and p2 + 1 < len(sig)
+                and toks[sig[p2 + 1]].kind == "num"):
+            continue
+        try:
+            if float(toks[sig[p2 + 1]].text) != 0.0 \
+                    or "." not in toks[sig[p2 + 1]].text:
+                continue
+        except ValueError:
+            continue
+        prev = toks[sig[p2 - 1]] if p2 >= 1 else None
+        unary = (prev is None or prev.text in ("(", "[", ",")
+                 or prev.kind == "op"
+                 or (prev.kind == "ident" and prev.text.upper()
+                     in _UNARY_CONTEXT_KEYWORDS))
+        if not unary:
+            continue
+        # form 1: - 0.0 :: DOUBLE
+        if (p2 + 4 < len(sig) and toks[sig[p2 + 2]].text == ":"
+                and toks[sig[p2 + 3]].text == ":"
+                and sig[p2 + 3] == sig[p2 + 2] + 1
+                and toks[sig[p2 + 4]].kind == "ident"
+                and re.fullmatch(_fls,
+                                 toks[sig[p2 + 4]].text.upper())):
+            ty = ("FLOAT" if toks[sig[p2 + 4]].text.upper()
+                  in ("FLOAT", "FLOAT4", "REAL") else "DOUBLE")
+            out.append(detokenize(toks[consumed:ti]))
+            out.append(f"CAST('-0.0' AS {ty})")
+            consumed = sig[p2 + 4] + 1
+    if not out:
+        # CAST(-0.0 AS DOUBLE) keeps losing the sign in DuckDB TOO
+        # (the unary minus negates the DECIMAL literal before the
+        # cast; only the tighter-binding ``::`` form negates the
+        # double) — nothing to fold
+        return sql
+    out.append(detokenize(toks[consumed:]))
+    sql = "".join(out)
+    return _fold_negative_zero_double(sql)
+
+
+def _expr_is_float_cast(expr: str) -> bool:
+    """Whole-expression FLOAT/REAL cast — FLOAT→VARCHAR renders
+    shortest-round-trip like DOUBLE in DuckDB ('inf', '1e+20',
+    '16777216.0'); Spark says 'Infinity'/'1.6777216E7'. The float's
+    shortest decimal re-parsed as double re-renders identically, so
+    the double render UDF serves both [measured r12]."""
+    return bool(
+        re.fullmatch(r"(?is).*::\s*(?:FLOAT4?|REAL)\s*", expr)
+        or re.fullmatch(r"(?is)\(*\s*(?:TRY_)?CAST\s*\(.*\bAS\s+"
+                        r"(?:FLOAT4?|REAL)\s*\)\s*\)*", expr))
+
+
 def _rewrite_double_varchar_casts(
         sql: str, column_kinds: dict[str, str] | None = None) -> str:
     """``CAST(double_expr AS VARCHAR)`` / ``double_expr::VARCHAR`` →
@@ -11614,7 +11915,8 @@ def _rewrite_double_varchar_casts(
                     continue
                 src = detokenize(
                     toks[sig[p + 2]:sig[as_at - 1] + 1]).strip()
-                if not _expr_is_double(src, column_kinds):
+                if not (_expr_is_double(src, column_kinds)
+                        or _expr_is_float_cast(src)):
                     continue
                 # already wrapped? (the emission's inner CAST would
                 # otherwise re-match this very rule forever)
@@ -11649,7 +11951,8 @@ def _rewrite_double_varchar_casts(
                     continue
                 src = detokenize(
                     toks[sig[lstart]:sig[p - 1] + 1]).strip()
-                if not _expr_is_double(src, column_kinds):
+                if not (_expr_is_double(src, column_kinds)
+                        or _expr_is_float_cast(src)):
                     continue
                 sql = (detokenize(toks[:sig[lstart]])
                        + f"__duck_double_varchar__(CAST(({src}) "
@@ -13347,6 +13650,8 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_window_exclude(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
+    _check_bc_temporal_literals(sql)
+    sql = _rewrite_timestamp_precision(sql)
     sql = _rewrite_postfix_numeric_casts(sql)
     sql = _rewrite_integer_cast_rounding(sql, column_kinds)
     sql = _rewrite_decimal_cast_truncation(sql, column_kinds)
@@ -13369,6 +13674,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_setop_varchar_unify(sql, column_kinds)
     sql = _rewrite_bare_integer_filters(sql)
     sql = _rewrite_percentile_disc(sql)
+    sql = _rewrite_method_calls(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)
     sql = _rewrite_regexp_replacement(sql)
@@ -13383,6 +13689,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_null_list_concat(sql)
     sql = _rewrite_struct_varchar_casts(sql)
+    sql = _fold_negative_zero_double(sql)
     sql = _rewrite_double_varchar_casts(sql, column_kinds)
     sql = _rewrite_interval_varchar_casts(sql, column_kinds)
     sql = _rewrite_keywords(sql)

@@ -288,13 +288,13 @@ def test_r10_over_acceptance_pins(engine, duck):
 
 def test_negative_zero_literal_pin(engine, duck):
     """``-0.0::DOUBLE``: DuckDB binds '::' tighter than unary minus
-    (negating the DOUBLE → '-0.0'); Spark folds the '-' into the
-    DECIMAL literal, which has no signed zero → '0.0'. A parse-
-    precedence divergence visible ONLY at exactly -0.0 — pinned, not
-    rewritten; runtime negative zeros agree (see the render gate)."""
+    (negating the DOUBLE → '-0.0'). Was a pinned parse-precedence
+    divergence through r11; FIXED r12 by _fold_negative_zero_double
+    (the unary-minus+zero-literal postfix cast folds to a string-
+    parse cast that keeps the sign bit)."""
     q = "SELECT CAST(-0.0::DOUBLE AS VARCHAR) r"
     assert duckdb_rows(duck, q) == [("-0.0",)]
-    assert spark_rows(engine.sql(q, dialect="duckdb")) == [("0.0",)]
+    assert spark_rows(engine.sql(q, dialect="duckdb")) == [("-0.0",)]
 
 
 def test_sum_bigint_overflow_pin(engine, duck):

@@ -709,3 +709,82 @@ def test_tablesample_after_subquery_alias(engine, duck):
         "TABLESAMPLE (100 PERCENT)",
     ):
         _check(engine, duck, q)
+
+
+def test_method_call_syntax(engine, duck):
+    """DuckDB dot-method syntax expr.fn(args) → fn(expr, args)
+    [measured r12: column refs / parenthesized exprs / list literals;
+    bare string literals parse-error in DuckDB too]; main.-qualified
+    builtins strip the schema."""
+    for q in (
+        "SELECT n_name.lower() AS r FROM nation ORDER BY n_nationkey "
+        "LIMIT 3",
+        "SELECT [3,1,2].list_sort() AS r",
+        "SELECT (1+2).sqrt() AS r",
+        "SELECT main.abs(-1) AS r",
+        "SELECT n_name.lower().upper() AS r FROM nation "
+        "ORDER BY n_nationkey LIMIT 2",
+        "SELECT n_name.substr(2, 3) AS r FROM nation "
+        "ORDER BY n_nationkey LIMIT 2",
+        "SELECT n.n_name AS r FROM nation n ORDER BY n.n_nationkey "
+        "LIMIT 2",
+        "SELECT ({'a': {'b': 42}}).a.b AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_timestamp_precision_types(engine, duck):
+    """TIMESTAMP_S / TIMESTAMP_MS / TIMESTAMP_NS literals and cast
+    targets ride the micro carrier with DuckDB's ROUNDING cast
+    semantics [measured r12: 45.678901 → TIMESTAMP_S :46,
+    TIMESTAMP_MS .679; NS fetches micros]."""
+    for q in (
+        "SELECT TIMESTAMP_S '2024-01-01 12:30:45' AS r",
+        "SELECT TIMESTAMP_S '2024-01-01 12:30:45.9' AS r",
+        "SELECT TIMESTAMP_MS '2024-01-01 12:30:45.123' AS r",
+        "SELECT TIMESTAMP_NS '2024-01-01 12:30:45.123456789' AS r",
+        "SELECT CAST(TIMESTAMP '2024-01-01 12:30:45.678901' "
+        "AS TIMESTAMP_S) AS r",
+        "SELECT CAST(TIMESTAMP '2024-01-01 12:30:45.678901' "
+        "AS TIMESTAMP_MS) AS r",
+        "SELECT TIMESTAMP '2024-01-01 12:30:45.678901'"
+        "::TIMESTAMP_S AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_float_render_and_signed_zero(engine, duck):
+    """FLOAT→VARCHAR rides the shortest-round-trip double render
+    ('inf', '1e+20', '16777216.0'); unary -0.0 cast to DOUBLE keeps
+    its SIGN (Spark's decimal-literal negation loses it) [r12]."""
+    for q in (
+        "SELECT CAST('inf'::FLOAT AS VARCHAR) AS a, "
+        "CAST(1.5::FLOAT AS VARCHAR) AS b, "
+        "CAST(16777217::FLOAT AS VARCHAR) AS c",
+        "SELECT CAST(1e20::FLOAT AS VARCHAR) AS a",
+        "SELECT CAST(-0.0::DOUBLE AS VARCHAR) AS a, "
+        "CAST(0.0::DOUBLE AS VARCHAR) AS b",
+        # CAST(-0.0 AS DOUBLE) loses the sign in BOTH engines (unary
+        # minus negates the DECIMAL literal before the cast)
+        "SELECT CAST(CAST(-0.0 AS DOUBLE) AS VARCHAR) AS a",
+        "SELECT 3 - 0.0::DOUBLE AS a",
+    ):
+        _check(engine, duck, q)
+
+
+def test_null_slice_bounds_and_bc_fence(engine, duck):
+    """A NULL slice bound NULLs the whole slice [measured r12];
+    BC-era / year-zero temporal literals fence LOUDLY (no Spark
+    carrier — silently dropping '(BC)' mis-dated by the era)."""
+    for q in (
+        "SELECT ([1,2,3])[NULL:2] AS a, ([1,2,3])[2:NULL] AS b",
+        "SELECT 'hello'[NULL:2] AS a",
+        "SELECT '2024-06-05 (BC) party' AS s",  # bare text untouched
+    ):
+        _check(engine, duck, q)
+    for bad in ("SELECT DATE '0044-03-15 (BC)'",
+                "SELECT DATE '0000-01-01'",
+                "SELECT '0001-01-01 (BC)'::DATE"):
+        duck.execute(bad).fetchall()  # DuckDB answers
+        with pytest.raises(NotImplementedError, match="no Spark"):
+            engine.sql(bad, dialect="duckdb").collect()
