@@ -11713,6 +11713,76 @@ class _PrimarySkip(Exception):
     """Non-primary operand in an optional rewrite — skip, don't fail."""
 
 
+def _rewrite_grouping_in_having(sql: str) -> str:
+    """``HAVING grouping(col) = 0`` — Spark resolves HAVING against the
+    OUTPUT columns when the grouping column is aliased in the select
+    list, so grouping() there fails UNRESOLVED_COLUMN [measured r12;
+    DuckDB resolves fine]. Hoist each grouping()/grouping_id() call
+    into a hidden select item, reference the alias in HAVING (Spark
+    resolves select aliases there), and strip the hidden columns with
+    an outer ``* EXCEPT``. Single plain-SELECT statements only;
+    DISTINCT and set-op shapes bail (stay loud as before)."""
+    if not re.search(r"(?i)\bHAVING\b", sql) \
+            or not re.search(r"(?i)\bgrouping(_id)?\s*\(", sql):
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    depths = _depths(toks)
+
+    def up(k):
+        t = toks[sig[k]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    if not sig or up(0) != "SELECT":
+        return sql
+    if len(sig) > 1 and up(1) == "DISTINCT":
+        return sql
+    d0 = [k for k in range(len(sig)) if depths[sig[k]] == 0]
+    try:
+        from_k = next(k for k in d0 if up(k) == "FROM")
+        having_k = next(k for k in d0 if up(k) == "HAVING")
+    except StopIteration:
+        return sql
+    if any(up(k) in ("UNION", "INTERSECT", "EXCEPT") for k in d0):
+        return sql
+    tail_k = next((k for k in d0 if k > having_k
+                   and up(k) in ("ORDER", "LIMIT", "OFFSET",
+                                 "WINDOW", "QUALIFY")), None)
+    h_end = sig[tail_k] if tail_k is not None else len(toks)
+    having_txt = detokenize(toks[sig[having_k] + 1:h_end]).strip()
+    # grouping() calls inside the HAVING text
+    calls: list[str] = []
+    htoks = tokenize(having_txt)
+    hsig = _sig(htoks)
+    for k2, ti2 in enumerate(hsig):
+        t2 = htoks[ti2]
+        if (t2.kind == "ident"
+                and t2.text.lower() in ("grouping", "grouping_id")
+                and k2 + 1 < len(hsig)
+                and htoks[hsig[k2 + 1]].text == "("):
+            try:
+                c2 = _find_close(htoks, hsig[k2 + 1])
+            except ValueError:
+                return sql
+            call = detokenize(htoks[ti2:c2 + 1]).strip()
+            if call not in calls:
+                calls.append(call)
+    if not calls:
+        return sql
+    hidden = []
+    for i2, call in enumerate(calls):
+        having_txt = having_txt.replace(call, f"__grp{i2}")
+        hidden.append(f"{call} AS __grp{i2}")
+    sel_list = detokenize(toks[sig[0] + 1:sig[from_k]]).strip()
+    middle = detokenize(toks[sig[from_k]:sig[having_k]]).strip()
+    tail = (" " + detokenize(toks[h_end:]).strip()
+            if tail_k is not None else "")
+    exc = ", ".join(f"__grp{i2}" for i2 in range(len(calls)))
+    return (f"SELECT * EXCEPT ({exc}) FROM (SELECT {sel_list}, "
+            f"{', '.join(hidden)} {middle} HAVING {having_txt}) "
+            f"__ghq{tail}")
+
+
 _METHOD_SKIP_QUALIFIERS = {
     "main", "pg_catalog", "information_schema", "system", "temp",
     "memory",
@@ -13674,6 +13744,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_setop_varchar_unify(sql, column_kinds)
     sql = _rewrite_bare_integer_filters(sql)
     sql = _rewrite_percentile_disc(sql)
+    sql = _rewrite_grouping_in_having(sql)
     sql = _rewrite_method_calls(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)

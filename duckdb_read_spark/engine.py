@@ -94,7 +94,7 @@ _CREATE_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+(?P<orrep>OR\s+REPLACE\s+)?INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"^\s*INSERT\s+(?P<orrep>OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
     r"(?:(?P<byname>BY\s+NAME)\s+)?"
     r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:SELECT|VALUES|WITH|TABLE)\b.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -411,7 +411,8 @@ _ANALYZE_RE = re.compile(
 )
 # CREATE/DROP SEQUENCE + nextval/currval (DuckDB id-generation surface)
 _CREATE_SEQ_RE = re.compile(
-    r"^\s*CREATE\s+SEQUENCE\s+(?:(?P<ifnx>IF\s+NOT\s+EXISTS)\s+)?"
+    r"^\s*CREATE\s+(?:(?P<orrep>OR\s+REPLACE)\s+)?SEQUENCE\s+"
+    r"(?:(?P<ifnx>IF\s+NOT\s+EXISTS)\s+)?"
     r"(?P<name>[A-Za-z_]\w*)(?P<clauses>(?:\s+[^;]*)?)\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -2781,7 +2782,8 @@ class Engine:
         if mcs:
             return self._create_sequence(
                 mcs.group("name"), mcs.group("clauses") or "",
-                if_not_exists=bool(mcs.group("ifnx")))
+                if_not_exists=bool(mcs.group("ifnx")),
+                or_replace=bool(mcs.group("orrep")))
         mds = _DROP_SEQ_RE.match(query)
         if mds:
             return self._drop_sequence(mds.group("name"),
@@ -3341,7 +3343,8 @@ class Engine:
         os.replace(tmp, p)
 
     def _create_sequence(self, name: str, clauses: str,
-                         if_not_exists: bool) -> DataFrame:
+                         if_not_exists: bool,
+                         or_replace: bool = False) -> DataFrame:
         """Order-free clause parsing (DuckDB accepts ``INCREMENT BY 2
         START WITH 5``); unknown clauses refuse by name rather than
         falling through to an unrelated Spark parse error. Sequence
@@ -3353,8 +3356,11 @@ class Engine:
         if name in seqs:
             if if_not_exists:
                 return self._empty()
-            raise ValueError(
-                f"CREATE SEQUENCE: sequence {name!r} already exists")
+            if not or_replace:
+                raise ValueError(
+                    f"CREATE SEQUENCE: sequence {name!r} already exists")
+            # OR REPLACE re-creates and RESETS the counter (r12)
+            seqs.pop(name, None)
         start = inc = None
         minv = maxv = None
         for m in _SEQ_CLAUSE_RE.finditer(clauses):
@@ -3390,6 +3396,51 @@ class Engine:
             raise ValueError(f"DROP SEQUENCE: unknown sequence {name!r}")
         self._save_sequences()
         return self._empty()
+
+    def _reserve_sequence_range(self, name: str, n: int):
+        """Reserve ``n`` consecutive nextval values in one statement-
+        level allocation (DEFAULT nextval inserts, r12); returns
+        (base, inc). Serial by nature — a sequence IS a serialization
+        point — so the caller assigns base + (row_number-1)*inc."""
+        name = name.lower()
+        seqs = self._load_sequences()
+        if name not in seqs:
+            raise ValueError(f"nextval: unknown sequence {name!r}")
+        s = seqs[name]
+        base, inc = s["next"], s["inc"]
+        if n > 0:
+            for v in (base, base + (n - 1) * inc):
+                if (s.get("max") is not None and v > s["max"]) or \
+                        (s.get("min") is not None and v < s["min"]):
+                    raise ValueError(
+                        f"nextval: sequence {name!r} is out of bounds "
+                        f"(min={s.get('min')}, max={s.get('max')})")
+            s["next"] = base + n * inc
+            s["last"] = base + (n - 1) * inc
+            self._save_sequences()
+        return base, inc
+
+    def _default_fill_expr(self, df, f, defaults):
+        """Column expression for an INSERT-omitted column: its DEFAULT
+        (NULL when none), with ``nextval('seq')`` defaults allocated as
+        a contiguous per-row range over the incoming rows (single-
+        statement reservation; ordering follows the input row order)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        d = defaults.get(f.name)
+        if d is None:
+            return F.lit(None).cast(f.dataType).alias(f.name)
+        mseq = re.fullmatch(r"(?is)\s*nextval\s*\(\s*'([\w.]+)'\s*\)\s*",
+                            d)
+        if mseq:
+            n = df.count()
+            base, inc = self._reserve_sequence_range(mseq.group(1), n)
+            rn = F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id()))
+            return ((F.lit(base) + (rn - F.lit(1)) * F.lit(inc))
+                    .cast(f.dataType).alias(f.name))
+        return F.expr(d).cast(f.dataType).alias(f.name)
 
     def _resolve_sequence_functions(self, query: str) -> str:
         """``nextval('s')`` / ``currval('s')`` — driver-side allocation,
@@ -5208,9 +5259,7 @@ class Engine:
                 df = df.select(
                     *[F.col(src[f.name.lower()]).cast(f.dataType)
                       .alias(f.name) if f.name.lower() in src
-                      else (F.expr(defaults[f.name])
-                            if f.name in defaults else F.lit(None))
-                      .cast(f.dataType).alias(f.name)
+                      else self._default_fill_expr(df, f, defaults)
                       for f in target.fields])
                 if self._indexes:
                     self._check_unique_indexes(name, df)
@@ -5230,17 +5279,24 @@ class Engine:
                     moc.group("keys"), moc.group("act"), dialect)
             if m.group("orrep"):
                 # INSERT OR REPLACE = upsert on the primary key (DuckDB
-                # sugar for ON CONFLICT (pk) DO UPDATE SET all columns)
+                # sugar for ON CONFLICT (pk) DO UPDATE SET all columns);
+                # INSERT OR IGNORE = ON CONFLICT (pk) DO NOTHING (r12)
+                ignore = "IGNORE" in m.group("orrep").upper()
+                verb = "IGNORE" if ignore else "REPLACE"
                 keys = self._primary_key_cols(name)
                 if not keys:
                     raise ValueError(
-                        f"INSERT OR REPLACE INTO {name}: table has no "
+                        f"INSERT OR {verb} INTO {name}: table has no "
                         f"PRIMARY KEY or UNIQUE constraint to resolve "
                         f"conflicts on")
-                sets = ", ".join(
-                    f"{c} = excluded.{c}"
-                    for c in self.table(name).columns if c not in keys)
-                act = f"UPDATE SET {sets}" if sets else "NOTHING"
+                if ignore:
+                    act = "NOTHING"
+                else:
+                    sets = ", ".join(
+                        f"{c} = excluded.{c}"
+                        for c in self.table(name).columns
+                        if c not in keys)
+                    act = f"UPDATE SET {sets}" if sets else "NOTHING"
                 return self._insert_on_conflict(
                     name, m.group("cols"), body, ", ".join(keys), act,
                     dialect)
@@ -5257,8 +5313,7 @@ class Engine:
                 defaults = self._column_defaults(name)
                 df = df.select(
                     *[_duck_value_cast(df, f) if f.name in given
-                      else (F.expr(defaults[f.name]) if f.name in defaults
-                            else F.lit(None)).cast(f.dataType).alias(f.name)
+                      else self._default_fill_expr(df, f, defaults)
                       for f in target.fields]
                 ) if missing else df.select(
                     *[_duck_value_cast(df, f) for f in target.fields])

@@ -788,3 +788,61 @@ def test_null_slice_bounds_and_bc_fence(engine, duck):
         duck.execute(bad).fetchall()  # DuckDB answers
         with pytest.raises(NotImplementedError, match="no Spark"):
             engine.sql(bad, dialect="duckdb").collect()
+
+
+def test_grouping_in_having(engine, duck):
+    """grouping()/grouping_id() in HAVING — Spark resolves HAVING
+    against output columns when the group column is aliased, so the
+    calls hoist into hidden select items stripped by an outer
+    * EXCEPT [r12]."""
+    for q in (
+        "SELECT n_regionkey AS r, count(*) AS c FROM nation GROUP BY "
+        "ROLLUP(n_regionkey) HAVING grouping(n_regionkey) = 0 "
+        "ORDER BY r",
+        "SELECT n_regionkey AS r, n_nationkey % 2 AS p, count(*) AS c "
+        "FROM nation GROUP BY CUBE(n_regionkey, n_nationkey % 2) "
+        "HAVING grouping(n_regionkey, n_nationkey % 2) = 3 "
+        "ORDER BY r NULLS LAST, p NULLS LAST",
+        "SELECT n_regionkey AS r, count(*) AS c FROM nation GROUP BY "
+        "n_regionkey HAVING count(*) > 4 ORDER BY r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_insert_or_ignore_and_sequence_defaults(engine, duck):
+    """INSERT OR IGNORE (ON CONFLICT DO NOTHING sugar), CREATE OR
+    REPLACE SEQUENCE (re-creates and RESETS), and DEFAULT
+    nextval('seq') allocating a contiguous per-row range on insert
+    [r12]."""
+    for st in (
+        "CREATE OR REPLACE TABLE r12oi (id INTEGER PRIMARY KEY, "
+        "v INTEGER)",
+        "INSERT INTO r12oi VALUES (1, 10)",
+        "INSERT OR IGNORE INTO r12oi VALUES (1, 99), (2, 20)",
+    ):
+        engine.sql(st, dialect="duckdb")
+        duck.execute(st)
+    _check(engine, duck, "SELECT * FROM r12oi ORDER BY id")
+    for st in (
+        "CREATE OR REPLACE SEQUENCE r12sq START 100 INCREMENT BY 2",
+        "CREATE OR REPLACE TABLE r12st (id INTEGER DEFAULT "
+        "nextval('r12sq'), v VARCHAR)",
+        "INSERT INTO r12st (v) VALUES ('a'), ('b'), ('c')",
+    ):
+        engine.sql(st, dialect="duckdb")
+        duck.execute(st)
+    _check(engine, duck, "SELECT * FROM r12st ORDER BY id")
+    _check(engine, duck, "SELECT nextval('r12sq') AS n")
+
+
+def test_r12_batch5_over_acceptance_pins(engine, duck):
+    """width_bucket and listagg: absent in DuckDB 1.0 (loud there);
+    the engine answers with Spark's native support — documented
+    over-acceptances."""
+    import duckdb as _duckdb
+    for q in ("SELECT width_bucket(5.5, 0, 10, 5) AS r",
+              "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) AS r "
+              "FROM (VALUES ('b'),('a')) t(x)"):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
