@@ -497,6 +497,7 @@ _STRFTIME_MAP = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
     "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
     "%y": "yy", "%p": "a", "%A": "EEEE", "%a": "EEE",
+    "%I": "hh",
     "%B": "MMMM", "%b": "MMM",
     "%g": "SSS",   # DuckDB %g is MILLISECONDS [measured r9: '345']
     # no-pad '%-X' specifiers [measured: strftime(ts,'%-d/%-m') →
@@ -3795,10 +3796,17 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             subj = _arg_text(toks, spans[0])
             pat = _arg_text(toks, spans[1])
             flags = _arg_text(toks, spans[2]).strip()
-            m = re.fullmatch(r"'([ism]+)'", flags)
+            m = re.fullmatch(r"'([ismnp]+)'", flags)
             if m:
-                out.append(
-                    f"regexp_like({subj}, '(?{m.group(1)})' || {pat})")
+                # 'm'/'n'/'p' do NOT change ^$/. behavior in DuckDB
+                # 1.0 [measured r12: '^b$' with 'm' over 'a\nb' stays
+                # FALSE] — only i/s fold as inline modifiers
+                eff = "".join(c for c in m.group(1) if c in "is")
+                if eff:
+                    out.append(
+                        f"regexp_like({subj}, '(?{eff})' || {pat})")
+                else:
+                    out.append(f"regexp_like({subj}, {pat})")
                 i = close + 1
                 changed = True
                 continue
@@ -4515,7 +4523,8 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             a = _arg_text(toks, spans[0])
             b = _arg_text(toks, spans[1])
-            out.append(f"CAST(((({a}) % ({b})) + ({b})) % ({b}) "
+            out.append(f"CAST(CASE WHEN ({b}) = 0 THEN NULL ELSE "
+                       f"((({a}) % ({b})) + ({b})) % ({b}) END "
                        f"AS DOUBLE)")
             i = close + 1
             changed = True
@@ -4526,7 +4535,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             _, close, spans = parts
             a = _arg_text(toks, spans[0])
             b = _arg_text(toks, spans[1])
-            out.append(f"CAST(floor(({a}) / ({b})) AS DOUBLE)")
+            # zero divisor → NULL [measured r12: fdiv(5.0, 0.0) is
+            # NULL, not inf — DuckDB floors a NULL-safe division]
+            out.append(f"CAST(CASE WHEN ({b}) = 0 THEN NULL ELSE "
+                       f"floor(({a}) / ({b})) END AS DOUBLE)")
             i = close + 1
             changed = True
             continue
@@ -6299,7 +6311,7 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             if (len(flag) >= 2 and flag[0] == flag[-1]
                     and flag[0] in "'\""):
                 letters = flag[1:-1]
-                if letters and all(c in "gis" for c in letters):
+                if letters and all(c in "gismnp" for c in letters):
                     s_ = _arg_text(toks, spans[0])
                     p_ = _arg_text(toks, spans[1]).strip()
                     r_ = _arg_text(toks, spans[2])
@@ -11713,6 +11725,64 @@ class _PrimarySkip(Exception):
     """Non-primary operand in an optional rewrite — skip, don't fail."""
 
 
+_POSIX_CLASS_MAP = {
+    "digit": "\\\\d", "space": "\\\\s", "word": "\\\\w",
+    "alpha": "\\\\p{Alpha}", "alnum": "\\\\p{Alnum}",
+    "upper": "\\\\p{Upper}", "lower": "\\\\p{Lower}",
+    "punct": "\\\\p{Punct}", "xdigit": "\\\\p{XDigit}",
+    "cntrl": "\\\\p{Cntrl}", "graph": "\\\\p{Graph}",
+    "print": "\\\\p{Print}", "blank": "\\\\p{Blank}",
+}
+
+_POSIX_REGEX_FNS = {
+    "regexp_matches", "regexp_like", "regexp_extract",
+    "regexp_extract_all", "regexp_replace", "regexp_split_to_array",
+    "regexp_split_to_table", "string_split_regex", "str_split_regex",
+    "regexp_full_match",
+}
+
+
+def _rewrite_posix_classes(sql: str) -> str:
+    """RE2 POSIX character classes ``[[:digit:]]`` in LITERAL patterns
+    of regexp functions → Java spellings (``[\\d]`` /
+    ``[\\p{Alpha}]``) [measured r12: Java treats the POSIX spelling
+    as a literal character set and silently mismatches]. Pattern
+    position is the second argument for every function in the set."""
+    if "[:" not in sql:
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    changed = False
+    for p2, ti in enumerate(sig):
+        t = toks[ti]
+        if not (t.kind == "ident"
+                and t.text.lower() in _POSIX_REGEX_FNS
+                and p2 + 1 < len(sig)
+                and toks[sig[p2 + 1]].text == "("):
+            continue
+        try:
+            close = _find_close(toks, sig[p2 + 1])
+        except ValueError:
+            continue
+        spans = _split_args(toks, sig[p2 + 1], close)
+        if len(spans) < 2:
+            continue
+        ptoks = [k for k in range(*spans[1])
+                 if toks[k].kind not in ("ws", "comment")]
+        if len(ptoks) != 1 or toks[ptoks[0]].kind != "str":
+            continue
+        lit = toks[ptoks[0]].text
+        new_lit = re.sub(
+            r"\[:(\w+):\]",
+            lambda mm: _POSIX_CLASS_MAP.get(mm.group(1).lower(),
+                                            mm.group(0)),
+            lit)
+        if new_lit != lit:
+            toks[ptoks[0]].text = new_lit
+            changed = True
+    return detokenize(toks) if changed else sql
+
+
 def _rewrite_grouping_in_having(sql: str) -> str:
     """``HAVING grouping(col) = 0`` — Spark resolves HAVING against the
     OUTPUT columns when the grouping column is aliased in the select
@@ -13745,6 +13815,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_bare_integer_filters(sql)
     sql = _rewrite_percentile_disc(sql)
     sql = _rewrite_grouping_in_having(sql)
+    sql = _rewrite_posix_classes(sql)
     sql = _rewrite_method_calls(sql)
     sql = _rewrite_calls(sql, column_kinds)
     sql = _rewrite_date_subtraction(sql, column_kinds)

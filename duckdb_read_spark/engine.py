@@ -292,7 +292,7 @@ _DROP_TYPE_RE = re.compile(
 # Bare single-quoted single-argument form only; file access is external
 # access, so safe mode (enable_external_access=false) blocks it.
 _READ_FUNC_RE = re.compile(
-    r"\b(?:read_(?P<kind>parquet|csv_auto|csv|json|delta|iceberg|hudi)"
+    r"\b(?:read_(?P<kind>parquet|csv_auto|csv|json_auto|json|delta|iceberg|hudi)"
     r"|(?P<kind2>delta|iceberg)_scan"
     r"|(?P<kind3>parquet_metadata|parquet_schema))\s*\(\s*'(?P<path>[^']+)'"
     r"(?P<args>(?:\s*,[^()]*)?)\)",
@@ -4342,11 +4342,12 @@ class Engine:
         nullstr = opts.pop("nullstr", None)
         all_varchar = opts.pop("all_varchar", False)
         columns = opts.pop("columns", None)
+        names = opts.pop("names", None)
         if opts:
             raise ValueError(
                 f"read_csv: unrecognized option(s) {sorted(opts)} — "
                 "supported: delim/sep, header, quote, escape, nullstr, "
-                "all_varchar, columns")
+                "all_varchar, columns, names")
         reader = self.spark.read.option("header", str(bool(header)).lower())
         if sep is None:
             # DuckDB's read_csv sniffs the delimiter; Spark's reader
@@ -4372,6 +4373,16 @@ class Engine:
             # says _c0.._cN — a silent schema mismatch on every
             # SELECT column0 (r11)
             df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
+        if names is not None:
+            # names=[…] renames the LEADING columns, keeping any
+            # others [measured r12: a 3-column file with 2 names keeps
+            # the third header name]
+            if len(names) > len(df.columns):
+                raise ValueError(
+                    f"read_csv: names= lists {len(names)} columns, "
+                    f"file has {len(df.columns)}")
+            df = df.toDF(*(list(names)
+                           + list(df.columns[len(names):])))
         return df
 
     def _create_stream(self, name: str, body: str, dialect: str) -> DataFrame:
@@ -6429,10 +6440,10 @@ def _parse_read_func_args(argstr: str) -> dict:
         if ch == "'":
             in_str = True
             buf.append(ch)
-        elif ch == "{":
+        elif ch in "{[":
             depth += 1
             buf.append(ch)
-        elif ch == "}":
+        elif ch in "}]":
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:
@@ -6453,6 +6464,12 @@ def _parse_read_func_args(argstr: str) -> dict:
         key, val = m.group("key").lower(), m.group("val").strip()
         if val.startswith("'") and val.endswith("'"):
             out[key] = val[1:-1].replace("''", "'")
+        elif val.startswith("[") and val.endswith("]"):
+            # list options (names=['a','b'], types=[…]) — quoted
+            # string elements (r12)
+            out[key] = [e.strip()[1:-1].replace("''", "'")
+                        if e.strip().startswith("'") else e.strip()
+                        for e in val[1:-1].split(",") if e.strip()]
         elif val.lower() in ("true", "false"):
             out[key] = val.lower() == "true"
         elif re.fullmatch(r"-?\d+", val):

@@ -846,3 +846,71 @@ def test_r12_batch5_over_acceptance_pins(engine, duck):
         with pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+
+
+def test_regex_flags_posix_and_formats(engine, duck):
+    """DuckDB regex option letters: only i/s change behavior — m/n/p
+    are NO-OPS for ^$/. [measured r12]; RE2 POSIX classes
+    ([[:digit:]]) translate to Java spellings; %I/%p strftime
+    specifiers map to Java hh/a; fdiv/fmod on a zero divisor → NULL
+    (not inf, not an error)."""
+    for q in (
+        r"SELECT regexp_matches(e'a\nb', '^b$', 'm') AS r",
+        r"SELECT regexp_matches('ABC', 'abc', 'i') AS r",
+        r"SELECT regexp_matches(e'a\nb', 'a.b', 's') AS r",
+        r"SELECT regexp_matches(e'a\nb', 'a.b', 'n') AS r",
+        r"SELECT regexp_matches('A1', '[[:alpha:]][[:digit:]]') AS r",
+        r"SELECT regexp_extract('x42', '[[:digit:]]+') AS r",
+        r"SELECT regexp_matches('a b', '[[:space:]]') AS r",
+        r"SELECT regexp_replace('a1b2', '[[:digit:]]', 'X', 'g') AS r",
+        "SELECT fdiv(5.0, 0.0) AS a, fmod(5.0, 0.0) AS b, "
+        "fdiv(-7.5, 2.0) AS c, fmod(-7.5, 2.0) AS d",
+        "SELECT strftime(TIMESTAMP '2024-01-01 15:30:00', "
+        "'%I:%M %p') AS r",
+        "SELECT strptime('2024-01-01 03:30 PM', "
+        "'%Y-%m-%d %I:%M %p') AS r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_read_csv_names_and_json_auto(engine, duck, tmp_path):
+    """read_csv names=[…] renames leading columns (list-valued
+    options parse through bracket-aware splitting); read_json_auto
+    aliases read_json [r12]."""
+    csvp = str(tmp_path / "t.csv")
+    with open(csvp, "w") as f:
+        f.write("a|b|c\n1|x|2.5\n2|NULLVAL|3.5\n")
+    jsonp = str(tmp_path / "t.json")
+    with open(jsonp, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    for q in (
+        f"SELECT cc FROM read_csv('{csvp}', delim='|', header=true, "
+        f"names=['aa','bb','cc']) ORDER BY cc",
+        f"SELECT bb FROM read_csv('{csvp}', delim='|', header=true, "
+        f"names=['aa','bb']) ORDER BY bb NULLS LAST",
+        f"SELECT * FROM read_csv('{csvp}', delim='|', header=true, "
+        f"nullstr='NULLVAL') ORDER BY a",
+        f"SELECT a + 10 AS r FROM read_json_auto('{jsonp}') "
+        f"ORDER BY r",
+    ):
+        got = [tuple(map(str, r))
+               for r in engine.sql(q, dialect="duckdb").collect()]
+        want = [tuple(map(str, r)) for r in duck.execute(q).fetchall()]
+        assert got == want, q
+
+
+def test_ignore_nulls_family_pinned(engine, duck):
+    """first_value/last_value/lag/nth_value … IGNORE NULLS: DuckDB
+    1.0's parser rejects the clause on ALL of them; the engine
+    accepts Spark's native support — pinned over-acceptance family
+    (extends the nth_value pin)."""
+    import duckdb as _duckdb
+    for q in (
+        "SELECT last_value(y) IGNORE NULLS OVER (ORDER BY x) AS r "
+        "FROM (VALUES (1,'a'),(2,NULL)) t(x,y)",
+        "SELECT lag(y) IGNORE NULLS OVER (ORDER BY x) AS r "
+        "FROM (VALUES (1,'a'),(2,NULL)) t(x,y)",
+    ):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(q).fetchall()
+        engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
