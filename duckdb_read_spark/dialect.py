@@ -6047,6 +6047,51 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if (name in ("list_count", "list_product", "list_bool_and",
+                     "list_bool_or", "list_entropy", "list_first",
+                     "list_last", "array_count", "array_product")
+                and parts and len(parts[2]) == 1):
+            # shortcut fold names [measured r12]: count counts
+            # non-NULL (empty → 0); product/bool_and/bool_or skip
+            # NULLs, empty → NULL (product is DOUBLE); entropy is
+            # log2 over value frequencies, empty → 0.0; first/last
+            # take the PLAIN end elements (NULLs kept), empty → NULL
+            _, close, spans = parts
+            lst = _arg_text(toks, spans[0])
+            flt = f"filter({lst}, x -> x IS NOT NULL)"
+            base = name.replace("array_", "list_")
+            if base == "list_count":
+                body = f"size({flt})"
+            elif base == "list_product":
+                body = (f"(CASE WHEN size({flt}) = 0 THEN "
+                        f"CAST(NULL AS DOUBLE) ELSE "
+                        f"aggregate({flt}, CAST(1 AS DOUBLE), "
+                        f"(acc, x) -> acc * x) END)")
+            elif base == "list_bool_and":
+                body = (f"(CASE WHEN size({flt}) = 0 THEN "
+                        f"CAST(NULL AS BOOLEAN) ELSE "
+                        f"forall({flt}, x -> x) END)")
+            elif base == "list_bool_or":
+                body = (f"(CASE WHEN size({flt}) = 0 THEN "
+                        f"CAST(NULL AS BOOLEAN) ELSE "
+                        f"exists({flt}, x -> x) END)")
+            elif base == "list_entropy":
+                p_ = (f"(CAST(size(filter({flt}, e -> e = v)) "
+                      f"AS DOUBLE) / size({flt}))")
+                body = (f"(CASE WHEN ({lst}) IS NULL THEN "
+                        f"CAST(NULL AS DOUBLE) "
+                        f"WHEN size({flt}) = 0 THEN CAST(0 AS DOUBLE) "
+                        f"ELSE aggregate(array_distinct({flt}), "
+                        f"CAST(0 AS DOUBLE), "
+                        f"(acc, v) -> acc - {p_} * log2({p_})) END)")
+            elif base == "list_first":
+                body = f"try_element_at({lst}, 1)"
+            else:
+                body = f"try_element_at({lst}, -1)"
+            out.append(body)
+            i = close + 1
+            changed = True
+            continue
         if name == "list_aggregate" and parts and len(parts[2]) == 2:
             _, close, spans = parts
             lst = _arg_text(toks, spans[0])
@@ -6081,6 +6126,14 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 "group_concat": (f"(CASE WHEN size({_flt}) = 0 "
                                  f"THEN CAST(NULL AS STRING) "
                                  f"ELSE array_join({_flt}, ',') END)"),
+                # r12 shortcut folds — re-enter their dedicated
+                # rewrites above
+                "product": f"list_product({lst})",
+                "bool_and": f"list_bool_and({lst})",
+                "bool_or": f"list_bool_or({lst})",
+                "entropy": f"list_entropy({lst})",
+                "first": f"list_first({lst})",
+                "last": f"list_last({lst})",
             }.get(agg)
             if body is not None:
                 out.append(body)
@@ -8155,6 +8208,26 @@ def _rewrite_null_safe_division(
                     break
         while p2 is not None and p2 + 1 < len(sig):
             nt = toks[sig[p2 + 1]]
+            if (nt.kind == "ident"
+                    and nt.text.upper() in ("OVER", "FILTER")
+                    and p2 + 2 < len(sig)
+                    and toks[sig[p2 + 2]].text == "("):
+                # a windowed/filtered aggregate divisor keeps its
+                # clause inside the operand — sum(count(*)) OVER ()
+                # used to split, orphaning the OVER (r12)
+                try:
+                    rend_raw = _find_close(toks, sig[p2 + 2])
+                except ValueError:
+                    return sql
+                while p2 + 1 < len(sig) and sig[p2 + 1] <= rend_raw:
+                    p2 += 1
+                continue
+            if (nt.kind == "ident" and nt.text.upper() == "OVER"
+                    and p2 + 2 < len(sig)
+                    and toks[sig[p2 + 2]].kind == "ident"):
+                p2 += 2  # OVER w (named window)
+                rend_raw = sig[p2]
+                continue
             if nt.text == "." and p2 + 2 < len(sig) \
                     and toks[sig[p2 + 2]].kind == "ident":
                 p2 += 2
@@ -9407,6 +9480,160 @@ _TS_PRECISION_EMIT = {
                      "* 1000)"),
     "TIMESTAMP_NS": "CAST({x} AS TIMESTAMP)",
 }
+
+
+_NESTED_SCALAR_TYPES = {
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "BIGINT": "BIGINT", "INT8": "BIGINT", "LONG": "BIGINT",
+    "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "SHORT": "SMALLINT",
+    "TINYINT": "TINYINT", "INT1": "TINYINT",
+    "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "CHAR": "STRING", "BPCHAR": "STRING",
+    "DOUBLE": "DOUBLE", "FLOAT8": "DOUBLE",
+    "FLOAT": "FLOAT", "FLOAT4": "FLOAT", "REAL": "FLOAT",
+    "BOOLEAN": "BOOLEAN", "BOOL": "BOOLEAN", "LOGICAL": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+    "BLOB": "BINARY", "BYTEA": "BINARY", "JSON": "STRING",
+}
+
+
+def _duck_type_to_spark_ddl(t: str) -> str:
+    """DuckDB type spelling → Spark DDL, recursively: STRUCT(name
+    TYPE, …) → STRUCT<name: TYPE, …>, MAP(K, V) → MAP<K, V>, T[] →
+    ARRAY<T>, scalars via the alias map (DECIMAL params kept,
+    VARCHAR(n) length dropped) [r12 — nested type spellings in cast
+    position]."""
+    t = t.strip()
+    m = re.fullmatch(r"(?is)(.+)\[\s*\]", t)
+    if m:
+        return f"ARRAY<{_duck_type_to_spark_ddl(m.group(1))}>"
+    m = re.fullmatch(r"(?is)STRUCT\s*\((.*)\)", t)
+    if m:
+        fields = []
+        for part in _split_brace_commas(m.group(1)):
+            part = part.strip()
+            mf = re.match(r'(?s)^(?:"([^"]+)"|([A-Za-z_]\w*))\s+(.+)$',
+                          part)
+            if not mf:
+                raise ValueError(
+                    f"STRUCT type: cannot parse field {part!r}")
+            nm = mf.group(1) or mf.group(2)
+            fields.append(
+                f"`{nm}`: {_duck_type_to_spark_ddl(mf.group(3))}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    m = re.fullmatch(r"(?is)MAP\s*\((.*)\)", t)
+    if m:
+        kv = _split_brace_commas(m.group(1))
+        if len(kv) != 2:
+            raise ValueError(f"MAP type: expected two parameters: {t!r}")
+        return (f"MAP<{_duck_type_to_spark_ddl(kv[0])}, "
+                f"{_duck_type_to_spark_ddl(kv[1])}>")
+    mm = re.fullmatch(r"(?is)(\w+)\s*(\(\s*\d+\s*"
+                      r"(?:,\s*\d+\s*)?\))?", t)
+    if mm:
+        up = mm.group(1).upper()
+        if up in ("DECIMAL", "NUMERIC", "DEC"):
+            return "DECIMAL" + re.sub(r"\s+", "",
+                                      mm.group(2) or "(18,3)")
+        base = _NESTED_SCALAR_TYPES.get(up)
+        if base is not None:
+            return base  # VARCHAR(n) length drops
+    return t  # unknown — leave for Spark's own (loud) parse
+
+
+def _rewrite_nested_type_spellings(sql: str) -> str:
+    """``CAST(x AS STRUCT(a INTEGER))`` / ``x::MAP(VARCHAR, INTEGER)``
+    — DuckDB's nested TYPE spellings in cast position → Spark DDL
+    generics. Runs BEFORE the call rewrites (the bare ``MAP(…)`` text
+    would otherwise hit the map() function rename)."""
+    if not re.search(r"(?i)\b(?:STRUCT|MAP)\s*\(", sql):
+        return sql
+    for _ in range(40):
+        toks = tokenize(sql)
+        sig = _sig(toks)
+        pos_of = {raw: p for p, raw in enumerate(sig)}
+        done = True
+        for p2, ti in enumerate(sig):
+            t = toks[ti]
+            # AS STRUCT( / AS MAP( inside a CAST
+            if (t.kind == "ident" and t.text.upper() in ("STRUCT", "MAP")
+                    and p2 >= 1 and p2 + 1 < len(sig)
+                    and toks[sig[p2 - 1]].kind == "ident"
+                    and toks[sig[p2 - 1]].text.upper() == "AS"
+                    and toks[sig[p2 + 1]].text == "("):
+                # confirm we are inside a CAST(… AS <type>) — scan back
+                d2 = 0
+                incast = False
+                for q2 in range(p2 - 2, -1, -1):
+                    tq = toks[sig[q2]]
+                    if tq.text == ")":
+                        d2 += 1
+                    elif tq.text == "(":
+                        if d2 == 0:
+                            prevf = (toks[sig[q2 - 1]]
+                                     if q2 >= 1 else None)
+                            incast = (prevf is not None
+                                      and prevf.kind == "ident"
+                                      and prevf.text.upper()
+                                      in ("CAST", "TRY_CAST"))
+                            break
+                        d2 -= 1
+                if not incast:
+                    continue
+                try:
+                    tclose = _find_close(toks, sig[p2 + 1])
+                except ValueError:
+                    continue
+                # absorb trailing [] array suffixes
+                tend = tclose
+                j2 = pos_of.get(tclose)
+                if j2 is None:
+                    j2 = next(pp for pp, rw in enumerate(sig)
+                              if rw == tclose)
+                while (j2 + 2 < len(sig)
+                        and toks[sig[j2 + 1]].text == "["
+                        and toks[sig[j2 + 2]].text == "]"):
+                    tend = sig[j2 + 2]
+                    j2 += 2
+                ty_txt = detokenize(toks[ti:tend + 1]).strip()
+                sql = (detokenize(toks[:ti])
+                       + _duck_type_to_spark_ddl(ty_txt)
+                       + detokenize(toks[tend + 1:]))
+                done = False
+                break
+            # postfix :: STRUCT( / :: MAP(
+            if (t.text == ":" and p2 + 2 < len(sig)
+                    and toks[sig[p2 + 1]].text == ":"
+                    and sig[p2 + 1] == ti + 1
+                    and toks[sig[p2 + 2]].kind == "ident"
+                    and toks[sig[p2 + 2]].text.upper()
+                    in ("STRUCT", "MAP")
+                    and p2 + 3 < len(sig)
+                    and toks[sig[p2 + 3]].text == "(" and p2 >= 1):
+                try:
+                    tclose = _find_close(toks, sig[p2 + 3])
+                except ValueError:
+                    continue
+                def _skip():
+                    raise _PrimarySkip()
+                try:
+                    lstart = _primary_start_back(
+                        toks, sig, pos_of, p2 - 1, _skip)
+                except _PrimarySkip:
+                    continue
+                xtxt = detokenize(
+                    toks[sig[lstart]:sig[p2 - 1] + 1]).strip()
+                ty_txt = detokenize(
+                    toks[sig[p2 + 2]:tclose + 1]).strip()
+                sql = (detokenize(toks[:sig[lstart]])
+                       + f"CAST({xtxt} AS "
+                       + _duck_type_to_spark_ddl(ty_txt) + ")"
+                       + detokenize(toks[tclose + 1:]))
+                done = False
+                break
+        if done:
+            return sql
+    return sql
 
 
 def _check_bc_temporal_literals(sql: str) -> None:
@@ -13790,6 +14017,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_window_exclude(sql)
     sql = _rewrite_json_arrow(sql)
     sql = _rewrite_array_types(sql)
+    sql = _rewrite_nested_type_spellings(sql)
     _check_bc_temporal_literals(sql)
     sql = _rewrite_timestamp_precision(sql)
     sql = _rewrite_postfix_numeric_casts(sql)

@@ -914,3 +914,68 @@ def test_ignore_nulls_family_pinned(engine, duck):
         with pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
+
+
+def test_windowed_aggregate_divisor(engine, duck):
+    """share-of-total shapes: the null-safe division rewrite keeps a
+    windowed/filtered aggregate divisor's OVER/FILTER clause inside
+    the operand (sum(count(*)) OVER () used to split, orphaning the
+    OVER) [r12]."""
+    for q in (
+        "SELECT n_regionkey AS r, round(count(*) * 100.0 / "
+        "sum(count(*)) OVER (), 2) AS pct FROM nation "
+        "GROUP BY n_regionkey ORDER BY r",
+        "SELECT n_regionkey AS r, sum(count(*)) OVER () AS t "
+        "FROM nation GROUP BY n_regionkey ORDER BY r",
+        "SELECT n_regionkey AS r, rank() OVER (ORDER BY count(*) "
+        "DESC, n_regionkey) AS rk FROM nation GROUP BY n_regionkey "
+        "ORDER BY r",
+    ):
+        _check(engine, duck, q)
+
+
+def test_list_shortcut_folds(engine, duck):
+    """list_count/product/bool_and/bool_or/entropy/first/last
+    [measured r12]: count counts non-NULL (empty → 0); product/
+    bool_and/bool_or skip NULLs, empty → NULL (product DOUBLE);
+    entropy is log2 over frequencies (empty → 0.0); first/last take
+    the PLAIN end elements; list_aggregate dispatches the same
+    names."""
+    for q in (
+        "SELECT list_count([1, NULL, 3]) AS a, "
+        "list_product([2.0, 3.0]) AS b",
+        "SELECT list_product([2.0, NULL, 3.0]) AS a, "
+        "list_product(CAST([] AS DOUBLE[])) AS b, "
+        "list_product([2, 3]) AS c",
+        "SELECT list_bool_and([true, NULL]) AS a, "
+        "list_bool_and([true, false]) AS b, "
+        "list_bool_or([false, NULL]) AS c",
+        "SELECT round(list_entropy([1,1,2]), 6) AS a, "
+        "round(list_entropy(['a','a','b','c']), 6) AS b, "
+        "list_entropy(CAST([] AS INT[])) AS c",
+        "SELECT list_first([NULL, 2]) AS a, list_last([1, NULL]) "
+        "AS b, list_last([1,2,3]) AS c, "
+        "list_last(CAST([] AS INT[])) AS d",
+        "SELECT list_aggregate([2.0,3.0], 'product') AS a, "
+        "list_aggregate([true,false], 'bool_and') AS b, "
+        "list_aggregate([4,5], 'last') AS c",
+    ):
+        _check(engine, duck, q)
+
+
+def test_nested_type_cast_spellings(engine, duck):
+    """STRUCT(name TYPE, …) / MAP(K, V) / STRUCT(…)[] spellings in
+    cast position → Spark DDL generics; expression MAP literals and
+    struct_pack calls stay untouched [r12]."""
+    for q in (
+        "SELECT (CAST(NULL AS STRUCT(a INTEGER))).a AS r",
+        "SELECT CAST(NULL AS MAP(VARCHAR, INTEGER)) AS r",
+        "SELECT CAST({'a': 1} AS STRUCT(a BIGINT)).a AS r",
+        "SELECT CAST([{'a': 1}] AS STRUCT(a BIGINT)[])[1].a AS r",
+        "SELECT CAST({'a': {'b': 2}} AS STRUCT(a STRUCT(b BIGINT)))"
+        ".a.b AS r",
+        "SELECT ({'x': 1})::STRUCT(x BIGINT) AS r",
+        "SELECT MAP {'a': 1} AS r",
+        "SELECT struct_pack(a := 1) AS r",
+    ):
+        _check(engine, duck, q)
