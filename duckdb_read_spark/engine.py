@@ -455,6 +455,22 @@ _CHECKPOINT_RE = re.compile(r"^\s*(?:FORCE\s+)?CHECKPOINT\s*;?\s*$",
                             re.IGNORECASE)
 _PRAGMA_VERSION_RE = re.compile(r"^\s*PRAGMA\s+version\s*;?\s*$",
                                 re.IGNORECASE)
+# DuckDB resource/behavior hints accepted as ADVISORY no-ops (r12):
+# tracked for current_setting() read-back, not enforced — Spark's own
+# memory manager / shuffle model governs the actual behavior.
+_ADVISORY_OPTIONS = {
+    "memory_limit", "max_memory", "temp_directory",
+    "preserve_insertion_order", "enable_progress_bar",
+    "progress_bar_time", "enable_object_cache",
+    "checkpoint_threshold", "wal_autocheckpoint",
+    "default_null_order", "default_order",
+    "max_temp_directory_size", "worker_threads",
+}
+
+_PRAGMA_ASSIGN_RE = re.compile(
+    r"^\s*PRAGMA\s+(?P<key>[A-Za-z_]\w*)\s*=\s*(?P<val>[^;]+?)\s*;?\s*$",
+    re.IGNORECASE)
+
 _PRAGMA_DBSIZE_RE = re.compile(r"^\s*PRAGMA\s+database_size\s*;?\s*$",
                                re.IGNORECASE)
 
@@ -635,6 +651,7 @@ class Engine:
         self._attached: dict[str, dict[str, str]] = {}
         # prepared-statement name -> body SQL text (placeholders intact)
         self._prepared: dict[str, str] = {}
+        self._advisory_options: dict[str, str] = {}
         # ENUM type name -> allowed values (CREATE TYPE ... AS ENUM).
         # Columns declared with an enum type store as VARCHAR with an
         # auto-generated CHECK constraint, so validity survives restarts
@@ -2845,6 +2862,13 @@ class Engine:
                 rows, "database string, schema string, name string, "
                       "column_names array<string>, "
                       "column_types array<string>, temporary boolean")
+        mpa = _PRAGMA_ASSIGN_RE.match(query)
+        if mpa and mpa.group("key").lower() not in (
+                "version", "database_size", "database_list",
+                "show_tables", "table_info"):
+            # PRAGMA key=value is SET sugar in DuckDB (r12)
+            self._set_option(mpa.group("key"), mpa.group("val").strip())
+            return self._empty()
         if _PRAGMA_DBSIZE_RE.match(query):
             return self._pragma_database_size()
         if _SEQ_FUNC_RE.search(query):
@@ -4531,10 +4555,19 @@ class Engine:
             self.spark.conf.set("spark.sql.session.timeZone", raw)
         elif k.startswith("spark."):
             self.spark.conf.set(key, raw)
+        elif k in _ADVISORY_OPTIONS:
+            # DuckDB resource/behavior hints with no Spark-session
+            # analog (memory_limit, progress bars, insertion order…)
+            # — ACCEPTED and tracked so current_setting reads back,
+            # but advisory: Spark's own memory/ordering model governs
+            # (r12; a loud refusal broke every ported tuning script)
+            self._advisory_options[k] = raw
         else:
             raise ValueError(
                 f"SET: unknown option {key!r} — supported: "
-                "enable_external_access, threads, timezone, spark.*")
+                "enable_external_access, threads, timezone, spark.*, "
+                "and the advisory hints "
+                f"{sorted(_ADVISORY_OPTIONS)}")
 
     # -- session variables (SET VARIABLE surface) --------------------------
 
@@ -4591,11 +4624,15 @@ class Engine:
                     elif key == "enable_external_access":
                         out.append("true" if self._extensions_allowed
                                    else "false")
+                    elif key in self._advisory_options:
+                        v_ = self._advisory_options[key]
+                        out.append("'" + v_.replace("'", "''") + "'")
                     else:
                         raise ValueError(
                             f"current_setting: unknown option {key!r} — "
                             "supported: timezone, threads, "
-                            "enable_external_access")
+                            "enable_external_access, and set advisory "
+                            "hints")
                     i = k2 + 1
                     continue
             out.append(t.text)

@@ -979,3 +979,22 @@ def test_nested_type_cast_spellings(engine, duck):
         "SELECT struct_pack(a := 1) AS r",
     ):
         _check(engine, duck, q)
+
+
+def test_advisory_set_pragma_options(engine, duck):
+    """DuckDB resource/behavior hints (memory_limit,
+    preserve_insertion_order, enable_progress_bar, PRAGMA key=value
+    sugar) are ACCEPTED as tracked advisory no-ops — Spark's own
+    memory/ordering model governs; a loud refusal broke every ported
+    tuning script [r12]. Unknown options still refuse loudly."""
+    for st in ("SET memory_limit='1GB'",
+               "PRAGMA memory_limit='500MB'",
+               "SET preserve_insertion_order=false",
+               "SET enable_progress_bar=true"):
+        engine.sql(st, dialect="duckdb")
+        duck.execute(st)
+    got = engine.sql("SELECT current_setting('memory_limit') AS r",
+                     dialect="duckdb").collect()
+    assert got[0]["r"] == "500MB"
+    with pytest.raises(ValueError):
+        engine.sql("SET bogus_option_xyz=1", dialect="duckdb")
