@@ -2787,6 +2787,57 @@ def _q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(_Q164_TEXT, dialect="duckdb")
 
 
+_Q165_TEXT = """
+SELECT n_nationkey AS k,
+       n_name.lower() AS mn,
+       list_product([n_regionkey + 1.0, 2.0]) AS lp,
+       list_last(string_split(n_name, '_')) AS ll,
+       TIMESTAMP_S '2024-01-01 12:30:45.9' AS ts,
+       CAST({'a': n_regionkey} AS STRUCT(a BIGINT)).a AS sa,
+       regexp_extract(n_name, '[[:digit:]]+') AS dg
+FROM nation ORDER BY k LIMIT 8
+"""
+
+
+@_op("q165_method_types_lists", _Q165_TEXT,
+     note="r12 continuation: dot-method call syntax, list_product/"
+          "list_last shortcut folds, TIMESTAMP_S rounding literal, "
+          "STRUCT(name TYPE) cast spelling, POSIX regex classes")
+def _q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q165_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q165_TEXT, dialect="duckdb")
+
+
+_Q166_TEXT = """
+SELECT n_regionkey AS r, count(*) AS c,
+       round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct,
+       rank() OVER (ORDER BY count(*) DESC, n_regionkey) AS rk
+FROM nation GROUP BY n_regionkey ORDER BY r
+"""
+
+
+@_op("q166_share_of_total", _Q166_TEXT,
+     note="r12 continuation: the share-of-total reporting shape — a "
+          "windowed aggregate DIVISOR (sum(count(*)) OVER ()) keeps "
+          "its OVER clause inside the try_divide operand, and rank() "
+          "over an aggregate key")
+def _q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+
+    eng = Engine(spark=spark,
+                 warehouse_dir=tempfile.mkdtemp(prefix="ddbrs_q166_"))
+    eng.register_fixture_dir(sf_dir)
+    return eng.sql(_Q166_TEXT, dialect="duckdb")
+
+
 def runners() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name → (spark, sf_dir) -> DataFrame, with fixture registration."""
 
