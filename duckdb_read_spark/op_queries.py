@@ -2701,14 +2701,16 @@ def _q161(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q162_TEXT = """
 SELECT n_nationkey AS k,
-       n_nationkey IN (SELECT r_regionkey FROM region
-                       WHERE r_regionkey > 2) AS a,
-       n_regionkey = ANY(SELECT CASE WHEN r_regionkey = 2 THEN NULL
-                         ELSE r_regionkey END FROM region) AS b,
-       n_regionkey > ALL(SELECT r_regionkey FROM region
-                         WHERE r_regionkey < 2) AS c,
-       n_nationkey NOT IN (SELECT CASE WHEN r_regionkey = 0 THEN NULL
-                           ELSE r_regionkey END FROM region) AS d
+       CAST(n_nationkey IN (SELECT r_regionkey FROM region
+                            WHERE r_regionkey > 2) AS VARCHAR) AS a,
+       CAST(n_regionkey = ANY(SELECT CASE WHEN r_regionkey = 2 THEN
+                              NULL ELSE r_regionkey END FROM region)
+            AS VARCHAR) AS b,
+       CAST(n_regionkey > ALL(SELECT r_regionkey FROM region
+                              WHERE r_regionkey < 2) AS VARCHAR) AS c,
+       CAST(n_nationkey NOT IN (SELECT CASE WHEN r_regionkey = 0 THEN
+                                NULL ELSE r_regionkey END FROM region)
+            AS VARCHAR) AS d
 FROM nation ORDER BY k LIMIT 10
 """
 
@@ -2717,7 +2719,10 @@ FROM nation ORDER BY k LIMIT 10
      note="r12 tranche: PROJECTED [NOT] IN / = ANY / > ALL over "
           "null-bearing subqueries follow DuckDB's three-valued logic "
           "(NULL on a null-bearing no-match) via the CASE-over-EXISTS "
-          "emission; filter positions keep the semi/anti join plan")
+          "emission; filter positions keep the semi/anti join plan. "
+          "Booleans CAST to VARCHAR per the driver-canon dtype "
+          "contract (a NULL BOOLEAN stringifies 'None' vs 'nan' "
+          "across the two pandas fetches)")
 def _q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
