@@ -1208,7 +1208,15 @@ def _fold_blob_literals(sql: str) -> str:
                 and toks[sig[k + 2]].kind == "ident"
                 and toks[sig[k + 2]].text.upper() in ("BLOB", "BYTEA")
                 and toks[sig[k + 3]].text == ")"):
-            body = decode(t.text[1:-1])
+            try:
+                body = decode(t.text[1:-1])
+            except ValueError:
+                if toks[sig[k - 2]].text.upper() == "TRY_CAST":
+                    # TRY_CAST of an invalid escape is NULL in DuckDB
+                    # (review r12), not an error
+                    body = "CAST(NULL AS BINARY)"
+                else:
+                    raise
             # blank the WHOLE CAST span (ws included) so no stray
             # spaces survive around the emitted literal
             for j in range(sig[k - 2], sig[k + 3] + 1):
@@ -1288,7 +1296,19 @@ def _rewrite_unsigned_casts(sql: str) -> str:
     def emi(x: str, up: str, is_try: bool) -> str:
         carrier, mx = _UNSIGNED_CARRIERS[up]
         cst = "TRY_CAST" if is_try else "CAST"
-        v = f"{cst}(({x}) AS DECIMAL(38,0))"
+        # provably-DOUBLE/FLOAT sources round HALF TO EVEN in DuckDB
+        # (review r12: 2.5::DOUBLE::UINTEGER = 2; the bare decimal
+        # hop would round half-up) — bround first, like the signed
+        # integer-cast path
+        is_dbl = bool(
+            re.fullmatch(r"(?is).*::\s*"
+                         r"(?:DOUBLE|FLOAT8|FLOAT4?|REAL)\s*", x)
+            or re.fullmatch(
+                r"(?is)\(*\s*(?:TRY_)?CAST\s*\(.*\bAS\s+"
+                r"(?:DOUBLE|FLOAT8|FLOAT4?|REAL)\s*\)\s*\)*", x)
+            or _expr_is_double(x, None))
+        xin = f"bround({x})" if is_dbl else f"({x})"
+        v = f"{cst}({xin} AS DECIMAL(38,0))"
         if is_try:
             bad = "CAST(NULL AS DECIMAL(38,0))"
         else:
@@ -1546,6 +1566,12 @@ def _rewrite_interval_forms(sql: str) -> str:
         if pa is None or pb is None:
             return m.group(0)
         sgn = 1 if m.group("op") == "+" else -1
+        # left-associativity (review r12): when the pair is itself
+        # PRECEDED by a minus (binary or unary), the fold must keep
+        # the grouping algebraic — ``x - a + b`` is ``x - (a - b)``,
+        # so the sign of b flips inside the folded group
+        if (m.group("pre") or "").strip() == "-":
+            sgn = -sgn
         months = int(pa[0] + sgn * pb[0])
         days = int(pa[1] + sgn * pb[1])
         micros = int(pa[2] + sgn * pb[2])
@@ -1553,15 +1579,20 @@ def _rewrite_interval_forms(sql: str) -> str:
             from decimal import Decimal
 
             secs = Decimal(micros) / Decimal(1_000_000)
-            return (f"make_interval(0, {months}, 0, {days}, 0, 0, "
-                    f"{secs:f})")
-        return _emit(months, days, micros) or m.group(0)
+            folded = (f"make_interval(0, {months}, 0, {days}, 0, 0, "
+                      f"{secs:f})")
+        else:
+            folded = _emit(months, days, micros)
+            if folded is None:
+                return m.group(0)
+        return (m.group("pre") or "") + folded
 
     prev = None
     while prev != sql:
         prev = sql
         sql = re.sub(
-            rf"(?is)\b(?P<a>{iv_any})\s*(?P<op>[+-])\s*(?P<b>{iv_any})",
+            rf"(?is)(?P<pre>[-+]\s*)?\b(?P<a>{iv_any})"
+            rf"\s*(?P<op>[+-])\s*(?P<b>{iv_any})",
             fold_addsub, sql)
         sql = re.sub(
             rf"(?is)\b(?P<iv>{ivl_pat})\s*/\s*(?P<n>-?\d+)(?![\d.])",
@@ -5019,9 +5050,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         body = "".join(folded) + body[last:]
                         args = kept + q2  # leftovers keep arity loud
                 # C aliases Java lacks [measured r12: %i and %u both
-                # print like %d in DuckDB]
-                body = re.sub(r"(%[-+ #0]*\d*(?:\.\d+)?)[iu]",
-                              r"\1d", body)
+                # print like %d in DuckDB] — scanned spec-by-spec,
+                # skipping %% escapes (review r12: a raw re.sub
+                # matched '% i' inside literal text after '%%')
+                nb3, pos3 = [], 0
+                for ms3 in re.finditer(
+                        r"%[-+ #0]*\d*(?:\.\d+)?[a-zA-Z%]", body):
+                    if ms3.group(0) == "%%":
+                        continue
+                    if ms3.group(0)[-1] in "iu":
+                        nb3.append(body[pos3:ms3.start()]
+                                   + ms3.group(0)[:-1] + "d")
+                        pos3 = ms3.end()
+                if nb3:
+                    body = "".join(nb3) + body[pos3:]
                 sm = list(re.finditer(
                     r"%[-+ #0]*\d*(?:\.\d+)?([a-zA-Z%])", body))
                 specs = [m.group(1) for m in sm if m.group(1) != "%"]
@@ -6076,14 +6118,19 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                         f"CAST(NULL AS BOOLEAN) ELSE "
                         f"exists({flt}, x -> x) END)")
             elif base == "list_entropy":
-                p_ = (f"(CAST(size(filter({flt}, e -> e = v)) "
+                # collision-proof lambda names (review r12: a source
+                # column literally named 'v' was shadowed by the
+                # outer lambda variable inside the nested filter)
+                p_ = (f"(CAST(size(filter({flt}, "
+                      f"__lee -> __lee = __lev)) "
                       f"AS DOUBLE) / size({flt}))")
                 body = (f"(CASE WHEN ({lst}) IS NULL THEN "
                         f"CAST(NULL AS DOUBLE) "
                         f"WHEN size({flt}) = 0 THEN CAST(0 AS DOUBLE) "
                         f"ELSE aggregate(array_distinct({flt}), "
                         f"CAST(0 AS DOUBLE), "
-                        f"(acc, v) -> acc - {p_} * log2({p_})) END)")
+                        f"(__leacc, __lev) -> __leacc - {p_} "
+                        f"* log2({p_})) END)")
             elif base == "list_first":
                 body = f"try_element_at({lst}, 1)"
             else:
@@ -6343,7 +6390,11 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 except re.error:
                     ngroups = None
                 if ngroups is not None and int(gix) > ngroups:
-                    out.append("''")
+                    # NULL subject stays NULL (review r12: the bare
+                    # '' fold lost NULL propagation)
+                    subj0 = _arg_text(toks, spans[0])
+                    out.append(f"(CASE WHEN ({subj0}) IS NULL "
+                               f"THEN NULL ELSE '' END)")
                     i = close + 1
                     changed = True
                     continue
@@ -9659,9 +9710,14 @@ def _check_bc_temporal_literals(sql: str) -> None:
         typed = (prev is not None and prev.kind == "ident"
                  and prev.text.upper() in ("DATE", "TIMESTAMP",
                                            "TIMESTAMPTZ"))
-        cast_after = (p2 + 2 < len(sig)
+        cast_after = (p2 + 3 < len(sig)
                       and toks[sig[p2 + 1]].text == ":"
-                      and toks[sig[p2 + 2]].text == ":")
+                      and toks[sig[p2 + 2]].text == ":"
+                      and toks[sig[p2 + 3]].kind == "ident"
+                      and toks[sig[p2 + 3]].text.upper()
+                      in ("DATE", "TIMESTAMP", "TIMESTAMPTZ",
+                          "DATETIME", "TIMESTAMP_S", "TIMESTAMP_MS",
+                          "TIMESTAMP_NS"))
         if typed or cast_after:
             raise NotImplementedError(
                 f"BC-era / year-zero temporal literal {t.text} has no "

@@ -27,9 +27,14 @@ import zipfile
 
 # (applicationId, zip path) pairs already shipped from this driver
 # process — keeps repeated Engine constructions over a shared
-# SparkSession from re-adding the file (Spark would only warn, but the
-# guard keeps logs clean and skips the hash walk's file reads).
+# SparkSession from re-adding the file (Spark would only warn).
 _SHIPPED: set[tuple[str, str]] = set()
+
+# zip path memo: the package source cannot change inside one driver
+# process (modules are already imported), so the sha256 walk over
+# every .py file runs ONCE per process instead of once per Engine
+# (review r12: the _SHIPPED guard alone never skipped the walk).
+_ZIP_PATH: str | None = None
 
 
 def _package_root() -> str:
@@ -56,6 +61,9 @@ def build_package_zip() -> str:
     across Engines, test processes, and concurrent drivers. Zip entries
     carry a fixed timestamp so identical sources produce identical bytes.
     """
+    global _ZIP_PATH
+    if _ZIP_PATH is not None and os.path.exists(_ZIP_PATH):
+        return _ZIP_PATH
     root = _package_root()
     pkg = os.path.basename(root)
     files = _iter_package_files(root)
@@ -73,6 +81,7 @@ def build_package_zip() -> str:
         tempfile.gettempdir(), f"{pkg}-{h.hexdigest()[:16]}.zip"
     )
     if os.path.exists(zpath):
+        _ZIP_PATH = zpath
         return zpath
     # Write-then-rename so a concurrent builder never observes a torn zip.
     tmp = f"{zpath}.tmp.{os.getpid()}"
@@ -80,6 +89,7 @@ def build_package_zip() -> str:
         for arc, data in blobs:
             zf.writestr(zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0)), data)
     os.replace(tmp, zpath)
+    _ZIP_PATH = zpath
     return zpath
 
 

@@ -998,3 +998,35 @@ def test_advisory_set_pragma_options(engine, duck):
     assert got[0]["r"] == "500MB"
     with pytest.raises(ValueError):
         engine.sql("SET bogus_option_xyz=1", dialect="duckdb")
+
+
+def test_review_fixes_r12(engine, duck):
+    """Self-review findings (r12): interval fold left-associativity
+    (ts - a + b is ts - (a - b)), printf %%-escape-safe %i/%u alias,
+    '(BC)' strings cast to NON-temporal types pass through,
+    regexp_extract OOB group keeps NULL subjects NULL, TRY_CAST of an
+    invalid blob escape is NULL, double→unsigned casts round half to
+    even."""
+    for q in (
+        "SELECT TIMESTAMP '2024-01-10 00:00:00' - INTERVAL '1' DAY "
+        "- INTERVAL '2' DAY AS r",
+        "SELECT TIMESTAMP '2024-01-10 00:00:00' - INTERVAL '1' DAY "
+        "+ INTERVAL '2' HOUR AS r",
+        "SELECT TIMESTAMP '2024-01-10 00:00:00' + INTERVAL '1' DAY "
+        "- INTERVAL '2' HOUR AS r",
+        "SELECT - INTERVAL '1 day' + INTERVAL '2 hours' AS r",
+        "SELECT TIMESTAMP '2024-01-10 00:00:00' - INTERVAL '1' DAY "
+        "- INTERVAL '2' DAY + INTERVAL '1' HOUR AS r",
+        "SELECT printf('%% increase: %d', 42) AS r",
+        "SELECT printf('100%%utilized %d', 42) AS r",
+        "SELECT printf('%i %u', 42, 7) AS r",
+        "SELECT 'note (BC)'::VARCHAR AS r",
+        "SELECT TRY_CAST('a\\q' AS BLOB) AS r",
+        r"SELECT regexp_extract(NULL, '(a)', 5) AS r",
+        r"SELECT regexp_extract('xy', '(a)(b)', 5) AS r",
+        "SELECT (2.5::DOUBLE)::UINTEGER AS a, "
+        "(3.5::DOUBLE)::UINTEGER AS b",
+        "SELECT round(list_entropy(v), 6) AS r "
+        "FROM (SELECT [1,1,2] AS v) t",
+    ):
+        _check(engine, duck, q)
