@@ -12066,6 +12066,70 @@ def _rewrite_posix_classes(sql: str) -> str:
     return detokenize(toks) if changed else sql
 
 
+def _rewrite_window_in_orderby(sql: str) -> str:
+    """``ORDER BY row_number() OVER (…)`` — Spark refuses window
+    functions in ORDER BY (UNSUPPORTED_EXPR_FOR_OPERATOR); DuckDB
+    allows them [r12]. Hoist each windowed sort key into a hidden
+    select item and strip it with an outer ``* EXCEPT``. Plain
+    single-SELECT statements only; DISTINCT/set-op shapes bail."""
+    if not re.search(r"(?i)\bORDER\s+BY\b", sql) \
+            or not re.search(r"(?i)\bOVER\b", sql):
+        return sql
+    toks = tokenize(sql)
+    sig = _sig(toks)
+    depths = _depths(toks)
+
+    def up(k):
+        t = toks[sig[k]]
+        return t.text.upper() if t.kind == "ident" else t.text
+
+    if not sig or up(0) != "SELECT":
+        return sql
+    if len(sig) > 1 and up(1) == "DISTINCT":
+        return sql
+    d0 = [k for k in range(len(sig)) if depths[sig[k]] == 0]
+    if any(up(k) in ("UNION", "INTERSECT", "EXCEPT") for k in d0):
+        return sql
+    try:
+        from_k = next(k for k in d0 if up(k) == "FROM")
+        order_k = next(k for k in d0 if up(k) == "ORDER")
+    except StopIteration:
+        return sql
+    if order_k + 1 >= len(sig) or up(order_k + 1) != "BY":
+        return sql
+    tail_k = next((k for k in d0 if k > order_k
+                   and up(k) in ("LIMIT", "OFFSET")), None)
+    keys_end = sig[tail_k] if tail_k is not None else len(toks)
+    keys_txt = detokenize(
+        toks[sig[order_k + 1] + 1:keys_end]).strip()
+    keys = _split_brace_commas(keys_txt)
+    hidden = []
+    new_keys = []
+    for key in keys:
+        key = key.strip()
+        mmod = re.search(r"(?is)\s+(ASC|DESC)?\s*"
+                         r"(NULLS\s+(?:FIRST|LAST))?\s*$", key)
+        core = key[:mmod.start()] if mmod and mmod.group(0).strip() \
+            else key
+        mods = key[len(core):]
+        if re.search(r"(?i)\bOVER\b", core):
+            alias = f"__obw{len(hidden)}"
+            hidden.append(f"{core.strip()} AS {alias}")
+            new_keys.append(alias + mods)
+        else:
+            new_keys.append(key)
+    if not hidden:
+        return sql
+    sel_list = detokenize(toks[sig[0] + 1:sig[from_k]]).strip()
+    middle = detokenize(toks[sig[from_k]:sig[order_k]]).strip()
+    tail = (" " + detokenize(toks[keys_end:]).strip()
+            if tail_k is not None else "")
+    exc = ", ".join(f"__obw{i2}" for i2 in range(len(hidden)))
+    return (f"SELECT * EXCEPT ({exc}) FROM (SELECT {sel_list}, "
+            f"{', '.join(hidden)} {middle}) __obwq "
+            f"ORDER BY {', '.join(new_keys)}{tail}")
+
+
 def _rewrite_grouping_in_having(sql: str) -> str:
     """``HAVING grouping(col) = 0`` — Spark resolves HAVING against the
     OUTPUT columns when the grouping column is aliased in the select
@@ -14099,6 +14163,7 @@ def to_spark_sql(sql: str, column_kinds: dict[str, str] | None = None) -> str:
     sql = _rewrite_bare_integer_filters(sql)
     sql = _rewrite_percentile_disc(sql)
     sql = _rewrite_grouping_in_having(sql)
+    sql = _rewrite_window_in_orderby(sql)
     sql = _rewrite_posix_classes(sql)
     sql = _rewrite_method_calls(sql)
     sql = _rewrite_calls(sql, column_kinds)

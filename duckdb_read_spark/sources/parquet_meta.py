@@ -48,7 +48,10 @@ _META_SCHEMA = (
     "stats_max_value string")
 
 _SCHEMA_SCHEMA = (
-    "file_name string, name string, type string, logical_type string")
+    "file_name string, name string, type string, type_length string, "
+    "repetition_type string, num_children bigint, "
+    "converted_type string, scale bigint, precision bigint, "
+    "field_id bigint, logical_type string")
 
 
 def _stat_str(v) -> str | None:
@@ -115,23 +118,52 @@ def parquet_schema_df(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def _lt(col):
+            # DuckDB renders its own logical-type class spellings —
+            # map the common ones, keep pyarrow's text otherwise
+            s = str(col.logical_type)
+            return {"String": "StringType()", "None": None}.get(s, s)
+
+        cols = ["file_name", "name", "type", "type_length",
+                "repetition_type", "num_children", "converted_type",
+                "scale", "precision", "field_id", "logical_type"]
         for pdf in batches:
             rows = []
             for f in pdf["file"]:
                 sch = pq.ParquetFile(f).schema
+                # DuckDB's tree includes the ROOT group element
+                # [measured r12: name='schema', REQUIRED,
+                # num_children=N, every other field NULL]
+                rows.append({
+                    "file_name": f, "name": "schema", "type": None,
+                    "type_length": None, "repetition_type": "REQUIRED",
+                    "num_children": len(sch), "converted_type": None,
+                    "scale": None, "precision": None, "field_id": None,
+                    "logical_type": None,
+                })
                 for i in range(len(sch)):
                     col = sch.column(i)
-                    lt = col.logical_type
+                    ct = col.converted_type
                     rows.append({
                         "file_name": f,
                         "name": col.name,
                         "type": col.physical_type,
-                        "logical_type":
-                            str(lt) if lt is not None else None,
+                        "type_length": (str(col.length)
+                                        if col.length else None),
+                        "repetition_type":
+                            ("OPTIONAL" if col.max_definition_level
+                             else "REQUIRED"),
+                        "num_children": None,
+                        "converted_type":
+                            None if ct in (None, "NONE") else ct,
+                        "scale": (col.scale if col.scale >= 0
+                                  else None),
+                        "precision": (col.precision
+                                      if col.precision >= 0 else None),
+                        "field_id": None,
+                        "logical_type": _lt(col),
                     })
-            yield pd.DataFrame(
-                rows, columns=["file_name", "name", "type",
-                               "logical_type"])
+            yield pd.DataFrame(rows, columns=cols)
 
     src = spark.createDataFrame([(f,) for f in files], "file string")
     return src.mapInPandas(gen, _SCHEMA_SCHEMA)

@@ -1917,13 +1917,16 @@ def test_parquet_metadata_and_schema_tvfs(engine, duck):
         f"SELECT {cols} FROM parquet_metadata('{p}') "
         f"ORDER BY row_group_id, column_id").fetchall()
     assert got == want
-    # schema: leaf rows match DuckDB's (num_children NULL = leaves)
+    # schema: the FULL tree matches DuckDB's, root group element
+    # included (r12 — the engine used to emit leaf rows only)
     got_s = [tuple(r) for r in engine.sql(
-        f"SELECT file_name, name, type FROM parquet_schema('{p}') "
+        f"SELECT file_name, name, type, repetition_type, "
+        f"num_children FROM parquet_schema('{p}') "
         f"ORDER BY name").collect()]
     want_s = duck.execute(
-        f"SELECT file_name, name, type FROM parquet_schema('{p}') "
-        f"WHERE num_children IS NULL ORDER BY name").fetchall()
+        f"SELECT file_name, name, type, repetition_type, "
+        f"num_children FROM parquet_schema('{p}') "
+        f"ORDER BY name").fetchall()
     assert got_s == want_s
 
 

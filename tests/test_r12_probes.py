@@ -1030,3 +1030,24 @@ def test_review_fixes_r12(engine, duck):
         "FROM (SELECT [1,1,2] AS v) t",
     ):
         _check(engine, duck, q)
+
+
+def test_window_in_orderby_and_parquet_schema(engine, duck):
+    """Windowed sort keys hoist into hidden select items (Spark
+    refuses window functions in ORDER BY); parquet_schema now emits
+    DuckDB's full 11-column tree INCLUDING the root group element
+    [r12]."""
+    for q in (
+        "SELECT n_nationkey AS k FROM nation ORDER BY row_number() "
+        "OVER (ORDER BY n_name), k LIMIT 5",
+        "SELECT n_nationkey AS k FROM nation ORDER BY rank() OVER "
+        "(ORDER BY n_name DESC) DESC, k LIMIT 4",
+    ):
+        _check(engine, duck, q)
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    q = (f"SELECT name, type, repetition_type, num_children, "
+         f"converted_type, logical_type FROM "
+         f"parquet_schema('{sf}/region.parquet') "
+         f"ORDER BY name NULLS LAST")
+    _check(engine, duck, q)
