@@ -3957,6 +3957,20 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
             i = close + 1
             changed = True
             continue
+        if name == "to_base" and parts and len(parts[2]) == 3:
+            # 3-arg form zero-pads LEFT to the given length [measured
+            # r12: to_base(10, 2, 8) = '00001010']
+            _, close, spans = parts
+            x = _arg_text(toks, spans[0])
+            b = _arg_text(toks, spans[1])
+            ln = _arg_text(toks, spans[2])
+            out.append(
+                f"lpad((CASE WHEN ({x}) < 0 THEN raise_error('to_base:"
+                f" number must be greater than or equal to 0') "
+                f"ELSE conv({x}, 10, {b}) END), {ln}, '0')")
+            i = close + 1
+            changed = True
+            continue
         if name == "to_base" and parts and len(parts[2]) == 2:
             # conv() matches DuckDB's uppercase digits [measured 'FF'];
             # DuckDB REFUSES negatives where conv would silently return
@@ -4188,6 +4202,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     f"__json_extract_string__({j}, "
                     f"CAST({p_} AS STRING))" for p_ in elems)
                 out.append(f"array({calls})")
+            elif re.fullmatch(r"'\$(?:[^']|'')*'", pth) \
+                    and "[*]" in pth:
+                # '$…[*]…' wildcard returns a LIST of nodes (r12)
+                out.append(f"__json_extract_string_wild__({j}, {pth})")
             elif re.fullmatch(r"'\$(?:[^']|'')*'", pth):
                 out.append(f"get_json_object({j}, {pth})")
             else:
@@ -4216,6 +4234,10 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                 calls = ", ".join(
                     f"{fn}({j}, CAST({p_} AS STRING))" for p_ in elems)
                 out.append(f"array({calls})")
+            elif (fn == "__json_extract__" and "[*]" in pth
+                    and pth.startswith("'") and pth.endswith("'")):
+                # '$…[*]…' wildcard returns a LIST of nodes (r12)
+                out.append(f"__json_extract_wild__({j}, {pth})")
             else:
                 out.append(f"{fn}({j}, CAST({pth} AS STRING))")
             i = close + 1
@@ -5049,6 +5071,9 @@ def _rewrite_calls(sql: str, column_kinds: dict[str, str] | None = None) -> str:
                     if ok2 and None not in kept:
                         body = "".join(folded) + body[last:]
                         args = kept + q2  # leftovers keep arity loud
+                # C ignores the 0 flag on %s (pads with SPACES);
+                # Java rejects it [measured r12: '%08s' → '      ab']
+                body = re.sub(r"%0(\d+)s", r"%\1s", body)
                 # C aliases Java lacks [measured r12: %i and %u both
                 # print like %d in DuckDB] — scanned spec-by-spec,
                 # skipping %% escapes (review r12: a raw re.sub

@@ -51,11 +51,12 @@ def trimmed_mean(v: pd.Series) -> float:  # type: ignore[misc]
 def _jaro(s: str, t: str) -> float:
     """Standard Jaro similarity (public algorithm; pins measured DuckDB
     values: jaro('martha','marhta')=0.9444…)."""
-    if s == t:
-        return 1.0
     ls, lt = len(s), len(t)
     if not ls or not lt:
+        # BOTH-empty included [measured r12: jaro('','') = 0.0]
         return 0.0
+    if s == t:
+        return 1.0
     window = max(ls, lt) // 2 - 1
     t_taken = [False] * lt
     matches = 0
@@ -524,6 +525,71 @@ def _make_json_introspection_udfs():
                 f"Malformed JSON input (same as DuckDB's Invalid "
                 f"Input Error): {j[:60]!r}")
 
+    def _path_get_wild(doc, path: str) -> list:
+        """Wildcard walker: '[*]' fans out over list elements, every
+        other step maps; nodes that miss a step DROP from the result
+        [measured r12: '$.arr[*].v' over [{'v':1},{'v':2}] → two
+        nodes]. Non-'$' paths never carry wildcards."""
+        nodes = [doc]
+        i = 1
+        while i < len(path) and nodes:
+            c = path[i]
+            if c == ".":
+                m = re.match(r'\."((?:[^"\\]|\\.)*)"|\.([^.\[]+)',
+                             path[i:])
+                if not m:
+                    return []
+                key = (m.group(1).replace('\\"', '"')
+                       if m.group(1) is not None else m.group(2))
+                nodes = [n[key] for n in nodes
+                         if isinstance(n, dict) and key in n]
+                i += m.end()
+            elif c == "[":
+                m = re.match(r"\[\s*(\*|#?-?\d+)\s*\]", path[i:])
+                if not m:
+                    return []
+                tokp = m.group(1)
+                if tokp == "*":
+                    nodes = [e for n in nodes if isinstance(n, list)
+                             for e in n]
+                else:
+                    nxt = []
+                    for n in nodes:
+                        if not isinstance(n, list):
+                            continue
+                        idx = (len(n) + int(tokp[1:])
+                               if tokp.startswith("#") else int(tokp))
+                        if 0 <= idx < len(n):
+                            nxt.append(n[idx])
+                    nodes = nxt
+                i += m.end()
+            else:
+                return []
+        return nodes
+
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def json_extract_wild_udf(j: pd.Series, p: pd.Series) -> pd.Series:
+        def one(x, pth):
+            if pd.isna(x) or pd.isna(pth):
+                return None
+            return [_render_node(n)
+                    for n in _path_get_wild(_loads(str(x)), str(pth))]
+        return pd.Series([one(x, y) for x, y in zip(j, p)],
+                         dtype=object)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def json_extract_string_wild_udf(j: pd.Series,
+                                     p: pd.Series) -> pd.Series:
+        def one(x, pth):
+            if pd.isna(x) or pd.isna(pth):
+                return None
+            return [n if isinstance(n, str) else _render_node(n)
+                    for n in _path_get_wild(_loads(str(x)), str(pth))]
+        return pd.Series([one(x, y) for x, y in zip(j, p)],
+                         dtype=object)
+
     @F.pandas_udf(StringType())
     def json_extract_udf(j: pd.Series, p: pd.Series) -> pd.Series:
         def one(x, pth):
@@ -656,6 +722,8 @@ def _make_json_introspection_udfs():
     # names would re-trigger their own rewrite branch); the public
     # names are registered too for direct Spark-side use
     return {"json_extract": json_extract_udf,
+            "__json_extract_wild__": json_extract_wild_udf,
+            "__json_extract_string_wild__": json_extract_string_wild_udf,
             "json_type": json_type_udf,
             "json_structure": json_structure_udf,
             "json_contains": json_contains_udf,

@@ -1051,3 +1051,24 @@ def test_window_in_orderby_and_parquet_schema(engine, duck):
          f"parquet_schema('{sf}/region.parquet') "
          f"ORDER BY name NULLS LAST")
     _check(engine, duck, q)
+
+
+def test_json_wildcards_and_function_tails(engine, duck):
+    """'$…[*]…' JSON path wildcards return a LIST of nodes (a
+    dedicated ArrayType UDF — the scalar walker used to crash);
+    jaro('','') = 0.0; to_base 3-arg zero-pads; printf '%08s' pads
+    with spaces (C ignores the 0 flag on %s) [measured r12]."""
+    J = ('\'{"a": {"b": [1, 2, 3]}, "c": "x", '
+         '"arr": [{"v": 1}, {"v": 2}]}\'')
+    for q in (
+        f"SELECT json_extract({J}, '$.arr[*].v') AS r",
+        f"SELECT json_extract({J}, '$.a.b[*]') AS r",
+        f"SELECT json_extract_string({J}, '$.arr[*].v') AS r",
+        "SELECT printf('%08s|%-8s|', 'ab', 'cd') AS r",
+        "SELECT to_base(10, 2, 8) AS a, to_base(255, 16, 4) AS b",
+        "SELECT jaro_similarity('', '') AS a, "
+        "jaro_winkler_similarity('', '') AS b, "
+        "jaro_similarity('a', '') AS c",
+        "SELECT jaro_similarity('martha', 'marhta') AS r",
+    ):
+        _check(engine, duck, q)
