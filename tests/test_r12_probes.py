@@ -842,7 +842,9 @@ def test_r12_batch5_over_acceptance_pins(engine, duck):
     import duckdb as _duckdb
     for q in ("SELECT width_bucket(5.5, 0, 10, 5) AS r",
               "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) AS r "
-              "FROM (VALUES ('b'),('a')) t(x)"):
+              "FROM (VALUES ('b'),('a')) t(x)",
+              "SELECT substring('abcdef'::BLOB, 2, 3) AS r",
+              "SELECT overlay('hello' PLACING 'XX' FROM 2 FOR 3) AS r"):
         with pytest.raises(_duckdb.Error):
             duck.execute(q).fetchall()
         engine.sql(q, dialect="duckdb").collect()  # over-accepts (doc'd)
