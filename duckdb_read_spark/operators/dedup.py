@@ -193,9 +193,21 @@ def simhash_candidates(
             .select("band", "key")
         )
         banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # The banded-key relation feeds both self-join sides; materialize the
+    # (explode + 65-aggregate simhash groupBy) once per invocation instead
+    # of once per side (lazy localCheckpoint — fresh per call, guide §2.4).
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # Hamming-verify BEFORE the pair dedup: the filter is per-row compute
+    # in the join stage, while dropDuplicates is a shuffle — verifying
+    # first shuffles only the pairs that survive (sf0.1: 494k band
+    # collisions → 1.4k verified pairs; med 3.45 → 2.39 s with the
+    # checkpoint, guide §2.3 "shuffle fewer bytes"). A pair colliding in
+    # several bands has the same (sh_a, sh_b) in every copy, so the
+    # verdict is copy-invariant and filter/dedup commute exactly.
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -205,32 +217,35 @@ def simhash_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            ham.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+        .select("id_a", "id_b", "hamming")
     )
 
 
 # --- exact n-gram Jaccard -------------------------------------------------
 
 def ngram_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (explode + distinct)."""
+    """Distinct word n-gram shingles per document.
+
+    Per-document uniqueness only needs a PER-ROW dedup, so it runs as
+    ``array_distinct`` on the shingle array before the explode — entirely
+    inside the scan stage — instead of a corpus-wide ``.distinct()``,
+    which cost a full (id, shingle) hash shuffle for rows that were
+    already unique across documents by construction (r12 guide §2.4:
+    removed one Exchange; measured -8-14% on the q55 pair pipeline)."""
     toks = F.split(F.col(text_col), " ")
     # Guard: sequence(0, negative) would generate a DESCENDING range for
     # docs shorter than n tokens — emit no shingles for those instead.
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        df.select(id_col, F.explode(shingles).alias("shingle"))
-        .distinct()
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+    return df.select(id_col, F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -274,7 +289,17 @@ def ngram_jaccard_pairs(
     if prefix_filter:
         sh = _shingles_with_df(df, text_col, id_col, n, max_shingle_df)
         return _jaccard_pairs_prefix(sh, id_col, threshold)
+    # The capped shingle relation feeds THREE consumers (self-join a/b
+    # sides + per-doc sizes); without a materialization barrier the plan
+    # replays scan → explode → window-cap once per consumer (4 subtree
+    # copies in the r12 before-plan, AQE reused only part of them).
+    # A lazy localCheckpoint computes it once per invocation — same
+    # intra-query materialization the CC edge list already uses; nothing
+    # persists across calls (each call builds a fresh plan). Measured
+    # q55 pipeline: 3.02 → 2.44 s min-of-5 with the array_distinct
+    # shingle change included (guide §2.4 / §5 lineage truncation).
     sh = _capped_shingles(df, text_col, id_col, n, max_shingle_df)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

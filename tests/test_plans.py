@@ -91,16 +91,24 @@ def test_asof_sql_lateral_decorrelates(engine):
 
 def test_jaccard_df_cap_filters_before_selfjoin(engine):
     """The DF cap must prune boilerplate shingles BEFORE the inverted-index
-    self-join (that is the whole point) — the plan's join inputs carry the
-    frequency filter, and no cartesian appears."""
+    self-join (that is the whole point): the capped shingle relation the
+    join consumes carries the frequency filter, it is materialized ONCE
+    per call (r12: checkpoint barrier — the before-plan replayed the
+    scan→explode→window subtree once per consumer), and no cartesian
+    appears in the pair plan."""
     from duckdb_read_spark.operators import ngram_jaccard_pairs
+    from duckdb_read_spark.operators.dedup import _capped_shingles
 
     docs = engine.table("documents")
+    capped = _capped_shingles(docs, "text", "doc_id", 3, 64)
+    capped_plan = physical_plan(capped)
+    # the window-count filter on document frequency feeds the join input
+    assert "64" in capped_plan and capped_plan.count("Filter") >= 1
     out = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=64)
     plan = physical_plan(out)
     assert not has_cartesian(out)
-    # the window-count filter on document frequency sits under the join
-    assert plan.count("Filter") >= 2 and "64" in plan
+    # the join reads the materialized capped relation, not subtree replays
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_merge_plan_no_cartesian(engine, tmp_path):
