@@ -235,8 +235,15 @@ def ngram_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     inside the scan stage — instead of a corpus-wide ``.distinct()``,
     which cost a full (id, shingle) hash shuffle for rows that were
     already unique across documents by construction (r12 guide §2.4:
-    removed one Exchange; measured -8-14% on the q55 pair pipeline)."""
-    toks = F.split(F.col(text_col), " ")
+    removed one Exchange; measured -8-14% on the q55 pair pipeline).
+
+    The token array is bound to a real COLUMN before the lambda slices
+    it: an inline split(text) referenced from inside transform() is not
+    shared — it re-evaluated the split per shingle, O(tokens²) per doc
+    (r12 measured: shingle explode 1.57 s inline vs 0.51 s projected at
+    sf0.1; guide §1.2 "per-task work")."""
+    d = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    toks = F.col("__t")
     # Guard: sequence(0, negative) would generate a DESCENDING range for
     # docs shorter than n tokens — emit no shingles for those instead.
     idx = F.when(
@@ -245,7 +252,7 @@ def ngram_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     shingles = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
-    return df.select(id_col, F.explode(shingles).alias("shingle"))
+    return d.select(id_col, F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -740,9 +747,14 @@ def duplicate_clusters(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _truncate_lazy(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
     if strategy == "contract":
         return _cc_contract(pairs, id_a, id_b, out_id, cluster_col,
-                            max_iter, _truncate)
+                            max_iter, _truncate, _truncate_lazy)
 
     fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
     # Materialize the edge list ONCE: every iteration joins against it, and
@@ -847,20 +859,26 @@ def _uf_partition(batches):
         yield pd.DataFrame({"__x": nodes, "__r": [find(n) for n in nodes]})
 
 
-def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
-    """Two-level contraction CC (see duplicate_clusters docstring)."""
+def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter,
+                 _truncate, _truncate_lazy):
+    """Two-level contraction CC (see duplicate_clusters docstring).
+
+    r12 job-count pass (guide §1.2 — the loop's cost at fixture scale is
+    Spark's per-job floor, not data): the per-round label update is
+    DEFERRED — each round only contracts the label graph; the node labels
+    are composed once at the end by folding the (checkpointed) per-round
+    update maps over the identity labeling, which is the same join
+    sequence the loop used to run eagerly, now in one job. The relabeled
+    graph's materialization and the convergence probe are FUSED: a lazy
+    checkpoint's first action is ``count()``, which both materializes the
+    round's graph and answers "empty?". 4 jobs+1 round → 2 jobs/round.
+    """
     fwd = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst"))
     edges = _truncate(fwd.filter(F.col("__src") != F.col("__dst")).distinct())
-    labels = _truncate(
-        edges.select(F.col("__src").alias("__node"))
-        .union(edges.select(F.col("__dst").alias("__node")))
-        .distinct()
-        .withColumn("__label", F.col("__node"))
-    )
     # node-id type carries through the union-find output — hardcoding
     # long would crash on string/non-long document ids that the
     # propagate strategy always supported
-    id_type = dict(labels.dtypes)["__node"]
+    id_type = dict(edges.dtypes)["__src"]
     uf_schema = f"__x {id_type}, __r {id_type}"
     # round 1 skips the relabel joins: labels are the identity map, so the
     # label graph IS the edge list. Group a node's edges into one
@@ -869,20 +887,16 @@ def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
     lgraph = (edges.select(F.col("__src").alias("__x"),
                            F.col("__dst").alias("__y"))
               .repartition("__x"))
+    upds: list[DataFrame] = []
+    converged = False
     for it in range(max_iter):
-        # upd feeds three consumers (labels join + both relabel sides) —
-        # truncate/materialize once or the mapInPandas union-find pass
-        # re-executes per consumer
+        # upd feeds three consumers (both relabel sides + the final label
+        # fold) — truncate/materialize once or the mapInPandas union-find
+        # pass re-executes per consumer
         upd = _truncate(
             lgraph.mapInPandas(_uf_partition, uf_schema)
             .groupBy("__x").agg(F.min("__r").alias("__r")))
-        labels = _truncate(
-            labels.join(upd, labels["__label"] == upd["__x"], "left")
-            .select(
-                F.col("__node"),
-                F.coalesce(F.col("__r"), F.col("__label")).alias("__label"),
-            )
-        )
+        upds.append(upd)
         # relabel the label graph by the round's updates (L_{k+1} = U∘L_k,
         # so relabeling lgraph is equivalent to relabeling the original
         # edges — and lgraph SHRINKS every round). Surviving inter-label
@@ -891,7 +905,7 @@ def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
         # partitions and finish the job.
         ux = upd.select(F.col("__x").alias("__xk"), F.col("__r").alias("__xr"))
         uy = upd.select(F.col("__x").alias("__yk"), F.col("__r").alias("__yr"))
-        lgraph = _truncate(
+        lgraph = _truncate_lazy(
             lgraph.join(ux, lgraph["__x"] == ux["__xk"], "left")
             .join(uy, lgraph["__y"] == uy["__yk"], "left")
             .select(
@@ -901,14 +915,35 @@ def _cc_contract(pairs, id_a, id_b, out_id, cluster_col, max_iter, _truncate):
             .filter(F.col("__x") != F.col("__y"))
             .distinct()
         )
-        if lgraph.limit(1).count() == 0:
-            return labels.select(
-                F.col("__node").alias(out_id),
-                F.col("__label").alias(cluster_col),
+        # one job: materializes the lazy checkpoint AND probes emptiness
+        if lgraph.count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge after {max_iter} rounds — "
+            "raise max_iter (labels would be silently wrong otherwise)"
+        )
+    # fold the round updates over the identity labeling — the exact join
+    # sequence the loop applied eagerly before, evaluated in one job over
+    # checkpointed inputs (≤ max_iter small left joins)
+    labels = (
+        edges.select(F.col("__src").alias("__node"))
+        .union(edges.select(F.col("__dst").alias("__node")))
+        .distinct()
+        .withColumn("__label", F.col("__node"))
+    )
+    for upd in upds:
+        labels = (
+            labels.join(upd, labels["__label"] == upd["__x"], "left")
+            .select(
+                F.col("__node"),
+                F.coalesce(F.col("__r"), F.col("__label")).alias("__label"),
             )
-    raise RuntimeError(
-        f"duplicate_clusters did not converge after {max_iter} rounds — "
-        "raise max_iter (labels would be silently wrong otherwise)"
+        )
+    return labels.select(
+        F.col("__node").alias(out_id),
+        F.col("__label").alias(cluster_col),
     )
 
 

@@ -224,11 +224,18 @@ def corpus_bigram_scores(
     average — identical to the instance average by construction. AQE
     broadcasts the model when small and skew-splits the Zipf-hot heads
     when it is not; the NLL is computed once per model row."""
-    t = F.split(F.col(text_col), " ")
+    # Bind the token array to a real COLUMN before the lambda touches it:
+    # an inline split(text) referenced from inside transform() is not
+    # shared — it re-evaluates the split per element, making the bigram
+    # build O(tokens²) per document (r12 measured: the explode alone was
+    # 2.9 s at sf0.1 inline vs 0.4 s with the projection; guide §1.2
+    # "per-task work").
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    t = F.col("__t")
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
     ).otherwise(F.array().cast("array<int>"))
-    bg = df.select(
+    bg = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
