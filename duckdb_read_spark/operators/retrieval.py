@@ -95,16 +95,27 @@ def bm25_scores(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("bm25 needs at least one query term")
-    toks = (
-        df.select(F.col(id_col), F.explode(
-            F.split(F.lower(F.col(text_col)), " ")).alias("term"))
-        .where(F.col("term") != "")
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # r12 restructure (guide §2.3 — aggregate/filter BEFORE the shuffle):
+    # the old plan built the FULL (doc, term) frequency index and derived
+    # everything from it — a corpus-sized explode + shuffle replayed for
+    # each consumer. But BM25 only needs (a) per-doc length, which is the
+    # token COUNT — a scan-stage projection, no explode or shuffle — and
+    # (b) term frequencies for the QUERY terms only, so the token array
+    # is filtered to the query bag before the explode. Only query-term
+    # hits are ever shuffled. Same Okapi arithmetic, measured identical
+    # results vs the index-shaped oracle SQL.
+    arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                   lambda t: t != "")
+    # docs with zero non-empty tokens had no tf rows in the index form
+    # and were absent from dl/avgdl — keep that exact semantics
+    dl = (df.select(F.col(id_col), F.size(arr).alias("dl"))
+          .where(F.col("dl") > 0))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    qtf = tf.where(F.col("term").isin(terms))
-    # tf rows are unique per (doc, term) → df is a plain count
+    qtoks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(arr, lambda t: t.isin(*terms))).alias("term"))
+    qtf = qtoks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # qtf rows are unique per (doc, term) → df is a plain count
     dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         qtf.join(F.broadcast(dfreq), "term")
