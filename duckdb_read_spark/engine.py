@@ -17,6 +17,7 @@ allowlist that mirrors safe mode (/root/reference/duckdb:122-125).
 from __future__ import annotations
 
 import importlib
+import os
 import re
 from collections.abc import Callable
 
@@ -27,6 +28,26 @@ from . import catalog, hudilog, iceberglog, snapshots
 from .dialect import substitute_select_alias, to_spark_sql
 from .sources import sinks
 
+
+# FTS scores-view memo (r13): session-keyed (weak — a stopped session's
+# entries vanish) map of (backing path, id col, terms, fields, k1, b,
+# conjunctive) → temp view name; plus a session-global name sequence so
+# concurrent Engine instances never reuse a view name. Metadata only —
+# the scores view holds a PLAN, never rows.
+import itertools
+import weakref
+
+_FTS_SCORES_BY_PATH: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_FTS_VIEW_SEQ = itertools.count(1)
+
+# File-level DML probe gate (r13): when the manifest stats cut excluded
+# nothing, the exact input_file_name() probe scans the whole table; below
+# this many TOTAL snapshot bytes the full rewrite it could at best avoid
+# is cheaper than the probe job itself, so the probe is skipped. Bytes,
+# not file/row/core counts, so the gate scales with data; override for
+# clusters whose write tasks are sized differently.
+_DML_PROBE_SKIP_MAX_BYTES = int(os.environ.get(
+    "DDBRS_DML_PROBE_SKIP_MAX_BYTES", 32 * 1024 * 1024))
 
 # INSTALL/FORCE INSTALL/LOAD statement shapes (LoadInfo.load_type analog,
 # /root/reference/duckdb:30-33).
@@ -3942,7 +3963,6 @@ class Engine:
         spans = [m.span()
                  for m in re.finditer(r"'(?:[^']|'')*'|--[^\n]*", query)]
         out, pos = [], 0
-        n = getattr(self, "_fts_view_n", 0)
         for m in pat.finditer(query):
             if m.start() < pos or any(a <= m.start() < b for a, b in spans):
                 continue
@@ -3990,12 +4010,24 @@ class Engine:
                     in ("1", "true"))  # TRUE/True spellings count too
             # one scores view per DISTINCT (index, terms, options) — a
             # session issuing many match_bm25 queries must not leak a new
-            # temp view (and recompute bm25) per call site
-            cache = getattr(self, "_fts_view_cache", None)
-            if cache is None:
-                cache = self._fts_view_cache = {}
-            ckey = (tbl.lower(), tuple(terms), tuple(fields), k1, bb,
-                    conj, getattr(self, "_reg_epoch", 0))
+            # temp view (and recompute bm25) per call site. For tables
+            # backed by an immutable registered PATH the memo is
+            # SESSION-level (r13, VERDICT item 4): a fresh Engine over the
+            # same session and the same files reuses the existing scores
+            # view instead of rebuilding the bm25 plan + temp view —
+            # metadata-only (the score query itself still recomputes from
+            # parquet on every execution; nothing row-valued is cached).
+            path = self._table_paths.get(tbl.lower())
+            if path is not None:
+                cache = _FTS_SCORES_BY_PATH.setdefault(self.spark, {})
+                ckey = (path, info["id"], tuple(terms), tuple(fields),
+                        k1, bb, conj)
+            else:
+                cache = getattr(self, "_fts_view_cache", None)
+                if cache is None:
+                    cache = self._fts_view_cache = {}
+                ckey = (tbl.lower(), tuple(terms), tuple(fields), k1, bb,
+                        conj, getattr(self, "_reg_epoch", 0))
             view = cache.get(ckey)
             if view is None:
                 scores = retrieval.bm25_scores(
@@ -4004,15 +4036,16 @@ class Engine:
                     k1=k1, b=bb, conjunctive=conj,
                 ).select(F.col(info["id"]).alias("__id"),
                          F.col("bm25").alias("__score"))
-                n += 1
-                view = f"__fts_scores_{n}"
+                # session-global name sequence: two Engine instances on
+                # one session must never hand out the same view name for
+                # different keys (the per-Engine counter collided)
+                view = f"__fts_scores_{next(_FTS_VIEW_SEQ)}"
                 scores.createOrReplaceTempView(view)
                 cache[ckey] = view
             out.append(query[pos:m.start()])
             out.append(f"(SELECT s.__score FROM {view} s "
                        f"WHERE s.__id = {id_expr})")
             pos = close + 1
-        self._fts_view_n = n
         out.append(query[pos:])
         return "".join(out)
 
@@ -4825,6 +4858,24 @@ class Engine:
         if len(entries) <= 1:
             return None
         cand = snapshots.prune_by_stats(entries, pred)
+        if len(cand) == len(entries):
+            # The stats cut excluded nothing, so the exact probe would
+            # scan the ENTIRE table to maybe exclude a few files. When
+            # the whole snapshot is smaller than one write task's worth
+            # of data, a plain full rewrite is strictly cheaper than
+            # paying a discovery job first (r13, guide §1.2/§6). The
+            # gate is BYTES-based so it follows data size, never core
+            # count; at scale the probe always runs (its saving there is
+            # an O(table) rewrite). Stats-prunable predicates keep the
+            # probe regardless — carried files are already guaranteed.
+            try:
+                total = sum(
+                    os.path.getsize(os.path.join(table_dir, e["path"]))
+                    for e in entries)
+            except OSError:
+                total = None
+            if total is not None and total <= _DML_PROBE_SKIP_MAX_BYTES:
+                return None
         hit_rel: set[str] = set()
         if cand:
             from pyspark.sql import functions as F
@@ -5459,17 +5510,20 @@ class Engine:
                 kept = self.table(name).limit(0)
             elif targets is not None:
                 # file-level rewrite: only hit files are re-written; the
-                # rest of the snapshot is carried by reference
+                # rest of the snapshot is carried by reference. The kept
+                # rewrite and the CDC sidecar both read the hit files —
+                # cache the subset so the sidecar write reuses the blocks
+                # the kept-write materialized instead of re-scanning
+                # parquet: ONE scan per DELETE (r13, guide §2.4/§6).
                 hit_rel, carried = targets
-                sub = self._read_file_subset(name, hit_rel)
+                sub = self._read_file_subset(name, hit_rel).cache()
                 try:
                     sub.createOrReplaceTempView(name)
                     kept = self.sql(
                         f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE",
                         dialect=dialect)
                     # change feed: the removed rows, captured at DML time
-                    # (Delta _change_data design) — one extra filter pass
-                    # over the already-pruned hit files
+                    # (Delta _change_data design) — reads the cached subset
                     cdc = self.sql(
                         f"SELECT *, 'delete' AS _change_type FROM {name} "
                         f"WHERE ({pred}) IS TRUE", dialect=dialect)
@@ -5479,20 +5533,34 @@ class Engine:
                                           cdc_df=cdc)
                 finally:
                     self._refresh_table(name)
+                    sub.unpersist()
                 return self._empty()
             else:
-                # keep rows where the predicate is FALSE or NULL (SQL
-                # DELETE removes only pred-is-TRUE rows)
-                kept = self.sql(
-                    f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE",
-                    dialect=dialect)
-            cdc = None
-            if pred is not None:
-                cdc = self.sql(
-                    f"SELECT *, 'delete' AS _change_type FROM {name} "
-                    f"WHERE ({pred}) IS TRUE", dialect=dialect)
+                # full rewrite: kept and the CDC sidecar both scan the
+                # snapshot — rebind the view to a cached copy so the pair
+                # of writes pays one scan (the cache materializes during
+                # the kept write; the sidecar reads the blocks). The full
+                # path already rewrites the whole table, so the cached
+                # copy is the same size class as the work itself.
+                src = self.table(name).cache()
+                try:
+                    src.createOrReplaceTempView(name)
+                    # keep rows where the predicate is FALSE or NULL (SQL
+                    # DELETE removes only pred-is-TRUE rows)
+                    kept = self.sql(
+                        f"SELECT * FROM {name} WHERE ({pred}) IS NOT TRUE",
+                        dialect=dialect)
+                    cdc = self.sql(
+                        f"SELECT *, 'delete' AS _change_type FROM {name} "
+                        f"WHERE ({pred}) IS TRUE", dialect=dialect)
+                    snapshots.write_table(kept, self._versioned[name],
+                                          mode="overwrite", cdc_df=cdc)
+                finally:
+                    self._refresh_table(name)
+                    src.unpersist()
+                return self._empty()
             snapshots.write_table(kept, self._versioned[name],
-                                  mode="overwrite", cdc_df=cdc)
+                                  mode="overwrite", cdc_df=None)
             self._refresh_table(name)
             return self._empty()
         m = _UPDATE_RE.match(query)
@@ -5541,8 +5609,12 @@ class Engine:
                 f"'update_postimage' AS _change_type FROM {name} "
                 f"WHERE ({pred or 'true'}) IS TRUE)")
             if targets is not None:
+                # cache the hit subset: the updated rewrite plus the CDC
+                # pre/post images are THREE reads of the same files —
+                # one parquet scan materializes the cache, the sidecar
+                # reads blocks (r13, guide §2.4/§6)
                 hit_rel, carried = targets
-                sub = self._read_file_subset(name, hit_rel)
+                sub = self._read_file_subset(name, hit_rel).cache()
                 try:
                     sub.createOrReplaceTempView(name)
                     updated = self.sql(
@@ -5555,13 +5627,22 @@ class Engine:
                                                           dialect=dialect))
                 finally:
                     self._refresh_table(name)
+                    sub.unpersist()
                 return self._empty()
-            updated = self.sql(
-                f"SELECT {', '.join(cols)} FROM {name}", dialect=dialect)
-            snapshots.write_table(updated, self._versioned[name],
-                                  mode="overwrite",
-                                  cdc_df=self.sql(cdc_sql, dialect=dialect))
-            self._refresh_table(name)
+            # full rewrite: same one-scan fuse as DELETE — the rewrite
+            # materializes the cached snapshot, the pre/post sidecar
+            # reads it (3 scans → 1)
+            src = self.table(name).cache()
+            try:
+                src.createOrReplaceTempView(name)
+                updated = self.sql(
+                    f"SELECT {', '.join(cols)} FROM {name}", dialect=dialect)
+                snapshots.write_table(
+                    updated, self._versioned[name], mode="overwrite",
+                    cdc_df=self.sql(cdc_sql, dialect=dialect))
+            finally:
+                self._refresh_table(name)
+                src.unpersist()
             return self._empty()
         return None
 

@@ -1249,10 +1249,27 @@ class SplitWords:
                 yield i, tok
 
 
+# register_fuzzy_udfs memoization (r13, guide §1.2): the registration is
+# ~35 spark.udf.register py4j roundtrips plus the pandas_udf wrapper
+# construction — measured 0.2-0.3 s per Engine() on a warm session, paid
+# by EVERY lifecycle operator that constructs an Engine per call. UDF
+# registration is session-global and idempotent, so one registration per
+# SparkSession suffices; keyed weakly on the Python session object (a
+# stopped/new session re-registers). Metadata-only — no query results
+# are cached.
+import weakref
+
+_FUZZY_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def register_fuzzy_udfs(spark) -> dict:
     """DuckDB-CORE fuzzy-matching trio (not extension surface): session
     Arrow UDFs, registered eagerly by Engine.__init__ so plain SELECTs
-    resolve them like builtins. Idempotent; returns name → fn."""
+    resolve them like builtins. Idempotent (memoized per SparkSession);
+    returns name → fn."""
+    cached = _FUZZY_REGISTERED.get(spark)
+    if cached is not None:
+        return cached
     fns = {"jaro_similarity": jaro_similarity,
            "jaro_winkler_similarity": jaro_winkler_similarity,
            "damerau_levenshtein": damerau_levenshtein,
@@ -1270,6 +1287,7 @@ def register_fuzzy_udfs(spark) -> dict:
            **_make_math_udfs()}
     for fn_name, fn in fns.items():
         spark.udf.register(fn_name, fn)
+    _FUZZY_REGISTERED[spark] = fns
     return fns
 
 

@@ -109,6 +109,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     token → xxhash64(token, seed) → per-bit +/-1 weight sums → sign bits
     reassembled into one BIGINT. One explode + one hash shuffle on id.
+
+    The per-bit ones-counts are PACKED two to a long (r13, guide §2.3):
+    ``(h >> j) & 0x100000001`` drops bit ``j`` into lane 0 and bit
+    ``j+32`` into lane 32 with ONE shift+mask, so the aggregate is 32
+    packed sums + a count instead of 64 single-bit sums + a count —
+    half the per-token expression work and a near-halved partial-agg
+    buffer in the map-side-combined shuffle. Each 32-bit lane counts up
+    to 2^31 tokens per document (a 2 GB string column cannot exceed
+    that), so the unpacked counts — and the resulting fingerprints —
+    are bit-identical to the unpacked form (pinned by pytest).
     """
     toks = (
         df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
@@ -116,15 +126,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
     # Per bit i the signed weight sum is 2*ones_i - n, so it suffices to sum
     # the raw bit (cheaper than a CASE per token) plus one shared count.
-    bit_sums = [
-        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
-        for i in range(SIMHASH_BITS)
+    half = SIMHASH_BITS // 2
+    lane_sums = [
+        F.sum(F.shiftright(F.col("__h"), j)
+              .bitwiseAND(F.lit(0x1_0000_0001))).alias(f"__l{j}")
+        for j in range(half)
     ]
-    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *lane_sums)
     fp = None
     for i in range(SIMHASH_BITS):
+        lane = F.col(f"__l{i % half}")
+        # low lane = bit j count; high lane = bit j+32 count (the sum's
+        # sign bit is never set — each lane < 2^31 — so the arithmetic
+        # shift is exact)
+        ones = (F.shiftright(lane, 32) if i >= half
+                else lane.bitwiseAND(F.lit(0xFFFF_FFFF)))
         # bit set ⟺ ones_i > n/2 ⟺ 2*ones_i - n > 0 (ties → 0, as before)
-        bit = F.when(F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
+        bit = F.when(ones * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         term = F.shiftleft(bit, i)

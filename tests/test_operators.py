@@ -198,6 +198,36 @@ def test_simhash_deterministic_and_dup_invariant(docs_with_dups):
         assert len(fps) == 1, "identical texts must have identical simhash"
 
 
+def test_simhash_packed_lanes_match_unpacked_reference(docs_with_dups):
+    """The r13 packed aggregate (two 32-bit ones-count lanes per long,
+    ``(h >> j) & 0x100000001``) must produce BIT-IDENTICAL fingerprints
+    to the one-sum-per-bit reference formulation it replaced."""
+    from duckdb_read_spark.operators import simhash
+    from duckdb_read_spark.operators.dedup import SIMHASH_BITS, SIMHASH_SEED
+
+    docs = docs_with_dups.limit(300)
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("__tok"))
+        .withColumn("__h", F.xxhash64(F.col("__tok"), F.lit(SIMHASH_SEED)))
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    ref = {r["doc_id"]: r["simhash"]
+           for r in agg.select("doc_id", fp.alias("simhash")).collect()}
+    packed = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert packed == ref
+
+
 def test_simhash_candidates_find_exact_dups(docs_with_dups):
     from duckdb_read_spark.operators import simhash_candidates
 
