@@ -140,6 +140,16 @@ def main() -> None:
         "q134_temperature_mix",
         "q135_delta_deletion_vectors",
         "q137_change_data_feed",
+        # r13 (VERDICT item 8, additions-only): the streaming T-path
+        # operators get bench numbers — each runner builds its stream,
+        # drains it with availableNow semantics into its sink, and the
+        # timed action reads the drained result. Previously streaming
+        # perf was entirely unmeasured.
+        "q107_sliding_window_stream",
+        "q109_session_window_stream",
+        "q112_create_stream_sql",
+        "q118_stream_versioned_sink",
+        "q139_stream_table_source",
     ):
         extra[name] = round(_time_op(name), 4)
 

@@ -29,6 +29,21 @@ SIMHASH_BITS = 64
 SIMHASH_SEED = 42
 
 
+def _lazy_barrier(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize-once barrier for a relation with several consumers.
+
+    ``checkpoint_dir=None`` (default) truncates lineage into executor
+    blocks (``localCheckpoint`` — lost on executor death, fine for a
+    query-sized run); a directory switches to a RELIABLE ``checkpoint``
+    so long cluster runs survive executor loss (r13, parity with
+    ``duplicate_clusters``). Lazy either way: the first action both
+    materializes and consumes."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 # --- exact ----------------------------------------------------------------
 
 def dedup_exact(df: DataFrame, text_col: str = "text", keep_order_col: str | None = None) -> DataFrame:
@@ -184,6 +199,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     bands: int = 4,
     max_band_df: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs: band the 64-bit simhash into ``bands`` sub-keys,
     bucket-join on any equal band, verify Hamming ≤ ``max_hamming`` via
@@ -199,7 +215,12 @@ def simhash_candidates(
     still pair through their other ``bands-1`` buckets unless ALL their
     shared buckets are hot — the pigeonhole guarantee weakens only for
     pairs living entirely inside boilerplate clusters, which exact-dedup
-    (L1) catches first."""
+    (L1) catches first.
+
+    ``checkpoint_dir`` upgrades the banded-key materialization barrier
+    from executor-local blocks to a reliable checkpoint directory (the
+    ``duplicate_clusters`` option, threaded here in r13): pass it on
+    long cluster runs where executor loss must not kill the job."""
     banded = simhash_banded_keys(df, text_col, id_col, bands)
     if max_band_df is not None:
         if max_band_df < 2:
@@ -212,9 +233,9 @@ def simhash_candidates(
         )
         banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     # The banded-key relation feeds both self-join sides; materialize the
-    # (explode + 65-aggregate simhash groupBy) once per invocation instead
-    # of once per side (lazy localCheckpoint — fresh per call, guide §2.4).
-    banded = banded.localCheckpoint(eager=False)
+    # (explode + packed simhash groupBy) once per invocation instead of
+    # once per side (lazy barrier — fresh per call, guide §2.4).
+    banded = _lazy_barrier(banded, checkpoint_dir)
     a = banded.alias("a")
     b = banded.alias("b")
     # Hamming-verify BEFORE the pair dedup: the filter is per-row compute
@@ -247,6 +268,13 @@ def simhash_candidates(
 
 def ngram_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document.
+
+    Precondition: ``id_col`` identifies a document — exactly one row per
+    id. With several rows sharing an id, "distinct per document" is only
+    deduped per ROW (the r12 ``array_distinct`` form), so downstream
+    document frequencies / Jaccard set sizes / contamination counts
+    would count a shingle once per carrying row. Dedup ids upstream if
+    your corpus violates this (ADVICE r12).
 
     Per-document uniqueness only needs a PER-ROW dedup, so it runs as
     ``array_distinct`` on the shingle array before the explode — entirely
@@ -281,6 +309,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
     prefix_filter: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, pairs ≥ threshold.
 
@@ -310,7 +339,12 @@ def ngram_jaccard_pairs(
     EXACTLY via array_intersect over the full sets, so the emitted pairs
     are IDENTICAL to the naive path (equivalence pytest + the unchanged
     q55/q80 oracles pin this). This turns the exact tier from
-    verification-only into the scale path."""
+    verification-only into the scale path.
+
+    ``checkpoint_dir`` upgrades the capped-shingle materialization
+    barrier (naive tier) from executor-local blocks to a reliable
+    checkpoint directory — pass it on long cluster runs (r13, parity
+    with ``duplicate_clusters``)."""
     if prefix_filter:
         sh = _shingles_with_df(df, text_col, id_col, n, max_shingle_df)
         return _jaccard_pairs_prefix(sh, id_col, threshold)
@@ -324,7 +358,7 @@ def ngram_jaccard_pairs(
     # q55 pipeline: 3.02 → 2.44 s min-of-5 with the array_distinct
     # shingle change included (guide §2.4 / §5 lineage truncation).
     sh = _capped_shingles(df, text_col, id_col, n, max_shingle_df)
-    sh = sh.localCheckpoint(eager=False)
+    sh = _lazy_barrier(sh, checkpoint_dir)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -415,11 +449,27 @@ def _prefix_candidates(sh: DataFrame, id_col: str, threshold: float
 )
     prefix = docs.select(
         F.col(id_col), F.col("__sz"),
-        F.explode(F.expr("slice(__toks, 1, __plen)")).alias("shingle"))
+        F.posexplode(F.expr("slice(__toks, 1, __plen)"))
+        .alias("__pos", "shingle"))
     pa = prefix.select(F.col(id_col).alias("id_a"),
-                       F.col("__sz").alias("__za"), "shingle")
+                       F.col("__sz").alias("__za"),
+                       F.col("__pos").alias("__pa"), "shingle")
     pb = prefix.select(F.col(id_col).alias("id_b"),
-                       F.col("__sz").alias("__zb"), "shingle")
+                       F.col("__sz").alias("__zb"),
+                       F.col("__pos").alias("__pb"), "shingle")
+    # PPJoin positional filter (Xiao et al., WWW'08 — public; r13): with
+    # both shingle arrays in the SAME canonical total order, any match
+    # not already seen among the shared prefix tokens must sit strictly
+    # AFTER the last shared position on BOTH sides (x[i]=y[j] with
+    # i<mpa forces y[j]<y[mpb], i.e. j<mpb, i.e. a prefix-prefix match
+    # — already counted). So the total overlap is bounded by
+    #   o + min(|X|-1-mpa, |Y|-1-mpb)            (0-based positions)
+    # and a candidate whose bound cannot reach the Jaccard-≥t overlap
+    # requirement inter ≥ t/(1+t)·(|X|+|Y|) is pruned BEFORE the
+    # verification join ships the full shingle arrays (guide §2.3 —
+    # the epsilon keeps IEEE boundary sizes, same as the size filter;
+    # verification stays exact, so emitted pairs are unchanged).
+    jt = threshold / (1.0 + threshold)
     cand = (
         pa.join(pb, "shingle")
         .where((F.col("id_a") < F.col("id_b"))
@@ -428,8 +478,15 @@ def _prefix_candidates(sh: DataFrame, id_col: str, threshold: float
                # jaccard verification downstream removes any extras
                & (F.col("__zb") >= threshold * F.col("__za") - F.lit(1e-9))
                & (F.col("__za") >= threshold * F.col("__zb") - F.lit(1e-9)))
+        .groupBy("id_a", "id_b", "__za", "__zb")
+        .agg(F.count(F.lit(1)).alias("__o"),
+             F.max("__pa").alias("__mpa"),
+             F.max("__pb").alias("__mpb"))
+        .where(F.col("__o")
+               + F.least(F.col("__za") - F.col("__mpa") - 1,
+                         F.col("__zb") - F.col("__mpb") - 1)
+               >= jt * (F.col("__za") + F.col("__zb")) - F.lit(1e-9))
         .select("id_a", "id_b")
-        .distinct()
     )
     return docs, cand
 

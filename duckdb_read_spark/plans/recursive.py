@@ -36,6 +36,12 @@ _VIEW_N = [0]
 # count, and ~100k rows (a few MB) is comfortably a one-task read. Above
 # it, the distributed layout stands (scale-adaptive, not fixture-tuned).
 _COALESCE_ROWS = 100_000
+# ... AND at or below this many cached bytes (ADVICE r12: a 100k-row
+# relation of long text/binary rows would otherwise serialize every
+# per-iteration probe onto one task). The size comes from the cache's
+# own accumulated stats — already materialized by the count, no extra
+# job.
+_COALESCE_BYTES = 64 * 1024 * 1024
 
 
 def _ref_positions(name: str, text: str):
@@ -139,7 +145,15 @@ def materialize_recursive_inputs(spark, query: str) -> str:
             try:
                 df = spark.sql(body).cache()
                 n = df.count()  # materialize once
-                if n <= _COALESCE_ROWS:
+                try:
+                    # cached-stats bytes (exact after the count — the
+                    # InMemoryRelation accumulated its batch sizes);
+                    # guards the row gate against wide text/binary rows
+                    nbytes = int(df._jdf.queryExecution()
+                                 .optimizedPlan().stats().sizeInBytes())
+                except Exception:
+                    nbytes = 0  # stats unavailable — keep the row gate
+                if n <= _COALESCE_ROWS and nbytes <= _COALESCE_BYTES:
                     # size-adaptive layout (r12, guide §2): the recursion
                     # probes this relation EVERY iteration, and a tiny
                     # input cached as shuffle-partition-many blocks makes

@@ -109,6 +109,36 @@ def test_jaccard_df_cap_filters_before_selfjoin(engine):
     assert not has_cartesian(out)
     # the join reads the materialized capped relation, not subtree replays
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # ... and ONLY that: a replay of the shingle build would re-surface
+    # the parquet scan or the window-cap in the pair plan (ADVICE r12 —
+    # 'ExistingRDD appears' alone is satisfied by any checkpointed input)
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+
+
+def test_jaccard_df_cap_value_level_pin(spark):
+    """ADVICE r12: a value-level pin that fails if the DF cap silently
+    drops out of ngram_jaccard_pairs — on a planted corpus where ten
+    docs share ONLY a boilerplate block, the capped tier must emit no
+    boilerplate-only pairs (their shared shingles exceed the cap) while
+    the uncapped tier emits all C(10,2), and a genuine near-dup pair
+    sharing RARE shingles survives both tiers."""
+    from duckdb_read_spark.operators import ngram_jaccard_pairs
+
+    boiler = "standard footer text appearing in every single document here"
+    rows = [(i, boiler + f" unique{i} tail{i} mark{i}") for i in range(10)]
+    rows += [(100, "rare alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "rare alpha beta gamma delta epsilon zeta eta theta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3).collect()}
+    capped = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, max_shingle_df=4).collect()}
+    boiler_pairs = {(a, b) for a in range(10) for b in range(10) if a < b}
+    assert boiler_pairs <= uncapped
+    assert not (boiler_pairs & capped), "cap dropped from the pair path"
+    assert (100, 101) in uncapped and (100, 101) in capped
 
 
 def test_merge_plan_no_cartesian(engine, tmp_path):
