@@ -248,20 +248,41 @@ def write_table(
     commits = read_log(table_dir)
     version = (commits[-1].version + 1) if commits else 1
     rel = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
-    new_entries = _dir_file_entries(table_dir, rel)
-    files = None
-    if carry_files is not None:
-        files = tuple(list(carry_files) + new_entries)
     cdc_rel = None
+    cdc_err: list[BaseException] = []
+    cdc_thread = None
     if cdc_df is not None:
         if "_change_type" not in cdc_df.columns:
             raise ValueError("cdc_df must carry a _change_type column")
         cdc_rel = os.path.join(_CDC_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
-        # written BEFORE the commit file: a lost O_EXCL race leaves an
-        # orphan dir that no commit references — harmless, vacuumable
-        cdc_df.write.mode("overwrite").parquet(
-            os.path.join(table_dir, cdc_rel))
+
+        # The CDC sidecar and the data rewrite are independent jobs over
+        # the same (cached) source — run them CONCURRENTLY so the commit
+        # pays max(write, write) wall-clock instead of the sum (r13,
+        # guide §1.2; Spark job submission is thread-safe). Both are
+        # still written BEFORE the commit file: a failure on either side
+        # leaves only an orphan dir no commit references — harmless,
+        # vacuumable (same guarantee the sequential order gave).
+        def _write_cdc() -> None:
+            try:
+                cdc_df.write.mode("overwrite").parquet(
+                    os.path.join(table_dir, cdc_rel))
+            except BaseException as exc:  # re-raised on the caller thread
+                cdc_err.append(exc)
+
+        import threading
+
+        cdc_thread = threading.Thread(target=_write_cdc, daemon=True)
+        cdc_thread.start()
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    if cdc_thread is not None:
+        cdc_thread.join()
+        if cdc_err:
+            raise cdc_err[0]
+    new_entries = _dir_file_entries(table_dir, rel)
+    files = None
+    if carry_files is not None:
+        files = tuple(list(carry_files) + new_entries)
     entry = Commit(
         version=version,
         timestamp_ms=int(time.time() * 1000) if timestamp_ms is None else timestamp_ms,

@@ -499,6 +499,28 @@ def test_delta_deletion_vectors_apply(eng, spark, tmp_path, inline):
         eng.sql(f"CREATE TABLE dvc CLONE '{d}'")
 
 
+def test_dv_driver_expand_matches_executor_path(spark, tmp_path, monkeypatch):
+    """r13: small deletion vectors expand driver-side (no mapInPandas
+    stage in the plan); rows must be IDENTICAL to the executor-side
+    expansion, and the threshold must route large/unknown cardinalities
+    back to the executor path."""
+    from duckdb_read_spark import deltalog
+
+    d = str(tmp_path / "dvx")
+    _write_foreign_dv_table(spark, d)
+
+    monkeypatch.setattr(deltalog, "_DV_DRIVER_EXPAND_MAX", 128 * 1024)
+    fast = deltalog.read_delta_table(spark, d)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    fast_rows = {r.k for r in fast.collect()}
+
+    monkeypatch.setattr(deltalog, "_DV_DRIVER_EXPAND_MAX", 0)
+    slow = deltalog.read_delta_table(spark, d)
+    assert "InPandas" in slow._jdf.queryExecution().executedPlan().toString()
+    assert fast_rows == {r.k for r in slow.collect()}
+
+
 def test_delta_dv_clone_guard_direct(spark, tmp_path):
     from duckdb_read_spark import deltalog, snapshots
 
