@@ -195,8 +195,10 @@ def main() -> None:
             docs, n=3, threshold=0.0).count(),
         "q55_pairs_emitted": ops.ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, max_shingle_df=_SHINGLE_DF_CAP).count(),
-        # r6: AllPairs prefix filtering — the candidate set the declared
-        # q55/q80 tier actually joins now (exact results unchanged)
+        # r6: AllPairs prefix filtering (r13: + PPJoin positional filter)
+        # — the OPT-IN crawl-scale tier's candidate count; the declared
+        # q55/q80 keep the naive tier, which is still faster at fixture
+        # scale (exact results identical either way, equivalence pytest)
         "q55_candidate_pairs_prefix": ops.ngram_jaccard_prefix_candidates(
             docs, n=3, threshold=0.5, max_shingle_df=_SHINGLE_DF_CAP).count(),
         # all band-bucket collisions (max_hamming=64 disables the verify cut)

@@ -501,14 +501,18 @@ def _jaccard_pairs_prefix(sh: DataFrame, id_col: str,
     the sum over PREFIX shingles of C(df,2) — the canonical order pushes
     boilerplate to the suffix, so the hot-shingle blowup term vanishes.
     Measured honesty note: on the sf0.1 fixture candidates drop 1.13 M →
-    310 k (3.6×) but WALL TIME is ~3× the naive path — that corpus has no
-    boilerplate tail (pairs come from the mid-frequency bulk, so the
-    index ≈ candidate set) and verification ships both docs' full shingle
-    arrays per candidate. The filter's win condition is candidates ≫
-    index (boilerplate-heavy crawls): the planted-boilerplate pytest
-    shows the C(boiler,2) term vanishing. Hence the declared q55/q80 keep
-    the naive tier at fixture scale; prefix_filter=True is the documented
-    crawl-scale escape hatch, exactness pinned by the equivalence pytest."""
+    310 k (3.6×), and the r13 PPJoin positional filter cuts the pairs
+    entering verification further to 120 k — but WALL TIME is still
+    ~1.6× the naive path (r13 interleaved min-of-5: naive 1.38 s vs
+    prefix 2.21 s; was ~3× before the positional filter). That corpus
+    has no boilerplate tail (pairs come from the mid-frequency bulk, so
+    the index ≈ candidate set) and verification ships both docs' full
+    shingle arrays per candidate. The filter's win condition is
+    candidates ≫ index (boilerplate-heavy crawls): the planted-
+    boilerplate pytest shows the C(boiler,2) term vanishing. Hence the
+    declared q55/q80 keep the naive tier at fixture scale;
+    prefix_filter=True is the documented crawl-scale escape hatch,
+    exactness pinned by the equivalence pytest."""
     docs, cand = _prefix_candidates(sh, id_col, threshold)
     da = docs.select(F.col(id_col).alias("id_a"),
                      F.col("__toks").alias("__ta"),

@@ -18,6 +18,28 @@ from pyspark.sql import functions as F
 from ..conf import apply_runtime_confs
 
 
+# Schema-inference memo (r13, guide §1.2): streaming sources need the
+# schema up front, and the batch read that provides it costs a driver
+# job (file listing + footer) of ~0.4 s per call. The schema is a pure
+# function of the file bytes, so memoize per (realpath, mtime, size) —
+# an overwritten file re-infers. Metadata only; no rows are cached.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    real = os.path.realpath(path)
+    # memoize SINGLE FILES only: a directory's stat does not change when
+    # a contained file is modified in place, so its key would go stale
+    if not os.path.isfile(real):
+        return spark.read.parquet(path).schema  # dirs/globs — no memo
+    st = os.stat(real)
+    key = (real, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return schema
+
+
 def events_stream(
     spark: SparkSession,
     path: str,
@@ -29,8 +51,9 @@ def events_stream(
     LongType nanoseconds (nanosAsLong) and is rebuilt as a µs timestamp.
     """
     apply_runtime_confs(spark)
-    # Streaming sources need the schema up front; take it from a batch read.
-    schema = spark.read.parquet(path).schema
+    # Streaming sources need the schema up front; take it from a batch
+    # read (memoized per file identity).
+    schema = _parquet_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         # FileStreamSource requires a directory (its basePath must be one);
