@@ -274,11 +274,16 @@ def write_table(
 
         cdc_thread = threading.Thread(target=_write_cdc, daemon=True)
         cdc_thread.start()
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
-    if cdc_thread is not None:
-        cdc_thread.join()
-        if cdc_err:
-            raise cdc_err[0]
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    finally:
+        # join on the failure path too: an un-joined sidecar job racing
+        # past the caller's cleanup (view repoint, cache unpersist) would
+        # waste work and interleave with the next commit's jobs
+        if cdc_thread is not None:
+            cdc_thread.join()
+    if cdc_thread is not None and cdc_err:
+        raise cdc_err[0]
     new_entries = _dir_file_entries(table_dir, rel)
     files = None
     if carry_files is not None:
